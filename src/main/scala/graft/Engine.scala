@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Session bootstrap + table registry for the engine.
   *
@@ -38,9 +39,19 @@ object Engine {
     spark
   }
 
-  /** Read one warehouse table from an sf directory. */
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Read one warehouse table from an sf directory.
+    *
+    * `events.parquet` carries TIMESTAMP(NANOS) which Spark's parquet reader
+    * rejects; read it as long nanos and truncate to microseconds with integer
+    * division (ns since epoch exceeds 2^53, so float division would lose
+    * precision). DuckDB's ns→us conversion truncates the same way.
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    else df
+  }
 
   /** Register every warehouse table as a temp view (idempotent) and install
     * the Hive-gap function pack. Returns the session for chaining. */

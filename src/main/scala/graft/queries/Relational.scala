@@ -1,0 +1,269 @@
+package graft.queries
+
+import graft.Engine
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Core relational operator surface — SURVEY.md §2.1/2.3/2.6/2.7.
+  *
+  * Hive operator anchors (reference paths, not ported code):
+  * FilterOperator `ql/.../exec/FilterOperator.java:37`, SelectOperator
+  * `exec/SelectOperator.java:36`, JoinOperator `exec/JoinOperator.java:44`,
+  * MapJoinOperator `exec/MapJoinOperator.java:78`, UnionOperator
+  * `exec/UnionOperator.java:39`, LimitOperator + TopNHash
+  * `exec/LimitOperator.java:32`/`exec/TopNHash.java:45`, ReduceSink
+  * (DISTRIBUTE/SORT/CLUSTER BY) `exec/ReduceSinkOperator.java:65`,
+  * sampling `optimizer/SamplePruner.java`, subquery rewrites
+  * `parse/QBSubQuery.java:42-46`.
+  *
+  * Scale notes: dimension tables (supplier/nation/region) are broadcast
+  * explicitly; fact-fact joins stay shuffle (sort-merge) so they survive
+  * 1000-executor scale; every filter/projection is expressed declaratively
+  * so Catalyst pushes it into the parquet scan.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String) = Engine.table(s, dir, n)
+
+  val all: Seq[Qd] = Seq(
+
+    // FilterOperator + SelectOperator: compound pushed predicate + row-level
+    // expression projection (TPC-H Q6 shape).
+    // NOTE: disc_rev is intentionally unrounded — a per-row IEEE double
+    // product is bit-identical across engines, while round() semantics on
+    // boundary doubles differ (Spark rounds the shortest decimal repr,
+    // DuckDB the binary value).
+    Qd("q02_filter_project",
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * l_discount AS disc_rev
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-12-31 00:00:00'
+        |  AND l_discount > 0.05 AND l_quantity < 24
+        |ORDER BY l_orderkey, l_linenumber""") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate").between(
+          lit("1996-01-01").cast("timestamp"), lit("1996-12-31").cast("timestamp"))
+          && col("l_discount") > 0.05 && col("l_quantity") < 24)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * col("l_discount")).as("disc_rev"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // JoinOperator: fact-fact shuffle join, forced sort-merge (survives any
+    // scale; no build-side memory dependence).
+    Qd("q03_join_shuffle",
+      """SELECT o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, dir) =>
+      val li = t(s, dir, "lineitem").hint("merge")
+      val o = t(s, dir, "orders")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_orderpriority")
+    },
+
+    // MapJoinOperator: star join with explicit broadcast of the genuinely
+    // small dims (TPC-H Q5 shape). customer/orders/lineitem stay shuffled —
+    // they scale with SF.
+    Qd("q04_join_broadcast_star",
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND year(o_orderdate) = 1996
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""") { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(su), li("l_suppkey") === su("s_suppkey") && c("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .filter(r("r_name") === "ASIA" && year(o("o_orderdate")) === 1996)
+        .groupBy(n("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(desc("revenue"), col("n_name"))
+    },
+
+    // Left-semi join (EXISTS / IN-subquery rewrite, QBSubQuery.java IN).
+    Qd("q05_semi_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""") { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    },
+
+    // Left-anti join (NOT EXISTS rewrite, QBSubQuery.java NOT_IN/NOT_EXISTS).
+    Qd("q06_anti_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND year(o_orderdate) = 1995)
+        |ORDER BY c_custkey""") { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(year(col("o_orderdate")) === 1995)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    },
+
+    // Left-outer join + null-tolerant aggregation.
+    Qd("q07_left_outer_agg",
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |  round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""") { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(c("c_custkey"))
+        .agg(count(o("o_orderkey")).as("n_orders"),
+          round(coalesce(sum(o("o_totalprice")), lit(0.0)), 2).as("total_spent"))
+        .orderBy("c_custkey")
+    },
+
+    // Full-outer join of two aggregates.
+    Qd("q08_full_outer",
+      """SELECT coalesce(s_nationkey, c_nationkey) AS nationkey,
+        |  coalesce(n_suppliers, 0) AS n_suppliers,
+        |  coalesce(n_customers, 0) AS n_customers
+        |FROM (SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_suppliers
+        |      FROM supplier GROUP BY s_nationkey) a
+        |FULL JOIN (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers
+        |           FROM customer GROUP BY c_nationkey) b
+        |  ON s_nationkey = c_nationkey
+        |ORDER BY nationkey""") { (s, dir) =>
+      val sup = t(s, dir, "supplier").groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_suppliers"))
+      val cus = t(s, dir, "customer").groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_customers"))
+      sup.join(cus, sup("s_nationkey") === cus("c_nationkey"), "full_outer")
+        .select(coalesce(col("s_nationkey"), col("c_nationkey")).as("nationkey"),
+          coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"),
+          coalesce(col("n_customers"), lit(0L)).as("n_customers"))
+        .orderBy("nationkey")
+    },
+
+    // UNION DISTINCT (UnionOperator + distinct).
+    Qd("q09_union_distinct",
+      """SELECT c_nationkey AS nk FROM customer
+        |UNION SELECT s_nationkey AS nk FROM supplier
+        |ORDER BY nk""") { (s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+        .union(t(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+        .distinct().orderBy("nk")
+    },
+
+    // UNION ALL feeding an aggregate.
+    Qd("q10_union_all_agg",
+      """SELECT nk, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  UNION ALL SELECT s_nationkey AS nk FROM supplier)
+        |GROUP BY nk ORDER BY nk""") { (s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+        .union(t(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+        .groupBy("nk").agg(count(lit(1)).as("cnt")).orderBy("nk")
+    },
+
+    // Top-k: ORDER BY + LIMIT → TakeOrderedAndProject (TopNHash analog).
+    Qd("q11_topk",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""") { (s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    },
+
+    // DISTRIBUTE BY + SORT BY (CLUSTER BY) — ReduceSink with explicit
+    // partitioning; final global order only for the deterministic compare.
+    Qd("q12_cluster_by",
+      """SELECT l_returnflag, l_orderkey, l_linenumber FROM lineitem
+        |ORDER BY l_returnflag, l_orderkey, l_linenumber""") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .repartition(col("l_returnflag"))
+        .sortWithinPartitions("l_returnflag", "l_orderkey", "l_linenumber")
+        .select("l_returnflag", "l_orderkey", "l_linenumber")
+        .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+    },
+
+    // TABLESAMPLE(BUCKET 1 OUT OF 4 ON o_orderkey) — deterministic bucket
+    // predicate (SamplePruner analog).
+    Qd("q13_bucket_sample",
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE o_orderkey % 4 = 0 ORDER BY o_orderkey""") { (s, dir) =>
+      t(s, dir, "orders")
+        .filter(pmod(col("o_orderkey"), lit(4)) === 0)
+        .select("o_orderkey", "o_orderstatus").orderBy("o_orderkey")
+    },
+
+    // IN-subquery (semi-join rewrite) feeding an aggregate.
+    Qd("q14_subquery_in",
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""") { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val bld = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      o.join(bld, o("o_custkey") === bld("c_custkey"), "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy("o_orderstatus")
+    },
+
+    // Scalar subquery — via the SQL surface (Engine.sql = Hive Driver.run analog).
+    Qd("q15_scalar_subquery",
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+        |FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, dir) =>
+      Engine.sql(s, dir,
+        """SELECT o_orderpriority, count(*) AS n
+          |FROM orders
+          |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    },
+
+    // CTE (WITH) + HAVING, via the SQL surface.
+    Qd("q16_cte_having",
+      """WITH big AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n FROM orders
+        |  GROUP BY o_custkey HAVING count(*) >= 12)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(n) AS BIGINT) AS n_orders
+        |FROM big JOIN customer ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""") { (s, dir) =>
+      Engine.sql(s, dir,
+        """WITH big AS (
+          |  SELECT o_custkey, count(*) AS n FROM orders
+          |  GROUP BY o_custkey HAVING count(*) >= 12)
+          |SELECT c_mktsegment, count(*) AS n_customers, sum(n) AS n_orders
+          |FROM big JOIN customer ON c_custkey = o_custkey
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    },
+
+    // Cross join (CrossProductCheck analog — explicit, tiny inputs only).
+    Qd("q17_cross_join",
+      """SELECT a.r_name AS r1, b.r_name AS r2
+        |FROM region a CROSS JOIN region b
+        |WHERE a.r_name < b.r_name ORDER BY r1, r2""") { (s, dir) =>
+      val a = t(s, dir, "region").select(col("r_name").as("r1"))
+      val b = t(s, dir, "region").select(col("r_name").as("r2"))
+      a.crossJoin(b).filter(col("r1") < col("r2")).orderBy("r1", "r2")
+    }
+  )
+}
