@@ -44,6 +44,140 @@ object Aggregates {
           round(avg(col("l_discount")), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // Statistical UDAFs (FunctionRegistry.java:376-406: std/stddev_samp/
+    // variance/var_samp/covar_pop/covar_samp/corr). Rounded: both engines use
+    // numerically-stable one-pass updates that differ in low-order bits.
+    Qd("q18_agg_stats",
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_extendedprice), 3) AS sd_price,
+        |  round(stddev_pop(l_extendedprice), 3) AS sdp_price,
+        |  round(var_samp(l_quantity), 3) AS var_qty,
+        |  round(var_pop(l_quantity), 3) AS varp_qty,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qp,
+        |  round(covar_pop(l_quantity, l_extendedprice), 2) AS covp_qp,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_extendedprice")), 3).as("sd_price"),
+          round(stddev_pop(col("l_extendedprice")), 3).as("sdp_price"),
+          round(var_samp(col("l_quantity")), 3).as("var_qty"),
+          round(var_pop(col("l_quantity")), 3).as("varp_qty"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cov_qp"),
+          round(covar_pop(col("l_quantity"), col("l_extendedprice")), 2).as("covp_qp"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"))
+        .orderBy("l_returnflag")
+    },
+
+    // Exact COUNT(DISTINCT) — Hive expands via HiveExpandDistinctAggregatesRule
+    // (CalcitePlanner.java:1140); Catalyst's Expand does the same.
+    Qd("q19_count_distinct",
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd_part,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS nd_supp,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("nd_part"),
+          countDistinct(col("l_suppkey")).as("nd_supp"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    // collect_set / collect_list (FunctionRegistry.java:399-400) — sorted for
+    // determinism (Hive makes no order guarantee either).
+    Qd("q20_collect",
+      """SELECT n_regionkey,
+        |  list(DISTINCT n_name ORDER BY n_name) AS nations
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""") { (s, dir) =>
+      t(s, dir, "nation").groupBy(col("n_regionkey"))
+        .agg(sort_array(collect_set(col("n_name"))).as("nations"))
+        .orderBy("n_regionkey")
+    },
+
+    // Exact percentile with linear interpolation (GenericUDAFPercentile).
+    Qd("q21_percentile",
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
+        .orderBy("l_returnflag")
+    },
+
+    // histogram_numeric (GenericUDAFHistogramNumeric — Spark's implementation
+    // follows the same NumericHistogram algorithm) + approximate aggregates
+    // (Spark bonus over Hive 2.1). Engine-specific results → rows-only check.
+    Qd.rowsOnly("q22_histogram_approx") { (s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(expr("histogram_numeric(l_quantity, 5)").as("hist_qty"),
+          approx_count_distinct(col("l_partkey")).as("approx_nd_part"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p50"))
+        .orderBy("l_returnflag")
+    },
+
+    // GROUPING SETS + grouping_id (plan/GroupByDesc.java:65,89-94) via the
+    // SQL surface. Group keys coalesced to a sentinel so null ordering
+    // differences between engines can't bite.
+    Qd("q23_grouping_sets",
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |  coalesce(l_linestatus, 'ALL') AS lstatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY gid, rflag, lstatus""") { (s, dir) =>
+      graft.Engine.sql(s, dir,
+        """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+          |  coalesce(l_linestatus, 'ALL') AS lstatus,
+          |  CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+          |  round(sum(l_quantity), 2) AS sum_qty,
+          |  count(*) AS n
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+          |ORDER BY gid, rflag, lstatus""".stripMargin)
+    },
+
+    // CUBE via the DataFrame API (Hive: WITH CUBE row replication).
+    Qd("q24_cube",
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |  coalesce(l_linestatus, 'ALL') AS lstatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, rflag, lstatus""") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("bigint").as("gid"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("gid"), col("sum_price"))
+        .orderBy("gid", "rflag", "lstatus")
+    },
+
+    // ROLLUP via the DataFrame API.
+    Qd("q25_rollup",
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  round(sum(o_totalprice), 2) AS total, CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, status, priority""") { (s, dir) =>
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().cast("bigint").as("gid"),
+          round(sum(col("o_totalprice")), 2).as("total"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("gid"), col("total"), col("n"))
+        .orderBy("gid", "status", "priority")
     }
   )
 }

@@ -1,0 +1,121 @@
+package graft.queries
+
+import graft.Engine
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window function / PTF surface — SURVEY.md §2.5.
+  *
+  * Hive anchors: spec `parse/WindowingSpec.java:214-257` (ROWS/RANGE frames),
+  * execution `udf/ptf/WindowingTableFunction.java:69`, functions
+  * `exec/FunctionRegistry.java:456-468` (row_number, rank, dense_rank,
+  * percent_rank, cume_dist, ntile, first_value, last_value, lead, lag).
+  *
+  * Scale: window partitions here are bounded (per-customer, per-priority);
+  * Spark's WindowExec spills per-partition buffers, matching Hive's
+  * PTFRowContainer spill behavior for free.
+  */
+object Windows {
+
+  private def t(s: SparkSession, dir: String, n: String) = Engine.table(s, dir, n)
+
+  val all: Seq[Qd] = Seq(
+
+    // Ranking family over a deterministic order (tie-broken by key).
+    Qd("q26_window_rank",
+      """SELECT c_custkey, c_mktsegment,
+        |  row_number() OVER w AS rn,
+        |  rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd,
+        |  ntile(4) OVER w AS nt
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_mktsegment, rn""") { (s, dir) =>
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(desc("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"),
+          ntile(4).over(w).as("nt"))
+        .orderBy("c_mktsegment", "rn")
+    },
+
+    // ROWS frames: running sum, moving average, lead/lag, first_value.
+    Qd("q27_window_rows_frames",
+      """SELECT o_orderkey, o_custkey,
+        |  row_number() OVER w AS rn,
+        |  round(sum(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total,
+        |  round(avg(o_totalprice) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg3,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_orderstatus, 1) OVER w AS next_status,
+        |  first_value(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, rn""") { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val m3 = w.rowsBetween(-2, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          row_number().over(w).as("rn"),
+          round(sum(col("o_totalprice")).over(cum), 2).as("run_total"),
+          round(avg(col("o_totalprice")).over(m3), 4).as("mavg3"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_orderstatus"), 1).over(w).as("next_status"),
+          first_value(col("o_totalprice")).over(cum).as("first_price"))
+        .orderBy("o_custkey", "rn")
+    },
+
+    // RANGE frame with a numeric value boundary (WindowingSpec.java:214-257
+    // value-boundary case): peers by price band, not row count.
+    Qd("q28_window_range_frame",
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_in_band,
+        |  round(sum(o_totalprice) OVER w, 2) AS sum_in_band
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
+        |             RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""") { (s, dir) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"))
+        .rangeBetween(-1000, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          count(lit(1)).over(w).as("n_in_band"),
+          round(sum(col("o_totalprice")).over(w), 2).as("sum_in_band"))
+        .orderBy("o_orderkey")
+    },
+
+    // Gap-based sessionization over the events table (the batch analog of
+    // the streaming ingest demo, SURVEY.md §2.11): lag + conditional sum.
+    Qd("q29_sessionize_gap",
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(1 + sum(CASE WHEN pts IS NOT NULL
+        |                    AND date_diff('second', pts, ts) > 1800
+        |               THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+        |FROM g GROUP BY user_id ORDER BY user_id""") { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("pts", lag(col("ts"), 1).over(w))
+        .withColumn("new_s",
+          when(col("pts").isNotNull &&
+            (unix_timestamp(col("ts")) - unix_timestamp(col("pts"))) > 1800, 1)
+            .otherwise(0))
+        .groupBy("user_id")
+        .agg((lit(1) + sum(col("new_s"))).cast("bigint").as("n_sessions"))
+        .orderBy("user_id")
+    }
+  )
+}
