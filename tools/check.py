@@ -15,13 +15,19 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
+def _norm_val(v):
+    if isinstance(v, dict):
+        return tuple((k, _norm_val(x)) for k, x in sorted(v.items()))
+    if isinstance(v, (list, tuple)) or type(v).__name__ == 'ndarray':
+        return tuple(_norm_val(x) for x in v)
+    return v
+
+
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if df[c].dtype == object:
-            df[c] = df[c].apply(
-                lambda v: tuple(v) if isinstance(v, (list, tuple)) or
-                type(v).__name__ == 'ndarray' else v)
+            df[c] = df[c].apply(_norm_val)
     return df.reset_index(drop=True)
 
 
