@@ -83,5 +83,7 @@ object HiveFunctionPack {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("field", exprs => FieldIndex(exprs), "hive")
     reg.createOrReplaceTempFunction("hive_hash", exprs => HiveHash(exprs), "hive")
+    reg.createOrReplaceTempFunction("dot_f32",
+      exprs => DotF32(exprs(0), exprs(1)), "hive")
   }
 }

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import TextFeatures._
+
+/** Deduplication operators for the training-data pipeline (SURVEY.md §7 step
+  * 9). Four families: exact (content hash), MinHash+LSH (set similarity),
+  * SimHash (bitwise similarity), and exact n-gram Jaccard within a blocking
+  * key.
+  *
+  * Shape at scale:
+  *  - exact dedup is one hash-shuffle groupBy — the canonical map-side-
+  *    combine aggregation, no skew (md5 keys are uniform);
+  *  - per-doc signatures (shingles / minhash bands / simhash) are computed in
+  *    ONE compiled `mapPartitions` pass per corpus scan ([[TextFeatures]]) —
+  *    a narrow stage, no shuffle, no driver involvement;
+  *  - MinHash LSH materializes (doc, band, bucket) tuples (nBands rows/doc)
+  *    and self-joins on the bucket key — the join shuffles on uniformly
+  *    distributed 64-bit bucket keys, so it scales linearly and never
+  *    broadcasts the corpus; exact verification touches only candidate pairs;
+  *  - SimHash blocked variant turns all-pairs into an equi-join on 15-bit
+  *    sub-signatures (pigeonhole exact for hamming ≤ 3).
+  */
+object Dedup {
+
+  /** Exact duplicate groups: one row per distinct content hash with the
+    * canonical (min) doc id and the group size. */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("content_hash"))
+      .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_dups"))
+
+  /** doc_id + materialized distinct-shingle set column `g` (one compiled map
+    * pass; hard optimizer boundary — see [[TextFeatures]]). */
+  private[operators] def shingleSets(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, shingles3(words(t))) })
+      .toDF("doc_id", "g")
+  }
+
+  /** Candidate near-dup pairs from MinHash LSH banding, verified with exact
+    * shingle Jaccard; returns pairs with jaccard >= `threshold`.
+    * With r rows/band and b bands, a pair of true similarity s is missed
+    * with probability (1-s^r)^b — r=4, b=32, s=0.8 → ~5e-8, so the output
+    * equals the full O(n^2) pairwise result the oracle computes. */
+  def minhashNearDupPairs(docs: DataFrame, nPerm: Int = 128, nBands: Int = 32,
+      threshold: Double = 0.8): DataFrame = {
+    val r = nPerm / nBands
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sets = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val g = shingles3(words(t))
+        (id, g, bandHashes(minhashSig(g, nPerm), nBands, r))
+      })
+      .toDF("doc_id", "g", "bands")
+    val buckets = sets.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band", "bh")))
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    val gs = sets.select(col("doc_id"), col("g"))
+    val verified = cand
+      .join(gs.select(col("doc_id").as("d1"), col("g").as("g1")), "d1")
+      .join(gs.select(col("doc_id").as("d2"), col("g").as("g2")), "d2")
+      .withColumn("inter", size(array_intersect(col("g1"), col("g2"))))
+      .withColumn("jac", col("inter").cast("double") /
+        (size(col("g1")) + size(col("g2")) - col("inter")).cast("double"))
+      .filter(col("jac") >= threshold)
+    verified.select(col("d1"), col("d2"), round(col("jac"), 6).as("jac"))
+  }
+
+  /** Exact n-gram Jaccard between all doc pairs sharing a blocking key
+    * (pairwise only within blocks — the 100 TB-safe shape; blocks shuffle
+    * independently). */
+  def ngramJaccardPairs(docs: DataFrame, blockCol: String,
+      minJaccard: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sets = docs.select(col("doc_id"), col(blockCol).cast("string"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, blk, t) => (id, blk, shingles3(words(t))) })
+      .toDF("doc_id", "blk", "g")
+    sets.as("a").join(sets.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        size(array_intersect(col("a.g"), col("b.g"))).as("inter"),
+        size(col("a.g")).as("n1"), size(col("b.g")).as("n2"))
+      .withColumn("jac", col("inter").cast("double") /
+        (col("n1") + col("n2") - col("inter")).cast("double"))
+      .filter(col("jac") >= minJaccard)
+      .select(col("d1"), col("d2"), round(col("jac"), 6).as("jac"))
+  }
+
+  /** doc_id + 60-bit simhash signature (one compiled map pass). */
+  private[operators] def simhashSigs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, simhash60(words(t))) })
+      .toDF("doc_id", "sig")
+  }
+
+  /** SimHash near-dup pairs: signatures differing in ≤ maxHamming of 60
+    * bits. All-pairs variant (oracle-checkable at test scale). */
+  def simhashPairsAll(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val sigs = simhashSigs(docs)
+    sigs.as("a").join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("int").as("ham"))
+      .filter(col("ham") <= maxHamming)
+  }
+
+  /** Scale path: block SimHash comparison on 4 disjoint 15-bit
+    * sub-signatures — by pigeonhole, any pair within hamming ≤ 3 agrees on
+    * at least one block, so candidates come from an equi-join on block
+    * values instead of all pairs. */
+  def simhashPairsBlocked(docs: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, "4 blocks guarantee recall only for hamming <= 3")
+    val sigs = simhashSigs(docs)
+    val blocks = sigs.select(col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(3)), i =>
+        call_function("shiftright", col("sig"), i * 15) % 32768)).as(Seq("blk", "bv")))
+    blocks.as("a").join(blocks.as("b"),
+        col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("int").as("ham"))
+      .filter(col("ham") <= maxHamming)
+      .distinct()
+  }
+}

@@ -1,0 +1,60 @@
+package graft.queries
+
+import graft.Engine
+import graft.operators.{MatchPath, Multimodal}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** matchpath PTF + multimodal pipeline queries (SURVEY.md §2.5 table
+  * functions and §7 custom work).
+  */
+object Advanced {
+
+  private def t(s: SparkSession, dir: String, n: String) = Engine.table(s, dir, n)
+
+  private val symbols: String => Char = {
+    case "error" => 'e'
+    case "purchase" => 'p'
+    case "signup" => 's'
+    case _ => 'x'
+  }
+
+  val all: Seq[Qd] = Seq(
+
+    // matchpath with a 2-symbol adjacency pattern — SQL-expressible, so the
+    // oracle checks the PTF result exactly (lead() formulation).
+    Qd("q72_matchpath_adjacent",
+      """WITH o AS (
+        |  SELECT user_id, event_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt,
+        |    lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nid
+        |  FROM events)
+        |SELECT user_id, event_id AS start_event, nid AS end_event
+        |FROM o WHERE event_type = 'error' AND nxt = 'purchase'
+        |ORDER BY user_id, start_event""") { (s, dir) =>
+      MatchPath.matchPath(s, t(s, dir, "events"), symbols, "ep")
+        .select(col("user_id"), col("start_event"), col("end_event"))
+        .orderBy("user_id", "start_event")
+    },
+
+    // Greedy star pattern (signup → anything* → purchase) — regex semantics
+    // (leftmost, non-overlapping, greedy) exceed SQL; rows-only + spec.
+    Qd.rowsOnly("q73_matchpath_funnel") { (s, dir) =>
+      MatchPath.matchPath(s, t(s, dir, "events"), symbols, "s[xe]*p")
+        .select(col("user_id"), col("start_event"), col("end_event"),
+          col("n_steps"), round(col("sum_value"), 4).as("sum_value"))
+        .orderBy("user_id", "start_event")
+    },
+
+    // Multimodal: binary payload + metadata struct + partition-parallel
+    // featurize (decode stubbed — see Multimodal.decodeStub).
+    Qd.rowsOnly("q74_multimodal_features") { (s, dir) =>
+      val media = Multimodal.mediaTable(t(s, dir, "documents"))
+      Multimodal.extractFeatures(s, media)
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          round(element_at(col("feature"), 7).cast("double"), 6).as("bin6"),
+          length(col("frame_sample")).as("sample_len"))
+        .orderBy("media_id")
+    }
+  )
+}

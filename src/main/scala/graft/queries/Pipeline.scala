@@ -1,0 +1,218 @@
+package graft.queries
+
+import graft.Engine
+import graft.operators.{AnnSearch, Dedup, TextAnalysis}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline pack (SURVEY.md §7 step 9): deduplication
+  * (exact / MinHash+LSH / SimHash / n-gram Jaccard / embedding-cosine),
+  * similarity search (brute-force + IVF), and text analysis (language ID,
+  * quality, tokens, fingerprints) over the `documents` and `embeddings`
+  * tables.
+  *
+  * Oracle strategy: every hash the oracle must reproduce uses the md5-prefix
+  * `h60` (cross-engine bit-exact); float comparisons are either quantized to
+  * int64 before arithmetic (cosine) or pure rational-in-counts (Jaccard,
+  * ratios), so both engines produce identical doubles. MinHash signatures are
+  * Spark-internal only — the oracle checks the *verified* near-dup pairs,
+  * which equal the exhaustive-pairwise answer because the banding miss
+  * probability at the threshold is ~5e-8.
+  */
+object Pipeline {
+
+  private def docs(s: SparkSession, dir: String) = Engine.table(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String) =
+    Engine.table(s, dir, "embeddings").select(col("vec_id").as("id"),
+      col("embedding"), col("label"))
+
+  // DuckDB word-3-gram shingle CTE shared by the Jaccard oracles.
+  private val shCte =
+    """WITH sh AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN len(string_split(text,' ')) >= 3
+      |      THEN list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+      |        i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))
+      |      ELSE [] END AS g
+      |  FROM documents)""".stripMargin
+
+  // DuckDB int64-quantized embedding CTE shared by the cosine oracles.
+  private def qCte(name: String, pred: String) =
+    s"""$name AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS qe
+       |  FROM embeddings $pred)""".stripMargin
+
+  val all: Seq[Qd] = Seq(
+
+    Qd("q40_dedup_exact",
+      """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
+        |  count(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY content_hash""") { (s, dir) =>
+      Dedup.exactGroups(docs(s, dir)).orderBy("content_hash")
+    },
+
+    Qd("q41_dedup_minhash_lsh",
+      s"""$shCte,
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |    len(list_intersect(a.g, b.g)) AS i, len(a.g) AS n1, len(b.g) AS n2
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT d1, d2, ROUND(CAST(i AS DOUBLE)/(n1+n2-i), 6) AS jac
+        |FROM pairs WHERE CAST(i AS DOUBLE)/(n1+n2-i) >= 0.8
+        |ORDER BY d1, d2""") { (s, dir) =>
+      Dedup.minhashNearDupPairs(docs(s, dir), 128, 32, 0.8).orderBy("d1", "d2")
+    },
+
+    Qd("q42_dedup_simhash",
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_transform(string_split(text,' '),
+        |      t -> CAST(('0x' || substr(md5(t),1,15)) AS BIGINT)) AS hs
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, CAST(list_sum(list_transform(range(0,60), b ->
+        |    CASE WHEN 2*len(list_filter(hs, h -> ((h >> b) & 1) = 1)) > len(hs)
+        |         THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
+        |  FROM w)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS ham
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 4
+        |ORDER BY d1, d2""") { (s, dir) =>
+      Dedup.simhashPairsAll(docs(s, dir), 4)
+        .select(col("d1"), col("d2"), col("ham").cast("bigint").as("ham"))
+        .orderBy("d1", "d2")
+    },
+
+    Qd("q43_ngram_jaccard",
+      s"""$shCte,
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |    len(list_intersect(a.g, b.g)) AS i, len(a.g) AS n1, len(b.g) AS n2
+        |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |SELECT d1, d2, ROUND(CAST(i AS DOUBLE)/(n1+n2-i), 6) AS jac
+        |FROM pairs WHERE CAST(i AS DOUBLE)/(n1+n2-i) >= 0.02
+        |ORDER BY d1, d2""") { (s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), "source", 0.02).orderBy("d1", "d2")
+    },
+
+    Qd("q44_ann_cosine_brute",
+      s"""WITH ${qCte("q", "WHERE vec_id < 50")},
+        |${qCte("c", "")},
+        |qn AS (SELECT vec_id AS qid, qe,
+        |  CAST(list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]*qe[i])) AS BIGINT) AS n2 FROM q),
+        |cn AS (SELECT vec_id AS cid, qe AS ce,
+        |  CAST(list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]*qe[i])) AS BIGINT) AS n2 FROM c),
+        |sc AS (
+        |  SELECT qid, cid,
+        |    CAST(CAST(list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]*ce[i])) AS BIGINT) AS DOUBLE)
+        |      / sqrt(CAST(qn.n2 AS DOUBLE) * CAST(cn.n2 AS DOUBLE)) AS cos
+        |  FROM qn, cn WHERE qid <> cid),
+        |rk AS (SELECT qid, cid, cos,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM sc)
+        |SELECT qid, cid, rk, ROUND(cos, 6) AS cos
+        |FROM rk WHERE rk <= 10 ORDER BY qid, rk""") { (s, dir) =>
+      val e = emb(s, dir)
+      AnnSearch.bruteTopK(e.filter(col("id") < 50), e, 10)
+        .select(col("qid"), col("cid"), col("rk").cast("bigint").as("rk"), col("cos"))
+        .orderBy("qid", "rk")
+    },
+
+    // IVF is the 100 TB path (partition-pruned probes); plan-level operator —
+    // recall vs brute force is asserted in AnnSearchSpec.
+    Qd.rowsOnly("q45_ann_ivf") { (s, dir) =>
+      val e = emb(s, dir)
+      AnnSearch.ivfTopK(e.filter(col("id") < 50), e, 10, 40, 2)
+        .orderBy("qid", "rk")
+    },
+
+    Qd("q46_langid",
+      """SELECT doc_id,
+        |  CASE WHEN CAST(length(regexp_replace(text, '[ -~]', '', 'g')) AS DOUBLE)
+        |            / length(text) > 0.3 THEN 'zh'
+        |       WHEN en >= fr AND en >= es AND en >= de THEN 'en'
+        |       WHEN fr >= es AND fr >= de THEN 'fr'
+        |       WHEN es >= de THEN 'es' ELSE 'de' END AS pred_lang,
+        |  lang AS true_lang
+        |FROM (SELECT doc_id, text, lang,
+        |    len(list_filter(string_split(text,' '), x -> list_contains(['the','a','of','and','to'], x))) AS en,
+        |    len(list_filter(string_split(text,' '), x -> list_contains(['le','la','et','de','un'], x))) AS fr,
+        |    len(list_filter(string_split(text,' '), x -> list_contains(['el','los','de','y','un'], x))) AS es,
+        |    len(list_filter(string_split(text,' '), x -> list_contains(['der','die','das','und','ein'], x))) AS de
+        |  FROM documents)
+        |ORDER BY doc_id""") { (s, dir) =>
+      TextAnalysis.langId(docs(s, dir)).orderBy("doc_id")
+    },
+
+    Qd("q47_quality_score",
+      """SELECT doc_id,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+        |  ROUND((CAST(length(text) AS DOUBLE) - (len(string_split(text,' ')) - 1))
+        |        / len(string_split(text,' ')), 6) AS avg_wlen,
+        |  ROUND(CAST(len(list_filter(string_split(text,' '),
+        |      x -> list_contains(['the','a','of','and','to'], x))) AS DOUBLE)
+        |        / len(string_split(text,' ')), 6) AS stop_ratio,
+        |  ROUND(CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+        |        / length(text), 6) AS punct_ratio,
+        |  ROUND(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+        |        / len(string_split(text,' ')), 6) AS ttr,
+        |  ROUND(CAST(len(list_filter(string_split(text,' '),
+        |          x -> list_contains(['the','a','of','and','to'], x))) AS DOUBLE)
+        |          / len(string_split(text,' ')) * 0.3
+        |      + CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+        |          / len(string_split(text,' ')) * 0.5
+        |      - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+        |          / length(text) * 0.2, 6) AS quality
+        |FROM documents ORDER BY doc_id""") { (s, dir) =>
+      TextAnalysis.qualityFeatures(docs(s, dir)).orderBy("doc_id")
+    },
+
+    Qd("q48_token_count",
+      """SELECT doc_id,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct_words
+        |FROM documents ORDER BY doc_id""") { (s, dir) =>
+      TextAnalysis.tokenCounts(docs(s, dir)).orderBy("doc_id")
+    },
+
+    Qd("q49_fingerprint_winnow",
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(text) >= 5
+        |      THEN list_transform(range(1, length(text)-3),
+        |        i -> CAST(('0x' || substr(md5(substr(text,i,5)),1,15)) AS BIGINT))
+        |      ELSE [] END AS grams
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(grams) >= 4
+        |      THEN list_distinct(list_transform(range(1, len(grams)-2),
+        |        j -> list_min(grams[j:j+3])))
+        |      ELSE list_distinct(grams) END AS fp
+        |  FROM g)
+        |SELECT doc_id, CAST(len(fp) AS BIGINT) AS n_fp,
+        |  list_min(fp) AS fp_min, list_max(fp) AS fp_max
+        |FROM f ORDER BY doc_id""") { (s, dir) =>
+      TextAnalysis.fingerprints(docs(s, dir))
+        .select(col("doc_id"), col("n_fp").cast("bigint").as("n_fp"),
+          col("fp_min"), col("fp_max"))
+        .orderBy("doc_id")
+    },
+
+    Qd("q50_embedding_neardup",
+      s"""WITH ${qCte("v", "")},
+        |n AS (SELECT vec_id, label, qe,
+        |  CAST(list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]*qe[i])) AS BIGINT) AS n2 FROM v),
+        |p AS (
+        |  SELECT a.vec_id AS d1, b.vec_id AS d2,
+        |    CAST(CAST(list_sum(list_transform(range(1, len(a.qe)+1), i -> a.qe[i]*b.qe[i])) AS BIGINT) AS DOUBLE)
+        |      / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) AS cos
+        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT d1, d2, ROUND(cos, 6) AS cos
+        |FROM p WHERE cos >= 0.4 ORDER BY d1, d2""") { (s, dir) =>
+      AnnSearch.cosineNearDupPairs(emb(s, dir), "label", 0.4).orderBy("d1", "d2")
+    }
+  )
+}

@@ -1,0 +1,146 @@
+package graft.queries
+
+import graft.Engine
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source/sink surface — SURVEY.md §2.2: delimited text (LazySimpleSerDe),
+  * CSV (OpenCSVSerde), JSON (JsonSerDe), ORC, Parquet, Regex (RegexSerDe),
+  * plus FileSinkOperator semantics: dynamic-partitioned writes and
+  * bucketed+sorted tables (`CLUSTERED BY ... SORTED BY ... INTO N BUCKETS`,
+  * HiveParser.g:1825).
+  *
+  * Each query WRITES a derived copy under target/srcdata/<sf>/ in the tested
+  * format, reads it back, and aggregates; the oracle computes the same
+  * aggregate from the original parquet — so a round-trip bug (quoting,
+  * delimiter, schema, partition values) breaks the hash match.
+  */
+object Sources {
+
+  private def t(s: SparkSession, dir: String, n: String) = Engine.table(s, dir, n)
+
+  private def base(dir: String): String = {
+    val sf = new java.io.File(dir).getName
+    s"/root/repo/target/srcdata/$sf"
+  }
+
+  val all: Seq[Qd] = Seq(
+
+    // Delimited text round-trip (LazySimpleSerDe.java:76) — '|' delimiter,
+    // explicit schema on read (schema-on-read analog).
+    Qd("q60_src_csv_delimited",
+      """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sq,
+        |  ROUND(sum(l_extendedprice), 4) AS sep
+        |FROM lineitem WHERE l_orderkey % 97 = 0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
+      val p = s"${base(dir)}/csv_lineitem"
+      t(s, dir, "lineitem").filter(col("l_orderkey") % 97 === 0)
+        .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+        .write.mode(SaveMode.Overwrite).option("sep", "|").option("header", "true")
+        .csv(p)
+      s.read.option("sep", "|").option("header", "true")
+        .schema(StructType(Seq(
+          StructField("l_orderkey", LongType), StructField("l_returnflag", StringType),
+          StructField("l_quantity", DoubleType), StructField("l_extendedprice", DoubleType))))
+        .csv(p)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sq"),
+          round(sum("l_extendedprice"), 4).as("sep"))
+        .orderBy("l_returnflag")
+    },
+
+    // JSON round-trip (JsonSerDe / spark.read.json).
+    Qd("q61_src_json",
+      """SELECT o_orderstatus, count(*) AS n, ROUND(sum(o_totalprice), 4) AS tp
+        |FROM orders WHERE o_orderkey % 101 = 0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""") { (s, dir) =>
+      val p = s"${base(dir)}/json_orders"
+      t(s, dir, "orders").filter(col("o_orderkey") % 101 === 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.mode(SaveMode.Overwrite).json(p)
+      s.read.schema(StructType(Seq(
+          StructField("o_orderkey", LongType), StructField("o_orderstatus", StringType),
+          StructField("o_totalprice", DoubleType))))
+        .json(p)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("tp"))
+        .orderBy("o_orderstatus")
+    },
+
+    // ORC round-trip (OrcInputFormat.java:145) — Spark-native ORC reader with
+    // predicate pushdown on the read-back.
+    Qd("q62_src_orc",
+      """SELECT p_brand, count(*) AS n, ROUND(avg(p_retailprice), 4) AS rp
+        |FROM part WHERE p_size <= 20
+        |GROUP BY p_brand ORDER BY p_brand""") { (s, dir) =>
+      val p = s"${base(dir)}/orc_part"
+      t(s, dir, "part").write.mode(SaveMode.Overwrite).orc(p)
+      s.read.orc(p).filter(col("p_size") <= 20)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), round(avg("p_retailprice"), 4).as("rp"))
+        .orderBy("p_brand")
+    },
+
+    // Regex-over-text read (RegexSerDe): write "key|name|nationkey" lines,
+    // parse with regexp_extract.
+    Qd("q63_src_text_regex",
+      """SELECT s_nationkey, count(*) AS n, sum(s_suppkey) AS sk
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""") { (s, dir) =>
+      val p = s"${base(dir)}/text_supplier"
+      t(s, dir, "supplier")
+        .select(concat_ws("|", col("s_suppkey"), col("s_name"), col("s_nationkey"))
+          .as("value"))
+        .write.mode(SaveMode.Overwrite).text(p)
+      val pat = "^([0-9]+)\\|(.*)\\|([0-9]+)$"
+      s.read.text(p)
+        .select(
+          regexp_extract(col("value"), pat, 1).cast("bigint").as("s_suppkey"),
+          regexp_extract(col("value"), pat, 3).cast("bigint").as("s_nationkey"))
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"), sum("s_suppkey").as("sk"))
+        .orderBy("s_nationkey")
+    },
+
+    // Dynamic-partitioned sink (FileSinkOperator.java:92 dynamic partitioning)
+    // then a partition-pruned read-back of one partition.
+    Qd("q64_sink_dynamic_partition",
+      """SELECT o_orderpriority, count(*) AS n, ROUND(sum(o_totalprice), 4) AS tp
+        |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, dir) =>
+      val p = s"${base(dir)}/part_orders"
+      t(s, dir, "orders")
+        .write.mode(SaveMode.Overwrite).partitionBy("o_orderpriority").parquet(p)
+      s.read.parquet(p)
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("tp"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Bucketed + sorted table sink (CLUSTERED BY / SORTED BY INTO N BUCKETS)
+    // and an SMB-style join between the two co-bucketed tables — with
+    // matching bucketing Spark elides both shuffles (SMBMapJoinOperator
+    // analog; plan asserted in SourcesSpec).
+    Qd("q65_sink_bucketed_join",
+      """SELECT c.c_mktsegment, count(*) AS n, ROUND(sum(o.o_totalprice), 4) AS tp
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""") { (s, dir) =>
+      val sf = new java.io.File(dir).getName.replace(".", "_")
+      val wh = s"${base(dir)}/warehouse"
+      val ot = s"graft_ord_b_$sf"; val ct = s"graft_cust_b_$sf"
+      t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$wh/$ot").format("parquet").saveAsTable(ot)
+      t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$wh/$ct").format("parquet").saveAsTable(ct)
+      s.table(ot).join(s.table(ct), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("tp"))
+        .orderBy("c_mktsegment")
+    }
+  )
+}

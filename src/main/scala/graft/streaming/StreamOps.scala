@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming analog of the reference's streaming-ingest surface
+  * (SURVEY.md §2.11 — `hcatalog/streaming/HiveEndPoint.java` provides
+  * micro-batched ingest that queries then see; Hive 2.1 has no stream query
+  * engine, so windowed/stateful stream queries here EXCEED the reference).
+  *
+  * The `events` parquet is replayed as a file-source stream; results land in
+  * a memory sink and come back as a DataFrame, so stream queries plug into
+  * the same oracle harness as batch ones. At production scale the same code
+  * reads a directory an ingest job appends to — the file source tracks
+  * processed files exactly-once, matching the reference's transactional-
+  * append ingest semantics.
+  */
+object StreamOps {
+
+  /** events schema for the streaming read (ts kept as raw int64 nanos —
+    * the file stream source cannot use the nanosAsLong session conf at
+    * analysis time, so the schema declares it explicitly). */
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Replay events.parquet as a stream. The file stream source tracks a
+    * *directory* of arriving files, so point it at the table dir and
+    * glob-filter to the events file — the same shape as production ingest
+    * appending files into a table directory. */
+  def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  /** Run a streaming DataFrame to completion (single Once trigger → one
+    * deterministic batch) into a memory sink and return the result table. */
+  def runToMemory(spark: SparkSession, sdf: DataFrame, name: String,
+      mode: OutputMode): DataFrame = {
+    val q = sdf.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.Once()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Tumbling-window aggregation with an event-time watermark. */
+  def hourlyTypeCounts(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventStream(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sv"))
+      .select(unix_timestamp(col("window.start")).as("hour_start"),
+        col("event_type"), col("n"), col("sv"))
+    runToMemory(spark, agg, "graft_stream_hourly", OutputMode.Complete())
+  }
+
+  // public: codegen'd (de)serializers cannot access private classes
+  case class UserAgg(n: Long, sv: Double, lastSec: Long)
+  case class EventRow(user_id: Long, tsSec: Long, value: Double)
+  case class UserRow(user_id: Long, n: Long, sv: Double, last_sec: Long)
+
+  /** Arbitrary stateful aggregation via mapGroupsWithState
+    * (KeyValueGroupedDataset) — running per-user totals kept in state. */
+  def userRunningTotals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = eventStream(spark, dir)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("tsSec"), col("value"))
+      .as[EventRow]
+    val out = src.groupByKey(_.user_id)
+      .mapGroupsWithState[UserAgg, UserRow](GroupStateTimeout.NoTimeout) {
+        (uid, rows, state: GroupState[UserAgg]) =>
+          val prev = state.getOption.getOrElse(UserAgg(0L, 0.0, 0L))
+          var n = prev.n; var sv = prev.sv; var last = prev.lastSec
+          rows.foreach { r =>
+            n += 1; sv += r.value; if (r.tsSec > last) last = r.tsSec
+          }
+          state.update(UserAgg(n, sv, last))
+          UserRow(uid, n, sv, last)
+      }
+      .select(col("user_id"), col("n"),
+        round(col("sv"), 4).as("sv"), col("last_sec"))
+    runToMemory(spark, out, "graft_stream_user", OutputMode.Update())
+  }
+}

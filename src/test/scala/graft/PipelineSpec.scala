@@ -1,0 +1,118 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Training-pipeline operator semantics: minhash/LSH, simhash, ANN recall,
+  * matchpath, multimodal. Runs on sf0.001. */
+class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = Engine.session(cores = 4, appName = "graft-test")
+  val dir = "/root/testdata/sf0.001"
+  import spark.implicits._
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def docs = Engine.table(spark, dir, "documents")
+  private def emb = Engine.table(spark, dir, "embeddings")
+    .select(col("vec_id").as("id"), col("embedding"), col("label"))
+
+  test("minhash signature: identical texts agree, disjoint texts do not") {
+    def sig(t: String) =
+      TextFeatures.minhashSig(TextFeatures.shingles3(TextFeatures.words(t)), 32).toSeq
+    assert(sig("a b c d e f g h") == sig("a b c d e f g h"))
+    assert(sig("a b c d e f g h") != sig("q r s t u v w x"))
+  }
+
+  test("h60 matches the DuckDB md5-prefix formula") {
+    // CAST(('0x' || substr(md5('hello'),1,15)) AS BIGINT)
+    // md5('hello') = 5d41402abc4b2a76b9719d911017c592 → 0x5d41402abc4b2a7
+    assert(TextFeatures.h60("hello") == 0x5d41402abc4b2a7L)
+  }
+
+  test("winnow degenerates to distinct grams below window size") {
+    assert(TextFeatures.winnow(Array(5L, 3L, 5L), 4).toSeq == Seq(5L, 3L))
+    assert(TextFeatures.winnow(Array(9L, 3L, 7L, 8L, 2L), 4).toSeq == Seq(3L, 2L))
+  }
+
+  test("minhash LSH equals the exhaustive all-pairs Jaccard result") {
+    val lsh = Dedup.minhashNearDupPairs(docs, 128, 32, 0.8)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val exhaustive = Dedup.ngramJaccardPairs(
+        docs.withColumn("all", lit(1)), "all", 0.8)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(exhaustive.nonEmpty)
+    assert(lsh == exhaustive)
+  }
+
+  test("simhash: near-dup pair within hamming 4; blocked variant agrees with all-pairs") {
+    val all = Dedup.simhashPairsAll(docs, 3)
+      .select("d1", "d2", "ham").as[(Long, Long, Int)].collect().toSet
+    val blocked = Dedup.simhashPairsBlocked(docs, 3)
+      .select("d1", "d2", "ham").as[(Long, Long, Int)].collect().toSet
+    assert(blocked == all)
+  }
+
+  test("IVF ANN recall@10 >= 0.5 vs brute force") {
+    val queries = emb.filter(col("id") < 30)
+    val brute = AnnSearch.bruteTopK(queries, emb, 10)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val ivf = AnnSearch.ivfTopK(queries, emb, 10, 40, 4)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall=$recall")
+  }
+
+  test("dot_f32 expression matches HOF-computed dot product") {
+    val hof = emb.select(col("id"),
+      aggregate(zip_with(col("embedding"), col("embedding"),
+        (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (a, v) => a + v).as("d"))
+    val nat = emb.select(col("id"),
+      AnnSearch.dotF32(col("embedding"), col("embedding")).as("d"))
+    val joined = hof.as("h").join(nat.as("n"), "id")
+      .select(abs(col("h.d") - col("n.d")).as("diff"))
+      .agg(max("diff")).head().getDouble(0)
+    assert(joined < 1e-9)
+  }
+
+  test("dot_f32 SQL registration") {
+    functions.HiveFunctionPack.register(spark)
+    val r = spark.sql(
+      "SELECT dot_f32(array(cast(1.0 as float), cast(2.0 as float)), " +
+        "array(cast(3.0 as float), cast(4.0 as float)))").head().getDouble(0)
+    assert(math.abs(r - 11.0) < 1e-12)
+  }
+
+  test("matchpath: greedy funnel matches are non-overlapping and ordered") {
+    val events = Seq(
+      (1L, 1L, "2024-01-01 00:00:00", "signup", 1.0),
+      (1L, 2L, "2024-01-01 00:01:00", "view", 2.0),
+      (1L, 3L, "2024-01-01 00:02:00", "purchase", 3.0),
+      (1L, 4L, "2024-01-01 00:03:00", "purchase", 4.0),
+      (2L, 5L, "2024-01-01 00:00:00", "view", 9.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val m = MatchPath.matchPath(spark, events,
+      { case "signup" => 's'; case "purchase" => 'p'; case _ => 'x' }, "sx*p")
+      .collect()
+    assert(m.length == 1)
+    assert(m.head.start_event == 1L && m.head.end_event == 3L &&
+      m.head.n_steps == 3L && math.abs(m.head.sum_value - 6.0) < 1e-12)
+  }
+
+  test("multimodal: feature vectors are 16-wide, L1-normalized; frame sample bounded") {
+    val media = Multimodal.mediaTable(docs.limit(50))
+    val feats = Multimodal.extractFeatures(spark, media)
+    val rows = feats.select(size(col("feature")).as("w"),
+      aggregate(col("feature"), lit(0.0d),
+        (a, v) => a + v.cast("double")).as("l1"),
+      length(col("frame_sample")).as("fs")).collect()
+    assert(rows.forall(_.getInt(0) == 16))
+    assert(rows.forall(r => math.abs(r.getDouble(1) - 1.0) < 1e-4))
+    assert(rows.forall(_.getInt(2) <= 8))
+  }
+}
