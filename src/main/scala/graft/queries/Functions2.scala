@@ -1,0 +1,124 @@
+package graft.queries
+
+import graft.Engine
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scalar-function conformance, continued — the SURVEY.md §2.8 families not
+  * covered by [[Functions]]: xpath (`FunctionRegistry.java:296-306`),
+  * `sentences`, codec/crypto roundtrips (aes/base64/hex/encode,
+  * `FunctionRegistry.java:227-244`), `reflect`/`java_method`
+  * (`FunctionRegistry.java:323-338`), and the string/math stragglers
+  * (initcap, substring_index, find_in_set, locate, conv, bin, factorial,
+  * format_number, printf, space, soundex, crc32).
+  *
+  * Oracle strategy: DuckDB has no XML or AES, so xpath queries assert
+  * *identities* (extract-what-you-embedded) and codec queries assert
+  * *roundtrips* — the oracle side is then plain column SQL. soundex/crc32
+  * have no DuckDB equivalent at all → rows-only + exact-value ScalaTest
+  * spec ([[graft.FunctionPack2Spec]]).
+  */
+object Functions2 {
+
+  private def t(s: SparkSession, dir: String, n: String) = Engine.table(s, dir, n)
+
+  val all: Seq[Qd] = Seq(
+
+    Qd("q66_string_funcs2",
+      """SELECT p_partkey,
+        |  array_to_string(list_transform(string_split(lower(p_name),' '),
+        |    w -> upper(w[1]) || w[2:]), ' ') AS ic,
+        |  array_to_string(string_split(p_name,' ')[1:1], ' ') AS si1,
+        |  CAST(coalesce(list_position(string_split('Brand#5,Brand#13,Brand#19',','),
+        |    p_brand), 0) AS BIGINT) AS fis,
+        |  CAST(strpos(p_name, 'old') AS BIGINT) AS loc,
+        |  upper(to_hex(p_size)) AS cnv,
+        |  bin(p_size) AS bn,
+        |  CAST(factorial(p_size % 10) AS BIGINT) AS fact,
+        |  printf('%.2f', p_size + 0.337) AS fmtn,
+        |  printf('%s|%02d', p_brand, p_size % 7) AS pf,
+        |  repeat(' ', p_size % 3) || '.' AS sp
+        |FROM part ORDER BY p_partkey""") { (s, dir) =>
+      t(s, dir, "part").select(col("p_partkey"),
+        initcap(col("p_name")).as("ic"),
+        substring_index(col("p_name"), " ", 1).as("si1"),
+        expr("CAST(find_in_set(p_brand, 'Brand#5,Brand#13,Brand#19') AS BIGINT)").as("fis"),
+        expr("CAST(locate('old', p_name) AS BIGINT)").as("loc"),
+        conv(col("p_size"), 10, 16).as("cnv"),
+        bin(col("p_size")).as("bn"),
+        factorial(col("p_size") % 10).as("fact"),
+        format_number(col("p_size") + 0.337, 2).as("fmtn"),
+        format_string("%s|%02d", col("p_brand"), col("p_size") % 7).as("pf"),
+        concat(expr("space(p_size % 3)"), lit(".")).as("sp"))
+        .orderBy("p_partkey")
+    },
+
+    Qd("q67_sentences",
+      """SELECT p_partkey,
+        |  list_transform(list_filter(
+        |    regexp_split_to_array(p_name || '. ' || p_type || '!', '[.!?] *'),
+        |    x -> len(x) > 0), x -> string_split(x, ' ')) AS sents
+        |FROM part WHERE p_partkey < 200 ORDER BY p_partkey""") { (s, dir) =>
+      t(s, dir, "part").filter(col("p_partkey") < 200)
+        .select(col("p_partkey"),
+          sentences(concat(col("p_name"), lit(". "), col("p_type"), lit("!"))).as("sents"))
+        .orderBy("p_partkey")
+    },
+
+    Qd("q68_codec_roundtrip",
+      """SELECT s_suppkey,
+        |  s_name AS aes_rt, s_name AS b64_rt, s_name AS enc_rt,
+        |  to_base64(CAST(s_name AS BLOB)) AS b64,
+        |  hex(CAST(s_name AS BLOB)) AS hx, s_name AS hex_rt
+        |FROM supplier ORDER BY s_suppkey""") { (s, dir) =>
+      t(s, dir, "supplier").select(col("s_suppkey"),
+        expr("CAST(aes_decrypt(aes_encrypt(CAST(s_name AS BINARY), '0123456789abcdef')," +
+          " '0123456789abcdef') AS STRING)").as("aes_rt"),
+        expr("CAST(unbase64(base64(CAST(s_name AS BINARY))) AS STRING)").as("b64_rt"),
+        expr("decode(encode(s_name, 'UTF-8'), 'UTF-8')").as("enc_rt"),
+        base64(col("s_name").cast("binary")).as("b64"),
+        hex(col("s_name").cast("binary")).as("hx"),
+        expr("CAST(unhex(hex(s_name)) AS STRING)").as("hex_rt"))
+        .orderBy("s_suppkey")
+    },
+
+    // reflect/java_method (flag-gated in a real deployment — arbitrary JVM
+    // calls; here exercised on pure java.lang.Math/Integer).
+    Qd("q69_reflect",
+      """SELECT s_suppkey,
+        |  CAST(greatest(s_nationkey, 7) AS VARCHAR) AS jm_max,
+        |  bin(s_suppkey) AS jm_bin,
+        |  CAST(abs(s_nationkey - 12) AS VARCHAR) AS rf_abs
+        |FROM supplier ORDER BY s_suppkey""") { (s, dir) =>
+      t(s, dir, "supplier").select(col("s_suppkey"),
+        expr("java_method('java.lang.Math', 'max', CAST(s_nationkey AS INT), 7)").as("jm_max"),
+        expr("java_method('java.lang.Long', 'toBinaryString', s_suppkey)").as("jm_bin"),
+        expr("reflect('java.lang.Math', 'abs', CAST(s_nationkey - 12 AS INT))").as("rf_abs"))
+        .orderBy("s_suppkey")
+    },
+
+    Qd("q75_xpath_identities",
+      """SELECT p_partkey, p_brand AS xs, CAST(p_size AS BIGINT) AS xi,
+        |  CASE WHEN p_size > 20 THEN true ELSE false END AS xb,
+        |  string_split(p_name, ' ') AS xl
+        |FROM part WHERE p_partkey < 500 ORDER BY p_partkey""") { (s, dir) =>
+      t(s, dir, "part").filter(col("p_partkey") < 500)
+        .select(col("p_partkey"),
+          expr("xpath_string(concat('<a><b>', p_brand, '</b></a>'), 'a/b')").as("xs"),
+          expr("CAST(xpath_int(concat('<a><n>', p_size, '</n></a>'), 'a/n') AS BIGINT)").as("xi"),
+          expr("xpath_boolean(concat('<a>', IF(p_size > 20, '<big/>', ''), '</a>'), 'a/big')").as("xb"),
+          expr("xpath(concat('<r>', concat_ws('', transform(split(p_name, ' '), " +
+            "w -> concat('<w>', w, '</w>'))), '</r>'), 'r/w/text()')").as("xl"))
+        .orderBy("p_partkey")
+    },
+
+    // soundex + crc32 have no DuckDB equivalent — exact values asserted in
+    // FunctionPack2Spec; driver records rows>0.
+    Qd.rowsOnly("q76_soundex_crc32") { (s, dir) =>
+      t(s, dir, "part").select(col("p_partkey"),
+        soundex(substring_index(col("p_name"), " ", 1)).as("sdx"),
+        crc32(col("p_name").cast("binary")).as("crc"))
+        .orderBy("p_partkey")
+    }
+  )
+}

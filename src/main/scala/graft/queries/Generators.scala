@@ -104,14 +104,14 @@ object Generators {
       """SELECT word, count(DISTINCT doc_id) AS df
         |FROM (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS word
         |      FROM documents)
-        |GROUP BY word HAVING count(DISTINCT doc_id) >= 450
+        |GROUP BY word HAVING count(DISTINCT doc_id) >= 300
         |ORDER BY df DESC, word""") { (s, dir) =>
       Engine.registerAll(s, dir)
       s.sql(
         """SELECT word, count(DISTINCT doc_id) AS df
           |FROM documents
           |LATERAL VIEW explode(array_distinct(split(text, ' '))) w AS word
-          |GROUP BY word HAVING count(DISTINCT doc_id) >= 450
+          |GROUP BY word HAVING count(DISTINCT doc_id) >= 300
           |ORDER BY df DESC, word""".stripMargin)
     }
   )
