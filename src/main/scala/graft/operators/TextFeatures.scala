@@ -115,6 +115,13 @@ object TextFeatures extends Serializable {
     out
   }
 
+  /** 64-bit shingle hash (two-seed murmur3 composition — cheap, Spark-
+    * internal; used where intersection *counts*, not shingle strings, drive
+    * the result). */
+  def shingleHash64(s: String): Long =
+    (MurmurHash3.stringHash(s, 42).toLong << 32) |
+      (MurmurHash3.stringHash(s, 7).toLong & 0xFFFFFFFFL)
+
   /** 60-bit SimHash (Charikar '02) over [[h60]] word hashes, duplicate
     * tokens weighted by count — matches the DuckDB majority-bit oracle. */
   def simhash60(ws: Array[String]): Long = {

@@ -1,0 +1,113 @@
+package graft.queries
+
+import graft.Engine
+import org.apache.spark.sql.SparkSession
+
+/** DDL / metadata surface — SURVEY.md §7 step 7: CREATE TABLE (+LOCATION),
+  * INSERT INTO / INSERT OVERWRITE, dynamic-partition overwrite
+  * (FileSinkOperator dynamic partitioning, `exec/FileSinkOperator.java:92`),
+  * CREATE VIEW, ALTER TABLE ADD COLUMNS, CTAS, ANALYZE TABLE.
+  *
+  * Every query runs real SQL DDL against the session catalog (tables live
+  * under target/ddl/<sf>/), then SELECTs the final state; the oracle computes
+  * the same final state from the source parquet — so wrong overwrite
+  * semantics, lost partitions, or schema drift break the hash match.
+  * Queries are idempotent (DROP IF EXISTS first) because Verify replays them.
+  */
+object Ddl {
+
+  private def ctx(s: SparkSession, dir: String): (String, String) = {
+    Engine.registerAll(s, dir)
+    val sf = new java.io.File(dir).getName.replace(".", "_")
+    (sf, s"/root/repo/target/ddl/$sf")
+  }
+
+  val all: Seq[Qd] = Seq(
+
+    // CREATE TABLE + INSERT OVERWRITE + INSERT INTO (append) semantics.
+    Qd("q77_ddl_create_insert",
+      """SELECT CAST(r_regionkey AS BIGINT) AS rk, r_name, src FROM (
+        |  SELECT r_regionkey, r_name, 'base' AS src FROM region
+        |  UNION ALL
+        |  SELECT r_regionkey, r_name, 'extra' AS src FROM region
+        |  WHERE r_regionkey < 2)
+        |ORDER BY src, rk""") { (s, dir) =>
+      val (sf, loc) = ctx(s, dir)
+      val tbl = s"g77_$sf"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl (rk BIGINT, r_name STRING, src STRING) " +
+        s"USING parquet LOCATION '$loc/g77'")
+      s.sql(s"INSERT OVERWRITE $tbl " +
+        "SELECT CAST(r_regionkey AS BIGINT), r_name, 'seed' FROM region")
+      s.sql(s"INSERT OVERWRITE $tbl " +
+        "SELECT CAST(r_regionkey AS BIGINT), r_name, 'base' FROM region")
+      s.sql(s"INSERT INTO $tbl SELECT CAST(r_regionkey AS BIGINT), r_name, " +
+        "'extra' FROM region WHERE r_regionkey < 2")
+      s.sql(s"SELECT rk, r_name, src FROM $tbl ORDER BY src, rk")
+    },
+
+    // Dynamic-partition INSERT OVERWRITE: overwrite ONE partition in place,
+    // other partitions must survive (partitionOverwriteMode=dynamic — the
+    // Hive default semantics).
+    Qd("q78_ddl_dynpart_overwrite",
+      """SELECT n_regionkey, count(*) AS n, count(DISTINCT tag) AS tags FROM (
+        |  SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+        |    CASE WHEN n_regionkey = 0 THEN 'v2' ELSE 'v1' END AS tag
+        |  FROM nation)
+        |GROUP BY n_regionkey ORDER BY n_regionkey""") { (s, dir) =>
+      val (sf, loc) = ctx(s, dir)
+      val tbl = s"g78_$sf"
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl (n_name STRING, tag STRING, n_regionkey BIGINT) " +
+        s"USING parquet PARTITIONED BY (n_regionkey) LOCATION '$loc/g78'")
+      s.sql(s"INSERT OVERWRITE $tbl PARTITION (n_regionkey) " +
+        "SELECT n_name, 'v1', CAST(n_regionkey AS BIGINT) FROM nation")
+      // dynamic overwrite touches ONLY region 0; v1 rows elsewhere survive
+      s.sql(s"INSERT OVERWRITE $tbl PARTITION (n_regionkey) " +
+        "SELECT n_name, 'v2', CAST(n_regionkey AS BIGINT) FROM nation " +
+        "WHERE n_regionkey = 0")
+      s.sql(s"SELECT n_regionkey, count(*) AS n, count(DISTINCT tag) AS tags " +
+        s"FROM $tbl GROUP BY n_regionkey ORDER BY n_regionkey")
+    },
+
+    // CREATE VIEW over a join + ALTER TABLE ADD COLUMNS (schema evolution:
+    // old files read the new column as NULL).
+    Qd("q79_ddl_view_alter",
+      """SELECT CAST(n_nationkey AS BIGINT) AS nk, n_name, r_name,
+        |  CAST(NULL AS STRING) AS note
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |WHERE n_nationkey < 10 ORDER BY nk""") { (s, dir) =>
+      val (sf, loc) = ctx(s, dir)
+      val tbl = s"g79_$sf"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl (nk BIGINT, n_name STRING, n_regionkey BIGINT) " +
+        s"USING parquet LOCATION '$loc/g79'")
+      s.sql(s"INSERT OVERWRITE $tbl SELECT CAST(n_nationkey AS BIGINT), n_name, " +
+        "CAST(n_regionkey AS BIGINT) FROM nation WHERE n_nationkey < 10")
+      s.sql(s"ALTER TABLE $tbl ADD COLUMNS (note STRING)")
+      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW g79_v AS " +
+        s"SELECT t.nk, t.n_name, r.r_name, t.note FROM $tbl t " +
+        "JOIN region r ON t.n_regionkey = CAST(r.r_regionkey AS BIGINT)")
+      s.sql("SELECT nk, n_name, r_name, note FROM g79_v ORDER BY nk")
+    },
+
+    // CTAS + ANALYZE TABLE COMPUTE STATISTICS (table + columns) — the
+    // StatsOptimizer/CBO feed (`optimizer/StatsOptimizer.java:97`); stats must
+    // not change results, and row count must come back exact from the catalog.
+    Qd("q80_ddl_ctas_analyze",
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(min(c_custkey) AS BIGINT) AS mn, CAST(max(c_custkey) AS BIGINT) AS mx
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""") { (s, dir) =>
+      val (sf, loc) = ctx(s, dir)
+      val tbl = s"g80_$sf"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl USING parquet LOCATION '$loc/g80' AS " +
+        "SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment FROM customer")
+      s.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS")
+      s.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR COLUMNS c_custkey")
+      s.sql(s"SELECT c_mktsegment, count(*) AS n, min(c_custkey) AS mn, " +
+        s"max(c_custkey) AS mx FROM $tbl GROUP BY c_mktsegment ORDER BY c_mktsegment")
+    }
+  )
+}

@@ -24,6 +24,29 @@ object StreamingQ {
         |  max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_sec
         |FROM events GROUP BY user_id ORDER BY user_id""") { (s, dir) =>
       StreamOps.userRunningTotals(s, dir).orderBy("user_id")
+    },
+
+    // Stateful stream sessionization must converge to the batch lag() answer
+    // (same oracle as q29).
+    Qd("q81_stream_sessionize",
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(1 + sum(CASE WHEN pts IS NOT NULL
+        |                    AND date_diff('second', pts, ts) > 1800
+        |               THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+        |FROM g GROUP BY user_id ORDER BY user_id""") { (s, dir) =>
+      StreamOps.sessionize(s, dir).orderBy("user_id")
+    },
+
+    Qd("q82_stream_static_join",
+      """SELECT CAST(floor(epoch(date_trunc('hour', e.ts))) AS BIGINT) AS hour_start,
+        |  c.c_mktsegment, count(*) AS n, ROUND(sum(e.value), 4) AS sv
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY hour_start, c_mktsegment""") { (s, dir) =>
+      StreamOps.streamStaticJoin(s, dir).orderBy("hour_start", "c_mktsegment")
     }
   )
 }

@@ -64,6 +64,8 @@ object StreamOps {
   case class UserAgg(n: Long, sv: Double, lastSec: Long)
   case class EventRow(user_id: Long, tsSec: Long, value: Double)
   case class UserRow(user_id: Long, n: Long, sv: Double, last_sec: Long)
+  case class SessState(lastSec: Long, nSessions: Long)
+  case class SessRow(user_id: Long, n_sessions: Long)
 
   /** Arbitrary stateful aggregation via mapGroupsWithState
     * (KeyValueGroupedDataset) — running per-user totals kept in state. */
@@ -86,5 +88,50 @@ object StreamOps {
       .select(col("user_id"), col("n"),
         round(col("sv"), 4).as("sv"), col("last_sec"))
     runToMemory(spark, out, "graft_stream_user", OutputMode.Update())
+  }
+
+  /** Event-time gap sessionization as a stateful stream op
+    * (flatMapGroupsWithState): a session break is a >30 min silence per
+    * user. Converges to the batch lag()-based answer (q29 oracle) after the
+    * replay. State per user is (last event sec, session count) — O(1),
+    * the 100 TB-safe shape; the sort is per user per micro-batch. */
+  def sessionize(spark: SparkSession, dir: String, gapSec: Long = 1800L): DataFrame = {
+    import spark.implicits._
+    val src = eventStream(spark, dir)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("tsSec"), col("value"))
+      .as[EventRow]
+    val out = src.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (uid, rows, state: GroupState[SessState]) =>
+          val sorted = rows.toArray.sortBy(_.tsSec)
+          var st = state.getOption.getOrElse(SessState(Long.MinValue, 0L))
+          sorted.foreach { r =>
+            if (st.lastSec == Long.MinValue || r.tsSec - st.lastSec > gapSec)
+              st = SessState(r.tsSec, st.nSessions + 1)
+            else st = SessState(r.tsSec, st.nSessions)
+          }
+          state.update(st)
+          Iterator.single(SessRow(uid, st.nSessions))
+      }
+      .select(col("user_id"), col("n_sessions"))
+    runToMemory(spark, out, "graft_stream_sess", OutputMode.Update())
+  }
+
+  /** Stream–static join: the event stream joins the static customer
+    * dimension (broadcast at 100 TB — the dimension is the small side) and
+    * aggregates per hour × market segment. */
+  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = broadcast(
+      spark.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_mktsegment")))
+    val agg = eventStream(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .join(cust, col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sv"))
+      .select(unix_timestamp(col("window.start")).as("hour_start"),
+        col("c_mktsegment"), col("n"), col("sv"))
+    runToMemory(spark, agg, "graft_stream_sjoin", OutputMode.Complete())
   }
 }
