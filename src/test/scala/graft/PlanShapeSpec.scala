@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Physical-plan shape assertions — the 100 TB story, checked, not assumed:
+  * filters/columns reach the parquet scan, small dimensions broadcast,
+  * co-bucketed joins elide their shuffles, partition filters prune
+  * directories, and the hot pipelines stay inside whole-stage codegen.
+  */
+class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = Engine.session(cores = 4, appName = "graft-plan")
+  val dir = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Execute the query through its OWN QueryExecution (collect finalizes the
+    * AQE plan; a write.save() would run a separate QueryExecution) and return
+    * the final-plan section of the plan string. */
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    val start = s.indexOf("== Final Plan ==")
+    val end = s.indexOf("== Initial Plan ==")
+    if (start >= 0 && end > start) s.substring(start, end) else s
+  }
+
+  test("q02 filter+projection are pushed into the parquet scan") {
+    val s = finalPlan("q02_filter_project")
+    assert(s.contains("PushedFilters: [IsNotNull"), "filters did not reach the scan")
+    val read = s.linesIterator.find(_.contains("ReadSchema:")).getOrElse("")
+    assert(read.contains("l_quantity"), s"scan missing needed column: $read")
+    assert(!read.contains("l_tax") && !read.contains("l_returnflag"),
+      s"scan reads columns the query never uses: $read")
+  }
+
+  test("q04 star join broadcasts the dimension tables") {
+    val s = finalPlan("q04_join_broadcast_star")
+    assert(s.contains("BroadcastHashJoin"),
+      "expected BroadcastHashJoin for dimension tables")
+    assert(!s.contains("SortMergeJoin"),
+      "a dimension join fell back to sort-merge (would shuffle the fact table)")
+  }
+
+  test("q65 co-bucketed join has no shuffle on the bucketed keys") {
+    // disable broadcast so the tiny test tables take the SMB path a 100 TB
+    // join would take
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val s = finalPlan("q65_sink_bucketed_join")
+      assert(s.contains("SortMergeJoin"), "expected sort-merge join over buckets")
+      assert(!s.contains("Exchange hashpartitioning(o_custkey") &&
+        !s.contains("Exchange hashpartitioning(c_custkey"),
+        "bucketed join must not shuffle its inputs")
+      assert(s.contains("SelectedBucketsCount") || s.contains("Bucketed: true"),
+        "scan did not use bucketing metadata")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q64 read-back scan prunes partitions") {
+    val s = finalPlan("q64_sink_dynamic_partition")
+    val pf = s.linesIterator.find(_.contains("PartitionFilters:")).getOrElse("")
+    assert(pf.contains("o_orderpriority"),
+      s"expected partition filters on o_orderpriority, got: $pf")
+  }
+
+  test("q44 brute-force ANN broadcasts the query side, streams the corpus") {
+    val s = finalPlan("q44_ann_cosine_brute")
+    assert(s.contains("BroadcastNestedLoopJoin"),
+      "query set must broadcast (corpus side must never shuffle)")
+  }
+
+  test("q43 inverted-index jaccard joins on equi keys (no cartesian)") {
+    val s = finalPlan("q43_ngram_jaccard")
+    assert(!s.contains("CartesianProduct"), "blocked jaccard must not go cartesian")
+    assert(!s.contains("BroadcastNestedLoopJoin"), "must join on (blk, shingle) keys")
+  }
+
+  test("q01 flagship aggregation runs inside whole-stage codegen") {
+    val s = finalPlan("q01_agg_pricing_summary")
+    assert(s.contains("*("), "hot path fell out of codegen") // codegen span marker
+    assert(s.contains("HashAggregate"), "expected hash aggregation")
+  }
+
+  test("dot products stay codegen'd in the IVF scoring join") {
+    val s = finalPlan("q45_ann_ivf")
+    assert(s.contains("*("), "IVF scoring fell out of codegen")
+  }
+}
