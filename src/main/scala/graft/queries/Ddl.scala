@@ -102,6 +102,8 @@ object Ddl {
       val (sf, loc) = ctx(s, dir)
       val tbl = s"g80_$sf"
       s.sql(s"DROP TABLE IF EXISTS $tbl")
+      // DROP leaves the LOCATION dir behind; CTAS refuses a non-empty target
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$loc/g80"))
       s.sql(s"CREATE TABLE $tbl USING parquet LOCATION '$loc/g80' AS " +
         "SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment FROM customer")
       s.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS")

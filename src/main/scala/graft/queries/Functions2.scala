@@ -119,6 +119,47 @@ object Functions2 {
         soundex(substring_index(col("p_name"), " ", 1)).as("sdx"),
         crc32(col("p_name").cast("binary")).as("crc"))
         .orderBy("p_partkey")
+    },
+
+    // INTERVAL_YEAR_MONTH / INTERVAL_DAY_TIME arithmetic (§1 type mapping;
+    // serde2/typeinfo interval types) + extract.
+    Qd("q84_intervals",
+      """SELECT o_orderkey,
+        |  o_orderdate + INTERVAL '1 year 2 months' AS ym_add,
+        |  o_orderdate + INTERVAL '3 days 4 hours 5 minutes 6 seconds' AS dt_add,
+        |  o_orderdate - INTERVAL '90 days' AS d_sub,
+        |  CAST(extract(year FROM o_orderdate) AS BIGINT) AS yr,
+        |  CAST(extract(hour FROM o_orderdate + INTERVAL '7 hours') AS BIGINT) AS hr
+        |FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""") { (s, dir) =>
+      t(s, dir, "orders").filter(col("o_orderkey") < 1000)
+        .select(col("o_orderkey"),
+          (col("o_orderdate") + expr("INTERVAL '1-2' YEAR TO MONTH")).as("ym_add"),
+          (col("o_orderdate") + expr("INTERVAL '3 04:05:06' DAY TO SECOND")).as("dt_add"),
+          (col("o_orderdate") - expr("INTERVAL '90' DAY")).as("d_sub"),
+          expr("CAST(extract(YEAR FROM o_orderdate) AS BIGINT)").as("yr"),
+          expr("CAST(extract(HOUR FROM o_orderdate + INTERVAL '7' HOUR) AS BIGINT)").as("hr"))
+        .orderBy("o_orderkey")
+    },
+
+    // DECIMAL(p,s) exact arithmetic (HiveDecimal max 38/38,
+    // `storage-api/.../HiveDecimal.java:31-32`): exact sums and HALF_UP
+    // rounded products at fixed scale.
+    Qd("q85_decimal",
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_p,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_q,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |             CAST(l_discount AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
+      // aggregation is decimal-exact; the trailing DOUBLE cast only
+      // normalizes the wire type for the oracle compare
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("sum_p"),
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_q"),
+          round(sum(col("l_extendedprice").cast("decimal(12,2)") *
+            col("l_discount").cast("decimal(12,4)")), 2).cast("double").as("sum_disc"))
+        .orderBy("l_returnflag")
     }
   )
 }

@@ -141,6 +141,23 @@ object Sources {
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("tp"))
         .orderBy("c_mktsegment")
+    },
+
+    // Virtual columns (TableScanOperator.java:56 — INPUT__FILE__NAME):
+    // per-source-file row counts via input_file_name(); DuckDB reproduces it
+    // with read_parquet(filename=true).
+    Qd("q83_virtual_columns",
+      """SELECT fname, n FROM (
+        |  SELECT 'region.parquet' AS fname, count(*) AS n FROM region
+        |  UNION ALL SELECT 'nation.parquet', count(*) FROM nation
+        |  UNION ALL SELECT 'supplier.parquet', count(*) FROM supplier)
+        |ORDER BY fname""") { (s, dir) =>
+      val one = (n: String) => Engine.table(s, dir, n)
+        .select(input_file_name().as("path"))
+      one("region").union(one("nation")).union(one("supplier"))
+        .select(regexp_extract(col("path"), "([a-z]+\\.parquet)$", 1).as("fname"))
+        .groupBy("fname").agg(count(lit(1)).as("n"))
+        .orderBy("fname")
     }
   )
 }
