@@ -23,6 +23,38 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** Late additions registered at the end of the pack (q86+). */
+  private def extras: Seq[Qd] = Seq(
+
+    // Skewed-key aggregation via explicit two-stage salting
+    // (hive.groupby.skewindata analog) — must equal the direct GROUP BY.
+    Qd("q86_skew_salted_agg",
+      """SELECT event_type, count(*) AS n, ROUND(sum(value), 4) AS sv,
+        |  ROUND(min(value), 4) AS mn, ROUND(max(value), 4) AS mx,
+        |  ROUND(sum(value) / count(*), 4) AS av
+        |FROM events GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
+      import org.apache.spark.sql.functions.{col, round}
+      graft.operators.SkewAgg.saltedAgg(
+          graft.Engine.table(s, dir, "events"),
+          Seq("event_type"), "value", col("event_id"), 16)
+        .select(col("event_type"), col("n"), round(col("sv"), 4).as("sv"),
+          round(col("mn"), 4).as("mn"), round(col("mx"), 4).as("mx"),
+          round(col("av"), 4).as("av"))
+        .orderBy("event_type")
+    },
+
+    // TABLESAMPLE(x PERCENT) — seeded Bernoulli sample; fraction is
+    // nondeterministic across engines → rows-only (count bounds asserted in
+    // PipelineSpec).
+    Qd.rowsOnly("q88_tablesample_percent") { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      graft.Engine.table(s, dir, "lineitem")
+        .sample(withReplacement = false, 0.1, seed = 42)
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+    }
+  )
+
   private def t(s: SparkSession, dir: String, n: String) = Engine.table(s, dir, n)
 
   val all: Seq[Qd] = Seq(
@@ -265,5 +297,5 @@ object Relational {
       val b = t(s, dir, "region").select(col("r_name").as("r2"))
       a.crossJoin(b).filter(col("r1") < col("r2")).orderBy("r1", "r2")
     }
-  )
+  ) ++ extras
 }

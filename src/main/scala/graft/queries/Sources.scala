@@ -146,6 +146,22 @@ object Sources {
     // Virtual columns (TableScanOperator.java:56 — INPUT__FILE__NAME):
     // per-source-file row counts via input_file_name(); DuckDB reproduces it
     // with read_parquet(filename=true).
+    // Compression-codec sink options (zstd) — the write option must not
+    // change the data.
+    Qd("q87_parquet_zstd",
+      """SELECT l_linestatus, count(*) AS n, ROUND(sum(l_quantity), 4) AS sq
+        |FROM lineitem WHERE l_orderkey % 53 = 0
+        |GROUP BY l_linestatus ORDER BY l_linestatus""") { (s, dir) =>
+      val p = s"${base(dir)}/zstd_lineitem"
+      t(s, dir, "lineitem").filter(col("l_orderkey") % 53 === 0)
+        .select("l_orderkey", "l_linestatus", "l_quantity")
+        .write.mode(SaveMode.Overwrite).option("compression", "zstd").parquet(p)
+      s.read.parquet(p)
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("sq"))
+        .orderBy("l_linestatus")
+    },
+
     Qd("q83_virtual_columns",
       """SELECT fname, n FROM (
         |  SELECT 'region.parquet' AS fname, count(*) AS n FROM region

@@ -104,6 +104,28 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       m.head.n_steps == 3L && math.abs(m.head.sum_value - 6.0) < 1e-12)
   }
 
+  test("salted aggregation equals direct groupBy") {
+    val ev = Engine.table(spark, dir, "events")
+    val salted = operators.SkewAgg.saltedAgg(
+        ev, Seq("event_type"), "value", col("event_id"), 16)
+      .select("event_type", "n", "sv").as[(String, Long, Double)]
+      .collect().map(r => r._1 -> (r._2, math.round(r._3 * 1e4)))
+      .toMap
+    val direct = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+      .as[(String, Long, Double)]
+      .collect().map(r => r._1 -> (r._2, math.round(r._3 * 1e4)))
+      .toMap
+    assert(salted == direct)
+  }
+
+  test("tablesample percent yields a plausible seeded fraction") {
+    val total = Engine.table(spark, dir, "lineitem").count()
+    val sampled = SparkEntry.queries("q88_tablesample_percent")(spark, dir).count()
+    val frac = sampled.toDouble / total
+    assert(frac > 0.05 && frac < 0.15, s"fraction=$frac")
+  }
+
   test("multimodal: feature vectors are 16-wide, L1-normalized; frame sample bounded") {
     val media = Multimodal.mediaTable(docs.limit(50))
     val feats = Multimodal.extractFeatures(spark, media)
