@@ -23,9 +23,13 @@ object Engine {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Build a local session configured the way the driver expects. */
+  /** Build a local session configured the way the driver expects.
+    * [[graft.plans.GraftExtensions]] injects the PointLookup optimizer rule
+    * and the matchpath planner strategy; the experimental-methods fallback
+    * covers the getOrCreate-returns-existing-session case. */
   def session(cores: Int = 32, appName: String = "graft"): SparkSession = {
     val spark = SparkSession.builder()
+      .withExtensions(new plans.GraftExtensions)
       .master(s"local[$cores]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores.toString)
@@ -36,6 +40,12 @@ object Engine {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (!spark.experimental.extraStrategies.contains(plans.GraftStrategies)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ plans.GraftStrategies
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ plans.PointLookupRule
+    }
     spark
   }
 

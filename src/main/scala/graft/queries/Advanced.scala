@@ -55,6 +55,40 @@ object Advanced {
           round(element_at(col("feature"), 7).cast("double"), 6).as("bin6"),
           length(col("frame_sample")).as("sample_len"))
         .orderBy("media_id")
+    },
+
+    // PointLookupOptimizer (OR-chain → IN) — injected rule; rewrite asserted
+    // in ExtensionSpec, result checked here.
+    Qd("q89_point_lookup",
+      """SELECT l_linenumber, count(*) AS n, sum(l_quantity) AS sq
+        |FROM lineitem
+        |WHERE l_linenumber = 1 OR l_linenumber = 2 OR l_linenumber = 3
+        |   OR l_linenumber = 4
+        |GROUP BY l_linenumber ORDER BY l_linenumber""") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_linenumber") === 1 || col("l_linenumber") === 2 ||
+          col("l_linenumber") === 3 || col("l_linenumber") === 4)
+        .groupBy("l_linenumber")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sq"))
+        .orderBy("l_linenumber")
+    },
+
+    // matchpath as a first-class Catalyst operator (logical node + strategy
+    // + UnaryExecNode via GraftExtensions) — same oracle as the
+    // flatMapGroups q72 variant.
+    Qd("q90_matchpath_operator",
+      """WITH o AS (
+        |  SELECT user_id, event_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt,
+        |    lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nid
+        |  FROM events)
+        |SELECT user_id, event_id AS start_event, nid AS end_event
+        |FROM o WHERE event_type = 'error' AND nxt = 'purchase'
+        |ORDER BY user_id, start_event""") { (s, dir) =>
+      graft.plans.MatchPathPlan(t(s, dir, "events"),
+          Map("error" -> "e", "purchase" -> "p", "signup" -> "s"), "ep")
+        .select(col("user_id"), col("start_event"), col("end_event"))
+        .orderBy("user_id", "start_event")
     }
   )
 }

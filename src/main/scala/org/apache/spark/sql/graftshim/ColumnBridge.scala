@@ -11,4 +11,14 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object ColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Bridge to private[sql] Dataset.ofRows — build a DataFrame from a custom
+    * LogicalPlan (our injected strategy plans it). */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The analyzed logical plan of a DataFrame (private[sql] in Spark 4). */
+  def logicalPlan(df: Dataset[_]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].logicalPlan
 }
