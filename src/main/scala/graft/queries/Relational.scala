@@ -52,6 +52,48 @@ object Relational {
         .sample(withReplacement = false, 0.1, seed = 42)
         .select("l_orderkey", "l_linenumber")
         .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // NOT IN with a NULL in the subquery list — three-valued logic trap
+    // (QBSubQuery.java NOT_IN rewrite): one NULL makes NOT IN never-true.
+    Qd("q91_not_in_nulls",
+      """SELECT tag, n FROM (
+        |  SELECT 'with_null' AS tag, count(*) AS n FROM orders
+        |  WHERE o_custkey NOT IN
+        |    (SELECT nullif(c_custkey, 7) FROM customer WHERE c_custkey < 100)
+        |  UNION ALL
+        |  SELECT 'clean', count(*) FROM orders
+        |  WHERE o_custkey NOT IN
+        |    (SELECT c_custkey FROM customer WHERE c_custkey < 100))
+        |ORDER BY tag""") { (s, dir) =>
+      graft.Engine.sql(s, dir,
+        """SELECT tag, n FROM (
+          |  SELECT 'with_null' AS tag, count(*) AS n FROM orders
+          |  WHERE o_custkey NOT IN
+          |    (SELECT nullif(c_custkey, 7) FROM customer WHERE c_custkey < 100)
+          |  UNION ALL
+          |  SELECT 'clean', count(*) FROM orders
+          |  WHERE o_custkey NOT IN
+          |    (SELECT c_custkey FROM customer WHERE c_custkey < 100))
+          |ORDER BY tag""".stripMargin)
+    },
+
+    // Correlated EXISTS / NOT EXISTS + correlated scalar subquery
+    // (QBSubQuery.java:42-46 EXISTS/NOT_EXISTS; rewritten to semi/anti).
+    Qd("q93_correlated_subqueries",
+      """SELECT c_custkey,
+        |  EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |          AND o.o_totalprice > 150000) AS has_big,
+        |  (SELECT max(o_totalprice) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS max_price
+        |FROM customer c WHERE c_custkey < 200 ORDER BY c_custkey""") { (s, dir) =>
+      graft.Engine.sql(s, dir,
+        """SELECT c_custkey,
+          |  EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+          |          AND o.o_totalprice > 150000) AS has_big,
+          |  (SELECT max(o_totalprice) FROM orders o
+          |   WHERE o.o_custkey = c.c_custkey) AS max_price
+          |FROM customer c WHERE c_custkey < 200 ORDER BY c_custkey""".stripMargin)
     }
   )
 

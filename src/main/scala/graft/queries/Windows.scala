@@ -116,6 +116,35 @@ object Windows {
         .groupBy("user_id")
         .agg((lit(1) + sum(col("new_s"))).cast("bigint").as("n_sessions"))
         .orderBy("user_id")
+    },
+
+    // IGNORE NULLS in first_value/last_value/lag (WindowingSpec null
+    // handling) — error events' values nulled out, windows must skip them.
+    Qd("q92_window_ignore_nulls",
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+        |  FROM events)
+        |SELECT user_id, event_id,
+        |  ROUND(first_value(v IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 4) AS fv,
+        |  ROUND(last_value(v IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 4) AS lv,
+        |  ROUND(lag(v IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id), 4) AS prev_v
+        |FROM e WHERE user_id < 50 ORDER BY user_id, event_id""") { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "events").filter(col("user_id") < 50)
+        .withColumn("v", when(col("event_type") === "error", lit(null))
+          .otherwise(col("value")))
+        .select(col("user_id"), col("event_id"),
+          round(first(col("v"), ignoreNulls = true).over(wAll), 4).as("fv"),
+          round(last(col("v"), ignoreNulls = true).over(wAll), 4).as("lv"),
+          round(lag(col("v"), 1, null, ignoreNulls = true).over(w), 4).as("prev_v"))
+        .orderBy("user_id", "event_id")
     }
   )
 }
