@@ -92,6 +92,33 @@ object Ddl {
       s.sql("SELECT nk, n_name, r_name, note FROM g79_v ORDER BY nk")
     },
 
+    // Hive multi-insert: one FROM scan feeding several INSERT targets
+    // (SemanticAnalyzer multi-insert QB; Spark SQL supports the syntax).
+    Qd("q95_multi_insert",
+      """SELECT tag, CAST(k AS BIGINT) AS k, nm FROM (
+        |  SELECT 'r0' AS tag, n_nationkey AS k, n_name AS nm FROM nation
+        |  WHERE n_regionkey = 0
+        |  UNION ALL
+        |  SELECT 'r1', n_nationkey, n_name FROM nation WHERE n_regionkey = 1)
+        |ORDER BY tag, k""") { (s, dir) =>
+      val (sf, loc) = ctx(s, dir)
+      val (ta, tb) = (s"g95a_$sf", s"g95b_$sf")
+      Seq(ta, tb).foreach { tbl =>
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.sql(s"CREATE TABLE $tbl (k BIGINT, nm STRING) USING parquet " +
+          s"LOCATION '$loc/$tbl'")
+      }
+      s.sql(
+        s"""FROM nation
+           |INSERT OVERWRITE TABLE $ta
+           |  SELECT CAST(n_nationkey AS BIGINT), n_name WHERE n_regionkey = 0
+           |INSERT OVERWRITE TABLE $tb
+           |  SELECT CAST(n_nationkey AS BIGINT), n_name WHERE n_regionkey = 1
+           |""".stripMargin)
+      s.sql(s"SELECT 'r0' AS tag, k, nm FROM $ta UNION ALL " +
+        s"SELECT 'r1', k, nm FROM $tb ORDER BY tag, k")
+    },
+
     // CTAS + ANALYZE TABLE COMPUTE STATISTICS (table + columns) — the
     // StatsOptimizer/CBO feed (`optimizer/StatsOptimizer.java:97`); stats must
     // not change results, and row count must come back exact from the catalog.

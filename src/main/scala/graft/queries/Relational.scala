@@ -78,6 +78,31 @@ object Relational {
           |ORDER BY tag""".stripMargin)
     },
 
+    // Outer-join predicate placement: a filter in ON preserves unmatched
+    // left rows; the same filter in WHERE discards them (JoinPPD semantics,
+    // `ppd/` + CommonJoinOperator residual filters) — counts must differ.
+    Qd("q94_outer_join_on_vs_where",
+      """SELECT tag, count(*) AS n, count(o_orderkey) AS matched FROM (
+        |  SELECT 'pred_in_on' AS tag, c.c_custkey, o.o_orderkey
+        |  FROM customer c LEFT JOIN orders o
+        |    ON c.c_custkey = o.o_custkey AND o.o_totalprice > 200000
+        |  UNION ALL
+        |  SELECT 'pred_in_where', c.c_custkey, o.o_orderkey
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  WHERE o.o_totalprice > 200000) x
+        |GROUP BY tag ORDER BY tag""") { (s, dir) =>
+      graft.Engine.sql(s, dir,
+        """SELECT tag, count(*) AS n, count(o_orderkey) AS matched FROM (
+          |  SELECT 'pred_in_on' AS tag, c.c_custkey, o.o_orderkey
+          |  FROM customer c LEFT JOIN orders o
+          |    ON c.c_custkey = o.o_custkey AND o.o_totalprice > 200000
+          |  UNION ALL
+          |  SELECT 'pred_in_where', c.c_custkey, o.o_orderkey
+          |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+          |  WHERE o.o_totalprice > 200000) x
+          |GROUP BY tag ORDER BY tag""".stripMargin)
+    },
+
     // Correlated EXISTS / NOT EXISTS + correlated scalar subquery
     // (QBSubQuery.java:42-46 EXISTS/NOT_EXISTS; rewritten to semi/anti).
     Qd("q93_correlated_subqueries",
