@@ -113,6 +113,39 @@ object Generators {
           |LATERAL VIEW explode(array_distinct(split(text, ' '))) w AS word
           |GROUP BY word HAVING count(DISTINCT doc_id) >= 300
           |ORDER BY df DESC, word""".stripMargin)
+    },
+
+    // LATERAL VIEW OUTER / explode_outer: rows with empty arrays survive
+    // with NULL (LateralViewJoinOperator outer flag,
+    // `parse/FromClauseParser.g:128` KW_OUTER).
+    Qd("q96_lateral_view_outer",
+      """SELECT r_regionkey, tok FROM (
+        |  SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey,
+        |    unnest(CASE WHEN r_regionkey < 2
+        |      THEN string_split(r_name, 'e') ELSE [NULL] END) AS tok
+        |  FROM region) x
+        |ORDER BY r_regionkey, tok NULLS FIRST""") { (s, dir) =>
+      Engine.registerAll(s, dir)
+      s.sql(
+        """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, tok
+          |FROM region
+          |LATERAL VIEW OUTER explode(
+          |  CASE WHEN r_regionkey < 2 THEN split(r_name, 'e')
+          |       ELSE array() END) t AS tok
+          |ORDER BY r_regionkey, tok NULLS FIRST""".stripMargin)
+    },
+
+    // ORDER BY null placement: Hive defaults NULLs-first ascending,
+    // DuckDB defaults NULLs-last — explicit NULLS FIRST/LAST on both sides.
+    Qd("q98_null_ordering",
+      """SELECT o_orderkey, v FROM (
+        |  SELECT o_orderkey, nullif(o_orderstatus, 'O') AS v
+        |  FROM orders WHERE o_orderkey < 500) x
+        |ORDER BY v NULLS FIRST, o_orderkey DESC""") { (s, dir) =>
+      t(s, dir, "orders").filter(col("o_orderkey") < 500)
+        .select(col("o_orderkey"),
+          nullif(col("o_orderstatus"), lit("O")).as("v"))
+        .orderBy(col("v").asc_nulls_first, col("o_orderkey").desc)
     }
   )
 }

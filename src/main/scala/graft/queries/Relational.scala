@@ -78,6 +78,19 @@ object Relational {
           |ORDER BY tag""".stripMargin)
     },
 
+    // Join-strategy hints (Hive MAPJOIN hint analog,
+    // `optimizer/MapJoinProcessor.java`): BROADCAST + SHUFFLE_HASH hints must
+    // not change results (strategies asserted in ExtensionSpec).
+    Qd("q97_join_hints",
+      """SELECT n_name, count(*) AS n FROM supplier s
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |GROUP BY n_name ORDER BY n_name""") { (s, dir) =>
+      graft.Engine.sql(s, dir,
+        """SELECT /*+ BROADCAST(n) */ n_name, count(*) AS n FROM supplier s
+          |JOIN nation n ON s.s_nationkey = n.n_nationkey
+          |GROUP BY n_name ORDER BY n_name""".stripMargin)
+    },
+
     // Outer-join predicate placement: a filter in ON preserves unmatched
     // left rows; the same filter in WHERE discards them (JoinPPD semantics,
     // `ppd/` + CommonJoinOperator residual filters) — counts must differ.

@@ -51,6 +51,19 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaPlan == viaGroups)
   }
 
+  test("join hints steer the strategy (BROADCAST vs SHUFFLE_HASH vs MERGE)") {
+    Engine.registerAll(spark, dir)
+    def planOf(hint: String): String = {
+      val df = spark.sql(s"SELECT /*+ $hint(n) */ n_name, s_suppkey FROM supplier s " +
+        "JOIN nation n ON s.s_nationkey = n.n_nationkey")
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    assert(planOf("BROADCAST").contains("BroadcastHashJoin"))
+    assert(planOf("SHUFFLE_HASH").contains("ShuffledHashJoin"))
+    assert(planOf("MERGE").contains("SortMergeJoin"))
+  }
+
   test("matchpath physical plan: one shuffle, one sort, then the operator") {
     val df = plans.MatchPathPlan(Engine.table(spark, dir, "events"),
       Map("error" -> "e", "purchase" -> "p"), "ep")
