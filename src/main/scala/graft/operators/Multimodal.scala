@@ -50,6 +50,43 @@ object Multimodal {
     bins
   }
 
+  private val resizeSchema = StructType(Seq(
+    StructField("media_id", LongType), StructField("kind", StringType),
+    StructField("width", IntegerType), StructField("height", IntegerType),
+    StructField("payload", BinaryType)))
+
+  /** STUB resize: a real codec would decode, scale, re-encode; the stub
+    * keeps every `stride`-th byte (deterministic downsample) and rescales
+    * the metadata dims — the Spark-side shape (binary in/out, metadata
+    * propagation, per-partition batching) is the real contract. */
+  def resize(media: DataFrame, stride: Int): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(resizeSchema)
+    media.select(col("media_id"), col("kind"),
+        col("meta.width"), col("meta.height"), col("payload"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val out = new Array[Byte]((payload.length + stride - 1) / stride)
+          var i = 0
+          while (i < out.length) { out(i) = payload(i * stride); i += 1 }
+          org.apache.spark.sql.Row(
+            r.getAs[Long]("media_id"), r.getAs[String]("kind"),
+            r.getAs[Int]("width") / stride, r.getAs[Int]("height") / stride,
+            out)
+        }
+      }(enc)
+  }
+
+  /** Every `n`-th byte as a "frame" (a video codec would seek keyframes);
+    * one row per sampled frame — the explode-style shape a frame-level
+    * pipeline consumes. */
+  def frameSample(media: DataFrame, everyN: Int, maxFrames: Int): DataFrame =
+    media.select(col("media_id"), col("kind"),
+      posexplode(slice(transform(
+        sequence(lit(0), ((length(col("payload")) - 1) / everyN).cast("int")),
+        i => substring(col("payload"), (i * everyN + 1).cast("int"), lit(1))),
+        1, maxFrames)).as(Seq("frame_no", "frame")))
+
   /** Partition-parallel featurize: binary → fixed-width float vector +
     * deterministic "frame sample" (first 8 bytes — a codec would seek). */
   def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {

@@ -57,6 +57,32 @@ object Advanced {
         .orderBy("media_id")
     },
 
+    // Multimodal resize + frame-sample plumbing (stub codec): byte counts
+    // and frame counts are deterministic, so the oracle checks the real
+    // partition-parallel pipeline arithmetic.
+    Qd("q103_multimodal_resize",
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    (['image','audio','video'])[CAST(doc_id % 3 AS INT)+1] AS kind,
+        |    strlen(text) AS nb
+        |  FROM documents)
+        |SELECT kind, count(*) AS n_media,
+        |  sum(CAST(ceil(CAST(nb AS DOUBLE)/4) AS BIGINT)) AS rz_bytes,
+        |  sum(least(5, CAST(floor((nb-1)/16) AS BIGINT)+1)) AS n_frames
+        |FROM m GROUP BY kind ORDER BY kind""") { (s, dir) =>
+      val media = Multimodal.mediaTable(t(s, dir, "documents"))
+      val rz = Multimodal.resize(media, 4)
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n_media"),
+          sum(length(col("payload")).cast("bigint")).as("rz_bytes"))
+      val fr = Multimodal.frameSample(media, 16, 5)
+        .groupBy(col("kind").as("fkind"))
+        .agg(count(lit(1)).as("n_frames"))
+      rz.join(fr, col("kind") === col("fkind"))
+        .select(col("kind"), col("n_media"), col("rz_bytes"), col("n_frames"))
+        .orderBy("kind")
+    },
+
     // PointLookupOptimizer (OR-chain → IN) — injected rule; rewrite asserted
     // in ExtensionSpec, result checked here.
     Qd("q89_point_lookup",

@@ -118,6 +118,26 @@ object Windows {
         .orderBy("user_id")
     },
 
+    // Native session windows (session_window aggregation — exceeds Hive,
+    // which sessionizes via lag()+cumsum): must equal the q29 gap formula.
+    Qd("q102_session_window",
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(1 + sum(CASE WHEN pts IS NOT NULL
+        |                    AND epoch_us(ts) - epoch_us(pts) >= 1800000000
+        |               THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+        |FROM g GROUP BY user_id ORDER BY user_id""") { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).cast("bigint").as("n_sessions"))
+        .orderBy("user_id")
+    },
+
     // IGNORE NULLS in first_value/last_value/lag (WindowingSpec null
     // handling) — error events' values nulled out, windows must skip them.
     Qd("q92_window_ignore_nulls",
