@@ -112,12 +112,34 @@ object Functions2 {
         .orderBy("p_partkey")
     },
 
-    // soundex + crc32 have no DuckDB equivalent — exact values asserted in
-    // FunctionPack2Spec; driver records rows>0.
+    // soundex + crc32 + bround (half-even) have no DuckDB equivalent —
+    // exact values asserted in FunctionPack2Spec; driver records rows>0.
     Qd.rowsOnly("q76_soundex_crc32") { (s, dir) =>
       t(s, dir, "part").select(col("p_partkey"),
         soundex(substring_index(col("p_name"), " ", 1)).as("sdx"),
-        crc32(col("p_name").cast("binary")).as("crc"))
+        crc32(col("p_name").cast("binary")).as("crc"),
+        bround(col("p_retailprice") + 0.5, 0).as("br"))
+        .orderBy("p_partkey")
+    },
+
+    // Bitwise shift family (`FunctionRegistry.java` shiftleft/shiftright/
+    // shiftrightunsigned) — DuckDB `<<`/`>>` operators as oracle.
+    Qd("q74b_bit_shifts",
+      """SELECT p_partkey,
+        |  CAST(p_size << 3 AS BIGINT) AS sl,
+        |  CAST(p_size >> 1 AS BIGINT) AS sr,
+        |  CAST(xor(p_size, 255) AS BIGINT) AS xo,
+        |  CAST(p_size & 15 AS BIGINT) AS an,
+        |  CAST(p_size | 64 AS BIGINT) AS orr,
+        |  CAST(~p_size AS BIGINT) AS nt
+        |FROM part ORDER BY p_partkey""") { (s, dir) =>
+      t(s, dir, "part").select(col("p_partkey"),
+        expr("CAST(shiftleft(p_size, 3) AS BIGINT)").as("sl"),
+        expr("CAST(shiftright(p_size, 1) AS BIGINT)").as("sr"),
+        expr("CAST(p_size ^ 255 AS BIGINT)").as("xo"),
+        expr("CAST(p_size & 15 AS BIGINT)").as("an"),
+        expr("CAST(p_size | 64 AS BIGINT)").as("orr"),
+        expr("CAST(~p_size AS BIGINT)").as("nt"))
         .orderBy("p_partkey")
     },
 

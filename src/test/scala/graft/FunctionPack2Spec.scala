@@ -43,6 +43,12 @@ class FunctionPack2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one("format_number(17.337, 2)") == "17.34")
   }
 
+  test("bround is round-half-even") {
+    assert(one("bround(CAST(2.5 AS DOUBLE), 0)") == 2.0)
+    assert(one("bround(CAST(3.5 AS DOUBLE), 0)") == 4.0)
+    assert(one("bround(CAST(2.45 AS DOUBLE), 1)") == 2.4)
+  }
+
   test("aes roundtrip with explicit mode") {
     assert(one("CAST(aes_decrypt(aes_encrypt(CAST('secret' AS BINARY), " +
       "'0123456789abcdef'), '0123456789abcdef') AS STRING)") == "secret")
