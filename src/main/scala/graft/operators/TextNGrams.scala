@@ -12,25 +12,34 @@ import org.apache.spark.sql.functions._
   * *estimates*; ours are exact — computed as a distributed explode →
   * partial+final count → top-k, which stays scalable because the
   * intermediate is (ngram, partial count) pairs, never a per-group buffer.
+  *
+  * The tokenize+gram stage is a compiled flatMap ([[TextFeatures]] rationale:
+  * Catalyst HOF lambdas re-evaluate a referenced non-attribute producer per
+  * element — the split ran O(words²) per doc in the HOF formulation).
   */
 object TextNGrams {
 
-  /** Tokenize: whitespace split, empties dropped. All codegen'd HOFs. */
-  def tokens(text: Column): Column =
-    filter(split(text, "\\s+"), w => w =!= "")
+  /** Whitespace tokens, empties dropped. */
+  private def toks(t: String): Array[String] = t.split(" ", -1).filter(_.nonEmpty)
 
-  /** The array of n-grams (space-joined) of `words`. */
-  def ngramsOf(words: Column, n: Int): Column =
-    transform(sequence(lit(1), greatest(size(words) - (n - 1), lit(0))),
-      i => concat_ws(" ", slice(words, i, lit(n))))
+  private def grams(t: String, n: Int): Iterator[String] = {
+    val ws = toks(t)
+    if (ws.length < n) Iterator.empty
+    else (0 to ws.length - n).iterator.map(i => ws.slice(i, i + n).mkString(" "))
+  }
 
   /** Exact top-k n-grams by frequency over `text`; ties broken by ngram.
     * Output: (ngram STRING, freq BIGINT). */
-  def topK(df: DataFrame, text: Column, n: Int, k: Int): DataFrame =
-    df.select(explode(ngramsOf(tokens(text), n)).as("ngram"))
+  def topK(df: DataFrame, text: Column, n: Int, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(text.cast("string")).as[String]
+      .mapPartitions(_.flatMap(t => grams(t, n)))
+      .toDF("ngram")
       .groupBy("ngram").agg(count(lit(1)).as("freq"))
       .orderBy(desc("freq"), col("ngram"))
       .limit(k)
+  }
 
   /** Hive context_ngrams: count the words that fill the null slots of
     * `context` (e.g. Seq(Some("the"), None) = words following "the").
@@ -38,17 +47,31 @@ object TextNGrams {
     * space-joined filler words. */
   def contextTopK(df: DataFrame, text: Column,
       context: Seq[Option[String]], k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val n = context.length
-    val grams = df.select(explode(ngramsOf(tokens(text), n)).as("gram"))
-      .select(split(col("gram"), " ").as("ws"))
-    val matches = context.zipWithIndex.collect { case (Some(w), i) =>
-      element_at(col("ws"), i + 1) === w
-    }.reduceOption(_ && _).getOrElse(lit(true))
-    val fillers = context.zipWithIndex.collect { case (None, i) =>
-      element_at(col("ws"), i + 1)
-    }
-    grams.filter(matches)
-      .select(concat_ws(" ", fillers: _*).as("gram"))
+    val ctx = context.toArray
+    df.select(text.cast("string")).as[String]
+      .mapPartitions(_.flatMap { t =>
+        val ws = toks(t)
+        (0 to ws.length - n).iterator.flatMap { i =>
+          var ok = true
+          var j = 0
+          while (ok && j < n) {
+            ctx(j) match {
+              case Some(w) => ok = ws(i + j) == w
+              case None => ()
+            }
+            j += 1
+          }
+          if (ok) {
+            val fillers = for ((c, j) <- ctx.zipWithIndex if c.isEmpty)
+              yield ws(i + j)
+            Iterator.single(fillers.mkString(" "))
+          } else Iterator.empty
+        }
+      })
+      .toDF("gram")
       .groupBy("gram").agg(count(lit(1)).as("freq"))
       .orderBy(desc("freq"), col("gram"))
       .limit(k)
