@@ -107,6 +107,47 @@ object Dedup {
       .select(col("d1"), col("d2"), round(col("jac"), 6).as("jac"))
   }
 
+  /** Connected components over an undirected pair list (d1, d2) —
+    * label-propagation to fixpoint: every vertex takes the minimum label in
+    * its neighborhood until nothing changes. The canonical-document
+    * selection step of a dedup pipeline (each near-dup cluster keeps
+    * min(doc_id)).
+    *
+    * Scale shape: one shuffle per iteration on the vertex id; iterations =
+    * graph diameter (near-dup clusters are small, so a handful);
+    * `localCheckpoint` truncates the lineage each round so plans don't grow
+    * with iteration count — the standard iterative-Spark contract. The
+    * per-iteration driver sync is one aggregate (changed-count), not data.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2"), col("d1")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id"))
+      .distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // candidate label for each vertex = min(own, neighbors' labels)
+      val next = edges
+        .join(labels.withColumnRenamed("id", "dst_id"),
+          col("dst") === col("dst_id"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("comp")).as("nbr_comp"))
+        .join(labels, "id")
+        .select(col("id"),
+          least(col("comp"), col("nbr_comp")).as("comp"),
+          (col("nbr_comp") < col("comp")).cast("long").as("chg"))
+        .localCheckpoint()
+      changed = next.agg(sum("chg")).head().getLong(0)
+      labels = next.select("id", "comp")
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("comp"))
+  }
+
   /** doc_id + 60-bit simhash signature (one compiled map pass). */
   private[operators] def simhashSigs(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession

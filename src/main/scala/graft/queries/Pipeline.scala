@@ -27,14 +27,16 @@ object Pipeline {
       col("embedding"), col("label"))
 
   // DuckDB word-3-gram shingle CTE shared by the Jaccard oracles.
-  private val shCte =
-    """WITH sh AS (
+  private val shCteBody =
+    """sh AS (
       |  SELECT doc_id, source,
       |    CASE WHEN len(string_split(text,' ')) >= 3
       |      THEN list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
       |        i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))
       |      ELSE [] END AS g
       |  FROM documents)""".stripMargin
+
+  private val shCte = s"WITH $shCteBody"
 
   // DuckDB int64-quantized embedding CTE shared by the cosine oracles.
   private def qCte(name: String, pred: String) =
@@ -125,6 +127,29 @@ object Pipeline {
       val e = emb(s, dir)
       AnnSearch.ivfTopK(e.filter(col("id") < 50), e, 10, 40, 2)
         .orderBy("qid", "rk")
+    },
+
+    // Canonicalization: connected components over the near-dup graph (each
+    // cluster keeps min doc_id). Oracle = recursive transitive closure over
+    // the same exhaustive-pairwise edges.
+    Qd("q104_dedup_components",
+      s"""WITH RECURSIVE $shCteBody,
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        |        / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8),
+        |e AS (SELECT d1 AS src, d2 AS dst FROM pairs
+        |      UNION SELECT d2, d1 FROM pairs),
+        |reach AS (
+        |  SELECT src, src AS dst FROM e
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
+        |SELECT src AS doc_id, min(dst) AS comp
+        |FROM reach GROUP BY src ORDER BY doc_id""") { (s, dir) =>
+      Dedup.connectedComponents(
+          Dedup.minhashNearDupPairs(docs(s, dir), 128, 32, 0.8))
+        .orderBy("doc_id")
     },
 
     Qd("q46_langid",

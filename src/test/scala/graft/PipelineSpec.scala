@@ -104,6 +104,17 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       m.head.n_steps == 3L && math.abs(m.head.sum_value - 6.0) < 1e-12)
   }
 
+  test("connected components: chain + triangle + isolated pair") {
+    // chain 1-2-3-4, triangle 10-11-12, pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("d1", "d2")
+    val comp = operators.Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comp(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(comp(_) == 10L))
+    assert(Seq(20L, 21L).forall(comp(_) == 20L))
+  }
+
   test("salted aggregation equals direct groupBy") {
     val ev = Engine.table(spark, dir, "events")
     val salted = operators.SkewAgg.saltedAgg(
