@@ -143,6 +143,32 @@ object Functions2 {
         .orderBy("p_partkey")
     },
 
+    // Implicit type coercions (SemanticAnalyzer/FunctionRegistry implicit
+    // conversions — SURVEY §7 "what's hard"): string↔number comparison
+    // coerces numerically, string↔timestamp comparison parses, `/` on
+    // integers is fractional (Hive semantics), `%` takes the dividend's
+    // sign, concat stringifies numbers. (String *arithmetic* — '10'+5 —
+    // deviates: Hive→double, DuckDB rejects, Spark ANSI casts; excluded and
+    // documented here.)
+    Qd("q105_coercions",
+      """SELECT p_partkey,
+        |  p_size > '10' AS gt_str,
+        |  p_size = CAST(p_size AS VARCHAR) AS eq_roundtrip,
+        |  p_size / 2 AS fdiv,
+        |  CAST(p_size // 2 AS BIGINT) AS idiv,
+        |  CAST((0 - p_size) % 7 AS BIGINT) AS neg_mod,
+        |  'k' || p_size AS cc
+        |FROM part ORDER BY p_partkey""") { (s, dir) =>
+      t(s, dir, "part").select(col("p_partkey"),
+        (col("p_size") > lit("10")).as("gt_str"),
+        (col("p_size") === col("p_size").cast("string")).as("eq_roundtrip"),
+        (col("p_size") / 2).as("fdiv"),
+        expr("CAST(p_size DIV 2 AS BIGINT)").as("idiv"),
+        expr("CAST((0 - p_size) % 7 AS BIGINT)").as("neg_mod"),
+        concat(lit("k"), col("p_size")).as("cc"))
+        .orderBy("p_partkey")
+    },
+
     // INTERVAL_YEAR_MONTH / INTERVAL_DAY_TIME arithmetic (§1 type mapping;
     // serde2/typeinfo interval types) + extract.
     Qd("q84_intervals",
