@@ -9,15 +9,29 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = Engine.session(cores = cpus, appName = "graft-verify")
     new java.io.File(outDir).mkdirs()
+    // Per-query watchdog: one hung query must not stall the whole
+    // correctness dump — cancel its job group after the timeout and move on.
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "300").toLong
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      try {
+      val run = Future {
+        spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-        System.err.println(f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.1fs")
-      } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      try {
+        Await.result(run, timeoutSec.seconds)
+        System.err.println(f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      } catch {
+        case _: java.util.concurrent.TimeoutException =>
+          spark.sparkContext.cancelJobGroup(name)
+          System.err.println(s"[verify] $name failed: timeout after ${timeoutSec}s")
+        case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally spark.sparkContext.clearJobGroup()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

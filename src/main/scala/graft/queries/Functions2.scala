@@ -143,6 +143,40 @@ object Functions2 {
         .orderBy("p_partkey")
     },
 
+    // Array higher-order + set functions (complex-type surface beyond q36:
+    // exists/forall/aggregate/zip_with + union/sort/position/remove).
+    Qd("q106_array_hofs",
+      """WITH a AS (SELECT p_partkey,
+        |    [p_size, p_size % 7, 42, p_size % 7] AS arr FROM part)
+        |SELECT p_partkey,
+        |  list_bool_or(list_transform(arr, x -> x > 20)) AS ex,
+        |  list_bool_and(list_transform(arr, x -> x >= 0)) AS fa,
+        |  CAST(list_reduce(arr, (x, y) -> x + y) AS BIGINT) AS red,
+        |  list_transform(list_zip(arr, list_reverse_sort(arr)),
+        |    p -> p[1] + p[2]) AS zipd,
+        |  list_sort(list_distinct(arr || [1, 2])) AS uni,
+        |  list_reverse_sort(arr) AS srt,
+        |  CAST(list_position(arr, 42) AS BIGINT) AS pos,
+        |  list_filter(arr, x -> x <> 42) AS rem,
+        |  list_contains(arr, 13) AS ctn
+        |FROM a ORDER BY p_partkey""") { (s, dir) =>
+      t(s, dir, "part")
+        .withColumn("arr", array(col("p_size"), col("p_size") % 7, lit(42),
+          col("p_size") % 7))
+        .select(col("p_partkey"),
+          exists(col("arr"), _ > 20).as("ex"),
+          forall(col("arr"), _ >= 0).as("fa"),
+          aggregate(col("arr"), lit(0), (a, x) => a + x).cast("bigint").as("red"),
+          zip_with(col("arr"), sort_array(col("arr"), asc = false),
+            (x, y) => x + y).as("zipd"),
+          array_sort(array_union(col("arr"), array(lit(1), lit(2)))).as("uni"),
+          sort_array(col("arr"), asc = false).as("srt"),
+          array_position(col("arr"), 42).as("pos"),
+          array_remove(col("arr"), 42).as("rem"),
+          array_contains(col("arr"), 13).as("ctn"))
+        .orderBy("p_partkey")
+    },
+
     // Implicit type coercions (SemanticAnalyzer/FunctionRegistry implicit
     // conversions — SURVEY §7 "what's hard"): string↔number comparison
     // coerces numerically, string↔timestamp comparison parses, `/` on
