@@ -177,6 +177,48 @@ object Functions2 {
         .orderBy("p_partkey")
     },
 
+    // Map-type functions (str_to_map + transform_values/map_filter/
+    // map_concat/map_keys) — identity-style oracle (DuckDB recomputes the
+    // expected scalars; the Spark side exercises the real map ops).
+    Qd("q107_map_funcs",
+      """SELECT p_partkey,
+        |  ['brand', 'size'] AS mk,
+        |  p_brand AS mv_brand,
+        |  upper(CAST(p_size AS VARCHAR)) AS mv_size_up,
+        |  CAST(2 AS BIGINT) AS msize,
+        |  CAST(1 AS BIGINT) AS n_brandkey,
+        |  'x' AS extra
+        |FROM part ORDER BY p_partkey""") { (s, dir) =>
+      t(s, dir, "part")
+        .withColumn("m", expr(
+          "str_to_map(concat('brand:', p_brand, ',size:', p_size), ',', ':')"))
+        .select(col("p_partkey"),
+          array_sort(map_keys(col("m"))).as("mk"),
+          element_at(col("m"), "brand").as("mv_brand"),
+          element_at(expr("transform_values(m, (k, v) -> upper(v))"), "size")
+            .as("mv_size_up"),
+          size(col("m")).cast("bigint").as("msize"),
+          size(expr("map_filter(m, (k, v) -> k = 'brand')")).cast("bigint")
+            .as("n_brandkey"),
+          element_at(expr("map_concat(m, map('extra', 'x'))"), "extra")
+            .as("extra"))
+        .orderBy("p_partkey")
+    },
+
+    // collect_list as a windowed aggregate over a moving ROWS frame
+    // (any-UDAF-over-window, §2.5) — DuckDB `list() OVER` as oracle.
+    Qd("q108_window_collect",
+      """SELECT s_suppkey,
+        |  list(s_nationkey) OVER (ORDER BY s_suppkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS last3
+        |FROM supplier ORDER BY s_suppkey""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy("s_suppkey").rowsBetween(-2, 0)
+      t(s, dir, "supplier").select(col("s_suppkey"),
+        collect_list(col("s_nationkey")).over(w).as("last3"))
+        .orderBy("s_suppkey")
+    },
+
     // Implicit type coercions (SemanticAnalyzer/FunctionRegistry implicit
     // conversions — SURVEY §7 "what's hard"): string↔number comparison
     // coerces numerically, string↔timestamp comparison parses, `/` on
