@@ -91,6 +91,41 @@ object Relational {
           |GROUP BY n_name ORDER BY n_name""".stripMargin)
     },
 
+    // Inline VALUES relation joined against a table (constant LocalRelation
+    // → broadcast join).
+    Qd("q109_values_join",
+      """SELECT v.grp, count(*) AS n FROM nation
+        |JOIN (VALUES (0, 'amer'), (1, 'emea'), (2, 'apac'), (3, 'emea'),
+        |             (4, 'amer')) AS v(rk, grp)
+        |  ON n_regionkey = v.rk
+        |GROUP BY v.grp ORDER BY v.grp""") { (s, dir) =>
+      graft.Engine.sql(s, dir,
+        """SELECT v.grp, count(*) AS n FROM nation
+          |JOIN (VALUES (0, 'amer'), (1, 'emea'), (2, 'apac'), (3, 'emea'),
+          |             (4, 'amer')) AS v(rk, grp)
+          |  ON n_regionkey = v.rk
+          |GROUP BY v.grp ORDER BY v.grp""".stripMargin)
+    },
+
+    // PIVOT (exceeds Hive 2.1 — no PIVOT clause there; oracle via
+    // conditional aggregation).
+    Qd("q110_pivot",
+      """SELECT o_orderpriority,
+        |  CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS f,
+        |  CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS o,
+        |  CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("f"),
+          coalesce(col("O"), lit(0L)).as("o"),
+          coalesce(col("P"), lit(0L)).as("p"))
+        .orderBy("o_orderpriority")
+    },
+
     // Outer-join predicate placement: a filter in ON preserves unmatched
     // left rows; the same filter in WHERE discards them (JoinPPD semantics,
     // `ppd/` + CommonJoinOperator residual filters) — counts must differ.
