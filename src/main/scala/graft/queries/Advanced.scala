@@ -67,8 +67,8 @@ object Advanced {
         |    strlen(text) AS nb
         |  FROM documents)
         |SELECT kind, count(*) AS n_media,
-        |  sum(CAST(ceil(CAST(nb AS DOUBLE)/4) AS BIGINT)) AS rz_bytes,
-        |  sum(least(5, CAST(floor((nb-1)/16) AS BIGINT)+1)) AS n_frames
+        |  CAST(sum(CAST(ceil(CAST(nb AS DOUBLE)/4) AS BIGINT)) AS BIGINT) AS rz_bytes,
+        |  CAST(sum(least(5, CAST(floor((nb-1)/16) AS BIGINT)+1)) AS BIGINT) AS n_frames
         |FROM m GROUP BY kind ORDER BY kind""") { (s, dir) =>
       val media = Multimodal.mediaTable(t(s, dir, "documents"))
       val rz = Multimodal.resize(media, 4)

@@ -87,13 +87,14 @@ object Aggregates {
     },
 
     // collect_set / collect_list (FunctionRegistry.java:399-400) — sorted for
-    // determinism (Hive makes no order guarantee either).
+    // determinism (Hive makes no order guarantee either); joined to one
+    // string so the driver's row-sort can rank the column.
     Qd("q20_collect",
       """SELECT n_regionkey,
-        |  list(DISTINCT n_name ORDER BY n_name) AS nations
+        |  list_aggr(list(DISTINCT n_name ORDER BY n_name), 'string_agg', ',') AS nations
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""") { (s, dir) =>
       t(s, dir, "nation").groupBy(col("n_regionkey"))
-        .agg(sort_array(collect_set(col("n_name"))).as("nations"))
+        .agg(array_join(sort_array(collect_set(col("n_name"))), ",").as("nations"))
         .orderBy("n_regionkey")
     },
 
@@ -114,7 +115,7 @@ object Aggregates {
     // (Spark bonus over Hive 2.1). Engine-specific results → rows-only check.
     Qd.rowsOnly("q22_histogram_approx") { (s, dir) =>
       t(s, dir, "lineitem").groupBy(col("l_returnflag"))
-        .agg(expr("histogram_numeric(l_quantity, 5)").as("hist_qty"),
+        .agg(to_json(expr("histogram_numeric(l_quantity, 5)")).as("hist_qty"),
           approx_count_distinct(col("l_partkey")).as("approx_nd_part"),
           expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p50"))
         .orderBy("l_returnflag")

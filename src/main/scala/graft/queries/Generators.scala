@@ -74,7 +74,7 @@ object Generators {
     // json_tuple — multi-field JSON extraction as a generator (UDTF analog;
     // single-field get_json_object is covered by q35).
     Qd("q55_json_tuple",
-      """SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sk,
+      """SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sk,
         |  count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
       t(s, dir, "events")

@@ -85,7 +85,7 @@ object Sources {
     // Regex-over-text read (RegexSerDe): write "key|name|nationkey" lines,
     // parse with regexp_extract.
     Qd("q63_src_text_regex",
-      """SELECT s_nationkey, count(*) AS n, sum(s_suppkey) AS sk
+      """SELECT s_nationkey, count(*) AS n, CAST(sum(s_suppkey) AS BIGINT) AS sk
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""") { (s, dir) =>
       val p = s"${base(dir)}/text_supplier"
       t(s, dir, "supplier")
