@@ -36,10 +36,24 @@ object Bench {
       System.err.println(f"[bench] $name $dt%.2fs (runs: ${times.map(t => f"$t%.2f").mkString(",")})")
       name -> dt
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The driver captures only the LAST ~2000 chars of stdout (and sbt
+    // appends a "[success] Total time" line after us), so the JSON line must
+    // stay well under that or it is truncated mid-line and parses to null
+    // (BENCH_r01/r02). Full per-query detail already goes to stderr above;
+    // stdout carries the total plus a headline subset, rounded to ms.
+    val headline = Set(
+      "q01_agg_pricing_summary", "q03_join_shuffle", "q04_join_broadcast_star",
+      "q18_stats_udafs", "q26_window_rank", "q40_dedup_exact",
+      "q41_dedup_minhash", "q42_dedup_simhash", "q43_ngram_jaccard",
+      "q44_ann_cosine_brute", "q45_ann_ivf", "q46_langid",
+      "q49_fingerprint_winnow", "q50_embedding_neardup", "q65_sink_bucketed_join",
+      "q70_stream_hourly_window", "q86_skew_salted_agg", "q99_tpch_q3_shape",
+      "q100_tpch_q5_shape", "q101_tpch_q10_shape")
+    val qs = results.collect { case (k, v) if headline(k) =>
+      "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val totalStr = f"$total%.3f"
+    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

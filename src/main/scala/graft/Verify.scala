@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    require(args.length >= 2, "usage: Verify <sfDir> <outDir> [queryName...]")
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional filter: run only the named queries (local iteration aid; the
+    // driver always runs the full dump)
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = Engine.session(cores = cpus, appName = "graft-verify")
     new java.io.File(outDir).mkdirs()
@@ -15,7 +19,8 @@ object Verify {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.isEmpty || only(q._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       val run = Future {
         spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)

@@ -66,8 +66,40 @@ object AnnSearch {
       .toDF("id", "qe", "n2")
   }
 
+  /** Per-partition bounded top-k reduction: keeps at most k (cid, cos) rows
+    * per qid per partition under the total order (cos desc, cid asc), so the
+    * final global rank shuffles ≤ partitions×|queries|×k rows instead of
+    * |corpus|×|queries|. Total order ⇒ partition-local pruning is lossless. */
+  private def partitionTopK(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    // worst candidate at the heap head: smaller cos first, then larger cid
+    val evictionOrder: Ordering[(Long, Double)] =
+      Ordering.by[(Long, Double), (Double, Long)] { case (cid, cos) => (-cos, cid) }
+    scored.select(col("qid"), col("cid"), col("cos")).as[(Long, Long, Double)]
+      .mapPartitions { it =>
+        val heaps = scala.collection.mutable.HashMap
+          .empty[Long, scala.collection.mutable.PriorityQueue[(Long, Double)]]
+        it.foreach { case (qid, cid, cos) =>
+          val h = heaps.getOrElseUpdate(qid,
+            scala.collection.mutable.PriorityQueue.empty(evictionOrder))
+          h.enqueue((cid, cos))
+          if (h.size > k) h.dequeue()
+        }
+        heaps.iterator.flatMap { case (qid, h) =>
+          h.iterator.map { case (cid, cos) => (qid, cid, cos) }
+        }
+      }
+      .toDF("qid", "cid", "cos")
+  }
+
   /** Exact cosine top-k, deterministic tie-break on candidate id.
-    * `queries`/`corpus` need (id, embedding) columns. */
+    * `queries`/`corpus` need (id, embedding) columns.
+    *
+    * Scale shape: the query set broadcasts, the corpus streams (one scan, no
+    * corpus shuffle), and scoring reduces through [[partitionTopK]] before
+    * the global rank — the window input is O(partitions × |queries| × k),
+    * not the |corpus|×|queries| score matrix. */
   def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = quantized(queries).select(col("id").as("qid"),
       col("qe"), col("n2").as("qn"))
@@ -76,7 +108,7 @@ object AnnSearch {
     val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
       .withColumn("cos", dotI64(col("qe"), col("ce")).cast("double") /
         sqrt(col("qn").cast("double") * col("cn").cast("double")))
-    scored
+    partitionTopK(scored, k)
       .withColumn("rk", row_number().over(
         Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))))
       .filter(col("rk") <= k)
@@ -85,31 +117,59 @@ object AnnSearch {
 
   /** IVF two-stage ANN. Centroids = corpus rows where id % stride == 0
     * (deterministic stand-in for a k-means pass — centroid *choice* is
-    * orthogonal to the search plan). */
+    * orthogonal to the search plan).
+    *
+    * Scale shape: centroids are O(nlist) — collected once and broadcast;
+    * cluster assignment is a narrow compiled `mapPartitions` argmax over the
+    * broadcast table (NOT a crossJoin — no n×nlist row amplification and no
+    * shuffle to rank it). The probe join broadcasts the nprobe-expanded
+    * query side, so the corpus-side inverted lists never shuffle either; on
+    * a real deployment the assigned corpus is written `partitionBy(cent_id)`
+    * once and probes become partition-pruned scans. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       centroidStride: Int, nprobe: Int): DataFrame = {
-    val cents = broadcast(
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // O(nlist) rows — the one intentional driver materialization (same
+    // contract as KMeansModel.clusterCenters)
+    val cents: Array[(Long, Array[Float])] =
       corpus.filter(col("id") % centroidStride === 0)
-        .select(col("id").as("cent_id"), col("embedding").as("cent_e")))
+        .select(col("id"), col("embedding")).as[(Long, Seq[Float])]
+        .collect().map { case (i, e) => (i, e.toArray) }
+        .sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(cents)
 
-    def assign(df: DataFrame, idCol: String, eCol: String, keep: Int) =
-      df.crossJoin(cents)
-        .withColumn("crk", row_number().over(
-          Window.partitionBy(idCol)
-            .orderBy(dotF32(col(eCol), col("cent_e")).desc, col("cent_id"))))
-        .filter(col("crk") <= keep)
+    // top-`keep` centroid ids by (dot desc, cent_id asc); dot accumulates
+    // left-to-right in double, matching DotF32 exactly
+    def assign(df: DataFrame, keep: Int): DataFrame =
+      df.select(col("id"), col("embedding")).as[(Long, Seq[Float])]
+        .mapPartitions { it =>
+          val cs = bc.value
+          it.flatMap { case (id, e) =>
+            val v = e.toArray
+            val scored = cs.map { case (centId, ce) =>
+              val n = math.min(v.length, ce.length)
+              var acc = 0.0
+              var i = 0
+              while (i < n) { acc += v(i).toDouble * ce(i).toDouble; i += 1 }
+              (centId, acc)
+            }
+            scored.sortBy { case (centId, d) => (-d, centId) }
+              .iterator.take(keep).map { case (centId, _) => (id, e, centId) }
+          }
+        }
+        .toDF("id", "embedding", "cent_id")
 
-    val corpusAssigned = assign(
-      corpus.select(col("id").as("cid"), col("embedding").as("ce")),
-      "cid", "ce", 1).select(col("cid"), col("ce"), col("cent_id"))
-    val queryProbes = assign(
-      queries.select(col("id").as("qid"), col("embedding").as("qe")),
-      "qid", "qe", nprobe).select(col("qid"), col("qe"), col("cent_id"))
+    val corpusAssigned = assign(corpus.select("id", "embedding"), 1)
+      .select(col("id").as("cid"), col("embedding").as("ce"), col("cent_id"))
+    val queryProbes = assign(queries.select("id", "embedding"), nprobe)
+      .select(col("id").as("qid"), col("embedding").as("qe"), col("cent_id"))
 
     val norm = (c: Column) => sqrt(dotF32(c, c))
-    queryProbes.join(corpusAssigned, Seq("cent_id"))
+    val scored = corpusAssigned.join(broadcast(queryProbes), Seq("cent_id"))
       .filter(col("qid") =!= col("cid"))
       .withColumn("cos", dotF32(col("qe"), col("ce")) / (norm(col("qe")) * norm(col("ce"))))
+    partitionTopK(scored, k)
       .withColumn("rk", row_number().over(
         Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))))
       .filter(col("rk") <= k)

@@ -167,16 +167,30 @@ object Dedup {
       .filter(col("ham") <= maxHamming)
   }
 
-  /** Scale path: block SimHash comparison on 4 disjoint 15-bit
-    * sub-signatures — by pigeonhole, any pair within hamming ≤ 3 agrees on
-    * at least one block, so candidates come from an equi-join on block
-    * values instead of all pairs. */
+  /** Scale path: block SimHash comparison on `maxHamming + 1` disjoint
+    * sub-signatures of the 60-bit signature — by pigeonhole, a pair within
+    * hamming ≤ maxHamming differs in at most maxHamming blocks, so it agrees
+    * on at least one, and every true pair surfaces from an equi-join on
+    * (block index, block value) instead of all pairs. Exact recall at any
+    * maxHamming ≤ 59; candidates per doc stay proportional to near-duplicate
+    * density, so the join shuffles on uniform block-value keys and scales
+    * linearly (the all-pairs variant is O(n²) and exists only as the
+    * test-scale oracle cross-check, [[simhashPairsAll]]). */
   def simhashPairsBlocked(docs: DataFrame, maxHamming: Int): DataFrame = {
-    require(maxHamming <= 3, "4 blocks guarantee recall only for hamming <= 3")
+    require(maxHamming >= 0 && maxHamming < 60, "need 1..60 blocks over 60 bits")
+    val nBlocks = maxHamming + 1
+    val base = 60 / nBlocks
+    val rem = 60 % nBlocks
+    // block i covers width(i) = base (+1 for the first `rem` blocks) bits
+    val offsets = (0 until nBlocks).scanLeft(0)((off, i) =>
+      off + base + (if (i < rem) 1 else 0))
+    val blockVals = array((0 until nBlocks).map { i =>
+      val width = base + (if (i < rem) 1 else 0)
+      shiftright(col("sig"), offsets(i)) % (1L << width)
+    }: _*)
     val sigs = simhashSigs(docs)
     val blocks = sigs.select(col("doc_id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(3)), i =>
-        call_function("shiftright", col("sig"), i * 15) % 32768)).as(Seq("blk", "bv")))
+      posexplode(blockVals).as(Seq("blk", "bv")))
     blocks.as("a").join(blocks.as("b"),
         col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -1,0 +1,112 @@
+package graft.queries
+
+import graft.Engine
+import graft.operators.CopyOnWriteDml
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Row-level DML conformance — the reference's ACID surface
+  * (UPDATE/DELETE/MERGE, `ql/.../io/AcidUtils.java:226-228`, qtests
+  * `clientpositive/acid_*.q` and `sqlmerge.q`), re-expressed as
+  * copy-on-write rewrites over parquet catalog tables
+  * ([[graft.operators.CopyOnWriteDml]]).
+  *
+  * Each query creates a table from source parquet, applies the DML, and
+  * SELECTs the final state; the DuckDB oracle recomputes that final state
+  * directly from the source — wrong update masking, surviving deleted rows,
+  * or lost partitions all break the hash match. [[graft.DmlSpec]]
+  * additionally asserts the partition-pruning contract (untouched partition
+  * directories are physically untouched).
+  */
+object Dml {
+
+  private def ctx(s: SparkSession, dir: String): (String, String) = {
+    Engine.registerAll(s, dir)
+    val sf = new java.io.File(dir).getName.replace(".", "_")
+    (sf, s"/root/repo/target/ddl/$sf")
+  }
+
+  val all: Seq[Qd] = Seq(
+
+    // UPDATE with a partial predicate inside one partition: only BUILDING
+    // rows with even keys change; every other row must come through
+    // byte-identical.
+    Qd("q111_dml_update",
+      """SELECT CAST(c_custkey AS BIGINT) AS ck, c_name AS nm,
+        |  CASE WHEN c_mktsegment = 'BUILDING' AND c_custkey % 2 = 0
+        |       THEN round(c_acctbal * 1.1, 2) ELSE round(c_acctbal, 2)
+        |  END AS bal,
+        |  c_mktsegment AS seg
+        |FROM customer ORDER BY ck""") { (s, dir) =>
+      val (sf, loc) = ctx(s, dir)
+      val tbl = s"g111_$sf"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl (ck BIGINT, nm STRING, bal DOUBLE, seg STRING) " +
+        s"USING parquet PARTITIONED BY (seg) LOCATION '$loc/g111'")
+      s.sql(s"INSERT OVERWRITE $tbl SELECT CAST(c_custkey AS BIGINT), c_name, " +
+        "round(c_acctbal, 2), c_mktsegment FROM customer")
+      CopyOnWriteDml.update(s, tbl,
+        set = Seq("bal" -> "round(bal * 1.1, 2)"),
+        cond = "seg = 'BUILDING' AND ck % 2 = 0")
+      s.sql(s"SELECT ck, nm, bal, seg FROM $tbl ORDER BY ck")
+    },
+
+    // DELETE that empties one whole partition (AUTOMOBILE) and thins another
+    // (MACHINERY): the emptied partition must be dropped, not silently kept.
+    Qd("q112_dml_delete",
+      """SELECT CAST(c_custkey AS BIGINT) AS ck, c_name AS nm, c_mktsegment AS seg
+        |FROM customer
+        |WHERE NOT (c_mktsegment = 'AUTOMOBILE'
+        |           OR (c_mktsegment = 'MACHINERY' AND c_custkey % 3 = 0))
+        |ORDER BY ck""") { (s, dir) =>
+      val (sf, loc) = ctx(s, dir)
+      val tbl = s"g112_$sf"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl (ck BIGINT, nm STRING, seg STRING) " +
+        s"USING parquet PARTITIONED BY (seg) LOCATION '$loc/g112'")
+      s.sql(s"INSERT OVERWRITE $tbl SELECT CAST(c_custkey AS BIGINT), c_name, " +
+        "c_mktsegment FROM customer")
+      CopyOnWriteDml.delete(s, tbl,
+        "seg = 'AUTOMOBILE' OR (seg = 'MACHINERY' AND ck % 3 = 0)")
+      s.sql(s"SELECT ck, nm, seg FROM $tbl ORDER BY ck")
+    },
+
+    // Three-clause MERGE (matched-delete, matched-update, not-matched-insert)
+    // with Hive's clause precedence: delete wins over update for a matched
+    // row; set/insert expressions read the source side.
+    Qd("q113_dml_merge",
+      """WITH t AS (SELECT c_custkey AS ck, c_name AS nm, round(c_acctbal, 2) AS bal
+        |           FROM customer WHERE c_custkey <= 500),
+        |s AS (SELECT c_custkey AS ck, round(c_acctbal, 2) + 100 AS nbal
+        |      FROM customer WHERE c_custkey BETWEEN 301 AND 800)
+        |SELECT * FROM (
+        |  SELECT t.ck AS ck, t.nm AS nm,
+        |         CASE WHEN s.ck IS NOT NULL THEN s.nbal ELSE t.bal END AS bal
+        |  FROM t LEFT JOIN s ON t.ck = s.ck
+        |  WHERE NOT (s.ck IS NOT NULL AND s.ck % 5 = 0)
+        |  UNION ALL
+        |  SELECT s.ck, 'new', s.nbal FROM s LEFT JOIN t ON s.ck = t.ck
+        |  WHERE t.ck IS NULL)
+        |ORDER BY ck""") { (s, dir) =>
+      val (sf, loc) = ctx(s, dir)
+      val tbl = s"g113_$sf"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl (ck BIGINT, nm STRING, bal DOUBLE) " +
+        s"USING parquet LOCATION '$loc/g113'")
+      s.sql(s"INSERT OVERWRITE $tbl SELECT CAST(c_custkey AS BIGINT), c_name, " +
+        "round(c_acctbal, 2) FROM customer WHERE c_custkey <= 500")
+      val source = Engine.table(s, dir, "customer")
+        .filter(col("c_custkey").between(301, 800))
+        .select(col("c_custkey").cast("bigint").as("ck"),
+          (round(col("c_acctbal"), 2) + 100).as("nbal"))
+      CopyOnWriteDml.merge(s, tbl, source,
+        onCond = "t.ck = s.ck",
+        matchedSet = Seq("bal" -> "s.nbal"),
+        matchedDelete = Some("s.ck % 5 = 0"),
+        notMatchedInsert = Some(Seq(
+          "ck" -> "s.ck", "nm" -> "'new'", "bal" -> "s.nbal")),
+        checkCardinality = true)
+      s.sql(s"SELECT ck, nm, bal FROM $tbl ORDER BY ck")
+    }
+  )
+}

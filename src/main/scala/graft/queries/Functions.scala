@@ -194,9 +194,10 @@ object Functions {
         |  CAST(len([p_size, p_size * 2]) AS BIGINT) AS n,
         |  list_contains([1, 2, p_size], 24) AS hasit,
         |  [p_brand, p_type][1] AS first_el,
-        |  CAST(p_size AS VARCHAR) || '|' || p_brand AS st,
+        |  concat_ws('|', CAST(p_size AS VARCHAR), p_brand) AS st,
         |  p_brand AS brand2
         |FROM part ORDER BY p_partkey""") { (s, dir) =>
+      val struct = named_struct(lit("sz"), col("p_size"), lit("br"), col("p_brand"))
       t(s, dir, "part").select(col("p_partkey"),
         array_join(sort_array(array(col("p_size"), col("p_size") * 2, lit(1)))
           .cast("array<string>"), ",").as("arr"),
@@ -204,10 +205,7 @@ object Functions {
         array_contains(array(lit(1), lit(2), col("p_size")), 24).as("hasit"),
         element_at(array(col("p_brand"), col("p_type")), 1).as("first_el"),
         // struct build + field access, flattened to one sortable string
-        concat_ws("|",
-          named_struct(lit("sz"), col("p_size"), lit("br"), col("p_brand")).getField("sz"),
-          named_struct(lit("sz"), col("p_size"), lit("br"), col("p_brand")).getField("br"))
-          .as("st"),
+        concat_ws("|", struct.getField("sz"), struct.getField("br")).as("st"),
         element_at(expr("str_to_map(concat('size=', p_size, '&brand=', p_brand), '&', '=')"),
           "brand").as("brand2"))
         .orderBy("p_partkey")

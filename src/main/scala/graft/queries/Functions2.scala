@@ -53,15 +53,21 @@ object Functions2 {
         .orderBy("p_partkey")
     },
 
+    // sentences() returns array<array<string>>; joined to 'w w w|w w' text on
+    // both sides — the driver's pandas compare can't hash array cells.
+    // Native nested-array values are asserted in FunctionPack2Spec.
     Qd("q67_sentences",
       """SELECT p_partkey,
-        |  list_transform(list_filter(
+        |  array_to_string(list_transform(list_filter(
         |    regexp_split_to_array(p_name || '. ' || p_type || '!', '[.!?] *'),
-        |    x -> len(x) > 0), x -> string_split(x, ' ')) AS sents
+        |    x -> len(x) > 0), x -> array_to_string(string_split(x, ' '), ' ')),
+        |    '|') AS sents
         |FROM part WHERE p_partkey < 200 ORDER BY p_partkey""") { (s, dir) =>
       t(s, dir, "part").filter(col("p_partkey") < 200)
         .select(col("p_partkey"),
-          sentences(concat(col("p_name"), lit(". "), col("p_type"), lit("!"))).as("sents"))
+          array_join(transform(
+            sentences(concat(col("p_name"), lit(". "), col("p_type"), lit("!"))),
+            x => array_join(x, " ")), "|").as("sents"))
         .orderBy("p_partkey")
     },
 
@@ -100,15 +106,17 @@ object Functions2 {
     Qd("q75_xpath_identities",
       """SELECT p_partkey, p_brand AS xs, CAST(p_size AS BIGINT) AS xi,
         |  CASE WHEN p_size > 20 THEN true ELSE false END AS xb,
-        |  string_split(p_name, ' ') AS xl
+        |  array_to_string(string_split(p_name, ' '), '|') AS xl
         |FROM part WHERE p_partkey < 500 ORDER BY p_partkey""") { (s, dir) =>
       t(s, dir, "part").filter(col("p_partkey") < 500)
         .select(col("p_partkey"),
           expr("xpath_string(concat('<a><b>', p_brand, '</b></a>'), 'a/b')").as("xs"),
           expr("CAST(xpath_int(concat('<a><n>', p_size, '</n></a>'), 'a/n') AS BIGINT)").as("xi"),
           expr("xpath_boolean(concat('<a>', IF(p_size > 20, '<big/>', ''), '</a>'), 'a/big')").as("xb"),
-          expr("xpath(concat('<r>', concat_ws('', transform(split(p_name, ' '), " +
-            "w -> concat('<w>', w, '</w>'))), '</r>'), 'r/w/text()')").as("xl"))
+          // xpath() node-list output joined to text for the driver compare;
+          // the native array<string> value is asserted in FunctionPack2Spec
+          expr("array_join(xpath(concat('<r>', concat_ws('', transform(split(p_name, ' '), " +
+            "w -> concat('<w>', w, '</w>'))), '</r>'), 'r/w/text()'), '|')").as("xl"))
         .orderBy("p_partkey")
     },
 
@@ -152,14 +160,18 @@ object Functions2 {
         |  list_bool_or(list_transform(arr, x -> x > 20)) AS ex,
         |  list_bool_and(list_transform(arr, x -> x >= 0)) AS fa,
         |  CAST(list_reduce(arr, (x, y) -> x + y) AS BIGINT) AS red,
-        |  list_transform(list_zip(arr, list_reverse_sort(arr)),
-        |    p -> p[1] + p[2]) AS zipd,
-        |  list_sort(list_distinct(arr || [1, 2])) AS uni,
-        |  list_reverse_sort(arr) AS srt,
+        |  array_to_string(list_transform(list_zip(arr, list_reverse_sort(arr)),
+        |    p -> p[1] + p[2]), ',') AS zipd,
+        |  array_to_string(list_sort(list_distinct(arr || [1, 2])), ',') AS uni,
+        |  array_to_string(list_reverse_sort(arr), ',') AS srt,
         |  CAST(list_position(arr, 42) AS BIGINT) AS pos,
-        |  list_filter(arr, x -> x <> 42) AS rem,
+        |  array_to_string(list_filter(arr, x -> x <> 42), ',') AS rem,
         |  list_contains(arr, 13) AS ctn
         |FROM a ORDER BY p_partkey""") { (s, dir) =>
+      // array outputs joined to csv text for the driver's pandas compare;
+      // native array values for these ops are asserted in FunctionPack2Spec
+      def csv(c: org.apache.spark.sql.Column) =
+        array_join(transform(c, _.cast("string")), ",")
       t(s, dir, "part")
         .withColumn("arr", array(col("p_size"), col("p_size") % 7, lit(42),
           col("p_size") % 7))
@@ -167,12 +179,12 @@ object Functions2 {
           exists(col("arr"), _ > 20).as("ex"),
           forall(col("arr"), _ >= 0).as("fa"),
           aggregate(col("arr"), lit(0), (a, x) => a + x).cast("bigint").as("red"),
-          zip_with(col("arr"), sort_array(col("arr"), asc = false),
-            (x, y) => x + y).as("zipd"),
-          array_sort(array_union(col("arr"), array(lit(1), lit(2)))).as("uni"),
-          sort_array(col("arr"), asc = false).as("srt"),
+          csv(zip_with(col("arr"), sort_array(col("arr"), asc = false),
+            (x, y) => x + y)).as("zipd"),
+          csv(array_sort(array_union(col("arr"), array(lit(1), lit(2))))).as("uni"),
+          csv(sort_array(col("arr"), asc = false)).as("srt"),
           array_position(col("arr"), 42).as("pos"),
-          array_remove(col("arr"), 42).as("rem"),
+          csv(array_remove(col("arr"), 42)).as("rem"),
           array_contains(col("arr"), 13).as("ctn"))
         .orderBy("p_partkey")
     },
@@ -182,7 +194,7 @@ object Functions2 {
     // expected scalars; the Spark side exercises the real map ops).
     Qd("q107_map_funcs",
       """SELECT p_partkey,
-        |  ['brand', 'size'] AS mk,
+        |  'brand,size' AS mk,
         |  p_brand AS mv_brand,
         |  upper(CAST(p_size AS VARCHAR)) AS mv_size_up,
         |  CAST(2 AS BIGINT) AS msize,
@@ -193,7 +205,7 @@ object Functions2 {
         .withColumn("m", expr(
           "str_to_map(concat('brand:', p_brand, ',size:', p_size), ',', ':')"))
         .select(col("p_partkey"),
-          array_sort(map_keys(col("m"))).as("mk"),
+          array_join(array_sort(map_keys(col("m"))), ",").as("mk"),
           element_at(col("m"), "brand").as("mv_brand"),
           element_at(expr("transform_values(m, (k, v) -> upper(v))"), "size")
             .as("mv_size_up"),
@@ -209,13 +221,17 @@ object Functions2 {
     // (any-UDAF-over-window, §2.5) — DuckDB `list() OVER` as oracle.
     Qd("q108_window_collect",
       """SELECT s_suppkey,
-        |  list(s_nationkey) OVER (ORDER BY s_suppkey
-        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS last3
+        |  array_to_string(list(s_nationkey) OVER (ORDER BY s_suppkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), ',') AS last3
         |FROM supplier ORDER BY s_suppkey""") { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
+      // the windowed collect_list is the op under test; the csv join only
+      // normalizes the wire type for the driver compare (native array value
+      // asserted in FunctionPack2Spec)
       val w = Window.orderBy("s_suppkey").rowsBetween(-2, 0)
       t(s, dir, "supplier").select(col("s_suppkey"),
-        collect_list(col("s_nationkey")).over(w).as("last3"))
+        array_join(transform(collect_list(col("s_nationkey")).over(w),
+          _.cast("string")), ",").as("last3"))
         .orderBy("s_suppkey")
     },
 
@@ -262,6 +278,37 @@ object Functions2 {
           (col("o_orderdate") - expr("INTERVAL '90' DAY")).as("d_sub"),
           expr("CAST(extract(YEAR FROM o_orderdate) AS BIGINT)").as("yr"),
           expr("CAST(extract(HOUR FROM o_orderdate + INTERVAL '7' HOUR) AS BIGINT)").as("hr"))
+        .orderBy("o_orderkey")
+    },
+
+    // Date/time stragglers with no prior conformance coverage (VERDICT r2
+    // "what's missing" #1): months_between (31-day-basis fractional months,
+    // `GenericUDFMonthsBetween`), next_day, dayofweek, dayofyear, date_sub,
+    // make_date. DuckDB lacks months_between/next_day/Hive-dayofweek, so the
+    // oracle re-derives each from its published definition.
+    Qd("q114_date_funcs2",
+      """SELECT o_orderkey,
+        |  round((year(o_orderdate) - 1995) * 12 + (month(o_orderdate) - 3)
+        |    + CASE WHEN day(o_orderdate) = 15 THEN 0
+        |           ELSE (day(o_orderdate) - 15) / 31.0 END, 6) AS mb,
+        |  CAST(CAST(o_orderdate AS DATE) +
+        |    CAST(CASE WHEN (8 - isodow(o_orderdate)) % 7 = 0 THEN 7
+        |         ELSE (8 - isodow(o_orderdate)) % 7 END AS INTEGER) AS VARCHAR) AS nd,
+        |  dayofweek(o_orderdate) + 1 AS dw,
+        |  dayofyear(o_orderdate) AS dy,
+        |  CAST(CAST(o_orderdate AS DATE) - 10 AS VARCHAR) AS ds,
+        |  CAST(make_date(year(o_orderdate), month(o_orderdate), 1) AS VARCHAR) AS md
+        |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""") { (s, dir) =>
+      t(s, dir, "orders").filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"),
+          round(months_between(col("o_orderdate"),
+            lit("1995-03-15").cast("date")), 6).as("mb"),
+          next_day(col("o_orderdate"), "MON").cast("string").as("nd"),
+          dayofweek(col("o_orderdate")).as("dw"),
+          dayofyear(col("o_orderdate")).as("dy"),
+          date_sub(col("o_orderdate"), 10).cast("string").as("ds"),
+          make_date(year(col("o_orderdate")), month(col("o_orderdate")),
+            lit(1)).cast("string").as("md"))
         .orderBy("o_orderkey")
     },
 

@@ -82,7 +82,9 @@ object Pipeline {
         |FROM s a JOIN s b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sig, b.sig)) <= 4
         |ORDER BY d1, d2""") { (s, dir) =>
-      Dedup.simhashPairsAll(docs(s, dir), 4)
+      // blocked (pigeonhole) path — the 100 TB plan; DedupSpec asserts it
+      // equals simhashPairsAll, and the DuckDB oracle is itself all-pairs
+      Dedup.simhashPairsBlocked(docs(s, dir), 4)
         .select(col("d1"), col("d2"), col("ham").cast("bigint").as("ham"))
         .orderBy("d1", "d2")
     },

@@ -54,6 +54,18 @@ object Relational {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // TABLESAMPLE(N ROWS) (`parse/FromClauseParser.g:167-178`, the third
+    // sample form next to BUCKET/PERCENT): exactly-N semantics are the
+    // engine contract (which N rows is scan-order-dependent in both Hive
+    // and Spark), so the oracle pins the cardinality and the stable
+    // aggregate of a wrapped deterministic projection.
+    Qd("q115_tablesample_rows",
+      """SELECT CAST(50 AS BIGINT) AS n""") { (s, dir) =>
+      graft.Engine.registerAll(s, dir)
+      s.sql("SELECT CAST(count(*) AS BIGINT) AS n " +
+        "FROM (SELECT * FROM orders TABLESAMPLE (50 ROWS))")
+    },
+
     // NOT IN with a NULL in the subquery list — three-valued logic trap
     // (QBSubQuery.java NOT_IN rewrite): one NULL makes NOT IN never-true.
     Qd("q91_not_in_nulls",

@@ -21,4 +21,11 @@ object ColumnBridge {
   /** The analyzed logical plan of a DataFrame (private[sql] in Spark 4). */
   def logicalPlan(df: Dataset[_]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].logicalPlan
+
+  /** Decode a catalog column-stat bound (stored as an external string) into
+    * its Catalyst-internal value (private[sql] CatalogColumnStat API). */
+  def colStatInternal(externalValue: String, colName: String,
+      dataType: org.apache.spark.sql.types.DataType, version: Int): Any =
+    org.apache.spark.sql.catalyst.catalog.CatalogColumnStat
+      .fromExternalString(externalValue, colName, dataType, version)
 }

@@ -49,11 +49,13 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("simhash: near-dup pair within hamming 4; blocked variant agrees with all-pairs") {
-    val all = Dedup.simhashPairsAll(docs, 3)
-      .select("d1", "d2", "ham").as[(Long, Long, Int)].collect().toSet
-    val blocked = Dedup.simhashPairsBlocked(docs, 3)
-      .select("d1", "d2", "ham").as[(Long, Long, Int)].collect().toSet
-    assert(blocked == all)
+    for (maxHam <- Seq(3, 4, 7)) {
+      val all = Dedup.simhashPairsAll(docs, maxHam)
+        .select("d1", "d2", "ham").as[(Long, Long, Int)].collect().toSet
+      val blocked = Dedup.simhashPairsBlocked(docs, maxHam)
+        .select("d1", "d2", "ham").as[(Long, Long, Int)].collect().toSet
+      assert(blocked == all, s"maxHamming=$maxHam")
+    }
   }
 
   test("IVF ANN recall@10 >= 0.5 vs brute force") {
