@@ -59,7 +59,8 @@ object StatsOnlyAnsweringRule extends Rule[LogicalPlan] {
       side: CatalogColumnStat => Option[String]): Option[Any] = {
     val statTyped = a.dataType match {
       // types whose catalog min/max round-trips exactly
-      case _: IntegralType | FloatType | DoubleType | _: DecimalType |
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | _: DecimalType |
            DateType | TimestampType | BooleanType => true
       case _ => false
     }
