@@ -24,15 +24,18 @@ object Bench {
     // InMemoryRelation cache here, so no explicit caching).
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var failed = false
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
+          failed = true
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         (System.nanoTime() - t0) / 1e9
       }
-      val dt = times.min
+      // failure sentinel: a fast-fail must never masquerade as a fast query
+      val dt = if (failed) -1.0 else times.min
       System.err.println(f"[bench] $name $dt%.2fs (runs: ${times.map(t => f"$t%.2f").mkString(",")})")
       name -> dt
     }
@@ -51,9 +54,19 @@ object Bench {
       "q100_tpch_q5_shape", "q101_tpch_q10_shape")
     val qs = results.collect { case (k, v) if headline(k) =>
       "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val ok = results.filter(_._2 >= 0)
+    val failedQs = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val total = ok.map(_._2).sum
     val totalStr = f"$total%.3f"
-    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$totalStr,"unit":"sec","n_queries":${ok.size},"n_failed":${failedQs.size},"failed":${failedQs.mkString("[", ",", "]")},"queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // belt-and-braces for the driver's tail capture: the full line (plus
+    // every per-query timing) also lands in a file
+    val allQs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")),
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","n_queries":${ok.size},"n_failed":${failedQs.size},"failed":${failedQs.mkString("[", ",", "]")},"queries":$allQs,"sf":"$sfDir"}""" + "\n")
     spark.stop()
   }
 }

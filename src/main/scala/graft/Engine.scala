@@ -43,8 +43,8 @@ object Engine {
     if (!spark.experimental.extraStrategies.contains(plans.GraftStrategies)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ plans.GraftStrategies
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ plans.PointLookupRule
+      spark.experimental.extraOptimizations = spark.experimental.extraOptimizations :+
+        plans.PointLookupRule :+ plans.StatsOnlyAnsweringRule
     }
     spark
   }

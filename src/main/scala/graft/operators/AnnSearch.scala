@@ -119,6 +119,10 @@ object AnnSearch {
     * (deterministic stand-in for a k-means pass — centroid *choice* is
     * orthogonal to the search plan).
     *
+    * All arithmetic is on the int64-quantized vectors (assignment argmax and
+    * scoring), so the candidate set and scores are bit-identical across
+    * engines — the DuckDB oracle reproduces q45 exactly.
+    *
     * Scale shape: centroids are O(nlist) — collected once and broadcast;
     * cluster assignment is a narrow compiled `mapPartitions` argmax over the
     * broadcast table (NOT a crossJoin — no n×nlist row amplification and no
@@ -130,45 +134,46 @@ object AnnSearch {
       centroidStride: Int, nprobe: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    val qc = quantized(corpus)
     // O(nlist) rows — the one intentional driver materialization (same
     // contract as KMeansModel.clusterCenters)
-    val cents: Array[(Long, Array[Float])] =
-      corpus.filter(col("id") % centroidStride === 0)
-        .select(col("id"), col("embedding")).as[(Long, Seq[Float])]
+    val cents: Array[(Long, Array[Long])] =
+      qc.filter(col("id") % centroidStride === 0)
+        .select(col("id"), col("qe")).as[(Long, Seq[Long])]
         .collect().map { case (i, e) => (i, e.toArray) }
         .sortBy(_._1)
     val bc = spark.sparkContext.broadcast(cents)
 
-    // top-`keep` centroid ids by (dot desc, cent_id asc); dot accumulates
-    // left-to-right in double, matching DotF32 exactly
+    // top-`keep` centroid ids by (int64 dot desc, cent_id asc) — exact
     def assign(df: DataFrame, keep: Int): DataFrame =
-      df.select(col("id"), col("embedding")).as[(Long, Seq[Float])]
+      df.select(col("id"), col("qe"), col("n2")).as[(Long, Seq[Long], Long)]
         .mapPartitions { it =>
           val cs = bc.value
-          it.flatMap { case (id, e) =>
+          it.flatMap { case (id, e, n2) =>
             val v = e.toArray
             val scored = cs.map { case (centId, ce) =>
               val n = math.min(v.length, ce.length)
-              var acc = 0.0
+              var acc = 0L
               var i = 0
-              while (i < n) { acc += v(i).toDouble * ce(i).toDouble; i += 1 }
+              while (i < n) { acc += v(i) * ce(i); i += 1 }
               (centId, acc)
             }
             scored.sortBy { case (centId, d) => (-d, centId) }
-              .iterator.take(keep).map { case (centId, _) => (id, e, centId) }
+              .iterator.take(keep).map { case (centId, _) => (id, e, n2, centId) }
           }
         }
-        .toDF("id", "embedding", "cent_id")
+        .toDF("id", "qe", "n2", "cent_id")
 
-    val corpusAssigned = assign(corpus.select("id", "embedding"), 1)
-      .select(col("id").as("cid"), col("embedding").as("ce"), col("cent_id"))
-    val queryProbes = assign(queries.select("id", "embedding"), nprobe)
-      .select(col("id").as("qid"), col("embedding").as("qe"), col("cent_id"))
+    val corpusAssigned = assign(qc, 1)
+      .select(col("id").as("cid"), col("qe").as("ce"), col("n2").as("cn"),
+        col("cent_id"))
+    val queryProbes = assign(quantized(queries), nprobe)
+      .select(col("id").as("qid"), col("qe"), col("n2").as("qn"), col("cent_id"))
 
-    val norm = (c: Column) => sqrt(dotF32(c, c))
     val scored = corpusAssigned.join(broadcast(queryProbes), Seq("cent_id"))
       .filter(col("qid") =!= col("cid"))
-      .withColumn("cos", dotF32(col("qe"), col("ce")) / (norm(col("qe")) * norm(col("ce"))))
+      .withColumn("cos", dotI64(col("qe"), col("ce")).cast("double") /
+        sqrt(col("qn").cast("double") * col("cn").cast("double")))
     partitionTopK(scored, k)
       .withColumn("rk", row_number().over(
         Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))))

@@ -56,10 +56,25 @@ object CopyOnWriteDml {
       }.reduce(_ && _)
     }.reduce(_ || _))
 
+  /** Literal for a DROP PARTITION spec. A null partition value lives in the
+    * `__HIVE_DEFAULT_PARTITION__` directory; rendering it as `NULL` would
+    * match nothing and the emptied partition would silently survive. */
   private def sqlLiteral(v: Any): String = v match {
-    case null => "NULL"
+    case null => "'__HIVE_DEFAULT_PARTITION__'"
     case s: String => "'" + s.replace("'", "''") + "'"
-    case other => other.toString
+    case other => "'" + other.toString + "'"
+  }
+
+  /** Hive rejects SET on a partition column (`UpdateDeleteSemanticAnalyzer`):
+    * a row moving between partitions under a partition-scoped rewrite would
+    * dynamically overwrite the destination partition with only the moved
+    * rows, dropping its pre-existing data. Mirror the rejection. */
+  private def requireNoPartitionSet(set: Seq[(String, String)],
+      pcols: Seq[String], op: String): Unit = {
+    val hit = set.map(_._1).filter(c => pcols.exists(_.equalsIgnoreCase(c)))
+    require(hit.isEmpty,
+      s"$op SET targets partition column(s) ${hit.mkString(", ")}: " +
+        "not supported (matches Hive, which rejects SET on partition columns)")
   }
 
   /** Write `rewritten` into `tbl`: stage to parquet (breaking the
@@ -96,6 +111,7 @@ object CopyOnWriteDml {
   def update(spark: SparkSession, tbl: String,
       set: Seq[(String, String)], cond: String): Unit = {
     val pcols = partitionCols(spark, tbl)
+    requireNoPartitionSet(set, pcols, "UPDATE")
     val t = spark.table(tbl)
     val affected =
       if (pcols.isEmpty) Array.empty[Row]
@@ -139,6 +155,7 @@ object CopyOnWriteDml {
       notMatchedInsert: Option[Seq[(String, String)]] = None,
       checkCardinality: Boolean = false): Unit = {
     val pcols = partitionCols(spark, tbl)
+    requireNoPartitionSet(matchedSet, pcols, "MERGE")
     val tcols = spark.table(tbl).columns
     val src = source.withColumn("__src", lit(1))
 

@@ -22,6 +22,7 @@ object GraftStrategies extends SparkStrategy {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => PointLookupRule)
+    e.injectOptimizerRule(_ => StatsOnlyAnsweringRule)
     e.injectPlannerStrategy(_ => GraftStrategies)
   }
 }

@@ -137,6 +137,60 @@ object Ddl {
       s.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR COLUMNS c_custkey")
       s.sql(s"SELECT c_mktsegment, count(*) AS n, min(c_custkey) AS mn, " +
         s"max(c_custkey) AS mx FROM $tbl GROUP BY c_mktsegment ORDER BY c_mktsegment")
+    },
+
+    // CHAR(n)/VARCHAR(n) length semantics
+    // (`serde/src/java/org/apache/hadoop/hive/serde2/typeinfo/CharTypeInfo.java`,
+    // qtests `clientpositive/char_1.q`, `varchar_2.q`): CHAR pads to n on
+    // read and comparisons ignore the padding (the engine pads the other
+    // side); VARCHAR stores at most n. DuckDB has no fixed CHAR, so the
+    // oracle emulates the padding with rpad. Documented deviation: on
+    // overflowing writes Hive truncates silently while Spark raises
+    // (ANSI store assignment), so truncation is applied explicitly at
+    // insert — the stored result is identical.
+    Qd("q116_char_varchar",
+      """SELECT p_partkey,
+        |  concat('[', rpad(p_brand, 12, ' '), ']') AS bp,
+        |  length(rpad(p_brand, 12, ' ')) AS lb,
+        |  (p_brand = 'Brand#13') AS isb13,
+        |  substring(p_name, 1, 15) AS nm,
+        |  length(substring(p_name, 1, 15)) AS ln
+        |FROM part WHERE p_partkey <= 1000 ORDER BY p_partkey""") { (s, dir) =>
+      val (sf, loc) = ctx(s, dir)
+      val tbl = s"g116_$sf"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl (pk BIGINT, b CHAR(12), n VARCHAR(15)) " +
+        s"USING parquet LOCATION '$loc/g116'")
+      s.sql(s"INSERT OVERWRITE $tbl SELECT CAST(p_partkey AS BIGINT), " +
+        "p_brand, substring(p_name, 1, 15) FROM part WHERE p_partkey <= 1000")
+      // b reads back padded to 12; the comparison pads its literal side, so
+      // `b = 'Brand#13'` is TRUE for the 8-char stored value (Hive CHAR
+      // comparison semantics)
+      s.sql(s"""SELECT pk AS p_partkey, concat('[', b, ']') AS bp,
+        length(b) AS lb, (b = 'Brand#13') AS isb13, n AS nm, length(n) AS ln
+        FROM $tbl ORDER BY p_partkey""")
+    },
+
+    // Stats-only query answering (`optimizer/StatsOptimizer.java:97`,
+    // `hive.compute.query.using.stats`): after ANALYZE, a global
+    // count/count(col)/min/max is answered from catalog statistics with NO
+    // table scan — [[graft.plans.StatsOnlyAnsweringRule]] collapses the
+    // aggregate to a LocalRelation ([[graft.StatsOnlySpec]] asserts the
+    // plan shape; this query pins the values against the oracle).
+    Qd("q117_stats_only_agg",
+      """SELECT count(*) AS n, count(o_comment) AS nc,
+        |  CAST(min(o_orderkey) AS BIGINT) AS mn,
+        |  CAST(max(o_orderkey) AS BIGINT) AS mx
+        |FROM orders""") { (s, dir) =>
+      val (sf, loc) = ctx(s, dir)
+      val tbl = s"g117_$sf"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$loc/g117"))
+      s.sql(s"CREATE TABLE $tbl USING parquet LOCATION '$loc/g117' AS " +
+        "SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_comment FROM orders")
+      s.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR COLUMNS o_orderkey, o_comment")
+      s.sql(s"SELECT count(*) AS n, count(o_comment) AS nc, " +
+        s"min(o_orderkey) AS mn, max(o_orderkey) AS mx FROM $tbl")
     }
   )
 }

@@ -123,11 +123,46 @@ object Pipeline {
         .orderBy("qid", "rk")
     },
 
-    // IVF is the 100 TB path (partition-pruned probes); plan-level operator —
-    // recall vs brute force is asserted in AnnSearchSpec.
-    Qd.rowsOnly("q45_ann_ivf") { (s, dir) =>
+    // IVF is the 100 TB path (partition-pruned probes); recall vs brute
+    // force is asserted in PipelineSpec. Centroids (vec_id % 40 == 0) and
+    // all arithmetic are int64-quantized, so the DuckDB oracle reproduces
+    // the exact candidate set: assignment = argmax integer dot (ties →
+    // lower cent_id), probes = top-2 centroids per query, then exact
+    // within-list cosine top-10.
+    Qd("q45_ann_ivf",
+      s"""WITH ${qCte("qq", "WHERE vec_id < 50")},
+        |${qCte("cc", "")},
+        |cents AS (SELECT vec_id AS cent_id, qe AS ce FROM cc WHERE vec_id % 40 = 0),
+        |ca AS (SELECT cid, cent_id FROM (
+        |  SELECT cc.vec_id AS cid, cents.cent_id,
+        |    row_number() OVER (PARTITION BY cc.vec_id ORDER BY
+        |      CAST(list_sum(list_transform(range(1, len(cc.qe)+1), i -> cc.qe[i]*cents.ce[i])) AS BIGINT) DESC,
+        |      cents.cent_id) AS rn
+        |  FROM cc, cents) WHERE rn = 1),
+        |qa AS (SELECT qid, cent_id FROM (
+        |  SELECT qq.vec_id AS qid, cents.cent_id,
+        |    row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+        |      CAST(list_sum(list_transform(range(1, len(qq.qe)+1), i -> qq.qe[i]*cents.ce[i])) AS BIGINT) DESC,
+        |      cents.cent_id) AS rn
+        |  FROM qq, cents) WHERE rn <= 2),
+        |qn AS (SELECT vec_id AS qid, qe,
+        |  CAST(list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]*qe[i])) AS BIGINT) AS n2 FROM qq),
+        |cn AS (SELECT vec_id AS cid, qe AS ce,
+        |  CAST(list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]*qe[i])) AS BIGINT) AS n2 FROM cc),
+        |sc AS (
+        |  SELECT qa.qid, ca.cid,
+        |    CAST(CAST(list_sum(list_transform(range(1, len(qn.qe)+1), i -> qn.qe[i]*cn.ce[i])) AS BIGINT) AS DOUBLE)
+        |      / sqrt(CAST(qn.n2 AS DOUBLE) * CAST(cn.n2 AS DOUBLE)) AS cos
+        |  FROM qa JOIN ca ON qa.cent_id = ca.cent_id
+        |  JOIN qn ON qn.qid = qa.qid JOIN cn ON cn.cid = ca.cid
+        |  WHERE qa.qid <> ca.cid),
+        |rk AS (SELECT qid, cid, cos,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM sc)
+        |SELECT qid, cid, rk, ROUND(cos, 6) AS cos
+        |FROM rk WHERE rk <= 10 ORDER BY qid, rk""") { (s, dir) =>
       val e = emb(s, dir)
       AnnSearch.ivfTopK(e.filter(col("id") < 50), e, 10, 40, 2)
+        .select(col("qid"), col("cid"), col("rk").cast("bigint").as("rk"), col("cos"))
         .orderBy("qid", "rk")
     },
 

@@ -105,6 +105,21 @@ class DmlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("cardinality"))
   }
 
+  test("SET on a partition column is rejected (Hive UpdateDeleteSemanticAnalyzer)") {
+    val (tbl, loc) = ("dmlspec_pset", s"$base/pset")
+    mkPartitioned(tbl, loc)
+    val e = intercept[IllegalArgumentException] {
+      CopyOnWriteDml.update(spark, tbl, Seq("p" -> "'z'"), "k = 0")
+    }
+    assert(e.getMessage.contains("partition column"))
+    import spark.implicits._
+    val e2 = intercept[IllegalArgumentException] {
+      CopyOnWriteDml.merge(spark, tbl, Seq((0L, "z")).toDF("sk", "sp"),
+        onCond = "t.k = s.sk", matchedSet = Seq("p" -> "s.sp"))
+    }
+    assert(e2.getMessage.contains("partition column"))
+  }
+
   test("update on an unpartitioned table is a full rewrite with exact masking") {
     val (tbl, loc) = ("dmlspec_flat", s"$base/flat")
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
