@@ -178,7 +178,7 @@ object Ddl {
     // aggregate to a LocalRelation ([[graft.StatsOnlySpec]] asserts the
     // plan shape; this query pins the values against the oracle).
     Qd("q117_stats_only_agg",
-      """SELECT count(*) AS n, count(o_comment) AS nc,
+      """SELECT count(*) AS n, count(o_orderpriority) AS nc,
         |  CAST(min(o_orderkey) AS BIGINT) AS mn,
         |  CAST(max(o_orderkey) AS BIGINT) AS mx
         |FROM orders""") { (s, dir) =>
@@ -187,9 +187,9 @@ object Ddl {
       s.sql(s"DROP TABLE IF EXISTS $tbl")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$loc/g117"))
       s.sql(s"CREATE TABLE $tbl USING parquet LOCATION '$loc/g117' AS " +
-        "SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_comment FROM orders")
-      s.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR COLUMNS o_orderkey, o_comment")
-      s.sql(s"SELECT count(*) AS n, count(o_comment) AS nc, " +
+        "SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderpriority FROM orders")
+      s.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR COLUMNS o_orderkey, o_orderpriority")
+      s.sql(s"SELECT count(*) AS n, count(o_orderpriority) AS nc, " +
         s"min(o_orderkey) AS mn, max(o_orderkey) AS mx FROM $tbl")
     }
   )
