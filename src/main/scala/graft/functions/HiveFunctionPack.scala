@@ -85,5 +85,16 @@ object HiveFunctionPack {
     reg.createOrReplaceTempFunction("hive_hash", exprs => HiveHash(exprs), "hive")
     reg.createOrReplaceTempFunction("dot_f32",
       exprs => DotF32(exprs(0), exprs(1)), "hive")
+    reg.createOrReplaceTempFunction("ewah_bitmap_and",
+      exprs => EwahBitmapAnd(exprs(0), exprs(1)), "hive")
+    reg.createOrReplaceTempFunction("ewah_bitmap_or",
+      exprs => EwahBitmapOr(exprs(0), exprs(1)), "hive")
+    reg.createOrReplaceTempFunction("ewah_bitmap_empty",
+      exprs => EwahBitmapEmpty(exprs(0)), "hive")
+    reg.createOrReplaceTempFunction("ewah_bitmap_count",
+      exprs => EwahBitmapCount(exprs(0)), "hive")
+    spark.udf.register("ewah_bitmap",
+      org.apache.spark.sql.functions.udaf(new EwahBitmapAgg,
+        org.apache.spark.sql.Encoders.scalaLong))
   }
 }

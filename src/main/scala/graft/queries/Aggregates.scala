@@ -179,6 +179,39 @@ object Aggregates {
           coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
           col("gid"), col("total"), col("n"))
         .orderBy("gid", "status", "priority")
+    },
+
+    // ewah_bitmap family (GenericUDAFEWAHBitmap + GenericUDFEWAHBitmapAnd/
+    // Or/Empty): per-group compressed bitmaps of customer keys, combined
+    // with AND/OR and counted — the oracle reproduces the set algebra with
+    // DISTINCT-set joins. The bitmap itself never leaves the engine (its
+    // words are engine-specific), only the cardinalities do.
+    Qd("q119_ewah_bitmap",
+      """WITH u AS (SELECT DISTINCT o_custkey FROM orders
+        |           WHERE o_orderpriority = '1-URGENT'),
+        |     h AS (SELECT DISTINCT o_custkey FROM orders
+        |           WHERE o_orderpriority = '2-HIGH')
+        |SELECT CAST((SELECT count(*) FROM u) AS BIGINT) AS n_urgent,
+        |  CAST((SELECT count(*) FROM h) AS BIGINT) AS n_high,
+        |  CAST((SELECT count(*) FROM u JOIN h USING (o_custkey)) AS BIGINT) AS n_and,
+        |  CAST((SELECT count(*) FROM (SELECT o_custkey FROM u
+        |        UNION SELECT o_custkey FROM h)) AS BIGINT) AS n_or,
+        |  ((SELECT count(*) FROM u JOIN h USING (o_custkey)) = 0) AS is_empty""") { (s, dir) =>
+      graft.functions.HiveFunctionPack.register(s)
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      val bm = s.sql("""
+        SELECT o_orderpriority, ewah_bitmap(CAST(o_custkey AS BIGINT)) AS bm
+        FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        GROUP BY o_orderpriority""")
+      bm.createOrReplaceTempView("g119_bm")
+      s.sql("""
+        SELECT ewah_bitmap_count(u.bm) AS n_urgent,
+          ewah_bitmap_count(h.bm) AS n_high,
+          ewah_bitmap_count(ewah_bitmap_and(u.bm, h.bm)) AS n_and,
+          ewah_bitmap_count(ewah_bitmap_or(u.bm, h.bm)) AS n_or,
+          ewah_bitmap_empty(ewah_bitmap_and(u.bm, h.bm)) AS is_empty
+        FROM (SELECT bm FROM g119_bm WHERE o_orderpriority = '1-URGENT') u
+        CROSS JOIN (SELECT bm FROM g119_bm WHERE o_orderpriority = '2-HIGH') h""")
     }
   )
 }

@@ -162,6 +162,39 @@ object Sources {
         .orderBy("l_linestatus")
     },
 
+    // SequenceFile round-trip (HiveSequenceFileOutputFormat.java:41 —
+    // Hive's default container stores one row per record as a Writable
+    // value with a null key). Spark core ships the hadoop sequence-file
+    // codec, so the Spark-native equivalent is an RDD sink/source pair:
+    // rows serialize as Text values under NullWritable keys, the read-back
+    // parses the delimited payload. Writables are reused by the reader, so
+    // the map materializes `toString` before the iterator advances.
+    Qd("q118_src_sequencefile",
+      """SELECT s_nationkey, count(*) AS n, ROUND(sum(s_acctbal), 4) AS ab,
+        |  CAST(sum(s_suppkey) AS BIGINT) AS sk
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""") { (s, dir) =>
+      import org.apache.hadoop.io.{NullWritable, Text}
+      val p = s"${base(dir)}/seq_supplier"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+      t(s, dir, "supplier")
+        .select(concat_ws("|", col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+          .as("value"))
+        .rdd.map(r => (NullWritable.get(), new Text(r.getString(0))))
+        .saveAsSequenceFile(p)
+      val lines = s.sparkContext.sequenceFile[NullWritable, Text](p)
+        .map(_._2.toString)
+      s.createDataFrame(lines.map(org.apache.spark.sql.Row(_)),
+          StructType(Seq(StructField("value", StringType))))
+        .select(split(col("value"), "\\|").as("f"))
+        .select(col("f")(0).cast("bigint").as("s_suppkey"),
+          col("f")(1).cast("int").as("s_nationkey"),
+          col("f")(2).cast("double").as("s_acctbal"))
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"), round(sum("s_acctbal"), 4).as("ab"),
+          sum("s_suppkey").as("sk"))
+        .orderBy("s_nationkey")
+    },
+
     Qd("q83_virtual_columns",
       """SELECT fname, n FROM (
         |  SELECT 'region.parquet' AS fname, count(*) AS n FROM region

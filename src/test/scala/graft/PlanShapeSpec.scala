@@ -90,4 +90,20 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s = finalPlan("q45_ann_ivf")
     assert(s.contains("*("), "IVF scoring fell out of codegen")
   }
+
+  test("small shuffle partitions coalesce at runtime (merge-file analog)") {
+    // Hive merges undersized output files in a follow-up MR job
+    // (`ql/.../exec/Task` ConditionalTask merge-file path); Spark's AQE
+    // coalesces undersized shuffle partitions in-flight instead. Assert the
+    // mechanism actually fires: 32 configured partitions over tiny data must
+    // finalize into fewer coalesced reads, not 32 near-empty tasks (which at
+    // 100 TB-cluster scale would mean one file per task per write).
+    import org.apache.spark.sql.functions.{count, lit}
+    val df = Engine.table(spark, dir, "orders")
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("AQEShuffleRead"), s"expected AQEShuffleRead in: $s")
+    assert(s.contains("coalesced"), "AQE did not coalesce the tiny shuffle")
+  }
 }
