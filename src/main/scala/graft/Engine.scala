@@ -64,12 +64,22 @@ object Engine {
   }
 
   /** Register every warehouse table as a temp view (idempotent) and install
-    * the Hive-gap function pack. Returns the session for chaining. */
+    * the Hive-gap function pack. Returns the session for chaining.
+    *
+    * Cached per (session, dir): a bench/verify run invokes this before every
+    * query, and re-deriving 10 view definitions (parquet footer reads) per
+    * query is pure fixed overhead. No query replaces a base-table view with
+    * different content (q119 re-registers `orders` with the identical
+    * definition), so a hit is always safe. */
+  private val RegisteredKey = "graft.registered.dir"
   def registerAll(spark: SparkSession, dir: String): SparkSession = {
-    TableNames.foreach { n =>
-      table(spark, dir, n).createOrReplaceTempView(n)
+    if (!spark.conf.getOption(RegisteredKey).contains(dir)) {
+      TableNames.foreach { n =>
+        table(spark, dir, n).createOrReplaceTempView(n)
+      }
+      functions.HiveFunctionPack.register(spark)
+      spark.conf.set(RegisteredKey, dir)
     }
-    functions.HiveFunctionPack.register(spark)
     spark
   }
 

@@ -145,6 +145,14 @@ object Dedup {
       labels = next.select("id", "comp")
       iter += 1
     }
+    if (changed > 0) {
+      // non-convergence must not pass silently: labels are still usable
+      // (they over-segment, never merge wrongly) but downstream canonical-
+      // doc selection would split components — surface it.
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents stopped at maxIter=$maxIter with $changed " +
+          "labels still changing; components may be over-segmented")
+    }
     labels.select(col("id").as("doc_id"), col("comp"))
   }
 

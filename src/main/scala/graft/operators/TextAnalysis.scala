@@ -26,7 +26,8 @@ object TextAnalysis {
       .mapPartitions(_.map { case (id, t, lang) =>
         val w = words(t)
         val pred =
-          if (nonAsciiCount(t).toDouble / nCodePoints(t) > 0.3) "zh"
+          if (nCodePoints(t) == 0) "und" // empty text: no 0/0 NaN ratio
+          else if (nonAsciiCount(t).toDouble / nCodePoints(t) > 0.3) "zh"
           else {
             val en = countIn(w, stopEn); val fr = countIn(w, stopFr)
             val es = countIn(w, stopEs); val de = countIn(w, stopDe)
@@ -47,8 +48,9 @@ object TextAnalysis {
     docs.select("doc_id", "text").as[(Long, String)]
       .mapPartitions(_.map { case (id, t) =>
         val w = words(t)
-        val nWords = w.length.toDouble
-        val nChars = nCodePoints(t).toDouble
+        // empty text: denominators clamp to 1 so outputs stay finite (no 0/0)
+        val nWords = math.max(w.length, 1).toDouble
+        val nChars = math.max(nCodePoints(t), 1).toDouble
         val avgWlen = (nChars - (nWords - 1)) / nWords // single-space separated
         val stopRatio = countIn(w, stopEn) / nWords
         val punctRatio = punctCount(t) / nChars

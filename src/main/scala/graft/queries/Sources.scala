@@ -195,6 +195,73 @@ object Sources {
         .orderBy("s_nationkey")
     },
 
+    // Avro container round-trip (AvroSerDe.java:48). The pinned env has no
+    // spark-avro *datasource*, but avro + avro-mapred ship with Spark core,
+    // so the Spark-native route is the hadoop mapreduce codec:
+    // GenericRecords under AvroKey written/read via
+    // AvroKeyOutputFormat/AvroKeyInputFormat. The Schema object is not
+    // serializable — parsed per partition from the JSON string. Records are
+    // converted to Rows inside the same map stage (the reader may reuse
+    // datum instances, like any Writable-based format).
+    Qd("q120_src_avro",
+      """SELECT c_mktsegment, count(*) AS n, ROUND(sum(c_acctbal), 4) AS ab,
+        |  CAST(sum(c_custkey) AS BIGINT) AS ck
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""") { (s, dir) =>
+      import org.apache.avro.Schema
+      import org.apache.avro.generic.{GenericData, GenericRecord}
+      import org.apache.avro.mapred.AvroKey
+      import org.apache.avro.mapreduce.{AvroJob, AvroKeyInputFormat, AvroKeyOutputFormat}
+      import org.apache.hadoop.io.NullWritable
+      import org.apache.hadoop.mapreduce.Job
+      import org.apache.spark.sql.Row
+
+      val p = s"${base(dir)}/avro_customer"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+      val schemaJson =
+        """{"type":"record","name":"cust","fields":[
+          |{"name":"c_custkey","type":"long"},
+          |{"name":"c_mktsegment","type":"string"},
+          |{"name":"c_acctbal","type":"double"}]}""".stripMargin
+
+      val wjob = Job.getInstance(s.sparkContext.hadoopConfiguration)
+      AvroJob.setOutputKeySchema(wjob, new Schema.Parser().parse(schemaJson))
+      t(s, dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+        .rdd.mapPartitions { it =>
+          val schema = new Schema.Parser().parse(schemaJson)
+          it.map { r =>
+            val rec = new GenericData.Record(schema)
+            rec.put("c_custkey", r.getLong(0))
+            rec.put("c_mktsegment", r.getString(1))
+            rec.put("c_acctbal", r.getDouble(2))
+            (new AvroKey[GenericRecord](rec), NullWritable.get())
+          }
+        }
+        .saveAsNewAPIHadoopFile(p, classOf[AvroKey[GenericRecord]],
+          classOf[NullWritable], classOf[AvroKeyOutputFormat[GenericRecord]],
+          wjob.getConfiguration)
+
+      val rjob = Job.getInstance(s.sparkContext.hadoopConfiguration)
+      AvroJob.setInputKeySchema(rjob, new Schema.Parser().parse(schemaJson))
+      val rows = s.sparkContext.newAPIHadoopFile(p,
+          classOf[AvroKeyInputFormat[GenericRecord]],
+          classOf[AvroKey[GenericRecord]], classOf[NullWritable],
+          rjob.getConfiguration)
+        .mapPartitions(_.map { case (k, _) =>
+          val rec = k.datum()
+          Row(rec.get("c_custkey").asInstanceOf[Long],
+            rec.get("c_mktsegment").toString,
+            rec.get("c_acctbal").asInstanceOf[Double])
+        })
+      s.createDataFrame(rows, StructType(Seq(
+          StructField("c_custkey", LongType),
+          StructField("c_mktsegment", StringType),
+          StructField("c_acctbal", DoubleType))))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 4).as("ab"),
+          sum("c_custkey").as("ck"))
+        .orderBy("c_mktsegment")
+    },
+
     Qd("q83_virtual_columns",
       """SELECT fname, n FROM (
         |  SELECT 'region.parquet' AS fname, count(*) AS n FROM region
