@@ -130,46 +130,47 @@ object AnnSearch {
     * query side, so the corpus-side inverted lists never shuffle either; on
     * a real deployment the assigned corpus is written `partitionBy(cent_id)`
     * once and probes become partition-pruned scans. */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      centroidStride: Int, nprobe: Int): DataFrame = {
-    val spark = corpus.sparkSession
+  /** O(nlist) rows — the one intentional driver materialization (same
+    * contract as KMeansModel.clusterCenters). */
+  private def collectCentroids(qc: DataFrame, centroidStride: Int): Array[(Long, Array[Long])] = {
+    val spark = qc.sparkSession
     import spark.implicits._
-    val qc = quantized(corpus)
-    // O(nlist) rows — the one intentional driver materialization (same
-    // contract as KMeansModel.clusterCenters)
-    val cents: Array[(Long, Array[Long])] =
-      qc.filter(col("id") % centroidStride === 0)
-        .select(col("id"), col("qe")).as[(Long, Seq[Long])]
-        .collect().map { case (i, e) => (i, e.toArray) }
-        .sortBy(_._1)
-    val bc = spark.sparkContext.broadcast(cents)
+    qc.filter(col("id") % centroidStride === 0)
+      .select(col("id"), col("qe")).as[(Long, Seq[Long])]
+      .collect().map { case (i, e) => (i, e.toArray) }
+      .sortBy(_._1)
+  }
 
-    // top-`keep` centroid ids by (int64 dot desc, cent_id asc) — exact
-    def assign(df: DataFrame, keep: Int): DataFrame =
-      df.select(col("id"), col("qe"), col("n2")).as[(Long, Seq[Long], Long)]
-        .mapPartitions { it =>
-          val cs = bc.value
-          it.flatMap { case (id, e, n2) =>
-            val v = e.toArray
-            val scored = cs.map { case (centId, ce) =>
-              val n = math.min(v.length, ce.length)
-              var acc = 0L
-              var i = 0
-              while (i < n) { acc += v(i) * ce(i); i += 1 }
-              (centId, acc)
-            }
-            scored.sortBy { case (centId, d) => (-d, centId) }
-              .iterator.take(keep).map { case (centId, _) => (id, e, n2, centId) }
+  /** top-`keep` centroid ids by (int64 dot desc, cent_id asc) — exact,
+    * compiled argmax over the broadcast centroid table: no crossJoin row
+    * amplification, no shuffle. */
+  private def assign(df: DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Long])]],
+      keep: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id"), col("qe"), col("n2")).as[(Long, Seq[Long], Long)]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.flatMap { case (id, e, n2) =>
+          val v = e.toArray
+          val scored = cs.map { case (centId, ce) =>
+            val n = math.min(v.length, ce.length)
+            var acc = 0L
+            var i = 0
+            while (i < n) { acc += v(i) * ce(i); i += 1 }
+            (centId, acc)
           }
+          scored.sortBy { case (centId, d) => (-d, centId) }
+            .iterator.take(keep).map { case (centId, _) => (id, e, n2, centId) }
         }
-        .toDF("id", "qe", "n2", "cent_id")
+      }
+      .toDF("id", "qe", "n2", "cent_id")
+  }
 
-    val corpusAssigned = assign(qc, 1)
-      .select(col("id").as("cid"), col("qe").as("ce"), col("n2").as("cn"),
-        col("cent_id"))
-    val queryProbes = assign(quantized(queries), nprobe)
-      .select(col("id").as("qid"), col("qe"), col("n2").as("qn"), col("cent_id"))
-
+  /** Shared scoring + top-k tail of both IVF variants. */
+  private def scoreAndRank(corpusAssigned: DataFrame, queryProbes: DataFrame,
+      k: Int): DataFrame = {
     val scored = corpusAssigned.join(broadcast(queryProbes), Seq("cent_id"))
       .filter(col("qid") =!= col("cid"))
       .withColumn("cos", dotI64(col("qe"), col("ce")).cast("double") /
@@ -179,6 +180,60 @@ object AnnSearch {
         Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))))
       .filter(col("rk") <= k)
       .select(col("qid"), col("cid"), col("rk"), round(col("cos"), 6).as("cos"))
+  }
+
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      centroidStride: Int, nprobe: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val qc = quantized(corpus)
+    val bc = spark.sparkContext.broadcast(collectCentroids(qc, centroidStride))
+
+    val corpusAssigned = assign(qc, bc, 1)
+      .select(col("id").as("cid"), col("qe").as("ce"), col("n2").as("cn"),
+        col("cent_id"))
+    val queryProbes = assign(quantized(queries), bc, nprobe)
+      .select(col("id").as("qid"), col("qe"), col("n2").as("qn"), col("cent_id"))
+
+    scoreAndRank(corpusAssigned, queryProbes, k)
+  }
+
+  /** Materialize the IVF index: the assigned corpus written
+    * `partitionBy(cent_id)` — one directory per inverted list. At 100 TB
+    * this is the amortized one-time build; every probe afterwards reads
+    * only its nprobe/nlist directories. */
+  def ivfWriteIndex(corpus: DataFrame, centroidStride: Int, path: String): Unit = {
+    val spark = corpus.sparkSession
+    val qc = quantized(corpus)
+    val bc = spark.sparkContext.broadcast(collectCentroids(qc, centroidStride))
+    assign(qc, bc, 1)
+      .write.mode("overwrite").partitionBy("cent_id").parquet(path)
+  }
+
+  /** Probe a materialized IVF index. The probed centroid set is collected
+    * (≤ nlist ids — bounded by the centroid count, not the data) and pushed
+    * as a static IN filter, so the scan is partition-pruned to the probed
+    * inverted lists (PartitionFilters asserted in PlanShapeSpec). Candidate
+    * results are identical to [[ivfTopK]] — same assignment, same quantized
+    * scoring. */
+  def ivfTopKIndexed(queries: DataFrame, indexPath: String, k: Int,
+      centroidStride: Int, nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val index = spark.read.parquet(indexPath)
+    // centroids re-derived from the index itself (id % stride == 0 rows);
+    // the index is self-contained, no side-channel centroid file
+    val bc = spark.sparkContext.broadcast(
+      collectCentroids(index.select("id", "qe", "n2"), centroidStride))
+    val queryProbes = assign(quantized(queries), bc, nprobe)
+      .select(col("id").as("qid"), col("qe"), col("n2").as("qn"), col("cent_id"))
+    val probedCents = queryProbes.select("cent_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    // filter on the raw partition column (prunes), then normalize its
+    // read-back-inferred type to long for the probe join key
+    val corpusAssigned = index
+      .filter(col("cent_id").isin(probedCents.map(Long.box): _*))
+      .select(col("id").as("cid"), col("qe").as("ce"), col("n2").as("cn"),
+        col("cent_id").cast("long").as("cent_id"))
+    scoreAndRank(corpusAssigned, queryProbes, k)
   }
 
   /** Embedding-level near-duplicate pairs within a blocking key: cosine >=
