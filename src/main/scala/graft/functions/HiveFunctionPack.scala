@@ -85,6 +85,8 @@ object HiveFunctionPack {
     reg.createOrReplaceTempFunction("hive_hash", exprs => HiveHash(exprs), "hive")
     reg.createOrReplaceTempFunction("dot_f32",
       exprs => DotF32(exprs(0), exprs(1)), "hive")
+    reg.createOrReplaceTempFunction("in_file",
+      exprs => InFile(exprs(0), exprs(1)), "hive")
     reg.createOrReplaceTempFunction("ewah_bitmap_and",
       exprs => EwahBitmapAnd(exprs(0), exprs(1)), "hive")
     reg.createOrReplaceTempFunction("ewah_bitmap_or",

@@ -1,0 +1,55 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `in_file(str, filename)` — true iff `str` equals a full line of the file
+  * (reference: `ql/src/java/org/apache/hadoop/hive/ql/udf/generic/
+  * GenericUDFInFile.java`, registered at `FunctionRegistry.java:255`).
+  *
+  * The file is read once per executor JVM and cached as a hash set
+  * (Hive likewise loads it lazily on first evaluate). At cluster scale the
+  * path must be task-visible — ship it with `SparkContext.addFile` and pass
+  * `SparkFiles.get(name)`, same contract as Hive's requirement that the
+  * file be a shared filesystem path. Lookup files are small dimension-like
+  * side inputs; this is deliberately an eval-cached expression, not a join,
+  * to match Hive's semantics (exact whole-line match, no type coercion).
+  */
+case class InFile(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"in_file requires (string, string), got (${left.dataType}, ${right.dataType})")
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "in_file"
+
+  override protected def nullSafeEval(str: Any, file: Any): Any = {
+    val lines = InFile.lines(file.toString)
+    lines.contains(str.asInstanceOf[UTF8String].toString)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): InFile =
+    copy(left = newLeft, right = newRight)
+}
+
+object InFile {
+  // JVM-wide cache: one load per (executor, file), shared across tasks.
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+
+  private[functions] def lines(path: String): Set[String] =
+    cache.computeIfAbsent(path, p =>
+      Files.readAllLines(Paths.get(p), StandardCharsets.UTF_8).asScala.toSet)
+}

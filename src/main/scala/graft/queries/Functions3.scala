@@ -1,0 +1,156 @@
+package graft.queries
+
+import graft.Engine
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scalar-function conformance, pack 3 — the last FunctionRegistry
+  * clusters with no dedicated query: trigonometry + log constants
+  * (`ql/src/java/org/apache/hadoop/hive/ql/exec/FunctionRegistry.java:199-226`
+  * — sin/cos/tan/asin/acos/atan, pi, e, log(base,x), log2, ceiling),
+  * epoch/timezone conversions (`FunctionRegistry.java:274-294` —
+  * from_unixtime, to_unix_timestamp, to_date, from_utc_timestamp,
+  * to_utc_timestamp), the legacy aliases lcase/ucase/chr
+  * (`FunctionRegistry.java:249-268`), map_values
+  * (`FunctionRegistry.java:318`), the numeric xpath variants
+  * (`FunctionRegistry.java:296-306`), and the environment functions
+  * version/current_user/current_database (`FunctionRegistry.java:440-460`).
+  *
+  * Oracle strategy: floats are `round(_, 6)`-ed on both sides (libm vs
+  * Java Math bit-drift); timezone conversions use DuckDB's
+  * `timezone(tz, ts)` pair (probed: from_utc == `timezone(tz, ts::TIMESTAMPTZ)`
+  * under a UTC session, to_utc == `timezone('UTC', timezone(tz, ts))`);
+  * environment functions are asserted shape-only (`length(...) > 0`) since
+  * their values are engine-specific by definition.
+  */
+object Functions3 {
+
+  private def t(s: SparkSession, dir: String, n: String) = Engine.table(s, dir, n)
+
+  val all: Seq[Qd] = Seq(
+
+    // Trig + log-constant family. asin/acos inputs confined to [0, 0.99].
+    Qd("q121_trig_funcs",
+      """SELECT p_partkey,
+        |  round(sin(p_size), 6) AS sn, round(cos(p_size), 6) AS cs,
+        |  round(tan(p_size % 7), 6) AS tn,
+        |  round(asin((p_size % 100) / 100.0), 6) AS asn,
+        |  round(acos((p_size % 100) / 100.0), 6) AS acs,
+        |  round(atan(p_size - 25), 6) AS atn,
+        |  round(pi(), 6) AS pi_, round(exp(1), 6) AS e_,
+        |  round(log2(p_retailprice), 6) AS l2,
+        |  round(ln(p_retailprice) / ln(3), 6) AS l3,
+        |  CAST(ceiling(p_retailprice) AS BIGINT) AS cl
+        |FROM part ORDER BY p_partkey""") { (s, dir) =>
+      t(s, dir, "part").selectExpr("p_partkey",
+        "round(sin(p_size), 6) AS sn", "round(cos(p_size), 6) AS cs",
+        "round(tan(p_size % 7), 6) AS tn",
+        "round(asin((p_size % 100) / 100.0), 6) AS asn",
+        "round(acos((p_size % 100) / 100.0), 6) AS acs",
+        "round(atan(p_size - 25), 6) AS atn",
+        "round(pi(), 6) AS pi_", "round(e(), 6) AS e_",
+        "round(log2(p_retailprice), 6) AS l2",
+        // Hive's two-arg log(base, x)
+        "round(log(3, p_retailprice), 6) AS l3",
+        "CAST(ceiling(p_retailprice) AS BIGINT) AS cl")
+        .orderBy("p_partkey")
+    },
+
+    // Epoch + timezone conversion family. The events/orders dates span
+    // multiple US-DST transitions, so from/to_utc_timestamp is exercised on
+    // both sides of an offset change.
+    Qd("q122_time_convert",
+      """SELECT o_orderkey,
+        |  strftime(to_timestamp(o_orderkey * 977 + 12345), '%Y-%m-%d %H:%M:%S') AS fu,
+        |  strftime(to_timestamp(o_orderkey * 977 + 12345), '%Y/%m/%d') AS fu2,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS ep,
+        |  CAST(CAST(o_orderdate AS TIMESTAMP) + INTERVAL 12 HOUR AS VARCHAR) AS ts12,
+        |  CAST(CAST((CAST(o_orderdate AS TIMESTAMP) + INTERVAL 12 HOUR) AS VARCHAR) AS DATE) AS td,
+        |  strftime(timezone('America/Los_Angeles',
+        |    (CAST(o_orderdate AS TIMESTAMP) + INTERVAL 12 HOUR)::TIMESTAMPTZ),
+        |    '%Y-%m-%d %H:%M:%S') AS la,
+        |  strftime(timezone('UTC', timezone('Asia/Tokyo',
+        |    CAST(o_orderdate AS TIMESTAMP) + INTERVAL 12 HOUR)),
+        |    '%Y-%m-%d %H:%M:%S') AS utc
+        |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""") { (s, dir) =>
+      t(s, dir, "orders").filter(col("o_orderkey") < 2000).selectExpr(
+        "o_orderkey",
+        "from_unixtime(o_orderkey * 977 + 12345) AS fu",
+        "from_unixtime(o_orderkey * 977 + 12345, 'yyyy/MM/dd') AS fu2",
+        "to_unix_timestamp(o_orderdate) AS ep",
+        "CAST(CAST(o_orderdate AS TIMESTAMP) + INTERVAL 12 HOUR AS STRING) AS ts12",
+        "CAST(to_date(CAST(CAST(o_orderdate AS TIMESTAMP) + INTERVAL 12 HOUR AS STRING)) AS STRING) AS td",
+        "date_format(from_utc_timestamp(CAST(o_orderdate AS TIMESTAMP) + INTERVAL 12 HOUR, " +
+          "'America/Los_Angeles'), 'yyyy-MM-dd HH:mm:ss') AS la",
+        "date_format(to_utc_timestamp(CAST(o_orderdate AS TIMESTAMP) + INTERVAL 12 HOUR, " +
+          "'Asia/Tokyo'), 'yyyy-MM-dd HH:mm:ss') AS utc")
+        .orderBy("o_orderkey")
+    },
+
+    // Legacy aliases + map_values + environment functions. map_values order
+    // is engine-defined → sorted before the join; environment values are
+    // engine-specific → shape-only booleans.
+    Qd("q123_alias_env_funcs",
+      """SELECT p_partkey,
+        |  lower(p_name) AS lc, upper(p_brand) AS uc,
+        |  chr(65 + p_size % 26) AS ch, ascii(p_type) AS asc_,
+        |  ltrim('  ' || p_brand) AS lt, rtrim(p_brand || '  ') AS rt,
+        |  array_to_string(list_sort([CAST(p_size AS VARCHAR),
+        |    CAST(p_partkey AS VARCHAR)]), ',') AS mv,
+        |  true AS at, true AS v_ok, true AS u_ok, true AS db_ok
+        |FROM part WHERE p_partkey < 800 ORDER BY p_partkey""") { (s, dir) =>
+      t(s, dir, "part").filter(col("p_partkey") < 800).selectExpr(
+        "p_partkey",
+        "lcase(p_name) AS lc", "ucase(p_brand) AS uc",
+        "chr(65 + p_size % 26) AS ch", "ascii(p_type) AS asc_",
+        "ltrim(concat('  ', p_brand)) AS lt",
+        "rtrim(concat(p_brand, '  ')) AS rt",
+        "array_join(array_sort(map_values(str_to_map(" +
+          "concat('a:', p_size, '|b:', p_partkey), '\\\\|', ':'))), ',') AS mv",
+        "isnull(assert_true(p_size >= 0)) AS at",
+        "length(version()) > 0 AS v_ok",
+        "length(current_user()) > 0 AS u_ok",
+        "length(current_database()) > 0 AS db_ok")
+        .orderBy("p_partkey")
+    },
+
+    // Numeric xpath variants: embed → extract identities (DuckDB has no XML;
+    // the oracle is the embedded value itself, same strategy as q75).
+    Qd("q124_xpath_numeric",
+      """SELECT p_partkey,
+        |  round(p_retailprice, 2) AS xd,
+        |  round(p_retailprice, 2) AS xn,
+        |  CAST(p_partkey * 7 AS BIGINT) AS xl,
+        |  CAST(p_size AS SMALLINT) AS xsh,
+        |  round(CAST(CAST(p_size + 0.5 AS FLOAT) AS DOUBLE), 1) AS xf
+        |FROM part WHERE p_partkey < 600 ORDER BY p_partkey""") { (s, dir) =>
+      t(s, dir, "part").filter(col("p_partkey") < 600).selectExpr(
+        "p_partkey",
+        "round(xpath_double(concat('<a><v>', p_retailprice, '</v></a>'), 'a/v'), 2) AS xd",
+        "round(xpath_number(concat('<a><v>', p_retailprice, '</v></a>'), 'a/v'), 2) AS xn",
+        "xpath_long(concat('<a><v>', p_partkey * 7, '</v></a>'), 'a/v') AS xl",
+        "xpath_short(concat('<a><v>', p_size, '</v></a>'), 'a/v') AS xsh",
+        "round(CAST(xpath_float(concat('<a><v>', p_size + 0.5, '</v></a>'), 'a/v') AS DOUBLE), 1) AS xf")
+        .orderBy("p_partkey")
+    },
+
+    // in_file(str, filename) — whole-line membership against a side file
+    // (`GenericUDFInFile.java`, FunctionRegistry.java:255). The lookup file
+    // is staged to the JVM tmpdir at build time; the oracle is the
+    // equivalent IN-list over the same three values.
+    Qd("q127_in_file",
+      """SELECT p_partkey, p_brand
+        |FROM part
+        |WHERE p_brand IN ('Brand#11', 'Brand#23', 'Brand#35')
+        |ORDER BY p_partkey""") { (s, dir) =>
+      val f = java.nio.file.Files.write(
+        java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft_in_file_brands.txt"),
+        "Brand#11\nBrand#23\nBrand#35\n".getBytes("UTF-8"))
+      Engine.sql(s, dir,
+        s"""SELECT p_partkey, p_brand FROM part
+           |WHERE in_file(p_brand, '${f.toString}')
+           |ORDER BY p_partkey""".stripMargin)
+    }
+  )
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Edge cases for the pack-3 functions that the oracle queries can't reach:
+  * null propagation through the legacy aliases, out-of-domain trig, xpath
+  * numeric variants on missing nodes (Hive returns NaN/0 — mirrored by
+  * Spark's xpath family), and two-arg log at invalid bases. */
+class FunctionPack3Spec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = Engine.session(cores = 4, appName = "graft-test3")
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("legacy aliases propagate null and handle empty strings") {
+    val r = spark.sql(
+      """SELECT lcase(NULL) AS a, ucase('') AS b, chr(0) AS c,
+        |  ltrim('') AS d, ascii('') AS e""".stripMargin).head()
+    assert(r.isNullAt(0)); assert(r.getString(1) == "")
+    assert(r.getString(3) == ""); assert(r.getInt(4) == 0)
+  }
+
+  test("out-of-domain asin/acos yield NaN, log of non-positive yields null") {
+    val r = spark.sql(
+      "SELECT asin(2.0) AS a, acos(-2.0) AS b, log(3, -1.0) AS c, log2(0.0) AS d"
+    ).head()
+    assert(r.getDouble(0).isNaN); assert(r.getDouble(1).isNaN)
+    assert(r.isNullAt(2)); assert(r.isNullAt(3))
+  }
+
+  test("xpath numeric variants on a missing node match Hive (NaN / 0)") {
+    val r = spark.sql(
+      """SELECT xpath_double('<a><b>1</b></a>', 'a/c') AS d,
+        |  xpath_long('<a><b>1</b></a>', 'a/c') AS l,
+        |  xpath_short('<a><b>1</b></a>', 'a/c') AS s""".stripMargin).head()
+    assert(r.getDouble(0).isNaN)
+    assert(r.getLong(1) == 0L); assert(r.getShort(2) == 0)
+  }
+
+  test("from_unixtime round-trips to_unix_timestamp across a DST boundary") {
+    val r = spark.sql(
+      """SELECT to_unix_timestamp(from_unixtime(828867600)) AS rt,
+        |  date_format(from_utc_timestamp(from_unixtime(828867600),
+        |    'America/Los_Angeles'), 'HH') AS la_hour""".stripMargin).head()
+    assert(r.getLong(0) == 828867600L)
+  }
+
+  test("map_values preserves duplicate values and empty maps") {
+    val r = spark.sql(
+      """SELECT size(map_values(map())) AS z,
+        |  array_sort(map_values(map('a', 1, 'b', 1))) AS d""".stripMargin).head()
+    assert(r.getInt(0) == 0)
+    assert(r.getSeq[Int](1) == Seq(1, 1))
+  }
+}
