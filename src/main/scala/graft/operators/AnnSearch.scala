@@ -108,11 +108,7 @@ object AnnSearch {
     val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
       .withColumn("cos", dotI64(col("qe"), col("ce")).cast("double") /
         sqrt(col("qn").cast("double") * col("cn").cast("double")))
-    partitionTopK(scored, k)
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))))
-      .filter(col("rk") <= k)
-      .select(col("qid"), col("cid"), col("rk"), round(col("cos"), 6).as("cos"))
+    rankTopK(scored, k)
   }
 
   /** IVF two-stage ANN. Centroids = corpus rows where id % stride == 0
@@ -168,6 +164,76 @@ object AnnSearch {
       .toDF("id", "qe", "n2", "cent_id")
   }
 
+  /** Shared exact-rescore + rank tail: partition-local bounded heaps, then
+    * the global rank over the O(partitions×|queries|×k) survivors. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    partitionTopK(scored, k)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("cid"), col("rk"), round(col("cos"), 6).as("cos"))
+
+  /** splitmix64 finalizer — one Rademacher ±1 plane entry per
+    * (seed, table, bit, coordinate). The hyperplane "index" is a pure
+    * function of these four values: nothing is materialized, collected, or
+    * broadcast, and every executor derives identical planes. */
+  private def planeSign(seed: Long, t: Int, b: Int, i: Int): Boolean = {
+    var z = seed + 0x9e3779b97f4a7c15L * ((t.toLong << 40) ^ (b.toLong << 20) ^ i.toLong)
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    (z ^ (z >>> 31) & 1L) == 1L
+  }
+
+  /** Random-hyperplane LSH bucketed ANN — the LSH-bucketed companion to
+    * [[ivfTopK]] (SURVEY §7 step 9). `nTables` signature tables × `nBits`
+    * sign-bits; a corpus row lands in one bucket per table, a query joins
+    * its buckets, candidates are exact-rescored with the quantized int64
+    * dot. Collision probability per bit is 1−θ/π (random projection), so
+    * recall tunes with nBits↓ / nTables↑.
+    *
+    * Scale shape: the corpus explodes ×nTables into (t, sig) keys and
+    * *equi-joins* the query side on the bucket key — no corpus broadcast, no
+    * cartesian, no centroid collect; skewed buckets split under AQE like any
+    * shuffle join. Candidate pairs dedupe on (qid, cid) before scoring so a
+    * pair colliding in several tables is scored once. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nBits: Int = 6, nTables: Int = 10, seed: Long = 42L): DataFrame = {
+    def sigs(df: DataFrame, idN: String, eN: String, nN: String): DataFrame = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      quantized(df).as[(Long, Seq[Long], Long)].mapPartitions { it =>
+        it.flatMap { case (id, e, n2) =>
+          val v = e.toArray
+          (0 until nTables).iterator.map { t =>
+            var sig = 0
+            var b = 0
+            while (b < nBits) {
+              var acc = 0L
+              var i = 0
+              while (i < v.length) {
+                acc += (if (planeSign(seed, t, b, i)) v(i) else -v(i))
+                i += 1
+              }
+              if (acc >= 0) sig |= (1 << b)
+              b += 1
+            }
+            (id, e, n2, t, sig)
+          }
+        }
+      }.toDF(idN, eN, nN, "t", "sig")
+    }
+    val c = sigs(corpus, "cid", "ce", "cn")
+    val q = sigs(queries, "qid", "qe", "qn")
+    val cand = c.join(q, Seq("t", "sig"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), col("qe"), col("qn"), col("ce"), col("cn"))
+      .dropDuplicates("qid", "cid")
+    val scored = cand.withColumn("cos",
+      dotI64(col("qe"), col("ce")).cast("double") /
+        sqrt(col("qn").cast("double") * col("cn").cast("double")))
+    rankTopK(scored, k)
+  }
+
   /** Shared scoring + top-k tail of both IVF variants. */
   private def scoreAndRank(corpusAssigned: DataFrame, queryProbes: DataFrame,
       k: Int): DataFrame = {
@@ -175,11 +241,7 @@ object AnnSearch {
       .filter(col("qid") =!= col("cid"))
       .withColumn("cos", dotI64(col("qe"), col("ce")).cast("double") /
         sqrt(col("qn").cast("double") * col("cn").cast("double")))
-    partitionTopK(scored, k)
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))))
-      .filter(col("rk") <= k)
-      .select(col("qid"), col("cid"), col("rk"), round(col("cos"), 6).as("cos"))
+    rankTopK(scored, k)
   }
 
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,

@@ -166,6 +166,18 @@ object Pipeline {
         .orderBy("qid", "rk")
     },
 
+    // LSH-bucketed ANN (the bucketed companion scale path to IVF): corpus
+    // explodes into (table, signature) keys and equi-joins the query side —
+    // no corpus broadcast, no cartesian. Signature planes are
+    // splitmix64-derived (not SQL-expressible) → rows-only; recall vs brute
+    // force is asserted in PipelineSpec.
+    Qd.rowsOnly("q128_ann_lsh") { (s, dir) =>
+      val e = emb(s, dir)
+      AnnSearch.lshTopK(e.filter(col("id") < 50), e, 10)
+        .select(col("qid"), col("cid"), col("rk").cast("bigint").as("rk"), col("cos"))
+        .orderBy("qid", "rk")
+    },
+
     // Canonicalization: connected components over the near-dup graph (each
     // cluster keeps min doc_id). Oracle = recursive transitive closure over
     // the same exhaustive-pairwise edges.
