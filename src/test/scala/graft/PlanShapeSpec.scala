@@ -80,6 +80,27 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!s.contains("BroadcastNestedLoopJoin"), "must join on (blk, shingle) keys")
   }
 
+  test("q125 Q18-shape plans the HAVING subquery as a real semi join") {
+    val s = finalPlan("q125_tpch_q18_shape")
+    assert(s.contains("LeftSemi"), "IN-subquery did not plan as a semi join")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      "Q18 shape must stay equi-join only")
+  }
+
+  test("q126 Q21-shape plans EXISTS/NOT EXISTS as semi + anti on equi keys") {
+    val s = finalPlan("q126_tpch_q21_shape")
+    assert(s.contains("LeftSemi"), "EXISTS did not plan as a semi join")
+    assert(s.contains("LeftAnti"), "NOT EXISTS did not plan as an anti join")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      "Q21 shape must stay equi-join only (the <> terms are join residuals)")
+  }
+
+  test("q128 LSH ANN joins on bucket keys (no cartesian, no corpus broadcast)") {
+    val s = finalPlan("q128_ann_lsh")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      "LSH candidate generation must equi-join on (table, signature)")
+  }
+
   test("q01 flagship aggregation runs inside whole-stage codegen") {
     val s = finalPlan("q01_agg_pricing_summary")
     assert(s.contains("*("), "hot path fell out of codegen") // codegen span marker
