@@ -212,6 +212,24 @@ object Aggregates {
           ewah_bitmap_empty(ewah_bitmap_and(u.bm, h.bm)) AS is_empty
         FROM (SELECT bm FROM g119_bm WHERE o_orderpriority = '1-URGENT') u
         CROSS JOIN (SELECT bm FROM g119_bm WHERE o_orderpriority = '2-HIGH') h""")
+    },
+
+    // Multi-column count(DISTINCT a, b) (GenericUDAFCount over several
+    // expressions) alongside a plain aggregate — Spark plans the mix through
+    // an Expand-based rewrite, the reason multiple/multi-column distincts
+    // don't force separate scans. TPC-H columns are non-null, so Hive's
+    // any-null-excludes-row distinct semantics coincide.
+    Qd("q130_multi_col_distinct",
+      """SELECT l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  (SELECT count(*) FROM (
+        |     SELECT DISTINCT l_partkey, l_suppkey FROM lineitem li2
+        |     WHERE li2.l_returnflag = li.l_returnflag) d) AS nd_ps
+        |FROM lineitem li GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("l_partkey"), col("l_suppkey")).as("nd_ps"))
+        .orderBy("l_returnflag")
     }
   )
 }

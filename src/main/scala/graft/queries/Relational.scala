@@ -423,6 +423,35 @@ object Relational {
       val a = t(s, dir, "region").select(col("r_name").as("r1"))
       val b = t(s, dir, "region").select(col("r_name").as("r2"))
       a.crossJoin(b).filter(col("r1") < col("r2")).orderBy("r1", "r2")
+    },
+
+    // LIMIT with OFFSET (Hive `LIMIT offset,rows`, FromClauseParser limit
+    // clause) — deterministic only under a total order, hence the full
+    // ORDER BY before the offset window.
+    Qd("q129_limit_offset",
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 15 OFFSET 30""") { (s, dir) =>
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .offset(30).limit(15)
+    },
+
+    // Scalar subquery inside HAVING (reference qtests
+    // `clientpositive/subquery_in_having.q`) — the aggregate compares
+    // against a second, independently-aggregated scalar.
+    Qd("q131_having_scalar_subquery",
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY o_custkey
+        |HAVING count(*) > 2 * (SELECT avg(cnt) FROM (
+        |  SELECT count(*) AS cnt FROM orders GROUP BY o_custkey) t)
+        |ORDER BY o_custkey""") { (s, dir) =>
+      Engine.sql(s, dir,
+        """SELECT o_custkey, count(*) AS n
+          |FROM orders GROUP BY o_custkey
+          |HAVING count(*) > 2 * (SELECT avg(cnt) FROM (
+          |  SELECT count(*) AS cnt FROM orders GROUP BY o_custkey) t)
+          |ORDER BY o_custkey""".stripMargin)
     }
   ) ++ extras
 }
