@@ -118,6 +118,38 @@ object Sources {
         .orderBy("o_orderpriority")
     },
 
+    // Dynamic partition pruning: the partitioned fact's scanned partition
+    // set is decided at RUNTIME from the dim side's filter (Hive plans this
+    // as DPP sink operators feeding the fact scan, `SparkPartitionPruningSinkOperator`
+    // analog / SURVEY §2 row 25; Spark injects a DynamicPruningExpression
+    // subquery reusing the broadcast — plan-asserted in PlanShapeSpec).
+    // The dim is derived deterministically from orders, so the oracle is the
+    // same join expressed directly.
+    Qd("q132_dpp_join",
+      """WITH dim AS (
+        |  SELECT DISTINCT o_orderpriority AS pr,
+        |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |         THEN 'hot' ELSE 'cold' END AS grp
+        |  FROM orders)
+        |SELECT pr, count(*) AS n, ROUND(sum(o_totalprice), 4) AS tp
+        |FROM orders JOIN dim ON o_orderpriority = pr
+        |WHERE grp = 'hot' GROUP BY pr ORDER BY pr""") { (s, dir) =>
+      val p = s"${base(dir)}/dpp_orders"
+      val d = s"${base(dir)}/dpp_dim"
+      t(s, dir, "orders")
+        .write.mode(SaveMode.Overwrite).partitionBy("o_orderpriority").parquet(p)
+      t(s, dir, "orders").select(col("o_orderpriority").as("pr")).distinct()
+        .withColumn("grp", when(col("pr").isin("1-URGENT", "2-HIGH"), "hot")
+          .otherwise("cold"))
+        .write.mode(SaveMode.Overwrite).parquet(d)
+      s.read.parquet(p)
+        .join(broadcast(s.read.parquet(d).filter(col("grp") === "hot")),
+          col("o_orderpriority") === col("pr"))
+        .groupBy("pr")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("tp"))
+        .orderBy("pr")
+    },
+
     // Bucketed + sorted table sink (CLUSTERED BY / SORTED BY INTO N BUCKETS)
     // and an SMB-style join between the two co-bucketed tables — with
     // matching bucketing Spark elides both shuffles (SMBMapJoinOperator

@@ -101,6 +101,12 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "LSH candidate generation must equi-join on (table, signature)")
   }
 
+  test("q132 fact scan is dynamically partition-pruned from the dim filter") {
+    val s = finalPlan("q132_dpp_join")
+    assert(s.toLowerCase.contains("dynamicpruning"),
+      "expected a DynamicPruningExpression in the fact scan's PartitionFilters")
+  }
+
   test("q01 flagship aggregation runs inside whole-stage codegen") {
     val s = finalPlan("q01_agg_pricing_summary")
     assert(s.contains("*("), "hot path fell out of codegen") // codegen span marker
