@@ -437,6 +437,24 @@ object Relational {
         .offset(30).limit(15)
     },
 
+    // Correlation optimizer analog (reference `optimizer/correlation/
+    // CorrelationOptimizer.java`, qtests `correlationoptimizer*.q`): Hive
+    // merges operator trees that share the same shuffle; Catalyst's
+    // equivalent is exchange reuse — the self-joined aggregate's scan +
+    // shuffle subtree is planned ONCE and the second side reads the same
+    // exchange (ReusedExchange, plan-asserted in PlanShapeSpec).
+    Qd("q134_shared_shuffle_selfjoin",
+      """WITH a AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey)
+        |SELECT x.n AS n, CAST(count(*) AS BIGINT) AS pairs
+        |FROM a x JOIN a y ON x.n = y.n AND x.o_custkey < y.o_custkey
+        |GROUP BY x.n ORDER BY n""") { (s, dir) =>
+      Engine.sql(s, dir,
+        """WITH a AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey)
+          |SELECT x.n AS n, count(*) AS pairs
+          |FROM a x JOIN a y ON x.n = y.n AND x.o_custkey < y.o_custkey
+          |GROUP BY x.n ORDER BY n""".stripMargin)
+    },
+
     // Scalar subquery inside HAVING (reference qtests
     // `clientpositive/subquery_in_having.q`) — the aggregate compares
     // against a second, independently-aggregated scalar.

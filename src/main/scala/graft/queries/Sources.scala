@@ -150,6 +150,38 @@ object Sources {
         .orderBy("pr")
     },
 
+    // Partition-wise file formats (reference qtests
+    // `partition_wise_fileformat*.q`): a Hive table's partitions may each
+    // use a different serde/format (ALTER TABLE ... PARTITION ... SET
+    // FILEFORMAT). A Spark scan is single-format, so the mixed table is the
+    // UNION of per-format partition reads — one logical table, three
+    // format-specific scans, each still pushing its own filters/pruning.
+    Qd("q133_mixed_format_partitions",
+      """SELECT o_orderpriority, count(*) AS n, ROUND(sum(o_totalprice), 4) AS tp
+        |FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, dir) =>
+      val root = s"${base(dir)}/mixedfmt"
+      val src = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      def part(pr: String) = src.filter(col("o_orderpriority") === pr)
+        .drop("o_orderpriority")
+      part("1-URGENT").write.mode(SaveMode.Overwrite)
+        .option("header", "true").csv(s"$root/pr=1-URGENT")
+      part("2-HIGH").write.mode(SaveMode.Overwrite).orc(s"$root/pr=2-HIGH")
+      part("3-MEDIUM").write.mode(SaveMode.Overwrite).parquet(s"$root/pr=3-MEDIUM")
+      val csvSchema = "o_orderkey BIGINT, o_totalprice DOUBLE"
+      val mixed = s.read.schema(csvSchema).option("header", "true")
+        .csv(s"$root/pr=1-URGENT").withColumn("o_orderpriority", lit("1-URGENT"))
+        .unionByName(s.read.orc(s"$root/pr=2-HIGH")
+          .withColumn("o_orderpriority", lit("2-HIGH")))
+        .unionByName(s.read.parquet(s"$root/pr=3-MEDIUM")
+          .withColumn("o_orderpriority", lit("3-MEDIUM")))
+      mixed.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("tp"))
+        .orderBy("o_orderpriority")
+    },
+
     // Bucketed + sorted table sink (CLUSTERED BY / SORTED BY INTO N BUCKETS)
     // and an SMB-style join between the two co-bucketed tables — with
     // matching bucketing Spark elides both shuffles (SMBMapJoinOperator

@@ -107,6 +107,12 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "expected a DynamicPruningExpression in the fact scan's PartitionFilters")
   }
 
+  test("q134 self-joined aggregate reuses the shared shuffle (correlation-optimizer analog)") {
+    val s = finalPlan("q134_shared_shuffle_selfjoin")
+    assert(s.contains("ReusedExchange"),
+      "identical aggregate subtrees should plan one exchange, not two scans")
+  }
+
   test("q01 flagship aggregation runs inside whole-stage codegen") {
     val s = finalPlan("q01_agg_pricing_summary")
     assert(s.contains("*("), "hot path fell out of codegen") // codegen span marker
