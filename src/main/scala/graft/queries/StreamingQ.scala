@@ -41,6 +41,15 @@ object StreamingQ {
       StreamOps.sessionize(s, dir).orderBy("user_id")
     },
 
+    // Duplicated (at-least-once) arrivals deduped on event_id within the
+    // watermark → counts equal the clean batch aggregate.
+    Qd("q135_stream_dedup",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  ROUND(sum(value), 4) AS sv
+        |FROM events GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
+      StreamOps.dedupTypeCounts(s, dir).orderBy("event_type")
+    },
+
     Qd("q82_stream_static_join",
       """SELECT CAST(floor(epoch(date_trunc('hour', e.ts))) AS BIGINT) AS hour_start,
         |  c.c_mktsegment, count(*) AS n, ROUND(sum(e.value), 4) AS sv

@@ -134,4 +134,21 @@ object StreamOps {
         col("c_mktsegment"), col("n"), col("sv"))
     runToMemory(spark, agg, "graft_stream_sjoin", OutputMode.Complete())
   }
+
+  /** Streaming exact dedup — the stream analog of the batch exact-dedup
+    * pipeline op (q40). At-least-once ingest is simulated by self-unioning
+    * the replay (every event arrives twice); duplicates are dropped on the
+    * event id *within the watermark horizon*, so dedup state is bounded by
+    * the watermark instead of growing with the stream — the property that
+    * keeps this runnable on an unbounded 100 TB/day feed. */
+  def dedupTypeCounts(spark: SparkSession, dir: String): DataFrame = {
+    val replay = eventStream(spark, dir)
+    val atLeastOnce = replay.union(eventStream(spark, dir))
+    val agg = atLeastOnce
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates("event_id", "ts")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sv"))
+    runToMemory(spark, agg, "graft_stream_dedup", OutputMode.Complete())
+  }
 }
