@@ -134,6 +134,38 @@ object Functions3 {
         .orderBy("p_partkey")
     },
 
+    // Remaining registry aliases: power (= pow), stddev (= stddev_samp in
+    // both engines), the regexp function-call spelling of RLIKE, and the
+    // current_date/current_timestamp environment values (asserted as
+    // invariants — both engines evaluate them during the same run).
+    // sha/sha1 have no DuckDB function → known-value FunctionPack3Spec.
+    Qd("q136_alias_sweep",
+      """SELECT p_partkey,
+        |  round(power(p_size, 3), 1) AS pw,
+        |  CASE WHEN regexp_matches(p_name, '^a') THEN 1 ELSE 0 END AS re,
+        |  year(current_date) >= 2020 AS cd_ok,
+        |  current_timestamp >= CAST(current_date AS TIMESTAMP) AS ct_ok
+        |FROM part WHERE p_partkey < 500 ORDER BY p_partkey""") { (s, dir) =>
+      t(s, dir, "part").filter(col("p_partkey") < 500).selectExpr(
+        "p_partkey",
+        "round(power(p_size, 3), 1) AS pw",
+        "CASE WHEN regexp(p_name, '^a') THEN 1 ELSE 0 END AS re",
+        "year(current_date()) >= 2020 AS cd_ok",
+        "current_timestamp() >= CAST(current_date() AS TIMESTAMP) AS ct_ok")
+        .orderBy("p_partkey")
+    },
+
+    Qd("q137_stddev_alias",
+      """SELECT l_returnflag,
+        |  round(stddev(l_quantity), 4) AS sd,
+        |  round(stddev_pop(l_quantity), 4) AS sdp
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(round(expr("stddev(l_quantity)"), 4).as("sd"),
+          round(expr("stddev_pop(l_quantity)"), 4).as("sdp"))
+        .orderBy("l_returnflag")
+    },
+
     // in_file(str, filename) — whole-line membership against a side file
     // (`GenericUDFInFile.java`, FunctionRegistry.java:255). The lookup file
     // is staged to the JVM tmpdir at build time; the oracle is the

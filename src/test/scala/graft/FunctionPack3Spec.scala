@@ -47,6 +47,14 @@ class FunctionPack3Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getLong(0) == 828867600L)
   }
 
+  test("sha1 known values (no DuckDB oracle exists)") {
+    val r = spark.sql(
+      "SELECT sha1('abc') AS a, sha1('') AS b, sha('abc') AS c").head()
+    assert(r.getString(0) == "a9993e364706816aba3e25717850c26c9cd0d89d")
+    assert(r.getString(1) == "da39a3ee5e6b4b0d3255bfef95601890afd80709")
+    assert(r.getString(2) == r.getString(0)) // sha is the sha1 alias
+  }
+
   test("map_values preserves duplicate values and empty maps") {
     val r = spark.sql(
       """SELECT size(map_values(map())) AS z,
