@@ -117,7 +117,7 @@ object Aggregates {
       t(s, dir, "lineitem").groupBy(col("l_returnflag"))
         .agg(to_json(expr("histogram_numeric(l_quantity, 5)")).as("hist_qty"),
           approx_count_distinct(col("l_partkey")).as("approx_nd_part"),
-          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p50"))
+          expr("percentile_approx(l_extendedprice, 0.5, 1000)").as("approx_p50"))
         .orderBy("l_returnflag")
     },
 
