@@ -23,7 +23,12 @@ object Bench {
     // engine on a cluster delivers; parquet + codegen beats an
     // InMemoryRelation cache here, so no explicit caching).
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated filter (scaling experiments / local iteration);
+    // the driver never sets it, so its runs cover every query
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.isEmpty || only(q._1)).map { case (name, fn) =>
       var failed = false
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
