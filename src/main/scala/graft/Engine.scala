@@ -36,6 +36,11 @@ object Engine {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Hive 2.1 evaluation semantics, not ANSI: x/0 and malformed casts
+      // yield NULL (`GenericUDFOPDivide`, `UDFToInteger` — both return null
+      // rather than raise), numeric overflow wraps. Spark 4 defaults ANSI
+      // on; the reference's qtest corpus assumes the legacy behavior.
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

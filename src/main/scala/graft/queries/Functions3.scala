@@ -166,6 +166,26 @@ object Functions3 {
         .orderBy("l_returnflag")
     },
 
+    // Null-on-error evaluation semantics (Hive `GenericUDFOPDivide` /
+    // `UDFToInteger`: division by zero and malformed casts yield NULL, they
+    // never raise) — the reason the engine session runs with ANSI off.
+    Qd("q138_null_on_error",
+      """SELECT p_partkey,
+        |  CAST(p_size AS DOUBLE) / nullif(p_size % 5, 0) AS d5,
+        |  1 / (p_size - p_size) AS dz,
+        |  TRY_CAST(p_type AS INT) AS bad_int,
+        |  TRY_CAST(substr(p_name, 1, 3) AS DOUBLE) AS bad_dbl
+        |FROM part WHERE p_partkey < 700 ORDER BY p_partkey""") { (s, dir) =>
+      t(s, dir, "part").filter(col("p_partkey") < 700).selectExpr(
+        "p_partkey",
+        // Hive: x/0 → NULL (the oracle spells it nullif; ours divides raw)
+        "CAST(p_size AS DOUBLE) / (p_size % 5) AS d5",
+        "1 / (p_size - p_size) AS dz",
+        "CAST(p_type AS INT) AS bad_int",
+        "CAST(substr(p_name, 1, 3) AS DOUBLE) AS bad_dbl")
+        .orderBy("p_partkey")
+    },
+
     // in_file(str, filename) — whole-line membership against a side file
     // (`GenericUDFInFile.java`, FunctionRegistry.java:255). The lookup file
     // is staged to the JVM tmpdir at build time; the oracle is the
