@@ -186,6 +186,27 @@ object Functions3 {
         .orderBy("p_partkey")
     },
 
+    // Backquoted regex column names (Hive `hive.support.quoted.identifiers
+    // =none`, qtests `quotedid_*.q` / `regex_col.q`): `o_order.*` expands to
+    // every matching column. Spark gates the identical behavior behind
+    // spark.sql.parser.quotedRegexColumnNames — set for the statement, then
+    // restored (the conf is read at parse time, so resetting after sql()
+    // returns is safe).
+    Qd("q139_regex_columns",
+      """SELECT o_orderkey, o_orderstatus, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""") { (s, dir) =>
+      val key = "spark.sql.parser.quotedRegexColumnNames"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "true")
+      try Engine.sql(s, dir,
+        """SELECT `o_order.*` FROM orders
+          |WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin)
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    },
+
     // in_file(str, filename) — whole-line membership against a side file
     // (`GenericUDFInFile.java`, FunctionRegistry.java:255). The lookup file
     // is staged to the JVM tmpdir at build time; the oracle is the
