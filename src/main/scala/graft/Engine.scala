@@ -41,6 +41,12 @@ object Engine {
       // rather than raise), numeric overflow wraps. Spark 4 defaults ANSI
       // on; the reference's qtest corpus assumes the legacy behavior.
       .config("spark.sql.ansi.enabled", "false")
+      // Hive renders/parses datetimes through SimpleDateFormat
+      // (`UDFDateFormat`, `GenericUDFFromUnixTime`); Spark's CORRECTED
+      // policy switches to java.time patterns where 'u', 'YYYY', 'F' etc.
+      // mean different things. LEGACY restores SimpleDateFormat semantics
+      // (FunctionPack3Spec pins a divergent pattern).
+      .config("spark.sql.legacy.timeParserPolicy", "LEGACY")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

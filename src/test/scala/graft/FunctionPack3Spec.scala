@@ -55,6 +55,16 @@ class FunctionPack3Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getString(2) == r.getString(0)) // sha is the sha1 alias
   }
 
+  test("datetime patterns follow SimpleDateFormat (Hive), not java.time") {
+    // 'u' = day-of-week number in SimpleDateFormat (1970-01-01 was a
+    // Thursday → 4); java.time 'u' would be the year. 'YYYY' = week year.
+    val r = spark.sql(
+      """SELECT from_unixtime(0, 'u') AS dow,
+        |  from_unixtime(0, 'YYYY') AS weekyear""".stripMargin).head()
+    assert(r.getString(0) == "4", s"expected SimpleDateFormat 'u'=4, got ${r.getString(0)}")
+    assert(r.getString(1) == "1970")
+  }
+
   test("map_values preserves duplicate values and empty maps") {
     val r = spark.sql(
       """SELECT size(map_values(map())) AS z,
