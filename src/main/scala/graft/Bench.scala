@@ -66,12 +66,17 @@ object Bench {
     val line = s"""{"metric":"total","value":$totalStr,"unit":"sec","n_queries":${ok.size},"n_failed":${failedQs.size},"failed":${failedQs.mkString("[", ",", "]")},"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // belt-and-braces for the driver's tail capture: the full line (plus
-    // every per-query timing) also lands in a file
+    // every per-query timing) also lands in a file. A filtered
+    // (SPARK_GRAFT_BENCH_ONLY) run must not clobber the committed
+    // full-suite bench_last.json — it writes only to an explicit
+    // SPARK_GRAFT_BENCH_OUT.
     val allQs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")),
-      s"""{"metric":"total","value":$totalStr,"unit":"sec","n_queries":${ok.size},"n_failed":${failedQs.size},"failed":${failedQs.mkString("[", ",", "]")},"queries":$allQs,"sf":"$sfDir"}""" + "\n")
+    val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .orElse(if (only.isEmpty) Some("bench_last.json") else None)
+    outPath.foreach(p => java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(p),
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","n_queries":${ok.size},"n_failed":${failedQs.size},"failed":${failedQs.mkString("[", ",", "]")},"queries":$allQs,"sf":"$sfDir"}""" + "\n"))
     spark.stop()
   }
 }

@@ -15,13 +15,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * (reference: `ql/src/java/org/apache/hadoop/hive/ql/udf/generic/
   * GenericUDFInFile.java`, registered at `FunctionRegistry.java:255`).
   *
-  * The file is read once per executor JVM and cached as a hash set
-  * (Hive likewise loads it lazily on first evaluate). At cluster scale the
-  * path must be task-visible — ship it with `SparkContext.addFile` and pass
-  * `SparkFiles.get(name)`, same contract as Hive's requirement that the
-  * file be a shared filesystem path. Lookup files are small dimension-like
-  * side inputs; this is deliberately an eval-cached expression, not a join,
-  * to match Hive's semantics (exact whole-line match, no type coercion).
+  * The file is read once per deserialized expression instance (≈ once per
+  * task) and cached as a hash set — the same lifetime as Hive's lazy
+  * per-operator-instance load, so a file replaced between queries is
+  * re-read by the next query rather than served stale from a JVM-wide
+  * cache. At cluster scale the path must be task-visible — ship it with
+  * `SparkContext.addFile` and pass `SparkFiles.get(name)`, same contract as
+  * Hive's requirement that the file be a shared filesystem path. Lookup
+  * files are small dimension-like side inputs; this is deliberately an
+  * eval-cached expression, not a join, to match Hive's semantics (exact
+  * whole-line match, no type coercion).
   */
 case class InFile(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
@@ -35,21 +38,18 @@ case class InFile(left: Expression, right: Expression)
   override def dataType: DataType = BooleanType
   override def prettyName: String = "in_file"
 
+  // per-instance (≈ per-task after deserialization): a fresh query picks up
+  // a rewritten lookup file instead of a stale JVM-wide entry
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+
   override protected def nullSafeEval(str: Any, file: Any): Any = {
-    val lines = InFile.lines(file.toString)
+    val lines = cache.computeIfAbsent(file.toString, p =>
+      Files.readAllLines(Paths.get(p), StandardCharsets.UTF_8).asScala.toSet)
     lines.contains(str.asInstanceOf[UTF8String].toString)
   }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): InFile =
     copy(left = newLeft, right = newRight)
-}
-
-object InFile {
-  // JVM-wide cache: one load per (executor, file), shared across tasks.
-  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
-
-  private[functions] def lines(path: String): Set[String] =
-    cache.computeIfAbsent(path, p =>
-      Files.readAllLines(Paths.get(p), StandardCharsets.UTF_8).asScala.toSet)
 }

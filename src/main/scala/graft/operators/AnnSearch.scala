@@ -181,7 +181,7 @@ object AnnSearch {
     var z = seed + 0x9e3779b97f4a7c15L * ((t.toLong << 40) ^ (b.toLong << 20) ^ i.toLong)
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    (z ^ (z >>> 31) & 1L) == 1L
+    ((z ^ (z >>> 31)) & 1L) == 1L
   }
 
   /** Random-hyperplane LSH bucketed ANN — the LSH-bucketed companion to
@@ -196,8 +196,11 @@ object AnnSearch {
     * cartesian, no centroid collect; skewed buckets split under AQE like any
     * shuffle join. Candidate pairs dedupe on (qid, cid) before scoring so a
     * pair colliding in several tables is scored once. */
-  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nBits: Int = 6, nTables: Int = 10, seed: Long = 42L): DataFrame = {
+  /** Deduped (qid, cid) candidate pairs from the bucket join — exposed so
+    * the pruning property (|candidates| ≪ |queries|×|corpus|) is testable,
+    * not assumed. */
+  private[graft] def lshCandidates(queries: DataFrame, corpus: DataFrame,
+      nBits: Int, nTables: Int, seed: Long): DataFrame = {
     def sigs(df: DataFrame, idN: String, eN: String, nN: String): DataFrame = {
       val spark = df.sparkSession
       import spark.implicits._
@@ -224,13 +227,18 @@ object AnnSearch {
     }
     val c = sigs(corpus, "cid", "ce", "cn")
     val q = sigs(queries, "qid", "qe", "qn")
-    val cand = c.join(q, Seq("t", "sig"))
+    c.join(q, Seq("t", "sig"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), col("qe"), col("qn"), col("ce"), col("cn"))
       .dropDuplicates("qid", "cid")
-    val scored = cand.withColumn("cos",
-      dotI64(col("qe"), col("ce")).cast("double") /
-        sqrt(col("qn").cast("double") * col("cn").cast("double")))
+  }
+
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nBits: Int = 6, nTables: Int = 10, seed: Long = 42L): DataFrame = {
+    val scored = lshCandidates(queries, corpus, nBits, nTables, seed)
+      .withColumn("cos",
+        dotI64(col("qe"), col("ce")).cast("double") /
+          sqrt(col("qn").cast("double") * col("cn").cast("double")))
     rankTopK(scored, k)
   }
 

@@ -40,11 +40,20 @@ class FunctionPack3Spec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("from_unixtime round-trips to_unix_timestamp across a DST boundary") {
+    // 1996 US spring-forward: Apr 7, 02:00 PST → 03:00 PDT, i.e. 10:00 UTC.
+    // 828867600 = 09:00 UTC (still PST, UTC-8 → 01); one hour later the
+    // offset must jump by two wall-clock hours (10:00 UTC → 03 PDT).
     val r = spark.sql(
       """SELECT to_unix_timestamp(from_unixtime(828867600)) AS rt,
         |  date_format(from_utc_timestamp(from_unixtime(828867600),
-        |    'America/Los_Angeles'), 'HH') AS la_hour""".stripMargin).head()
+        |    'America/Los_Angeles'), 'HH') AS before_h,
+        |  date_format(from_utc_timestamp(from_unixtime(828871200),
+        |    'America/Los_Angeles'), 'HH') AS after_h""".stripMargin).head()
     assert(r.getLong(0) == 828867600L)
+    assert(r.getString(1) == "01",
+      s"expected 09:00 UTC → 01 PST before spring-forward, got ${r.getString(1)}")
+    assert(r.getString(2) == "03",
+      s"expected 10:00 UTC → 03 PDT at spring-forward, got ${r.getString(2)}")
   }
 
   test("sha1 known values (no DuckDB oracle exists)") {
