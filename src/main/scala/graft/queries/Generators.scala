@@ -17,6 +17,25 @@ object Generators {
 
   val all: Seq[Qd] = Seq(
 
+    // Chained LATERAL VIEWs (reference `lateral_view.q` multi-view cases):
+    // the second view's generator consumes the first view's output — the
+    // per-row cross product of both expansions.
+    Qd("q141_lateral_chain",
+      """SELECT brand_word, size_digit, count(*) AS n
+        |FROM part,
+        |  UNNEST(string_split(p_brand, '#')) AS t1(brand_word),
+        |  UNNEST(string_split(CAST(p_size AS VARCHAR), '')) AS t2(size_digit)
+        |WHERE brand_word <> 'Brand'
+        |GROUP BY brand_word, size_digit ORDER BY brand_word, size_digit""") { (s, dir) =>
+      Engine.sql(s, dir,
+        """SELECT brand_word, size_digit, count(*) AS n
+          |FROM part
+          |LATERAL VIEW explode(split(p_brand, '#')) b AS brand_word
+          |LATERAL VIEW explode(split(CAST(p_size AS STRING), '')) d AS size_digit
+          |WHERE brand_word <> 'Brand'
+          |GROUP BY brand_word, size_digit ORDER BY brand_word, size_digit""".stripMargin)
+    },
+
     // explode — word frequency over the corpus (UDTFOperator analog).
     Qd("q51_explode_wordcount",
       """SELECT word, count(*) AS n

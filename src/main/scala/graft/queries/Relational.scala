@@ -437,6 +437,17 @@ object Relational {
         .offset(30).limit(15)
     },
 
+    // GROUP BY / ORDER BY ordinal positions (Hive
+    // `hive.groupby.position.alias` / `hive.orderby.position.alias`,
+    // qtests `groupby_position.q` — Spark resolves ordinals by default).
+    Qd("q140_group_by_position",
+      """SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""") { (s, dir) =>
+      Engine.sql(s, dir,
+        """SELECT o_orderpriority, o_orderstatus, count(*) AS n
+          |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    },
+
     // Correlation optimizer analog (reference `optimizer/correlation/
     // CorrelationOptimizer.java`, qtests `correlationoptimizer*.q`): Hive
     // merges operator trees that share the same shuffle; Catalyst's

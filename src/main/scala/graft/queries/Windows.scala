@@ -74,6 +74,31 @@ object Windows {
         .orderBy("o_custkey", "rn")
     },
 
+    // Multiple PARTITION BY specs in one SELECT (reference
+    // `windowing_multipartitioning.q`): each distinct partitioning is its
+    // own sort+shuffle stage; the planner chains the Window execs rather
+    // than recomputing the scan.
+    Qd("q142_window_multipartition",
+      """SELECT o_orderkey,
+        |  CAST(rank() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk_cust,
+        |  CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn_prio,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_orderstatus), 2) AS tp_status
+        |FROM orders ORDER BY o_orderkey""") { (s, dir) =>
+      val wc = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val wp = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val ws = Window.partitionBy(col("o_orderstatus"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          rank().over(wc).cast("long").as("rk_cust"),
+          row_number().over(wp).cast("long").as("rn_prio"),
+          round(sum(col("o_totalprice")).over(ws), 2).as("tp_status"))
+        .orderBy("o_orderkey")
+    },
+
     // RANGE frame with a numeric value boundary (WindowingSpec.java:214-257
     // value-boundary case): peers by price band, not row count.
     Qd("q28_window_range_frame",
