@@ -150,6 +150,29 @@ object Sources {
         .orderBy("pr")
     },
 
+    // Schema-on-read null tolerance (LazySimpleSerDe
+    // `serde2/lazy/LazySimpleSerDe.java` — a text cell that fails to parse
+    // as the declared type yields NULL, never an error). Bad cells are
+    // injected deterministically (every 100th part key), so the oracle
+    // recomputes the expected NULLs from the base table.
+    Qd("q143_schema_on_read",
+      """SELECT p_partkey,
+        |  CASE WHEN p_partkey % 100 = 0 THEN NULL ELSE p_size END AS size_read,
+        |  CAST(count(*) OVER () AS BIGINT) AS n_total
+        |FROM part WHERE p_partkey < 1200 ORDER BY p_partkey""") { (s, dir) =>
+      val p = s"${base(dir)}/schema_on_read"
+      t(s, dir, "part").filter(col("p_partkey") < 1200)
+        .select(col("p_partkey"),
+          when(col("p_partkey") % 100 === 0, lit("not_a_number"))
+            .otherwise(col("p_size").cast("string")).as("p_size"))
+        .write.mode(SaveMode.Overwrite).option("header", "true").csv(p)
+      s.read.schema("p_partkey BIGINT, p_size INT")
+        .option("header", "true").option("mode", "PERMISSIVE").csv(p)
+        .select(col("p_partkey"), col("p_size").as("size_read"),
+          count(lit(1)).over().as("n_total"))
+        .orderBy("p_partkey")
+    },
+
     // Partition-wise file formats (reference qtests
     // `partition_wise_fileformat*.q`): a Hive table's partitions may each
     // use a different serde/format (ALTER TABLE ... PARTITION ... SET
