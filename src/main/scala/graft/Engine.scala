@@ -47,6 +47,10 @@ object Engine {
       // mean different things. LEGACY restores SimpleDateFormat semantics
       // (FunctionPack3Spec pins a divergent pattern).
       .config("spark.sql.legacy.timeParserPolicy", "LEGACY")
+      // Session-wide policy (not a hidden per-call mutation): TIMESTAMP(NANOS)
+      // parquet columns (the events table) read as raw long nanos; queries
+      // convert explicitly with timestamp_micros(ns DIV 1000).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -3,16 +3,17 @@ package graft.functions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.types.{DataType, IntegerType, NumericType}
 
 /** Hive `field(needle, v1, v2, ...)` — 1-based index of the first haystack
   * argument equal to `needle`, 0 when absent or when `needle` is null.
   * Reference semantics: `ql/.../udf/generic/GenericUDFField.java` (registered
   * at `exec/FunctionRegistry.java:255`). Spark has no equivalent built-in.
   *
-  * Children must share one type (strings in practice); comparison is on
-  * Catalyst internal values (UTF8String / boxed primitives), which is
-  * well-defined for atomic types.
+  * Comparison is on Catalyst internal values (UTF8String / boxed
+  * primitives); mixed numeric widths are compared on their double value
+  * (Hive coerces the arguments to a common type — boxed Integer==Long is
+  * false in Java, which would silently return 0 for field(1, 1L)).
   */
 case class FieldIndex(children: Seq[Expression])
     extends Expression with CodegenFallback {
@@ -28,6 +29,21 @@ case class FieldIndex(children: Seq[Expression])
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
   }
 
+  // lazy: the expression is constructed (and copied) before resolution,
+  // when children's dataType is not yet callable
+  @transient private lazy val numeric: Array[Boolean] =
+    children.map(_.dataType.isInstanceOf[NumericType]).toArray
+
+  private def eq(a: Any, ai: Int, b: Any, bi: Int): Boolean =
+    if (a == b) true
+    else (a, b) match {
+      // mixed-width numerics (Decimal handles its own equals above)
+      case (x: java.lang.Number, y: java.lang.Number)
+          if numeric(ai) && numeric(bi) =>
+        x.doubleValue() == y.doubleValue()
+      case _ => false
+    }
+
   override def eval(input: InternalRow): Any = {
     val needle = children.head.eval(input)
     if (needle == null) 0
@@ -35,7 +51,7 @@ case class FieldIndex(children: Seq[Expression])
       var i = 1
       while (i < children.length) {
         val v = children(i).eval(input)
-        if (v != null && v == needle) return i
+        if (v != null && eq(needle, 0, v, i)) return i
         i += 1
       }
       0

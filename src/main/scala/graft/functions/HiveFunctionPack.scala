@@ -45,10 +45,18 @@ object HiveFunctionPack {
 
   /** Hive `parse_url_tuple(url, p1, p2, ...)` UDTF
     * (`ql/.../udf/generic/GenericUDTFParseUrlTuple.java`) — as a struct of
-    * parse_url calls (one row in → one struct; explode-free equivalent). */
+    * parse_url calls (one row in → one struct; explode-free equivalent).
+    * Supports Hive's `QUERY:<key>` part form: the key becomes parse_url's
+    * third argument. */
   def parse_url_tuple(url: Column, parts: String*): Column =
-    struct(parts.map(p =>
-      call_function("parse_url", url, lit(p)).as(p.toLowerCase)): _*)
+    struct(parts.map { p =>
+      val c =
+        if (p.toUpperCase.startsWith("QUERY:"))
+          call_function("parse_url", url, lit("QUERY"),
+            lit(p.substring("QUERY:".length)))
+        else call_function("parse_url", url, lit(p))
+      c.as(p.toLowerCase.replace(':', '_'))
+    }: _*)
 
   // --- Hive 2.1 masking family (FunctionRegistry.java:486-491) -------------
   // Defaults: upper→X, lower→x, digit→n, other kept — same as Hive's

@@ -157,8 +157,20 @@ object AnnSearch {
             while (i < n) { acc += v(i) * ce(i); i += 1 }
             (centId, acc)
           }
-          scored.sortBy { case (centId, d) => (-d, centId) }
-            .iterator.take(keep).map { case (centId, _) => (id, e, n2, centId) }
+          if (scored.isEmpty) Iterator.empty
+          else if (keep == 1) {
+            // corpus-assignment hot path: linear argmax, no per-row sort
+            var best = 0
+            var j = 1
+            while (j < scored.length) {
+              val b = scored(best); val s = scored(j)
+              if (s._2 > b._2 || (s._2 == b._2 && s._1 < b._1)) best = j
+              j += 1
+            }
+            Iterator.single((id, e, n2, scored(best)._1))
+          } else
+            scored.sortBy { case (centId, d) => (-d, centId) }
+              .iterator.take(keep).map { case (centId, _) => (id, e, n2, centId) }
         }
       }
       .toDF("id", "qe", "n2", "cent_id")
@@ -201,6 +213,9 @@ object AnnSearch {
     * not assumed. */
   private[graft] def lshCandidates(queries: DataFrame, corpus: DataFrame,
       nBits: Int, nTables: Int, seed: Long): DataFrame = {
+    require(nBits >= 1 && nBits <= 31 && nTables >= 1,
+      s"need 1 <= nBits <= 31 (signature is an Int; got $nBits) and " +
+        s"nTables >= 1 (got $nTables)")
     def sigs(df: DataFrame, idN: String, eN: String, nN: String): DataFrame = {
       val spark = df.sparkSession
       import spark.implicits._

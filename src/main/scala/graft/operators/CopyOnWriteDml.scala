@@ -30,10 +30,13 @@ import org.apache.spark.sql.functions._
   *  - An unpartitioned table degrades to a full rewrite — exactly the cost
   *    profile of a major compaction in the reference.
   *
-  * Documented deviation: Hive raises a cardinality-violation error when a
-  * MERGE matches one target row to several source rows
-  * (`MergeSemanticAnalyzer`); detecting that costs an extra aggregation over
-  * the match join, so it is opt-in here (`checkCardinality = true`).
+  * Like Hive (`MergeSemanticAnalyzer`, `hive.merge.cardinality.check`
+  * default true), MERGE raises a cardinality-violation error when one
+  * target row matches several source rows — without the check the
+  * left_outer match join would fan the target row out and silently
+  * duplicate it in the rewrite. The check costs one extra aggregation over
+  * the match join; `checkCardinality = false` opts out, accepting Hive's
+  * documented undefined behavior for that case.
   */
 object CopyOnWriteDml {
 
@@ -77,6 +80,21 @@ object CopyOnWriteDml {
         "not supported (matches Hive, which rejects SET on partition columns)")
   }
 
+  /** Resolve SET keys against the table's columns case-insensitively (Hive
+    * identifiers are case-insensitive) and reject unknown names — a silently
+    * dropped SET key would rewrite the table as a no-op. Returns the map
+    * keyed by the table's own column spelling. */
+  private def resolveSet(set: Seq[(String, String)], cols: Seq[String],
+      op: String): Map[String, String] = {
+    val byLower = cols.map(c => c.toLowerCase -> c).toMap
+    set.map { case (k, v) =>
+      byLower.getOrElse(k.toLowerCase,
+        throw new IllegalArgumentException(
+          s"$op SET references unknown column '$k' (table columns: " +
+            cols.mkString(", ") + ")")) -> v
+    }.toMap
+  }
+
   /** Write `rewritten` into `tbl`: stage to parquet (breaking the
     * read-from-overwrite-target cycle — the new-files-then-swap step of any
     * CoW commit), dynamically overwrite, then drop affected partitions that
@@ -117,7 +135,7 @@ object CopyOnWriteDml {
       if (pcols.isEmpty) Array.empty[Row]
       else t.filter(expr(cond)).select(pcols.map(col).toSeq: _*).distinct().collect()
     val scoped = scopeFilter(pcols, affected).map(t.filter).getOrElse(t)
-    val setMap = set.toMap
+    val setMap = resolveSet(set, t.columns.toSeq, "UPDATE")
     val rewritten = scoped.select(t.columns.map { c =>
       setMap.get(c) match {
         case Some(e) => when(coalesce(expr(cond), lit(false)), expr(e))
@@ -153,7 +171,7 @@ object CopyOnWriteDml {
       matchedSet: Seq[(String, String)] = Nil,
       matchedDelete: Option[String] = None,
       notMatchedInsert: Option[Seq[(String, String)]] = None,
-      checkCardinality: Boolean = false): Unit = {
+      checkCardinality: Boolean = true): Unit = {
     val pcols = partitionCols(spark, tbl)
     requireNoPartitionSet(matchedSet, pcols, "MERGE")
     val tcols = spark.table(tbl).columns
@@ -194,7 +212,7 @@ object CopyOnWriteDml {
     val matched = col("__src").isNotNull
     val delCond = matchedDelete
       .map(c => matched && coalesce(expr(c), lit(false))).getOrElse(lit(false))
-    val setMap = matchedSet.toMap
+    val setMap = resolveSet(matchedSet, tcols.toSeq, "MERGE")
     val kept = joined(scoped).filter(!delCond)
       .select(tcols.map { c =>
         val base = col(s"t.$c")

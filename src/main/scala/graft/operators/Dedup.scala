@@ -47,6 +47,10 @@ object Dedup {
     * equals the full O(n^2) pairwise result the oracle computes. */
   def minhashNearDupPairs(docs: DataFrame, nPerm: Int = 128, nBands: Int = 32,
       threshold: Double = 0.8): DataFrame = {
+    require(nBands >= 1 && nPerm >= nBands && nPerm % nBands == 0,
+      s"need nPerm a positive multiple of nBands (got nPerm=$nPerm, " +
+        s"nBands=$nBands) — rows-per-band r=0 would make every band hash " +
+        "constant and the bucket join all-pairs")
     val r = nPerm / nBands
     val spark = docs.sparkSession
     import spark.implicits._

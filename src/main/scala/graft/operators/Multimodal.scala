@@ -81,11 +81,14 @@ object Multimodal {
     * one row per sampled frame — the explode-style shape a frame-level
     * pipeline consumes. */
   def frameSample(media: DataFrame, everyN: Int, maxFrames: Int): DataFrame =
-    media.select(col("media_id"), col("kind"),
-      posexplode(slice(transform(
-        sequence(lit(0), ((length(col("payload")) - 1) / everyN).cast("int")),
-        i => substring(col("payload"), (i * everyN + 1).cast("int"), lit(1))),
-        1, maxFrames)).as(Seq("frame_no", "frame")))
+    // zero-length payloads yield zero frames — unguarded, (len-1)/everyN
+    // floors to 0 (or -1) and sequence() would emit phantom frame rows
+    media.filter(length(col("payload")) > 0)
+      .select(col("media_id"), col("kind"),
+        posexplode(slice(transform(
+          sequence(lit(0), ((length(col("payload")) - 1) / everyN).cast("int")),
+          i => substring(col("payload"), (i * everyN + 1).cast("int"), lit(1))),
+          1, maxFrames)).as(Seq("frame_no", "frame")))
 
   /** Partition-parallel featurize: binary → fixed-width float vector +
     * deterministic "frame sample" (first 8 bytes — a codec would seek). */

@@ -26,7 +26,9 @@ object SkewAgg {
       .withColumn("__salt", pmod(hash(saltBy), lit(nSalts)))
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(
-        count(lit(1)).as("__n"),
+        // count(valueCol), not count(*): SQL avg/count skip NULLs, and the
+        // contract is exact equality with a direct groupBy
+        count(col(valueCol)).as("__n"),
         sum(col(valueCol)).as("__sum"),
         min(col(valueCol)).as("__min"),
         max(col(valueCol)).as("__max"))

@@ -105,6 +105,30 @@ class DmlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("cardinality"))
   }
 
+  test("merge cardinality check is ON by default (hive.merge.cardinality.check)") {
+    val (tbl, loc) = ("dmlspec_carddef", s"$base/carddef")
+    mkPartitioned(tbl, loc)
+    import spark.implicits._
+    val dupSource = Seq((0L, "x"), (0L, "y")).toDF("sk", "sv")
+    val e = intercept[IllegalArgumentException] {
+      CopyOnWriteDml.merge(spark, tbl, dupSource, onCond = "t.k = s.sk",
+        matchedSet = Seq("v" -> "s.sv")) // no checkCardinality arg
+    }
+    assert(e.getMessage.contains("cardinality"))
+  }
+
+  test("SET with an unknown column name is rejected, case-insensitive names resolve") {
+    val (tbl, loc) = ("dmlspec_setres", s"$base/setres")
+    mkPartitioned(tbl, loc)
+    val e = intercept[IllegalArgumentException] {
+      CopyOnWriteDml.update(spark, tbl, Seq("no_such_col" -> "1"), "k = 0")
+    }
+    assert(e.getMessage.contains("unknown column"))
+    // a case-mismatched but real column must update, not silently no-op
+    CopyOnWriteDml.update(spark, tbl, Seq("V" -> "'upd'"), "k = 0")
+    assert(spark.table(tbl).filter("k = 0").head().getAs[String]("v") == "upd")
+  }
+
   test("SET on a partition column is rejected (Hive UpdateDeleteSemanticAnalyzer)") {
     val (tbl, loc) = ("dmlspec_pset", s"$base/pset")
     mkPartitioned(tbl, loc)

@@ -54,6 +54,20 @@ class FunctionPackSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getString(2) == "x=1&y=2")
   }
 
+  test("parse_url_tuple QUERY:<key> form extracts a single parameter") {
+    val r = Seq("https://example.com/a?x=1&y=2").toDF("url")
+      .select(parse_url_tuple(col("url"), "QUERY:y", "QUERY:z").as("t"))
+      .select("t.query_y", "t.query_z").head()
+    assert(r.getString(0) == "2")
+    assert(r.isNullAt(1))
+  }
+
+  test("field coerces mixed numeric widths like Hive (GenericUDFField)") {
+    assert(spark.sql("SELECT field(1, 1L)").head().getInt(0) == 1)
+    assert(spark.sql("SELECT field(CAST(2 AS BIGINT), 1, 2)").head().getInt(0) == 2)
+    assert(spark.sql("SELECT field(1.0D, 3, 1)").head().getInt(0) == 2)
+  }
+
   test("mask family (GenericUDFMask* defaults: X/x/n, others kept)") {
     val df = Seq("Abc123#z").toDF("s").select(
       mask_first_n(col("s"), 4).as("mf"),
