@@ -74,6 +74,18 @@ class FunctionPack3Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getString(1) == "1970")
   }
 
+  test("Hive evaluation semantics: overflow wraps, OOB subscripts are NULL") {
+    // ANSI off (Engine.session): int overflow wraps like Java/Hive, array
+    // index past the end and missing map keys yield NULL, never an error
+    val r = spark.sql(
+      """SELECT CAST(2147483647 AS INT) + 1 AS ovf,
+        |  array(1, 2)[5] AS oob,
+        |  map('a', 1)['z'] AS missing,
+        |  element_at(array(1, 2), 5) AS oob2""".stripMargin).head()
+    assert(r.getInt(0) == Int.MinValue)
+    assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+  }
+
   test("map_values preserves duplicate values and empty maps") {
     val r = spark.sql(
       """SELECT size(map_values(map())) AS z,
