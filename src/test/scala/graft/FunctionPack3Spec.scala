@@ -64,6 +64,23 @@ class FunctionPack3Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getString(2) == r.getString(0)) // sha is the sha1 alias
   }
 
+  test("SimpleDateFormat pattern letters render like Hive's UDFDateFormat") {
+    // epoch 0 = Thursday 1970-01-01 00:00:00 UTC
+    val r = spark.sql(
+      """SELECT from_unixtime(0, 'EEE') AS dow_name,
+        |  from_unixtime(0, 'D') AS doy,
+        |  from_unixtime(0, 'w') AS woy,
+        |  from_unixtime(0, 'k') AS hour24_1based,
+        |  from_unixtime(0, 'K') AS hour12_0based,
+        |  from_unixtime(0, 'a') AS ampm""".stripMargin).head()
+    assert(r.getString(0) == "Thu")
+    assert(r.getString(1) == "1")     // day of year
+    assert(r.getString(2) == "1")     // week of year
+    assert(r.getString(3) == "24")    // 'k' is 1-24 (midnight = 24)
+    assert(r.getString(4) == "0")     // 'K' is 0-11
+    assert(r.getString(5) == "AM")
+  }
+
   test("datetime patterns follow SimpleDateFormat (Hive), not java.time") {
     // 'u' = day-of-week number in SimpleDateFormat (1970-01-01 was a
     // Thursday → 4); java.time 'u' would be the year. 'YYYY' = week year.
