@@ -55,7 +55,13 @@ object Engine {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (!spark.experimental.extraStrategies.contains(plans.GraftStrategies)) {
+    // getOrCreate may return a pre-existing session built WITHOUT
+    // GraftExtensions (withExtensions only applies to fresh sessions) — fall
+    // back to experimental registration then. planner.strategies sees both
+    // extension-injected and experimental strategies, so the guard also
+    // prevents double registration on a fresh session (which would run every
+    // injected rule twice per optimizer pass).
+    if (!spark.sessionState.planner.strategies.contains(plans.GraftStrategies)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ plans.GraftStrategies
       spark.experimental.extraOptimizations = spark.experimental.extraOptimizations :+

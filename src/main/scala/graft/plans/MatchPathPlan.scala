@@ -48,12 +48,23 @@ object MatchPathPlan {
     * event_id, ts timestamp, event_type, value). */
   def apply(events: DataFrame, symbols: Map[String, String],
       pattern: String): DataFrame = {
-    val prepared = events.select(
-      col("user_id").cast("bigint"),
-      col("event_id").cast("bigint"),
-      unix_micros(col("ts")).as("ts_us"),
-      col("event_type").cast("string"),
-      col("value").cast("double"))
+    // the exec subscripts its row buffers with regex match indices, which
+    // only works when every symbol maps to exactly one char; an event type
+    // with no mapping gets the default symbol 'x' (same convention as the
+    // flatMapGroups variant and the reference's one-char Symbol args)
+    require(symbols.values.forall(_.length == 1),
+      s"matchpath symbols must map to single characters, got: $symbols")
+    // null user/ts/type rows cannot participate in a path (and would NPE the
+    // char builder); value may be null → contributes 0 to sum_value
+    val prepared = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
+      .select(
+        col("user_id").cast("bigint"),
+        col("event_id").cast("bigint"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_type").cast("string"),
+        coalesce(col("value").cast("double"), lit(0.0)).as("value"))
     val out = Seq(
       AttributeReference("user_id", LongType)(),
       AttributeReference("start_event", LongType)(),

@@ -72,7 +72,7 @@ object StatsOnlyAnsweringRule extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (conf.getConfString(ConfKey, "true") != "true") return plan
+    if (!conf.getConfString(ConfKey, "true").equalsIgnoreCase("true")) return plan
     plan.transform {
       case agg @ Aggregate(Nil, aggExprs, child, _) =>
         stripProjects(child) match {
