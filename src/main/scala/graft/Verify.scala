@@ -14,29 +14,39 @@ object Verify {
     val spark = Engine.session(cores = cpus, appName = "graft-verify")
     new java.io.File(outDir).mkdirs()
     // Per-query watchdog: one hung query must not stall the whole
-    // correctness dump — cancel its job group after the timeout and move on.
+    // correctness dump. Each query runs on its own interruptible thread —
+    // cancelJobGroup only stops submitted Spark jobs, so a driver-side hang
+    // (analysis, file listing) additionally gets a thread interrupt; a
+    // global-EC Future would leak the stuck thread and keep the stale query
+    // running concurrently with later ones.
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "300").toLong
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration._
-    import scala.concurrent.ExecutionContext.Implicits.global
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.isEmpty || only(q._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      val run = Future {
-        spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-      }
+      val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+      val run = pool.submit(new java.util.concurrent.Callable[Unit] {
+        override def call(): Unit = {
+          spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        }
+      })
       try {
-        Await.result(run, timeoutSec.seconds)
+        run.get(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
         System.err.println(f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } catch {
         case _: java.util.concurrent.TimeoutException =>
           spark.sparkContext.cancelJobGroup(name)
+          run.cancel(true) // interrupt driver-side work too
           System.err.println(s"[verify] $name failed: timeout after ${timeoutSec}s")
+        case e: java.util.concurrent.ExecutionException =>
+          System.err.println(s"[verify] $name failed: ${e.getCause.getMessage}")
         case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      } finally spark.sparkContext.clearJobGroup()
+      } finally {
+        pool.shutdownNow()
+        spark.sparkContext.clearJobGroup()
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
