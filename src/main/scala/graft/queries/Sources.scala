@@ -256,6 +256,27 @@ object Sources {
     // rows serialize as Text values under NullWritable keys, the read-back
     // parses the delimited payload. Writables are reused by the reader, so
     // the map materializes `toString` before the iterator advances.
+    // RCFile re-expression (`ql/.../io/RCFile.java:58`): row groups stored
+    // column-wise; the read back materializes ONLY the two queried columns
+    // and length-skips the rest (lazy-column property spec-asserted in
+    // SourcesRcSpec with byte accounting).
+    Qd("q144_src_columnar_rowgroup",
+      """SELECT s_nationkey, count(*) AS n, ROUND(sum(s_acctbal), 4) AS ab
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""") { (s, dir) =>
+      val p = s"${base(dir)}/grcf_supplier"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+      val cols = Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      graft.sources.ColumnarRowGroupFile.write(
+        t(s, dir, "supplier").select(cols.map(col).toSeq: _*), p)
+      graft.sources.ColumnarRowGroupFile
+        .read(s, p, cols, Seq("s_nationkey", "s_acctbal"))
+        .select(col("s_nationkey").cast("int").as("s_nationkey"),
+          col("s_acctbal").cast("double").as("s_acctbal"))
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"), round(sum("s_acctbal"), 4).as("ab"))
+        .orderBy("s_nationkey")
+    },
+
     Qd("q118_src_sequencefile",
       """SELECT s_nationkey, count(*) AS n, ROUND(sum(s_acctbal), 4) AS ab,
         |  CAST(sum(s_suppkey) AS BIGINT) AS sk
