@@ -45,8 +45,16 @@ object Dedup {
     * With r rows/band and b bands, a pair of true similarity s is missed
     * with probability (1-s^r)^b — r=4, b=32, s=0.8 → ~5e-8, so the output
     * equals the full O(n^2) pairwise result the oracle computes. */
+  /** `maxBucketSize`: drop LSH buckets holding more than this many docs
+    * before pairing. A bucket of b docs emits b² /2 candidate pairs, so a
+    * duplication bomb (a page mirrored thousands of times — routine in web
+    * crawls) turns one bucket into millions of pairs. Capped buckets are
+    * overwhelmingly exact-duplicate clusters, which the cheaper exact
+    * (hash-groupBy) dedup pass already collapses; production pipelines cap
+    * for the same reason. Default None = exact LSH semantics (the q41
+    * oracle equality). */
   def minhashNearDupPairs(docs: DataFrame, nPerm: Int = 128, nBands: Int = 32,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, maxBucketSize: Option[Int] = None): DataFrame = {
     require(nBands >= 1 && nPerm >= nBands && nPerm % nBands == 0,
       s"need nPerm a positive multiple of nBands (got nPerm=$nPerm, " +
         s"nBands=$nBands) — rows-per-band r=0 would make every band hash " +
@@ -60,8 +68,17 @@ object Dedup {
         (id, g, bandHashes(minhashSig(g, nPerm), nBands, r))
       })
       .toDF("doc_id", "g", "bands")
-    val buckets = sets.select(col("doc_id"),
+    val allBuckets = sets.select(col("doc_id"),
       posexplode(col("bands")).as(Seq("band", "bh")))
+    val buckets = maxBucketSize match {
+      case None => allBuckets
+      case Some(cap) =>
+        // one aggregation over the bucket keys; hot buckets are dropped
+        // before the self-join can square them
+        val small = allBuckets.groupBy("band", "bh").count()
+          .filter(col("count") <= cap).select(col("band"), col("bh"))
+        allBuckets.join(small, Seq("band", "bh"), "left_semi")
+    }
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))

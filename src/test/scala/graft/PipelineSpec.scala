@@ -89,6 +89,23 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nCand < cart / 2, s"candidates=$nCand of cartesian=$cart — not pruning")
   }
 
+  test("minhash hot-bucket cap drops duplication bombs, keeps normal pairs") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // 6 identical docs (a bomb cluster: every band bucket holds all 6)
+    // plus one near-dup pair that shares buckets of size 2
+    val bomb = (1L to 6L).map(i => (i, "the quick brown fox jumps over the lazy dog again and again"))
+    val pair = Seq(
+      (10L, "completely different text about distributed query engines at scale"),
+      (11L, "completely different text about distributed query engines at scale"))
+    val docs = spark.createDataFrame(bomb ++ pair).toDF("doc_id", "text")
+    val uncapped = Dedup.minhashNearDupPairs(docs, 32, 8, 0.8)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val capped = Dedup.minhashNearDupPairs(docs, 32, 8, 0.8, maxBucketSize = Some(3))
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((10L, 11L)) && uncapped.size == 15 + 1)
+    assert(capped == Set((10L, 11L)), s"bomb pairs must be dropped, got $capped")
+  }
+
   test("LSH ANN scores are exact for the pairs it returns") {
     val queries = emb.filter(col("id") < 10)
     val brute = AnnSearch.bruteTopK(queries, emb, 500)
