@@ -36,6 +36,24 @@ object Generators {
           |GROUP BY brand_word, size_digit ORDER BY brand_word, size_digit""".stripMargin)
     },
 
+    // explode over a MAP (GenericUDTFExplode's two-column form: key, value
+    // per entry) — oracle reconstructs the same pairs via UNION ALL.
+    Qd("q145_explode_map",
+      """SELECT p_partkey, k, v FROM (
+        |  SELECT p_partkey, 'retail_cents' AS k,
+        |    CAST(round(p_retailprice * 100, 0) AS INT) AS v FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'size' AS k, p_size AS v FROM part)
+        |WHERE p_partkey < 900 ORDER BY p_partkey, k""") { (s, dir) =>
+      Engine.sql(s, dir,
+        """SELECT p_partkey, k, v
+          |FROM part
+          |LATERAL VIEW explode(map(
+          |  'size', p_size,
+          |  'retail_cents', CAST(round(p_retailprice * 100, 0) AS INT))) t AS k, v
+          |WHERE p_partkey < 900 ORDER BY p_partkey, k""".stripMargin)
+    },
+
     // explode — word frequency over the corpus (UDTFOperator analog).
     Qd("q51_explode_wordcount",
       """SELECT word, count(*) AS n
