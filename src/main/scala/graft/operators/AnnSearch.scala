@@ -321,13 +321,12 @@ object AnnSearch {
     scoreAndRank(corpusAssigned, queryProbes, k)
   }
 
-  /** Embedding-level near-duplicate pairs within a blocking key: cosine >=
-    * `threshold` (quantized math — oracle-exact). */
-  def cosineNearDupPairs(emb: DataFrame, blockCol: String,
-      threshold: Double): DataFrame = {
+  /** (id, blk, qe, n2): block key + quantized embedding + squared norm, one
+    * compiled map pass. */
+  private def quantizedBlocked(emb: DataFrame, blockCol: String): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val v = emb.select(col("id"), col(blockCol).cast("string").as("blk"),
+    emb.select(col("id"), col(blockCol).cast("string").as("blk"),
         col("embedding"))
       .as[(Long, String, Seq[Float])]
       .mapPartitions(_.map { case (id, blk, e) =>
@@ -338,12 +337,110 @@ object AnnSearch {
         (id, blk, q, n2)
       })
       .toDF("id", "blk", "qe", "n2")
-    v.as("a").join(v.as("b"),
-        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+  }
+
+  /** Embedding-level near-duplicate pairs within a blocking key: cosine >=
+    * `threshold` (quantized math — oracle-exact, full recall at ANY
+    * threshold).
+    *
+    * Scale shape — triangle tiling: a plain self-equi-join on `blk` puts each
+    * block's n²/2 candidate work in ONE shuffle partition (a 10-value block
+    * key ⇒ ≤10 tasks do everything). Instead each row lands in a group
+    * g = hash(id) mod `tiles` and the block's pair space is covered by the
+    * tiles*(tiles+1)/2 group pairs (g,h), g<=h: side a replicates a row with
+    * group g to keys (g, g..tiles-1), side b to keys (0..h, h). Every
+    * unordered pair meets in exactly one tile (its (min,max) group pair —
+    * diagonal tiles keep a.id < b.id), so the join is an equi-join on
+    * (blk, g, h) whose work spreads over blocks × tiles² tasks with ~tiles/2×
+    * shuffle replication. The n² candidate arithmetic itself is inherent to
+    * an EXACT threshold join at an unselective threshold (q50's 0.4 sits in
+    * a near-orthogonal background — see the ρ analysis on
+    * [[cosineNearDupPairsLsh]]); what tiling fixes is the single-task wall
+    * clock, which is the actual 100 TB failure mode.
+    */
+  def cosineNearDupPairs(emb: DataFrame, blockCol: String,
+      threshold: Double, tiles: Int = 8): DataFrame = {
+    require(tiles >= 1, s"tiles must be >= 1 (got $tiles)")
+    val v = quantizedBlocked(emb, blockCol)
+    val a = v.withColumn("g", pmod(hash(col("id")), lit(tiles)))
+      .withColumn("h", explode(sequence(col("g"), lit(tiles - 1))))
+    val b = v.withColumn("h", pmod(hash(col("id")), lit(tiles)))
+      .withColumn("g", explode(sequence(lit(0), col("h"))))
+    a.as("a").join(b.as("b"),
+        col("a.blk") === col("b.blk") &&
+          col("a.g") === col("b.g") && col("a.h") === col("b.h") &&
+          // off-diagonal tiles see each pair once (roles fixed by group
+          // order); diagonal tiles dedupe by id order
+          (col("a.g") =!= col("a.h") || col("a.id") < col("b.id")) &&
+          col("a.id") =!= col("b.id"))
       .withColumn("cos", dotI64(col("a.qe"), col("b.qe")).cast("double") /
         sqrt(col("a.n2").cast("double") * col("b.n2").cast("double")))
       .filter(col("cos") >= threshold)
-      .select(col("a.id").as("d1"), col("b.id").as("d2"),
+      .select(least(col("a.id"), col("b.id")).as("d1"),
+        greatest(col("a.id"), col("b.id")).as("d2"),
         round(col("cos"), 6).as("cos"))
+  }
+
+  /** LSH-bucketed near-duplicate pairs within a blocking key — the
+    * sub-quadratic scale path for SELECTIVE thresholds. Candidates come from
+    * a random-hyperplane bucket self-equi-join on (blk, table, signature)
+    * (the [[lshTopK]] scheme), deduped on the pair key, then EXACT-rescored
+    * with the quantized int64 dot at `threshold` — so any pair that collides
+    * anywhere is scored exactly and the output is a subset of the all-pairs
+    * answer with per-pair recall 1 − (1 − p^nBits)^nTables, p = 1 − θ/π.
+    *
+    * Regime math (why q50's exact form stays all-pairs): candidate volume is
+    * ~ nTables·2^-nBits × |pairs| for a near-orthogonal background (p ≈ 0.5),
+    * while recall at the threshold needs nTables·p₁^nBits ≳ ln(1/δ). At
+    * τ = 0.4, p₁ = 1 − arccos(0.4)/π ≈ 0.631 = 2^-0.664 (ρ ≈ 0.66), so any
+    * (nBits, nTables) with usable recall yields MORE candidates than
+    * all-pairs — consistent with the Orthogonal-Vectors conjecture (exact
+    * threshold join against an orthogonal background is n^{2−o(1)}). At a
+    * real near-dup threshold the same operator prunes hard: τ = 0.95 →
+    * p₁ ≈ 0.899, and the defaults (nBits=12, nTables=32) give per-pair miss
+    * ≤ (1 − 0.899¹²)³² ≈ 3e-5 at the boundary (≈1e-26 at cos 0.999) with
+    * candidate volume ≈ 32/4096 ≈ 0.8% of all-pairs.
+    */
+  def cosineNearDupPairsLsh(emb: DataFrame, blockCol: String,
+      threshold: Double, nBits: Int = 12, nTables: Int = 32,
+      seed: Long = 42L): DataFrame = {
+    require(nBits >= 1 && nBits <= 31 && nTables >= 1,
+      s"need 1 <= nBits <= 31 and nTables >= 1 (got $nBits, $nTables)")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val sigs = quantizedBlocked(emb, blockCol)
+      .as[(Long, String, Seq[Long], Long)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, blk, e, n2) =>
+          val v = e.toArray
+          (0 until nTables).iterator.map { t =>
+            var sig = 0
+            var b = 0
+            while (b < nBits) {
+              var acc = 0L
+              var i = 0
+              while (i < v.length) {
+                acc += (if (planeSign(seed, t, b, i)) v(i) else -v(i))
+                i += 1
+              }
+              if (acc >= 0) sig |= (1 << b)
+              b += 1
+            }
+            (id, blk, e, n2, t, sig)
+          }
+        }
+      }
+      .toDF("id", "blk", "qe", "n2", "t", "sig")
+    sigs.as("a").join(sigs.as("b"),
+        col("a.blk") === col("b.blk") && col("a.t") === col("b.t") &&
+          col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("d1"), col("b.id").as("d2"),
+        col("a.qe").as("qa"), col("a.n2").as("na"),
+        col("b.qe").as("qb"), col("b.n2").as("nb"))
+      .dropDuplicates("d1", "d2")
+      .withColumn("cos", dotI64(col("qa"), col("qb")).cast("double") /
+        sqrt(col("na").cast("double") * col("nb").cast("double")))
+      .filter(col("cos") >= threshold)
+      .select(col("d1"), col("d2"), round(col("cos"), 6).as("cos"))
   }
 }

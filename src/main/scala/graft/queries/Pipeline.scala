@@ -287,6 +287,47 @@ object Pipeline {
         |SELECT d1, d2, ROUND(cos, 6) AS cos
         |FROM p WHERE cos >= 0.4 ORDER BY d1, d2""") { (s, dir) =>
       AnnSearch.cosineNearDupPairs(emb(s, dir), "label", 0.4).orderBy("d1", "d2")
+    },
+
+    // Near-dup at a SELECTIVE threshold — the LSH-bucketed scale path
+    // (candidates from the hyperplane bucket equi-join, exact int64 rescore).
+    // The base table has no tight near-dups (max within-label cos ≈ 0.48),
+    // so the query plants them: a deterministically perturbed copy of every
+    // vector (elementwise ×(1 + ((i·31+7) mod 13 − 6)/100), integer-rational
+    // so both engines compute identical float32s). The DuckDB oracle is the
+    // EXACT all-pairs join at the same threshold: hash-green ⇔ the LSH path
+    // achieved full recall on this data (per-pair miss ≈ 1e-26 at the
+    // planted cos ≈ 0.999 — see AnnSearch.cosineNearDupPairsLsh).
+    Qd("q147_neardup_lsh",
+      """WITH pert AS (
+        |  SELECT vec_id + 1000000 AS vec_id, label,
+        |    list_transform(range(1, len(embedding)+1),
+        |      i -> CAST(CAST(embedding[i] AS DOUBLE)
+        |        * (1.0 + (CAST(((i-1)*31+7) % 13 AS DOUBLE) - 6.0)/100.0) AS FLOAT)) AS embedding
+        |  FROM embeddings),
+        |u AS (SELECT vec_id, label, embedding FROM embeddings
+        |      UNION ALL SELECT vec_id, label, embedding FROM pert),
+        |v AS (SELECT vec_id, label,
+        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS qe
+        |  FROM u),
+        |n AS (SELECT vec_id, label, qe,
+        |  CAST(list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]*qe[i])) AS BIGINT) AS n2 FROM v),
+        |p AS (
+        |  SELECT a.vec_id AS d1, b.vec_id AS d2,
+        |    CAST(CAST(list_sum(list_transform(range(1, len(a.qe)+1), i -> a.qe[i]*b.qe[i])) AS BIGINT) AS DOUBLE)
+        |      / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) AS cos
+        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT d1, d2, ROUND(cos, 6) AS cos
+        |FROM p WHERE cos >= 0.95 ORDER BY d1, d2""") { (s, dir) =>
+      val e = emb(s, dir)
+      val pert = e.select((col("id") + 1000000L).as("id"),
+        expr("""transform(embedding,
+          |  (x, i) -> CAST(CAST(x AS DOUBLE)
+          |    * (1.0D + (CAST((i*31+7) % 13 AS DOUBLE) - 6.0D)/100.0D) AS FLOAT))""".stripMargin)
+          .as("embedding"),
+        col("label"))
+      AnnSearch.cosineNearDupPairsLsh(e.unionByName(pert), "label", 0.95)
+        .orderBy("d1", "d2")
     }
   )
 }

@@ -68,6 +68,35 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
+  test("tiled cosine near-dup ≡ all-pairs (tiles=1) at several tile counts") {
+    val exact = AnnSearch.cosineNearDupPairs(emb, "label", 0.4, tiles = 1)
+      .orderBy("d1", "d2").collect().toSeq
+    assert(exact.nonEmpty, "threshold admits no pairs — test verifies nothing")
+    for (t <- Seq(3, 8)) {
+      val tiled = AnnSearch.cosineNearDupPairs(emb, "label", 0.4, tiles = t)
+        .orderBy("d1", "d2").collect().toSeq
+      assert(tiled == exact, s"tiles=$t diverged from the all-pairs answer")
+    }
+  }
+
+  test("LSH near-dup ≡ exact all-pairs on planted near-duplicates") {
+    // plant a perturbed copy of every vector (same integer-rational factor
+    // as q147), then require the bucketed path to reproduce the exact join
+    val pert = emb.select((col("id") + 1000000L).as("id"),
+      expr("""transform(embedding,
+        |  (x, i) -> CAST(CAST(x AS DOUBLE)
+        |    * (1.0D + (CAST((i*31+7) % 13 AS DOUBLE) - 6.0D)/100.0D) AS FLOAT))""".stripMargin)
+        .as("embedding"),
+      col("label"))
+    val u = emb.unionByName(pert)
+    val exact = AnnSearch.cosineNearDupPairs(u, "label", 0.95, tiles = 1)
+      .orderBy("d1", "d2").collect().toSeq
+    val lsh = AnnSearch.cosineNearDupPairsLsh(u, "label", 0.95)
+      .orderBy("d1", "d2").collect().toSeq
+    assert(exact.nonEmpty, "no planted pairs qualified — test verifies nothing")
+    assert(lsh == exact, "LSH path missed or fabricated pairs vs the exact join")
+  }
+
   test("LSH ANN: positive recall vs brute force, candidates actually pruned") {
     val queries = emb.filter(col("id") < 30)
     val brute = AnnSearch.bruteTopK(queries, emb, 10)

@@ -95,6 +95,18 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "Q21 shape must stay equi-join only (the <> terms are join residuals)")
   }
 
+  test("q50 tiled exact near-dup stays an equi-join (no cartesian/BNLJ)") {
+    val s = finalPlan("q50_embedding_neardup")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      "tiled exact near-dup must equi-join on (blk, g, h)")
+  }
+
+  test("q147 LSH near-dup candidates come from a bucket equi-join") {
+    val s = finalPlan("q147_neardup_lsh")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      "LSH near-dup candidates must equi-join on (blk, t, sig)")
+  }
+
   test("q128 LSH ANN joins on bucket keys (no cartesian, no corpus broadcast)") {
     val s = finalPlan("q128_ann_lsh")
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
