@@ -34,15 +34,20 @@ case class FieldIndex(children: Seq[Expression])
   @transient private lazy val numeric: Array[Boolean] =
     children.map(_.dataType.isInstanceOf[NumericType]).toArray
 
+  // Catalyst Decimal is NOT a java.lang.Number — without its own case,
+  // field(1, CAST(1 AS DECIMAL(10,2))) would return 0 where Hive coerces
+  // decimal with the other numerics and returns 1
+  private def dbl(v: Any): Double = v match {
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case n: java.lang.Number => n.doubleValue()
+    case _ => Double.NaN // non-numeric value under a NumericType slot: no match
+  }
+
   private def eq(a: Any, ai: Int, b: Any, bi: Int): Boolean =
     if (a == b) true
-    else (a, b) match {
-      // mixed-width numerics (Decimal handles its own equals above)
-      case (x: java.lang.Number, y: java.lang.Number)
-          if numeric(ai) && numeric(bi) =>
-        x.doubleValue() == y.doubleValue()
-      case _ => false
-    }
+    // mixed-width/representation numerics compare on their double value
+    else if (numeric(ai) && numeric(bi)) dbl(a) == dbl(b)
+    else false
 
   override def eval(input: InternalRow): Any = {
     val needle = children.head.eval(input)

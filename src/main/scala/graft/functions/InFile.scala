@@ -30,10 +30,15 @@ case class InFile(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType == StringType && right.dataType == StringType)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"in_file requires (string, string), got (${left.dataType}, ${right.dataType})")
+    if (left.dataType != StringType || right.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"in_file requires (string, string), got (${left.dataType}, ${right.dataType})")
+    else if (!right.foldable)
+      // the side-file contract (matching GenericUDFInFile): a constant path.
+      // A per-row filename would mean unbounded cache growth plus file I/O
+      // on the eval path — reject at analysis instead of degrading at run.
+      TypeCheckResult.TypeCheckFailure("in_file filename must be a constant")
+    else TypeCheckResult.TypeCheckSuccess
 
   override def dataType: DataType = BooleanType
   override def prettyName: String = "in_file"

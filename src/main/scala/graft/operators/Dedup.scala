@@ -163,6 +163,18 @@ object Dedup {
           (col("nbr_comp") < col("comp")).cast("long").as("chg"))
         .localCheckpoint()
       changed = next.agg(sum("chg")).head().getLong(0)
+      // the superseded generation's checkpoint blocks are dead the moment
+      // `next` is materialized (localCheckpoint is eager) — drop them so
+      // storage stays bounded at two generations instead of growing with
+      // iteration count. Dataset.unpersist can't do this (checkpoint blocks
+      // live on the internal RDD, not in the CacheManager), so unpersist the
+      // LogicalRDD leaf directly; `edges`' own leaf is not reachable from
+      // labels' plan once labels is checkpointed, so it stays persisted.
+      labels.queryExecution.analyzed.collectLeaves().foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
       labels = next.select("id", "comp")
       iter += 1
     }

@@ -37,9 +37,35 @@ object Advanced {
         .orderBy("user_id", "start_event")
     },
 
-    // Greedy star pattern (signup → anything* → purchase) — regex semantics
-    // (leftmost, non-overlapping, greedy) exceed SQL; rows-only + spec.
-    Qd.rowsOnly("q73_matchpath_funnel") { (s, dir) =>
+    // Greedy star pattern (signup → anything* → purchase). The regex
+    // semantics (leftmost, non-overlapping, greedy) ARE oracle-expressible
+    // for this alphabet: neither 's' nor 'p' is in [xe], so a match is
+    // exactly "an s whose next non-[xe] symbol is a p" (greedy = maximal
+    // x/e run by construction; matches can never overlap because a span's
+    // interior is all x/e). The oracle finds each s's next blocking symbol
+    // with a FOLLOWING-frame window min and reconstructs n_steps/sum_value
+    // from row numbers and prefix sums.
+    Qd("q73_matchpath_funnel",
+      """WITH e AS (
+        |  SELECT user_id, event_id, value,
+        |    CASE event_type WHEN 'error' THEN 'e' WHEN 'purchase' THEN 'p'
+        |                    WHEN 'signup' THEN 's' ELSE 'x' END AS sym,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    sum(value)   OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                       ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM events),
+        |b AS (
+        |  SELECT *,
+        |    min(CASE WHEN sym IN ('s','p') THEN rn END)
+        |      OVER (PARTITION BY user_id ORDER BY rn
+        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nxt_blk
+        |  FROM e)
+        |SELECT s.user_id, s.event_id AS start_event, t.event_id AS end_event,
+        |  t.rn - s.rn + 1 AS n_steps,
+        |  ROUND(t.cum - s.cum + s.value, 4) AS sum_value
+        |FROM b s JOIN b t ON t.user_id = s.user_id AND t.rn = s.nxt_blk
+        |WHERE s.sym = 's' AND t.sym = 'p'
+        |ORDER BY s.user_id, start_event""") { (s, dir) =>
       MatchPath.matchPath(s, t(s, dir, "events"), symbols, "s[xe]*p")
         .select(col("user_id"), col("start_event"), col("end_event"),
           col("n_steps"), round(col("sum_value"), 4).as("sum_value"))

@@ -191,6 +191,34 @@ object Ddl {
       s.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR COLUMNS o_orderkey, o_orderpriority")
       s.sql(s"SELECT count(*) AS n, count(o_orderpriority) AS nc, " +
         s"min(o_orderkey) AS mn, max(o_orderkey) AS mx FROM $tbl")
+    },
+
+    // LLAP analog — in-memory columnar IO + cache
+    // (`llap-server/src/java/org/apache/hadoop/hive/llap/io/api/impl/LlapIoImpl.java:68`).
+    // Spark's native re-expression is `spark.catalog.cacheTable` →
+    // InMemoryRelation (compressed columnar batches) scanned by
+    // InMemoryTableScan; the hot dimension is cached once and BOTH
+    // sub-aggregates (per-segment rollup + the scalar distinct-nation
+    // subquery) read the columnar cache instead of re-scanning parquet.
+    // PlanShapeSpec asserts InMemoryTableScan appears in the final plan.
+    // A dedicated view name keeps the cache from changing other queries'
+    // asserted plan shapes.
+    Qd("q146_cached_scan",
+      """SELECT c_mktsegment AS seg, count(*) AS n,
+        |  ROUND(CAST(sum(c_acctbal) AS DOUBLE), 2) AS bal,
+        |  (SELECT count(DISTINCT c_nationkey) FROM customer) AS nk
+        |FROM customer GROUP BY c_mktsegment ORDER BY seg""") { (s, dir) =>
+      val (sf, _) = ctx(s, dir)
+      val v = s"g146_cust_$sf"
+      Engine.table(s, dir, "customer").createOrReplaceTempView(v)
+      if (!s.catalog.isCached(v)) {
+        s.catalog.cacheTable(v)
+        s.table(v).count() // materialize the columnar cache eagerly
+      }
+      s.sql(s"""SELECT c_mktsegment AS seg, count(*) AS n,
+        ROUND(CAST(sum(c_acctbal) AS DOUBLE), 2) AS bal,
+        (SELECT count(DISTINCT c_nationkey) FROM $v) AS nk
+        FROM $v GROUP BY c_mktsegment ORDER BY seg""")
     }
   )
 }

@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import java.io.{ByteArrayInputStream, DataInputStream, DataOutputStream}
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -80,8 +80,14 @@ object ColumnarRowGroupFile {
           touched += totalBytes
           cols(c) = col
         } else {
-          // lazy skip: per-cell lengths + the column's value bytes
-          in.skipBytes(4 * nRows + totalBytes)
+          // lazy skip: per-cell lengths + the column's value bytes. skipBytes
+          // may under-skip on a truncated container; unchecked, the next
+          // readInt would misparse value bytes as a row count — fail cleanly
+          // instead (materialized columns get this for free via readFully).
+          val toSkip = 4 * nRows + totalBytes
+          val skipped = in.skipBytes(toSkip)
+          require(skipped == toSkip,
+            s"truncated container: column $c wanted $toSkip skip bytes, got $skipped")
         }
         c += 1
       }
@@ -113,13 +119,16 @@ object ColumnarRowGroupFile {
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val file = new org.apache.hadoop.fs.Path(s"$path/part-$pid.grcf")
         val fs = file.getFileSystem(conf.value)
-        val raw = new ByteArrayOutputStream()
-        val out = new DataOutputStream(raw)
-        out.write(Magic)
-        it.grouped(rowsPerGroup).foreach(g => writeGroup(out, g, nCols))
-        out.flush()
-        val os = fs.create(file, true)
-        try os.write(raw.toByteArray) finally os.close()
+        // stream each row group straight to the filesystem: peak task memory
+        // is ONE row group (the documented RCFile-writer property), not the
+        // whole partition's container
+        val out = new DataOutputStream(
+          new java.io.BufferedOutputStream(fs.create(file, true), 1 << 16))
+        try {
+          out.write(Magic)
+          it.grouped(rowsPerGroup).foreach(g => writeGroup(out, g, nCols))
+          out.flush()
+        } finally out.close()
       }
     }
   }

@@ -138,9 +138,15 @@ object StreamOps {
   /** Streaming exact dedup — the stream analog of the batch exact-dedup
     * pipeline op (q40). At-least-once ingest is simulated by self-unioning
     * the replay (every event arrives twice); duplicates are dropped on the
-    * event id *within the watermark horizon*, so dedup state is bounded by
-    * the watermark instead of growing with the stream — the property that
-    * keeps this runnable on an unbounded 100 TB/day feed. */
+    * event id *within the watermark horizon*, so the DEDUP operator's state
+    * (the unbounded-cardinality one, keyed by event id) is bounded by the
+    * watermark instead of growing with the stream — the property that keeps
+    * this runnable on an unbounded 100 TB/day feed. The downstream aggregate
+    * runs in Complete mode, which retains its state regardless of the
+    * watermark — that state is one row per `event_type` (constant, a handful
+    * of keys), so it is bounded by key cardinality, not by the watermark; an
+    * unbounded-key aggregate would need Update/Append + a windowed group, as
+    * in [[hourlyTypeCounts]]. */
   def dedupTypeCounts(spark: SparkSession, dir: String): DataFrame = {
     val replay = eventStream(spark, dir)
     val atLeastOnce = replay.union(eventStream(spark, dir))

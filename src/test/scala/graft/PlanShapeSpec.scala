@@ -107,6 +107,24 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "LSH near-dup candidates must equi-join on (blk, t, sig)")
   }
 
+  test("q146 cached dimension is scanned from the in-memory columnar cache") {
+    // whole executed-plan string, not the final-plan slice: the scalar
+    // subquery nests its own AdaptiveSparkPlan whose "== Initial Plan =="
+    // marker would truncate the slice before the main aggregate's scan
+    val df = SparkEntry.queries("q146_cached_scan")(spark, dir)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    // Spark 4 renders the cache read as "Scan In-memory table <name>" over an
+    // InMemoryRelation (the InMemoryRelation line also embeds its one-time
+    // parquet BUILD lineage, so no FileScan-negative assert is possible)
+    val cacheScans = s.sliding("Scan In-memory table".length)
+      .count(_ == "Scan In-memory table")
+    assert(s.contains("InMemoryRelation"),
+      "cached scan must read InMemoryRelation (LLAP cache analog)")
+    assert(cacheScans >= 2,
+      s"both sub-aggregates should read the columnar cache (saw $cacheScans cache scans)")
+  }
+
   test("q128 LSH ANN joins on bucket keys (no cartesian, no corpus broadcast)") {
     val s = finalPlan("q128_ann_lsh")
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
