@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.procedural.HplSql
+
+/** Interpreter-level tests for the HPL/SQL subset (reference semantics:
+  * `hplsql/src/main/java/org/apache/hive/hplsql/Exec.java:52`). The q148–
+  * q150 CORRECTNESS rows pin the data-facing results; this spec pins the
+  * language behavior — branch selection, loop termination, cursor binding,
+  * substitution hygiene, and error paths.
+  */
+class HplSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = Engine.session(cores = 4, appName = "graft-hplsql")
+  val dir = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def run1(script: String): org.apache.spark.sql.Row =
+    HplSql.run(spark, dir, script).head()
+
+  test("IF takes the first true branch; ELSE when none") {
+    val r = run1(
+      """DECLARE x INT := 7;
+        |DECLARE lbl STRING;
+        |IF x > 10 THEN SET lbl = 'gt10';
+        |ELSIF x > 5 THEN SET lbl = 'gt5';
+        |ELSE SET lbl = 'small';
+        |END IF;
+        |SELECT lbl AS lbl;""".stripMargin)
+    assert(r.getString(0) == "gt5")
+  }
+
+  test("NULL condition is not taken (three-valued logic)") {
+    val r = run1(
+      """DECLARE x INT;
+        |DECLARE lbl STRING := 'else';
+        |IF x > 0 THEN SET lbl = 'then'; END IF;
+        |SELECT lbl AS lbl;""".stripMargin)
+    assert(r.getString(0) == "else")
+  }
+
+  test("WHILE iterates and terminates; DO..END WHILE form accepted") {
+    val r = run1(
+      """DECLARE i INT := 0;
+        |DECLARE acc INT := 0;
+        |WHILE i < 5 DO
+        |  SET i = i + 1;
+        |  SET acc = acc + i;
+        |END WHILE;
+        |SELECT acc AS acc;""".stripMargin)
+    assert(r.getInt(0) == 15)
+  }
+
+  test("FOR cursor binds rec.col per row, in query order, and unbinds after") {
+    val r = run1(
+      """DECLARE s STRING := '';
+        |FOR r IN (SELECT n_name FROM nation WHERE n_regionkey = 0 ORDER BY n_name) LOOP
+        |  SET s = s || substr(r.n_name, 8, 2) || '.';
+        |END LOOP;
+        |SELECT s AS s;""".stripMargin)
+    // region-0 nations ordered by name: NATION_0, NATION_10, NATION_15,
+    // NATION_20, NATION_5 — suffix from char 8 of each
+    assert(r.getString(0) == "0.10.15.20.5.")
+    // rec vars must not leak past the loop
+    val e = intercept[Exception](run1(
+      """FOR r IN (SELECT n_name FROM nation LIMIT 1) LOOP
+        |  PRINT r.n_name;
+        |END LOOP;
+        |SELECT r.n_name AS x;""".stripMargin))
+    assert(e.getMessage != null)
+  }
+
+  test("substitution respects identifier boundaries and string literals") {
+    val r = run1(
+      """DECLARE n INT := 3;
+        |SELECT n AS v, 'n is n' AS s, n_name AS nm
+        |FROM nation WHERE n_nationkey = n;""".stripMargin)
+    assert(r.getInt(0) == 3)
+    assert(r.getString(1) == "n is n") // literal untouched
+    assert(r.getString(2) == "NATION_3") // n_name / n_nationkey not clobbered by var n
+  }
+
+  test("variables carry engine values: string escaping round-trips") {
+    val r = run1(
+      """DECLARE s STRING := (SELECT 'O''Brien');
+        |SELECT s AS s, length(s) AS l;""".stripMargin)
+    assert(r.getString(0) == "O'Brien" && r.getInt(1) == 7)
+  }
+
+  test("SQL statements between control flow execute in order (DDL visible)") {
+    val r = run1(
+      """CREATE OR REPLACE TEMPORARY VIEW hpl_tmp AS SELECT 41 AS v;
+        |DECLARE x INT := (SELECT v FROM hpl_tmp);
+        |SELECT x + 1 AS v;""".stripMargin)
+    assert(r.getInt(0) == 42)
+  }
+
+  test("errors: SET of undeclared var; runaway WHILE; missing result set") {
+    assert(intercept[IllegalArgumentException](
+      run1("SET nope = 1; SELECT 1 AS a;")).getMessage.contains("undeclared"))
+    val saved = HplSql.MaxLoopIters
+    HplSql.MaxLoopIters = 25 // keep the runaway loop cheap for the test
+    try assert(intercept[IllegalArgumentException](run1(
+      """DECLARE i INT := 0;
+        |WHILE i >= 0 LOOP SET i = i + 1; END LOOP;
+        |SELECT i AS i;""".stripMargin)).getMessage.contains("iterations"))
+    finally HplSql.MaxLoopIters = saved
+    assert(intercept[IllegalArgumentException](
+      run1("DECLARE x INT := 1;")).getMessage.contains("no result set"))
+  }
+
+  test("comments and unterminated blocks") {
+    val r = run1(
+      """-- leading comment
+        |DECLARE x INT := 1; /* block
+        |   comment */
+        |SELECT x AS x;""".stripMargin)
+    assert(r.getInt(0) == 1)
+    assert(intercept[IllegalArgumentException](run1(
+      "IF 1 = 1 THEN SELECT 1 AS a;")).getMessage.contains("unterminated"))
+  }
+}
