@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Row-level DML with **merge-on-read** semantics — the write-optimized half
+  * of the reference's ACID design, complementing [[CopyOnWriteDml]] (the
+  * read-optimized rewrite).
+  *
+  * The reference keeps a base plus per-transaction delta directories and
+  * merges them in every reader: `ql/.../io/AcidUtils.java:226-228` (base_N /
+  * delta_x_y layout), `ql/.../io/orc/VectorizedOrcAcidRowBatchReader.java`
+  * (delete events applied via an in-memory registry keyed by ROW__ID), and a
+  * background compactor folds deltas back into a new base
+  * (`ql/.../txn/compactor/Worker.java:53`). An UPDATE is a delete event plus
+  * an insert of the new row version (`UpdateDeleteSemanticAnalyzer`).
+  *
+  * Spark-first re-expression, same layout algebra over parquet:
+  *
+  *   root/base_N/            full rows + `__row_id`  (all txns <= N folded in)
+  *   root/delta_T/delete/    one column `__row_id`   (rows deleted at txn T)
+  *   root/delta_T/insert/    full rows + `__row_id`  (rows added at txn T)
+  *
+  * A snapshot read is `(base UNION ALL insert-deltas) LEFT ANTI JOIN
+  * delete-deltas ON __row_id`. Row ids are namespaced per transaction
+  * (`txn << 40 | monotonically_increasing_id`), mirroring the reference's
+  * (writeId, bucket, rowId) triple: ids are never reused, so delete events
+  * form a set and the merge needs no ordering — exactly why the reference's
+  * delete registry can be an unordered hash set.
+  *
+  * Scale shape (the 100 TB contract):
+  *  - A write costs O(changed rows): the base is never rewritten, which is
+  *    the entire point of merge-on-read for frequent small mutations over a
+  *    huge table (CoW would rewrite a partition per touched row).
+  *  - The read-side anti-join needs no hint: delete-deltas are a parquet
+  *    relation with file-size stats, so Catalyst broadcasts them while they
+  *    are small (the common case, and the moral equivalent of the
+  *    reference's in-memory delete-event registry) and falls back to a
+  *    shuffled anti-join when they outgrow the threshold — the case where
+  *    the reference's reader OOMs instead.
+  *  - Reads degrade linearly in accumulated delta volume; [[compact]] is the
+  *    major compaction that restores base-only scans and deletes the folded
+  *    deltas, same lifecycle as the reference's Worker.
+  */
+object MergeOnReadDml {
+
+  private val RID = "__row_id"
+
+  private def fs(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** (kind, txn) pairs present under root, e.g. base_1, delta_2. */
+  private def listTxns(spark: SparkSession, root: String): Seq[(String, Long)] = {
+    val f = fs(spark, root)
+    val p = new Path(root)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq.map(_.getPath.getName).collect {
+      case n if n.startsWith("base_") => ("base", n.stripPrefix("base_").toLong)
+      case n if n.startsWith("delta_") => ("delta", n.stripPrefix("delta_").toLong)
+    }
+  }
+
+  private def nextTxn(spark: SparkSession, root: String): Long =
+    (listTxns(spark, root).map(_._2) :+ 0L).max + 1
+
+  /** Fresh per-transaction row ids. monotonically_increasing_id is
+    * (partition << 33 | row-in-partition); with the txn in the top bits the
+    * triple is unique for < 2^7 txn-local partitions. A production table
+    * widens the layout exactly like the reference widened ROW__ID — the
+    * algebra (never-reused set-keyed ids) is what matters here. */
+  private def withRid(df: DataFrame, txn: Long): DataFrame = {
+    require(df.rdd.getNumPartitions < (1 << 7),
+      s"row-id namespace: txn-local writes capped at 127 partitions in this layout")
+    df.withColumn(RID, (lit(txn) * lit(1L << 40)) + monotonically_increasing_id())
+  }
+
+  /** Create the table: write base_1 from `df`. */
+  def create(spark: SparkSession, root: String, df: DataFrame): Unit = {
+    val f = fs(spark, root)
+    f.delete(new Path(root), true)
+    withRid(df, 1L).write.mode("overwrite").parquet(s"$root/base_1")
+  }
+
+  /** Current snapshot including the internal row id. */
+  private def snapshotWithRid(spark: SparkSession, root: String): DataFrame = {
+    val txns = listTxns(spark, root)
+    val baseTxn = txns.collect { case ("base", t) => t }.max
+    val deltaTxns = txns.collect { case ("delta", t) if t > baseTxn => t }.sorted
+    val base = spark.read.parquet(s"$root/base_$baseTxn")
+    val f = fs(spark, root)
+    def part(t: Long, kind: String): Option[DataFrame] = {
+      val p = s"$root/delta_$t/$kind"
+      if (f.exists(new Path(p))) Some(spark.read.parquet(p)) else None
+    }
+    val withInserts = deltaTxns.flatMap(part(_, "insert"))
+      .foldLeft(base)(_ unionByName _)
+    val deletes = deltaTxns.flatMap(part(_, "delete"))
+    deletes.reduceOption(_ union _) match {
+      case Some(del) => withInserts.join(del, Seq(RID), "left_anti")
+      case None => withInserts
+    }
+  }
+
+  /** Snapshot read (user-facing: no internal columns). */
+  def read(spark: SparkSession, root: String): DataFrame =
+    snapshotWithRid(spark, root).drop(RID)
+
+  /** DELETE WHERE cond: one delete-delta of the matching row ids. Rows where
+    * cond is not TRUE survive (3VL, as in HiveQL and [[CopyOnWriteDml]]). */
+  def delete(spark: SparkSession, root: String, cond: String): Unit = {
+    val txn = nextTxn(spark, root)
+    snapshotWithRid(spark, root)
+      .filter(coalesce(expr(cond), lit(false)))
+      .select(col(RID))
+      .write.mode("overwrite").parquet(s"$root/delta_$txn/delete")
+  }
+
+  /** UPDATE SET ... WHERE cond: delete events for the matched rows plus an
+    * insert-delta with their new versions — the reference's two-event
+    * encoding of UPDATE. SET expressions see the pre-update row. */
+  def update(spark: SparkSession, root: String,
+      set: Seq[(String, String)], cond: String): Unit = {
+    val txn = nextTxn(spark, root)
+    val snap = snapshotWithRid(spark, root)
+    val matched = snap.filter(coalesce(expr(cond), lit(false)))
+    // columns resolved case-insensitively against the table, as in CoW
+    val cols = snap.columns.filter(_ != RID).toSeq
+    val byLower = cols.map(c => c.toLowerCase -> c).toMap
+    val setMap = set.map { case (k, v) =>
+      byLower.getOrElse(k.toLowerCase, throw new IllegalArgumentException(
+        s"UPDATE SET references unknown column '$k'")) -> v
+    }.toMap
+    // materialize the match once: the delete and insert halves must see the
+    // same row set even though they are two writes
+    matched.persist()
+    try {
+      matched.select(col(RID))
+        .write.mode("overwrite").parquet(s"$root/delta_$txn/delete")
+      val newVersions = matched.select(cols.map { c =>
+        setMap.get(c).map(e => expr(e).as(c)).getOrElse(col(c))
+      }: _*)
+      withRid(newVersions, txn)
+        .write.mode("overwrite").parquet(s"$root/delta_$txn/insert")
+    } finally matched.unpersist()
+  }
+
+  /** INSERT INTO: one insert-delta. */
+  def insert(spark: SparkSession, root: String, rows: DataFrame): Unit = {
+    val txn = nextTxn(spark, root)
+    val cols = snapshotWithRid(spark, root).columns.filter(_ != RID).toSeq
+    withRid(rows.select(cols.map(col): _*), txn)
+      .write.mode("overwrite").parquet(s"$root/delta_$txn/insert")
+  }
+
+  /** Minor compaction: fold the accumulated deltas into ONE delta without
+    * touching the base — the reference's `CompactionType.MINOR`
+    * (`ql/.../txn/compactor/CompactorMR.java`, many small delta_x_y dirs →
+    * one delta_x_y'). With never-reused row ids the fold is pure set
+    * algebra: delete events that hit a delta-born row annihilate with it
+    * (`(base ∪ I) \ D = (base \ (D∖I)) ∪ (I ∖ D)`), so the new delta is
+    * insert = I∖D and delete = D∖I. Read cost drops from one union+anti-join
+    * per accumulated txn to exactly one of each, while the base — the 100 TB
+    * part — is neither read nor written. */
+  def compactMinor(spark: SparkSession, root: String): Unit = {
+    val txns = listTxns(spark, root)
+    val baseTxn = txns.collect { case ("base", t) => t }.max
+    val deltaTxns = txns.collect { case ("delta", t) if t > baseTxn => t }
+    if (deltaTxns.isEmpty) return
+    val txn = nextTxn(spark, root)
+    val f = fs(spark, root)
+    def parts(kind: String): Seq[DataFrame] = deltaTxns.sorted.flatMap { t =>
+      val p = s"$root/delta_$t/$kind"
+      if (f.exists(new Path(p))) Some(spark.read.parquet(p)) else None
+    }
+    val inserts = parts("insert").reduceOption(_ unionByName _)
+    val deletes = parts("delete").reduceOption(_ union _)
+    // stage via a tmp dir: the folded delta reads the dirs it replaces
+    val tmp = s"$root/.compact_$txn"
+    inserts.foreach { i =>
+      deletes.fold(i)(d => i.join(d, Seq(RID), "left_anti"))
+        .write.mode("overwrite").parquet(s"$tmp/insert")
+    }
+    deletes.foreach { d =>
+      inserts.fold(d)(i => d.join(i.select(col(RID)), Seq(RID), "left_anti"))
+        .write.mode("overwrite").parquet(s"$tmp/delete")
+    }
+    f.rename(new Path(tmp), new Path(s"$root/delta_$txn"))
+    deltaTxns.foreach(t => f.delete(new Path(s"$root/delta_$t"), true))
+  }
+
+  /** Major compaction: fold every delta into a new base and delete the
+    * superseded directories — `txn/compactor/Worker.java:53`. Afterwards a
+    * snapshot read is a plain base scan (no anti-join). */
+  def compact(spark: SparkSession, root: String): Unit = {
+    val txn = nextTxn(spark, root)
+    val folded = snapshotWithRid(spark, root)
+    folded.write.mode("overwrite").parquet(s"$root/base_$txn")
+    val f = fs(spark, root)
+    listTxns(spark, root).filter(_._2 < txn).foreach { case (kind, t) =>
+      f.delete(new Path(s"$root/${kind}_$t"), true)
+    }
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Engine
-import graft.operators.CopyOnWriteDml
+import graft.operators.{CopyOnWriteDml, MergeOnReadDml}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -107,6 +107,70 @@ object Dml {
           "ck" -> "s.ck", "nm" -> "'new'", "bal" -> "s.nbal")),
         checkCardinality = true)
       s.sql(s"SELECT ck, nm, bal FROM $tbl ORDER BY ck")
+    },
+
+    // Merge-on-read: UPDATE (delete-event + insert-delta pair), DELETE
+    // (delete-delta), INSERT (insert-delta) — base files never rewritten; the
+    // snapshot read merges them via a stats-driven anti-join. The oracle
+    // replays the same transaction sequence as chained CTEs.
+    Qd("q151_dml_merge_on_read",
+      """WITH t0 AS (SELECT CAST(c_custkey AS BIGINT) AS ck, c_name AS nm,
+        |            round(c_acctbal, 2) AS bal, c_mktsegment AS seg FROM customer),
+        |t1 AS (SELECT ck, nm,
+        |         CASE WHEN seg = 'BUILDING' AND ck % 2 = 0
+        |              THEN round(bal * 1.1, 2) ELSE bal END AS bal, seg FROM t0),
+        |t2 AS (SELECT * FROM t1
+        |       WHERE NOT (seg = 'AUTOMOBILE' OR (seg = 'MACHINERY' AND ck % 3 = 0))),
+        |t3 AS (SELECT * FROM t2
+        |       UNION ALL
+        |       SELECT ck + 100000, 'late-arrival', 0.0, 'NEW' FROM t0 WHERE ck <= 50)
+        |SELECT ck, nm, bal, seg FROM t3 ORDER BY ck""") { (s, dir) =>
+      val (sf, loc) = ctx(s, dir)
+      val root = s"$loc/g151_mor"
+      val src = Engine.table(s, dir, "customer").select(
+        col("c_custkey").cast("bigint").as("ck"), col("c_name").as("nm"),
+        round(col("c_acctbal"), 2).as("bal"), col("c_mktsegment").as("seg"))
+      MergeOnReadDml.create(s, root, src)
+      MergeOnReadDml.update(s, root,
+        set = Seq("bal" -> "round(bal * 1.1, 2)"),
+        cond = "seg = 'BUILDING' AND ck % 2 = 0")
+      MergeOnReadDml.delete(s, root,
+        "seg = 'AUTOMOBILE' OR (seg = 'MACHINERY' AND ck % 3 = 0)")
+      MergeOnReadDml.insert(s, root, src.filter(col("ck") <= 50).select(
+        (col("ck") + 100000).as("ck"), lit("late-arrival").as("nm"),
+        lit(0.0).as("bal"), lit("NEW").as("seg")))
+      MergeOnReadDml.read(s, root).orderBy("ck")
+    },
+
+    // Major compaction folds the deltas into a new base (reads become plain
+    // scans again — asserted in MergeOnReadSpec), and NEW deltas stack on the
+    // compacted base: the post-compaction UPDATE must see folded state.
+    Qd("q152_dml_mor_compaction",
+      """WITH t0 AS (SELECT CAST(c_custkey AS BIGINT) AS ck, c_name AS nm,
+        |            round(c_acctbal, 2) AS bal, c_mktsegment AS seg FROM customer),
+        |t1 AS (SELECT ck, nm,
+        |         CASE WHEN seg = 'BUILDING' AND ck % 2 = 0
+        |              THEN round(bal * 1.1, 2) ELSE bal END AS bal, seg FROM t0),
+        |t2 AS (SELECT * FROM t1 WHERE NOT (seg = 'AUTOMOBILE')),
+        |t3 AS (SELECT ck, nm,
+        |         CASE WHEN seg = 'HOUSEHOLD' AND bal < 0
+        |              THEN 0.0 ELSE bal END AS bal, seg FROM t2)
+        |SELECT ck, nm, bal, seg FROM t3 ORDER BY ck""") { (s, dir) =>
+      val (sf, loc) = ctx(s, dir)
+      val root = s"$loc/g152_mor"
+      val src = Engine.table(s, dir, "customer").select(
+        col("c_custkey").cast("bigint").as("ck"), col("c_name").as("nm"),
+        round(col("c_acctbal"), 2).as("bal"), col("c_mktsegment").as("seg"))
+      MergeOnReadDml.create(s, root, src)
+      MergeOnReadDml.update(s, root,
+        set = Seq("bal" -> "round(bal * 1.1, 2)"),
+        cond = "seg = 'BUILDING' AND ck % 2 = 0")
+      MergeOnReadDml.delete(s, root, "seg = 'AUTOMOBILE'")
+      MergeOnReadDml.compact(s, root)
+      MergeOnReadDml.update(s, root,
+        set = Seq("bal" -> "0.0"),
+        cond = "seg = 'HOUSEHOLD' AND bal < 0")
+      MergeOnReadDml.read(s, root).orderBy("ck")
     }
   )
 }
