@@ -408,7 +408,15 @@ object AnnSearch {
       s"need 1 <= nBits <= 31 and nTables >= 1 (got $nBits, $nTables)")
     val spark = emb.sparkSession
     import spark.implicits._
-    val sigs = quantizedBlocked(emb, blockCol)
+    val vecs = quantizedBlocked(emb, blockCol)
+    // bucket rows carry ONLY (id, blk, t, sig) — never the vector. Carrying
+    // the 1 KB quantized embedding through the bucket self-join multiplies
+    // every skewed bucket's join output by vector width; with a crawl-like
+    // duplication factor d, copy-pairs collide in ALL nTables tables, making
+    // the pre-dedup output ~nTables·C(d,2) WIDE rows per duplicated vector —
+    // measured OOM at ×64 replication. Narrow pairs + a post-dedup id join
+    // (the q41 MinHash shape) keep the exploded intermediate at ~24 B/row.
+    val sigs = vecs
       .as[(Long, String, Seq[Long], Long)]
       .mapPartitions { it =>
         it.flatMap { case (id, blk, e, n2) =>
@@ -426,18 +434,23 @@ object AnnSearch {
               if (acc >= 0) sig |= (1 << b)
               b += 1
             }
-            (id, blk, e, n2, t, sig)
+            (id, blk, t, sig)
           }
         }
       }
-      .toDF("id", "blk", "qe", "n2", "t", "sig")
-    sigs.as("a").join(sigs.as("b"),
+      .toDF("id", "blk", "t", "sig")
+    val pairs = sigs.as("a").join(sigs.as("b"),
         col("a.blk") === col("b.blk") && col("a.t") === col("b.t") &&
           col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("d1"), col("b.id").as("d2"),
-        col("a.qe").as("qa"), col("a.n2").as("na"),
-        col("b.qe").as("qb"), col("b.n2").as("nb"))
+      .select(col("a.id").as("d1"), col("b.id").as("d2"))
       .dropDuplicates("d1", "d2")
+    // exact rescore: re-attach the quantized vectors by id (two equi-joins
+    // against the narrow deduped pair set), then the int64 dot at threshold
+    pairs
+      .join(vecs.select(col("id").as("d1"), col("qe").as("qa"),
+        col("n2").as("na")), Seq("d1"))
+      .join(vecs.select(col("id").as("d2"), col("qe").as("qb"),
+        col("n2").as("nb")), Seq("d2"))
       .withColumn("cos", dotI64(col("qa"), col("qb")).cast("double") /
         sqrt(col("na").cast("double") * col("nb").cast("double")))
       .filter(col("cos") >= threshold)

@@ -56,6 +56,28 @@ object StreamingQ {
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1, 2 ORDER BY hour_start, c_mktsegment""") { (s, dir) =>
       StreamOps.streamStaticJoin(s, dir).orderBy("hour_start", "c_mktsegment")
+    },
+
+    // Transactional streaming ingest (HiveEndPoint/TransactionBatch analog):
+    // 4 micro-batches each committing one merge-on-read insert-delta, minor
+    // compaction folding them, then a read-side aggregate that must equal
+    // the batch answer — exactly-once across the per-batch transactions.
+    Qd("q153_stream_mor_ingest",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids,
+        |  ROUND(sum(value), 4) AS sv
+        |FROM events GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
+      import graft.operators.MergeOnReadDml
+      val sf = new java.io.File(dir).getName.replace(".", "_")
+      val root = s"/root/repo/target/ddl/$sf/g153_mor_ingest"
+      StreamOps.morIngest(s, dir, root, nFiles = 4)
+      MergeOnReadDml.compactMinor(s, root)
+      MergeOnReadDml.read(s, root)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("event_id")).as("n_ids"),
+          round(sum("value"), 4).as("sv"))
+        .orderBy("event_type")
     }
   )
 }

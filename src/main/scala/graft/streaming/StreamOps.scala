@@ -157,4 +157,47 @@ object StreamOps {
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sv"))
     runToMemory(spark, agg, "graft_stream_dedup", OutputMode.Complete())
   }
+
+  /** Transactional streaming ingest into a merge-on-read table — the DIRECT
+    * analog of the reference's streaming-ingest API
+    * (`hcatalog/streaming/HiveEndPoint.java`, `TransactionBatch.java`): each
+    * micro-batch commits as ONE ACID transaction (here: one insert-delta of
+    * [[graft.operators.MergeOnReadDml]]), queries see only committed
+    * batches, and the compactor later folds the accumulated per-batch deltas
+    * (`streaming/mutate/` + `txn/compactor/Worker.java`).
+    *
+    * The replay splits the events table into `nFiles` parquet files and
+    * streams them with `maxFilesPerTrigger=1`, so the run commits `nFiles`
+    * separate transactions — a deterministic stand-in for a live feed, same
+    * shape as production where an agent hands batches to the endpoint. The
+    * file-stream source's exactly-once file tracking plays the
+    * TransactionBatch commit/abort contract. Returns the table root; callers
+    * read the final state via [[graft.operators.MergeOnReadDml.read]].
+    */
+  def morIngest(spark: SparkSession, dir: String, root: String,
+      nFiles: Int = 4): String = {
+    import graft.operators.MergeOnReadDml
+    val events = {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("event_type"), col("value"))
+    }
+    val inDir = s"${root}__in"
+    val ckpt = s"${root}__ckpt"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(inDir))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    events.repartitionByRange(nFiles, col("event_id"))
+      .write.mode("overwrite").parquet(inDir)
+    MergeOnReadDml.create(spark, root, events.limit(0))
+    val sdf = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = sdf.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        MergeOnReadDml.insert(spark, root, batch)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    root
+  }
 }

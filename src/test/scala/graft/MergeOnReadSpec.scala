@@ -116,6 +116,20 @@ class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(del.count() == 30 + 1) // 30 update-deletes (base rids) + k=7
   }
 
+  test("streaming ingest commits one insert-delta per micro-batch") {
+    val root = s"$base/t7"
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(root))
+    graft.streaming.StreamOps.morIngest(spark, "/root/testdata/sf0.001", root, nFiles = 4)
+    val deltas = Option(new File(root).listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.startsWith("delta_"))
+    assert(deltas.length == 4, s"one txn per micro-batch: got ${deltas.toSeq}")
+    val expected = spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
+    assert(graft.operators.MergeOnReadDml.read(spark, root).count() == expected,
+      "exactly-once: table state must equal the replayed feed")
+    graft.operators.MergeOnReadDml.compactMinor(spark, root)
+    assert(graft.operators.MergeOnReadDml.read(spark, root).count() == expected)
+  }
+
   test("compaction folds deltas, removes them, and drops the anti-join") {
     val root = s"$base/t5"
     mk(root)
