@@ -328,6 +328,49 @@ object Pipeline {
         col("label"))
       AnnSearch.cosineNearDupPairsLsh(e.unionByName(pert), "label", 0.95)
         .orderBy("d1", "d2")
+    },
+
+    // TF-IDF top terms per document — the inverted-index text-analysis op
+    // (term posting lists are the df aggregate's shuffle groups). Pure
+    // codegen relational ops: split/explode tokenize, two hash aggregates,
+    // a broadcast scalar for N, one window for the per-doc top-k. Score
+    // math is double-exact cross-engine (same tf·ln((N+1)/(df+1)) op
+    // sequence), ties broken by term, rounding display-only.
+    Qd("q154_tfidf_top_terms",
+      """WITH tok AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        |    FROM documents)
+        |  WHERE w <> '' AND len(w) >= 2),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |sc AS (SELECT t.doc_id, t.w AS term, t.tf, d.df,
+        |         t.tf * ln((n.n + 1.0) / (d.df + 1.0)) AS score
+        |       FROM tf t JOIN df d ON t.w = d.w CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, term) AS rk FROM sc)
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |  ROUND(score, 6) AS tfidf
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, term""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val tok = d.select(col("doc_id"),
+          explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+        .filter(col("w") =!= "" && length(col("w")) >= 2)
+      val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      val n = d.agg(count(lit(1)).as("n"))
+      val sc = tf.join(df, "w").crossJoin(broadcast(n))
+        .withColumn("score",
+          col("tf") * log((col("n") + lit(1.0)) / (col("df") + lit(1.0))))
+      sc.withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("score").desc, col("w"))))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("w").as("term"),
+          col("tf").cast("bigint").as("tf"), col("df").cast("bigint").as("df"),
+          round(col("score"), 6).as("tfidf"))
+        .orderBy("doc_id", "term")
     }
   )
 }
