@@ -106,14 +106,34 @@ object MergeOnReadDml {
   def read(spark: SparkSession, root: String): DataFrame =
     snapshotWithRid(spark, root).drop(RID)
 
+  /** Atomic transaction commit: stage the delta's delete/insert halves under
+    * a dot-dir (invisible to [[listTxns]]), then ONE rename publishes the
+    * whole txn. Without this an UPDATE would surface its delete events
+    * before its insert half lands — a crash between the two writes reads as
+    * data loss, where the reference's reader never sees an uncommitted
+    * writeId (`AcidUtils.getAcidState` filters by the committed-txn list).
+    * Re-committing an existing txn id replaces it — the idempotence that
+    * makes streaming-batch retries exactly-once ([[insertAt]]). */
+  private def commitDelta(spark: SparkSession, root: String, txn: Long,
+      delete: Option[DataFrame], insert: Option[DataFrame]): Unit = {
+    val f = fs(spark, root)
+    val tmp = new Path(s"$root/.txn_$txn")
+    f.delete(tmp, true) // failed-attempt debris
+    delete.foreach(_.write.mode("overwrite").parquet(s"$tmp/delete"))
+    insert.foreach(_.write.mode("overwrite").parquet(s"$tmp/insert"))
+    val target = new Path(s"$root/delta_$txn")
+    f.delete(target, true) // idempotent re-commit of the same txn
+    require(f.rename(tmp, target), s"commit rename failed for txn $txn")
+  }
+
   /** DELETE WHERE cond: one delete-delta of the matching row ids. Rows where
     * cond is not TRUE survive (3VL, as in HiveQL and [[CopyOnWriteDml]]). */
   def delete(spark: SparkSession, root: String, cond: String): Unit = {
     val txn = nextTxn(spark, root)
-    snapshotWithRid(spark, root)
+    val del = snapshotWithRid(spark, root)
       .filter(coalesce(expr(cond), lit(false)))
       .select(col(RID))
-      .write.mode("overwrite").parquet(s"$root/delta_$txn/delete")
+    commitDelta(spark, root, txn, Some(del), None)
   }
 
   /** UPDATE SET ... WHERE cond: delete events for the matched rows plus an
@@ -135,22 +155,29 @@ object MergeOnReadDml {
     // same row set even though they are two writes
     matched.persist()
     try {
-      matched.select(col(RID))
-        .write.mode("overwrite").parquet(s"$root/delta_$txn/delete")
       val newVersions = matched.select(cols.map { c =>
         setMap.get(c).map(e => expr(e).as(c)).getOrElse(col(c))
       }: _*)
-      withRid(newVersions, txn)
-        .write.mode("overwrite").parquet(s"$root/delta_$txn/insert")
+      commitDelta(spark, root, txn,
+        Some(matched.select(col(RID))), Some(withRid(newVersions, txn)))
     } finally matched.unpersist()
   }
 
   /** INSERT INTO: one insert-delta. */
-  def insert(spark: SparkSession, root: String, rows: DataFrame): Unit = {
-    val txn = nextTxn(spark, root)
+  def insert(spark: SparkSession, root: String, rows: DataFrame): Unit =
+    insertAt(spark, root, rows, nextTxn(spark, root))
+
+  /** INSERT INTO at a CALLER-CHOSEN txn id — the idempotent form for
+    * streaming ingest: keying the txn by the micro-batch id makes a retried
+    * batch REPLACE its own delta instead of minting a new one, which is what
+    * turns the sink's at-least-once batch delivery into exactly-once table
+    * state (the reference's TransactionBatch abort/reopen contract). The id
+    * must be above the current base txn and owned by this writer. */
+  def insertAt(spark: SparkSession, root: String, rows: DataFrame,
+      txn: Long): Unit = {
     val cols = snapshotWithRid(spark, root).columns.filter(_ != RID).toSeq
-    withRid(rows.select(cols.map(col): _*), txn)
-      .write.mode("overwrite").parquet(s"$root/delta_$txn/insert")
+    commitDelta(spark, root, txn, None,
+      Some(withRid(rows.select(cols.map(col): _*), txn)))
   }
 
   /** Minor compaction: fold the accumulated deltas into ONE delta without

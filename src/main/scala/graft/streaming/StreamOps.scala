@@ -192,8 +192,11 @@ object StreamOps {
     val sdf = spark.readStream.schema(events.schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir)
     val q = sdf.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        MergeOnReadDml.insert(spark, root, batch)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // txn keyed by micro-batch id (base_1 holds txn 1): a retried batch
+        // REPLACES its own delta — exactly-once table state under the
+        // sink's at-least-once batch delivery
+        MergeOnReadDml.insertAt(spark, root, batch, txn = batchId + 2)
       }
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()

@@ -116,6 +116,25 @@ class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(del.count() == 30 + 1) // 30 update-deletes (base rids) + k=7
   }
 
+  test("txn staging dirs are invisible to readers; re-commit is idempotent") {
+    val root = s"$base/t8"
+    mk(root)
+    // a torn/in-flight txn (crash before the publish rename) must not be read
+    val f = new File(s"$root/.txn_99/delete"); f.mkdirs()
+    spark.range(0, 5).select(col("id").as("__row_id"))
+      .write.mode("overwrite").parquet(f.getPath)
+    assert(MergeOnReadDml.read(spark, root).count() == 300,
+      "uncommitted staging must be invisible")
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(s"$root/.txn_99"))
+    // idempotent re-commit: same txn id written twice = one delta, no dup rows
+    val rows = spark.range(1000, 1010).select(col("id").as("k"),
+      lit("late").as("v"), lit("z").as("p"))
+    MergeOnReadDml.insertAt(spark, root, rows, txn = 7)
+    MergeOnReadDml.insertAt(spark, root, rows, txn = 7) // the "retried batch"
+    assert(MergeOnReadDml.read(spark, root).count() == 310,
+      "a retried txn must replace its delta, not duplicate it")
+  }
+
   test("streaming ingest commits one insert-delta per micro-batch") {
     val root = s"$base/t7"
     org.apache.commons.io.FileUtils.deleteQuietly(new File(root))
