@@ -23,11 +23,10 @@ import org.apache.spark.sql.functions._
   *   root/delta_T/insert/    full rows + `__row_id`  (rows added at txn T)
   *
   * A snapshot read is `(base UNION ALL insert-deltas) LEFT ANTI JOIN
-  * delete-deltas ON __row_id`. Row ids are namespaced per transaction
-  * (`txn << 40 | monotonically_increasing_id`), mirroring the reference's
-  * (writeId, bucket, rowId) triple: ids are never reused, so delete events
-  * form a set and the merge needs no ordering — exactly why the reference's
-  * delete registry can be an unordered hash set.
+  * delete-deltas ON __row_id`. A row id is a `(txn, seq)` struct — the
+  * reference's (writeId, bucket, rowId) triple: ids are never reused, so
+  * delete events form a set and the merge needs no ordering — exactly why
+  * the reference's delete registry can be an unordered hash set.
   *
   * Scale shape (the 100 TB contract):
   *  - A write costs O(changed rows): the base is never rewritten, which is
@@ -64,16 +63,15 @@ object MergeOnReadDml {
   private def nextTxn(spark: SparkSession, root: String): Long =
     (listTxns(spark, root).map(_._2) :+ 0L).max + 1
 
-  /** Fresh per-transaction row ids. monotonically_increasing_id is
-    * (partition << 33 | row-in-partition); with the txn in the top bits the
-    * triple is unique for < 2^7 txn-local partitions. A production table
-    * widens the layout exactly like the reference widened ROW__ID — the
-    * algebra (never-reused set-keyed ids) is what matters here. */
-  private def withRid(df: DataFrame, txn: Long): DataFrame = {
-    require(df.rdd.getNumPartitions < (1 << 7),
-      s"row-id namespace: txn-local writes capped at 127 partitions in this layout")
-    df.withColumn(RID, (lit(txn) * lit(1L << 40)) + monotonically_increasing_id())
-  }
+  /** Fresh per-transaction row ids: a (txn, seq) STRUCT — the reference's
+    * (writeId, bucket, rowId) ROW__ID triple collapsed to two fields, since
+    * monotonically_increasing_id already encodes (partition << 33 | row).
+    * The struct never collides for any partition count or txn count (no
+    * bit-packing budget to outgrow), equality-joins like any column, and is
+    * never reused — which is what lets delete events be an unordered set. */
+  private def withRid(df: DataFrame, txn: Long): DataFrame =
+    df.withColumn(RID, struct(lit(txn).as("txn"),
+      monotonically_increasing_id().as("seq")))
 
   /** Create the table: write base_1 from `df`. */
   def create(spark: SparkSession, root: String, df: DataFrame): Unit = {
