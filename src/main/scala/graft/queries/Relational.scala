@@ -26,6 +26,43 @@ object Relational {
   /** Late additions registered at the end of the pack (q86+). */
   private def extras: Seq[Qd] = Seq(
 
+    // UNIQUEJOIN ... PRESERVE (HiveParser KW_UNIQUEJOIN, JoinDesc.UNIQUE_JOIN,
+    // qtest uniquejoin.q): n-way single-key join where a key group is emitted
+    // iff a PRESERVE'd side has the key; re-expressed as a full-outer chain
+    // with a running-coalesced key + the preserve filter
+    // (operators/UniqueJoin.scala; golden-file semantics in UniqueJoinSpec).
+    // Shape mirrors golden block 5: PRESERVE customer-sample / nation-tail,
+    // inner supplier-sample.
+    Qd("q155_uniquejoin_preserve",
+      """WITH a AS (SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 97 = 0),
+        |b AS (SELECT s_suppkey, s_nationkey FROM supplier WHERE s_suppkey % 7 = 0),
+        |c AS (SELECT n_nationkey, n_name FROM nation WHERE n_nationkey >= 10),
+        |j AS (SELECT a.c_custkey, a.c_nationkey, b.s_suppkey, b.s_nationkey,
+        |             c.n_nationkey, c.n_name
+        |      FROM a FULL JOIN b ON a.c_nationkey = b.s_nationkey
+        |           FULL JOIN c ON coalesce(a.c_nationkey, b.s_nationkey) = c.n_nationkey)
+        |SELECT * FROM j
+        |WHERE c_nationkey IS NOT NULL OR n_nationkey IS NOT NULL
+        |ORDER BY c_custkey NULLS FIRST, s_suppkey NULLS FIRST,
+        |  n_nationkey NULLS FIRST""") { (s, dir) =>
+      import graft.operators.UniqueJoin
+      import graft.operators.UniqueJoin.Side
+      val a = Engine.table(s, dir, "customer")
+        .filter(col("c_custkey") % 97 === 0).select("c_custkey", "c_nationkey")
+      val b = Engine.table(s, dir, "supplier")
+        .filter(col("s_suppkey") % 7 === 0).select("s_suppkey", "s_nationkey")
+      val c = Engine.table(s, dir, "nation")
+        .filter(col("n_nationkey") >= 10).select("n_nationkey", "n_name")
+      UniqueJoin.uniqueJoin(Seq(
+          Side(a, Seq(col("c_nationkey")), preserve = true),
+          Side(b, Seq(col("s_nationkey")), preserve = false),
+          Side(c, Seq(col("n_nationkey")), preserve = true)))
+        .select("c_custkey", "c_nationkey", "s_suppkey", "s_nationkey",
+          "n_nationkey", "n_name")
+        .orderBy(col("c_custkey").asc_nulls_first, col("s_suppkey").asc_nulls_first,
+          col("n_nationkey").asc_nulls_first)
+    },
+
     // Skewed-key aggregation via explicit two-stage salting
     // (hive.groupby.skewindata analog) — must equal the direct GROUP BY.
     Qd("q86_skew_salted_agg",
