@@ -107,6 +107,28 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "LSH near-dup candidates must equi-join on (blk, t, sig)")
   }
 
+  test("q155 UNIQUEJOIN chain is equi-joins only (no cartesian/BNLJ)") {
+    val s = finalPlan("q155_uniquejoin_preserve")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      "UNIQUEJOIN must plan as full-outer equi-joins on the key structs")
+  }
+
+  test("q154 TF-IDF joins df by term; only the 1-row N is nested-loop") {
+    val s = finalPlan("q154_tfidf_top_terms")
+    assert(!s.contains("CartesianProduct"), "TF-IDF must not cartesian")
+    // the deliberate crossJoin(broadcast(N)) is a single-row build side —
+    // count the BNLJ occurrences to keep it at exactly that one
+    val bnlj = s.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"expected only the broadcast-N join, saw $bnlj BNLJs")
+  }
+
+  test("q151 merge-on-read snapshot applies deletes via a broadcast anti-join") {
+    val s = finalPlan("q151_dml_merge_on_read")
+    assert(s.contains("LeftAnti"), "MoR read must anti-join the delete deltas")
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"),
+      "small delete-deltas should broadcast (the in-memory delete-registry analog)")
+  }
+
   test("q146 cached dimension is scanned from the in-memory columnar cache") {
     // whole executed-plan string, not the final-plan slice: the scalar
     // subquery nests its own AdaptiveSparkPlan whose "== Initial Plan =="
