@@ -7,11 +7,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * ANTLR-driven tree walker with variables, control flow, and cursors whose
   * SQL statements execute on the engine). This re-expression covers the
   * subset a migrating stored procedure hits first — DECLARE / SET / IF /
-  * WHILE / FOR-cursor / PRINT — with the same division of labor as the
+  * WHILE / FOR-cursor / EXIT [WHEN] / BEGIN…EXCEPTION WHEN OTHERS / PRINT —
+  * with the same division of labor as the
   * reference: control flow and scalar variables live on the driver, every
   * SQL statement (including cursor queries and scalar-subquery
   * initializers) executes on the engine via `spark.sql`. The rest of the
-  * module (OPEN/FETCH cursors, exception blocks, stored-procedure
+  * module (OPEN/FETCH cursors, named condition handlers, stored-procedure
   * definitions, host-command execution) stays descoped — SURVEY.md §2.12.
   *
   * Two deliberate reference-faithful quirks:
@@ -39,6 +40,9 @@ object HplSql {
       body: Seq[Stmt]) extends Stmt
   private case class PrintStmt(expr: String) extends Stmt
   private case class SqlStmt(text: String) extends Stmt
+  private case class ExitStmt(when: Option[String]) extends Stmt
+  private case class BeginBlock(body: Seq[Stmt],
+      handler: Option[Seq[Stmt]]) extends Stmt
 
   // ---------- tokenizer (structure only; statement text is sliced raw) ----
   private case class Tok(text: String, start: Int, end: Int, quoted: Boolean) {
@@ -198,6 +202,28 @@ object HplSql {
         ForCursor(rec, query, body)
       case "PRINT" =>
         next(); PrintStmt(rawUntil(Set(";"))._1)
+      case "EXIT" =>
+        // exit_stmt: T_EXIT (T_WHEN bool_expr)? — Hplsql.g4
+        next()
+        peek match {
+          case Some(w) if w.up == "WHEN" =>
+            next(); ExitStmt(Some(rawUntil(Set(";"))._1))
+          case _ => expect(";"); ExitStmt(None)
+        }
+      case "BEGIN" =>
+        // begin_end_block with optional exception_block:
+        // T_EXCEPTION T_WHEN T_OTHERS T_THEN block — Hplsql.g4
+        next()
+        val body = parseStmts(Set("EXCEPTION", "END"))
+        next().up match {
+          case "EXCEPTION" =>
+            expect("WHEN"); expect("OTHERS"); expect("THEN")
+            val handler = parseStmts(Set("END"))
+            expect("END"); expect(";")
+            BeginBlock(body, Some(handler))
+          case "END" => expect(";"); BeginBlock(body, None)
+          case other => throw new IllegalArgumentException(s"bad BEGIN tail: $other")
+        }
       case _ =>
         SqlStmt(rawUntil(Set(";"))._1)
     }
@@ -208,6 +234,10 @@ object HplSql {
     * unbounded WHILE is a driver-side hot loop of engine calls — fail loudly
     * instead. Overridable for tests. */
   private[graft] var MaxLoopIters = 100000
+
+  /** EXIT unwinds to the INNERMOST enclosing loop — a ControlThrowable so
+    * it never trips a generic exception handler on the way out. */
+  private object LoopExit extends scala.util.control.ControlThrowable
 
   private final class Interp(spark: SparkSession) {
     private val vars = scala.collection.mutable.LinkedHashMap.empty[String, Any]
@@ -279,24 +309,39 @@ object HplSql {
         }
       case WhileStmt(cond, body) =>
         var iters = 0
-        while (evalCond(cond)) {
+        try while (evalCond(cond)) {
           run(body)
           iters += 1
           require(iters <= MaxLoopIters,
             s"WHILE exceeded $MaxLoopIters iterations — non-terminating loop?")
-        }
+        } catch { case LoopExit => () }
       case ForCursor(rec, query, body) =>
         val df = spark.sql(substitute(query))
         val cols = df.columns
-        df.collect().foreach { row => // driver-side cursor, by design (see scaladoc)
+        try df.collect().foreach { row => // driver-side cursor, by design (see scaladoc)
           cols.zipWithIndex.foreach { case (c, ci) =>
             vars(s"$rec.$c") = if (row.isNullAt(ci)) null else row.get(ci)
           }
           run(body)
-        }
-        cols.foreach(c => vars.remove(s"$rec.$c"))
+        } catch { case LoopExit => () }
+        finally cols.foreach(c => vars.remove(s"$rec.$c"))
       case PrintStmt(expr) =>
         org.slf4j.LoggerFactory.getLogger(getClass).info(s"[hplsql] ${evalScalar(expr)}")
+      case ExitStmt(when) =>
+        if (when.forall(evalCond)) throw LoopExit
+      case BeginBlock(body, handler) =>
+        handler match {
+          case None => run(body)
+          case Some(h) =>
+            // WHEN OTHERS catches engine/script errors, never loop control.
+            // SQLERRM carries the message into the handler's scope, as in
+            // the reference's error variables (Exec.java signal handling).
+            try run(body) catch {
+              case e: Exception =>
+                vars("SQLERRM") = e.getMessage
+                try run(h) finally vars.remove("SQLERRM")
+            }
+        }
       case SqlStmt(text) =>
         val df = spark.sql(substitute(text))
         val head = text.trim.takeWhile(!_.isWhitespace).toUpperCase

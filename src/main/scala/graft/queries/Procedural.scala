@@ -64,6 +64,42 @@ object Procedural {
           |  SET n = n + 1;
           |END LOOP;
           |SELECT regions AS regions, CAST(n AS INT) AS n;""".stripMargin)
+    },
+
+    // EXIT WHEN inside an unconditioned loop (exit_stmt, Hplsql.g4) — must
+    // land on the same closed form as q149's conditioned WHILE.
+    Qd("q156_hplsql_exit_when",
+      """SELECT CAST(ceil(log2(n)) AS INT) AS iters,
+        |  CAST(power(2, ceil(log2(n))) AS BIGINT) AS pw, n AS n_orders
+        |FROM (SELECT count(*) AS n FROM orders)""") { (s, dir) =>
+      HplSql.run(s, dir,
+        """DECLARE n BIGINT := (SELECT count(*) FROM orders);
+          |DECLARE pw BIGINT := 1;
+          |DECLARE iters INT := 0;
+          |WHILE 1 = 1 LOOP
+          |  EXIT WHEN pw >= n;
+          |  SET pw = pw * 2;
+          |  SET iters = iters + 1;
+          |END LOOP;
+          |SELECT CAST(iters AS INT) AS iters, CAST(pw AS BIGINT) AS pw, CAST(n AS BIGINT) AS n_orders;""".stripMargin)
+    },
+
+    // BEGIN ... EXCEPTION WHEN OTHERS THEN (exception_block, Hplsql.g4): the
+    // failing statement (missing table) routes to the handler, which
+    // computes the fallback the oracle expects; the error must not escape.
+    Qd("q157_hplsql_exception",
+      """SELECT 'fallback' AS src, CAST(count(*) AS BIGINT) AS n FROM region""") { (s, dir) =>
+      HplSql.run(s, dir,
+        """DECLARE src STRING := 'none';
+          |DECLARE n BIGINT := -1;
+          |BEGIN
+          |  SET n = (SELECT count(*) FROM graft_no_such_table_q157);
+          |  SET src = 'table';
+          |EXCEPTION WHEN OTHERS THEN
+          |  SET src = 'fallback';
+          |  SET n = (SELECT count(*) FROM region);
+          |END;
+          |SELECT src AS src, CAST(n AS BIGINT) AS n;""".stripMargin)
     }
   )
 }

@@ -123,4 +123,75 @@ class HplSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(intercept[IllegalArgumentException](run1(
       "IF 1 = 1 THEN SELECT 1 AS a;")).getMessage.contains("unterminated"))
   }
+
+  test("EXIT breaks the innermost loop only; bare EXIT is unconditional") {
+    val r = run1(
+      """DECLARE outer INT := 0;
+        |DECLARE total INT := 0;
+        |WHILE outer < 3 LOOP
+        |  SET outer = outer + 1;
+        |  DECLARE inner INT := 0;
+        |  WHILE 1 = 1 LOOP
+        |    SET inner = inner + 1;
+        |    SET total = total + 1;
+        |    EXIT WHEN inner >= 2;
+        |  END LOOP;
+        |END LOOP;
+        |SELECT CAST(outer AS INT) AS o, CAST(total AS INT) AS t;""".stripMargin)
+    assert(r.getInt(0) == 3 && r.getInt(1) == 6,
+      "inner EXIT must not terminate the outer loop")
+    val r2 = run1(
+      """DECLARE i INT := 0;
+        |WHILE 1 = 1 LOOP SET i = i + 1; EXIT; END LOOP;
+        |SELECT CAST(i AS INT) AS i;""".stripMargin)
+    assert(r2.getInt(0) == 1)
+  }
+
+  test("EXIT WHEN NULL is not taken (3VL, like IF)") {
+    val r = run1(
+      """DECLARE x INT;
+        |DECLARE i INT := 0;
+        |WHILE i < 3 LOOP
+        |  SET i = i + 1;
+        |  EXIT WHEN x > 0;
+        |END LOOP;
+        |SELECT CAST(i AS INT) AS i;""".stripMargin)
+    assert(r.getInt(0) == 3)
+  }
+
+  test("EXCEPTION WHEN OTHERS catches engine errors; SQLERRM bound in handler") {
+    val r = run1(
+      """DECLARE msg STRING := 'none';
+        |BEGIN
+        |  SELECT * FROM graft_missing_table_spec;
+        |EXCEPTION WHEN OTHERS THEN
+        |  SET msg = SQLERRM;
+        |END;
+        |SELECT msg AS msg;""".stripMargin)
+    assert(r.getString(0) != null && r.getString(0) != "none",
+      "handler must run with SQLERRM bound to the error message")
+  }
+
+  test("BEGIN without handler propagates; EXIT passes through a handler") {
+    // no handler -> the engine error escapes to the caller
+    intercept[Exception](run1(
+      """BEGIN SELECT * FROM graft_missing_table_spec2; END;
+        |SELECT 1 AS x;""".stripMargin))
+    // EXIT inside a handled block inside a loop: loop control is NOT an
+    // exception — the handler must not swallow it
+    val r = run1(
+      """DECLARE i INT := 0;
+        |DECLARE caught INT := 0;
+        |WHILE 1 = 1 LOOP
+        |  SET i = i + 1;
+        |  BEGIN
+        |    EXIT WHEN i >= 2;
+        |  EXCEPTION WHEN OTHERS THEN
+        |    SET caught = caught + 1;
+        |  END;
+        |END LOOP;
+        |SELECT CAST(i AS INT) AS i, CAST(caught AS INT) AS c;""".stripMargin)
+    assert(r.getInt(0) == 2 && r.getInt(1) == 0,
+      "EXIT must unwind through the exception block without triggering it")
+  }
 }
