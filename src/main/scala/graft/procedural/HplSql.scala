@@ -11,9 +11,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * with the same division of labor as the
   * reference: control flow and scalar variables live on the driver, every
   * SQL statement (including cursor queries and scalar-subquery
-  * initializers) executes on the engine via `spark.sql`. The rest of the
-  * module (OPEN/FETCH cursors, named condition handlers, stored-procedure
-  * definitions, host-command execution) stays descoped — SURVEY.md §2.12.
+  * initializers) executes on the engine via `spark.sql`. Round 7 widens the
+  * subset with the statements a migrating procedure body hits next (all per
+  * the reference grammar `hplsql/src/main/antlr4/.../Hplsql.g4`):
+  * CREATE PROCEDURE + CALL (IN parameters, dynamically scoped like the
+  * reference's call stack), explicit cursors (DECLARE…CURSOR FOR / OPEN /
+  * FETCH INTO / CLOSE with %ISOPEN %FOUND %NOTFOUND %ROWCOUNT attributes),
+  * CASE statements (simple and searched), REPEAT…UNTIL, and FOR range loops
+  * (`for_range_stmt`, with REVERSE). Still descoped: OUT/INOUT parameters,
+  * named condition handlers beyond WHEN OTHERS, host-command execution —
+  * SURVEY.md §2.12.
   *
   * Two deliberate reference-faithful quirks:
   *  - variable references in SQL text are substituted by IDENTIFIER match
@@ -43,6 +50,18 @@ object HplSql {
   private case class ExitStmt(when: Option[String]) extends Stmt
   private case class BeginBlock(body: Seq[Stmt],
       handler: Option[Seq[Stmt]]) extends Stmt
+  private case class CaseStmt(branches: Seq[(String, Seq[Stmt])],
+      orElse: Seq[Stmt]) extends Stmt
+  private case class RepeatStmt(body: Seq[Stmt], until: String) extends Stmt
+  private case class ForRange(v: String, from: String, to: String,
+      reverse: Boolean, body: Seq[Stmt]) extends Stmt
+  private case class DeclareCursor(name: String, query: String) extends Stmt
+  private case class OpenStmt(name: String) extends Stmt
+  private case class FetchStmt(name: String, into: Seq[String]) extends Stmt
+  private case class CloseStmt(name: String) extends Stmt
+  private case class ProcDef(name: String, params: Seq[String],
+      body: Seq[Stmt], handler: Option[Seq[Stmt]]) extends Stmt
+  private case class CallStmt(name: String, args: Seq[String]) extends Stmt
 
   // ---------- tokenizer (structure only; statement text is sliced raw) ----
   private case class Tok(text: String, start: Int, end: Int, quoted: Boolean) {
@@ -134,22 +153,33 @@ object HplSql {
       out.result()
     }
 
+    /** Upper-cased token k positions ahead (empty past end) — lookahead for
+      * CREATE PROCEDURE vs CREATE TABLE/VIEW (which stay engine SQL). */
+    private def at(k: Int): String =
+      if (p + k < toks.length) toks(p + k).up else ""
+
     private def parseStmt(t: Tok): Stmt = t.up match {
       case "DECLARE" =>
         next(); val name = next().text
-        // optional type words up to := / DEFAULT / ;
-        var init: Option[String] = None
-        var scan = true
-        while (scan) {
-          val w = next()
-          w.up match {
-            case ";" => scan = false
-            case ":=" | "DEFAULT" =>
-              init = Some(rawUntil(Set(";"))._1); scan = false
-            case _ => () // type token (BIGINT, STRING, DECIMAL(10,2) parens...)
+        if (peek.exists(w => !w.quoted && w.up == "CURSOR")) {
+          // declare_cursor_stmt: T_DECLARE ident T_CURSOR ... T_FOR query
+          next(); expect("FOR")
+          DeclareCursor(name, rawUntil(Set(";"))._1)
+        } else {
+          // optional type words up to := / DEFAULT / ;
+          var init: Option[String] = None
+          var scan = true
+          while (scan) {
+            val w = next()
+            w.up match {
+              case ";" => scan = false
+              case ":=" | "DEFAULT" =>
+                init = Some(rawUntil(Set(";"))._1); scan = false
+              case _ => () // type token (BIGINT, STRING, DECIMAL(10,2) parens...)
+            }
           }
+          Declare(name, init)
         }
-        Declare(name, init)
       case "SET" =>
         next(); val name = next().text
         val eq = next()
@@ -187,19 +217,47 @@ object HplSql {
         WhileStmt(cond, body)
       case "FOR" =>
         next(); val rec = next().text
-        expect("IN"); expect("(")
-        val from = toks(p).start
-        var depth = 1
-        while (depth > 0) {
-          val w = next()
-          if (!w.quoted && w.text == "(") depth += 1
-          else if (!w.quoted && w.text == ")") depth -= 1
+        expect("IN")
+        val reverse = peek.exists(w => !w.quoted && w.up == "REVERSE")
+        if (reverse) next()
+        if (!reverse && peek.exists(w => !w.quoted && w.text == "(")) {
+          // for_cursor_stmt: FOR rec IN ( query ) LOOP ... END LOOP
+          expect("(")
+          val from = toks(p).start
+          var depth = 1
+          while (depth > 0) {
+            val w = next()
+            if (!w.quoted && w.text == "(") depth += 1
+            else if (!w.quoted && w.text == ")") depth -= 1
+          }
+          val query = src.substring(from, toks(p - 1).start).trim
+          expect("LOOP")
+          val body = parseStmts(Set("END"))
+          expect("END"); expect("LOOP"); expect(";")
+          ForCursor(rec, query, body)
+        } else {
+          // for_range_stmt: FOR i IN [REVERSE] from .. to LOOP ... END LOOP
+          // ('..' is two adjacent '.' tokens; scan at paren depth 0)
+          val fromStart = toks(p).start
+          var dotAt = -1
+          var depth = 0
+          var i = p
+          while (dotAt < 0) {
+            require(i + 1 < toks.length, "FOR range: expected '..'")
+            val w = toks(i)
+            if (!w.quoted && w.text == "(") depth += 1
+            else if (!w.quoted && w.text == ")") depth -= 1
+            else if (depth == 0 && w.text == "." && !w.quoted &&
+              toks(i + 1).text == "." && toks(i + 1).start == w.end) dotAt = i
+            i += 1
+          }
+          val fromExpr = src.substring(fromStart, toks(dotAt).start).trim
+          p = dotAt + 2
+          val toExpr = rawUntil(Set("LOOP"))._1
+          val body = parseStmts(Set("END"))
+          expect("END"); expect("LOOP"); expect(";")
+          ForRange(rec, fromExpr, toExpr, reverse, body)
         }
-        val query = src.substring(from, toks(p - 1).start).trim
-        expect("LOOP")
-        val body = parseStmts(Set("END"))
-        expect("END"); expect("LOOP"); expect(";")
-        ForCursor(rec, query, body)
       case "PRINT" =>
         next(); PrintStmt(rawUntil(Set(";"))._1)
       case "EXIT" =>
@@ -224,6 +282,130 @@ object HplSql {
           case "END" => expect(";"); BeginBlock(body, None)
           case other => throw new IllegalArgumentException(s"bad BEGIN tail: $other")
         }
+      case "CASE" =>
+        // case_stmt (Hplsql.g4): simple form (CASE subj WHEN v THEN …) is
+        // desugared into the searched form with (subj) = (v) conditions.
+        next()
+        val subject = rawUntil(Set("WHEN"))._1.trim
+        val branches = Seq.newBuilder[(String, Seq[Stmt])]
+        var orElse: Seq[Stmt] = Nil
+        var closed = false
+        while (!closed) {
+          val cond0 = rawUntil(Set("THEN"))._1
+          val cond = if (subject.isEmpty) cond0 else s"($subject) = ($cond0)"
+          branches += ((cond, parseStmts(Set("WHEN", "ELSE", "END"))))
+          next().up match {
+            case "WHEN" => ()
+            case "ELSE" =>
+              orElse = parseStmts(Set("END"))
+              expect("END"); expect("CASE"); expect(";"); closed = true
+            case "END" => expect("CASE"); expect(";"); closed = true
+            case other => throw new IllegalArgumentException(s"bad CASE tail: $other")
+          }
+        }
+        CaseStmt(branches.result(), orElse)
+      case "REPEAT" =>
+        // repeat_stmt: body runs at least once, loop ends when cond is true
+        next()
+        val body = parseStmts(Set("UNTIL"))
+        expect("UNTIL")
+        val cond = rawUntil(Set("END"))._1
+        expect("REPEAT"); expect(";")
+        RepeatStmt(body, cond)
+      case "OPEN" =>
+        next(); val name = next().text; expect(";"); OpenStmt(name)
+      case "FETCH" =>
+        // fetch_stmt: T_FETCH [T_FROM] ident T_INTO ident (',' ident)*
+        next()
+        var name = next().text
+        if (name.toUpperCase == "FROM") name = next().text
+        expect("INTO")
+        val into = Seq.newBuilder[String]
+        var go = true
+        while (go) {
+          into += next().text
+          next().text match {
+            case "," => ()
+            case ";" => go = false
+            case other => throw new IllegalArgumentException(
+              s"FETCH INTO list: expected ',' or ';', got '$other'")
+          }
+        }
+        FetchStmt(name, into.result())
+      case "CLOSE" =>
+        next(); val name = next().text; expect(";"); CloseStmt(name)
+      case "CREATE" if at(1) == "PROCEDURE" ||
+          (at(1) == "OR" && at(2) == "REPLACE" && at(3) == "PROCEDURE") =>
+        // create_procedure_stmt — IN parameters only (OUT descoped); other
+        // CREATE forms (TABLE/VIEW/…) fall through to engine SQL below.
+        next()
+        if (peek.exists(_.up == "OR")) { next(); expect("REPLACE") }
+        expect("PROCEDURE")
+        val name = next().text
+        val params = Vector.newBuilder[String]
+        if (peek.exists(w => !w.quoted && w.text == "(")) {
+          next()
+          if (peek.exists(w => !w.quoted && w.text == ")")) next()
+          else {
+            var go = true
+            while (go) {
+              var pn = next().text
+              if (Set("IN", "OUT", "INOUT").contains(pn.toUpperCase)) pn = next().text
+              params += pn
+              // skip the type tokens until a depth-0 ',' or the closing ')'
+              var depth = 0
+              var stop = false
+              while (!stop) {
+                val w = next()
+                if (!w.quoted && w.text == "(") depth += 1
+                else if (!w.quoted && w.text == ")") {
+                  if (depth == 0) { stop = true; go = false } else depth -= 1
+                } else if (!w.quoted && w.text == "," && depth == 0) stop = true
+              }
+            }
+          }
+        }
+        if (peek.exists(w => w.up == "AS" || w.up == "IS")) next()
+        expect("BEGIN")
+        val body = parseStmts(Set("EXCEPTION", "END"))
+        val handler = next().up match {
+          case "EXCEPTION" =>
+            expect("WHEN"); expect("OTHERS"); expect("THEN")
+            val h = parseStmts(Set("END"))
+            expect("END"); Some(h)
+          case "END" => None
+          case other => throw new IllegalArgumentException(s"bad PROCEDURE tail: $other")
+        }
+        expect(";")
+        ProcDef(name, params.result(), body, handler)
+      case "CALL" =>
+        // call_stmt: T_CALL ident ('(' expr (',' expr)* ')')? — argument
+        // expressions are sliced raw and evaluated in the caller's scope.
+        next(); val name = next().text
+        val args = Seq.newBuilder[String]
+        if (peek.exists(w => !w.quoted && w.text == "(")) {
+          next()
+          if (peek.exists(w => !w.quoted && w.text == ")")) next()
+          else {
+            var go = true
+            while (go) {
+              val from = toks(p).start
+              var depth = 0
+              var endTok: Option[Tok] = None
+              while (endTok.isEmpty) {
+                val w = next()
+                if (!w.quoted && w.text == "(") depth += 1
+                else if (!w.quoted && w.text == ")") {
+                  if (depth == 0) endTok = Some(w) else depth -= 1
+                } else if (!w.quoted && w.text == "," && depth == 0) endTok = Some(w)
+              }
+              args += src.substring(from, endTok.get.start).trim
+              if (endTok.get.text == ")") go = false
+            }
+          }
+        }
+        expect(";")
+        CallStmt(name, args.result())
       case _ =>
         SqlStmt(rawUntil(Set(";"))._1)
     }
@@ -239,8 +421,22 @@ object HplSql {
     * it never trips a generic exception handler on the way out. */
   private object LoopExit extends scala.util.control.ControlThrowable
 
+  /** Explicit-cursor runtime state. The result set materializes driver-side
+    * at OPEN (same deliberate design as FOR-cursor — see the scaladoc);
+    * `lastFetch` drives %FOUND/%NOTFOUND (None until the first FETCH, when
+    * both attributes read FALSE, matching the reference's null → not-taken
+    * condition semantics). */
+  private final class CursorState(val query: String) {
+    var rows: Iterator[org.apache.spark.sql.Row] = Iterator.empty
+    var open: Boolean = false
+    var rowCount: Long = 0L
+    var lastFetch: Option[Boolean] = None
+  }
+
   private final class Interp(spark: SparkSession) {
     private val vars = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+    private val cursors = scala.collection.mutable.LinkedHashMap.empty[String, CursorState]
+    private val procs = scala.collection.mutable.LinkedHashMap.empty[String, ProcDef]
     var lastResult: Option[DataFrame] = None
 
     private def literal(v: Any): String = v match {
@@ -252,11 +448,29 @@ object HplSql {
       case other => other.toString // numeric types
     }
 
+    /** Rewrite cursor attribute references (`c%NOTFOUND`, `c%FOUND`,
+      * `c%ISOPEN`, `c%ROWCOUNT` — `expr_cursor_attribute`, Hplsql.g4) to
+      * literals of the cursor's current state. NOTFOUND before FOUND so the
+      * longer keyword isn't shadowed. */
+    private def substituteCursorAttrs(s0: String): String = {
+      var s = s0
+      cursors.foreach { case (nm, st) =>
+        def lit(b: Boolean) = if (b) "TRUE" else "FALSE"
+        val pre = "(?i)(?<![A-Za-z0-9_.])" + java.util.regex.Pattern.quote(nm) + "\\s*%\\s*"
+        val post = "(?![A-Za-z0-9_])"
+        s = s.replaceAll(pre + "NOTFOUND" + post, lit(st.lastFetch.exists(!_)))
+        s = s.replaceAll(pre + "FOUND" + post, lit(st.lastFetch.contains(true)))
+        s = s.replaceAll(pre + "ISOPEN" + post, lit(st.open))
+        s = s.replaceAll(pre + "ROWCOUNT" + post, st.rowCount.toString)
+      }
+      s
+    }
+
     /** Identifier-match substitution of declared variables (longest name
       * first so `rec.col` wins over a var named `rec`), applied only OUTSIDE
       * string literals. */
     private def substitute(sql: String): String = {
-      if (vars.isEmpty) return sql
+      if (vars.isEmpty && cursors.isEmpty) return sql
       val names = vars.keys.toSeq.sortBy(-_.length)
       // split into quoted/unquoted segments; substitute unquoted only
       val seg = new StringBuilder
@@ -265,6 +479,7 @@ object HplSql {
       var i = 0
       def flush(): Unit = {
         var s = seg.toString
+        if (!inQ) s = substituteCursorAttrs(s)
         if (!inQ) names.foreach { nm =>
           // identifier-boundary match; the AS-lookbehind keeps output aliases
           // (`SELECT v AS v`) stable instead of rewriting them to literals
@@ -325,6 +540,91 @@ object HplSql {
           run(body)
         } catch { case LoopExit => () }
         finally cols.foreach(c => vars.remove(s"$rec.$c"))
+      case ForRange(v, fromE, toE, reverse, body) =>
+        def toLong(x: Any, what: String): Long = x match {
+          case n: java.lang.Number => n.longValue()
+          case other => throw new IllegalArgumentException(
+            s"FOR range $what must be numeric, got $other")
+        }
+        val lo = toLong(evalScalar(fromE), "start")
+        val hi = toLong(evalScalar(toE), "end")
+        require(hi - lo < MaxLoopIters,
+          s"FOR range spans more than $MaxLoopIters iterations")
+        val range: Iterator[Long] =
+          if (reverse) Iterator.iterate(hi)(_ - 1).takeWhile(_ >= lo)
+          else Iterator.iterate(lo)(_ + 1).takeWhile(_ <= hi)
+        val saved = vars.get(v)
+        try range.foreach { i => vars(v) = i; run(body) }
+        catch { case LoopExit => () }
+        finally saved match {
+          case Some(x) => vars(v) = x
+          case None => vars.remove(v)
+        }
+      case CaseStmt(branches, orElse) =>
+        branches.find(b => evalCond(b._1)) match {
+          case Some((_, body)) => run(body)
+          case None => run(orElse)
+        }
+      case RepeatStmt(body, until) =>
+        var iters = 0
+        try {
+          var done = false
+          while (!done) {
+            run(body)
+            iters += 1
+            require(iters <= MaxLoopIters,
+              s"REPEAT exceeded $MaxLoopIters iterations — non-terminating loop?")
+            done = evalCond(until)
+          }
+        } catch { case LoopExit => () }
+      case DeclareCursor(name, query) =>
+        cursors(name) = new CursorState(query)
+      case OpenStmt(name) =>
+        val st = cursors.getOrElse(name,
+          throw new IllegalArgumentException(s"OPEN of undeclared cursor $name"))
+        st.rows = spark.sql(substitute(st.query)).collect().iterator // driver-side, by design
+        st.open = true; st.rowCount = 0L; st.lastFetch = None
+      case FetchStmt(name, into) =>
+        val st = cursors.getOrElse(name,
+          throw new IllegalArgumentException(s"FETCH from undeclared cursor $name"))
+        require(st.open, s"FETCH from cursor $name before OPEN")
+        into.foreach(v => require(vars.contains(v),
+          s"FETCH INTO undeclared variable $v"))
+        if (st.rows.hasNext) {
+          val row = st.rows.next()
+          require(into.length == row.length,
+            s"FETCH INTO arity ${into.length} != cursor width ${row.length}")
+          into.zipWithIndex.foreach { case (v, i) =>
+            vars(v) = if (row.isNullAt(i)) null else row.get(i)
+          }
+          st.rowCount += 1; st.lastFetch = Some(true)
+        } else st.lastFetch = Some(false) // INTO targets keep their values
+      case CloseStmt(name) =>
+        val st = cursors.getOrElse(name,
+          throw new IllegalArgumentException(s"CLOSE of undeclared cursor $name"))
+        st.open = false; st.rows = Iterator.empty
+      case pd: ProcDef =>
+        procs(pd.name) = pd
+      case CallStmt(name, argExprs) =>
+        val proc = procs.getOrElse(name,
+          throw new IllegalArgumentException(s"CALL of undefined procedure $name"))
+        require(argExprs.length == proc.params.length,
+          s"CALL $name: ${argExprs.length} args for ${proc.params.length} params")
+        val argVals = argExprs.map(evalScalar) // caller scope, before binding
+        val saved = proc.params.map(pn => pn -> vars.get(pn))
+        proc.params.zip(argVals).foreach { case (pn, v) => vars(pn) = v }
+        try proc.handler match {
+          case None => run(proc.body)
+          case Some(h) =>
+            try run(proc.body) catch {
+              case e: Exception =>
+                vars("SQLERRM") = e.getMessage
+                try run(h) finally vars.remove("SQLERRM")
+            }
+        } finally saved.foreach {
+          case (pn, Some(v)) => vars(pn) = v
+          case (pn, None) => vars.remove(pn)
+        }
       case PrintStmt(expr) =>
         org.slf4j.LoggerFactory.getLogger(getClass).info(s"[hplsql] ${evalScalar(expr)}")
       case ExitStmt(when) =>

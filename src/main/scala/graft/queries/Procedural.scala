@@ -100,6 +100,89 @@ object Procedural {
           |  SET n = (SELECT count(*) FROM region);
           |END;
           |SELECT src AS src, CAST(n AS BIGINT) AS n;""".stripMargin)
+    },
+
+    // CREATE PROCEDURE + CALL (create_procedure_stmt / call_stmt,
+    // Hplsql.g4): IN parameters bind dynamically for the call, are
+    // substituted into the body's SQL, and the procedure's SELECT is the
+    // script result. The second CALL must win (procedures are re-entrant,
+    // parameters rebind per call).
+    Qd("q158_hplsql_procedure",
+      """SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n,
+        |  ROUND(CAST(sum(c_acctbal) AS DOUBLE), 2) AS bal
+        |FROM customer
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey <= 1000
+        |GROUP BY c_mktsegment""") { (s, dir) =>
+      HplSql.run(s, dir,
+        """CREATE PROCEDURE seg_summary(seg STRING, cap INT)
+          |BEGIN
+          |  SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n,
+          |    ROUND(CAST(sum(c_acctbal) AS DOUBLE), 2) AS bal
+          |  FROM customer
+          |  WHERE c_mktsegment = seg AND c_custkey <= cap
+          |  GROUP BY c_mktsegment;
+          |END;
+          |CALL seg_summary('MACHINERY', 500);
+          |CALL seg_summary('BUILDING', 1000);""".stripMargin)
+    },
+
+    // Explicit cursor protocol (declare_cursor_stmt / open / fetch / close,
+    // Hplsql.g4) with %FOUND / %NOTFOUND / %ROWCOUNT attributes — the
+    // fetch-while-found loop must agree with the ordered set-based oracle.
+    Qd("q159_hplsql_open_fetch",
+      """SELECT string_agg(n_name, ',' ORDER BY n_nationkey) || ',' AS names,
+        |  CAST(sum(n_nationkey) AS BIGINT) AS total,
+        |  CAST(count(*) AS INT) AS n
+        |FROM nation""") { (s, dir) =>
+      HplSql.run(s, dir,
+        """DECLARE nm STRING;
+          |DECLARE k BIGINT;
+          |DECLARE names STRING := '';
+          |DECLARE total BIGINT := 0;
+          |DECLARE cnt INT := 0;
+          |DECLARE c CURSOR FOR
+          |  SELECT n_name, CAST(n_nationkey AS BIGINT) FROM nation ORDER BY n_nationkey;
+          |OPEN c;
+          |FETCH c INTO nm, k;
+          |WHILE c%FOUND LOOP
+          |  SET names = names || nm || ',';
+          |  SET total = total + k;
+          |  FETCH c INTO nm, k;
+          |END LOOP;
+          |SET cnt = c%ROWCOUNT;
+          |CLOSE c;
+          |SELECT names AS names, CAST(total AS BIGINT) AS total, CAST(cnt AS INT) AS n;""".stripMargin)
+    },
+
+    // FOR range loop (for_range_stmt, with REVERSE), simple-form CASE
+    // statement, and REPEAT…UNTIL — all anchored to the warehouse via the
+    // nation count so the oracle derives every value from data.
+    Qd("q160_hplsql_case_repeat",
+      """SELECT CASE WHEN ((n*(n+1))/2) % 2 = 1 THEN 'odd' ELSE 'even' END AS par,
+        |  CAST((n*(n+1))/2 AS BIGINT) AS s,
+        |  CAST(ceil(sqrt((n*(n+1))/2)) AS INT) AS isqrt,
+        |  '321' AS rev
+        |FROM (SELECT count(*) AS n FROM nation)""") { (s, dir) =>
+      HplSql.run(s, dir,
+        """DECLARE nc INT := (SELECT count(*) FROM nation);
+          |DECLARE s BIGINT := 0;
+          |FOR i IN 1 .. nc LOOP
+          |  SET s = s + i;
+          |END LOOP;
+          |DECLARE par STRING;
+          |CASE s % 2
+          |  WHEN 1 THEN SET par = 'odd';
+          |  ELSE SET par = 'even';
+          |END CASE;
+          |DECLARE p INT := 0;
+          |REPEAT
+          |  SET p = p + 1;
+          |UNTIL p * p >= s END REPEAT;
+          |DECLARE rv STRING := '';
+          |FOR i IN REVERSE 1 .. 3 LOOP
+          |  SET rv = rv || CAST(i AS STRING);
+          |END LOOP;
+          |SELECT par AS par, CAST(s AS BIGINT) AS s, CAST(p AS INT) AS isqrt, rv AS rev;""".stripMargin)
     }
   )
 }

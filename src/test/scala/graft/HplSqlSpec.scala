@@ -194,4 +194,122 @@ class HplSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getInt(0) == 2 && r.getInt(1) == 0,
       "EXIT must unwind through the exception block without triggering it")
   }
+
+  test("procedure params bind per CALL, shadow and restore outer vars") {
+    val r = run1(
+      """DECLARE x INT := 99;
+        |DECLARE got INT := 0;
+        |CREATE PROCEDURE addx(x INT, y INT)
+        |BEGIN
+        |  SET got = x + y;
+        |END;
+        |CALL addx(2, 3);
+        |SELECT CAST(got AS INT) AS got, CAST(x AS INT) AS x;""".stripMargin)
+    assert(r.getInt(0) == 5, "param arithmetic inside the procedure")
+    assert(r.getInt(1) == 99, "outer x restored after the call")
+  }
+
+  test("CALL errors: undefined procedure; arity mismatch; handler fires inside proc") {
+    intercept[Exception](run1("CALL nosuch(1);\nSELECT 1 AS x;"))
+    intercept[Exception](run1(
+      """CREATE PROCEDURE p1(a INT) BEGIN SET a = a; END;
+        |CALL p1(1, 2);
+        |SELECT 1 AS x;""".stripMargin))
+    val r = run1(
+      """DECLARE ok STRING := 'no';
+        |CREATE PROCEDURE f() BEGIN
+        |  SELECT * FROM graft_missing_table_spec3;
+        |EXCEPTION WHEN OTHERS THEN
+        |  SET ok = 'handled';
+        |END;
+        |CALL f();
+        |SELECT ok AS ok;""".stripMargin)
+    assert(r.getString(0) == "handled")
+  }
+
+  test("explicit cursor: OPEN/FETCH/CLOSE protocol and attributes") {
+    val r = run1(
+      """DECLARE nm STRING;
+        |DECLARE acc STRING := '';
+        |DECLARE pre BOOLEAN;
+        |DECLARE c CURSOR FOR SELECT r_name FROM region ORDER BY r_regionkey;
+        |SET pre = c%ISOPEN;
+        |OPEN c;
+        |FETCH c INTO nm;
+        |WHILE c%FOUND LOOP
+        |  SET acc = acc || nm || '|';
+        |  FETCH c INTO nm;
+        |END LOOP;
+        |DECLARE rc INT := c%ROWCOUNT;
+        |DECLARE nf BOOLEAN := c%NOTFOUND;
+        |CLOSE c;
+        |SELECT acc AS acc, CAST(rc AS INT) AS rc, nf AS nf, pre AS pre,
+        |  c%ISOPEN AS post;""".stripMargin)
+    assert(r.getString(0).split('|').length == 5, "5 regions fetched in order")
+    assert(r.getInt(1) == 5, "%ROWCOUNT counts successful fetches only")
+    assert(r.getBoolean(2), "%NOTFOUND true after the failed fetch")
+    assert(!r.getBoolean(3) && !r.getBoolean(4), "%ISOPEN false before OPEN and after CLOSE")
+  }
+
+  test("cursor errors: FETCH before OPEN; undeclared cursor; arity mismatch") {
+    intercept[Exception](run1(
+      """DECLARE v STRING;
+        |DECLARE c CURSOR FOR SELECT r_name FROM region;
+        |FETCH c INTO v;
+        |SELECT 1 AS x;""".stripMargin))
+    intercept[Exception](run1("OPEN nocur;\nSELECT 1 AS x;"))
+    intercept[Exception](run1(
+      """DECLARE v STRING;
+        |DECLARE c CURSOR FOR SELECT r_name, r_regionkey FROM region;
+        |OPEN c;
+        |FETCH c INTO v;
+        |SELECT 1 AS x;""".stripMargin))
+  }
+
+  test("FOR range: inclusive bounds, REVERSE order, empty range, EXIT, shadow restore") {
+    val r = run1(
+      """DECLARE i STRING := 'outer';
+        |DECLARE up STRING := '';
+        |DECLARE down STRING := '';
+        |DECLARE none INT := 0;
+        |FOR i IN 1 .. 4 LOOP SET up = up || CAST(i AS STRING); END LOOP;
+        |FOR i IN REVERSE 1 .. 3 LOOP SET down = down || CAST(i AS STRING); END LOOP;
+        |FOR i IN 5 .. 4 LOOP SET none = none + 1; END LOOP;
+        |DECLARE part INT := 0;
+        |FOR i IN 1 .. 100 LOOP
+        |  SET part = part + 1;
+        |  EXIT WHEN i >= 3;
+        |END LOOP;
+        |SELECT up AS up, down AS down, CAST(none AS INT) AS none,
+        |  CAST(part AS INT) AS part, i AS i;""".stripMargin)
+    assert(r.getString(0) == "1234" && r.getString(1) == "321")
+    assert(r.getInt(2) == 0, "descending bounds without REVERSE iterate zero times")
+    assert(r.getInt(3) == 3, "EXIT WHEN leaves the range loop")
+    assert(r.getString(4) == "outer", "loop variable restored after the loop")
+  }
+
+  test("CASE statement: searched and simple forms; no-match runs ELSE") {
+    val r = run1(
+      """DECLARE x INT := 7;
+        |DECLARE a STRING; DECLARE b STRING; DECLARE c2 STRING;
+        |CASE WHEN x > 10 THEN SET a = 'big'; WHEN x > 5 THEN SET a = 'mid';
+        |ELSE SET a = 'small'; END CASE;
+        |CASE x WHEN 7 THEN SET b = 'seven'; WHEN 8 THEN SET b = 'eight';
+        |END CASE;
+        |DECLARE y INT := 0;
+        |CASE y WHEN 1 THEN SET c2 = 'one'; ELSE SET c2 = 'other'; END CASE;
+        |SELECT a AS a, b AS b, c2 AS c2;""".stripMargin)
+    assert(r.getString(0) == "mid" && r.getString(1) == "seven" && r.getString(2) == "other")
+  }
+
+  test("REPEAT runs the body at least once and stops when UNTIL is true") {
+    val r = run1(
+      """DECLARE n INT := 0;
+        |REPEAT SET n = n + 1; UNTIL 1 = 1 END REPEAT;
+        |DECLARE m INT := 0;
+        |REPEAT SET m = m + 2; UNTIL m >= 7 END REPEAT;
+        |SELECT CAST(n AS INT) AS n, CAST(m AS INT) AS m;""".stripMargin)
+    assert(r.getInt(0) == 1, "true UNTIL still executes once")
+    assert(r.getInt(1) == 8, "post-test loop: 2,4,6,8")
+  }
 }
