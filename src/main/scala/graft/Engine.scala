@@ -52,6 +52,9 @@ object Engine {
       // convert explicitly with timestamp_micros(ns DIV 1000).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // managed tables (q165 TRUNCATE/DROP PARTITION — external tables
+      // reject TRUNCATE) need a deterministic warehouse, not $PWD
+      .config("spark.sql.warehouse.dir", "/root/repo/target/warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Engine
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{SaveMode, SparkSession}
 
 /** DDL / metadata surface — SURVEY.md §7 step 7: CREATE TABLE (+LOCATION),
   * INSERT INTO / INSERT OVERWRITE, dynamic-partition overwrite
@@ -219,6 +219,169 @@ object Ddl {
         ROUND(CAST(sum(c_acctbal) AS DOUBLE), 2) AS bal,
         (SELECT count(DISTINCT c_nationkey) FROM $v) AS nk
         FROM $v GROUP BY c_mktsegment ORDER BY seg""")
+    },
+
+    // Cost-based join reordering — the reference's Calcite CBO layer
+    // (hive.cbo.enable; `ql/src/java/org/apache/hadoop/hive/ql/optimizer/
+    // calcite/` feeds ANALYZE column stats into a join-cost model). Spark
+    // analog: ANALYZE ... FOR ALL COLUMNS + spark.sql.cbo.joinReorder. The
+    // join is WRITTEN worst-first (fact ⋈ unfiltered customer, selective
+    // nation last); with stats the optimizer must pull the selective
+    // dimension join inward so the fact table joins an already-reduced
+    // side — at 100 TB that ordering is the difference between shuffling
+    // the fact once against 2/25 of customers vs against all of them.
+    // StorageOptSpec asserts the reorder happens (leaf order flips).
+    // Confs restore after the CTAS materializes the result; the CTAS runs
+    // the join distributed under CBO, and the returned scan is conf-free.
+    Qd("q162_cbo_join_reorder",
+      """SELECT n_name, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sk
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE n_name IN ('NATION_3','NATION_17')
+        |GROUP BY n_name ORDER BY n_name""") { (s, dir) =>
+      val (sf, loc) = ctx(s, dir)
+      val (tOrd, tCust, tNat, res) =
+        (s"g162_ord_$sf", s"g162_cust_$sf", s"g162_nat_$sf", s"g162_res_$sf")
+      Seq(tOrd, tCust, tNat, res).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$loc/g162"))
+      s.sql(s"CREATE TABLE $tOrd USING parquet LOCATION '$loc/g162/ord' AS " +
+        "SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey FROM orders")
+      s.sql(s"CREATE TABLE $tCust USING parquet LOCATION '$loc/g162/cust' AS " +
+        "SELECT CAST(c_custkey AS BIGINT) AS c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey FROM customer")
+      s.sql(s"CREATE TABLE $tNat USING parquet LOCATION '$loc/g162/nat' AS " +
+        "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name FROM nation")
+      Seq(tOrd, tCust, tNat).foreach(t =>
+        s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS"))
+      val keys = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+      val saved = keys.map(k => k -> s.conf.getOption(k))
+      try {
+        keys.foreach(s.conf.set(_, "true"))
+        s.sql(s"""CREATE TABLE $res USING parquet LOCATION '$loc/g162/res' AS
+          SELECT n_name, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sk
+          FROM $tOrd JOIN $tCust ON o_custkey = c_custkey
+          JOIN $tNat ON c_nationkey = n_nationkey
+          WHERE n_name IN ('NATION_3','NATION_17') GROUP BY n_name""")
+      } finally saved.foreach { case (k, v) => v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+      s.table(res).orderBy("n_name")
+    },
+
+    // Runtime bloom-filter semi-join reduction — Hive's dynamic semi-join
+    // reduction (hive.tez.dynamic.semijoin.reduction: the dim side's join
+    // keys build a bloom filter that is pushed into the fact scan before
+    // the shuffle join; `ql/src/java/org/apache/hadoop/hive/ql/
+    // parse/GenTezUtils.java` semijoin branch + min/max/bloom runtime
+    // filters). Spark analog: InjectRuntimeFilter — the filtered orders
+    // side contributes bloom_filter_agg(xxhash64(o_orderkey)) and the
+    // lineitem side gains BloomFilterMightContain below its shuffle,
+    // dropping non-joining fact rows before the exchange. At 100 TB the
+    // fact shuffle is the job; the bloom cuts it by the dim selectivity.
+    // Thresholds are relaxed only while the CTAS materializes (test data is
+    // KB-scale; the 10 GiB default application-side threshold exists so
+    // small scans don't pay bloom overhead). StorageOptSpec asserts
+    // might_contain appears in the optimized plan.
+    Qd("q163_runtime_bloom_join",
+      """SELECT l_returnflag, count(*) AS n,
+        |  ROUND(CAST(sum(l_quantity) AS DOUBLE), 2) AS sq
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
+      val (sf, loc) = ctx(s, dir)
+      val res = s"g163_res_$sf"
+      s.sql(s"DROP TABLE IF EXISTS $res")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$loc/g163"))
+      val keys = Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+      val saved = keys.map { case (k, _) => k -> s.conf.getOption(k) }
+      try {
+        keys.foreach { case (k, v) => s.conf.set(k, v) }
+        s.sql(s"""CREATE TABLE $res USING parquet LOCATION '$loc/g163/res' AS
+          SELECT l_returnflag, count(*) AS n,
+            ROUND(CAST(sum(l_quantity) AS DOUBLE), 2) AS sq
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderpriority = '1-URGENT'
+          GROUP BY l_returnflag""")
+      } finally saved.foreach { case (k, v) => v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+      s.table(res).orderBy("l_returnflag")
+    },
+
+    // MSCK REPAIR TABLE — partition discovery over directories an external
+    // loader dropped in place (reference: `ql/src/java/org/apache/hadoop/
+    // hive/ql/exec/DDLTask.java` msck → HiveMetaStoreChecker). The query
+    // itself proves the repair: the pre-repair count (catalog knows zero
+    // partitions) is emitted as the rk=-1 row, then MSCK discovers the
+    // rk=<N> directories (region 2 deliberately absent — discovery is
+    // directory-driven, not data-driven) and the per-partition counts
+    // follow. At scale this is how a 100 TB ingest lands: files first,
+    // one metadata-only repair after.
+    Qd("q164_msck_repair",
+      """SELECT rk, n FROM (
+        |  SELECT CAST(n_regionkey AS INT) AS rk, count(*) AS n FROM nation
+        |  WHERE n_regionkey IN (0, 1, 3, 4) GROUP BY 1
+        |  UNION ALL SELECT -1, 0)
+        |ORDER BY rk""") { (s, dir) =>
+      val (sf, loc) = ctx(s, dir)
+      val tbl = s"g164_$sf"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$loc/g164"))
+      val nat = s.table("nation")
+      Seq(0, 1, 3, 4).foreach { rk =>
+        nat.filter(org.apache.spark.sql.functions.col("n_regionkey") === rk)
+          .selectExpr("n_name", "CAST(n_nationkey AS BIGINT) AS nk")
+          .write.mode(SaveMode.Overwrite).parquet(s"$loc/g164/rk=$rk")
+      }
+      s.sql(s"CREATE TABLE $tbl (n_name STRING, nk BIGINT, rk INT) " +
+        s"USING parquet PARTITIONED BY (rk) LOCATION '$loc/g164'")
+      val pre = s.table(tbl).count() // 0: no partitions known yet
+      s.sql(s"MSCK REPAIR TABLE $tbl")
+      s.sql(s"""SELECT rk, n FROM (
+        SELECT CAST(rk AS INT) AS rk, count(*) AS n FROM $tbl GROUP BY rk
+        UNION ALL SELECT -1, CAST($pre AS BIGINT))
+        ORDER BY rk""")
+    },
+
+    // TRUNCATE TABLE [PARTITION] + ALTER TABLE DROP PARTITION — partition
+    // lifecycle DDL (reference: `ql/src/java/org/apache/hadoop/hive/ql/
+    // exec/DDLTask.java` truncateTable / dropPartitions). Managed tables
+    // (Spark rejects TRUNCATE on external ones). Encoded facts: DROP
+    // PARTITION removes rk=0 from metadata AND data; TRUNCATE PARTITION
+    // empties rk=1 but the partition survives in metadata (the -1 row
+    // counts SHOW PARTITIONS = 4); full TRUNCATE keeps the table and its
+    // schema for reuse (the -2 row counts the re-inserted subset).
+    Qd("q165_truncate_drop_partition",
+      """SELECT rk, n FROM (
+        |  SELECT CAST(n_regionkey AS INT) AS rk, count(*) AS n FROM nation
+        |  WHERE n_regionkey >= 2 GROUP BY 1
+        |  UNION ALL SELECT -1, 4
+        |  UNION ALL SELECT -2, 2)
+        |ORDER BY rk""") { (s, dir) =>
+      val (sf, _) = ctx(s, dir)
+      val (tbl, tb2) = (s"g165_$sf", s"g165b_$sf")
+      // the in-memory catalog forgets managed tables across sessions but
+      // their warehouse dirs persist — drop both metadata AND location
+      Seq(tbl, tb2).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(s"/root/repo/target/warehouse/${t.toLowerCase}"))
+      }
+      s.sql(s"CREATE TABLE $tbl (n_name STRING, nk BIGINT, rk INT) " +
+        "USING parquet PARTITIONED BY (rk)")
+      s.sql(s"INSERT INTO $tbl SELECT n_name, CAST(n_nationkey AS BIGINT), " +
+        "CAST(n_regionkey AS INT) FROM nation")
+      s.sql(s"ALTER TABLE $tbl DROP PARTITION (rk=0)")
+      s.sql(s"TRUNCATE TABLE $tbl PARTITION (rk=1)")
+      s.sql(s"CREATE TABLE $tb2 (r_name STRING) USING parquet")
+      s.sql(s"INSERT INTO $tb2 SELECT r_name FROM region")
+      s.sql(s"TRUNCATE TABLE $tb2")
+      s.sql(s"INSERT INTO $tb2 SELECT r_name FROM region WHERE r_regionkey < 2")
+      val nparts = s.sql(s"SHOW PARTITIONS $tbl").count()
+      s.sql(s"""SELECT rk, n FROM (
+        SELECT CAST(rk AS INT) AS rk, count(*) AS n FROM $tbl GROUP BY rk
+        UNION ALL SELECT -1, CAST($nparts AS BIGINT)
+        UNION ALL SELECT -2, (SELECT count(*) FROM $tb2))
+        ORDER BY rk""")
     }
   )
 }

@@ -82,6 +82,36 @@ object Sources {
         .orderBy("p_brand")
     },
 
+    // ORC bloom filters — Hive 2.1 writes per-row-group bloom streams for
+    // `orc.bloom.filter.columns` and evaluates point predicates against
+    // them in the SARG row-group skip (reference:
+    // `ql/src/java/org/apache/hadoop/hive/ql/io/orc/OrcFile.java`
+    // bloomFilterColumns/bloomFilterFpp writer options;
+    // orc RecordReaderImpl SARG evaluation). Spark's ORC writer takes the
+    // same table options, and the point-lookup read-back prunes row groups
+    // via bloom + min/max. Rows are written key-sorted so min/max ranges are
+    // tight — at 100 TB this is the layout that makes needle lookups skip
+    // ~all row groups. StorageOptSpec asserts the bloom streams exist in the
+    // file footer and the IN predicate reaches the ORC scan.
+    Qd("q161_src_orc_bloom",
+      """SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderstatus,
+        |  ROUND(CAST(o_totalprice AS DOUBLE), 4) AS tp
+        |FROM orders WHERE o_orderkey IN (11, 421, 1093, 4000)
+        |ORDER BY k""") { (s, dir) =>
+      val p = s"${base(dir)}/orc_bloom_orders"
+      t(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"), col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("tp"))
+        .sort("k")
+        .write.mode(SaveMode.Overwrite)
+        .option("orc.bloom.filter.columns", "k")
+        .option("orc.bloom.filter.fpp", "0.02")
+        .orc(p)
+      s.read.orc(p).filter(col("k").isin(11L, 421L, 1093L, 4000L))
+        .select(col("k"), col("o_orderstatus"), round(col("tp"), 4).as("tp"))
+        .orderBy("k")
+    },
+
     // Regex-over-text read (RegexSerDe): write "key|name|nationkey" lines,
     // parse with regexp_extract.
     Qd("q63_src_text_regex",
