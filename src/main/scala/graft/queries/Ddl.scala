@@ -391,6 +391,33 @@ object Ddl {
         UNION ALL SELECT -1, CAST($nparts AS BIGINT)
         UNION ALL SELECT -2, (SELECT count(*) FROM $tb2))
         ORDER BY rk""")
+    },
+
+    // CREATE TEMPORARY MACRO — SQL-defined scalar functions (reference:
+    // `ql/src/test/queries/clientpositive/macro.q` CREATE TEMPORARY MACRO
+    // SIGMOID(x DOUBLE) 1.0/(1.0+EXP(-x)); FunctionRegistry registers the
+    // expression tree under the macro name). Spark-native analog: SQL UDFs
+    // (CREATE TEMPORARY FUNCTION … RETURNS … RETURN expr) — the body is
+    // inlined into the plan at analysis like Hive's macro expansion, so it
+    // codegens with the query (no row-at-a-time UDF bridge; the 100 TB cost
+    // is identical to writing the expression inline).
+    Qd("q166_temporary_macro",
+      """SELECT b, count(*) AS n, ROUND(CAST(sum(sig) AS DOUBLE), 4) AS s FROM (
+        |  SELECT CAST(floor(least(greatest((CAST(c_acctbal AS DOUBLE) - 0.0) / (10000.0 - 0.0), 0.0), 0.999999) * 10) AS INT) AS b,
+        |    1.0 / (1.0 + exp(-(CAST(c_acctbal AS DOUBLE) / 1000.0))) AS sig
+        |  FROM customer)
+        |GROUP BY b ORDER BY b""") { (s, dir) =>
+      Engine.registerAll(s, dir)
+      s.sql("DROP TEMPORARY FUNCTION IF EXISTS g166_sigmoid")
+      s.sql("DROP TEMPORARY FUNCTION IF EXISTS g166_bucket")
+      s.sql("CREATE TEMPORARY FUNCTION g166_sigmoid(x DOUBLE) RETURNS DOUBLE " +
+        "RETURN 1.0 / (1.0 + exp(-x))")
+      s.sql("CREATE TEMPORARY FUNCTION g166_bucket(v DOUBLE, lo DOUBLE, hi DOUBLE, n INT) " +
+        "RETURNS INT RETURN CAST(floor(least(greatest((v - lo) / (hi - lo), 0.0), 0.999999) * n) AS INT)")
+      s.sql("""SELECT b, count(*) AS n, ROUND(CAST(sum(sig) AS DOUBLE), 4) AS s FROM (
+        SELECT g166_bucket(CAST(c_acctbal AS DOUBLE), 0.0, 10000.0, 10) AS b,
+               g166_sigmoid(CAST(c_acctbal AS DOUBLE) / 1000.0) AS sig FROM customer)
+        GROUP BY b ORDER BY b""")
     }
   )
 }
