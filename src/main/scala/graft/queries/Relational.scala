@@ -518,6 +518,31 @@ object Relational {
           |HAVING count(*) > 2 * (SELECT avg(cnt) FROM (
           |  SELECT count(*) AS cnt FROM orders GROUP BY o_custkey) t)
           |ORDER BY o_custkey""".stripMargin)
+    },
+
+    // Null-safe equi-join — `ON a <=> b` (GenericUDFOPEqualNS; reference
+    // qtest `clientpositive/join_nullsafe.q`): NULL keys match each other
+    // instead of dropping out. Crucially this still plans as a HASH join
+    // (Spark keys the exchange on the null-safe-wrapped key), not a
+    // nested-loop — at 100 TB a theta-join fallback here would be the job.
+    // PlanShapeSpec asserts the join stays hash/sort-merge. DuckDB oracle
+    // spells it IS NOT DISTINCT FROM.
+    Qd("q167_null_safe_join",
+      """WITH a AS (SELECT CASE WHEN s_nationkey % 5 = 0 THEN NULL
+        |    ELSE CAST(s_nationkey AS BIGINT) END AS k, s_suppkey FROM supplier),
+        |  b AS (SELECT CASE WHEN n_nationkey % 5 = 0 THEN NULL
+        |    ELSE CAST(n_nationkey AS BIGINT) END AS k, n_name FROM nation)
+        |SELECT coalesce(a.k, -1) AS k, count(*) AS n
+        |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        |GROUP BY 1 ORDER BY k""") { (s, dir) =>
+      Engine.sql(s, dir,
+        """WITH a AS (SELECT CASE WHEN s_nationkey % 5 = 0 THEN NULL
+          |    ELSE CAST(s_nationkey AS BIGINT) END AS k, s_suppkey FROM supplier),
+          |  b AS (SELECT CASE WHEN n_nationkey % 5 = 0 THEN NULL
+          |    ELSE CAST(n_nationkey AS BIGINT) END AS k, n_name FROM nation)
+          |SELECT coalesce(a.k, -1) AS k, count(*) AS n
+          |FROM a JOIN b ON a.k <=> b.k
+          |GROUP BY 1 ORDER BY k""".stripMargin)
     }
   ) ++ extras
 }

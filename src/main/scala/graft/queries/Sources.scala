@@ -112,6 +112,30 @@ object Sources {
         .orderBy("k")
     },
 
+    // INSERT OVERWRITE DIRECTORY — query results straight to a directory,
+    // no table metadata (reference qtest
+    // `clientpositive/insert_overwrite_directory.q`; SemanticAnalyzer's
+    // TOK_DIR target). Spark supports the same statement with USING
+    // <format>; the read-back aggregate pins both the write and that
+    // OVERWRITE replaced (not appended to) the previous contents — the
+    // statement runs twice and the second result must stand alone.
+    Qd("q168_insert_overwrite_directory",
+      """SELECT o_orderstatus, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sk
+        |FROM orders WHERE o_orderkey % 7 = 0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""") { (s, dir) =>
+      graft.Engine.registerAll(s, dir)
+      val p = s"${base(dir)}/iod_orders"
+      s.sql(s"INSERT OVERWRITE DIRECTORY '$p' USING parquet " +
+        "SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus " +
+        "FROM orders WHERE o_orderkey % 3 = 0")
+      s.sql(s"INSERT OVERWRITE DIRECTORY '$p' USING parquet " +
+        "SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus " +
+        "FROM orders WHERE o_orderkey % 7 = 0")
+      s.read.parquet(p).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").cast("bigint").as("sk"))
+        .orderBy("o_orderstatus")
+    },
+
     // Regex-over-text read (RegexSerDe): write "key|name|nationkey" lines,
     // parse with regexp_extract.
     Qd("q63_src_text_regex",

@@ -191,4 +191,21 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.contains("AQEShuffleRead"), s"expected AQEShuffleRead in: $s")
     assert(s.contains("coalesced"), "AQE did not coalesce the tiny shuffle")
   }
+
+  test("q167 null-safe join (<=>) stays a hash/sort-merge join, never nested-loop") {
+    val s = finalPlan("q167_null_safe_join")
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      s"null-safe join fell back to a theta join:\n$s")
+    assert(s.contains("SortMergeJoin") || s.contains("BroadcastHashJoin") ||
+      s.contains("ShuffledHashJoin"), "expected an equi-join strategy")
+  }
+
+  test("q166 SQL-UDF macro body inlines at analysis (no residual function call)") {
+    val df = SparkEntry.queries("q166_temporary_macro")(spark, dir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.toLowerCase.contains("g166_"),
+      "macro name survived optimization — body was not inlined")
+    assert(opt.toUpperCase.contains("EXP("),
+      "expected the sigmoid's EXP to appear inline in the plan")
+  }
 }
