@@ -367,10 +367,10 @@ object Ddl {
         |  UNION ALL SELECT -2, 2)
         |ORDER BY rk""") { (s, dir) =>
       val (sf, _) = ctx(s, dir)
-      val (tbl, tb2) = (s"g165_$sf", s"g165b_$sf")
+      val (tbl, tb2, tb3) = (s"g165_$sf", s"g165b_$sf", s"g165c_$sf")
       // the in-memory catalog forgets managed tables across sessions but
       // their warehouse dirs persist — drop both metadata AND location
-      Seq(tbl, tb2).foreach { t =>
+      Seq(tbl, tb2, tb3).foreach { t =>
         s.sql(s"DROP TABLE IF EXISTS $t")
         org.apache.commons.io.FileUtils.deleteQuietly(
           new java.io.File(s"/root/repo/target/warehouse/${t.toLowerCase}"))
@@ -385,11 +385,14 @@ object Ddl {
       s.sql(s"INSERT INTO $tb2 SELECT r_name FROM region")
       s.sql(s"TRUNCATE TABLE $tb2")
       s.sql(s"INSERT INTO $tb2 SELECT r_name FROM region WHERE r_regionkey < 2")
+      // ALTER TABLE RENAME TO (DDLTask renameTable): a managed rename moves
+      // the warehouse dir with the metadata; the data must survive it
+      s.sql(s"ALTER TABLE $tb2 RENAME TO $tb3")
       val nparts = s.sql(s"SHOW PARTITIONS $tbl").count()
       s.sql(s"""SELECT rk, n FROM (
         SELECT CAST(rk AS INT) AS rk, count(*) AS n FROM $tbl GROUP BY rk
         UNION ALL SELECT -1, CAST($nparts AS BIGINT)
-        UNION ALL SELECT -2, (SELECT count(*) FROM $tb2))
+        UNION ALL SELECT -2, (SELECT count(*) FROM $tb3))
         ORDER BY rk""")
     },
 
