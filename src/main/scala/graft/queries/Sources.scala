@@ -112,6 +112,36 @@ object Sources {
         .orderBy("k")
     },
 
+    // Bucket pruning — Hive's hive.tez.bucket.pruning
+    // (`ql/.../optimizer/FixedBucketPruningOptimizer.java`): a point
+    // predicate on the bucketing column reads only the buckets the literals
+    // hash to, not the whole table. Spark's FileSourceScanExec does the
+    // same from bucketBy metadata (SelectedBucketsCount in the scan,
+    // PlanShapeSpec-asserted). At 100 TB a needle lookup on a 1024-bucket
+    // table touches 1/512 of the files — no index needed beyond layout.
+    Qd("q169_bucket_pruning",
+      """SELECT CAST(o_custkey AS BIGINT) AS ck, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sk
+        |FROM orders WHERE o_custkey IN (37, 73)
+        |GROUP BY o_custkey ORDER BY ck""") { (s, dir) =>
+      val sf = new java.io.File(dir).getName.replace(".", "_")
+      val bt = s"graft_ord_bp_$sf"
+      if (!s.catalog.tableExists(bt)) {
+        t(s, dir, "orders")
+          .selectExpr("CAST(o_orderkey AS BIGINT) AS o_orderkey",
+            "CAST(o_custkey AS BIGINT) AS o_custkey")
+          .write.mode(SaveMode.Overwrite)
+          .bucketBy(16, "o_custkey").sortBy("o_custkey")
+          .option("path", s"${base(dir)}/warehouse/$bt").format("parquet")
+          .saveAsTable(bt)
+      }
+      s.table(bt).filter(col("o_custkey").isin(37L, 73L))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("sk"))
+        .select(col("o_custkey").as("ck"), col("n"), col("sk"))
+        .orderBy("ck")
+    },
+
     // INSERT OVERWRITE DIRECTORY — query results straight to a directory,
     // no table metadata (reference qtest
     // `clientpositive/insert_overwrite_directory.q`; SemanticAnalyzer's

@@ -200,6 +200,14 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s.contains("ShuffledHashJoin"), "expected an equi-join strategy")
   }
 
+  test("q169 point filter prunes buckets (reads <=2 of 16)") {
+    val s = finalPlan("q169_bucket_pruning")
+    val m = "SelectedBucketsCount: (\\d+) out of 16".r.findFirstMatchIn(s)
+    assert(m.isDefined, s"scan did not report bucket selection:\n$s")
+    assert(m.get.group(1).toInt <= 2,
+      s"two point keys must read at most two buckets, got ${m.get.group(1)}")
+  }
+
   test("q166 SQL-UDF macro body inlines at analysis (no residual function call)") {
     val df = SparkEntry.queries("q166_temporary_macro")(spark, dir)
     val opt = df.queryExecution.optimizedPlan.toString
