@@ -437,6 +437,7 @@ object HplSql {
     private val vars = scala.collection.mutable.LinkedHashMap.empty[String, Any]
     private val cursors = scala.collection.mutable.LinkedHashMap.empty[String, CursorState]
     private val procs = scala.collection.mutable.LinkedHashMap.empty[String, ProcDef]
+    private var callDepth = 0
     var lastResult: Option[DataFrame] = None
 
     private def literal(v: Any): String = v match {
@@ -610,6 +611,10 @@ object HplSql {
           throw new IllegalArgumentException(s"CALL of undefined procedure $name"))
         require(argExprs.length == proc.params.length,
           s"CALL $name: ${argExprs.length} args for ${proc.params.length} params")
+        // runaway-recursion guard (the WHILE-iteration analog): fail loudly
+        // instead of blowing the JVM stack on a self-calling procedure
+        require(callDepth < 64, s"CALL depth exceeded 64 at $name — runaway recursion?")
+        callDepth += 1
         val argVals = argExprs.map(evalScalar) // caller scope, before binding
         val saved = proc.params.map(pn => pn -> vars.get(pn))
         proc.params.zip(argVals).foreach { case (pn, v) => vars(pn) = v }
@@ -621,9 +626,12 @@ object HplSql {
                 vars("SQLERRM") = e.getMessage
                 try run(h) finally vars.remove("SQLERRM")
             }
-        } finally saved.foreach {
-          case (pn, Some(v)) => vars(pn) = v
-          case (pn, None) => vars.remove(pn)
+        } finally {
+          callDepth -= 1
+          saved.foreach {
+            case (pn, Some(v)) => vars(pn) = v
+            case (pn, None) => vars.remove(pn)
+          }
         }
       case PrintStmt(expr) =>
         org.slf4j.LoggerFactory.getLogger(getClass).info(s"[hplsql] ${evalScalar(expr)}")

@@ -302,6 +302,23 @@ class HplSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getString(0) == "mid" && r.getString(1) == "seven" && r.getString(2) == "other")
   }
 
+  test("bounded recursion works; runaway recursion fails loudly, not with a stack overflow") {
+    val r = run1(
+      """DECLARE acc INT := 0;
+        |CREATE PROCEDURE countdown(k INT)
+        |BEGIN
+        |  SET acc = acc + k;
+        |  IF k > 1 THEN CALL countdown(k - 1); END IF;
+        |END;
+        |CALL countdown(10);
+        |SELECT CAST(acc AS INT) AS acc;""".stripMargin)
+    assert(r.getInt(0) == 55, "10-deep recursion accumulates 10+9+...+1")
+    intercept[Exception](run1(
+      """CREATE PROCEDURE forever() BEGIN CALL forever(); END;
+        |CALL forever();
+        |SELECT 1 AS x;""".stripMargin))
+  }
+
   test("REPEAT runs the body at least once and stops when UNTIL is true") {
     val r = run1(
       """DECLARE n INT := 0;
