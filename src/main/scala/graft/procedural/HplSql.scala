@@ -92,6 +92,14 @@ object HplSql {
           } else i += 1
         }
         out += Tok(src.substring(s, i), s, i, quoted = true)
+      } else if (c == '"') {
+        // double-quoted string literal (Spark default, Hive-compatible) —
+        // a ';' or keyword inside it must not split the statement
+        val s = i
+        i += 1
+        while (i < n && src.charAt(i) != '"') i += 1
+        if (i < n) i += 1 // closing quote
+        out += Tok(src.substring(s, i), s, i, quoted = true)
       } else if (c.isLetter || c == '_') {
         val s = i
         while (i < n && (src.charAt(i).isLetterOrDigit || src.charAt(i) == '_')) i += 1
@@ -469,30 +477,51 @@ object HplSql {
 
     /** Identifier-match substitution of declared variables (longest name
       * first so `rec.col` wins over a var named `rec`), applied only OUTSIDE
-      * string literals. */
+      * string literals (single- or double-quoted). All names substitute in
+      * ONE regex pass so an inserted literal value is never re-scanned — a
+      * string variable whose VALUE contains another variable's name must not
+      * be corrupted by a second substitution. */
     private def substitute(sql: String): String = {
       if (vars.isEmpty && cursors.isEmpty) return sql
       val names = vars.keys.toSeq.sortBy(-_.length)
+      val onePass: Option[java.util.regex.Pattern] = if (names.isEmpty) None
+        else Some(java.util.regex.Pattern.compile(
+          // identifier-boundary match; the AS-lookbehind keeps output aliases
+          // (`SELECT v AS v`) stable instead of rewriting them to literals
+          "(?i)(?<![A-Za-z0-9_.])(?<!\\bAS\\s{1,6})(" +
+            names.map(java.util.regex.Pattern.quote).mkString("|") +
+            ")(?![A-Za-z0-9_.])"))
       // split into quoted/unquoted segments; substitute unquoted only
       val seg = new StringBuilder
       val out = new StringBuilder
-      var inQ = false
+      var quote: Char = 0 // 0 = outside string; '\'' or '"' = inside
       var i = 0
       def flush(): Unit = {
         var s = seg.toString
-        if (!inQ) s = substituteCursorAttrs(s)
-        if (!inQ) names.foreach { nm =>
-          // identifier-boundary match; the AS-lookbehind keeps output aliases
-          // (`SELECT v AS v`) stable instead of rewriting them to literals
-          s = s.replaceAll("(?i)(?<![A-Za-z0-9_.])(?<!\\bAS\\s{1,6})" +
-            java.util.regex.Pattern.quote(nm) + "(?![A-Za-z0-9_.])",
-            java.util.regex.Matcher.quoteReplacement(literal(vars(nm))))
+        if (quote == 0) {
+          s = substituteCursorAttrs(s)
+          onePass.foreach { p =>
+            val m = p.matcher(s)
+            val sb = new StringBuffer
+            while (m.find()) {
+              // exact-case key first (vars are case-sensitive like the
+              // tokenizer), falling back over declared names ignoring case
+              val hit = m.group(1)
+              val key = if (vars.contains(hit)) hit
+                else names.find(_.equalsIgnoreCase(hit)).getOrElse(hit)
+              m.appendReplacement(sb,
+                java.util.regex.Matcher.quoteReplacement(literal(vars(key))))
+            }
+            m.appendTail(sb)
+            s = sb.toString
+          }
         }
         out.append(s); seg.clear()
       }
       while (i < sql.length) {
         val c = sql.charAt(i)
-        if (c == '\'') { flush(); inQ = !inQ; out.append(c) }
+        if (quote == 0 && (c == '\'' || c == '"')) { flush(); quote = c; out.append(c) }
+        else if (quote != 0 && c == quote) { flush(); quote = 0; out.append(c) }
         else seg.append(c)
         i += 1
       }
@@ -623,8 +652,12 @@ object HplSql {
           case Some(h) =>
             try run(proc.body) catch {
               case e: Exception =>
+                val savedErrm = vars.get("SQLERRM") // nested handlers restore the outer binding
                 vars("SQLERRM") = e.getMessage
-                try run(h) finally vars.remove("SQLERRM")
+                try run(h) finally savedErrm match {
+                  case Some(v) => vars("SQLERRM") = v
+                  case None => vars.remove("SQLERRM")
+                }
             }
         } finally {
           callDepth -= 1
@@ -646,24 +679,41 @@ object HplSql {
             // the reference's error variables (Exec.java signal handling).
             try run(body) catch {
               case e: Exception =>
+                val savedErrm = vars.get("SQLERRM") // nested handlers restore the outer binding
                 vars("SQLERRM") = e.getMessage
-                try run(h) finally vars.remove("SQLERRM")
+                try run(h) finally savedErrm match {
+                  case Some(v) => vars("SQLERRM") = v
+                  case None => vars.remove("SQLERRM")
+                }
             }
         }
       case SqlStmt(text) =>
         val df = spark.sql(substitute(text))
-        val head = text.trim.takeWhile(!_.isWhitespace).toUpperCase
-        if (head == "SELECT" || head == "WITH" || head == "VALUES") lastResult = Some(df)
-        else df.collect() // force commands/DML eagerly, in statement order
+        // classify by the ANALYZED plan, not the first keyword: a
+        // CTE-prefixed INSERT ("WITH x AS (...) INSERT ...") is a command,
+        // not the script's result set
+        val isCommand = df.queryExecution.analyzed
+          .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Command]
+        if (isCommand) df.collect() // force DML/DDL eagerly, in statement order
+        else {
+          // materialize NOW so the result reflects this statement's point in
+          // script order — a lazy DataFrame would observe later DML
+          val rows = df.collect()
+          lastResult = Some(spark.createDataFrame(
+            java.util.Arrays.asList(rows: _*), df.schema))
+        }
     }
   }
 
   /** Run a script against the warehouse at `dir`; returns the last SELECT's
-    * DataFrame (the procedure's result set). */
+    * DataFrame (the procedure's result set), materialized at the point the
+    * SELECT executed. */
   def run(spark: SparkSession, dir: String, script: String): DataFrame = {
     graft.Engine.registerAll(spark, dir)
     val interp = new Interp(spark)
-    interp.run(new Parser(script, tokenize(script)).parseStmts(Set.empty))
+    try interp.run(new Parser(script, tokenize(script)).parseStmts(Set.empty))
+    catch { case LoopExit => throw new IllegalArgumentException(
+      "EXIT outside of a loop") }
     interp.lastResult.getOrElse(
       throw new IllegalArgumentException("script produced no result set"))
   }

@@ -57,16 +57,20 @@ object Ddl {
         |GROUP BY n_regionkey ORDER BY n_regionkey""") { (s, dir) =>
       val (sf, loc) = ctx(s, dir)
       val tbl = s"g78_$sf"
-      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      s.sql(s"DROP TABLE IF EXISTS $tbl")
-      s.sql(s"CREATE TABLE $tbl (n_name STRING, tag STRING, n_regionkey BIGINT) " +
-        s"USING parquet PARTITIONED BY (n_regionkey) LOCATION '$loc/g78'")
-      s.sql(s"INSERT OVERWRITE $tbl PARTITION (n_regionkey) " +
-        "SELECT n_name, 'v1', CAST(n_regionkey AS BIGINT) FROM nation")
-      // dynamic overwrite touches ONLY region 0; v1 rows elsewhere survive
-      s.sql(s"INSERT OVERWRITE $tbl PARTITION (n_regionkey) " +
-        "SELECT n_name, 'v2', CAST(n_regionkey AS BIGINT) FROM nation " +
-        "WHERE n_regionkey = 0")
+      val modeKey = "spark.sql.sources.partitionOverwriteMode"
+      val savedMode = s.conf.getOption(modeKey)
+      try {
+        s.conf.set(modeKey, "dynamic")
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.sql(s"CREATE TABLE $tbl (n_name STRING, tag STRING, n_regionkey BIGINT) " +
+          s"USING parquet PARTITIONED BY (n_regionkey) LOCATION '$loc/g78'")
+        s.sql(s"INSERT OVERWRITE $tbl PARTITION (n_regionkey) " +
+          "SELECT n_name, 'v1', CAST(n_regionkey AS BIGINT) FROM nation")
+        // dynamic overwrite touches ONLY region 0; v1 rows elsewhere survive
+        s.sql(s"INSERT OVERWRITE $tbl PARTITION (n_regionkey) " +
+          "SELECT n_name, 'v2', CAST(n_regionkey AS BIGINT) FROM nation " +
+          "WHERE n_regionkey = 0")
+      } finally savedMode.fold(s.conf.unset(modeKey))(s.conf.set(modeKey, _))
       s.sql(s"SELECT n_regionkey, count(*) AS n, count(DISTINCT tag) AS tags " +
         s"FROM $tbl GROUP BY n_regionkey ORDER BY n_regionkey")
     },

@@ -329,4 +329,69 @@ class HplSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getInt(0) == 1, "true UNTIL still executes once")
     assert(r.getInt(1) == 8, "post-test loop: 2,4,6,8")
   }
+
+  test("a substituted string value is never re-scanned for other variable names") {
+    val r = run1(
+      """DECLARE a STRING := 'x marks the spot';
+        |DECLARE x INT := 5;
+        |SELECT a AS a, x AS x;""".stripMargin)
+    assert(r.getString(0) == "x marks the spot",
+      "the x inside a's VALUE must not be substituted")
+    assert(r.getInt(1) == 5)
+  }
+
+  test("result SELECT materializes at its point in script order (later DML invisible)") {
+    val r = run1(
+      """DROP TABLE IF EXISTS g_hpl_order_spec;
+        |CREATE TABLE g_hpl_order_spec (v INT) USING parquet
+        |  LOCATION '/root/repo/target/ddl/hpl_order_spec';
+        |INSERT OVERWRITE g_hpl_order_spec VALUES (1), (2);
+        |SELECT count(*) AS n FROM g_hpl_order_spec;
+        |INSERT INTO g_hpl_order_spec VALUES (3);""".stripMargin)
+    assert(r.getLong(0) == 2, "the SELECT ran before the final INSERT")
+  }
+
+  test("CTE-prefixed DML is a command, not the script result") {
+    val r = run1(
+      """DROP TABLE IF EXISTS g_hpl_cte_spec;
+        |CREATE TABLE g_hpl_cte_spec (v INT) USING parquet
+        |  LOCATION '/root/repo/target/ddl/hpl_cte_spec';
+        |SELECT 42 AS answer;
+        |WITH src AS (SELECT 7 AS v) INSERT OVERWRITE g_hpl_cte_spec SELECT v FROM src;""".stripMargin)
+    assert(r.schema.fieldNames.sameElements(Array("answer")) && r.getInt(0) == 42,
+      "the WITH...INSERT must not hijack lastResult")
+  }
+
+  test("';' inside a double-quoted literal does not split the statement") {
+    val r = run1("""SELECT "a;b" AS v;""")
+    assert(r.getString(0) == "a;b")
+  }
+
+  test("nested handlers restore the outer SQLERRM binding") {
+    val r = run1(
+      """DECLARE outer_msg STRING := '';
+        |BEGIN
+        |  SELECT * FROM g_hpl_missing_outer;
+        |EXCEPTION WHEN OTHERS THEN
+        |  BEGIN
+        |    SELECT * FROM g_hpl_missing_inner;
+        |  EXCEPTION WHEN OTHERS THEN
+        |    SET outer_msg = 'inner-handled';
+        |  END;
+        |  SET outer_msg = outer_msg || '|' || SQLERRM;
+        |END;
+        |SELECT outer_msg AS m;""".stripMargin)
+    assert(r.getString(0).startsWith("inner-handled|"),
+      "outer handler still sees ITS OWN SQLERRM after the nested handler ran")
+    assert(r.getString(0).contains("g_hpl_missing_outer") ||
+      r.getString(0).toUpperCase.contains("TABLE_OR_VIEW_NOT_FOUND"),
+      s"outer SQLERRM should describe the OUTER failure, got: ${r.getString(0)}")
+  }
+
+  test("EXIT outside any loop raises a clear error, not a control throwable") {
+    val e = intercept[IllegalArgumentException](run1(
+      "IF 1 = 1 THEN EXIT; END IF;\nSELECT 1 AS x;"))
+    assert(e.getMessage.contains("EXIT outside"),
+      s"expected a clear message, got: ${e.getMessage}")
+  }
 }
