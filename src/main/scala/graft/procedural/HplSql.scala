@@ -81,12 +81,15 @@ object HplSql {
         val e = src.indexOf("*/", i + 2)
         i = if (e < 0) n else e + 2
       } else if (c == '\'') {
-        // SQL string literal with '' escaping
+        // SQL string literal with '' doubling and backslash escapes (Spark
+        // default: escapedStringLiterals=false, so \' stays inside)
         val s = i
         i += 1
         var done = false
         while (i < n && !done) {
-          if (src.charAt(i) == '\'') {
+          val ch = src.charAt(i)
+          if (ch == '\\' && i + 1 < n) i += 2
+          else if (ch == '\'') {
             if (i + 1 < n && src.charAt(i + 1) == '\'') i += 2
             else { done = true; i += 1 }
           } else i += 1
@@ -94,11 +97,17 @@ object HplSql {
         out += Tok(src.substring(s, i), s, i, quoted = true)
       } else if (c == '"') {
         // double-quoted string literal (Spark default, Hive-compatible) —
-        // a ';' or keyword inside it must not split the statement
+        // a ';' or keyword inside it must not split the statement; \" is an
+        // escaped quote, not the terminator
         val s = i
         i += 1
-        while (i < n && src.charAt(i) != '"') i += 1
-        if (i < n) i += 1 // closing quote
+        var done = false
+        while (i < n && !done) {
+          val ch = src.charAt(i)
+          if (ch == '\\' && i + 1 < n) i += 2
+          else if (ch == '"') { done = true; i += 1 }
+          else i += 1
+        }
         out += Tok(src.substring(s, i), s, i, quoted = true)
       } else if (c.isLetter || c == '_') {
         val s = i
@@ -520,7 +529,12 @@ object HplSql {
       }
       while (i < sql.length) {
         val c = sql.charAt(i)
-        if (quote == 0 && (c == '\'' || c == '"')) { flush(); quote = c; out.append(c) }
+        if (quote != 0 && c == '\\' && i + 1 < sql.length) {
+          // escaped char inside a literal: neither closes the string nor
+          // gets substituted
+          seg.append(c).append(sql.charAt(i + 1)); i += 1
+        }
+        else if (quote == 0 && (c == '\'' || c == '"')) { flush(); quote = c; out.append(c) }
         else if (quote != 0 && c == quote) { flush(); quote = 0; out.append(c) }
         else seg.append(c)
         i += 1
@@ -649,16 +663,7 @@ object HplSql {
         proc.params.zip(argVals).foreach { case (pn, v) => vars(pn) = v }
         try proc.handler match {
           case None => run(proc.body)
-          case Some(h) =>
-            try run(proc.body) catch {
-              case e: Exception =>
-                val savedErrm = vars.get("SQLERRM") // nested handlers restore the outer binding
-                vars("SQLERRM") = e.getMessage
-                try run(h) finally savedErrm match {
-                  case Some(v) => vars("SQLERRM") = v
-                  case None => vars.remove("SQLERRM")
-                }
-            }
+          case Some(h) => runHandled(proc.body, h)
         } finally {
           callDepth -= 1
           saved.foreach {
@@ -673,19 +678,7 @@ object HplSql {
       case BeginBlock(body, handler) =>
         handler match {
           case None => run(body)
-          case Some(h) =>
-            // WHEN OTHERS catches engine/script errors, never loop control.
-            // SQLERRM carries the message into the handler's scope, as in
-            // the reference's error variables (Exec.java signal handling).
-            try run(body) catch {
-              case e: Exception =>
-                val savedErrm = vars.get("SQLERRM") // nested handlers restore the outer binding
-                vars("SQLERRM") = e.getMessage
-                try run(h) finally savedErrm match {
-                  case Some(v) => vars("SQLERRM") = v
-                  case None => vars.remove("SQLERRM")
-                }
-            }
+          case Some(h) => runHandled(body, h)
         }
       case SqlStmt(text) =>
         val df = spark.sql(substitute(text))
@@ -696,12 +689,32 @@ object HplSql {
           .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Command]
         if (isCommand) df.collect() // force DML/DDL eagerly, in statement order
         else {
-          // materialize NOW so the result reflects this statement's point in
-          // script order — a lazy DataFrame would observe later DML
-          val rows = df.collect()
-          lastResult = Some(spark.createDataFrame(
-            java.util.Arrays.asList(rows: _*), df.schema))
+          // snapshot NOW so the result reflects this statement's point in
+          // script order — a lazy DataFrame would observe later DML. The
+          // snapshot stays on the executors (localCheckpoint), never
+          // round-tripping a potentially-large result through driver
+          // memory; the superseded result's blocks free immediately.
+          val snap = df.localCheckpoint(true)
+          lastResult.foreach(_.rdd.unpersist(blocking = false))
+          lastResult = Some(snap)
         }
+    }
+
+    /** body with a WHEN OTHERS handler. The handler catches engine/script
+      * errors, never loop control (LoopExit is a ControlThrowable). SQLERRM
+      * carries the message into the handler's scope, as in the reference's
+      * error variables (Exec.java signal handling); nested handlers restore
+      * the outer binding on exit. */
+    private def runHandled(body: Seq[Stmt], h: Seq[Stmt]): Unit = {
+      try run(body) catch {
+        case e: Exception =>
+          val savedErrm = vars.get("SQLERRM")
+          vars("SQLERRM") = e.getMessage
+          try run(h) finally savedErrm match {
+            case Some(v) => vars("SQLERRM") = v
+            case None => vars.remove("SQLERRM")
+          }
+      }
     }
   }
 

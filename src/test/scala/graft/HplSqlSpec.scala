@@ -367,6 +367,12 @@ class HplSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getString(0) == "a;b")
   }
 
+  test("backslash-escaped quotes stay inside the literal (both quote styles)") {
+    val r = run1("SELECT \"a\\\";b\" AS v, 'c\\';d' AS w;")
+    assert(r.getString(0) == "a\";b", s"got ${r.getString(0)}")
+    assert(r.getString(1) == "c';d", s"got ${r.getString(1)}")
+  }
+
   test("nested handlers restore the outer SQLERRM binding") {
     val r = run1(
       """DECLARE outer_msg STRING := '';
