@@ -162,7 +162,9 @@ object Dedup {
           least(col("comp"), col("nbr_comp")).as("comp"),
           (col("nbr_comp") < col("comp")).cast("long").as("chg"))
         .localCheckpoint()
-      changed = next.agg(sum("chg")).head().getLong(0)
+      // sum over zero rows is NULL (empty edge list → empty `next`)
+      changed = Option(next.agg(sum("chg")).head().get(0))
+        .fold(0L)(_.asInstanceOf[Long])
       // the superseded generation's checkpoint blocks are dead the moment
       // `next` is materialized (localCheckpoint is eager) — drop them so
       // storage stays bounded at two generations instead of growing with

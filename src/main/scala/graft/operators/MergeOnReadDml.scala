@@ -91,8 +91,15 @@ object MergeOnReadDml {
       val p = s"$root/delta_$t/$kind"
       if (f.exists(new Path(p))) Some(spark.read.parquet(p)) else None
     }
+    // the rid dedup over the (small) delta union heals the one crash window
+    // compactMinor has: a folded delta published but its source deltas not
+    // yet deleted leaves I∖D rows present twice under the same never-reused
+    // rid. Duplicate DELETE events need no healing (anti-join is a set op).
     val withInserts = deltaTxns.flatMap(part(_, "insert"))
-      .foldLeft(base)(_ unionByName _)
+      .reduceOption(_ unionByName _) match {
+      case Some(ins) => base.unionByName(ins.dropDuplicates(RID))
+      case None => base
+    }
     val deletes = deltaTxns.flatMap(part(_, "delete"))
     deletes.reduceOption(_ union _) match {
       case Some(del) => withInserts.join(del, Seq(RID), "left_anti")
@@ -173,6 +180,11 @@ object MergeOnReadDml {
     * must be above the current base txn and owned by this writer. */
   def insertAt(spark: SparkSession, root: String, rows: DataFrame,
       txn: Long): Unit = {
+    val baseTxn = listTxns(spark, root).collect { case ("base", t) => t }.max
+    // a txn at or below the base would write a delta the snapshot filter
+    // (`t > baseTxn`) silently ignores — fail loudly instead of losing rows
+    require(txn > baseTxn,
+      s"insertAt txn $txn is not above base txn $baseTxn (superseded by compaction)")
     val cols = snapshotWithRid(spark, root).columns.filter(_ != RID).toSeq
     commitDelta(spark, root, txn, None,
       Some(withRid(rows.select(cols.map(col): _*), txn)))
@@ -202,6 +214,7 @@ object MergeOnReadDml {
     val deletes = parts("delete").reduceOption(_ union _)
     // stage via a tmp dir: the folded delta reads the dirs it replaces
     val tmp = s"$root/.compact_$txn"
+    f.delete(new Path(tmp), true) // failed-attempt debris
     inserts.foreach { i =>
       deletes.fold(i)(d => i.join(d, Seq(RID), "left_anti"))
         .write.mode("overwrite").parquet(s"$tmp/insert")
@@ -210,7 +223,13 @@ object MergeOnReadDml {
       inserts.fold(d)(i => d.join(i.select(col(RID)), Seq(RID), "left_anti"))
         .write.mode("overwrite").parquet(s"$tmp/delete")
     }
-    f.rename(new Path(tmp), new Path(s"$root/delta_$txn"))
+    // publish must succeed BEFORE the sources are deleted — a failed rename
+    // with the deletions already issued would drop every un-compacted txn.
+    // A crash AFTER the rename but before the deletions is healed at read
+    // time by snapshotWithRid's rid dedup (the folded rows and their
+    // originals share ids).
+    require(f.rename(new Path(tmp), new Path(s"$root/delta_$txn")),
+      s"minor-compaction publish rename failed for txn $txn")
     deltaTxns.foreach(t => f.delete(new Path(s"$root/delta_$t"), true))
   }
 

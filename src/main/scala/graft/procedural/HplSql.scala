@@ -463,8 +463,21 @@ object HplSql {
       case b: Boolean => if (b) "TRUE" else "FALSE"
       case d: java.sql.Date => s"DATE '$d'"
       case t: java.sql.Timestamp => s"TIMESTAMP '$t'"
-      case other => other.toString // numeric types
+      case other => // numeric types; parenthesize negatives so that a
+        // substitution after '-' cannot form a '--' line comment
+        val s = other.toString
+        if (s.startsWith("-")) s"($s)" else s
     }
+
+    /** HPL/SQL identifiers are case-insensitive (the reference lower-cases
+      * them); vars keep their declared spelling, lookups fall back over it. */
+    private def resolveVar(name: String): String =
+      if (vars.contains(name)) name
+      else vars.keys.find(_.equalsIgnoreCase(name)).getOrElse(name)
+
+    private def resolveCursor(name: String): Option[CursorState] =
+      cursors.get(name).orElse(
+        cursors.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v })
 
     /** Rewrite cursor attribute references (`c%NOTFOUND`, `c%FOUND`,
       * `c%ISOPEN`, `c%ROWCOUNT` — `expr_cursor_attribute`, Hplsql.g4) to
@@ -497,7 +510,9 @@ object HplSql {
         else Some(java.util.regex.Pattern.compile(
           // identifier-boundary match; the AS-lookbehind keeps output aliases
           // (`SELECT v AS v`) stable instead of rewriting them to literals
-          "(?i)(?<![A-Za-z0-9_.])(?<!\\bAS\\s{1,6})(" +
+          // (bounded at 64 whitespace chars — Java lookbehinds must be
+          // finite; covers line-wrapped `AS\n        alias` formatting)
+          "(?i)(?<![A-Za-z0-9_.])(?<!\\bAS\\s{1,64})(" +
             names.map(java.util.regex.Pattern.quote).mkString("|") +
             ")(?![A-Za-z0-9_.])"))
       // split into quoted/unquoted segments; substitute unquoted only
@@ -559,8 +574,9 @@ object HplSql {
       case Declare(name, init) =>
         vars(name) = init.map(evalScalar).orNull
       case SetVar(name, expr) =>
-        require(vars.contains(name), s"SET of undeclared variable $name")
-        vars(name) = evalScalar(expr)
+        val key = resolveVar(name)
+        require(vars.contains(key), s"SET of undeclared variable $name")
+        vars(key) = evalScalar(expr)
       case IfStmt(branches, orElse) =>
         branches.find(b => evalCond(b._1)) match {
           case Some((_, body)) => run(body)
@@ -577,13 +593,20 @@ object HplSql {
       case ForCursor(rec, query, body) =>
         val df = spark.sql(substitute(query))
         val cols = df.columns
+        // save shadowed bindings so a nested FOR-cursor reusing the record
+        // name (or column names) restores the outer loop's values on exit,
+        // like ForRange does for its loop variable
+        val saved = cols.map(c => s"$rec.$c" -> vars.get(s"$rec.$c"))
         try df.collect().foreach { row => // driver-side cursor, by design (see scaladoc)
           cols.zipWithIndex.foreach { case (c, ci) =>
             vars(s"$rec.$c") = if (row.isNullAt(ci)) null else row.get(ci)
           }
           run(body)
         } catch { case LoopExit => () }
-        finally cols.foreach(c => vars.remove(s"$rec.$c"))
+        finally saved.foreach {
+          case (k, Some(v)) => vars(k) = v
+          case (k, None) => vars.remove(k)
+        }
       case ForRange(v, fromE, toE, reverse, body) =>
         def toLong(x: Any, what: String): Long = x match {
           case n: java.lang.Number => n.longValue()
@@ -624,14 +647,15 @@ object HplSql {
       case DeclareCursor(name, query) =>
         cursors(name) = new CursorState(query)
       case OpenStmt(name) =>
-        val st = cursors.getOrElse(name,
+        val st = resolveCursor(name).getOrElse(
           throw new IllegalArgumentException(s"OPEN of undeclared cursor $name"))
         st.rows = spark.sql(substitute(st.query)).collect().iterator // driver-side, by design
         st.open = true; st.rowCount = 0L; st.lastFetch = None
-      case FetchStmt(name, into) =>
-        val st = cursors.getOrElse(name,
+      case FetchStmt(name, into0) =>
+        val st = resolveCursor(name).getOrElse(
           throw new IllegalArgumentException(s"FETCH from undeclared cursor $name"))
         require(st.open, s"FETCH from cursor $name before OPEN")
+        val into = into0.map(resolveVar)
         into.foreach(v => require(vars.contains(v),
           s"FETCH INTO undeclared variable $v"))
         if (st.rows.hasNext) {
@@ -644,7 +668,7 @@ object HplSql {
           st.rowCount += 1; st.lastFetch = Some(true)
         } else st.lastFetch = Some(false) // INTO targets keep their values
       case CloseStmt(name) =>
-        val st = cursors.getOrElse(name,
+        val st = resolveCursor(name).getOrElse(
           throw new IllegalArgumentException(s"CLOSE of undeclared cursor $name"))
         st.open = false; st.rows = Iterator.empty
       case pd: ProcDef =>
@@ -694,8 +718,15 @@ object HplSql {
           // snapshot stays on the executors (localCheckpoint), never
           // round-tripping a potentially-large result through driver
           // memory; the superseded result's blocks free immediately.
+          // (Dataset.rdd would derive a FRESH unpersisted RDD — the
+          // checkpoint blocks live on the LogicalRDD leaf, as in
+          // Dedup.connectedComponents.)
           val snap = df.localCheckpoint(true)
-          lastResult.foreach(_.rdd.unpersist(blocking = false))
+          lastResult.foreach(_.queryExecution.analyzed.collectLeaves().foreach {
+            case l: org.apache.spark.sql.execution.LogicalRDD =>
+              l.rdd.unpersist(blocking = false)
+            case _ => ()
+          })
           lastResult = Some(snap)
         }
     }

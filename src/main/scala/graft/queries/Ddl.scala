@@ -205,8 +205,12 @@ object Ddl {
     // sub-aggregates (per-segment rollup + the scalar distinct-nation
     // subquery) read the columnar cache instead of re-scanning parquet.
     // PlanShapeSpec asserts InMemoryTableScan appears in the final plan.
-    // A dedicated view name keeps the cache from changing other queries'
-    // asserted plan shapes.
+    // The cached view PROJECTS just the three needed columns: Spark's
+    // CacheManager substitutes by plan-fragment sameResult match, not view
+    // name, so caching the bare table would silently serve every later
+    // `customer` scan in the session from the cache — the projection keeps
+    // the cache from matching (and changing the measured plans of) other
+    // queries.
     Qd("q146_cached_scan",
       """SELECT c_mktsegment AS seg, count(*) AS n,
         |  ROUND(CAST(sum(c_acctbal) AS DOUBLE), 2) AS bal,
@@ -214,7 +218,9 @@ object Ddl {
         |FROM customer GROUP BY c_mktsegment ORDER BY seg""") { (s, dir) =>
       val (sf, _) = ctx(s, dir)
       val v = s"g146_cust_$sf"
-      Engine.table(s, dir, "customer").createOrReplaceTempView(v)
+      Engine.table(s, dir, "customer")
+        .select("c_mktsegment", "c_acctbal", "c_nationkey")
+        .createOrReplaceTempView(v)
       if (!s.catalog.isCached(v)) {
         s.catalog.cacheTable(v)
         s.table(v).count() // materialize the columnar cache eagerly

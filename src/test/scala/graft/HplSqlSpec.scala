@@ -394,6 +394,44 @@ class HplSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"outer SQLERRM should describe the OUTER failure, got: ${r.getString(0)}")
   }
 
+  test("identifiers resolve case-insensitively in SET and FETCH (reference semantics)") {
+    val r = run1(
+      """DECLARE Total INT := 0;
+        |SET TOTAL = total + 41;
+        |DECLARE nm STRING;
+        |DECLARE c CURSOR FOR SELECT r_name FROM region ORDER BY r_regionkey;
+        |OPEN c;
+        |FETCH c INTO NM;
+        |CLOSE C;
+        |SELECT total AS t, nm AS nm;""".stripMargin)
+    assert(r.getInt(0) == 41, "SET TOTAL must bind the declared Total")
+    assert(r.getString(1) != null, "FETCH INTO NM must bind nm")
+  }
+
+  test("nested FOR-cursors restore the outer record bindings") {
+    val r = run1(
+      """DECLARE acc STRING := '';
+        |FOR r IN (SELECT r_name FROM region ORDER BY r_regionkey) LOOP
+        |  FOR r IN (SELECT r_name FROM region WHERE r_regionkey = 0) LOOP
+        |    SET acc = acc;
+        |  END LOOP;
+        |  SET acc = acc || r.r_name || ';';
+        |END LOOP;
+        |SELECT acc AS acc;""".stripMargin)
+    val parts = r.getString(0).split(';').toSeq
+    assert(parts.length == 5 && parts.distinct.length == 5,
+      s"outer r.r_name must survive the shadowing inner loop, got: ${r.getString(0)}")
+  }
+
+  test("a negative variable value after '-' does not form a '--' comment") {
+    val r = run1(
+      """DECLARE v INT := (SELECT -5);
+        |DECLARE x INT := 10;
+        |SET x = x - v;
+        |SELECT CAST(x AS INT) AS x;""".stripMargin)
+    assert(r.getInt(0) == 15, "x - (-5) = 15, not a swallowed comment")
+  }
+
   test("EXIT outside any loop raises a clear error, not a control throwable") {
     val e = intercept[IllegalArgumentException](run1(
       "IF 1 = 1 THEN EXIT; END IF;\nSELECT 1 AS x;"))

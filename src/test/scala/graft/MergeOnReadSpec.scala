@@ -169,4 +169,35 @@ class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     MergeOnReadDml.delete(spark, root, "k = 1")
     assert(MergeOnReadDml.read(spark, root).count() == preRows.length - 1)
   }
+
+  test("insertAt with a txn at or below the base fails loudly (not silent loss)") {
+    val root = s"$base/t6"
+    mk(root)
+    MergeOnReadDml.delete(spark, root, "k = 0")
+    MergeOnReadDml.compact(spark, root) // base txn advances past 1
+    val rows = spark.range(900, 903).select(
+      col("id").as("k"), concat(lit("v"), col("id")).as("v"), lit("a").as("p"))
+    intercept[IllegalArgumentException](
+      MergeOnReadDml.insertAt(spark, root, rows, 1L))
+    // a fresh txn above the base still lands
+    MergeOnReadDml.insert(spark, root, rows)
+    assert(MergeOnReadDml.read(spark, root).filter("k >= 900").count() == 3)
+  }
+
+  test("a crash between minor-compaction publish and source deletion reads clean") {
+    val root = s"$base/t7"
+    mk(root)
+    MergeOnReadDml.update(spark, root, Seq("v" -> "concat(v, '!')"), "k < 5")
+    val n = MergeOnReadDml.read(spark, root).count()
+    // simulate the crash window: the folded delta (same row ids) published
+    // while an original delta still exists — copy delta_2 to delta_9
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(s"$root/delta_2"),
+      fs, new org.apache.hadoop.fs.Path(s"$root/delta_9"), false, conf)
+    val healed = MergeOnReadDml.read(spark, root)
+    assert(healed.count() == n, "duplicated row ids must read as one row")
+    assert(healed.filter("k < 5").count() == 5)
+  }
 }

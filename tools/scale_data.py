@@ -23,7 +23,22 @@ base, out, K = sys.argv[1], sys.argv[2], int(sys.argv[3])
 os.makedirs(out, exist_ok=True)
 con = duckdb.connect()
 
-OFF = {"c": 15000, "o": 150000, "s": 1000, "p": 20000, "d": 5000, "e": 5000}
+# strides derived from the data (max key + 1) so sparse or 1-based key
+# spaces never collide across replicas — same contract as
+# graft.tools.ScaleUp, which computes its strides the same way
+def stride(table, key):
+    return con.execute(
+        f"SELECT max({key}) + 1 FROM read_parquet('{base}/{table}.parquet')"
+    ).fetchone()[0]
+
+OFF = {
+    "c": stride("customer", "c_custkey"),
+    "o": stride("orders", "o_orderkey"),
+    "s": stride("supplier", "s_suppkey"),
+    "p": stride("part", "p_partkey"),
+    "d": stride("documents", "doc_id"),
+    "e": stride("embeddings", "vec_id"),
+}
 REPL = {
     "customer": "c_custkey + k*{c} AS c_custkey",
     "orders": "o_orderkey + k*{o} AS o_orderkey, o_custkey + k*{c} AS o_custkey",
