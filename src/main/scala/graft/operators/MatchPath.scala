@@ -41,10 +41,19 @@ object MatchPath {
         val syms = new String(rows.map(e => symbolOf(e.event_type)))
         val m = compiled.matcher(syms)
         val out = scala.collection.mutable.ArrayBuffer.empty[PathMatch]
-        while (m.find()) {
-          val span = rows.slice(m.start, m.`end`)
-          out += PathMatch(uid, span.head.event_id, span.last.event_id,
-            span.length.toLong, span.map(_.value).sum)
+        // reference semantics (MatchPath.java:81): a match is ATTEMPTED AT
+        // EVERY ROW, so overlapping matches all emit — find()'s resume-after-
+        // previous-match behavior would under-report self-overlapping
+        // patterns. Zero-width matches carry no rows and are skipped.
+        var i = 0
+        while (i < syms.length) {
+          m.region(i, syms.length)
+          if (m.lookingAt() && m.`end` > m.start) {
+            val span = rows.slice(m.start, m.`end`)
+            out += PathMatch(uid, span.head.event_id, span.last.event_id,
+              span.length.toLong, span.map(_.value).sum)
+          }
+          i += 1
         }
         out.iterator
       }

@@ -36,10 +36,20 @@ object UniqueJoin {
   def uniqueJoin(sides: Seq[Side]): DataFrame = {
     require(sides.size >= 2, s"UNIQUEJOIN needs >= 2 tables (got ${sides.size})")
     // positional field names inside the key struct: each side's struct must
-    // have the IDENTICAL type for the cross-side coalesce/equality
+    // have the IDENTICAL type for the cross-side coalesce/equality.
+    // A key with any NULL component becomes a NULL struct: struct equality
+    // in Spark is null-safe FIELD-wise, so struct(null)===struct(null) would
+    // otherwise be TRUE and glue every null-key row across all tables into
+    // one cross-product group — SQL (and Hive join) semantics are that NULL
+    // keys never match. Presence for the PRESERVE rule is tracked by a
+    // separate marker, so a preserved table's null-key rows still emit
+    // NULL-extended (as an outer join preserves its null-key rows).
     val tagged = sides.zipWithIndex.map { case (s, i) =>
-      s.df.withColumn(s"__uk$i",
-        struct(s.keys.zipWithIndex.map { case (k, j) => k.as(s"k$j") }: _*))
+      val anyNull = s.keys.map(_.isNull).reduce(_ || _)
+      s.df
+        .withColumn(s"__uk$i", when(anyNull, lit(null)).otherwise(
+          struct(s.keys.zipWithIndex.map { case (k, j) => k.as(s"k$j") }: _*)))
+        .withColumn(s"__pr$i", lit(true))
     }
     var acc = tagged.head
     var runningKey: Column = col("__uk0")
@@ -47,12 +57,14 @@ object UniqueJoin {
       acc = acc.join(tagged(i), runningKey === col(s"__uk$i"), "full_outer")
       runningKey = coalesce(runningKey, col(s"__uk$i"))
     }
-    val present = sides.indices.map(i => col(s"__uk$i").isNotNull)
+    val present = sides.indices.map(i => col(s"__pr$i").isNotNull)
     val keep =
       if (sides.exists(_.preserve))
         sides.indices.collect { case i if sides(i).preserve => present(i) }
           .reduce(_ || _)
       else present.reduce(_ && _)
-    acc.filter(keep).drop(sides.indices.map(i => s"__uk$i"): _*)
+    acc.filter(keep)
+      .drop(sides.indices.map(i => s"__uk$i"): _*)
+      .drop(sides.indices.map(i => s"__pr$i"): _*)
   }
 }

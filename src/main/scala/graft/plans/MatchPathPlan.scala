@@ -108,17 +108,25 @@ case class MatchPathExec(pattern: String, symbols: Map[String, String],
         else {
           val m = compiled.matcher(symChars)
           val out = new ArrayBuffer[InternalRow]()
-          while (m.find()) {
-            var sum = 0.0
-            var i = m.start()
-            while (i < m.end()) { sum += values(i); i += 1 }
-            val row = new GenericInternalRow(5)
-            row.setLong(0, curUser)
-            row.setLong(1, ids(m.start()))
-            row.setLong(2, ids(m.end() - 1))
-            row.setLong(3, (m.end() - m.start()).toLong)
-            row.setDouble(4, sum)
-            out += proj(row).copy()
+          // reference semantics (MatchPath.java:81): attempt a match at
+          // EVERY row (overlapping matches emit; find() would skip a match
+          // starting inside a previous one); zero-width matches are skipped
+          var start = 0
+          while (start < symChars.length()) {
+            m.region(start, symChars.length())
+            if (m.lookingAt() && m.end() > m.start()) {
+              var sum = 0.0
+              var i = m.start()
+              while (i < m.end()) { sum += values(i); i += 1 }
+              val row = new GenericInternalRow(5)
+              row.setLong(0, curUser)
+              row.setLong(1, ids(m.start()))
+              row.setLong(2, ids(m.end() - 1))
+              row.setLong(3, (m.end() - m.start()).toLong)
+              row.setDouble(4, sum)
+              out += proj(row).copy()
+            }
+            start += 1
           }
           ids.clear(); values.clear(); symChars.setLength(0)
           out.iterator

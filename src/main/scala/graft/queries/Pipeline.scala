@@ -203,7 +203,8 @@ object Pipeline {
 
     Qd("q46_langid",
       """SELECT doc_id,
-        |  CASE WHEN CAST(length(regexp_replace(text, '[ -~]', '', 'g')) AS DOUBLE)
+        |  CASE WHEN length(text) = 0 THEN 'und'
+        |       WHEN CAST(length(regexp_replace(text, '[ -~]', '', 'g')) AS DOUBLE)
         |            / length(text) > 0.3 THEN 'zh'
         |       WHEN en >= fr AND en >= es AND en >= de THEN 'en'
         |       WHEN fr >= es AND fr >= de THEN 'fr'
@@ -222,13 +223,13 @@ object Pipeline {
     Qd("q47_quality_score",
       """SELECT doc_id,
         |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
-        |  ROUND((CAST(length(text) AS DOUBLE) - (len(string_split(text,' ')) - 1))
+        |  ROUND((CAST(greatest(length(text), 1) AS DOUBLE) - (len(string_split(text,' ')) - 1))
         |        / len(string_split(text,' ')), 6) AS avg_wlen,
         |  ROUND(CAST(len(list_filter(string_split(text,' '),
         |      x -> list_contains(['the','a','of','and','to'], x))) AS DOUBLE)
         |        / len(string_split(text,' ')), 6) AS stop_ratio,
         |  ROUND(CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
-        |        / length(text), 6) AS punct_ratio,
+        |        / greatest(length(text), 1), 6) AS punct_ratio,
         |  ROUND(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
         |        / len(string_split(text,' ')), 6) AS ttr,
         |  ROUND(CAST(len(list_filter(string_split(text,' '),
@@ -237,7 +238,7 @@ object Pipeline {
         |      + CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
         |          / len(string_split(text,' ')) * 0.5
         |      - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
-        |          / length(text) * 0.2, 6) AS quality
+        |          / greatest(length(text), 1) * 0.2, 6) AS quality
         |FROM documents ORDER BY doc_id""") { (s, dir) =>
       TextAnalysis.qualityFeatures(docs(s, dir)).orderBy("doc_id")
     },

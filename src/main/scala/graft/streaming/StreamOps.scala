@@ -49,7 +49,15 @@ object StreamOps {
     spark.table(name)
   }
 
-  /** Tumbling-window aggregation with an event-time watermark. */
+  /** Tumbling-window aggregation with an event-time watermark.
+    *
+    * Honest mode note: the memory-sink harness runs COMPLETE mode so the
+    * finite replay yields the full window table for the oracle compare —
+    * and in Complete mode the watermark does NOT evict window state (Spark
+    * retains everything it must re-emit). The unbounded-feed deployment of
+    * this exact query is Append mode, where the 2-hour watermark closes and
+    * evicts each window — that pairing, not this harness shape, is the
+    * bounded-state claim. */
   def hourlyTypeCounts(spark: SparkSession, dir: String): DataFrame = {
     val agg = eventStream(spark, dir)
       .withWatermark("ts", "2 hours")
@@ -145,8 +153,8 @@ object StreamOps {
     * runs in Complete mode, which retains its state regardless of the
     * watermark — that state is one row per `event_type` (constant, a handful
     * of keys), so it is bounded by key cardinality, not by the watermark; an
-    * unbounded-key aggregate would need Update/Append + a windowed group, as
-    * in [[hourlyTypeCounts]]. */
+    * unbounded-key aggregate would instead pair a windowed group with
+    * Append mode (see the mode note on [[hourlyTypeCounts]]). */
   def dedupTypeCounts(spark: SparkSession, dir: String): DataFrame = {
     val replay = eventStream(spark, dir)
     val atLeastOnce = replay.union(eventStream(spark, dir))

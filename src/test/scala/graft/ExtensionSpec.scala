@@ -51,6 +51,29 @@ class ExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaPlan == viaGroups)
   }
 
+  test("matchpath attempts a match at every row (overlapping matches emit), both paths") {
+    // three consecutive errors for one user: pattern 'ee' must emit the
+    // overlapping spans (0,1) AND (1,2) — the reference tries every row as
+    // a start (MatchPath.java:81); find()-style resume would emit only one
+    val events = Seq(
+      (1L, 10L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), "error", 1.0),
+      (1L, 11L, java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), "error", 1.0),
+      (1L, 12L, java.sql.Timestamp.valueOf("2024-01-01 00:00:03"), "error", 1.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val viaGroups = operators.MatchPath.matchPath(spark, events,
+        { case "error" => 'e'; case _ => 'x' }, "ee")
+      .select("start_event", "end_event").as[(Long, Long)].collect().toSet
+    assert(viaGroups == Set((10L, 11L), (11L, 12L)), s"got $viaGroups")
+    val viaPlan = plans.MatchPathPlan(events, Map("error" -> "e"), "ee")
+      .select("start_event", "end_event").as[(Long, Long)].collect().toSet
+    assert(viaPlan == viaGroups)
+    // zero-width-capable patterns must not throw (empty matches skipped)
+    val zw = operators.MatchPath.matchPath(spark, events,
+        { case "error" => 'e'; case _ => 'x' }, "x*")
+      .collect()
+    assert(zw.isEmpty)
+  }
+
   test("join hints steer the strategy (BROADCAST vs SHUFFLE_HASH vs MERGE)") {
     Engine.registerAll(spark, dir)
     def planOf(hint: String): String = {

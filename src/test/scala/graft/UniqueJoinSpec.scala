@@ -90,4 +90,22 @@ class UniqueJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(r, "a_key", "b_key") == exp(
       "1,N", "2,2", "3,3", "7,N", "8,8", "8,8", "8,8", "8,8"))
   }
+
+  test("NULL keys never form a group (SQL join semantics), preserved sides still emit them") {
+    val s = spark
+    import s.implicits._
+    val n1 = Seq((Some(1), 11), (None, 19)).toDF("a_key", "a_val")
+    val n2 = Seq((Some(1), 21), (None, 29)).toDF("b_key", "b_val")
+    // inner (no PRESERVE): null-key rows match nothing and drop — NOT one
+    // cross-joined null group (struct equality would otherwise glue them)
+    val inner = UniqueJoin.uniqueJoin(Seq(
+      Side(n1, Seq(col("a_key")), preserve = false),
+      Side(n2, Seq(col("b_key")), preserve = false)))
+    assert(got(inner, "a_key", "b_key") == exp("1,1"))
+    // PRESERVE T1: its null-key row survives NULL-extended, still unmatched
+    val pres = UniqueJoin.uniqueJoin(Seq(
+      Side(n1, Seq(col("a_key")), preserve = true),
+      Side(n2, Seq(col("b_key")), preserve = false)))
+    assert(got(pres, "a_key", "b_key") == exp("1,1", "N,N"))
+  }
 }
