@@ -100,14 +100,23 @@ object AnnSearch {
     * corpus shuffle), and scoring reduces through [[partitionTopK]] before
     * the global rank — the window input is O(partitions × |queries| × k),
     * not the |corpus|×|queries| score matrix. */
+  /** int64-quantized cosine between the (qe,qn)/(ce,cn) pairs. A zero-norm
+    * side (degenerate all-zero embedding, or one that quantizes to zero)
+    * would divide by zero — NULL under the session's ANSI-off semantics —
+    * and crash [[partitionTopK]]'s primitive-Double decode; it scores -1.0
+    * instead, ranking the degenerate vector last rather than failing the
+    * job. */
+  private def cosExpr: Column =
+    coalesce(dotI64(col("qe"), col("ce")).cast("double") /
+      sqrt(col("qn").cast("double") * col("cn").cast("double")), lit(-1.0))
+
   def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = quantized(queries).select(col("id").as("qid"),
       col("qe"), col("n2").as("qn"))
     val c = quantized(corpus).select(col("id").as("cid"),
       col("qe").as("ce"), col("n2").as("cn"))
     val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
-      .withColumn("cos", dotI64(col("qe"), col("ce")).cast("double") /
-        sqrt(col("qn").cast("double") * col("cn").cast("double")))
+      .withColumn("cos", cosExpr)
     rankTopK(scored, k)
   }
 
@@ -131,10 +140,14 @@ object AnnSearch {
   private def collectCentroids(qc: DataFrame, centroidStride: Int): Array[(Long, Array[Long])] = {
     val spark = qc.sparkSession
     import spark.implicits._
-    qc.filter(col("id") % centroidStride === 0)
+    val cents = qc.filter(col("id") % centroidStride === 0)
       .select(col("id"), col("qe")).as[(Long, Seq[Long])]
       .collect().map { case (i, e) => (i, e.toArray) }
       .sortBy(_._1)
+    require(cents.nonEmpty,
+      s"centroidStride=$centroidStride selects no corpus row (id % stride == 0) — " +
+        "an empty centroid set would silently return zero results")
+    cents
   }
 
   /** top-`keep` centroid ids by (int64 dot desc, cent_id asc) — exact,
@@ -206,21 +219,24 @@ object AnnSearch {
     * Scale shape: the corpus explodes ×nTables into (t, sig) keys and
     * *equi-joins* the query side on the bucket key — no corpus broadcast, no
     * cartesian, no centroid collect; skewed buckets split under AQE like any
-    * shuffle join. Candidate pairs dedupe on (qid, cid) before scoring so a
-    * pair colliding in several tables is scored once. */
-  /** Deduped (qid, cid) candidate pairs from the bucket join — exposed so
-    * the pruning property (|candidates| ≪ |queries|×|corpus|) is testable,
-    * not assumed. */
+    * shuffle join. The bucket join carries ONLY ids — a duplication-bomb
+    * bucket multiplies narrow (t, sig, id) rows, not ~KB embeddings (the
+    * wide-row amplification [[cosineNearDupPairsLsh]]'s x64 run OOMed on);
+    * candidate pairs dedupe on (qid, cid) and the vectors re-attach by id
+    * once per survivor for the exact rescore. */
+  /** Deduped (qid, cid) candidate pairs (with re-attached vectors) from the
+    * bucket join — exposed so the pruning property (|candidates| ≪
+    * |queries|×|corpus|) is testable, not assumed. */
   private[graft] def lshCandidates(queries: DataFrame, corpus: DataFrame,
       nBits: Int, nTables: Int, seed: Long): DataFrame = {
     require(nBits >= 1 && nBits <= 31 && nTables >= 1,
       s"need 1 <= nBits <= 31 (signature is an Int; got $nBits) and " +
         s"nTables >= 1 (got $nTables)")
-    def sigs(df: DataFrame, idN: String, eN: String, nN: String): DataFrame = {
+    def sigs(df: DataFrame, idN: String): DataFrame = {
       val spark = df.sparkSession
       import spark.implicits._
       quantized(df).as[(Long, Seq[Long], Long)].mapPartitions { it =>
-        it.flatMap { case (id, e, n2) =>
+        it.flatMap { case (id, e, _) =>
           val v = e.toArray
           (0 until nTables).iterator.map { t =>
             var sig = 0
@@ -235,25 +251,27 @@ object AnnSearch {
               if (acc >= 0) sig |= (1 << b)
               b += 1
             }
-            (id, e, n2, t, sig)
+            (id, t, sig)
           }
         }
-      }.toDF(idN, eN, nN, "t", "sig")
+      }.toDF(idN, "t", "sig")
     }
-    val c = sigs(corpus, "cid", "ce", "cn")
-    val q = sigs(queries, "qid", "qe", "qn")
-    c.join(q, Seq("t", "sig"))
+    val pairs = sigs(corpus, "cid").join(sigs(queries, "qid"), Seq("t", "sig"))
       .filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), col("qe"), col("qn"), col("ce"), col("cn"))
+      .select(col("qid"), col("cid"))
       .dropDuplicates("qid", "cid")
+    val qv = quantized(queries).select(col("id").as("qid"),
+      col("qe"), col("n2").as("qn"))
+    val cv = quantized(corpus).select(col("id").as("cid"),
+      col("qe").as("ce"), col("n2").as("cn"))
+    pairs.join(qv, "qid").join(cv, "cid")
+      .select(col("qid"), col("cid"), col("qe"), col("qn"), col("ce"), col("cn"))
   }
 
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nBits: Int = 6, nTables: Int = 10, seed: Long = 42L): DataFrame = {
     val scored = lshCandidates(queries, corpus, nBits, nTables, seed)
-      .withColumn("cos",
-        dotI64(col("qe"), col("ce")).cast("double") /
-          sqrt(col("qn").cast("double") * col("cn").cast("double")))
+      .withColumn("cos", cosExpr)
     rankTopK(scored, k)
   }
 
@@ -262,8 +280,7 @@ object AnnSearch {
       k: Int): DataFrame = {
     val scored = corpusAssigned.join(broadcast(queryProbes), Seq("cent_id"))
       .filter(col("qid") =!= col("cid"))
-      .withColumn("cos", dotI64(col("qe"), col("ce")).cast("double") /
-        sqrt(col("qn").cast("double") * col("cn").cast("double")))
+      .withColumn("cos", cosExpr)
     rankTopK(scored, k)
   }
 

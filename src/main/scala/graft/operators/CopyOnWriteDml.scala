@@ -87,12 +87,17 @@ object CopyOnWriteDml {
   private def resolveSet(set: Seq[(String, String)], cols: Seq[String],
       op: String): Map[String, String] = {
     val byLower = cols.map(c => c.toLowerCase -> c).toMap
-    set.map { case (k, v) =>
+    val resolved = set.map { case (k, v) =>
       byLower.getOrElse(k.toLowerCase,
         throw new IllegalArgumentException(
           s"$op SET references unknown column '$k' (table columns: " +
             cols.mkString(", ") + ")")) -> v
-    }.toMap
+    }
+    // Hive rejects duplicate assignment targets; a silent last-wins .toMap
+    // would drop the earlier expression
+    require(resolved.map(_._1).distinct.size == resolved.size,
+      s"$op SET assigns the same column more than once")
+    resolved.toMap
   }
 
   /** Write `rewritten` into `tbl`: stage to parquet (breaking the
@@ -175,53 +180,73 @@ object CopyOnWriteDml {
     val pcols = partitionCols(spark, tbl)
     requireNoPartitionSet(matchedSet, pcols, "MERGE")
     val tcols = spark.table(tbl).columns
-    val src = source.withColumn("__src", lit(1))
+    // persist pins ONE evaluation of the source for the whole merge: the
+    // scoping collect, the cardinality check, and the rewrite all observe
+    // the same snapshot — a nondeterministic source (sample/limit, or a
+    // table being appended to) re-evaluated per job could otherwise insert
+    // into a partition outside `affected`, which dynamic overwrite would
+    // then replace with ONLY the inserted rows (Hive materializes the
+    // source once for the same reason).
+    val src = source.withColumn("__src", lit(1)).persist()
+    try {
+      def joined(t: DataFrame) = t.as("t").join(src.as("s"), expr(onCond), "left_outer")
 
-    def joined(t: DataFrame) = t.as("t").join(src.as("s"), expr(onCond), "left_outer")
-
-    if (checkCardinality) {
-      val tKeyed = spark.table(tbl).withColumn("__rid", monotonically_increasing_id())
-      val dups = tKeyed.as("t").join(src.as("s"), expr(onCond))
-        .groupBy(col("t.__rid")).count().filter(col("count") > 1).limit(1).count()
-      require(dups == 0, s"MERGE cardinality violation: a row of $tbl matches " +
-        "more than one source row")
-    }
-
-    val inserts = notMatchedInsert.map { ins =>
-      val insMap = ins.toMap
-      require(tcols.forall(insMap.contains),
-        s"INSERT clause must cover all target columns of $tbl")
-      src.as("s").join(spark.table(tbl).as("t"), expr(onCond), "left_anti")
-        .select(tcols.map(c => expr(insMap(c)).as(c)).toSeq: _*)
-    }
-
-    // rewrite scope: partitions holding matched target rows, plus partitions
-    // the inserts land in (dynamic overwrite replaces whole partitions, so
-    // existing rows of an insert-target partition must be carried along)
-    val affected: Array[Row] =
-      if (pcols.isEmpty) Array.empty[Row]
-      else {
-        val matchedParts = joined(spark.table(tbl)).filter(col("__src").isNotNull)
-          .select(pcols.map(c => col(s"t.$c").as(c)).toSeq: _*).distinct()
-        val insertParts = inserts.map(_.select(pcols.map(col).toSeq: _*).distinct())
-        insertParts.fold(matchedParts)(matchedParts.union).distinct().collect()
+      val inserts = notMatchedInsert.map { ins =>
+        // column names resolve case-insensitively, like SET (Hive identifiers)
+        val byLower = tcols.map(c => c.toLowerCase -> c).toMap
+        val resolved = ins.map { case (k, v) =>
+          byLower.getOrElse(k.toLowerCase, throw new IllegalArgumentException(
+            s"MERGE INSERT references unknown column '$k'")) -> v
+        }
+        require(resolved.map(_._1).distinct.size == resolved.size,
+          "MERGE INSERT assigns the same column more than once")
+        val insMap = resolved.toMap
+        require(tcols.forall(insMap.contains),
+          s"INSERT clause must cover all target columns of $tbl")
+        src.as("s").join(spark.table(tbl).as("t"), expr(onCond), "left_anti")
+          .select(tcols.map(c => expr(insMap(c)).as(c)).toSeq: _*)
       }
 
-    val t = spark.table(tbl)
-    val scoped = scopeFilter(pcols, affected).map(t.filter).getOrElse(t)
-    val matched = col("__src").isNotNull
-    val delCond = matchedDelete
-      .map(c => matched && coalesce(expr(c), lit(false))).getOrElse(lit(false))
-    val setMap = resolveSet(matchedSet, tcols.toSeq, "MERGE")
-    val kept = joined(scoped).filter(!delCond)
-      .select(tcols.map { c =>
-        val base = col(s"t.$c")
-        setMap.get(c) match {
-          case Some(e) => when(matched, expr(e)).otherwise(base).as(c)
-          case None => base.as(c)
+      // rewrite scope: partitions holding matched target rows, plus partitions
+      // the inserts land in (dynamic overwrite replaces whole partitions, so
+      // existing rows of an insert-target partition must be carried along)
+      val affected: Array[Row] =
+        if (pcols.isEmpty) Array.empty[Row]
+        else {
+          val matchedParts = joined(spark.table(tbl)).filter(col("__src").isNotNull)
+            .select(pcols.map(c => col(s"t.$c").as(c)).toSeq: _*).distinct()
+          val insertParts = inserts.map(_.select(pcols.map(col).toSeq: _*).distinct())
+          insertParts.fold(matchedParts)(matchedParts.union).distinct().collect()
         }
-      }.toSeq: _*)
-    val rewritten = inserts.fold(kept)(kept.unionByName(_))
-    commit(spark, tbl, rewritten, pcols, affected)
+
+      val t = spark.table(tbl)
+      val scoped = scopeFilter(pcols, affected).map(t.filter).getOrElse(t)
+
+      if (checkCardinality) {
+        // any target row matching the source lives in an affected partition,
+        // so the duplicate-match check runs on the SCOPED table — at 100 TB
+        // the partition-pruned rewrite contract must cover the check too
+        val tKeyed = scoped.withColumn("__rid", monotonically_increasing_id())
+        val dups = tKeyed.as("t").join(src.as("s"), expr(onCond))
+          .groupBy(col("t.__rid")).count().filter(col("count") > 1).limit(1).count()
+        require(dups == 0, s"MERGE cardinality violation: a row of $tbl matches " +
+          "more than one source row")
+      }
+
+      val matched = col("__src").isNotNull
+      val delCond = matchedDelete
+        .map(c => matched && coalesce(expr(c), lit(false))).getOrElse(lit(false))
+      val setMap = resolveSet(matchedSet, tcols.toSeq, "MERGE")
+      val kept = joined(scoped).filter(!delCond)
+        .select(tcols.map { c =>
+          val base = col(s"t.$c")
+          setMap.get(c) match {
+            case Some(e) => when(matched, expr(e)).otherwise(base).as(c)
+            case None => base.as(c)
+          }
+        }.toSeq: _*)
+      val rewritten = inserts.fold(kept)(kept.unionByName(_))
+      commit(spark, tbl, rewritten, pcols, affected)
+    } finally src.unpersist(blocking = false)
   }
 }

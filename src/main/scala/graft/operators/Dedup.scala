@@ -84,7 +84,11 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
-    val gs = sets.select(col("doc_id"), col("g"))
+    // the verification side needs ONLY the shingle sets: projecting `g` out
+    // of `sets` cannot column-prune inside the typed mapPartitions, so it
+    // would re-run the full minhash+banding lambda (nPerm splitmix rounds
+    // per shingle) once per verify join — recompute just the shingles
+    val gs = shingleSets(docs)
     val verified = cand
       .join(gs.select(col("doc_id").as("d1"), col("g").as("g1")), "d1")
       .join(gs.select(col("doc_id").as("d2"), col("g").as("g2")), "d2")
