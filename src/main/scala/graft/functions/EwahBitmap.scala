@@ -57,27 +57,40 @@ object EwahBitmap {
     out.toArray
   }
 
-  /** Expand back to the uncompressed word array. */
+  private def bad(why: String): Nothing =
+    throw new IllegalArgumentException(s"not an EWAH bitmap: $why")
+
+  /** Expand back to the uncompressed word array. The input is SQL-reachable
+    * (any array<bigint> literal can be passed to the combinators), so every
+    * header field is bounds-checked — malformed input fails with a clean
+    * error instead of an index-out-of-bounds deep in a task. */
   def decompress(c: Array[Long]): Array[Long] = {
+    if (c.isEmpty) bad("empty array (missing word-count header)")
+    if (c(0) < 0 || c(0) > Int.MaxValue) bad(s"word count ${c(0)} out of range")
     val n = c(0).toInt
     val words = new Array[Long](n)
     var i = 1
     var w = 0
     while (i < c.length) {
       val marker = c(i); i += 1
-      val runWord = if ((marker >>> 63) == 1L) -1L else 0L
       val runLen = ((marker >>> 32) & 0x7FFFFFFFL).toInt
+      val runWord = if ((marker >>> 63) == 1L) -1L else 0L
       val nLit = (marker & 0xFFFFFFFFL).toInt
+      if (w + runLen + nLit > n) bad("marker overruns the declared word count")
+      if (i + nLit > c.length) bad("marker claims more literal words than present")
       var k = 0
       while (k < runLen) { words(w) = runWord; w += 1; k += 1 }
       k = 0
       while (k < nLit) { words(w) = c(i); i += 1; w += 1; k += 1 }
     }
+    if (w != n) bad(s"container encodes $w words, header declares $n")
     words
   }
 
-  /** Set-bit count straight off the compressed form. */
+  /** Set-bit count straight off the compressed form (validated the same
+    * way as [[decompress]] — no expansion, but no blind trust either). */
   def cardinality(c: Array[Long]): Long = {
+    if (c.isEmpty) bad("empty array (missing word-count header)")
     var total = 0L
     var i = 1
     while (i < c.length) {
@@ -85,6 +98,7 @@ object EwahBitmap {
       val runLen = (marker >>> 32) & 0x7FFFFFFFL
       if ((marker >>> 63) == 1L) total += runLen * 64L
       val nLit = (marker & 0xFFFFFFFFL).toInt
+      if (i + nLit > c.length) bad("marker claims more literal words than present")
       var k = 0
       while (k < nLit) { total += java.lang.Long.bitCount(c(i)); i += 1; k += 1 }
     }
@@ -113,23 +127,32 @@ object EwahBitmap {
 /** `ewah_bitmap(pos)` — aggregate bit positions (non-negative longs) into a
   * compressed bitmap. The buffer is the uncompressed word array (word-OR
   * merge is associative + commutative, so partial aggregation is exact);
-  * `finish` compresses once per group. */
-class EwahBitmapAgg extends Aggregator[Long, Array[Long], Array[Long]] {
+  * `finish` compresses once per group. Boxed input: NULL positions are
+  * IGNORED, as in the reference (`GenericUDAFEWAHBitmap.iterate` returns on
+  * null) — a primitive-Long encoder would instead decode NULL as 0 and set
+  * a phantom bit. The final slack trim keeps `finish` exact under the
+  * geometric buffer growth. */
+class EwahBitmapAgg extends Aggregator[java.lang.Long, Array[Long], Array[Long]] {
   override def zero: Array[Long] = Array.empty[Long]
 
+  /** Amortized O(1) append: grow geometrically, not to exactly word+1 —
+    * ascending positions would otherwise trigger a full copy every 64th
+    * row with linearly growing size (O(n²) copied words per group). */
   private def ensure(buf: Array[Long], word: Int): Array[Long] =
     if (word < buf.length) buf
     else {
-      val grown = new Array[Long](word + 1)
+      val grown = new Array[Long](math.max(word + 1, buf.length * 2))
       System.arraycopy(buf, 0, grown, 0, buf.length)
       grown
     }
 
-  override def reduce(buf: Array[Long], pos: Long): Array[Long] = {
-    require(pos >= 0, s"ewah_bitmap position must be >= 0, got $pos")
-    val w = (pos >> 6).toInt
+  override def reduce(buf: Array[Long], pos: java.lang.Long): Array[Long] = {
+    if (pos == null) return buf // Hive ignores null positions
+    val p = pos.longValue()
+    require(p >= 0, s"ewah_bitmap position must be >= 0, got $p")
+    val w = (p >> 6).toInt
     val b = ensure(buf, w)
-    b(w) |= 1L << (pos & 63)
+    b(w) |= 1L << (p & 63)
     b
   }
 
@@ -140,7 +163,13 @@ class EwahBitmapAgg extends Aggregator[Long, Array[Long], Array[Long]] {
     big
   }
 
-  override def finish(buf: Array[Long]): Array[Long] = EwahBitmap.compress(buf)
+  override def finish(buf: Array[Long]): Array[Long] = {
+    // trim the geometric-growth slack so the compressed header's word
+    // count reflects the highest set word, not the buffer capacity
+    var top = buf.length
+    while (top > 0 && buf(top - 1) == 0L) top -= 1
+    EwahBitmap.compress(java.util.Arrays.copyOfRange(buf, 0, top))
+  }
 
   override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
@@ -186,9 +215,16 @@ case class EwahBitmapOr(left: Expression, right: Expression) extends EwahBinary 
     copy(left = l, right = r)
 }
 
+private[functions] trait EwahUnary extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<bigint> bitmap, got ${other.sql}")
+  }
+}
+
 /** `ewah_bitmap_empty(b)` (GenericUDFEWAHBitmapEmpty) — true iff no bit set. */
-case class EwahBitmapEmpty(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class EwahBitmapEmpty(child: Expression) extends EwahUnary {
   override def prettyName: String = "ewah_bitmap_empty"
   override def dataType: DataType = BooleanType
   override protected def nullSafeEval(a: Any): Any =
@@ -200,8 +236,7 @@ case class EwahBitmapEmpty(child: Expression)
   * Extension beyond Hive's trio (Hive routes counts through
   * `ewah_bitmap_empty` + lateral tricks); counting is the operation every
   * bitmap consumer actually wants. */
-case class EwahBitmapCount(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class EwahBitmapCount(child: Expression) extends EwahUnary {
   override def prettyName: String = "ewah_bitmap_count"
   override def dataType: DataType = LongType
   override protected def nullSafeEval(a: Any): Any =

@@ -105,6 +105,6 @@ object HiveFunctionPack {
       exprs => EwahBitmapCount(exprs(0)), "hive")
     spark.udf.register("ewah_bitmap",
       org.apache.spark.sql.functions.udaf(new EwahBitmapAgg,
-        org.apache.spark.sql.Encoders.scalaLong))
+        org.apache.spark.sql.Encoders.LONG)) // boxed: NULL positions reach reduce() and are ignored
   }
 }

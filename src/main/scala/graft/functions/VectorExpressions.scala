@@ -19,6 +19,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   *
   * Null semantics: null if either array is null; null array *elements* are
   * treated as 0 (documented deviation — embeddings have no null elements).
+  * A dimension mismatch raises (a silent min-length truncation would turn a
+  * malformed embedding into a plausible-but-wrong score).
   */
 case class DotF32(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -38,7 +40,11 @@ case class DotF32(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"dot_f32: dimension mismatch (${x.numElements()} vs ${y.numElements()}) — " +
+          "a silent min-length truncation would skew every score")
+    val n = x.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -56,7 +62,11 @@ case class DotF32(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |if ($x.numElements() != $y.numElements()) {
+         |  throw new IllegalArgumentException("dot: dimension mismatch (" +
+         |    $x.numElements() + " vs " + $y.numElements() + ")");
+         |}
+         |int $n = $x.numElements();
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  if (!$x.isNullAt($i) && !$y.isNullAt($i)) {
@@ -93,7 +103,11 @@ case class DotI64(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"dot_i64: dimension mismatch (${x.numElements()} vs ${y.numElements()}) — " +
+          "a silent min-length truncation would skew every score")
+    val n = x.numElements()
     var acc = 0L
     var i = 0
     while (i < n) {
@@ -109,7 +123,11 @@ case class DotI64(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |if ($x.numElements() != $y.numElements()) {
+         |  throw new IllegalArgumentException("dot: dimension mismatch (" +
+         |    $x.numElements() + " vs " + $y.numElements() + ")");
+         |}
+         |int $n = $x.numElements();
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
          |  if (!$x.isNullAt($i) && !$y.isNullAt($i)) {

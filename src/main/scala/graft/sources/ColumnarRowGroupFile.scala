@@ -33,116 +33,152 @@ object ColumnarRowGroupFile {
 
   private val Magic = Array[Byte]('G', 'R', 'C', 'F', '1')
 
-  /** Serialize one row group (column-major, length-prefixed). */
+  /** Live byte-accounting counter: the reader is LAZY (one decoded row
+    * group at a time), so touched bytes are known only after consumption. */
+  private[graft] final class Touched { var bytes: Long = 0L }
+
+  /** Serialize one row group (column-major, length-prefixed). A NULL cell
+    * writes length -1 and no value bytes — the RCFile text serde's \N
+    * analog, so NULL survives the round-trip instead of collapsing to "". */
   private[graft] def writeGroup(out: DataOutputStream,
       rows: Seq[Array[String]], nCols: Int): Unit = {
     out.writeInt(rows.length)
     var c = 0
     while (c < nCols) {
-      val cells = rows.map(r => r(c).getBytes("UTF-8"))
+      val cells = rows.map(r => if (r(c) == null) null else r(c).getBytes("UTF-8"))
       // key section for this column: total bytes then per-cell lengths
-      out.writeInt(cells.map(_.length).sum)
-      cells.foreach(b => out.writeInt(b.length))
+      out.writeInt(cells.map(b => if (b == null) 0 else b.length).sum)
+      cells.foreach(b => out.writeInt(if (b == null) -1 else b.length))
       // value section: concatenated cell bytes
-      cells.foreach(out.write)
+      cells.foreach(b => if (b != null) out.write(b))
       c += 1
     }
   }
 
-  /** Parse every row group in `bytes`, materializing ONLY `wanted` column
+  /** Parse the row groups in `bytes` LAZILY — one decoded group in memory
+    * at a time (the documented RCFile bound; an eager whole-file Vector
+    * would peak at ~2x file size) — materializing ONLY `wanted` column
     * indices (others are skipped by their length header — the RCFile lazy
-    * decompression analog). Returns rows of width wanted.length. */
+    * decompression analog). Rows have width wanted.length; `Touched`
+    * accumulates materialized value bytes as groups are consumed. */
   private[graft] def readGroups(bytes: Array[Byte], nCols: Int,
-      wanted: Seq[Int]): (Iterator[Array[String]], Long) = {
+      wanted: Seq[Int]): (Iterator[Array[String]], Touched) = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val magic = new Array[Byte](Magic.length)
     in.readFully(magic)
     require(magic.sameElements(Magic), "not a GRCF1 container")
     val want = wanted.toSet
-    var touched = 0L
-    val out = Vector.newBuilder[Array[String]]
-    while (in.available() > 0) {
-      val nRows = in.readInt()
-      val cols = new Array[Array[String]](nCols)
-      var c = 0
-      while (c < nCols) {
-        val totalBytes = in.readInt()
-        if (want(c)) {
-          val lens = Array.fill(nRows)(in.readInt())
-          val col = new Array[String](nRows)
-          var r = 0
-          while (r < nRows) {
-            val b = new Array[Byte](lens(r))
-            in.readFully(b)
-            col(r) = new String(b, "UTF-8")
-            r += 1
+    val touched = new Touched
+    val groups: Iterator[Iterator[Array[String]]] =
+      new Iterator[Iterator[Array[String]]] {
+        override def hasNext: Boolean = in.available() > 0
+        override def next(): Iterator[Array[String]] = {
+          val nRows = in.readInt()
+          val cols = new Array[Array[String]](nCols)
+          var c = 0
+          while (c < nCols) {
+            val totalBytes = in.readInt()
+            if (want(c)) {
+              val lens = Array.fill(nRows)(in.readInt())
+              val col = new Array[String](nRows)
+              var r = 0
+              while (r < nRows) {
+                if (lens(r) < 0) col(r) = null // -1: NULL cell, no bytes
+                else {
+                  val b = new Array[Byte](lens(r))
+                  in.readFully(b)
+                  col(r) = new String(b, "UTF-8")
+                }
+                r += 1
+              }
+              touched.bytes += totalBytes
+              cols(c) = col
+            } else {
+              // lazy skip: per-cell lengths + the column's value bytes.
+              // skipBytes may under-skip on a truncated container;
+              // unchecked, the next readInt would misparse value bytes as a
+              // row count — fail cleanly instead (materialized columns get
+              // this for free via readFully).
+              val toSkip = 4 * nRows + totalBytes
+              val skipped = in.skipBytes(toSkip)
+              require(skipped == toSkip,
+                s"truncated container: column $c wanted $toSkip skip bytes, got $skipped")
+            }
+            c += 1
           }
-          touched += totalBytes
-          cols(c) = col
-        } else {
-          // lazy skip: per-cell lengths + the column's value bytes. skipBytes
-          // may under-skip on a truncated container; unchecked, the next
-          // readInt would misparse value bytes as a row count — fail cleanly
-          // instead (materialized columns get this for free via readFully).
-          val toSkip = 4 * nRows + totalBytes
-          val skipped = in.skipBytes(toSkip)
-          require(skipped == toSkip,
-            s"truncated container: column $c wanted $toSkip skip bytes, got $skipped")
+          (0 until nRows).iterator.map { r =>
+            val row = new Array[String](wanted.length)
+            var i = 0
+            while (i < wanted.length) { row(i) = cols(wanted(i))(r); i += 1 }
+            row
+          }
         }
-        c += 1
       }
-      var r = 0
-      while (r < nRows) {
-        val row = new Array[String](wanted.length)
-        var i = 0
-        while (i < wanted.length) { row(i) = cols(wanted(i))(r); i += 1 }
-        out += row
-        r += 1
-      }
-    }
-    (out.result().iterator, touched)
+    (groups.flatten, touched)
   }
 
-  /** Write `df` (all columns stringified) as one container file per
-    * partition under `path`. */
+  /** Write `df` (all columns stringified; NULLs preserved) as one container
+    * file per partition under `path`. The target directory is cleared first
+    * (a previous wider write's stale part files would otherwise survive and
+    * be globbed by read); each task stages to an attempt-unique tmp name
+    * and publishes with a rename, so a speculative/retried attempt never
+    * interleaves bytes into the final file — first publisher wins, the
+    * loser's identical tmp is dropped. */
   def write(df: DataFrame, path: String, rowsPerGroup: Int = 4096): Unit = {
     val nCols = df.columns.length
     val strs: RDD[Array[String]] = df
-      .select(df.columns.map(c => coalesce(col(c).cast("string"), lit("")).as(c))
-        .toSeq: _*)
+      .select(df.columns.map(c => col(c).cast("string").as(c)).toSeq: _*)
       .rdd.map(r => Array.tabulate(nCols)(r.getString))
     val conf = new org.apache.spark.util.SerializableConfiguration(
       df.sparkSession.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val rootFs = root.getFileSystem(conf.value)
+    rootFs.delete(root, true)
+    rootFs.mkdirs(root)
     strs.foreachPartition { it =>
       // one container per partition; empty partitions write nothing
       if (it.hasNext) {
-        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val tc = org.apache.spark.TaskContext.get()
+        val pid = tc.partitionId()
         val file = new org.apache.hadoop.fs.Path(s"$path/part-$pid.grcf")
+        val tmp = new org.apache.hadoop.fs.Path(
+          s"$path/.part-$pid-attempt-${tc.taskAttemptId()}.grcf.tmp")
         val fs = file.getFileSystem(conf.value)
         // stream each row group straight to the filesystem: peak task memory
         // is ONE row group (the documented RCFile-writer property), not the
         // whole partition's container
         val out = new DataOutputStream(
-          new java.io.BufferedOutputStream(fs.create(file, true), 1 << 16))
+          new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 16))
         try {
           out.write(Magic)
           it.grouped(rowsPerGroup).foreach(g => writeGroup(out, g, nCols))
           out.flush()
         } finally out.close()
+        if (!fs.rename(tmp, file)) {
+          // another attempt of this partition already published — drop ours
+          fs.delete(tmp, false)
+        }
       }
     }
   }
 
-  /** Read `wanted` columns (by name) back as a string-typed DataFrame. */
+  /** Read `wanted` columns (by name) back as a string-typed DataFrame.
+    * An empty dataset (write produced no part files) reads back empty
+    * instead of failing binaryFiles' zero-match glob. */
   def read(spark: SparkSession, path: String, allCols: Seq[String],
       wanted: Seq[String]): DataFrame = {
     val idx = wanted.map(allCols.indexOf)
     require(idx.forall(_ >= 0), s"unknown columns in $wanted (have $allCols)")
     val nCols = allCols.length
+    val schema = StructType(wanted.map(StructField(_, StringType)))
+    val glob = new org.apache.hadoop.fs.Path(s"$path/part-*.grcf")
+    val fs = glob.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val matches = Option(fs.globStatus(glob)).map(_.length).getOrElse(0)
+    if (matches == 0)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     val rows = spark.sparkContext.binaryFiles(s"$path/part-*.grcf")
       .flatMap { case (_, pds) => readGroups(pds.toArray(), nCols, idx)._1 }
       .map(a => Row.fromSeq(a.toSeq))
-    spark.createDataFrame(rows,
-      StructType(wanted.map(StructField(_, StringType))))
+    spark.createDataFrame(rows, schema)
   }
 }

@@ -59,4 +59,30 @@ object EwahBitmapSpec extends Properties("EwahBitmap") {
       val c = bitmapOf((0L until len).toSet)
       c.length < (len >> 6).toInt + 1 || len < 128
     }
+
+  property("NULL positions are ignored (Hive GenericUDAFEWAHBitmap.iterate)") = {
+    val agg = new graft.functions.EwahBitmapAgg
+    val buf = agg.reduce(agg.reduce(agg.zero, 3L), null)
+    setOf(agg.finish(agg.reduce(buf, 7L))) == Set(3L, 7L)
+  }
+
+  property("malformed compressed input fails cleanly, not with AIOOBE") = {
+    def boom(c: Array[Long]): Boolean =
+      try { EwahBitmap.decompress(c); false }
+      catch { case e: IllegalArgumentException => e.getMessage.contains("EWAH") }
+    boom(Array.empty[Long]) &&
+      boom(Array(0L, 1L)) && // marker claims 1 literal that isn't there
+      boom(Array(-5L)) && // negative word count
+      boom(Array(1L, (2L << 32))) // run overruns declared count
+  }
+
+  property("ascending dense positions stay fast (geometric buffer growth)") = {
+    val agg = new graft.functions.EwahBitmapAgg
+    var buf = agg.zero
+    val t0 = System.nanoTime()
+    var p = 0L
+    while (p < 1000000L) { buf = agg.reduce(buf, p); p += 64L } // one bit/word
+    val dt = (System.nanoTime() - t0) / 1e9
+    EwahBitmap.cardinality(agg.finish(buf)) == 15625L && dt < 5.0
+  }
 }

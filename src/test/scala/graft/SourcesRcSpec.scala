@@ -39,11 +39,15 @@ class SourcesRcSpec extends AnyFunSuite {
 
   test("lazy-column property: pruned read touches only wanted columns' bytes") {
     val bytes = container(Seq(rows), 3)
-    val (_, touchedAll) = ColumnarRowGroupFile.readGroups(bytes, 3, Seq(0, 1, 2))
-    val (_, touchedOne) = ColumnarRowGroupFile.readGroups(bytes, 3, Seq(0))
+    // the reader is lazy (one group at a time): consume before reading the
+    // byte counter
+    val (itAll, tAll) = ColumnarRowGroupFile.readGroups(bytes, 3, Seq(0, 1, 2))
+    itAll.size
+    val (itOne, tOne) = ColumnarRowGroupFile.readGroups(bytes, 3, Seq(0))
+    itOne.size
     val col0Bytes = rows.map(_(0).getBytes("UTF-8").length).sum
-    assert(touchedOne == col0Bytes.toLong, "skipped columns must not be read")
-    assert(touchedAll > touchedOne)
+    assert(tOne.bytes == col0Bytes.toLong, "skipped columns must not be read")
+    assert(tAll.bytes > tOne.bytes)
   }
 
   test("rejects a non-container payload") {
@@ -51,5 +55,13 @@ class SourcesRcSpec extends AnyFunSuite {
       ColumnarRowGroupFile.readGroups("not a container".getBytes, 1, Seq(0))
     }
     assert(e.getMessage.contains("GRCF1"))
+  }
+
+  test("NULL cells survive the round-trip distinct from empty strings") {
+    val data = Seq(Array("1", null, ""), Array("2", "x", null))
+    val bytes = container(Seq(data), 3)
+    val (it, _) = ColumnarRowGroupFile.readGroups(bytes, 3, Seq(0, 1, 2))
+    assert(it.map(_.toSeq).toSeq == data.map(_.toSeq),
+      "NULL must read back as null, '' as empty string")
   }
 }
