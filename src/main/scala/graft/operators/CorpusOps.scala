@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level training-data operations beyond per-document kernels
+  * (SURVEY.md §7 step 9 extensions): benchmark decontamination,
+  * deterministic global shuffle + sharding, stratified train/test splits,
+  * corpus-frequency boilerplate analysis, and per-stratum uniform sampling.
+  *
+  * All randomness is a deterministic keyed hash (md5 of a seed:key string),
+  * so every op is reproducible run-to-run and bit-exact reproducible by the
+  * DuckDB oracle — the property a production pipeline needs anyway (a
+  * re-run after a failed stage must sample the SAME docs).
+  *
+  * Shape at scale (the 100 TB contract):
+  *  - [[decontaminate]] is an equi-join against the benchmark's distinct
+  *    n-gram set keyed on 60-bit hashes; benchmark suites are tiny relative
+  *    to a crawl (≤ millions of n-grams), so the set broadcasts and the
+  *    training side never shuffles. With `broadcastBench=false` it degrades
+  *    to a shuffle join on uniform hash keys — still skew-free.
+  *  - [[shuffleShards]] / [[trainTestSplit]] / [[stratifiedSample]] are one
+  *    narrow map plus (where a position/rank is required) ONE hash-partition
+  *    + within-partition sort — never a global total order.
+  *  - [[boilerplateNgrams]] shuffles on uniform 60-bit n-gram keys (the
+  *    inverted-index shape shared with [[Dedup.ngramJaccardPairs]]); the
+  *    document-frequency side aggregates map-side before the join-back.
+  */
+object CorpusOps {
+
+  /** 60-bit md5-prefix hash of a column — bit-exact with the DuckDB oracle's
+    * `CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)` and with
+    * [[TextFeatures.h60]]. Stays a builtin-function composition so the whole
+    * expression lives inside whole-stage codegen. */
+  private def h60c(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Keyed deterministic unit hash: md5 over "seed:key". */
+  private def keyed(seed: String, key: Column): Column =
+    md5(concat_ws(":", lit(seed), key.cast("string")))
+
+  /** Benchmark decontamination: for each training doc, the number of its
+    * distinct word-3-gram shingles that appear anywhere in the benchmark
+    * corpus, plus the `contaminated` verdict (n_hit >= minHits). Docs with
+    * zero hits are omitted (at crawl scale that is almost every doc — the
+    * output is the suspect list, not the corpus).
+    *
+    * Production pipelines use 8–13-gram overlap (see the WMDP/GPT-3 appendix
+    * methodology); the 3-gram shingle here reuses the corpus's shared
+    * shingle kernel ([[TextFeatures.shingles3]]) — the join shape is
+    * identical at any n.
+    *
+    * Reference frames the need (training-side hygiene for the tables its
+    * queries serve); this op exceeds the reference surface (SURVEY §2 notes
+    * the training-pipeline pack as first-class). */
+  def decontaminate(train: DataFrame, bench: DataFrame, minHits: Int,
+      broadcastBench: Boolean = true): DataFrame = {
+    val trainSh = Dedup.shingleSets(train)
+      .select(col("doc_id"), explode(col("g")).as("s"))
+      .select(col("doc_id"), h60c(col("s")).as("h"))
+    val benchSh0 = Dedup.shingleSets(bench)
+      .select(explode(col("g")).as("s"))
+      .select(h60c(col("s")).as("h")).distinct()
+    val benchSh = if (broadcastBench) broadcast(benchSh0) else benchSh0
+    // per-doc shingle sets are distinct and the bench side is distinct, so
+    // count(*) after the join IS the distinct-overlap count
+    trainSh.join(benchSh, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit"))
+      .withColumn("contaminated", col("n_hit") >= minHits)
+  }
+
+  /** Deterministic global shuffle + sharding: every doc gets a pseudo-random
+    * 128-bit sort key (keyed md5), a shard by 60-bit key prefix mod
+    * `nShards`, and a dense position within its shard. The window is
+    * hash-partitioned by shard and sorted within the partition — there is NO
+    * global total-order sort; at 1000 executors each shard's order resolves
+    * independently. Re-running with the same seed reproduces the exact
+    * order (the resumability contract for a training-data reader). */
+  def shuffleShards(docs: DataFrame, seed: String, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive (got $nShards)")
+    val keyed0 = docs.select(col("doc_id"), keyed(seed, col("doc_id")).as("skey"))
+      .withColumn("shard", (conv(substring(col("skey"), 1, 15), 16, 10)
+        .cast("long") % nShards).cast("int"))
+    keyed0.withColumn("pos",
+        row_number().over(Window.partitionBy("shard").orderBy(col("skey"), col("doc_id"))))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  /** Stratified deterministic train/test split: assignment is a pure
+    * function of (seed, doc_id) — `h60 % 1000 < testPermille` → test — so
+    * the split needs no shuffle at all (narrow map; the strat column rides
+    * along for reporting). Works identically at any scale and never drifts
+    * when the corpus is re-partitioned or appended to: a doc's side depends
+    * only on its id. */
+  def trainTestSplit(docs: DataFrame, stratCol: String, testPermille: Int,
+      seed: String): DataFrame = {
+    require(testPermille >= 0 && testPermille <= 1000,
+      s"testPermille in [0,1000] (got $testPermille)")
+    docs.select(col("doc_id"), col(stratCol),
+      when(conv(substring(keyed(seed, col("doc_id")), 1, 15), 16, 10)
+        .cast("long") % 1000 < testPermille, "test").otherwise("train").as("split"))
+  }
+
+  /** Corpus-frequency boilerplate analysis: document frequency of every
+    * word-3-gram shingle across the corpus, joined back per doc to yield
+    * (n_g distinct shingles, n_boiler shingles with df > maxDf, ratio).
+    * The RefinedWeb/C4-style signal: docs dominated by corpus-frequent
+    * n-grams are templates/boilerplate.
+    *
+    * Inverted-index shape: explode → map-side-combined groupBy on uniform
+    * 60-bit shingle hashes → equi-join back on the same key. No broadcast of
+    * anything corpus-sized, no skew (md5 keys), two shuffles total. */
+  def boilerplateNgrams(docs: DataFrame, maxDf: Long): DataFrame = {
+    val sh = Dedup.shingleSets(docs)
+      .select(col("doc_id"), explode(col("g")).as("s"))
+      .select(col("doc_id"), h60c(col("s")).as("h"))
+    // per-doc sets are distinct → count(*) per h is the document frequency
+    val df = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    sh.join(df, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_g"),
+        sum(when(col("df") > maxDf, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_ratio",
+        round(col("n_boiler").cast("double") / col("n_g"), 6))
+  }
+
+  /** Deterministic per-stratum uniform sample: the `k` docs with the
+    * smallest keyed hash within each `keyCol` value (rank carried as `rk`).
+    * Equivalent to a seeded uniform draw of k per stratum, but reproducible
+    * and oracle-checkable. One hash-partition by stratum + per-partition
+    * sort; a hot stratum sorts within its own partition only (and Spark's
+    * rank-based top-k stays bounded per partition). */
+  def stratifiedSample(docs: DataFrame, keyCol: String, k: Int,
+      seed: String): DataFrame = {
+    require(k > 0, s"k must be positive (got $k)")
+    docs.select(col(keyCol), col("doc_id"),
+        keyed(seed, col("doc_id")).as("skey"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(keyCol).orderBy(col("skey"), col("doc_id"))))
+      .filter(col("rk") <= k)
+      .select(col(keyCol), col("doc_id"), col("rk"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft.queries
+
+import graft.Engine
+import graft.operators.CorpusOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Corpus-level training-data pack (round 7): benchmark decontamination,
+  * deterministic global shuffle + sharding, stratified train/test split,
+  * corpus-frequency boilerplate analysis, per-stratum uniform sampling.
+  *
+  * Oracle strategy: all "randomness" is a keyed md5 (cross-engine
+  * bit-exact), shingle hashing uses the shared 60-bit md5-prefix `h60`, and
+  * ratios divide exact integer counts — so every query hash-matches DuckDB.
+  */
+object Corpus {
+
+  private def docs(s: SparkSession, dir: String) = Engine.table(s, dir, "documents")
+
+  private val sh = s"WITH ${Pipeline.shCteBody}"
+
+  val all: Seq[Qd] = Seq(
+
+    // Benchmark decontamination: train = doc_id % 97 != 0, benchmark = the
+    // rest (a deterministic held-out suite). Overlap = distinct shared
+    // word-3-gram shingles, hashed h60 on BOTH engines (so the join key and
+    // any collision semantics are identical).
+    Qd("q170_decontaminate",
+      s"""$sh,
+        |tr AS (SELECT doc_id, CAST(('0x'||substr(md5(unnest(g)),1,15)) AS BIGINT) AS h
+        |       FROM sh WHERE doc_id % 97 <> 0),
+        |be AS (SELECT DISTINCT CAST(('0x'||substr(md5(unnest(g)),1,15)) AS BIGINT) AS h
+        |       FROM sh WHERE doc_id % 97 = 0)
+        |SELECT tr.doc_id, count(*) AS n_hit, count(*) >= 2 AS contaminated
+        |FROM tr JOIN be USING (h)
+        |GROUP BY tr.doc_id ORDER BY doc_id""") { (s, dir) =>
+      val d = docs(s, dir)
+      CorpusOps.decontaminate(
+        d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0),
+        minHits = 2).orderBy("doc_id")
+    },
+
+    // Deterministic global shuffle into 8 shards: keyed md5 sort key, h60
+    // prefix mod for the shard, per-shard positions. No global sort — the
+    // window hash-partitions by shard and sorts within partitions.
+    Qd("q171_shuffle_shards",
+      """WITH k AS (
+        |  SELECT doc_id, md5('r7:' || CAST(doc_id AS VARCHAR)) AS skey FROM documents),
+        |s AS (SELECT doc_id, skey,
+        |  CAST(CAST(('0x'||substr(skey,1,15)) AS BIGINT) % 8 AS INTEGER) AS shard FROM k)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS INTEGER) AS pos
+        |FROM s ORDER BY shard, pos""") { (s, dir) =>
+      CorpusOps.shuffleShards(docs(s, dir), seed = "r7", nShards = 8)
+        .orderBy("shard", "pos")
+    },
+
+    // Stratified deterministic 10% test split — assignment is a pure
+    // function of (seed, doc_id): no shuffle, append-stable, rerun-stable.
+    Qd("q172_train_test_split",
+      """SELECT doc_id, lang,
+        |  CASE WHEN CAST(('0x'||substr(md5('split7:' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)
+        |            % 1000 < 100
+        |       THEN 'test' ELSE 'train' END AS split
+        |FROM documents ORDER BY doc_id""") { (s, dir) =>
+      CorpusOps.trainTestSplit(docs(s, dir), "lang", testPermille = 100,
+        seed = "split7").orderBy("doc_id")
+    },
+
+    // Corpus-frequency boilerplate ratio per doc (RefinedWeb/C4-style):
+    // document frequency of each shingle, joined back — inverted-index
+    // shape on uniform h60 keys.
+    Qd("q173_boilerplate_ngrams",
+      s"""$sh,
+        |e AS (SELECT doc_id, CAST(('0x'||substr(md5(unnest(g)),1,15)) AS BIGINT) AS h FROM sh),
+        |f AS (SELECT h, count(*) AS df FROM e GROUP BY h)
+        |SELECT e.doc_id, count(*) AS n_g,
+        |  CAST(sum(CASE WHEN f.df > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |  ROUND(CAST(sum(CASE WHEN f.df > 3 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS boiler_ratio
+        |FROM e JOIN f USING (h) GROUP BY e.doc_id ORDER BY doc_id""") { (s, dir) =>
+      CorpusOps.boilerplateNgrams(docs(s, dir), maxDf = 3).orderBy("doc_id")
+    },
+
+    // Deterministic per-stratum uniform sample: 3 docs per source by keyed
+    // hash rank — the reproducible analog of a seeded stratified draw.
+    Qd("q174_stratified_sample",
+      """WITH k AS (
+        |  SELECT source, doc_id, md5('samp7:' || CAST(doc_id AS VARCHAR)) AS skey FROM documents),
+        |r AS (SELECT source, doc_id,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY skey, doc_id) AS INTEGER) AS rk FROM k)
+        |SELECT source, doc_id, rk FROM r WHERE rk <= 3 ORDER BY source, rk""") { (s, dir) =>
+      CorpusOps.stratifiedSample(docs(s, dir), "source", k = 3, seed = "samp7")
+        .orderBy("source", "rk")
+    }
+  )
+}

@@ -27,7 +27,7 @@ object Pipeline {
       col("embedding"), col("label"))
 
   // DuckDB word-3-gram shingle CTE shared by the Jaccard oracles.
-  private val shCteBody =
+  private[queries] val shCteBody =
     """sh AS (
       |  SELECT doc_id, source,
       |    CASE WHEN len(string_split(text,' ')) >= 3

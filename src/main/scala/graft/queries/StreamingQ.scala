@@ -78,6 +78,25 @@ object StreamingQ {
           countDistinct(col("event_id")).as("n_ids"),
           round(sum("value"), 4).as("sv"))
         .orderBy("event_type")
+    },
+
+    // Append-mode windowed aggregation with a REAL watermark-driven emission:
+    // only windows the watermark has passed (end <= max(ts) - 2h) appear,
+    // each exactly once, and their state is evicted — the bounded-state
+    // deployment shape of q70. The oracle applies the same predicate to the
+    // batch answer.
+    Qd("q175_stream_append_window",
+      """WITH w AS (
+        |  SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_start,
+        |    event_type, count(*) AS n, ROUND(sum(value), 4) AS sv
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT epoch(max(ts) - INTERVAL 2 HOUR) AS wm FROM events)
+        |SELECT hour_start, event_type, n, sv FROM w, c
+        |WHERE hour_start + 3600 <= wm
+        |ORDER BY hour_start, event_type""") { (s, dir) =>
+      val sf = new java.io.File(dir).getName
+      StreamOps.appendHourlyCounts(s, dir, s"/root/repo/target/streamdata/$sf")
+        .orderBy("hour_start", "event_type")
     }
   )
 }

@@ -39,12 +39,15 @@ object StreamOps {
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
   }
 
-  /** Run a streaming DataFrame to completion (single Once trigger → one
-    * deterministic batch) into a memory sink and return the result table. */
+  /** Run a streaming DataFrame to completion (default: single Once trigger →
+    * one deterministic batch) into a memory sink and return the result
+    * table. Pass `Trigger.AvailableNow()` to drain a multi-file replay as
+    * multiple micro-batches (watermark advances BETWEEN batches — required
+    * for Append-mode emission). */
   def runToMemory(spark: SparkSession, sdf: DataFrame, name: String,
-      mode: OutputMode): DataFrame = {
+      mode: OutputMode, trigger: Trigger = Trigger.Once()): DataFrame = {
     val q = sdf.writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.Once()).start()
+      .outputMode(mode).trigger(trigger).start()
     q.awaitTermination()
     spark.table(name)
   }
@@ -141,6 +144,54 @@ object StreamOps {
       .select(unix_timestamp(col("window.start")).as("hour_start"),
         col("c_mktsegment"), col("n"), col("sv"))
     runToMemory(spark, agg, "graft_stream_sjoin", OutputMode.Complete())
+  }
+
+  /** Append-mode tumbling-window aggregation with bounded state, END TO END
+    * — the production pairing that the Complete-mode note on
+    * [[hourlyTypeCounts]] points to. In Append mode each window is emitted
+    * exactly once, when the watermark passes its end, and is then EVICTED
+    * from the state store — so on an unbounded feed this query holds at most
+    * ~3 open hour-windows per event type, bounded by delay/window-size, not
+    * by stream length.
+    *
+    * Finite-replay mechanics: the events table is replayed as one file plus
+    * a single-row sentinel file carrying the SAME max event time
+    * (`maxFilesPerTrigger=1` + AvailableNow → two micro-batches). Whichever
+    * file goes first, the second batch starts with watermark = max(ts) -
+    * delay (both files contain max(ts)), and at its end emits + evicts every
+    * window whose end is at or below that watermark — so the emitted set is
+    * order-independent: { window : window_end <= max(ts) - 2h }, exactly
+    * the oracle's predicate. The sentinel needs no filtering: the only
+    * window it touches contains max(ts), whose end is always above the
+    * watermark (the 2 h delay exceeds the 1 h window), so it is
+    * structurally unemittable. (A post-watermark filter would be unsafe
+    * anyway: Catalyst pushes non-event-time predicates below the
+    * EventTimeWatermark node, which would hide the row from the watermark
+    * stats collector.) */
+  def appendHourlyCounts(spark: SparkSession, dir: String,
+      scratch: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val maxTs = ev.agg(max("ts")).head().getLong(0)
+    val replay = s"$scratch/append_replay"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(replay))
+    ev.coalesce(1).write.mode("overwrite").parquet(replay)
+    val sentinel = spark.createDataFrame(
+      java.util.Collections.singletonList(
+        org.apache.spark.sql.Row(-1L, maxTs, -1L, "click", 0.0, "{}")),
+      eventsSchema)
+    sentinel.coalesce(1).write.mode("append").parquet(replay)
+    val agg = spark.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(replay)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sv"))
+      .select(unix_timestamp(col("window.start")).as("hour_start"),
+        col("event_type"), col("n"), col("sv"))
+    runToMemory(spark, agg, "graft_stream_append", OutputMode.Append(),
+      Trigger.AvailableNow())
   }
 
   /** Streaming exact dedup — the stream analog of the batch exact-dedup

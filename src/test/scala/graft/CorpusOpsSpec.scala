@@ -1,0 +1,110 @@
+package graft
+
+import graft.operators.CorpusOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Corpus-op contracts beyond the q170-q174 oracle checks: determinism
+  * (keyed hashes must reproduce bit-exact run-to-run — the resumability
+  * contract), partition/coverage invariants (every doc lands in exactly one
+  * shard/split, positions are dense, samples respect k per stratum), and
+  * hand-computable small-case semantics for the overlap/df counts. */
+class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = Engine.session(cores = 4, appName = "graft-corpus")
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def docsDf(rows: Seq[(Long, String, String)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text", "source")
+  }
+
+  test("decontaminate counts distinct shared 3-gram shingles") {
+    // bench doc: "a b c d" → shingles {a b c, b c d}
+    // t1 shares exactly one ("a b c"), t2 both, t3 none, t4 too short
+    val bench = docsDf(Seq((100L, "a b c d", "bench")))
+    val train = docsDf(Seq(
+      (1L, "x y a b c z", "s"), // "a b c" only
+      (2L, "a b c d e", "s"),   // both bench shingles
+      (3L, "p q r s t", "s"),   // disjoint
+      (4L, "a b", "s")))        // < 3 words → no shingles
+    val out = CorpusOps.decontaminate(train, bench, minHits = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out == Map(1L -> (1L, false), 2L -> (2L, true)))
+  }
+
+  test("decontaminate counts repeated shingles once (distinct sets)") {
+    val bench = docsDf(Seq((100L, "a b c", "bench")))
+    val train = docsDf(Seq((1L, "a b c a b c a b c", "s")))
+    // "a b c" occurs 3 times in the doc but is ONE distinct shingle
+    val row = CorpusOps.decontaminate(train, bench, minHits = 1).collect()
+    assert(row.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 1L)))
+  }
+
+  test("shuffleShards: exactly-once coverage, dense positions, deterministic") {
+    val docs = docsDf((0L until 200L).map(i => (i, s"doc $i text", "s")))
+    val a = CorpusOps.shuffleShards(docs, "seedA", 8).collect()
+    assert(a.length == 200)
+    assert(a.map(_.getLong(0)).toSet == (0L until 200L).toSet)
+    // dense 1..n positions per shard
+    a.groupBy(_.getInt(1)).foreach { case (_, rows) =>
+      val ps = rows.map(_.getInt(2)).sorted
+      assert(ps.toSeq == (1 to rows.length))
+    }
+    // bit-exact rerun with the same seed; different seed permutes
+    val a2 = CorpusOps.shuffleShards(docs, "seedA", 8).collect()
+    assert(a.map(_.toSeq).toSet == a2.map(_.toSeq).toSet)
+    val b = CorpusOps.shuffleShards(docs, "seedB", 8).collect()
+    assert(a.map(_.toSeq).toSet != b.map(_.toSeq).toSet)
+  }
+
+  test("trainTestSplit: pure function of (seed, doc_id), near target rate") {
+    val docs = docsDf((0L until 2000L).map(i => (i, "t", if (i % 2 == 0) "en" else "de")))
+    val out = CorpusOps.trainTestSplit(docs, "source", testPermille = 250, seed = "s7")
+    val rows = out.collect()
+    assert(rows.length == 2000)
+    val testN = rows.count(_.getString(2) == "test")
+    // keyed-md5 buckets are uniform: 250‰ of 2000 = 500 expected, ±20%
+    assert(testN > 400 && testN < 600, s"test fraction off: $testN/2000")
+    // assignment independent of the strat column and of corpus membership:
+    // a doc keeps its side in a 10-doc subset
+    val sub = CorpusOps.trainTestSplit(docs.limit(10), "source", 250, "s7")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val full = rows.map(r => r.getLong(0) -> r.getString(2)).toMap
+    sub.foreach { case (id, side) => assert(full(id) == side) }
+  }
+
+  test("boilerplateNgrams: df counts by hand on a 3-doc corpus") {
+    // shingle "a b c" appears in all 3 docs (df=3); each doc's second
+    // shingle is unique (df=1)
+    val docs = docsDf(Seq(
+      (1L, "a b c x", "s"),  // {a b c, b c x}
+      (2L, "a b c y", "s"),  // {a b c, b c y}
+      (3L, "a b c z", "s"))) // {a b c, b c z}
+    val out = CorpusOps.boilerplateNgrams(docs, maxDf = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out == Map(
+      1L -> (2L, 1L, 0.5), 2L -> (2L, 1L, 0.5), 3L -> (2L, 1L, 0.5)))
+  }
+
+  test("stratifiedSample: k per stratum, deterministic, subset of stratum") {
+    val docs = docsDf((0L until 300L).map(i => (i, "t", s"src${i % 5}")))
+    val out = CorpusOps.stratifiedSample(docs, "source", k = 4, seed = "x").collect()
+    assert(out.length == 20) // 5 strata × 4
+    out.groupBy(_.getString(0)).foreach { case (src, rows) =>
+      assert(rows.map(_.getInt(2)).sorted.toSeq == (1 to 4))
+      // sampled ids actually belong to the stratum
+      rows.foreach(r => assert(s"src${r.getLong(1) % 5}" == src))
+    }
+    val again = CorpusOps.stratifiedSample(docs, "source", k = 4, seed = "x").collect()
+    assert(out.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+    // a stratum smaller than k yields its full membership
+    val tiny = docsDf(Seq((1L, "t", "only"), (2L, "t", "only")))
+    assert(CorpusOps.stratifiedSample(tiny, "source", k = 5, seed = "x")
+      .count() == 2)
+  }
+}

@@ -107,6 +107,28 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "LSH near-dup candidates must equi-join on (blk, t, sig)")
   }
 
+  test("q170 decontamination broadcasts the benchmark n-gram set") {
+    val s = finalPlan("q170_decontaminate")
+    assert(s.contains("BroadcastHashJoin"),
+      "benchmark shingle set must broadcast (training side must not shuffle)")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      "decontamination must stay an equi-join on the 60-bit shingle hash")
+  }
+
+  test("q173 boilerplate df join-back is an equi-join (no cartesian/BNLJ)") {
+    val s = finalPlan("q173_boilerplate_ngrams")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      "df join-back must equi-join on the shingle hash")
+  }
+
+  test("q172 split assignment plans with no shuffle at all") {
+    val s = finalPlan("q172_train_test_split")
+    val body = s.linesIterator.filterNot(_.contains("Exchange rangepartitioning"))
+      .mkString("\n") // the final ORDER BY is presentation, not the operator
+    assert(!body.contains("Exchange hashpartitioning"),
+      "hash-split assignment is a narrow map; it must not shuffle")
+  }
+
   test("q155 UNIQUEJOIN chain is equi-joins only (no cartesian/BNLJ)") {
     val s = finalPlan("q155_uniquejoin_preserve")
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),

@@ -1,0 +1,57 @@
+package graft
+
+import graft.streaming.StreamOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Append-mode emission contract for q175 beyond the oracle check: the
+  * emitted set must be exactly the batch windows the final watermark has
+  * passed (end <= max(ts) - delay), recent windows must be withheld (the
+  * behavior that distinguishes Append from Complete), and the replay must
+  * be deterministic across reruns. */
+class StreamAppendSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = Engine.session(cores = 4, appName = "graft-sapp")
+  private val dir = "/root/testdata/sf0.001"
+  private val scratch = "/root/repo/target/streamdata/spec"
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def batchWindows() = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val all = ev
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sv"))
+      .select(unix_timestamp(col("window.start")).as("hour_start"),
+        col("event_type"), col("n"), col("sv"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    (all, maxTs.getTime / 1000L) // epoch seconds (ms-truncated like Spark's wm)
+  }
+
+  test("append emits exactly the watermark-passed windows, withholds the rest") {
+    val streamed = StreamOps.appendHourlyCounts(spark, dir, scratch)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val (all, maxSec) = batchWindows()
+    val wmSec = maxSec - 7200L
+    val expected = all.filter { case (hs, _, _, _) => hs + 3600L <= wmSec }
+    assert(streamed.toSet == expected.toSet,
+      s"emitted ${streamed.length} windows, expected ${expected.length}")
+    // the distinguishing Append behavior: open windows near max(ts) withheld
+    val withheld = all.filterNot { case (hs, _, _, _) => hs + 3600L <= wmSec }
+    assert(withheld.nonEmpty, "test data left no window open — delay too small")
+    assert(streamed.nonEmpty, "no window emitted — watermark never advanced")
+  }
+
+  test("replay is deterministic across reruns") {
+    val a = StreamOps.appendHourlyCounts(spark, dir, scratch)
+      .collect().map(_.toSeq).toSet
+    val b = StreamOps.appendHourlyCounts(spark, dir, scratch)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+}
