@@ -59,8 +59,9 @@ object StreamOps {
     * and in Complete mode the watermark does NOT evict window state (Spark
     * retains everything it must re-emit). The unbounded-feed deployment of
     * this exact query is Append mode, where the 2-hour watermark closes and
-    * evicts each window — that pairing, not this harness shape, is the
-    * bounded-state claim. */
+    * evicts each window — that pairing IS implemented and oracle-checked as
+    * [[appendHourlyCounts]] (q175); this Complete-mode shape exists so the
+    * finite replay yields the full window table. */
   def hourlyTypeCounts(spark: SparkSession, dir: String): DataFrame = {
     val agg = eventStream(spark, dir)
       .withWatermark("ts", "2 hours")
@@ -205,7 +206,7 @@ object StreamOps {
     * watermark — that state is one row per `event_type` (constant, a handful
     * of keys), so it is bounded by key cardinality, not by the watermark; an
     * unbounded-key aggregate would instead pair a windowed group with
-    * Append mode (see the mode note on [[hourlyTypeCounts]]). */
+    * Append mode, as [[appendHourlyCounts]] (q175) does. */
   def dedupTypeCounts(spark: SparkSession, dir: String): DataFrame = {
     val replay = eventStream(spark, dir)
     val atLeastOnce = replay.union(eventStream(spark, dir))
