@@ -29,16 +29,23 @@ import org.apache.spark.sql.functions._
   */
 object CorpusOps {
 
-  /** 60-bit md5-prefix hash of a column — bit-exact with the DuckDB oracle's
-    * `CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)` and with
-    * [[TextFeatures.h60]]. Stays a builtin-function composition so the whole
-    * expression lives inside whole-stage codegen. */
-  private def h60c(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  /** First 60 bits of an md5-hex column as a non-negative long — bit-exact
+    * with the DuckDB oracle's `CAST(('0x' || substr(hex, 1, 15)) AS BIGINT)`.
+    * The ONE copy of the bit-exactness-critical conversion; every shard/
+    * bucket/join key below derives from it. Stays a builtin-function
+    * composition so the whole expression lives inside whole-stage codegen. */
+  private def h60hex(hexCol: Column): Column =
+    conv(substring(hexCol, 1, 15), 16, 10).cast("long")
 
-  /** Keyed deterministic unit hash: md5 over "seed:key". */
+  /** 60-bit md5-prefix hash of a value column (≡ [[TextFeatures.h60]]). */
+  private def h60c(c: Column): Column = h60hex(md5(c))
+
+  /** Keyed deterministic unit hash: md5 over "seed:key". `concat` (not
+    * concat_ws) so a NULL key propagates to a NULL hash, matching the
+    * oracle's `||` semantics — corpora with NULL ids must assign ids first,
+    * not silently share one key. */
   private def keyed(seed: String, key: Column): Column =
-    md5(concat_ws(":", lit(seed), key.cast("string")))
+    md5(concat(lit(seed), lit(":"), key.cast("string")))
 
   /** Benchmark decontamination: for each training doc, the number of its
     * distinct word-3-gram shingles that appear anywhere in the benchmark
@@ -81,8 +88,7 @@ object CorpusOps {
   def shuffleShards(docs: DataFrame, seed: String, nShards: Int): DataFrame = {
     require(nShards > 0, s"nShards must be positive (got $nShards)")
     val keyed0 = docs.select(col("doc_id"), keyed(seed, col("doc_id")).as("skey"))
-      .withColumn("shard", (conv(substring(col("skey"), 1, 15), 16, 10)
-        .cast("long") % nShards).cast("int"))
+      .withColumn("shard", (h60hex(col("skey")) % nShards).cast("int"))
     keyed0.withColumn("pos",
         row_number().over(Window.partitionBy("shard").orderBy(col("skey"), col("doc_id"))))
       .select(col("doc_id"), col("shard"), col("pos"))
@@ -99,8 +105,8 @@ object CorpusOps {
     require(testPermille >= 0 && testPermille <= 1000,
       s"testPermille in [0,1000] (got $testPermille)")
     docs.select(col("doc_id"), col(stratCol),
-      when(conv(substring(keyed(seed, col("doc_id")), 1, 15), 16, 10)
-        .cast("long") % 1000 < testPermille, "test").otherwise("train").as("split"))
+      when(h60hex(keyed(seed, col("doc_id"))) % 1000 < testPermille, "test")
+        .otherwise("train").as("split"))
   }
 
   /** Corpus-frequency boilerplate analysis: document frequency of every
@@ -109,16 +115,20 @@ object CorpusOps {
     * The RefinedWeb/C4-style signal: docs dominated by corpus-frequent
     * n-grams are templates/boilerplate.
     *
-    * Inverted-index shape: explode → map-side-combined groupBy on uniform
-    * 60-bit shingle hashes → equi-join back on the same key. No broadcast of
-    * anything corpus-sized, no skew (md5 keys), two shuffles total. */
+    * Inverted-index shape, computed in ONE shingle pass: a count window
+    * partitioned by the 60-bit shingle hash attaches each shingle's
+    * document frequency in place (one shuffle on uniform md5 keys — no
+    * skew), then a groupBy doc_id aggregates (second shuffle). A self-join
+    * formulation (df aggregate joined back) would shingle and hash the
+    * corpus TWICE — the partial aggregate below its Exchange defeats
+    * ReuseExchange — which at corpus scale doubles the dominant CPU cost. */
   def boilerplateNgrams(docs: DataFrame, maxDf: Long): DataFrame = {
     val sh = Dedup.shingleSets(docs)
       .select(col("doc_id"), explode(col("g")).as("s"))
       .select(col("doc_id"), h60c(col("s")).as("h"))
-    // per-doc sets are distinct → count(*) per h is the document frequency
-    val df = sh.groupBy("h").agg(count(lit(1)).as("df"))
-    sh.join(df, "h")
+    // per-doc sets are distinct → the partition row count IS the document
+    // frequency
+    sh.withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_g"),
         sum(when(col("df") > maxDf, 1L).otherwise(0L)).as("n_boiler"))

@@ -1,6 +1,5 @@
 package graft.queries
 
-import graft.Engine
 import graft.operators.CorpusOps
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -15,9 +14,11 @@ import org.apache.spark.sql.functions._
   */
 object Corpus {
 
-  private def docs(s: SparkSession, dir: String) = Engine.table(s, dir, "documents")
+  // one source of truth with the Pipeline pack for both the table loader
+  // and the oracle shingle CTE
+  private def docs(s: SparkSession, dir: String) = Pipeline.docs(s, dir)
 
-  private val sh = s"WITH ${Pipeline.shCteBody}"
+  private val sh = Pipeline.shCte
 
   val all: Seq[Qd] = Seq(
 

@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
-  private def docs(s: SparkSession, dir: String) = Engine.table(s, dir, "documents")
+  private[queries] def docs(s: SparkSession, dir: String) = Engine.table(s, dir, "documents")
   private def emb(s: SparkSession, dir: String) =
     Engine.table(s, dir, "embeddings").select(col("vec_id").as("id"),
       col("embedding"), col("label"))
@@ -36,7 +36,7 @@ object Pipeline {
       |      ELSE [] END AS g
       |  FROM documents)""".stripMargin
 
-  private val shCte = s"WITH $shCteBody"
+  private[queries] val shCte = s"WITH $shCteBody"
 
   // DuckDB int64-quantized embedding CTE shared by the cosine oracles.
   private def qCte(name: String, pred: String) =

@@ -157,16 +157,21 @@ object StreamOps {
     *
     * Finite-replay mechanics: the events table is replayed as one file plus
     * a single-row sentinel file carrying the SAME max event time
-    * (`maxFilesPerTrigger=1` + AvailableNow → two micro-batches). Whichever
-    * file goes first, the second batch starts with watermark = max(ts) -
-    * delay (both files contain max(ts)), and at its end emits + evicts every
-    * window whose end is at or below that watermark — so the emitted set is
-    * order-independent: { window : window_end <= max(ts) - 2h }, exactly
-    * the oracle's predicate. The sentinel needs no filtering: the only
-    * window it touches contains max(ts), whose end is always above the
-    * watermark (the 2 h delay exceeds the 1 h window), so it is
-    * structurally unemittable. (A post-watermark filter would be unsafe
-    * anyway: Catalyst pushes non-event-time predicates below the
+    * (`maxFilesPerTrigger=1` + AvailableNow → two micro-batches). The DATA
+    * file MUST be batch 1: Append mode drops input rows at or below the
+    * watermark as late before they reach the aggregation, so a
+    * sentinel-first order would advance the watermark to max(ts) - delay
+    * and then discard every emittable event as late — emitting nothing.
+    * The file source schedules oldest-modification-time first, and that
+    * ordering is ENFORCED here by setting the sentinel file's mtime
+    * strictly (60 s) after the data file's, never left to write-timing
+    * accident. Batch 2 (the sentinel) then emits + evicts every window
+    * whose end the batch-1 watermark passed: { window : window_end <=
+    * max(ts) - 2h }, exactly the oracle's predicate. The sentinel needs no
+    * filtering: the only window it touches contains max(ts), whose end is
+    * always above the watermark (the 2 h delay exceeds the 1 h window), so
+    * it is structurally unemittable. (A post-watermark filter would be
+    * unsafe anyway: Catalyst pushes non-event-time predicates below the
     * EventTimeWatermark node, which would hide the row from the watermark
     * stats collector.) */
   def appendHourlyCounts(spark: SparkSession, dir: String,
@@ -174,7 +179,9 @@ object StreamOps {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-    val maxTs = ev.agg(max("ts")).head().getLong(0)
+    val maxTsRow = ev.agg(max("ts")).head()
+    require(!maxTsRow.isNullAt(0), s"no events found under $dir — nothing to replay")
+    val maxTs = maxTsRow.getLong(0)
     val replay = s"$scratch/append_replay"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(replay))
     ev.coalesce(1).write.mode("overwrite").parquet(replay)
@@ -183,6 +190,17 @@ object StreamOps {
         org.apache.spark.sql.Row(-1L, maxTs, -1L, "click", 0.0, "{}")),
       eventsSchema)
     sentinel.coalesce(1).write.mode("append").parquet(replay)
+    // pin micro-batch order: data first, sentinel second. The source orders
+    // by mtime; a same-millisecond tie would fall back to path order over
+    // random part-file UUIDs — flaky, and sentinel-first empties the result
+    // (see scaladoc). 60 s is far above any filesystem timestamp granularity.
+    val dirF = new java.io.File(replay)
+    val parts = dirF.listFiles().filter(f => f.getName.endsWith(".parquet"))
+    require(parts.length == 2, s"expected 2 replay files, got ${parts.length}")
+    val dataF = parts.maxBy(_.length) // events file ≫ 1-row sentinel
+    val sentF = parts.minBy(_.length)
+    require(sentF.setLastModified(dataF.lastModified() + 60000L),
+      s"could not pin sentinel mtime on $sentF")
     val agg = spark.readStream.schema(eventsSchema)
       .option("maxFilesPerTrigger", "1").parquet(replay)
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))

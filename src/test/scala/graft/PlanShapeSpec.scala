@@ -115,10 +115,12 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "decontamination must stay an equi-join on the 60-bit shingle hash")
   }
 
-  test("q173 boilerplate df join-back is an equi-join (no cartesian/BNLJ)") {
+  test("q173 boilerplate df attaches via a window — one shingle pass, no join") {
     val s = finalPlan("q173_boilerplate_ngrams")
-    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
-      "df join-back must equi-join on the shingle hash")
+    assert(s.contains("Window"), "df must attach via a count window over h")
+    assert(!s.contains("Join"),
+      "a df join-back would shingle+hash the corpus twice (partial agg below " +
+        "its Exchange defeats ReuseExchange)")
   }
 
   test("q172 split assignment plans with no shuffle at all") {
