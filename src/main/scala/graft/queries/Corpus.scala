@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.CorpusOps
+import graft.operators.{CorpusOps, Dedup}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -92,6 +92,41 @@ object Corpus {
         |SELECT source, doc_id, rk FROM r WHERE rk <= 3 ORDER BY source, rk""") { (s, dir) =>
       CorpusOps.stratifiedSample(docs(s, dir), "source", k = 3, seed = "samp7")
         .orderBy("source", "rk")
+    },
+
+    // Capstone composition — the hygiene pipeline a real corpus runs end to
+    // end: exact-dedup to canonicals, drop benchmark-contaminated docs, gate
+    // on a scale-stable quality bound (length), report per language. All
+    // set operations are semi/anti equi-joins on uniform doc_id keys (the
+    // drop-lists are tiny relative to the corpus → broadcast at scale);
+    // nothing here re-shuffles the corpus more than once.
+    Qd("q176_clean_corpus",
+      s"""$sh,
+        |tr AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+        |canon AS (SELECT min(doc_id) AS doc_id FROM tr GROUP BY md5(text)),
+        |trh AS (SELECT doc_id, CAST(('0x'||substr(md5(unnest(g)),1,15)) AS BIGINT) AS h
+        |        FROM sh WHERE doc_id % 97 <> 0),
+        |be AS (SELECT DISTINCT CAST(('0x'||substr(md5(unnest(g)),1,15)) AS BIGINT) AS h
+        |       FROM sh WHERE doc_id % 97 = 0),
+        |cont AS (SELECT trh.doc_id FROM trh JOIN be USING (h)
+        |         GROUP BY trh.doc_id HAVING count(*) >= 2)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM tr JOIN canon USING (doc_id)
+        |WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+        |  AND n_chars BETWEEN 100 AND 400
+        |GROUP BY lang ORDER BY lang""") { (s, dir) =>
+      val d = docs(s, dir)
+      val tr = d.filter(col("doc_id") % 97 =!= 0)
+      val bench = d.filter(col("doc_id") % 97 === 0)
+      val canon = Dedup.exactGroups(tr).select(col("canonical_id").as("doc_id"))
+      val cont = CorpusOps.decontaminate(tr, bench, minHits = 2)
+        .filter(col("contaminated")).select("doc_id")
+      tr.join(canon, Seq("doc_id"), "left_semi")
+        .join(cont, Seq("doc_id"), "left_anti")
+        .filter(col("n_chars").between(100, 400))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .orderBy("lang")
     }
   )
 }

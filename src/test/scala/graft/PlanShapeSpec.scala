@@ -131,6 +131,14 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "hash-split assignment is a narrow map; it must not shuffle")
   }
 
+  test("q176 clean-corpus composition is semi/anti equi-joins only") {
+    val s = finalPlan("q176_clean_corpus")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      "drop-list application must stay semi/anti equi-joins on doc_id")
+    assert(s.contains("LeftSemi") && s.contains("LeftAnti"),
+      "expected a semi join (canonicals) and an anti join (drop lists)")
+  }
+
   test("q155 UNIQUEJOIN chain is equi-joins only (no cartesian/BNLJ)") {
     val s = finalPlan("q155_uniquejoin_preserve")
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
