@@ -136,6 +136,26 @@ object CorpusOps {
         round(col("n_boiler").cast("double") / col("n_g"), 6))
   }
 
+  /** Deterministic weighted domain mixing: keep each doc with probability
+    * `weights(keyCol)` (else `defaultWeight`) via the keyed-hash threshold —
+    * the Bernoulli thinning step of a mixture schedule (down-weighting
+    * over-represented domains before training). Zero shuffle: a narrow
+    * filter whose verdict is a pure function of (seed, doc_id, key), so the
+    * mix is append-stable and rerun-stable like [[trainTestSplit]].
+    * Thresholds are integerized to parts-per-million in Scala so the engine
+    * and the oracle compare against the SAME integer literal — no float
+    * boundary can disagree. */
+  def weightedMix(docs: DataFrame, keyCol: String, weights: Map[String, Double],
+      defaultWeight: Double, seed: String): DataFrame = {
+    (weights.values.toSeq :+ defaultWeight).foreach(w =>
+      require(w >= 0.0 && w <= 1.0, s"weights must be in [0,1] (got $w)"))
+    val thCol = weights.foldLeft(lit(math.round(defaultWeight * 1000000)): Column) {
+      case (acc, (k, w)) => when(col(keyCol) === k, lit(math.round(w * 1000000)))
+        .otherwise(acc)
+    }
+    docs.filter(h60hex(keyed(seed, col("doc_id"))) % 1000000 < thCol)
+  }
+
   /** Deterministic per-stratum uniform sample: the `k` docs with the
     * smallest keyed hash within each `keyCol` value (rank carried as `rk`).
     * Equivalent to a seeded uniform draw of k per stratum, but reproducible

@@ -94,6 +94,21 @@ object Corpus {
         .orderBy("source", "rk")
     },
 
+    // Weighted domain mixing: down-weight src0 to 10%, up-keep src1 at 90%,
+    // everything else 50% — deterministic Bernoulli thinning by keyed hash,
+    // zero-shuffle (same purity contract as the split).
+    Qd("q177_domain_mix",
+      """SELECT doc_id, source FROM documents
+        |WHERE CAST(('0x'||substr(md5('mix7:' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)
+        |      % 1000000
+        |  < CASE source WHEN 'src0' THEN 100000 WHEN 'src1' THEN 900000
+        |                ELSE 500000 END
+        |ORDER BY doc_id""") { (s, dir) =>
+      CorpusOps.weightedMix(docs(s, dir), "source",
+          Map("src0" -> 0.1, "src1" -> 0.9), defaultWeight = 0.5, seed = "mix7")
+        .select(col("doc_id"), col("source")).orderBy("doc_id")
+    },
+
     // Capstone composition — the hygiene pipeline a real corpus runs end to
     // end: exact-dedup to canonicals, drop benchmark-contaminated docs, gate
     // on a scale-stable quality bound (length), report per language. All

@@ -78,6 +78,31 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     sub.foreach { case (id, side) => assert(full(id) == side) }
   }
 
+  test("decontaminate: empty or shingle-free benchmark yields no hits") {
+    val train = docsDf(Seq((1L, "a b c d", "s")))
+    val emptyBench = docsDf(Seq.empty)
+    assert(CorpusOps.decontaminate(train, emptyBench, 1).count() == 0)
+    val shortBench = docsDf(Seq((9L, "a b", "bench"))) // < 3 words
+    assert(CorpusOps.decontaminate(train, shortBench, 1).count() == 0)
+  }
+
+  test("weightedMix: rates track weights, deterministic, 0/1 boundaries") {
+    val docs = docsDf((0L until 3000L).map(i => (i, "t", s"src${i % 3}")))
+    val kept = CorpusOps.weightedMix(docs, "source",
+      Map("src0" -> 0.0, "src1" -> 1.0), defaultWeight = 0.5, seed = "m")
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(!bySrc.contains("src0"), "weight 0 must drop everything")
+    assert(bySrc("src1") == 1000, "weight 1 must keep everything")
+    val n2 = bySrc.getOrElse("src2", 0)
+    assert(n2 > 400 && n2 < 600, s"default 0.5 of 1000 expected ~500, got $n2")
+    // purity: membership of a doc is independent of the rest of the corpus
+    val sub = CorpusOps.weightedMix(docs.filter(col("doc_id") < 30), "source",
+      Map("src0" -> 0.0, "src1" -> 1.0), 0.5, "m")
+      .collect().map(_.getLong(0)).toSet
+    assert(sub == kept.map(_._1).filter(_ < 30).toSet)
+  }
+
   test("boilerplateNgrams: df counts by hand on a 3-doc corpus") {
     // shingle "a b c" appears in all 3 docs (df=3); each doc's second
     // shingle is unique (df=1)
