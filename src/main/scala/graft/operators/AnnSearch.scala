@@ -191,7 +191,7 @@ object AnnSearch {
 
   /** Shared exact-rescore + rank tail: partition-local bounded heaps, then
     * the global rank over the O(partitions×|queries|×k) survivors. */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+  private[operators] def rankTopK(scored: DataFrame, k: Int): DataFrame =
     partitionTopK(scored, k)
       .withColumn("rk", row_number().over(
         Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))))

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Engine
-import graft.operators.{AnnSearch, Dedup, TextAnalysis}
+import graft.operators.{AnnSearch, Dedup, Int8Quantize, TextAnalysis}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -44,6 +44,23 @@ object Pipeline {
        |  SELECT vec_id, label,
        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS qe
        |  FROM embeddings $pred)""".stripMargin
+
+  // DuckDB int8 symmetric max-abs quantization CTE (q178/q179): scale is one
+  // exact IEEE division on exact float→double values; codes use round()
+  // (HALF_UP on the exact quotient — same result as Spark's SQL ROUND on
+  // every representable double), so both engines produce identical codes.
+  private val i8Cte =
+    """i8 AS (
+      |  SELECT vec_id,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))/127.0 AS scale,
+      |    embedding
+      |  FROM embeddings),
+      |cq AS (
+      |  SELECT vec_id, scale,
+      |    CASE WHEN scale = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+      |         ELSE list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)/scale) AS BIGINT))
+      |    END AS c
+      |  FROM i8)""".stripMargin
 
   val all: Seq[Qd] = Seq(
 
@@ -372,6 +389,44 @@ object Pipeline {
           col("tf").cast("bigint").as("tf"), col("df").cast("bigint").as("df"),
           round(col("score"), 6).as("tfidf"))
         .orderBy("doc_id", "term")
+    },
+
+    // Int8 embedding quantization (storage compression — Int8Quantize
+    // scaladoc). The oracle recomputes scale + codes independently and
+    // checks integer checksums of the code vector, so a single off-by-one
+    // code anywhere in the corpus flips the hash.
+    Qd("q178_embedding_int8",
+      s"""WITH $i8Cte
+        |SELECT vec_id, ROUND(scale, 6) AS scale,
+        |  CAST(len(c) + 8 AS BIGINT) AS n_bytes,
+        |  CAST(list_sum(c) AS BIGINT) AS code_sum,
+        |  CAST(list_sum(list_transform(c, x -> x*x)) AS BIGINT) AS code_norm2,
+        |  CAST(list_max(list_transform(c, x -> abs(x))) AS BIGINT) AS code_max
+        |FROM cq ORDER BY vec_id""") { (s, dir) =>
+      Int8Quantize.stats(emb(s, dir)).orderBy("vec_id")
+    },
+
+    // Top-k search under the int8 metric — scales cancel in cosine, so the
+    // whole search is integer dots over 1-byte codes (DotI8). Exact within
+    // the quantized metric ⇒ fully oracle-checkable; recall vs the float
+    // metric is asserted in QuantizeSpec.
+    Qd("q179_ann_int8",
+      s"""WITH $i8Cte,
+        |n AS (SELECT vec_id, c,
+        |  CAST(list_sum(list_transform(c, x -> x*x)) AS BIGINT) AS n2 FROM cq),
+        |q AS (SELECT * FROM n WHERE vec_id < 50),
+        |sc AS (SELECT q.vec_id AS qid, n.vec_id AS cid,
+        |  CAST(CAST(list_sum(list_transform(range(1, len(q.c)+1), i -> q.c[i]*n.c[i])) AS BIGINT) AS DOUBLE)
+        |    / sqrt(CAST(q.n2 AS DOUBLE) * CAST(n.n2 AS DOUBLE)) AS cos
+        |  FROM q, n WHERE q.vec_id <> n.vec_id),
+        |rk AS (SELECT qid, cid, cos,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM sc)
+        |SELECT qid, cid, rk, ROUND(cos, 6) AS cos
+        |FROM rk WHERE rk <= 10 ORDER BY qid, rk""") { (s, dir) =>
+      val e = emb(s, dir)
+      Int8Quantize.int8TopK(e.filter(col("id") < 50), e, 10)
+        .select(col("qid"), col("cid"), col("rk").cast("bigint").as("rk"), col("cos"))
+        .orderBy("qid", "rk")
     }
   )
 }
