@@ -172,4 +172,53 @@ object CorpusOps {
       .filter(col("rk") <= k)
       .select(col(keyCol), col("doc_id"), col("rk"))
   }
+
+  /** Greedy sequence packing: assign docs to fixed-capacity token bins
+    * (training context windows) by the first-fit-in-order rule — walk each
+    * shard in its deterministic [[shuffleShards]] order and start a new bin
+    * whenever the next doc would overflow `capacity`. A doc longer than
+    * `capacity` gets a bin to itself (pre-chunk long docs with
+    * [[TextAnalysis.chunkWindows]] if that matters). The classic pretraining
+    * example-packing step, made reproducible: bin membership is a pure
+    * function of (seed, corpus), so a resumed packing job rebuilds identical
+    * bins.
+    *
+    * Scale shape: token counts come from a codegen'd `size(split(..))` (no
+    * kernel pass), sharding is the keyed-hash map, and the only shuffle is
+    * ONE hash repartition by shard + within-partition sort — the sequential
+    * fold then runs per shard with O(1) state (current bin + fill). There is
+    * no global order and no driver state; parallelism = `nShards`, which at
+    * crawl scale is set to O(10⁴–10⁵) so each shard's chain stays short.
+    * The fold itself must be sequential per shard — that is the operator's
+    * semantics (each bin depends on every earlier doc in the shard), not an
+    * implementation shortcut. */
+  def packGreedy(docs: DataFrame, seed: String, nShards: Int,
+      capacity: Long): DataFrame = {
+    require(nShards > 0, s"nShards must be positive (got $nShards)")
+    require(capacity > 0, s"capacity must be positive (got $capacity)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keyed0 = docs.select(col("doc_id"),
+        keyed(seed, col("doc_id")).as("skey"),
+        size(split(col("text"), " ", -1)).cast("long").as("ntok"))
+      .withColumn("shard", (h60hex(col("skey")) % nShards).cast("int"))
+    keyed0.repartition(col("shard"))
+      .sortWithinPartitions("shard", "skey", "doc_id")
+      .select(col("doc_id"), col("shard"), col("ntok"))
+      .as[(Long, Int, Long)]
+      .mapPartitions { it =>
+        // shards are hashed into partitions (several shards may share one);
+        // the sort is (shard, skey, doc_id), so state resets on shard change
+        var curShard = Int.MinValue
+        var bin = 0L
+        var fill = 0L
+        it.map { case (docId, shard, ntok) =>
+          if (shard != curShard) { curShard = shard; bin = 0L; fill = 0L }
+          if (fill > 0L && fill + ntok > capacity) { bin += 1L; fill = ntok }
+          else fill += ntok
+          (docId, shard, bin, ntok)
+        }
+      }
+      .toDF("doc_id", "shard", "bin", "n_tok")
+  }
 }

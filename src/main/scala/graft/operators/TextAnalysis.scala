@@ -91,4 +91,105 @@ object TextAnalysis {
       })
       .toDF("doc_id", "n_fp", "fp_min", "fp_max")
   }
+
+  /** Gopher-style repetition signals (the "Repetitious text" filters of the
+    * Gopher/MassiveText quality rules, re-expressed on word streams): the
+    * fraction of word occurrences that are repeats, the share of 2-gram
+    * slots held by the single most frequent 2-gram, and the fraction of
+    * 3-gram slots that duplicate an earlier 3-gram. All counts are exact
+    * integers and ratios divide them, so the DuckDB oracle matches
+    * bit-for-bit. One compiled pass, shuffle-free. */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select("doc_id", "text").as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val ws = words(t)
+        val n = ws.length // split(" ", -1) never yields 0 tokens
+        val nd = nDistinct(ws)
+        val n2 = math.max(n - 1, 0)
+        var top2 = 0
+        if (n2 > 0) {
+          val m = new java.util.HashMap[String, Integer]()
+          var i = 0
+          while (i < n - 1) {
+            val c = m.merge(ws(i) + " " + ws(i + 1), Integer.valueOf(1),
+              (a, b) => Integer.valueOf(a.intValue + b.intValue))
+            if (c.intValue > top2) top2 = c.intValue
+            i += 1
+          }
+        }
+        val n3 = math.max(n - 2, 0)
+        var d3 = 0
+        if (n3 > 0) {
+          val s = new java.util.HashSet[String]()
+          var i = 0
+          while (i < n - 2) { s.add(ws(i) + " " + ws(i + 1) + " " + ws(i + 2)); i += 1 }
+          d3 = s.size
+        }
+        (id, n.toLong, nd.toLong,
+          round6((n - nd).toDouble / n),
+          if (n2 > 0) round6(top2.toDouble / n2) else 0.0,
+          if (n3 > 0) round6((n3 - d3).toDouble / n3) else 0.0)
+      })
+      .toDF("doc_id", "n_words", "n_distinct", "dup_word_frac", "top2_frac",
+        "dup3_frac")
+  }
+
+  /** C4/Dolma-style blocklist scrub: per-doc hit count against a term
+    * blocklist, the hit fraction, the C4 drop verdict (`kept` = zero hits),
+    * and the Dolma-style masked text with each blocked token replaced by
+    * `***`. The verdict and the mask ride in one narrow pass so a pipeline
+    * can route on `kept` and store `masked` without re-tokenizing. Exact
+    * token equality (not regex) — identical semantics in the oracle's
+    * `list_transform`/`list_filter`, no regex-engine skew. */
+  def blocklistMask(docs: DataFrame, blocked: Set[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select("doc_id", "text").as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val ws = words(t)
+        var hits = 0
+        val sb = new java.lang.StringBuilder(t.length)
+        var i = 0
+        while (i < ws.length) {
+          if (i > 0) sb.append(' ')
+          if (blocked.contains(ws(i))) { hits += 1; sb.append("***") }
+          else sb.append(ws(i))
+          i += 1
+        }
+        (id, ws.length.toLong, hits.toLong,
+          round6(hits.toDouble / ws.length), hits == 0, sb.toString)
+      })
+      .toDF("doc_id", "n_words", "n_hits", "hit_frac", "kept", "masked")
+  }
+
+  /** Fixed-size sliding-window chunking: split each document into windows of
+    * `window` tokens advancing by `stride` (stride < window ⇒ overlapping
+    * context, the standard pretraining/RAG chunk shape). A tail window that
+    * adds no tokens beyond the previous one is suppressed (emitted starts
+    * are 0 and every `stride` multiple below `n - window + stride`), so
+    * chunks cover every token exactly and never emit a fully-contained
+    * suffix. One narrow flatMap — the 100 TB shape is a map-only stage whose
+    * output rows ≈ n_tokens/stride per doc. */
+  def chunkWindows(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window (got window=$window stride=$stride)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select("doc_id", "text").as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, t) =>
+        val ws = words(t)
+        val n = ws.length
+        val starts = 0 until n by stride
+        starts.iterator
+          .filter(st => st == 0 || st < n - window + stride)
+          .map { st =>
+            val end = math.min(st + window, n)
+            (id, (st / stride).toLong, (end - st).toLong,
+              ws.slice(st, end).mkString(" "))
+          }
+      })
+      .toDF("doc_id", "chunk_id", "n_tok", "chunk")
+  }
 }

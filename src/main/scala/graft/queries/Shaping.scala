@@ -1,0 +1,112 @@
+package graft.queries
+
+import graft.operators.{CorpusOps, TextAnalysis}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Corpus shaping pack (round 7): Gopher-style repetition quality signals,
+  * C4/Dolma-style blocklist scrub, sliding-window chunking, and greedy
+  * sequence packing — the last mile between a cleaned corpus and training
+  * examples.
+  *
+  * Oracle strategy: everything is exact token arithmetic (counts, integer
+  * ratios rounded on both sides) or the shared keyed-md5 determinism, so all
+  * four queries hash-match DuckDB — including the sequential packing fold,
+  * which the oracle replays as a recursive CTE walking each shard in rank
+  * order.
+  */
+object Shaping {
+
+  private def docs(s: SparkSession, dir: String) = Pipeline.docs(s, dir)
+
+  private val blocked = Set("slow", "crash", "merge")
+  private val blockedSql = "('slow','crash','merge')"
+
+  val all: Seq[Qd] = Seq(
+
+    // Gopher/MassiveText repetition filters on word streams: duplicate-word
+    // fraction, top-2-gram share, duplicate-3-gram fraction. Pure counts →
+    // exact ratios on both engines.
+    Qd("q180_repetition_signals",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |b AS (SELECT doc_id, len(ws) AS n, len(list_distinct(ws)) AS nd FROM w),
+        |g2 AS (SELECT doc_id,
+        |  unnest(list_transform(range(1, len(ws)), i -> ws[i]||' '||ws[i+1])) AS g
+        |  FROM w WHERE len(ws) >= 2),
+        |c2 AS (SELECT doc_id, max(c) AS top2, CAST(sum(c) AS BIGINT) AS n2
+        |  FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g)
+        |  GROUP BY doc_id),
+        |g3 AS (SELECT doc_id,
+        |  unnest(list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS g
+        |  FROM w WHERE len(ws) >= 3),
+        |c3 AS (SELECT doc_id, count(DISTINCT g) AS d3, count(*) AS n3
+        |  FROM g3 GROUP BY doc_id)
+        |SELECT b.doc_id, CAST(n AS BIGINT) AS n_words, CAST(nd AS BIGINT) AS n_distinct,
+        |  ROUND(CAST(n - nd AS DOUBLE)/n, 6) AS dup_word_frac,
+        |  ROUND(COALESCE(CAST(c2.top2 AS DOUBLE)/c2.n2, 0.0), 6) AS top2_frac,
+        |  ROUND(COALESCE(CAST(c3.n3 - c3.d3 AS DOUBLE)/c3.n3, 0.0), 6) AS dup3_frac
+        |FROM b LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_id)
+        |ORDER BY doc_id""") { (s, dir) =>
+      TextAnalysis.repetitionSignals(docs(s, dir)).orderBy("doc_id")
+    },
+
+    // C4-style blocklist verdict + Dolma-style masking in one pass. Exact
+    // token equality on both engines — no regex-engine skew.
+    Qd("q181_blocklist_scrub",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |h AS (SELECT doc_id, ws, len(ws) AS n,
+        |  len(list_filter(ws, x -> x IN $blockedSql)) AS hits FROM w)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_words, CAST(hits AS BIGINT) AS n_hits,
+        |  ROUND(CAST(hits AS DOUBLE)/n, 6) AS hit_frac,
+        |  hits = 0 AS kept,
+        |  array_to_string(list_transform(ws,
+        |    x -> CASE WHEN x IN $blockedSql THEN '***' ELSE x END), ' ') AS masked
+        |FROM h ORDER BY doc_id""") { (s, dir) =>
+      TextAnalysis.blocklistMask(docs(s, dir), blocked).orderBy("doc_id")
+    },
+
+    // Sliding-window chunking, 32-token windows every 24 tokens; tail
+    // windows that add no new tokens are suppressed on both engines.
+    Qd("q182_chunk_windows",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |c AS (SELECT doc_id, ws, len(ws) AS n,
+        |  unnest(range(0, len(ws), 24)) AS st FROM w)
+        |SELECT doc_id, CAST(st/24 AS BIGINT) AS chunk_id,
+        |  CAST(least(st+32, n) - st AS BIGINT) AS n_tok,
+        |  array_to_string(ws[st+1:least(st+32, n)], ' ') AS chunk
+        |FROM c WHERE st = 0 OR st < n - 32 + 24
+        |ORDER BY doc_id, chunk_id""") { (s, dir) =>
+      TextAnalysis.chunkWindows(docs(s, dir), window = 32, stride = 24)
+        .orderBy("doc_id", "chunk_id")
+    },
+
+    // Greedy sequence packing into 128-token bins, walked in the
+    // deterministic shard order. The oracle replays the sequential fold as a
+    // recursive CTE advancing one rank per shard per iteration.
+    Qd("q183_pack_sequences",
+      """WITH RECURSIVE k AS (
+        |  SELECT doc_id, md5('pack7:' || CAST(doc_id AS VARCHAR)) AS skey,
+        |    len(string_split(text, ' ')) AS ntok
+        |  FROM documents),
+        |o AS (SELECT doc_id, ntok, skey,
+        |  CAST(CAST(('0x'||substr(skey,1,15)) AS BIGINT) % 8 AS INTEGER) AS shard FROM k),
+        |r AS (SELECT doc_id, shard, ntok,
+        |  row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS rn FROM o),
+        |p AS (
+        |  SELECT doc_id, shard, ntok, rn,
+        |    CAST(0 AS BIGINT) AS bin, CAST(ntok AS BIGINT) AS fill
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.doc_id, r.shard, r.ntok, r.rn,
+        |    CASE WHEN p.fill + r.ntok <= 128 THEN p.bin ELSE p.bin + 1 END,
+        |    CASE WHEN p.fill + r.ntok <= 128 THEN p.fill + r.ntok
+        |         ELSE CAST(r.ntok AS BIGINT) END
+        |  FROM p JOIN r ON r.shard = p.shard AND r.rn = p.rn + 1)
+        |SELECT doc_id, shard, bin, CAST(ntok AS BIGINT) AS n_tok
+        |FROM p ORDER BY doc_id""") { (s, dir) =>
+      CorpusOps.packGreedy(docs(s, dir), seed = "pack7", nShards = 8,
+          capacity = 128L)
+        .orderBy("doc_id")
+    }
+  )
+}

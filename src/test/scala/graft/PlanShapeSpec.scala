@@ -248,4 +248,25 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(opt.toUpperCase.contains("EXP("),
       "expected the sigmoid's EXP to appear inline in the plan")
   }
+
+  test("q180/q181/q182 per-doc shaping kernels plan with no shuffle") {
+    Seq("q180_repetition_signals", "q181_blocklist_scrub", "q182_chunk_windows")
+      .foreach { q =>
+        val s = finalPlan(q)
+        val body = s.linesIterator
+          .filterNot(_.contains("Exchange rangepartitioning"))
+          .mkString("\n") // final ORDER BY is presentation, not the operator
+        assert(!body.contains("Exchange hashpartitioning"),
+          s"$q is a narrow map/flatMap pass; it must not shuffle:\n$s")
+      }
+  }
+
+  test("q183 greedy packing shuffles exactly once (the shard repartition)") {
+    val s = finalPlan("q183_pack_sequences")
+    val hashEx = s.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1,
+      s"packing needs exactly ONE hash shuffle (by shard), found $hashEx:\n$s")
+    assert(!s.contains("Exchange SinglePartition"),
+      "packing must never collapse to a single partition — the fold is per shard")
+  }
 }
