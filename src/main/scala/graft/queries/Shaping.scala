@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{CorpusOps, TextAnalysis}
+import graft.operators.{BpeTrain, CorpusOps, TextAnalysis}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -106,6 +106,52 @@ object Shaping {
         |FROM p ORDER BY doc_id""") { (s, dir) =>
       CorpusOps.packGreedy(docs(s, dir), seed = "pack7", nShards = 8,
           capacity = 128L)
+        .orderBy("doc_id")
+    },
+
+    // BPE iteration zero: adjacent char-pair frequencies over the word dict,
+    // weighted by corpus word frequency — top 20 merge candidates.
+    Qd("q184_bpe_pair_counts",
+      """WITH wf AS (SELECT w, CAST(count(*) AS BIGINT) AS f
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w),
+        |p AS (SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, f
+        |  FROM wf, unnest(range(1, length(w))) AS t(i)),
+        |c AS (SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM p GROUP BY pair),
+        |r AS (SELECT pair, cnt,
+        |  row_number() OVER (ORDER BY cnt DESC, pair) AS rk FROM c)
+        |SELECT CAST(rk AS BIGINT) AS rk, pair, cnt FROM r WHERE rk <= 20
+        |ORDER BY rk""") { (s, dir) =>
+      BpeTrain.pairCounts(docs(s, dir), 20)
+    },
+
+    // Learned BPE merge sequence (12 merges). The training loop is
+    // inherently iterative (each merge re-segments the dict before the next
+    // count) — not SQL-expressible, so rows-only; ShapingSpec replays the
+    // whole loop sequentially driver-side and requires an identical merge
+    // table, and q184 oracles iteration zero of the same counting rule.
+    Qd.rowsOnly("q185_bpe_train") { (s, dir) =>
+      BpeTrain.trainMerges(docs(s, dir), 12).orderBy("rk")
+    },
+
+    // BPE inference with a fixed merge list ((e,r),(s,t),(a,st) — the third
+    // consumes the second's output, proving rank-ordered chaining). The
+    // oracle encodes each word's segmentation as ' c1  c2 ... cn ' (every
+    // token owns its surrounding spaces) so SQL replace() of ' a  b ' with
+    // ' ab ' is exactly the left-to-right non-overlapping merge pass.
+    Qd("q186_bpe_tokenize",
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |s0 AS (SELECT doc_id,
+        |  ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS s FROM w),
+        |s1 AS (SELECT doc_id, replace(s, ' e  r ', ' er ') AS s FROM s0),
+        |s2 AS (SELECT doc_id, replace(s, ' s  t ', ' st ') AS s FROM s1),
+        |s3 AS (SELECT doc_id, replace(s, ' a  st ', ' ast ') AS s FROM s2),
+        |t AS (SELECT doc_id, len(string_split(trim(s, ' '), '  ')) AS ntok FROM s3)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(ntok) AS BIGINT) AS n_bpe_tokens,
+        |  ROUND(CAST(sum(ntok) AS DOUBLE) / count(*), 6) AS tokens_per_word
+        |FROM t GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
+      BpeTrain.tokenize(docs(s, dir), Seq(("e", "r"), ("s", "t"), ("a", "st")))
         .orderBy("doc_id")
     }
   )

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{CorpusOps, TextAnalysis}
+import graft.operators.{BpeTrain, CorpusOps, TextAnalysis}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -123,5 +123,63 @@ class ShapingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val binOf = pb.map(r => r.getLong(0) -> r.getLong(2)).toMap
     val bigBin = binOf(1L)
     assert(pb.filter(_.getLong(2) == bigBin).length == 1, "oversized doc shares a bin")
+  }
+
+  test("BPE: hand-computed merges, overlap rule, tie-break") {
+    // corpus: "abab abab abc" "abab" → wordFreq abab:3, abc:1
+    // pairs: ab = 2*3 + 1 = 7, ba = 1*3 = 3, bc = 1
+    val df = Seq((1L, "abab abab abc"), (2L, "abab")).toDF("doc_id", "text")
+    val pc = BpeTrain.pairCounts(df, 10).collect()
+    assert(pc(0).getString(1) == "ab" && pc(0).getLong(2) == 7)
+    assert(pc(1).getString(1) == "ba" && pc(1).getLong(2) == 3)
+
+    // merge 1 = (a,b) → abab = [ab,ab], abc = [ab,c]
+    // then pairs: (ab,ab) = 3, (ab,c) = 1 → merge 2 = (ab,ab)
+    val m = BpeTrain.trainMerges(df, 3).orderBy("rk").collect()
+    assert(m(0).getString(3) == "ab" && m(0).getLong(4) == 7)
+    assert(m(1).getString(3) == "abab" && m(1).getLong(4) == 3)
+    assert(m(2).getString(3) == "abc" && m(2).getLong(4) == 1)
+
+    // left-to-right non-overlap: "aaa" with merge (a,a) → [aa, a]
+    assert(BpeTrain.mergeSegs(Array("a", "a", "a"), "a", "a").toSeq ==
+      Seq("aa", "a"))
+  }
+
+  test("BPE trainMerges matches a sequential driver-side replay on real data") {
+    val docs = Engine.table(spark, "/root/testdata/sf0.001", "documents")
+    val learned = BpeTrain.trainMerges(docs, 8).orderBy("rk").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(4)))
+
+    // replay: collect the word dict once, run the whole loop in local Scala
+    val dict = scala.collection.mutable.Map.empty[String, Long]
+    docs.select("text").collect().foreach(_.getString(0).split(" ", -1)
+      .foreach(w => dict(w) = dict.getOrElse(w, 0L) + 1L))
+    var seg = dict.toSeq.map { case (w, f) => (w.map(_.toString).toArray, f) }
+    val replay = (1 to 8).flatMap { rk =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      seg.foreach { case (ss, f) =>
+        (0 until ss.length - 1).foreach { i =>
+          counts((ss(i), ss(i + 1))) = counts.getOrElse((ss(i), ss(i + 1)), 0L) + f
+        }
+      }
+      if (counts.isEmpty) None
+      else {
+        val ((a, b), c) = counts.minBy { case ((x, y), n) => (-n, x, y) }
+        seg = seg.map { case (ss, f) => (BpeTrain.mergeSegs(ss, a, b), f) }
+        Some((rk.toLong, a, b, c))
+      }
+    }
+    assert(learned.toSeq == replay,
+      s"distributed merges ${learned.toSeq} != replay $replay")
+  }
+
+  test("BPE tokenize: fixed merges, chained rank order") {
+    val df = Seq((1L, "fast era")).toDF("doc_id", "text")
+    // (e,r): era → [er,a]; (s,t): fast → [f,a,st]; (a,st): → [f,ast]
+    val r = BpeTrain.tokenize(df, Seq(("e", "r"), ("s", "t"), ("a", "st")))
+      .collect()
+    assert(r(0).getLong(1) == 2)      // words
+    assert(r(0).getLong(2) == 4)      // tokens: [f,ast] + [er,a]
+    assert(r(0).getDouble(3) == 2.0)
   }
 }
