@@ -17,11 +17,15 @@ import org.apache.spark.sql.functions._
   * (O(nMerges) — the same bounded-collect contract as
   * [[AnnSearch]]'s centroids).
   *
-  * Determinism: pair score ties break on the pair string ascending, so the
-  * learned merge sequence is a pure function of the corpus — rerun-stable
-  * and replayable by the spec's sequential driver-side implementation.
-  * Pair counting weights every adjacent occurrence (overlaps included),
-  * matching the oracle's positional expansion in q184.
+  * Determinism: pair score ties break on the (left, right) component pair
+  * ascending (NOT the concatenated string — the two differ when one left
+  * token is a prefix of another), so the learned merge sequence is a pure
+  * function of the corpus — rerun-stable and replayable by the spec's
+  * sequential driver-side implementation. Pair counting weights every
+  * adjacent occurrence (overlaps included), matching the oracle's
+  * positional expansion in q184. Segmentation is by Unicode code point
+  * ([[codePointSegs]]), matching the oracle's `substr`/`string_split`
+  * character semantics on supplementary-plane text.
   */
 object BpeTrain {
 
@@ -30,7 +34,24 @@ object BpeTrain {
     docs.select(explode(split(col("text"), " ", -1)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("f"))
 
-  /** Adjacent character-pair frequencies over the initial (per-character)
+  /** Initial BPE segmentation: one element per Unicode CODE POINT (a
+    * surrogate pair stays one token), matching the oracle's `substr` /
+    * `string_split(w, '')` character semantics. */
+  private[graft] def codePointSegs(w: String): Array[String] = {
+    val out = new Array[String](w.codePointCount(0, w.length))
+    var i = 0
+    var j = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      val n = Character.charCount(cp)
+      out(j) = w.substring(i, i + n)
+      i += n
+      j += 1
+    }
+    out
+  }
+
+  /** Adjacent character-pair frequencies over the initial (per-code-point)
     * segmentation, weighted by word frequency — BPE iteration zero, the
     * oracle-checkable surface (q184). Top `k` by (count desc, pair asc). */
   def pairCounts(docs: DataFrame, k: Int): DataFrame = {
@@ -38,7 +59,8 @@ object BpeTrain {
     import spark.implicits._
     val pairs = wordFreq(docs).as[(String, Long)]
       .mapPartitions(_.flatMap { case (w, f) =>
-        (0 until w.length - 1).iterator.map(i => (w.substring(i, i + 2), f))
+        val cp = codePointSegs(w)
+        (0 until cp.length - 1).iterator.map(i => (cp(i) + cp(i + 1), f))
       })
       .toDF("pair", "wf")
     pairs.groupBy("pair").agg(sum("wf").as("cnt"))
@@ -60,6 +82,18 @@ object BpeTrain {
     }
     out.toArray
   }
+
+  /** Free a superseded localCheckpoint generation. Dataset.unpersist is a
+    * no-op here (checkpoint blocks live on the internal RDD, not in the
+    * CacheManager) — unpersist the LogicalRDD leaf directly, the
+    * [[Dedup.connectedComponents]] storage contract: two generations live
+    * at once, not O(nMerges). */
+  private def unpersistCheckpoint(ds: Dataset[_]): Unit =
+    ds.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   private def pairScores(seg: Dataset[(String, Array[String], Long)])
       : DataFrame = {
@@ -84,7 +118,7 @@ object BpeTrain {
     import spark.implicits._
     var seg: Dataset[(String, Array[String], Long)] =
       wordFreq(docs).as[(String, Long)]
-        .map { case (w, f) => (w, w.map(_.toString).toArray, f) }
+        .map { case (w, f) => (w, codePointSegs(w), f) }
     seg = seg.localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, String, Long)]
@@ -101,12 +135,12 @@ object BpeTrain {
         merges += ((it + 1L, a, b, a + b, cnt))
         val next = seg.map { case (w, segs, f) => (w, mergeSegs(segs, a, b), f) }
           .localCheckpoint()
-        seg.unpersist()
+        unpersistCheckpoint(seg)
         seg = next
       }
       it += 1
     }
-    seg.unpersist()
+    unpersistCheckpoint(seg)
     merges.toSeq.toDF("rk", "left", "right", "merged", "score")
   }
 
@@ -126,9 +160,11 @@ object BpeTrain {
           val ws = TextFeatures.words(t)
           var nTok = 0L
           ws.foreach { w =>
-            var segs = w.map(_.toString).toArray
+            var segs = codePointSegs(w)
             ms.foreach { case (a, b) => segs = mergeSegs(segs, a, b) }
-            nTok += segs.length
+            // an empty word is one (empty) token — string_split semantics,
+            // and what the oracle's trim/split encoding yields
+            nTok += math.max(segs.length, 1)
           }
           (id, ws.length.toLong, nTok,
             TextFeatures.round6(nTok.toDouble / math.max(ws.length, 1)))

@@ -85,14 +85,22 @@ object CorpusOps {
     * global total-order sort; at 1000 executors each shard's order resolves
     * independently. Re-running with the same seed reproduces the exact
     * order (the resumability contract for a training-data reader). */
-  def shuffleShards(docs: DataFrame, seed: String, nShards: Int): DataFrame = {
+  /** Shared shard keying: the deterministic 128-bit sort key plus its
+    * 60-bit-prefix shard. ONE copy — [[shuffleShards]] and [[packGreedy]]
+    * must stay in lock-step (the packing spec replays the fold through
+    * shuffleShards' order). */
+  private def withShardKey(docs: DataFrame, seed: String,
+      nShards: Int): DataFrame = {
     require(nShards > 0, s"nShards must be positive (got $nShards)")
-    val keyed0 = docs.select(col("doc_id"), keyed(seed, col("doc_id")).as("skey"))
+    docs.withColumn("skey", keyed(seed, col("doc_id")))
       .withColumn("shard", (h60hex(col("skey")) % nShards).cast("int"))
-    keyed0.withColumn("pos",
+  }
+
+  def shuffleShards(docs: DataFrame, seed: String, nShards: Int): DataFrame =
+    withShardKey(docs.select(col("doc_id")), seed, nShards)
+      .withColumn("pos",
         row_number().over(Window.partitionBy("shard").orderBy(col("skey"), col("doc_id"))))
       .select(col("doc_id"), col("shard"), col("pos"))
-  }
 
   /** Stratified deterministic train/test split: assignment is a pure
     * function of (seed, doc_id) — `h60 % 1000 < testPermille` → test — so
@@ -194,14 +202,13 @@ object CorpusOps {
     * implementation shortcut. */
   def packGreedy(docs: DataFrame, seed: String, nShards: Int,
       capacity: Long): DataFrame = {
-    require(nShards > 0, s"nShards must be positive (got $nShards)")
     require(capacity > 0, s"capacity must be positive (got $capacity)")
     val spark = docs.sparkSession
     import spark.implicits._
-    val keyed0 = docs.select(col("doc_id"),
-        keyed(seed, col("doc_id")).as("skey"),
-        size(split(col("text"), " ", -1)).cast("long").as("ntok"))
-      .withColumn("shard", (h60hex(col("skey")) % nShards).cast("int"))
+    val keyed0 = withShardKey(
+      docs.select(col("doc_id"),
+        size(split(col("text"), " ", -1)).cast("long").as("ntok")),
+      seed, nShards)
     keyed0.repartition(col("shard"))
       .sortWithinPartitions("shard", "skey", "doc_id")
       .select(col("doc_id"), col("shard"), col("ntok"))

@@ -122,7 +122,7 @@ object Shaping {
         |  row_number() OVER (ORDER BY cnt DESC, pair) AS rk FROM c)
         |SELECT CAST(rk AS BIGINT) AS rk, pair, cnt FROM r WHERE rk <= 20
         |ORDER BY rk""") { (s, dir) =>
-      BpeTrain.pairCounts(docs(s, dir), 20)
+      BpeTrain.pairCounts(docs(s, dir), 20).orderBy("rk")
     },
 
     // Learned BPE merge sequence (12 merges). The training loop is
