@@ -86,13 +86,14 @@ object CorpusOps {
     * independently. Re-running with the same seed reproduces the exact
     * order (the resumability contract for a training-data reader). */
   /** Shared shard keying: the deterministic 128-bit sort key plus its
-    * 60-bit-prefix shard. ONE copy — [[shuffleShards]] and [[packGreedy]]
-    * must stay in lock-step (the packing spec replays the fold through
-    * shuffleShards' order). */
-  private def withShardKey(docs: DataFrame, seed: String,
-      nShards: Int): DataFrame = {
+    * 60-bit-prefix shard, derived from `keyCol`. ONE copy —
+    * [[shuffleShards]], [[packGreedy]], and [[packUnits]] must stay in
+    * lock-step (the packing spec replays the fold through shuffleShards'
+    * order). */
+  private def withShardKey(docs: DataFrame, seed: String, nShards: Int,
+      keyCol: String = "doc_id"): DataFrame = {
     require(nShards > 0, s"nShards must be positive (got $nShards)")
-    docs.withColumn("skey", keyed(seed, col("doc_id")))
+    docs.withColumn("skey", keyed(seed, col(keyCol)))
       .withColumn("shard", (h60hex(col("skey")) % nShards).cast("int"))
   }
 
@@ -201,31 +202,42 @@ object CorpusOps {
     * semantics (each bin depends on every earlier doc in the shard), not an
     * implementation shortcut. */
   def packGreedy(docs: DataFrame, seed: String, nShards: Int,
+      capacity: Long): DataFrame =
+    packUnits(
+      docs.select(col("doc_id").cast("string").as("unit_id"),
+        size(split(col("text"), " ", -1)).cast("long").as("ntok")),
+      seed, nShards, capacity)
+      .select(col("unit_id").cast("long").as("doc_id"), col("shard"),
+        col("bin"), col("n_tok"))
+
+  /** [[packGreedy]] generalized to pre-tokenized units (`unit_id` string,
+    * `ntok`) — the form the chunk→pack composition needs, where a unit is a
+    * document WINDOW rather than a document. Same fold, same determinism
+    * contract keyed on the unit id. */
+  def packUnits(units: DataFrame, seed: String, nShards: Int,
       capacity: Long): DataFrame = {
     require(capacity > 0, s"capacity must be positive (got $capacity)")
-    val spark = docs.sparkSession
+    val spark = units.sparkSession
     import spark.implicits._
-    val keyed0 = withShardKey(
-      docs.select(col("doc_id"),
-        size(split(col("text"), " ", -1)).cast("long").as("ntok")),
-      seed, nShards)
-    keyed0.repartition(col("shard"))
-      .sortWithinPartitions("shard", "skey", "doc_id")
-      .select(col("doc_id"), col("shard"), col("ntok"))
-      .as[(Long, Int, Long)]
+    withShardKey(units.select(col("unit_id"), col("ntok")), seed, nShards,
+        keyCol = "unit_id")
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "skey", "unit_id")
+      .select(col("unit_id"), col("shard"), col("ntok"))
+      .as[(String, Int, Long)]
       .mapPartitions { it =>
         // shards are hashed into partitions (several shards may share one);
-        // the sort is (shard, skey, doc_id), so state resets on shard change
+        // the sort is (shard, skey, unit_id), so state resets on shard change
         var curShard = Int.MinValue
         var bin = 0L
         var fill = 0L
-        it.map { case (docId, shard, ntok) =>
+        it.map { case (unitId, shard, ntok) =>
           if (shard != curShard) { curShard = shard; bin = 0L; fill = 0L }
           if (fill > 0L && fill + ntok > capacity) { bin += 1L; fill = ntok }
           else fill += ntok
-          (docId, shard, bin, ntok)
+          (unitId, shard, bin, ntok)
         }
       }
-      .toDF("doc_id", "shard", "bin", "n_tok")
+      .toDF("unit_id", "shard", "bin", "n_tok")
   }
 }

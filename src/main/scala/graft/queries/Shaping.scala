@@ -153,6 +153,50 @@ object Shaping {
         |FROM t GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
       BpeTrain.tokenize(docs(s, dir), Seq(("e", "r"), ("s", "t"), ("a", "st")))
         .orderBy("doc_id")
+    },
+
+    // Chunk→pack capstone: the actual corpus→training-examples flow — split
+    // every doc into ≤32-token windows (so no unit exceeds capacity), then
+    // greedily pack the windows into 128-token bins per shard. Reported at
+    // the bin grain: with all units ≤32 every non-final bin fills to >96
+    // tokens (greedy bound: capacity − max_unit), the packing-efficiency
+    // contract asserted in ShapingSpec.
+    Qd("q187_chunk_pack",
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |c AS (SELECT doc_id, ws, len(ws) AS n,
+        |  unnest(range(0, len(ws), 24)) AS st FROM w),
+        |ch AS (SELECT
+        |  CAST(doc_id AS VARCHAR)||':'||CAST(CAST(st/24 AS BIGINT) AS VARCHAR) AS uid,
+        |  least(st+32, n) - st AS ntok
+        |  FROM c WHERE st = 0 OR st < n - 32 + 24),
+        |k AS (SELECT uid, ntok, md5('cp7:' || uid) AS skey FROM ch),
+        |o AS (SELECT uid, ntok, skey,
+        |  CAST(CAST(('0x'||substr(skey,1,15)) AS BIGINT) % 8 AS INTEGER) AS shard FROM k),
+        |r AS (SELECT uid, shard, ntok,
+        |  row_number() OVER (PARTITION BY shard ORDER BY skey, uid) AS rn FROM o),
+        |p AS (
+        |  SELECT uid, shard, ntok, rn,
+        |    CAST(0 AS BIGINT) AS bin, CAST(ntok AS BIGINT) AS fill
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.uid, r.shard, r.ntok, r.rn,
+        |    CASE WHEN p.fill + r.ntok <= 128 THEN p.bin ELSE p.bin + 1 END,
+        |    CASE WHEN p.fill + r.ntok <= 128 THEN p.fill + r.ntok
+        |         ELSE CAST(r.ntok AS BIGINT) END
+        |  FROM p JOIN r ON r.shard = p.shard AND r.rn = p.rn + 1)
+        |SELECT shard, bin, CAST(count(*) AS BIGINT) AS n_units,
+        |  CAST(sum(ntok) AS BIGINT) AS bin_tok
+        |FROM p GROUP BY shard, bin ORDER BY shard, bin""") { (s, dir) =>
+      val chunks = TextAnalysis.chunkWindows(docs(s, dir), window = 32,
+        stride = 24)
+      val units = chunks.select(
+        concat(col("doc_id").cast("string"), lit(":"),
+          col("chunk_id").cast("string")).as("unit_id"),
+        col("n_tok").cast("long").as("ntok"))
+      CorpusOps.packUnits(units, seed = "cp7", nShards = 8, capacity = 128L)
+        .groupBy("shard", "bin")
+        .agg(count(lit(1)).as("n_units"), sum("n_tok").as("bin_tok"))
+        .orderBy("shard", "bin")
     }
   )
 }

@@ -125,6 +125,27 @@ class ShapingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pb.filter(_.getLong(2) == bigBin).length == 1, "oversized doc shares a bin")
   }
 
+  test("chunk→pack: bins bounded by capacity; non-final bins fill past capacity − max unit") {
+    val docs = Engine.table(spark, "/root/testdata/sf0.001", "documents")
+    val chunks = TextAnalysis.chunkWindows(docs, 32, 24)
+    val units = chunks.select(
+      concat(col("doc_id").cast("string"), lit(":"),
+        col("chunk_id").cast("string")).as("unit_id"),
+      col("n_tok").cast("long").as("ntok"))
+    val packed = CorpusOps.packUnits(units, "cp-spec", 4, 128L)
+    // exactly-once at the unit grain
+    assert(packed.count() == chunks.count())
+    val bins = packed.groupBy("shard", "bin")
+      .agg(sum("n_tok").as("fill")).collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(bins.values.forall(_ <= 128L), "a bin exceeds capacity (all units ≤ 32)")
+    val lastBin = bins.keys.groupBy(_._1).map { case (s, ks) => s -> ks.map(_._2).max }
+    val nonFinal = bins.filter { case ((s, b), _) => b < lastBin(s) }
+    // greedy bound: a bin is only closed because a ≤32-token unit overflowed it
+    assert(nonFinal.values.forall(_ > 128L - 32L),
+      s"an interior bin closed below capacity − max_unit: ${nonFinal.filter(_._2 <= 96L)}")
+  }
+
   test("BPE: hand-computed merges, overlap rule, tie-break") {
     // corpus: "abab abab abc" "abab" → wordFreq abab:3, abc:1
     // pairs: ab = 2*3 + 1 = 7, ba = 1*3 = 3, bc = 1
