@@ -70,7 +70,7 @@ object AnnSearch {
     * per qid per partition under the total order (cos desc, cid asc), so the
     * final global rank shuffles ≤ partitions×|queries|×k rows instead of
     * |corpus|×|queries|. Total order ⇒ partition-local pruning is lossless. */
-  private def partitionTopK(scored: DataFrame, k: Int): DataFrame = {
+  private[operators] def partitionTopK(scored: DataFrame, k: Int): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
     // worst candidate at the heap head: smaller cos first, then larger cid
@@ -297,6 +297,17 @@ object AnnSearch {
       .select(col("id").as("qid"), col("qe"), col("n2").as("qn"), col("cent_id"))
 
     scoreAndRank(corpusAssigned, queryProbes, k)
+  }
+
+  /** Cluster assignment alone — (id, cent_id) by argmax int64 dot against
+    * the stride-derived centroid set (ties → lower cent_id), the partition
+    * step SemDeDup-style semantic dedup blocks on. Same broadcast-argmax
+    * shape as [[ivfTopK]]'s corpus side: no crossJoin, no shuffle. */
+  def assignClusters(emb: DataFrame, centroidStride: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val qc = quantized(emb)
+    val bc = spark.sparkContext.broadcast(collectCentroids(qc, centroidStride))
+    assign(qc, bc, 1).select(col("id"), col("cent_id"))
   }
 
   /** Materialize the IVF index: the assigned corpus written

@@ -165,6 +165,33 @@ object CorpusOps {
     docs.filter(h60hex(keyed(seed, col("doc_id"))) % 1000000 < thCol)
   }
 
+  /** C4/Dolma-style PII redaction: structured identifiers (emails, IPv4
+    * addresses, 13–16-digit card-like numbers) are counted and replaced
+    * with type tags in one pass of codegen'd `regexp_*` expressions — no
+    * UDF, no kernel pass, narrow and shuffle-free (the projection fuses
+    * into whatever scan or transform precedes it).
+    *
+    * The patterns deliberately use the Java∩RE2 common subset (character
+    * classes, bounded repetition, `\b`) so the DuckDB oracle runs the SAME
+    * pattern text; counts are taken on the raw text BEFORE replacement,
+    * and replacements apply email → ip → card (card's `\d{13,16}` cannot
+    * match inside an IP's ≤3-digit octets, and the tags themselves contain
+    * no digits, so the order only matters for emails whose local part could
+    * otherwise be eaten by the card pattern).
+    */
+  def piiScrub(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val card = "\\b\\d{13,16}\\b"
+    val t = col(textCol)
+    docs.withColumn("n_emails", size(regexp_extract_all(t, lit(email), lit(0))).cast("long"))
+      .withColumn("n_ips", size(regexp_extract_all(t, lit(ip), lit(0))).cast("long"))
+      .withColumn("n_cards", size(regexp_extract_all(t, lit(card), lit(0))).cast("long"))
+      .withColumn("scrubbed",
+        regexp_replace(regexp_replace(regexp_replace(t,
+          email, "<EMAIL>"), ip, "<IP>"), card, "<CARD>"))
+  }
+
   /** Deterministic per-stratum uniform sample: the `k` docs with the
     * smallest keyed hash within each `keyCol` value (rank carried as `rk`).
     * Equivalent to a seeded uniform draw of k per stratum, but reproducible

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{CorpusOps, Dedup}
+import graft.operators.{CorpusOps, Dedup, Retrieval}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -142,6 +142,44 @@ object Corpus {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
         .orderBy("lang")
+    },
+
+    // BM25 ranked retrieval (inverted-index probe): three fixed queries —
+    // one with the rare term 'dup' (high idf dominates), one common-term
+    // pair, one three-term mix. Scores are exact int64 micro-unit sums
+    // (order-free); every double op is written identically on both engines
+    // (see Retrieval.bm25TopK's determinism note).
+    Qd("q188_bm25_retrieval",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+        |t2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY doc_id),
+        |g AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl FROM dl),
+        |qt(query_id, term) AS (VALUES
+        |  (1,'dup'), (2,'spark'), (2,'join'), (3,'customer'), (3,'order'), (3,'fast')),
+        |dfx AS (SELECT tf.term, count(*) AS df FROM tf
+        |        JOIN (SELECT DISTINCT term FROM qt) q ON tf.term = q.term
+        |        GROUP BY tf.term),
+        |idf AS (SELECT term,
+        |  CAST(round(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |                / (CAST(df AS DOUBLE) + 0.5) + 1.0) * 1000000.0) AS BIGINT) AS idfq
+        |  FROM dfx, g),
+        |sc AS (SELECT qt.query_id, tf.doc_id,
+        |  SUM(CAST(round(idfq * ((CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+        |    / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * (1.0 - CAST(0.75 AS DOUBLE)
+        |       + CAST(0.75 AS DOUBLE) * (CAST(dl AS DOUBLE) / avgdl))))) AS BIGINT)) AS wq
+        |  FROM tf JOIN qt ON tf.term = qt.term
+        |  JOIN dl ON dl.doc_id = tf.doc_id
+        |  JOIN idf ON idf.term = tf.term, g
+        |  GROUP BY qt.query_id, tf.doc_id),
+        |rk AS (SELECT query_id, doc_id, wq,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY wq DESC, doc_id) AS rk FROM sc)
+        |SELECT query_id, doc_id, rk, ROUND(CAST(wq AS DOUBLE)/1000000.0, 4) AS score
+        |FROM rk WHERE rk <= 10 ORDER BY query_id, rk""") { (s, dir) =>
+      Retrieval.bm25TopK(docs(s, dir),
+          Seq(1 -> Seq("dup"), 2 -> Seq("spark", "join"),
+            3 -> Seq("customer", "order", "fast")), k = 10)
+        .orderBy("query_id", "rk")
     }
   )
 }

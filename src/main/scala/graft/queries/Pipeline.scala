@@ -293,6 +293,57 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // SemDeDup-style semantic dedup, end to end: cluster the embedding
+    // space (broadcast-argmax assignment, the IVF partitioner), find
+    // within-cluster cosine near-dup pairs (tiled exact join — clusters
+    // bound the pair space the way SemDeDup's k-means blocks do), close
+    // them into components, keep one canonical (min id) per component.
+    // Oracle = the same argmax assignment + all-pairs threshold join +
+    // recursive transitive closure, all on the shared int64 quantization.
+    // Scale: the cluster count grows with the corpus (stride-derived), so
+    // per-cluster pair work stays bounded; CC is one shuffle/iteration.
+    Qd("q190_semantic_dedup",
+      s"""WITH RECURSIVE ${qCte("v", "")},
+        |n AS (SELECT vec_id, qe,
+        |  CAST(list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]*qe[i])) AS BIGINT) AS n2 FROM v),
+        |cents AS (SELECT vec_id AS cent_id, qe AS ce FROM v WHERE vec_id % 40 = 0),
+        |ca AS (SELECT cid, cent_id FROM (
+        |  SELECT v.vec_id AS cid, cents.cent_id,
+        |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |      CAST(list_sum(list_transform(range(1, len(v.qe)+1), i -> v.qe[i]*cents.ce[i])) AS BIGINT) DESC,
+        |      cents.cent_id) AS rn
+        |  FROM v, cents) WHERE rn = 1),
+        |p AS (
+        |  SELECT a.vec_id AS d1, b.vec_id AS d2
+        |  FROM n a JOIN ca x ON x.cid = a.vec_id
+        |       JOIN n b ON a.vec_id < b.vec_id
+        |       JOIN ca y ON y.cid = b.vec_id AND y.cent_id = x.cent_id
+        |  WHERE CAST(CAST(list_sum(list_transform(range(1, len(a.qe)+1), i -> a.qe[i]*b.qe[i])) AS BIGINT) AS DOUBLE)
+        |      / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) >= 0.4),
+        |e AS (SELECT d1 AS src, d2 AS dst FROM p UNION SELECT d2, d1 FROM p),
+        |reach AS (
+        |  SELECT src, src AS dst FROM e
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+        |comp AS (SELECT src AS vec_id, min(dst) AS comp FROM reach GROUP BY src)
+        |SELECT ca.cid AS vec_id, ca.cent_id,
+        |  COALESCE(comp.comp, ca.cid) AS canonical,
+        |  COALESCE(comp.comp, ca.cid) = ca.cid AS kept
+        |FROM ca LEFT JOIN comp ON comp.vec_id = ca.cid
+        |ORDER BY vec_id""") { (s, dir) =>
+      val e = emb(s, dir)
+      val clust = AnnSearch.assignClusters(e, centroidStride = 40)
+      val blocked = e.join(clust, "id")
+      val comp = Dedup.connectedComponents(
+        AnnSearch.cosineNearDupPairs(blocked, "cent_id", 0.4))
+      clust.join(comp, col("id") === col("doc_id"), "left")
+        .select(col("id").as("vec_id"),
+          col("cent_id").cast("bigint").as("cent_id"),
+          coalesce(col("comp"), col("id")).as("canonical"),
+          (coalesce(col("comp"), col("id")) === col("id")).as("kept"))
+        .orderBy("vec_id")
+    },
+
     Qd("q50_embedding_neardup",
       s"""WITH ${qCte("v", "")},
         |n AS (SELECT vec_id, label, qe,

@@ -197,6 +197,47 @@ object Shaping {
         .groupBy("shard", "bin")
         .agg(count(lit(1)).as("n_units"), sum("n_tok").as("bin_tok"))
         .orderBy("shard", "bin")
+    },
+
+    // PII redaction: the corpus is synthetic (no real PII), so the query
+    // plants deterministic emails/IPs/card numbers on a doc_id schedule —
+    // both engines build the identical augmented text — then counts and
+    // scrubs them with the shared Java∩RE2 patterns. Docs off the schedule
+    // prove the no-op path (0 counts, text unchanged).
+    Qd("q189_pii_scrub",
+      """WITH aug AS (SELECT doc_id,
+        |  text
+        |   || CASE WHEN doc_id % 5 = 0
+        |        THEN ' mail bob' || CAST(doc_id AS VARCHAR) || '@test.org ok' ELSE '' END
+        |   || CASE WHEN doc_id % 7 = 0
+        |        THEN ' ip 10.20.' || CAST(doc_id % 250 AS VARCHAR) || '.9 seen' ELSE '' END
+        |   || CASE WHEN doc_id % 11 = 0
+        |        THEN ' card 4111111111111111 used' ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(text, '\b\d{13,16}\b')) AS BIGINT) AS n_cards,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{13,16}\b', '<CARD>', 'g') AS scrubbed
+        |FROM aug ORDER BY doc_id""") { (s, dir) =>
+      val aug = docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" mail bob"), col("doc_id").cast("string"),
+              lit("@test.org ok"))).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" ip 10.20."), (col("doc_id") % 250).cast("string"),
+              lit(".9 seen"))).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit(" card 4111111111111111 used")).otherwise(lit("")))
+          .as("text"))
+      CorpusOps.piiScrub(aug)
+        .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_cards"),
+          col("scrubbed"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -1,0 +1,116 @@
+package graft
+
+import graft.operators.{AnnSearch, CorpusOps, Dedup, Retrieval}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Contracts for the retrieval / redaction / semantic-dedup additions
+  * beyond their oracle checks: hand-computable BM25 semantics on a tiny
+  * corpus, plan shape of the probe join, PII scrub exactness, and the
+  * dedup-idempotence property of the SemDeDup composition. */
+class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = Engine.session(cores = 4, appName = "graft-retr")
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("bm25: rare term dominates, tf breaks ties, absent term scores nothing") {
+    // 4 docs, all length 4 → identical length normalization.
+    // 'rare' appears only in docs 1 and 2 (doc 2 twice); 'common' in all.
+    val docs = docsDf(Seq(
+      (1L, "rare common x y"),
+      (2L, "rare rare common x"),
+      (3L, "common x y z"),
+      (4L, "common common x y")))
+    val out = Retrieval.bm25TopK(docs, Seq(1 -> Seq("rare", "common")), k = 4)
+      .orderBy("rk").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    // doc 2 (tf=2 on the rare term) > doc 1 > the rare-less docs; doc 4
+    // (tf=2 on common) > doc 3.
+    assert(out.toSeq == Seq((2L, 1L), (1L, 2L), (4L, 3L), (3L, 4L)))
+  }
+
+  test("bm25: hand-computed score on a one-term query") {
+    // N=2, df=1, dl=2=avgdl → idf = ln(1 + (2-1+0.5)/(1+0.5)) = ln(2);
+    // tf=1 → sat = (1*2.2)/(1 + 1.2*(1-0.75+0.75*1)) = 2.2/2.2 = 1
+    // score = round(round(ln(2)*1e6) * 1) / 1e6 rounded to 4 = 0.6931
+    val docs = docsDf(Seq((1L, "hit miss"), (2L, "x y")))
+    val row = Retrieval.bm25TopK(docs, Seq(1 -> Seq("hit")), k = 1).head()
+    assert(row.getLong(1) == 1L)
+    assert(math.abs(row.getDouble(3) - 0.6931) < 1e-9)
+  }
+
+  test("bm25: longer docs are penalized at equal tf") {
+    val docs = docsDf(Seq(
+      (1L, "hit a"),
+      (2L, "hit a b c d e f g")))
+    val out = Retrieval.bm25TopK(docs, Seq(1 -> Seq("hit")), k = 2)
+      .orderBy("rk").collect().map(_.getLong(1))
+    assert(out.toSeq == Seq(1L, 2L))
+  }
+
+  test("bm25 plan: no cartesian, query side broadcast into the postings join") {
+    val docs = docsDf((0L until 50L).map(i => (i, s"w$i common text")))
+    val plan = Retrieval.bm25TopK(docs, Seq(1 -> Seq("common")), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("piiScrub counts and replaces emails, ips, cards; no-op otherwise") {
+    val docs = docsDf(Seq(
+      (1L, "mail a.b+c@ex.org and 10.0.0.1 and 4111111111111111 end"),
+      (2L, "clean text only"),
+      (3L, "two mails x@y.io z@w.co one ip 192.168.1.255")))
+    val out = CorpusOps.piiScrub(docs)
+      .select("doc_id", "n_emails", "n_ips", "n_cards", "scrubbed")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)), r.getString(4))).toMap
+    assert(out(1L)._1 == ((1L, 1L, 1L)))
+    assert(out(1L)._2 == "mail <EMAIL> and <IP> and <CARD> end")
+    assert(out(2L)._1 == ((0L, 0L, 0L)))
+    assert(out(2L)._2 == "clean text only")
+    assert(out(3L)._1 == ((2L, 1L, 0L)))
+    assert(out(3L)._2 == "two mails <EMAIL> <EMAIL> one ip <IP>")
+  }
+
+  test("piiScrub: card pattern does not fire inside IPs or phone-ish digits") {
+    val docs = docsDf(Seq(
+      (1L, "ip 10.20.30.40 stays one token 123456789012 is too short"),
+      (2L, "sixteen 1234567890123456 matches")))
+    val out = CorpusOps.piiScrub(docs).select("doc_id", "n_cards", "scrubbed")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out(1L)._1 == 0L)
+    assert(out(2L) == ((1L, "sixteen <CARD> matches")))
+  }
+
+  test("semantic dedup: kept set is pair-free at the threshold (idempotence)") {
+    val dir = "/root/testdata/sf0.001"
+    val e = Engine.table(spark, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"), col("label"))
+    val clust = AnnSearch.assignClusters(e, centroidStride = 40)
+    val blocked = e.join(clust, "id")
+    val pairs = AnnSearch.cosineNearDupPairs(blocked, "cent_id", 0.4)
+    val comp = Dedup.connectedComponents(pairs)
+    val kept = clust.join(comp, col("id") === col("doc_id"), "left")
+      .filter(coalesce(col("comp"), col("id")) === col("id"))
+      .select(col("id"), col("cent_id"))
+    // dropping non-canonicals removes every within-cluster near-dup pair:
+    // re-running the pair join on the kept set must find nothing
+    val keptEmb = e.join(kept.select("id"), "id").join(clust, "id")
+    assert(AnnSearch.cosineNearDupPairs(keptEmb, "cent_id", 0.4).count() == 0L)
+    // and the canonical of every component is its min id
+    val bad = comp.groupBy("comp").agg(min("doc_id").as("mn"))
+      .filter(col("comp") =!= col("mn")).count()
+    assert(bad == 0L)
+  }
+}
