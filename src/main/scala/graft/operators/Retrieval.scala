@@ -59,9 +59,11 @@ object Retrieval {
     import spark.implicits._
 
     val tok = postings(docs)
-    // index stats: term frequencies, doc lengths, corpus scalars
+    // index stats: term frequencies, then doc lengths DERIVED from tf
+    // (dl = Σ_term tf) — the token stream is scanned and shuffled exactly
+    // once; the second aggregation runs over the much smaller tf relation
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     // the TWO corpus scalars (N, avgdl) — a bounded O(1) driver
     // materialization (the collectCentroids contract), traded for keeping
     // the scoring plan free of the 1-row BroadcastNestedLoopJoin a

@@ -199,6 +199,49 @@ object Shaping {
         .orderBy("shard", "bin")
     },
 
+    // Tokenizer-aware packing capstone: per-doc token counts come from the
+    // REAL BPE inference pass (q186's merge list), and packing bins on
+    // those counts — the production shape, where context-window budgeting
+    // uses tokenizer output, not whitespace word counts. Oracle = q186's
+    // chained-replace tokenization feeding q187's recursive pack replay.
+    Qd("q191_tokenize_pack",
+      """WITH RECURSIVE w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |s0 AS (SELECT doc_id,
+        |  ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS s FROM w),
+        |s1 AS (SELECT doc_id, replace(s, ' e  r ', ' er ') AS s FROM s0),
+        |s2 AS (SELECT doc_id, replace(s, ' s  t ', ' st ') AS s FROM s1),
+        |s3 AS (SELECT doc_id, replace(s, ' a  st ', ' ast ') AS s FROM s2),
+        |t AS (SELECT doc_id, len(string_split(trim(s, ' '), '  ')) AS ntok FROM s3),
+        |d AS (SELECT doc_id, CAST(sum(ntok) AS BIGINT) AS ntok FROM t GROUP BY doc_id),
+        |k AS (SELECT CAST(doc_id AS VARCHAR) AS uid, ntok,
+        |  md5('tp7:' || CAST(doc_id AS VARCHAR)) AS skey FROM d),
+        |o AS (SELECT uid, ntok, skey,
+        |  CAST(CAST(('0x'||substr(skey,1,15)) AS BIGINT) % 8 AS INTEGER) AS shard FROM k),
+        |r AS (SELECT uid, shard, ntok,
+        |  row_number() OVER (PARTITION BY shard ORDER BY skey, uid) AS rn FROM o),
+        |p AS (
+        |  SELECT uid, shard, ntok, rn,
+        |    CAST(0 AS BIGINT) AS bin, CAST(ntok AS BIGINT) AS fill
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.uid, r.shard, r.ntok, r.rn,
+        |    CASE WHEN p.fill + r.ntok <= 1024 THEN p.bin ELSE p.bin + 1 END,
+        |    CASE WHEN p.fill + r.ntok <= 1024 THEN p.fill + r.ntok
+        |         ELSE CAST(r.ntok AS BIGINT) END
+        |  FROM p JOIN r ON r.shard = p.shard AND r.rn = p.rn + 1)
+        |SELECT shard, bin, CAST(count(*) AS BIGINT) AS n_units,
+        |  CAST(sum(ntok) AS BIGINT) AS bin_tok
+        |FROM p GROUP BY shard, bin ORDER BY shard, bin""") { (s, dir) =>
+      val toks = BpeTrain.tokenize(docs(s, dir),
+        Seq(("e", "r"), ("s", "t"), ("a", "st")))
+      val units = toks.select(col("doc_id").cast("string").as("unit_id"),
+        col("n_bpe_tokens").as("ntok"))
+      CorpusOps.packUnits(units, seed = "tp7", nShards = 8, capacity = 1024L)
+        .groupBy("shard", "bin")
+        .agg(count(lit(1)).as("n_units"), sum("n_tok").as("bin_tok"))
+        .orderBy("shard", "bin")
+    },
+
     // PII redaction: the corpus is synthetic (no real PII), so the query
     // plants deterministic emails/IPs/card numbers on a doc_id schedule —
     // both engines build the identical augmented text — then counts and
