@@ -22,6 +22,56 @@ object Shaping {
   private val blocked = Set("slow", "crash", "merge")
   private val blockedSql = "('slow','crash','merge')"
 
+  // ---- shared oracle fragments: constants that must agree between the SQL
+  // text and the Scala build (on pain of hash-red) live in ONE place ----
+
+  /** The fixed BPE merge list q186/q191 run inference with. */
+  private val bpeMerges = Seq(("e", "r"), ("s", "t"), ("a", "st"))
+
+  /** Chained-replace tokenization CTEs over `documents` → t(doc_id, ntok),
+    * one row per word: the ' c1  c2 ' encoding makes SQL replace() exactly
+    * the left-to-right non-overlapping merge pass. Generated from
+    * [[bpeMerges]] so the SQL and Scala merge lists can never drift. */
+  private val bpeTokCtes: String = {
+    val chain = bpeMerges.zipWithIndex.map { case ((a, b), i) =>
+      s"s${i + 1} AS (SELECT doc_id, replace(s, ' $a  $b ', ' $a$b ') AS s FROM s$i)"
+    }.mkString(",\n")
+    s"""w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |s0 AS (SELECT doc_id,
+       |  ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS s FROM w),
+       |$chain,
+       |t AS (SELECT doc_id, len(string_split(trim(s, ' '), '  ')) AS ntok FROM s${bpeMerges.length})""".stripMargin
+  }
+
+  /** Recursive greedy-pack replay over u(uid VARCHAR, ntok) → p(uid, shard,
+    * ntok, rn, bin, fill): the SQL mirror of `CorpusOps.packUnits` (same
+    * keyed-md5 shard key, same (skey, uid) walk order, same first-fit
+    * fold). Shared by q183/q187/q191 so the fold semantics and each
+    * query's (seed, nShards, capacity) exist exactly once. */
+  private def packCtes(seed: String, nShards: Int, capacity: Long): String =
+    s"""k AS (SELECT uid, ntok, md5('$seed:' || uid) AS skey FROM u),
+       |o AS (SELECT uid, ntok, skey,
+       |  CAST(CAST(('0x'||substr(skey,1,15)) AS BIGINT) % $nShards AS INTEGER) AS shard FROM k),
+       |r AS (SELECT uid, shard, ntok,
+       |  row_number() OVER (PARTITION BY shard ORDER BY skey, uid) AS rn FROM o),
+       |p AS (
+       |  SELECT uid, shard, ntok, rn,
+       |    CAST(0 AS BIGINT) AS bin, CAST(ntok AS BIGINT) AS fill
+       |  FROM r WHERE rn = 1
+       |  UNION ALL
+       |  SELECT r.uid, r.shard, r.ntok, r.rn,
+       |    CASE WHEN p.fill + r.ntok <= $capacity THEN p.bin ELSE p.bin + 1 END,
+       |    CASE WHEN p.fill + r.ntok <= $capacity THEN p.fill + r.ntok
+       |         ELSE CAST(r.ntok AS BIGINT) END
+       |  FROM p JOIN r ON r.shard = p.shard AND r.rn = p.rn + 1)""".stripMargin
+
+  private val packSeed = "pack7"
+  private val chunkPackSeed = "cp7"
+  private val tokPackSeed = "tp7"
+  private val packShards = 8
+  private val wordCap = 128L   // q183/q187 whitespace-token bins
+  private val bpeCap = 1024L   // q191 BPE-token bins (docs are unchunked)
+
   val all: Seq[Qd] = Seq(
 
     // Gopher/MassiveText repetition filters on word streams: duplicate-word
@@ -84,28 +134,15 @@ object Shaping {
     // deterministic shard order. The oracle replays the sequential fold as a
     // recursive CTE advancing one rank per shard per iteration.
     Qd("q183_pack_sequences",
-      """WITH RECURSIVE k AS (
-        |  SELECT doc_id, md5('pack7:' || CAST(doc_id AS VARCHAR)) AS skey,
+      s"""WITH RECURSIVE u AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS uid,
         |    len(string_split(text, ' ')) AS ntok
         |  FROM documents),
-        |o AS (SELECT doc_id, ntok, skey,
-        |  CAST(CAST(('0x'||substr(skey,1,15)) AS BIGINT) % 8 AS INTEGER) AS shard FROM k),
-        |r AS (SELECT doc_id, shard, ntok,
-        |  row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS rn FROM o),
-        |p AS (
-        |  SELECT doc_id, shard, ntok, rn,
-        |    CAST(0 AS BIGINT) AS bin, CAST(ntok AS BIGINT) AS fill
-        |  FROM r WHERE rn = 1
-        |  UNION ALL
-        |  SELECT r.doc_id, r.shard, r.ntok, r.rn,
-        |    CASE WHEN p.fill + r.ntok <= 128 THEN p.bin ELSE p.bin + 1 END,
-        |    CASE WHEN p.fill + r.ntok <= 128 THEN p.fill + r.ntok
-        |         ELSE CAST(r.ntok AS BIGINT) END
-        |  FROM p JOIN r ON r.shard = p.shard AND r.rn = p.rn + 1)
-        |SELECT doc_id, shard, bin, CAST(ntok AS BIGINT) AS n_tok
+        |${packCtes(packSeed, packShards, wordCap)}
+        |SELECT CAST(uid AS BIGINT) AS doc_id, shard, bin, CAST(ntok AS BIGINT) AS n_tok
         |FROM p ORDER BY doc_id""") { (s, dir) =>
-      CorpusOps.packGreedy(docs(s, dir), seed = "pack7", nShards = 8,
-          capacity = 128L)
+      CorpusOps.packGreedy(docs(s, dir), seed = packSeed, nShards = packShards,
+          capacity = wordCap)
         .orderBy("doc_id")
     },
 
@@ -140,19 +177,12 @@ object Shaping {
     // token owns its surrounding spaces) so SQL replace() of ' a  b ' with
     // ' ab ' is exactly the left-to-right non-overlapping merge pass.
     Qd("q186_bpe_tokenize",
-      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-        |s0 AS (SELECT doc_id,
-        |  ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS s FROM w),
-        |s1 AS (SELECT doc_id, replace(s, ' e  r ', ' er ') AS s FROM s0),
-        |s2 AS (SELECT doc_id, replace(s, ' s  t ', ' st ') AS s FROM s1),
-        |s3 AS (SELECT doc_id, replace(s, ' a  st ', ' ast ') AS s FROM s2),
-        |t AS (SELECT doc_id, len(string_split(trim(s, ' '), '  ')) AS ntok FROM s3)
+      s"""WITH $bpeTokCtes
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
         |  CAST(sum(ntok) AS BIGINT) AS n_bpe_tokens,
         |  ROUND(CAST(sum(ntok) AS DOUBLE) / count(*), 6) AS tokens_per_word
         |FROM t GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
-      BpeTrain.tokenize(docs(s, dir), Seq(("e", "r"), ("s", "t"), ("a", "st")))
-        .orderBy("doc_id")
+      BpeTrain.tokenize(docs(s, dir), bpeMerges).orderBy("doc_id")
     },
 
     // Chunk→pack capstone: the actual corpus→training-examples flow — split
@@ -162,28 +192,14 @@ object Shaping {
     // tokens (greedy bound: capacity − max_unit), the packing-efficiency
     // contract asserted in ShapingSpec.
     Qd("q187_chunk_pack",
-      """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      s"""WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |c AS (SELECT doc_id, ws, len(ws) AS n,
         |  unnest(range(0, len(ws), 24)) AS st FROM w),
-        |ch AS (SELECT
+        |u AS (SELECT
         |  CAST(doc_id AS VARCHAR)||':'||CAST(CAST(st/24 AS BIGINT) AS VARCHAR) AS uid,
         |  least(st+32, n) - st AS ntok
         |  FROM c WHERE st = 0 OR st < n - 32 + 24),
-        |k AS (SELECT uid, ntok, md5('cp7:' || uid) AS skey FROM ch),
-        |o AS (SELECT uid, ntok, skey,
-        |  CAST(CAST(('0x'||substr(skey,1,15)) AS BIGINT) % 8 AS INTEGER) AS shard FROM k),
-        |r AS (SELECT uid, shard, ntok,
-        |  row_number() OVER (PARTITION BY shard ORDER BY skey, uid) AS rn FROM o),
-        |p AS (
-        |  SELECT uid, shard, ntok, rn,
-        |    CAST(0 AS BIGINT) AS bin, CAST(ntok AS BIGINT) AS fill
-        |  FROM r WHERE rn = 1
-        |  UNION ALL
-        |  SELECT r.uid, r.shard, r.ntok, r.rn,
-        |    CASE WHEN p.fill + r.ntok <= 128 THEN p.bin ELSE p.bin + 1 END,
-        |    CASE WHEN p.fill + r.ntok <= 128 THEN p.fill + r.ntok
-        |         ELSE CAST(r.ntok AS BIGINT) END
-        |  FROM p JOIN r ON r.shard = p.shard AND r.rn = p.rn + 1)
+        |${packCtes(chunkPackSeed, packShards, wordCap)}
         |SELECT shard, bin, CAST(count(*) AS BIGINT) AS n_units,
         |  CAST(sum(ntok) AS BIGINT) AS bin_tok
         |FROM p GROUP BY shard, bin ORDER BY shard, bin""") { (s, dir) =>
@@ -193,7 +209,8 @@ object Shaping {
         concat(col("doc_id").cast("string"), lit(":"),
           col("chunk_id").cast("string")).as("unit_id"),
         col("n_tok").cast("long").as("ntok"))
-      CorpusOps.packUnits(units, seed = "cp7", nShards = 8, capacity = 128L)
+      CorpusOps.packUnits(units, seed = chunkPackSeed, nShards = packShards,
+          capacity = wordCap)
         .groupBy("shard", "bin")
         .agg(count(lit(1)).as("n_units"), sum("n_tok").as("bin_tok"))
         .orderBy("shard", "bin")
@@ -205,38 +222,18 @@ object Shaping {
     // uses tokenizer output, not whitespace word counts. Oracle = q186's
     // chained-replace tokenization feeding q187's recursive pack replay.
     Qd("q191_tokenize_pack",
-      """WITH RECURSIVE w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-        |s0 AS (SELECT doc_id,
-        |  ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS s FROM w),
-        |s1 AS (SELECT doc_id, replace(s, ' e  r ', ' er ') AS s FROM s0),
-        |s2 AS (SELECT doc_id, replace(s, ' s  t ', ' st ') AS s FROM s1),
-        |s3 AS (SELECT doc_id, replace(s, ' a  st ', ' ast ') AS s FROM s2),
-        |t AS (SELECT doc_id, len(string_split(trim(s, ' '), '  ')) AS ntok FROM s3),
-        |d AS (SELECT doc_id, CAST(sum(ntok) AS BIGINT) AS ntok FROM t GROUP BY doc_id),
-        |k AS (SELECT CAST(doc_id AS VARCHAR) AS uid, ntok,
-        |  md5('tp7:' || CAST(doc_id AS VARCHAR)) AS skey FROM d),
-        |o AS (SELECT uid, ntok, skey,
-        |  CAST(CAST(('0x'||substr(skey,1,15)) AS BIGINT) % 8 AS INTEGER) AS shard FROM k),
-        |r AS (SELECT uid, shard, ntok,
-        |  row_number() OVER (PARTITION BY shard ORDER BY skey, uid) AS rn FROM o),
-        |p AS (
-        |  SELECT uid, shard, ntok, rn,
-        |    CAST(0 AS BIGINT) AS bin, CAST(ntok AS BIGINT) AS fill
-        |  FROM r WHERE rn = 1
-        |  UNION ALL
-        |  SELECT r.uid, r.shard, r.ntok, r.rn,
-        |    CASE WHEN p.fill + r.ntok <= 1024 THEN p.bin ELSE p.bin + 1 END,
-        |    CASE WHEN p.fill + r.ntok <= 1024 THEN p.fill + r.ntok
-        |         ELSE CAST(r.ntok AS BIGINT) END
-        |  FROM p JOIN r ON r.shard = p.shard AND r.rn = p.rn + 1)
+      s"""WITH RECURSIVE $bpeTokCtes,
+        |u AS (SELECT CAST(doc_id AS VARCHAR) AS uid,
+        |  CAST(sum(ntok) AS BIGINT) AS ntok FROM t GROUP BY doc_id),
+        |${packCtes(tokPackSeed, packShards, bpeCap)}
         |SELECT shard, bin, CAST(count(*) AS BIGINT) AS n_units,
         |  CAST(sum(ntok) AS BIGINT) AS bin_tok
         |FROM p GROUP BY shard, bin ORDER BY shard, bin""") { (s, dir) =>
-      val toks = BpeTrain.tokenize(docs(s, dir),
-        Seq(("e", "r"), ("s", "t"), ("a", "st")))
+      val toks = BpeTrain.tokenize(docs(s, dir), bpeMerges)
       val units = toks.select(col("doc_id").cast("string").as("unit_id"),
         col("n_bpe_tokens").as("ntok"))
-      CorpusOps.packUnits(units, seed = "tp7", nShards = 8, capacity = 1024L)
+      CorpusOps.packUnits(units, seed = tokPackSeed, nShards = packShards,
+          capacity = bpeCap)
         .groupBy("shard", "bin")
         .agg(count(lit(1)).as("n_units"), sum("n_tok").as("bin_tok"))
         .orderBy("shard", "bin")

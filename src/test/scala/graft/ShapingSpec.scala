@@ -203,4 +203,30 @@ class ShapingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(0).getLong(2) == 4)      // tokens: [f,ast] + [er,a]
     assert(r(0).getDouble(3) == 2.0)
   }
+
+  test("tokenize→pack composition (q191 glue): token totals reconcile, oversized doc gets a singleton bin") {
+    // doc 1: "er st" → 2 BPE tokens; doc 2: 40 one-char words → 40 tokens,
+    // which exceeds the capacity of 16 → it must sit in a bin of its own
+    val df = Seq((1L, "er st"), (2L, Seq.fill(40)("x").mkString(" ")))
+      .toDF("doc_id", "text")
+    val toks = BpeTrain.tokenize(df, Seq(("e", "r"), ("s", "t")))
+    val units = toks.select(col("doc_id").cast("string").as("unit_id"),
+      col("n_bpe_tokens").as("ntok"))
+    val packed = CorpusOps.packUnits(units, seed = "t", nShards = 2,
+      capacity = 16L)
+    // every tokenizer-emitted token lands in exactly one bin
+    val binned = packed.agg(sum("n_tok")).head().getLong(0)
+    val emitted = toks.agg(sum("n_bpe_tokens")).head().getLong(0)
+    assert(binned == emitted && emitted == 42L)
+    // the composition feeds BPE counts, not word counts: doc 1 is 2 words
+    // AND 2 tokens, so distinguish via doc 2 (40 words, 40 tokens) + doc 1's
+    // packed n_tok being the post-merge 2, not the 5-char count
+    val byDoc = packed.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(byDoc("1") == 2L && byDoc("2") == 40L)
+    // oversized unit monopolizes its bin
+    val doc2 = packed.filter(col("unit_id") === "2").head()
+    val mates = packed.filter(col("shard") === doc2.getInt(1) &&
+      col("bin") === doc2.getLong(2)).count()
+    assert(mates == 1L)
+  }
 }
