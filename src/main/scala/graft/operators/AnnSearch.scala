@@ -52,7 +52,7 @@ object AnnSearch {
 
   /** (id, qe, n2): quantized embedding + its squared norm, one compiled map
     * pass over (id, embedding). */
-  private def quantized(df: DataFrame): DataFrame = {
+  private[operators] def quantized(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("id"), col("embedding")).as[(Long, Seq[Float])]

@@ -112,4 +112,48 @@ object Retrieval {
         col("rk").cast("bigint").as("rk"),
         round(col("cos").cast("long") / lit(1e6), 4).as("score"))
   }
+
+  /** Two-stage hybrid retrieval — the standard RAG shape: a cheap lexical
+    * candidate stage ([[bm25TopK]], `kCand` per query) re-ranked by
+    * embedding cosine against a per-query anchor vector, keep `k`.
+    * `queryVec` maps each query to its anchor's id in `emb` (in production
+    * the anchor is the encoded query; anchoring to a corpus vector keeps
+    * the pipeline self-contained and oracle-checkable). Cosine uses the
+    * shared int64 quantization ([[AnnSearch.quantized]] + codegen'd
+    * [[graft.functions.DotI64]]) — bit-identical across engines.
+    *
+    * Scale shape: the candidate set (|queries|×kCand rows) and the anchor
+    * vectors (|queries| rows) BROADCAST into the corpus-embedding scan —
+    * the embedding table never shuffles and is touched by exactly one
+    * narrow probe join, the [[AnnSearch.bruteTopK]] corpus-side contract.
+    */
+  def bm25RerankTopK(docs: DataFrame, emb: DataFrame,
+      queries: Seq[(Int, Seq[String])], queryVec: Map[Int, Long],
+      kCand: Int, k: Int): DataFrame = {
+    require(k >= 1 && kCand >= k, s"need kCand >= k >= 1 (got $kCand, $k)")
+    require(queries.forall(q => queryVec.contains(q._1)),
+      "every query needs an anchor vector id in queryVec")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cand = bm25TopK(docs, queries, kCand)
+      .select(col("query_id"), col("doc_id"), col("rk").as("bm25_rk"))
+    val v = AnnSearch.quantized(emb)
+    val qv = queryVec.toSeq.toDF("query_id", "qvec_id")
+    // anchors: |queries| quantized vectors, re-keyed by query
+    val anchors = v.join(broadcast(qv), col("id") === col("qvec_id"))
+      .select(col("query_id"), col("qe").as("aqe"), col("n2").as("an"))
+    val scored = v.join(
+        broadcast(cand.join(broadcast(anchors), Seq("query_id"))),
+        col("id") === col("doc_id"))
+      .withColumn("cos",
+        AnnSearch.dotI64(col("aqe"), col("qe")).cast("double") /
+          sqrt(col("an").cast("double") * col("n2").cast("double")))
+    scored
+      .withColumn("rerank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("doc_id"))))
+      .filter(col("rerank") <= k)
+      .select(col("query_id"), col("doc_id"), col("bm25_rk"),
+        col("rerank").cast("bigint").as("rerank"),
+        round(col("cos"), 6).as("cos"))
+  }
 }

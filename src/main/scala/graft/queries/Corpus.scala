@@ -20,6 +20,42 @@ object Corpus {
 
   private val sh = Pipeline.shCte
 
+  // ---- BM25 shared fragments: the query set and the scoring CTE chain
+  // exist once, interpolated into both q188 and q192's oracles and passed
+  // to both Scala builds ----
+
+  private val bm25Queries = Seq(1 -> Seq("dup"), 2 -> Seq("spark", "join"),
+    3 -> Seq("customer", "order", "fast"))
+
+  private val bm25QtValues = bm25Queries
+    .flatMap { case (q, ts) => ts.map(t => s"($q,'$t')") }.mkString(", ")
+
+  /** tok→sc: tokenize, tf/dl/N/avgdl stats, probed-term df, micro-unit idf,
+    * exact int64 per-(query, doc) score — the SQL mirror of
+    * `Retrieval.bm25TopK`'s scoring (identical IEEE ops, see its scaladoc). */
+  private val bm25Ctes: String =
+    s"""tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+       |t2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY doc_id, term),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY doc_id),
+       |g AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl FROM dl),
+       |qt(query_id, term) AS (VALUES $bm25QtValues),
+       |dfx AS (SELECT tf.term, count(*) AS df FROM tf
+       |        JOIN (SELECT DISTINCT term FROM qt) q ON tf.term = q.term
+       |        GROUP BY tf.term),
+       |idf AS (SELECT term,
+       |  CAST(round(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+       |                / (CAST(df AS DOUBLE) + 0.5) + 1.0) * 1000000.0) AS BIGINT) AS idfq
+       |  FROM dfx, g),
+       |sc AS (SELECT qt.query_id, tf.doc_id,
+       |  SUM(CAST(round(idfq * ((CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+       |    / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * (1.0 - CAST(0.75 AS DOUBLE)
+       |       + CAST(0.75 AS DOUBLE) * (CAST(dl AS DOUBLE) / avgdl))))) AS BIGINT)) AS wq
+       |  FROM tf JOIN qt ON tf.term = qt.term
+       |  JOIN dl ON dl.doc_id = tf.doc_id
+       |  JOIN idf ON idf.term = tf.term, g
+       |  GROUP BY qt.query_id, tf.doc_id)""".stripMargin
+
   val all: Seq[Qd] = Seq(
 
     // Benchmark decontamination: train = doc_id % 97 != 0, benchmark = the
@@ -150,36 +186,49 @@ object Corpus {
     // (order-free); every double op is written identically on both engines
     // (see Retrieval.bm25TopK's determinism note).
     Qd("q188_bm25_retrieval",
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
-        |t2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY doc_id, term),
-        |dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY doc_id),
-        |g AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl FROM dl),
-        |qt(query_id, term) AS (VALUES
-        |  (1,'dup'), (2,'spark'), (2,'join'), (3,'customer'), (3,'order'), (3,'fast')),
-        |dfx AS (SELECT tf.term, count(*) AS df FROM tf
-        |        JOIN (SELECT DISTINCT term FROM qt) q ON tf.term = q.term
-        |        GROUP BY tf.term),
-        |idf AS (SELECT term,
-        |  CAST(round(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
-        |                / (CAST(df AS DOUBLE) + 0.5) + 1.0) * 1000000.0) AS BIGINT) AS idfq
-        |  FROM dfx, g),
-        |sc AS (SELECT qt.query_id, tf.doc_id,
-        |  SUM(CAST(round(idfq * ((CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
-        |    / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * (1.0 - CAST(0.75 AS DOUBLE)
-        |       + CAST(0.75 AS DOUBLE) * (CAST(dl AS DOUBLE) / avgdl))))) AS BIGINT)) AS wq
-        |  FROM tf JOIN qt ON tf.term = qt.term
-        |  JOIN dl ON dl.doc_id = tf.doc_id
-        |  JOIN idf ON idf.term = tf.term, g
-        |  GROUP BY qt.query_id, tf.doc_id),
+      s"""WITH $bm25Ctes,
         |rk AS (SELECT query_id, doc_id, wq,
         |  row_number() OVER (PARTITION BY query_id ORDER BY wq DESC, doc_id) AS rk FROM sc)
         |SELECT query_id, doc_id, rk, ROUND(CAST(wq AS DOUBLE)/1000000.0, 4) AS score
         |FROM rk WHERE rk <= 10 ORDER BY query_id, rk""") { (s, dir) =>
-      Retrieval.bm25TopK(docs(s, dir),
-          Seq(1 -> Seq("dup"), 2 -> Seq("spark", "join"),
-            3 -> Seq("customer", "order", "fast")), k = 10)
+      Retrieval.bm25TopK(docs(s, dir), bm25Queries, k = 10)
         .orderBy("query_id", "rk")
+    },
+
+    // Hybrid retrieval (the RAG two-stage shape): BM25 candidates (top-20)
+    // re-ranked by int64-quantized embedding cosine against a per-query
+    // anchor vector, keep 5. Candidate docs without an embedding row drop
+    // out on BOTH engines (inner probe join). Candidates + anchors
+    // broadcast into the embedding scan — the corpus embedding table never
+    // shuffles.
+    Qd("q192_hybrid_retrieval",
+      s"""WITH $bm25Ctes,
+        |cand AS (SELECT query_id, doc_id, bm25_rk FROM (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY wq DESC, doc_id) AS bm25_rk
+        |  FROM sc) WHERE bm25_rk <= 20),
+        |v AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS qe
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, qe,
+        |  CAST(list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]*qe[i])) AS BIGINT) AS n2 FROM v),
+        |qv(query_id, qvec_id) AS (VALUES (1, 7), (2, 14), (3, 21)),
+        |sc2 AS (SELECT c.query_id, c.doc_id, c.bm25_rk,
+        |  CAST(CAST(list_sum(list_transform(range(1, len(a.qe)+1), i -> a.qe[i]*b.qe[i])) AS BIGINT) AS DOUBLE)
+        |    / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) AS cos
+        |  FROM cand c JOIN qv ON qv.query_id = c.query_id
+        |  JOIN n a ON a.vec_id = qv.qvec_id
+        |  JOIN n b ON b.vec_id = c.doc_id),
+        |rr AS (SELECT query_id, doc_id, bm25_rk, cos,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rerank
+        |  FROM sc2)
+        |SELECT query_id, doc_id, bm25_rk, rerank, ROUND(cos, 6) AS cos
+        |FROM rr WHERE rerank <= 5 ORDER BY query_id, rerank""") { (s, dir) =>
+      val emb = graft.Engine.table(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding"))
+      Retrieval.bm25RerankTopK(docs(s, dir), emb, bm25Queries,
+          queryVec = Map(1 -> 7L, 2 -> 14L, 3 -> 21L), kCand = 20, k = 5)
+        .orderBy("query_id", "rerank")
     }
   )
 }

@@ -93,6 +93,28 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L) == ((1L, "sixteen <CARD> matches")))
   }
 
+  test("hybrid rerank: containment in the candidate stage, cosine ordering, plan shape") {
+    val dir = "/root/testdata/sf0.001"
+    val d = Engine.table(spark, dir, "documents")
+    val emb = Engine.table(spark, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val qs = Seq(1 -> Seq("join", "spark"))
+    val cand = Retrieval.bm25TopK(d, qs, k = 20)
+      .collect().map(_.getLong(1)).toSet
+    val out = Retrieval.bm25RerankTopK(d, emb, qs, Map(1 -> 3L),
+      kCand = 20, k = 5)
+    val rows = out.orderBy("rerank").collect()
+    assert(rows.nonEmpty && rows.length <= 5)
+    // stage containment: every reranked doc came from the BM25 candidates
+    assert(rows.forall(r => cand.contains(r.getLong(1))))
+    // rerank is ordered by cosine (desc), not by the BM25 rank
+    val coss = rows.map(_.getDouble(4))
+    assert(coss.zip(coss.tail).forall { case (a, b) => a >= b })
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("semantic dedup: kept set is pair-free at the threshold (idempotence)") {
     val dir = "/root/testdata/sf0.001"
     val e = Engine.table(spark, dir, "embeddings")
