@@ -137,12 +137,19 @@ object Retrieval {
     import spark.implicits._
     val cand = bm25TopK(docs, queries, kCand)
       .select(col("query_id"), col("doc_id"), col("rk").as("bm25_rk"))
-    val v = AnnSearch.quantized(emb)
+    // quantization costs a kernel pass per row, so it runs AFTER each probe
+    // filter: anchors quantize |queries| rows (static IN pushed to the
+    // scan), candidates quantize ≤ |queries|×kCand survivors of the
+    // broadcast semi-probe — never the whole embedding table
     val qv = queryVec.toSeq.toDF("query_id", "qvec_id")
-    // anchors: |queries| quantized vectors, re-keyed by query
-    val anchors = v.join(broadcast(qv), col("id") === col("qvec_id"))
+    val anchors = AnnSearch.quantized(
+        emb.filter(col("id").isin(queryVec.values.toSeq.map(Long.box): _*)))
+      .join(broadcast(qv), col("id") === col("qvec_id"))
       .select(col("query_id"), col("qe").as("aqe"), col("n2").as("an"))
-    val scored = v.join(
+    val cv = AnnSearch.quantized(
+      emb.join(broadcast(cand.select("doc_id").distinct()),
+        col("id") === col("doc_id"), "left_semi"))
+    val scored = cv.join(
         broadcast(cand.join(broadcast(anchors), Seq("query_id"))),
         col("id") === col("doc_id"))
       .withColumn("cos",
