@@ -38,6 +38,33 @@ object Pipeline {
 
   private[queries] val shCte = s"WITH $shCteBody"
 
+  // Near-dup components over word-3-gram Jaccard >= 0.8 (needs `sh` in
+  // scope): pairs → symmetric edges → recursive closure → min-id component.
+  // Shared by q104 and q193 so the edge rule and closure exist once.
+  private val nearDupCompCtes =
+    """pairs AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      |        / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8),
+      |e AS (SELECT d1 AS src, d2 AS dst FROM pairs
+      |      UNION SELECT d2, d1 FROM pairs),
+      |reach AS (
+      |  SELECT src, src AS dst FROM e
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+      |comp AS (SELECT src AS doc_id, min(dst) AS comp FROM reach GROUP BY src)""".stripMargin
+
+  // The composite quality score (q47's formula), shared by q47 and q193.
+  private val qualityExprSql =
+    """ROUND(CAST(len(list_filter(string_split(text,' '),
+      |          x -> list_contains(['the','a','of','and','to'], x))) AS DOUBLE)
+      |          / len(string_split(text,' ')) * 0.3
+      |      + CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+      |          / len(string_split(text,' ')) * 0.5
+      |      - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+      |          / greatest(length(text), 1) * 0.2, 6)""".stripMargin
+
   // DuckDB int64-quantized embedding CTE shared by the cosine oracles.
   private def qCte(name: String, pred: String) =
     s"""$name AS (
@@ -200,21 +227,43 @@ object Pipeline {
     // the same exhaustive-pairwise edges.
     Qd("q104_dedup_components",
       s"""WITH RECURSIVE $shCteBody,
-        |pairs AS (
-        |  SELECT a.doc_id AS d1, b.doc_id AS d2
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-        |        / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8),
-        |e AS (SELECT d1 AS src, d2 AS dst FROM pairs
-        |      UNION SELECT d2, d1 FROM pairs),
-        |reach AS (
-        |  SELECT src, src AS dst FROM e
-        |  UNION
-        |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
-        |SELECT src AS doc_id, min(dst) AS comp
-        |FROM reach GROUP BY src ORDER BY doc_id""") { (s, dir) =>
+        |$nearDupCompCtes
+        |SELECT doc_id, comp FROM comp ORDER BY doc_id""") { (s, dir) =>
       Dedup.connectedComponents(
           Dedup.minhashNearDupPairs(docs(s, dir), 128, 32, 0.8))
+        .orderBy("doc_id")
+    },
+
+    // Quality-aware canonical selection — the production near-dedup keep
+    // policy: within each near-dup component keep the HIGHEST-quality doc
+    // (tie → lower doc_id), not an arbitrary min id. Composes the q104
+    // component closure with the q47 quality score (both single-sourced);
+    // singletons are their own canonical. One extra shuffle over q104: the
+    // per-component argmax window, partitioned on the component key.
+    Qd("q193_quality_canonicals",
+      s"""WITH RECURSIVE $shCteBody,
+        |$nearDupCompCtes,
+        |q AS (SELECT doc_id, $qualityExprSql AS quality FROM documents),
+        |a AS (SELECT d.doc_id, COALESCE(comp.comp, d.doc_id) AS comp, q.quality
+        |      FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id
+        |      JOIN q ON q.doc_id = d.doc_id),
+        |r AS (SELECT doc_id, comp, quality,
+        |  row_number() OVER (PARTITION BY comp ORDER BY quality DESC, doc_id) AS rn FROM a)
+        |SELECT doc_id, comp, quality, rn = 1 AS keep
+        |FROM r ORDER BY doc_id""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val comp = Dedup.connectedComponents(
+        Dedup.minhashNearDupPairs(d, 128, 32, 0.8))
+      val q = TextAnalysis.qualityFeatures(d).select(col("doc_id"), col("quality"))
+      d.select("doc_id")
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
+        .join(q, "doc_id")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("comp").orderBy(col("quality").desc, col("doc_id"))))
+        .select(col("doc_id"), col("comp"), col("quality"),
+          (col("rn") === 1).as("keep"))
         .orderBy("doc_id")
     },
 
@@ -238,7 +287,7 @@ object Pipeline {
     },
 
     Qd("q47_quality_score",
-      """SELECT doc_id,
+      s"""SELECT doc_id,
         |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
         |  ROUND((CAST(greatest(length(text), 1) AS DOUBLE) - (len(string_split(text,' ')) - 1))
         |        / len(string_split(text,' ')), 6) AS avg_wlen,
@@ -249,13 +298,7 @@ object Pipeline {
         |        / greatest(length(text), 1), 6) AS punct_ratio,
         |  ROUND(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
         |        / len(string_split(text,' ')), 6) AS ttr,
-        |  ROUND(CAST(len(list_filter(string_split(text,' '),
-        |          x -> list_contains(['the','a','of','and','to'], x))) AS DOUBLE)
-        |          / len(string_split(text,' ')) * 0.3
-        |      + CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
-        |          / len(string_split(text,' ')) * 0.5
-        |      - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
-        |          / greatest(length(text), 1) * 0.2, 6) AS quality
+        |  $qualityExprSql AS quality
         |FROM documents ORDER BY doc_id""") { (s, dir) =>
       TextAnalysis.qualityFeatures(docs(s, dir)).orderBy("doc_id")
     },

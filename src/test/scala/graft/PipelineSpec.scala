@@ -230,4 +230,19 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(r => math.abs(r.getDouble(1) - 1.0) < 1e-4))
     assert(rows.forall(_.getInt(2) <= 8))
   }
+
+  test("quality canonicals (q193): exactly one keep per component, and it has the max quality") {
+    val out = SparkEntry.queries("q193_quality_canonicals")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    // full coverage: one row per doc
+    assert(out.map(_._1).distinct.length == out.length)
+    val byComp = out.groupBy(_._2)
+    byComp.foreach { case (comp, members) =>
+      val kept = members.filter(_._4)
+      assert(kept.length == 1, s"component $comp keeps ${kept.length}")
+      // the kept doc maximizes (quality, then lower doc_id)
+      val best = members.minBy { case (id, _, q, _) => (-q, id) }
+      assert(kept.head == best)
+    }
+  }
 }
