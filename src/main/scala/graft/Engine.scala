@@ -53,8 +53,11 @@ object Engine {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // managed tables (q165 TRUNCATE/DROP PARTITION — external tables
-      // reject TRUNCATE) need a deterministic warehouse, not $PWD
-      .config("spark.sql.warehouse.dir", "/root/repo/target/warehouse")
+      // reject TRUNCATE) need a deterministic warehouse rooted at this
+      // checkout — not an absolute literal that a second checkout or
+      // concurrent session would collide on
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props("user.dir")}/target/warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

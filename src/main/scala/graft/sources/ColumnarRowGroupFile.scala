@@ -118,12 +118,18 @@ object ColumnarRowGroupFile {
   }
 
   /** Write `df` (all columns stringified; NULLs preserved) as one container
-    * file per partition under `path`. The target directory is cleared first
-    * (a previous wider write's stale part files would otherwise survive and
-    * be globbed by read); each task stages to an attempt-unique tmp name
+    * file per partition under `path`, with a JOB-LEVEL commit: every task
+    * stages into a job-scoped sibling directory, and only after all tasks
+    * succeed does the driver stamp `_SUCCESS` and swap the staging dir into
+    * place — the reference FileSinkOperator's stage-then-move contract
+    * (`ql/.../exec/FileSinkOperator.java` via `Utilities.mvFileToFinalPath`).
+    * A job that fails midway leaves the PREVIOUS dataset untouched at
+    * `path`; `read` refuses an uncommitted directory (no `_SUCCESS`), so
+    * partial output is never silently returned as complete.
+    *
+    * Within the staging dir, each task writes to an attempt-unique tmp name
     * and publishes with a rename, so a speculative/retried attempt never
-    * interleaves bytes into the final file — first publisher wins, the
-    * loser's identical tmp is dropped. */
+    * interleaves bytes into a part file — first publisher wins. */
   def write(df: DataFrame, path: String, rowsPerGroup: Int = 4096): Unit = {
     val nCols = df.columns.length
     val strs: RDD[Array[String]] = df
@@ -133,38 +139,57 @@ object ColumnarRowGroupFile {
       df.sparkSession.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(path)
     val rootFs = root.getFileSystem(conf.value)
-    rootFs.delete(root, true)
-    rootFs.mkdirs(root)
-    strs.foreachPartition { it =>
-      // one container per partition; empty partitions write nothing
-      if (it.hasNext) {
-        val tc = org.apache.spark.TaskContext.get()
-        val pid = tc.partitionId()
-        val file = new org.apache.hadoop.fs.Path(s"$path/part-$pid.grcf")
-        val tmp = new org.apache.hadoop.fs.Path(
-          s"$path/.part-$pid-attempt-${tc.taskAttemptId()}.grcf.tmp")
-        val fs = file.getFileSystem(conf.value)
-        // stream each row group straight to the filesystem: peak task memory
-        // is ONE row group (the documented RCFile-writer property), not the
-        // whole partition's container
-        val out = new DataOutputStream(
-          new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 16))
-        try {
-          out.write(Magic)
-          it.grouped(rowsPerGroup).foreach(g => writeGroup(out, g, nCols))
-          out.flush()
-        } finally out.close()
-        if (!fs.rename(tmp, file)) {
-          // another attempt of this partition already published — drop ours
-          fs.delete(tmp, false)
+    // job-scoped staging sibling: the live dataset at `path` stays readable
+    // (old data) until the atomic swap below
+    val staging = s"$path-staging-${java.util.UUID.randomUUID()}"
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    rootFs.mkdirs(stagingPath)
+    try {
+      strs.foreachPartition { it =>
+        // one container per partition; empty partitions write nothing
+        if (it.hasNext) {
+          val tc = org.apache.spark.TaskContext.get()
+          val pid = tc.partitionId()
+          val file = new org.apache.hadoop.fs.Path(s"$staging/part-$pid.grcf")
+          val tmp = new org.apache.hadoop.fs.Path(
+            s"$staging/.part-$pid-attempt-${tc.taskAttemptId()}.grcf.tmp")
+          val fs = file.getFileSystem(conf.value)
+          // stream each row group straight to the filesystem: peak task memory
+          // is ONE row group (the documented RCFile-writer property), not the
+          // whole partition's container
+          val out = new DataOutputStream(
+            new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 16))
+          try {
+            out.write(Magic)
+            it.grouped(rowsPerGroup).foreach(g => writeGroup(out, g, nCols))
+            out.flush()
+          } finally out.close()
+          if (!fs.rename(tmp, file)) {
+            // another attempt of this partition already published — drop ours
+            fs.delete(tmp, false)
+          }
         }
       }
+      // job commit: _SUCCESS marks the staging dir complete, then swap.
+      // The delete→rename window is the only non-atomic instant; a crash
+      // there leaves NO dataset (read fails cleanly on missing _SUCCESS)
+      // rather than a silent partial one.
+      rootFs.create(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"), true).close()
+      rootFs.delete(root, true)
+      if (!rootFs.rename(stagingPath, root))
+        throw new java.io.IOException(s"commit failed: rename $staging -> $path")
+    } catch {
+      case t: Throwable =>
+        rootFs.delete(stagingPath, true) // abort: drop staging, keep old data
+        throw t
     }
   }
 
   /** Read `wanted` columns (by name) back as a string-typed DataFrame.
-    * An empty dataset (write produced no part files) reads back empty
-    * instead of failing binaryFiles' zero-match glob. */
+    * Requires the job-commit marker `_SUCCESS` — a directory from a failed
+    * or in-flight write fails loudly instead of being returned as a
+    * (partial) dataset. An empty COMMITTED dataset (zero part files but
+    * `_SUCCESS` present) reads back empty. */
   def read(spark: SparkSession, path: String, allCols: Seq[String],
       wanted: Seq[String]): DataFrame = {
     val idx = wanted.map(allCols.indexOf)
@@ -173,6 +198,8 @@ object ColumnarRowGroupFile {
     val schema = StructType(wanted.map(StructField(_, StringType)))
     val glob = new org.apache.hadoop.fs.Path(s"$path/part-*.grcf")
     val fs = glob.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")),
+      s"no committed GRCF dataset at $path (missing _SUCCESS — write failed or in flight)")
     val matches = Option(fs.globStatus(glob)).map(_.length).getOrElse(0)
     if (matches == 0)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)

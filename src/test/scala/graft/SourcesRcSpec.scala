@@ -64,4 +64,58 @@ class SourcesRcSpec extends AnyFunSuite {
     assert(it.map(_.toSeq).toSeq == data.map(_.toSeq),
       "NULL must read back as null, '' as empty string")
   }
+
+  test("truncated container fails cleanly instead of misparsing") {
+    val bytes = container(Seq(rows), 3)
+    // cut inside the last column's value section; a pruned read must skip
+    // through it and detect the truncation rather than read garbage
+    val cut = bytes.take(bytes.length - 3)
+    val e = intercept[IllegalArgumentException] {
+      val (it, _) = ColumnarRowGroupFile.readGroups(cut, 3, Seq(0))
+      it.size
+    }
+    assert(e.getMessage.contains("truncated"))
+  }
+
+  // ---- job-commit protocol (Spark level) -------------------------------
+
+  private lazy val spark = Engine.session(cores = 4, appName = "graft-rc")
+  private val scratch = "/root/repo/target/grcf-spec"
+
+  test("write is job-committed: _SUCCESS present, old data survives a failed job") {
+    import spark.implicits._
+    val dir = s"$scratch/commit"
+    ColumnarRowGroupFile.write(Seq(("a", 1), ("b", 2)).toDF("k", "v"), dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")),
+      "committed write must stamp _SUCCESS")
+    // a later job that fails mid-task must leave the first dataset intact
+    val poison = Seq(("c", 3), ("d", 4)).toDS()
+      .map { t => if (t._1 == "d") sys.error("task boom"); t }
+      .toDF("k", "v")
+    intercept[Exception] { ColumnarRowGroupFile.write(poison, dir) }
+    val back = ColumnarRowGroupFile.read(spark, dir, Seq("k", "v"), Seq("k", "v"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(back == Set(("a", "1"), ("b", "2")),
+      "failed job must not destroy or corrupt the previous dataset")
+    // and the failed job's staging dir must not linger
+    val parent = new org.apache.hadoop.fs.Path(scratch)
+    val leftovers = fs.listStatus(parent).map(_.getPath.getName)
+      .filter(_.startsWith("commit-staging-"))
+    assert(leftovers.isEmpty, s"staging dirs not cleaned: ${leftovers.toSeq}")
+  }
+
+  test("read refuses an uncommitted directory (no _SUCCESS)") {
+    import spark.implicits._
+    val dir = s"$scratch/uncommitted"
+    ColumnarRowGroupFile.write(Seq(("a", 1)).toDF("k", "v"), dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS"), false)
+    val e = intercept[IllegalArgumentException] {
+      ColumnarRowGroupFile.read(spark, dir, Seq("k", "v"), Seq("k"))
+    }
+    assert(e.getMessage.contains("_SUCCESS"))
+  }
 }
