@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -20,19 +20,26 @@ import org.apache.spark.sql.functions._
   * boundaries are per distinct (df) and per posting — verified green at
   * both SFs.
   *
-  * Scale shape (100 TB): this is the index-then-probe pattern of
-  * [[AnnSearch.ivfWriteIndex]] —
-  *  - the corpus-wide stats (`tf`, `dl`, N/avgdl) are the one-time index
-  *    build: two partial-aggregated shuffles over the token stream; the
-  *    only driver materialization is the 2-scalar (N, avgdl) row;
-  *  - a query probe touches ONLY the postings of its terms: the tiny
-  *    (query_id, term) table broadcasts into the postings scan (an equi-join
-  *    a bloom/DPP filter can push to the source when postings are written
-  *    bucketed by term), df is aggregated for the probed terms alone, and
-  *    candidates reduce through [[AnnSearch.partitionTopK]]'s bounded heaps
+  * Scale shape (100 TB): the index-then-probe pattern of
+  * [[AnnSearch.ivfWriteIndex]], made literal by [[bm25WriteIndex]] /
+  * [[bm25TopKIndexed]] —
+  *  - [[bm25WriteIndex]] is the amortized ONE-TIME build: postings
+  *    `(term, doc_id, tf, dl)` and term stats `(term, df)` written
+  *    hash-partitioned by term bucket (`tb`), plus a 1-row scalar file
+  *    (N, avgdl, nBuckets). Two partial-aggregated shuffles over the token
+  *    stream, once, ever.
+  *  - [[bm25TopKIndexed]] touches ONLY the probed terms' buckets: the
+  *    bucket ids of the query terms (bounded by |query terms|) are pushed
+  *    as a static IN on the partition column, so the postings scan is
+  *    partition-pruned — probe cost scales with the probed posting lists,
+  *    NOT the corpus (PlanShapeSpec asserts the PartitionFilters).
+  *  - candidates reduce through [[AnnSearch.partitionTopK]]'s bounded heaps
   *    before the global rank — the window input is O(partitions×|queries|×k),
   *    so a stop-word-ish term with 1e9 postings cannot pile its candidates
   *    into one window partition.
+  *  - [[bm25TopK]] remains the index-free one-shot for ad-hoc use; both
+  *    paths share the same quantized expressions, so results are
+  *    bit-identical (RetrievalSpec asserts it).
   */
 object Retrieval {
 
@@ -43,20 +50,55 @@ object Retrieval {
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(col("term") =!= "")
 
-  /** BM25 top-k per query. `queries` = (query_id, terms); duplicate terms in
-    * one query score like Lucene's default (each occurrence adds — callers
-    * dedupe if they want pure OR semantics).
-    *
-    * Ranking key is the exact int64 micro-unit score (`wq` desc, doc_id asc)
-    * — ties are bit-stable across engines; `score` = wq/1e6 rounded to 4
-    * decimals for display.
-    */
+  // ---- shared quantized scoring expressions (bit-exactness lives here:
+  // both the one-shot and the indexed probe compose exactly these) ----
+
+  /** idf in int64 micro-units — the single transcendental, quantized at the
+    * per-distinct-df grain. Expects `df`; nDocs is a literal. */
+  private def idfMicroExpr(nDocs: Long): Column =
+    round(log((lit(nDocs).cast("double") - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5)) + lit(1.0)) * lit(1e6)).cast("long")
+
+  /** Per-posting contribution in int64 micro-units. Expects `idfq`, `tf`,
+    * `dl`; tf saturation: tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)). */
+  private def wMicroExpr(k1: Double, b: Double, avgdl: Double): Column = {
+    val tfD = col("tf").cast("double")
+    round(col("idfq") * ((tfD * (lit(k1) + lit(1.0))) /
+      (tfD + lit(k1) * (lit(1.0) - lit(b) +
+        lit(b) * (col("dl").cast("double") / lit(avgdl)))))).cast("long")
+  }
+
+  /** Bounded partition-local heaps before the global rank (AnnSearch's
+    * top-k reduction — wq < 2^53 so the double round-trip is exact).
+    * Ranking key: `wq` desc, doc_id asc — ties are bit-stable across
+    * engines; `score` = wq/1e6 rounded to 4 decimals for display. */
+  private def bm25RankTail(scored: DataFrame, k: Int): DataFrame =
+    AnnSearch.partitionTopK(
+        scored.select(col("query_id").cast("long").as("qid"),
+          col("doc_id").as("cid"), col("wq").cast("double").as("cos")), k)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))))
+      .filter(col("rk") <= k)
+      .select(col("qid").cast("int").as("query_id"), col("cid").as("doc_id"),
+        col("rk").cast("bigint").as("rk"),
+        round(col("cos").cast("long") / lit(1e6), 4).as("score"))
+
+  private def queryTerms(spark: SparkSession,
+      queries: Seq[(Int, Seq[String])]): DataFrame = {
+    import spark.implicits._
+    queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+  }
+
+  /** BM25 top-k per query, index-free (one corpus pass). `queries` =
+    * (query_id, terms); duplicate terms in one query score like Lucene's
+    * default (each occurrence adds — callers dedupe if they want pure OR
+    * semantics). */
   def bm25TopK(docs: DataFrame, queries: Seq[(Int, Seq[String])], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1, s"k must be >= 1 (got $k)")
     require(queries.nonEmpty, "need at least one query")
     val spark = docs.sparkSession
-    import spark.implicits._
 
     val tok = postings(docs)
     // index stats: term frequencies, then doc lengths DERIVED from tf
@@ -74,73 +116,108 @@ object Retrieval {
     val nDocs = gRow.getLong(0)
     val avgdl = gRow.getDouble(1)
 
-    val qt = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
-      .toDF("query_id", "term")
+    val qt = queryTerms(spark, queries)
     // df only for the probed terms: the broadcast semi-filter runs BEFORE
     // the per-term count, so the aggregation is over matched postings only
     val dfT = tf.join(broadcast(qt.select("term").distinct()), Seq("term"))
       .groupBy("term").agg(count(lit(1)).as("df"))
-    // idf in int64 micro-units — the single transcendental, quantized at
-    // the per-distinct-df grain (O(|query terms|) rounding boundaries)
-    val idf = dfT
-      .withColumn("idfq",
-        round(log((lit(nDocs).cast("double") - col("df").cast("double") + lit(0.5)) /
-          (col("df").cast("double") + lit(0.5)) + lit(1.0)) * lit(1e6)).cast("long"))
+    val idf = dfT.withColumn("idfq", idfMicroExpr(nDocs))
       .select(col("term"), col("idfq"))
 
-    // per-posting contribution, quantized to int64 so the per-doc score is
-    // an exact order-free SUM. tf saturation: tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
-    val tfD = col("tf").cast("double")
     val scored = tf.join(broadcast(qt), Seq("term"))
       .join(dl, Seq("doc_id"))
       .join(broadcast(idf), Seq("term"))
-      .withColumn("w",
-        round(col("idfq") * ((tfD * (lit(k1) + lit(1.0))) /
-          (tfD + lit(k1) * (lit(1.0) - lit(b) +
-            lit(b) * (col("dl").cast("double") / lit(avgdl)))))).cast("long"))
+      .withColumn("w", wMicroExpr(k1, b, avgdl))
       .groupBy("query_id", "doc_id").agg(sum("w").as("wq"))
 
-    // bounded partition-local heaps before the global rank (AnnSearch's
-    // top-k reduction — wq < 2^53 so the double round-trip is exact)
-    AnnSearch.partitionTopK(
-        scored.select(col("query_id").cast("long").as("qid"),
-          col("doc_id").as("cid"), col("wq").cast("double").as("cos")), k)
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))))
-      .filter(col("rk") <= k)
-      .select(col("qid").cast("int").as("query_id"), col("cid").as("doc_id"),
-        col("rk").cast("bigint").as("rk"),
-        round(col("cos").cast("long") / lit(1e6), 4).as("score"))
+    bm25RankTail(scored, k)
   }
 
-  /** Two-stage hybrid retrieval — the standard RAG shape: a cheap lexical
-    * candidate stage ([[bm25TopK]], `kCand` per query) re-ranked by
-    * embedding cosine against a per-query anchor vector, keep `k`.
-    * `queryVec` maps each query to its anchor's id in `emb` (in production
-    * the anchor is the encoded query; anchoring to a corpus vector keeps
-    * the pipeline self-contained and oracle-checkable). Cosine uses the
-    * shared int64 quantization ([[AnnSearch.quantized]] + codegen'd
-    * [[graft.functions.DotI64]]) — bit-identical across engines.
+  /** Materialize the BM25 inverted index at `path` — the one-time build a
+    * 100 TB corpus amortizes over every later probe:
+    *  - `$path/postings`: (term, doc_id, tf, dl) partitioned by term bucket
+    *    `tb = pmod(hash(term), nBuckets)` — one directory per bucket, so a
+    *    probe partition-prunes to its terms' buckets;
+    *  - `$path/terms`: (term, df) partitioned the same way (df is
+    *    term-static, so it is precomputed here instead of re-aggregated per
+    *    probe);
+    *  - `$path/stats`: ONE row (n_docs, avgdl, n_buckets) — the index is
+    *    self-contained, no side-channel metadata (the
+    *    [[AnnSearch.ivfWriteIndex]] convention). */
+  def bm25WriteIndex(docs: DataFrame, path: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1 (got $nBuckets)")
+    val tok = postings(docs)
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    tf.join(dl, Seq("doc_id"))
+      .withColumn("tb", pmod(hash(col("term")), lit(nBuckets)))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings")
+    tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("tb", pmod(hash(col("term")), lit(nBuckets)))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$path/terms")
+    dl.agg(count(lit(1)).as("n_docs"),
+        (sum("dl").cast("double") / count(lit(1))).as("avgdl"),
+        lit(nBuckets).as("n_buckets"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Probe a materialized BM25 index: identical scores to [[bm25TopK]]
+    * (same quantized expressions, same precomputed integer stats), but the
+    * corpus is never rescanned — the probed terms' bucket ids (bounded by
+    * |query terms|) push as a static IN on the `tb` partition column, so
+    * both the postings and the term-stats scans are partition-pruned to the
+    * probed inverted lists. */
+  def bm25TopKIndexed(spark: SparkSession, indexPath: String,
+      queries: Seq[(Int, Seq[String])], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    require(queries.nonEmpty, "need at least one query")
+    import spark.implicits._
+    val stats = spark.read.parquet(s"$indexPath/stats").head()
+    val nDocs = stats.getAs[Long]("n_docs")
+    val avgdl = stats.getAs[Double]("avgdl")
+    val nBuckets = stats.getAs[Int]("n_buckets")
+
+    val qt = queryTerms(spark, queries)
+    // the probed buckets — evaluated through Spark's own hash() so the ids
+    // match the write-side partition values exactly; O(|query terms|)
+    val buckets = qt.select(
+        pmod(hash(col("term")), lit(nBuckets)).as("tb"))
+      .distinct().as[Int].collect().toSeq
+    val post = spark.read.parquet(s"$indexPath/postings")
+      .filter(col("tb").isin(buckets.map(Int.box): _*))
+    val terms = spark.read.parquet(s"$indexPath/terms")
+      .filter(col("tb").isin(buckets.map(Int.box): _*))
+
+    val idf = terms.join(broadcast(qt.select("term").distinct()), Seq("term"))
+      .withColumn("idfq", idfMicroExpr(nDocs))
+      .select(col("term"), col("idfq"))
+    val scored = post.join(broadcast(qt), Seq("term"))
+      .join(broadcast(idf), Seq("term"))
+      .withColumn("w", wMicroExpr(k1, b, avgdl))
+      .groupBy("query_id", "doc_id").agg(sum("w").as("wq"))
+
+    bm25RankTail(scored, k)
+  }
+
+  /** Re-rank lexical candidates by embedding cosine — stage 2 of the RAG
+    * shape. `cand` = (query_id, doc_id, bm25_rk); `queryVec` maps each
+    * query to its anchor's id in `emb`. Cosine uses the shared int64
+    * quantization ([[AnnSearch.quantized]] + codegen'd
+    * [[graft.functions.DotI64]]) — bit-identical across engines; a
+    * zero-norm anchor or candidate scores -1.0 (ranks last — the
+    * [[AnnSearch]] cosExpr contract) instead of a NULL whose rank would
+    * depend on engine NULL-ordering.
     *
     * Scale shape: the candidate set (|queries|×kCand rows) and the anchor
     * vectors (|queries| rows) BROADCAST into the corpus-embedding scan —
     * the embedding table never shuffles and is touched by exactly one
-    * narrow probe join, the [[AnnSearch.bruteTopK]] corpus-side contract.
-    */
-  def bm25RerankTopK(docs: DataFrame, emb: DataFrame,
-      queries: Seq[(Int, Seq[String])], queryVec: Map[Int, Long],
-      kCand: Int, k: Int): DataFrame = {
-    require(k >= 1 && kCand >= k, s"need kCand >= k >= 1 (got $kCand, $k)")
-    require(queries.forall(q => queryVec.contains(q._1)),
-      "every query needs an anchor vector id in queryVec")
-    val spark = docs.sparkSession
+    * narrow probe join, the [[AnnSearch.bruteTopK]] corpus-side contract;
+    * quantization runs only on probe survivors, never the whole table. */
+  def rerankByAnchor(cand: DataFrame, emb: DataFrame,
+      queryVec: Map[Int, Long], k: Int): DataFrame = {
+    val spark = cand.sparkSession
     import spark.implicits._
-    val cand = bm25TopK(docs, queries, kCand)
-      .select(col("query_id"), col("doc_id"), col("rk").as("bm25_rk"))
-    // quantization costs a kernel pass per row, so it runs AFTER each probe
-    // filter: anchors quantize |queries| rows (static IN pushed to the
-    // scan), candidates quantize ≤ |queries|×kCand survivors of the
-    // broadcast semi-probe — never the whole embedding table
     val qv = queryVec.toSeq.toDF("query_id", "qvec_id")
     val anchors = AnnSearch.quantized(
         emb.filter(col("id").isin(queryVec.values.toSeq.map(Long.box): _*)))
@@ -152,9 +229,10 @@ object Retrieval {
     val scored = cv.join(
         broadcast(cand.join(broadcast(anchors), Seq("query_id"))),
         col("id") === col("doc_id"))
-      .withColumn("cos",
+      .withColumn("cos", coalesce(
         AnnSearch.dotI64(col("aqe"), col("qe")).cast("double") /
-          sqrt(col("an").cast("double") * col("n2").cast("double")))
+          sqrt(col("an").cast("double") * col("n2").cast("double")),
+        lit(-1.0)))
     scored
       .withColumn("rerank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cos").desc, col("doc_id"))))
@@ -162,5 +240,32 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"), col("bm25_rk"),
         col("rerank").cast("bigint").as("rerank"),
         round(col("cos"), 6).as("cos"))
+  }
+
+  /** Two-stage hybrid retrieval, index-free candidates: [[bm25TopK]]
+    * (`kCand` per query) re-ranked by [[rerankByAnchor]], keep `k`. */
+  def bm25RerankTopK(docs: DataFrame, emb: DataFrame,
+      queries: Seq[(Int, Seq[String])], queryVec: Map[Int, Long],
+      kCand: Int, k: Int): DataFrame = {
+    require(k >= 1 && kCand >= k, s"need kCand >= k >= 1 (got $kCand, $k)")
+    require(queries.forall(q => queryVec.contains(q._1)),
+      "every query needs an anchor vector id in queryVec")
+    val cand = bm25TopK(docs, queries, kCand)
+      .select(col("query_id"), col("doc_id"), col("rk").as("bm25_rk"))
+    rerankByAnchor(cand, emb, queryVec, k)
+  }
+
+  /** Two-stage hybrid retrieval over a persisted index: candidates from
+    * [[bm25TopKIndexed]] (corpus never rescanned), re-ranked by
+    * [[rerankByAnchor]]. */
+  def bm25RerankTopKIndexed(spark: SparkSession, indexPath: String,
+      emb: DataFrame, queries: Seq[(Int, Seq[String])],
+      queryVec: Map[Int, Long], kCand: Int, k: Int): DataFrame = {
+    require(k >= 1 && kCand >= k, s"need kCand >= k >= 1 (got $kCand, $k)")
+    require(queries.forall(q => queryVec.contains(q._1)),
+      "every query needs an anchor vector id in queryVec")
+    val cand = bm25TopKIndexed(spark, indexPath, queries, kCand)
+      .select(col("query_id"), col("doc_id"), col("rk").as("bm25_rk"))
+    rerankByAnchor(cand, emb, queryVec, k)
   }
 }

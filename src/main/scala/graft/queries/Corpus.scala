@@ -180,18 +180,23 @@ object Corpus {
         .orderBy("lang")
     },
 
-    // BM25 ranked retrieval (inverted-index probe): three fixed queries —
+    // BM25 ranked retrieval over a PERSISTED inverted index (the 100 TB
+    // shape: build once, probe partition-pruned): three fixed queries —
     // one with the rare term 'dup' (high idf dominates), one common-term
     // pair, one three-term mix. Scores are exact int64 micro-unit sums
     // (order-free); every double op is written identically on both engines
-    // (see Retrieval.bm25TopK's determinism note).
+    // (see Retrieval.bm25TopK's determinism note — the indexed probe
+    // composes the same expressions, so the index-free oracle CTEs apply
+    // unchanged).
     Qd("q188_bm25_retrieval",
       s"""WITH $bm25Ctes,
         |rk AS (SELECT query_id, doc_id, wq,
         |  row_number() OVER (PARTITION BY query_id ORDER BY wq DESC, doc_id) AS rk FROM sc)
         |SELECT query_id, doc_id, rk, ROUND(CAST(wq AS DOUBLE)/1000000.0, 4) AS score
         |FROM rk WHERE rk <= 10 ORDER BY query_id, rk""") { (s, dir) =>
-      Retrieval.bm25TopK(docs(s, dir), bm25Queries, k = 10)
+      val idx = bm25IndexPath(dir)
+      Retrieval.bm25WriteIndex(docs(s, dir), idx)
+      Retrieval.bm25TopKIndexed(s, idx, bm25Queries, k = 10)
         .orderBy("query_id", "rk")
     },
 
@@ -226,9 +231,17 @@ object Corpus {
         |FROM rr WHERE rerank <= 5 ORDER BY query_id, rerank""") { (s, dir) =>
       val emb = graft.Engine.table(s, dir, "embeddings")
         .select(col("vec_id").as("id"), col("embedding"))
-      Retrieval.bm25RerankTopK(docs(s, dir), emb, bm25Queries,
+      val idx = bm25IndexPath(dir)
+      Retrieval.bm25WriteIndex(docs(s, dir), idx)
+      Retrieval.bm25RerankTopKIndexed(s, idx, emb, bm25Queries,
           queryVec = Map(1 -> 7L, 2 -> 14L, 3 -> 21L), kCand = 20, k = 5)
         .orderBy("query_id", "rerank")
     }
   )
+
+  /** Per-sf-dir index location under this checkout's target dir — each
+    * builder stays self-contained (build-then-probe), and two SFs never
+    * share an index. */
+  private def bm25IndexPath(dir: String): String =
+    s"${sys.props("user.dir")}/target/bm25index/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
 }

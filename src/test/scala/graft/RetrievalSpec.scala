@@ -66,6 +66,43 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("bm25 indexed probe: identical to the one-shot; scans partition-pruned to probed buckets") {
+    val dir = "/root/testdata/sf0.001"
+    val d = Engine.table(spark, dir, "documents")
+    val qs = Seq(1 -> Seq("dup"), 2 -> Seq("spark", "join"))
+    val idx = "/root/repo/target/bm25index/spec"
+    Retrieval.bm25WriteIndex(d, idx)
+    val oneShot = Retrieval.bm25TopK(d, qs, k = 10).collect().map(_.toSeq).toSet
+    assert(oneShot.nonEmpty)
+    val probe = Retrieval.bm25TopKIndexed(spark, idx, qs, k = 10)
+    assert(probe.collect().map(_.toSeq).toSet == oneShot,
+      "indexed probe must be bit-identical to the index-free path")
+    // the probe must never rescan the corpus: both index scans are
+    // partition-pruned to the probed terms' buckets
+    val plan = probe.queryExecution.executedPlan.toString
+    val pfs = plan.linesIterator.filter(_.contains("PartitionFilters:")).toList
+    assert(pfs.nonEmpty, "expected partition-pruned parquet scans")
+    assert(pfs.forall(_.contains("tb")),
+      s"postings/terms scans must prune on the tb bucket column, got: $pfs")
+  }
+
+  test("rerank: zero-norm candidate scores -1.0 and ranks last (not NULL)") {
+    val s = spark
+    import s.implicits._
+    val emb = Seq(
+      (10L, Seq(1f, 0f)),    // anchor
+      (1L, Seq(0.9f, 0.1f)), // healthy candidate
+      (2L, Seq(0f, 0f)))     // degenerate zero-norm candidate
+      .toDF("id", "embedding")
+    val cand = Seq((1, 1L, 1L), (1, 2L, 2L)).toDF("query_id", "doc_id", "bm25_rk")
+    val out = Retrieval.rerankByAnchor(cand, emb, Map(1 -> 10L), k = 2)
+      .orderBy("rerank").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(1) == 1L)
+    assert(out(1).getLong(1) == 2L, "zero-norm must rank last")
+    assert(out(1).getDouble(4) == -1.0, "zero-norm must score -1.0, not NULL")
+  }
+
   test("piiScrub counts and replaces emails, ips, cards; no-op otherwise") {
     val docs = docsDf(Seq(
       (1L, "mail a.b+c@ex.org and 10.0.0.1 and 4111111111111111 end"),
