@@ -66,6 +66,17 @@ class FunctionPackSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT field(1, 1L)").head().getInt(0) == 1)
     assert(spark.sql("SELECT field(CAST(2 AS BIGINT), 1, 2)").head().getInt(0) == 2)
     assert(spark.sql("SELECT field(1.0D, 3, 1)").head().getInt(0) == 2)
+    // Catalyst Decimal is not a java.lang.Number — needs its own coercion case
+    assert(spark.sql("SELECT field(1, CAST(1 AS DECIMAL(10,2)))").head().getInt(0) == 1)
+    assert(spark.sql("SELECT field(CAST(2.5 AS DECIMAL(5,1)), 1.5D, 2.5D)").head().getInt(0) == 2)
+  }
+
+  test("in_file rejects a non-constant filename at analysis time") {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(("a", "/tmp/x")).toDF("s", "f")
+        .selectExpr("in_file(s, f)").queryExecution.analyzed
+    }
+    assert(e.getMessage.contains("constant"))
   }
 
   test("mask family (GenericUDFMask* defaults: X/x/n, others kept)") {
