@@ -18,9 +18,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * reference's call stack), explicit cursors (DECLARE…CURSOR FOR / OPEN /
   * FETCH INTO / CLOSE with %ISOPEN %FOUND %NOTFOUND %ROWCOUNT attributes),
   * CASE statements (simple and searched), REPEAT…UNTIL, and FOR range loops
-  * (`for_range_stmt`, with REVERSE). Still descoped: OUT/INOUT parameters,
-  * named condition handlers beyond WHEN OTHERS, host-command execution —
-  * SURVEY.md §2.12.
+  * (`for_range_stmt`, with REVERSE in the reference's first-bound-down-to-
+  * second semantics, `Stmt.java:963`). Round 8 adds OUT/INOUT parameter
+  * modes with copy-out on normal return (`Hplsql.g4:472-473`) and named
+  * condition handling — DECLARE…CONDITION (`:197`), SIGNAL (`:726`), and
+  * multi-branch EXCEPTION WHEN <name>|OTHERS blocks (`:112-117`). Still
+  * descoped: CONTINUE/EXIT HANDLER declarations (`declare_handler_item`,
+  * `:213` — the EXCEPTION-block form covers the same recovery paths),
+  * RESIGNAL (`:691`), host-command execution — SURVEY.md §2.12.
   *
   * Two deliberate reference-faithful quirks:
   *  - variable references in SQL text are substituted by IDENTIFIER match
@@ -49,7 +54,7 @@ object HplSql {
   private case class SqlStmt(text: String) extends Stmt
   private case class ExitStmt(when: Option[String]) extends Stmt
   private case class BeginBlock(body: Seq[Stmt],
-      handler: Option[Seq[Stmt]]) extends Stmt
+      handlers: Seq[(String, Seq[Stmt])]) extends Stmt
   private case class CaseStmt(branches: Seq[(String, Seq[Stmt])],
       orElse: Seq[Stmt]) extends Stmt
   private case class RepeatStmt(body: Seq[Stmt], until: String) extends Stmt
@@ -59,9 +64,15 @@ object HplSql {
   private case class OpenStmt(name: String) extends Stmt
   private case class FetchStmt(name: String, into: Seq[String]) extends Stmt
   private case class CloseStmt(name: String) extends Stmt
-  private case class ProcDef(name: String, params: Seq[String],
-      body: Seq[Stmt], handler: Option[Seq[Stmt]]) extends Stmt
+  /** Procedure parameter — `mode` is IN, OUT, or INOUT (the reference
+    * grammar accepts the mode before or after the name, and `IN OUT` as a
+    * two-word INOUT: `Hplsql.g4:472-473`). */
+  private case class Param(name: String, mode: String)
+  private case class ProcDef(name: String, params: Seq[Param],
+      body: Seq[Stmt], handlers: Seq[(String, Seq[Stmt])]) extends Stmt
   private case class CallStmt(name: String, args: Seq[String]) extends Stmt
+  private case class DeclareCondition(name: String) extends Stmt
+  private case class SignalStmt(name: String) extends Stmt
 
   // ---------- tokenizer (structure only; statement text is sliced raw) ----
   private case class Tok(text: String, start: Int, end: Int, quoted: Boolean) {
@@ -182,6 +193,10 @@ object HplSql {
           // declare_cursor_stmt: T_DECLARE ident T_CURSOR ... T_FOR query
           next(); expect("FOR")
           DeclareCursor(name, rawUntil(Set(";"))._1)
+        } else if (peek.exists(w => !w.quoted && w.up == "CONDITION")) {
+          // declare_condition_item: ident T_CONDITION — Hplsql.g4:197
+          next(); expect(";")
+          DeclareCondition(name)
         } else {
           // optional type words up to := / DEFAULT / ;
           var init: Option[String] = None
@@ -287,16 +302,15 @@ object HplSql {
         }
       case "BEGIN" =>
         // begin_end_block with optional exception_block:
-        // T_EXCEPTION T_WHEN T_OTHERS T_THEN block — Hplsql.g4
+        // T_EXCEPTION exception_block_item+ — Hplsql.g4:26,112-117
         next()
         val body = parseStmts(Set("EXCEPTION", "END"))
         next().up match {
           case "EXCEPTION" =>
-            expect("WHEN"); expect("OTHERS"); expect("THEN")
-            val handler = parseStmts(Set("END"))
+            val handlers = parseHandlers()
             expect("END"); expect(";")
-            BeginBlock(body, Some(handler))
-          case "END" => expect(";"); BeginBlock(body, None)
+            BeginBlock(body, handlers)
+          case "END" => expect(";"); BeginBlock(body, Nil)
           case other => throw new IllegalArgumentException(s"bad BEGIN tail: $other")
         }
       case "CASE" =>
@@ -351,24 +365,39 @@ object HplSql {
         FetchStmt(name, into.result())
       case "CLOSE" =>
         next(); val name = next().text; expect(";"); CloseStmt(name)
+      case "SIGNAL" =>
+        // signal_stmt: T_SIGNAL ident — Hplsql.g4:726
+        next(); val name = next().text; expect(";"); SignalStmt(name)
       case "CREATE" if at(1) == "PROCEDURE" ||
           (at(1) == "OR" && at(2) == "REPLACE" && at(3) == "PROCEDURE") =>
-        // create_procedure_stmt — IN parameters only (OUT descoped); other
-        // CREATE forms (TABLE/VIEW/…) fall through to engine SQL below.
+        // create_procedure_stmt with IN/OUT/INOUT parameter modes
+        // (create_routine_param_item, mode before the name, `IN OUT` = INOUT
+        // — Hplsql.g4:472-473); other CREATE forms (TABLE/VIEW/…) fall
+        // through to engine SQL below.
         next()
         if (peek.exists(_.up == "OR")) { next(); expect("REPLACE") }
         expect("PROCEDURE")
         val name = next().text
-        val params = Vector.newBuilder[String]
+        val params = Vector.newBuilder[Param]
         if (peek.exists(w => !w.quoted && w.text == "(")) {
           next()
           if (peek.exists(w => !w.quoted && w.text == ")")) next()
           else {
             var go = true
             while (go) {
+              var mode = "IN"
               var pn = next().text
-              if (Set("IN", "OUT", "INOUT").contains(pn.toUpperCase)) pn = next().text
-              params += pn
+              pn.toUpperCase match {
+                case "IN" =>
+                  if (peek.exists(w => !w.quoted && w.up == "OUT")) {
+                    next(); mode = "INOUT" // T_IN T_OUT
+                  }
+                  pn = next().text
+                case "OUT" => mode = "OUT"; pn = next().text
+                case "INOUT" => mode = "INOUT"; pn = next().text
+                case _ => ()
+              }
+              params += Param(pn, mode)
               // skip the type tokens until a depth-0 ',' or the closing ')'
               var depth = 0
               var stop = false
@@ -385,16 +414,15 @@ object HplSql {
         if (peek.exists(w => w.up == "AS" || w.up == "IS")) next()
         expect("BEGIN")
         val body = parseStmts(Set("EXCEPTION", "END"))
-        val handler = next().up match {
+        val handlers = next().up match {
           case "EXCEPTION" =>
-            expect("WHEN"); expect("OTHERS"); expect("THEN")
-            val h = parseStmts(Set("END"))
-            expect("END"); Some(h)
-          case "END" => None
+            val hs = parseHandlers()
+            expect("END"); hs
+          case "END" => Nil
           case other => throw new IllegalArgumentException(s"bad PROCEDURE tail: $other")
         }
         expect(";")
-        ProcDef(name, params.result(), body, handler)
+        ProcDef(name, params.result(), body, handlers)
       case "CALL" =>
         // call_stmt: T_CALL ident ('(' expr (',' expr)* ')')? — argument
         // expressions are sliced raw and evaluated in the caller's scope.
@@ -426,6 +454,23 @@ object HplSql {
       case _ =>
         SqlStmt(rawUntil(Set(";"))._1)
     }
+
+    /** exception_block: T_EXCEPTION exception_block_item+, each item
+      * `T_WHEN L_ID T_THEN block` — Hplsql.g4:112-117. Condition names are
+      * normalized to upper case (OTHERS is the catch-all); the closing END
+      * is left for the caller. */
+    private def parseHandlers(): Seq[(String, Seq[Stmt])] = {
+      val hs = Seq.newBuilder[(String, Seq[Stmt])]
+      var more = true
+      while (more) {
+        expect("WHEN")
+        val cn = next().up
+        expect("THEN")
+        hs += ((cn, parseStmts(Set("WHEN", "END"))))
+        if (!peek.exists(w => !w.quoted && w.up == "WHEN")) more = false
+      }
+      hs.result()
+    }
   }
 
   // ---------- evaluator ----------
@@ -437,6 +482,11 @@ object HplSql {
   /** EXIT unwinds to the INNERMOST enclosing loop — a ControlThrowable so
     * it never trips a generic exception handler on the way out. */
   private object LoopExit extends scala.util.control.ControlThrowable
+
+  /** A raised user-declared condition (`SIGNAL name` — Hplsql.g4:726);
+    * caught by a `WHEN <name>` handler branch, or by WHEN OTHERS. */
+  private final case class SignalError(cond: String)
+      extends RuntimeException(s"SIGNAL $cond")
 
   /** Explicit-cursor runtime state. The result set materializes driver-side
     * at OPEN (same deliberate design as FOR-cursor — see the scaladoc);
@@ -454,6 +504,7 @@ object HplSql {
     private val vars = scala.collection.mutable.LinkedHashMap.empty[String, Any]
     private val cursors = scala.collection.mutable.LinkedHashMap.empty[String, CursorState]
     private val procs = scala.collection.mutable.LinkedHashMap.empty[String, ProcDef]
+    private val conds = scala.collection.mutable.Set.empty[String] // upper-cased
     private var callDepth = 0
     var lastResult: Option[DataFrame] = None
 
@@ -613,13 +664,18 @@ object HplSql {
           case other => throw new IllegalArgumentException(
             s"FOR range $what must be numeric, got $other")
         }
-        val lo = toLong(evalScalar(fromE), "start")
-        val hi = toLong(evalScalar(toE), "end")
-        require(hi - lo < MaxLoopIters,
+        // reference semantics (Stmt.java:963 forRange): the FIRST expr is
+        // always the starting value; REVERSE decrements from it while >=
+        // the second (`for (i = start; i >= end; i -= step)`) — NOT
+        // Oracle's `REVERSE lo..hi`. So REVERSE 10..1 runs 10,9,…,1 and
+        // REVERSE 1..3 runs zero iterations, exactly as the reference.
+        val start = toLong(evalScalar(fromE), "start")
+        val end = toLong(evalScalar(toE), "end")
+        require((if (reverse) start - end else end - start) < MaxLoopIters,
           s"FOR range spans more than $MaxLoopIters iterations")
         val range: Iterator[Long] =
-          if (reverse) Iterator.iterate(hi)(_ - 1).takeWhile(_ >= lo)
-          else Iterator.iterate(lo)(_ + 1).takeWhile(_ <= hi)
+          if (reverse) Iterator.iterate(start)(_ - 1).takeWhile(_ >= end)
+          else Iterator.iterate(start)(_ + 1).takeWhile(_ <= end)
         val saved = vars.get(v)
         try range.foreach { i => vars(v) = i; run(body) }
         catch { case LoopExit => () }
@@ -673,6 +729,14 @@ object HplSql {
         st.open = false; st.rows = Iterator.empty
       case pd: ProcDef =>
         procs(pd.name) = pd
+      case DeclareCondition(name) =>
+        conds += name.toUpperCase
+      case SignalStmt(name) =>
+        // require the condition declared — a typo'd SIGNAL should fail at
+        // the raise site, not silently fall through every named handler
+        require(conds.contains(name.toUpperCase),
+          s"SIGNAL of undeclared condition $name (DECLARE $name CONDITION first)")
+        throw SignalError(name)
       case CallStmt(name, argExprs) =>
         val proc = procs.getOrElse(name,
           throw new IllegalArgumentException(s"CALL of undefined procedure $name"))
@@ -681,29 +745,59 @@ object HplSql {
         // runaway-recursion guard (the WHILE-iteration analog): fail loudly
         // instead of blowing the JVM stack on a self-calling procedure
         require(callDepth < 64, s"CALL depth exceeded 64 at $name — runaway recursion?")
+        // OUT/INOUT arguments must be plain variable names in the caller's
+        // scope — they receive the parameter's final value on normal return
+        // (copy-out, the reference's Var.setReturn contract for
+        // create_routine_param_item modes, Hplsql.g4:472-473). An OUT param
+        // enters uninitialized (NULL); INOUT enters with the caller's value.
+        val outTargets: Seq[Option[String]] =
+          argExprs.zip(proc.params).map { case (a, prm) =>
+            if (prm.mode == "OUT" || prm.mode == "INOUT") {
+              val nm = a.trim
+              require(nm.matches("[A-Za-z_][A-Za-z0-9_]*"),
+                s"CALL $name: ${prm.mode} argument for ${prm.name} must be a variable name, got '$a'")
+              val resolved = resolveVar(nm)
+              require(vars.contains(resolved),
+                s"CALL $name: ${prm.mode} argument $nm is not a declared variable")
+              Some(resolved)
+            } else None
+          }
         callDepth += 1
-        val argVals = argExprs.map(evalScalar) // caller scope, before binding
-        val saved = proc.params.map(pn => pn -> vars.get(pn))
-        proc.params.zip(argVals).foreach { case (pn, v) => vars(pn) = v }
-        try proc.handler match {
-          case None => run(proc.body)
-          case Some(h) => runHandled(proc.body, h)
+        val argVals = argExprs.zip(proc.params).map { case (a, prm) =>
+          if (prm.mode == "OUT") null else evalScalar(a) // caller scope, before binding
+        }
+        val saved = proc.params.map(prm => prm.name -> vars.get(prm.name))
+        proc.params.zip(argVals).foreach { case (prm, v) => vars(prm.name) = v }
+        var completed = false
+        val finals = new Array[Any](proc.params.length)
+        try {
+          if (proc.handlers.isEmpty) run(proc.body)
+          else runHandled(proc.body, proc.handlers)
+          // snapshot param finals BEFORE the dynamic scope is unwound
+          proc.params.zipWithIndex.foreach { case (prm, i) =>
+            finals(i) = vars.getOrElse(prm.name, null)
+          }
+          completed = true
         } finally {
           callDepth -= 1
           saved.foreach {
             case (pn, Some(v)) => vars(pn) = v
             case (pn, None) => vars.remove(pn)
           }
+          // copy-out only on normal completion — a propagating exception
+          // leaves the caller's variables untouched
+          if (completed) outTargets.zipWithIndex.foreach {
+            case (Some(tgt), i) => vars(tgt) = finals(i)
+            case _ => ()
+          }
         }
       case PrintStmt(expr) =>
         org.slf4j.LoggerFactory.getLogger(getClass).info(s"[hplsql] ${evalScalar(expr)}")
       case ExitStmt(when) =>
         if (when.forall(evalCond)) throw LoopExit
-      case BeginBlock(body, handler) =>
-        handler match {
-          case None => run(body)
-          case Some(h) => runHandled(body, h)
-        }
+      case BeginBlock(body, handlers) =>
+        if (handlers.isEmpty) run(body)
+        else runHandled(body, handlers)
       case SqlStmt(text) =>
         val df = spark.sql(substitute(text))
         // classify by the ANALYZED plan, not the first keyword: a
@@ -731,19 +825,32 @@ object HplSql {
         }
     }
 
-    /** body with a WHEN OTHERS handler. The handler catches engine/script
-      * errors, never loop control (LoopExit is a ControlThrowable). SQLERRM
-      * carries the message into the handler's scope, as in the reference's
-      * error variables (Exec.java signal handling); nested handlers restore
-      * the outer binding on exit. */
-    private def runHandled(body: Seq[Stmt], h: Seq[Stmt]): Unit = {
+    /** body with an exception block (`WHEN <condition> THEN …` branches —
+      * Hplsql.g4:112-117). A SIGNAL'd condition is caught by its named
+      * branch first, then by WHEN OTHERS; any other engine/script error is
+      * caught by WHEN OTHERS alone. An unmatched exception propagates (so
+      * an outer block's handlers get their turn). Loop control never trips
+      * a handler (LoopExit is a ControlThrowable). SQLERRM carries the
+      * message into the handler's scope, as in the reference's error
+      * variables (Exec.java signal handling); nested handlers restore the
+      * outer binding on exit. */
+    private def runHandled(body: Seq[Stmt],
+        handlers: Seq[(String, Seq[Stmt])]): Unit = {
       try run(body) catch {
         case e: Exception =>
-          val savedErrm = vars.get("SQLERRM")
-          vars("SQLERRM") = e.getMessage
-          try run(h) finally savedErrm match {
-            case Some(v) => vars("SQLERRM") = v
-            case None => vars.remove("SQLERRM")
+          val named = e match {
+            case SignalError(c) => handlers.find(_._1 == c.toUpperCase)
+            case _ => None
+          }
+          named.orElse(handlers.find(_._1 == "OTHERS")) match {
+            case None => throw e // no matching branch: propagate
+            case Some((_, h)) =>
+              val savedErrm = vars.get("SQLERRM")
+              vars("SQLERRM") = e.getMessage
+              try run(h) finally savedErrm match {
+                case Some(v) => vars("SQLERRM") = v
+                case None => vars.remove("SQLERRM")
+              }
           }
       }
     }

@@ -179,10 +179,51 @@ object Procedural {
           |  SET p = p + 1;
           |UNTIL p * p >= s END REPEAT;
           |DECLARE rv STRING := '';
-          |FOR i IN REVERSE 1 .. 3 LOOP
+          |FOR i IN REVERSE 3 .. 1 LOOP
           |  SET rv = rv || CAST(i AS STRING);
           |END LOOP;
           |SELECT par AS par, CAST(s AS BIGINT) AS s, CAST(p AS INT) AS isqrt, rv AS rev;""".stripMargin)
+    },
+
+    // OUT/INOUT parameter modes (create_routine_param_item,
+    // Hplsql.g4:472-473): the procedure returns THROUGH its parameters —
+    // the count lands in an OUT var, the running total accumulates through
+    // an IN OUT var — and the caller's variables carry the final answer.
+    Qd("q194_hplsql_out_param",
+      """SELECT CAST(n AS INT) AS n_match, CAST(100 + n AS BIGINT) AS total
+        |FROM (SELECT count(*) AS n FROM nation WHERE n_name LIKE '%A%')""") { (s, dir) =>
+      HplSql.run(s, dir,
+        """DECLARE nr INT := 0;
+          |DECLARE t BIGINT := 100;
+          |CREATE PROCEDURE match_stats(IN pat STRING, OUT n INT, IN OUT total BIGINT) AS
+          |BEGIN
+          |  SET n = (SELECT count(*) FROM nation WHERE n_name LIKE pat);
+          |  SET total = total + n;
+          |END;
+          |CALL match_stats('%A%', nr, t);
+          |SELECT CAST(nr AS INT) AS n_match, CAST(t AS BIGINT) AS total;""".stripMargin)
+    },
+
+    // Named condition handling (declare_condition_item Hplsql.g4:197,
+    // signal_stmt :726, exception_block :112-117): a data-derived SIGNAL
+    // routes to its named WHEN branch, not OTHERS — and the procedural
+    // answer must equal the declarative CASE.
+    Qd("q195_hplsql_signal",
+      """SELECT CASE WHEN n < 10 THEN 'small:' || CAST(n AS VARCHAR)
+        |            ELSE 'big' END AS status
+        |FROM (SELECT count(*) AS n FROM region)""") { (s, dir) =>
+      HplSql.run(s, dir,
+        """DECLARE small_region CONDITION;
+          |DECLARE status STRING := 'ok';
+          |DECLARE n INT := (SELECT count(*) FROM region);
+          |BEGIN
+          |  IF n < 10 THEN SIGNAL small_region; END IF;
+          |  SET status = 'big';
+          |EXCEPTION
+          |  WHEN small_region THEN SET status = 'small:' || CAST(n AS STRING);
+          |  WHEN OTHERS THEN SET status = 'err';
+          |END;
+          |SELECT status AS status;""".stripMargin)
     }
   )
 }

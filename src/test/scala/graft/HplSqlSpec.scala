@@ -227,6 +227,86 @@ class HplSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getString(0) == "handled")
   }
 
+  test("OUT/INOUT params: copy-out on normal return, OUT enters NULL, modes parse in all forms") {
+    val r = run1(
+      """DECLARE a INT := 1;
+        |DECLARE b INT := 10;
+        |DECLARE got_null STRING := 'no';
+        |CREATE PROCEDURE acc(IN x INT, OUT y INT, IN OUT z INT) AS
+        |BEGIN
+        |  IF y IS NULL THEN SET got_null = 'yes'; END IF;
+        |  SET y = x * 100;
+        |  SET z = z + x;
+        |END;
+        |CALL acc(7, a, b);
+        |SELECT CAST(a AS INT) AS a, CAST(b AS INT) AS b, got_null AS gn;""".stripMargin)
+    assert(r.getInt(0) == 700, "OUT param must copy out on return")
+    assert(r.getInt(1) == 17, "INOUT must carry the caller value in and the final value out")
+    assert(r.getString(2) == "yes", "OUT param must enter the body uninitialized (NULL)")
+  }
+
+  test("OUT copy-out: caller var untouched when the procedure throws; arg must be a variable") {
+    val r = run1(
+      """DECLARE a INT := 5;
+        |CREATE PROCEDURE boom(OUT y INT) AS
+        |BEGIN
+        |  SET y = 99;
+        |  SELECT 1 FROM no_such_table_xyz;
+        |END;
+        |BEGIN
+        |  CALL boom(a);
+        |EXCEPTION WHEN OTHERS THEN SET a = a;
+        |END;
+        |SELECT CAST(a AS INT) AS a;""".stripMargin)
+    assert(r.getInt(0) == 5, "failed call must not copy out")
+    intercept[Exception](run1(
+      """CREATE PROCEDURE p(OUT y INT) AS BEGIN SET y = 1; END;
+        |CALL p(1 + 2);
+        |SELECT 1 AS x;""".stripMargin))
+    intercept[Exception](run1(
+      """CREATE PROCEDURE p(OUT y INT) AS BEGIN SET y = 1; END;
+        |CALL p(undeclared_var);
+        |SELECT 1 AS x;""".stripMargin))
+  }
+
+  test("named conditions: SIGNAL reaches its WHEN branch; OTHERS is the fallback; unmatched propagates") {
+    val r = run1(
+      """DECLARE log STRING := '';
+        |DECLARE overdraft CONDITION;
+        |DECLARE shortfall CONDITION;
+        |BEGIN
+        |  SIGNAL overdraft;
+        |EXCEPTION
+        |  WHEN shortfall THEN SET log = log || 'wrong;';
+        |  WHEN overdraft THEN SET log = log || 'od:' || SQLERRM || ';';
+        |  WHEN OTHERS THEN SET log = log || 'others;';
+        |END;
+        |BEGIN
+        |  SIGNAL shortfall;
+        |EXCEPTION
+        |  WHEN overdraft THEN SET log = log || 'wrong2;';
+        |  WHEN OTHERS THEN SET log = log || 'fellthrough;';
+        |END;
+        |SELECT log AS log;""".stripMargin)
+    assert(r.getString(0) == "od:SIGNAL overdraft;fellthrough;")
+    // a signal with no matching branch and no OTHERS propagates to the
+    // outer block's handlers
+    val r2 = run1(
+      """DECLARE c1 CONDITION;
+        |DECLARE hit STRING := 'no';
+        |BEGIN
+        |  BEGIN
+        |    SIGNAL c1;
+        |  EXCEPTION WHEN some_other THEN SET hit = 'inner';
+        |  END;
+        |EXCEPTION WHEN c1 THEN SET hit = 'outer';
+        |END;
+        |SELECT hit AS hit;""".stripMargin)
+    assert(r2.getString(0) == "outer")
+    // SIGNAL of an undeclared condition fails at the raise site
+    intercept[Exception](run1("SIGNAL nope;\nSELECT 1 AS x;"))
+  }
+
   test("explicit cursor: OPEN/FETCH/CLOSE protocol and attributes") {
     val r = run1(
       """DECLARE nm STRING;
@@ -267,25 +347,32 @@ class HplSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("FOR range: inclusive bounds, REVERSE order, empty range, EXIT, shadow restore") {
+    // REVERSE follows the reference (Stmt.java:963 forRange): start at the
+    // FIRST bound, decrement while >= the second — so REVERSE 3..1 runs
+    // 3,2,1 and REVERSE 1..3 runs zero iterations (NOT Oracle's lo..hi).
     val r = run1(
       """DECLARE i STRING := 'outer';
         |DECLARE up STRING := '';
         |DECLARE down STRING := '';
         |DECLARE none INT := 0;
+        |DECLARE rnone INT := 0;
         |FOR i IN 1 .. 4 LOOP SET up = up || CAST(i AS STRING); END LOOP;
-        |FOR i IN REVERSE 1 .. 3 LOOP SET down = down || CAST(i AS STRING); END LOOP;
+        |FOR i IN REVERSE 3 .. 1 LOOP SET down = down || CAST(i AS STRING); END LOOP;
         |FOR i IN 5 .. 4 LOOP SET none = none + 1; END LOOP;
+        |FOR i IN REVERSE 1 .. 3 LOOP SET rnone = rnone + 1; END LOOP;
         |DECLARE part INT := 0;
         |FOR i IN 1 .. 100 LOOP
         |  SET part = part + 1;
         |  EXIT WHEN i >= 3;
         |END LOOP;
         |SELECT up AS up, down AS down, CAST(none AS INT) AS none,
-        |  CAST(part AS INT) AS part, i AS i;""".stripMargin)
+        |  CAST(rnone AS INT) AS rnone, CAST(part AS INT) AS part, i AS i;""".stripMargin)
     assert(r.getString(0) == "1234" && r.getString(1) == "321")
     assert(r.getInt(2) == 0, "descending bounds without REVERSE iterate zero times")
-    assert(r.getInt(3) == 3, "EXIT WHEN leaves the range loop")
-    assert(r.getString(4) == "outer", "loop variable restored after the loop")
+    assert(r.getInt(3) == 0,
+      "REVERSE with ascending bounds iterates zero times (reference forRange)")
+    assert(r.getInt(4) == 3, "EXIT WHEN leaves the range loop")
+    assert(r.getString(5) == "outer", "loop variable restored after the loop")
   }
 
   test("CASE statement: searched and simple forms; no-match runs ELSE") {
