@@ -431,6 +431,38 @@ object Ddl {
         SELECT g166_bucket(CAST(c_acctbal AS DOUBLE), 0.0, 10000.0, 10) AS b,
                g166_sigmoid(CAST(c_acctbal AS DOUBLE) / 1000.0) AS sig FROM customer)
         GROUP BY b ORDER BY b""")
+    },
+
+    // EXPORT TABLE → DROP → IMPORT TABLE round-trip (reference:
+    // `ql/.../parse/ExportSemanticAnalyzer.java:47` + ImportSemanticAnalyzer):
+    // a partitioned managed table is exported (per-partition data dirs + a
+    // _metadata descriptor), dropped — the managed drop deletes its
+    // warehouse data, so the import can only succeed from the export — and
+    // re-created under a NEW name from the export directory alone. The
+    // final per-partition aggregate must equal the source data exactly
+    // (schema, partitioning, and every row survived the round-trip).
+    Qd("q196_ddl_export_import",
+      """SELECT CAST(n_regionkey AS INT) AS rk, count(*) AS n,
+        |  CAST(sum(n_nationkey) AS BIGINT) AS sk
+        |FROM nation GROUP BY 1 ORDER BY rk""") { (s, dir) =>
+      val (sf, loc) = ctx(s, dir)
+      val (tbl, tb2) = (s"g196_$sf", s"g196i_$sf")
+      val exp = s"$loc/g196_export"
+      Seq(tbl, tb2).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+          s"${sys.props("user.dir")}/target/warehouse/${t.toLowerCase}"))
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(exp))
+      s.sql(s"CREATE TABLE $tbl (n_name STRING, nk BIGINT, rk INT) " +
+        "USING parquet PARTITIONED BY (rk)")
+      s.sql(s"INSERT INTO $tbl SELECT n_name, CAST(n_nationkey AS BIGINT), " +
+        "CAST(n_regionkey AS INT) FROM nation")
+      graft.operators.ExportImport.exportTable(s, tbl, exp)
+      s.sql(s"DROP TABLE $tbl") // managed: data gone with it
+      graft.operators.ExportImport.importTable(s, exp, tb2)
+      s.sql(s"SELECT CAST(rk AS INT) AS rk, count(*) AS n, " +
+        s"CAST(sum(nk) AS BIGINT) AS sk FROM $tb2 GROUP BY rk ORDER BY rk")
     }
   )
 }
