@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Engine
-import graft.operators.{CopyOnWriteDml, MergeOnReadDml}
+import graft.operators.{CopyOnWriteDml, MergeOnReadDml, TxnMergeOnRead}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -171,6 +171,60 @@ object Dml {
         set = Seq("bal" -> "0.0"),
         cond = "seg = 'HOUSEHOLD' AND bal < 0")
       MergeOnReadDml.read(s, root).orderBy("ck")
+    },
+
+    // CONCURRENT writers under the optimistic transaction log
+    // ([[graft.operators.TxnMergeOnRead]]): five writers race with no
+    // coordination beyond the log — two overlapping UPDATEs (commutative
+    // increments, so first-committer-wins + recompute converges to both
+    // applied), a DELETE on a disjoint segment, and two INSERT batches.
+    // Snapshot isolation makes EVERY interleaving reach the same final
+    // table, which is what lets a deterministic sequential oracle check a
+    // concurrent execution; a lost update, torn update, or clobbered delta
+    // (the single-writer failure modes) each break the hash.
+    Qd("q197_dml_concurrent_txn",
+      """WITH t0 AS (SELECT CAST(c_custkey AS BIGINT) AS ck, c_name AS nm,
+        |            round(c_acctbal, 2) AS bal, c_mktsegment AS seg FROM customer),
+        |fin AS (SELECT ck, nm,
+        |    CASE WHEN seg = 'BUILDING' THEN round(bal + 3, 2)
+        |         WHEN seg = 'MACHINERY' THEN round(bal + 2, 2)
+        |         ELSE bal END AS bal, seg
+        |  FROM t0 WHERE seg <> 'AUTOMOBILE'),
+        |ins AS (SELECT CAST(s_suppkey AS BIGINT) + 200000 AS ck, s_name AS nm,
+        |          0.0 AS bal, 'NEW' AS seg FROM supplier
+        |        UNION ALL
+        |        SELECT CAST(s_suppkey AS BIGINT) + 300000, s_name, 1.0, 'NEW2'
+        |        FROM supplier)
+        |SELECT ck, nm, bal, seg FROM
+        |  (SELECT * FROM fin UNION ALL SELECT * FROM ins)
+        |ORDER BY ck""") { (s, dir) =>
+      val (sf, loc) = ctx(s, dir)
+      val root = s"$loc/g197_txn"
+      val src = Engine.table(s, dir, "customer").select(
+        col("c_custkey").cast("bigint").as("ck"), col("c_name").as("nm"),
+        round(col("c_acctbal"), 2).as("bal"), col("c_mktsegment").as("seg"))
+      TxnMergeOnRead.create(s, root, src)
+      val sup = Engine.table(s, dir, "supplier")
+      val writers: Seq[() => Unit] = Seq(
+        () => TxnMergeOnRead.update(s, root,
+          Seq("bal" -> "round(bal + 1, 2)"), "seg = 'BUILDING'"),
+        () => TxnMergeOnRead.update(s, root,
+          Seq("bal" -> "round(bal + 2, 2)"),
+          "seg IN ('BUILDING', 'MACHINERY')"),
+        () => TxnMergeOnRead.delete(s, root, "seg = 'AUTOMOBILE'"),
+        () => TxnMergeOnRead.insert(s, root, sup.select(
+          (col("s_suppkey").cast("bigint") + 200000).as("ck"),
+          col("s_name").as("nm"), lit(0.0).as("bal"), lit("NEW").as("seg"))),
+        () => TxnMergeOnRead.insert(s, root, sup.select(
+          (col("s_suppkey").cast("bigint") + 300000).as("ck"),
+          col("s_name").as("nm"), lit(1.0).as("bal"), lit("NEW2").as("seg"))))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(writers.size)
+      val futs = writers.map(w => pool.submit(
+        new java.util.concurrent.Callable[Unit] { def call(): Unit = w() }))
+      pool.shutdown()
+      futs.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+      TxnMergeOnRead.compact(s, root) // sequential: read is a base-only scan
+      TxnMergeOnRead.read(s, root).orderBy("ck")
     }
   )
 }
