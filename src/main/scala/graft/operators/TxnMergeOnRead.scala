@@ -204,6 +204,40 @@ object TxnMergeOnRead {
     snapshotAt(spark, root,
       readLog(fs(spark, root), root).takeWhile(_.version <= version)).drop(RID)
 
+  /** Net row-level changes (CDC) committed in versions `(fromV, toV]` —
+    * the incremental-consumption contract (Delta Lake's change data feed,
+    * Iceberg's incremental scan): a downstream job that processed version
+    * `fromV` reads only what happened since, never the table. An UPDATE
+    * surfaces as its two events (delete of the old version, insert of the
+    * new); a row born and deleted inside the range nets out to nothing.
+    *
+    * Scale shape: reads ONLY the range's delta directories plus the `fromV`
+    * snapshot for delete resolution — cost is O(changes) + one semi-join
+    * against the old snapshot (broadcast-able when the change set is small,
+    * the normal CDC regime), NOT a diff of two full table snapshots.
+    * Same dir-survival contract as [[readAt]]: a compaction inside or above
+    * the range GCs the dirs this replay needs, so CDC ranges must stay
+    * within the retention window. */
+  def changesBetween(spark: SparkSession, root: String, fromV: Long,
+      toV: Long): DataFrame = {
+    val f = fs(spark, root)
+    val log = readLog(f, root)
+    val range = log.filter(e => e.version > fromV && e.version <= toV)
+    val base = snapshotAt(spark, root, log.takeWhile(_.version <= fromV))
+    val born = range.flatMap(e => readDir(spark, root, e.dir, "insert"))
+      .reduceOption(_ unionByName _)
+    val delRids = range.flatMap(e => readDir(spark, root, e.dir, "delete"))
+      .reduceOption(_ union _)
+    val inserted = born.map(i =>
+      delRids.fold(i)(d => i.join(d, Seq(RID), "left_anti")))
+    val deleted = delRids.map(d => base.join(d, Seq(RID), "left_semi"))
+    val tagged =
+      inserted.map(_.drop(RID).withColumn("change", lit("insert"))).toSeq ++
+      deleted.map(_.drop(RID).withColumn("change", lit("delete"))).toSeq
+    tagged.reduceOption(_ unionByName _).getOrElse(
+      base.drop(RID).withColumn("change", lit("")).limit(0))
+  }
+
   /** Stage delete/insert halves under a uuid dir. The dir is invisible until
     * a log entry references it, so staging needs no temp-dir dance. */
   private def stage(spark: SparkSession, root: String,

@@ -225,6 +225,124 @@ object Dml {
       futs.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
       TxnMergeOnRead.compact(s, root) // sequential: read is a base-only scan
       TxnMergeOnRead.read(s, root).orderBy("ck")
+    },
+
+    // CDC over the transaction log ([[TxnMergeOnRead.changesBetween]]):
+    // after create → UPDATE → DELETE → INSERT, the net changes in (1, 4]
+    // are exactly {old BUILDING versions + AUTOMOBILE rows} deleted and
+    // {new BUILDING versions + supplier rows} inserted. The oracle derives
+    // both sets from the sources directly; a CDC replay that misses the
+    // UPDATE's delete half, leaks row ids, or double-counts breaks the hash.
+    Qd("q198_dml_cdc_changes",
+      """WITH t0 AS (SELECT CAST(c_custkey AS BIGINT) AS ck, c_name AS nm,
+        |            round(c_acctbal, 2) AS bal, c_mktsegment AS seg FROM customer)
+        |SELECT 'delete' AS change, ck, nm, bal, seg FROM t0
+        |  WHERE seg IN ('BUILDING', 'AUTOMOBILE')
+        |UNION ALL
+        |SELECT 'insert', ck, nm, round(bal + 5, 2), seg FROM t0
+        |  WHERE seg = 'BUILDING'
+        |UNION ALL
+        |SELECT 'insert', CAST(s_suppkey AS BIGINT) + 500000, s_name, 9.99, 'SUPP'
+        |  FROM supplier
+        |ORDER BY change, ck""") { (s, dir) =>
+      val (sf, loc) = ctx(s, dir)
+      val root = s"$loc/g198_txn"
+      TxnMergeOnRead.create(s, root, Engine.table(s, dir, "customer").select(
+        col("c_custkey").cast("bigint").as("ck"), col("c_name").as("nm"),
+        round(col("c_acctbal"), 2).as("bal"), col("c_mktsegment").as("seg")))
+      TxnMergeOnRead.update(s, root,
+        Seq("bal" -> "round(bal + 5, 2)"), "seg = 'BUILDING'")
+      TxnMergeOnRead.delete(s, root, "seg = 'AUTOMOBILE'")
+      TxnMergeOnRead.insert(s, root, Engine.table(s, dir, "supplier").select(
+        (col("s_suppkey").cast("bigint") + 500000).as("ck"),
+        col("s_name").as("nm"), lit(9.99).as("bal"), lit("SUPP").as("seg")))
+      TxnMergeOnRead.changesBetween(s, root, 1L, 4L)
+        .select("change", "ck", "nm", "bal", "seg")
+        .orderBy("change", "ck")
+    },
+
+    // Time travel ([[TxnMergeOnRead.readAt]]): the same version chain read
+    // back at each pinned version as an aggregate — version 1 is the full
+    // customer load, 2 adds the BUILDING raise, 3 drops AUTOMOBILE, 4 adds
+    // the suppliers. A reader that sees a later delta at an earlier version
+    // (snapshot leak) or loses one (replay gap) shifts a row of the series.
+    Qd("q199_dml_time_travel",
+      """WITH t0 AS (SELECT CAST(c_custkey AS BIGINT) AS ck,
+        |            round(c_acctbal, 2) AS bal, c_mktsegment AS seg FROM customer),
+        |v2 AS (SELECT ck, CASE WHEN seg = 'BUILDING' THEN round(bal + 5, 2)
+        |                       ELSE bal END AS bal, seg FROM t0),
+        |v3 AS (SELECT * FROM v2 WHERE seg <> 'AUTOMOBILE'),
+        |v4 AS (SELECT ck, bal, seg FROM v3
+        |       UNION ALL
+        |       SELECT CAST(s_suppkey AS BIGINT) + 500000, 9.99, 'SUPP' FROM supplier)
+        |SELECT 1 AS version, count(*) AS n_rows,
+        |       CAST(round(sum(bal), 2) AS DOUBLE) AS total_bal FROM t0
+        |UNION ALL SELECT 2, count(*), CAST(round(sum(bal), 2) AS DOUBLE) FROM v2
+        |UNION ALL SELECT 3, count(*), CAST(round(sum(bal), 2) AS DOUBLE) FROM v3
+        |UNION ALL SELECT 4, count(*), CAST(round(sum(bal), 2) AS DOUBLE) FROM v4
+        |ORDER BY version""") { (s, dir) =>
+      val (sf, loc) = ctx(s, dir)
+      val root = s"$loc/g199_txn"
+      TxnMergeOnRead.create(s, root, Engine.table(s, dir, "customer").select(
+        col("c_custkey").cast("bigint").as("ck"),
+        round(col("c_acctbal"), 2).as("bal"), col("c_mktsegment").as("seg")))
+      TxnMergeOnRead.update(s, root,
+        Seq("bal" -> "round(bal + 5, 2)"), "seg = 'BUILDING'")
+      TxnMergeOnRead.delete(s, root, "seg = 'AUTOMOBILE'")
+      TxnMergeOnRead.insert(s, root, Engine.table(s, dir, "supplier").select(
+        (col("s_suppkey").cast("bigint") + 500000).as("ck"),
+        lit(9.99).as("bal"), lit("SUPP").as("seg")))
+      (1L to 4L).map { v =>
+        TxnMergeOnRead.readAt(s, root, v).agg(
+          count(lit(1)).as("n_rows"),
+          round(sum("bal"), 2).cast("double").as("total_bal"))
+          .select(lit(v.toInt).as("version"), col("n_rows"), col("total_bal"))
+      }.reduce(_ unionByName _).orderBy("version")
+    },
+
+    // Incremental dedup ingest — the shape a 100 TB corpus actually grows
+    // by: the standing table keeps a content-hash column, an arriving batch
+    // is deduped within itself (earliest doc per hash wins) and against the
+    // corpus by ONE narrow anti-join on the hash projection (parquet reads
+    // only `h`, never the text), and only novel rows are appended through
+    // the transaction log — the corpus is never rewritten and never fully
+    // rescanned. The batch deliberately overlaps the corpus (all doc_id%4=0
+    // docs plus any odd doc whose text duplicates a corpus doc) so both
+    // dedup edges are exercised.
+    Qd("q200_dml_incremental_ingest",
+      """WITH corpus AS (SELECT doc_id, md5(text) AS h FROM documents
+        |               WHERE doc_id % 2 = 0),
+        |batch AS (SELECT doc_id, md5(text) AS h FROM documents
+        |          WHERE doc_id % 2 = 1 OR doc_id % 4 = 0
+        |          UNION ALL
+        |          SELECT doc_id + 100000, md5(text) FROM documents
+        |          WHERE doc_id % 8 = 3),
+        |bdd AS (SELECT min(doc_id) AS doc_id, h FROM batch GROUP BY h),
+        |novel AS (SELECT doc_id, h FROM bdd
+        |          WHERE h NOT IN (SELECT h FROM corpus))
+        |SELECT doc_id, h FROM corpus
+        |UNION ALL SELECT doc_id, h FROM novel
+        |ORDER BY doc_id""") { (s, dir) =>
+      val (sf, loc) = ctx(s, dir)
+      val root = s"$loc/g200_txn"
+      val d = Engine.table(s, dir, "documents").select(col("doc_id"), col("text"))
+      TxnMergeOnRead.create(s, root,
+        d.filter(col("doc_id") % 2 === 0).withColumn("h", md5(col("text"))))
+      // re-submitted copies of the %8=3 docs under new ids: within-batch
+      // duplicates whose original (lower doc_id) must win the argmin
+      val batch = d.filter(col("doc_id") % 2 === 1 || col("doc_id") % 4 === 0)
+        .unionByName(d.filter(col("doc_id") % 8 === 3)
+          .withColumn("doc_id", col("doc_id") + 100000))
+        .withColumn("h", md5(col("text")))
+      // within-batch: earliest doc per content hash (struct-min argmin)
+      val bdd = batch.groupBy("h")
+        .agg(min(struct(col("doc_id"), col("text"))).as("r"))
+        .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"), col("h"))
+      val corpusHashes = TxnMergeOnRead.read(s, root).select("h")
+      val novel = bdd.join(corpusHashes, Seq("h"), "left_anti")
+        .select("doc_id", "text", "h")
+      TxnMergeOnRead.insert(s, root, novel)
+      TxnMergeOnRead.read(s, root).select("doc_id", "h").orderBy("doc_id")
     }
   )
 }

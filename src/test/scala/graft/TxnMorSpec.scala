@@ -152,6 +152,35 @@ class TxnMorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.filter(col("v") =!= col("k") * 10).count() === 0)
   }
 
+  test("CDC: born-and-deleted inside the range nets out; updates split") {
+    val root = s"$base/cdc"
+    mk(root, n = 10)                                                   // v1
+    TxnMergeOnRead.insert(spark, root,
+      spark.range(100, 103).select(col("id").as("k"),
+        (col("id") * 10).as("v")))                                     // v2
+    TxnMergeOnRead.update(spark, root, Seq("v" -> "v + 1"), "k = 5")   // v3
+    TxnMergeOnRead.delete(spark, root, "k >= 100")                     // v4
+    // full range: the v2 rows died at v4 → net zero; k=5 is one
+    // delete (old version) + one insert (new version)
+    val full = TxnMergeOnRead.changesBetween(spark, root, 1L, 4L)
+    assert(full.filter(col("k") >= 100).count() === 0,
+      "rows born and deleted inside the range must net out")
+    assert(full.filter(col("k") === 5 && col("change") === "delete")
+      .select("v").head().getLong(0) === 50)
+    assert(full.filter(col("k") === 5 && col("change") === "insert")
+      .select("v").head().getLong(0) === 51)
+    assert(full.count() === 2)
+    // sub-ranges see the birth and the death individually
+    assert(TxnMergeOnRead.changesBetween(spark, root, 1L, 2L)
+      .agg(count(lit(1)), sum(when(col("change") === "insert", 1).otherwise(0)))
+      .head().toSeq === Seq(3L, 3L))
+    assert(TxnMergeOnRead.changesBetween(spark, root, 3L, 4L)
+      .agg(count(lit(1)), sum(when(col("change") === "delete", 1).otherwise(0)))
+      .head().toSeq === Seq(3L, 3L))
+    // empty range → empty frame with the table schema + change column
+    assert(TxnMergeOnRead.changesBetween(spark, root, 4L, 4L).count() === 0)
+  }
+
   test("empty-match mutation no-ops without consuming an ordinal") {
     val root = s"$base/noop"
     mk(root)
