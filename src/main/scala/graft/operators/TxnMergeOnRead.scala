@@ -182,7 +182,10 @@ object TxnMergeOnRead {
     val withIns = deltas.values.toSeq.flatMap(e => readDir(spark, root, e.dir, "insert"))
       .reduceOption(_ unionByName _)
       .fold(baseDf)(ins => baseDf.unionByName(ins))
+    // delete events carry the full dead row (CDF-style) but the snapshot
+    // only needs the id — parquet column pruning keeps this read narrow
     deltas.values.toSeq.flatMap(e => readDir(spark, root, e.dir, "delete"))
+      .map(_.select(col(RID)))
       .reduceOption(_ union _)
       .fold(withIns)(del => withIns.join(del, Seq(RID), "left_anti"))
   }
@@ -211,10 +214,13 @@ object TxnMergeOnRead {
     * surfaces as its two events (delete of the old version, insert of the
     * new); a row born and deleted inside the range nets out to nothing.
     *
-    * Scale shape: reads ONLY the range's delta directories plus the `fromV`
-    * snapshot for delete resolution — cost is O(changes) + one semi-join
-    * against the old snapshot (broadcast-able when the change set is small,
-    * the normal CDC regime), NOT a diff of two full table snapshots.
+    * Scale shape: reads ONLY the range's delta directories — delete events
+    * store the full dead row (the Delta-CDF `_change_data` tradeoff: the
+    * writer pays O(changed rows) extra bytes so no consumer ever rescans
+    * the table; the snapshot read path still prunes those files to the id
+    * column), so CDC cost is O(changes in range) with the table size
+    * nowhere in the bound. The two anti-joins below are delta-vs-delta
+    * (both sides are change sets, broadcast-able in the normal CDC regime).
     * Same dir-survival contract as [[readAt]]: a compaction inside or above
     * the range GCs the dirs this replay needs, so CDC ranges must stay
     * within the retention window. */
@@ -223,19 +229,21 @@ object TxnMergeOnRead {
     val f = fs(spark, root)
     val log = readLog(f, root)
     val range = log.filter(e => e.version > fromV && e.version <= toV)
-    val base = snapshotAt(spark, root, log.takeWhile(_.version <= fromV))
     val born = range.flatMap(e => readDir(spark, root, e.dir, "insert"))
       .reduceOption(_ unionByName _)
-    val delRids = range.flatMap(e => readDir(spark, root, e.dir, "delete"))
-      .reduceOption(_ union _)
+    val dead = range.flatMap(e => readDir(spark, root, e.dir, "delete"))
+      .reduceOption(_ unionByName _)
+    // rows born then killed inside the range net out of BOTH sides
     val inserted = born.map(i =>
-      delRids.fold(i)(d => i.join(d, Seq(RID), "left_anti")))
-    val deleted = delRids.map(d => base.join(d, Seq(RID), "left_semi"))
+      dead.fold(i)(d => i.join(d.select(col(RID)), Seq(RID), "left_anti")))
+    val deleted = dead.map(d =>
+      born.fold(d)(i => d.join(i.select(col(RID)), Seq(RID), "left_anti")))
     val tagged =
       inserted.map(_.drop(RID).withColumn("change", lit("insert"))).toSeq ++
       deleted.map(_.drop(RID).withColumn("change", lit("delete"))).toSeq
     tagged.reduceOption(_ unionByName _).getOrElse(
-      base.drop(RID).withColumn("change", lit("")).limit(0))
+      snapshotAt(spark, root, log.takeWhile(_.version <= fromV))
+        .drop(RID).withColumn("change", lit("")).limit(0))
   }
 
   /** Stage delete/insert halves under a uuid dir. The dir is invisible until
@@ -316,10 +324,13 @@ object TxnMergeOnRead {
     }
   }
 
-  /** DELETE WHERE cond under snapshot isolation (3VL: NULL cond keeps). */
+  /** DELETE WHERE cond under snapshot isolation (3VL: NULL cond keeps).
+    * The staged delete event keeps the whole dead row, not just its id —
+    * O(deleted rows) extra write bytes that buy [[changesBetween]] its
+    * no-table-scan contract; readers prune back down to the id column. */
   def delete(spark: SparkSession, root: String, cond: String): Unit =
     mutate(spark, root, { snap =>
-      val del = snap.filter(coalesce(expr(cond), lit(false))).select(col(RID))
+      val del = snap.filter(coalesce(expr(cond), lit(false)))
       if (del.isEmpty) None else Some((Some(del), None))
     })
 
@@ -345,7 +356,7 @@ object TxnMergeOnRead {
         val newVersions = matched.select(cols.map { c =>
           setMap.get(c).map(e => expr(e).as(c)).getOrElse(col(c))
         }: _*)
-        Some((Option(matched.select(col(RID))),
+        Some((Option(matched), // full old rows: the CDC delete events
           Option(withRid(newVersions, tag))))
       }
     })

@@ -1,0 +1,64 @@
+package graft.tools
+
+import graft.Engine
+import graft.operators.TxnMergeOnRead
+import org.apache.spark.sql.functions._
+
+/** SURVEY §6 scale evidence for the transaction-log CDC path (round 8):
+  * time an incremental consumer (`changesBetween`) against a full snapshot
+  * read of the same table, at sf0.1 and at ×64. The claim under test:
+  * CDC wall is O(changes in range) — the full-row delete events mean no
+  * consumer ever rescans the table — so while the snapshot read and the
+  * UPDATE itself grow with the table, the CDC read of the same update's
+  * events stays flat.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=<dir> sbt "runMain graft.tools.CdcScale"
+  */
+object CdcScale {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_scale64")
+    val s = Engine.session(cores = 32, appName = "graft-cdcscale")
+    val root = s"/tmp/graft_cdc_${new java.io.File(dir).getName}"
+
+    def best2(label: String)(work: => Unit): Double = {
+      val ts = (1 to 2).map { _ =>
+        System.gc(); Thread.sleep(150)
+        val t0 = System.nanoTime()
+        work
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[cdcscale] $label best=${ts.min}%.2fs " +
+        f"(runs: ${ts.map(t => f"$t%.2f").mkString(",")})")
+      ts.min
+    }
+
+    // one-time table build (not the measurement)
+    val li = Engine.table(s, dir, "lineitem").select(
+      col("l_orderkey").cast("bigint").as("ok"), col("l_linenumber").as("ln"),
+      col("l_quantity").cast("double").as("qty"),
+      col("l_extendedprice").cast("double").as("price"),
+      col("l_returnflag").as("rf"))
+    TxnMergeOnRead.create(s, root, li)
+    val rows = TxnMergeOnRead.read(s, root).count()
+
+    // ~0.1% of rows change: the update pays a snapshot scan (grows with
+    // the table, as any predicate-matched DML must)...
+    val v0 = TxnMergeOnRead.currentVersion(s, root)
+    val upd = best2("update ~0.1%")(TxnMergeOnRead.update(s, root,
+      Seq("qty" -> "qty + 1"), "ok % 1024 = 0"))
+    val v1 = TxnMergeOnRead.currentVersion(s, root)
+
+    // ...but its CONSUMPTION doesn't: CDC reads only the range's deltas
+    val cdc = best2("cdc read") {
+      TxnMergeOnRead.changesBetween(s, root, v0, v1)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val nChanges = TxnMergeOnRead.changesBetween(s, root, v0, v1).count()
+    val full = best2("full snapshot read") {
+      TxnMergeOnRead.read(s, root).write.format("noop").mode("overwrite").save()
+    }
+    println(f"[cdcscale] dir=$dir rows=$rows changes=$nChanges " +
+      f"update=$upd%.2fs cdc=$cdc%.2fs fullRead=$full%.2fs cdc/full=${cdc / full}%.2f")
+    s.stop()
+  }
+}
