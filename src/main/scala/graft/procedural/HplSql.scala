@@ -73,6 +73,8 @@ object HplSql {
   private case class CallStmt(name: String, args: Seq[String]) extends Stmt
   private case class DeclareCondition(name: String) extends Stmt
   private case class SignalStmt(name: String) extends Stmt
+  private case class ExecImmediate(sqlExpr: String, into: Seq[String])
+      extends Stmt
 
   // ---------- tokenizer (structure only; statement text is sliced raw) ----
   private case class Tok(text: String, start: Int, end: Int, quoted: Boolean) {
@@ -368,6 +370,29 @@ object HplSql {
       case "SIGNAL" =>
         // signal_stmt: T_SIGNAL ident — Hplsql.g4:726
         next(); val name = next().text; expect(";"); SignalStmt(name)
+      case "EXECUTE" | "EXEC" =>
+        // exec_stmt: (T_EXEC | T_EXECUTE) T_IMMEDIATE? expr
+        //   (T_INTO L_ID (',' L_ID)*)? — Hplsql.g4:494-495. The expr builds
+        // the SQL text at run time; a top-level non-quoted INTO cannot occur
+        // inside the expression (string contents are quoted tokens), so it
+        // unambiguously starts the binding list.
+        next()
+        if (peek.exists(w => !w.quoted && w.up == "IMMEDIATE")) next()
+        val (sqlExpr, stop) = rawUntil(Set(";", "INTO"))
+        val into = Seq.newBuilder[String]
+        if (stop == "INTO") {
+          var go = true
+          while (go) {
+            into += next().text
+            next().text match {
+              case "," => ()
+              case ";" => go = false
+              case other => throw new IllegalArgumentException(
+                s"EXECUTE IMMEDIATE INTO list: expected ',' or ';', got '$other'")
+            }
+          }
+        }
+        ExecImmediate(sqlExpr, into.result())
       case "CREATE" if at(1) == "PROCEDURE" ||
           (at(1) == "OR" && at(2) == "REPLACE" && at(3) == "PROCEDURE") =>
         // create_procedure_stmt with IN/OUT/INOUT parameter modes
@@ -798,8 +823,37 @@ object HplSql {
       case BeginBlock(body, handlers) =>
         if (handlers.isEmpty) run(body)
         else runHandled(body, handlers)
-      case SqlStmt(text) =>
-        val df = spark.sql(substitute(text))
+      case SqlStmt(text) => runEngineSql(substitute(text))
+      case ExecImmediate(sqlExpr, into) =>
+        // the expression yields the SQL text (Stmt.java exec: evaluate then
+        // run); the built string then gets the same variable substitution a
+        // static statement would — a :var inside a dynamically-assembled
+        // query binds like anywhere else
+        val sqlText = Option(evalScalar(sqlExpr)).map(_.toString).getOrElse(
+          throw new IllegalArgumentException(
+            s"EXECUTE IMMEDIATE expression '$sqlExpr' evaluated to NULL"))
+        if (into.isEmpty) runEngineSql(substitute(sqlText))
+        else {
+          // INTO binding: first row of the dynamic query → variables
+          // (arity-checked like FETCH INTO); the result set is consumed by
+          // the binding, not published as the script result
+          val tgts = into.map(resolveVar)
+          tgts.foreach(v => require(vars.contains(v),
+            s"EXECUTE IMMEDIATE INTO undeclared variable $v"))
+          val row = spark.sql(substitute(sqlText)).head()
+          require(tgts.length == row.length,
+            s"EXECUTE IMMEDIATE INTO arity ${tgts.length} != result width ${row.length}")
+          tgts.zipWithIndex.foreach { case (v, i) =>
+            vars(v) = if (row.isNullAt(i)) null else row.get(i)
+          }
+        }
+    }
+
+    /** Engine-SQL execution shared by static statements and EXECUTE
+      * IMMEDIATE: commands run eagerly in statement order; a SELECT
+      * snapshots as the candidate script result. */
+    private def runEngineSql(sql: String): Unit = {
+        val df = spark.sql(sql)
         // classify by the ANALYZED plan, not the first keyword: a
         // CTE-prefixed INSERT ("WITH x AS (...) INSERT ...") is a command,
         // not the script's result set

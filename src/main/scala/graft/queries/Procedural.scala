@@ -224,6 +224,35 @@ object Procedural {
           |  WHEN OTHERS THEN SET status = 'err';
           |END;
           |SELECT status AS status;""".stripMargin)
+    },
+
+    // EXECUTE IMMEDIATE (exec_stmt, Hplsql.g4:494-495): dynamic SQL built
+    // at run time from variables — an aggregate whose COLUMN NAME is a
+    // variable (the canonical dynamic-SQL use case the static grammar
+    // cannot express), with INTO binding the first row into script
+    // variables; plus a dynamic DDL command (view name assembled at run
+    // time) consumed by a later static statement. A :var left INSIDE the
+    // built text binds like any static statement's variable would.
+    Qd("q201_hplsql_exec_immediate",
+      """SELECT
+        |  (SELECT count(*) FROM customer WHERE c_mktsegment = 'BUILDING') AS n_c,
+        |  (SELECT CAST(round(sum(c_acctbal), 2) AS DOUBLE) FROM customer
+        |   WHERE c_mktsegment = 'BUILDING') AS tot,
+        |  (SELECT count(*) FROM nation WHERE n_regionkey = 0) AS n_nat""") { (s, dir) =>
+      HplSql.run(s, dir,
+        """DECLARE agg_col STRING := 'c_acctbal';
+          |DECLARE seg_v STRING := 'BUILDING';
+          |DECLARE n_c BIGINT := 0;
+          |DECLARE tot DOUBLE := 0;
+          |EXECUTE IMMEDIATE 'SELECT count(*), CAST(round(sum(' || agg_col ||
+          |  '), 2) AS DOUBLE) FROM customer WHERE c_mktsegment = seg_v'
+          |  INTO n_c, tot;
+          |DECLARE vname STRING := 'g201_v';
+          |EXEC 'CREATE OR REPLACE TEMPORARY VIEW ' || vname ||
+          |  ' AS SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 0';
+          |DECLARE nn BIGINT := (SELECT count(*) FROM g201_v);
+          |SELECT CAST(n_c AS BIGINT) AS n_c, CAST(tot AS DOUBLE) AS tot,
+          |       CAST(nn AS BIGINT) AS n_nat;""".stripMargin)
     }
   )
 }

@@ -519,6 +519,31 @@ class HplSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getInt(0) == 15, "x - (-5) = 15, not a swallowed comment")
   }
 
+  test("EXECUTE IMMEDIATE binds INTO vars; dynamic text re-binds script vars") {
+    val r = run1(
+      """DECLARE lim INT := 2;
+        |DECLARE n BIGINT := 0;
+        |DECLARE top STRING := '';
+        |EXECUTE IMMEDIATE 'SELECT count(*), max(r_name) FROM (SELECT r_name' ||
+        |  ' FROM region ORDER BY r_regionkey LIMIT lim)' INTO n, top;
+        |SELECT CAST(n AS BIGINT) AS n, top AS top;""".stripMargin)
+    assert(r.getLong(0) == 2L, "dynamic LIMIT lim must bind the declared lim")
+    assert(r.getString(1) == "AMERICA", s"got ${r.getString(1)}")
+  }
+
+  test("EXECUTE IMMEDIATE INTO arity mismatch and NULL text fail clearly") {
+    val a = intercept[IllegalArgumentException](run1(
+      """DECLARE n INT := 0;
+        |EXECUTE IMMEDIATE 'SELECT 1, 2' INTO n;
+        |SELECT 1 AS x;""".stripMargin))
+    assert(a.getMessage.contains("arity"), s"got: ${a.getMessage}")
+    val b = intercept[IllegalArgumentException](run1(
+      """DECLARE s STRING;
+        |EXECUTE IMMEDIATE s;
+        |SELECT 1 AS x;""".stripMargin))
+    assert(b.getMessage.contains("NULL"), s"got: ${b.getMessage}")
+  }
+
   test("EXIT outside any loop raises a clear error, not a control throwable") {
     val e = intercept[IllegalArgumentException](run1(
       "IF 1 = 1 THEN EXIT; END IF;\nSELECT 1 AS x;"))
