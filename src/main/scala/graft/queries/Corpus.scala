@@ -236,6 +236,43 @@ object Corpus {
       Retrieval.bm25RerankTopKIndexed(s, idx, emb, bm25Queries,
           queryVec = Map(1 -> 7L, 2 -> 14L, 3 -> 21L), kCand = 20, k = 5)
         .orderBy("query_id", "rerank")
+    },
+
+    // CCNet-style bigram-LM perplexity filter: add-one-smoothed bigram
+    // model trained on the deterministic reference slice (doc_id % 10 < 3),
+    // every doc scored by exact int64 micro-unit log-prob sums (idf-style
+    // quantization after the single ln), head/middle/tail by ntile tertile
+    // of the per-bigram mean. `<s>` anchors each doc so 1-token docs score.
+    Qd("q202_ngram_lm_perplexity",
+      """WITH d AS (SELECT doc_id,
+        |  ['<s>'] || list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |bg AS (SELECT doc_id, t[i] AS p, t[i+1] AS c
+        |  FROM d, unnest(range(1, len(t))) AS r(i)),
+        |dbc AS (SELECT doc_id, p, c, CAST(count(*) AS BIGINT) AS k
+        |  FROM bg GROUP BY doc_id, p, c),
+        |m AS (SELECT p, c, CAST(count(*) AS BIGINT) AS c2
+        |  FROM bg WHERE doc_id % 10 < 3 GROUP BY p, c),
+        |ctx AS (SELECT p, CAST(sum(c2) AS BIGINT) AS c1 FROM m GROUP BY p),
+        |v AS (SELECT CAST(count(DISTINCT c) AS DOUBLE) AS vv FROM m),
+        |sc AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(k * CAST(round(ln(
+        |    CAST(coalesce(c2, 0) + 1 AS DOUBLE)
+        |    / (CAST(coalesce(c1, 0) AS DOUBLE) + vv)) * 1000000.0) AS BIGINT))
+        |    AS BIGINT) AS sum_qlp
+        |  FROM dbc LEFT JOIN m USING (p, c) LEFT JOIN ctx USING (p), v
+        |  GROUP BY doc_id),
+        |a AS (SELECT doc_id, n_bigrams, sum_qlp,
+        |  CAST(round(CAST(sum_qlp AS DOUBLE) / n_bigrams) AS BIGINT) AS avg_qlp
+        |  FROM sc),
+        |b AS (SELECT *, ntile(3) OVER (ORDER BY avg_qlp DESC, doc_id) AS tile
+        |  FROM a)
+        |SELECT doc_id, n_bigrams, sum_qlp, avg_qlp,
+        |  CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM b ORDER BY doc_id""") { (s, dir) =>
+      graft.operators.NgramLm
+        .perplexityBuckets(docs(s, dir), col("doc_id") % 10 < 3)
+        .orderBy("doc_id")
     }
   )
 
