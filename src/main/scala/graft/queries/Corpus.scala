@@ -273,6 +273,54 @@ object Corpus {
       graft.operators.NgramLm
         .perplexityBuckets(docs(s, dir), col("doc_id") % 10 < 3)
         .orderBy("doc_id")
+    },
+
+    // DSIR importance resampling: hashed-ngram bag-of-words models of the
+    // target (lang='en') and raw distributions, per-doc weight as an exact
+    // int64 micro-unit sum of per-bucket log ratios, deterministic Gumbel
+    // top-150 selection. Every hash/quantization mirrors the Scala op.
+    Qd("q203_dsir_resample",
+      """WITH tok AS (SELECT doc_id,
+        |  list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |ng AS (
+        |  SELECT doc_id, t[i] AS ng FROM tok, unnest(range(1, len(t)+1)) r(i)
+        |  UNION ALL
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] FROM tok,
+        |    unnest(range(1, len(t))) r(i)),
+        |fc AS (SELECT doc_id,
+        |  CAST(('0x'||substr(md5(ng),1,15)) AS BIGINT) % 1024 AS f,
+        |  CAST(count(*) AS BIGINT) AS k
+        |  FROM ng GROUP BY 1, 2),
+        |cr AS (SELECT f, CAST(sum(k) AS BIGINT) AS cr FROM fc GROUP BY f),
+        |ct AS (SELECT f, CAST(sum(k) AS BIGINT) AS ct FROM fc
+        |  JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY f),
+        |tot AS (SELECT (SELECT CAST(sum(cr) AS DOUBLE) FROM cr) AS nr,
+        |  (SELECT CAST(coalesce(sum(ct), 0) AS DOUBLE) FROM ct) AS nt),
+        |lam AS (SELECT f,
+        |  CAST(round(ln((CAST(coalesce(ct, 0) AS DOUBLE) + 1.0)
+        |    / (nt + 1024.0)) * 1000000.0) AS BIGINT)
+        |  - CAST(round(ln((CAST(cr AS DOUBLE) + 1.0)
+        |    / (nr + 1024.0)) * 1000000.0) AS BIGINT) AS lam
+        |  FROM cr LEFT JOIN ct USING (f), tot),
+        |imp AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_feats,
+        |  CAST(sum(k * lam) AS BIGINT) AS logw
+        |  FROM fc JOIN lam USING (f) GROUP BY doc_id),
+        |a AS (SELECT d.doc_id, coalesce(n_feats, 0) AS n_feats,
+        |  coalesce(logw, 0) AS logw
+        |  FROM documents d LEFT JOIN imp ON d.doc_id = imp.doc_id),
+        |gk AS (SELECT *, logw + CAST(round(-ln(-ln(
+        |  (CAST(CAST(('0x'||substr(md5('dsir8:'||CAST(doc_id AS VARCHAR)),1,15))
+        |     AS BIGINT) AS DOUBLE) + 1.0) / 1152921504606846977.0))
+        |  * 1000000.0) AS BIGINT) AS g FROM a),
+        |b AS (SELECT *, row_number() OVER (ORDER BY g DESC, doc_id) AS rn
+        |  FROM gk)
+        |SELECT doc_id, n_feats, logw, g, rn <= 150 AS sel
+        |FROM b ORDER BY doc_id""") { (s, dir) =>
+      graft.operators.Dsir
+        .resample(docs(s, dir), col("lang") === "en", buckets = 1024,
+          seed = "dsir8", k = 150)
+        .orderBy("doc_id")
     }
   )
 
