@@ -78,16 +78,38 @@ object Engine {
 
   /** Read one warehouse table from an sf directory.
     *
-    * `events.parquet` carries TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects; read it as long nanos and truncate to microseconds with integer
-    * division (ns since epoch exceeds 2^53, so float division would lose
-    * precision). DuckDB's ns→us conversion truncates the same way.
-    */
+    * `events.parquet` has carried its `ts` in two encodings across testdata
+    * generations, so normalize by the READ schema, not by assumption:
+    * TIMESTAMP(NANOS) arrives as long nanos (nanosAsLong) and truncates to
+    * microseconds with integer division (ns since epoch exceeds 2^53, so
+    * float division would lose precision — DuckDB's ns→us conversion
+    * truncates the same way); TIMESTAMP without UTC adjustment arrives as
+    * TIMESTAMP_NTZ and casts to the session-UTC timestamp, the same wall
+    * clock DuckDB reads. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-    else df
+    if (name == "events") df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    } else df
+  }
+
+  /** SQL expression converting the RAW int64 `ts` a schema-pinned reader
+    * (the streaming source, which cannot consult session confs at analysis
+    * time) gets out of events.parquet into epoch MICROseconds — `ts DIV
+    * 1000` when the file carries TIMESTAMP(NANOS) (long under nanosAsLong),
+    * `ts` verbatim when it carries a microsecond timestamp (read raw by the
+    * pinned long schema). One footer probe, no data read. */
+  def eventsTsMicrosExpr(spark: SparkSession, dir: String): String = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => "ts DIV 1000"
+      case _ => "ts"
+    }
   }
 
   /** Register every warehouse table as a temp view (idempotent) and install

@@ -19,9 +19,11 @@ import org.apache.spark.sql.types._
   */
 object StreamOps {
 
-  /** events schema for the streaming read (ts kept as raw int64 nanos —
-    * the file stream source cannot use the nanosAsLong session conf at
-    * analysis time, so the schema declares it explicitly). */
+  /** events schema for the streaming read (ts kept as raw int64 — the file
+    * stream source cannot use the nanosAsLong session conf at analysis
+    * time, so the schema declares it explicitly; the unit of the raw value
+    * depends on the file's encoding, probed per dir via
+    * [[graft.Engine.eventsTsMicrosExpr]]). */
   private val eventsSchema = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
@@ -36,7 +38,8 @@ object StreamOps {
     spark.readStream.schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .withColumn("ts",
+        expr(s"timestamp_micros(${graft.Engine.eventsTsMicrosExpr(spark, dir)})"))
   }
 
   /** Run a streaming DataFrame to completion (default: single Once trigger →
@@ -201,9 +204,12 @@ object StreamOps {
     val sentF = parts.minBy(_.length)
     require(sentF.setLastModified(dataF.lastModified() + 60000L),
       s"could not pin sentinel mtime on $sentF")
+    // the replay rewrite preserves the ORIGINAL raw unit (plain long
+    // column), so the unit probe runs against the source dir
     val agg = spark.readStream.schema(eventsSchema)
       .option("maxFilesPerTrigger", "1").parquet(replay)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .withColumn("ts",
+        expr(s"timestamp_micros(${graft.Engine.eventsTsMicrosExpr(spark, dir)})"))
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sv"))

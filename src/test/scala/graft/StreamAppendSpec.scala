@@ -20,9 +20,7 @@ class StreamAppendSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def afterAll(): Unit = spark.stop()
 
   private def batchWindows() = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val ev = Engine.table(spark, dir, "events")
     val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
     val all = ev
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
