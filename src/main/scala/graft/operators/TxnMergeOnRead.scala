@@ -53,15 +53,32 @@ import org.apache.spark.sql.functions._
   *  - INSERT appends rows that did not exist in any snapshot; it commutes
   *    with every concurrent action and commits without conflict checks.
   *  - UPDATE/DELETE read a snapshot, stage (delete-events, new-versions)
-  *    from it, and at commit time abort-and-recompute if any version
-  *    committed above their snapshot also carried delete events (a
-  *    concurrent UPDATE/DELETE may have touched the same rows — recomputing
-  *    on the new snapshot is the lost-update guard; concurrent INSERTs and
-  *    compactions do not conflict because row ids are never reused and
-  *    compaction preserves them).
-  *  - Compaction entries claim the folded version prefix; deltas committed
-  *    while the compactor ran stay live on top of the new base, so
-  *    compaction needs no retry loop at all.
+  *    from it, and at commit time abort-and-recompute only if a version
+  *    committed above their snapshot deleted one of the SAME rows — the
+  *    conflict grain is the row-id set, not the table: the log entry
+  *    records a compact footprint summary of the staged delete (per-tag
+  *    seq ranges), summaries that can't intersect clear without any data
+  *    read, and only a possible overlap pays the exact delete-vs-delete
+  *    semi-join (both sides pruned to the id column). Mutations with
+  *    disjoint footprints — different partitions, different tenants, the
+  *    normal state of a busy 100 TB table — therefore commit concurrently
+  *    without recompute, mirroring the reference's partition-grain locks
+  *    (`metastore/.../txn/TxnHandler.java` enqueueLockWithRetry) and
+  *    Delta/Iceberg file-grain conflict detection, but exact to the row.
+  *    Phantoms are permitted (a concurrent INSERT a mutation's predicate
+  *    would have matched is not a conflict) — snapshot isolation, the same
+  *    write-conflict contract as Delta's WriteSerializable default.
+  *  - Compaction entries claim the folded version prefix; insert/mutate
+  *    deltas committed while the compactor ran stay live on top of the new
+  *    base. Two compactions (major or minor) must not fold concurrently —
+  *    the loser's fold would re-apply rows the winner already folded — so
+  *    a compactor aborts (returns false) when another compaction landed
+  *    above its snapshot; the reference serializes compactions the same
+  *    way through the Initiator's queue.
+  *  - Data-dir GC is [[vacuum]]'s job, never the compactor's: superseded
+  *    dirs survive until they fall out of the retention window, so pinned
+  *    [[readAt]]/[[changesBetween]] snapshots keep working across
+  *    compactions — the lakehouse retention contract.
   */
 object TxnMergeOnRead {
 
@@ -70,21 +87,24 @@ object TxnMergeOnRead {
   private val MAX_COMMIT_ATTEMPTS = 50
 
   /** One committed version. `folds` is the version prefix a compaction
-    * supersedes (0 for plain DML entries). Entries are tiny ([[Entry]] is a
-    * fixed-width line, not a manifest): the row data lives in parquet, the
-    * log only names directories — the property that keeps log replay O(log
-    * length) metadata work no matter the table size. */
+    * supersedes (0 for plain DML entries). `fp` is a mutate entry's delete
+    * footprint summary: `tag:minSeq:maxSeq` items joined by `;`, or `*`
+    * when the mutation touched rows from more than [[FP_MAX_TAGS]] writer
+    * tags (then only the exact rid check can clear it). Entries are tiny
+    * ([[Entry]] is a fixed-width line, not a manifest): the row data lives
+    * in parquet, the log only names directories — the property that keeps
+    * log replay O(log length) metadata work no matter the table size. */
   private case class Entry(version: Long, action: String, dir: String,
-      folds: Long)
+      folds: Long, fp: String = "")
 
   private object Entry {
     // fixed field order, no JSON library needed (none is on the classpath)
     def render(e: Entry): String =
-      s"""{"version":${e.version},"action":"${e.action}","dir":"${e.dir}","folds":${e.folds}}"""
+      s"""{"version":${e.version},"action":"${e.action}","dir":"${e.dir}","folds":${e.folds},"fp":"${e.fp}"}"""
     private val P =
-      """\{"version":(\d+),"action":"(\w+)","dir":"([^"]*)","folds":(\d+)\}""".r
+      """\{"version":(\d+),"action":"(\w+)","dir":"([^"]*)","folds":(\d+),"fp":"([-0-9:;*]*)"\}""".r
     def parse(s: String): Entry = s.trim match {
-      case P(v, a, d, f) => Entry(v.toLong, a, d, f.toLong)
+      case P(v, a, d, f, fp) => Entry(v.toLong, a, d, f.toLong, fp)
       case other => throw new IllegalStateException(s"corrupt log entry: $other")
     }
   }
@@ -96,23 +116,53 @@ object TxnMergeOnRead {
     new Path(s"$root/$LOG_DIR/" + f"$version%020d" + ".json")
 
   /** Committed entries in version order (version v lives in file v — the
-    * filename is the authority, the body is checked against it). */
+    * filename is the authority, the body is checked against it).
+    *
+    * Torn-read tolerance: the committer creates the entry file (the
+    * exclusive-create that wins the ordinal) and THEN writes the body, so
+    * a concurrent reader can list a created-but-not-yet-flushed entry. An
+    * unparseable TAIL entry is exactly that in-flight commit — the commit
+    * isn't acknowledged until the body is closed, so treating it as
+    * not-yet-committed is linearizable (the losing co-writer just retries
+    * the ordinal). A mid-log entry must parse: only transient visibility
+    * can make it fail, so re-read briefly before declaring corruption. */
   private def readLog(f: FileSystem, root: String): Seq[Entry] = {
     val dir = new Path(s"$root/$LOG_DIR")
     if (!f.exists(dir)) return Seq.empty
-    f.listStatus(dir).toSeq.map(_.getPath)
+    val files = f.listStatus(dir).toSeq.map(_.getPath)
       .filter(_.getName.endsWith(".json"))
       .sortBy(_.getName)
-      .map { p =>
-        val in = f.open(p)
-        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-        val e = Entry.parse(body)
+    def body(p: Path): String = {
+      val in = f.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val out = Seq.newBuilder[Entry]
+    var i = 0
+    var stop = false
+    while (i < files.length && !stop) {
+      val p = files(i)
+      var parsed: Option[Entry] = None
+      var tries = 0
+      while (parsed.isEmpty && !stop) {
+        Try(Entry.parse(body(p))) match {
+          case Success(e) => parsed = Some(e)
+          case _ if i == files.length - 1 => stop = true // in-flight tail
+          case scala.util.Failure(ex) =>
+            tries += 1
+            if (tries > 20) throw ex
+            Thread.sleep(50)
+        }
+      }
+      parsed.foreach { e =>
         val named = p.getName.stripSuffix(".json").toLong
         require(e.version == named,
           s"log entry $named declares version ${e.version}")
-        e
+        out += e
       }
+      i += 1
+    }
+    out.result()
   }
 
   /** The live state at a log prefix: current base dir plus committed delta
@@ -127,11 +177,20 @@ object TxnMergeOnRead {
         case "compact" =>
           base = e.dir
           deltas = deltas.rangeFrom(e.folds + 1)
+        case "minor" => // folds deltas ≤ folds into one delta, base untouched
+          deltas = deltas.rangeFrom(e.folds + 1) + (e.version -> e)
       }
     }
     require(base != null, "table has no create entry")
     (base, deltas)
   }
+
+  /** Test seam: invoked after a mutation pins its snapshot version and
+    * before it computes/stages, so a spec can deterministically order
+    * "writer B's snapshot predates writer A's commit" by parking B's
+    * DRIVER thread here (a blocking in-plan UDF would occupy task slots
+    * and starve the other writer's jobs). No-op in production. */
+  private[graft] var pauseAfterSnapshot: () => Unit = () => ()
 
   /** Serialize local-FS commits per root within this JVM (see scaladoc). */
   private val rootLocks =
@@ -199,10 +258,10 @@ object TxnMergeOnRead {
     readLog(fs(spark, root), root).lastOption.map(_.version).getOrElse(0L)
 
   /** Time-travel read at a pinned version (repeatable-read contract).
-    * Valid while the version's data dirs survive: [[compact]] garbage-
-    * collects the dirs it folds, so pinned reads at or below a later
-    * compaction's `folds` fail once GC runs (the retention-window
-    * tradeoff every log-structured table format has). */
+    * Valid while the version's data dirs survive: compactions never delete
+    * data, so pinned reads keep working across them until [[vacuum]]
+    * retires the dirs outside its retention window (the tradeoff every
+    * log-structured table format has). */
   def readAt(spark: SparkSession, root: String, version: Long): DataFrame =
     snapshotAt(spark, root,
       readLog(fs(spark, root), root).takeWhile(_.version <= version)).drop(RID)
@@ -228,7 +287,12 @@ object TxnMergeOnRead {
       toV: Long): DataFrame = {
     val f = fs(spark, root)
     val log = readLog(f, root)
-    val range = log.filter(e => e.version > fromV && e.version <= toV)
+    // only insert/mutate entries CARRY changes: a minor compaction's folded
+    // delta is a re-encoding of changes already logged at their own
+    // versions, and create/compact entries name bases — reading either
+    // would double-count
+    val range = log.filter(e => e.version > fromV && e.version <= toV &&
+      (e.action == "insert" || e.action == "mutate"))
     val born = range.flatMap(e => readDir(spark, root, e.dir, "insert"))
       .reduceOption(_ unionByName _)
     val dead = range.flatMap(e => readDir(spark, root, e.dir, "delete"))
@@ -256,6 +320,50 @@ object TxnMergeOnRead {
     dir
   }
 
+  /** Footprint summaries with more tags than this collapse to `*` (always
+    * exact-checked) so the log entry stays one bounded line. */
+  private val FP_MAX_TAGS = 8
+
+  /** Footprint summary of a staged delete: per writer-tag min/max seq of
+    * the touched row ids — one narrow agg over the staged parquet (reads
+    * only the rid column), collected driver-side at ≤ FP_MAX_TAGS+1 rows. */
+  private def footprint(spark: SparkSession, root: String, dir: String): String = {
+    val rows = spark.read.parquet(s"$root/$dir/delete")
+      .groupBy(col(s"$RID.txn").as("t"))
+      .agg(min(col(s"$RID.seq")).as("lo"), max(col(s"$RID.seq")).as("hi"))
+      .limit(FP_MAX_TAGS + 1).collect()
+    if (rows.length > FP_MAX_TAGS) "*"
+    else rows.map(r => s"${r.getLong(0)}:${r.getLong(1)}:${r.getLong(2)}")
+      .sorted.mkString(";")
+  }
+
+  private def fpParse(s: String): Option[Map[Long, (Long, Long)]] =
+    if (s == "*" || s.isEmpty) None
+    else Some(s.split(";").iterator.map { it =>
+      val Array(t, a, b) = it.split(":")
+      t.toLong -> (a.toLong, b.toLong)
+    }.toMap)
+
+  /** False only when the two summaries PROVE disjointness (no shared tag, or
+    * shared tags with non-overlapping seq ranges) — the metadata-only fast
+    * path; true means "pay the exact rid check". */
+  private def fpMayOverlap(a: String, b: String): Boolean =
+    (fpParse(a), fpParse(b)) match {
+      case (Some(x), Some(y)) => x.exists { case (t, (lo, hi)) =>
+        y.get(t).exists { case (lo2, hi2) => lo <= hi2 && lo2 <= hi } }
+      case _ => true
+    }
+
+  /** Exact row-grain conflict test: do the two staged deletes share a row
+    * id? Both sides are change sets pruned to the rid column — delta-vs-
+    * delta work, never a table scan. */
+  private def ridsIntersect(spark: SparkSession, root: String,
+      dirA: String, dirB: String): Boolean = {
+    val a = spark.read.parquet(s"$root/$dirA/delete").select(col(RID))
+    val b = spark.read.parquet(s"$root/$dirB/delete").select(col(RID))
+    !a.join(b, Seq(RID), "left_semi").isEmpty
+  }
+
   /** INSERT INTO: stage once, then take the next free ordinal. New rows
     * cannot collide with any concurrent action (ids are fresh), so no
     * conflict check and no recompute — losing a commit race only means
@@ -274,7 +382,7 @@ object TxnMergeOnRead {
         s"cannot resolve schema of $root"))
     // rid txn = a fresh uuid-derived tag, not the commit version (unknown
     // until the race resolves); uniqueness is all the id contract needs
-    val tag = math.abs(UUID.randomUUID().getLeastSignificantBits)
+    val tag = UUID.randomUUID().getLeastSignificantBits & Long.MaxValue
     val dir = stage(spark, root, None,
       Some(withRid(rows.select(cols.map(col): _*), tag)))
     var v = log0.lastOption.map(_.version).getOrElse(0L) + 1
@@ -287,12 +395,15 @@ object TxnMergeOnRead {
   }
 
   /** Shared optimistic loop for UPDATE/DELETE: compute against the latest
-    * snapshot, then commit unless a version above the snapshot also carried
-    * delete events (concurrent mutation → recompute). `stageFrom` returns
-    * None when the predicate matches nothing — committing an empty mutation
-    * would serialize against other writers for no effect, so it no-ops. */
+    * snapshot, then commit unless a version above the snapshot deleted one
+    * of the SAME rows (row-overlap conflict → recompute; disjoint
+    * concurrent mutations commit without recompute — see the isolation
+    * scaladoc). `stageFrom` returns None when the predicate matches
+    * nothing — committing an empty mutation would serialize against other
+    * writers for no effect, so it no-ops. Returns the number of snapshot
+    * computations (1 = committed without recompute). */
   private def mutate(spark: SparkSession, root: String,
-      stageFrom: DataFrame => Option[(Option[DataFrame], Option[DataFrame])]): Unit = {
+      stageFrom: DataFrame => Option[(Option[DataFrame], Option[DataFrame])]): Int = {
     val f = fs(spark, root)
     var attempts = 0
     var done = false
@@ -301,20 +412,31 @@ object TxnMergeOnRead {
       require(attempts <= MAX_COMMIT_ATTEMPTS, s"mutation of $root livelocked")
       val log0 = readLog(f, root)
       val snapV = log0.lastOption.map(_.version).getOrElse(0L)
+      pauseAfterSnapshot()
       stageFrom(snapshotAt(spark, root, log0)) match {
         case None => done = true // nothing matched on this snapshot
         case Some((del, ins)) =>
           val dir = stage(spark, root, del, ins)
+          val myFp = footprint(spark, root, dir)
+          // versions proven row-disjoint stay cleared across ordinal races
+          val cleared = scala.collection.mutable.Set.empty[Long]
           var v = snapV + 1
           var committed = false
           var conflicted = false
           while (!committed && !conflicted) {
-            // first committer wins: anyone who landed a mutation above our
-            // snapshot may have consumed the rows we matched
-            conflicted = readLog(f, root)
-              .exists(e => e.version > snapV && e.action == "mutate")
+            // first committer wins ON OVERLAP: a mutation above our snapshot
+            // conflicts only if it deleted a row we also touch — summary
+            // fast path first, exact rid semi-join only on possible overlap
+            conflicted = readLog(f, root).exists { e =>
+              val competing = e.version > snapV && e.action == "mutate" &&
+                !cleared(e.version)
+              val hit = competing && fpMayOverlap(myFp, e.fp) &&
+                ridsIntersect(spark, root, dir, e.dir)
+              if (competing && !hit) cleared += e.version
+              hit
+            }
             if (!conflicted) {
-              committed = tryCommit(f, root, Entry(v, "mutate", dir, 0L))
+              committed = tryCommit(f, root, Entry(v, "mutate", dir, 0L, myFp))
               if (!committed) v = readLog(f, root).last.version + 1
             }
           }
@@ -322,13 +444,15 @@ object TxnMergeOnRead {
           else f.delete(new Path(s"$root/$dir"), true) // abandoned stage
       }
     }
+    attempts
   }
 
   /** DELETE WHERE cond under snapshot isolation (3VL: NULL cond keeps).
     * The staged delete event keeps the whole dead row, not just its id —
     * O(deleted rows) extra write bytes that buy [[changesBetween]] its
-    * no-table-scan contract; readers prune back down to the id column. */
-  def delete(spark: SparkSession, root: String, cond: String): Unit =
+    * no-table-scan contract; readers prune back down to the id column.
+    * Returns the snapshot-computation count (1 = no recompute). */
+  def delete(spark: SparkSession, root: String, cond: String): Int =
     mutate(spark, root, { snap =>
       val del = snap.filter(coalesce(expr(cond), lit(false)))
       if (del.isEmpty) None else Some((Some(del), None))
@@ -336,9 +460,10 @@ object TxnMergeOnRead {
 
   /** UPDATE SET ... WHERE cond under snapshot isolation: delete events plus
     * re-inserted new versions, the reference's two-event UPDATE encoding.
-    * SET expressions see the pre-update row. */
+    * SET expressions see the pre-update row. Returns the snapshot-
+    * computation count (1 = no recompute). */
   def update(spark: SparkSession, root: String,
-      set: Seq[(String, String)], cond: String): Unit =
+      set: Seq[(String, String)], cond: String): Int =
     mutate(spark, root, { snap =>
       val matched = snap.filter(coalesce(expr(cond), lit(false)))
       val cols = snap.columns.filter(_ != RID).toSeq
@@ -352,7 +477,7 @@ object TxnMergeOnRead {
       // evaluate `matched` to the same rows by determinism
       if (matched.isEmpty) None
       else {
-        val tag = math.abs(UUID.randomUUID().getLeastSignificantBits)
+        val tag = UUID.randomUUID().getLeastSignificantBits & Long.MaxValue
         val newVersions = matched.select(cols.map { c =>
           setMap.get(c).map(e => expr(e).as(c)).getOrElse(col(c))
         }: _*)
@@ -361,33 +486,100 @@ object TxnMergeOnRead {
       }
     })
 
-  /** Major compaction: fold the snapshot at version V into a new base whose
-    * log entry claims `folds = V`. Deltas committed above V while the fold
-    * ran stay live on top of the new base (row ids survive the fold, so
-    * their delete events still resolve) — compaction therefore never
-    * conflicts and never retries; it only re-reads the log for a free
-    * ordinal. Superseded data dirs are deleted only after the entry is
-    * committed; a crash before that leaves garbage, never corruption.
-    * The immediate GC here assumes no reader or in-flight mutation still
-    * holds a pre-compaction snapshot (true in the specs/queries); a
-    * production deployment separates the fold from the delete and defers
-    * the latter by a retention window (the vacuum contract), which is a
-    * scheduling policy on top of this protocol, not a change to it. */
-  def compact(spark: SparkSession, root: String): Unit = {
-    val f = fs(spark, root)
-    val log0 = readLog(f, root)
-    val snapV = log0.lastOption.map(_.version).getOrElse(0L)
-    val (oldBase, oldDeltas) = liveState(log0)
-    val dir = s"base_${UUID.randomUUID().toString.take(12)}"
-    snapshotAt(spark, root, log0).write.parquet(s"$root/$dir")
+  /** Shared compactor commit loop: take the next free ordinal UNLESS another
+    * compaction (major or minor) landed above our snapshot — then abort and
+    * let the caller discard the staged fold (racing folds would re-apply
+    * rows the winner already folded; see the isolation scaladoc). Insert/
+    * mutate entries landing concurrently never abort a fold: their deltas
+    * stay live on top of it. */
+  private def commitFold(f: FileSystem, root: String, snapV: Long,
+      mk: Long => Entry): Boolean = {
     var v = snapV + 1
     var attempts = 0
-    while (!tryCommit(f, root, Entry(v, "compact", dir, snapV))) {
+    while (true) {
+      val racedFold = readLog(f, root).exists(e => e.version > snapV &&
+        (e.action == "compact" || e.action == "minor"))
+      if (racedFold) return false
+      if (tryCommit(f, root, mk(v))) return true
       attempts += 1
       require(attempts < MAX_COMMIT_ATTEMPTS, s"compact of $root livelocked")
       v = readLog(f, root).last.version + 1
     }
-    (oldBase +: oldDeltas.values.toSeq.map(_.dir))
+    false
+  }
+
+  /** MAJOR compaction: fold the snapshot at version V into a new base whose
+    * log entry claims `folds = V` — O(table) work that resets reads to a
+    * plain scan. Row ids survive the fold, so deltas committed above V while
+    * it ran still resolve on top of the new base. Superseded dirs are NOT
+    * deleted — that is [[vacuum]]'s retention-window decision, so pinned
+    * [[readAt]]/[[changesBetween]] below V keep working. Returns false iff
+    * another compaction raced this one (the fold is discarded; rerun). */
+  def compact(spark: SparkSession, root: String): Boolean = {
+    val f = fs(spark, root)
+    val log0 = readLog(f, root)
+    val snapV = log0.lastOption.map(_.version).getOrElse(0L)
+    val dir = s"base_${UUID.randomUUID().toString.take(12)}"
+    snapshotAt(spark, root, log0).write.parquet(s"$root/$dir")
+    val won = commitFold(f, root, snapV, v => Entry(v, "compact", dir, snapV))
+    if (!won) f.delete(new Path(s"$root/$dir"), true)
+    won
+  }
+
+  /** MINOR compaction — the reference's MINOR/MAJOR split
+    * (`ql/.../txn/compactor/CompactorMR.java`: MINOR merges delta files
+    * only, MAJOR rewrites the base): fold the committed deltas into ONE
+    * delta without touching the base, so high-frequency ingest pays
+    * O(deltas committed since the last fold), never O(table). The folded
+    * delta is the NET of the range — rows born and killed inside it vanish
+    * from both halves; deletes of base rows survive with their full dead
+    * row (the CDC contract). Content-wise the table is unchanged (the
+    * minor entry's version has the same snapshot as the one before it).
+    * Returns false iff another compaction raced this one. */
+  def compactMinor(spark: SparkSession, root: String): Boolean = {
+    val f = fs(spark, root)
+    val log0 = readLog(f, root)
+    val snapV = log0.lastOption.map(_.version).getOrElse(0L)
+    val (_, deltas) = liveState(log0)
+    if (deltas.isEmpty) return true // nothing to fold
+    val dirs = deltas.values.toSeq.map(_.dir)
+    val ins = dirs.flatMap(d => readDir(spark, root, d, "insert"))
+      .reduceOption(_ unionByName _)
+    val del = dirs.flatMap(d => readDir(spark, root, d, "delete"))
+      .reduceOption(_ unionByName _)
+    val netIns = ins.map(i =>
+      del.fold(i)(d => i.join(d.select(col(RID)), Seq(RID), "left_anti")))
+    val netDel = del.map(d =>
+      ins.fold(d)(i => d.join(i.select(col(RID)), Seq(RID), "left_anti")))
+    val dir = stage(spark, root, netDel, netIns)
+    val won = commitFold(f, root, snapV, v => Entry(v, "minor", dir, snapV))
+    if (!won) f.delete(new Path(s"$root/$dir"), true)
+    won
+  }
+
+  /** Retention-window GC — the only place data directories die. Keeps every
+    * dir some snapshot in the last `retainVersions` versions still needs;
+    * deletes log-REFERENCED dirs that fell out of the window (superseded by
+    * compactions). Unreferenced dirs are never touched: they are in-flight
+    * writers' stages, not garbage (abandoned stages are deleted by their
+    * own writer). After a vacuum, [[readAt]]/[[changesBetween]] below the
+    * window fail on the missing dirs — the documented retention tradeoff
+    * every log-structured table format has; the log entries themselves are
+    * kept (history metadata stays complete). Safe to run concurrently with
+    * writers: new commits only reference fresh uuid dirs plus dirs live at
+    * the current head, which the window always retains. */
+  def vacuum(spark: SparkSession, root: String, retainVersions: Int): Unit = {
+    require(retainVersions >= 1, "retention window must include the head")
+    val f = fs(spark, root)
+    val log = readLog(f, root)
+    if (log.isEmpty) return
+    val maxV = log.last.version
+    val keepFrom = math.max(1L, maxV - retainVersions + 1)
+    val needed = (keepFrom to maxV).flatMap { v =>
+      val (b, ds) = liveState(log.takeWhile(_.version <= v))
+      b +: ds.values.toSeq.map(_.dir)
+    }.toSet
+    (log.map(_.dir).toSet -- needed)
       .foreach(d => f.delete(new Path(s"$root/$d"), true))
   }
 }

@@ -343,6 +343,54 @@ object Dml {
         .select("doc_id", "text", "h")
       TxnMergeOnRead.insert(s, root, novel)
       TxnMergeOnRead.read(s, root).select("doc_id", "h").orderBy("doc_id")
+    },
+
+    // MINOR compaction ([[TxnMergeOnRead.compactMinor]] — the reference's
+    // CompactorMR MINOR/MAJOR split): three deltas fold into ONE without
+    // touching the base (O(deltas), not O(table)), the fold's version (5)
+    // has byte-identical content to the one before it, time travel BELOW
+    // the fold still replays (compaction no longer GCs — vacuum owns
+    // retention), and a post-fold update stacks on the folded delta. A fold
+    // that loses rows, double-applies a delta, or breaks pre-fold replay
+    // shifts a row of the version series.
+    Qd("q204_dml_minor_compact",
+      """WITH t0 AS (SELECT CAST(c_custkey AS BIGINT) AS ck,
+        |            round(c_acctbal, 2) AS bal, c_mktsegment AS seg FROM customer),
+        |v2 AS (SELECT ck, CASE WHEN seg = 'BUILDING' THEN round(bal + 5, 2)
+        |                       ELSE bal END AS bal, seg FROM t0),
+        |v3 AS (SELECT ck, bal, seg FROM v2
+        |       UNION ALL
+        |       SELECT CAST(s_suppkey AS BIGINT) + 500000, 9.99, 'SUPP' FROM supplier),
+        |v4 AS (SELECT * FROM v3 WHERE seg <> 'AUTOMOBILE'),
+        |v6 AS (SELECT ck, CASE WHEN seg = 'MACHINERY' THEN round(bal + 2, 2)
+        |                       ELSE bal END AS bal, seg FROM v4)
+        |SELECT 1 AS version, count(*) AS n_rows,
+        |       CAST(round(sum(bal), 2) AS DOUBLE) AS total_bal FROM t0
+        |UNION ALL SELECT 3, count(*), CAST(round(sum(bal), 2) AS DOUBLE) FROM v3
+        |UNION ALL SELECT 4, count(*), CAST(round(sum(bal), 2) AS DOUBLE) FROM v4
+        |UNION ALL SELECT 5, count(*), CAST(round(sum(bal), 2) AS DOUBLE) FROM v4
+        |UNION ALL SELECT 6, count(*), CAST(round(sum(bal), 2) AS DOUBLE) FROM v6
+        |ORDER BY version""") { (s, dir) =>
+      val (sf, loc) = ctx(s, dir)
+      val root = s"$loc/g204_txn"
+      TxnMergeOnRead.create(s, root, Engine.table(s, dir, "customer").select(
+        col("c_custkey").cast("bigint").as("ck"),
+        round(col("c_acctbal"), 2).as("bal"), col("c_mktsegment").as("seg")))
+      TxnMergeOnRead.update(s, root,
+        Seq("bal" -> "round(bal + 5, 2)"), "seg = 'BUILDING'")
+      TxnMergeOnRead.insert(s, root, Engine.table(s, dir, "supplier").select(
+        (col("s_suppkey").cast("bigint") + 500000).as("ck"),
+        lit(9.99).as("bal"), lit("SUPP").as("seg")))
+      TxnMergeOnRead.delete(s, root, "seg = 'AUTOMOBILE'")
+      require(TxnMergeOnRead.compactMinor(s, root), "uncontended fold commits")
+      TxnMergeOnRead.update(s, root,
+        Seq("bal" -> "round(bal + 2, 2)"), "seg = 'MACHINERY'")
+      Seq(1L, 3L, 4L, 5L, 6L).map { v =>
+        TxnMergeOnRead.readAt(s, root, v).agg(
+          count(lit(1)).as("n_rows"),
+          round(sum("bal"), 2).cast("double").as("total_bal"))
+          .select(lit(v.toInt).as("version"), col("n_rows"), col("total_bal"))
+      }.reduce(_ unionByName _).orderBy("version")
     }
   )
 }

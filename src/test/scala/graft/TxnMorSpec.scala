@@ -84,9 +84,9 @@ class TxnMorSpec extends AnyFunSuite with BeforeAndAfterAll {
     mk(root)
     // 4 writers each add 1 to v of the SAME row set; a lost update would
     // leave some row with fewer than 4 increments, a torn one a duplicate
-    val writers = (0 until 4).map { _ => () =>
-      TxnMergeOnRead.update(spark, root, Seq("v" -> "v + 1"), "k < 50")
-    }
+    val writers = (0 until 4).map { _ => () => {
+      TxnMergeOnRead.update(spark, root, Seq("v" -> "v + 1"), "k < 50"); ()
+    } }
     racing(writers)
     val got = TxnMergeOnRead.read(spark, root)
     assert(got.count() === 200)
@@ -179,6 +179,141 @@ class TxnMorSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head().toSeq === Seq(3L, 3L))
     // empty range → empty frame with the table schema + change column
     assert(TxnMergeOnRead.changesBetween(spark, root, 4L, 4L).count() === 0)
+  }
+
+  /** Run `gated` on a worker thread with its snapshot pinned BEFORE `first`
+    * commits: the [[TxnMergeOnRead.pauseAfterSnapshot]] seam parks gated's
+    * DRIVER thread right after it reads the log (thread-matched, so `first`
+    * sails through; first attempt only, so a recompute proceeds), `first`
+    * runs to completion, the latch opens, and the pair of attempt counts
+    * comes back. Deterministic on every scheduling. */
+  private def interleave(first: () => Int, gated: () => Int): (Int, Int) = {
+    val latch = new CountDownLatch(1)
+    val armed = new java.util.concurrent.atomic.AtomicBoolean(true)
+    @volatile var gatedThread: Thread = null
+    TxnMergeOnRead.pauseAfterSnapshot = () => {
+      if ((Thread.currentThread eq gatedThread) &&
+          armed.compareAndSet(true, false))
+        assert(latch.await(120, TimeUnit.SECONDS), "interleave latch never opened")
+    }
+    try {
+      val pool = Executors.newSingleThreadExecutor()
+      val fut = pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = { gatedThread = Thread.currentThread; gated() }
+      })
+      pool.shutdown()
+      Thread.sleep(500) // gated() pins its snapshot and parks at the seam
+      val a = first()
+      latch.countDown()
+      val b = fut.get(120, TimeUnit.SECONDS)
+      (a, b)
+    } finally TxnMergeOnRead.pauseAfterSnapshot = () => ()
+  }
+
+  test("disjoint concurrent updates commit WITHOUT recompute (row-grain conflict)") {
+    val root = s"$base/disj"
+    mk(root)
+    // B's snapshot is certainly pre-A (gate), yet its footprint (k in
+    // [100,150)) is row-disjoint from A's (k < 50): the conflict check must
+    // clear A's committed entry and commit B's first computation as-is.
+    val (a, b) = interleave(
+      first = () => TxnMergeOnRead.update(spark, root,
+        Seq("v" -> "v + 1"), "k < 50"),
+      gated = () => TxnMergeOnRead.update(spark, root,
+        Seq("v" -> "v + 7"), "k >= 100 AND k < 150"))
+    assert(a === 1, "uncontended writer commits on the first computation")
+    assert(b === 1, "row-disjoint writer must NOT recompute")
+    val got = TxnMergeOnRead.read(spark, root)
+    assert(got.filter(col("k") < 50).filter(col("v") =!= col("k") * 10 + 1)
+      .count() === 0, "first update applied")
+    assert(got.filter(col("k") >= 100 && col("k") < 150)
+      .filter(col("v") =!= col("k") * 10 + 7).count() === 0,
+      "disjoint update applied")
+    assert(got.count() === 200)
+  }
+
+  test("overlapping concurrent update recomputes exactly once") {
+    val root = s"$base/ovl"
+    mk(root)
+    // B (k < 30) overlaps A (k < 50): B's pre-A snapshot must be detected
+    // as a row-overlap conflict and recomputed on A's committed state.
+    val (a, b) = interleave(
+      first = () => TxnMergeOnRead.update(spark, root,
+        Seq("v" -> "v + 1"), "k < 50"),
+      gated = () => TxnMergeOnRead.update(spark, root,
+        Seq("v" -> "v + 100"), "k < 30"))
+    assert(a === 1)
+    assert(b === 2, "overlapping writer recomputes exactly once")
+    val got = TxnMergeOnRead.read(spark, root)
+    assert(got.filter(col("k") < 30).filter(col("v") =!= col("k") * 10 + 101)
+      .count() === 0, "both increments applied to the overlap")
+    assert(got.filter(col("k") >= 30 && col("k") < 50)
+      .filter(col("v") =!= col("k") * 10 + 1).count() === 0)
+  }
+
+  test("minor compaction folds deltas without changing content; history survives") {
+    val root = s"$base/minor"
+    mk(root, n = 100)                                                   // v1
+    TxnMergeOnRead.update(spark, root, Seq("v" -> "v + 1"), "k < 10")   // v2
+    TxnMergeOnRead.insert(spark, root,
+      spark.range(500, 510).select(col("id").as("k"), lit(0L).as("v"))) // v3
+    TxnMergeOnRead.delete(spark, root, "k >= 505")                      // v4
+    val before = TxnMergeOnRead.read(spark, root).orderBy("k").collect()
+    assert(TxnMergeOnRead.compactMinor(spark, root), "fold committed")  // v5
+    assert(TxnMergeOnRead.currentVersion(spark, root) === 5)
+    // content identical after the fold
+    assert(TxnMergeOnRead.read(spark, root).orderBy("k").collect()
+      .toSeq === before.toSeq)
+    // born-at-v3, killed-at-v4 rows netted out of the folded delta: the
+    // minor version itself carries no changes
+    assert(TxnMergeOnRead.changesBetween(spark, root, 4L, 5L).count() === 0)
+    // CDC and time travel BELOW the fold still work (no GC happened)
+    assert(TxnMergeOnRead.readAt(spark, root, 2L).count() === 100)
+    assert(TxnMergeOnRead.changesBetween(spark, root, 2L, 4L)
+      .filter(col("change") === "insert").count() === 5)
+    // new deltas stack on the folded one
+    TxnMergeOnRead.update(spark, root, Seq("v" -> "v + 2"), "k = 500")  // v6
+    val after = TxnMergeOnRead.read(spark, root)
+    assert(after.filter(col("k") === 500).select("v").head().getLong(0) === 2)
+    assert(after.count() === 105)
+  }
+
+  test("racing compactions never double-apply (loser aborts)") {
+    val root = s"$base/race_fold"
+    mk(root, n = 100)
+    TxnMergeOnRead.update(spark, root, Seq("v" -> "v + 1"), "k < 20")
+    TxnMergeOnRead.insert(spark, root,
+      spark.range(900, 910).select(col("id").as("k"), lit(3L).as("v")))
+    racing(Seq(
+      () => { TxnMergeOnRead.compact(spark, root); () },
+      () => { TxnMergeOnRead.compactMinor(spark, root); () }))
+    val got = TxnMergeOnRead.read(spark, root)
+    assert(got.count() === 110, "no duplicated fold content")
+    assert(got.filter(col("k") < 20).filter(col("v") =!= col("k") * 10 + 1)
+      .count() === 0)
+  }
+
+  test("vacuum retains the window, retires superseded dirs, spares in-flight stages") {
+    val root = s"$base/vac"
+    mk(root, n = 50)                                                    // v1
+    TxnMergeOnRead.update(spark, root, Seq("v" -> "v + 1"), "k < 5")    // v2
+    TxnMergeOnRead.insert(spark, root,
+      spark.range(600, 605).select(col("id").as("k"), lit(1L).as("v"))) // v3
+    assert(TxnMergeOnRead.compact(spark, root))                         // v4
+    // an unreferenced dir = an in-flight writer's stage; vacuum must not touch it
+    val inflight = new File(s"$root/delta_inflight_test/delete")
+    inflight.mkdirs()
+    // pre-vacuum: pinned reads below the compaction all work
+    assert(TxnMergeOnRead.readAt(spark, root, 2L).count() === 50)
+    TxnMergeOnRead.vacuum(spark, root, retainVersions = 1)
+    // head still reads (and through a fresh log replay)
+    assert(TxnMergeOnRead.read(spark, root).count() === 55)
+    assert(TxnMergeOnRead.readAt(spark, root, 4L).count() === 55)
+    // below the window the dirs are gone → pinned read fails
+    intercept[Exception] {
+      TxnMergeOnRead.readAt(spark, root, 2L).count()
+    }
+    assert(inflight.exists(), "vacuum spared the unreferenced in-flight stage")
   }
 
   test("empty-match mutation no-ops without consuming an ordinal") {
