@@ -107,14 +107,33 @@ object Dsir {
     * narrow row per doc (the oracle surface); the scale path thresholds `g`
     * against a sampled quantile cutoff instead. */
   def resample(docs: DataFrame, targetPred: Column, buckets: Int,
-      seed: String, k: Int): DataFrame = {
+      seed: String, k: Int): DataFrame =
+    gumbelKeys(docs, targetPred, buckets, seed)
+      .withColumn("sel", row_number().over(
+        Window.orderBy(col("g").desc, col("doc_id"))) <= k)
+      .select("doc_id", "n_feats", "logw", "g", "sel")
+
+  /** The keyed score table `(doc_id, n_feats, logw, g)` both selectors
+    * share — one narrow row per doc. */
+  def gumbelKeys(docs: DataFrame, targetPred: Column, buckets: Int,
+      seed: String): DataFrame = {
     val u = (h60c(concat(lit(seed), lit(":"), col("doc_id").cast("string")))
       .cast("double") + lit(1.0)) / lit(1152921504606846977.0)
     importance(docs, targetPred, buckets)
       .withColumn("g", col("logw")
         + round(-log(-log(u)) * lit(1e6)).cast("long"))
-      .withColumn("sel", row_number().over(
-        Window.orderBy(col("g").desc, col("doc_id"))) <= k)
-      .select("doc_id", "n_feats", "logw", "g", "sel")
   }
+
+  /** Scale path ([[NgramLm.bucketByCutoffs]] shape): `sel` by comparing the
+    * Gumbel key against a precomputed cutoff (e.g. `approx_percentile` over
+    * a sample sized to the target fraction) — a broadcast comparison over
+    * the keyed table, zero shuffle past it and no total order anywhere, so
+    * selection cost stays flat per partition at any corpus size. Agrees
+    * with [[resample]] whenever the cutoff is the k-th largest key (exact
+    * at distinct keys — the Gumbel jitter makes ties measure-zero; an
+    * approximate cutoff trades the exact k for a bounded rank error, the
+    * documented approx-quantile contract). */
+  def selectByCutoff(keyed: DataFrame, gCutoff: Long): DataFrame =
+    keyed.withColumn("sel", col("g") >= gCutoff)
+      .select("doc_id", "n_feats", "logw", "g", "sel")
 }
