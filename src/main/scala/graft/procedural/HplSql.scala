@@ -71,6 +71,16 @@ object HplSql {
   private case class ProcDef(name: String, params: Seq[Param],
       body: Seq[Stmt], handlers: Seq[(String, Seq[Stmt])]) extends Stmt
   private case class CallStmt(name: String, args: Seq[String]) extends Stmt
+  private case class FuncDef(name: String, params: Seq[Param],
+      body: Seq[Stmt], handlers: Seq[(String, Seq[Stmt])]) extends Stmt {
+    /** Single `RETURN expr;` bodies inline into engine SQL as a textual
+      * macro — the per-row path; anything else is driver-interpreted. */
+    val exprBody: Option[String] = body match {
+      case Seq(ReturnStmt(Some(e))) if handlers.isEmpty => Some(e)
+      case _ => None
+    }
+  }
+  private case class ReturnStmt(expr: Option[String]) extends Stmt
   private case class DeclareCondition(name: String) extends Stmt
   private case class SignalStmt(name: String) extends Stmt
   private case class ExecImmediate(sqlExpr: String, into: Seq[String])
@@ -403,39 +413,7 @@ object HplSql {
         if (peek.exists(_.up == "OR")) { next(); expect("REPLACE") }
         expect("PROCEDURE")
         val name = next().text
-        val params = Vector.newBuilder[Param]
-        if (peek.exists(w => !w.quoted && w.text == "(")) {
-          next()
-          if (peek.exists(w => !w.quoted && w.text == ")")) next()
-          else {
-            var go = true
-            while (go) {
-              var mode = "IN"
-              var pn = next().text
-              pn.toUpperCase match {
-                case "IN" =>
-                  if (peek.exists(w => !w.quoted && w.up == "OUT")) {
-                    next(); mode = "INOUT" // T_IN T_OUT
-                  }
-                  pn = next().text
-                case "OUT" => mode = "OUT"; pn = next().text
-                case "INOUT" => mode = "INOUT"; pn = next().text
-                case _ => ()
-              }
-              params += Param(pn, mode)
-              // skip the type tokens until a depth-0 ',' or the closing ')'
-              var depth = 0
-              var stop = false
-              while (!stop) {
-                val w = next()
-                if (!w.quoted && w.text == "(") depth += 1
-                else if (!w.quoted && w.text == ")") {
-                  if (depth == 0) { stop = true; go = false } else depth -= 1
-                } else if (!w.quoted && w.text == "," && depth == 0) stop = true
-              }
-            }
-          }
-        }
+        val params = parseRoutineParams()
         if (peek.exists(w => w.up == "AS" || w.up == "IS")) next()
         expect("BEGIN")
         val body = parseStmts(Set("EXCEPTION", "END"))
@@ -447,7 +425,43 @@ object HplSql {
           case other => throw new IllegalArgumentException(s"bad PROCEDURE tail: $other")
         }
         expect(";")
-        ProcDef(name, params.result(), body, handlers)
+        ProcDef(name, params, body, handlers)
+      case "CREATE" if at(1) == "FUNCTION" ||
+          (at(1) == "OR" && at(2) == "REPLACE" && at(3) == "FUNCTION") =>
+        // create_function_stmt: T_CREATE (T_OR T_REPLACE)? T_FUNCTION ident
+        // create_routine_params? create_function_return (T_AS|T_IS)?
+        // single_block_stmt — Hplsql.g4; the RETURNS type is skipped (the
+        // engine types the returned value), the body is a normal block with
+        // RETURN statements.
+        next()
+        if (peek.exists(_.up == "OR")) { next(); expect("REPLACE") }
+        expect("FUNCTION")
+        val name = next().text
+        val params = parseRoutineParams()
+        if (peek.exists(w => w.up == "RETURNS" || w.up == "RETURN")) {
+          next() // skip the declared return type tokens up to AS/IS/BEGIN
+          while (peek.exists(w =>
+            w.up != "AS" && w.up != "IS" && w.up != "BEGIN")) next()
+        }
+        if (peek.exists(w => w.up == "AS" || w.up == "IS")) next()
+        expect("BEGIN")
+        val body = parseStmts(Set("EXCEPTION", "END"))
+        val handlers = next().up match {
+          case "EXCEPTION" =>
+            val hs = parseHandlers()
+            expect("END"); hs
+          case "END" => Nil
+          case other => throw new IllegalArgumentException(s"bad FUNCTION tail: $other")
+        }
+        expect(";")
+        FuncDef(name, params, body, handlers)
+      case "RETURN" =>
+        // return_stmt: T_RETURN expr? — legal inside FUNCTION bodies (and
+        // as an early exit from procedures/scripts)
+        next()
+        if (peek.exists(w => !w.quoted && w.text == ";")) {
+          next(); ReturnStmt(None)
+        } else ReturnStmt(Some(rawUntil(Set(";"))._1))
       case "CALL" =>
         // call_stmt: T_CALL ident ('(' expr (',' expr)* ')')? — argument
         // expressions are sliced raw and evaluated in the caller's scope.
@@ -478,6 +492,46 @@ object HplSql {
         CallStmt(name, args.result())
       case _ =>
         SqlStmt(rawUntil(Set(";"))._1)
+    }
+
+    /** create_routine_params: '(' (mode? ident type),* ')' with IN/OUT/
+      * INOUT modes before the name (`IN OUT` = INOUT — Hplsql.g4:472-473);
+      * type tokens are skipped (the engine types the values). */
+    private def parseRoutineParams(): Seq[Param] = {
+      val params = Vector.newBuilder[Param]
+      if (peek.exists(w => !w.quoted && w.text == "(")) {
+        next()
+        if (peek.exists(w => !w.quoted && w.text == ")")) next()
+        else {
+          var go = true
+          while (go) {
+            var mode = "IN"
+            var pn = next().text
+            pn.toUpperCase match {
+              case "IN" =>
+                if (peek.exists(w => !w.quoted && w.up == "OUT")) {
+                  next(); mode = "INOUT" // T_IN T_OUT
+                }
+                pn = next().text
+              case "OUT" => mode = "OUT"; pn = next().text
+              case "INOUT" => mode = "INOUT"; pn = next().text
+              case _ => ()
+            }
+            params += Param(pn, mode)
+            // skip the type tokens until a depth-0 ',' or the closing ')'
+            var depth = 0
+            var stop = false
+            while (!stop) {
+              val w = next()
+              if (!w.quoted && w.text == "(") depth += 1
+              else if (!w.quoted && w.text == ")") {
+                if (depth == 0) { stop = true; go = false } else depth -= 1
+              } else if (!w.quoted && w.text == "," && depth == 0) stop = true
+            }
+          }
+        }
+      }
+      params.result()
     }
 
     /** exception_block: T_EXCEPTION exception_block_item+, each item
@@ -513,6 +567,12 @@ object HplSql {
   private final case class SignalError(cond: String)
       extends RuntimeException(s"SIGNAL $cond")
 
+  /** RETURN unwinds to the innermost function/procedure call boundary (or
+    * ends the script) — a ControlThrowable like [[LoopExit]], so exception
+    * handlers never see it on the way out. */
+  private final case class ReturnSignal(value: Any)
+      extends scala.util.control.ControlThrowable
+
   /** Explicit-cursor runtime state. The result set materializes driver-side
     * at OPEN (same deliberate design as FOR-cursor — see the scaladoc);
     * `lastFetch` drives %FOUND/%NOTFOUND (None until the first FETCH, when
@@ -529,6 +589,7 @@ object HplSql {
     private val vars = scala.collection.mutable.LinkedHashMap.empty[String, Any]
     private val cursors = scala.collection.mutable.LinkedHashMap.empty[String, CursorState]
     private val procs = scala.collection.mutable.LinkedHashMap.empty[String, ProcDef]
+    private val funcs = scala.collection.mutable.LinkedHashMap.empty[String, FuncDef]
     private val conds = scala.collection.mutable.Set.empty[String] // upper-cased
     private var callDepth = 0
     var lastResult: Option[DataFrame] = None
@@ -635,8 +696,147 @@ object HplSql {
     }
 
     private def evalScalar(expr: String): Any = {
-      val row = spark.sql(s"SELECT (${substitute(expr)}) AS v").head()
+      val row = engineDf(s"SELECT (${substitute(expr)}) AS v").head()
       if (row.isNullAt(0)) null else row.get(0)
+    }
+
+    /** Every engine round-trip goes through here: script-defined function
+      * calls are resolved in the (already variable-substituted) SQL text
+      * before it reaches the engine. */
+    private def engineDf(substituted: String): DataFrame =
+      spark.sql(rewriteFuncs(substituted, 0))
+
+    private def isIdentChar(c: Char): Boolean =
+      Character.isLetterOrDigit(c) || c == '_'
+
+    /** Resolve script-defined function calls in SQL text (outside string
+      * literals; qualified `db.fn(` names are left alone). Expression-
+      * bodied functions inline as textual macros — the reference registers
+      * HPL/SQL functions so engine SQL can call them per-row (Exec.java
+      * function bridge); the macro expansion is the Spark-first equivalent,
+      * keeping the call inside whole-stage codegen. Multi-statement bodies
+      * are interpreted driver-side, which requires driver-evaluable
+      * (constant at statement time) arguments — per-row columns can't
+      * reach a driver-interpreted body, and the error says so. */
+    private def rewriteFuncs(sql: String, depth: Int): String = {
+      if (funcs.isEmpty) return sql
+      require(depth < 64,
+        "function expansion depth exceeded 64 — recursive function?")
+      val sb = new StringBuilder
+      var i = 0
+      var quote: Char = 0
+      while (i < sql.length) {
+        val c = sql.charAt(i)
+        if (quote != 0) {
+          if (c == '\\' && i + 1 < sql.length) {
+            sb.append(c).append(sql.charAt(i + 1)); i += 2
+          } else { if (c == quote) quote = 0; sb.append(c); i += 1 }
+        } else if (c == '\'' || c == '"') { quote = c; sb.append(c); i += 1 }
+        else if (Character.isJavaIdentifierStart(c) &&
+            (i == 0 || (!isIdentChar(sql.charAt(i - 1)) && sql.charAt(i - 1) != '.'))) {
+          var j = i + 1
+          while (j < sql.length && isIdentChar(sql.charAt(j))) j += 1
+          val ident = sql.substring(i, j)
+          var k = j
+          while (k < sql.length && Character.isWhitespace(sql.charAt(k))) k += 1
+          funcs.get(ident.toLowerCase) match {
+            case Some(fd) if k < sql.length && sql.charAt(k) == '(' =>
+              val (args, end) = parseCallArgs(sql, k)
+              sb.append(expandCall(fd, args, depth))
+              i = end
+            case _ => sb.append(ident); i = j
+          }
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+
+    /** Balanced-paren, quote-aware argument slice starting at `open` (the
+      * '('): returns the raw arg texts and the index just past ')'. */
+    private def parseCallArgs(sql: String, open: Int): (Seq[String], Int) = {
+      val args = Vector.newBuilder[String]
+      val cur = new StringBuilder
+      var depth = 1
+      var quote: Char = 0
+      var i = open + 1
+      while (depth > 0) {
+        require(i < sql.length, s"unbalanced parentheses in function call: $sql")
+        val c = sql.charAt(i)
+        if (quote != 0) {
+          cur.append(c)
+          if (c == '\\' && i + 1 < sql.length) { cur.append(sql.charAt(i + 1)); i += 1 }
+          else if (c == quote) quote = 0
+        } else c match {
+          case '\'' | '"' => quote = c; cur.append(c)
+          case '(' => depth += 1; cur.append(c)
+          case ')' => depth -= 1; if (depth > 0) cur.append(c)
+          case ',' if depth == 1 => args += cur.toString.trim; cur.clear()
+          case _ => cur.append(c)
+        }
+        i += 1
+      }
+      val last = cur.toString.trim
+      val all = args.result()
+      ((if (all.isEmpty && last.isEmpty) Seq.empty else all :+ last), i)
+    }
+
+    private def expandCall(fd: FuncDef, args: Seq[String], depth: Int): String = {
+      require(args.length == fd.params.length,
+        s"function ${fd.name}: ${args.length} args for ${fd.params.length} params")
+      val rArgs = args.map(a => rewriteFuncs(a, depth + 1))
+      fd.exprBody match {
+        case Some(retE) =>
+          // macro inline: expand nested script functions in the body first
+          // (param names still symbolic), then substitute parenthesized arg
+          // texts at identifier boundaries — one pass per param, names
+          // longest-first so p2 never corrupts p2x
+          var e = rewriteFuncs(retE, depth + 1)
+          fd.params.map(_.name).zip(rArgs).sortBy(-_._1.length).foreach {
+            case (p, a) =>
+              e = e.replaceAll(
+                "(?i)(?<![A-Za-z0-9_.])" + java.util.regex.Pattern.quote(p) +
+                  "(?![A-Za-z0-9_])",
+                java.util.regex.Matcher.quoteReplacement(s"($a)"))
+          }
+          // a body may reference script variables beyond its params (the
+          // reference's functions see globals) — bind them now; the arg
+          // texts were substituted with the enclosing statement already
+          s"(${substitute(e)})"
+        case None =>
+          val argVals = rArgs.map { a =>
+            try evalScalar(a)
+            catch { case ex: Exception => throw new IllegalArgumentException(
+              s"function ${fd.name} has a multi-statement body (driver-" +
+                s"interpreted): inside engine SQL it can only take constant " +
+                s"arguments, and '$a' is not (${ex.getMessage})") }
+          }
+          literal(invokeFunc(fd, argVals))
+      }
+    }
+
+    /** Driver-side invocation of a statement-bodied function: bind params
+      * dynamically (the CALL discipline), run the body, return the RETURN
+      * value. */
+    private def invokeFunc(fd: FuncDef, argVals: Seq[Any]): Any = {
+      require(callDepth < 64,
+        s"call depth exceeded 64 at function ${fd.name} — runaway recursion?")
+      callDepth += 1
+      val saved = fd.params.map(p => p.name -> vars.get(p.name))
+      fd.params.zip(argVals).foreach { case (p, v) => vars(p.name) = v }
+      try {
+        try {
+          if (fd.handlers.isEmpty) run(fd.body)
+          else runHandled(fd.body, fd.handlers)
+          throw new IllegalArgumentException(
+            s"function ${fd.name} ended without RETURN")
+        } catch { case ReturnSignal(v) => v }
+      } finally {
+        callDepth -= 1
+        saved.foreach {
+          case (pn, Some(v)) => vars(pn) = v
+          case (pn, None) => vars.remove(pn)
+        }
+      }
     }
 
     private def evalCond(expr: String): Boolean = evalScalar(expr) match {
@@ -667,7 +867,7 @@ object HplSql {
             s"WHILE exceeded $MaxLoopIters iterations — non-terminating loop?")
         } catch { case LoopExit => () }
       case ForCursor(rec, query, body) =>
-        val df = spark.sql(substitute(query))
+        val df = engineDf(substitute(query))
         val cols = df.columns
         // save shadowed bindings so a nested FOR-cursor reusing the record
         // name (or column names) restores the outer loop's values on exit,
@@ -730,7 +930,7 @@ object HplSql {
       case OpenStmt(name) =>
         val st = resolveCursor(name).getOrElse(
           throw new IllegalArgumentException(s"OPEN of undeclared cursor $name"))
-        st.rows = spark.sql(substitute(st.query)).collect().iterator // driver-side, by design
+        st.rows = engineDf(substitute(st.query)).collect().iterator // driver-side, by design
         st.open = true; st.rowCount = 0L; st.lastFetch = None
       case FetchStmt(name, into0) =>
         val st = resolveCursor(name).getOrElse(
@@ -754,6 +954,10 @@ object HplSql {
         st.open = false; st.rows = Iterator.empty
       case pd: ProcDef =>
         procs(pd.name) = pd
+      case fd: FuncDef =>
+        funcs(fd.name.toLowerCase) = fd // case-insensitive like engine functions
+      case ReturnStmt(e) =>
+        throw ReturnSignal(e.map(evalScalar).orNull)
       case DeclareCondition(name) =>
         conds += name.toUpperCase
       case SignalStmt(name) =>
@@ -796,8 +1000,12 @@ object HplSql {
         var completed = false
         val finals = new Array[Any](proc.params.length)
         try {
-          if (proc.handlers.isEmpty) run(proc.body)
-          else runHandled(proc.body, proc.handlers)
+          // RETURN inside a procedure exits it (return_stmt with no value
+          // in a procedure context) — normal completion, copy-out applies
+          try {
+            if (proc.handlers.isEmpty) run(proc.body)
+            else runHandled(proc.body, proc.handlers)
+          } catch { case ReturnSignal(_) => () }
           // snapshot param finals BEFORE the dynamic scope is unwound
           proc.params.zipWithIndex.foreach { case (prm, i) =>
             finals(i) = vars.getOrElse(prm.name, null)
@@ -840,7 +1048,7 @@ object HplSql {
           val tgts = into.map(resolveVar)
           tgts.foreach(v => require(vars.contains(v),
             s"EXECUTE IMMEDIATE INTO undeclared variable $v"))
-          val row = spark.sql(substitute(sqlText)).head()
+          val row = engineDf(substitute(sqlText)).head()
           require(tgts.length == row.length,
             s"EXECUTE IMMEDIATE INTO arity ${tgts.length} != result width ${row.length}")
           tgts.zipWithIndex.foreach { case (v, i) =>
@@ -853,7 +1061,7 @@ object HplSql {
       * IMMEDIATE: commands run eagerly in statement order; a SELECT
       * snapshots as the candidate script result. */
     private def runEngineSql(sql: String): Unit = {
-        val df = spark.sql(sql)
+        val df = engineDf(sql)
         // classify by the ANALYZED plan, not the first keyword: a
         // CTE-prefixed INSERT ("WITH x AS (...) INSERT ...") is a command,
         // not the script's result set

@@ -253,6 +253,42 @@ object Procedural {
           |DECLARE nn BIGINT := (SELECT count(*) FROM g201_v);
           |SELECT CAST(n_c AS BIGINT) AS n_c, CAST(tot AS DOUBLE) AS tot,
           |       CAST(nn AS BIGINT) AS n_nat;""".stripMargin)
+    },
+
+    // CREATE FUNCTION (create_function_stmt, Hplsql.g4): script-defined
+    // functions on both execution paths — `disc` is expression-bodied, so
+    // it inlines into the engine SQL as a textual macro and runs PER ROW
+    // inside whole-stage codegen over lineitem (the reference registers
+    // HPL/SQL functions for exactly this embedded-in-SQL use); `grade` has
+    // a multi-statement body and runs driver-interpreted in scalar context.
+    // The integer-cents aggregate keeps the cross-engine sum exact.
+    Qd("q205_hplsql_function",
+      """WITH b AS (SELECT count(*) AS n FROM customer
+        |           WHERE c_mktsegment = 'BUILDING')
+        |SELECT l_returnflag AS rf,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |       AS BIGINT)) AS BIGINT) AS rev_cents,
+        |  count(*) AS n,
+        |  (SELECT CASE WHEN n >= 100 THEN 'high' ELSE 'low' END FROM b) AS tag
+        |FROM lineitem GROUP BY l_returnflag ORDER BY rf""") { (s, dir) =>
+      HplSql.run(s, dir,
+        """CREATE FUNCTION disc_cents(p DOUBLE, d DOUBLE) RETURNS BIGINT AS
+          |BEGIN
+          |  RETURN CAST(round(p * (1 - d) * 100) AS BIGINT);
+          |END;
+          |CREATE FUNCTION grade(nn BIGINT) RETURNS STRING AS
+          |BEGIN
+          |  DECLARE g STRING;
+          |  IF nn >= 100 THEN SET g = 'high'; ELSE SET g = 'low'; END IF;
+          |  RETURN g;
+          |END;
+          |DECLARE nb BIGINT := (SELECT count(*) FROM customer
+          |                      WHERE c_mktsegment = 'BUILDING');
+          |DECLARE tag STRING := grade(nb);
+          |SELECT l_returnflag AS rf,
+          |  CAST(sum(disc_cents(l_extendedprice, l_discount)) AS BIGINT) AS rev_cents,
+          |  count(*) AS n, tag AS tag
+          |FROM lineitem GROUP BY l_returnflag ORDER BY rf;""".stripMargin)
     }
   )
 }

@@ -550,4 +550,93 @@ class HplSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("EXIT outside"),
       s"expected a clear message, got: ${e.getMessage}")
   }
+
+  test("expression-bodied CREATE FUNCTION inlines per-row into engine SQL") {
+    val r = HplSql.run(spark, dir,
+      """CREATE FUNCTION taxed(amt DOUBLE, rate DOUBLE) RETURNS DOUBLE AS
+        |BEGIN RETURN round(amt * (1 + rate), 2); END;
+        |SELECT r_regionkey AS rk, taxed(CAST(r_regionkey AS DOUBLE) * 100, 0.1) AS t
+        |FROM region ORDER BY rk;""".stripMargin).collect()
+    assert(r.length == 5)
+    assert(r.map(_.getDouble(1)).toSeq == Seq(0.0, 110.0, 220.0, 330.0, 440.0))
+  }
+
+  test("nested function calls expand inside-out; args may reference columns") {
+    val r = run1(
+      """CREATE FUNCTION inc(x INT) RETURNS INT AS BEGIN RETURN x + 1; END;
+        |CREATE FUNCTION twice(x INT) RETURNS INT AS BEGIN RETURN inc(inc(x)); END;
+        |SELECT max(twice(CAST(r_regionkey AS INT))) AS m FROM region;""".stripMargin)
+    assert(r.getInt(0) == 6) // max key 4 + 2
+  }
+
+  test("statement-bodied function runs driver-side in scalar context") {
+    val r = run1(
+      """CREATE FUNCTION grade(n BIGINT) RETURNS STRING AS
+        |BEGIN
+        |  DECLARE g STRING;
+        |  IF n >= 3 THEN SET g = 'high'; ELSE SET g = 'low'; END IF;
+        |  RETURN g;
+        |END;
+        |DECLARE a STRING := grade(5);
+        |DECLARE b STRING := grade(1);
+        |SELECT a AS a, b AS b;""".stripMargin)
+    assert(r.getString(0) == "high" && r.getString(1) == "low")
+  }
+
+  test("statement-bodied function with a per-row column argument fails clearly") {
+    val e = intercept[Exception](run1(
+      """CREATE FUNCTION g(n BIGINT) RETURNS STRING AS
+        |BEGIN DECLARE s STRING := 'x'; RETURN s; END;
+        |SELECT g(r_regionkey) AS v FROM region;""".stripMargin))
+    assert(e.getMessage.contains("multi-statement body"),
+      s"expected the constant-argument diagnostic, got: ${e.getMessage}")
+  }
+
+  test("function params are dynamically scoped and restored after the call") {
+    val r = run1(
+      """DECLARE x INT := 99;
+        |CREATE FUNCTION f(x INT) RETURNS INT AS
+        |BEGIN RETURN x * 2; END;
+        |DECLARE y INT := f(7);
+        |SELECT x AS x, y AS y;""".stripMargin)
+    // macro path: f(7) inlines to ((7) * 2); the script x stays 99
+    assert(r.getInt(0) == 99 && r.getInt(1) == 14)
+  }
+
+  test("OR REPLACE redefines; recursive expansion fails loudly") {
+    val r = run1(
+      """CREATE FUNCTION f(x INT) RETURNS INT AS BEGIN RETURN x + 1; END;
+        |CREATE OR REPLACE FUNCTION f(x INT) RETURNS INT AS BEGIN RETURN x + 10; END;
+        |SELECT f(1) AS v;""".stripMargin)
+    assert(r.getInt(0) == 11)
+    val e = intercept[Exception](run1(
+      """CREATE FUNCTION loopy(x INT) RETURNS INT AS
+        |BEGIN RETURN loopy(x) + 1; END;
+        |SELECT loopy(1) AS v;""".stripMargin))
+    assert(e.getMessage.contains("expansion depth") ||
+      e.getMessage.contains("recursion"),
+      s"expected the depth diagnostic, got: ${e.getMessage}")
+  }
+
+  test("RETURN exits a procedure early; copy-out still applies") {
+    val r = run1(
+      """DECLARE res INT := 0;
+        |CREATE PROCEDURE p(IN n INT, OUT out_v INT) AS
+        |BEGIN
+        |  SET out_v = 1;
+        |  IF n > 0 THEN RETURN; END IF;
+        |  SET out_v = 2;
+        |END;
+        |CALL p(5, res);
+        |SELECT res AS res;""".stripMargin)
+    assert(r.getInt(0) == 1, "RETURN must skip the rest of the body; OUT copy-out applies")
+  }
+
+  test("function names resolve case-insensitively; string literals are never rewritten") {
+    val r = run1(
+      """CREATE FUNCTION Tag(x INT) RETURNS STRING AS
+        |BEGIN RETURN 'v' || CAST(x AS STRING); END;
+        |SELECT TAG(3) AS a, 'TAG(3)' AS b;""".stripMargin)
+    assert(r.getString(0) == "v3" && r.getString(1) == "TAG(3)")
+  }
 }
