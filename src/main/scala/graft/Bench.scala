@@ -31,17 +31,20 @@ object Bench {
   /** Inter-query settle: clear the previous query's GC debt and let
     * spilled-shuffle cleanup threads quiesce so its garbage doesn't bill the
     * next query's timed region (BENCH_r06 showed 3-4x phantom inflation on
-    * arbitrary queries from exactly this contention). Runs OUTSIDE the timed
-    * region, so it costs wall clock but not the reported metric. */
-  private def settle(): Unit = { System.gc(); Thread.sleep(150) }
+    * arbitrary queries from exactly this contention). Also stops any
+    * streaming query a stream test left running and drops cached relations —
+    * both accumulate across a 200-query session and billed late queries
+    * 1.6-1.8x in BENCH_r08. Runs OUTSIDE the timed region, so it costs wall
+    * clock but not the reported metric. */
+  private def settle(spark: SparkSession): Unit = {
+    spark.streams.active.foreach(q => scala.util.Try(q.stop()))
+    scala.util.Try(spark.catalog.clearCache())
+    System.gc(); Thread.sleep(150)
+  }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val spark = Engine.session(cores = cpus, appName = "graft-bench")
-    // JVM/codegen warmup on the smallest SF so per-query numbers measure the
-    // plan, not first-call JIT + classloading; registerAll so no query pays
-    // first-call view registration.
+  /** Warm a (fresh) session: view registration + one full query so no timed
+    * run pays first-call JIT/codegen/classloading. */
+  private def warm(spark: SparkSession, sfDir: String): Unit =
     try {
       Engine.registerAll(spark, sfDir)
       // warm up against the benchmarked dir (SparkEntry.entry hardcodes the
@@ -49,6 +52,19 @@ object Bench {
       SparkEntry.queries("q01_agg_pricing_summary")(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
     } catch { case e: Exception => System.err.println(s"[bench] warmup skipped: ${e.getMessage}") }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    var spark = Engine.session(cores = cpus, appName = "graft-bench")
+    warm(spark, sfDir)
+    // Session recycle: even with per-query settle, a single session
+    // accumulates state over ~200 queries (block-manager debris, stream
+    // state dirs, codegen/broadcast caches, old-gen growth) that inflated
+    // late queries 1.6-1.8x vs isolated in BENCH_r08. A fresh session every
+    // K queries bounds the accumulation window; the restart + re-warm run
+    // OUTSIDE the timed regions.
+    val recycleEvery = sys.env.getOrElse("SPARK_GRAFT_BENCH_RECYCLE", "25").toInt
     // best-of-2 per query: the first pass pays JIT/codegen-cache/page-cache
     // warmup, the second measures the steady-state plan (what a resident
     // engine on a cluster delivers; parquet + codegen beats an
@@ -59,8 +75,17 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     val prev = lastTimes()
+    var sinceRecycle = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.isEmpty || only(q._1)).map { case (name, fn) =>
+      if (recycleEvery > 0 && sinceRecycle >= recycleEvery) {
+        System.err.println(s"[bench] recycling session before $name")
+        spark.stop()
+        spark = Engine.session(cores = cpus, appName = "graft-bench")
+        warm(spark, sfDir)
+        sinceRecycle = 0
+      }
+      sinceRecycle += 1
       var failed = false
       def timedRun(): Double = {
         val t0 = System.nanoTime()
@@ -71,7 +96,7 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      settle()
+      settle(spark)
       var times = (1 to iters).map(_ => timedRun())
       // Outlier re-run: a best exceeding the last full run by >2x is, in this
       // harness, almost always residual contention rather than a plan change
@@ -82,7 +107,7 @@ object Bench {
       if (!failed && only.isEmpty) prev.get(name).foreach { p =>
         if (p > 0 && times.min > 2 * p) {
           System.err.println(f"[bench] $name outlier ${times.min}%.2fs vs last $p%.2fs — re-running")
-          settle()
+          settle(spark)
           times = times ++ (1 to iters).map(_ => timedRun())
         }
       }

@@ -77,6 +77,28 @@ class SourcesRcSpec extends AnyFunSuite {
     assert(e.getMessage.contains("truncated"))
   }
 
+  test("skipBytes honesty: under-skip at ANY cut depth fails, never misparses") {
+    // the lazy-skip path must verify the skip LENGTH it got, not assume it
+    // (DataInputStream.skipBytes may legally under-skip): cut the container
+    // at every depth inside the skippable tail and demand either a clean
+    // truncation error or a correct (never garbled) column-0 read
+    val bytes = container(Seq(rows), 3)
+    val col0 = rows.map(_(0))
+    (1 until 40).foreach { back =>
+      val cut = bytes.take(bytes.length - back)
+      try {
+        val (it, _) = ColumnarRowGroupFile.readGroups(cut, 3, Seq(0))
+        assert(it.map(_.toSeq).toSeq == col0.map(Seq(_)),
+          s"cut at -$back silently garbled the projected column")
+      } catch {
+        case e: IllegalArgumentException =>
+          assert(e.getMessage.contains("truncated") || e.getMessage.contains("GRCF1"),
+            s"cut at -$back: unexpected diagnostic '${e.getMessage}'")
+        case _: java.io.EOFException => () // header read hit the cut — clean
+      }
+    }
+  }
+
   // ---- job-commit protocol (Spark level) -------------------------------
 
   private lazy val spark = Engine.session(cores = 4, appName = "graft-rc")
