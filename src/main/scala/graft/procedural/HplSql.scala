@@ -209,23 +209,9 @@ object HplSql {
           // declare_condition_item: ident T_CONDITION — Hplsql.g4:197
           next(); expect(";")
           DeclareCondition(name)
-        } else {
-          // optional type words up to := / DEFAULT / ;
-          var init: Option[String] = None
-          var scan = true
-          while (scan) {
-            val w = next()
-            w.up match {
-              case ";" => scan = false
-              case ":=" | "DEFAULT" =>
-                init = Some(rawUntil(Set(";"))._1); scan = false
-              case _ => () // type token (BIGINT, STRING, DECIMAL(10,2) parens...)
-            }
-          }
-          Declare(name, init)
-        }
+        } else parseDeclareTail(name)
       case "SET" =>
-        next(); val name = next().text
+        next(); val name = dottedName(next())
         val eq = next()
         require(eq.text == "=" || eq.text == ":=",
           s"SET expects = or :=, got '${eq.text}'")
@@ -455,6 +441,42 @@ object HplSql {
         }
         expect(";")
         FuncDef(name, params, body, handlers)
+      case "CREATE" if at(1) == "PACKAGE" ||
+          (at(1) == "OR" && at(2) == "REPLACE" && at(3) == "PACKAGE") =>
+        // create_package_stmt / create_package_body_stmt (Hplsql.g4): a
+        // named grouping of variables + functions + procedures. Spec and
+        // body collapse into one form here — spec-only forward
+        // declarations (signature then ';') are skipped, defined members
+        // register package-qualified (pkg.member), and package variables
+        // declare as pkg.var. Executing the statement runs the member
+        // registrations in order (BeginBlock reuse).
+        next()
+        if (peek.exists(_.up == "OR")) { next(); expect("REPLACE") }
+        expect("PACKAGE")
+        if (peek.exists(_.up == "BODY")) next()
+        val pkg = next().text
+        if (peek.exists(w => w.up == "AS" || w.up == "IS")) next()
+        val members = Vector.newBuilder[Stmt]
+        while (!peek.exists(w => !w.quoted && w.up == "END")) {
+          require(peek.isDefined, s"unterminated PACKAGE $pkg")
+          peek.get.up match {
+            case "FUNCTION" | "PROCEDURE" =>
+              parsePackageMember(pkg).foreach(members += _)
+            case "DECLARE" =>
+              // DECLARE var [type] [:= init]; inside a package → pkg.var
+              next(); val vn = next().text
+              members += parseDeclareTail(s"$pkg.$vn")
+            case _ =>
+              // bare package variable: ident type [:= expr] ;
+              val vn = next().text
+              members += parseDeclareTail(s"$pkg.$vn")
+          }
+        }
+        expect("END")
+        // optional trailing `END pkg`
+        if (peek.exists(w => !w.quoted && w.text.equalsIgnoreCase(pkg))) next()
+        expect(";")
+        BeginBlock(members.result(), Nil)
       case "RETURN" =>
         // return_stmt: T_RETURN expr? — legal inside FUNCTION bodies (and
         // as an early exit from procedures/scripts)
@@ -464,8 +486,9 @@ object HplSql {
         } else ReturnStmt(Some(rawUntil(Set(";"))._1))
       case "CALL" =>
         // call_stmt: T_CALL ident ('(' expr (',' expr)* ')')? — argument
-        // expressions are sliced raw and evaluated in the caller's scope.
-        next(); val name = next().text
+        // expressions are sliced raw and evaluated in the caller's scope;
+        // the name may be package-qualified (pkg.proc).
+        next(); val name = dottedName(next())
         val args = Seq.newBuilder[String]
         if (peek.exists(w => !w.quoted && w.text == "(")) {
           next()
@@ -492,6 +515,64 @@ object HplSql {
         CallStmt(name, args.result())
       case _ =>
         SqlStmt(rawUntil(Set(";"))._1)
+    }
+
+    /** Declaration tail after the variable name: optional type words up to
+      * `:=` / DEFAULT / `;` — shared by DECLARE and package variables. */
+    private def parseDeclareTail(name: String): Stmt = {
+      var init: Option[String] = None
+      var scan = true
+      while (scan) {
+        val w = next()
+        w.up match {
+          case ";" => scan = false
+          case ":=" | "DEFAULT" =>
+            init = Some(rawUntil(Set(";"))._1); scan = false
+          case _ => () // type token (BIGINT, STRING, DECIMAL(10,2) parens...)
+        }
+      }
+      Declare(name, init)
+    }
+
+    /** Qualified-name tail: `pkg . member` tokens joined back into one
+      * dotted name (the tokenizer splits on '.'). */
+    private def dottedName(first: Tok): String = {
+      var name = first.text
+      while (peek.exists(w => !w.quoted && w.text == ".")) {
+        next(); name = name + "." + next().text
+      }
+      name
+    }
+
+    /** One package member: `FUNCTION|PROCEDURE name params [RETURNS type]
+      * [AS|IS] BEGIN … END;` — or a spec-only forward declaration ending at
+      * ';' (skipped: the body defines it). Member names register
+      * package-qualified. */
+    private def parsePackageMember(pkg: String): Option[Stmt] = {
+      val kind = next().up
+      val name = s"$pkg.${next().text}"
+      val params = parseRoutineParams()
+      if (kind == "FUNCTION" &&
+          peek.exists(w => w.up == "RETURNS" || w.up == "RETURN")) {
+        next()
+        while (peek.exists(w => w.up != "AS" && w.up != "IS" &&
+          w.up != "BEGIN" && w.text != ";")) next()
+      }
+      if (peek.exists(w => !w.quoted && w.text == ";")) { next(); return None }
+      if (peek.exists(w => w.up == "AS" || w.up == "IS")) next()
+      expect("BEGIN")
+      val body = parseStmts(Set("EXCEPTION", "END"))
+      val handlers = next().up match {
+        case "EXCEPTION" =>
+          val hs = parseHandlers()
+          expect("END"); hs
+        case "END" => Nil
+        case other => throw new IllegalArgumentException(
+          s"bad package member tail: $other")
+      }
+      expect(";")
+      Some(if (kind == "FUNCTION") FuncDef(name, params, body, handlers)
+      else ProcDef(name, params, body, handlers))
     }
 
     /** create_routine_params: '(' (mode? ident type),* ')' with IN/OUT/
@@ -736,7 +817,17 @@ object HplSql {
             (i == 0 || (!isIdentChar(sql.charAt(i - 1)) && sql.charAt(i - 1) != '.'))) {
           var j = i + 1
           while (j < sql.length && isIdentChar(sql.charAt(j))) j += 1
-          val ident = sql.substring(i, j)
+          var ident = sql.substring(i, j)
+          // package-qualified call: extend over ONE '.' segment when the
+          // dotted name is a registered function (db.table names are not
+          // in the registry and stay untouched)
+          if (j + 1 < sql.length && sql.charAt(j) == '.' &&
+              Character.isJavaIdentifierStart(sql.charAt(j + 1))) {
+            var j2 = j + 2
+            while (j2 < sql.length && isIdentChar(sql.charAt(j2))) j2 += 1
+            val dotted = sql.substring(i, j2)
+            if (funcs.contains(dotted.toLowerCase)) { ident = dotted; j = j2 }
+          }
           var k = j
           while (k < sql.length && Character.isWhitespace(sql.charAt(k))) k += 1
           funcs.get(ident.toLowerCase) match {
@@ -967,8 +1058,11 @@ object HplSql {
           s"SIGNAL of undeclared condition $name (DECLARE $name CONDITION first)")
         throw SignalError(name)
       case CallStmt(name, argExprs) =>
-        val proc = procs.getOrElse(name,
-          throw new IllegalArgumentException(s"CALL of undefined procedure $name"))
+        val proc = procs.get(name)
+          .orElse(procs.collectFirst {
+            case (k, v) if k.equalsIgnoreCase(name) => v })
+          .getOrElse(
+            throw new IllegalArgumentException(s"CALL of undefined procedure $name"))
         require(argExprs.length == proc.params.length,
           s"CALL $name: ${argExprs.length} args for ${proc.params.length} params")
         // runaway-recursion guard (the WHILE-iteration analog): fail loudly
@@ -1125,8 +1219,11 @@ object HplSql {
     graft.Engine.registerAll(spark, dir)
     val interp = new Interp(spark)
     try interp.run(new Parser(script, tokenize(script)).parseStmts(Set.empty))
-    catch { case LoopExit => throw new IllegalArgumentException(
-      "EXIT outside of a loop") }
+    catch {
+      case LoopExit => throw new IllegalArgumentException(
+        "EXIT outside of a loop")
+      case ReturnSignal(_) => () // top-level RETURN ends the script
+    }
     interp.lastResult.getOrElse(
       throw new IllegalArgumentException("script produced no result set"))
   }

@@ -289,6 +289,35 @@ object Procedural {
           |  CAST(sum(disc_cents(l_extendedprice, l_discount)) AS BIGINT) AS rev_cents,
           |  count(*) AS n, tag AS tag
           |FROM lineitem GROUP BY l_returnflag ORDER BY rf;""".stripMargin)
+    },
+
+    // CREATE PACKAGE (create_package_stmt): a named grouping of package
+    // variables + functions + procedures with qualified access — a
+    // procedure CALL mutates package state, and a package function
+    // referencing that state inlines per-row into the engine SQL with the
+    // state bound at statement time (the reference's package scope,
+    // Package.java). The oracle re-expresses the final state declaratively.
+    Qd("q206_hplsql_package",
+      """SELECT CASE WHEN c_acctbal < 1000.0 THEN 'below'
+        |            ELSE 'at_or_above' END AS band,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+        |FROM customer GROUP BY 1 ORDER BY band""") { (s, dir) =>
+      HplSql.run(s, dir,
+        """CREATE PACKAGE seg AS
+          |  thr DOUBLE := 0;
+          |  FUNCTION bal_band(b DOUBLE) RETURNS STRING;
+          |  FUNCTION bal_band(b DOUBLE) RETURNS STRING AS
+          |  BEGIN
+          |    RETURN CASE WHEN b < seg.thr THEN 'below' ELSE 'at_or_above' END;
+          |  END;
+          |  PROCEDURE set_thr(IN t DOUBLE) AS
+          |  BEGIN SET seg.thr = t; END;
+          |END;
+          |CALL seg.set_thr(1000.0);
+          |SELECT seg.bal_band(c_acctbal) AS band, count(*) AS n,
+          |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+          |FROM customer GROUP BY 1 ORDER BY band;""".stripMargin)
     }
   )
 }

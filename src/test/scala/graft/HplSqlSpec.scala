@@ -632,6 +632,36 @@ class HplSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getInt(0) == 1, "RETURN must skip the rest of the body; OUT copy-out applies")
   }
 
+  test("CREATE PACKAGE: qualified members, package variables, forward declarations") {
+    val r = run1(
+      """CREATE PACKAGE stats AS
+        |  cnt INT := 0;
+        |  FUNCTION double_it(x INT) RETURNS INT;
+        |  FUNCTION double_it(x INT) RETURNS INT AS
+        |  BEGIN RETURN x * 2; END;
+        |  PROCEDURE bump(IN by INT) AS
+        |  BEGIN SET stats.cnt = stats.cnt + by; END;
+        |END;
+        |CALL stats.bump(3);
+        |CALL stats.bump(4);
+        |SELECT stats.cnt AS c, stats.double_it(10) AS d,
+        |       max(stats.double_it(CAST(r_regionkey AS INT))) AS m
+        |FROM region;""".stripMargin)
+    assert(r.getInt(0) == 7, "package variable accumulates across CALLs")
+    assert(r.getInt(1) == 20, "qualified macro call in scalar position")
+    assert(r.getInt(2) == 8, "qualified macro call per-row over a table")
+  }
+
+  test("package names do not collide with unqualified ones; END pkg tail accepted") {
+    val r = run1(
+      """CREATE FUNCTION f(x INT) RETURNS INT AS BEGIN RETURN x + 1; END;
+        |CREATE PACKAGE p AS
+        |  FUNCTION f(x INT) RETURNS INT AS BEGIN RETURN x + 100; END;
+        |END p;
+        |SELECT f(1) AS a, p.f(1) AS b;""".stripMargin)
+    assert(r.getInt(0) == 2 && r.getInt(1) == 101)
+  }
+
   test("function names resolve case-insensitively; string literals are never rewritten") {
     val r = run1(
       """CREATE FUNCTION Tag(x INT) RETURNS STRING AS
