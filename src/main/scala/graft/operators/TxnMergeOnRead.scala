@@ -326,19 +326,24 @@ object TxnMergeOnRead {
 
   /** Footprint summary of a staged delete: per writer-tag min/max seq of
     * the touched row ids — one narrow agg over the staged parquet (reads
-    * only the rid column), collected driver-side at ≤ FP_MAX_TAGS+1 rows. */
+    * only the rid column), collected driver-side at ≤ FP_MAX_TAGS+1 rows.
+    * `-` encodes the EMPTY footprint (no delete half — an insert-only
+    * MERGE): provably disjoint from everything. */
   private def footprint(spark: SparkSession, root: String, dir: String): String = {
+    if (!fs(spark, root).exists(new Path(s"$root/$dir/delete"))) return "-"
     val rows = spark.read.parquet(s"$root/$dir/delete")
       .groupBy(col(s"$RID.txn").as("t"))
       .agg(min(col(s"$RID.seq")).as("lo"), max(col(s"$RID.seq")).as("hi"))
       .limit(FP_MAX_TAGS + 1).collect()
-    if (rows.length > FP_MAX_TAGS) "*"
+    if (rows.isEmpty) "-"
+    else if (rows.length > FP_MAX_TAGS) "*"
     else rows.map(r => s"${r.getLong(0)}:${r.getLong(1)}:${r.getLong(2)}")
       .sorted.mkString(";")
   }
 
   private def fpParse(s: String): Option[Map[Long, (Long, Long)]] =
     if (s == "*" || s.isEmpty) None
+    else if (s == "-") Some(Map.empty)
     else Some(s.split(";").iterator.map { it =>
       val Array(t, a, b) = it.split(":")
       t.toLong -> (a.toLong, b.toLong)
@@ -358,11 +363,12 @@ object TxnMergeOnRead {
     * id? Both sides are change sets pruned to the rid column — delta-vs-
     * delta work, never a table scan. */
   private def ridsIntersect(spark: SparkSession, root: String,
-      dirA: String, dirB: String): Boolean = {
-    val a = spark.read.parquet(s"$root/$dirA/delete").select(col(RID))
-    val b = spark.read.parquet(s"$root/$dirB/delete").select(col(RID))
-    !a.join(b, Seq(RID), "left_semi").isEmpty
-  }
+      dirA: String, dirB: String): Boolean =
+    (readDir(spark, root, dirA, "delete"), readDir(spark, root, dirB, "delete")) match {
+      case (Some(a), Some(b)) =>
+        !a.select(col(RID)).join(b.select(col(RID)), Seq(RID), "left_semi").isEmpty
+      case _ => false // a side with no delete events cannot overlap
+    }
 
   /** INSERT INTO: stage once, then take the next free ordinal. New rows
     * cannot collide with any concurrent action (ids are fresh), so no
@@ -483,6 +489,80 @@ object TxnMergeOnRead {
         }: _*)
         Some((Option(matched), // full old rows: the CDC delete events
           Option(withRid(newVersions, tag))))
+      }
+    })
+
+  /** Three-clause MERGE under snapshot isolation — the reference's ACID
+    * `sqlmerge.q` surface (matched-delete wins over matched-update, then
+    * not-matched-insert) on the CONCURRENT-writer log. Staged as ONE
+    * delta: delete events for every matched row the merge removes or
+    * rewrites (full old rows — the CDC contract), insert rows for the
+    * updated new versions plus the not-matched inserts; matched rows
+    * neither deleted nor updated stay untouched (no spurious events).
+    * Commits through the same row-grain optimistic loop as UPDATE/DELETE —
+    * the footprint is the matched-and-mutated row set, so a concurrent
+    * mutation of different rows never forces a recompute, and an
+    * insert-only merge (nothing matched) commits conflict-free like
+    * INSERT. SET/INSERT expressions resolve against aliases `t` (target)
+    * and `s` (source), the reference's MERGE scoping. Cardinality check:
+    * a target row matching more than one source row errors
+    * (`cardinality_violation`). Returns the snapshot-computation count. */
+  def merge(spark: SparkSession, root: String, source: DataFrame,
+      onCond: String,
+      matchedSet: Seq[(String, String)] = Nil,
+      matchedDelete: Option[String] = None,
+      notMatchedInsert: Option[Seq[(String, String)]] = None,
+      checkCardinality: Boolean = true): Int =
+    mutate(spark, root, { snap =>
+      val tcols = snap.columns.filter(_ != RID).toSeq
+      val byLower = tcols.map(c => c.toLowerCase -> c).toMap
+      val src = source
+      val j = snap.as("t").join(src.as("s"), expr(onCond), "inner")
+      if (checkCardinality) {
+        val dups = j.groupBy(col(s"t.$RID")).count()
+          .filter(col("count") > 1).limit(1).count()
+        require(dups == 0, s"MERGE cardinality violation: a row of $root " +
+          "matches more than one source row")
+      }
+      val delCond = matchedDelete
+        .map(c => coalesce(expr(c), lit(false))).getOrElse(lit(false))
+      val toDelete = j.filter(delCond)
+      val toUpdate =
+        if (matchedSet.nonEmpty) j.filter(!delCond) else j.limit(0)
+      // dead rows keep their rid + full old values (CDC delete events);
+      // project the t side BEFORE the union (the joined frame carries both
+      // aliases' columns, whose names may collide)
+      def tSide(df: DataFrame) = df.select(
+        (tcols.map(c => col(s"t.$c").as(c)) :+ col(s"t.$RID").as(RID)): _*)
+      val dead = tSide(toDelete).unionByName(tSide(toUpdate))
+      val setMap = matchedSet.map { case (k, v) =>
+        byLower.getOrElse(k.toLowerCase, throw new IllegalArgumentException(
+          s"MERGE SET references unknown column '$k'")) -> v
+      }.toMap
+      val updatedNew = toUpdate.select(tcols.map { c =>
+        setMap.get(c).map(e => expr(e).as(c)).getOrElse(col(s"t.$c").as(c))
+      }: _*)
+      val inserted = notMatchedInsert.map { ins =>
+        val resolved = ins.map { case (k, v) =>
+          byLower.getOrElse(k.toLowerCase, throw new IllegalArgumentException(
+            s"MERGE INSERT references unknown column '$k'")) -> v
+        }
+        require(resolved.map(_._1).distinct.size == resolved.size,
+          "MERGE INSERT assigns the same column more than once")
+        val insMap = resolved.toMap
+        require(tcols.forall(insMap.contains),
+          s"INSERT clause must cover all target columns of $root")
+        src.as("s").join(snap.as("t"), expr(onCond), "left_anti")
+          .select(tcols.map(c => expr(insMap(c)).as(c)): _*)
+      }
+      val newRows = inserted.fold(updatedNew)(updatedNew.unionByName(_))
+      val anyDead = !dead.isEmpty
+      val anyNew = !newRows.isEmpty
+      if (!anyDead && !anyNew) None // merge matched/inserted nothing: no-op
+      else {
+        val tag = UUID.randomUUID().getLeastSignificantBits & Long.MaxValue
+        (Some((if (anyDead) Some(dead) else None,
+          if (anyNew) Some(withRid(newRows, tag)) else None)))
       }
     })
 

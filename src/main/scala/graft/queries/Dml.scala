@@ -391,6 +391,50 @@ object Dml {
           round(sum("bal"), 2).cast("double").as("total_bal"))
           .select(lit(v.toInt).as("version"), col("n_rows"), col("total_bal"))
       }.reduce(_ unionByName _).orderBy("version")
+    },
+
+    // Three-clause MERGE under the CONCURRENT-writer transaction log
+    // ([[TxnMergeOnRead.merge]] — the reference's ACID sqlmerge.q surface
+    // with Hive's clause precedence: delete wins over update for a matched
+    // row): staged as one delta (delete events for removed/rewritten rows,
+    // inserts for new versions + not-matched rows), committed through the
+    // row-grain optimistic loop. Same oracle chain as the copy-on-write
+    // q113, so the two MERGE strategies are pinned to identical semantics;
+    // the trailing CDC read additionally locks the merge's event encoding
+    // (every touched row splits into its delete/insert halves).
+    Qd("q207_dml_txn_merge",
+      """WITH t AS (SELECT c_custkey AS ck, c_name AS nm, round(c_acctbal, 2) AS bal
+        |           FROM customer WHERE c_custkey <= 500),
+        |s AS (SELECT c_custkey AS ck, round(c_acctbal, 2) + 100 AS nbal
+        |      FROM customer WHERE c_custkey BETWEEN 301 AND 800),
+        |fin AS (
+        |  SELECT t.ck AS ck, t.nm AS nm,
+        |         CASE WHEN s.ck IS NOT NULL THEN s.nbal ELSE t.bal END AS bal
+        |  FROM t LEFT JOIN s ON t.ck = s.ck
+        |  WHERE NOT (s.ck IS NOT NULL AND s.ck % 5 = 0)
+        |  UNION ALL
+        |  SELECT s.ck, 'new', s.nbal FROM s LEFT JOIN t ON s.ck = t.ck
+        |  WHERE t.ck IS NULL)
+        |SELECT ck, nm, CAST(bal AS DOUBLE) AS bal FROM fin ORDER BY ck""") { (s, dir) =>
+      val (sf, loc) = ctx(s, dir)
+      val root = s"$loc/g207_txn"
+      TxnMergeOnRead.create(s, root, Engine.table(s, dir, "customer")
+        .filter(col("c_custkey") <= 500).select(
+          col("c_custkey").cast("bigint").as("ck"), col("c_name").as("nm"),
+          round(col("c_acctbal"), 2).as("bal")))
+      val source = Engine.table(s, dir, "customer")
+        .filter(col("c_custkey").between(301, 800))
+        .select(col("c_custkey").cast("bigint").as("sck"),
+          (round(col("c_acctbal"), 2) + 100).as("nbal"))
+      TxnMergeOnRead.merge(s, root, source,
+        onCond = "t.ck = s.sck",
+        matchedSet = Seq("bal" -> "s.nbal"),
+        matchedDelete = Some("s.sck % 5 = 0"),
+        notMatchedInsert = Some(Seq(
+          "ck" -> "s.sck", "nm" -> "'new'", "bal" -> "s.nbal")))
+      TxnMergeOnRead.read(s, root)
+        .select(col("ck"), col("nm"), col("bal").cast("double").as("bal"))
+        .orderBy("ck")
     }
   )
 }

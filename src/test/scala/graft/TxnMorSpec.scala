@@ -251,6 +251,57 @@ class TxnMorSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("v") =!= col("k") * 10 + 1).count() === 0)
   }
 
+  test("MERGE: clause precedence, cardinality check, insert-only commits conflict-free") {
+    val root = s"$base/mrg"
+    mk(root, 100) // k 0..99, v = k*10
+    val src = spark.range(50, 150).select(col("id").as("sk"), lit(7L).as("nv"))
+    val att = TxnMergeOnRead.merge(spark, root, src,
+      onCond = "t.k = s.sk",
+      matchedSet = Seq("v" -> "s.nv"),
+      matchedDelete = Some("s.sk % 10 = 0"), // 50,60,70,80,90 deleted
+      notMatchedInsert = Some(Seq("k" -> "s.sk", "v" -> "-1")))
+    assert(att === 1)
+    val got = TxnMergeOnRead.read(spark, root)
+    assert(got.count() === 100 - 5 + 50)
+    assert(got.filter(col("k") >= 50 && col("k") < 100 && col("k") % 10 === 0)
+      .count() === 0, "matched-delete wins over matched-update")
+    assert(got.filter(col("k") >= 50 && col("k") < 100)
+      .filter(col("v") =!= 7L).count() === 0, "matched rows updated")
+    assert(got.filter(col("k") >= 100).filter(col("v") =!= -1L).count() === 0,
+      "not-matched rows inserted")
+    assert(got.filter(col("k") < 50).filter(col("v") =!= col("k") * 10)
+      .count() === 0, "unmatched target rows untouched (no spurious events)")
+    // a target row matching two source rows is a cardinality violation
+    val dupSrc = spark.range(0, 2).select(lit(10L).as("sk"), col("id").as("nv"))
+    val e = intercept[Exception](TxnMergeOnRead.merge(spark, root, dupSrc,
+      "t.k = s.sk", matchedSet = Seq("v" -> "s.nv")))
+    assert(e.getMessage.contains("cardinality"))
+    // insert-only merge: empty footprint, commits without conflict checks
+    val ins = spark.range(9000, 9010).select(col("id").as("sk"), lit(0L).as("nv"))
+    assert(TxnMergeOnRead.merge(spark, root, ins, "t.k = s.sk",
+      notMatchedInsert = Some(Seq("k" -> "s.sk", "v" -> "s.nv"))) === 1)
+    assert(TxnMergeOnRead.read(spark, root).filter(col("k") >= 9000)
+      .count() === 10)
+  }
+
+  test("MERGE racing a row-disjoint update commits without recompute") {
+    val root = s"$base/mrg_race"
+    mk(root)
+    val src = spark.range(150, 180).select(col("id").as("sk"), lit(5L).as("nv"))
+    val (a, b) = interleave(
+      first = () => TxnMergeOnRead.update(spark, root,
+        Seq("v" -> "v + 1"), "k < 50"),
+      gated = () => TxnMergeOnRead.merge(spark, root, src, "t.k = s.sk",
+        matchedSet = Seq("v" -> "s.nv")))
+    assert(a === 1 && b === 1,
+      "merge footprint disjoint from the update: neither recomputes")
+    val got = TxnMergeOnRead.read(spark, root)
+    assert(got.filter(col("k") >= 150 && col("k") < 180)
+      .filter(col("v") =!= 5L).count() === 0)
+    assert(got.filter(col("k") < 50)
+      .filter(col("v") =!= col("k") * 10 + 1).count() === 0)
+  }
+
   test("minor compaction folds deltas without changing content; history survives") {
     val root = s"$base/minor"
     mk(root, n = 100)                                                   // v1
