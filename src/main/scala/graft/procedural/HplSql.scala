@@ -22,10 +22,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * second semantics, `Stmt.java:963`). Round 8 adds OUT/INOUT parameter
   * modes with copy-out on normal return (`Hplsql.g4:472-473`) and named
   * condition handling — DECLARE…CONDITION (`:197`), SIGNAL (`:726`), and
-  * multi-branch EXCEPTION WHEN <name>|OTHERS blocks (`:112-117`). Still
-  * descoped: CONTINUE/EXIT HANDLER declarations (`declare_handler_item`,
-  * `:213` — the EXCEPTION-block form covers the same recovery paths),
-  * RESIGNAL (`:691`), host-command execution — SURVEY.md §2.12.
+  * multi-branch EXCEPTION WHEN <name>|OTHERS blocks (`:112-117`). Round 9
+  * adds CREATE FUNCTION (macro-inlined into engine SQL or
+  * driver-interpreted — see `rewriteFuncs`), CREATE PACKAGE (qualified
+  * members + package variables), RETURN, and DECLARE CONTINUE/EXIT
+  * HANDLER (`declare_handler_item`, `:213`) with dynamically scoped
+  * dispatch — a handler guards nested statements, CONTINUE resumes at the
+  * failing statement's sequence, EXIT unwinds to the declaring block.
+  * Still descoped: RESIGNAL (`:691`), host-command execution —
+  * SURVEY.md §2.12.
   *
   * Two deliberate reference-faithful quirks:
   *  - variable references in SQL text are substituted by IDENTIFIER match
@@ -82,6 +87,10 @@ object HplSql {
   }
   private case class ReturnStmt(expr: Option[String]) extends Stmt
   private case class DeclareCondition(name: String) extends Stmt
+  /** declare_handler_item (Hplsql.g4:213): `DECLARE CONTINUE|EXIT HANDLER
+    * FOR <SQLEXCEPTION|SQLWARNING|NOT FOUND|condition> <stmt>`. */
+  private case class DeclareHandler(mode: String, cond: String,
+      body: Stmt) extends Stmt
   private case class SignalStmt(name: String) extends Stmt
   private case class ExecImmediate(sqlExpr: String, into: Seq[String])
       extends Stmt
@@ -199,6 +208,18 @@ object HplSql {
       if (p + k < toks.length) toks(p + k).up else ""
 
     private def parseStmt(t: Tok): Stmt = t.up match {
+      case "DECLARE" if (at(1) == "CONTINUE" || at(1) == "EXIT") &&
+          at(2) == "HANDLER" =>
+        next()
+        val mode = next().up
+        expect("HANDLER"); expect("FOR")
+        val cond = next().up match {
+          case "NOT" => expect("FOUND"); "NOT FOUND"
+          case other => other // SQLEXCEPTION | SQLWARNING | condition name
+        }
+        DeclareHandler(mode, cond,
+          parseStmt(peek.getOrElse(throw new IllegalArgumentException(
+            s"DECLARE $mode HANDLER needs a statement"))))
       case "DECLARE" =>
         next(); val name = next().text
         if (peek.exists(w => !w.quoted && w.up == "CURSOR")) {
@@ -937,7 +958,65 @@ object HplSql {
         s"condition '$expr' evaluated to non-boolean $other")
     }
 
-    def run(stmts: Seq[Stmt]): Unit = stmts.foreach {
+    /** Handlers are DYNAMICALLY scoped (`declare_handler_item`,
+      * Hplsql.g4:213; MySQL-compatible semantics the reference follows): a
+      * handler declared in a block guards every later statement of that
+      * block INCLUDING statements inside nested loops/blocks. The stack
+      * holds the visible handlers; each sequence restores its entry mark
+      * on the way out. */
+    private var handlerStack: List[DeclareHandler] = Nil
+
+    /** A fired EXIT handler unwinds to the block that DECLARED it — each
+      * sequence swallows the signal iff the handler was registered within
+      * it (not present at its entry mark). */
+    private final case class HandlerExit(h: DeclareHandler)
+        extends scala.util.control.ControlThrowable
+
+    /** Statement-sequence driver with handler dispatch: an exception in a
+      * statement is handled at the FAILING statement's sequence (innermost)
+      * by the nearest visible handler — CONTINUE resumes with that
+      * sequence's next statement, EXIT unwinds to the declaring block.
+      * Loop control and RETURN are ControlThrowables — never handled. */
+    def run(stmts: Seq[Stmt]): Unit = {
+      val mark = handlerStack
+      try {
+        stmts.foreach { s =>
+          s match {
+            case h: DeclareHandler => handlerStack ::= h
+            case _ =>
+              try exec(s) catch {
+                case e: Exception =>
+                  handlerStack.find(h => handlerMatches(h.cond, e)) match {
+                    case None => throw e
+                    case Some(h) =>
+                      vars("SQLERRM") = e.getMessage
+                      run(Seq(h.body))
+                      if (h.mode == "EXIT") throw HandlerExit(h)
+                  }
+              }
+          }
+        }
+      } catch {
+        // declared in an outer block → keep unwinding to it
+        case he @ HandlerExit(h) if mark.exists(_ eq h) => throw he
+        case HandlerExit(_) => () // declared here: this block exits
+      } finally handlerStack = mark
+    }
+
+    /** `NOT FOUND` fires on an empty-result bind (SELECT INTO / EXECUTE
+      * IMMEDIATE INTO with no rows); SQLEXCEPTION/SQLWARNING catch any
+      * error; a bare name catches its SIGNALed condition. */
+    private def handlerMatches(cond: String, e: Exception): Boolean =
+      cond match {
+        case "SQLEXCEPTION" | "SQLWARNING" => true
+        case "NOT FOUND" => e.isInstanceOf[NoSuchElementException]
+        case name => e match {
+          case SignalError(c) => c.toUpperCase == name
+          case _ => false
+        }
+      }
+
+    private def exec(stmt: Stmt): Unit = stmt match {
       case Declare(name, init) =>
         vars(name) = init.map(evalScalar).orNull
       case SetVar(name, expr) =>
@@ -1125,6 +1204,7 @@ object HplSql {
       case BeginBlock(body, handlers) =>
         if (handlers.isEmpty) run(body)
         else runHandled(body, handlers)
+      case _: DeclareHandler => () // registered by run()'s sequencer, not here
       case SqlStmt(text) => runEngineSql(substitute(text))
       case ExecImmediate(sqlExpr, into) =>
         // the expression yields the SQL text (Stmt.java exec: evaluate then

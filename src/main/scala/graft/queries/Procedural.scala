@@ -318,6 +318,35 @@ object Procedural {
           |SELECT seg.bal_band(c_acctbal) AS band, count(*) AS n,
           |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
           |FROM customer GROUP BY 1 ORDER BY band;""".stripMargin)
+    },
+
+    // DECLARE CONTINUE HANDLER (declare_handler_item, Hplsql.g4:213): a
+    // point-lookup loop over keys that run past the table's end — each
+    // miss raises NOT FOUND (empty INTO bind), the CONTINUE handler counts
+    // it and execution resumes with the next key; hits accumulate exact
+    // integer cents. The oracle re-expresses the probe declaratively with
+    // NULL scalar subqueries standing in for the misses.
+    Qd("q208_hplsql_handler",
+      """WITH ks AS (SELECT (i + 1) * 150 AS k FROM range(12) r(i)),
+        |hit AS (SELECT k, (SELECT CAST(round(c_acctbal * 100) AS BIGINT)
+        |                   FROM customer WHERE c_custkey = k) AS cents
+        |        FROM ks)
+        |SELECT CAST(sum(cents) AS BIGINT) AS acc_cents,
+        |       CAST(sum(CASE WHEN cents IS NULL THEN 1 ELSE 0 END) AS INT) AS misses
+        |FROM hit""") { (s, dir) =>
+      HplSql.run(s, dir,
+        """DECLARE bal BIGINT := 0;
+          |DECLARE acc BIGINT := 0;
+          |DECLARE misses INT := 0;
+          |DECLARE CONTINUE HANDLER FOR NOT FOUND SET misses = misses + 1;
+          |FOR i IN 1 .. 12 LOOP
+          |  SET bal = -1;
+          |  EXECUTE IMMEDIATE 'SELECT CAST(round(c_acctbal * 100) AS BIGINT)
+          |    FROM customer WHERE c_custkey = ' || CAST(i * 150 AS STRING)
+          |    INTO bal;
+          |  IF bal >= 0 THEN SET acc = acc + bal; END IF;
+          |END LOOP;
+          |SELECT CAST(acc AS BIGINT) AS acc_cents, CAST(misses AS INT) AS misses;""".stripMargin)
     }
   )
 }

@@ -632,6 +632,54 @@ class HplSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getInt(0) == 1, "RETURN must skip the rest of the body; OUT copy-out applies")
   }
 
+  test("DECLARE CONTINUE HANDLER resumes; EXIT handler leaves the block") {
+    val r = run1(
+      """DECLARE err INT := 0;
+        |DECLARE ok INT := 0;
+        |DECLARE CONTINUE HANDLER FOR SQLEXCEPTION SET err = err + 1;
+        |SELECT * FROM g_no_such_table_1;
+        |SET ok = 1;
+        |SELECT err AS err, ok AS ok;""".stripMargin)
+    assert(r.getInt(0) == 1 && r.getInt(1) == 1,
+      "CONTINUE: handler ran once, execution resumed")
+    val r2 = run1(
+      """DECLARE err INT := 0;
+        |BEGIN
+        |  DECLARE EXIT HANDLER FOR SQLEXCEPTION SET err = 99;
+        |  SELECT * FROM g_no_such_table_2;
+        |  SET err = 1;
+        |END;
+        |SELECT err AS err;""".stripMargin)
+    assert(r2.getInt(0) == 99, "EXIT: handler ran, rest of the block skipped")
+  }
+
+  test("handler conditions: NOT FOUND on empty bind, named condition, scope ends with block") {
+    val r = run1(
+      """DECLARE v INT := -1;
+        |DECLARE flag INT := 0;
+        |DECLARE CONTINUE HANDLER FOR NOT FOUND SET flag = 1;
+        |EXECUTE IMMEDIATE 'SELECT 5 WHERE 1 = 0' INTO v;
+        |SELECT flag AS flag, v AS v;""".stripMargin)
+    assert(r.getInt(0) == 1 && r.getInt(1) == -1)
+    val r2 = run1(
+      """DECLARE my_cond CONDITION;
+        |DECLARE hits INT := 0;
+        |DECLARE CONTINUE HANDLER FOR my_cond SET hits = hits + 1;
+        |SIGNAL my_cond;
+        |SIGNAL my_cond;
+        |SELECT hits AS hits;""".stripMargin)
+    assert(r2.getInt(0) == 2, "named-condition handler fires per SIGNAL")
+    // a handler's scope ends with its block: later failures propagate
+    val e = intercept[Exception](run1(
+      """BEGIN
+        |  DECLARE CONTINUE HANDLER FOR SQLEXCEPTION PRINT 'x';
+        |END;
+        |SELECT * FROM g_no_such_table_3;
+        |SELECT 1 AS x;""".stripMargin))
+    assert(e.getMessage.toLowerCase.contains("g_no_such_table_3") ||
+      e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"))
+  }
+
   test("CREATE PACKAGE: qualified members, package variables, forward declarations") {
     val r = run1(
       """CREATE PACKAGE stats AS
