@@ -102,7 +102,7 @@ object TxnMergeOnRead {
     def render(e: Entry): String =
       s"""{"version":${e.version},"action":"${e.action}","dir":"${e.dir}","folds":${e.folds},"fp":"${e.fp}"}"""
     private val P =
-      """\{"version":(\d+),"action":"(\w+)","dir":"([^"]*)","folds":(\d+),"fp":"([-0-9:;*]*)"\}""".r
+      """\{"version":(\d+),"action":"(\w+)","dir":"([^"]*)","folds":(\d+),"fp":"([^"]*)"\}""".r
     def parse(s: String): Entry = s.trim match {
       case P(v, a, d, f, fp) => Entry(v.toLong, a, d, f.toLong, fp)
       case other => throw new IllegalStateException(s"corrupt log entry: $other")
@@ -398,6 +398,50 @@ object TxnMergeOnRead {
       require(attempts < MAX_COMMIT_ATTEMPTS, s"insert into $root livelocked")
       v = readLog(f, root).last.version + 1
     }
+  }
+
+  /** Idempotent (exactly-once) batch INSERT — the streaming-ingest commit
+    * contract: Structured Streaming's `foreachBatch` re-delivers a batch id
+    * after a failure, and the reference's Hive Streaming API answers the
+    * same problem with TransactionBatch commit-or-abort
+    * (`hcatalog/streaming/.../TransactionBatch.java`). The log entry
+    * records the batch key in its `fp` slot (`b:<key>`), so a replayed
+    * batch finds its key already committed and no-ops — appends become
+    * exactly-once across retries with no external dedup state: the log IS
+    * the sink's transaction record, exactly why streaming ingest belongs
+    * on an ACID table. Returns true iff THIS call appended (false =
+    * already committed; the staged duplicate is discarded). */
+  def insertBatch(spark: SparkSession, root: String, batchKey: String,
+      rows: DataFrame): Boolean = {
+    require(batchKey.matches("[A-Za-z0-9_.:-]+"),
+      s"batch key must be log-entry-safe, got '$batchKey'")
+    val marker = s"b:$batchKey"
+    val f = fs(spark, root)
+    def committed(): Boolean =
+      readLog(f, root).exists(e => e.action == "insert" && e.fp == marker)
+    if (committed()) return false
+    val cols = snapshotAt(spark, root, readLog(f, root))
+      .columns.filter(_ != RID).toSeq
+    val tag = UUID.randomUUID().getLeastSignificantBits & Long.MaxValue
+    val dir = stage(spark, root, None,
+      Some(withRid(rows.select(cols.map(col): _*), tag)))
+    var attempts = 0
+    var done = false
+    var appended = false
+    while (!done) {
+      attempts += 1
+      require(attempts < MAX_COMMIT_ATTEMPTS, s"insertBatch into $root livelocked")
+      if (committed()) { // a racing retry of the SAME batch beat us
+        f.delete(new Path(s"$root/$dir"), true)
+        done = true
+      } else {
+        val v = readLog(f, root).lastOption.map(_.version).getOrElse(0L) + 1
+        if (tryCommit(f, root, Entry(v, "insert", dir, 0L, marker))) {
+          done = true; appended = true
+        }
+      }
+    }
+    appended
   }
 
   /** Shared optimistic loop for UPDATE/DELETE: compute against the latest

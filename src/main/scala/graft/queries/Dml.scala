@@ -435,6 +435,27 @@ object Dml {
       TxnMergeOnRead.read(s, root)
         .select(col("ck"), col("nm"), col("bal").cast("double").as("bal"))
         .orderBy("ck")
+    },
+
+    // Exactly-once streaming ingest through the transaction log
+    // ([[TxnMergeOnRead.insertBatch]] — the reference's Hive Streaming
+    // TransactionBatch commit-or-abort, re-expressed for foreachBatch's
+    // at-least-once redelivery): each batch's key rides in its log entry,
+    // so the deliberately replayed batch-1 finds itself committed and
+    // no-ops. A duplicate would double a third of the rows and break the
+    // hash against the plain full-table oracle.
+    Qd("q209_dml_exactly_once_ingest",
+      """SELECT doc_id, md5(text) AS h FROM documents ORDER BY doc_id""") { (s, dir) =>
+      val (sf, loc) = ctx(s, dir)
+      val root = s"$loc/g209_txn"
+      val d = Engine.table(s, dir, "documents").select(col("doc_id"), col("text"))
+      TxnMergeOnRead.create(s, root, d.filter(col("doc_id") % 3 === 0))
+      TxnMergeOnRead.insertBatch(s, root, "batch-1", d.filter(col("doc_id") % 3 === 1))
+      // failure replay: the SAME key arrives again (foreachBatch contract)
+      TxnMergeOnRead.insertBatch(s, root, "batch-1", d.filter(col("doc_id") % 3 === 1))
+      TxnMergeOnRead.insertBatch(s, root, "batch-2", d.filter(col("doc_id") % 3 === 2))
+      TxnMergeOnRead.read(s, root).withColumn("h", md5(col("text")))
+        .select("doc_id", "h").orderBy("doc_id")
     }
   )
 }

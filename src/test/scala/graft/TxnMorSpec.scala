@@ -367,6 +367,50 @@ class TxnMorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(inflight.exists(), "vacuum spared the unreferenced in-flight stage")
   }
 
+  test("insertBatch is exactly-once; a rerun stream replays every key and adds nothing") {
+    val root = s"$base/ing"
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(root))
+    TxnMergeOnRead.create(spark, root,
+      spark.range(0, 5).select(col("id").as("k"), (col("id") * 2).as("v")))
+    assert(TxnMergeOnRead.insertBatch(spark, root, "b0",
+      spark.range(10, 20).select(col("id").as("k"), (col("id") * 2).as("v"))))
+    assert(!TxnMergeOnRead.insertBatch(spark, root, "b0",
+      spark.range(10, 20).select(col("id").as("k"), (col("id") * 2).as("v"))),
+      "replay of a committed batch key must no-op")
+    assert(TxnMergeOnRead.read(spark, root).count() === 15)
+
+    // a REAL micro-batch stream into the log, run twice from scratch
+    // checkpoints: batch ids restart at 0, so the second run re-delivers
+    // every (id, content) pair — the exactly-once contract must absorb it
+    val feed = s"$base/ing_feed"
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(feed))
+    spark.range(100, 120).select(col("id").as("k"), (col("id") * 2).as("v"))
+      .coalesce(1).write.parquet(feed)
+    spark.range(200, 210).select(col("id").as("k"), (col("id") * 2).as("v"))
+      .coalesce(1).write.mode("append").parquet(feed)
+    // pin file→batch assignment across runs (mtime order, like q175's replay)
+    val parts = new File(feed).listFiles().filter(_.getName.endsWith(".parquet"))
+      .sortBy(_.length)
+    parts.zipWithIndex.foreach { case (p, i) =>
+      assert(p.setLastModified(1700000000000L + i * 60000L)) }
+    def runStream(): Unit = {
+      val sdf = spark.readStream.schema("k LONG, v LONG")
+        .option("maxFilesPerTrigger", "1").parquet(feed)
+      val q = sdf.writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          TxnMergeOnRead.insertBatch(spark, root, s"stream:$id", df); ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runStream()
+    assert(TxnMergeOnRead.read(spark, root).count() === 45)
+    runStream() // full redelivery
+    assert(TxnMergeOnRead.read(spark, root).count() === 45,
+      "rerun stream must not duplicate a single row")
+  }
+
   test("empty-match mutation no-ops without consuming an ordinal") {
     val root = s"$base/noop"
     mk(root)
