@@ -179,6 +179,7 @@ object TxnMergeOnRead {
           deltas = deltas.rangeFrom(e.folds + 1)
         case "minor" => // folds deltas ≤ folds into one delta, base untouched
           deltas = deltas.rangeFrom(e.folds + 1) + (e.version -> e)
+        case "schema" => () // metadata-only: handled by addedCols/snapshotAt
       }
     }
     require(base != null, "table has no create entry")
@@ -233,20 +234,43 @@ object TxnMergeOnRead {
     else None
   }
 
-  /** Snapshot as of the given log prefix, with row ids. */
+  /** Columns ADDED by schema entries in the prefix (`ALTER TABLE ADD
+    * COLUMNS` re-expression): `(name, typeDDL)` in declaration order. */
+  private def addedCols(log: Seq[Entry]): Seq[(String, String)] =
+    log.filter(_.action == "schema").flatMap(e =>
+      e.fp.stripPrefix("c:").split(";").filter(_.nonEmpty).map { it =>
+        val Array(n, t) = it.split("=", 2)
+        (n, t)
+      })
+
+  /** Snapshot as of the given log prefix, with row ids. Schema evolution
+    * is schema-on-read, the reference's ADD COLUMNS semantics: files
+    * written before a schema entry simply lack the column, the union
+    * tolerates it (allowMissingColumns) and the final projection fills
+    * NULL at the declared type — no data file is ever rewritten for a
+    * schema change. */
   private def snapshotAt(spark: SparkSession, root: String,
       log: Seq[Entry]): DataFrame = {
     val (base, deltas) = liveState(log)
     val baseDf = spark.read.parquet(s"$root/$base")
     val withIns = deltas.values.toSeq.flatMap(e => readDir(spark, root, e.dir, "insert"))
-      .reduceOption(_ unionByName _)
-      .fold(baseDf)(ins => baseDf.unionByName(ins))
+      .reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .fold(baseDf)(ins => baseDf.unionByName(ins, allowMissingColumns = true))
     // delete events carry the full dead row (CDF-style) but the snapshot
     // only needs the id — parquet column pruning keeps this read narrow
-    deltas.values.toSeq.flatMap(e => readDir(spark, root, e.dir, "delete"))
+    val merged = deltas.values.toSeq.flatMap(e => readDir(spark, root, e.dir, "delete"))
       .map(_.select(col(RID)))
       .reduceOption(_ union _)
       .fold(withIns)(del => withIns.join(del, Seq(RID), "left_anti"))
+    val added = addedCols(log).filterNot { case (n, _) =>
+      baseDf.columns.contains(n) }
+    val filled = added.foldLeft(merged) { case (df, (n, t)) =>
+      if (df.columns.contains(n)) df else df.withColumn(n, lit(null).cast(t))
+    }
+    // canonical column order: base data cols, then added cols, rid last
+    val order = (baseDf.columns.filter(_ != RID).toSeq ++
+      added.map(_._1).filterNot(baseDf.columns.contains)).distinct :+ RID
+    filled.select(order.map(col): _*)
   }
 
   /** Snapshot read at the latest committed version (user-facing). */
@@ -294,9 +318,9 @@ object TxnMergeOnRead {
     val range = log.filter(e => e.version > fromV && e.version <= toV &&
       (e.action == "insert" || e.action == "mutate"))
     val born = range.flatMap(e => readDir(spark, root, e.dir, "insert"))
-      .reduceOption(_ unionByName _)
+      .reduceOption(_.unionByName(_, allowMissingColumns = true))
     val dead = range.flatMap(e => readDir(spark, root, e.dir, "delete"))
-      .reduceOption(_ unionByName _)
+      .reduceOption(_.unionByName(_, allowMissingColumns = true))
     // rows born then killed inside the range net out of BOTH sides
     val inserted = born.map(i =>
       dead.fold(i)(d => i.join(d.select(col(RID)), Seq(RID), "left_anti")))
@@ -305,7 +329,20 @@ object TxnMergeOnRead {
     val tagged =
       inserted.map(_.drop(RID).withColumn("change", lit("insert"))).toSeq ++
       deleted.map(_.drop(RID).withColumn("change", lit("delete"))).toSeq
-    tagged.reduceOption(_ unionByName _).getOrElse(
+    tagged.reduceOption(_.unionByName(_, allowMissingColumns = true)).map { df =>
+      // normalize to the canonical column set AT toV (schema entries in
+      // the prefix): events from before an ADD COLUMNS read NULL there
+      val prefix = log.takeWhile(_.version <= toV)
+      val (b, _) = liveState(prefix)
+      val baseCols = spark.read.parquet(s"$root/$b").columns
+        .filter(_ != RID).toSeq
+      val added = addedCols(prefix).filterNot(c => baseCols.contains(c._1))
+      val filled = added.foldLeft(df) { case (d, (n, t)) =>
+        if (d.columns.contains(n)) d else d.withColumn(n, lit(null).cast(t))
+      }
+      val order = (baseCols ++ added.map(_._1)).distinct :+ "change"
+      filled.select(order.map(col): _*)
+    }.getOrElse(
       snapshotAt(spark, root, log.takeWhile(_.version <= fromV))
         .drop(RID).withColumn("change", lit("")).limit(0))
   }
@@ -397,6 +434,44 @@ object TxnMergeOnRead {
       attempts += 1
       require(attempts < MAX_COMMIT_ATTEMPTS, s"insert into $root livelocked")
       v = readLog(f, root).last.version + 1
+    }
+  }
+
+  /** ALTER TABLE ADD COLUMNS without touching a single data file — the
+    * reference's schema-on-read evolution
+    * (`ql/.../DDLTask.java alterTable` ADDCOLS: metadata-only, old
+    * partitions keep their files and read NULL for the new columns). One
+    * metadata-only log entry records `(name, typeDDL)` pairs; every
+    * reader fills NULL at the declared type for files predating it, and
+    * time travel below the entry still shows the OLD schema — at 100 TB
+    * this is the difference between an O(1) metadata commit and an
+    * O(table) rewrite. Commutes with concurrent DML (mutations carry
+    * whatever schema their snapshot had; the union is tolerant), but a
+    * duplicate column name is rejected against the committed head on
+    * every retry. */
+  def addColumns(spark: SparkSession, root: String,
+      cols: Seq[(String, String)]): Unit = {
+    require(cols.nonEmpty, "ADD COLUMNS needs at least one column")
+    cols.foreach { case (n, t) =>
+      require(n.matches("[A-Za-z_][A-Za-z0-9_]*"), s"bad column name '$n'")
+      require(t.nonEmpty && !t.contains("=") && !t.contains(";") && !t.contains("\""),
+        s"bad type DDL '$t'")
+    }
+    val f = fs(spark, root)
+    val marker = "c:" + cols.map { case (n, t) => s"$n=$t" }.mkString(";")
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      require(attempts < MAX_COMMIT_ATTEMPTS, s"addColumns on $root livelocked")
+      val log = readLog(f, root)
+      val existing = snapshotAt(spark, root, log).columns.map(_.toLowerCase).toSet
+      cols.foreach { case (n, _) =>
+        require(!existing.contains(n.toLowerCase),
+          s"column '$n' already exists on $root")
+      }
+      val v = log.lastOption.map(_.version).getOrElse(0L) + 1
+      done = tryCommit(f, root, Entry(v, "schema", "", 0L, marker))
     }
   }
 
@@ -667,10 +742,11 @@ object TxnMergeOnRead {
     val (_, deltas) = liveState(log0)
     if (deltas.isEmpty) return true // nothing to fold
     val dirs = deltas.values.toSeq.map(_.dir)
+    // deltas from different schema epochs union tolerant (ADD COLUMNS)
     val ins = dirs.flatMap(d => readDir(spark, root, d, "insert"))
-      .reduceOption(_ unionByName _)
+      .reduceOption(_.unionByName(_, allowMissingColumns = true))
     val del = dirs.flatMap(d => readDir(spark, root, d, "delete"))
-      .reduceOption(_ unionByName _)
+      .reduceOption(_.unionByName(_, allowMissingColumns = true))
     val netIns = ins.map(i =>
       del.fold(i)(d => i.join(d.select(col(RID)), Seq(RID), "left_anti")))
     val netDel = del.map(d =>

@@ -456,6 +456,36 @@ object Dml {
       TxnMergeOnRead.insertBatch(s, root, "batch-2", d.filter(col("doc_id") % 3 === 2))
       TxnMergeOnRead.read(s, root).withColumn("h", md5(col("text")))
         .select("doc_id", "h").orderBy("doc_id")
+    },
+
+    // Schema evolution on the transaction log ([[TxnMergeOnRead.addColumns]]
+    // — the reference's metadata-only ALTER TABLE ADD COLUMNS,
+    // schema-on-read): the column lands as one log entry with zero data
+    // rewritten, pre-evolution rows read NULL, a post-evolution UPDATE
+    // fills it for a slice, and an INSERT arrives already carrying it. The
+    // oracle recomputes the final frame declaratively; a reader that drops
+    // pre-evolution rows, loses the NULL fill, or misorders columns breaks
+    // the hash.
+    Qd("q210_dml_schema_evolution",
+      """WITH t0 AS (SELECT CAST(n_nationkey AS BIGINT) AS nk, n_name AS nm
+        |            FROM nation),
+        |fin AS (SELECT nk, nm,
+        |          CASE WHEN nk < 12 THEN 'low' ELSE NULL END AS band
+        |        FROM t0
+        |        UNION ALL
+        |        SELECT CAST(r_regionkey AS BIGINT) + 100, r_name, 'region'
+        |        FROM region)
+        |SELECT nk, nm, band FROM fin ORDER BY nk""") { (s, dir) =>
+      val (sf, loc) = ctx(s, dir)
+      val root = s"$loc/g210_txn"
+      TxnMergeOnRead.create(s, root, Engine.table(s, dir, "nation").select(
+        col("n_nationkey").cast("bigint").as("nk"), col("n_name").as("nm")))
+      TxnMergeOnRead.addColumns(s, root, Seq("band" -> "STRING"))
+      TxnMergeOnRead.update(s, root, Seq("band" -> "'low'"), "nk < 12")
+      TxnMergeOnRead.insert(s, root, Engine.table(s, dir, "region").select(
+        (col("r_regionkey").cast("bigint") + 100).as("nk"),
+        col("r_name").as("nm"), lit("region").as("band")))
+      TxnMergeOnRead.read(s, root).orderBy("nk")
     }
   )
 }

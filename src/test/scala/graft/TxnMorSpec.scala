@@ -411,6 +411,41 @@ class TxnMorSpec extends AnyFunSuite with BeforeAndAfterAll {
       "rerun stream must not duplicate a single row")
   }
 
+  test("ADD COLUMNS is metadata-only: old files read NULL, time travel keeps the old schema") {
+    val root = s"$base/schema"
+    mk(root, 50) // v1: (k, v)
+    val v1 = TxnMergeOnRead.currentVersion(spark, root)
+    TxnMergeOnRead.addColumns(spark, root,
+      Seq("tag" -> "STRING", "w" -> "BIGINT")) // v2, no data touched
+    val snap = TxnMergeOnRead.read(spark, root)
+    assert(snap.columns.toSeq === Seq("k", "v", "tag", "w"))
+    assert(snap.filter(col("tag").isNotNull || col("w").isNotNull)
+      .count() === 0, "pre-evolution rows read NULL for the new columns")
+    // new DML sees and writes the evolved schema
+    TxnMergeOnRead.update(spark, root,
+      Seq("tag" -> "'hot'", "w" -> "v * 2"), "k < 10") // v3
+    TxnMergeOnRead.insert(spark, root,
+      spark.range(100, 105).select(col("id").as("k"), lit(0L).as("v"),
+        lit("new").as("tag"), col("id").as("w"))) // v4
+    val got = TxnMergeOnRead.read(spark, root)
+    assert(got.count() === 55)
+    assert(got.filter(col("k") < 10)
+      .filter(col("tag") =!= "hot" || col("w") =!= col("v") * 2)
+      .count() === 0)
+    assert(got.filter(col("k") >= 100).filter(col("tag") =!= "new")
+      .count() === 0)
+    // time travel below the schema entry shows the OLD schema
+    assert(TxnMergeOnRead.readAt(spark, root, v1).columns.toSeq === Seq("k", "v"))
+    // duplicate name rejected case-insensitively
+    intercept[Exception](
+      TxnMergeOnRead.addColumns(spark, root, Seq("TAG" -> "STRING")))
+    // a fold across the schema boundary unions tolerant and keeps content
+    val before = got.orderBy("k").collect().toSeq
+    assert(TxnMergeOnRead.compactMinor(spark, root))
+    assert(TxnMergeOnRead.read(spark, root).orderBy("k").collect()
+      .toSeq === before)
+  }
+
   test("empty-match mutation no-ops without consuming an ordinal") {
     val root = s"$base/noop"
     mk(root)
