@@ -28,9 +28,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * members + package variables), RETURN, and DECLARE CONTINUE/EXIT
   * HANDLER (`declare_handler_item`, `:213`) with dynamically scoped
   * dispatch — a handler guards nested statements, CONTINUE resumes at the
-  * failing statement's sequence, EXIT unwinds to the declaring block.
-  * Still descoped: RESIGNAL (`:691`), host-command execution —
-  * SURVEY.md §2.12.
+  * failing statement's sequence, EXIT unwinds to the declaring block —
+  * and RESIGNAL (`:691`, re-raises the condition being handled outward).
+  * Still descoped: host-command execution — SURVEY.md §2.12.
   *
   * Two deliberate reference-faithful quirks:
   *  - variable references in SQL text are substituted by IDENTIFIER match
@@ -91,6 +91,8 @@ object HplSql {
     * FOR <SQLEXCEPTION|SQLWARNING|NOT FOUND|condition> <stmt>`. */
   private case class DeclareHandler(mode: String, cond: String,
       body: Stmt) extends Stmt
+  /** resignal_stmt (Hplsql.g4:691): re-raise the condition being handled. */
+  private case object ResignalStmt extends Stmt
   private case class SignalStmt(name: String) extends Stmt
   private case class ExecImmediate(sqlExpr: String, into: Seq[String])
       extends Stmt
@@ -498,6 +500,9 @@ object HplSql {
         if (peek.exists(w => !w.quoted && w.text.equalsIgnoreCase(pkg))) next()
         expect(";")
         BeginBlock(members.result(), Nil)
+      case "RESIGNAL" =>
+        next(); expect(";")
+        ResignalStmt
       case "RETURN" =>
         // return_stmt: T_RETURN expr? — legal inside FUNCTION bodies (and
         // as an early exit from procedures/scripts)
@@ -966,6 +971,11 @@ object HplSql {
       * on the way out. */
     private var handlerStack: List[DeclareHandler] = Nil
 
+    /** The condition currently being handled — what RESIGNAL re-raises.
+      * Set around every handler-body execution (declaration-style AND
+      * EXCEPTION-block); nested handlers restore the outer binding. */
+    private var handling: Option[Exception] = None
+
     /** A fired EXIT handler unwinds to the block that DECLARED it — each
       * sequence swallows the signal iff the handler was registered within
       * it (not present at its entry mark). */
@@ -990,7 +1000,9 @@ object HplSql {
                     case None => throw e
                     case Some(h) =>
                       vars("SQLERRM") = e.getMessage
-                      run(Seq(h.body))
+                      val outer = handling
+                      handling = Some(e)
+                      try run(Seq(h.body)) finally handling = outer
                       if (h.mode == "EXIT") throw HandlerExit(h)
                   }
               }
@@ -1205,6 +1217,9 @@ object HplSql {
         if (handlers.isEmpty) run(body)
         else runHandled(body, handlers)
       case _: DeclareHandler => () // registered by run()'s sequencer, not here
+      case ResignalStmt =>
+        throw handling.getOrElse(throw new IllegalArgumentException(
+          "RESIGNAL outside of a handler"))
       case SqlStmt(text) => runEngineSql(substitute(text))
       case ExecImmediate(sqlExpr, into) =>
         // the expression yields the SQL text (Stmt.java exec: evaluate then
@@ -1283,9 +1298,14 @@ object HplSql {
             case Some((_, h)) =>
               val savedErrm = vars.get("SQLERRM")
               vars("SQLERRM") = e.getMessage
-              try run(h) finally savedErrm match {
-                case Some(v) => vars("SQLERRM") = v
-                case None => vars.remove("SQLERRM")
+              val outer = handling
+              handling = Some(e)
+              try run(h) finally {
+                handling = outer
+                savedErrm match {
+                  case Some(v) => vars("SQLERRM") = v
+                  case None => vars.remove("SQLERRM")
+                }
               }
           }
       }

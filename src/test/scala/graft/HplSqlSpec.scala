@@ -680,6 +680,29 @@ class HplSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"))
   }
 
+  test("RESIGNAL re-raises the handled condition outward; bare RESIGNAL errors") {
+    val r = run1(
+      """DECLARE my_err CONDITION;
+        |DECLARE trail STRING := '';
+        |BEGIN
+        |  BEGIN
+        |    SIGNAL my_err;
+        |  EXCEPTION
+        |    WHEN my_err THEN
+        |      SET trail = trail || 'inner;';
+        |      RESIGNAL;
+        |  END;
+        |  SET trail = trail || 'unreached;';
+        |EXCEPTION
+        |  WHEN my_err THEN SET trail = trail || 'outer;';
+        |END;
+        |SELECT trail AS trail;""".stripMargin)
+    assert(r.getString(0) == "inner;outer;",
+      "resignal must propagate the SAME condition past its own block")
+    val e = intercept[IllegalArgumentException](run1("RESIGNAL;\nSELECT 1 AS x;"))
+    assert(e.getMessage.contains("RESIGNAL outside"))
+  }
+
   test("CREATE PACKAGE: qualified members, package variables, forward declarations") {
     val r = run1(
       """CREATE PACKAGE stats AS
