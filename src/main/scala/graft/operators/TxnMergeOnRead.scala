@@ -779,7 +779,9 @@ object TxnMergeOnRead {
       val (b, ds) = liveState(log.takeWhile(_.version <= v))
       b +: ds.values.toSeq.map(_.dir)
     }.toSet
-    (log.map(_.dir).toSet -- needed)
+    // metadata-only entries (schema) carry no dir — the empty string must
+    // never reach the delete path (Path("$root/") is the table root)
+    (log.map(_.dir).filter(_.nonEmpty).toSet -- needed)
       .foreach(d => f.delete(new Path(s"$root/$d"), true))
   }
 }

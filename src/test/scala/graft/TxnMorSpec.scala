@@ -351,6 +351,9 @@ class TxnMorSpec extends AnyFunSuite with BeforeAndAfterAll {
     TxnMergeOnRead.insert(spark, root,
       spark.range(600, 605).select(col("id").as("k"), lit(1L).as("v"))) // v3
     assert(TxnMergeOnRead.compact(spark, root))                         // v4
+    // a metadata-only entry carries NO dir — vacuum must never turn that
+    // empty string into a delete of the table root
+    TxnMergeOnRead.addColumns(spark, root, Seq("z" -> "BIGINT"))        // v5
     // an unreferenced dir = an in-flight writer's stage; vacuum must not touch it
     val inflight = new File(s"$root/delta_inflight_test/delete")
     inflight.mkdirs()
