@@ -180,6 +180,9 @@ object TxnMergeOnRead {
         case "minor" => // folds deltas ≤ folds into one delta, base untouched
           deltas = deltas.rangeFrom(e.folds + 1) + (e.version -> e)
         case "schema" => () // metadata-only: handled by addedCols/snapshotAt
+        case "restore" => // head becomes the state at version `folds`
+          val (b, d) = liveState(log.filter(_.version <= e.folds))
+          base = b; deltas = d
       }
     }
     require(base != null, "table has no create entry")
@@ -235,13 +238,25 @@ object TxnMergeOnRead {
   }
 
   /** Columns ADDED by schema entries in the prefix (`ALTER TABLE ADD
-    * COLUMNS` re-expression): `(name, typeDDL)` in declaration order. */
-  private def addedCols(log: Seq[Entry]): Seq[(String, String)] =
-    log.filter(_.action == "schema").flatMap(e =>
-      e.fp.stripPrefix("c:").split(";").filter(_.nonEmpty).map { it =>
-        val Array(n, t) = it.split("=", 2)
-        (n, t)
-      })
+    * COLUMNS` re-expression): `(name, typeDDL)` in declaration order. A
+    * restore rolls the schema back with the data (columns added between
+    * the target and the restore vanish from the head). */
+  private def addedCols(log: Seq[Entry]): Seq[(String, String)] = {
+    var acc = Vector.empty[(String, String)]
+    log.foreach { e =>
+      e.action match {
+        case "schema" =>
+          acc ++= e.fp.stripPrefix("c:").split(";").filter(_.nonEmpty).map { it =>
+            val Array(n, t) = it.split("=", 2)
+            (n, t)
+          }
+        case "restore" =>
+          acc = Vector(addedCols(log.filter(_.version <= e.folds)): _*)
+        case _ => ()
+      }
+    }
+    acc
+  }
 
   /** Snapshot as of the given log prefix, with row ids. Schema evolution
     * is schema-on-read, the reference's ADD COLUMNS semantics: files
@@ -437,6 +452,33 @@ object TxnMergeOnRead {
     }
   }
 
+  /** Point-in-time ROLLBACK (Delta RESTORE / Iceberg rollback; the
+    * reference's nearest analog is dropping the uncommitted-txn deltas
+    * AcidUtils filters out): ONE metadata-only log entry — the head
+    * becomes the state at `toVersion`, every commit in between is undone,
+    * and the undone versions stay time-travel-readable until [[vacuum]]
+    * retires their dirs, so a bad backfill reverts in O(1) metadata where
+    * a rewrite would be O(table). Mutations racing a restore conflict on
+    * it and recompute against the restored state; compactions racing it
+    * abort (their fold would resurrect undone rows); a CDC range must not
+    * span a restore (the range's events include what the restore undid).
+    * Requires the target version's dirs to still exist (retention
+    * window). */
+  def restore(spark: SparkSession, root: String, toVersion: Long): Unit = {
+    val f = fs(spark, root)
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      require(attempts < MAX_COMMIT_ATTEMPTS, s"restore of $root livelocked")
+      val log = readLog(f, root)
+      val snapV = log.lastOption.map(_.version).getOrElse(0L)
+      require(toVersion >= 1 && toVersion <= snapV,
+        s"restore target $toVersion outside committed range [1, $snapV]")
+      done = tryCommit(f, root, Entry(snapV + 1, "restore", "", toVersion))
+    }
+  }
+
   /** ALTER TABLE ADD COLUMNS without touching a single data file — the
     * reference's schema-on-read evolution
     * (`ql/.../DDLTask.java alterTable` ADDCOLS: metadata-only, old
@@ -551,12 +593,15 @@ object TxnMergeOnRead {
           while (!committed && !conflicted) {
             // first committer wins ON OVERLAP: a mutation above our snapshot
             // conflicts only if it deleted a row we also touch — summary
-            // fast path first, exact rid semi-join only on possible overlap
+            // fast path first, exact rid semi-join only on possible overlap.
+            // A RESTORE above the snapshot conflicts unconditionally: the
+            // rows this stage references may no longer exist at the head.
             conflicted = readLog(f, root).exists { e =>
-              val competing = e.version > snapV && e.action == "mutate" &&
-                !cleared(e.version)
-              val hit = competing && fpMayOverlap(myFp, e.fp) &&
-                ridsIntersect(spark, root, dir, e.dir)
+              val competing = e.version > snapV && !cleared(e.version) &&
+                (e.action == "mutate" || e.action == "restore")
+              val hit = competing && (e.action == "restore" ||
+                (fpMayOverlap(myFp, e.fp) &&
+                  ridsIntersect(spark, root, dir, e.dir)))
               if (competing && !hit) cleared += e.version
               hit
             }
@@ -697,7 +742,7 @@ object TxnMergeOnRead {
     var attempts = 0
     while (true) {
       val racedFold = readLog(f, root).exists(e => e.version > snapV &&
-        (e.action == "compact" || e.action == "minor"))
+        (e.action == "compact" || e.action == "minor" || e.action == "restore"))
       if (racedFold) return false
       if (tryCommit(f, root, mk(v))) return true
       attempts += 1

@@ -486,6 +486,39 @@ object Dml {
         (col("r_regionkey").cast("bigint") + 100).as("nk"),
         col("r_name").as("nm"), lit("region").as("band")))
       TxnMergeOnRead.read(s, root).orderBy("nk")
+    },
+
+    // Point-in-time RESTORE ([[TxnMergeOnRead.restore]] — Delta
+    // RESTORE/Iceberg rollback as ONE metadata-only log entry): a DELETE
+    // is committed and then rolled back, so its victim rows must
+    // reappear at the head, and a post-restore UPDATE must see them —
+    // while the pre-restore state stays time-travel-readable. A restore
+    // that leaks the undone delete (or loses the survived update below
+    // the target) breaks the hash.
+    Qd("q211_dml_restore",
+      """WITH t0 AS (SELECT CAST(c_custkey AS BIGINT) AS ck,
+        |            round(c_acctbal, 2) AS bal FROM customer
+        |            WHERE c_custkey <= 300),
+        |v2 AS (SELECT ck, CASE WHEN ck <= 100 THEN round(bal + 5, 2)
+        |                       ELSE bal END AS bal FROM t0),
+        |v5 AS (SELECT ck, CASE WHEN ck > 280 THEN round(bal * 2, 2)
+        |                       ELSE bal END AS bal FROM v2)
+        |SELECT ck, CAST(bal AS DOUBLE) AS bal FROM v5 ORDER BY ck""") { (s, dir) =>
+      val (sf, loc) = ctx(s, dir)
+      val root = s"$loc/g211_txn"
+      TxnMergeOnRead.create(s, root, Engine.table(s, dir, "customer")
+        .filter(col("c_custkey") <= 300).select(
+          col("c_custkey").cast("bigint").as("ck"),
+          round(col("c_acctbal"), 2).as("bal")))                       // v1
+      TxnMergeOnRead.update(s, root,
+        Seq("bal" -> "round(bal + 5, 2)"), "ck <= 100")                // v2
+      TxnMergeOnRead.delete(s, root, "ck > 250")                       // v3
+      TxnMergeOnRead.restore(s, root, 2L)                              // v4
+      TxnMergeOnRead.update(s, root,
+        Seq("bal" -> "round(bal * 2, 2)"), "ck > 280")                 // v5
+      TxnMergeOnRead.read(s, root)
+        .select(col("ck"), col("bal").cast("double").as("bal"))
+        .orderBy("ck")
     }
   )
 }

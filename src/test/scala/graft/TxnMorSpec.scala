@@ -449,6 +449,51 @@ class TxnMorSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toSeq === before)
   }
 
+  test("RESTORE is metadata-only: undone commits vanish from the head, stay readable") {
+    val root = s"$base/restore"
+    mk(root, 50)                                                        // v1
+    TxnMergeOnRead.update(spark, root, Seq("v" -> "v + 1"), "k < 10")   // v2
+    TxnMergeOnRead.insert(spark, root,
+      spark.range(500, 510).select(col("id").as("k"), lit(0L).as("v"))) // v3
+    TxnMergeOnRead.delete(spark, root, "k >= 40")                       // v4
+    TxnMergeOnRead.restore(spark, root, 2L)                             // v5
+    val got = TxnMergeOnRead.read(spark, root)
+    assert(got.count() === 50, "insert and delete above the target undone")
+    assert(got.filter(col("k") < 10).filter(col("v") =!= col("k") * 10 + 1)
+      .count() === 0, "the update below the target survives")
+    // undone versions remain time-travel-readable (no GC happened)
+    assert(TxnMergeOnRead.readAt(spark, root, 4L).count() === 50 + 10 - 20)
+    // post-restore DML stacks on the restored state
+    TxnMergeOnRead.update(spark, root, Seq("v" -> "v + 100"), "k >= 45") // v6
+    assert(TxnMergeOnRead.read(spark, root)
+      .filter(col("k") >= 45).filter(col("v") =!= col("k") * 10 + 100)
+      .count() === 0, "post-restore update sees the resurrected rows")
+    // schema rolls back with the data
+    TxnMergeOnRead.addColumns(spark, root, Seq("z" -> "BIGINT"))        // v7
+    assert(TxnMergeOnRead.read(spark, root).columns.contains("z"))
+    TxnMergeOnRead.restore(spark, root, 6L)                             // v8
+    assert(!TxnMergeOnRead.read(spark, root).columns.contains("z"),
+      "a column added after the restore target vanishes from the head")
+  }
+
+  test("a mutation racing a RESTORE recomputes on the restored state") {
+    val root = s"$base/restore_race"
+    mk(root)
+    TxnMergeOnRead.insert(spark, root,
+      spark.range(300, 310).select(col("id").as("k"), lit(1L).as("v"))) // v2
+    val (a, b) = interleave(
+      first = () => { TxnMergeOnRead.restore(spark, root, 1L); 1 },     // v3
+      gated = () => TxnMergeOnRead.update(spark, root,
+        Seq("v" -> "v + 7"), "k >= 300"))
+    assert(a === 1)
+    assert(b === 2, "update pinned pre-restore must recompute after it")
+    // the recompute ran on the restored state: no k>=300 rows exist, so
+    // the update no-opped and the table is exactly the v1 state
+    val got = TxnMergeOnRead.read(spark, root)
+    assert(got.count() === 200)
+    assert(got.filter(col("k") >= 300).count() === 0)
+  }
+
   test("empty-match mutation no-ops without consuming an ordinal") {
     val root = s"$base/noop"
     mk(root)
