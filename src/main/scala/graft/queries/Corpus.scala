@@ -275,6 +275,50 @@ object Corpus {
         .orderBy("doc_id")
     },
 
+    // Exact-substring dedup (ExactSubstr, Lee et al. 2021): verbatim
+    // cross-document runs of ≥5 tokens are CUT from every document
+    // carrying them — the train-set hygiene step whole-doc dedup can't do.
+    // Shingle inventory → document frequency → per-doc island merge of
+    // overlapping marks → index-aware excision; the oracle replays every
+    // stage (including the islands' gaps-and-islands window) in SQL and
+    // compares the cleaned text by md5.
+    Qd("q212_dedup_exact_substring",
+      """WITH tok AS (SELECT doc_id,
+        |  list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+        |sh AS (SELECT doc_id, i, md5(array_to_string(t[i:i+4], ' ')) AS h
+        |       FROM tok, unnest(range(1, len(t) - 3)) r(i) WHERE len(t) >= 5),
+        |dup AS (SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+        |marks AS (SELECT s.doc_id, s.i AS lo, s.i + 4 AS hi
+        |          FROM sh s JOIN dup USING (h)),
+        |flagged AS (SELECT doc_id, lo, hi,
+        |    CASE WHEN lo > coalesce(max(hi) OVER (PARTITION BY doc_id ORDER BY lo
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |    THEN 1 ELSE 0 END AS fresh
+        |  FROM marks),
+        |isl AS (SELECT doc_id, island, min(lo) AS lo, max(hi) AS hi FROM (
+        |    SELECT doc_id, lo, hi, sum(fresh) OVER (PARTITION BY doc_id ORDER BY lo
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |    FROM flagged) GROUP BY doc_id, island),
+        |pos AS (SELECT doc_id, t[i] AS tk, i AS p FROM tok,
+        |        unnest(range(1, len(t) + 1)) r(i)),
+        |kept AS (SELECT p.doc_id,
+        |    string_agg(p.tk, ' ' ORDER BY p.p) AS clean_text,
+        |    count(*) AS n_kept
+        |  FROM pos p WHERE NOT EXISTS (SELECT 1 FROM isl i
+        |    WHERE i.doc_id = p.doc_id AND p.p BETWEEN i.lo AND i.hi)
+        |  GROUP BY p.doc_id)
+        |SELECT tok.doc_id, CAST(len(tok.t) AS BIGINT) AS n_tokens,
+        |  CAST(len(tok.t) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+        |  md5(coalesce(k.clean_text, '')) AS clean_h
+        |FROM tok LEFT JOIN kept k ON tok.doc_id = k.doc_id
+        |ORDER BY tok.doc_id""") { (s, dir) =>
+      graft.operators.SubstringDedup.dedupSubstrings(docs(s, dir), k = 5)
+        .select(col("doc_id"), col("n_tokens").cast("bigint").as("n_tokens"),
+          col("n_removed").cast("bigint").as("n_removed"),
+          md5(col("clean_text")).as("clean_h"))
+        .orderBy("doc_id")
+    },
+
     // DSIR importance resampling: hashed-ngram bag-of-words models of the
     // target (lang='en') and raw distributions, per-doc weight as an exact
     // int64 micro-unit sum of per-bucket log ratios, deterministic Gumbel
