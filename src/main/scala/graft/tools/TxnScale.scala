@@ -92,18 +92,29 @@ object TxnScale {
     }
 
     // ---- 3. minor vs major compaction --------------------------------
+    // each flavor folds an IDENTICAL freshly built 6-delta table (a shared
+    // table would hand the second fold different state), best-of-2 to tame
+    // page-cache noise; the build is not the measurement
     val root3 = s"/tmp/graft_txn_cmp_$tag"
-    TxnMergeOnRead.create(s, root3, li)
-    (0 until 6).foreach { i =>
-      TxnMergeOnRead.update(s, root3,
-        Seq("qty" -> "qty + 1"), s"ok % 8192 = ${i * 512}")
+    def buildDeltaTable(): Unit = {
+      TxnMergeOnRead.create(s, root3, li)
+      (0 until 6).foreach { i =>
+        TxnMergeOnRead.update(s, root3,
+          Seq("qty" -> "qty + 1"), s"ok % 8192 = ${i * 512}")
+      }
     }
-    val minor = timed("minor compaction (6 deltas)") {
-      require(TxnMergeOnRead.compactMinor(s, root3), "uncontended fold commits")
-    }
-    val major = timed("major compaction (same table)") {
-      require(TxnMergeOnRead.compact(s, root3), "uncontended fold commits")
-    }
+    val minor = (1 to 2).map { i =>
+      buildDeltaTable()
+      timed(s"minor compaction (6 deltas) #$i") {
+        require(TxnMergeOnRead.compactMinor(s, root3), "uncontended fold commits")
+      }
+    }.min
+    val major = (1 to 2).map { i =>
+      buildDeltaTable()
+      timed(s"major compaction (same table) #$i") {
+        require(TxnMergeOnRead.compact(s, root3), "uncontended fold commits")
+      }
+    }.min
 
     println(f"[txnscale] dir=$dir rows=$rows corpus=$corpusN " +
       f"disjWall=$disjWall%.2fs attempts=${atts.mkString("/")} " +
