@@ -141,6 +141,37 @@ object Advanced {
           Map("error" -> "e", "purchase" -> "p", "signup" -> "s"), "ep")
         .select(col("user_id"), col("start_event"), col("end_event"))
         .orderBy("user_id", "start_event")
+    },
+
+    // AS-OF join ([[graft.operators.AsofJoin]] — the point-in-time join
+    // the reference lacks; DuckDB's native ASOF JOIN is the oracle): for
+    // every click, the latest purchase by the same user at or before it
+    // (ties inclusive), left-outer. The union-and-carry implementation
+    // must agree with the oracle's sort-merge on every user including
+    // never-purchased ones (NULL match) and equal-timestamp ties.
+    Qd("q213_asof_join",
+      """WITH ev AS (SELECT event_id, user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec, event_type, value
+        |  FROM events),
+        |c AS (SELECT event_id, user_id, tsec FROM ev WHERE event_type = 'click'),
+        |p AS (SELECT user_id, tsec AS ptsec, arg_max(value, event_id) AS pvalue
+        |      FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.event_id, c.user_id, c.tsec, p.ptsec AS matched_ptsec, p.pvalue
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.tsec >= p.ptsec
+        |ORDER BY c.event_id""") { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("tsec"), col("event_type"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "tsec")
+      val purch = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "tsec")
+        .agg(max(struct(col("event_id"), col("value"))).as("r"))
+        .select(col("user_id"), col("tsec").as("ptsec"),
+          col("r.value").as("pvalue"))
+      graft.operators.AsofJoin.asofJoin(clicks, purch,
+          keys = Seq("user_id"), leftTs = "tsec", rightTs = "ptsec")
+        .select("event_id", "user_id", "tsec", "matched_ptsec", "pvalue")
+        .orderBy("event_id")
     }
   )
 }
