@@ -172,6 +172,38 @@ object Advanced {
           keys = Seq("user_id"), leftTs = "tsec", rightTs = "ptsec")
         .select("event_id", "user_id", "tsec", "matched_ptsec", "pvalue")
         .orderBy("event_id")
+    },
+
+    // Range join via interval binning ([[graft.operators.RangeJoin]]): how
+    // many same-user purchase windows (±30 min) contain each click. The
+    // bare BETWEEN join has no equi-condition and would nested-loop; the
+    // binned form is a plain shuffled equi-join on (user, bin) with an
+    // exact bounds re-check — each pair meets exactly once, so the counts
+    // match the oracle's naive inequality join row for row.
+    Qd("q214_range_join_binned",
+      """WITH ev AS (SELECT event_id, user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec, event_type FROM events),
+        |c AS (SELECT event_id, user_id, tsec FROM ev WHERE event_type = 'click'),
+        |w AS (SELECT user_id, event_id AS pid, tsec - 1800 AS lo, tsec + 1800 AS hi
+        |      FROM ev WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, CAST(count(w.pid) AS BIGINT) AS n_windows
+        |FROM c LEFT JOIN w ON c.user_id = w.user_id AND c.tsec BETWEEN w.lo AND w.hi
+        |GROUP BY 1, 2 ORDER BY c.event_id""") { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("tsec"), col("event_type"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "tsec")
+      val windows = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("pid"),
+          (col("tsec") - 1800).as("lo"), (col("tsec") + 1800).as("hi"))
+      val hits = graft.operators.RangeJoin.pointInInterval(clicks, windows,
+          keys = Seq("user_id"), pointTs = "tsec", lo = "lo", hi = "hi",
+          binWidth = 3600L)
+        .groupBy("event_id", "user_id").agg(count(lit(1)).as("n"))
+      clicks.join(hits, Seq("event_id", "user_id"), "left")
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("n"), lit(0L)).as("n_windows"))
+        .orderBy("event_id")
     }
   )
 }
