@@ -34,6 +34,19 @@ import org.apache.spark.sql.functions._
   *                                            references the dir
   * }}}
   *
+  * Surface (one lakehouse table in ~15 calls):
+  * {{{
+  *   create / read / readAt(v) / currentVersion      snapshots + time travel
+  *   changesBetween(from, to)                        CDC, O(changes in range)
+  *   insert / insertBatch(key, rows)                 append; exactly-once form
+  *   update / delete / merge                         row-grain optimistic DML
+  *   compact / compactMinor                          MAJOR (O(table)) / MINOR
+  *                                                   (O(deltas)) folds
+  *   vacuum(retainVersions)                          the only place data dies
+  *   addColumns / restore(v)                         metadata-only schema
+  *                                                   evolution + rollback
+  * }}}
+  *
   * Data directories are uuid-named, so concurrent writers never contend on
   * a path; a directory not referenced by the log is invisible garbage, never
   * data. COMMIT is one `FileSystem.create(path, overwrite = false)` of the
