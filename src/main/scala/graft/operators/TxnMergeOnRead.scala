@@ -179,13 +179,27 @@ object TxnMergeOnRead {
   }
 
   /** The live state at a log prefix: current base dir plus committed delta
-    * dirs in version order. Replay is pure fold over the entries. */
+    * dirs in version order. Replay is pure fold over the entries.
+    *
+    * Batch-keyed inserts dedup FIRST-WINS here: two [[insertBatch]] calls
+    * racing the same key can both slip past the committed-check and both
+    * win an ordinal (check-then-act is not atomic across writers); the
+    * log cannot retract an entry, so the READER is the authority — only
+    * the lowest-versioned entry per batch key counts, later ones are
+    * invisible garbage vacuum may retire. Deterministic at every prefix,
+    * so time travel and folds agree. */
   private def liveState(log: Seq[Entry]): (String, SortedMap[Long, Entry]) = {
     var base: String = null
     var deltas = SortedMap.empty[Long, Entry]
+    var seenBatch = Set.empty[String]
     log.foreach { e =>
       e.action match {
         case "create" => base = e.dir; deltas = SortedMap.empty
+        case "insert" if e.fp.startsWith("b:") =>
+          if (!seenBatch(e.fp)) {
+            seenBatch += e.fp
+            deltas += (e.version -> e)
+          }
         case "insert" | "mutate" => deltas += (e.version -> e)
         case "compact" =>
           base = e.dir
@@ -201,6 +215,11 @@ object TxnMergeOnRead {
     require(base != null, "table has no create entry")
     (base, deltas)
   }
+
+  /** Test seam: widens [[insertBatch]]'s check-to-commit window so a spec
+    * can deterministically manufacture the same-key double-commit the
+    * reader-side first-wins dedup neutralizes. No-op in production. */
+  private[graft] var pauseBeforeBatchCommit: () => Unit = () => ()
 
   /** Test seam: invoked after a mutation pins its snapshot version and
     * before it computes/stages, so a spec can deterministically order
@@ -342,9 +361,15 @@ object TxnMergeOnRead {
     // only insert/mutate entries CARRY changes: a minor compaction's folded
     // delta is a re-encoding of changes already logged at their own
     // versions, and create/compact entries name bases — reading either
-    // would double-count
+    // would double-count. Batch-keyed inserts count at their CANONICAL
+    // (lowest) version only, matching liveState's first-wins dedup.
+    val canonicalBatch = log
+      .filter(e => e.action == "insert" && e.fp.startsWith("b:"))
+      .groupBy(_.fp).map { case (_, es) => es.map(_.version).min }.toSet
     val range = log.filter(e => e.version > fromV && e.version <= toV &&
-      (e.action == "insert" || e.action == "mutate"))
+      (e.action == "insert" || e.action == "mutate") &&
+      (!(e.action == "insert" && e.fp.startsWith("b:")) ||
+        canonicalBatch(e.version)))
     val born = range.flatMap(e => readDir(spark, root, e.dir, "insert"))
       .reduceOption(_.unionByName(_, allowMissingColumns = true))
     val dead = range.flatMap(e => readDir(spark, root, e.dir, "delete"))
@@ -565,6 +590,7 @@ object TxnMergeOnRead {
         f.delete(new Path(s"$root/$dir"), true)
         done = true
       } else {
+        pauseBeforeBatchCommit() // test seam: widen the check-to-commit window
         val v = readLog(f, root).lastOption.map(_.version).getOrElse(0L) + 1
         if (tryCommit(f, root, Entry(v, "insert", dir, 0L, marker))) {
           done = true; appended = true

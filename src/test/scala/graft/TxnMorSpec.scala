@@ -414,6 +414,42 @@ class TxnMorSpec extends AnyFunSuite with BeforeAndAfterAll {
       "rerun stream must not duplicate a single row")
   }
 
+  test("same-key insertBatch double-commit is neutralized by reader-side first-wins") {
+    val root = s"$base/ing_race"
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(root))
+    TxnMergeOnRead.create(spark, root,
+      spark.range(0, 5).select(col("id").as("k"), lit(0L).as("v")))
+    // writer A passes the committed-check, parks in the check-to-commit
+    // window; writer B commits the SAME key; A resumes and also commits —
+    // the race the log cannot prevent (check-then-act spans two writers)
+    val latch = new CountDownLatch(1)
+    val armed = new java.util.concurrent.atomic.AtomicBoolean(true)
+    TxnMergeOnRead.pauseBeforeBatchCommit = () =>
+      if (armed.compareAndSet(true, false))
+        assert(latch.await(120, TimeUnit.SECONDS), "race latch never opened")
+    try {
+      val pool = Executors.newSingleThreadExecutor()
+      val futA = pool.submit(new java.util.concurrent.Callable[Boolean] {
+        def call(): Boolean = TxnMergeOnRead.insertBatch(spark, root, "dupkey",
+          spark.range(100, 110).select(col("id").as("k"), lit(1L).as("v")))
+      })
+      pool.shutdown()
+      Thread.sleep(500) // A reaches the seam and parks
+      assert(TxnMergeOnRead.insertBatch(spark, root, "dupkey",
+        spark.range(100, 110).select(col("id").as("k"), lit(1L).as("v"))))
+      latch.countDown()
+      futA.get(120, TimeUnit.SECONDS)
+      ()
+    } finally TxnMergeOnRead.pauseBeforeBatchCommit = () => ()
+    // two log entries may exist; exactly ONE copy of the batch is visible
+    assert(TxnMergeOnRead.read(spark, root).count() === 15,
+      "first-wins dedup must hide the duplicate entry")
+    assert(TxnMergeOnRead.changesBetween(spark, root, 1L,
+      TxnMergeOnRead.currentVersion(spark, root))
+      .filter(col("k") >= 100).count() === 10,
+      "CDC counts the batch at its canonical version only")
+  }
+
   test("ADD COLUMNS is metadata-only: old files read NULL, time travel keeps the old schema") {
     val root = s"$base/schema"
     mk(root, 50) // v1: (k, v)
