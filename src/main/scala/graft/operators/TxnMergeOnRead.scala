@@ -500,8 +500,11 @@ object TxnMergeOnRead {
     * it and recompute against the restored state; compactions racing it
     * abort (their fold would resurrect undone rows); a CDC range must not
     * span a restore (the range's events include what the restore undid).
-    * Requires the target version's dirs to still exist (retention
-    * window). */
+    * Batch keys stay BURNED across a restore — a replay of an undone
+    * [[insertBatch]] key does not re-apply (the log remembers the key even
+    * when its entry is invisible); re-ingest rolled-back batches under
+    * fresh keys. Requires the target version's dirs to still exist
+    * (retention window). */
   def restore(spark: SparkSession, root: String, toVersion: Long): Unit = {
     val f = fs(spark, root)
     var attempts = 0
