@@ -204,6 +204,38 @@ object Advanced {
         .select(col("event_id"), col("user_id"),
           coalesce(col("n"), lit(0L)).as("n_windows"))
         .orderBy("event_id")
+    },
+
+    // Gap fill + forward fill ([[graft.operators.TimeFill]] — the
+    // time_bucket_gapfill/locf resampling step): each user's sparse hourly
+    // click sums densify to every hour between their first and last
+    // activity, observed hours keep their sum, gap hours read NULL with
+    // the last observation carried forward. The oracle builds the same
+    // spine with generate_series and IGNORE NULLS last_value.
+    Qd("q215_gapfill_ffill",
+      """WITH ev AS (SELECT user_id,
+        |    (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS hb, value
+        |  FROM events WHERE event_type = 'click'),
+        |h AS (SELECT user_id, hb, round(sum(value), 4) AS sv FROM ev GROUP BY 1, 2),
+        |bounds AS (SELECT user_id, min(hb) AS lo, max(hb) AS hi FROM h GROUP BY 1),
+        |spine AS (SELECT user_id, unnest(generate_series(lo, hi, 3600)) AS hb
+        |          FROM bounds),
+        |j AS (SELECT s.user_id, s.hb, h.sv FROM spine s
+        |      LEFT JOIN h USING (user_id, hb))
+        |SELECT user_id, hb, sv,
+        |  last_value(sv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hb
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sv_ffill
+        |FROM j ORDER BY user_id, hb""") { (s, dir) =>
+      val hourly = t(s, dir, "events")
+        .filter(col("event_type") === "click")
+        .select(col("user_id"),
+          expr("(unix_timestamp(ts) DIV 3600) * 3600").as("hb"), col("value"))
+        .groupBy("user_id", "hb").agg(round(sum("value"), 4).as("sv"))
+      graft.operators.TimeFill.gapFillForward(hourly,
+          keys = Seq("user_id"), bucket = "hb", step = 3600L,
+          valueCols = Seq("sv"))
+        .select("user_id", "hb", "sv", "sv_ffill")
+        .orderBy("user_id", "hb")
     }
   )
 }
