@@ -27,8 +27,10 @@ import org.apache.spark.sql.functions._
   *
   * Layout:
   * {{{
-  *   root/_txnlog/00000000000000000001.json   one atomically-created entry
+  *   root/_txnlog/00000000000000000007.json   one atomically-renamed entry
   *                                            per committed version
+  *   root/_txnlog/00000000000000000016.ckpt   checkpoint: reconciled state
+  *                                            at version 16 (see below)
   *   root/base_<uuid>/                        full rows + __row_id
   *   root/delta_<uuid>/{insert,delete}/       uncommitted until a log entry
   *                                            references the dir
@@ -42,22 +44,44 @@ import org.apache.spark.sql.functions._
   *   update / delete / merge                         row-grain optimistic DML
   *   compact / compactMinor                          MAJOR (O(table)) / MINOR
   *                                                   (O(deltas)) folds
-  *   vacuum(retainVersions)                          the only place data dies
+  *   vacuum(retainVersions, pruneLog)                the only place data dies
   *   addColumns / restore(v)                         metadata-only schema
   *                                                   evolution + rollback
+  *   checkpoint                                      explicit metadata fold
   * }}}
   *
   * Data directories are uuid-named, so concurrent writers never contend on
   * a path; a directory not referenced by the log is invisible garbage, never
-  * data. COMMIT is one `FileSystem.create(path, overwrite = false)` of the
-  * next ordinal log entry: exactly one of N racing writers wins the name,
-  * the losers re-read the log, re-check conflicts, and retry at the next
-  * ordinal. Create-exclusive is atomic on HDFS (and object stores with
-  * preconditions); on the local filesystem Hadoop's exists-then-create has a
-  * sliver of a race, so commits also serialize through a per-root JVM lock —
-  * exact for local[n] (one JVM by definition), and the documented deployment
-  * contract everywhere else is "the FS create-exclusive must be atomic",
-  * the same contract the lakehouse log stores state.
+  * data. COMMIT is write-temp-then-atomic-rename: the entry body is fully
+  * written to `_txnlog/.tmp_<uuid>` and then renamed (no-overwrite) onto the
+  * next ordinal — exactly one of N racing writers wins the name, and a
+  * visible entry file is ALWAYS complete, so a writer that dies mid-commit
+  * leaves only an invisible temp file and can never burn an ordinal (the
+  * same discipline as Delta's HDFS LogStore, which puts a commit into the
+  * log via temp-file + atomic rename). Rename-without-overwrite is atomic
+  * on HDFS; on the local filesystem (where `rename` can clobber) commits
+  * also serialize through a per-root JVM lock — exact for local[n] (one JVM
+  * by definition), and the documented deployment contract everywhere else
+  * is "the FS rename-without-overwrite must be atomic", the contract the
+  * lakehouse log stores state.
+  *
+  * '''Checkpoints — O(tail) metadata, not O(all versions ever).''' Without
+  * them, every read and every commit would re-open every entry file ever
+  * committed, an unbounded driver-side cost at production commit rates. A
+  * checkpoint file at version V (Delta's `_last_checkpoint` shape) stores
+  * the RECONCILED state at V — base dir, live delta entries, burned batch
+  * keys with their canonical versions, added columns — so a reader loads
+  * one checkpoint plus the entries above it: the per-operation metadata
+  * cost is O(entries since the last checkpoint), flat in the table's
+  * age. One is written automatically every [[checkpointInterval]] commits
+  * (by whichever writer lands the multiple — best-effort, a failed
+  * checkpoint never fails the commit), and on demand via [[checkpoint]].
+  * Checkpoint size is O(live state): live deltas are bounded by compaction
+  * cadence; batch keys accrue one short line per ingested batch (the same
+  * growth Delta carries for SetTransaction actions). Entry files below a
+  * checkpoint stay on disk for time travel / CDC below it (the slow path
+  * replays them) until [[vacuum]]`(pruneLog = true)` retires them, after
+  * which history below the oldest checkpoint fails with a clear error.
   *
   * Isolation semantics (snapshot isolation, first committer wins):
   *  - Readers replay the log to a version and never look at directory
@@ -78,6 +102,11 @@ import org.apache.spark.sql.functions._
   *    without recompute, mirroring the reference's partition-grain locks
   *    (`metastore/.../txn/TxnHandler.java` enqueueLockWithRetry) and
   *    Delta/Iceberg file-grain conflict detection, but exact to the row.
+  *    A competing mutate whose delete dir was RETIRED by vacuum while our
+  *    snapshot was pinned is treated as a conflict (recompute), never
+  *    silently cleared: "no delete half was ever staged" (footprint `-`)
+  *    is provably safe, "the log references a dir that is gone" is a stale
+  *    snapshot, and clearing it would commit a lost update.
   *    Phantoms are permitted (a concurrent INSERT a mutation's predicate
   *    would have matched is not a conflict) — snapshot isolation, the same
   *    write-conflict contract as Delta's WriteSerializable default.
@@ -99,14 +128,20 @@ object TxnMergeOnRead {
   private val LOG_DIR = "_txnlog"
   private val MAX_COMMIT_ATTEMPTS = 50
 
+  /** Commits at multiples of this version interval write a checkpoint.
+    * Tunable seam for specs (smaller interval = more boundary coverage);
+    * production default keeps per-op metadata at ≤16 entry opens. */
+  private[graft] var checkpointInterval: Long = 16L
+
   /** One committed version. `folds` is the version prefix a compaction
-    * supersedes (0 for plain DML entries). `fp` is a mutate entry's delete
-    * footprint summary: `tag:minSeq:maxSeq` items joined by `;`, or `*`
-    * when the mutation touched rows from more than [[FP_MAX_TAGS]] writer
-    * tags (then only the exact rid check can clear it). Entries are tiny
-    * ([[Entry]] is a fixed-width line, not a manifest): the row data lives
-    * in parquet, the log only names directories — the property that keeps
-    * log replay O(log length) metadata work no matter the table size. */
+    * supersedes (0 for plain DML entries; the restore target for restore
+    * entries). `fp` is a mutate entry's delete footprint summary:
+    * `tag:minSeq:maxSeq` items joined by `;`, or `*` when the mutation
+    * touched rows from more than [[FP_MAX_TAGS]] writer tags (then only the
+    * exact rid check can clear it). Entries are tiny ([[Entry]] is a
+    * fixed-width line, not a manifest): the row data lives in parquet, the
+    * log only names directories — the property that keeps log replay cheap
+    * no matter the table size. */
   private case class Entry(version: Long, action: String, dir: String,
       folds: Long, fp: String = "")
 
@@ -116,10 +151,33 @@ object TxnMergeOnRead {
       s"""{"version":${e.version},"action":"${e.action}","dir":"${e.dir}","folds":${e.folds},"fp":"${e.fp}"}"""
     private val P =
       """\{"version":(\d+),"action":"(\w+)","dir":"([^"]*)","folds":(\d+),"fp":"([^"]*)"\}""".r
+    // pre-round-10 logs used a 4-field form without "fp"; parse it with
+    // fp = "" (which the conflict path treats conservatively — always
+    // exact-checked) so old tables stay readable
+    private val P4 =
+      """\{"version":(\d+),"action":"(\w+)","dir":"([^"]*)","folds":(\d+)\}""".r
     def parse(s: String): Entry = s.trim match {
       case P(v, a, d, f, fp) => Entry(v.toLong, a, d, f.toLong, fp)
+      case P4(v, a, d, f) => Entry(v.toLong, a, d, f.toLong, "")
       case other => throw new IllegalStateException(s"corrupt log entry: $other")
     }
+  }
+
+  /** Reconciled log state at `version`: everything a reader needs to
+    * continue the replay from there without opening older entry files.
+    * `batchCanon` maps each batch-insert fp (`b:<key>`) ever committed at
+    * or below `version` — including restored-away ones (keys stay burned)
+    * — to its canonical (lowest) version. */
+  private case class Ckpt(version: Long, base: String,
+      deltas: SortedMap[Long, Entry], batchCanon: Map[String, Long],
+      cols: Vector[(String, String)])
+
+  /** A loaded log: the latest usable checkpoint (if any) plus the entries
+    * strictly above it, in version order. `floor` is the oldest version the
+    * view can truncate to without re-reading pre-checkpoint entry files. */
+  private case class View(ckpt: Option[Ckpt], tail: Seq[Entry]) {
+    def floor: Long = ckpt.map(_.version).getOrElse(0L)
+    def lastVersion: Long = tail.lastOption.map(_.version).getOrElse(floor)
   }
 
   private def fs(spark: SparkSession, root: String): FileSystem =
@@ -128,58 +186,154 @@ object TxnMergeOnRead {
   private def entryPath(root: String, version: Long): Path =
     new Path(s"$root/$LOG_DIR/" + f"$version%020d" + ".json")
 
-  /** Committed entries in version order (version v lives in file v — the
-    * filename is the authority, the body is checked against it).
-    *
-    * Torn-read tolerance: the committer creates the entry file (the
-    * exclusive-create that wins the ordinal) and THEN writes the body, so
-    * a concurrent reader can list a created-but-not-yet-flushed entry. An
-    * unparseable TAIL entry is exactly that in-flight commit — the commit
-    * isn't acknowledged until the body is closed, so treating it as
-    * not-yet-committed is linearizable (the losing co-writer just retries
-    * the ordinal). A mid-log entry must parse: only transient visibility
-    * can make it fail, so re-read briefly before declaring corruption. */
-  private def readLog(f: FileSystem, root: String): Seq[Entry] = {
-    val dir = new Path(s"$root/$LOG_DIR")
-    if (!f.exists(dir)) return Seq.empty
-    val files = f.listStatus(dir).toSeq.map(_.getPath)
-      .filter(_.getName.endsWith(".json"))
-      .sortBy(_.getName)
-    def body(p: Path): String = {
-      val in = f.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    }
-    val out = Seq.newBuilder[Entry]
-    var i = 0
-    var stop = false
-    while (i < files.length && !stop) {
-      val p = files(i)
-      var parsed: Option[Entry] = None
-      var tries = 0
-      while (parsed.isEmpty && !stop) {
-        Try(Entry.parse(body(p))) match {
-          case Success(e) => parsed = Some(e)
-          case _ if i == files.length - 1 => stop = true // in-flight tail
-          case scala.util.Failure(ex) =>
-            tries += 1
-            if (tries > 20) throw ex
-            Thread.sleep(50)
-        }
-      }
-      parsed.foreach { e =>
-        val named = p.getName.stripSuffix(".json").toLong
-        require(e.version == named,
-          s"log entry $named declares version ${e.version}")
-        out += e
-      }
-      i += 1
-    }
-    out.result()
+  private def ckptPath(root: String, version: Long): Path =
+    new Path(s"$root/$LOG_DIR/" + f"$version%020d" + ".ckpt")
+
+  private def readBody(f: FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
   }
 
-  /** The live state at a log prefix: current base dir plus committed delta
-    * dirs in version order. Replay is pure fold over the entries.
+  /** One listing of the log dir → (entry files, checkpoint files), each as
+    * (version-from-filename, path), unsorted. Temp files are invisible. */
+  private def listLog(f: FileSystem, root: String)
+      : (Seq[(Long, Path)], Seq[(Long, Path)]) = {
+    val dir = new Path(s"$root/$LOG_DIR")
+    if (!f.exists(dir)) return (Seq.empty, Seq.empty)
+    val all = f.listStatus(dir).toSeq.map(_.getPath)
+    def ver(p: Path, suffix: String): Long =
+      p.getName.stripSuffix(suffix).toLong
+    (all.filter(_.getName.endsWith(".json")).map(p => (ver(p, ".json"), p)),
+      all.filter(_.getName.endsWith(".ckpt")).map(p => (ver(p, ".ckpt"), p)))
+  }
+
+  /** Parse entry files (sorted by caller). Rename-committed entries are
+    * always complete, so every visible file must parse — a failure is real
+    * corruption, reported immediately. */
+  private def readEntryFiles(f: FileSystem, files: Seq[(Long, Path)]): Seq[Entry] =
+    files.sortBy(_._1).map { case (named, p) =>
+      val e = Entry.parse(readBody(f, p))
+      require(e.version == named, s"log entry $named declares version ${e.version}")
+      e
+    }
+
+  // ---- checkpoint serialization (line-oriented, deterministic) ----------
+
+  private def renderCkpt(c: Ckpt): String = {
+    val sb = new StringBuilder
+    sb.append("v=").append(c.version).append('\n')
+    sb.append("base=").append(c.base).append('\n')
+    c.deltas.values.foreach(e => sb.append("d=").append(Entry.render(e)).append('\n'))
+    c.batchCanon.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      sb.append("b=").append(k).append(':').append(v).append('\n') }
+    c.cols.foreach { case (n, t) =>
+      sb.append("c=").append(n).append('=').append(t).append('\n') }
+    sb.toString
+  }
+
+  private def parseCkpt(s: String): Ckpt = {
+    var version = -1L
+    var base: String = null
+    var deltas = SortedMap.empty[Long, Entry]
+    var batch = Map.empty[String, Long]
+    var cols = Vector.empty[(String, String)]
+    s.linesIterator.filter(_.nonEmpty).foreach { line =>
+      val i = line.indexOf('=')
+      require(i > 0, s"corrupt checkpoint line: $line")
+      (line.substring(0, i), line.substring(i + 1)) match {
+        case ("v", v) => version = v.toLong
+        case ("base", b) => base = b
+        case ("d", d) => val e = Entry.parse(d); deltas += (e.version -> e)
+        case ("b", kv) =>
+          val j = kv.lastIndexOf(':') // batch keys may themselves contain ':'
+          batch += kv.substring(0, j) -> kv.substring(j + 1).toLong
+        case ("c", nt) =>
+          val j = nt.indexOf('=')
+          cols :+= (nt.substring(0, j), nt.substring(j + 1))
+        case _ => throw new IllegalStateException(s"corrupt checkpoint line: $line")
+      }
+    }
+    require(version > 0 && base != null, "corrupt checkpoint: missing header")
+    Ckpt(version, base, deltas, batch, cols)
+  }
+
+  /** Write a checkpoint file via temp + rename; content at a version is
+    * deterministic, so two writers racing the same checkpoint are
+    * idempotent and the loser's rename failure is ignored. */
+  private def writeCkptFile(f: FileSystem, root: String, c: Ckpt): Unit = {
+    val p = ckptPath(root, c.version)
+    if (f.exists(p)) return
+    val tmp = new Path(s"$root/$LOG_DIR/.tmp_${UUID.randomUUID().toString.take(12)}")
+    val out = f.create(tmp, true)
+    try out.write(renderCkpt(c).getBytes("UTF-8")) finally out.close()
+    val ok = try f.rename(tmp, p) catch { case _: java.io.IOException => false }
+    if (!ok) f.delete(tmp, false)
+  }
+
+  // ---- view loading ------------------------------------------------------
+
+  private def prunedError(root: String, oldest: Long): Nothing =
+    throw new IllegalStateException(
+      s"history of $root below version $oldest was pruned by vacuum; " +
+      "time travel, CDC, and restore below the oldest checkpoint are unavailable")
+
+  /** Full replay from entry files alone (the slow path for history below a
+    * checkpoint). Fails with a clear error once vacuum has pruned them. */
+  private def fullView(f: FileSystem, root: String): View = {
+    val (entryFiles, ckptFiles) = listLog(f, root)
+    val es = readEntryFiles(f, entryFiles)
+    if (es.nonEmpty && es.head.version != 1L) {
+      val oldest = ckptFiles.map(_._1).sorted.headOption.getOrElse(es.head.version)
+      prunedError(root, oldest)
+    }
+    View(None, es)
+  }
+
+  /** Latest usable checkpoint + tail — the O(entries since last checkpoint)
+    * fast path every operation takes. Falls back to full replay when a tail
+    * RESTORE targets a version below the checkpoint (its state needs the
+    * older entries). */
+  private def readView(f: FileSystem, root: String): View = {
+    val (entryFiles, ckptFiles) = listLog(f, root)
+    val ck = ckptFiles.sortBy(-_._1).iterator
+      .map { case (v, p) => Try(parseCkpt(readBody(f, p))).toOption
+        .filter(_.version == v) }
+      .collectFirst { case Some(c) => c }
+    ck match {
+      case None =>
+        val es = readEntryFiles(f, entryFiles)
+        if (es.nonEmpty && es.head.version != 1L)
+          prunedError(root, es.head.version)
+        View(None, es)
+      case Some(c) =>
+        val tail = readEntryFiles(f, entryFiles.filter(_._1 > c.version))
+        if (tail.exists(e => e.action == "restore" && e.folds < c.version))
+          fullView(f, root)
+        else View(Some(c), tail)
+    }
+  }
+
+  /** The view truncated to versions ≤ v. Below the checkpoint floor this
+    * degrades to full replay (clear error if pruned). */
+  private def truncateView(f: FileSystem, root: String, view: View,
+      v: Long): View =
+    if (v >= view.floor) View(view.ckpt, view.tail.takeWhile(_.version <= v))
+    else View(None, fullView(f, root).tail.takeWhile(_.version <= v))
+
+  /** Head version from file NAMES alone — no file opens. */
+  private def lastVersionOnDisk(f: FileSystem, root: String): Long = {
+    val (entryFiles, ckptFiles) = listLog(f, root)
+    (entryFiles.map(_._1) ++ ckptFiles.map(_._1)).foldLeft(0L)(math.max)
+  }
+
+  /** Entries strictly above version v, opened by name filter — the conflict
+    * scan's working set (small: only what landed since our snapshot). */
+  private def entriesAbove(f: FileSystem, root: String, v: Long): Seq[Entry] =
+    readEntryFiles(f, listLog(f, root)._1.filter(_._1 > v))
+
+  /** The live state at a view: current base dir plus committed delta dirs in
+    * version order. Replay is a pure fold over checkpoint state + tail.
     *
     * Batch-keyed inserts dedup FIRST-WINS here: two [[insertBatch]] calls
     * racing the same key can both slip past the committed-check and both
@@ -188,11 +342,19 @@ object TxnMergeOnRead {
     * the lowest-versioned entry per batch key counts, later ones are
     * invisible garbage vacuum may retire. Deterministic at every prefix,
     * so time travel and folds agree. */
-  private def liveState(log: Seq[Entry]): (String, SortedMap[Long, Entry]) = {
-    var base: String = null
-    var deltas = SortedMap.empty[Long, Entry]
-    var seenBatch = Set.empty[String]
-    log.foreach { e =>
+  private def liveStateV(f: FileSystem, root: String,
+      view: View): (String, SortedMap[Long, Entry]) = {
+    var base: String = view.ckpt.map(_.base).orNull
+    var deltas = view.ckpt.map(_.deltas).getOrElse(SortedMap.empty[Long, Entry])
+    var seenBatch: Set[String] =
+      view.ckpt.map(_.batchCanon.keySet).getOrElse(Set.empty)
+    // restore targets at or above the floor are states this forward pass
+    // has ALREADY folded (versions are contiguous ordinals) — memoize each
+    // post-entry state so a restore (or chain of restores) is an O(1)
+    // lookup, not a refold of its prefix (which would go exponential on a
+    // restore-heavy tail)
+    val at = scala.collection.mutable.Map.empty[Long, (String, SortedMap[Long, Entry])]
+    view.tail.foreach { e =>
       e.action match {
         case "create" => base = e.dir; deltas = SortedMap.empty
         case "insert" if e.fp.startsWith("b:") =>
@@ -208,12 +370,75 @@ object TxnMergeOnRead {
           deltas = deltas.rangeFrom(e.folds + 1) + (e.version -> e)
         case "schema" => () // metadata-only: handled by addedCols/snapshotAt
         case "restore" => // head becomes the state at version `folds`
-          val (b, d) = liveState(log.filter(_.version <= e.folds))
+          val (b, d) =
+            if (e.folds == view.floor && view.ckpt.isDefined)
+              (view.ckpt.get.base, view.ckpt.get.deltas)
+            else at.getOrElse(e.folds,
+              liveStateV(f, root, truncateView(f, root, view, e.folds)))
           base = b; deltas = d
       }
+      at(e.version) = (base, deltas)
     }
-    require(base != null, "table has no create entry")
+    require(base != null, s"table at $root has no create entry")
     (base, deltas)
+  }
+
+  /** Canonical (lowest) version per batch-insert fp across the whole view —
+    * checkpoint keys win over tail re-occurrences by construction. */
+  private def batchCanonOf(view: View): Map[String, Long] = {
+    val tailMap = view.tail
+      .filter(e => e.action == "insert" && e.fp.startsWith("b:"))
+      .groupBy(_.fp).map { case (k, es) => k -> es.map(_.version).min }
+    tailMap ++ view.ckpt.map(_.batchCanon).getOrElse(Map.empty)
+  }
+
+  /** Columns ADDED by schema entries in the view (`ALTER TABLE ADD
+    * COLUMNS` re-expression): `(name, typeDDL)` in declaration order. A
+    * restore rolls the schema back with the data (columns added between
+    * the target and the restore vanish from the head). */
+  private def addedColsV(f: FileSystem, root: String,
+      view: View): Vector[(String, String)] = {
+    var acc = view.ckpt.map(_.cols).getOrElse(Vector.empty)
+    val at = scala.collection.mutable.Map.empty[Long, Vector[(String, String)]]
+    view.tail.foreach { e =>
+      e.action match {
+        case "schema" =>
+          acc ++= e.fp.stripPrefix("c:").split(";").filter(_.nonEmpty).map { it =>
+            val Array(n, t) = it.split("=", 2)
+            (n, t)
+          }
+        case "restore" =>
+          acc =
+            if (e.folds == view.floor && view.ckpt.isDefined) view.ckpt.get.cols
+            else at.getOrElse(e.folds,
+              addedColsV(f, root, truncateView(f, root, view, e.folds)))
+        case _ => ()
+      }
+      at(e.version) = acc
+    }
+    acc
+  }
+
+  /** Best-effort checkpoint at `version` when it lands on the interval —
+    * derived purely from metadata (no Spark jobs), never fails the commit. */
+  private def maybeCheckpoint(f: FileSystem, root: String, version: Long): Unit =
+    if (checkpointInterval > 0 && version % checkpointInterval == 0)
+      Try(writeCheckpointAt(f, root, version))
+
+  private def writeCheckpointAt(f: FileSystem, root: String,
+      version: Long): Unit = {
+    val view = truncateView(f, root, readView(f, root), version)
+    val (b, d) = liveStateV(f, root, view)
+    writeCkptFile(f, root,
+      Ckpt(version, b, d, batchCanonOf(view), addedColsV(f, root, view)))
+  }
+
+  /** Explicitly checkpoint the current head (vacuum and tooling hook; the
+    * per-[[checkpointInterval]] automatic one usually suffices). */
+  def checkpoint(spark: SparkSession, root: String): Unit = {
+    val f = fs(spark, root)
+    val v = lastVersionOnDisk(f, root)
+    if (v > 0) writeCheckpointAt(f, root, v)
   }
 
   /** Test seam: widens [[insertBatch]]'s check-to-commit window so a spec
@@ -234,18 +459,29 @@ object TxnMergeOnRead {
   private def lockFor(root: String): Object =
     rootLocks.computeIfAbsent(root, _ => new Object)
 
-  /** Try to commit `e` at exactly version `e.version`. True iff this writer
-    * won that ordinal. */
-  private def tryCommit(f: FileSystem, root: String, e: Entry): Boolean =
-    lockFor(root).synchronized {
+  /** Try to commit `e` at exactly version `e.version` by temp-write +
+    * atomic no-overwrite rename. True iff this writer won that ordinal.
+    * A visible entry is always complete: a writer dying anywhere in here
+    * leaves at most an invisible `.tmp_*` file, never a claimed-but-empty
+    * ordinal, so co-writers can never livelock on a dead writer's commit. */
+  private def tryCommit(f: FileSystem, root: String, e: Entry): Boolean = {
+    val won = lockFor(root).synchronized {
       val p = entryPath(root, e.version)
-      if (f.exists(p)) return false
-      val out =
-        try f.create(p, false)
-        catch { case _: java.io.IOException => return false } // lost the race
-      try out.write(Entry.render(e).getBytes("UTF-8")) finally out.close()
-      true
+      if (f.exists(p)) false
+      else {
+        val tmp = new Path(
+          s"$root/$LOG_DIR/.tmp_${UUID.randomUUID().toString.take(12)}")
+        val out = f.create(tmp, true)
+        try out.write(Entry.render(e).getBytes("UTF-8")) finally out.close()
+        val ok = try f.rename(tmp, p)
+        catch { case _: java.io.IOException => false } // lost the race
+        if (!ok) f.delete(tmp, false)
+        ok
+      }
     }
+    if (won) maybeCheckpoint(f, root, e.version)
+    won
+  }
 
   private def withRid(df: DataFrame, txn: Long): DataFrame =
     df.withColumn(RID, struct(lit(txn).as("txn"),
@@ -269,36 +505,16 @@ object TxnMergeOnRead {
     else None
   }
 
-  /** Columns ADDED by schema entries in the prefix (`ALTER TABLE ADD
-    * COLUMNS` re-expression): `(name, typeDDL)` in declaration order. A
-    * restore rolls the schema back with the data (columns added between
-    * the target and the restore vanish from the head). */
-  private def addedCols(log: Seq[Entry]): Seq[(String, String)] = {
-    var acc = Vector.empty[(String, String)]
-    log.foreach { e =>
-      e.action match {
-        case "schema" =>
-          acc ++= e.fp.stripPrefix("c:").split(";").filter(_.nonEmpty).map { it =>
-            val Array(n, t) = it.split("=", 2)
-            (n, t)
-          }
-        case "restore" =>
-          acc = Vector(addedCols(log.filter(_.version <= e.folds)): _*)
-        case _ => ()
-      }
-    }
-    acc
-  }
-
-  /** Snapshot as of the given log prefix, with row ids. Schema evolution
+  /** Snapshot as of the given view, with row ids. Schema evolution
     * is schema-on-read, the reference's ADD COLUMNS semantics: files
     * written before a schema entry simply lack the column, the union
     * tolerates it (allowMissingColumns) and the final projection fills
     * NULL at the declared type — no data file is ever rewritten for a
     * schema change. */
-  private def snapshotAt(spark: SparkSession, root: String,
-      log: Seq[Entry]): DataFrame = {
-    val (base, deltas) = liveState(log)
+  private def snapshotAtV(spark: SparkSession, root: String,
+      view: View): DataFrame = {
+    val f = fs(spark, root)
+    val (base, deltas) = liveStateV(f, root, view)
     val baseDf = spark.read.parquet(s"$root/$base")
     val withIns = deltas.values.toSeq.flatMap(e => readDir(spark, root, e.dir, "insert"))
       .reduceOption(_.unionByName(_, allowMissingColumns = true))
@@ -309,7 +525,7 @@ object TxnMergeOnRead {
       .map(_.select(col(RID)))
       .reduceOption(_ union _)
       .fold(withIns)(del => withIns.join(del, Seq(RID), "left_anti"))
-    val added = addedCols(log).filterNot { case (n, _) =>
+    val added = addedColsV(f, root, view).filterNot { case (n, _) =>
       baseDf.columns.contains(n) }
     val filled = added.foldLeft(merged) { case (df, (n, t)) =>
       if (df.columns.contains(n)) df else df.withColumn(n, lit(null).cast(t))
@@ -321,21 +537,27 @@ object TxnMergeOnRead {
   }
 
   /** Snapshot read at the latest committed version (user-facing). */
-  def read(spark: SparkSession, root: String): DataFrame =
-    snapshotAt(spark, root, readLog(fs(spark, root), root)).drop(RID)
+  def read(spark: SparkSession, root: String): DataFrame = {
+    val f = fs(spark, root)
+    snapshotAtV(spark, root, readView(f, root)).drop(RID)
+  }
 
   /** Latest committed version — a pinnable snapshot handle. */
   def currentVersion(spark: SparkSession, root: String): Long =
-    readLog(fs(spark, root), root).lastOption.map(_.version).getOrElse(0L)
+    lastVersionOnDisk(fs(spark, root), root)
 
   /** Time-travel read at a pinned version (repeatable-read contract).
     * Valid while the version's data dirs survive: compactions never delete
     * data, so pinned reads keep working across them until [[vacuum]]
     * retires the dirs outside its retention window (the tradeoff every
-    * log-structured table format has). */
-  def readAt(spark: SparkSession, root: String, version: Long): DataFrame =
-    snapshotAt(spark, root,
-      readLog(fs(spark, root), root).takeWhile(_.version <= version)).drop(RID)
+    * log-structured table format has). Below the oldest checkpoint the
+    * replay needs the pre-checkpoint entry files — present until
+    * `vacuum(pruneLog = true)` retires those too (then: clear error). */
+  def readAt(spark: SparkSession, root: String, version: Long): DataFrame = {
+    val f = fs(spark, root)
+    snapshotAtV(spark, root,
+      truncateView(f, root, readView(f, root), version)).drop(RID)
+  }
 
   /** Net row-level changes (CDC) committed in versions `(fromV, toV]` —
     * the incremental-consumption contract (Delta Lake's change data feed,
@@ -343,6 +565,11 @@ object TxnMergeOnRead {
     * `fromV` reads only what happened since, never the table. An UPDATE
     * surfaces as its two events (delete of the old version, insert of the
     * new); a row born and deleted inside the range nets out to nothing.
+    *
+    * A range that spans a RESTORE entry is REJECTED loudly: the range's
+    * events would include changes the restore undid, so handing them to an
+    * incremental consumer silently corrupts it — consume up to the restore
+    * version, resync, then consume above it.
     *
     * Scale shape: reads ONLY the range's delta directories — delete events
     * store the full dead row (the Delta-CDF `_change_data` tradeoff: the
@@ -357,19 +584,24 @@ object TxnMergeOnRead {
   def changesBetween(spark: SparkSession, root: String, fromV: Long,
       toV: Long): DataFrame = {
     val f = fs(spark, root)
-    val log = readLog(f, root)
+    val view0 = readView(f, root)
+    val view = if (fromV >= view0.floor) view0 else fullView(f, root)
+    val inRange = view.tail.filter(e => e.version > fromV && e.version <= toV)
+    inRange.find(_.action == "restore").foreach { r =>
+      throw new IllegalStateException(
+        s"CDC range ($fromV, $toV] of $root spans the RESTORE at version " +
+        s"${r.version}: its events include changes the restore undid. " +
+        s"Consume (…, ${r.version - 1}], resync, then (${r.version}, …].")
+    }
     // only insert/mutate entries CARRY changes: a minor compaction's folded
     // delta is a re-encoding of changes already logged at their own
     // versions, and create/compact entries name bases — reading either
     // would double-count. Batch-keyed inserts count at their CANONICAL
     // (lowest) version only, matching liveState's first-wins dedup.
-    val canonicalBatch = log
-      .filter(e => e.action == "insert" && e.fp.startsWith("b:"))
-      .groupBy(_.fp).map { case (_, es) => es.map(_.version).min }.toSet
-    val range = log.filter(e => e.version > fromV && e.version <= toV &&
+    val canon = batchCanonOf(view)
+    val range = inRange.filter(e =>
       (e.action == "insert" || e.action == "mutate") &&
-      (!(e.action == "insert" && e.fp.startsWith("b:")) ||
-        canonicalBatch(e.version)))
+      (!e.fp.startsWith("b:") || canon(e.fp) == e.version))
     val born = range.flatMap(e => readDir(spark, root, e.dir, "insert"))
       .reduceOption(_.unionByName(_, allowMissingColumns = true))
     val dead = range.flatMap(e => readDir(spark, root, e.dir, "delete"))
@@ -385,18 +617,18 @@ object TxnMergeOnRead {
     tagged.reduceOption(_.unionByName(_, allowMissingColumns = true)).map { df =>
       // normalize to the canonical column set AT toV (schema entries in
       // the prefix): events from before an ADD COLUMNS read NULL there
-      val prefix = log.takeWhile(_.version <= toV)
-      val (b, _) = liveState(prefix)
+      val prefix = truncateView(f, root, view, toV)
+      val (b, _) = liveStateV(f, root, prefix)
       val baseCols = spark.read.parquet(s"$root/$b").columns
         .filter(_ != RID).toSeq
-      val added = addedCols(prefix).filterNot(c => baseCols.contains(c._1))
+      val added = addedColsV(f, root, prefix).filterNot(c => baseCols.contains(c._1))
       val filled = added.foldLeft(df) { case (d, (n, t)) =>
         if (d.columns.contains(n)) d else d.withColumn(n, lit(null).cast(t))
       }
       val order = (baseCols ++ added.map(_._1)).distinct :+ "change"
       filled.select(order.map(col): _*)
     }.getOrElse(
-      snapshotAt(spark, root, log.takeWhile(_.version <= fromV))
+      snapshotAtV(spark, root, truncateView(f, root, view, fromV))
         .drop(RID).withColumn("change", lit("")).limit(0))
   }
 
@@ -451,14 +683,26 @@ object TxnMergeOnRead {
 
   /** Exact row-grain conflict test: do the two staged deletes share a row
     * id? Both sides are change sets pruned to the rid column — delta-vs-
-    * delta work, never a table scan. */
+    * delta work, never a table scan.
+    *
+    * "No delete half" and "dir gone" are NOT the same answer: a competing
+    * entry whose dir exists but has no delete/ subdir provably staged no
+    * deletes (safe to clear), while a dir the log references that is
+    * absent was retired by vacuum — our pinned snapshot predates the
+    * retention window and the overlap can no longer be checked, so it
+    * conservatively counts as a conflict (the caller recomputes on a fresh
+    * snapshot) instead of silently committing a potential lost update. */
   private def ridsIntersect(spark: SparkSession, root: String,
-      dirA: String, dirB: String): Boolean =
+      dirA: String, dirB: String): Boolean = {
+    val f = fs(spark, root)
+    if (!f.exists(new Path(s"$root/$dirB")))
+      return true // competing dir vacuumed under our pinned snapshot
     (readDir(spark, root, dirA, "delete"), readDir(spark, root, dirB, "delete")) match {
       case (Some(a), Some(b)) =>
         !a.select(col(RID)).join(b.select(col(RID)), Seq(RID), "left_semi").isEmpty
-      case _ => false // a side with no delete events cannot overlap
+      case _ => false // a side that staged no delete events cannot overlap
     }
+  }
 
   /** INSERT INTO: stage once, then take the next free ordinal. New rows
     * cannot collide with any concurrent action (ids are fresh), so no
@@ -466,13 +710,13 @@ object TxnMergeOnRead {
     * retrying the one-file create. */
   def insert(spark: SparkSession, root: String, rows: DataFrame): Unit = {
     val f = fs(spark, root)
-    val log0 = readLog(f, root)
+    val view0 = readView(f, root)
     // the schema lookup reads parquet footers that a concurrent compaction's
     // GC can delete under us — re-resolve against the fresh log in that case
     // (the one data-dir read INSERT does; its staged rows are caller data)
     val cols = (0 to 3).view.map { attempt =>
-      val log = if (attempt == 0) log0 else readLog(f, root)
-      Try(snapshotAt(spark, root, log).columns.filter(_ != RID).toSeq)
+      val view = if (attempt == 0) view0 else readView(f, root)
+      Try(snapshotAtV(spark, root, view).columns.filter(_ != RID).toSeq)
     }.collectFirst { case Success(c) => c }
       .getOrElse(throw new IllegalStateException(
         s"cannot resolve schema of $root"))
@@ -481,12 +725,12 @@ object TxnMergeOnRead {
     val tag = UUID.randomUUID().getLeastSignificantBits & Long.MaxValue
     val dir = stage(spark, root, None,
       Some(withRid(rows.select(cols.map(col): _*), tag)))
-    var v = log0.lastOption.map(_.version).getOrElse(0L) + 1
+    var v = view0.lastVersion + 1
     var attempts = 0
     while (!tryCommit(f, root, Entry(v, "insert", dir, 0L))) {
       attempts += 1
       require(attempts < MAX_COMMIT_ATTEMPTS, s"insert into $root livelocked")
-      v = readLog(f, root).last.version + 1
+      v = lastVersionOnDisk(f, root) + 1
     }
   }
 
@@ -499,12 +743,18 @@ object TxnMergeOnRead {
     * a rewrite would be O(table). Mutations racing a restore conflict on
     * it and recompute against the restored state; compactions racing it
     * abort (their fold would resurrect undone rows); a CDC range must not
-    * span a restore (the range's events include what the restore undid).
+    * span a restore ([[changesBetween]] rejects one that does).
     * Batch keys stay BURNED across a restore — a replay of an undone
     * [[insertBatch]] key does not re-apply (the log remembers the key even
     * when its entry is invisible); re-ingest rolled-back batches under
-    * fresh keys. Requires the target version's dirs to still exist
-    * (retention window). */
+    * fresh keys.
+    *
+    * Fail-loudly guards: every data dir of the target state must exist
+    * BEFORE the commit (a target outside the retention window is rejected
+    * with the vacuum named), and is re-verified AFTER winning the ordinal —
+    * a vacuum racing the commit itself is reported immediately with the
+    * recovery step (restore to the pre-restore head, whose dirs the window
+    * always retains) instead of surfacing later as a broken scan. */
   def restore(spark: SparkSession, root: String, toVersion: Long): Unit = {
     val f = fs(spark, root)
     var attempts = 0
@@ -512,11 +762,27 @@ object TxnMergeOnRead {
     while (!done) {
       attempts += 1
       require(attempts < MAX_COMMIT_ATTEMPTS, s"restore of $root livelocked")
-      val log = readLog(f, root)
-      val snapV = log.lastOption.map(_.version).getOrElse(0L)
+      val view = readView(f, root)
+      val snapV = view.lastVersion
       require(toVersion >= 1 && toVersion <= snapV,
         s"restore target $toVersion outside committed range [1, $snapV]")
+      val target = truncateView(f, root, view, toVersion)
+      val (b, ds) = liveStateV(f, root, target)
+      def missing(): Seq[String] = (b +: ds.values.toSeq.map(_.dir))
+        .filterNot(d => f.exists(new Path(s"$root/$d")))
+      val miss = missing()
+      require(miss.isEmpty, s"cannot restore $root to version $toVersion: " +
+        s"dir(s) ${miss.mkString(", ")} were retired by vacuum " +
+        "(target outside the retention window)")
       done = tryCommit(f, root, Entry(snapV + 1, "restore", "", toVersion))
+      if (done) {
+        val miss2 = missing()
+        if (miss2.nonEmpty) throw new IllegalStateException(
+          s"restore of $root to version $toVersion committed as version " +
+          s"${snapV + 1}, but a concurrent vacuum retired " +
+          s"${miss2.mkString(", ")} during the commit; restore to version " +
+          s"$snapV (the pre-restore head) to recover")
+      }
     }
   }
 
@@ -547,13 +813,13 @@ object TxnMergeOnRead {
     while (!done) {
       attempts += 1
       require(attempts < MAX_COMMIT_ATTEMPTS, s"addColumns on $root livelocked")
-      val log = readLog(f, root)
-      val existing = snapshotAt(spark, root, log).columns.map(_.toLowerCase).toSet
+      val view = readView(f, root)
+      val existing = snapshotAtV(spark, root, view).columns.map(_.toLowerCase).toSet
       cols.foreach { case (n, _) =>
         require(!existing.contains(n.toLowerCase),
           s"column '$n' already exists on $root")
       }
-      val v = log.lastOption.map(_.version).getOrElse(0L) + 1
+      val v = view.lastVersion + 1
       done = tryCommit(f, root, Entry(v, "schema", "", 0L, marker))
     }
   }
@@ -567,18 +833,23 @@ object TxnMergeOnRead {
     * batch finds its key already committed and no-ops — appends become
     * exactly-once across retries with no external dedup state: the log IS
     * the sink's transaction record, exactly why streaming ingest belongs
-    * on an ACID table. Returns true iff THIS call appended (false =
-    * already committed; the staged duplicate is discarded). */
+    * on an ACID table. Checkpoints carry every burned key forward, so the
+    * guarantee is unaffected by log pruning. Returns true iff THIS call
+    * appended (false = already committed; the staged duplicate is
+    * discarded). */
   def insertBatch(spark: SparkSession, root: String, batchKey: String,
       rows: DataFrame): Boolean = {
     require(batchKey.matches("[A-Za-z0-9_.:-]+"),
       s"batch key must be log-entry-safe, got '$batchKey'")
     val marker = s"b:$batchKey"
     val f = fs(spark, root)
-    def committed(): Boolean =
-      readLog(f, root).exists(e => e.action == "insert" && e.fp == marker)
+    def committed(): Boolean = {
+      val view = readView(f, root)
+      view.ckpt.exists(_.batchCanon.contains(marker)) ||
+        view.tail.exists(e => e.action == "insert" && e.fp == marker)
+    }
     if (committed()) return false
-    val cols = snapshotAt(spark, root, readLog(f, root))
+    val cols = snapshotAtV(spark, root, readView(f, root))
       .columns.filter(_ != RID).toSeq
     val tag = UUID.randomUUID().getLeastSignificantBits & Long.MaxValue
     val dir = stage(spark, root, None,
@@ -594,7 +865,7 @@ object TxnMergeOnRead {
         done = true
       } else {
         pauseBeforeBatchCommit() // test seam: widen the check-to-commit window
-        val v = readLog(f, root).lastOption.map(_.version).getOrElse(0L) + 1
+        val v = lastVersionOnDisk(f, root) + 1
         if (tryCommit(f, root, Entry(v, "insert", dir, 0L, marker))) {
           done = true; appended = true
         }
@@ -609,7 +880,9 @@ object TxnMergeOnRead {
     * concurrent mutations commit without recompute — see the isolation
     * scaladoc). `stageFrom` returns None when the predicate matches
     * nothing — committing an empty mutation would serialize against other
-    * writers for no effect, so it no-ops. Returns the number of snapshot
+    * writers for no effect, so it no-ops. The conflict scan opens ONLY the
+    * entries above the pinned snapshot (selected by file name) — O(what
+    * landed since), never a log replay. Returns the number of snapshot
     * computations (1 = committed without recompute). */
   private def mutate(spark: SparkSession, root: String,
       stageFrom: DataFrame => Option[(Option[DataFrame], Option[DataFrame])]): Int = {
@@ -619,10 +892,10 @@ object TxnMergeOnRead {
     while (!done) {
       attempts += 1
       require(attempts <= MAX_COMMIT_ATTEMPTS, s"mutation of $root livelocked")
-      val log0 = readLog(f, root)
-      val snapV = log0.lastOption.map(_.version).getOrElse(0L)
+      val view0 = readView(f, root)
+      val snapV = view0.lastVersion
       pauseAfterSnapshot()
-      stageFrom(snapshotAt(spark, root, log0)) match {
+      stageFrom(snapshotAtV(spark, root, view0)) match {
         case None => done = true // nothing matched on this snapshot
         case Some((del, ins)) =>
           val dir = stage(spark, root, del, ins)
@@ -638,8 +911,8 @@ object TxnMergeOnRead {
             // fast path first, exact rid semi-join only on possible overlap.
             // A RESTORE above the snapshot conflicts unconditionally: the
             // rows this stage references may no longer exist at the head.
-            conflicted = readLog(f, root).exists { e =>
-              val competing = e.version > snapV && !cleared(e.version) &&
+            conflicted = entriesAbove(f, root, snapV).exists { e =>
+              val competing = !cleared(e.version) &&
                 (e.action == "mutate" || e.action == "restore")
               val hit = competing && (e.action == "restore" ||
                 (fpMayOverlap(myFp, e.fp) &&
@@ -649,7 +922,7 @@ object TxnMergeOnRead {
             }
             if (!conflicted) {
               committed = tryCommit(f, root, Entry(v, "mutate", dir, 0L, myFp))
-              if (!committed) v = readLog(f, root).last.version + 1
+              if (!committed) v = lastVersionOnDisk(f, root) + 1
             }
           }
           if (committed) done = true
@@ -783,13 +1056,13 @@ object TxnMergeOnRead {
     var v = snapV + 1
     var attempts = 0
     while (true) {
-      val racedFold = readLog(f, root).exists(e => e.version > snapV &&
-        (e.action == "compact" || e.action == "minor" || e.action == "restore"))
+      val racedFold = entriesAbove(f, root, snapV).exists(e =>
+        e.action == "compact" || e.action == "minor" || e.action == "restore")
       if (racedFold) return false
       if (tryCommit(f, root, mk(v))) return true
       attempts += 1
       require(attempts < MAX_COMMIT_ATTEMPTS, s"compact of $root livelocked")
-      v = readLog(f, root).last.version + 1
+      v = lastVersionOnDisk(f, root) + 1
     }
     false
   }
@@ -803,10 +1076,10 @@ object TxnMergeOnRead {
     * another compaction raced this one (the fold is discarded; rerun). */
   def compact(spark: SparkSession, root: String): Boolean = {
     val f = fs(spark, root)
-    val log0 = readLog(f, root)
-    val snapV = log0.lastOption.map(_.version).getOrElse(0L)
+    val view0 = readView(f, root)
+    val snapV = view0.lastVersion
     val dir = s"base_${UUID.randomUUID().toString.take(12)}"
-    snapshotAt(spark, root, log0).write.parquet(s"$root/$dir")
+    snapshotAtV(spark, root, view0).write.parquet(s"$root/$dir")
     val won = commitFold(f, root, snapV, v => Entry(v, "compact", dir, snapV))
     if (!won) f.delete(new Path(s"$root/$dir"), true)
     won
@@ -824,9 +1097,9 @@ object TxnMergeOnRead {
     * Returns false iff another compaction raced this one. */
   def compactMinor(spark: SparkSession, root: String): Boolean = {
     val f = fs(spark, root)
-    val log0 = readLog(f, root)
-    val snapV = log0.lastOption.map(_.version).getOrElse(0L)
-    val (_, deltas) = liveState(log0)
+    val view0 = readView(f, root)
+    val snapV = view0.lastVersion
+    val (_, deltas) = liveStateV(f, root, view0)
     if (deltas.isEmpty) return true // nothing to fold
     val dirs = deltas.values.toSeq.map(_.dir)
     // deltas from different schema epochs union tolerant (ADD COLUMNS)
@@ -847,28 +1120,79 @@ object TxnMergeOnRead {
   /** Retention-window GC — the only place data directories die. Keeps every
     * dir some snapshot in the last `retainVersions` versions still needs;
     * deletes log-REFERENCED dirs that fell out of the window (superseded by
-    * compactions). Unreferenced dirs are never touched: they are in-flight
-    * writers' stages, not garbage (abandoned stages are deleted by their
-    * own writer). After a vacuum, [[readAt]]/[[changesBetween]] below the
-    * window fail on the missing dirs — the documented retention tradeoff
-    * every log-structured table format has; the log entries themselves are
-    * kept (history metadata stays complete). Safe to run concurrently with
-    * writers: new commits only reference fresh uuid dirs plus dirs live at
-    * the current head, which the window always retains. */
-  def vacuum(spark: SparkSession, root: String, retainVersions: Int): Unit = {
+    * compactions). Unreferenced data dirs are never touched: they are
+    * in-flight writers' stages, not garbage (abandoned stages are deleted
+    * by their own writer). Stray `.tmp_*` files inside `_txnlog` ARE swept:
+    * they are dead writers' unfinished commit bodies (a live writer whose
+    * temp is swept just loses that rename and retries). After a vacuum,
+    * [[readAt]]/[[changesBetween]] below the window fail on the missing
+    * dirs — the documented retention tradeoff every log-structured table
+    * format has.
+    *
+    * With `pruneLog = true` the log METADATA is bounded too: a checkpoint
+    * is written at the window edge and every entry file at or below it is
+    * retired (checkpoints below it as well) — the per-table file count
+    * stops growing with commit history. History below the window then
+    * fails with an explicit "pruned by vacuum" error instead of a missing-
+    * parquet scan error; above it, nothing changes (state at or above the
+    * edge replays from the checkpoint). Default false: entries stay, so
+    * sub-window time travel keeps working where the dirs happen to survive.
+    *
+    * Safe to run concurrently with writers: new commits only reference
+    * fresh uuid dirs plus dirs live at the current head, which the window
+    * always retains; the head is re-checked right before deletion and the
+    * plan recomputed if a commit (e.g. a RESTORE resurrecting an old
+    * version) landed meanwhile, closing the compute-to-delete window. */
+  def vacuum(spark: SparkSession, root: String, retainVersions: Int,
+      pruneLog: Boolean = false): Unit = {
     require(retainVersions >= 1, "retention window must include the head")
     val f = fs(spark, root)
-    val log = readLog(f, root)
-    if (log.isEmpty) return
-    val maxV = log.last.version
-    val keepFrom = math.max(1L, maxV - retainVersions + 1)
-    val needed = (keepFrom to maxV).flatMap { v =>
-      val (b, ds) = liveState(log.takeWhile(_.version <= v))
-      b +: ds.values.toSeq.map(_.dir)
-    }.toSet
-    // metadata-only entries (schema) carry no dir — the empty string must
-    // never reach the delete path (Path("$root/") is the table root)
-    (log.map(_.dir).filter(_.nonEmpty).toSet -- needed)
-      .foreach(d => f.delete(new Path(s"$root/$d"), true))
+    var guard = 0
+    var settled = false
+    while (!settled) {
+      guard += 1
+      val (entryFiles, ckptFiles) = listLog(f, root)
+      if (entryFiles.isEmpty && ckptFiles.isEmpty) return
+      val view = readView(f, root)
+      val maxV = view.lastVersion
+      val keepFrom = math.max(1L, maxV - retainVersions + 1)
+      // the oldest version whose state is still reconstructible (entries
+      // from 1, or the oldest checkpoint after a previous prune)
+      val entries = readEntryFiles(f, entryFiles)
+      val lowest =
+        if (entries.headOption.exists(_.version == 1L)) 1L
+        else ckptFiles.map(_._1).sorted.headOption.getOrElse(maxV)
+      val lo = math.max(keepFrom, lowest)
+      val needed = (lo to maxV).flatMap { v =>
+        val (b, ds) = liveStateV(f, root, truncateView(f, root, view, v))
+        b +: ds.values.toSeq.map(_.dir)
+      }.toSet
+      // candidates: every dir any surviving entry OR checkpoint references
+      // (metadata-only entries carry no dir — the empty string must never
+      // reach the delete path: Path("$root/") is the table root)
+      val ckpts = ckptFiles.flatMap { case (v, p) =>
+        Try(parseCkpt(readBody(f, p))).toOption.filter(_.version == v) }
+      val candidates = (entries.map(_.dir) ++
+        ckpts.flatMap(c => c.base +: c.deltas.values.toSeq.map(_.dir)))
+        .filter(_.nonEmpty).toSet
+      val doomed = candidates -- needed
+      if (lastVersionOnDisk(f, root) != maxV && guard < 5) {
+        () // a commit (possibly a RESTORE) landed while planning: recompute
+      } else {
+        doomed.foreach(d => f.delete(new Path(s"$root/$d"), true))
+        // dead writers' unfinished commit temp files
+        f.listStatus(new Path(s"$root/$LOG_DIR")).toSeq.map(_.getPath)
+          .filter(_.getName.startsWith(".tmp_"))
+          .foreach(p => f.delete(p, false))
+        if (pruneLog) {
+          Try(writeCheckpointAt(f, root, keepFrom))
+          if (f.exists(ckptPath(root, keepFrom))) {
+            entryFiles.filter(_._1 <= keepFrom).foreach(p => f.delete(p._2, false))
+            ckptFiles.filter(_._1 < keepFrom).foreach(p => f.delete(p._2, false))
+          }
+        }
+        settled = true
+      }
+    }
   }
 }

@@ -837,6 +837,11 @@ object HplSql {
         if (quote != 0) {
           if (c == '\\' && i + 1 < sql.length) {
             sb.append(c).append(sql.charAt(i + 1)); i += 2
+          } else if (c == quote && i + 1 < sql.length &&
+              sql.charAt(i + 1) == quote) {
+            // SQL-standard doubled quote ('' or "") is an ESCAPED quote,
+            // not close-then-reopen — stay in-string
+            sb.append(c).append(c); i += 2
           } else { if (c == quote) quote = 0; sb.append(c); i += 1 }
         } else if (c == '\'' || c == '"') { quote = c; sb.append(c); i += 1 }
         else if (Character.isJavaIdentifierStart(c) &&
@@ -882,7 +887,9 @@ object HplSql {
         if (quote != 0) {
           cur.append(c)
           if (c == '\\' && i + 1 < sql.length) { cur.append(sql.charAt(i + 1)); i += 1 }
-          else if (c == quote) quote = 0
+          else if (c == quote && i + 1 < sql.length && sql.charAt(i + 1) == quote) {
+            cur.append(c); i += 1 // doubled quote: escaped, stay in-string
+          } else if (c == quote) quote = 0
         } else c match {
           case '\'' | '"' => quote = c; cur.append(c)
           case '(' => depth += 1; cur.append(c)
@@ -1002,7 +1009,16 @@ object HplSql {
                       vars("SQLERRM") = e.getMessage
                       val outer = handling
                       handling = Some(e)
-                      try run(Seq(h.body)) finally handling = outer
+                      // SQL/PSM: the firing handler (and handlers declared
+                      // after it) are NOT active while its own body runs —
+                      // a failing statement or RESIGNAL inside the body
+                      // dispatches OUTWARD, never back to the same handler
+                      // (which would recurse to stack overflow)
+                      val saved = handlerStack
+                      handlerStack =
+                        handlerStack.drop(handlerStack.indexWhere(_ eq h) + 1)
+                      try run(Seq(h.body))
+                      finally { handlerStack = saved; handling = outer }
                       if (h.mode == "EXIT") throw HandlerExit(h)
                   }
               }

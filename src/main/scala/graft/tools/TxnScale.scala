@@ -23,6 +23,14 @@ import org.apache.spark.sql.functions._
   *     commits, `compactMinor` folds O(deltas) while `compact` rewrites
   *     O(table) — at ×64 the minor wall must stay roughly flat while the
   *     major wall tracks the table.
+  *  4. **Metadata path flat in version count** (round 10): the per-op
+  *     driver cost of loading the log must NOT grow with how many versions
+  *     ever committed — that is what checkpoints buy. Measured as the
+  *     driver-side plan-construction wall (`read(...).schema`: view load +
+  *     parquet footers, no job) and `currentVersion` at ~12 versions vs
+  *     ~500 versions; the checkpointed ratio must stay ~1 while a forced
+  *     full replay (`readAt` below the oldest checkpoint) at the same
+  *     version count shows the O(versions) cost the checkpoint removed.
   *
   * Usage: SPARK_GRAFT_SF_DIR=<dir> sbt "runMain graft.tools.TxnScale"
   */
@@ -115,6 +123,48 @@ object TxnScale {
         require(TxnMergeOnRead.compact(s, root3), "uncontended fold commits")
       }
     }.min
+
+    // ---- 4. metadata path: flat in version count ---------------------
+    // restore commits are metadata-only (one log entry, no Spark job), so
+    // they grow the version count in seconds; each targets head-1, which
+    // keeps every target inside the checkpointed fast path
+    val root4 = s"/tmp/graft_txn_meta_$tag"
+    TxnMergeOnRead.create(s, root4,
+      s.range(0, 10000).select(col("id").as("k"), col("id").as("v")))
+    TxnMergeOnRead.insert(s, root4,
+      s.range(0, 10).select((col("id") + 100000).as("k"), col("id").as("v")))
+    def metaWall(): (Double, Double) = {
+      val t0 = System.nanoTime()
+      (0 until 100).foreach(_ => TxnMergeOnRead.currentVersion(s, root4))
+      val cv = (System.nanoTime() - t0) / 1e9 / 100
+      val t1 = System.nanoTime()
+      (0 until 20).foreach(_ => TxnMergeOnRead.read(s, root4).schema)
+      val rd = (System.nanoTime() - t1) / 1e9 / 20
+      (cv, rd)
+    }
+    while (TxnMergeOnRead.currentVersion(s, root4) < 12)
+      TxnMergeOnRead.restore(s, root4, TxnMergeOnRead.currentVersion(s, root4) - 1)
+    val (cvSmall, rdSmall) = metaWall()
+    while (TxnMergeOnRead.currentVersion(s, root4) < 512)
+      TxnMergeOnRead.restore(s, root4, TxnMergeOnRead.currentVersion(s, root4) - 1)
+    val (cvBig, rdBig) = metaWall()
+    // the cost checkpoints removed: replay below the oldest checkpoint
+    // opens every pre-checkpoint entry file ever committed
+    val t2 = System.nanoTime()
+    (0 until 20).foreach(_ => TxnMergeOnRead.readAt(s, root4, 2L).schema)
+    val rdFull = (System.nanoTime() - t2) / 1e9 / 20
+    // the remaining growth is the log-dir LISTING (O(files on disk)) —
+    // pruning the log bounds that too: per-op cost returns to the
+    // small-table figure at the same 512-version history
+    TxnMergeOnRead.vacuum(s, root4, retainVersions = 16, pruneLog = true)
+    val (cvPruned, rdPruned) = metaWall()
+    println(f"[txnscale] metadata: currentVersion ${cvSmall * 1e3}%.1fms@12v " +
+      f"${cvBig * 1e3}%.1fms@512v ${cvPruned * 1e3}%.1fms@512v-pruned " +
+      f"(pruned/small ${cvPruned / cvSmall}%.2f) | " +
+      f"read-plan ${rdSmall * 1e3}%.1fms@12v ${rdBig * 1e3}%.1fms@512v " +
+      f"${rdPruned * 1e3}%.1fms@512v-pruned (ckpt ratio ${rdBig / rdSmall}%.2f) | " +
+      f"full-replay readAt ${rdFull * 1e3}%.1fms@512v " +
+      f"(${rdFull / rdBig}%.1fx the checkpointed path)")
 
     println(f"[txnscale] dir=$dir rows=$rows corpus=$corpusN " +
       f"disjWall=$disjWall%.2fs attempts=${atts.mkString("/")} " +

@@ -740,4 +740,65 @@ class HplSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
         |SELECT TAG(3) AS a, 'TAG(3)' AS b;""".stripMargin)
     assert(r.getString(0) == "v3" && r.getString(1) == "TAG(3)")
   }
+
+  test("a failing statement inside a declared handler body dispatches OUTWARD") {
+    // SQL/PSM: the firing handler is not active during its own body — the
+    // body's failure must reach the OUTER handler, not re-enter the inner
+    // one (which would recurse to StackOverflowError)
+    val r = run1(
+      """DECLARE a INT := 0;
+        |DECLARE oh INT := 0;
+        |DECLARE CONTINUE HANDLER FOR SQLEXCEPTION SET oh = oh + 1;
+        |BEGIN
+        |  DECLARE CONTINUE HANDLER FOR SQLEXCEPTION
+        |  BEGIN
+        |    SET a = a + 1;
+        |    SELECT * FROM g_no_such_table_inner;
+        |    SET a = a + 100;
+        |  END;
+        |  SELECT * FROM g_no_such_table_outer;
+        |  SET a = a + 10;
+        |END;
+        |SELECT a AS a, oh AS oh;""".stripMargin)
+    assert(r.getInt(1) == 1, "outer handler caught the body's failure exactly once")
+    assert(r.getInt(0) == 111,
+      "inner fired once (1), outer CONTINUE resumed the body (100), " +
+      "inner CONTINUE resumed the block (10)")
+  }
+
+  test("RESIGNAL inside a DECLARE handler body re-raises to the outer handler only") {
+    val r = run1(
+      """DECLARE flow STRING := '';
+        |DECLARE CONTINUE HANDLER FOR SQLEXCEPTION SET flow = flow || 'O';
+        |BEGIN
+        |  DECLARE CONTINUE HANDLER FOR SQLEXCEPTION
+        |  BEGIN
+        |    SET flow = flow || 'I';
+        |    RESIGNAL;
+        |  END;
+        |  SELECT * FROM g_no_such_table_rs;
+        |  SET flow = flow || 'C';
+        |END;
+        |SELECT flow AS flow;""".stripMargin)
+    assert(r.getString(0) == "IOC",
+      "inner handler ran, RESIGNAL went outward (not back to itself), " +
+      "both CONTINUEs resumed")
+  }
+
+  test("doubled quotes stay in-string: a function name after '' is not expanded") {
+    val r = run1(
+      """CREATE FUNCTION add1(x INT) RETURNS INT AS BEGIN RETURN x + 1; END;
+        |SELECT 'it''s add1(1) here' AS s, add1(2) AS y;""".stripMargin)
+    assert(r.getString(0) == "it's add1(1) here",
+      "the literal must survive verbatim — '' must not flip the in-string state")
+    assert(r.getInt(1) == 3, "the call outside the literal still expands")
+    // and as a function ARGUMENT: the doubled quote must not derail the
+    // balanced-paren arg scanner either
+    val r2 = run1(
+      """CREATE FUNCTION wrap(s STRING) RETURNS STRING AS
+        |BEGIN RETURN concat('[', s, ']'); END;
+        |SELECT wrap('a''b)c') AS w;""".stripMargin)
+    assert(r2.getString(0) == "[a'b)c]",
+      "a ')' hidden behind a doubled quote must not close the call")
+  }
 }

@@ -540,4 +540,208 @@ class TxnMorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TxnMergeOnRead.read(spark, root)
       .filter(col("v") =!= col("k") * 10).count() === 0)
   }
+
+  /** Run a thunk with the auto-checkpoint interval lowered so a short
+    * commit history crosses several checkpoint boundaries. */
+  private def withCkptInterval[A](n: Long)(body: => A): A = {
+    val old = TxnMergeOnRead.checkpointInterval
+    TxnMergeOnRead.checkpointInterval = n
+    try body finally TxnMergeOnRead.checkpointInterval = old
+  }
+
+  test("checkpoint + tail replay is equivalent to full replay everywhere") {
+    val root = s"$base/ckpt"
+    withCkptInterval(4) {
+      mk(root, 50)                                                        // v1
+      TxnMergeOnRead.update(spark, root, Seq("v" -> "v + 1"), "k < 10")   // v2
+      assert(TxnMergeOnRead.insertBatch(spark, root, "early",
+        spark.range(500, 505).select(col("id").as("k"), lit(1L).as("v"))))// v3
+      TxnMergeOnRead.delete(spark, root, "k >= 45 AND k < 50")            // v4 → ckpt
+      TxnMergeOnRead.addColumns(spark, root, Seq("z" -> "BIGINT"))        // v5
+      TxnMergeOnRead.insert(spark, root,
+        spark.range(600, 610).select(col("id").as("k"), lit(2L).as("v"),
+          col("id").as("z")))                                             // v6
+      TxnMergeOnRead.update(spark, root, Seq("z" -> "v * 3"), "k < 5")    // v7
+      assert(TxnMergeOnRead.compactMinor(spark, root))                    // v8 → ckpt
+      TxnMergeOnRead.update(spark, root, Seq("v" -> "v + 100"), "k = 20") // v9
+      // a checkpoint file exists at a multiple of the interval
+      val logDir = new File(s"$root/_txnlog")
+      assert(logDir.listFiles().exists(_.getName.endsWith(".ckpt")),
+        "auto-checkpoint written at the interval")
+      // head state (fast path: latest ckpt + tail)
+      val head = TxnMergeOnRead.read(spark, root)
+      assert(head.count() === 50 - 5 + 5 + 10)
+      assert(head.filter(col("k") === 20).select("v").head().getLong(0) === 300)
+      assert(head.filter(col("k") < 5)
+        .filter(col("z") =!= col("v") * 3).count() === 0)
+      // time travel BELOW the checkpoint floor (full replay over old entries)
+      assert(TxnMergeOnRead.readAt(spark, root, 2L).count() === 50)
+      assert(TxnMergeOnRead.readAt(spark, root, 2L).columns.toSeq === Seq("k", "v"))
+      // AT a checkpoint version and just above it
+      assert(TxnMergeOnRead.readAt(spark, root, 4L).count() === 50)
+      assert(TxnMergeOnRead.readAt(spark, root, 5L).columns.contains("z"))
+      // CDC crossing the checkpoint boundary (no restore in range)
+      val cdc = TxnMergeOnRead.changesBetween(spark, root, 1L, 9L)
+      assert(cdc.filter(col("k") === 20 && col("change") === "insert")
+        .select("v").head().getLong(0) === 300)
+      assert(cdc.filter(col("k") >= 45 && col("k") < 50 &&
+        col("change") === "delete").count() === 5)
+      // burned batch key BELOW the floor still dedups (keys ride the ckpt)
+      assert(!TxnMergeOnRead.insertBatch(spark, root, "early",
+        spark.range(0, 3).select(col("id").as("k"), lit(9L).as("v"),
+          lit(0L).as("z"))), "pre-checkpoint batch key must stay burned")
+      // RESTORE to a version below the floor (slow path) and keep going
+      TxnMergeOnRead.restore(spark, root, 2L)                             // v10
+      val restored = TxnMergeOnRead.read(spark, root)
+      assert(restored.count() === 50)
+      assert(!restored.columns.contains("z"), "schema rolled back with the data")
+      assert(restored.filter(col("k") < 10)
+        .filter(col("v") =!= col("k") * 10 + 1).count() === 0)
+      // post-restore commits cross the next boundary cleanly
+      TxnMergeOnRead.insert(spark, root,
+        spark.range(700, 703).select(col("id").as("k"), lit(5L).as("v"))) // v11
+      TxnMergeOnRead.update(spark, root, Seq("v" -> "v - 1"), "k >= 700") // v12 → ckpt
+      val after = TxnMergeOnRead.read(spark, root)
+      assert(after.count() === 53)
+      assert(after.filter(col("k") >= 700).filter(col("v") =!= 4L).count() === 0)
+    }
+  }
+
+  test("a writer dying mid-commit never burns an ordinal (temp-then-rename)") {
+    val root = s"$base/crash"
+    mk(root, 20)
+    // simulate a writer that died between staging its body and the rename:
+    // all it leaves is an invisible temp file in the log dir
+    val tmp = new File(s"$root/_txnlog/.tmp_deadwriter")
+    java.nio.file.Files.write(tmp.toPath, "half-written garbage".getBytes)
+    // co-writers commit at the next ordinal without livelock, readers are
+    // unaffected, and the temp never parses as an entry
+    TxnMergeOnRead.insert(spark, root,
+      spark.range(900, 905).select(col("id").as("k"), lit(0L).as("v")))
+    assert(TxnMergeOnRead.currentVersion(spark, root) === 2)
+    assert(TxnMergeOnRead.read(spark, root).count() === 25)
+    assert(tmp.exists(), "only vacuum sweeps dead temp files")
+    TxnMergeOnRead.vacuum(spark, root, retainVersions = 10)
+    assert(!tmp.exists(), "vacuum sweeps dead writers' temp files")
+    assert(TxnMergeOnRead.read(spark, root).count() === 25)
+  }
+
+  test("pre-round-10 4-field log entries still parse (fp defaults empty)") {
+    val root = s"$base/legacy"
+    mk(root, 10)
+    // hand-stage a delta dir and reference it from a legacy-format entry
+    spark.range(50, 53).select(col("id").as("k"), lit(7L).as("v"))
+      .withColumn("__row_id", struct(lit(99L).as("txn"),
+        monotonically_increasing_id().as("seq")))
+      .write.parquet(s"$root/delta_legacy/insert")
+    val p = new File(f"$root/_txnlog/${2L}%020d.json")
+    java.nio.file.Files.write(p.toPath,
+      """{"version":2,"action":"insert","dir":"delta_legacy","folds":0}"""
+        .getBytes("UTF-8"))
+    assert(TxnMergeOnRead.read(spark, root).count() === 13,
+      "legacy entry readable with fp defaulted")
+    // and a mutation over it conflicts conservatively, not corruptly
+    TxnMergeOnRead.update(spark, root, Seq("v" -> "v + 1"), "k >= 50")
+    assert(TxnMergeOnRead.read(spark, root)
+      .filter(col("k") >= 50).filter(col("v") =!= 8L).count() === 0)
+  }
+
+  test("CDC range spanning a RESTORE is rejected loudly") {
+    val root = s"$base/cdc_restore"
+    mk(root, 20)                                                         // v1
+    TxnMergeOnRead.insert(spark, root,
+      spark.range(100, 105).select(col("id").as("k"), lit(1L).as("v")))  // v2
+    TxnMergeOnRead.restore(spark, root, 1L)                              // v3
+    TxnMergeOnRead.update(spark, root, Seq("v" -> "v + 1"), "k < 5")     // v4
+    val e = intercept[IllegalStateException](
+      TxnMergeOnRead.changesBetween(spark, root, 1L, 4L))
+    assert(e.getMessage.contains("RESTORE") && e.getMessage.contains("resync"))
+    // ranges strictly below and strictly above the restore still work
+    assert(TxnMergeOnRead.changesBetween(spark, root, 1L, 2L).count() === 5)
+    assert(TxnMergeOnRead.changesBetween(spark, root, 3L, 4L).count() === 10)
+  }
+
+  test("restore below the retention window fails loudly, before committing") {
+    val root = s"$base/restore_vac"
+    mk(root, 30)                                                         // v1
+    TxnMergeOnRead.update(spark, root, Seq("v" -> "v + 1"), "k < 10")    // v2
+    assert(TxnMergeOnRead.compact(spark, root))                          // v3
+    TxnMergeOnRead.vacuum(spark, root, retainVersions = 1)
+    val before = TxnMergeOnRead.currentVersion(spark, root)
+    val e = intercept[IllegalArgumentException](
+      TxnMergeOnRead.restore(spark, root, 2L))
+    assert(e.getMessage.contains("vacuum") ||
+      e.getMessage.contains("retention"), s"unexpected: ${e.getMessage}")
+    assert(TxnMergeOnRead.currentVersion(spark, root) === before,
+      "a rejected restore must not consume an ordinal")
+    assert(TxnMergeOnRead.read(spark, root).count() === 30)
+  }
+
+  test("vacuum(pruneLog): history below the window errors clearly, above intact") {
+    val root = s"$base/prune"
+    mk(root, 40)                                                         // v1
+    TxnMergeOnRead.update(spark, root, Seq("v" -> "v + 1"), "k < 10")    // v2
+    assert(TxnMergeOnRead.insertBatch(spark, root, "oldkey",
+      spark.range(200, 205).select(col("id").as("k"), lit(1L).as("v")))) // v3
+    TxnMergeOnRead.delete(spark, root, "k >= 35 AND k < 40")             // v4
+    TxnMergeOnRead.insert(spark, root,
+      spark.range(300, 310).select(col("id").as("k"), lit(2L).as("v")))  // v5
+    TxnMergeOnRead.update(spark, root, Seq("v" -> "v * 2"), "k = 300")   // v6
+    TxnMergeOnRead.vacuum(spark, root, retainVersions = 2, pruneLog = true)
+    // entries ≤ keepFrom (= 5) are gone; a checkpoint at 5 replaces them
+    val names = new File(s"$root/_txnlog").listFiles().map(_.getName).sorted
+    assert(!names.exists(n => n.endsWith(".json") && n.stripSuffix(".json").toLong <= 5L),
+      s"entries at or below the window edge pruned, got ${names.mkString(",")}")
+    assert(names.exists(_.endsWith(".ckpt")), "window-edge checkpoint written")
+    // head and window intact
+    assert(TxnMergeOnRead.read(spark, root).count() === 40 - 5 + 5 + 10)
+    assert(TxnMergeOnRead.readAt(spark, root, 5L)
+      .filter(col("k") === 300).select("v").head().getLong(0) === 2L)
+    assert(TxnMergeOnRead.changesBetween(spark, root, 5L, 6L).count() === 2)
+    // below the window: explicit pruned-history error, not a parquet error
+    val e = intercept[IllegalStateException](
+      TxnMergeOnRead.readAt(spark, root, 3L).count())
+    assert(e.getMessage.contains("pruned by vacuum"), s"got: ${e.getMessage}")
+    intercept[IllegalStateException](
+      TxnMergeOnRead.changesBetween(spark, root, 2L, 6L))
+    // burned batch keys survive the prune (they ride the checkpoint)
+    assert(!TxnMergeOnRead.insertBatch(spark, root, "oldkey",
+      spark.range(0, 2).select(col("id").as("k"), lit(0L).as("v"))),
+      "pruned-away batch key must stay burned")
+    // the table keeps working: new DML, compaction, another prune
+    TxnMergeOnRead.update(spark, root, Seq("v" -> "v + 5"), "k = 301")   // v7
+    assert(TxnMergeOnRead.compact(spark, root))                          // v8
+    TxnMergeOnRead.vacuum(spark, root, retainVersions = 1, pruneLog = true)
+    assert(TxnMergeOnRead.read(spark, root)
+      .filter(col("k") === 301).select("v").head().getLong(0) === 7L)
+  }
+
+  test("a competing mutate whose dir was vacuumed counts as conflict, not clearance") {
+    val root = s"$base/vac_conflict"
+    mk(root)
+    // B pins its snapshot at v1 and parks; A then updates the SAME rows
+    // (v2), minor-folds (v3: base untouched, so B's pinned base survives)
+    // and vacuums — the fold supersedes A's v2 delta, so the window
+    // retires exactly that dir. B resumes — its footprint may overlap
+    // A's, the exact check finds A's dir gone, and the only safe answer
+    // is conflict → recompute on the fresh head. (Silently clearing would
+    // double-apply k<50 rows and lose A's +1.)
+    val (a, b) = interleave(
+      first = () => {
+        val att = TxnMergeOnRead.update(spark, root,
+          Seq("v" -> "v + 1"), "k < 50")
+        assert(TxnMergeOnRead.compactMinor(spark, root))
+        TxnMergeOnRead.vacuum(spark, root, retainVersions = 1)
+        att
+      },
+      gated = () => TxnMergeOnRead.update(spark, root,
+        Seq("v" -> "v + 7"), "k < 50"))
+    assert(a === 1)
+    assert(b === 2, "vacuumed competing dir must force a recompute")
+    val got = TxnMergeOnRead.read(spark, root)
+    assert(got.count() === 200, "no duplicated rows from a stale-snapshot commit")
+    assert(got.filter(col("k") < 50)
+      .filter(col("v") =!= col("k") * 10 + 8).count() === 0,
+      "both increments applied exactly once")
+  }
 }
