@@ -29,7 +29,12 @@ import org.apache.spark.sql.functions._
   *
   * Right-side rows must be unique per (keys, ts); pre-aggregate ties
   * upstream (the deterministic argmax idiom) or the carried row is the
-  * union-order-dependent one.
+  * union-order-dependent one. Either way the output NEVER fans out — each
+  * left row yields exactly one output row (the window carries, it does not
+  * join), so a violated contract degrades to nondeterministic payload
+  * choice, not row explosion. `checkUnique = true` buys an eager assertion
+  * (one narrow count over the right side) for pipelines that would rather
+  * fail than carry an arbitrary tie.
   */
 object AsofJoin {
 
@@ -38,8 +43,16 @@ object AsofJoin {
     * must be mutually comparable (both numeric or both timestamps). */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String,
-      tolerance: Option[Column] = None): DataFrame = {
+      tolerance: Option[Column] = None,
+      checkUnique: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "as-of join needs at least one equi key")
+    if (checkUnique) {
+      val dup = right.groupBy((keys :+ rightTs).map(col): _*)
+        .count().filter(col("count") > 1).limit(1).count()
+      require(dup == 0, s"as-of right side has duplicate (${keys.mkString(",")}" +
+        s", $rightTs) rows — pre-aggregate ties (argmax) or the carried " +
+        "payload is an arbitrary one of them")
+    }
     val payloadCols = right.columns.filterNot(c =>
       keys.contains(c) || c == rightTs).toSeq
     val leftCols = left.columns.toSeq

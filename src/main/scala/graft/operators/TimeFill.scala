@@ -27,11 +27,22 @@ object TimeFill {
     * keys…, bucket, and for each value column `v`: the observed `v`
     * (NULL in gaps) and `v_ffill` (last observation carried forward).
     * Input must have at most one row per (keys, bucket) — pre-aggregate
-    * upstream. */
+    * upstream: a duplicate bucket would DUPLICATE its spine row through
+    * the left join (unlike [[AsofJoin]], which only mis-picks a payload).
+    * `checkUnique = true` asserts that eagerly (one narrow count) instead
+    * of letting the fan-out surface downstream. */
   def gapFillForward(obs: DataFrame, keys: Seq[String], bucket: String,
-      step: Long, valueCols: Seq[String]): DataFrame = {
+      step: Long, valueCols: Seq[String],
+      checkUnique: Boolean = false): DataFrame = {
     require(step > 0, "step must be positive")
     require(valueCols.nonEmpty, "need at least one value column")
+    if (checkUnique) {
+      val dup = obs.groupBy((keys :+ bucket).map(col): _*)
+        .count().filter(col("count") > 1).limit(1).count()
+      require(dup == 0, s"gap-fill input has duplicate (${keys.mkString(",")}" +
+        s", $bucket) rows — pre-aggregate upstream or each duplicate " +
+        "bucket multiplies its spine row through the join")
+    }
     val bounds = obs.groupBy(keys.map(col): _*)
       .agg(min(col(bucket)).as("__lo"), max(col(bucket)).as("__hi"))
     val spine = bounds.select(keys.map(col) :+

@@ -983,22 +983,28 @@ object TxnMergeOnRead {
     * mutation of different rows never forces a recompute, and an
     * insert-only merge (nothing matched) commits conflict-free like
     * INSERT. SET/INSERT expressions resolve against aliases `t` (target)
-    * and `s` (source), the reference's MERGE scoping. Cardinality check:
-    * a target row matching more than one source row errors
-    * (`cardinality_violation`). Returns the snapshot-computation count. */
+    * and `s` (source) — or the caller's own names via
+    * `targetAlias`/`sourceAlias` (the textual MERGE INTO surface passes
+    * the statement's aliases through) — the reference's MERGE scoping.
+    * Cardinality check: a target row matching more than one source row
+    * errors (`cardinality_violation`). Returns the snapshot-computation
+    * count. */
   def merge(spark: SparkSession, root: String, source: DataFrame,
       onCond: String,
       matchedSet: Seq[(String, String)] = Nil,
       matchedDelete: Option[String] = None,
       notMatchedInsert: Option[Seq[(String, String)]] = None,
-      checkCardinality: Boolean = true): Int =
+      checkCardinality: Boolean = true,
+      targetAlias: String = "t", sourceAlias: String = "s"): Int = {
+    require(targetAlias != sourceAlias,
+      s"MERGE aliases must differ, got '$targetAlias' twice")
     mutate(spark, root, { snap =>
       val tcols = snap.columns.filter(_ != RID).toSeq
       val byLower = tcols.map(c => c.toLowerCase -> c).toMap
       val src = source
-      val j = snap.as("t").join(src.as("s"), expr(onCond), "inner")
+      val j = snap.as(targetAlias).join(src.as(sourceAlias), expr(onCond), "inner")
       if (checkCardinality) {
-        val dups = j.groupBy(col(s"t.$RID")).count()
+        val dups = j.groupBy(col(s"$targetAlias.$RID")).count()
           .filter(col("count") > 1).limit(1).count()
         require(dups == 0, s"MERGE cardinality violation: a row of $root " +
           "matches more than one source row")
@@ -1012,14 +1018,16 @@ object TxnMergeOnRead {
       // project the t side BEFORE the union (the joined frame carries both
       // aliases' columns, whose names may collide)
       def tSide(df: DataFrame) = df.select(
-        (tcols.map(c => col(s"t.$c").as(c)) :+ col(s"t.$RID").as(RID)): _*)
+        (tcols.map(c => col(s"$targetAlias.$c").as(c)) :+
+          col(s"$targetAlias.$RID").as(RID)): _*)
       val dead = tSide(toDelete).unionByName(tSide(toUpdate))
       val setMap = matchedSet.map { case (k, v) =>
         byLower.getOrElse(k.toLowerCase, throw new IllegalArgumentException(
           s"MERGE SET references unknown column '$k'")) -> v
       }.toMap
       val updatedNew = toUpdate.select(tcols.map { c =>
-        setMap.get(c).map(e => expr(e).as(c)).getOrElse(col(s"t.$c").as(c))
+        setMap.get(c).map(e => expr(e).as(c))
+          .getOrElse(col(s"$targetAlias.$c").as(c))
       }: _*)
       val inserted = notMatchedInsert.map { ins =>
         val resolved = ins.map { case (k, v) =>
@@ -1031,7 +1039,7 @@ object TxnMergeOnRead {
         val insMap = resolved.toMap
         require(tcols.forall(insMap.contains),
           s"INSERT clause must cover all target columns of $root")
-        src.as("s").join(snap.as("t"), expr(onCond), "left_anti")
+        src.as(sourceAlias).join(snap.as(targetAlias), expr(onCond), "left_anti")
           .select(tcols.map(c => expr(insMap(c)).as(c)): _*)
       }
       val newRows = inserted.fold(updatedNew)(updatedNew.unionByName(_))
@@ -1044,6 +1052,7 @@ object TxnMergeOnRead {
           if (anyNew) Some(withRid(newRows, tag)) else None)))
       }
     })
+  }
 
   /** Shared compactor commit loop: take the next free ordinal UNLESS another
     * compaction (major or minor) landed above our snapshot — then abort and

@@ -1,0 +1,313 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Textual DML surface for the concurrent-writer transaction log — the
+  * reference's actual ACID interface is SQL, not an API
+  * (`ql/src/test/queries/clientpositive/sqlmerge.q`, `UPDATE`/`DELETE`
+  * statements compiled by `UpdateDeleteSemanticAnalyzer.java` and MERGE by
+  * `MergeSemanticAnalyzer.java`, both of which REWRITE the statement into
+  * the engine's native operations). The same split is re-expressed here:
+  * this object parses the three DML statements and rewrites them onto
+  * [[TxnMergeOnRead]]'s optimistic-commit operations; Spark's own parser
+  * never sees them (Spark SQL has no UPDATE/DELETE/MERGE against plain
+  * parquet — that surface is exactly what the txn log adds).
+  *
+  * Grammar (whitespace-insensitive, quote-aware; expressions are passed
+  * VERBATIM to the engine's `expr()`, so anything Spark SQL accepts works
+  * inside conditions, SET values and INSERT values):
+  * {{{
+  *   UPDATE <table> SET col = expr [, ...] [WHERE <cond>]
+  *   DELETE FROM <table> [WHERE <cond>]
+  *   MERGE INTO <table> [AS] t USING (<name> | (<subquery>)) [AS] s
+  *     ON <cond>
+  *     [WHEN MATCHED [AND <cond>] THEN DELETE]
+  *     [WHEN MATCHED THEN UPDATE SET col = expr [, ...]]
+  *     [WHEN NOT MATCHED THEN INSERT [(cols)] VALUES (exprs)]
+  * }}}
+  * Clause rules mirror the reference's MERGE semantics ([[TxnMergeOnRead
+  * .merge]]): delete wins over update for a matched row, at most one
+  * clause of each kind, a conditional matched-UPDATE or conditional
+  * not-matched-INSERT is rejected with a clear error (the log op models
+  * Hive's unconditional forms). Table names resolve through an explicit
+  * [[register]]ed name→root map — the analog of the metastore's
+  * transactional-table flag deciding which statements route to the ACID
+  * path. A MERGE source that is not a parenthesized subquery is read as a
+  * temp view (`spark.table`).
+  */
+object TxnSql {
+
+  /** Registered txn tables: lowercase name → log root. */
+  private val tables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def register(name: String, root: String): Unit =
+    tables.put(name.toLowerCase, root)
+
+  def rootOf(name: String): Option[String] =
+    Option(tables.get(name.toLowerCase))
+
+  /** True iff the statement is UPDATE/DELETE/MERGE against a registered
+    * txn table — the routing predicate an engine front-end uses. */
+  def handles(sqlText: String): Boolean = {
+    val s = sqlText.trim
+    headTable(s).exists(t => tables.containsKey(t.toLowerCase))
+  }
+
+  private def headTable(s: String): Option[String] = {
+    val up = s.toUpperCase
+    if (up.startsWith("UPDATE")) identAfter(s, "UPDATE".length)
+    else if (up.startsWith("DELETE")) {
+      topLevelKw(s, "FROM").headOption.flatMap(i => identAfter(s, i + 4))
+    } else if (up.startsWith("MERGE")) {
+      topLevelKw(s, "INTO").headOption.flatMap(i => identAfter(s, i + 4))
+    } else None
+  }
+
+  /** Execute one DML statement; returns the snapshot-computation count
+    * (1 = committed without recompute), 0 for a no-op. */
+  def exec(spark: SparkSession, sqlText: String): Int = {
+    val s = sqlText.trim.stripSuffix(";").trim
+    val up = s.toUpperCase
+    if (up.startsWith("UPDATE")) execUpdate(spark, s)
+    else if (up.startsWith("DELETE")) execDelete(spark, s)
+    else if (up.startsWith("MERGE")) execMerge(spark, s)
+    else throw new IllegalArgumentException(
+      s"not a txn DML statement (UPDATE/DELETE/MERGE expected): $s")
+  }
+
+  // ---- statement parsers -------------------------------------------------
+
+  private def execUpdate(spark: SparkSession, s: String): Int = {
+    val name = identAfter(s, "UPDATE".length).getOrElse(
+      fail(s, "UPDATE needs a table name"))
+    val root = resolve(name, s)
+    val setI = kwOrFail(s, "SET")
+    val whereI = topLevelKw(s, "WHERE").headOption
+    val assigns = s.substring(setI + 3, whereI.getOrElse(s.length))
+    val cond = whereI.map(i => s.substring(i + 5).trim).getOrElse("true")
+    TxnMergeOnRead.update(spark, root, parseAssignments(assigns, s), cond)
+  }
+
+  private def execDelete(spark: SparkSession, s: String): Int = {
+    val fromI = kwOrFail(s, "FROM")
+    val name = identAfter(s, fromI + 4).getOrElse(
+      fail(s, "DELETE FROM needs a table name"))
+    val root = resolve(name, s)
+    val cond = topLevelKw(s, "WHERE").headOption
+      .map(i => s.substring(i + 5).trim).getOrElse("true")
+    TxnMergeOnRead.delete(spark, root, cond)
+  }
+
+  private def execMerge(spark: SparkSession, s: String): Int = {
+    val intoI = kwOrFail(s, "INTO")
+    val usingI = kwOrFail(s, "USING")
+    val onI = kwOrFail(s, "ON")
+    val whens = topLevelKw(s, "WHEN")
+    require(whens.nonEmpty, s"MERGE needs at least one WHEN clause: $s")
+
+    val (name, tAlias) = nameAndAlias(s.substring(intoI + 4, usingI), s)
+    val root = resolve(name, s)
+    val (source, sAlias) = parseSource(spark, s.substring(usingI + 5, onI), s)
+    val onCond = s.substring(onI + 2, whens.head).trim
+
+    var matchedSet: Seq[(String, String)] = Nil
+    var matchedDelete: Option[String] = None
+    var notMatchedInsert: Option[Seq[(String, String)]] = None
+    val bounds = whens :+ s.length
+    whens.indices.foreach { wi =>
+      val clause = s.substring(bounds(wi), bounds(wi + 1)).trim
+      val cu = clause.toUpperCase
+      val thenI = topLevelKw(clause, "THEN").headOption.getOrElse(
+        fail(s, s"WHEN clause without THEN: $clause"))
+      val guard = clause.substring(0, thenI) // WHEN [NOT] MATCHED [AND …]
+      val action = clause.substring(thenI + 4).trim
+      val au = action.toUpperCase
+      val andCond = topLevelKw(guard, "AND").headOption
+        .map(i => guard.substring(i + 3).trim)
+      if (cu.startsWith("WHEN NOT MATCHED")) {
+        require(andCond.isEmpty,
+          s"conditional NOT MATCHED INSERT is not supported (model it in the USING source): $clause")
+        require(au.startsWith("INSERT"), s"NOT MATCHED supports INSERT only: $clause")
+        require(notMatchedInsert.isEmpty, s"duplicate NOT MATCHED clause: $s")
+        notMatchedInsert =
+          Some(parseInsert(spark, root, action.substring("INSERT".length), s))
+      } else if (au.startsWith("DELETE")) {
+        require(matchedDelete.isEmpty, s"duplicate MATCHED DELETE clause: $s")
+        matchedDelete = Some(andCond.getOrElse("true"))
+      } else if (au.startsWith("UPDATE")) {
+        require(andCond.isEmpty,
+          s"conditional MATCHED UPDATE is not supported (use WHEN MATCHED AND … THEN DELETE for the conditional form): $clause")
+        require(matchedSet.isEmpty, s"duplicate MATCHED UPDATE clause: $s")
+        val setI = topLevelKw(action, "SET").headOption.getOrElse(
+          fail(s, s"UPDATE without SET: $clause"))
+        matchedSet = parseAssignments(action.substring(setI + 3), s)
+      } else fail(s, s"unsupported WHEN action: $clause")
+    }
+    TxnMergeOnRead.merge(spark, root, source, onCond, matchedSet,
+      matchedDelete, notMatchedInsert,
+      targetAlias = tAlias, sourceAlias = sAlias)
+  }
+
+  // ---- pieces ------------------------------------------------------------
+
+  private def resolve(name: String, s: String): String =
+    rootOf(name).getOrElse(throw new IllegalArgumentException(
+      s"'$name' is not a registered transactional table " +
+      s"(TxnSql.register(name, root) first): $s"))
+
+  /** `<name> [AS] [alias]` → (name, alias or default "t"). */
+  private def nameAndAlias(frag: String, s: String): (String, String) = {
+    val words = frag.trim.split("\\s+").filter(_.nonEmpty)
+      .filterNot(_.equalsIgnoreCase("AS"))
+    words match {
+      case Array(n) => (n, "t")
+      case Array(n, a) => (n, a)
+      case _ => fail(s, s"cannot parse target '$frag'")
+    }
+  }
+
+  /** USING operand: `(subquery) [AS] alias` or `viewName [AS] [alias]`. */
+  private def parseSource(spark: SparkSession, frag: String,
+      s: String): (DataFrame, String) = {
+    val f = frag.trim
+    if (f.startsWith("(")) {
+      val close = matchParen(f, 0).getOrElse(fail(s, s"unbalanced USING subquery: $f"))
+      val sub = f.substring(1, close)
+      val rest = f.substring(close + 1).trim.split("\\s+")
+        .filter(_.nonEmpty).filterNot(_.equalsIgnoreCase("AS"))
+      val alias = rest.headOption.getOrElse("s")
+      (spark.sql(sub), alias)
+    } else {
+      val words = f.split("\\s+").filter(_.nonEmpty)
+        .filterNot(_.equalsIgnoreCase("AS"))
+      words match {
+        case Array(n) => (spark.table(n), "s")
+        case Array(n, a) => (spark.table(n), a)
+        case _ => fail(s, s"cannot parse USING '$frag'")
+      }
+    }
+  }
+
+  /** `[(c1, c2, …)] VALUES (e1, e2, …)` → column→expr pairs; a missing
+    * column list maps positionally onto the target schema. */
+  private def parseInsert(spark: SparkSession, root: String, frag: String,
+      s: String): Seq[(String, String)] = {
+    val f = frag.trim
+    val valuesI = topLevelKw(f, "VALUES").headOption.getOrElse(
+      fail(s, s"INSERT without VALUES: $frag"))
+    val colsPart = f.substring(0, valuesI).trim
+    val valsPart = f.substring(valuesI + 6).trim
+    require(valsPart.startsWith("("), s"VALUES needs a parenthesized list: $frag")
+    val close = matchParen(valsPart, 0).getOrElse(
+      fail(s, s"unbalanced VALUES list: $frag"))
+    val exprs = splitTopCommas(valsPart.substring(1, close)).map(_.trim)
+    val cols =
+      if (colsPart.isEmpty) TxnMergeOnRead.read(spark, root).columns.toSeq
+      else {
+        require(colsPart.startsWith("(") && colsPart.endsWith(")"),
+          s"cannot parse INSERT column list: $colsPart")
+        splitTopCommas(colsPart.substring(1, colsPart.length - 1)).map(_.trim)
+      }
+    require(cols.length == exprs.length,
+      s"INSERT arity mismatch: ${cols.length} columns, ${exprs.length} values: $frag")
+    cols.zip(exprs)
+  }
+
+  private def parseAssignments(frag: String, s: String): Seq[(String, String)] =
+    splitTopCommas(frag).map { a =>
+      val eq = topLevelEq(a).getOrElse(fail(s, s"SET assignment without '=': $a"))
+      (a.substring(0, eq).trim, a.substring(eq + 1).trim)
+    }
+
+  private def fail(s: String, msg: String): Nothing =
+    throw new IllegalArgumentException(s"$msg: $s")
+
+  private def kwOrFail(s: String, kw: String): Int =
+    topLevelKw(s, kw).headOption.getOrElse(fail(s, s"expected $kw"))
+
+  // ---- quote/paren-aware scanning ---------------------------------------
+
+  private def isIdentChar(c: Char): Boolean =
+    Character.isLetterOrDigit(c) || c == '_'
+
+  private def identAfter(s: String, from: Int): Option[String] = {
+    var i = from
+    while (i < s.length && Character.isWhitespace(s.charAt(i))) i += 1
+    var j = i
+    while (j < s.length && (isIdentChar(s.charAt(j)) || s.charAt(j) == '.')) j += 1
+    if (j > i) Some(s.substring(i, j)) else None
+  }
+
+  /** Scan `s` outside quotes ('' doubling and backslash escapes respected)
+    * and outside parens, invoking `f` at each index; used by every finder. */
+  private def scanTop(s: String)(f: Int => Unit): Unit = {
+    var i = 0
+    var depth = 0
+    var quote: Char = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        if (c == '\\' && i + 1 < s.length) i += 1
+        else if (c == quote && i + 1 < s.length && s.charAt(i + 1) == quote) i += 1
+        else if (c == quote) quote = 0
+      }
+      else if (c == '\'' || c == '"') quote = c
+      else if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (depth == 0) f(i)
+      i += 1
+    }
+  }
+
+  /** Top-level, word-bounded, case-insensitive occurrences of a keyword. */
+  private def topLevelKw(s: String, kw: String): List[Int] = {
+    val out = List.newBuilder[Int]
+    scanTop(s) { i =>
+      if (s.regionMatches(true, i, kw, 0, kw.length) &&
+          (i == 0 || !isIdentChar(s.charAt(i - 1))) &&
+          (i + kw.length >= s.length || !isIdentChar(s.charAt(i + kw.length))))
+        out += i
+    }
+    out.result()
+  }
+
+  private def splitTopCommas(s: String): Seq[String] = {
+    val cuts = List.newBuilder[Int]
+    scanTop(s) { i => if (s.charAt(i) == ',') cuts += i }
+    val cs = cuts.result()
+    (-1 +: cs).zip(cs :+ s.length).map { case (a, b) => s.substring(a + 1, b) }
+  }
+
+  /** First top-level bare `=` (not `<=`, `>=`, `!=`, `==`). */
+  private def topLevelEq(s: String): Option[Int] = {
+    var found: Option[Int] = None
+    scanTop(s) { i =>
+      if (found.isEmpty && s.charAt(i) == '=' &&
+          (i == 0 || !"<>!=".contains(s.charAt(i - 1))) &&
+          (i + 1 >= s.length || s.charAt(i + 1) != '='))
+        found = Some(i)
+    }
+    found
+  }
+
+  /** Index of the ')' closing the '(' at `open`, quote-aware. */
+  private def matchParen(s: String, open: Int): Option[Int] = {
+    var i = open
+    var depth = 0
+    var quote: Char = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        if (c == '\\' && i + 1 < s.length) i += 1
+        else if (c == quote && i + 1 < s.length && s.charAt(i + 1) == quote) i += 1
+        else if (c == quote) quote = 0
+      }
+      else if (c == '\'' || c == '"') quote = c
+      else if (c == '(') depth += 1
+      else if (c == ')') { depth -= 1; if (depth == 0) return Some(i) }
+      i += 1
+    }
+    None
+  }
+}

@@ -519,6 +519,61 @@ object Dml {
       TxnMergeOnRead.read(s, root)
         .select(col("ck"), col("bal").cast("double").as("bal"))
         .orderBy("ck")
+    },
+
+    // Textual DML surface over the transaction log ([[graft.operators
+    // .TxnSql]] — the reference's actual ACID interface is SQL:
+    // UpdateDeleteSemanticAnalyzer/MergeSemanticAnalyzer REWRITE the
+    // statements onto engine operations, and sqlmerge.q is the conformance
+    // surface): the same chain as the API queries but driven end-to-end by
+    // statement TEXT — UPDATE, DELETE, then a three-clause MERGE INTO with
+    // aliases and a USING subquery. The oracle recomputes the final state
+    // declaratively; a mis-parsed clause boundary, alias, or precedence
+    // (delete beats update) breaks the hash.
+    Qd("q216_txn_sql_dml",
+      """WITH t0 AS (SELECT CAST(c_custkey AS BIGINT) AS ck,
+        |            round(c_acctbal, 2) AS bal, c_mktsegment AS seg
+        |            FROM customer WHERE c_custkey <= 400),
+        |u1 AS (SELECT ck, CASE WHEN seg = 'BUILDING' THEN round(bal + 10, 2)
+        |                       ELSE bal END AS bal, seg FROM t0),
+        |d1 AS (SELECT * FROM u1 WHERE NOT (seg = 'AUTOMOBILE' AND ck % 2 = 0)),
+        |src AS (SELECT CAST(c_custkey AS BIGINT) AS sck,
+        |        round(c_acctbal, 2) + 100 AS nbal
+        |        FROM customer WHERE c_custkey BETWEEN 201 AND 600),
+        |fin AS (
+        |  SELECT d1.ck, CASE WHEN s.sck IS NOT NULL THEN s.nbal
+        |                     ELSE d1.bal END AS bal, d1.seg
+        |  FROM d1 LEFT JOIN src s ON d1.ck = s.sck
+        |  WHERE NOT (s.sck IS NOT NULL AND s.sck % 7 = 0)
+        |  UNION ALL
+        |  SELECT s.sck, s.nbal, 'NEW' FROM src s LEFT JOIN d1 ON s.sck = d1.ck
+        |  WHERE d1.ck IS NULL)
+        |SELECT ck, CAST(bal AS DOUBLE) AS bal, seg FROM fin ORDER BY ck""") { (s, dir) =>
+      val (sf, loc) = ctx(s, dir)
+      val root = s"$loc/g216_txn"
+      val tbl = s"g216_$sf"
+      TxnMergeOnRead.create(s, root, Engine.table(s, dir, "customer")
+        .filter(col("c_custkey") <= 400).select(
+          col("c_custkey").cast("bigint").as("ck"),
+          round(col("c_acctbal"), 2).as("bal"),
+          col("c_mktsegment").as("seg")))
+      graft.operators.TxnSql.register(tbl, root)
+      graft.operators.TxnSql.exec(s,
+        s"UPDATE $tbl SET bal = round(bal + 10, 2) WHERE seg = 'BUILDING'")
+      graft.operators.TxnSql.exec(s,
+        s"DELETE FROM $tbl WHERE seg = 'AUTOMOBILE' AND ck % 2 = 0")
+      graft.operators.TxnSql.exec(s,
+        s"""MERGE INTO $tbl AS t
+           |USING (SELECT CAST(c_custkey AS BIGINT) AS sck,
+           |       round(c_acctbal, 2) + 100 AS nbal
+           |       FROM customer WHERE c_custkey BETWEEN 201 AND 600) AS s
+           |ON t.ck = s.sck
+           |WHEN MATCHED AND s.sck % 7 = 0 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET bal = s.nbal
+           |WHEN NOT MATCHED THEN INSERT (ck, bal, seg) VALUES (s.sck, s.nbal, 'NEW')""".stripMargin)
+      TxnMergeOnRead.read(s, root)
+        .select(col("ck"), col("bal").cast("double").as("bal"), col("seg"))
+        .orderBy("ck")
     }
   )
 }

@@ -16,9 +16,14 @@ import graft.Engine
   * constant — the shape a genuinely larger SF has, as opposed to naive
   * concatenation which multiplies group sizes and join fan-out instead.
   *
-  * Small dimensions (nation, region) and the events table are copied
-  * unchanged: a bigger warehouse still has 25 nations, and the streaming
-  * queries measure state machinery, not scan width.
+  * Small dimensions (nation, region) are copied unchanged: a bigger
+  * warehouse still has 25 nations. The events table is replicated with
+  * OFFSET user and event keys and UNTOUCHED timestamps — each replica is a
+  * fresh population of users whose per-user series are byte-identical to
+  * the originals, so ×N means N× more keys at constant per-key depth
+  * (exactly how a larger deployment grows) and the time-series operators
+  * (as-of join, range join, gap fill) scale in key count, not in window
+  * or fan-out size.
   *
   * The documents/embeddings tables ARE replicated as exact copies under new
   * ids — deliberately: that models a crawl with duplication factor N, the
@@ -76,6 +81,8 @@ object ScaleUp {
       val suppS = stride("supplier", "s_suppkey")
       val docS = stride("documents", "doc_id")
       val vecS = stride("embeddings", "vec_id")
+      val userS = stride("events", "user_id")
+      val eventS = stride("events", "event_id")
 
       // output partitions sized so each holds a few tens of MB at ×64
       val big = math.max(32, factor / 2)
@@ -88,9 +95,10 @@ object ScaleUp {
       replicate(spark, src, out, "supplier", factor, Map("s_suppkey" -> suppS), 8)
       replicate(spark, src, out, "documents", factor, Map("doc_id" -> docS), 32)
       replicate(spark, src, out, "embeddings", factor, Map("vec_id" -> vecS), 32)
+      replicate(spark, src, out, "events", factor,
+        Map("event_id" -> eventS, "user_id" -> userS), 32)
       copyAsIs(spark, src, out, "nation")
       copyAsIs(spark, src, out, "region")
-      copyAsIs(spark, src, out, "events")
     } finally spark.stop()
   }
 }

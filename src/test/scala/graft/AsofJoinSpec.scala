@@ -62,4 +62,23 @@ class AsofJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Join"),
       s"as-of must not plan a join (range-join fan-out):\n$plan")
   }
+
+  test("duplicate right (keys, ts): checkUnique rejects; default never fans out") {
+    val dupRight = right.unionByName(Seq((1, 1L, 999.0)).toDF("k", "rts", "v"))
+    val e = intercept[IllegalArgumentException](
+      AsofJoin.asofJoin(left, dupRight, Seq("k"), "ts", "rts",
+        checkUnique = true))
+    assert(e.getMessage.contains("duplicate"))
+    // without the check the contract degrades to arbitrary-payload, NEVER
+    // row explosion: output cardinality stays |left| and the carried value
+    // is one of the two tied rows
+    val got = AsofJoin.asofJoin(left, dupRight, Seq("k"), "ts", "rts")
+    assert(got.count() === left.count(), "as-of output must not fan out")
+    val v = got.filter(col("k") === 1 && col("ts") === 2L)
+      .select("v").head().getDouble(0)
+    assert(v === 100.0 || v === 999.0, "carried payload is one of the ties")
+    // the clean input passes the eager check
+    assert(AsofJoin.asofJoin(left, right, Seq("k"), "ts", "rts",
+      checkUnique = true).count() === left.count())
+  }
 }

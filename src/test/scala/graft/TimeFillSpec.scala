@@ -35,4 +35,23 @@ class TimeFillSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2, 20L, Some(5.0), Some(5.0), Some(7L), Some(7L))),
       "spine bounded per key; a NULL observed value does not reset the carry")
   }
+
+  test("duplicate (keys, bucket): checkUnique rejects eagerly; default fans out") {
+    val dup = Seq(
+      (1, 0L, Some(10.0)), (1, 0L, Some(20.0)), (1, 20L, Some(30.0))
+    ).toDF("k", "b", "v")
+    val e = intercept[IllegalArgumentException](
+      TimeFill.gapFillForward(dup, Seq("k"), "b", step = 10L,
+        valueCols = Seq("v"), checkUnique = true))
+    assert(e.getMessage.contains("duplicate"))
+    // the documented violation mode WITHOUT the check: each duplicate
+    // bucket multiplies its spine row through the left join (3-bucket
+    // spine, bucket 0 doubled → 4 rows) — why the eager check exists
+    assert(TimeFill.gapFillForward(dup, Seq("k"), "b", step = 10L,
+      valueCols = Seq("v")).count() === 4)
+    // clean input passes the check unchanged
+    val clean = Seq((1, 0L, Some(10.0)), (1, 20L, Some(30.0))).toDF("k", "b", "v")
+    assert(TimeFill.gapFillForward(clean, Seq("k"), "b", step = 10L,
+      valueCols = Seq("v"), checkUnique = true).count() === 3)
+  }
 }

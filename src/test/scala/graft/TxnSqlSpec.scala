@@ -1,0 +1,121 @@
+package graft
+
+import java.io.File
+
+import graft.operators.{TxnMergeOnRead, TxnSql}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Textual DML parsing and routing ([[graft.operators.TxnSql]]): statement
+  * text → [[TxnMergeOnRead]] operations, mirroring the reference's
+  * UpdateDeleteSemanticAnalyzer / MergeSemanticAnalyzer rewrite. The q216
+  * CORRECTNESS row pins the full chain against the oracle; this spec pins
+  * the parser edges — quote awareness, alias plumbing, clause precedence,
+  * and the clear errors for unsupported or malformed forms. */
+class TxnSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = Engine.session(cores = 4, appName = "graft-txnsql")
+  import spark.implicits._
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val base = "/root/repo/target/txnsqlspec"
+
+  private def mk(tag: String): String = {
+    val root = s"$base/$tag"
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(root))
+    TxnMergeOnRead.create(spark, root,
+      spark.range(0, 100).select(col("id").as("k"), (col("id") * 10).as("v"),
+        lit("x").as("tag")))
+    TxnSql.register(s"tsql_$tag", root)
+    root
+  }
+
+  test("UPDATE: assignments, WHERE, and quote-hidden keywords") {
+    val root = mk("upd")
+    // the literal contains WHERE, a comma and a doubled quote — none of
+    // them may derail the clause scanner
+    TxnSql.exec(spark,
+      s"UPDATE tsql_upd SET v = v + 1, tag = 'a,''WHERE'' b' WHERE k < 10")
+    val got = TxnMergeOnRead.read(spark, root)
+    assert(got.filter(col("k") < 10)
+      .filter(col("v") =!= col("k") * 10 + 1).count() === 0)
+    assert(got.filter(col("k") < 10).filter(col("tag") =!= "a,'WHERE' b")
+      .count() === 0, "doubled quote decodes to one quote inside the literal")
+    assert(got.filter(col("k") >= 10).filter(col("tag") =!= "x").count() === 0)
+  }
+
+  test("UPDATE without WHERE touches every row; DELETE FROM with WHERE") {
+    val root = mk("updall")
+    TxnSql.exec(spark, "UPDATE tsql_updall SET v = 0")
+    assert(TxnMergeOnRead.read(spark, root).filter(col("v") =!= 0)
+      .count() === 0)
+    TxnSql.exec(spark, "DELETE FROM tsql_updall WHERE k >= 50")
+    assert(TxnMergeOnRead.read(spark, root).count() === 50)
+  }
+
+  test("MERGE: aliases flow into conditions; delete beats update; view source") {
+    val root = mk("mrg")
+    spark.range(50, 150).select(col("id").as("sk"), lit(7L).as("nv"))
+      .createOrReplaceTempView("tsql_mrg_src")
+    TxnSql.exec(spark,
+      """MERGE INTO tsql_mrg AS tgt USING tsql_mrg_src AS src
+        |ON tgt.k = src.sk
+        |WHEN MATCHED AND src.sk % 10 = 0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = src.nv
+        |WHEN NOT MATCHED THEN INSERT (k, v, tag) VALUES (src.sk, src.nv, 'new')""".stripMargin)
+    val got = TxnMergeOnRead.read(spark, root)
+    assert(got.count() === 100 - 5 + 50)
+    assert(got.filter(col("k") >= 50 && col("k") < 100 && col("k") % 10 === 0)
+      .count() === 0, "matched-delete wins over matched-update")
+    assert(got.filter(col("k") >= 50 && col("k") < 100)
+      .filter(col("v") =!= 7L).count() === 0)
+    assert(got.filter(col("k") >= 100)
+      .filter(col("v") =!= 7L || col("tag") =!= "new").count() === 0)
+  }
+
+  test("MERGE: INSERT without a column list maps positionally") {
+    val root = mk("mrgpos")
+    spark.range(500, 505).select(col("id").as("sk"))
+      .createOrReplaceTempView("tsql_mrgpos_src")
+    TxnSql.exec(spark,
+      """MERGE INTO tsql_mrgpos t USING tsql_mrgpos_src s ON t.k = s.sk
+        |WHEN NOT MATCHED THEN INSERT VALUES (s.sk, s.sk * 2, 'pos')""".stripMargin)
+    val got = TxnMergeOnRead.read(spark, root).filter(col("k") >= 500)
+    assert(got.count() === 5)
+    assert(got.filter(col("v") =!= col("k") * 2).count() === 0)
+  }
+
+  test("handles() routes only registered tables; clear errors otherwise") {
+    mk("route")
+    assert(TxnSql.handles("UPDATE tsql_route SET v = 1"))
+    assert(TxnSql.handles("DELETE FROM tsql_route WHERE k = 1"))
+    assert(TxnSql.handles("MERGE INTO tsql_route t USING x s ON t.k = s.k"))
+    assert(!TxnSql.handles("UPDATE unregistered_tbl SET v = 1"))
+    assert(!TxnSql.handles("SELECT * FROM tsql_route"))
+    val e = intercept[IllegalArgumentException](
+      TxnSql.exec(spark, "UPDATE not_a_txn_table SET v = 1"))
+    assert(e.getMessage.contains("not a registered transactional table"))
+  }
+
+  test("unsupported forms fail with named errors, not silent misparses") {
+    mk("err")
+    val e1 = intercept[IllegalArgumentException](TxnSql.exec(spark,
+      """MERGE INTO tsql_err t USING (SELECT 1 AS sk) s ON t.k = s.sk
+        |WHEN MATCHED AND s.sk = 1 THEN UPDATE SET v = 1""".stripMargin))
+    assert(e1.getMessage.contains("conditional MATCHED UPDATE"))
+    val e2 = intercept[IllegalArgumentException](TxnSql.exec(spark,
+      """MERGE INTO tsql_err t USING (SELECT 1 AS sk) s ON t.k = s.sk
+        |WHEN NOT MATCHED AND s.sk = 1 THEN INSERT VALUES (1, 2, 'x')""".stripMargin))
+    assert(e2.getMessage.contains("conditional NOT MATCHED"))
+    val e3 = intercept[IllegalArgumentException](
+      TxnSql.exec(spark, "UPDATE tsql_err SET WHERE k = 1"))
+    assert(e3.getMessage.contains("'='"))
+    val e4 = intercept[IllegalArgumentException](TxnSql.exec(spark,
+      """MERGE INTO tsql_err t USING (SELECT 1 AS sk) s ON t.k = s.sk
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (1)""".stripMargin))
+    assert(e4.getMessage.contains("arity"))
+  }
+}
