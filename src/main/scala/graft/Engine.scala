@@ -132,9 +132,16 @@ object Engine {
     spark
   }
 
-  /** SQL entry point — Hive Driver.run analog. */
+  /** SQL entry point — Hive Driver.run analog. UPDATE/DELETE/MERGE against
+    * a table registered with [[operators.TxnSql.register]] routes to the
+    * transaction log (the metastore's transactional-table flag deciding
+    * the ACID path, re-expressed); the statement returns the table's
+    * post-DML snapshot. Everything else goes to Spark's parser. */
   def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
     registerAll(spark, dir)
-    spark.sql(query)
+    if (operators.TxnSql.handles(query)) {
+      operators.TxnSql.exec(spark, query)
+      operators.TxnSql.table(spark, operators.TxnSql.targetOf(query).get)
+    } else spark.sql(query)
   }
 }

@@ -54,6 +54,13 @@ object TxnSql {
     headTable(s).exists(t => tables.containsKey(t.toLowerCase))
   }
 
+  /** The statement's target table name, when it is a txn DML statement. */
+  def targetOf(sqlText: String): Option[String] = headTable(sqlText.trim)
+
+  /** Snapshot read of a registered txn table by name. */
+  def table(spark: SparkSession, name: String): DataFrame =
+    TxnMergeOnRead.read(spark, resolve(name, name))
+
   private def headTable(s: String): Option[String] = {
     val up = s.toUpperCase
     if (up.startsWith("UPDATE")) identAfter(s, "UPDATE".length)

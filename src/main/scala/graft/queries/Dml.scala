@@ -574,6 +574,57 @@ object Dml {
       TxnMergeOnRead.read(s, root)
         .select(col("ck"), col("bal").cast("double").as("bal"), col("seg"))
         .orderBy("ck")
+    },
+
+    // Incrementally-maintained materialized aggregate over the CDC feed
+    // ([[graft.operators.IncrementalAgg]] — Gupta/Mumick delta propagation
+    // for distributive aggregates, the consumption pattern changesBetween
+    // exists for): one O(table) init, then every refresh folds ONLY the
+    // version range's change events into per-group (+1/+x, -1/-x)
+    // adjustments — two refreshes across five DML versions here. The
+    // oracle recomputes the final aggregate from the replayed table; a
+    // sign error, a lost zero-count group, or a double-counted UPDATE
+    // (its delete and insert halves must BOTH land) breaks the hash.
+    // Sum column is integral-valued (l_quantity), so incremental and
+    // from-scratch sums are bit-identical in double.
+    Qd("q217_dml_incremental_agg",
+      """WITH t0 AS (SELECT CAST(l_orderkey AS BIGINT) AS ok, l_linenumber AS ln,
+        |            CAST(l_quantity AS DOUBLE) AS qty, l_returnflag AS rf
+        |            FROM lineitem),
+        |v2 AS (SELECT ok, ln, CASE WHEN ok % 7 = 0 THEN qty + 5 ELSE qty END AS qty,
+        |               rf FROM t0),
+        |v3 AS (SELECT * FROM v2 WHERE NOT (rf = 'R' AND ok % 3 = 0)),
+        |v4 AS (SELECT * FROM v3
+        |       UNION ALL
+        |       SELECT ok + 10000000, ln, qty * 2, 'Z' FROM t0 WHERE ok % 11 = 0),
+        |v5 AS (SELECT ok, ln, CASE WHEN rf = 'Z' THEN qty - 1 ELSE qty END AS qty,
+        |               rf FROM v4),
+        |v6 AS (SELECT * FROM v5 WHERE NOT (rf = 'A' AND qty < 10))
+        |SELECT rf, CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(qty) AS DOUBLE) AS sum_qty
+        |FROM v6 GROUP BY rf ORDER BY rf""") { (s, dir) =>
+      val (sf, loc) = ctx(s, dir)
+      val root = s"$loc/g217_txn"
+      val state = s"$loc/g217_agg"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(state))
+      val t0 = Engine.table(s, dir, "lineitem").select(
+        col("l_orderkey").cast("bigint").as("ok"), col("l_linenumber").as("ln"),
+        col("l_quantity").cast("double").as("qty"), col("l_returnflag").as("rf"))
+      TxnMergeOnRead.create(s, root, t0)                                  // v1
+      graft.operators.IncrementalAgg.init(s, root, state,
+        groupCols = Seq("rf"), sumCols = Seq("qty"))
+      TxnMergeOnRead.update(s, root, Seq("qty" -> "qty + 5"), "ok % 7 = 0") // v2
+      TxnMergeOnRead.delete(s, root, "rf = 'R' AND ok % 3 = 0")             // v3
+      TxnMergeOnRead.insert(s, root, t0.filter(col("ok") % 11 === 0).select(
+        (col("ok") + 10000000L).as("ok"), col("ln"),
+        (col("qty") * 2).as("qty"), lit("Z").as("rf")))                     // v4
+      graft.operators.IncrementalAgg.refresh(s, root, state)
+      TxnMergeOnRead.update(s, root, Seq("qty" -> "qty - 1"), "rf = 'Z'")   // v5
+      TxnMergeOnRead.delete(s, root, "rf = 'A' AND qty < 10")               // v6
+      graft.operators.IncrementalAgg.refresh(s, root, state)
+      graft.operators.IncrementalAgg.read(s, state)
+        .select(col("rf"), col("cnt"), col("sum_qty"))
+        .orderBy("rf")
     }
   )
 }

@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.Engine
-import graft.operators.TxnMergeOnRead
+import graft.operators.{IncrementalAgg, TxnMergeOnRead}
 import org.apache.spark.sql.functions._
 
 /** SURVEY §6 scale evidence for the transaction-log CDC path (round 8):
@@ -11,6 +11,12 @@ import org.apache.spark.sql.functions._
   * consumer ever rescans the table — so while the snapshot read and the
   * UPDATE itself grow with the table, the CDC read of the same update's
   * events stays flat.
+  *
+  * Round 10 adds the consumer the feed exists for: an incrementally
+  * maintained materialized aggregate ([[IncrementalAgg]]). The claim: a
+  * refresh after a small change folds only the change range — its wall
+  * tracks the CDC read, not the from-scratch GROUP BY over the snapshot,
+  * and the gap widens with table size.
   *
   * Usage: SPARK_GRAFT_SF_DIR=<dir> sbt "runMain graft.tools.CdcScale"
   */
@@ -59,6 +65,32 @@ object CdcScale {
     }
     println(f"[cdcscale] dir=$dir rows=$rows changes=$nChanges " +
       f"update=$upd%.2fs cdc=$cdc%.2fs fullRead=$full%.2fs cdc/full=${cdc / full}%.2f")
+
+    // incremental materialized aggregate: refresh after a ~0.1% change vs
+    // recomputing the same GROUP BY from the snapshot
+    val state = s"${root}_agg"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(state))
+    IncrementalAgg.init(s, root, state, Seq("rf"), Seq("qty", "price"))
+    // each timed run refreshes over a fresh pending ~0.1% change; the
+    // update itself stays OUTSIDE the timed region (its snapshot scan is
+    // the write path's cost, measured above)
+    val incr = (1 to 2).map { i =>
+      TxnMergeOnRead.update(s, root, Seq("qty" -> "qty + 1"), s"ok % 2048 = $i")
+      System.gc(); Thread.sleep(150)
+      val t0 = System.nanoTime()
+      IncrementalAgg.refresh(s, root, state)
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[cdcscale] incremental agg refresh #$i ${dt}%.2fs")
+      dt
+    }.min
+    val scratch = best2("from-scratch agg over the snapshot") {
+      TxnMergeOnRead.read(s, root).groupBy("rf")
+        .agg(count(lit(1)).as("cnt"), sum("qty").as("sum_qty"),
+          sum("price").as("sum_price"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    println(f"[cdcscale] incrAgg refresh=$incr%.2fs scratchAgg=$scratch%.2fs " +
+      f"refresh/scratch=${incr / scratch}%.2f")
     s.stop()
   }
 }

@@ -100,6 +100,21 @@ class TxnSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("not a registered transactional table"))
   }
 
+  test("Engine.sql transparently routes txn DML; SELECT still hits Spark") {
+    val root = mk("engine")
+    val dir = "/root/testdata/sf0.001"
+    val got = Engine.sql(spark, dir,
+      "UPDATE tsql_engine SET v = v + 100 WHERE k < 3")
+    assert(got.filter(col("k") < 3).filter(col("v") =!= col("k") * 10 + 100)
+      .count() === 0, "DML returns the post-statement snapshot")
+    assert(TxnMergeOnRead.read(spark, root)
+      .filter(col("k") < 3).filter(col("v") =!= col("k") * 10 + 100)
+      .count() === 0, "the statement actually committed to the log")
+    // a plain query against the warehouse still goes through Spark SQL
+    assert(Engine.sql(spark, dir, "SELECT count(*) AS n FROM region")
+      .head().getLong(0) === 5L)
+  }
+
   test("unsupported forms fail with named errors, not silent misparses") {
     mk("err")
     val e1 = intercept[IllegalArgumentException](TxnSql.exec(spark,
