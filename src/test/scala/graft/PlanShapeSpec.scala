@@ -269,4 +269,30 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!s.contains("Exchange SinglePartition"),
       "packing must never collapse to a single partition — the fold is per shard")
   }
+
+  test("CDC plan scans ONLY the range's delta dirs — the base never appears") {
+    // the O(changes in range) claim, asserted at the plan level: every
+    // parquet location in changesBetween's executed plan is a delta dir of
+    // the consumed range; a base_ path anywhere means a table rescan
+    val root = "/root/repo/target/planshape/cdc_scan"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    import org.apache.spark.sql.functions.{col => c, lit => l}
+    graft.operators.TxnMergeOnRead.create(spark, root,
+      spark.range(0, 5000).select(c("id").as("k"), (c("id") % 10).as("g"),
+        l(1.0).as("x")))
+    graft.operators.TxnMergeOnRead.update(spark, root,
+      Seq("x" -> "x + 1"), "k % 100 = 0")
+    graft.operators.TxnMergeOnRead.insert(spark, root,
+      spark.range(9000, 9100).select(c("id").as("k"), l(0L).as("g"),
+        l(2.0).as("x")))
+    val df = graft.operators.TxnMergeOnRead.changesBetween(spark, root, 1L, 3L)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    val locations = "file:[^\\]\\s,]*".r.findAllIn(s).toSeq
+    assert(locations.nonEmpty, s"expected parquet scan locations in:\n$s")
+    assert(locations.forall(_.contains("delta_")),
+      s"CDC scanned a non-delta path:\n${locations.distinct.mkString("\n")}")
+    assert(!s.contains("base_"),
+      s"CDC plan touches the base — table-size crept into the bound:\n$s")
+  }
 }
