@@ -1082,13 +1082,25 @@ object TxnMergeOnRead {
     * it ran still resolve on top of the new base. Superseded dirs are NOT
     * deleted — that is [[vacuum]]'s retention-window decision, so pinned
     * [[readAt]]/[[changesBetween]] below V keep working. Returns false iff
-    * another compaction raced this one (the fold is discarded; rerun). */
-  def compact(spark: SparkSession, root: String): Boolean = {
+    * another compaction raced this one (the fold is discarded; rerun).
+    *
+    * `clusterBy` (optional) z-orders the new base on the given columns
+    * ([[ZOrder.cluster]], Delta's `OPTIMIZE ... ZORDER BY`): each of the
+    * `clusterFiles` output files covers a narrow hyper-rectangle of the
+    * filter space, so selective predicates on ANY clustered column skip
+    * whole files/row groups on parquet footer stats — the compaction is
+    * exactly where a 100 TB table buys its layout back. */
+  def compact(spark: SparkSession, root: String,
+      clusterBy: Seq[String] = Nil, clusterFiles: Int = 32): Boolean = {
     val f = fs(spark, root)
     val view0 = readView(f, root)
     val snapV = view0.lastVersion
     val dir = s"base_${UUID.randomUUID().toString.take(12)}"
-    snapshotAtV(spark, root, view0).write.parquet(s"$root/$dir")
+    val snap = snapshotAtV(spark, root, view0)
+    val out =
+      if (clusterBy.isEmpty) snap
+      else ZOrder.cluster(snap, clusterBy, clusterFiles)
+    out.write.parquet(s"$root/$dir")
     val won = commitFold(f, root, snapV, v => Entry(v, "compact", dir, snapV))
     if (!won) f.delete(new Path(s"$root/$dir"), true)
     won

@@ -625,6 +625,40 @@ object Dml {
       graft.operators.IncrementalAgg.read(s, state)
         .select(col("rf"), col("cnt"), col("sum_qty"))
         .orderBy("rf")
+    },
+
+    // Z-order clustered compaction ([[graft.operators.ZOrder]] — Delta's
+    // OPTIMIZE ZORDER BY / UB-tree layout; the reference's nearest ideas,
+    // bucketing and list bucketing, are single-key): the compaction
+    // rewrites the base so every file covers a narrow (partkey, suppkey)
+    // rectangle and a 2-D slice skips most files on parquet footer stats
+    // (geometry spec-asserted in ZOrderSpec from the files' actual
+    // min/max). This query pins CORRECTNESS through the layout change: a
+    // 2-D slice + aggregate over the clustered table must match the
+    // oracle's direct computation — a clustering that drops, duplicates,
+    // or reorders-into-wrong-groups breaks the hash.
+    Qd("q218_zorder_compact",
+      """WITH t AS (SELECT CAST(l_partkey AS BIGINT) AS pk,
+        |            CAST(l_suppkey AS BIGINT) AS sk,
+        |            CAST(l_quantity AS DOUBLE) AS qty FROM lineitem)
+        |SELECT pk, CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(qty) AS DOUBLE) AS sum_qty
+        |FROM t WHERE pk BETWEEN 100 AND 500 AND sk BETWEEN 10 AND 60
+        |GROUP BY pk ORDER BY pk""") { (s, dir) =>
+      val (sf, loc) = ctx(s, dir)
+      val root = s"$loc/g218_txn"
+      TxnMergeOnRead.create(s, root, Engine.table(s, dir, "lineitem").select(
+        col("l_partkey").cast("bigint").as("pk"),
+        col("l_suppkey").cast("bigint").as("sk"),
+        col("l_quantity").cast("double").as("qty")))
+      require(TxnMergeOnRead.compact(s, root,
+        clusterBy = Seq("pk", "sk"), clusterFiles = 16),
+        "uncontended clustered compaction commits")
+      TxnMergeOnRead.read(s, root)
+        .filter(col("pk").between(100, 500) && col("sk").between(10, 60))
+        .groupBy("pk")
+        .agg(count(lit(1)).as("cnt"), sum("qty").cast("double").as("sum_qty"))
+        .orderBy("pk")
     }
   )
 }

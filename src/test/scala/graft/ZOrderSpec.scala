@@ -1,0 +1,104 @@
+package graft
+
+import java.io.File
+
+import graft.operators.{TxnMergeOnRead, ZOrder}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Z-order clustering contracts ([[graft.operators.ZOrder]]): content
+  * preservation, and the data-skipping geometry itself — measured from the
+  * written files' ACTUAL per-file min/max (the same stats parquet footers
+  * expose to the reader), not assumed: under z-order a selective slice on
+  * EITHER dimension intersects a small fraction of files, where a
+  * single-column sort leaves the non-leading dimension at full domain in
+  * every file (zero skipping). */
+class ZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = Engine.session(cores = 8, appName = "graft-zorder")
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val base = "/root/repo/target/zorderspec"
+
+  // two independent pseudo-random dimensions over [0, 100000)
+  private def data(): DataFrame =
+    spark.range(0, 100000).select(col("id").as("k"),
+      (col("id") * 2654435761L % 100000L).as("x"),
+      (hash(col("id")).cast("long").bitwiseAND(0x7fffffffL) % 100000L).as("y"))
+
+  /** Per-file [min,max] of a column, from the files actually written —
+    * the information a parquet footer gives the scan. */
+  private def fileRanges(path: String, c: String): Seq[(Long, Long)] =
+    spark.read.parquet(path).groupBy(input_file_name())
+      .agg(min(col(c)).as("lo"), max(col(c)).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+
+  /** Fraction of files whose stats range intersects [lo, hi] — exactly
+    * the fraction a stats-pruning reader must touch. */
+  private def hitFraction(ranges: Seq[(Long, Long)], lo: Long, hi: Long): Double =
+    ranges.count { case (a, b) => a <= hi && lo <= b }.toDouble / ranges.size
+
+  test("z-order: a slice on EITHER dimension skips most files; plain sort cannot") {
+    val zdir = s"$base/z"
+    val xdir = s"$base/xsort"
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(base))
+    ZOrder.cluster(data(), Seq("x", "y"), numFiles = 64)
+      .write.parquet(zdir)
+    // the comparison layout: same data, same file count, sorted by x only
+    data().repartitionByRange(64, col("x")).sortWithinPartitions("x")
+      .write.parquet(xdir)
+
+    // content preserved exactly
+    assert(spark.read.parquet(zdir).orderBy("k").collect().toSeq ===
+      data().orderBy("k").collect().toSeq)
+
+    // a 2% slice on each dimension
+    val (lo, hi) = (40000L, 42000L)
+    val zx = hitFraction(fileRanges(zdir, "x"), lo, hi)
+    val zy = hitFraction(fileRanges(zdir, "y"), lo, hi)
+    val sx = hitFraction(fileRanges(xdir, "x"), lo, hi)
+    val sy = hitFraction(fileRanges(xdir, "y"), lo, hi)
+    assert(zx <= 0.30, f"z-order x-slice should skip most files, hit $zx%.2f")
+    assert(zy <= 0.30, f"z-order y-slice should skip most files, hit $zy%.2f")
+    assert(sx <= 0.10, f"x-sort is optimal on its own column, hit $sx%.2f")
+    assert(sy >= 0.95,
+      f"x-sort leaves y at full domain per file (hit $sy%.2f) — the gap " +
+      "z-order exists to close")
+  }
+
+  test("compact(clusterBy) z-orders the new base; snapshot content unchanged") {
+    val root = s"$base/txn"
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(root))
+    TxnMergeOnRead.create(spark, root, data())
+    TxnMergeOnRead.update(spark, root, Seq("x" -> "x + 1"), "k % 1000 = 0")
+    val before = TxnMergeOnRead.read(spark, root).orderBy("k").collect().toSeq
+    assert(TxnMergeOnRead.compact(spark, root,
+      clusterBy = Seq("x", "y"), clusterFiles = 32))
+    assert(TxnMergeOnRead.read(spark, root).orderBy("k").collect()
+      .toSeq === before, "clustered compaction must not change content")
+    // the new base's layout has the z property on both dimensions
+    val baseDir = new File(root).listFiles()
+      .filter(f => f.getName.startsWith("base_") && f.isDirectory)
+      .maxBy(_.lastModified).getAbsolutePath
+    val fx = hitFraction(fileRanges(baseDir, "x"), 40000L, 42000L)
+    val fy = hitFraction(fileRanges(baseDir, "y"), 40000L, 42000L)
+    assert(fx <= 0.40 && fy <= 0.40,
+      f"clustered base should skip on both dims, hit x=$fx%.2f y=$fy%.2f")
+    // and deltas stack on it as usual
+    TxnMergeOnRead.delete(spark, root, "k < 10")
+    assert(TxnMergeOnRead.read(spark, root).count() === 100000 - 10)
+  }
+
+  test("NULLs, constant columns, and skew do not break the build") {
+    val df = spark.range(0, 1000).select(col("id").as("k"),
+      when(col("id") % 10 === 0, lit(null)).otherwise(col("id")).as("x"),
+      lit(7L).as("c"))
+    val out = s"$base/nulls"
+    ZOrder.cluster(df, Seq("x", "c"), numFiles = 4).write.parquet(out)
+    assert(spark.read.parquet(out).count() === 1000)
+    assert(spark.read.parquet(out).filter(col("x").isNull).count() === 100)
+  }
+}
