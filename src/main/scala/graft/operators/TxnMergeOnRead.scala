@@ -986,6 +986,16 @@ object TxnMergeOnRead {
     * and `s` (source) — or the caller's own names via
     * `targetAlias`/`sourceAlias` (the textual MERGE INTO surface passes
     * the statement's aliases through) — the reference's MERGE scoping.
+    *
+    * Conditional clauses (the full `sqlmerge.q` shape): `matchedSetCond`
+    * guards the update clause (`WHEN MATCHED AND c THEN UPDATE`) — a
+    * matched row satisfying neither the delete nor the update condition
+    * stays untouched with NO events; `notMatchedCond` guards the insert
+    * clause (`WHEN NOT MATCHED AND c THEN INSERT`) — unmatched source
+    * rows failing it are simply dropped. Delete wins over update for a
+    * row satisfying both, Hive's precedence. 3VL throughout: a NULL
+    * condition does not take the clause.
+    *
     * Cardinality check: a target row matching more than one source row
     * errors (`cardinality_violation`). Returns the snapshot-computation
     * count. */
@@ -995,7 +1005,9 @@ object TxnMergeOnRead {
       matchedDelete: Option[String] = None,
       notMatchedInsert: Option[Seq[(String, String)]] = None,
       checkCardinality: Boolean = true,
-      targetAlias: String = "t", sourceAlias: String = "s"): Int = {
+      targetAlias: String = "t", sourceAlias: String = "s",
+      matchedSetCond: Option[String] = None,
+      notMatchedCond: Option[String] = None): Int = {
     require(targetAlias != sourceAlias,
       s"MERGE aliases must differ, got '$targetAlias' twice")
     mutate(spark, root, { snap =>
@@ -1011,9 +1023,11 @@ object TxnMergeOnRead {
       }
       val delCond = matchedDelete
         .map(c => coalesce(expr(c), lit(false))).getOrElse(lit(false))
+      val updCond = matchedSetCond
+        .map(c => coalesce(expr(c), lit(false))).getOrElse(lit(true))
       val toDelete = j.filter(delCond)
       val toUpdate =
-        if (matchedSet.nonEmpty) j.filter(!delCond) else j.limit(0)
+        if (matchedSet.nonEmpty) j.filter(!delCond && updCond) else j.limit(0)
       // dead rows keep their rid + full old values (CDC delete events);
       // project the t side BEFORE the union (the joined frame carries both
       // aliases' columns, whose names may collide)
@@ -1039,7 +1053,11 @@ object TxnMergeOnRead {
         val insMap = resolved.toMap
         require(tcols.forall(insMap.contains),
           s"INSERT clause must cover all target columns of $root")
-        src.as(sourceAlias).join(snap.as(targetAlias), expr(onCond), "left_anti")
+        val unmatched = src.as(sourceAlias)
+          .join(snap.as(targetAlias), expr(onCond), "left_anti")
+        notMatchedCond
+          .map(c => unmatched.filter(coalesce(expr(c), lit(false))))
+          .getOrElse(unmatched)
           .select(tcols.map(c => expr(insMap(c)).as(c)): _*)
       }
       val newRows = inserted.fold(updatedNew)(updatedNew.unionByName(_))

@@ -22,14 +22,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   MERGE INTO <table> [AS] t USING (<name> | (<subquery>)) [AS] s
   *     ON <cond>
   *     [WHEN MATCHED [AND <cond>] THEN DELETE]
-  *     [WHEN MATCHED THEN UPDATE SET col = expr [, ...]]
-  *     [WHEN NOT MATCHED THEN INSERT [(cols)] VALUES (exprs)]
+  *     [WHEN MATCHED [AND <cond>] THEN UPDATE SET col = expr [, ...]]
+  *     [WHEN NOT MATCHED [AND <cond>] THEN INSERT [(cols)] VALUES (exprs)]
   * }}}
   * Clause rules mirror the reference's MERGE semantics ([[TxnMergeOnRead
-  * .merge]]): delete wins over update for a matched row, at most one
-  * clause of each kind, a conditional matched-UPDATE or conditional
-  * not-matched-INSERT is rejected with a clear error (the log op models
-  * Hive's unconditional forms). Table names resolve through an explicit
+  * .merge]], the full `sqlmerge.q` shape): delete wins over update for a
+  * matched row satisfying both guards, a matched row satisfying neither
+  * stays untouched, an unmatched source row failing the insert guard is
+  * dropped, at most one clause of each kind (Hive's limit is one UPDATE +
+  * one DELETE + one INSERT). Table names resolve through an explicit
   * [[register]]ed name→root map — the analog of the metastore's
   * transactional-table flag deciding which statements route to the ACID
   * path. A MERGE source that is not a parenthesized subquery is read as a
@@ -119,8 +120,10 @@ object TxnSql {
     val onCond = s.substring(onI + 2, whens.head).trim
 
     var matchedSet: Seq[(String, String)] = Nil
+    var matchedSetCond: Option[String] = None
     var matchedDelete: Option[String] = None
     var notMatchedInsert: Option[Seq[(String, String)]] = None
+    var notMatchedCond: Option[String] = None
     val bounds = whens :+ s.length
     whens.indices.foreach { wi =>
       val clause = s.substring(bounds(wi), bounds(wi + 1)).trim
@@ -133,27 +136,26 @@ object TxnSql {
       val andCond = topLevelKw(guard, "AND").headOption
         .map(i => guard.substring(i + 3).trim)
       if (cu.startsWith("WHEN NOT MATCHED")) {
-        require(andCond.isEmpty,
-          s"conditional NOT MATCHED INSERT is not supported (model it in the USING source): $clause")
         require(au.startsWith("INSERT"), s"NOT MATCHED supports INSERT only: $clause")
         require(notMatchedInsert.isEmpty, s"duplicate NOT MATCHED clause: $s")
         notMatchedInsert =
           Some(parseInsert(spark, root, action.substring("INSERT".length), s))
+        notMatchedCond = andCond
       } else if (au.startsWith("DELETE")) {
         require(matchedDelete.isEmpty, s"duplicate MATCHED DELETE clause: $s")
         matchedDelete = Some(andCond.getOrElse("true"))
       } else if (au.startsWith("UPDATE")) {
-        require(andCond.isEmpty,
-          s"conditional MATCHED UPDATE is not supported (use WHEN MATCHED AND … THEN DELETE for the conditional form): $clause")
         require(matchedSet.isEmpty, s"duplicate MATCHED UPDATE clause: $s")
         val setI = topLevelKw(action, "SET").headOption.getOrElse(
           fail(s, s"UPDATE without SET: $clause"))
         matchedSet = parseAssignments(action.substring(setI + 3), s)
+        matchedSetCond = andCond
       } else fail(s, s"unsupported WHEN action: $clause")
     }
     TxnMergeOnRead.merge(spark, root, source, onCond, matchedSet,
       matchedDelete, notMatchedInsert,
-      targetAlias = tAlias, sourceAlias = sAlias)
+      targetAlias = tAlias, sourceAlias = sAlias,
+      matchedSetCond = matchedSetCond, notMatchedCond = notMatchedCond)
   }
 
   // ---- pieces ------------------------------------------------------------

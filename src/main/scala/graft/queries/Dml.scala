@@ -541,13 +541,13 @@ object Dml {
         |        round(c_acctbal, 2) + 100 AS nbal
         |        FROM customer WHERE c_custkey BETWEEN 201 AND 600),
         |fin AS (
-        |  SELECT d1.ck, CASE WHEN s.sck IS NOT NULL THEN s.nbal
-        |                     ELSE d1.bal END AS bal, d1.seg
+        |  SELECT d1.ck, CASE WHEN s.sck IS NOT NULL AND s.sck % 2 = 1
+        |                     THEN s.nbal ELSE d1.bal END AS bal, d1.seg
         |  FROM d1 LEFT JOIN src s ON d1.ck = s.sck
         |  WHERE NOT (s.sck IS NOT NULL AND s.sck % 7 = 0)
         |  UNION ALL
         |  SELECT s.sck, s.nbal, 'NEW' FROM src s LEFT JOIN d1 ON s.sck = d1.ck
-        |  WHERE d1.ck IS NULL)
+        |  WHERE d1.ck IS NULL AND s.sck <= 550)
         |SELECT ck, CAST(bal AS DOUBLE) AS bal, seg FROM fin ORDER BY ck""") { (s, dir) =>
       val (sf, loc) = ctx(s, dir)
       val root = s"$loc/g216_txn"
@@ -569,8 +569,8 @@ object Dml {
            |       FROM customer WHERE c_custkey BETWEEN 201 AND 600) AS s
            |ON t.ck = s.sck
            |WHEN MATCHED AND s.sck % 7 = 0 THEN DELETE
-           |WHEN MATCHED THEN UPDATE SET bal = s.nbal
-           |WHEN NOT MATCHED THEN INSERT (ck, bal, seg) VALUES (s.sck, s.nbal, 'NEW')""".stripMargin)
+           |WHEN MATCHED AND s.sck % 2 = 1 THEN UPDATE SET bal = s.nbal
+           |WHEN NOT MATCHED AND s.sck <= 550 THEN INSERT (ck, bal, seg) VALUES (s.sck, s.nbal, 'NEW')""".stripMargin)
       TxnMergeOnRead.read(s, root)
         .select(col("ck"), col("bal").cast("double").as("bal"), col("seg"))
         .orderBy("ck")

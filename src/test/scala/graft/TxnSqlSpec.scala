@@ -115,16 +115,36 @@ class TxnSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head().getLong(0) === 5L)
   }
 
-  test("unsupported forms fail with named errors, not silent misparses") {
+  test("conditional WHEN clauses: delete wins, update guard, insert guard, rest untouched") {
+    val root = mk("cond")
+    spark.range(50, 151).select(col("id").as("sk"))
+      .createOrReplaceTempView("tsql_cond_src")
+    TxnSql.exec(spark,
+      """MERGE INTO tsql_cond t USING tsql_cond_src s ON t.k = s.sk
+        |WHEN MATCHED AND s.sk % 10 = 0 THEN DELETE
+        |WHEN MATCHED AND s.sk % 3 = 0 THEN UPDATE SET v = -1
+        |WHEN NOT MATCHED AND s.sk < 120 THEN INSERT (k, v, tag) VALUES (s.sk, 0, 'c')""".stripMargin)
+    val got = TxnMergeOnRead.read(spark, root)
+    // matched 50..99: %10=0 deleted (5 rows, incl. 60/90 which also hit
+    // the update guard — delete wins); else %3=0 updated; else untouched
+    assert(got.count() === 100 - 5 + 20, "5 deleted, 20 guarded inserts (sk<120)")
+    assert(got.filter(col("k") >= 50 && col("k") < 100 && col("k") % 10 === 0)
+      .count() === 0)
+    assert(got.filter(col("k") >= 50 && col("k") < 100 &&
+      col("k") % 3 === 0 && col("k") % 10 =!= 0)
+      .filter(col("v") =!= -1L).count() === 0, "guarded update applied")
+    assert(got.filter(col("k") >= 50 && col("k") < 100 &&
+      col("k") % 3 =!= 0 && col("k") % 10 =!= 0)
+      .filter(col("v") =!= col("k") * 10).count() === 0,
+      "matched rows satisfying neither guard stay untouched")
+    assert(got.filter(col("k") >= 120).count() === 0,
+      "unmatched source rows failing the insert guard are dropped")
+    assert(got.filter(col("k") >= 100 && col("k") < 120)
+      .filter(col("v") =!= 0L || col("tag") =!= "c").count() === 0)
+  }
+
+  test("malformed forms fail with named errors, not silent misparses") {
     mk("err")
-    val e1 = intercept[IllegalArgumentException](TxnSql.exec(spark,
-      """MERGE INTO tsql_err t USING (SELECT 1 AS sk) s ON t.k = s.sk
-        |WHEN MATCHED AND s.sk = 1 THEN UPDATE SET v = 1""".stripMargin))
-    assert(e1.getMessage.contains("conditional MATCHED UPDATE"))
-    val e2 = intercept[IllegalArgumentException](TxnSql.exec(spark,
-      """MERGE INTO tsql_err t USING (SELECT 1 AS sk) s ON t.k = s.sk
-        |WHEN NOT MATCHED AND s.sk = 1 THEN INSERT VALUES (1, 2, 'x')""".stripMargin))
-    assert(e2.getMessage.contains("conditional NOT MATCHED"))
     val e3 = intercept[IllegalArgumentException](
       TxnSql.exec(spark, "UPDATE tsql_err SET WHERE k = 1"))
     assert(e3.getMessage.contains("'='"))
@@ -132,5 +152,10 @@ class TxnSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       """MERGE INTO tsql_err t USING (SELECT 1 AS sk) s ON t.k = s.sk
         |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (1)""".stripMargin))
     assert(e4.getMessage.contains("arity"))
+    val e5 = intercept[IllegalArgumentException](TxnSql.exec(spark,
+      """MERGE INTO tsql_err t USING (SELECT 1 AS sk) s ON t.k = s.sk
+        |WHEN MATCHED THEN UPDATE SET v = 1
+        |WHEN MATCHED AND s.sk = 2 THEN UPDATE SET v = 2""".stripMargin))
+    assert(e5.getMessage.contains("duplicate MATCHED UPDATE"))
   }
 }
