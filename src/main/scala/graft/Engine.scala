@@ -140,8 +140,11 @@ object Engine {
   def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
     registerAll(spark, dir)
     if (operators.TxnSql.handles(query)) {
-      operators.TxnSql.exec(spark, query)
-      operators.TxnSql.table(spark, operators.TxnSql.targetOf(query).get)
+      if (operators.TxnSql.returnsRows(query)) operators.TxnSql.query(spark, query)
+      else {
+        operators.TxnSql.exec(spark, query)
+        operators.TxnSql.table(spark, operators.TxnSql.targetOf(query).get)
+      }
     } else spark.sql(query)
   }
 }

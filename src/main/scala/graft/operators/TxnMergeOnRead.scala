@@ -283,8 +283,12 @@ object TxnMergeOnRead {
   private def fullView(f: FileSystem, root: String): View = {
     val (entryFiles, ckptFiles) = listLog(f, root)
     val es = readEntryFiles(f, entryFiles)
-    if (es.nonEmpty && es.head.version != 1L) {
-      val oldest = ckptFiles.map(_._1).sorted.headOption.getOrElse(es.head.version)
+    // pruned history: the entry chain no longer starts at version 1 — or
+    // is gone entirely, with only checkpoints (and their tails) remaining
+    if (es.headOption.exists(_.version != 1L) ||
+        (es.isEmpty && ckptFiles.nonEmpty)) {
+      val oldest = ckptFiles.map(_._1).sorted.headOption
+        .orElse(es.headOption.map(_.version)).getOrElse(1L)
       prunedError(root, oldest)
     }
     View(None, es)
@@ -439,6 +443,24 @@ object TxnMergeOnRead {
     val f = fs(spark, root)
     val v = lastVersionOnDisk(f, root)
     if (v > 0) writeCheckpointAt(f, root, v)
+  }
+
+  /** The commit history as a DataFrame (Delta's DESCRIBE HISTORY shape):
+    * one row per SURVIVING log entry — version, action, the dir it
+    * references, the prefix a fold claims (or a restore's target), and
+    * the footprint/batch-key slot. After `vacuum(pruneLog = true)` the
+    * pruned prefix is summarized by its checkpoint's version instead of
+    * per-entry rows (the entries no longer exist — that is the point). */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val f = fs(spark, root)
+    val (entryFiles, ckptFiles) = listLog(f, root)
+    val entries = readEntryFiles(f, entryFiles).map(e =>
+      (e.version, e.action, e.dir, e.folds, e.fp))
+    val ckpts = ckptFiles.map(_._1).sorted.map(v =>
+      (v, "checkpoint", f"$v%020d.ckpt", 0L, ""))
+    (entries ++ ckpts).sortBy(r => (r._1, r._2))
+      .toDF("version", "action", "dir", "folds", "detail")
   }
 
   /** Test seam: widens [[insertBatch]]'s check-to-commit window so a spec

@@ -24,7 +24,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     [WHEN MATCHED [AND <cond>] THEN DELETE]
   *     [WHEN MATCHED [AND <cond>] THEN UPDATE SET col = expr [, ...]]
   *     [WHEN NOT MATCHED [AND <cond>] THEN INSERT [(cols)] VALUES (exprs)]
+  *
+  *   DESCRIBE HISTORY <table>                          the log as rows
+  *   RESTORE <table> TO VERSION [AS OF] <n>            point-in-time rollback
+  *   VACUUM <table> RETAIN <n> VERSIONS [PRUNE LOG]    retention GC
+  *   CHECKPOINT <table>                                explicit metadata fold
   * }}}
+  * The utility statements are the Delta-SQL shapes for the same log
+  * operations (`DESCRIBE HISTORY`, `RESTORE TABLE ... TO VERSION AS OF`,
+  * `VACUUM ... RETAIN`), textual twins of [[TxnMergeOnRead.history]] /
+  * `restore` / `vacuum` / `checkpoint`.
   * Clause rules mirror the reference's MERGE semantics ([[TxnMergeOnRead
   * .merge]], the full `sqlmerge.q` shape): delete wins over update for a
   * matched row satisfying both guards, a matched row satisfying neither
@@ -69,19 +78,63 @@ object TxnSql {
       topLevelKw(s, "FROM").headOption.flatMap(i => identAfter(s, i + 4))
     } else if (up.startsWith("MERGE")) {
       topLevelKw(s, "INTO").headOption.flatMap(i => identAfter(s, i + 4))
+    } else if (up.startsWith("DESCRIBE HISTORY")) {
+      identAfter(s, "DESCRIBE HISTORY".length)
+    } else if (up.startsWith("RESTORE") || up.startsWith("VACUUM") ||
+        up.startsWith("CHECKPOINT")) {
+      identAfter(s, s.indexOf(' '))
     } else None
   }
 
-  /** Execute one DML statement; returns the snapshot-computation count
-    * (1 = committed without recompute), 0 for a no-op. */
+  /** True when the statement RETURNS a result frame rather than mutating
+    * (DESCRIBE HISTORY) — front-ends route accordingly. */
+  def returnsRows(sqlText: String): Boolean =
+    sqlText.trim.toUpperCase.startsWith("DESCRIBE HISTORY")
+
+  /** Execute one DML/utility statement; returns the snapshot-computation
+    * count for DML (1 = committed without recompute), 1 for utilities. */
   def exec(spark: SparkSession, sqlText: String): Int = {
     val s = sqlText.trim.stripSuffix(";").trim
     val up = s.toUpperCase
     if (up.startsWith("UPDATE")) execUpdate(spark, s)
     else if (up.startsWith("DELETE")) execDelete(spark, s)
     else if (up.startsWith("MERGE")) execMerge(spark, s)
-    else throw new IllegalArgumentException(
-      s"not a txn DML statement (UPDATE/DELETE/MERGE expected): $s")
+    else if (up.startsWith("RESTORE")) execRestore(spark, s)
+    else if (up.startsWith("VACUUM")) execVacuum(spark, s)
+    else if (up.startsWith("CHECKPOINT")) {
+      TxnMergeOnRead.checkpoint(spark, resolve(
+        headTable(s).getOrElse(fail(s, "CHECKPOINT needs a table")), s))
+      1
+    } else throw new IllegalArgumentException(
+      s"not a txn statement (UPDATE/DELETE/MERGE/RESTORE/VACUUM/" +
+      s"CHECKPOINT/DESCRIBE HISTORY expected): $s")
+  }
+
+  /** DESCRIBE HISTORY and other row-returning forms. */
+  def query(spark: SparkSession, sqlText: String): DataFrame = {
+    val s = sqlText.trim.stripSuffix(";").trim
+    require(returnsRows(s), s"not a row-returning txn statement: $s")
+    TxnMergeOnRead.history(spark, resolve(
+      headTable(s).getOrElse(fail(s, "DESCRIBE HISTORY needs a table")), s))
+  }
+
+  private def execRestore(spark: SparkSession, s: String): Int = {
+    // RESTORE <t> TO VERSION [AS OF] <n>
+    val name = headTable(s).getOrElse(fail(s, "RESTORE needs a table"))
+    val m = "(?i)TO\\s+VERSION(?:\\s+AS\\s+OF)?\\s+(\\d+)".r.findFirstMatchIn(s)
+      .getOrElse(fail(s, "RESTORE needs TO VERSION [AS OF] <n>"))
+    TxnMergeOnRead.restore(spark, resolve(name, s), m.group(1).toLong)
+    1
+  }
+
+  private def execVacuum(spark: SparkSession, s: String): Int = {
+    // VACUUM <t> RETAIN <n> VERSIONS [PRUNE LOG]
+    val name = headTable(s).getOrElse(fail(s, "VACUUM needs a table"))
+    val m = "(?i)RETAIN\\s+(\\d+)\\s+VERSIONS".r.findFirstMatchIn(s)
+      .getOrElse(fail(s, "VACUUM needs RETAIN <n> VERSIONS"))
+    val prune = "(?i)PRUNE\\s+LOG".r.findFirstIn(s).isDefined
+    TxnMergeOnRead.vacuum(spark, resolve(name, s), m.group(1).toInt, prune)
+    1
   }
 
   // ---- statement parsers -------------------------------------------------

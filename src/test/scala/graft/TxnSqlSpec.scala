@@ -143,6 +143,31 @@ class TxnSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("v") =!= 0L || col("tag") =!= "c").count() === 0)
   }
 
+  test("utility statements: DESCRIBE HISTORY, RESTORE, VACUUM, CHECKPOINT") {
+    val root = mk("util")
+    TxnSql.exec(spark, "UPDATE tsql_util SET v = v + 1 WHERE k < 5")    // v2
+    TxnSql.exec(spark, "DELETE FROM tsql_util WHERE k >= 90")           // v3
+    val hist = TxnSql.query(spark, "DESCRIBE HISTORY tsql_util")
+      .orderBy("version").collect()
+    assert(hist.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "create"), (2L, "mutate"), (3L, "mutate")))
+    // textual point-in-time rollback
+    TxnSql.exec(spark, "RESTORE tsql_util TO VERSION AS OF 2")          // v4
+    assert(TxnMergeOnRead.read(spark, root).count() === 100,
+      "restore undid the delete")
+    // explicit checkpoint + pruning vacuum through text
+    TxnSql.exec(spark, "CHECKPOINT tsql_util")
+    assert(new File(s"$root/_txnlog").listFiles()
+      .exists(_.getName.endsWith(".ckpt")))
+    TxnSql.exec(spark, "VACUUM tsql_util RETAIN 1 VERSIONS PRUNE LOG")
+    assert(TxnMergeOnRead.read(spark, root).count() === 100)
+    assert(TxnSql.query(spark, "DESCRIBE HISTORY tsql_util")
+      .filter(col("action") === "checkpoint").count() >= 1,
+      "history shows the pruned prefix's checkpoint")
+    intercept[IllegalStateException](
+      TxnMergeOnRead.readAt(spark, root, 2L).count())
+  }
+
   test("malformed forms fail with named errors, not silent misparses") {
     mk("err")
     val e3 = intercept[IllegalArgumentException](

@@ -92,6 +92,18 @@ class ZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TxnMergeOnRead.read(spark, root).count() === 100000 - 10)
   }
 
+  test("negative domains and heavy skew preserve content exactly") {
+    val df = spark.range(0, 5000).select(col("id").as("k"),
+      (col("id") * 37 % 1000 - 500).as("x"), // negative range
+      when(col("id") % 100 === 0, col("id") * 1000000L)
+        .otherwise(lit(1L)).as("y"))         // 99% of mass in one bucket
+    val out = s"$base/negskew"
+    ZOrder.cluster(df, Seq("x", "y"), numFiles = 8).write.parquet(out)
+    assert(spark.read.parquet(out).orderBy("k").collect().toSeq ===
+      df.orderBy("k").collect().toSeq,
+      "clustering is a physical reorder only, for any domain shape")
+  }
+
   test("NULLs, constant columns, and skew do not break the build") {
     val df = spark.range(0, 1000).select(col("id").as("k"),
       when(col("id") % 10 === 0, lit(null)).otherwise(col("id")).as("x"),
