@@ -132,11 +132,14 @@ object Engine {
     spark
   }
 
-  /** SQL entry point — Hive Driver.run analog. UPDATE/DELETE/MERGE against
-    * a table registered with [[operators.TxnSql.register]] routes to the
-    * transaction log (the metastore's transactional-table flag deciding
-    * the ACID path, re-expressed); the statement returns the table's
-    * post-DML snapshot. Everything else goes to Spark's parser. */
+  /** SQL entry point — Hive Driver.run analog. INSERT/UPDATE/DELETE/MERGE
+    * against a table registered with [[operators.TxnSql.register]] routes
+    * to the transaction log (the metastore's transactional-table flag
+    * deciding the ACID path, re-expressed); the statement returns the
+    * table's post-DML snapshot. Everything else goes to Spark's parser
+    * after [[operators.TxnSql.rewriteReads]] swaps registered txn-table
+    * references (including `VERSION AS OF` time travel) for snapshot
+    * views — a statement naming no txn table passes through verbatim. */
   def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
     registerAll(spark, dir)
     if (operators.TxnSql.handles(query)) {
@@ -145,6 +148,6 @@ object Engine {
         operators.TxnSql.exec(spark, query)
         operators.TxnSql.table(spark, operators.TxnSql.targetOf(query).get)
       }
-    } else spark.sql(query)
+    } else spark.sql(operators.TxnSql.rewriteReads(spark, query))
   }
 }

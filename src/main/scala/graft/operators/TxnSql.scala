@@ -17,6 +17,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * VERBATIM to the engine's `expr()`, so anything Spark SQL accepts works
   * inside conditions, SET values and INSERT values):
   * {{{
+  *   INSERT INTO [TABLE] <table> [(cols)] VALUES (exprs) [, (exprs) ...]
+  *   INSERT INTO [TABLE] <table> [(cols)] SELECT ...
   *   UPDATE <table> SET col = expr [, ...] [WHERE <cond>]
   *   DELETE FROM <table> [WHERE <cond>]
   *   MERGE INTO <table> [AS] t USING (<name> | (<subquery>)) [AS] s
@@ -30,6 +32,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   VACUUM <table> RETAIN <n> VERSIONS [PRUNE LOG]    retention GC
   *   CHECKPOINT <table>                                explicit metadata fold
   * }}}
+  * INSERT maps a column list onto the target schema and fills unnamed
+  * columns with typed NULLs (the schema-evolution reader's fill rule, so
+  * an INSERT written before ADD COLUMNS keeps working after it); a
+  * column-list-free INSERT maps positionally. The source SELECT runs
+  * through [[rewriteReads]], so it may read txn tables (including the
+  * target — the staged frame is computed against the pinned pre-insert
+  * snapshot, Hive's INSERT ... SELECT self-reference semantics).
+  *
+  * Reads: [[rewriteReads]] makes registered txn tables directly
+  * SELECTable — any `FROM <t>` / `JOIN <t>` whose name is registered is
+  * swapped for a snapshot temp view, and `FROM <t> VERSION AS OF <n>`
+  * ([[TxnMergeOnRead.readAt]] time travel, the Delta/Iceberg SELECT
+  * shape) for a pinned-version view. Statement text Spark's parser
+  * accepts otherwise is untouched.
   * The utility statements are the Delta-SQL shapes for the same log
   * operations (`DESCRIBE HISTORY`, `RESTORE TABLE ... TO VERSION AS OF`,
   * `VACUUM ... RETAIN`), textual twins of [[TxnMergeOnRead.history]] /
@@ -76,6 +92,15 @@ object TxnSql {
     if (up.startsWith("UPDATE")) identAfter(s, "UPDATE".length)
     else if (up.startsWith("DELETE")) {
       topLevelKw(s, "FROM").headOption.flatMap(i => identAfter(s, i + 4))
+    } else if (up.startsWith("INSERT")) {
+      topLevelKw(s, "INTO").headOption.flatMap { i =>
+        identAfter(s, i + 4).flatMap { n =>
+          // Hive's optional TABLE keyword: INSERT INTO TABLE t ...
+          if (n.equalsIgnoreCase("TABLE"))
+            identAfter(s, s.toUpperCase.indexOf("TABLE", i) + 5)
+          else Some(n)
+        }
+      }
     } else if (up.startsWith("MERGE")) {
       topLevelKw(s, "INTO").headOption.flatMap(i => identAfter(s, i + 4))
     } else if (up.startsWith("DESCRIBE HISTORY")) {
@@ -98,6 +123,7 @@ object TxnSql {
     val up = s.toUpperCase
     if (up.startsWith("UPDATE")) execUpdate(spark, s)
     else if (up.startsWith("DELETE")) execDelete(spark, s)
+    else if (up.startsWith("INSERT")) execInsert(spark, s)
     else if (up.startsWith("MERGE")) execMerge(spark, s)
     else if (up.startsWith("RESTORE")) execRestore(spark, s)
     else if (up.startsWith("VACUUM")) execVacuum(spark, s)
@@ -106,7 +132,7 @@ object TxnSql {
         headTable(s).getOrElse(fail(s, "CHECKPOINT needs a table")), s))
       1
     } else throw new IllegalArgumentException(
-      s"not a txn statement (UPDATE/DELETE/MERGE/RESTORE/VACUUM/" +
+      s"not a txn statement (INSERT/UPDATE/DELETE/MERGE/RESTORE/VACUUM/" +
       s"CHECKPOINT/DESCRIBE HISTORY expected): $s")
   }
 
@@ -158,6 +184,73 @@ object TxnSql {
     val cond = topLevelKw(s, "WHERE").headOption
       .map(i => s.substring(i + 5).trim).getOrElse("true")
     TxnMergeOnRead.delete(spark, root, cond)
+  }
+
+  private def execInsert(spark: SparkSession, s: String): Int = {
+    val intoI = kwOrFail(s, "INTO")
+    var i = intoI + 4
+    var name = identAfter(s, i).getOrElse(fail(s, "INSERT INTO needs a table"))
+    if (name.equalsIgnoreCase("TABLE")) { // INSERT INTO TABLE t — Hive form
+      i = identEnd(s, i)
+      name = identAfter(s, i).getOrElse(fail(s, "INSERT INTO TABLE needs a table"))
+    }
+    val root = resolve(name, s)
+    val rest0 = s.substring(identEnd(s, i)).trim
+    val target = TxnMergeOnRead.read(spark, root)
+    // optional column list: a leading paren whose body is NOT a subquery
+    val (cols, rest) =
+      if (rest0.startsWith("(") &&
+          !rest0.drop(1).trim.toUpperCase.startsWith("SELECT")) {
+        val close = matchParen(rest0, 0).getOrElse(
+          fail(s, "unbalanced INSERT column list"))
+        (splitTopCommas(rest0.substring(1, close)).map(_.trim),
+          rest0.substring(close + 1).trim)
+      } else (target.columns.toSeq, rest0)
+    val up = rest.toUpperCase
+    val src: DataFrame =
+      if (up.startsWith("VALUES")) {
+        val tuples = splitTopCommas(rest.substring("VALUES".length).trim)
+          .map(_.trim)
+        require(tuples.nonEmpty && tuples.forall(_.startsWith("(")),
+          s"VALUES needs parenthesized tuples: $rest")
+        val selects = tuples.map { t =>
+          val close = matchParen(t, 0).getOrElse(fail(s, s"unbalanced tuple: $t"))
+          val exprs = splitTopCommas(t.substring(1, close)).map(_.trim)
+          require(exprs.length == cols.length, s"INSERT arity mismatch: " +
+            s"${cols.length} columns, ${exprs.length} values: $t")
+          "SELECT " + exprs.zip(cols).map { case (e, c) => s"$e AS `$c`" }
+            .mkString(", ")
+        }
+        spark.sql(selects.mkString(" UNION ALL "))
+      } else if (up.startsWith("SELECT") || up.startsWith("WITH") ||
+          up.startsWith("(")) {
+        val text = if (rest.startsWith("(")) {
+          val close = matchParen(rest, 0).getOrElse(
+            fail(s, "unbalanced INSERT source subquery"))
+          rest.substring(1, close)
+        } else rest
+        // the source may itself read txn tables (including the target:
+        // the staged frame is computed before the commit wins its ordinal)
+        val df = spark.sql(rewriteReads(spark, text))
+        require(df.columns.length == cols.length, s"INSERT arity mismatch: " +
+          s"${cols.length} columns, SELECT yields ${df.columns.length}: $s")
+        df.toDF(cols: _*)
+      } else fail(s, s"INSERT needs VALUES or SELECT, got: $rest")
+    // unnamed columns fill with typed NULLs — the same rule the
+    // schema-evolution reader applies to files predating ADD COLUMNS
+    import org.apache.spark.sql.functions.{col, lit}
+    val missing = target.schema.filterNot(f => cols.contains(f.name))
+    val full = missing.foldLeft(src) { (d, f) =>
+      d.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+    // Hive's implicit insert coercion: conform every staged column to the
+    // declared type, so a VALUES decimal/int literal never writes a file
+    // whose parquet type diverges from the table's (schema-on-read union
+    // across deltas requires one type per column)
+    val conformed = full.select(target.schema.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*)
+    TxnMergeOnRead.insert(spark, root, conformed)
+    1
   }
 
   private def execMerge(spark: SparkSession, s: String): Int = {
@@ -239,13 +332,17 @@ object TxnSql {
       val rest = f.substring(close + 1).trim.split("\\s+")
         .filter(_.nonEmpty).filterNot(_.equalsIgnoreCase("AS"))
       val alias = rest.headOption.getOrElse("s")
-      (spark.sql(sub), alias)
+      (spark.sql(rewriteReads(spark, sub)), alias)
     } else {
       val words = f.split("\\s+").filter(_.nonEmpty)
         .filterNot(_.equalsIgnoreCase("AS"))
+      def rel(n: String): DataFrame = rootOf(n) match {
+        case Some(root) => TxnMergeOnRead.read(spark, root) // txn as source
+        case None => spark.table(n)
+      }
       words match {
-        case Array(n) => (spark.table(n), "s")
-        case Array(n, a) => (spark.table(n), a)
+        case Array(n) => (rel(n), "s")
+        case Array(n, a) => (rel(n), a)
         case _ => fail(s, s"cannot parse USING '$frag'")
       }
     }
@@ -299,6 +396,99 @@ object TxnSql {
     var j = i
     while (j < s.length && (isIdentChar(s.charAt(j)) || s.charAt(j) == '.')) j += 1
     if (j > i) Some(s.substring(i, j)) else None
+  }
+
+  /** Index just past the identifier `identAfter(s, from)` read. */
+  private def identEnd(s: String, from: Int): Int = {
+    var i = from
+    while (i < s.length && Character.isWhitespace(s.charAt(i))) i += 1
+    while (i < s.length && (isIdentChar(s.charAt(i)) || s.charAt(i) == '.')) i += 1
+    i
+  }
+
+  /** Index where the identifier `identAfter(s, from)` starts. */
+  private def identStart(s: String, from: Int): Int = {
+    var i = from
+    while (i < s.length && Character.isWhitespace(s.charAt(i))) i += 1
+    i
+  }
+
+  // ---- SELECT rewriting: txn tables as readable relations -----------------
+
+  private val VersionAsOf = "(?is)^\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)".r
+
+  /** Rewrite `FROM <t>` / `JOIN <t> [VERSION AS OF n]` references to
+    * registered txn tables into snapshot (or [[TxnMergeOnRead.readAt]]
+    * pinned-version) temp views, at ANY paren depth (subqueries included),
+    * quote-aware. Statements mentioning no registered table return
+    * unchanged — the zero-cost path every plain Spark query takes. */
+  def rewriteReads(spark: SparkSession, sqlText: String): String = {
+    if (tables.isEmpty) return sqlText
+    val s = sqlText
+    val anchors = (allKw(s, "FROM").map(_ + 4) ++ allKw(s, "JOIN").map(_ + 4))
+      .sorted
+    // (spanStart, spanEnd, replacementViewName), built left-to-right
+    val repls = anchors.flatMap { a =>
+      identAfter(s, a).filter(n => tables.containsKey(n.toLowerCase)).map { n =>
+        val start = identStart(s, a)
+        val end = identEnd(s, a)
+        VersionAsOf.findFirstMatchIn(s.substring(end)) match {
+          case Some(m) =>
+            (start, end + m.end, viewFor(spark, n, Some(m.group(1).toLong)))
+          case None => (start, end, viewFor(spark, n, None))
+        }
+      }
+    }
+    if (repls.isEmpty) return sqlText
+    val sb = new StringBuilder
+    var pos = 0
+    repls.foreach { case (a, b, v) =>
+      if (a >= pos) { // overlapping anchors (FROM t JOIN …) each match once
+        sb.append(s.substring(pos, a)).append(v)
+        pos = b
+      }
+    }
+    sb.append(s.substring(pos)).toString
+  }
+
+  /** Materialize the temp view backing one txn-table reference. Snapshot
+    * views re-register per statement (the head may have advanced);
+    * pinned-version views are immutable by construction. */
+  private def viewFor(spark: SparkSession, name: String,
+      version: Option[Long]): String = {
+    val root = resolve(name, name)
+    val base = s"graft_txn_${name.toLowerCase.replace('.', '_')}"
+    version match {
+      case Some(v) =>
+        val vn = s"${base}_v$v"
+        TxnMergeOnRead.readAt(spark, root, v).createOrReplaceTempView(vn)
+        vn
+      case None =>
+        TxnMergeOnRead.read(spark, root).createOrReplaceTempView(base)
+        base
+    }
+  }
+
+  /** Quote-aware occurrences of a word-bounded keyword at ANY depth. */
+  private def allKw(s: String, kw: String): List[Int] = {
+    val out = List.newBuilder[Int]
+    var i = 0
+    var quote: Char = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        if (c == '\\' && i + 1 < s.length) i += 1
+        else if (c == quote && i + 1 < s.length && s.charAt(i + 1) == quote) i += 1
+        else if (c == quote) quote = 0
+      }
+      else if (c == '\'' || c == '"') quote = c
+      else if (s.regionMatches(true, i, kw, 0, kw.length) &&
+          (i == 0 || !isIdentChar(s.charAt(i - 1))) &&
+          (i + kw.length >= s.length || !isIdentChar(s.charAt(i + kw.length))))
+        out += i
+      i += 1
+    }
+    out.result()
   }
 
   /** Scan `s` outside quotes ('' doubling and backslash escapes respected)

@@ -659,6 +659,55 @@ object Dml {
         .groupBy("pk")
         .agg(count(lit(1)).as("cnt"), sum("qty").cast("double").as("sum_qty"))
         .orderBy("pk")
+    },
+
+    // Textual INSERT + SELECT surface over the transaction log
+    // ([[graft.operators.TxnSql.rewriteReads]]): INSERT INTO ... VALUES
+    // (multi-tuple, positional), INSERT INTO (cols) SELECT (missing column
+    // fills a typed NULL — the schema-evolution reader's rule), and a final
+    // SELECT that reads the registered table by NAME, joining the current
+    // snapshot against `VERSION AS OF 1` time travel in one statement (the
+    // Delta/Iceberg SELECT shape). The oracle replays the chain
+    // declaratively; a mis-filled NULL, a coerced-wrong literal type, or a
+    // time-travel view pinned to the wrong version breaks the hash.
+    Qd("q219_txn_sql_select",
+      """WITH v1 AS (SELECT CAST(c_custkey AS BIGINT) AS ck,
+        |            round(c_acctbal, 2) AS bal, c_mktsegment AS seg
+        |            FROM customer WHERE c_custkey <= 300),
+        |ins1 AS (SELECT * FROM v1
+        |         UNION ALL SELECT 9001, 111.5, 'NEW'
+        |         UNION ALL SELECT 9002, 222.25, 'NEW'),
+        |ins2 AS (SELECT * FROM ins1
+        |         UNION ALL
+        |         SELECT CAST(c_custkey AS BIGINT), round(c_acctbal, 2), NULL
+        |         FROM customer WHERE c_custkey BETWEEN 301 AND 350),
+        |v4 AS (SELECT ck, CASE WHEN seg = 'NEW' THEN round(bal * 2, 2)
+        |                       ELSE bal END AS bal, seg FROM ins2)
+        |SELECT v4.ck AS ck, CAST(v4.bal AS DOUBLE) AS bal, v4.seg AS seg,
+        |       CAST(o.bal AS DOUBLE) AS bal_v1
+        |FROM v4 LEFT JOIN v1 o ON v4.ck = o.ck ORDER BY ck""") { (s, dir) =>
+      val (sf, loc) = ctx(s, dir)
+      val root = s"$loc/g219_txn"
+      val tbl = s"g219_$sf"
+      TxnMergeOnRead.create(s, root, Engine.table(s, dir, "customer")
+        .filter(col("c_custkey") <= 300).select(
+          col("c_custkey").cast("bigint").as("ck"),
+          round(col("c_acctbal"), 2).as("bal"),
+          col("c_mktsegment").as("seg")))                                // v1
+      graft.operators.TxnSql.register(tbl, root)
+      Engine.sql(s, dir,
+        s"INSERT INTO $tbl VALUES (9001, 111.5, 'NEW'), (9002, 222.25, 'NEW')") // v2
+      Engine.sql(s, dir,
+        s"""INSERT INTO $tbl (ck, bal)
+           |SELECT CAST(c_custkey AS BIGINT), round(c_acctbal, 2)
+           |FROM customer WHERE c_custkey BETWEEN 301 AND 350""".stripMargin) // v3
+      Engine.sql(s, dir,
+        s"UPDATE $tbl SET bal = round(bal * 2, 2) WHERE seg = 'NEW'")    // v4
+      Engine.sql(s, dir,
+        s"""SELECT cur.ck AS ck, CAST(cur.bal AS DOUBLE) AS bal,
+           |       cur.seg AS seg, CAST(o.bal AS DOUBLE) AS bal_v1
+           |FROM $tbl cur LEFT JOIN $tbl VERSION AS OF 1 o ON cur.ck = o.ck
+           |ORDER BY ck""".stripMargin)
     }
   )
 }

@@ -183,4 +183,56 @@ class TxnSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
         |WHEN MATCHED AND s.sk = 2 THEN UPDATE SET v = 2""".stripMargin))
     assert(e5.getMessage.contains("duplicate MATCHED UPDATE"))
   }
+
+  test("INSERT VALUES: multi-tuple, positional, literals coerced to the declared types") {
+    val root = mk("ins")
+    // v is BIGINT — the 7.7 literal must conform to the column type (Hive's
+    // implicit insert coercion, legacy cast truncates), not write a file
+    // whose parquet type diverges from the table's
+    TxnSql.exec(spark,
+      "INSERT INTO tsql_ins VALUES (200, 2000, 'y'), (201, 7.7, 'z')")
+    val got = TxnMergeOnRead.read(spark, root)
+    assert(got.count() === 102)
+    assert(got.filter(col("k") === 201).select("v").as[Long].head() === 7L)
+    assert(got.schema("v").dataType ===
+      org.apache.spark.sql.types.LongType)
+  }
+
+  test("INSERT with a column list fills unnamed columns with typed NULLs") {
+    val root = mk("insnull")
+    TxnSql.exec(spark, "INSERT INTO TABLE tsql_insnull (k) VALUES (300)")
+    val row = TxnMergeOnRead.read(spark, root).filter(col("k") === 300)
+    assert(row.count() === 1)
+    assert(row.filter(col("v").isNull && col("tag").isNull).count() === 1,
+      "unnamed v and tag arrive as NULL — the schema-evolution fill rule")
+  }
+
+  test("INSERT INTO ... SELECT may read txn tables, including the target") {
+    val root = mk("insself")
+    TxnSql.exec(spark,
+      "INSERT INTO tsql_insself SELECT k + 1000, v, tag FROM tsql_insself WHERE k < 3")
+    val got = TxnMergeOnRead.read(spark, root)
+    assert(got.count() === 103)
+    assert(got.filter(col("k") >= 1000).count() === 3,
+      "source SELECT evaluated against the pre-insert snapshot")
+  }
+
+  test("rewriteReads: registered names swap for views, time travel pins, text without them passes through") {
+    val root = mk("rr")
+    TxnSql.exec(spark, "DELETE FROM tsql_rr WHERE k >= 10")        // v2
+    // untouched statements come back verbatim (the zero-cost path)
+    val plain = "SELECT 1 AS one"
+    assert(TxnSql.rewriteReads(spark, plain) eq plain)
+    // a table name inside a string literal is NOT a reference
+    val quoted = "SELECT 'FROM tsql_rr' AS s"
+    assert(TxnSql.rewriteReads(spark, quoted) === quoted)
+    // snapshot vs pinned version in ONE statement
+    val joined = spark.sql(TxnSql.rewriteReads(spark,
+      """SELECT cur.k FROM tsql_rr cur
+        |JOIN tsql_rr VERSION AS OF 1 o ON cur.k = o.k""".stripMargin))
+    assert(joined.count() === 10, "current snapshot has 10 rows")
+    val old = spark.sql(TxnSql.rewriteReads(spark,
+      "SELECT count(*) AS c FROM tsql_rr VERSION AS OF 1")).as[Long].head()
+    assert(old === 100, "VERSION AS OF 1 sees the pre-delete table")
+  }
 }
