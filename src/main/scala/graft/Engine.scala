@@ -148,6 +148,13 @@ object Engine {
         operators.TxnSql.exec(spark, query)
         operators.TxnSql.table(spark, operators.TxnSql.targetOf(query).get)
       }
-    } else spark.sql(operators.TxnSql.rewriteReads(spark, query))
+    } else if (operators.MatView.handles(query)) {
+      operators.MatView.exec(spark, query)
+    } else {
+      val df = spark.sql(operators.TxnSql.rewriteReads(spark, query))
+      // transparent materialized-view rewrite: answered from a FRESH MV's
+      // state when the aggregate derives from one, otherwise untouched
+      operators.MatView.tryRewrite(spark, df).getOrElse(df)
+    }
   }
 }

@@ -708,6 +708,50 @@ object Dml {
            |       cur.seg AS seg, CAST(o.bal AS DOUBLE) AS bal_v1
            |FROM $tbl cur LEFT JOIN $tbl VERSION AS OF 1 o ON cur.ck = o.ck
            |ORDER BY ck""".stripMargin)
+    },
+
+    // Materialized view with incremental REBUILD and transparent rewrite
+    // ([[graft.operators.MatView]] — the reference era carries only the
+    // materializedTable stub, Table.java:97; the finished Hive shape
+    // rebuilds by full recompute, ours folds the CDC range via
+    // IncrementalAgg): CREATE MATERIALIZED VIEW on (rf, ls), two DML
+    // versions, one incremental REBUILD, then a ROLLUP query — group
+    // subset (rf), WHERE on a group col (ls), count/sum/avg — answered
+    // from the state parquet (require()d on the plan: the base table must
+    // not be scanned). The oracle recomputes from the replayed table; a
+    // wrong rollup derivation (avg = sum_x/cnt), a stale state, or a
+    // mis-folded delta breaks the hash. qty is integral-valued, so sums
+    // are order-exact in double and avg divides identical numerators.
+    Qd("q220_mat_view_rewrite",
+      """WITH t0 AS (SELECT CAST(l_orderkey AS BIGINT) AS ok,
+        |            CAST(l_quantity AS DOUBLE) AS qty,
+        |            l_returnflag AS rf, l_linestatus AS ls FROM lineitem),
+        |v2 AS (SELECT ok, CASE WHEN ok % 7 = 0 THEN qty + 5 ELSE qty END AS qty,
+        |               rf, ls FROM t0),
+        |v3 AS (SELECT * FROM v2 WHERE NOT (rf = 'R' AND ok % 3 = 0))
+        |SELECT rf, count(*) AS cnt, CAST(sum(qty) AS DOUBLE) AS sum_qty,
+        |       CAST(avg(qty) AS DOUBLE) AS avg_qty
+        |FROM v3 WHERE ls = 'F' GROUP BY rf ORDER BY rf""") { (s, dir) =>
+      val (sf, loc) = ctx(s, dir)
+      val root = s"$loc/g220_txn"
+      val tbl = s"g220_$sf"
+      val mv = s"mv220_$sf"
+      TxnMergeOnRead.create(s, root, Engine.table(s, dir, "lineitem").select(
+        col("l_orderkey").cast("bigint").as("ok"),
+        col("l_quantity").cast("double").as("qty"),
+        col("l_returnflag").as("rf"), col("l_linestatus").as("ls")))
+      graft.operators.TxnSql.register(tbl, root)
+      Engine.sql(s, dir, s"CREATE MATERIALIZED VIEW $mv AS " +
+        s"SELECT rf, ls, count(*) AS c, sum(qty) AS sq FROM $tbl GROUP BY rf, ls")
+      Engine.sql(s, dir, s"UPDATE $tbl SET qty = qty + 5 WHERE ok % 7 = 0")
+      Engine.sql(s, dir, s"DELETE FROM $tbl WHERE rf = 'R' AND ok % 3 = 0")
+      Engine.sql(s, dir, s"ALTER MATERIALIZED VIEW $mv REBUILD")
+      val out = Engine.sql(s, dir,
+        s"""SELECT rf, count(*) AS cnt, sum(qty) AS sum_qty, avg(qty) AS avg_qty
+           |FROM $tbl WHERE ls = 'F' GROUP BY rf ORDER BY rf""".stripMargin)
+      require(out.queryExecution.sparkPlan.toString.contains("_mv_"),
+        "q220 must be ANSWERED FROM the materialized view state")
+      out
     }
   )
 }
