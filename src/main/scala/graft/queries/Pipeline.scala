@@ -521,6 +521,76 @@ object Pipeline {
       Int8Quantize.int8TopK(e.filter(col("id") < 50), e, 10)
         .select(col("qid"), col("cid"), col("rk").cast("bigint").as("rk"), col("cos"))
         .orderBy("qid", "rk")
+    },
+
+    // Gopher repetition-quality signals ([[graft.operators
+    // .RepetitionStats]] — Rae et al. 2021 appendix A1.1, the MassiveWeb
+    // repetition family): most-frequent-n-gram character share (n=2,3,4 —
+    // count × gram chars / total word chars, max-coverage under ties) and
+    // duplicated-5-gram character coverage (interval UNION over positions
+    // of grams occurring ≥2×, chars counted once). The oracle rebuilds all
+    // four from first principles in SQL (position explode → gram counts →
+    // coverage join); the Spark side is ONE compiled mapPartitions pass.
+    // A wrong tie-break, separator-char inclusion, or double-counted
+    // overlap breaks the hash.
+    Qd("q221_gopher_repetition",
+      """WITH d AS (SELECT doc_id,
+        |       list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |     FROM documents),
+        |b AS (SELECT doc_id, w, len(w) AS nw,
+        |       CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS twc
+        |      FROM d),
+        |p2 AS (SELECT doc_id, unnest(range(1, nw)) AS i FROM b),
+        |g2 AS (SELECT p.doc_id, b.w[p.i] || ' ' || b.w[p.i+1] AS g,
+        |        length(b.w[p.i]) + length(b.w[p.i+1]) AS k
+        |       FROM p2 p JOIN b USING (doc_id)),
+        |t2 AS (SELECT doc_id, max(c * k) AS cov FROM
+        |        (SELECT doc_id, g, k, count(*) AS c FROM g2 GROUP BY doc_id, g, k)
+        |       GROUP BY doc_id),
+        |p3 AS (SELECT doc_id, unnest(range(1, nw - 1)) AS i FROM b),
+        |g3 AS (SELECT p.doc_id,
+        |        b.w[p.i] || ' ' || b.w[p.i+1] || ' ' || b.w[p.i+2] AS g,
+        |        length(b.w[p.i]) + length(b.w[p.i+1]) + length(b.w[p.i+2]) AS k
+        |       FROM p3 p JOIN b USING (doc_id)),
+        |t3 AS (SELECT doc_id, max(c * k) AS cov FROM
+        |        (SELECT doc_id, g, k, count(*) AS c FROM g3 GROUP BY doc_id, g, k)
+        |       GROUP BY doc_id),
+        |p4 AS (SELECT doc_id, unnest(range(1, nw - 2)) AS i FROM b),
+        |g4 AS (SELECT p.doc_id,
+        |        b.w[p.i] || ' ' || b.w[p.i+1] || ' ' || b.w[p.i+2] || ' ' || b.w[p.i+3] AS g,
+        |        length(b.w[p.i]) + length(b.w[p.i+1]) + length(b.w[p.i+2]) + length(b.w[p.i+3]) AS k
+        |       FROM p4 p JOIN b USING (doc_id)),
+        |t4 AS (SELECT doc_id, max(c * k) AS cov FROM
+        |        (SELECT doc_id, g, k, count(*) AS c FROM g4 GROUP BY doc_id, g, k)
+        |       GROUP BY doc_id),
+        |p5 AS (SELECT doc_id, unnest(range(1, nw - 3)) AS i FROM b),
+        |g5 AS (SELECT p.doc_id, p.i,
+        |        b.w[p.i] || ' ' || b.w[p.i+1] || ' ' || b.w[p.i+2] || ' ' ||
+        |        b.w[p.i+3] || ' ' || b.w[p.i+4] AS g
+        |       FROM p5 p JOIN b USING (doc_id)),
+        |c5 AS (SELECT doc_id, g FROM g5 GROUP BY doc_id, g HAVING count(*) > 1),
+        |dpos AS (SELECT DISTINCT g5.doc_id, g5.i + o.k AS j
+        |         FROM g5 JOIN c5 ON g5.doc_id = c5.doc_id AND g5.g = c5.g
+        |         CROSS JOIN (SELECT unnest(range(0, 5)) AS k) o),
+        |cov5 AS (SELECT p.doc_id, SUM(length(b.w[p.j])) AS cc
+        |         FROM dpos p JOIN b USING (doc_id) GROUP BY p.doc_id)
+        |SELECT b.doc_id, CAST(nw AS BIGINT) AS n_words,
+        |  ROUND(CAST(twc AS DOUBLE) / nw, 6) AS mean_word_len,
+        |  ROUND(CAST(COALESCE(t2.cov, 0) AS DOUBLE) / twc, 6) AS top2gram_frac,
+        |  ROUND(CAST(COALESCE(t3.cov, 0) AS DOUBLE) / twc, 6) AS top3gram_frac,
+        |  ROUND(CAST(COALESCE(t4.cov, 0) AS DOUBLE) / twc, 6) AS top4gram_frac,
+        |  ROUND(CAST(COALESCE(cov5.cc, 0) AS DOUBLE) / twc, 6) AS dup5gram_frac
+        |FROM b LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+        |       LEFT JOIN t4 USING (doc_id) LEFT JOIN cov5 USING (doc_id)
+        |ORDER BY b.doc_id""") { (s, dir) =>
+      graft.operators.RepetitionStats.stats(docs(s, dir)).toDF()
+        .select(col("doc_id"), col("n_words"),
+          round(col("mean_word_len"), 6).as("mean_word_len"),
+          round(col("top2gram_frac"), 6).as("top2gram_frac"),
+          round(col("top3gram_frac"), 6).as("top3gram_frac"),
+          round(col("top4gram_frac"), 6).as("top4gram_frac"),
+          round(col("dup5gram_frac"), 6).as("dup5gram_frac"))
+        .orderBy("doc_id")
     }
   )
 }
