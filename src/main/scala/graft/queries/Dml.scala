@@ -752,6 +752,59 @@ object Dml {
       require(out.queryExecution.sparkPlan.toString.contains("_mv_"),
         "q220 must be ANSWERED FROM the materialized view state")
       out
+    },
+
+    // CDC replication ([[graft.operators.ChangeFeed]] — the reference's
+    // REPL DUMP/LOAD event replay, ReplicationSpec.java:33, re-expressed
+    // over changesBetween): a replica bootstraps once, then each sync
+    // consumes ONLY the cursor..head change range and applies it as one
+    // three-clause guarded MERGE (changesBetween's rid netting leaves at
+    // most one action per key). Two syncs across four DML versions here;
+    // the oracle recomputes the source's final state declaratively and the
+    // query returns the REPLICA — a lost delete, doubled upsert, or wrong
+    // net (update's old-half delete must not win over its insert) breaks
+    // the hash.
+    Qd("q222_cdc_replication",
+      """WITH t0 AS (SELECT CAST(c_custkey AS BIGINT) AS ck,
+        |            round(c_acctbal, 2) AS bal, c_mktsegment AS seg
+        |            FROM customer WHERE c_custkey <= 400),
+        |u1 AS (SELECT ck, CASE WHEN seg = 'BUILDING' THEN round(bal + 10, 2)
+        |                       ELSE bal END AS bal, seg FROM t0),
+        |d1 AS (SELECT * FROM u1 WHERE ck % 10 <> 0),
+        |i1 AS (SELECT * FROM d1
+        |       UNION ALL
+        |       SELECT CAST(c_custkey AS BIGINT), round(c_acctbal, 2), 'NEW'
+        |       FROM customer WHERE c_custkey BETWEEN 401 AND 450),
+        |u2 AS (SELECT ck, CASE WHEN ck > 420 THEN round(bal * 2, 2)
+        |                       ELSE bal END AS bal, seg FROM i1)
+        |SELECT ck, CAST(bal AS DOUBLE) AS bal, seg
+        |FROM u2 ORDER BY ck""") { (s, dir) =>
+      val (sf, loc) = ctx(s, dir)
+      val src = s"$loc/g222_src"
+      val dst = s"$loc/g222_dst"
+      val ckpt = s"$loc/g222_ckpt"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      TxnMergeOnRead.create(s, src, Engine.table(s, dir, "customer")
+        .filter(col("c_custkey") <= 400).select(
+          col("c_custkey").cast("bigint").as("ck"),
+          round(col("c_acctbal"), 2).as("bal"),
+          col("c_mktsegment").as("seg")))                               // v1
+      graft.operators.ChangeFeed.init(s, src, dst, ckpt)
+      TxnMergeOnRead.update(s, src,
+        Seq("bal" -> "round(bal + 10, 2)"), "seg = 'BUILDING'")         // v2
+      TxnMergeOnRead.delete(s, src, "ck % 10 = 0")                      // v3
+      graft.operators.ChangeFeed.sync(s, src, dst, ckpt, Seq("ck"))
+      TxnMergeOnRead.insert(s, src, Engine.table(s, dir, "customer")
+        .filter(col("c_custkey").between(401, 450)).select(
+          col("c_custkey").cast("bigint").as("ck"),
+          round(col("c_acctbal"), 2).as("bal"),
+          lit("NEW").as("seg")))                                        // v4
+      TxnMergeOnRead.update(s, src,
+        Seq("bal" -> "round(bal * 2, 2)"), "ck > 420")                  // v5
+      graft.operators.ChangeFeed.sync(s, src, dst, ckpt, Seq("ck"))
+      TxnMergeOnRead.read(s, dst)
+        .select(col("ck"), col("bal").cast("double").as("bal"), col("seg"))
+        .orderBy("ck")
     }
   )
 }
