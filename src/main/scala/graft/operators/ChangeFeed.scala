@@ -10,8 +10,11 @@ import org.apache.spark.sql.functions._
   * metastore notification events and replays them with EXPORT/IMPORT; the
   * event stream IS a change feed). Here the feed is
   * [[TxnMergeOnRead.changesBetween]] and replay is ONE three-clause MERGE
-  * per sync, so a replica follows a source at
-  * O(changes in range + merge on touched keys) — never O(table).
+  * per sync: the SOURCE is never rescanned (the feed reads only the
+  * range's delta dirs — plan-asserted in PlanShapeSpec), and the replica
+  * pays a single merge (one scan of itself, writes on touched keys only)
+  * instead of the full rewrite a re-bootstrap would cost; measured in
+  * CdcScale at sf0.1 and ×64.
   *
   * Why one MERGE suffices: `changesBetween` nets events by row id (born-
   * then-killed rows vanish from both sides), so within any range a key

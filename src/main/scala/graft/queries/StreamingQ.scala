@@ -97,6 +97,20 @@ object StreamingQ {
       val sf = new java.io.File(dir).getName
       StreamOps.appendHourlyCounts(s, dir, s"/root/repo/target/streamdata/$sf")
         .orderBy("hour_start", "event_type")
+    },
+
+    // Stream–stream inner join with event-time bounds
+    // ([[StreamOps.streamStreamJoin]] — the attribution-join shape, state
+    // evictable precisely BECAUSE the condition carries time bounds). The
+    // streaming result must converge to the exact batch interval join.
+    Qd("q223_stream_stream_join",
+      """SELECT c.event_id AS c_eid, p.event_id AS p_eid
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+        |ORDER BY c_eid, p_eid""") { (s, dir) =>
+      StreamOps.streamStreamJoin(s, dir).orderBy("c_eid", "p_eid")
     }
   )
 }

@@ -150,6 +150,43 @@ object StreamOps {
     runToMemory(spark, agg, "graft_stream_sjoin", OutputMode.Complete())
   }
 
+  /** Stream–STREAM inner join with event-time bounds: clicks matched to
+    * the same user's purchases inside [click, click + 10 min] — the
+    * attribution-join shape. Both sides are watermarked streams and the
+    * join condition carries explicit time bounds, which is what lets
+    * Spark's StreamingSymmetricHashJoin EVICT state: a buffered click can
+    * only ever match purchases ≤ 10 min after it, so once the purchase
+    * watermark passes `c_ts + 10 min + delay` the click's state row drops.
+    * Without the bounds both sides buffer forever — the unbounded-state
+    * mistake this operator exists to show avoided. The reference has no
+    * stream-stream join at all (hive.streaming is ingest-only); this is
+    * Structured Streaming exceeding it.
+    *
+    * Honest mode note: the finite single-file replay runs one micro-batch
+    * (inner-join matches all emit in-batch; eviction happens between
+    * batches in an unbounded deployment of the same query). */
+  /** The unstarted streaming frame of [[streamStreamJoin]] — exposed so
+    * the spec can start it itself and inspect the executed plan. */
+  def ssJoinFrame(spark: SparkSession, dir: String): DataFrame = {
+    val clicks = eventStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("c_eid"), col("user_id").as("c_uid"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "30 minutes")
+    val purchases = eventStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_eid"), col("user_id").as("p_uid"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "30 minutes")
+    clicks.join(purchases, expr(
+      "c_uid = p_uid AND p_ts >= c_ts AND p_ts <= c_ts + interval 10 minutes"))
+      .select(col("c_eid"), col("p_eid"))
+  }
+
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(spark, ssJoinFrame(spark, dir), "graft_stream_ssjoin",
+      OutputMode.Append())
+
   /** Append-mode tumbling-window aggregation with bounded state, END TO END
     * — the production pairing that the Complete-mode note on
     * [[hourlyTypeCounts]] points to. In Append mode each window is emitted

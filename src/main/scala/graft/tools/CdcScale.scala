@@ -91,6 +91,46 @@ object CdcScale {
     }
     println(f"[cdcscale] incrAgg refresh=$incr%.2fs scratchAgg=$scratch%.2fs " +
       f"refresh/scratch=${incr / scratch}%.2f")
+
+    // materialized-view rewrite (round 10): a fresh MV answers the same
+    // GROUP BY from its state parquet — wall should be near-constant in
+    // table size (the state has O(groups) rows), vs the scratch aggregate
+    // above which scans the table
+    graft.operators.TxnSql.register("cdcscale_t", root)
+    graft.operators.MatView.drop(s, "cdcscale_mv")
+    graft.operators.MatView.create(s, "cdcscale_mv",
+      "SELECT rf, count(*) AS c, sum(qty) AS sq, sum(price) AS sp " +
+      "FROM cdcscale_t GROUP BY rf")
+    val mvq = "SELECT rf, count(*) AS c, sum(qty) AS sq FROM cdcscale_t GROUP BY rf"
+    val mv = best2("mv rewrite answer") {
+      val df = s.sql(graft.operators.TxnSql.rewriteReads(s, mvq))
+      val rw = graft.operators.MatView.tryRewrite(s, df)
+      require(rw.isDefined, "MV must be fresh and matching here")
+      rw.get.write.format("noop").mode("overwrite").save()
+    }
+    println(f"[cdcscale] mvAnswer=$mv%.2fs scratchAgg=$scratch%.2fs " +
+      f"mv/scratch=${mv / scratch}%.2f")
+
+    // CDC replication (round 10): sync after a ~0.1% change pays the feed
+    // read + ONE merge on the replica; re-bootstrap rewrites the table.
+    // The sync/bootstrap gap is the point of following a feed.
+    val dst = s"${root}_repl"
+    val ckpt = s"${root}_repl_ckpt"
+    val boot = best2("replication bootstrap (init)") {
+      graft.operators.ChangeFeed.init(s, root, dst, ckpt)
+    }
+    val syncT = (1 to 2).map { i =>
+      TxnMergeOnRead.update(s, root,
+        Seq("qty" -> "qty + 1"), s"ok % 4096 = $i")
+      System.gc(); Thread.sleep(150)
+      val t0 = System.nanoTime()
+      graft.operators.ChangeFeed.sync(s, root, dst, ckpt, Seq("ok", "ln"))
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[cdcscale] replication sync #$i ${dt}%.2fs")
+      dt
+    }.min
+    println(f"[cdcscale] replSync=$syncT%.2fs bootstrap=$boot%.2fs " +
+      f"sync/bootstrap=${syncT / boot}%.2f")
     s.stop()
   }
 }

@@ -52,4 +52,36 @@ class StreamAppendSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.toSeq).toSet
     assert(a == b)
   }
+
+  test("stream-stream join runs SYMMETRIC hash join and converges to the batch interval join") {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.streaming.Trigger
+    // start the stream ourselves so the EXECUTED streaming plan is
+    // inspectable: the stateful symmetric join must be what ran, not a
+    // batch join smuggled in by a non-streaming source
+    val q = StreamOps.ssJoinFrame(spark, dir).writeStream.format("memory")
+      .queryName("ssjoin_spec").outputMode("append")
+      .trigger(Trigger.Once()).start()
+    q.awaitTermination()
+    val baos = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(baos))(q.explain(extended = false))
+    val plan = baos.toString
+    assert(plan.contains("StreamingSymmetricHashJoin"),
+      s"expected StreamingSymmetricHashJoin in the executed plan:\n$plan")
+    val got = spark.table("ssjoin_spec")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = graft.Engine.table(spark, dir, "events")
+    val batch = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_eid"), col("user_id").as("c_uid"),
+        col("ts").as("c_ts"))
+      .join(ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_eid"), col("user_id").as("p_uid"),
+          col("ts").as("p_ts")),
+        expr("c_uid = p_uid AND p_ts >= c_ts AND p_ts <= c_ts + interval 10 minutes"))
+      .select("c_eid", "p_eid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === batch, "stream must converge to the exact batch answer")
+    assert(spark.streams.active.isEmpty,
+      "no stray streaming queries left running")
+  }
 }
