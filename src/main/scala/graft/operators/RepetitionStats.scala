@@ -14,6 +14,15 @@ import org.apache.spark.sql.functions.col
   * whole-document and near-dup passes miss (a document 40% self-repeating
   * is unique at the document grain).
   *
+  * Relation to q180 (`TextAnalysis.repetitionSignals`): q180 computes the
+  * quick COUNT-share approximations (dup-word fraction, top-2-gram count
+  * share). This operator implements the paper's actual CHARACTER-fraction
+  * definitions — char-weighted top-gram coverage with a deterministic
+  * tie-break, interval-UNION duplicated-n-gram coverage for n = 5..10
+  * (chars counted once however many dup grams overlap them), the
+  * line-level family, and the threshold filter — the set the published
+  * thresholds are calibrated against.
+  *
   * Exact definitions (both engines implement these verbatim):
   *  - words: space-split, empties dropped; `twc` = Σ word lengths.
   *  - lines: newline-split, trimmed, empties dropped.

@@ -148,6 +148,262 @@ object Headline {
         .join(t(s, dir, "supplier"), col("s_suppkey") === col("l_suppkey"))
         .groupBy("s_name").agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name")).limit(20)
+    },
+
+    // ---- Round 10: the remaining TPC-H shapes expressible on this schema
+    // (no partsupp table → Q2/Q9/Q11/Q16/Q20 are out of reach; columns the
+    // reduced schema lacks — shipmode, commitdate, phone, container — are
+    // substituted by available ones with the SHAPE preserved). These run
+    // as spark.sql over the SAME text the oracle runs: the point is
+    // Catalyst's own decorrelation (EXISTS/NOT EXISTS, correlated scalar
+    // aggs), join reorder, and partial aggregation doing the work the
+    // reference's CBO (`CalcitePlanner`) does — no hand-planning.
+
+    // Q4: order-priority checking — EXISTS decorrelates to a left-semi.
+    Qd("q224_tpch_q4_shape",
+      """SELECT o_orderpriority, count(*) AS n
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, dir) =>
+      Engine.sql(s, dir,
+        """SELECT o_orderpriority, count(*) AS n
+          |FROM orders
+          |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+          |  AND EXISTS (SELECT 1 FROM lineitem
+          |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    },
+
+    // Q7: volume shipping between two nations, by year — the classic
+    // 6-table join with a symmetric nation-pair disjunction.
+    Qd("q225_tpch_q7_shape",
+      """SELECT supp_nation, cust_nation, yr, ROUND(sum(volume), 4) AS revenue
+        |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |        CAST(year(l_shipdate) AS BIGINT) AS yr,
+        |        l_extendedprice * (1 - l_discount) AS volume
+        |      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        |      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        |        AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        |        AND c_nationkey = n2.n_nationkey
+        |        AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_9')
+        |          OR (n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_3'))) shipping
+        |GROUP BY supp_nation, cust_nation, yr
+        |ORDER BY supp_nation, cust_nation, yr""") { (s, dir) =>
+      Engine.sql(s, dir,
+        """SELECT supp_nation, cust_nation, yr, ROUND(sum(volume), 4) AS revenue
+          |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          |        CAST(year(l_shipdate) AS BIGINT) AS yr,
+          |        l_extendedprice * (1 - l_discount) AS volume
+          |      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+          |      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+          |        AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+          |        AND c_nationkey = n2.n_nationkey
+          |        AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_9')
+          |          OR (n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_3'))) shipping
+          |GROUP BY supp_nation, cust_nation, yr
+          |ORDER BY supp_nation, cust_nation, yr""".stripMargin)
+    },
+
+    // Q8: national market share inside a region, by year — the CASE-sum
+    // ratio over an 8-table join.
+    Qd("q226_tpch_q8_shape",
+      """SELECT yr, ROUND(sum(CASE WHEN nat = 'NATION_5' THEN volume ELSE 0 END)
+        |         / sum(volume), 6) AS mkt_share
+        |FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |        l_extendedprice * (1 - l_discount) AS volume, n2.n_name AS nat
+        |      FROM part, lineitem, supplier, orders, customer,
+        |           nation n1, nation n2, region
+        |      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |        AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        |        AND r_name = 'EUROPE' AND s_nationkey = n2.n_nationkey
+        |        AND p_type = 'ECONOMY') all_nations
+        |GROUP BY yr ORDER BY yr""") { (s, dir) =>
+      Engine.sql(s, dir,
+        """SELECT yr, ROUND(sum(CASE WHEN nat = 'NATION_5' THEN volume ELSE 0 END)
+          |         / sum(volume), 6) AS mkt_share
+          |FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+          |        l_extendedprice * (1 - l_discount) AS volume, n2.n_name AS nat
+          |      FROM part, lineitem, supplier, orders, customer,
+          |           nation n1, nation n2, region
+          |      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+          |        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+          |        AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+          |        AND r_name = 'EUROPE' AND s_nationkey = n2.n_nationkey
+          |        AND p_type = 'ECONOMY') all_nations
+          |GROUP BY yr ORDER BY yr""".stripMargin)
+    },
+
+    // Q12: priority classes per line status (shipmode absent from the
+    // reduced schema — linestatus carries the low-cardinality group, the
+    // CASE-sum pair is verbatim Q12).
+    Qd("q227_tpch_q12_shape",
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders, lineitem
+        |WHERE o_orderkey = l_orderkey AND l_shipdate > o_orderdate
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""") { (s, dir) =>
+      Engine.sql(s, dir,
+        """SELECT l_linestatus,
+          |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+          |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+          |           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+          |FROM orders, lineitem
+          |WHERE o_orderkey = l_orderkey AND l_shipdate > o_orderdate
+          |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)
+    },
+
+    // Q13: customer order-count distribution — LEFT OUTER with an ON-clause
+    // filter, aggregate, then aggregate the aggregate.
+    Qd("q228_tpch_q13_shape",
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |      GROUP BY c_custkey) c_orders
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""") { (s, dir) =>
+      Engine.sql(s, dir,
+        """SELECT c_count, count(*) AS custdist
+          |FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+          |      FROM customer LEFT OUTER JOIN orders
+          |        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+          |      GROUP BY c_custkey) c_orders
+          |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin)
+    },
+
+    // Q14: promo revenue share — CASE-sum ratio over one join month.
+    Qd("q229_tpch_q14_shape",
+      """SELECT ROUND(100.00 * sum(CASE WHEN p_type = 'PROMO'
+        |         THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        |       / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |  AND l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""") { (s, dir) =>
+      Engine.sql(s, dir,
+        """SELECT ROUND(100.00 * sum(CASE WHEN p_type = 'PROMO'
+          |         THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+          |       / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+          |FROM lineitem, part
+          |WHERE l_partkey = p_partkey
+          |  AND l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+          |  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin)
+    },
+
+    // Q15: top supplier — a derived revenue view joined against its own
+    // scalar max (rounded to 4 on BOTH sides before the equality so the
+    // cross-engine comparison is on identical doubles).
+    Qd("q230_tpch_q15_shape",
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         ROUND(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier, revenue
+        |WHERE s_suppkey = supplier_no
+        |  AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""") { (s, dir) =>
+      Engine.sql(s, dir,
+        """WITH revenue AS (
+          |  SELECT l_suppkey AS supplier_no,
+          |         ROUND(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+          |  FROM lineitem
+          |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+          |  GROUP BY l_suppkey)
+          |SELECT s_suppkey, s_name, total_revenue
+          |FROM supplier, revenue
+          |WHERE s_suppkey = supplier_no
+          |  AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+          |ORDER BY s_suppkey""".stripMargin)
+    },
+
+    // Q17: small-quantity orders — the correlated scalar-aggregate
+    // subquery, decorrelated by Catalyst into an aggregate + join.
+    Qd("q231_tpch_q17_shape",
+      """SELECT ROUND(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey AND p_brand = 'Brand#1'
+        |  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+        |                    WHERE l2.l_partkey = p_partkey)""") { (s, dir) =>
+      Engine.sql(s, dir,
+        """SELECT ROUND(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+          |FROM lineitem, part
+          |WHERE p_partkey = l_partkey AND p_brand = 'Brand#1'
+          |  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+          |                    WHERE l2.l_partkey = p_partkey)""".stripMargin)
+    },
+
+    // Q19: three-bracket disjunctive predicate — the OR-of-ANDs Catalyst
+    // must keep join-pushable (p_partkey = l_partkey stays the equi key;
+    // the brackets become a residual filter).
+    Qd("q232_tpch_q19_shape",
+      """SELECT ROUND(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey AND
+        |  ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |      AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+        |      AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+        |      AND l_quantity BETWEEN 20 AND 30))""") { (s, dir) =>
+      Engine.sql(s, dir,
+        """SELECT ROUND(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+          |FROM lineitem, part
+          |WHERE p_partkey = l_partkey AND
+          |  ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+          |      AND l_quantity BETWEEN 1 AND 11)
+          |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+          |      AND l_quantity BETWEEN 10 AND 20)
+          |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+          |      AND l_quantity BETWEEN 20 AND 30))""".stripMargin)
+    },
+
+    // Q22: customers with above-average balances and no URGENT orders (every
+    // customer here has SOME order, so the anti-join predicate narrows to a
+    // priority class to keep the NOT EXISTS result non-empty) — an
+    // uncorrelated scalar avg (ROUNDed on both sides so the threshold is
+    // the identical double) plus NOT EXISTS anti join, grouped by nation
+    // (the phone-prefix cntrycode of real Q22, absent from this schema).
+    Qd("q233_tpch_q22_shape",
+      """SELECT nk, CAST(count(*) AS BIGINT) AS numcust,
+        |       ROUND(sum(c_acctbal), 4) AS totacctbal
+        |FROM (SELECT c_nationkey AS nk, c_acctbal FROM customer
+        |      WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+        |        AND c_acctbal > (SELECT ROUND(avg(c_acctbal), 2) FROM customer
+        |                         WHERE c_acctbal > 0
+        |                           AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+        |        AND NOT EXISTS (SELECT 1 FROM orders
+        |                        WHERE o_custkey = c_custkey
+        |                          AND o_orderpriority = '1-URGENT')) custsale
+        |GROUP BY nk ORDER BY nk""") { (s, dir) =>
+      Engine.sql(s, dir,
+        """SELECT nk, CAST(count(*) AS BIGINT) AS numcust,
+          |       ROUND(sum(c_acctbal), 4) AS totacctbal
+          |FROM (SELECT c_nationkey AS nk, c_acctbal FROM customer
+          |      WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+          |        AND c_acctbal > (SELECT ROUND(avg(c_acctbal), 2) FROM customer
+          |                         WHERE c_acctbal > 0
+          |                           AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+          |        AND NOT EXISTS (SELECT 1 FROM orders
+          |                        WHERE o_custkey = c_custkey
+          |                          AND o_orderpriority = '1-URGENT')) custsale
+          |GROUP BY nk ORDER BY nk""".stripMargin)
     }
   )
 }

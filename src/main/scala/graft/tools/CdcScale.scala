@@ -39,11 +39,14 @@ object CdcScale {
     }
 
     // one-time table build (not the measurement)
+    // k: a unique row key (the driver's lineitem is TPC-H-ISH — (ok, ln)
+    // pairs repeat — and the replication section needs a real primary key)
     val li = Engine.table(s, dir, "lineitem").select(
       col("l_orderkey").cast("bigint").as("ok"), col("l_linenumber").as("ln"),
       col("l_quantity").cast("double").as("qty"),
       col("l_extendedprice").cast("double").as("price"),
       col("l_returnflag").as("rf"))
+      .withColumn("k", monotonically_increasing_id())
     TxnMergeOnRead.create(s, root, li)
     val rows = TxnMergeOnRead.read(s, root).count()
 
@@ -124,7 +127,7 @@ object CdcScale {
         Seq("qty" -> "qty + 1"), s"ok % 4096 = $i")
       System.gc(); Thread.sleep(150)
       val t0 = System.nanoTime()
-      graft.operators.ChangeFeed.sync(s, root, dst, ckpt, Seq("ok", "ln"))
+      graft.operators.ChangeFeed.sync(s, root, dst, ckpt, Seq("k"))
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"[cdcscale] replication sync #$i ${dt}%.2fs")
       dt
