@@ -445,22 +445,59 @@ object TxnMergeOnRead {
     if (v > 0) writeCheckpointAt(f, root, v)
   }
 
+  /** Commit timestamps per surviving version — the entry FILE's
+    * modification time, monotonized by a running max exactly as Delta
+    * adjusts its commit timestamps (a clock-skewed or retried commit must
+    * not make time travel non-monotonic in version). */
+  def commitTimestamps(spark: SparkSession, root: String): Seq[(Long, Long)] = {
+    val f = fs(spark, root)
+    val (entryFiles, _) = listLog(f, root)
+    var last = 0L
+    entryFiles.sortBy(_._1).map { case (v, p) =>
+      last = math.max(f.getFileStatus(p).getModificationTime, last)
+      (v, last)
+    }
+  }
+
+  /** The newest version whose (monotonized) commit timestamp is ≤
+    * `epochMs` — Delta's `TIMESTAMP AS OF` resolution. A timestamp before
+    * the earliest SURVIVING entry fails loudly (that history was never
+    * committed, or vacuum pruned it). */
+  def versionAtTime(spark: SparkSession, root: String, epochMs: Long): Long = {
+    val ts = commitTimestamps(spark, root)
+    require(ts.nonEmpty, s"no committed log entries at $root")
+    val ok = ts.takeWhile(_._2 <= epochMs)
+    if (ok.isEmpty) throw new IllegalArgumentException(
+      s"timestamp $epochMs ms precedes the earliest available version " +
+      s"${ts.head._1} (committed ${ts.head._2} ms) of $root — that history " +
+      "was never committed, or was pruned by vacuum")
+    ok.last._1
+  }
+
+  /** [[readAt]] resolved by wall clock instead of version. */
+  def readAtTime(spark: SparkSession, root: String, epochMs: Long): DataFrame =
+    readAt(spark, root, versionAtTime(spark, root, epochMs))
+
   /** The commit history as a DataFrame (Delta's DESCRIBE HISTORY shape):
     * one row per SURVIVING log entry — version, action, the dir it
-    * references, the prefix a fold claims (or a restore's target), and
-    * the footprint/batch-key slot. After `vacuum(pruneLog = true)` the
-    * pruned prefix is summarized by its checkpoint's version instead of
-    * per-entry rows (the entries no longer exist — that is the point). */
+    * references, the prefix a fold claims (or a restore's target), the
+    * footprint/batch-key slot, and the (monotonized) commit timestamp.
+    * After `vacuum(pruneLog = true)` the pruned prefix is summarized by
+    * its checkpoint's version instead of per-entry rows (the entries no
+    * longer exist — that is the point). */
   def history(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
     val f = fs(spark, root)
     val (entryFiles, ckptFiles) = listLog(f, root)
+    val tsOf = commitTimestamps(spark, root).toMap
     val entries = readEntryFiles(f, entryFiles).map(e =>
-      (e.version, e.action, e.dir, e.folds, e.fp))
-    val ckpts = ckptFiles.map(_._1).sorted.map(v =>
-      (v, "checkpoint", f"$v%020d.ckpt", 0L, ""))
+      (e.version, e.action, e.dir, e.folds, e.fp, tsOf.getOrElse(e.version, 0L)))
+    val ckpts = ckptFiles.sortBy(_._1).map { case (v, p) =>
+      (v, "checkpoint", f"$v%020d.ckpt", 0L, "",
+        f.getFileStatus(p).getModificationTime)
+    }
     (entries ++ ckpts).sortBy(r => (r._1, r._2))
-      .toDF("version", "action", "dir", "folds", "detail")
+      .toDF("version", "action", "dir", "folds", "detail", "ts")
   }
 
   /** Test seam: widens [[insertBatch]]'s check-to-commit window so a spec

@@ -42,10 +42,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Reads: [[rewriteReads]] makes registered txn tables directly
   * SELECTable — any `FROM <t>` / `JOIN <t>` whose name is registered is
-  * swapped for a snapshot temp view, and `FROM <t> VERSION AS OF <n>`
-  * ([[TxnMergeOnRead.readAt]] time travel, the Delta/Iceberg SELECT
-  * shape) for a pinned-version view. Statement text Spark's parser
-  * accepts otherwise is untouched.
+  * swapped for a snapshot temp view, and `FROM <t> VERSION AS OF <n>` /
+  * `FROM <t> TIMESTAMP AS OF '<ts>'` ([[TxnMergeOnRead.readAt]] /
+  * [[TxnMergeOnRead.versionAtTime]] time travel, the Delta/Iceberg
+  * SELECT shapes) for a pinned-version view. Statement text Spark's
+  * parser accepts otherwise is untouched.
   * The utility statements are the Delta-SQL shapes for the same log
   * operations (`DESCRIBE HISTORY`, `RESTORE TABLE ... TO VERSION AS OF`,
   * `VACUUM ... RETAIN`), textual twins of [[TxnMergeOnRead.history]] /
@@ -416,12 +417,29 @@ object TxnSql {
   // ---- SELECT rewriting: txn tables as readable relations -----------------
 
   private val VersionAsOf = "(?is)^\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)".r
+  private val TimestampAsOf =
+    "(?is)^\\s+TIMESTAMP\\s+AS\\s+OF\\s+(?:'([^']*)'|(\\d+))".r
 
-  /** Rewrite `FROM <t>` / `JOIN <t> [VERSION AS OF n]` references to
-    * registered txn tables into snapshot (or [[TxnMergeOnRead.readAt]]
-    * pinned-version) temp views, at ANY paren depth (subqueries included),
-    * quote-aware. Statements mentioning no registered table return
-    * unchanged — the zero-cost path every plain Spark query takes. */
+  /** `'yyyy-MM-dd[ HH:mm:ss[.fff]]'` (session-UTC, matching the engine's
+    * pinned time zone) or bare epoch milliseconds → epoch ms. */
+  private def parseTsLiteral(t: String): Long = {
+    if (t.matches("\\d+")) t.toLong
+    else {
+      val ldt =
+        if (t.length == 10) java.time.LocalDate.parse(t).atStartOfDay()
+        else java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+      ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    }
+  }
+
+  /** Rewrite `FROM <t>` / `JOIN <t> [VERSION AS OF n | TIMESTAMP AS OF
+    * ts]` references to registered txn tables into snapshot (or
+    * [[TxnMergeOnRead.readAt]] pinned-version) temp views, at ANY paren
+    * depth (subqueries included), quote-aware. `TIMESTAMP AS OF` resolves
+    * through [[TxnMergeOnRead.versionAtTime]] (monotonized entry mtimes —
+    * the Delta mechanism). Statements mentioning no registered table
+    * return unchanged — the zero-cost path every plain Spark query
+    * takes. */
   def rewriteReads(spark: SparkSession, sqlText: String): String = {
     if (tables.isEmpty) return sqlText
     val s = sqlText
@@ -432,10 +450,19 @@ object TxnSql {
       identAfter(s, a).filter(n => tables.containsKey(n.toLowerCase)).map { n =>
         val start = identStart(s, a)
         val end = identEnd(s, a)
-        VersionAsOf.findFirstMatchIn(s.substring(end)) match {
+        val rest = s.substring(end)
+        VersionAsOf.findFirstMatchIn(rest) match {
           case Some(m) =>
             (start, end + m.end, viewFor(spark, n, Some(m.group(1).toLong)))
-          case None => (start, end, viewFor(spark, n, None))
+          case None => TimestampAsOf.findFirstMatchIn(rest) match {
+            case Some(m) =>
+              val ms = parseTsLiteral(
+                Option(m.group(1)).getOrElse(m.group(2)))
+              val v = TxnMergeOnRead.versionAtTime(spark,
+                resolve(n, sqlText), ms)
+              (start, end + m.end, viewFor(spark, n, Some(v)))
+            case None => (start, end, viewFor(spark, n, None))
+          }
         }
       }
     }

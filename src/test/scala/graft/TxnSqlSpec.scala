@@ -235,4 +235,40 @@ class TxnSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT count(*) AS c FROM tsql_rr VERSION AS OF 1")).as[Long].head()
     assert(old === 100, "VERSION AS OF 1 sees the pre-delete table")
   }
+
+  test("TIMESTAMP AS OF resolves by monotonized entry mtimes — the Delta mechanism") {
+    val root = mk("tsof")
+    TxnSql.exec(spark, "DELETE FROM tsql_tsof WHERE k >= 50")          // v2
+    TxnSql.exec(spark, "DELETE FROM tsql_tsof WHERE k >= 20")          // v3
+    // pin the entry mtimes deterministically (epoch seconds 1000/2000/1500:
+    // v3 is CLOCK-SKEWED BEHIND v2 — monotonization must carry v2's time)
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def pin(v: Long, ms: Long): Unit = f.setTimes(
+      new org.apache.hadoop.fs.Path(f"$root/_txnlog/$v%020d.json"), ms, -1)
+    pin(1L, 1000000L); pin(2L, 2000000L); pin(3L, 1500000L)
+    assert(TxnMergeOnRead.versionAtTime(spark, root, 1000000L) === 1L)
+    assert(TxnMergeOnRead.versionAtTime(spark, root, 1999999L) === 1L)
+    // v3's adjusted timestamp = max(1500000, ts(v2)) = 2000000 — both v2
+    // and v3 carry it, and the LATEST version at that instant wins
+    assert(TxnMergeOnRead.versionAtTime(spark, root, 2000000L) === 3L)
+    assert(TxnMergeOnRead.readAtTime(spark, root, 1500000L).count() === 100)
+    val e = intercept[IllegalArgumentException](
+      TxnMergeOnRead.versionAtTime(spark, root, 999999L))
+    assert(e.getMessage.contains("earliest available"))
+    // the SQL surface: epoch-ms and quoted-literal forms
+    val c = spark.sql(TxnSql.rewriteReads(spark,
+      "SELECT count(*) AS c FROM tsql_tsof TIMESTAMP AS OF 1999999"))
+      .as[Long].head()
+    assert(c === 100L)
+    val c2 = spark.sql(TxnSql.rewriteReads(spark,
+      "SELECT count(*) AS c FROM tsql_tsof TIMESTAMP AS OF '2100-01-01'"))
+      .as[Long].head()
+    assert(c2 === 20L, "a future timestamp reads the head")
+    // DESCRIBE HISTORY carries the monotonized ts column
+    val hist = TxnMergeOnRead.history(spark, root)
+      .select("version", "ts").as[(Long, Long)].collect().toMap
+    assert(hist(2L) === 2000000L && hist(3L) === 2000000L,
+      "history shows ADJUSTED timestamps (v3 inherits v2's)")
+  }
 }
