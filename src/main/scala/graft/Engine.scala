@@ -148,6 +148,8 @@ object Engine {
         operators.TxnSql.exec(spark, query)
         operators.TxnSql.table(spark, operators.TxnSql.targetOf(query).get)
       }
+    } else if (operators.TxnSql.handlesDdl(query)) {
+      operators.TxnSql.execDdl(spark, query)
     } else if (operators.MatView.handles(query)) {
       operators.MatView.exec(spark, query)
     } else {

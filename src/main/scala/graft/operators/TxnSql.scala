@@ -81,6 +81,51 @@ object TxnSql {
     headTable(s).exists(t => tables.containsKey(t.toLowerCase))
   }
 
+  /** Lifecycle DDL — registration is part of the statement, so these
+    * route unconditionally (unlike [[handles]], which needs the table
+    * already registered):
+    * {{{
+    *   CREATE TRANSACTIONAL TABLE <name> LOCATION '<root>' AS <select>
+    *   DROP TRANSACTIONAL TABLE <name>
+    * }}}
+    * The Hive spelling is `CREATE TABLE … TBLPROPERTIES
+    * ('transactional'='true')`; the explicit keyword keeps the routing
+    * decision in the statement text instead of a properties map. DROP is
+    * managed-table semantics: unregister AND delete the root. */
+  def handlesDdl(sqlText: String): Boolean = {
+    val up = sqlText.trim.toUpperCase
+    up.startsWith("CREATE TRANSACTIONAL TABLE") ||
+      up.startsWith("DROP TRANSACTIONAL TABLE")
+  }
+
+  /** Execute one lifecycle statement; returns the new table's snapshot
+    * for CREATE, an empty frame for DROP. */
+  def execDdl(spark: SparkSession, sqlText: String): DataFrame = {
+    val s = sqlText.trim.stripSuffix(";").trim
+    val up = s.toUpperCase
+    if (up.startsWith("CREATE TRANSACTIONAL TABLE")) {
+      val rest = s.substring("CREATE TRANSACTIONAL TABLE".length).trim
+      val name = identAfter(rest, 0).getOrElse(
+        fail(s, "CREATE TRANSACTIONAL TABLE needs a name"))
+      val m = "(?is)\\bLOCATION\\s+'([^']+)'\\s+AS\\b".r.findFirstMatchIn(rest)
+        .getOrElse(fail(s, "expected LOCATION '<root>' AS <select>"))
+      val root = m.group(1)
+      val select = rest.substring(m.end).trim
+      require(select.nonEmpty, s"CREATE TRANSACTIONAL TABLE needs AS <select>: $s")
+      TxnMergeOnRead.create(spark, root,
+        spark.sql(rewriteReads(spark, select)))
+      register(name, root)
+      TxnMergeOnRead.read(spark, root)
+    } else if (up.startsWith("DROP TRANSACTIONAL TABLE")) {
+      val name = identAfter(s, "DROP TRANSACTIONAL TABLE".length).getOrElse(
+        fail(s, "DROP TRANSACTIONAL TABLE needs a name"))
+      val root = resolve(name, s)
+      tables.remove(name.toLowerCase)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      spark.emptyDataFrame
+    } else throw new IllegalArgumentException(s"not a txn DDL statement: $s")
+  }
+
   /** The statement's target table name, when it is a txn DML statement. */
   def targetOf(sqlText: String): Option[String] = headTable(sqlText.trim)
 

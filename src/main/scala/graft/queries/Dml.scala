@@ -805,6 +805,60 @@ object Dml {
       TxnMergeOnRead.read(s, dst)
         .select(col("ck"), col("bal").cast("double").as("bal"), col("seg"))
         .orderBy("ck")
+    },
+
+    // SQL-ONLY lifecycle capstone: every statement here goes through
+    // Engine.sql — CREATE TRANSACTIONAL TABLE … AS registers the table in
+    // the same statement that creates it, then INSERT VALUES, UPDATE, a
+    // guarded three-clause MERGE, and the final SELECT, with zero API
+    // calls. This is the experience a reference user has (their ACID
+    // surface IS statement text); the oracle replays the chain
+    // declaratively.
+    Qd("q234_txn_sql_lifecycle",
+      """WITH t0 AS (SELECT CAST(c_custkey AS BIGINT) AS ck,
+        |            round(c_acctbal, 2) AS bal, c_mktsegment AS seg
+        |            FROM customer WHERE c_custkey <= 350),
+        |i1 AS (SELECT * FROM t0
+        |       UNION ALL SELECT 9001, 50.0, 'NEW'
+        |       UNION ALL SELECT 9002, 60.0, 'NEW'),
+        |u1 AS (SELECT ck, CASE WHEN seg = 'MACHINERY' THEN round(bal - 5, 2)
+        |                       ELSE bal END AS bal, seg FROM i1),
+        |src AS (SELECT CAST(c_custkey AS BIGINT) AS sck,
+        |        round(c_acctbal, 2) AS sbal
+        |        FROM customer WHERE c_custkey BETWEEN 301 AND 420),
+        |fin AS (
+        |  SELECT u1.ck, CASE WHEN s.sck IS NOT NULL AND s.sck % 2 = 0
+        |                     THEN round(s.sbal + 1, 2) ELSE u1.bal END AS bal,
+        |         u1.seg
+        |  FROM u1 LEFT JOIN src s ON u1.ck = s.sck
+        |  WHERE NOT (s.sck IS NOT NULL AND s.sck % 5 = 0)
+        |  UNION ALL
+        |  SELECT s.sck, round(s.sbal + 1, 2), 'X'
+        |  FROM src s LEFT JOIN u1 ON s.sck = u1.ck WHERE u1.ck IS NULL)
+        |SELECT ck, CAST(bal AS DOUBLE) AS bal, seg FROM fin ORDER BY ck""") { (s, dir) =>
+      val (sf, loc) = ctx(s, dir)
+      val tbl = s"g234_$sf"
+      Engine.sql(s, dir,
+        s"""CREATE TRANSACTIONAL TABLE $tbl LOCATION '$loc/g234_txn' AS
+           |SELECT CAST(c_custkey AS BIGINT) AS ck, round(c_acctbal, 2) AS bal,
+           |       c_mktsegment AS seg
+           |FROM customer WHERE c_custkey <= 350""".stripMargin)        // v1
+      Engine.sql(s, dir,
+        s"INSERT INTO $tbl VALUES (9001, 50.0, 'NEW'), (9002, 60.0, 'NEW')") // v2
+      Engine.sql(s, dir,
+        s"UPDATE $tbl SET bal = round(bal - 5, 2) WHERE seg = 'MACHINERY'")  // v3
+      Engine.sql(s, dir,
+        s"""MERGE INTO $tbl AS t
+           |USING (SELECT CAST(c_custkey AS BIGINT) AS sck,
+           |       round(c_acctbal, 2) AS sbal
+           |       FROM customer WHERE c_custkey BETWEEN 301 AND 420) AS s
+           |ON t.ck = s.sck
+           |WHEN MATCHED AND s.sck % 5 = 0 THEN DELETE
+           |WHEN MATCHED AND s.sck % 2 = 0 THEN UPDATE SET bal = round(s.sbal + 1, 2)
+           |WHEN NOT MATCHED THEN INSERT (ck, bal, seg)
+           |  VALUES (s.sck, round(s.sbal + 1, 2), 'X')""".stripMargin) // v4
+      Engine.sql(s, dir,
+        s"SELECT ck, CAST(bal AS DOUBLE) AS bal, seg FROM $tbl ORDER BY ck")
     }
   )
 }

@@ -271,4 +271,22 @@ class TxnSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hist(2L) === 2000000L && hist(3L) === 2000000L,
       "history shows ADJUSTED timestamps (v3 inherits v2's)")
   }
+
+  test("lifecycle DDL: CREATE TRANSACTIONAL TABLE registers, DROP unregisters and deletes") {
+    val root = s"$base/ddl"
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(root))
+    TxnSql.execDdl(spark,
+      s"""CREATE TRANSACTIONAL TABLE tsql_ddl LOCATION '$root' AS
+         |SELECT id AS k, id * 2 AS v FROM range(50)""".stripMargin)
+    assert(TxnSql.rootOf("tsql_ddl") === Some(root))
+    assert(TxnSql.handles("UPDATE tsql_ddl SET v = 0"),
+      "registration happens in the CREATE statement itself")
+    TxnSql.exec(spark, "DELETE FROM tsql_ddl WHERE k >= 40")
+    assert(TxnMergeOnRead.read(spark, root).count() === 40)
+    TxnSql.execDdl(spark, "DROP TRANSACTIONAL TABLE tsql_ddl")
+    assert(TxnSql.rootOf("tsql_ddl").isEmpty)
+    assert(!new File(root).exists(), "managed-table DROP deletes the root")
+    intercept[IllegalArgumentException](
+      TxnSql.execDdl(spark, "DROP TRANSACTIONAL TABLE tsql_ddl"))
+  }
 }
