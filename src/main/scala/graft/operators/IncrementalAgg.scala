@@ -15,6 +15,14 @@ import org.apache.spark.sql.functions._
   * `ALTER MATERIALIZED VIEW ... REBUILD` era recomputes), so this is a
   * beyond-reference pipeline operator, like the dedup/ANN family.
   *
+  * MIN/MAX (optional `minMaxCols`) get the paper's treatment for
+  * aggregates that are NOT self-maintainable under deletion: inserts
+  * tighten extrema in the delta fold for free, while a refresh whose
+  * range deleted from a group recomputes exactly THOSE groups with one
+  * semi-joined scan of the table (the departed row may have been the
+  * extremum) — O(rows of touched groups), still never O(table) for
+  * refreshes whose deletes are group-local.
+  *
   * Contract: CDC events are self-inverse — an insert contributes
   * `(+1, +x)` to its group, a delete `(-1, -x)` (delete events carry the
   * FULL dead row, which is exactly why [[TxnMergeOnRead]] pays those
@@ -53,15 +61,27 @@ object IncrementalAgg {
   }
 
   /** The per-group adjustment of a change frame: +1/+x for inserts,
-    * -1/-x for deletes, partial-aggregated before any shuffle. */
+    * -1/-x for deletes, partial-aggregated before any shuffle. With
+    * min/max columns it additionally carries the INSERT-side extrema and
+    * a delete count — min/max are monotone under inserts but not under
+    * deletes, so `del_cnt > 0` marks the groups [[refresh]] must
+    * recompute (the standard IVM treatment for aggregates that are not
+    * self-maintainable under deletion). */
   private def deltaAgg(changes: DataFrame, groupCols: Seq[String],
-      sumCols: Seq[String]): DataFrame = {
+      sumCols: Seq[String], minMaxCols: Seq[String]): DataFrame = {
     val sign = when(col("change") === "insert", lit(1L)).otherwise(lit(-1L))
+    val ins = col("change") === "insert"
     // sums land as DOUBLE in both init and refresh so the state schema is
     // stable across materializations regardless of the source column type
+    val aggs =
+      sumCols.map(c => sum(sign * col(c)).cast("double").as(s"sum_$c")) ++
+      minMaxCols.flatMap(c => Seq(
+        min(when(ins, col(c))).as(s"ins_min_$c"),
+        max(when(ins, col(c))).as(s"ins_max_$c"))) ++
+      (if (minMaxCols.isEmpty) Nil
+       else Seq(sum(when(ins, lit(0L)).otherwise(lit(1L))).as("del_cnt")))
     changes.groupBy(groupCols.map(col): _*)
-      .agg(sum(sign).as("cnt"),
-        sumCols.map(c => sum(sign * col(c)).cast("double").as(s"sum_$c")): _*)
+      .agg(sum(sign).as("cnt"), aggs: _*)
   }
 
   private def writeState(spark: SparkSession, stateDir: String, v: Long,
@@ -78,14 +98,17 @@ object IncrementalAgg {
     * O(table) pass, paid once (and after a RESTORE). Returns the pinned
     * table version the state reflects. */
   def init(spark: SparkSession, root: String, stateDir: String,
-      groupCols: Seq[String], sumCols: Seq[String]): Long = {
+      groupCols: Seq[String], sumCols: Seq[String],
+      minMaxCols: Seq[String] = Nil): Long = {
     require(groupCols.nonEmpty && sumCols.nonEmpty,
       "need at least one group column and one sum column")
     val v = TxnMergeOnRead.currentVersion(spark, root)
     val snap = TxnMergeOnRead.read(spark, root)
     val state = snap.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("cnt"),
-        sumCols.map(c => sum(col(c)).cast("double").as(s"sum_$c")): _*)
+        sumCols.map(c => sum(col(c)).cast("double").as(s"sum_$c")) ++
+        minMaxCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
+          max(col(c)).as(s"max_$c"))): _*)
     writeState(spark, stateDir, v, state)
     v
   }
@@ -107,18 +130,53 @@ object IncrementalAgg {
     val prior = read(spark, stateDir)
     val groupCols = prior.columns.takeWhile(_ != "cnt").toSeq
     val sumCols = prior.columns.dropWhile(_ != "cnt").drop(1)
-      .map(_.stripPrefix("sum_")).toSeq
+      .filter(_.startsWith("sum_")).map(_.stripPrefix("sum_")).toSeq
+    val minMaxCols = prior.columns.filter(_.startsWith("min_"))
+      .map(_.stripPrefix("min_")).toSeq
     // throws on a range spanning a RESTORE — the documented re-init case
     val changes = TxnMergeOnRead.changesBetween(spark, root, fromV, toV)
-    val delta = deltaAgg(changes, groupCols, sumCols)
+    val delta = deltaAgg(changes, groupCols, sumCols, minMaxCols)
     val merged = prior.as("p").join(delta.as("d"), groupCols, "full_outer")
       .select(groupCols.map(col) ++
         Seq((coalesce(col("p.cnt"), lit(0L)) +
           coalesce(col("d.cnt"), lit(0L))).as("cnt")) ++
         sumCols.map(c => (coalesce(col(s"p.sum_$c"), lit(0.0)) +
-          coalesce(col(s"d.sum_$c"), lit(0.0))).as(s"sum_$c")): _*)
+          coalesce(col(s"d.sum_$c"), lit(0.0))).as(s"sum_$c")) ++
+        // inserts only tighten extrema (least/greatest skip nulls, so a
+        // new group takes the insert value and an insert-free group keeps
+        // the prior); groups with deletes are marked for recompute below
+        minMaxCols.flatMap(c => Seq(
+          least(col(s"p.min_$c"), col(s"d.ins_min_$c")).as(s"min_$c"),
+          greatest(col(s"p.max_$c"), col(s"d.ins_max_$c")).as(s"max_$c"))) ++
+        (if (minMaxCols.isEmpty) Nil
+         else Seq(coalesce(col("d.del_cnt"), lit(0L)).as("_del"))): _*)
       .filter(col("cnt") > 0)
-    writeState(spark, stateDir, toV, merged)
+    val finalState =
+      if (minMaxCols.isEmpty) merged
+      else {
+        // min/max are NOT self-maintainable under deletion: the departed
+        // row may have BEEN the extremum. Recompute exactly the groups the
+        // range deleted from — one semi-joined scan of the table at toV,
+        // O(rows of touched groups), never the groups deletes missed.
+        val dirty = merged.filter(col("_del") > 0)
+          .select(groupCols.map(col): _*)
+        val recomputed = TxnMergeOnRead.readAt(spark, root, toV)
+          .join(dirty, groupCols, "left_semi")
+          .groupBy(groupCols.map(col): _*)
+          .agg(minMaxCols.flatMap(c => Seq(min(col(c)).as(s"r_min_$c"),
+            max(col(c)).as(s"r_max_$c"))).head,
+            minMaxCols.flatMap(c => Seq(min(col(c)).as(s"r_min_$c"),
+              max(col(c)).as(s"r_max_$c"))).tail: _*)
+        merged.as("b").join(recomputed.as("r"), groupCols, "left_outer")
+          .select(groupCols.map(col) ++ Seq(col("b.cnt").as("cnt")) ++
+            sumCols.map(c => col(s"b.sum_$c").as(s"sum_$c")) ++
+            minMaxCols.flatMap(c => Seq(
+              when(col("b._del") > 0, col(s"r.r_min_$c"))
+                .otherwise(col(s"b.min_$c")).as(s"min_$c"),
+              when(col("b._del") > 0, col(s"r.r_max_$c"))
+                .otherwise(col(s"b.max_$c")).as(s"max_$c"))): _*)
+      }
+    writeState(spark, stateDir, toV, finalState)
     (fromV, toV)
   }
 

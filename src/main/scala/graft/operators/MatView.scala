@@ -4,9 +4,9 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, Literal, PlanExpression, SortOrder, Ascending, Descending, NullsFirst, NullsLast}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, Sort, SubqueryAlias}
-import org.apache.spark.sql.functions.{coalesce, col, lit, sum}
+import org.apache.spark.sql.functions.{coalesce, col, lit, max, min, sum}
 import org.apache.spark.sql.types.DoubleType
 
 /** Materialized views over txn tables: incremental REBUILD + transparent
@@ -25,9 +25,12 @@ import org.apache.spark.sql.types.DoubleType
   *  - **Rewrite is plan-shaped, not textual** — [[tryRewrite]] pattern-
   *    matches the query's ANALYZED Catalyst plan: an [[Aggregate]] whose
   *    grouping keys are a subset of the view's, whose aggregates derive
-  *    from the stored (`cnt`, `sum_*`) columns (`count(*)` → `sum(cnt)`,
-  *    `sum(x)` → `sum(sum_x)`, `avg(x)` → `sum(sum_x)/sum(cnt)` — the
-  *    classic rollup derivations), and whose filters mention grouping
+  *    from the stored (`cnt`, `sum_*`, `min_*`/`max_*`) columns
+  *    (`count(*)` → `sum(cnt)`, `sum(x)` → `sum(sum_x)`, `avg(x)` →
+  *    `sum(sum_x)/sum(cnt)`, and for DECLARED min/max columns `min(x)` →
+  *    `min(min_x)` / `max(x)` → `max(max_x)` — the classic rollup
+  *    derivations; min/max maintenance under deletion recomputes touched
+  *    groups, see [[IncrementalAgg]]), and whose filters mention grouping
   *    columns only, is answered from the state parquet; anything else
   *    falls through to the base table untouched. Correctness is never at
   *    stake — the rewrite only changes WHERE the answer is computed.
@@ -52,9 +55,10 @@ import org.apache.spark.sql.types.DoubleType
   */
 object MatView {
 
-  /** name → (table root, state dir, view anchor, group cols, sum cols). */
+  /** name → (table root, state dir, view anchor, group cols, sum cols,
+    * min/max cols). */
   final case class Def(root: String, stateDir: String, table: String,
-      groupCols: Seq[String], sumCols: Seq[String])
+      groupCols: Seq[String], sumCols: Seq[String], minMaxCols: Seq[String])
 
   private val views = new java.util.concurrent.ConcurrentHashMap[String, Def]()
 
@@ -78,9 +82,10 @@ object MatView {
     val root = TxnSql.rootOf(m.table).getOrElse(throw new IllegalArgumentException(
       s"'${m.table}' is not a registered txn table: $selectSql"))
     val d = Def(root, s"${root}_mv_${name.toLowerCase}", m.table,
-      m.groupCols, m.sumCols)
+      m.groupCols, m.sumCols, m.minMaxCols)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d.stateDir))
-    IncrementalAgg.init(spark, root, d.stateDir, d.groupCols, d.sumCols)
+    IncrementalAgg.init(spark, root, d.stateDir, d.groupCols, d.sumCols,
+      d.minMaxCols)
     views.put(name.toLowerCase, d)
     d
   }
@@ -103,8 +108,8 @@ object MatView {
 
   /** One matched aggregate-over-txn-table query shape. */
   private final case class Matched(table: String, groupCols: Seq[String],
-      sumCols: Seq[String], filters: Seq[Expression],
-      agg: Aggregate, order: Seq[SortOrder])
+      sumCols: Seq[String], minMaxCols: Seq[String],
+      filters: Seq[Expression], agg: Aggregate, order: Seq[SortOrder])
 
   /** Peel Filter/attribute-Project/alias layers down to the txn-table
     * anchor ([[TxnSql.rewriteReads]]' `graft_txn_<name>` view). */
@@ -136,23 +141,34 @@ object MatView {
           }
           if (groups.exists(_.isEmpty)) None
           else {
-            // attributes under sum/avg — the columns a view must store
-            val sums = agg.aggregateExpressions
+            // attributes under sum/avg and min/max — what a view stores
+            val fns = agg.aggregateExpressions
               .flatMap(_.collect { case ae: AggregateExpression =>
                 ae.aggregateFunction })
-              .flatMap {
-                case s: Sum => s.child match {
-                  case a: AttributeReference => Seq(a.name)
-                  case _ => Nil
-                }
-                case a: Average => a.child match {
-                  case ar: AttributeReference => Seq(ar.name)
-                  case _ => Nil
-                }
+            val sums = fns.flatMap {
+              case s: Sum => s.child match {
+                case a: AttributeReference => Seq(a.name)
                 case _ => Nil
               }
+              case a: Average => a.child match {
+                case ar: AttributeReference => Seq(ar.name)
+                case _ => Nil
+              }
+              case _ => Nil
+            }
+            val mms = fns.flatMap {
+              case m: Min => m.child match {
+                case a: AttributeReference => Seq(a.name)
+                case _ => Nil
+              }
+              case m: Max => m.child match {
+                case a: AttributeReference => Seq(a.name)
+                case _ => Nil
+              }
+              case _ => Nil
+            }
             Some(Matched(table, groups.flatten.toSeq, sums.distinct.toSeq,
-              filters.toSeq, agg, order))
+              mms.distinct.toSeq, filters.toSeq, agg, order))
           }
         }
       case _ => None
@@ -215,6 +231,18 @@ object MatView {
           case av: Average => av.child match {
             case a: AttributeReference if d.sumCols.contains(a.name) =>
               Some((sum(col(s"sum_${a.name}")) / sum(col("cnt"))).as(n))
+            case _ => None
+          }
+          case mn: Min => mn.child match {
+            // stored at the attribute's NATIVE type, so min-of-mins is
+            // both value- and type-exact under rollup
+            case a: AttributeReference if d.minMaxCols.contains(a.name) =>
+              Some(min(col(s"min_${a.name}")).as(n))
+            case _ => None
+          }
+          case mx: Max => mx.child match {
+            case a: AttributeReference if d.minMaxCols.contains(a.name) =>
+              Some(max(col(s"max_${a.name}")).as(n))
             case _ => None
           }
           case _ => None

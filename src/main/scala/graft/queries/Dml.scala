@@ -859,6 +859,52 @@ object Dml {
            |  VALUES (s.sck, round(s.sbal + 1, 2), 'X')""".stripMargin) // v4
       Engine.sql(s, dir,
         s"SELECT ck, CAST(bal AS DOUBLE) AS bal, seg FROM $tbl ORDER BY ck")
+    },
+
+    // Materialized view with MIN/MAX maintenance (q220's shape widened —
+    // min/max are NOT self-maintainable under deletion, so the
+    // incremental REBUILD recomputes exactly the groups the range deleted
+    // from, one semi-joined scan; [[graft.operators.IncrementalAgg]]).
+    // The delete wave (~1% spread across every group) forces the
+    // touched-group recompute everywhere, the update wave rides the
+    // normal delta fold, and the final rollup (group subset + filter +
+    // min/max/count/sum/avg) is require()d to come from the state
+    // parquet. A stale extremum (the departed row WAS a max) breaks the
+    // hash.
+    Qd("q235_mat_view_minmax",
+      """WITH t0 AS (SELECT CAST(l_orderkey AS BIGINT) AS ok,
+        |            CAST(l_quantity AS DOUBLE) AS qty,
+        |            l_returnflag AS rf, l_linestatus AS ls FROM lineitem),
+        |v2 AS (SELECT * FROM t0 WHERE NOT (ok % 1000 >= 990)),
+        |v3 AS (SELECT ok, CASE WHEN qty < 5 THEN qty + 1 ELSE qty END AS qty,
+        |               rf, ls FROM v2)
+        |SELECT rf, CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(qty) AS DOUBLE) AS sum_qty,
+        |       CAST(min(ok) AS BIGINT) AS min_ok,
+        |       CAST(max(ok) AS BIGINT) AS max_ok
+        |FROM v3 WHERE ls = 'F' GROUP BY rf ORDER BY rf""") { (s, dir) =>
+      val (sf, loc) = ctx(s, dir)
+      val root = s"$loc/g235_txn"
+      val tbl = s"g235_$sf"
+      val mv = s"mv235_$sf"
+      TxnMergeOnRead.create(s, root, Engine.table(s, dir, "lineitem").select(
+        col("l_orderkey").cast("bigint").as("ok"),
+        col("l_quantity").cast("double").as("qty"),
+        col("l_returnflag").as("rf"), col("l_linestatus").as("ls")))
+      graft.operators.TxnSql.register(tbl, root)
+      Engine.sql(s, dir, s"CREATE MATERIALIZED VIEW $mv AS " +
+        s"SELECT rf, ls, count(*) AS c, sum(qty) AS sq, " +
+        s"min(ok) AS mn, max(ok) AS mx FROM $tbl GROUP BY rf, ls")
+      Engine.sql(s, dir, s"DELETE FROM $tbl WHERE ok % 1000 >= 990")
+      Engine.sql(s, dir, s"UPDATE $tbl SET qty = qty + 1 WHERE qty < 5")
+      Engine.sql(s, dir, s"ALTER MATERIALIZED VIEW $mv REBUILD")
+      val out = Engine.sql(s, dir,
+        s"""SELECT rf, count(*) AS cnt, sum(qty) AS sum_qty,
+           |       min(ok) AS min_ok, max(ok) AS max_ok
+           |FROM $tbl WHERE ls = 'F' GROUP BY rf ORDER BY rf""".stripMargin)
+      require(out.queryExecution.sparkPlan.toString.contains("_mv_"),
+        "q235 must be ANSWERED FROM the materialized view state")
+      out
     }
   )
 }

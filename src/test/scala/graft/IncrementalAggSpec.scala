@@ -100,4 +100,40 @@ class IncrementalAggSpec extends AnyFunSuite with BeforeAndAfterAll {
     IncrementalAgg.init(spark, root, state, Seq("g"), Seq("x"))
     assertInSync(root, state)
   }
+
+  test("min/max: inserts tighten for free, deleting the extremum recomputes ONLY touched groups") {
+    val (root, state) = mk("minmax")
+    IncrementalAgg.init(spark, root, state, Seq("g"), Seq("x"),
+      minMaxCols = Seq("k"))
+    def scratchMm() = TxnMergeOnRead.read(spark, root).groupBy("g")
+      .agg(count(lit(1)).as("cnt"), sum("x").cast("double").as("sum_x"),
+        min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("g").collect().toSeq
+    def sync(): Unit = {
+      IncrementalAgg.refresh(spark, root, state)
+      assert(IncrementalAgg.read(spark, state).orderBy("g").collect().toSeq
+        === scratchMm(), "state must equal from-scratch min/max recompute")
+    }
+    // insert-only wave: extrema tighten in the fold, no recompute needed
+    import spark.implicits._
+    TxnMergeOnRead.insert(spark, root,
+      Seq((-5L, "2", 1.0), (900L, "3", 2.0)).toDF("k", "g", "x"))
+    sync()
+    assert(IncrementalAgg.read(spark, state).filter(col("g") === "2")
+      .select("min_k").as[Long].head() === -5L)
+    // delete the CURRENT MAX of group 3 (k=900) and nothing in group 0:
+    // group 3 must recompute to its true new max, group 0 stays intact
+    TxnMergeOnRead.delete(spark, root, "k = 900")
+    sync()
+    // delete a NON-extremum row (group 1, k=6 — min 1, max 296): extrema
+    // survive the touched-group recompute unchanged
+    TxnMergeOnRead.delete(spark, root, "k = 6")
+    sync()
+    // update = delete + insert in one version: the group recomputes AND
+    // sees the insert — both halves of the same wave
+    TxnMergeOnRead.update(spark, root, Seq("k" -> "k + 10000"), "g = '4'")
+    sync()
+    assert(IncrementalAgg.read(spark, state).filter(col("g") === "4")
+      .select("min_k").as[Long].head() >= 10000L)
+  }
 }

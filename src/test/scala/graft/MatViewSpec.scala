@@ -141,6 +141,35 @@ class MatViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(MatView.definitionOf("mv_sql").isEmpty)
   }
 
+  test("declared min/max rewrite from state and survive a delete-then-rebuild; undeclared still fall back") {
+    val (root, t) = mk("minmax")
+    MatView.create(spark, "mv_mm",
+      s"SELECT g, count(*) AS c, sum(x) AS s, min(k) AS mn, max(k) AS mx " +
+      s"FROM $t GROUP BY g")
+    def q(sql: String) = spark.sql(TxnSql.rewriteReads(spark, sql))
+    val sql1 = s"SELECT g, min(k) AS mn, max(k) AS mx FROM $t GROUP BY g ORDER BY g"
+    val rw1 = MatView.tryRewrite(spark, q(sql1))
+    assert(rw1.isDefined && answeredFromState(rw1.get),
+      "declared min/max must answer from state")
+    assert(rw1.get.collect().toSeq === q(sql1).collect().toSeq)
+    // rollup: min over a group SUBSET = min of per-(g,h) mins — but this
+    // view groups only by g; use the global rollup instead
+    val sqlG = s"SELECT min(k) AS mn, max(k) AS mx FROM $t"
+    val rwG = MatView.tryRewrite(spark, q(sqlG))
+    assert(rwG.isDefined && rwG.get.collect().toSeq === q(sqlG).collect().toSeq)
+    // delete the global max, rebuild (touched-group recompute), rewrite again
+    TxnMergeOnRead.delete(spark, root, "k = 999")
+    assert(MatView.tryRewrite(spark, q(sql1)).isEmpty, "stale: no rewrite")
+    MatView.rebuild(spark, "mv_mm")
+    val rw2 = MatView.tryRewrite(spark, q(sql1))
+    assert(rw2.isDefined && answeredFromState(rw2.get))
+    assert(rw2.get.collect().toSeq === q(sql1).collect().toSeq,
+      "post-delete extrema are exact (the departed row WAS a max)")
+    // an UNDECLARED min column still falls back honestly
+    assert(MatView.tryRewrite(spark,
+      q(s"SELECT g, min(x) AS m FROM $t GROUP BY g")).isEmpty)
+  }
+
   test("global aggregate (no GROUP BY in query) derives from state; empty table edge") {
     val (_, t) = mk("global")
     MatView.create(spark, "mv_g",
