@@ -543,6 +543,60 @@ object Relational {
           |SELECT coalesce(a.k, -1) AS k, count(*) AS n
           |FROM a JOIN b ON a.k <=> b.k
           |GROUP BY 1 ORDER BY k""".stripMargin)
+    },
+
+    // The full set-operation family in one multiset-sensitive result:
+    // INTERSECT/EXCEPT dedup, INTERSECT ALL keeps min multiplicities,
+    // EXCEPT ALL subtracts them (Hive grew these in 2.3 — HIVE-12764 —
+    // as rewrites onto group-by+join; Spark plans them natively). The
+    // ORDER over (op, k) pins the exact multiset cross-engine.
+    Qd("q236_set_operations",
+      """WITH a AS (SELECT CAST(c_nationkey AS BIGINT) AS k FROM customer
+        |           WHERE c_custkey % 2 = 0),
+        |b AS (SELECT CAST(c_nationkey AS BIGINT) AS k FROM customer
+        |      WHERE c_custkey % 3 = 0)
+        |SELECT 'i' AS op, k FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
+        |UNION ALL
+        |SELECT 'ia', k FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+        |UNION ALL
+        |SELECT 'e', k FROM (SELECT k FROM a EXCEPT SELECT k FROM b)
+        |UNION ALL
+        |SELECT 'ea', k FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+        |ORDER BY op, k""") { (s, dir) =>
+      Engine.sql(s, dir,
+        """WITH a AS (SELECT CAST(c_nationkey AS BIGINT) AS k FROM customer
+          |           WHERE c_custkey % 2 = 0),
+          |b AS (SELECT CAST(c_nationkey AS BIGINT) AS k FROM customer
+          |      WHERE c_custkey % 3 = 0)
+          |SELECT 'i' AS op, k FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
+          |UNION ALL
+          |SELECT 'ia', k FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+          |UNION ALL
+          |SELECT 'e', k FROM (SELECT k FROM a EXCEPT SELECT k FROM b)
+          |UNION ALL
+          |SELECT 'ea', k FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+          |ORDER BY op, k""".stripMargin)
+    },
+
+    // Rank-family completion: ntile/percent_rank/cume_dist over a NAMED
+    // window (the WINDOW clause — `windowing.q`'s w1/w2 shapes), ties
+    // broken by key so every value is cross-engine deterministic.
+    Qd("q237_window_rank_family",
+      """SELECT c_custkey AS ck, c_mktsegment AS seg,
+        |  ntile(4) OVER w AS nt,
+        |  ROUND(percent_rank() OVER w, 6) AS pr,
+        |  ROUND(cume_dist() OVER w, 6) AS cd
+        |FROM customer WHERE c_custkey <= 500
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY seg, ck""") { (s, dir) =>
+      Engine.sql(s, dir,
+        """SELECT c_custkey AS ck, c_mktsegment AS seg,
+          |  ntile(4) OVER w AS nt,
+          |  ROUND(percent_rank() OVER w, 6) AS pr,
+          |  ROUND(cume_dist() OVER w, 6) AS cd
+          |FROM customer WHERE c_custkey <= 500
+          |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+          |ORDER BY seg, ck""".stripMargin)
     }
   ) ++ extras
 }

@@ -295,4 +295,36 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!s.contains("base_"),
       s"CDC plan touches the base — table-size crept into the bound:\n$s")
   }
+
+  test("correlated subqueries decorrelate — no nested loop survives to the physical plan") {
+    // the q224/q231/q233 shapes: EXISTS, a correlated scalar avg, and a
+    // NOT EXISTS must all plan as hash/sort-merge semi/anti + aggregate
+    // joins; a BroadcastNestedLoopJoin or CartesianProduct here becomes
+    // O(n·m) compared pairs at 100 TB
+    val dir = "/root/testdata/sf0.001"
+    graft.Engine.registerAll(spark, dir)
+    val plans = Seq(
+      """SELECT o_orderpriority, count(*) AS n FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin,
+      """SELECT sum(l_extendedprice) AS s FROM lineitem, part
+        |WHERE p_partkey = l_partkey AND p_brand = 'Brand#1'
+        |  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+        |                    WHERE l2.l_partkey = p_partkey)""".stripMargin,
+      """SELECT count(*) AS n FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')""".stripMargin
+    ).map { q =>
+      val df = spark.sql(q)
+      df.collect()
+      (q, df.queryExecution.executedPlan.toString)
+    }
+    plans.foreach { case (q, p) =>
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"),
+        s"correlated shape fell back to a nested loop:\n$q\n$p")
+    }
+  }
 }
