@@ -111,6 +111,25 @@ object StreamingQ {
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
         |ORDER BY c_eid, p_eid""") { (s, dir) =>
       StreamOps.streamStreamJoin(s, dir).orderBy("c_eid", "p_eid")
+    },
+
+    // Continuously-fresh materialized view over a stream
+    // ([[StreamOps.streamingMatView]]): every micro-batch commits to the
+    // txn log exactly-once (burned batch keys absorb a DELIBERATE
+    // double-delivery) and the IncrementalAgg state folds only that
+    // batch's CDC range. The view after the replay must equal the batch
+    // aggregate over everything — a double-applied batch, lost range, or
+    // stale fold breaks the hash.
+    Qd("q238_streaming_mat_view",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+        |       ROUND(sum(value), 4) AS sv
+        |FROM events GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
+      val sf = new java.io.File(dir).getName.replace(".", "_")
+      StreamOps.streamingMatView(s, dir,
+        s"/root/repo/target/ddl/$sf/g238_txn", s"/root/repo/target/ddl/$sf/g238_mv")
+        .select(col("event_type"), col("cnt"),
+          round(col("sum_value"), 4).as("sv"))
+        .orderBy("event_type")
     }
   )
 }
