@@ -170,7 +170,8 @@ object TxnMergeOnRead {
     * — to its canonical (lowest) version. */
   private case class Ckpt(version: Long, base: String,
       deltas: SortedMap[Long, Entry], batchCanon: Map[String, Long],
-      cols: Vector[(String, String)])
+      cols: Vector[(String, String)],
+      constraints: Vector[(String, String)] = Vector.empty)
 
   /** A loaded log: the latest usable checkpoint (if any) plus the entries
     * strictly above it, in version order. `floor` is the oldest version the
@@ -229,6 +230,8 @@ object TxnMergeOnRead {
       sb.append("b=").append(k).append(':').append(v).append('\n') }
     c.cols.foreach { case (n, t) =>
       sb.append("c=").append(n).append('=').append(t).append('\n') }
+    c.constraints.foreach { case (n, e) =>
+      sb.append("k=").append(n).append('=').append(e).append('\n') }
     sb.toString
   }
 
@@ -238,6 +241,7 @@ object TxnMergeOnRead {
     var deltas = SortedMap.empty[Long, Entry]
     var batch = Map.empty[String, Long]
     var cols = Vector.empty[(String, String)]
+    var constraints = Vector.empty[(String, String)]
     s.linesIterator.filter(_.nonEmpty).foreach { line =>
       val i = line.indexOf('=')
       require(i > 0, s"corrupt checkpoint line: $line")
@@ -251,11 +255,14 @@ object TxnMergeOnRead {
         case ("c", nt) =>
           val j = nt.indexOf('=')
           cols :+= (nt.substring(0, j), nt.substring(j + 1))
+        case ("k", ne) => // CHECK constraint: name=expr (name has no '=')
+          val j = ne.indexOf('=')
+          constraints :+= (ne.substring(0, j), ne.substring(j + 1))
         case _ => throw new IllegalStateException(s"corrupt checkpoint line: $line")
       }
     }
     require(version > 0 && base != null, "corrupt checkpoint: missing header")
-    Ckpt(version, base, deltas, batch, cols)
+    Ckpt(version, base, deltas, batch, cols, constraints)
   }
 
   /** Write a checkpoint file via temp + rename; content at a version is
@@ -373,6 +380,7 @@ object TxnMergeOnRead {
         case "minor" => // folds deltas ≤ folds into one delta, base untouched
           deltas = deltas.rangeFrom(e.folds + 1) + (e.version -> e)
         case "schema" => () // metadata-only: handled by addedCols/snapshotAt
+        case "constraint" => () // metadata-only: handled by constraintsV
         case "restore" => // head becomes the state at version `folds`
           val (b, d) =
             if (e.folds == view.floor && view.ckpt.isDefined)
@@ -423,6 +431,58 @@ object TxnMergeOnRead {
     acc
   }
 
+  /** CHECK constraints in force at the view's head: `(name, sqlExpr)`
+    * in declaration order — the fold mirrors [[addedColsV]] (checkpoint
+    * seed, add/drop entries, restore recursion: rolling below a
+    * constraint's version REMOVES it, metadata and data revert
+    * together). */
+  private def constraintsV(f: FileSystem, root: String,
+      view: View): Vector[(String, String)] = {
+    val b64 = java.util.Base64.getUrlDecoder
+    var acc = view.ckpt.map(_.constraints).getOrElse(Vector.empty)
+    val at = scala.collection.mutable.Map.empty[Long, Vector[(String, String)]]
+    view.tail.foreach { e =>
+      e.action match {
+        case "constraint" =>
+          val body = e.fp.stripPrefix("k:")
+          if (body.startsWith("-")) acc = acc.filterNot(_._1 == body.drop(1))
+          else {
+            val Array(n, enc) = body.stripPrefix("+").split("=", 2)
+            acc :+= (n, new String(b64.decode(enc), "UTF-8"))
+          }
+        case "restore" =>
+          acc =
+            if (e.folds == view.floor && view.ckpt.isDefined)
+              view.ckpt.get.constraints
+            else at.getOrElse(e.folds,
+              constraintsV(f, root, truncateView(f, root, view, e.folds)))
+        case _ => ()
+      }
+      at(e.version) = acc
+    }
+    acc
+  }
+
+  /** Fail iff `rows` violates any constraint in force — SQL semantics: a
+    * CHECK passes on TRUE **or NULL**, violates only on FALSE. One
+    * aggregate job counts every constraint at once over the STAGED rows
+    * only (never the table); all violated names are reported together. */
+  private def enforceConstraints(rows: DataFrame,
+      constraints: Seq[(String, String)], op: String, root: String): Unit = {
+    if (constraints.isEmpty) return
+    val counts = rows.agg(
+      sum(when(!coalesce(expr(constraints.head._2), lit(true)), 1L)
+        .otherwise(0L)).as(constraints.head._1),
+      constraints.tail.map { case (n, c) =>
+        sum(when(!coalesce(expr(c), lit(true)), 1L)).as(n) }: _*).head()
+    val violated = constraints.indices
+      .filter(i => !counts.isNullAt(i) && counts.getLong(i) > 0)
+      .map(i => s"${constraints(i)._1} CHECK (${constraints(i)._2}): " +
+        s"${counts.getLong(i)} row(s)")
+    if (violated.nonEmpty) throw new IllegalArgumentException(
+      s"$op on $root violates constraint(s) ${violated.mkString("; ")}")
+  }
+
   /** Best-effort checkpoint at `version` when it lands on the interval —
     * derived purely from metadata (no Spark jobs), never fails the commit. */
   private def maybeCheckpoint(f: FileSystem, root: String, version: Long): Unit =
@@ -434,7 +494,8 @@ object TxnMergeOnRead {
     val view = truncateView(f, root, readView(f, root), version)
     val (b, d) = liveStateV(f, root, view)
     writeCkptFile(f, root,
-      Ckpt(version, b, d, batchCanonOf(view), addedColsV(f, root, view)))
+      Ckpt(version, b, d, batchCanonOf(view), addedColsV(f, root, view),
+        constraintsV(f, root, view)))
   }
 
   /** Explicitly checkpoint the current head (vacuum and tooling hook; the
@@ -779,6 +840,8 @@ object TxnMergeOnRead {
     }.collectFirst { case Success(c) => c }
       .getOrElse(throw new IllegalStateException(
         s"cannot resolve schema of $root"))
+    enforceConstraints(rows.select(cols.map(col): _*),
+      constraintsV(f, root, view0), "INSERT", root)
     // rid txn = a fresh uuid-derived tag, not the commit version (unknown
     // until the race resolves); uniqueness is all the id contract needs
     val tag = UUID.randomUUID().getLeastSignificantBits & Long.MaxValue
@@ -883,6 +946,66 @@ object TxnMergeOnRead {
     }
   }
 
+  /** CHECK constraints in force at the current head. */
+  def constraintsOf(spark: SparkSession, root: String): Seq[(String, String)] = {
+    val f = fs(spark, root)
+    constraintsV(f, root, readView(f, root))
+  }
+
+  /** ADD a CHECK constraint (Delta `ALTER TABLE ADD CONSTRAINT` /
+    * `delta.constraints.*`; the reference era has only RELY NOVALIDATE
+    * informational PK/FK — no enforced row predicate): one metadata-only
+    * log entry after validating the EXISTING table satisfies the
+    * predicate (one filtered scan, the Delta shape). From its version on,
+    * every INSERT / batch insert / UPDATE / MERGE checks its STAGED rows
+    * — O(staged), never O(table) — and fails loudly naming the
+    * constraint. SQL 3VL: a CHECK passes on TRUE or NULL, violates only
+    * on FALSE. A RESTORE below the constraint's version removes it (data
+    * and metadata revert together). Known window, as in Delta: a write
+    * whose snapshot predates the constraint commit validates against the
+    * older set — constraints serialize with DATA through the log order,
+    * not with in-flight computations. */
+  def addConstraint(spark: SparkSession, root: String, name: String,
+      condExpr: String): Unit = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"), s"bad constraint name '$name'")
+    require(condExpr.nonEmpty && !condExpr.contains("\n"),
+      s"bad constraint expression '$condExpr'")
+    val f = fs(spark, root)
+    val enc = java.util.Base64.getUrlEncoder.withoutPadding
+      .encodeToString(condExpr.getBytes("UTF-8"))
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      require(attempts < MAX_COMMIT_ATTEMPTS, s"addConstraint on $root livelocked")
+      val view = readView(f, root)
+      require(!constraintsV(f, root, view).exists(_._1 == name),
+        s"constraint '$name' already exists on $root")
+      val bad = snapshotAtV(spark, root, view)
+        .filter(!coalesce(expr(condExpr), lit(true))).limit(1).count()
+      require(bad == 0, s"cannot add constraint '$name' CHECK ($condExpr): " +
+        s"existing rows of $root violate it")
+      val v = view.lastVersion + 1
+      done = tryCommit(f, root, Entry(v, "constraint", "", 0L, s"k:+$name=$enc"))
+    }
+  }
+
+  /** DROP a CHECK constraint — one metadata-only entry. */
+  def dropConstraint(spark: SparkSession, root: String, name: String): Unit = {
+    val f = fs(spark, root)
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      require(attempts < MAX_COMMIT_ATTEMPTS, s"dropConstraint on $root livelocked")
+      val view = readView(f, root)
+      require(constraintsV(f, root, view).exists(_._1 == name),
+        s"no constraint '$name' on $root")
+      val v = view.lastVersion + 1
+      done = tryCommit(f, root, Entry(v, "constraint", "", 0L, s"k:-$name"))
+    }
+  }
+
   /** Idempotent (exactly-once) batch INSERT — the streaming-ingest commit
     * contract: Structured Streaming's `foreachBatch` re-delivers a batch id
     * after a failure, and the reference's Hive Streaming API answers the
@@ -908,8 +1031,11 @@ object TxnMergeOnRead {
         view.tail.exists(e => e.action == "insert" && e.fp == marker)
     }
     if (committed()) return false
-    val cols = snapshotAtV(spark, root, readView(f, root))
+    val bview = readView(f, root)
+    val cols = snapshotAtV(spark, root, bview)
       .columns.filter(_ != RID).toSeq
+    enforceConstraints(rows.select(cols.map(col): _*),
+      constraintsV(f, root, bview), "INSERT BATCH", root)
     val tag = UUID.randomUUID().getLeastSignificantBits & Long.MaxValue
     val dir = stage(spark, root, None,
       Some(withRid(rows.select(cols.map(col): _*), tag)))
@@ -957,6 +1083,11 @@ object TxnMergeOnRead {
       stageFrom(snapshotAtV(spark, root, view0)) match {
         case None => done = true // nothing matched on this snapshot
         case Some((del, ins)) =>
+          // the new versions an UPDATE/MERGE writes must satisfy the
+          // constraints in force at the pinned snapshot (deletes cannot
+          // violate a CHECK)
+          ins.foreach(i => enforceConstraints(i.drop(RID),
+            constraintsV(f, root, view0), "UPDATE/MERGE", root))
           val dir = stage(spark, root, del, ins)
           val myFp = footprint(spark, root, dir)
           // versions proven row-disjoint stay cleared across ordinal races

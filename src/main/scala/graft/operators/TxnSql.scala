@@ -149,6 +149,8 @@ object TxnSql {
       }
     } else if (up.startsWith("MERGE")) {
       topLevelKw(s, "INTO").headOption.flatMap(i => identAfter(s, i + 4))
+    } else if (up.startsWith("ALTER TABLE")) {
+      identAfter(s, "ALTER TABLE".length)
     } else if (up.startsWith("DESCRIBE HISTORY")) {
       identAfter(s, "DESCRIBE HISTORY".length)
     } else if (up.startsWith("RESTORE") || up.startsWith("VACUUM") ||
@@ -171,6 +173,7 @@ object TxnSql {
     else if (up.startsWith("DELETE")) execDelete(spark, s)
     else if (up.startsWith("INSERT")) execInsert(spark, s)
     else if (up.startsWith("MERGE")) execMerge(spark, s)
+    else if (up.startsWith("ALTER TABLE")) execAlter(spark, s)
     else if (up.startsWith("RESTORE")) execRestore(spark, s)
     else if (up.startsWith("VACUUM")) execVacuum(spark, s)
     else if (up.startsWith("CHECKPOINT")) {
@@ -230,6 +233,45 @@ object TxnSql {
     val cond = topLevelKw(s, "WHERE").headOption
       .map(i => s.substring(i + 5).trim).getOrElse("true")
     TxnMergeOnRead.delete(spark, root, cond)
+  }
+
+  /** ALTER TABLE <t> ADD COLUMNS (n type, ...) | ADD CONSTRAINT <name>
+    * CHECK (<expr>) | DROP CONSTRAINT <name> — the schema-evolution and
+    * constraint surfaces as statement text. */
+  private def execAlter(spark: SparkSession, s: String): Int = {
+    val name = identAfter(s, "ALTER TABLE".length).getOrElse(
+      fail(s, "ALTER TABLE needs a table"))
+    val root = resolve(name, s)
+    val rest = s.substring(identEnd(s, "ALTER TABLE".length)).trim
+    val up = rest.toUpperCase
+    if (up.startsWith("ADD COLUMNS")) {
+      val body = rest.substring("ADD COLUMNS".length).trim
+      require(body.startsWith("("), s"ADD COLUMNS needs a parenthesized list: $s")
+      val close = matchParen(body, 0).getOrElse(fail(s, "unbalanced column list"))
+      val cols = splitTopCommas(body.substring(1, close)).map(_.trim).map { c =>
+        val sp = c.indexWhere(Character.isWhitespace)
+        require(sp > 0, s"ADD COLUMNS item needs 'name type': $c")
+        (c.substring(0, sp), c.substring(sp + 1).trim)
+      }
+      TxnMergeOnRead.addColumns(spark, root, cols)
+    } else if (up.startsWith("ADD CONSTRAINT")) {
+      val body = rest.substring("ADD CONSTRAINT".length).trim
+      val cname = identAfter(body, 0).getOrElse(fail(s, "constraint needs a name"))
+      val tail = body.substring(identEnd(body, 0)).trim
+      require(tail.toUpperCase.startsWith("CHECK"),
+        s"only CHECK constraints are supported: $s")
+      val paren = tail.substring("CHECK".length).trim
+      require(paren.startsWith("("), s"CHECK needs a parenthesized predicate: $s")
+      val close = matchParen(paren, 0).getOrElse(fail(s, "unbalanced CHECK"))
+      TxnMergeOnRead.addConstraint(spark, root, cname,
+        paren.substring(1, close).trim)
+    } else if (up.startsWith("DROP CONSTRAINT")) {
+      val cname = identAfter(rest, "DROP CONSTRAINT".length).getOrElse(
+        fail(s, "DROP CONSTRAINT needs a name"))
+      TxnMergeOnRead.dropConstraint(spark, root, cname)
+    } else fail(s, "supported: ADD COLUMNS (…) | ADD CONSTRAINT <n> CHECK (…) " +
+      "| DROP CONSTRAINT <n>")
+    1
   }
 
   private def execInsert(spark: SparkSession, s: String): Int = {

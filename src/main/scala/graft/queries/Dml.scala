@@ -905,6 +905,53 @@ object Dml {
       require(out.queryExecution.sparkPlan.toString.contains("_mv_"),
         "q235 must be ANSWERED FROM the materialized view state")
       out
+    },
+
+    // CHECK constraints on the txn table (Delta ALTER TABLE ADD
+    // CONSTRAINT; the reference era has only RELY NOVALIDATE
+    // informational PK/FK — no enforced row predicate): ADD validates the
+    // existing table once, then every write checks its STAGED rows only.
+    // The chain commits compliant DML around a REJECTED statement (the
+    // negative-balance update must throw naming the constraint and leave
+    // NO trace — a silently-committed or half-applied rejection breaks
+    // the hash), then drops the constraint and commits what it previously
+    // blocked.
+    Qd("q239_txn_constraints",
+      """WITH t0 AS (SELECT CAST(c_custkey AS BIGINT) AS ck,
+        |            round(c_acctbal, 2) AS bal, c_mktsegment AS seg
+        |            FROM customer WHERE c_custkey <= 300),
+        |u1 AS (SELECT ck, round(bal + 50, 2) AS bal, seg FROM t0
+        |       WHERE seg = 'BUILDING'
+        |       UNION ALL SELECT ck, bal, seg FROM t0 WHERE seg <> 'BUILDING'),
+        |u2 AS (SELECT ck, CASE WHEN ck <= 50 THEN round(bal - 20000, 2)
+        |                       ELSE bal END AS bal, seg FROM u1)
+        |SELECT ck, CAST(bal AS DOUBLE) AS bal, seg FROM u2 ORDER BY ck""") { (s, dir) =>
+      val (sf, loc) = ctx(s, dir)
+      val root = s"$loc/g239_txn"
+      val tbl = s"g239_$sf"
+      TxnMergeOnRead.create(s, root, Engine.table(s, dir, "customer")
+        .filter(col("c_custkey") <= 300).select(
+          col("c_custkey").cast("bigint").as("ck"),
+          round(col("c_acctbal"), 2).as("bal"),
+          col("c_mktsegment").as("seg")))                               // v1
+      graft.operators.TxnSql.register(tbl, root)
+      Engine.sql(s, dir,
+        s"ALTER TABLE $tbl ADD CONSTRAINT bal_floor CHECK (bal > -1000)") // v2
+      Engine.sql(s, dir,
+        s"UPDATE $tbl SET bal = round(bal + 50, 2) WHERE seg = 'BUILDING'") // v3
+      val rejected =
+        try { Engine.sql(s, dir,
+          s"UPDATE $tbl SET bal = round(bal - 20000, 2) WHERE ck <= 50"); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("bal_floor") }
+      require(rejected, "the violating UPDATE must throw naming bal_floor")
+      require(TxnMergeOnRead.currentVersion(s, root) == 3L,
+        "a rejected statement must leave NO committed trace")
+      Engine.sql(s, dir, s"ALTER TABLE $tbl DROP CONSTRAINT bal_floor")   // v4
+      Engine.sql(s, dir,
+        s"UPDATE $tbl SET bal = round(bal - 20000, 2) WHERE ck <= 50")    // v5
+      Engine.sql(s, dir,
+        s"SELECT ck, CAST(bal AS DOUBLE) AS bal, seg FROM $tbl ORDER BY ck")
     }
   )
 }
