@@ -48,6 +48,8 @@ import org.apache.spark.sql.functions._
   *   addColumns / restore(v)                         metadata-only schema
   *                                                   evolution + rollback
   *   checkpoint                                      explicit metadata fold
+  *   readPruned(bands) / analyze / scanProfile       file-level data
+  *                                                   skipping ([[DataSkipping]])
   * }}}
   *
   * Data directories are uuid-named, so concurrent writers never contend on
@@ -614,6 +616,7 @@ object TxnMergeOnRead {
     f.delete(new Path(root), true)
     val dir = s"base_${UUID.randomUUID().toString.take(12)}"
     withRid(df, 1L).write.parquet(s"$root/$dir")
+    DataSkipping.collect(spark, s"$root/$dir")
     require(tryCommit(f, root, Entry(1L, "create", dir, 0L)),
       s"concurrent create of $root")
   }
@@ -677,6 +680,96 @@ object TxnMergeOnRead {
     val f = fs(spark, root)
     snapshotAtV(spark, root,
       truncateView(f, root, readView(f, root), version)).drop(RID)
+  }
+
+  /** Backfill/refresh [[DataSkipping]] stats sidecars for every live
+    * insert-bearing dir of the head snapshot (one tiny aggregate per dir).
+    * [[compact]]/[[compactMinor]]/[[create]] collect automatically — stats
+    * ride the folds, so high-frequency ingest pays nothing per write —
+    * and an ingest-heavy table between folds calls this to cover its
+    * fresh deltas (the reference's `ANALYZE TABLE … COMPUTE STATISTICS`
+    * posture, but per-file rather than per-table). */
+  def analyze(spark: SparkSession, root: String): Unit = {
+    val f = fs(spark, root)
+    val (base, deltas) = liveStateV(f, root, readView(f, root))
+    DataSkipping.collect(spark, s"$root/$base")
+    deltas.values.toSeq.map(e => s"$root/${e.dir}/insert")
+      .filter(p => f.exists(new Path(p)))
+      .foreach(p => DataSkipping.collect(spark, p))
+  }
+
+  /** One insert-bearing dir, pruned by its stats sidecar when one exists:
+    * `None` = dir absent or wholly pruned; no sidecar = full dir. */
+  private def loadDirPruned(spark: SparkSession, root: String, path: String,
+      bands: Seq[DataSkipping.Band]): Option[DataFrame] = {
+    if (!fs(spark, root).exists(new Path(path))) None
+    else DataSkipping.survivors(spark, path, bands) match {
+      case None => Some(spark.read.parquet(path))
+      case Some(Nil) => None
+      case Some(files) => Some(spark.read.parquet(files: _*))
+    }
+  }
+
+  /** Snapshot read with FILE-LEVEL DATA SKIPPING: equals
+    * `read(root).filter(band₁ AND band₂ …)` by construction, but files
+    * whose stats intervals cannot satisfy the bands are never opened —
+    * Delta's stats-based skipping (VLDB 2020 §4.2) on this log. Pruning
+    * applies to the base and to insert deltas; delete dirs are always
+    * applied in full (a delete can only remove surviving rows, and the
+    * scan of a delete dir is already pruned to the id column). Combined
+    * with `compact(clusterBy = …)` ([[ZOrder]]), a selective predicate on
+    * any clustered dimension touches ~files^(1/k) of a k-D clustered base
+    * instead of all of it — the 100 TB slice-query path. Safe everywhere:
+    * a dir without a sidecar, or a band column a sidecar predates, just
+    * scans fully; the residual predicate is re-applied to surviving rows. */
+  def readPruned(spark: SparkSession, root: String,
+      bands: Seq[DataSkipping.Band]): DataFrame = {
+    require(bands.nonEmpty, "readPruned needs at least one band")
+    val f = fs(spark, root)
+    val view = readView(f, root)
+    val (base, deltas) = liveStateV(f, root, view)
+    val basePath = s"$root/$base"
+    val schemaDf = spark.read.parquet(basePath)
+    val parts = loadDirPruned(spark, root, basePath, bands).toSeq ++
+      deltas.values.toSeq.flatMap(e =>
+        loadDirPruned(spark, root, s"$root/${e.dir}/insert", bands))
+    val withIns = parts
+      .reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .getOrElse(schemaDf.limit(0))
+    val merged = deltas.values.toSeq
+      .flatMap(e => readDir(spark, root, e.dir, "delete"))
+      .map(_.select(col(RID)))
+      .reduceOption(_ union _)
+      .fold(withIns)(del => withIns.join(del, Seq(RID), "left_anti"))
+    val added = addedColsV(f, root, view).filterNot { case (n, _) =>
+      schemaDf.columns.contains(n) }
+    val filled = added.foldLeft(merged) { case (df, (n, t)) =>
+      if (df.columns.contains(n)) df else df.withColumn(n, lit(null).cast(t))
+    }
+    val order = (schemaDf.columns.filter(_ != RID).toSeq ++
+      added.map(_._1).filterNot(schemaDf.columns.contains)).distinct
+    filled.select(order.map(col): _*)
+      .filter(DataSkipping.predicateOf(bands))
+  }
+
+  /** (files kept, files total) across the head snapshot's insert-bearing
+    * dirs for a band set — the observability hook specs and benches use to
+    * PROVE skipping happened. Dirs without usable stats count as all-kept. */
+  def scanProfile(spark: SparkSession, root: String,
+      bands: Seq[DataSkipping.Band]): (Long, Long) = {
+    val f = fs(spark, root)
+    val (base, deltas) = liveStateV(f, root, readView(f, root))
+    val paths = s"$root/$base" +:
+      deltas.values.toSeq.map(e => s"$root/${e.dir}/insert")
+    paths.filter(p => f.exists(new Path(p))).map { p =>
+      val total = f.listStatus(new Path(p)).count { s =>
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      val kept = DataSkipping.survivors(spark, p, bands)
+        .map(_.size).getOrElse(total)
+      (kept.toLong, total.toLong)
+    }.foldLeft((0L, 0L)) { case ((k, t), (a, b)) => (k + a, t + b) }
   }
 
   /** Net row-level changes (CDC) committed in versions `(fromV, toV]` —
@@ -1311,6 +1404,7 @@ object TxnMergeOnRead {
     out.write.parquet(s"$root/$dir")
     val won = commitFold(f, root, snapV, v => Entry(v, "compact", dir, snapV))
     if (!won) f.delete(new Path(s"$root/$dir"), true)
+    else DataSkipping.collect(spark, s"$root/$dir") // tight per-file stats
     won
   }
 
@@ -1343,6 +1437,7 @@ object TxnMergeOnRead {
     val dir = stage(spark, root, netDel, netIns)
     val won = commitFold(f, root, snapV, v => Entry(v, "minor", dir, snapV))
     if (!won) f.delete(new Path(s"$root/$dir"), true)
+    else if (netIns.nonEmpty) DataSkipping.collect(spark, s"$root/$dir/insert")
     won
   }
 

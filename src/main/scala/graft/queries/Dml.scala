@@ -952,6 +952,72 @@ object Dml {
         s"UPDATE $tbl SET bal = round(bal - 20000, 2) WHERE ck <= 50")    // v5
       Engine.sql(s, dir,
         s"SELECT ck, CAST(bal AS DOUBLE) AS bal, seg FROM $tbl ORDER BY ck")
+    },
+
+    // File-level data skipping on the txn table ([[DataSkipping]] +
+    // [[TxnMergeOnRead.readPruned]]): time-ordered ingest (one insert per
+    // year) gives each delta a tight o_orderdate interval, so the 1998
+    // band prunes the base (1995–96) and four of the five deltas from
+    // METADATA alone; then a z-order-clustered compaction
+    // (`compact(clusterBy = ck, price)`) makes a 2-D (ck, price) band
+    // prune most of the rewritten base's files. Both profiles are
+    // require()d (kept < total — no skipping, no pass), and both pruned
+    // reads must equal the plain filtered scan the oracle computes,
+    // deletes applied: a skipped file that actually contained matching
+    // rows breaks the hash.
+    Qd("q240_txn_data_skipping",
+      """WITH t AS (SELECT CAST(o_orderkey AS BIGINT) AS ok,
+        |           CAST(o_custkey AS BIGINT) AS ck,
+        |           round(o_totalprice, 2) AS price, o_orderdate AS od,
+        |           o_orderpriority AS pri FROM orders),
+        |live AS (SELECT * FROM t WHERE ok % 97 <> 0)
+        |SELECT pri AS grp, CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(round(sum(price), 2) AS DOUBLE) AS sval
+        |FROM live
+        |WHERE od BETWEEN TIMESTAMP '1998-01-01 00:00:00'
+        |             AND TIMESTAMP '1998-12-31 23:59:59.999999'
+        |GROUP BY pri
+        |UNION ALL
+        |SELECT 'zz_ck_price', CAST(count(*) AS BIGINT),
+        |       CAST(round(sum(price), 2) AS DOUBLE)
+        |FROM live WHERE ck BETWEEN 100 AND 500
+        |            AND price BETWEEN 50000 AND 150000
+        |ORDER BY grp""") { (s, dir) =>
+      import graft.operators.DataSkipping.Band
+      val (sf, loc) = ctx(s, dir)
+      val root = s"$loc/g240_txn"
+      val orders = Engine.table(s, dir, "orders").select(
+        col("o_orderkey").cast("bigint").as("ok"),
+        col("o_custkey").cast("bigint").as("ck"),
+        round(col("o_totalprice"), 2).as("price"),
+        col("o_orderdate").as("od"),
+        col("o_orderpriority").as("pri"))
+      TxnMergeOnRead.create(s, root, orders.filter(year(col("od")) <= 1996))
+      (1997 to 2001).foreach { y =>
+        TxnMergeOnRead.insert(s, root, orders.filter(year(col("od")) === y))
+      }
+      TxnMergeOnRead.delete(s, root, "ok % 97 = 0")
+      TxnMergeOnRead.analyze(s, root)
+      val odBand = Seq(Band("od",
+        java.sql.Timestamp.valueOf("1998-01-01 00:00:00"),
+        java.sql.Timestamp.valueOf("1998-12-31 23:59:59.999999")))
+      val p1 = TxnMergeOnRead.scanProfile(s, root, odBand)
+      require(p1._1 < p1._2, s"time band must skip files, scanned $p1")
+      val r1 = TxnMergeOnRead.readPruned(s, root, odBand)
+        .groupBy(col("pri").as("grp"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("price")), 2).cast("double").as("sval"))
+      require(TxnMergeOnRead.compact(s, root,
+        clusterBy = Seq("ck", "price"), clusterFiles = 16), "compact raced")
+      val ckBand = Seq(Band("ck", 100L, 500L), Band("price", 50000.0, 150000.0))
+      val p2 = TxnMergeOnRead.scanProfile(s, root, ckBand)
+      require(p2._1 < p2._2, s"2-D band must skip z-ordered files, scanned $p2")
+      val r2 = TxnMergeOnRead.readPruned(s, root, ckBand)
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("price")), 2).cast("double").as("sval"))
+        .select(lit("zz_ck_price").as("grp"), col("cnt"), col("sval"))
+      r1.select(col("grp"), col("cnt"), col("sval"))
+        .unionByName(r2).orderBy("grp")
     }
   )
 }
