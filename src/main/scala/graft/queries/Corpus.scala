@@ -365,6 +365,115 @@ object Corpus {
         .resample(docs(s, dir), col("lang") === "en", buckets = 1024,
           seed = "dsir8", k = 150)
         .orderBy("doc_id")
+    },
+
+    // Supervised corpus classifier ([[graft.operators.NbClassifier]] —
+    // the CCNet/LLaMA "fastText classifier" curation stage as closed-form
+    // multinomial NB): train on the doc_id%5 split with lang as the
+    // class, score the held-out 80%, output the full confusion matrix
+    // with summed argmax margins. Every log is quantized to integer
+    // micro-nats (the Dsir fixed-point discipline) so scores are integer
+    // sums — the confusion counts AND margins are bit-exact cross-engine,
+    // no rounding anywhere. Model is dictionary-sized and broadcast; the
+    // corpus is shuffled once (per-doc token counts), never by the model.
+    Qd("q241_nb_classifier",
+      """WITH tok AS (SELECT doc_id, lang,
+        |  unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+        |  FROM documents),
+        |tk AS (SELECT doc_id, lang, w FROM tok WHERE w <> ''),
+        |tr AS (SELECT * FROM tk WHERE doc_id % 5 = 0),
+        |cw AS (SELECT lang AS c, w, CAST(count(*) AS BIGINT) AS n
+        |       FROM tr GROUP BY 1, 2),
+        |nc AS (SELECT c, CAST(sum(n) AS BIGINT) AS nt FROM cw GROUP BY 1),
+        |vv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM tr),
+        |dc AS (SELECT lang AS c, CAST(count(*) AS BIGINT) AS d
+        |       FROM documents WHERE doc_id % 5 = 0 GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM documents
+        |        WHERE doc_id % 5 = 0),
+        |lpw AS (SELECT c, w,
+        |  CAST(round(ln((n + 1.0) / (nt + v)) * 1000000.0) AS BIGINT) AS lp
+        |  FROM cw JOIN nc USING (c), vv),
+        |meta AS (SELECT c,
+        |  CAST(round(ln(CAST(d AS DOUBLE) / t) * 1000000.0) AS BIGINT) AS prior,
+        |  CAST(round(ln(1.0 / (nt + v)) * 1000000.0) AS BIGINT) AS def
+        |  FROM dc JOIN nc USING (c), vv, tot),
+        |dt AS (SELECT doc_id, lang, w, CAST(count(*) AS BIGINT) AS m
+        |       FROM tk WHERE doc_id % 5 <> 0 GROUP BY 1, 2, 3),
+        |sc AS (SELECT dt.doc_id, dt.lang, meta.c,
+        |  CAST(meta.prior + sum(dt.m * coalesce(lpw.lp, meta.def)) AS BIGINT) AS s
+        |  FROM dt CROSS JOIN meta
+        |  LEFT JOIN lpw ON lpw.c = meta.c AND lpw.w = dt.w
+        |  GROUP BY dt.doc_id, dt.lang, meta.c, meta.prior),
+        |ed AS (SELECT d.doc_id, d.lang, meta.c, meta.prior AS s
+        |  FROM documents d CROSS JOIN meta
+        |  WHERE d.doc_id % 5 <> 0
+        |    AND d.doc_id NOT IN (SELECT DISTINCT doc_id FROM dt)),
+        |al AS (SELECT * FROM sc UNION ALL SELECT * FROM ed),
+        |rk AS (SELECT doc_id, lang, c, s,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, c) AS rn,
+        |  lead(s) OVER (PARTITION BY doc_id ORDER BY s DESC, c) AS s2
+        |  FROM al)
+        |SELECT lang, c AS pred, CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(s - coalesce(s2, s)) AS BIGINT) AS sum_margin
+        |FROM rk WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""") { (s, dir) =>
+      import graft.operators.NbClassifier
+      val d = docs(s, dir)
+      val model = NbClassifier.train(d.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", "lang")
+      val test = d.filter(col("doc_id") % 5 =!= 0)
+      NbClassifier.predict(model, test, "doc_id", "text")
+        .join(test.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"), col("pred"))
+        .agg(count(lit(1)).as("cnt"), sum(col("margin")).as("sum_margin"))
+        .orderBy("lang", "pred")
+    },
+
+    // Exact heavy hitters via sketch-then-verify
+    // ([[graft.operators.HeavyHitters]] — Misra–Gries candidates, then an
+    // exact broadcast-semi-join recount; the reference's ngrams UDAF is
+    // the one-pass approximate cousin). The value domain is DERIVED
+    // deterministically from events with real skew: ~1/7 of rows hit one
+    // of 3 hot keys, every other row is a singleton — ~8.6k distinct
+    // values against a 64-counter sketch, so decrements genuinely fire
+    // and the N/(m+1) guarantee is what makes the recount complete. The
+    // oracle is the full GROUP BY … HAVING — the two-pass result must be
+    // bit-equal to it, which is the operator's exactness theorem.
+    Qd("q242_heavy_hitters",
+      """WITH v AS (SELECT CASE WHEN user_id % 7 = 0
+        |  THEN 'hot_' || CAST(user_id % 3 AS VARCHAR)
+        |  ELSE 'cold_' || CAST(event_id AS VARCHAR) END AS value
+        |  FROM events)
+        |SELECT value, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY 1
+        |HAVING count(*) >= (SELECT count(*) // 65 + 1 FROM v)
+        |ORDER BY value""") { (s, dir) =>
+      import graft.operators.HeavyHitters
+      val v = graft.Engine.table(s, dir, "events").select(
+        when(col("user_id") % 7 === 0,
+          concat(lit("hot_"), (col("user_id") % 3).cast("string")))
+          .otherwise(concat(lit("cold_"), col("event_id").cast("string")))
+          .as("value"))
+      val t = v.count() / 65 + 1
+      HeavyHitters.exact(v, col("value"), m = 64, minCount = t)
+        .orderBy("value")
+    },
+
+    // Consistent per-group minwise sample ([[graft.operators.GroupSample]]
+    // — mergeable bottom-k sketch, one aggregation, O(groups×k) shuffled
+    // rows). The oracle is the rank-over-keyed-md5 window idiom — the
+    // full-shuffle full-sort formulation the sketch replaces — so the
+    // check IS the equivalence proof: both engines must select the exact
+    // same k docs per lang, bit-equal draws and all.
+    Qd("q243_group_sample",
+      """WITH h AS (SELECT lang, doc_id,
+        |  CAST(('0x'||substr(md5('gs10:' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) AS h
+        |  FROM documents),
+        |r AS (SELECT lang, doc_id,
+        |  row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn FROM h)
+        |SELECT lang, doc_id FROM r WHERE rn <= 20
+        |ORDER BY lang, doc_id""") { (s, dir) =>
+      import graft.operators.GroupSample
+      GroupSample.bottomK(docs(s, dir), Seq("lang"), "doc_id",
+        seed = "gs10", k = 20).orderBy("lang", "doc_id")
     }
   )
 

@@ -130,6 +130,22 @@ object StreamingQ {
         .select(col("event_type"), col("cnt"),
           round(col("sum_value"), 4).as("sv"))
         .orderBy("event_type")
+    },
+
+    // Stream–stream LEFT OUTER join ([[StreamOps.streamStreamLeftJoin]] —
+    // watermark-driven null emission; sentinel replay advances the clock
+    // past every click's expiry so the stream converges to the EXACT
+    // batch left join, unconverted clicks and all).
+    Qd("q244_stream_stream_left_outer",
+      """SELECT c.event_id AS c_eid, p.event_id AS p_eid
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+        |ORDER BY c_eid, p_eid""") { (s, dir) =>
+      val sf = new java.io.File(dir).getName
+      StreamOps.streamStreamLeftJoin(s, dir,
+        s"/root/repo/target/streamdata/$sf").orderBy("c_eid", "p_eid")
     }
   )
 }

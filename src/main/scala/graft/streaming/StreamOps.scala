@@ -370,4 +370,88 @@ object StreamOps {
     q.awaitTermination()
     IncrementalAgg.read(spark, stateDir)
   }
+
+  /** Stream–stream LEFT OUTER join with event-time bounds — the
+    * attribution join that must ALSO report unconverted clicks. Outer
+    * emission in Spark is watermark-driven: a click emits null-padded only
+    * once the watermark proves no in-window purchase can still arrive
+    * (SPARK-24730 semantics), so on a finite replay the tail clicks would
+    * stay locked in state forever. The replay therefore appends two
+    * future-timestamped sentinel files: batch 1 = data (matches emit),
+    * batch 2 = sentinel 1 (watermark jumps past every click's expiry
+    * `c_ts + 10 min`, the earlier unmatched clicks emit), batch 3 =
+    * sentinel 2 (runs under the post-jump watermark, flushing the
+    * remainder) — deliberately NOT relying on Spark's optional no-data
+    * micro-batch. Because the final watermark clears max(ts) + 35 min,
+    * every unmatched click emits and the streaming result equals the
+    * plain batch LEFT JOIN exactly — no boundary-semantics carve-out in
+    * the oracle.
+    *
+    * The sentinels must PASS each side's type filter: Catalyst pushes a
+    * deterministic filter below the EventTimeWatermark node, so a
+    * predicate that removed them would hide them from the watermark stats
+    * collector and stall the clock at max(ts) − 30 min (measured: exactly
+    * the tail click above that line never emitted — the q175 hazard).
+    * They are instead neutralized STRUCTURALLY, where no pushdown can
+    * reorder: a post-watermark projection rewrites the sentinel's user id
+    * to a side-distinct negative (click side −1, purchase side −2), so
+    * the two sides' sentinels can never equi-join each other or any real
+    * row, a sentinel "purchase" is never emitted by a LEFT join, and a
+    * sentinel "click" can never be EVICTED as unmatched because its own
+    * expiry (its ts + 10 min) stays above every watermark the replay
+    * reaches (final wm = last sentinel − 30 min < first sentinel + 10
+    * min). No output filter needed — and none is safe to add, since it
+    * would push below the watermark node and re-create the stall.
+    *
+    * File order is pinned by mtime exactly as [[appendHourlyCounts]]:
+    * sentinel-first would mark the whole data file late and drop it.
+    *
+    * At 100 TB: state is bounded by the 10-minute join window + 30-minute
+    * delay per side (watermark eviction), not by stream length — the
+    * reason the time bounds are IN the join condition. */
+  def streamStreamLeftJoin(spark: SparkSession, dir: String,
+      scratch: String): DataFrame = {
+    val ev = graft.Engine.table(spark, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type")
+    val replay = s"$scratch/ssloj_replay"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(replay))
+    ev.coalesce(1).write.mode("overwrite").parquet(replay)
+    val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+    val replaySchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType)))
+    import spark.implicits._
+    def sentinel(id: Long, plusMin: Int) = Seq((id,
+        new java.sql.Timestamp(maxTs.getTime + plusMin * 60000L),
+        -1L, "sentinel"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    sentinel(-1L, 65).coalesce(1).write.mode("append").parquet(replay)
+    sentinel(-2L, 66).coalesce(1).write.mode("append").parquet(replay)
+    // pin micro-batch order data → s1 → s2 (see appendHourlyCounts)
+    val parts = new java.io.File(replay).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(-_.length())
+    require(parts.length == 3, s"expected 3 replay files, got ${parts.length}")
+    parts.zipWithIndex.foreach { case (f, i) =>
+      require(f.setLastModified(parts(0).lastModified() + i * 60000L),
+        s"could not pin mtime on $f")
+    }
+    def side(tpe: String, pre: String, sentUid: Long): DataFrame =
+      spark.readStream.schema(replaySchema)
+        .option("maxFilesPerTrigger", "1").parquet(replay)
+        .withWatermark("ts", "30 minutes")
+        // sentinels pass the filter (see scaladoc: a filter that removed
+        // them would be pushed below the watermark node and stall the
+        // clock); the projection then gives them a side-distinct uid
+        .filter(col("event_type") === tpe || col("event_type") === "sentinel")
+        .select(col("event_id").as(s"${pre}_eid"),
+          when(col("event_type") === "sentinel", lit(sentUid))
+            .otherwise(col("user_id")).as(s"${pre}_uid"),
+          col("ts").as(s"${pre}_ts"))
+    val joined = side("click", "c", -1L).join(side("purchase", "p", -2L),
+      expr("c_uid = p_uid AND p_ts >= c_ts AND p_ts <= c_ts + interval 10 minutes"),
+      "left_outer")
+      .select(col("c_eid"), col("p_eid"))
+    runToMemory(spark, joined, "graft_stream_ssloj", OutputMode.Append(),
+      Trigger.AvailableNow())
+  }
 }
