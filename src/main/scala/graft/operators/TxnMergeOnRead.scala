@@ -485,6 +485,46 @@ object TxnMergeOnRead {
       s"$op on $root violates constraint(s) ${violated.mkString("; ")}")
   }
 
+  // ---- generated columns (Delta GENERATED ALWAYS AS) -------------------
+  //
+  // A generated column is stored as TWO pieces of existing, checkpoint- and
+  // restore-proof metadata: its materialized data (an ordinary column,
+  // computed at write time — so file-level min/max data skipping applies,
+  // the Delta partition-pruning pairing) and a RESERVED CHECK constraint
+  // `__gen_<col>` whose expression is `<col> <=> (<defining expr>)`. The
+  // constraint is the enforcement net (a writer that SUPPLIES the column
+  // with inconsistent values fails loudly, Delta's behavior) and the
+  // defining expression is recovered from it when a write path must
+  // COMPUTE the column (INSERT/batch-insert omitting it; UPDATE/MERGE
+  // recomputing it after SET). Riding the constraint machinery means
+  // checkpoints seed declarations past pruned logs and a RESTORE below the
+  // declaration removes data and metadata together — for free.
+
+  private val GEN = "__gen_"
+
+  /** Parse generated-column declarations out of the constraint set. */
+  private def gensFrom(constraints: Seq[(String, String)]): Seq[(String, String)] =
+    constraints.collect { case (n, e) if n.startsWith(GEN) =>
+      val c = n.substring(GEN.length)
+      val pre = s"$c <=> ("
+      require(e.startsWith(pre) && e.endsWith(")"),
+        s"corrupt generated-column constraint $n: $e")
+      c -> e.substring(pre.length, e.length - 1)
+    }
+
+  /** Generated columns in force at the current head: (name, definingExpr). */
+  def generatedColsOf(spark: SparkSession, root: String): Seq[(String, String)] =
+    gensFrom(constraintsOf(spark, root))
+
+  /** `rows` with every DECLARED generated column the writer did NOT supply
+    * computed from its defining expression; supplied values pass through
+    * and are verified by the reserved CHECK instead. */
+  private def applyGens(rows: DataFrame, gens: Seq[(String, String)]): DataFrame = {
+    val have = rows.columns.map(_.toLowerCase).toSet
+    gens.filterNot { case (n, _) => have(n.toLowerCase) }
+      .foldLeft(rows) { case (d, (n, e)) => d.withColumn(n, expr(e)) }
+  }
+
   /** Best-effort checkpoint at `version` when it lands on the interval —
     * derived purely from metadata (no Spark jobs), never fails the commit. */
   private def maybeCheckpoint(f: FileSystem, root: String, version: Long): Unit =
@@ -619,6 +659,43 @@ object TxnMergeOnRead {
     DataSkipping.collect(spark, s"$root/$dir")
     require(tryCommit(f, root, Entry(1L, "create", dir, 0L)),
       s"concurrent create of $root")
+  }
+
+  /** CREATE with generated columns (Delta `GENERATED ALWAYS AS`; declared
+    * at create time only, as in Delta). Each `(name, sqlExpr)` column is
+    * materialized from the DATA columns of `df` — an expression may also
+    * reference a generated column declared EARLIER in `gens` (resolved as
+    * a lateral column alias at create; every write path re-applies the
+    * expressions in declaration order, so chained definitions stay
+    * consistent, while a forward reference fails analysis here) — then
+    * declared via the reserved `__gen_` CHECK (see the generated-columns
+    * comment block). From then on every write path
+    * computes the column when the writer omits it and VERIFIES it when
+    * supplied; UPDATE/MERGE recompute it after SET, and SET-ting it
+    * directly is rejected. Because the values are materialized, file
+    * stats collected by create/compact/analyze make band predicates on
+    * the generated column prune files — the `date GENERATED ALWAYS AS
+    * (CAST(ts AS DATE))` partition-pruning idiom without a partition
+    * layout. */
+  def createGenerated(spark: SparkSession, root: String, df: DataFrame,
+      gens: Seq[(String, String)]): Unit = {
+    require(gens.nonEmpty, "createGenerated needs at least one generated column")
+    require(gens.map(_._1.toLowerCase).distinct.size == gens.size,
+      "duplicate generated column name")
+    val base = df.columns.map(_.toLowerCase).toSet
+    gens.foreach { case (n, e) =>
+      require(n.matches("[A-Za-z_][A-Za-z0-9_]*"), s"bad generated column name '$n'")
+      require(!base(n.toLowerCase),
+        s"generated column '$n' collides with a data column")
+      require(e.nonEmpty && !e.contains("\n"), s"bad generated expression '$e'")
+    }
+    // one projection: earlier gens are visible to later ones as lateral
+    // column aliases; a FORWARD reference fails analysis here
+    val mat = df.select(df.columns.map(col) ++
+      gens.map { case (n, e) => expr(e).as(n) }: _*)
+    create(spark, root, mat)
+    gens.foreach { case (n, e) =>
+      addConstraintImpl(spark, root, s"$GEN$n", s"$n <=> ($e)") }
   }
 
   private def readDir(spark: SparkSession, root: String, dir: String,
@@ -933,13 +1010,13 @@ object TxnMergeOnRead {
     }.collectFirst { case Success(c) => c }
       .getOrElse(throw new IllegalStateException(
         s"cannot resolve schema of $root"))
-    enforceConstraints(rows.select(cols.map(col): _*),
-      constraintsV(f, root, view0), "INSERT", root)
+    val cons = constraintsV(f, root, view0)
+    val staged = applyGens(rows, gensFrom(cons)).select(cols.map(col): _*)
+    enforceConstraints(staged, cons, "INSERT", root)
     // rid txn = a fresh uuid-derived tag, not the commit version (unknown
     // until the race resolves); uniqueness is all the id contract needs
     val tag = UUID.randomUUID().getLeastSignificantBits & Long.MaxValue
-    val dir = stage(spark, root, None,
-      Some(withRid(rows.select(cols.map(col): _*), tag)))
+    val dir = stage(spark, root, None, Some(withRid(staged, tag)))
     var v = view0.lastVersion + 1
     var attempts = 0
     while (!tryCommit(f, root, Entry(v, "insert", dir, 0L))) {
@@ -1060,6 +1137,14 @@ object TxnMergeOnRead {
     * not with in-flight computations. */
   def addConstraint(spark: SparkSession, root: String, name: String,
       condExpr: String): Unit = {
+    require(!name.startsWith(GEN),
+      s"constraint prefix '$GEN' is reserved for generated columns " +
+        "(declare them via createGenerated)")
+    addConstraintImpl(spark, root, name, condExpr)
+  }
+
+  private def addConstraintImpl(spark: SparkSession, root: String,
+      name: String, condExpr: String): Unit = {
     require(name.matches("[A-Za-z_][A-Za-z0-9_]*"), s"bad constraint name '$name'")
     require(condExpr.nonEmpty && !condExpr.contains("\n"),
       s"bad constraint expression '$condExpr'")
@@ -1085,6 +1170,9 @@ object TxnMergeOnRead {
 
   /** DROP a CHECK constraint — one metadata-only entry. */
   def dropConstraint(spark: SparkSession, root: String, name: String): Unit = {
+    require(!name.startsWith(GEN),
+      s"'$name' declares a generated column; generated-column " +
+        "expressions cannot be dropped (as in Delta)")
     val f = fs(spark, root)
     var attempts = 0
     var done = false
@@ -1127,11 +1215,11 @@ object TxnMergeOnRead {
     val bview = readView(f, root)
     val cols = snapshotAtV(spark, root, bview)
       .columns.filter(_ != RID).toSeq
-    enforceConstraints(rows.select(cols.map(col): _*),
-      constraintsV(f, root, bview), "INSERT BATCH", root)
+    val cons = constraintsV(f, root, bview)
+    val staged = applyGens(rows, gensFrom(cons)).select(cols.map(col): _*)
+    enforceConstraints(staged, cons, "INSERT BATCH", root)
     val tag = UUID.randomUUID().getLeastSignificantBits & Long.MaxValue
-    val dir = stage(spark, root, None,
-      Some(withRid(rows.select(cols.map(col): _*), tag)))
+    val dir = stage(spark, root, None, Some(withRid(staged, tag)))
     var attempts = 0
     var done = false
     var appended = false
@@ -1231,7 +1319,14 @@ object TxnMergeOnRead {
     * SET expressions see the pre-update row. Returns the snapshot-
     * computation count (1 = no recompute). */
   def update(spark: SparkSession, root: String,
-      set: Seq[(String, String)], cond: String): Int =
+      set: Seq[(String, String)], cond: String): Int = {
+    val gens = generatedColsOf(spark, root)
+    val genLower = gens.map(_._1.toLowerCase).toSet
+    set.foreach { case (k, _) =>
+      require(!genLower(k.toLowerCase),
+        s"cannot UPDATE SET generated column '$k' (it is recomputed " +
+          "from its defining expression)")
+    }
     mutate(spark, root, { snap =>
       val matched = snap.filter(coalesce(expr(cond), lit(false)))
       val cols = snap.columns.filter(_ != RID).toSeq
@@ -1246,13 +1341,17 @@ object TxnMergeOnRead {
       if (matched.isEmpty) None
       else {
         val tag = UUID.randomUUID().getLeastSignificantBits & Long.MaxValue
-        val newVersions = matched.select(cols.map { c =>
+        // SET sees the pre-update row; generated columns are then
+        // recomputed over the POST-set values (Delta's behavior when a
+        // base column changes) — withColumn keeps their position
+        val newVersions = gens.foldLeft(matched.select(cols.map { c =>
           setMap.get(c).map(e => expr(e).as(c)).getOrElse(col(c))
-        }: _*)
+        }: _*)) { case (d, (n, e)) => d.withColumn(n, expr(e)) }
         Some((Option(matched), // full old rows: the CDC delete events
           Option(withRid(newVersions, tag))))
       }
     })
+  }
 
   /** Three-clause MERGE under snapshot isolation — the reference's ACID
     * `sqlmerge.q` surface (matched-delete wins over matched-update, then
@@ -1293,6 +1392,13 @@ object TxnMergeOnRead {
       notMatchedCond: Option[String] = None): Int = {
     require(targetAlias != sourceAlias,
       s"MERGE aliases must differ, got '$targetAlias' twice")
+    val gens = generatedColsOf(spark, root)
+    val genLower = gens.map(_._1.toLowerCase).toSet
+    matchedSet.foreach { case (k, _) =>
+      require(!genLower(k.toLowerCase),
+        s"cannot MERGE SET generated column '$k' (it is recomputed " +
+          "from its defining expression)")
+    }
     mutate(spark, root, { snap =>
       val tcols = snap.columns.filter(_ != RID).toSeq
       val byLower = tcols.map(c => c.toLowerCase -> c).toMap
@@ -1322,10 +1428,12 @@ object TxnMergeOnRead {
         byLower.getOrElse(k.toLowerCase, throw new IllegalArgumentException(
           s"MERGE SET references unknown column '$k'")) -> v
       }.toMap
-      val updatedNew = toUpdate.select(tcols.map { c =>
+      // generated columns recompute over the POST-set values (SET on them
+      // is rejected above), keeping their position via withColumn
+      val updatedNew = gens.foldLeft(toUpdate.select(tcols.map { c =>
         setMap.get(c).map(e => expr(e).as(c))
           .getOrElse(col(s"$targetAlias.$c").as(c))
-      }: _*)
+      }: _*)) { case (d, (n, e)) => d.withColumn(n, expr(e)) }
       val inserted = notMatchedInsert.map { ins =>
         val resolved = ins.map { case (k, v) =>
           byLower.getOrElse(k.toLowerCase, throw new IllegalArgumentException(
@@ -1334,14 +1442,18 @@ object TxnMergeOnRead {
         require(resolved.map(_._1).distinct.size == resolved.size,
           "MERGE INSERT assigns the same column more than once")
         val insMap = resolved.toMap
-        require(tcols.forall(insMap.contains),
+        // a generated column may be omitted (computed) or supplied
+        // (verified by its reserved CHECK); data columns must be covered
+        require(tcols.forall(c => insMap.contains(c) || genLower(c.toLowerCase)),
           s"INSERT clause must cover all target columns of $root")
         val unmatched = src.as(sourceAlias)
           .join(snap.as(targetAlias), expr(onCond), "left_anti")
-        notMatchedCond
+        val base = notMatchedCond
           .map(c => unmatched.filter(coalesce(expr(c), lit(false))))
           .getOrElse(unmatched)
-          .select(tcols.map(c => expr(insMap(c)).as(c)): _*)
+          .select(tcols.filter(insMap.contains)
+            .map(c => expr(insMap(c)).as(c)): _*)
+        applyGens(base, gens).select(tcols.map(col): _*)
       }
       val newRows = inserted.fold(updatedNew)(updatedNew.unionByName(_))
       val anyDead = !dead.isEmpty

@@ -40,11 +40,20 @@ object ZOrder {
       "z-order needs at least two columns (one column = plain sort)")
     require(cols.size * bitsPerCol <= 62, "z-value must fit in a long")
     require(numFiles > 0, "numFiles must be positive")
+    // numeric projection for bucketing: DATE needs the timestamp hop
+    // (a direct date→double cast is NULL, which would collapse the whole
+    // dimension into one bucket and silently disable its skipping)
+    def num(c: String): org.apache.spark.sql.Column =
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.DateType =>
+          col(c).cast("timestamp").cast("double")
+        case _ => col(c).cast("double")
+      }
     val stats = df.agg(
       lit(0).as("_"),
       cols.flatMap(c => Seq(
-        min(col(c).cast("double")).as(s"lo_$c"),
-        max(col(c).cast("double")).as(s"hi_$c"))): _*).head()
+        min(num(c)).as(s"lo_$c"),
+        max(num(c)).as(s"hi_$c"))): _*).head()
     val n = 1 << bitsPerCol
     val buckets = cols.zipWithIndex.map { case (c, ci) =>
       val lo = Option(stats.getAs[Any](s"lo_$c"))
@@ -54,7 +63,7 @@ object ZOrder {
       val hi = if (hi0 > lo) hi0 else lo + 1.0
       // width_bucket is 1-based and returns n+1 at the upper bound;
       // clamp into [0, n-1] and send NULL to 0
-      val b = width_bucket(coalesce(col(c).cast("double"), lit(lo)),
+      val b = width_bucket(coalesce(num(c), lit(lo)),
         lit(lo), lit(hi), lit(n)) - 1
       (greatest(lit(0L), least(lit(n - 1L), b)), ci)
     }

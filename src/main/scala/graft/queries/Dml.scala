@@ -1018,6 +1018,73 @@ object Dml {
         .select(lit("zz_ck_price").as("grp"), col("cnt"), col("sval"))
       r1.select(col("grp"), col("cnt"), col("sval"))
         .unionByName(r2).orderBy("grp")
+    },
+
+    // Generated columns on the txn table
+    // ([[TxnMergeOnRead.createGenerated]] — Delta GENERATED ALWAYS AS):
+    // `day`/`vband` are declared once and from then on COMPUTED on every
+    // write that omits them (the insert and the batch insert below ship
+    // only data columns), VERIFIED when supplied (the inconsistent insert
+    // throws naming __gen_vband and leaves no committed trace —
+    // version-count require()d), and RECOMPUTED by UPDATE after SET (a
+    // stale vband would fail its own reserved CHECK, so the update
+    // passing IS the recompute proof). Materialized values mean file
+    // stats apply: the day band prunes the late-day deltas before
+    // compaction and most z-ordered files after (both profiles
+    // require()d) — the `date GENERATED ALWAYS AS (CAST(ts AS DATE))`
+    // partition-pruning idiom with no partition layout. The oracle
+    // computes both expressions inline over the same logical state.
+    Qd("q245_txn_generated_columns",
+      """WITH t AS (SELECT event_id, ts, user_id,
+        |  CASE WHEN user_id % 10 = 3 THEN round(value * 2, 4)
+        |       ELSE value END AS value
+        |  FROM events),
+        |g AS (SELECT CAST(ts AS DATE) AS day,
+        |  CAST(floor(value) AS BIGINT) AS vband, value FROM t)
+        |SELECT day, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(vband) AS BIGINT) AS sv_band, round(sum(value), 4) AS sv
+        |FROM g WHERE day BETWEEN DATE '2024-01-10' AND DATE '2024-01-14'
+        |GROUP BY day ORDER BY day""") { (s, dir) =>
+      import graft.operators.DataSkipping.Band
+      val (sf, loc) = ctx(s, dir)
+      val root = s"$loc/g245_txn"
+      val ev = Engine.table(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      TxnMergeOnRead.createGenerated(s, root,
+        ev.filter(dayofmonth(col("ts")) <= 20),
+        Seq("day" -> "CAST(ts AS DATE)",
+          "vband" -> "CAST(floor(value) AS BIGINT)"))            // v1..v3
+      TxnMergeOnRead.insert(s, root,
+        ev.filter(dayofmonth(col("ts")).between(21, 25)))        // v4: day/vband computed
+      TxnMergeOnRead.insertBatch(s, root, "g245_b1",
+        ev.filter(dayofmonth(col("ts")) >= 26))                  // v5: computed
+      val vBefore = TxnMergeOnRead.currentVersion(s, root)
+      val rejected = try {
+        TxnMergeOnRead.insert(s, root, ev.limit(5)
+          .withColumn("day", expr("CAST(ts AS DATE)"))
+          .withColumn("vband", expr("CAST(floor(value) AS BIGINT) + 1")))
+        false
+      } catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("__gen_vband") }
+      require(rejected, "inconsistent generated value must throw naming __gen_vband")
+      require(TxnMergeOnRead.currentVersion(s, root) == vBefore,
+        "a rejected INSERT must leave NO committed trace")
+      TxnMergeOnRead.update(s, root,
+        Seq("value" -> "round(value * 2, 4)"), "user_id % 10 = 3")
+      TxnMergeOnRead.analyze(s, root)
+      val band = Seq(Band("day", java.sql.Date.valueOf("2024-01-10"),
+        java.sql.Date.valueOf("2024-01-14")))
+      val p1 = TxnMergeOnRead.scanProfile(s, root, band)
+      require(p1._1 < p1._2, s"day band must prune late-day deltas, scanned $p1")
+      require(TxnMergeOnRead.compact(s, root, clusterBy = Seq("day", "user_id"),
+        clusterFiles = 16), "compact raced")
+      val p2 = TxnMergeOnRead.scanProfile(s, root, band)
+      require(p2._1 < p2._2, s"day band must prune z-ordered files, scanned $p2")
+      TxnMergeOnRead.readPruned(s, root, band)
+        .groupBy("day")
+        .agg(count(lit(1)).as("cnt"), sum(col("vband")).as("sv_band"),
+          round(sum(col("value")), 4).as("sv"))
+        .orderBy("day")
     }
   )
 }

@@ -113,4 +113,28 @@ class ZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(out).count() === 1000)
     assert(spark.read.parquet(out).filter(col("x").isNull).count() === 100)
   }
+
+  test("DATE columns cluster as a real dimension (regression: date→double" +
+      " casts NULL, which silently collapsed the dimension)") {
+    val df = spark.range(0, 3000).select(col("id").as("k"),
+      date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+        (col("id") % 30).cast("int")).as("d"),
+      (col("id") * 13 % 997).as("u"))
+    val out = s"$base/dates"
+    ZOrder.cluster(df, Seq("d", "u"), numFiles = 16).write.parquet(out)
+    // a 5-of-30-day slice must leave whole files untouched: per-file date
+    // ranges are narrow iff the date dimension really took part
+    val files = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("d").as("lo"), max("d").as("hi")).collect()
+    val band = (java.sql.Date.valueOf("2024-01-10"),
+      java.sql.Date.valueOf("2024-01-14"))
+    val overlapping = files.count(r =>
+      !r.getDate(1).after(band._2) && !r.getDate(2).before(band._1))
+    assert(files.length == 16)
+    assert(overlapping < files.length,
+      s"date band overlaps all $overlapping/${files.length} files — " +
+        "the date dimension did not participate in the z-order")
+    assert(spark.read.parquet(out).count() === 3000)
+  }
 }
