@@ -1085,6 +1085,42 @@ object Dml {
         .agg(count(lit(1)).as("cnt"), sum(col("vband")).as("sv_band"),
           round(sum(col("value")), 4).as("sv"))
         .orderBy("day")
+    },
+
+    // Per-file Bloom index ([[graft.operators.BloomIndex]] — Delta's
+    // bloom filter index / the reference's ORC bloom filters consulted
+    // from a metadata sidecar instead of an opened reader per file): the
+    // point-lookup case min/max stats CANNOT prune. events lands in 24
+    // files hashed by user_id, so each file's event_id [min,max] spans
+    // nearly the whole domain — range skipping keeps everything (asserted
+    // below), while the Bloom probe keeps only the files that may hold
+    // the 3 probed ids (+1 absent id). The pruned read must equal the
+    // plain IN-filter scan — a false positive costs a file, never a row.
+    Qd("q246_bloom_point_lookup",
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE event_id IN (5, 777, 953, -5)
+        |ORDER BY event_id""") { (s, dir) =>
+      import graft.operators.{BloomIndex, DataSkipping}
+      val (sf, loc) = ctx(s, dir)
+      val out = s"$loc/g246_bloom"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      Engine.table(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .repartition(24, col("user_id"))
+        .write.parquet(out)
+      BloomIndex.collect(s, out, Seq("event_id"))
+      DataSkipping.collect(s, out)
+      val keys = Seq(5L, 777L, 953L, -5L)
+      // the honest comparison on a hashed layout: the min/max union over
+      // the same keys (what range stats CAN do for an IN list) keeps far
+      // more files than the Bloom probe — wide per-file id spans admit
+      // most mid-domain points, while the hash rejects them exactly
+      val mm = keys.flatMap(v => DataSkipping.survivors(s, out,
+        Seq(DataSkipping.Band("event_id", v, v))).get).toSet.size
+      val kept = BloomIndex.survivors(s, out, "event_id", keys).get.size
+      require(kept < 24, s"bloom probe must prune, kept $kept/24")
+      require(kept < mm, s"bloom ($kept files) must beat range stats ($mm)")
+      BloomIndex.readPruned(s, out, "event_id", keys).orderBy("event_id")
     }
   )
 }
