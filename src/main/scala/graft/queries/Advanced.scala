@@ -236,6 +236,41 @@ object Advanced {
           valueCols = Seq("sv"))
         .select("user_id", "hb", "sv", "sv_ffill")
         .orderBy("user_id", "hb")
+    },
+
+    // Fixed-point PageRank ([[graft.operators.PageRank]] — exact integer
+    // micro-unit arithmetic, one join+agg per iteration, bounded
+    // two-generation lineage) over the customer→supplier purchase graph.
+    // The oracle replays the SAME recurrence as three chained CTEs —
+    // because every step is non-negative integer math, truncating (Spark
+    // DIV) and flooring (DuckDB //) division coincide and the ranks are
+    // bit-equal after 3 iterations, no tolerance anywhere.
+    Qd("q247_pagerank",
+      """WITH e AS (SELECT DISTINCT o.o_custkey AS src,
+        |            l.l_suppkey + 1000000 AS dst
+        |       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |n AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+        |d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+        |r0 AS (SELECT v, CAST(1000000 AS BIGINT) AS r FROM n),
+        |s1 AS (SELECT e.dst AS v, CAST(sum(r0.r // d.deg) AS BIGINT) AS s
+        |       FROM e JOIN r0 ON e.src = r0.v JOIN d ON e.src = d.src GROUP BY 1),
+        |r1 AS (SELECT n.v, CAST(150000 + (850000 * coalesce(s1.s, 0)) // 1000000 AS BIGINT) AS r
+        |       FROM n LEFT JOIN s1 ON n.v = s1.v),
+        |s2 AS (SELECT e.dst AS v, CAST(sum(r1.r // d.deg) AS BIGINT) AS s
+        |       FROM e JOIN r1 ON e.src = r1.v JOIN d ON e.src = d.src GROUP BY 1),
+        |r2 AS (SELECT n.v, CAST(150000 + (850000 * coalesce(s2.s, 0)) // 1000000 AS BIGINT) AS r
+        |       FROM n LEFT JOIN s2 ON n.v = s2.v),
+        |s3 AS (SELECT e.dst AS v, CAST(sum(r2.r // d.deg) AS BIGINT) AS s
+        |       FROM e JOIN r2 ON e.src = r2.v JOIN d ON e.src = d.src GROUP BY 1),
+        |r3 AS (SELECT n.v, CAST(150000 + (850000 * coalesce(s3.s, 0)) // 1000000 AS BIGINT) AS r
+        |       FROM n LEFT JOIN s3 ON n.v = s3.v)
+        |SELECT v, r FROM r3 ORDER BY v""") { (s, dir) =>
+      val edges = t(s, dir, "orders").as("o")
+        .join(t(s, dir, "lineitem").as("l"),
+          col("o.o_orderkey") === col("l.l_orderkey"))
+        .select(col("o.o_custkey").cast("long").as("src"),
+          (col("l.l_suppkey").cast("long") + 1000000L).as("dst"))
+      graft.operators.PageRank.run(edges, iters = 3).orderBy("v")
     }
   )
 }
