@@ -416,10 +416,17 @@ object TxnMergeOnRead {
     val at = scala.collection.mutable.Map.empty[Long, Vector[(String, String)]]
     view.tail.foreach { e =>
       e.action match {
-        case "schema" =>
-          acc ++= e.fp.stripPrefix("c:").split(";").filter(_.nonEmpty).map { it =>
+        // "schema" = ALTER TABLE ADD COLUMNS; an "insert" whose fp carries
+        // a "c:" marker is a mergeSchema INSERT — data and schema in ONE
+        // atomic entry. The lowercase-dedup makes two racing mergeSchema
+        // writers adding the same column converge (first declaration wins,
+        // including its type) instead of doubling the projection.
+        case a if a == "schema" ||
+            (a == "insert" && e.fp.startsWith("c:")) =>
+          val have = scala.collection.mutable.Set(acc.map(_._1.toLowerCase): _*)
+          e.fp.stripPrefix("c:").split(";").filter(_.nonEmpty).foreach { it =>
             val Array(n, t) = it.split("=", 2)
-            (n, t)
+            if (have.add(n.toLowerCase)) acc :+= ((n, t))
           }
         case "restore" =>
           acc =
@@ -997,8 +1004,21 @@ object TxnMergeOnRead {
   /** INSERT INTO: stage once, then take the next free ordinal. New rows
     * cannot collide with any concurrent action (ids are fresh), so no
     * conflict check and no recompute — losing a commit race only means
-    * retrying the one-file create. */
-  def insert(spark: SparkSession, root: String, rows: DataFrame): Unit = {
+    * retrying the one-file create.
+    *
+    * `mergeSchema` (Delta's `mergeSchema=true` write option): columns of
+    * `rows` unknown to the table are DECLARED by this same commit — the
+    * insert entry carries the `c:name=type` marker a schema entry would,
+    * so data and schema land in ONE atomic log entry (no window where the
+    * rows are visible but their columns are not), older files read NULL
+    * for the new columns, and a RESTORE below this version removes both
+    * together. Two racing mergeSchema inserts declaring the same column
+    * converge (first declaration wins its type — the fold dedups).
+    * Without the flag, the insert PROJECTS to the table schema and
+    * unknown columns are ignored — the pre-existing write contract (the
+    * reference's INSERT resolves by position/projection, not by name). */
+  def insert(spark: SparkSession, root: String, rows: DataFrame,
+      mergeSchema: Boolean = false): Unit = {
     val f = fs(spark, root)
     val view0 = readView(f, root)
     // the schema lookup reads parquet footers that a concurrent compaction's
@@ -1010,16 +1030,31 @@ object TxnMergeOnRead {
     }.collectFirst { case Success(c) => c }
       .getOrElse(throw new IllegalStateException(
         s"cannot resolve schema of $root"))
+    val newCols: Seq[(String, String)] = if (!mergeSchema) Nil else {
+      val have = cols.map(_.toLowerCase).toSet
+      rows.schema.fields.filterNot(fd => have(fd.name.toLowerCase))
+        .map { fd =>
+          val t = fd.dataType.sql
+          require(fd.name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+            s"bad evolved column name '${fd.name}'")
+          require(!t.contains("=") && !t.contains(";") && !t.contains("\""),
+            s"cannot evolve schema with type '$t'")
+          fd.name -> t
+        }.toSeq
+    }
     val cons = constraintsV(f, root, view0)
-    val staged = applyGens(rows, gensFrom(cons)).select(cols.map(col): _*)
+    val allCols = cols ++ newCols.map(_._1)
+    val staged = applyGens(rows, gensFrom(cons)).select(allCols.map(col): _*)
     enforceConstraints(staged, cons, "INSERT", root)
     // rid txn = a fresh uuid-derived tag, not the commit version (unknown
     // until the race resolves); uniqueness is all the id contract needs
     val tag = UUID.randomUUID().getLeastSignificantBits & Long.MaxValue
     val dir = stage(spark, root, None, Some(withRid(staged, tag)))
+    val marker = if (newCols.isEmpty) ""
+      else "c:" + newCols.map { case (n, t) => s"$n=$t" }.mkString(";")
     var v = view0.lastVersion + 1
     var attempts = 0
-    while (!tryCommit(f, root, Entry(v, "insert", dir, 0L))) {
+    while (!tryCommit(f, root, Entry(v, "insert", dir, 0L, marker))) {
       attempts += 1
       require(attempts < MAX_COMMIT_ATTEMPTS, s"insert into $root livelocked")
       v = lastVersionOnDisk(f, root) + 1

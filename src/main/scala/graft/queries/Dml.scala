@@ -1121,6 +1121,40 @@ object Dml {
       require(kept < 24, s"bloom probe must prune, kept $kept/24")
       require(kept < mm, s"bloom ($kept files) must beat range stats ($mm)")
       BloomIndex.readPruned(s, out, "event_id", keys).orderBy("event_id")
+    },
+
+    // Schema evolution ON WRITE ([[TxnMergeOnRead.insert]] mergeSchema —
+    // Delta's mergeSchema=true): the second ingest wave carries a column
+    // the table has never seen; ONE log entry declares it and lands the
+    // rows (no window where data is visible without its column), earlier
+    // rows read NULL, and the evolved column is immediately usable as an
+    // UPDATE predicate. The oracle rebuilds the same state with an
+    // explicit NULL-typed union.
+    Qd("q248_txn_merge_schema",
+      """WITH lo AS (SELECT CAST(s_suppkey AS BIGINT) AS sk, s_name AS name,
+        |            CAST(NULL AS BIGINT) AS bal_band
+        |            FROM supplier WHERE s_suppkey % 2 = 0),
+        |hi AS (SELECT CAST(s_suppkey AS BIGINT), s_name,
+        |       CAST(floor(s_acctbal) AS BIGINT)
+        |       FROM supplier WHERE s_suppkey % 2 = 1),
+        |u AS (SELECT * FROM lo UNION ALL SELECT * FROM hi)
+        |SELECT sk, CASE WHEN bal_band IS NULL THEN upper(name)
+        |                ELSE name END AS name, bal_band
+        |FROM u ORDER BY sk""") { (s, dir) =>
+      val (sf, loc) = ctx(s, dir)
+      val root = s"$loc/g248_txn"
+      val sup = Engine.table(s, dir, "supplier")
+      TxnMergeOnRead.create(s, root, sup.filter(col("s_suppkey") % 2 === 0)
+        .select(col("s_suppkey").cast("bigint").as("sk"),
+          col("s_name").as("name")))
+      TxnMergeOnRead.insert(s, root, sup.filter(col("s_suppkey") % 2 === 1)
+        .select(col("s_suppkey").cast("bigint").as("sk"),
+          col("s_name").as("name"),
+          floor(col("s_acctbal")).cast("bigint").as("bal_band")),
+        mergeSchema = true)
+      TxnMergeOnRead.update(s, root,
+        Seq("name" -> "upper(name)"), "bal_band IS NULL")
+      TxnMergeOnRead.read(s, root).orderBy("sk")
     }
   )
 }

@@ -1,0 +1,113 @@
+package graft
+
+import graft.operators.TxnMergeOnRead
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Schema evolution on write ([[TxnMergeOnRead.insert]] `mergeSchema`):
+  * atomic data+schema commit, default strictness without the flag,
+  * NULL-fill for old files, time travel showing the old schema,
+  * restore reverting both, checkpoint carry, convergent racing
+  * declarations, and usability of evolved columns in later DML.
+  */
+class MergeSchemaSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = Engine.session(cores = 4, appName = "graft-ms")
+
+  override def afterAll(): Unit = spark.stop()
+
+  private var n = 0
+  private def mkTable(): String = {
+    n += 1
+    val root = s"${sys.props("user.dir")}/target/msspec/t$n"
+    import spark.implicits._
+    TxnMergeOnRead.create(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    root
+  }
+
+  private def df2(rows: Seq[(Long, String, Long)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("id", "s", "extra")
+  }
+
+  test("without the flag, unknown columns are projected away (the" +
+      " pre-existing write contract); the schema does not evolve") {
+    val root = mkTable()
+    TxnMergeOnRead.insert(spark, root, df2(Seq((3L, "c", 30L))))
+    val r = TxnMergeOnRead.read(spark, root)
+    assert(r.columns.toSeq == Seq("id", "s"))
+    assert(r.count() == 3)
+  }
+
+  test("mergeSchema declares the column and lands the data in ONE version;" +
+      " old rows read NULL") {
+    val root = mkTable()
+    val v0 = TxnMergeOnRead.currentVersion(spark, root)
+    TxnMergeOnRead.insert(spark, root, df2(Seq((3L, "c", 30L))),
+      mergeSchema = true)
+    assert(TxnMergeOnRead.currentVersion(spark, root) == v0 + 1)
+    val r = TxnMergeOnRead.read(spark, root)
+    assert(r.columns.toSeq == Seq("id", "s", "extra"))
+    val m = r.collect().map(x => x.getLong(0) ->
+      (if (x.isNullAt(2)) None else Some(x.getLong(2)))).toMap
+    assert(m == Map(1L -> None, 2L -> None, 3L -> Some(30L)))
+  }
+
+  test("time travel below the evolving insert shows the OLD schema;" +
+      " restore removes data and column together") {
+    val root = mkTable()
+    val v0 = TxnMergeOnRead.currentVersion(spark, root)
+    TxnMergeOnRead.insert(spark, root, df2(Seq((3L, "c", 30L))),
+      mergeSchema = true)
+    assert(TxnMergeOnRead.readAt(spark, root, v0).columns.toSeq ==
+      Seq("id", "s"))
+    TxnMergeOnRead.restore(spark, root, v0)
+    assert(TxnMergeOnRead.read(spark, root).columns.toSeq == Seq("id", "s"))
+    assert(TxnMergeOnRead.read(spark, root).count() == 2)
+  }
+
+  test("checkpoint carries the evolved schema past log pruning") {
+    val root = mkTable()
+    TxnMergeOnRead.insert(spark, root, df2(Seq((3L, "c", 30L))),
+      mergeSchema = true)
+    TxnMergeOnRead.checkpoint(spark, root)
+    // the snapshot reassembled from the checkpoint (not the raw entries)
+    // must still project the evolved column, and further evolution stacks
+    val r = TxnMergeOnRead.read(spark, root)
+    assert(r.columns.toSeq == Seq("id", "s", "extra"))
+    assert(r.filter(col("extra") === 30L).count() == 1)
+    import spark.implicits._
+    TxnMergeOnRead.insert(spark, root,
+      Seq((4L, "d", 40L, 4.5)).toDF("id", "s", "extra", "more"),
+      mergeSchema = true)
+    assert(TxnMergeOnRead.read(spark, root).columns.toSeq ==
+      Seq("id", "s", "extra", "more"))
+  }
+
+  test("two declarations of the same column converge: first wins, no" +
+      " doubled projection") {
+    val root = mkTable()
+    TxnMergeOnRead.insert(spark, root, df2(Seq((3L, "c", 30L))),
+      mergeSchema = true)
+    TxnMergeOnRead.insert(spark, root, df2(Seq((4L, "d", 40L))),
+      mergeSchema = true) // same column again: marker dedups in the fold
+    val r = TxnMergeOnRead.read(spark, root)
+    assert(r.columns.toSeq == Seq("id", "s", "extra"))
+    assert(r.filter(col("extra").isNotNull).count() == 2)
+  }
+
+  test("an evolved column is a first-class citizen of later DML") {
+    val root = mkTable()
+    TxnMergeOnRead.insert(spark, root, df2(Seq((3L, "c", 30L))),
+      mergeSchema = true)
+    TxnMergeOnRead.update(spark, root, Seq("extra" -> "99"), "id = 1")
+    TxnMergeOnRead.delete(spark, root, "extra = 30")
+    val m = TxnMergeOnRead.read(spark, root).collect()
+      .map(x => x.getLong(0) ->
+        (if (x.isNullAt(2)) None else Some(x.getLong(2)))).toMap
+    assert(m == Map(1L -> Some(99L), 2L -> None))
+  }
+}
