@@ -73,6 +73,26 @@ object BloomIndex {
     def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder()
   }
 
+  /** [[collect]] with `mBits` auto-sized from the data: `bitsPerKey` ×
+    * the LARGEST file's row count, rounded up to a power of two (floor
+    * 2^17 ≈ 16 KiB, cap 2^26 ≈ 8 MiB per file per column). The fixed
+    * default saturates the moment files grow — measured at ×64 scale:
+    * 267k rows/file against 2^17 bits is 0.5 bits/key, every bit set,
+    * zero pruning — so production callers should use this form unless
+    * they control file sizes. One cheap count-by-file pass. Returns the
+    * chosen `mBits`. */
+  def collectAuto(spark: SparkSession, dataPath: String, cols: Seq[String],
+      bitsPerKey: Int = 12, k: Int = 7): Int = {
+    require(bitsPerKey >= 1, "bitsPerKey >= 1")
+    val maxRows = spark.read.parquet(dataPath)
+      .groupBy(input_file_name()).count()
+      .agg(max("count")).head().getLong(0)
+    var m = 1 << 17
+    while (m.toLong < bitsPerKey.toLong * maxRows && m < (1 << 26)) m <<= 1
+    collect(spark, dataPath, cols, m, k)
+    m
+  }
+
   /** Build and write the index sidecar for one flat parquet directory:
     * one row per file, columns `bits_<c>` + `typ_<c>` per indexed column
     * plus the shared `m`/`k`. Idempotent (overwrite). */

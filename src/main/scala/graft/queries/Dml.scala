@@ -1108,7 +1108,9 @@ object Dml {
         .select("event_id", "user_id", "event_type", "value")
         .repartition(24, col("user_id"))
         .write.parquet(out)
-      BloomIndex.collect(s, out, Seq("event_id"))
+      // auto-sized bits: the fixed default saturates at ×64 (267k
+      // rows/file vs 2^17 bits = 0.5 bits/key, zero pruning — measured)
+      BloomIndex.collectAuto(s, out, Seq("event_id"))
       DataSkipping.collect(s, out)
       val keys = Seq(5L, 777L, 953L, -5L)
       // the honest comparison on a hashed layout: the min/max union over

@@ -591,6 +591,34 @@ object Pipeline {
           round(col("top4gram_frac"), 6).as("top4gram_frac"),
           round(col("dup5gram_frac"), 6).as("dup5gram_frac"))
         .orderBy("doc_id")
+    },
+
+    // Incrementally-maintained LSH near-dup index
+    // ([[graft.operators.IncrementalLsh]] — the production form of q41:
+    // the corpus arrives in 4 ingest batches, each batch probes the
+    // PERSISTED bucket index instead of rescanning the corpus, and the
+    // union of per-batch outputs must equal the one-shot full-corpus LSH
+    // run — which is why the oracle is the very same all-pairs Jaccard
+    // join as q41. Work per batch is O(batch × bucket hits), independent
+    // of corpus size; each pair surfaces exactly once, at its later
+    // member's batch (spec-pinned).
+    Qd("q249_incremental_lsh",
+      s"""$shCte,
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |    len(list_intersect(a.g, b.g)) AS i, len(a.g) AS n1, len(b.g) AS n2
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT d1, d2, ROUND(CAST(i AS DOUBLE)/(n1+n2-i), 6) AS jac
+        |FROM pairs WHERE CAST(i AS DOUBLE)/(n1+n2-i) >= 0.8
+        |ORDER BY d1, d2""") { (s, dir) =>
+      import graft.operators.IncrementalLsh
+      val sf = new java.io.File(dir).getName.replace(".", "_")
+      val idx = s"/root/repo/target/ddl/$sf/g249_lsh_index"
+      IncrementalLsh.init(s, idx)
+      val d = docs(s, dir)
+      (0 until 4).map { b =>
+        IncrementalLsh.ingest(s, idx, d.filter(col("doc_id") % 4 === b))
+      }.reduce(_ unionByName _).orderBy("d1", "d2")
     }
   )
 }

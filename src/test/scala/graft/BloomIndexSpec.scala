@@ -97,6 +97,21 @@ class BloomIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       files(dir) - 1)
   }
 
+  test("collectAuto sizes the filter to the largest file and restores" +
+      " pruning where the fixed default saturates") {
+    val dir = s"$base/t7"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    spark.range(0, 200000).select(col("id").as("k"), (col("id") % 7).as("grp"))
+      .repartition(4, col("grp")).write.parquet(dir)
+    // fixed default: 50k rows/file vs 2^17 bits ≈ 2.6 bits/key — heavily
+    // loaded; auto sizing must pick a bigger m and prune a point probe
+    val m = BloomIndex.collectAuto(spark, dir, Seq("k"), bitsPerKey = 12)
+    assert(m >= (1 << 19), s"auto sizing picked m=$m for ~50k rows/file")
+    val kept = BloomIndex.survivors(spark, dir, "k", Seq(31337L)).get.size
+    assert(kept <= 2, s"auto-sized probe kept $kept of 4 files")
+    assert(BloomIndex.readPruned(spark, dir, "k", Seq(31337L)).count() == 1)
+  }
+
   test("BloomAgg bit positions match the SQL probe arithmetic") {
     // build a one-value filter in Scala, then check the SQL-side probe
     // finds it and rejects a near-miss — pins the shared double-hash spec
