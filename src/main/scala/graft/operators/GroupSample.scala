@@ -74,6 +74,45 @@ object GroupSample {
     def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
   }
 
+  /** Bounded top-k by VALUE per group — the generalized form of the
+    * minwise sample (same mergeable bounded-buffer machinery, but ordered
+    * by a caller value instead of a hash draw): keeps the k largest
+    * `(value, id)` pairs, value DESC with id ASC tie-break, as ≤k-entry
+    * map-side partials. The window idiom (`row_number() OVER (PARTITION
+    * BY g ORDER BY v DESC)`) shuffles and sorts every row to keep k; this
+    * shuffles O(groups×k). Stored internally as (−value, id) ascending so
+    * the [[BottomK]] insert/merge logic is shared by construction. */
+  final class TopKByValue(k: Int)
+      extends Aggregator[(Long, Long), Vector[(Long, Long)], Seq[(Long, Long)]] {
+    private val inner = new BottomK(k)
+    def zero: Vector[(Long, Long)] = inner.zero
+    def reduce(b: Vector[(Long, Long)], x: (Long, Long)): Vector[(Long, Long)] = {
+      require(x._1 != Long.MinValue, "value Long.MinValue unsupported (negation)")
+      inner.reduce(b, (-x._1, x._2))
+    }
+    def merge(a: Vector[(Long, Long)], b: Vector[(Long, Long)]): Vector[(Long, Long)] =
+      inner.merge(a, b)
+    def finish(b: Vector[(Long, Long)]): Seq[(Long, Long)] =
+      b.map { case (nv, id) => (-nv, id) } // value DESC, id ASC — rank order
+    def bufferEncoder: Encoder[Vector[(Long, Long)]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[(Long, Long)]] = ExpressionEncoder()
+  }
+
+  /** Exact top-k rows per group by `valueCol` (integral), DESC with
+    * `idCol` ASC tie-break: returns `(groupCols..., rk, idCol, valueCol)`
+    * with `rk` 1-based — bit-equal to the rank-over-value window idiom,
+    * at O(groups×k) shuffle cost. */
+  def topKBy(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      idCol: String, k: Int): DataFrame = {
+    val agg = udaf(new TopKByValue(k), ExpressionEncoder[(Long, Long)]())
+    df.groupBy(groupCols.map(col): _*)
+      .agg(agg(col(valueCol).cast("long"), col(idCol).cast("long")).as("_top"))
+      .select(groupCols.map(col) :+
+        posexplode(col("_top")).as(Seq("_pos", "_pair")): _*)
+      .select(groupCols.map(col) :+ (col("_pos") + 1).cast("int").as("rk") :+
+        col("_pair._2").as(idCol) :+ col("_pair._1").as(valueCol): _*)
+  }
+
   /** 60-bit md5-prefix of `seed:id` — the repo's cross-engine hash. */
   def drawHash(seed: String, id: Column): Column =
     conv(substring(md5(concat(lit(seed), lit(":"), id.cast("string"))), 1, 15),

@@ -230,6 +230,40 @@ object Aggregates {
         .agg(count(lit(1)).as("n"),
           countDistinct(col("l_partkey"), col("l_suppkey")).as("nd_ps"))
         .orderBy("l_returnflag")
+    },
+
+    // Exact top-k per group as a bounded-heap aggregation
+    // ([[graft.operators.GroupSample.topKBy]] — ≤k (value,id) pairs per
+    // group per partition, merged; O(groups×k) shuffled rows where the
+    // window idiom — the oracle — shuffles and sorts every row): top-3
+    // customers per market segment by total shipped quantity. Quantity
+    // sums are integral so the ranking is bit-exact; ties break on the
+    // customer key, both engines.
+    Qd("q250_topk_per_group",
+      """WITH spend AS (
+        |  SELECT c.c_mktsegment AS seg, CAST(c.c_custkey AS BIGINT) AS ck,
+        |    CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |  FROM customer c
+        |  JOIN orders o ON o.o_custkey = c.c_custkey
+        |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2),
+        |r AS (SELECT seg, ck, qty,
+        |  CAST(row_number() OVER (PARTITION BY seg ORDER BY qty DESC, ck)
+        |       AS INT) AS rk FROM spend)
+        |SELECT seg, rk, ck, qty FROM r WHERE rk <= 3
+        |ORDER BY seg, rk""") { (s, dir) =>
+      import graft.operators.GroupSample
+      val spend = t(s, dir, "customer").as("c")
+        .join(t(s, dir, "orders").as("o"),
+          col("o.o_custkey") === col("c.c_custkey"))
+        .join(t(s, dir, "lineitem").as("l"),
+          col("l.l_orderkey") === col("o.o_orderkey"))
+        .groupBy(col("c.c_mktsegment").as("seg"),
+          col("c.c_custkey").cast("bigint").as("ck"))
+        .agg(sum(col("l.l_quantity").cast("bigint")).as("qty"))
+      GroupSample.topKBy(spend, Seq("seg"), "qty", "ck", k = 3)
+        .select(col("seg"), col("rk"), col("ck"), col("qty"))
+        .orderBy("seg", "rk")
     }
   )
 }

@@ -190,6 +190,30 @@ object Windows {
           round(last(col("v"), ignoreNulls = true).over(wAll), 4).as("lv"),
           round(lag(col("v"), 1, null, ignoreNulls = true).over(w), 4).as("prev_v"))
         .orderBy("user_id", "event_id")
+    },
+
+    // Cohort retention matrix — the product-analytics staple (cohort =
+    // first-activity epoch week; cell = distinct users of that cohort
+    // active at each week offset). Two shuffles total: the per-user min
+    // (map-side combinable) and the distinct+count, with the cohort
+    // assignment joined back on user_id — no window, no self-join per
+    // offset. Weeks are integer epoch-division so the matrix is exact.
+    Qd("q251_cohort_retention",
+      """WITH a AS (SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk FROM events),
+        |f AS (SELECT user_id, min(wk) AS cohort FROM a GROUP BY 1),
+        |j AS (SELECT DISTINCT f.cohort, a.wk - f.cohort AS offs, a.user_id
+        |      FROM a JOIN f USING (user_id))
+        |SELECT cohort, offs, CAST(count(*) AS BIGINT) AS n_users
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""") { (s, dir) =>
+      val a = t(s, dir, "events")
+        .select(col("user_id"), expr("unix_timestamp(ts) DIV 604800").as("wk"))
+      val f = a.groupBy("user_id").agg(min("wk").as("cohort"))
+      a.join(f, "user_id")
+        .select(col("cohort"), (col("wk") - col("cohort")).as("offs"),
+          col("user_id")).distinct()
+        .groupBy("cohort", "offs").agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort", "offs")
     }
   )
 }

@@ -84,6 +84,22 @@ class GroupSampleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bk.merge(a, Vector.empty) == a)
   }
 
+  test("topKBy equals the rank-over-value window idiom, ties broken by id") {
+    import spark.implicits._
+    val df = (0 until 3000).map { i =>
+      (i.toLong, s"g${i % 5}", (i * 7919 % 100).toLong) // many value ties
+    }.toDF("id", "g", "v").repartition(9)
+    val got = GroupSample.topKBy(df, Seq("g"), "v", "id", k = 7)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val want = df.withColumn("rk", row_number().over(
+        Window.partitionBy("g").orderBy(col("v").desc, col("id"))))
+      .filter(col("rk") <= 7)
+      .select(col("g"), col("rk"), col("id"), col("v"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want)
+    assert(got.size == 5 * 7)
+  }
+
   test("multi-column grouping works") {
     import spark.implicits._
     val df = (0 until 400).map(i => (i.toLong, s"a${i % 2}", s"b${i % 3}"))
