@@ -782,12 +782,44 @@ object TxnMergeOnRead {
       .foreach(p => DataSkipping.collect(spark, p))
   }
 
+  /** Build per-file Bloom sidecars for `cols` over every live
+    * insert-bearing dir (auto-sized per dir — deltas are small, the base
+    * is not, and each dir's filter is sized to ITS largest file). Rerun
+    * after compaction, like [[analyze]]. */
+  def analyzeBloom(spark: SparkSession, root: String, cols: Seq[String],
+      bitsPerKey: Int = 12): Unit = {
+    val f = fs(spark, root)
+    val (base, deltas) = liveStateV(f, root, readView(f, root))
+    (s"$root/$base" +: deltas.values.toSeq.map(e => s"$root/${e.dir}/insert"))
+      .filter(p => f.exists(new Path(p)))
+      .foreach(p => BloomIndex.collectAuto(spark, p, cols, bitsPerKey))
+  }
+
+  /** (files kept, files total) for a point probe — [[scanProfile]]'s
+    * Bloom twin. */
+  def scanProfilePoint(spark: SparkSession, root: String, column: String,
+      values: Seq[Any]): (Long, Long) = {
+    val f = fs(spark, root)
+    val (base, deltas) = liveStateV(f, root, readView(f, root))
+    val paths = s"$root/$base" +:
+      deltas.values.toSeq.map(e => s"$root/${e.dir}/insert")
+    paths.filter(p => f.exists(new Path(p))).map { p =>
+      val total = f.listStatus(new Path(p)).count { s =>
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      val kept = BloomIndex.survivors(spark, p, column, values)
+        .map(_.size).getOrElse(total)
+      (kept.toLong, total.toLong)
+    }.foldLeft((0L, 0L)) { case ((k, t), (a, b)) => (k + a, t + b) }
+  }
+
   /** One insert-bearing dir, pruned by its stats sidecar when one exists:
     * `None` = dir absent or wholly pruned; no sidecar = full dir. */
-  private def loadDirPruned(spark: SparkSession, root: String, path: String,
-      bands: Seq[DataSkipping.Band]): Option[DataFrame] = {
+  private def loadDirPrunedBy(spark: SparkSession, root: String,
+      path: String, surv: String => Option[Seq[String]]): Option[DataFrame] = {
     if (!fs(spark, root).exists(new Path(path))) None
-    else DataSkipping.survivors(spark, path, bands) match {
+    else surv(path) match {
       case None => Some(spark.read.parquet(path))
       case Some(Nil) => None
       case Some(files) => Some(spark.read.parquet(files: _*))
@@ -809,14 +841,41 @@ object TxnMergeOnRead {
   def readPruned(spark: SparkSession, root: String,
       bands: Seq[DataSkipping.Band]): DataFrame = {
     require(bands.nonEmpty, "readPruned needs at least one band")
+    readPrunedBy(spark, root,
+      p => DataSkipping.survivors(spark, p, bands),
+      DataSkipping.predicateOf(bands))
+  }
+
+  /** Pruned POINT-LOOKUP read of the head snapshot (`column IN values`):
+    * per-dir file pruning via the [[BloomIndex]] sidecars
+    * ([[analyzeBloom]] builds them), deletes applied in full, residual
+    * IN-filter re-applied — the q246 lookup on the ACID table: at 100 TB
+    * a key probe touches the files whose filters admit the key, not the
+    * table, and correctness never depends on the index (a missing sidecar
+    * degrades that dir to a full scan). */
+  def readPrunedPoint(spark: SparkSession, root: String, column: String,
+      values: Seq[Any]): DataFrame = {
+    require(values.nonEmpty, "readPrunedPoint needs at least one value")
+    readPrunedBy(spark, root,
+      p => BloomIndex.survivors(spark, p, column, values),
+      col(column).isin(values: _*))
+  }
+
+  /** Shared pruned-snapshot assembly: `surv` names each insert-bearing
+    * dir's surviving files (None = no usable sidecar → whole dir), the
+    * residual predicate re-applies the full condition. Deletes are always
+    * applied in full — pruning is performance-only. */
+  private def readPrunedBy(spark: SparkSession, root: String,
+      surv: String => Option[Seq[String]],
+      residual: org.apache.spark.sql.Column): DataFrame = {
     val f = fs(spark, root)
     val view = readView(f, root)
     val (base, deltas) = liveStateV(f, root, view)
     val basePath = s"$root/$base"
     val schemaDf = spark.read.parquet(basePath)
-    val parts = loadDirPruned(spark, root, basePath, bands).toSeq ++
+    val parts = loadDirPrunedBy(spark, root, basePath, surv).toSeq ++
       deltas.values.toSeq.flatMap(e =>
-        loadDirPruned(spark, root, s"$root/${e.dir}/insert", bands))
+        loadDirPrunedBy(spark, root, s"$root/${e.dir}/insert", surv))
     val withIns = parts
       .reduceOption(_.unionByName(_, allowMissingColumns = true))
       .getOrElse(schemaDf.limit(0))
@@ -833,7 +892,7 @@ object TxnMergeOnRead {
     val order = (schemaDf.columns.filter(_ != RID).toSeq ++
       added.map(_._1).filterNot(schemaDf.columns.contains)).distinct
     filled.select(order.map(col): _*)
-      .filter(DataSkipping.predicateOf(bands))
+      .filter(residual)
   }
 
   /** (files kept, files total) across the head snapshot's insert-bearing

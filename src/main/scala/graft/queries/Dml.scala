@@ -1157,6 +1157,49 @@ object Dml {
       TxnMergeOnRead.update(s, root,
         Seq("name" -> "upper(name)"), "bal_band IS NULL")
       TxnMergeOnRead.read(s, root).orderBy("sk")
+    },
+
+    // Bloom point lookup ON THE ACID TABLE ([[TxnMergeOnRead.analyzeBloom]]
+    // / [[TxnMergeOnRead.readPrunedPoint]] — q246's index composed with
+    // the snapshot assembly): per-dir auto-sized Bloom sidecars over the
+    // base and every insert delta, key probes prune files from metadata
+    // while DELETES ALWAYS APPLY IN FULL — so the probe of a deleted key
+    // returns nothing even though its file survives the index, and a live
+    // key's row reflects every UPDATE. The require()d profile proves the
+    // probe touched a fraction of the table's files.
+    Qd("q252_txn_bloom_lookup",
+      """WITH t AS (SELECT CAST(o_orderkey AS BIGINT) AS ok,
+        |           CAST(o_custkey AS BIGINT) AS ck,
+        |           round(o_totalprice, 2) AS price FROM orders),
+        |live AS (SELECT ok, ck,
+        |           CASE WHEN ok % 11 = 0 THEN round(price + 1000, 2)
+        |                ELSE price END AS price
+        |         FROM t WHERE ok % 13 <> 0)
+        |SELECT ok, ck, CAST(price AS DOUBLE) AS price FROM live
+        |WHERE ok IN (1, 7, 33, 65, 26)
+        |ORDER BY ok""") { (s, dir) =>
+      val (sf, loc) = ctx(s, dir)
+      val root = s"$loc/g252_txn"
+      val orders = Engine.table(s, dir, "orders").select(
+        col("o_orderkey").cast("bigint").as("ok"),
+        col("o_custkey").cast("bigint").as("ck"),
+        round(col("o_totalprice"), 2).as("price"))
+      TxnMergeOnRead.create(s, root, orders.filter(col("ok") % 3 === 0))
+      TxnMergeOnRead.insert(s, root, orders.filter(col("ok") % 3 === 1))
+      TxnMergeOnRead.insert(s, root, orders.filter(col("ok") % 3 === 2))
+      TxnMergeOnRead.update(s, root,
+        Seq("price" -> "round(price + 1000, 2)"), "ok % 11 = 0")
+      TxnMergeOnRead.delete(s, root, "ok % 13 = 0")
+      TxnMergeOnRead.analyzeBloom(s, root, Seq("ok"))
+      // 1,7,33 live; 65 = 5*13 deleted (its file survives the index, the
+      // delete anti-join must still erase it); 26 = 2*13 deleted; 33 = 3*11
+      // updated (probe must see the NEW price)
+      val keys = Seq(1L, 7L, 33L, 65L, 26L)
+      val p = TxnMergeOnRead.scanProfilePoint(s, root, "ok", keys)
+      require(p._1 < p._2, s"point probe must prune files, scanned $p")
+      TxnMergeOnRead.readPrunedPoint(s, root, "ok", keys)
+        .select(col("ok"), col("ck"), col("price").cast("double").as("price"))
+        .orderBy("ok")
     }
   )
 }

@@ -111,6 +111,27 @@ class DataSkippingSpec extends AnyFunSuite with BeforeAndAfterAll {
       rows(TxnMergeOnRead.read(spark, root).filter(col("k").between(350, 449))))
   }
 
+  test("txn table: Bloom point lookup prunes files, deletes still erase," +
+      " updates visible, no-sidecar degrades") {
+    val root = fresh("txnbloom")
+    val src = spark.range(0, 900)
+      .select(col("id").as("k"), (col("id") * 2).as("v"))
+    TxnMergeOnRead.create(spark, root, src.filter(col("k") < 300))
+    TxnMergeOnRead.insert(spark, root, src.filter(col("k") >= 300))
+    TxnMergeOnRead.update(spark, root, Seq("v" -> "v + 1"), "k = 42")
+    TxnMergeOnRead.delete(spark, root, "k = 77")
+    // degradation first: no sidecars anywhere → full scan, right answer
+    val keys = Seq(42L, 77L, 650L)
+    assert(rows(TxnMergeOnRead.readPrunedPoint(spark, root, "k", keys)) ==
+      rows(TxnMergeOnRead.read(spark, root).filter(col("k").isin(keys: _*))))
+    TxnMergeOnRead.analyzeBloom(spark, root, Seq("k"))
+    val (kept, total) = TxnMergeOnRead.scanProfilePoint(spark, root, "k", keys)
+    assert(kept < total, s"point probe must prune: $kept/$total")
+    val got = TxnMergeOnRead.readPrunedPoint(spark, root, "k", keys)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(42L -> 85L, 650L -> 1300L)) // 77 deleted; 42 updated
+  }
+
   test("txn table: band on a column added after old files were written") {
     val root = fresh("addcol")
     TxnMergeOnRead.create(spark, root,
