@@ -146,6 +146,28 @@ object StreamingQ {
       val sf = new java.io.File(dir).getName
       StreamOps.streamStreamLeftJoin(s, dir,
         s"/root/repo/target/streamdata/$sf").orderBy("c_eid", "p_eid")
+    },
+
+    // Continuously-maintained near-dup index
+    // ([[StreamOps.streamingNearDupIndex]] — streaming ingest with
+    // exactly-once batch commits under DELIBERATE double-delivery, the
+    // LSH index folding each batch's CDC range from the LOG, cumulative
+    // pairs equal to the one-shot full-corpus run; same all-pairs oracle
+    // as q41/q249).
+    Qd("q253_streaming_neardup_index",
+      s"""${graft.queries.Pipeline.shCte},
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |    len(list_intersect(a.g, b.g)) AS i, len(a.g) AS n1, len(b.g) AS n2
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT d1, d2, ROUND(CAST(i AS DOUBLE)/(n1+n2-i), 6) AS jac
+        |FROM pairs WHERE CAST(i AS DOUBLE)/(n1+n2-i) >= 0.8
+        |ORDER BY d1, d2""") { (s, dir) =>
+      val sf = new java.io.File(dir).getName.replace(".", "_")
+      StreamOps.streamingNearDupIndex(s, dir,
+        s"/root/repo/target/ddl/$sf/g253_txn",
+        s"/root/repo/target/ddl/$sf/g253_idx")
+        .orderBy("d1", "d2")
     }
   )
 }

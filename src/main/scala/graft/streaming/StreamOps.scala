@@ -371,6 +371,63 @@ object StreamOps {
     IncrementalAgg.read(spark, stateDir)
   }
 
+  /** Continuously-maintained near-duplicate index over a stream — the
+    * dedup capstone composing three proven pieces: every micro-batch of
+    * documents commits into the txn log via `insertBatch` (the burned
+    * batch key turns foreachBatch's at-least-once redelivery into
+    * exactly-once — this query DELIBERATELY delivers every batch twice
+    * and the duplicate no-ops), the [[graft.operators.IncrementalLsh]]
+    * index then advances by folding only that batch's CDC range
+    * (`changesBetween` — the index consumer reads the LOG, not the
+    * stream, so it is decoupled from ingest exactly like the q238
+    * materialized view), and the discovered pairs accumulate. After the
+    * replay the cumulative pair set must equal the one-shot full-corpus
+    * LSH run — which is the same all-pairs oracle as q41/q249. On an
+    * unbounded feed this is the production near-dup pipeline: per batch,
+    * work tracks bucket hits, never corpus size, and a crashed consumer
+    * re-reads its CDC range from the log. */
+  def streamingNearDupIndex(spark: SparkSession, dir: String, root: String,
+      idxDir: String, nFiles: Int = 4): DataFrame = {
+    import graft.operators.{IncrementalLsh, TxnMergeOnRead}
+    val docs = graft.Engine.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val inDir = s"${root}__in"
+    val ckpt = s"${root}__ckpt"
+    val pairsDir = s"$idxDir/pairs"
+    Seq(inDir, ckpt).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+    IncrementalLsh.init(spark, idxDir)
+    docs.repartitionByRange(nFiles, col("doc_id"))
+      .write.mode("overwrite").parquet(inDir)
+    TxnMergeOnRead.create(spark, root, docs.limit(0))
+    // CDC watermark: versions ≤ vDone are already folded into the index.
+    // Single consumer by construction (the one foreachBatch callback).
+    var vDone = TxnMergeOnRead.currentVersion(spark, root)
+    val sdf = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = sdf.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val key = s"ndx_$batchId"
+        TxnMergeOnRead.insertBatch(spark, root, key, batch)
+        // at-least-once redelivery, absorbed by the burned batch key
+        TxnMergeOnRead.insertBatch(spark, root, key, batch)
+        val v = TxnMergeOnRead.currentVersion(spark, root)
+        if (v > vDone) {
+          val fresh = TxnMergeOnRead.changesBetween(spark, root, vDone, v)
+            .filter(col("change") === "insert")
+            .select(col("doc_id"), col("text"))
+          IncrementalLsh.ingest(spark, idxDir, fresh)
+            .write.mode("append").parquet(pairsDir)
+          vDone = v
+        }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(pairsDir)
+  }
+
   /** Stream–stream LEFT OUTER join with event-time bounds — the
     * attribution join that must ALSO report unconverted clicks. Outer
     * emission in Spark is watermark-driven: a click emits null-padded only
