@@ -154,7 +154,7 @@ object TxnSql {
     } else if (up.startsWith("DESCRIBE HISTORY")) {
       identAfter(s, "DESCRIBE HISTORY".length)
     } else if (up.startsWith("RESTORE") || up.startsWith("VACUUM") ||
-        up.startsWith("CHECKPOINT")) {
+        up.startsWith("CHECKPOINT") || up.startsWith("OPTIMIZE")) {
       identAfter(s, s.indexOf(' '))
     } else None
   }
@@ -176,6 +176,7 @@ object TxnSql {
     else if (up.startsWith("ALTER TABLE")) execAlter(spark, s)
     else if (up.startsWith("RESTORE")) execRestore(spark, s)
     else if (up.startsWith("VACUUM")) execVacuum(spark, s)
+    else if (up.startsWith("OPTIMIZE")) execOptimize(spark, s)
     else if (up.startsWith("CHECKPOINT")) {
       TxnMergeOnRead.checkpoint(spark, resolve(
         headTable(s).getOrElse(fail(s, "CHECKPOINT needs a table")), s))
@@ -209,6 +210,27 @@ object TxnSql {
       .getOrElse(fail(s, "VACUUM needs RETAIN <n> VERSIONS"))
     val prune = "(?i)PRUNE\\s+LOG".r.findFirstIn(s).isDefined
     TxnMergeOnRead.vacuum(spark, resolve(name, s), m.group(1).toInt, prune)
+    1
+  }
+
+  /** `OPTIMIZE <t> [ZORDER BY (c1, c2, …)] [FILES <n>]` — Delta's
+    * `OPTIMIZE … ZORDER BY` as one statement: major compaction, clustered
+    * when requested. A fold raced by another compaction retries on a
+    * fresh snapshot (bounded). */
+  private def execOptimize(spark: SparkSession, s: String): Int = {
+    val name = headTable(s).getOrElse(fail(s, "OPTIMIZE needs a table"))
+    val root = resolve(name, s)
+    val cols = "(?i)ZORDER\\s+BY\\s*\\(([^)]*)\\)".r.findFirstMatchIn(s)
+      .map(_.group(1).split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
+        .filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    val files = "(?i)\\bFILES\\s+(\\d+)".r.findFirstMatchIn(s)
+      .map(_.group(1).toInt).getOrElse(32)
+    var tries = 0
+    while (!TxnMergeOnRead.compact(spark, root, cols, files)) {
+      tries += 1
+      require(tries < 5, s"OPTIMIZE of $root raced concurrent compactions $tries times")
+    }
     1
   }
 

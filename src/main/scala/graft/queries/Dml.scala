@@ -1200,6 +1200,44 @@ object Dml {
       TxnMergeOnRead.readPrunedPoint(s, root, "ok", keys)
         .select(col("ok"), col("ck"), col("price").cast("double").as("price"))
         .orderBy("ok")
+    },
+
+    // Textual OPTIMIZE ([[graft.operators.TxnSql]] — Delta's `OPTIMIZE …
+    // ZORDER BY` statement): a pure-SQL session mutates the table, then
+    // one statement rewrites the layout (content-preserving, require()d
+    // via the 2-D scan profile: the z-ordered base must prune a (ck,
+    // price) slice that the pre-compaction ingest layout cannot), and the
+    // final SELECT over the pruned read hash-matches the oracle's plain
+    // filtered aggregate.
+    Qd("q254_txn_optimize_sql",
+      """WITH t AS (SELECT CAST(o_orderkey AS BIGINT) AS ok,
+        |           CAST(o_custkey AS BIGINT) AS ck,
+        |           round(o_totalprice, 2) AS price FROM orders),
+        |u AS (SELECT ok, ck, CASE WHEN ok % 7 = 0
+        |        THEN round(price * 1.1, 2) ELSE price END AS price FROM t)
+        |SELECT CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(round(sum(price), 2) AS DOUBLE) AS sval
+        |FROM u WHERE ck BETWEEN 100 AND 400
+        |         AND price BETWEEN 40000 AND 160000""") { (s, dir) =>
+      import graft.operators.DataSkipping.Band
+      val (sf, loc) = ctx(s, dir)
+      val root = s"$loc/g254_txn"
+      val tbl = s"g254_$sf"
+      TxnMergeOnRead.create(s, root, Engine.table(s, dir, "orders").select(
+        col("o_orderkey").cast("bigint").as("ok"),
+        col("o_custkey").cast("bigint").as("ck"),
+        round(col("o_totalprice"), 2).as("price")))                    // v1
+      graft.operators.TxnSql.register(tbl, root)
+      Engine.sql(s, dir,
+        s"UPDATE $tbl SET price = round(price * 1.1, 2) WHERE ok % 7 = 0") // v2
+      Engine.sql(s, dir, s"OPTIMIZE $tbl ZORDER BY (ck, price) FILES 16") // v3
+      TxnMergeOnRead.analyze(s, root)
+      val bands = Seq(Band("ck", 100L, 400L), Band("price", 40000.0, 160000.0))
+      val p = TxnMergeOnRead.scanProfile(s, root, bands)
+      require(p._1 < p._2, s"z-ordered 2-D slice must prune files, scanned $p")
+      TxnMergeOnRead.readPruned(s, root, bands)
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("price")), 2).cast("double").as("sval"))
     }
   )
 }

@@ -168,6 +168,25 @@ class TxnSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       TxnMergeOnRead.readAt(spark, root, 2L).count())
   }
 
+  test("OPTIMIZE: plain compaction and ZORDER BY with FILES, content-preserving") {
+    val root = mk("opt")
+    TxnSql.exec(spark, "UPDATE tsql_opt SET v = v + 1 WHERE k % 3 = 0")  // v2
+    val before = TxnMergeOnRead.read(spark, root).orderBy("k").collect().toSeq
+    TxnSql.exec(spark, "OPTIMIZE tsql_opt")                              // v3: plain fold
+    assert(TxnMergeOnRead.read(spark, root).orderBy("k").collect().toSeq == before)
+    TxnSql.exec(spark, "OPTIMIZE tsql_opt ZORDER BY (k, v) FILES 4")     // v4: clustered
+    assert(TxnMergeOnRead.read(spark, root).orderBy("k").collect().toSeq == before)
+    val hist = TxnSql.query(spark, "DESCRIBE HISTORY tsql_opt")
+      .filter(col("action") === "compact").count()
+    assert(hist == 2, "both OPTIMIZE statements committed as compactions")
+    TxnMergeOnRead.analyze(spark, root)
+    // the z-ordered base really is clustered: a 2-D slice prunes files
+    import graft.operators.DataSkipping.Band
+    val (kept, total) = TxnMergeOnRead.scanProfile(spark, root,
+      Seq(Band("k", 10L, 20L), Band("v", 20L, 45L)))
+    assert(total >= 4 && kept < total, s"z-order slice must prune: $kept/$total")
+  }
+
   test("malformed forms fail with named errors, not silent misparses") {
     mk("err")
     val e3 = intercept[IllegalArgumentException](
