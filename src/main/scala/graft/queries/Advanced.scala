@@ -271,6 +271,42 @@ object Advanced {
         .select(col("o.o_custkey").cast("long").as("src"),
           (col("l.l_suppkey").cast("long") + 1000000L).as("dst"))
       graft.operators.PageRank.run(edges, iters = 3).orderBy("v")
+    },
+
+    // OHLC bar resampling — the time-series downsampling staple (open/
+    // high/low/close/volume per 6-hour bucket per user). Spark-first: ONE
+    // aggregation with `min_by`/`max_by` over the (ts, event_id) order
+    // struct — map-side partial-aggregated, no window, no sort — where
+    // the classic formulation (and the oracle) runs TWO full window sorts
+    // just to find each bucket's first and last row. Open/high/low/close
+    // are raw stored doubles (bit-identical cross-engine); only the
+    // volume sum is rounded.
+    Qd("q255_ohlc_resample",
+      """WITH b AS (SELECT user_id,
+        |    (CAST(floor(epoch(ts)) AS BIGINT) // 21600) * 21600 AS bk,
+        |    ts, event_id, value FROM events),
+        |r AS (SELECT user_id, bk, value,
+        |   row_number() OVER (PARTITION BY user_id, bk
+        |     ORDER BY ts, event_id) AS rn_a,
+        |   row_number() OVER (PARTITION BY user_id, bk
+        |     ORDER BY ts DESC, event_id DESC) AS rn_d
+        |   FROM b)
+        |SELECT user_id, bk,
+        |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  CAST(count(*) AS BIGINT) AS n, ROUND(sum(value), 4) AS vol
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""") { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("user_id"),
+          (expr("unix_timestamp(ts) DIV 21600") * 21600).as("bk"),
+          struct(col("ts"), col("event_id")).as("ord"), col("value"))
+        .groupBy("user_id", "bk")
+        .agg(min_by(col("value"), col("ord")).as("open"),
+          max(col("value")).as("high"), min(col("value")).as("low"),
+          max_by(col("value"), col("ord")).as("close"),
+          count(lit(1)).as("n"), round(sum("value"), 4).as("vol"))
+        .orderBy("user_id", "bk")
     }
   )
 }

@@ -327,4 +327,18 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"correlated shape fell back to a nested loop:\n$q\n$p")
     }
   }
+
+  test("q243/q250 bounded-sketch aggregations: partial+final object agg," +
+      " NO window sort anywhere") {
+    for (q <- Seq("q243_group_sample", "q250_topk_per_group")) {
+      val s = finalPlan(q)
+      assert(s.contains("ObjectHashAggregate"),
+        s"$q should aggregate through the typed-buffer path:\n$s")
+      assert(s.contains("partial_"),
+        s"$q lost map-side partial aggregation (the O(groups×k) shuffle " +
+          s"contract):\n$s")
+      assert(!s.contains("Window"),
+        s"$q fell back to the window-sort idiom it exists to replace:\n$s")
+    }
+  }
 }
