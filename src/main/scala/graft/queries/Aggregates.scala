@@ -264,6 +264,40 @@ object Aggregates {
       GroupSample.topKBy(spend, Seq("seg"), "qty", "ck", k = 3)
         .select(col("seg"), col("rk"), col("ck"), col("qty"))
         .orderBy("seg", "rk")
+    },
+
+    // Time-decayed engagement score — recency weighting with a weekly
+    // half-life (the freshness-weighting staple of ranking and training-
+    // data curation). Cross-engine BIT-exactness by construction: ages
+    // are INTEGER weeks, so the decay weight pow(2, -n) and the weighted
+    // term value·2⁻ⁿ are identical IEEE doubles on both engines; each
+    // term is then quantized to integer micro-units BEFORE the sum (the
+    // repo's fixed-point discipline), so the order-free integer SUM
+    // cannot wobble at a rounding boundary the way a double sum does
+    // (measured: 2 rows flipped at the 4th decimal before quantizing).
+    // The max-timestamp anchor attaches as a 1-row broadcast; one
+    // aggregation total.
+    Qd("q256_time_decayed_score",
+      """WITH m AS (SELECT CAST(max(ts) AS DATE) AS md FROM events),
+        |a AS (SELECT user_id,
+        |    CAST(date_diff('day', CAST(ts AS DATE), m.md) AS BIGINT) // 7 AS wk,
+        |    value FROM events, m)
+        |SELECT user_id,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * pow(2.0, -CAST(wk AS DOUBLE)) * 1000000.0)
+        |      AS BIGINT)) AS BIGINT) AS score_micro
+        |FROM a GROUP BY user_id ORDER BY user_id""") { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val anchor = ev.agg(max(to_date(col("ts"))).as("md"))
+      ev.crossJoin(broadcast(anchor))
+        .select(col("user_id"),
+          expr("CAST(datediff(md, to_date(ts)) AS BIGINT) DIV 7").as("wk"),
+          col("value"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(value * pow(2.0, -CAST(wk AS DOUBLE)) " +
+            "* 1000000.0) AS BIGINT)")).as("score_micro"))
+        .orderBy("user_id")
     }
   )
 }
