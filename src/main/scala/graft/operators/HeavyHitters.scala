@@ -75,6 +75,55 @@ object HeavyHitters {
       .collect().head.getSeq[String](0)
   }
 
+  /** One-pass bounded summary of `valueCol` — the ≤m-entry counter map
+    * itself, which is what an INCREMENTAL pipeline persists between
+    * batches: summaries are mergeable (Agarwal et al. 2012), and the
+    * merge of per-batch summaries carries the SAME N_total/(m+1)
+    * guarantee as a single pass over the union, so heavy hitters can be
+    * tracked forever in O(m) state with no rescan. Driver-side size is
+    * ≤m entries. */
+  def summarize(df: DataFrame, valueCol: Column, m: Int): Map[String, Long] = {
+    val agg = udaf(new MisraGriesCounters(m), Encoders.STRING)
+    df.select(agg(valueCol.cast("string")).as("s"))
+      .collect().head.getMap[String, Long](0).toMap
+  }
+
+  /** Merge two persisted summaries under the m-counter bound. */
+  def mergeSummaries(a: Map[String, Long], b: Map[String, Long],
+      m: Int): Map[String, Long] = new MisraGries(m).merge(a, b)
+
+  /** [[MisraGries]] with the counter map as the finished value (for
+    * [[summarize]]; the candidate-only form deliberately hides the
+    * in-sketch estimates). */
+  final class MisraGriesCounters(m: Int)
+      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    private val inner = new MisraGries(m)
+    def zero: Map[String, Long] = inner.zero
+    def reduce(b: Map[String, Long], x: String): Map[String, Long] =
+      inner.reduce(b, x)
+    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+      inner.merge(a, b)
+    def finish(b: Map[String, Long]): Map[String, Long] = b
+    def bufferEncoder: Encoder[Map[String, Long]] = inner.bufferEncoder
+    def outputEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** EXACT heavy hitters from an externally-maintained candidate set
+    * (e.g. a merged incremental summary): recount candidates only via
+    * the broadcast semi-join, filter by `minCount`. The caller owns the
+    * guarantee that `minCount` exceeds the summary's error bound. */
+  def exactFromCandidates(df: DataFrame, valueCol: Column,
+      cand: Seq[String], minCount: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val candDf = cand.toDF("value")
+    df.select(valueCol.cast("string").as("value"))
+      .join(broadcast(candDf), "value")
+      .groupBy("value").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+  }
+
   /** EXACT heavy hitters `(value, cnt)` with count ≥ `minCount`, valid for
     * any `minCount > N/(m+1)` (enforced): sketch pass for candidates, then
     * an exact recount of candidate rows only (broadcast semi-join — the
@@ -87,11 +136,6 @@ object HeavyHitters {
     require(minCount > n / (m + 1),
       s"minCount=$minCount is below the sketch guarantee N/(m+1)=" +
         s"${n / (m + 1)}: raise minCount or the counter budget m")
-    val cand = candidates(df, valueCol, m)
-    val candDf = cand.toDF("value")
-    df.select(valueCol.cast("string").as("value"))
-      .join(broadcast(candDf), "value")
-      .groupBy("value").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= minCount)
+    exactFromCandidates(df, valueCol, candidates(df, valueCol, m), minCount)
   }
 }

@@ -463,6 +463,42 @@ object Corpus {
     // full-shuffle full-sort formulation the sketch replaces — so the
     // check IS the equivalence proof: both engines must select the exact
     // same k docs per lang, bit-equal draws and all.
+    // INCREMENTAL heavy hitters ([[HeavyHitters.summarize]] /
+    // [[HeavyHitters.mergeSummaries]] — the q242 sketch maintained across
+    // ingest batches): each of 4 batches contributes one ≤64-entry
+    // summary, merged under the counter bound; mergeability (Agarwal et
+    // al. 2012) carries the N_total/(m+1) guarantee to the union, so the
+    // final exact recount from the MERGED candidates equals the one-shot
+    // full GROUP BY … HAVING — the same oracle as q242. Persistent state
+    // is O(m) forever; no batch ever rescans history.
+    Qd("q257_incremental_heavy_hitters",
+      """WITH v AS (SELECT CASE WHEN user_id % 7 = 0
+        |  THEN 'hot_' || CAST(user_id % 3 AS VARCHAR)
+        |  ELSE 'cold_' || CAST(event_id AS VARCHAR) END AS value
+        |  FROM events)
+        |SELECT value, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY 1
+        |HAVING count(*) >= (SELECT count(*) // 65 + 1 FROM v)
+        |ORDER BY value""") { (s, dir) =>
+      import graft.operators.HeavyHitters
+      def derived(src: org.apache.spark.sql.DataFrame) = src.select(
+        when(col("user_id") % 7 === 0,
+          concat(lit("hot_"), (col("user_id") % 3).cast("string")))
+          .otherwise(concat(lit("cold_"), col("event_id").cast("string")))
+          .as("value"))
+      val ev = graft.Engine.table(s, dir, "events")
+      val m = 64
+      var state = Map.empty[String, Long]
+      (0 until 4).foreach { b =>
+        state = HeavyHitters.mergeSummaries(state,
+          HeavyHitters.summarize(derived(ev.filter(col("event_id") % 4 === b)),
+            col("value"), m), m)
+      }
+      val all = derived(ev)
+      val t = all.count() / 65 + 1
+      HeavyHitters.exactFromCandidates(all, col("value"),
+        state.keys.toSeq, t).orderBy("value")
+    },
+
     Qd("q243_group_sample",
       """WITH h AS (SELECT lang, doc_id,
         |  CAST(('0x'||substr(md5('gs10:' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) AS h

@@ -83,6 +83,30 @@ class HeavyHittersSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(st.size <= 2)
   }
 
+  test("merged per-batch summaries keep every global heavy hitter;" +
+      " recount from them equals the one-shot exact result") {
+    val data = skewed(Map("a" -> 600, "b" -> 250, "c" -> 120), cold = 6000)
+    val n = data.size.toLong
+    val m = 64
+    val t = n / (m + 1) + 1
+    // 5-way batch split — batches see DIFFERENT slices of the skew
+    var state = Map.empty[String, Long]
+    for (b <- 0 until 5) {
+      val batch = vals(data.zipWithIndex.collect {
+        case (v, i) if i % 5 == b => v })
+      state = HeavyHitters.mergeSummaries(state,
+        HeavyHitters.summarize(batch, col("v"), m), m)
+    }
+    assert(state.size <= m, "merge must respect the counter bound")
+    val got = HeavyHitters.exactFromCandidates(vals(data), col("v"),
+      state.keys.toSeq, t)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = HeavyHitters.exact(vals(data), col("v"), m, t)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    assert(want.keySet == Set("a", "b", "c"))
+  }
+
   test("all-distinct stream yields no false positives after recount") {
     val data = (0 until 2000).map(i => s"u_$i")
     val df = vals(data)
