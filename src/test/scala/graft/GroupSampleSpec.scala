@@ -100,6 +100,31 @@ class GroupSampleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size == 5 * 7)
   }
 
+  test("sort-based fallback (the 100 TB group-count path) preserves" +
+      " exactness for both sketch aggregations") {
+    // ObjectHashAggregate falls back to sort-based aggregation when a
+    // partition holds more groups than the threshold — at production
+    // group counts this WILL trigger, and the fallback path exercises
+    // buffer serialization + sorted merge instead of in-memory upsert
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "2") // force the fallback almost immediately
+      val df = data(4000, groups = 50)
+      val got = GroupSample.bottomK(df, Seq("g"), "id", "fb", k = 5)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == windowIdiom(df, "fb", 5))
+      import spark.implicits._
+      val vdf = (0 until 4000).map(i => (i.toLong, s"g${i % 50}",
+        (i * 31 % 1000).toLong)).toDF("id", "g", "v").repartition(7)
+      val topk = GroupSample.topKBy(vdf, Seq("g"), "v", "id", k = 4)
+      val want = vdf.withColumn("rk", row_number().over(
+          Window.partitionBy("g").orderBy(col("v").desc, col("id"))))
+        .filter(col("rk") <= 4).count()
+      assert(topk.count() == want)
+    } finally spark.conf.set(key, old)
+  }
+
   test("multi-column grouping works") {
     import spark.implicits._
     val df = (0 until 400).map(i => (i.toLong, s"a${i % 2}", s"b${i % 3}"))
