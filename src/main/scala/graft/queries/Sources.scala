@@ -466,6 +466,46 @@ object Sources {
         .select(regexp_extract(col("path"), "([a-z]+\\.parquet)$", 1).as("fname"))
         .groupBy("fname").agg(count(lit(1)).as("n"))
         .orderBy("fname")
+    },
+
+    // Corrupt-tolerant JSON parsing with a RESCUE column — the
+    // `_corrupt_record` / badRecordsPath production contract (the
+    // reference's JsonSerDe offers only ignore.malformed.json = drop):
+    // malformed records must neither kill the job NOR vanish — they land
+    // raw in a rescue column for quarantine/replay while good records
+    // parse normally. The line corpus is DERIVED deterministically from
+    // events on BOTH engines (every 13th record is truncated mid-object),
+    // Spark parses with from_json in PERMISSIVE mode +
+    // columnNameOfCorruptRecord, and the oracle replays the contract with
+    // json_valid — parsed fields, NULL-vs-rescued, and the corrupt
+    // payload itself all hash-checked.
+    Qd("q258_json_rescue_column",
+      """WITH lines AS (SELECT event_id,
+        |  CASE WHEN event_id % 13 = 0
+        |    THEN '{"u":' || CAST(user_id AS VARCHAR) || ',"t":"' || event_type
+        |    ELSE '{"u":' || CAST(user_id AS VARCHAR) || ',"t":"' || event_type || '"}'
+        |  END AS line FROM events),
+        |p AS (SELECT event_id, line, json_valid(line) AS ok FROM lines)
+        |SELECT event_id,
+        |  CASE WHEN ok THEN CAST(json_extract(line, '$.u') AS BIGINT) END AS u,
+        |  CASE WHEN ok THEN json_extract_string(line, '$.t') END AS t,
+        |  CASE WHEN NOT ok THEN line END AS rescued
+        |FROM p ORDER BY event_id""") { (s, dir) =>
+      val lines = Engine.table(s, dir, "events").select(col("event_id"),
+        when(col("event_id") % 13 === 0,
+          concat(lit("{\"u\":"), col("user_id").cast("string"),
+            lit(",\"t\":\""), col("event_type")))
+          .otherwise(concat(lit("{\"u\":"), col("user_id").cast("string"),
+            lit(",\"t\":\""), col("event_type"), lit("\"}")))
+          .as("line"))
+      val schema = "u BIGINT, t STRING, _rescued STRING"
+      lines.select(col("event_id"),
+          from_json(col("line"), StructType.fromDDL(schema),
+            Map("mode" -> "PERMISSIVE",
+              "columnNameOfCorruptRecord" -> "_rescued")).as("j"))
+        .select(col("event_id"), col("j.u").as("u"), col("j.t").as("t"),
+          col("j._rescued").as("rescued"))
+        .orderBy("event_id")
     }
   )
 }
