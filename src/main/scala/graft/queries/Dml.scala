@@ -1238,6 +1238,67 @@ object Dml {
       TxnMergeOnRead.readPruned(s, root, bands)
         .agg(count(lit(1)).as("cnt"),
           round(sum(col("price")), 2).cast("double").as("sval"))
+    },
+
+    // SCD Type-2 dimension maintenance via ONE MERGE per wave — the
+    // canonical lakehouse pattern (Kimball type-2 history on a
+    // merge-capable table): each update wave stages its CHANGED keys
+    // twice — once under the real merge key (matches the key's CURRENT
+    // row → close it: cur=false, valid_to=wave) and once under a NULL
+    // key (matches nothing → insert the new current version). History
+    // accumulates as closed intervals; no row is ever rewritten twice.
+    // Two waves overlap on keys divisible by 35, so wave 2 must close
+    // wave 1's row, not the base row — the oracle reconstructs all three
+    // row generations with their exact validity intervals.
+    Qd("q259_scd2_merge",
+      """WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS ck,
+        |              c_mktsegment AS seg FROM customer
+        |              WHERE c_custkey <= 300)
+        |SELECT ck, seg, CAST(1 AS BIGINT) AS vf,
+        |  CAST(CASE WHEN ck % 5 = 0 THEN 2
+        |            WHEN ck % 7 = 0 THEN 3 END AS BIGINT) AS vt,
+        |  (ck % 5 <> 0 AND ck % 7 <> 0) AS cur
+        |FROM base
+        |UNION ALL
+        |SELECT ck, 'W1_' || CAST(ck % 3 AS VARCHAR), CAST(2 AS BIGINT),
+        |  CAST(CASE WHEN ck % 7 = 0 THEN 3 END AS BIGINT), ck % 7 <> 0
+        |FROM base WHERE ck % 5 = 0
+        |UNION ALL
+        |SELECT ck, 'W2_' || CAST(ck % 2 AS VARCHAR), CAST(3 AS BIGINT),
+        |  CAST(NULL AS BIGINT), true
+        |FROM base WHERE ck % 7 = 0
+        |ORDER BY ck, vf""") { (s, dir) =>
+      val (sf, loc) = ctx(s, dir)
+      val root = s"$loc/g259_txn"
+      val base = Engine.table(s, dir, "customer")
+        .filter(col("c_custkey") <= 300)
+        .select(col("c_custkey").cast("bigint").as("ck"),
+          col("c_mktsegment").as("seg"))
+      TxnMergeOnRead.create(s, root, base
+        .withColumn("vf", lit(1L))
+        .withColumn("vt", lit(null).cast("bigint"))
+        .withColumn("cur", lit(true)))
+      def applyWave(w: Int, updates: org.apache.spark.sql.DataFrame): Unit = {
+        val cur = TxnMergeOnRead.read(s, root).filter(col("cur"))
+        val changed = updates.as("u")
+          .join(cur.as("c"), col("u.ck") === col("c.ck"))
+          .filter(col("c.seg") =!= col("u.nseg"))
+          .select(col("u.ck").as("ck"), col("u.nseg").as("nseg"))
+        val staged = changed.withColumn("mk", col("ck"))
+          .unionByName(changed.withColumn("mk", lit(null).cast("bigint")))
+        TxnMergeOnRead.merge(s, root, staged, "t.ck = s.mk AND t.cur",
+          matchedSet = Seq("cur" -> "false", "vt" -> s"CAST($w AS BIGINT)"),
+          notMatchedInsert = Some(Seq("ck" -> "s.ck", "seg" -> "s.nseg",
+            "vf" -> s"CAST($w AS BIGINT)", "vt" -> "CAST(NULL AS BIGINT)",
+            "cur" -> "true")))
+        ()
+      }
+      applyWave(2, base.filter(col("ck") % 5 === 0).select(col("ck"),
+        concat(lit("W1_"), (col("ck") % 3).cast("string")).as("nseg")))
+      applyWave(3, base.filter(col("ck") % 7 === 0).select(col("ck"),
+        concat(lit("W2_"), (col("ck") % 2).cast("string")).as("nseg")))
+      TxnMergeOnRead.read(s, root)
+        .select("ck", "seg", "vf", "vt", "cur").orderBy("ck", "vf")
     }
   )
 }
