@@ -322,6 +322,71 @@ object AnnSearch {
       .write.mode("overwrite").partitionBy("cent_id").parquet(path)
   }
 
+  /** INCREMENTAL materialized IVF index with PINNED centroids — the
+    * vector-store ingest path. [[ivfTopKIndexed]] re-derives centroids
+    * from the index by stride, which assumes a ONE-SHOT build: appending
+    * batches would shift the derived centroid set and silently strand
+    * earlier rows under assignments no probe would reach. Here the
+    * centroid set is FROZEN at [[ivfIndexInit]] into a `_centroids`
+    * sidecar; every later [[ivfIndexIngest]] assigns against the frozen
+    * set (broadcast argmax, no shuffle) and APPENDS its inverted-list
+    * partitions, so ingest is order-independent and the final index
+    * equals the one-shot build over the union with the same centroids —
+    * which is exactly what the q260 oracle checks. At 100 TB this is the
+    * standard IVF contract (FAISS trains once, adds forever; periodic
+    * re-train = a new init), and a batch's cost is O(batch × nlist)
+    * assignment plus an append — never a corpus rescan. */
+  def ivfIndexInit(firstBatch: DataFrame, centroidStride: Int,
+      path: String): Unit = {
+    val spark = firstBatch.sparkSession
+    import spark.implicits._
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(path), true)
+    val qc = quantized(firstBatch)
+    val cents = collectCentroids(qc, centroidStride)
+    cents.toSeq.map { case (i, e) => (i, e.toSeq) }
+      .toDF("cent_id", "ce")
+      .coalesce(1).write.parquet(s"$path/_centroids")
+    val bc = spark.sparkContext.broadcast(cents)
+    assign(qc, bc, 1)
+      .write.mode("append").partitionBy("cent_id").parquet(s"$path/lists")
+  }
+
+  /** O(nlist) — the frozen centroid set, sorted (deterministic argmax). */
+  private def frozenCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[(Long, Array[Long])] = {
+    import spark.implicits._
+    spark.read.parquet(s"$path/_centroids")
+      .as[(Long, Seq[Long])].collect()
+      .map { case (i, e) => (i, e.toArray) }.sortBy(_._1)
+  }
+
+  /** Append one ingest batch to the index under the frozen centroids. */
+  def ivfIndexIngest(batch: DataFrame, path: String): Unit = {
+    val spark = batch.sparkSession
+    val bc = spark.sparkContext.broadcast(frozenCentroids(spark, path))
+    assign(quantized(batch), bc, 1)
+      .write.mode("append").partitionBy("cent_id").parquet(s"$path/lists")
+  }
+
+  /** Probe the incremental index — [[ivfTopKIndexed]]'s plan (static IN
+    * partition pruning) under the frozen centroid set. */
+  def ivfTopKIncremental(queries: DataFrame, path: String, k: Int,
+      nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val bc = spark.sparkContext.broadcast(frozenCentroids(spark, path))
+    val queryProbes = assign(quantized(queries), bc, nprobe)
+      .select(col("id").as("qid"), col("qe"), col("n2").as("qn"), col("cent_id"))
+    val probedCents = queryProbes.select("cent_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val corpusAssigned = spark.read.parquet(s"$path/lists")
+      .filter(col("cent_id").isin(probedCents.map(Long.box): _*))
+      .select(col("id").as("cid"), col("qe").as("ce"), col("n2").as("cn"),
+        col("cent_id").cast("long").as("cent_id"))
+    scoreAndRank(corpusAssigned, queryProbes, k)
+  }
+
   /** Probe a materialized IVF index. The probed centroid set is collected
     * (≤ nlist ids — bounded by the centroid count, not the data) and pushed
     * as a static IN filter, so the scan is partition-pruned to the probed

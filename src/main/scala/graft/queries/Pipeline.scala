@@ -593,6 +593,61 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // Incremental IVF vector index ([[AnnSearch.ivfIndexInit]] /
+    // [[AnnSearch.ivfIndexIngest]] — the FAISS contract: train once, add
+    // forever): centroids FREEZE at init into a sidecar (re-deriving them
+    // per batch would silently strand earlier rows under assignments no
+    // probe reaches), each of 3 ingest batches assigns against the frozen
+    // set and appends its inverted-list partitions, and the probe prunes
+    // to nprobe lists. Ingest is order-independent, so the oracle is the
+    // ONE-SHOT IVF over the union with the same (first-batch) centroids —
+    // identical candidates, identical quantized scores.
+    Qd("q260_incremental_ivf",
+      s"""WITH ${qCte("qq", "WHERE vec_id < 50")},
+        |${qCte("cc", "")},
+        |cents AS (SELECT vec_id AS cent_id, qe AS ce FROM cc WHERE vec_id % 120 = 0),
+        |ca AS (SELECT cid, cent_id FROM (
+        |  SELECT cc.vec_id AS cid, cents.cent_id,
+        |    row_number() OVER (PARTITION BY cc.vec_id ORDER BY
+        |      CAST(list_sum(list_transform(range(1, len(cc.qe)+1), i -> cc.qe[i]*cents.ce[i])) AS BIGINT) DESC,
+        |      cents.cent_id) AS rn
+        |  FROM cc, cents) WHERE rn = 1),
+        |qa AS (SELECT qid, cent_id FROM (
+        |  SELECT qq.vec_id AS qid, cents.cent_id,
+        |    row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+        |      CAST(list_sum(list_transform(range(1, len(qq.qe)+1), i -> qq.qe[i]*cents.ce[i])) AS BIGINT) DESC,
+        |      cents.cent_id) AS rn
+        |  FROM qq, cents) WHERE rn <= 2),
+        |qn AS (SELECT vec_id AS qid, qe,
+        |  CAST(list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]*qe[i])) AS BIGINT) AS n2 FROM qq),
+        |cn AS (SELECT vec_id AS cid, qe AS ce,
+        |  CAST(list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]*qe[i])) AS BIGINT) AS n2 FROM cc),
+        |sc AS (
+        |  SELECT qa.qid, ca.cid,
+        |    CAST(CAST(list_sum(list_transform(range(1, len(qn.qe)+1), i -> qn.qe[i]*cn.ce[i])) AS BIGINT) AS DOUBLE)
+        |      / sqrt(CAST(qn.n2 AS DOUBLE) * CAST(cn.n2 AS DOUBLE)) AS cos
+        |  FROM qa JOIN ca ON qa.cent_id = ca.cent_id
+        |  JOIN qn ON qn.qid = qa.qid JOIN cn ON cn.cid = ca.cid
+        |  WHERE qa.qid <> ca.cid),
+        |rk AS (SELECT qid, cid, cos,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM sc)
+        |SELECT qid, cid, rk, ROUND(cos, 6) AS cos
+        |FROM rk WHERE rk <= 10 ORDER BY qid, rk""") { (s, dir) =>
+      import graft.operators.AnnSearch
+      val e = emb(s, dir)
+      val sf = new java.io.File(dir).getName.replace(".", "_")
+      val idx = s"/root/repo/target/ddl/$sf/g260_ivf"
+      // first batch carries ids ≡ 0 (mod 3); stride 40 on it → frozen
+      // centroids are exactly the oracle's vec_id % 120 = 0 set
+      AnnSearch.ivfIndexInit(e.filter(col("id") % 3 === 0), 40, idx)
+      AnnSearch.ivfIndexIngest(e.filter(col("id") % 3 === 1), idx)
+      AnnSearch.ivfIndexIngest(e.filter(col("id") % 3 === 2), idx)
+      AnnSearch.ivfTopKIncremental(e.filter(col("id") < 50), idx, 10, 2)
+        .select(col("qid"), col("cid"), col("rk").cast("bigint").as("rk"),
+          col("cos"))
+        .orderBy("qid", "rk")
+    },
+
     // Incrementally-maintained LSH near-dup index
     // ([[graft.operators.IncrementalLsh]] — the production form of q41:
     // the corpus arrives in 4 ingest batches, each batch probes the

@@ -68,6 +68,25 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
+  test("incremental IVF index: ingest is order-independent and equals the" +
+      " one-shot build under the same frozen centroids") {
+    val queries = emb.filter(col("id") < 30)
+    def result(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "cid", "rk").as[(Long, Long, Int)].collect().toSet
+    // one-shot reference: stride 120 over the union derives EXACTLY the
+    // centroid set the incremental init freezes (ids ≡ 0 mod 3 ∩ mod 40)
+    val oneShot = result(AnnSearch.ivfTopK(queries, emb, 10, 120, 2))
+    val base = s"${sys.props("user.dir")}/target/ivfspec"
+    for ((order, i) <- Seq(Seq(1, 2), Seq(2, 1)).zipWithIndex) {
+      val idx = s"$base/i$i"
+      AnnSearch.ivfIndexInit(emb.filter(col("id") % 3 === 0), 40, idx)
+      order.foreach(b =>
+        AnnSearch.ivfIndexIngest(emb.filter(col("id") % 3 === b), idx))
+      assert(result(AnnSearch.ivfTopKIncremental(queries, idx, 10, 2)) ==
+        oneShot, s"ingest order $order diverged from the one-shot build")
+    }
+  }
+
   test("tiled cosine near-dup ≡ all-pairs (tiles=1) at several tile counts") {
     val exact = AnnSearch.cosineNearDupPairs(emb, "label", 0.4, tiles = 1)
       .orderBy("d1", "d2").collect().toSeq
