@@ -107,13 +107,37 @@ object TxnSql {
       val rest = s.substring("CREATE TRANSACTIONAL TABLE".length).trim
       val name = identAfter(rest, 0).getOrElse(
         fail(s, "CREATE TRANSACTIONAL TABLE needs a name"))
-      val m = "(?is)\\bLOCATION\\s+'([^']+)'\\s+AS\\b".r.findFirstMatchIn(rest)
-        .getOrElse(fail(s, "expected LOCATION '<root>' AS <select>"))
-      val root = m.group(1)
-      val select = rest.substring(m.end).trim
+      // optional Delta-style declaration between LOCATION and AS:
+      //   GENERATED (day AS CAST(ts AS DATE), vband AS floor(v))
+      // — balanced-paren parsed (a regex cannot: exprs nest parens and
+      // contain their own AS tokens, e.g. CAST(x AS BIGINT))
+      val lm = "(?is)\\bLOCATION\\s+'([^']+)'".r.findFirstMatchIn(rest)
+        .getOrElse(fail(s, "expected LOCATION '<root>'"))
+      val root = lm.group(1)
+      var after = rest.substring(lm.end).trim
+      val gens: Seq[(String, String)] =
+        if (after.toUpperCase.startsWith("GENERATED")) {
+          val b = after.substring("GENERATED".length).trim
+          require(b.startsWith("("), s"GENERATED needs a parenthesized list: $s")
+          val close = matchParen(b, 0).getOrElse(
+            fail(s, "unbalanced GENERATED list"))
+          after = b.substring(close + 1).trim
+          // top-level comma split (an expr may contain commas: round(v, 2))
+          splitTopCommas(b.substring(1, close)).map(_.trim)
+            .filter(_.nonEmpty).map { it =>
+              val i = "(?i)\\sAS\\s".r.findFirstMatchIn(it)
+                .getOrElse(fail(s,
+                  s"GENERATED entry needs '<name> AS <expr>': $it"))
+              it.substring(0, i.start).trim -> it.substring(i.end).trim
+            }.toSeq
+        } else Nil
+      require(after.toUpperCase.startsWith("AS"),
+        s"CREATE TRANSACTIONAL TABLE needs AS <select>: $s")
+      val select = after.substring(2).trim
       require(select.nonEmpty, s"CREATE TRANSACTIONAL TABLE needs AS <select>: $s")
-      TxnMergeOnRead.create(spark, root,
-        spark.sql(rewriteReads(spark, select)))
+      val df = spark.sql(rewriteReads(spark, select))
+      if (gens.isEmpty) TxnMergeOnRead.create(spark, root, df)
+      else TxnMergeOnRead.createGenerated(spark, root, df, gens)
       register(name, root)
       TxnMergeOnRead.read(spark, root)
     } else if (up.startsWith("DROP TRANSACTIONAL TABLE")) {
@@ -347,9 +371,16 @@ object TxnSql {
         df.toDF(cols: _*)
       } else fail(s, s"INSERT needs VALUES or SELECT, got: $rest")
     // unnamed columns fill with typed NULLs — the same rule the
-    // schema-evolution reader applies to files predating ADD COLUMNS
+    // schema-evolution reader applies to files predating ADD COLUMNS.
+    // EXCEPT declared generated columns: those stay ABSENT so the insert
+    // path computes them from their defining expressions (an explicit
+    // NULL would be a supplied-and-inconsistent value the reserved CHECK
+    // rightly rejects)
     import org.apache.spark.sql.functions.{col, lit}
+    val genNames = TxnMergeOnRead.generatedColsOf(spark, root)
+      .map(_._1.toLowerCase).toSet
     val missing = target.schema.filterNot(f => cols.contains(f.name))
+      .filterNot(f => genNames(f.name.toLowerCase))
     val full = missing.foldLeft(src) { (d, f) =>
       d.withColumn(f.name, lit(null).cast(f.dataType))
     }
@@ -357,8 +388,9 @@ object TxnSql {
     // declared type, so a VALUES decimal/int literal never writes a file
     // whose parquet type diverges from the table's (schema-on-read union
     // across deltas requires one type per column)
-    val conformed = full.select(target.schema.map(f =>
-      col(f.name).cast(f.dataType).as(f.name)): _*)
+    val conformed = full.select(target.schema
+      .filter(f => full.columns.contains(f.name))
+      .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
     TxnMergeOnRead.insert(spark, root, conformed)
     1
   }

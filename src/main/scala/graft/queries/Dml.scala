@@ -1299,6 +1299,44 @@ object Dml {
         concat(lit("W2_"), (col("ck") % 2).cast("string")).as("nseg")))
       TxnMergeOnRead.read(s, root)
         .select("ck", "seg", "vf", "vt", "cur").orderBy("ck", "vf")
+    },
+
+    // Generated columns through the FULL textual surface (q245's
+    // semantics, zero Scala API calls): CREATE … GENERATED (…) declares
+    // them, a textual INSERT naming only the data columns gets them
+    // COMPUTED (the NULL-fill rule deliberately skips declared generated
+    // columns — an explicit NULL would be a supplied-and-wrong value),
+    // and a textual UPDATE of the base column recomputes them before the
+    // final SELECT aggregates by the generated day.
+    Qd("q261_txn_generated_sql",
+      """WITH src AS (SELECT event_id, ts, user_id,
+        |    CASE WHEN user_id % 4 = 1 THEN round(value + 10, 4)
+        |         ELSE value END AS value
+        |  FROM events WHERE event_id % 2 = 0),
+        |g AS (SELECT CAST(ts AS DATE) AS day,
+        |  CAST(floor(value) AS BIGINT) AS vband, value FROM src)
+        |SELECT day, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(vband) AS BIGINT) AS sv_band
+        |FROM g GROUP BY day ORDER BY day""") { (s, dir) =>
+      val (sf, loc) = ctx(s, dir)
+      val root = s"$loc/g261_txn"
+      val tbl = s"g261_$sf"
+      Engine.sql(s, dir,
+        s"""CREATE TRANSACTIONAL TABLE $tbl LOCATION '$root'
+           |GENERATED (day AS CAST(ts AS DATE),
+           |           vband AS CAST(floor(value) AS BIGINT)) AS
+           |SELECT event_id, ts, user_id, value FROM events
+           |WHERE event_id % 2 = 0 AND event_id % 3 <> 0""".stripMargin)
+      Engine.sql(s, dir,
+        s"""INSERT INTO $tbl (event_id, ts, user_id, value)
+           |SELECT event_id, ts, user_id, value FROM events
+           |WHERE event_id % 2 = 0 AND event_id % 3 = 0""".stripMargin)
+      Engine.sql(s, dir,
+        s"UPDATE $tbl SET value = round(value + 10, 4) WHERE user_id % 4 = 1")
+      Engine.sql(s, dir,
+        s"""SELECT day, CAST(count(*) AS BIGINT) AS cnt,
+           |  CAST(sum(vband) AS BIGINT) AS sv_band
+           |FROM $tbl GROUP BY day ORDER BY day""".stripMargin)
     }
   )
 }

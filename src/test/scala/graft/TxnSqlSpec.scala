@@ -187,6 +187,33 @@ class TxnSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(total >= 4 && kept < total, s"z-order slice must prune: $kept/$total")
   }
 
+  test("CREATE ... GENERATED (...): declared textually, computed on textual" +
+      " INSERT (no NULL-fill poisoning), recomputed on UPDATE") {
+    val root = s"$base/gen"
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(root))
+    TxnSql.execDdl(spark,
+      s"""CREATE TRANSACTIONAL TABLE tsql_gen LOCATION '$root'
+         |GENERATED (vb AS CAST(floor(v) AS BIGINT), vr AS round(v, 1)) AS
+         |SELECT id AS k, CAST(id AS DOUBLE) * 1.5 AS v FROM range(4)""".stripMargin)
+    assert(TxnMergeOnRead.generatedColsOf(spark, root) ==
+      Seq("vb" -> "CAST(floor(v) AS BIGINT)", "vr" -> "round(v, 1)"))
+    // textual INSERT names only the data columns: the generated ones must
+    // be COMPUTED, not NULL-filled (a NULL would violate the reserved CHECK)
+    TxnSql.exec(spark, "INSERT INTO tsql_gen (k, v) VALUES (10, 7.25)")
+    val got = TxnMergeOnRead.read(spark, root).filter(col("k") === 10).head()
+    assert((got.getLong(2), got.getDouble(3)) == (7L, 7.3))
+    // textual UPDATE of the base column recomputes both
+    TxnSql.exec(spark, "UPDATE tsql_gen SET v = v + 1 WHERE k = 10")
+    val up = TxnMergeOnRead.read(spark, root).filter(col("k") === 10).head()
+    assert((up.getDouble(1), up.getLong(2), up.getDouble(3)) == (8.25, 8L, 8.3))
+    // supplying an inconsistent value textually is rejected by name
+    val ex = intercept[IllegalArgumentException] {
+      TxnSql.exec(spark, "INSERT INTO tsql_gen (k, v, vb, vr) " +
+        "VALUES (11, 2.5, 99, 2.5)")
+    }
+    assert(ex.getMessage.contains("__gen_vb"))
+  }
+
   test("malformed forms fail with named errors, not silent misparses") {
     mk("err")
     val e3 = intercept[IllegalArgumentException](
