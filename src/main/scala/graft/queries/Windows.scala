@@ -214,6 +214,32 @@ object Windows {
           col("user_id")).distinct()
         .groupBy("cohort", "offs").agg(count(lit(1)).as("n_users"))
         .orderBy("cohort", "offs")
+    },
+
+    // Batch HOPPING (sliding) windows — `window(ts, '1 hour', '30
+    // minutes')`: every event lands in exactly two overlapping windows,
+    // assigned by Spark's window TVF in ordinary batch mode (the tumbling
+    // form is q70; the hop form is what dashboards smooth with). The
+    // oracle unrolls the two assignments per event explicitly (offset 0
+    // and −30 min bucket starts, filtered to windows that really contain
+    // the event — the generate-offsets formulation Spark's TVF compiles
+    // to internally).
+    Qd("q262_hopping_window",
+      """WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |           event_type, value FROM events),
+        |w AS (SELECT (sec // 1800) * 1800 - o.off AS ws, event_type, value
+        |      FROM e CROSS JOIN (SELECT unnest([0, 1800]) AS off) o
+        |      WHERE sec >= (sec // 1800) * 1800 - o.off
+        |        AND sec < (sec // 1800) * 1800 - o.off + 3600)
+        |SELECT ws AS window_start, event_type,
+        |  CAST(count(*) AS BIGINT) AS n, ROUND(sum(value), 4) AS sv
+        |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""") { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sv"))
+        .select(unix_timestamp(col("window.start")).as("window_start"),
+          col("event_type"), col("n"), col("sv"))
+        .orderBy("window_start", "event_type")
     }
   )
 }
