@@ -84,4 +84,34 @@ class StreamAppendSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.streams.active.isEmpty,
       "no stray streaming queries left running")
   }
+
+  test("stream-stream LEFT OUTER join runs the symmetric hash join in" +
+      " LeftOuter mode and emits every unmatched click (q244 contract)") {
+    import org.apache.spark.sql.functions.col
+    val scratch = s"${sys.props("user.dir")}/target/streamspec/ssloj"
+    val df = StreamOps.streamStreamLeftJoin(spark, dir, scratch)
+    // the memory table the helper returns is the EXECUTED run's sink;
+    // the last active-run plan is inspectable via the sink table's query
+    val got = df.collect().map(r => (r.getLong(0),
+      if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    val ev = graft.Engine.table(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_eid"), col("user_id").as("c_uid"),
+        col("ts").as("c_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_eid"), col("user_id").as("p_uid"),
+        col("ts").as("p_ts"))
+    val batch = clicks.join(purchases, org.apache.spark.sql.functions.expr(
+        "c_uid = p_uid AND p_ts >= c_ts AND p_ts <= c_ts + interval 10 minutes"),
+        "left_outer")
+      .select("c_eid", "p_eid")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(got === batch,
+      "left-outer stream must converge to the exact batch LEFT JOIN " +
+        "(unmatched clicks included — the watermark-advance contract)")
+    assert(got.exists(_._2 == -1L), "test corpus must contain unmatched clicks")
+    assert(!got.exists(_._1 < 0), "sentinels must never surface in the result")
+    assert(spark.streams.active.isEmpty)
+  }
 }
