@@ -610,6 +610,35 @@ object TxnMergeOnRead {
       .toDF("version", "action", "dir", "folds", "detail", "ts")
   }
 
+  /** One-row table metadata summary (Delta `DESCRIBE DETAIL`): location,
+    * head version, latest usable checkpoint (−1 = none), live
+    * insert-bearing dir/file/byte counts at the head snapshot, enforced
+    * CHECK-constraint count, and the declared generated columns —
+    * metadata and file listings only, no Spark job. The capacity-planning
+    * twin of [[history]]: numbers a compaction/vacuum policy reads
+    * (many small live files → compact; dirs ≫ checkpoint interval →
+    * raise cadence). */
+  def detail(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val f = fs(spark, root)
+    val view = readView(f, root)
+    val (base, deltas) = liveStateV(f, root, view)
+    val dirs = (s"$root/$base" +:
+      deltas.values.toSeq.map(e => s"$root/${e.dir}/insert"))
+      .filter(p => f.exists(new Path(p)))
+    val files = dirs.flatMap(p => f.listStatus(new Path(p)).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    })
+    val cons = constraintsV(f, root, view)
+    val gens = gensFrom(cons)
+    Seq((root, view.lastVersion, view.ckpt.map(_.version).getOrElse(-1L),
+      dirs.size.toLong, files.size.toLong, files.map(_.getLen).sum,
+      (cons.size - gens.size).toLong, gens.map(_._1).mkString(",")))
+      .toDF("location", "version", "checkpoint_version", "num_live_dirs",
+        "num_files", "size_bytes", "num_constraints", "generated_columns")
+  }
+
   /** Test seam: widens [[insertBatch]]'s check-to-commit window so a spec
     * can deterministically manufacture the same-key double-commit the
     * reader-side first-wins dedup neutralizes. No-op in production. */

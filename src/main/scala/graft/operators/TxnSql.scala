@@ -177,6 +177,8 @@ object TxnSql {
       identAfter(s, "ALTER TABLE".length)
     } else if (up.startsWith("DESCRIBE HISTORY")) {
       identAfter(s, "DESCRIBE HISTORY".length)
+    } else if (up.startsWith("DESCRIBE DETAIL")) {
+      identAfter(s, "DESCRIBE DETAIL".length)
     } else if (up.startsWith("RESTORE") || up.startsWith("VACUUM") ||
         up.startsWith("CHECKPOINT") || up.startsWith("OPTIMIZE")) {
       identAfter(s, s.indexOf(' '))
@@ -185,8 +187,10 @@ object TxnSql {
 
   /** True when the statement RETURNS a result frame rather than mutating
     * (DESCRIBE HISTORY) — front-ends route accordingly. */
-  def returnsRows(sqlText: String): Boolean =
-    sqlText.trim.toUpperCase.startsWith("DESCRIBE HISTORY")
+  def returnsRows(sqlText: String): Boolean = {
+    val up = sqlText.trim.toUpperCase
+    up.startsWith("DESCRIBE HISTORY") || up.startsWith("DESCRIBE DETAIL")
+  }
 
   /** Execute one DML/utility statement; returns the snapshot-computation
     * count for DML (1 = committed without recompute), 1 for utilities. */
@@ -214,8 +218,11 @@ object TxnSql {
   def query(spark: SparkSession, sqlText: String): DataFrame = {
     val s = sqlText.trim.stripSuffix(";").trim
     require(returnsRows(s), s"not a row-returning txn statement: $s")
-    TxnMergeOnRead.history(spark, resolve(
-      headTable(s).getOrElse(fail(s, "DESCRIBE HISTORY needs a table")), s))
+    val root = resolve(
+      headTable(s).getOrElse(fail(s, "DESCRIBE needs a table")), s)
+    if (s.toUpperCase.startsWith("DESCRIBE DETAIL"))
+      TxnMergeOnRead.detail(spark, root)
+    else TxnMergeOnRead.history(spark, root)
   }
 
   private def execRestore(spark: SparkSession, s: String): Int = {

@@ -214,6 +214,26 @@ class TxnSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex.getMessage.contains("__gen_vb"))
   }
 
+  test("DESCRIBE DETAIL: one-row metadata summary tracks DML, checkpoint," +
+      " constraints, and generated columns") {
+    val root = mk("detail")
+    def d() = TxnSql.query(spark, "DESCRIBE DETAIL tsql_detail").head()
+    val d0 = d()
+    assert(d0.getString(0) == root)
+    assert(d0.getLong(1) == 1L && d0.getLong(2) == -1L) // v1, no checkpoint
+    assert(d0.getLong(3) == 1L) // just the base dir
+    TxnSql.exec(spark, "INSERT INTO tsql_detail VALUES (900, 1, 'x')")
+    TxnSql.exec(spark, "ALTER TABLE tsql_detail ADD CONSTRAINT pos CHECK (k >= 0)")
+    TxnSql.exec(spark, "CHECKPOINT tsql_detail")
+    val d1 = d()
+    assert(d1.getLong(1) == 3L && d1.getLong(2) == 3L) // head = ckpt = v3
+    assert(d1.getLong(3) == 2L) // base + one insert delta
+    assert(d1.getLong(6) == 1L) // the CHECK, not counting gen internals
+    assert(d1.getLong(4) >= 2L && d1.getLong(5) > 0L)
+    TxnSql.exec(spark, "OPTIMIZE tsql_detail")
+    assert(d().getLong(3) == 1L, "compaction folds back to one live dir")
+  }
+
   test("malformed forms fail with named errors, not silent misparses") {
     mk("err")
     val e3 = intercept[IllegalArgumentException](
