@@ -84,9 +84,18 @@ object BloomIndex {
   def collectAuto(spark: SparkSession, dataPath: String, cols: Seq[String],
       bitsPerKey: Int = 12, k: Int = 7): Int = {
     require(bitsPerKey >= 1, "bitsPerKey >= 1")
-    val maxRows = spark.read.parquet(dataPath)
-      .groupBy(input_file_name()).count()
-      .agg(max("count")).head().getLong(0)
+    val p = new Path(dataPath)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a missing dir or a zero-row delta (max over zero files = null row)
+    // falls back to the 2^17 floor instead of NPE-ing the analyze pass
+    val maxRows: Long =
+      if (!f.exists(p)) 0L
+      else scala.util.Try {
+        val r = spark.read.parquet(dataPath)
+          .groupBy(input_file_name()).count()
+          .agg(max("count")).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }.getOrElse(0L)
     var m = 1 << 17
     while (m.toLong < bitsPerKey.toLong * maxRows && m < (1 << 26)) m <<= 1
     collect(spark, dataPath, cols, m, k)
@@ -123,7 +132,14 @@ object BloomIndex {
     val h = s"xxhash64(CAST(${litSql(v)} AS $typ))"
     val h2 = s"(shiftrightunsigned($h, 32) | 1)"
     (0 until k).map { i =>
-      val idx = s"pmod($h + ${i}L * $h2, CAST(m AS BIGINT))"
+      // floorMod(h + i*h2, m) with m a power of two (BloomAgg require()s
+      // it) depends only on the low log2(m) bits of each addend, so mask
+      // BEFORE the arithmetic: operands stay < 2^26, the sum < 2^31 —
+      // no 64-bit overflow, so the probe matches the JVM build side's
+      // wrap-around under spark.sql.ansi.enabled=true as well (raw
+      // `h + i*h2` would raise ARITHMETIC_OVERFLOW there for large h).
+      val mm = "(CAST(m AS BIGINT) - 1L)"
+      val idx = s"((($h & $mm) + ${i}L * ($h2 & $mm)) & $mm)"
       expr(s"(element_at(`bits_$c`, CAST(shiftrightunsigned($idx, 6) AS INT) + 1)" +
         s" & shiftleft(1L, CAST($idx & 63 AS INT))) != 0")
     }.reduce(_ && _)

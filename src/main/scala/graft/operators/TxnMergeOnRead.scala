@@ -1112,14 +1112,15 @@ object TxnMergeOnRead {
     // the schema lookup reads parquet footers that a concurrent compaction's
     // GC can delete under us — re-resolve against the fresh log in that case
     // (the one data-dir read INSERT does; its staged rows are caller data)
-    val cols = (0 to 3).view.map { attempt =>
+    val fields = (0 to 3).view.map { attempt =>
       val view = if (attempt == 0) view0 else readView(f, root)
-      Try(snapshotAtV(spark, root, view).columns.filter(_ != RID).toSeq)
+      Try(snapshotAtV(spark, root, view).schema.fields
+        .filterNot(_.name == RID).toSeq)
     }.collectFirst { case Success(c) => c }
       .getOrElse(throw new IllegalStateException(
         s"cannot resolve schema of $root"))
     val newCols: Seq[(String, String)] = if (!mergeSchema) Nil else {
-      val have = cols.map(_.toLowerCase).toSet
+      val have = fields.map(_.name.toLowerCase).toSet
       rows.schema.fields.filterNot(fd => have(fd.name.toLowerCase))
         .map { fd =>
           val t = fd.dataType.sql
@@ -1131,13 +1132,25 @@ object TxnMergeOnRead {
         }.toSeq
     }
     val cons = constraintsV(f, root, view0)
-    val allCols = cols ++ newCols.map(_._1)
-    val staged = applyGens(rows, gensFrom(cons)).select(allCols.map(col): _*)
-    enforceConstraints(staged, cons, "INSERT", root)
+    // cast every staged column to its DECLARED type: the physical parquet
+    // type must match the table declaration even when the inserting
+    // DataFrame carries a divergent type (e.g. an evolved column supplied
+    // as INT where an earlier mergeSchema writer declared BIGINT), or a
+    // later snapshot's unionByName against other writers' files fails
+    // analysis / silently coerces
+    val genApplied = applyGens(rows, gensFrom(cons))
+    def castStage(evolvedTypes: Map[String, String]): DataFrame = {
+      val staged = genApplied.select(
+        fields.map(fd => col(fd.name).cast(fd.dataType).as(fd.name)) ++
+          newCols.map { case (n, t) =>
+            col(n).cast(evolvedTypes.getOrElse(n.toLowerCase, t)).as(n) }: _*)
+      enforceConstraints(staged, cons, "INSERT", root)
+      staged
+    }
     // rid txn = a fresh uuid-derived tag, not the commit version (unknown
     // until the race resolves); uniqueness is all the id contract needs
     val tag = UUID.randomUUID().getLeastSignificantBits & Long.MaxValue
-    val dir = stage(spark, root, None, Some(withRid(staged, tag)))
+    var dir = stage(spark, root, None, Some(withRid(castStage(Map.empty), tag)))
     val marker = if (newCols.isEmpty) ""
       else "c:" + newCols.map { case (n, t) => s"$n=$t" }.mkString(";")
     var v = view0.lastVersion + 1
@@ -1145,7 +1158,21 @@ object TxnMergeOnRead {
     while (!tryCommit(f, root, Entry(v, "insert", dir, 0L, marker))) {
       attempts += 1
       require(attempts < MAX_COMMIT_ATTEMPTS, s"insert into $root livelocked")
-      v = lastVersionOnDisk(f, root) + 1
+      if (newCols.isEmpty) v = lastVersionOnDisk(f, root) + 1
+      else {
+        // a racing mergeSchema writer may have DECLARED one of our evolved
+        // columns with a different type — its earlier declaration wins the
+        // schema fold (our duplicate marker dedups away), so our data files
+        // must carry the WINNING type, not the one we staged with
+        val nview = readView(f, root)
+        v = nview.lastVersion + 1
+        val winning = addedColsV(f, root, nview)
+          .map { case (n, t) => n.toLowerCase -> t }.toMap
+        val diverged = newCols.exists { case (n, t) =>
+          winning.get(n.toLowerCase).exists(w => !w.equalsIgnoreCase(t)) }
+        if (diverged)
+          dir = stage(spark, root, None, Some(withRid(castStage(winning), tag)))
+      }
     }
   }
 

@@ -225,20 +225,27 @@ object StreamOps {
     val replay = s"$scratch/append_replay"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(replay))
     ev.coalesce(1).write.mode("overwrite").parquet(replay)
+    // capture the data part's IDENTITY before appending the sentinel —
+    // size-based identification (data ≫ sentinel) breaks on a tiny corpus
+    // where the data part is no larger than a sentinel part
+    val dirF = new java.io.File(replay)
+    def partFiles = dirF.listFiles()
+      .filter(_.getName.endsWith(".parquet")).toSet
+    val dataFiles = partFiles
     val sentinel = spark.createDataFrame(
       java.util.Collections.singletonList(
         org.apache.spark.sql.Row(-1L, maxTs, -1L, "click", 0.0, "{}")),
       eventsSchema)
     sentinel.coalesce(1).write.mode("append").parquet(replay)
+    val sentFiles = partFiles -- dataFiles
     // pin micro-batch order: data first, sentinel second. The source orders
     // by mtime; a same-millisecond tie would fall back to path order over
     // random part-file UUIDs — flaky, and sentinel-first empties the result
     // (see scaladoc). 60 s is far above any filesystem timestamp granularity.
-    val dirF = new java.io.File(replay)
-    val parts = dirF.listFiles().filter(f => f.getName.endsWith(".parquet"))
-    require(parts.length == 2, s"expected 2 replay files, got ${parts.length}")
-    val dataF = parts.maxBy(_.length) // events file ≫ 1-row sentinel
-    val sentF = parts.minBy(_.length)
+    require(dataFiles.size == 1 && sentFiles.size == 1,
+      s"expected 1 data + 1 sentinel replay file, got $partFiles")
+    val dataF = dataFiles.head
+    val sentF = sentFiles.head
     require(sentF.setLastModified(dataF.lastModified() + 60000L),
       s"could not pin sentinel mtime on $sentF")
     // the replay rewrite preserves the ORIGINAL raw unit (plain long
@@ -482,12 +489,21 @@ object StreamOps {
         new java.sql.Timestamp(maxTs.getTime + plusMin * 60000L),
         -1L, "sentinel"))
       .toDF("event_id", "ts", "user_id", "event_type")
+    // capture each part's IDENTITY as it lands — ordering by descending
+    // size mis-orders the replay on a tiny corpus whose data part is no
+    // larger than a sentinel part, dropping the data batch as late
+    val dirF = new java.io.File(replay)
+    def partFiles = dirF.listFiles()
+      .filter(_.getName.endsWith(".parquet")).toSet
+    val dataFiles = partFiles
     sentinel(-1L, 65).coalesce(1).write.mode("append").parquet(replay)
+    val s1Files = partFiles -- dataFiles
     sentinel(-2L, 66).coalesce(1).write.mode("append").parquet(replay)
+    val s2Files = partFiles -- dataFiles -- s1Files
     // pin micro-batch order data → s1 → s2 (see appendHourlyCounts)
-    val parts = new java.io.File(replay).listFiles()
-      .filter(_.getName.endsWith(".parquet")).sortBy(-_.length())
-    require(parts.length == 3, s"expected 3 replay files, got ${parts.length}")
+    require(dataFiles.size == 1 && s1Files.size == 1 && s2Files.size == 1,
+      s"expected 1 data + 2 sentinel replay files, got $partFiles")
+    val parts = Array(dataFiles.head, s1Files.head, s2Files.head)
     parts.zipWithIndex.foreach { case (f, i) =>
       require(f.setLastModified(parts(0).lastModified() + i * 60000L),
         s"could not pin mtime on $f")

@@ -112,6 +112,34 @@ class BloomIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(BloomIndex.readPruned(spark, dir, "k", Seq(31337L)).count() == 1)
   }
 
+  test("collectAuto tolerates a missing dir and a zero-row dir (no NPE)," +
+      " falling back to the 2^17 floor") {
+    val missing = s"$base/t8_missing"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(missing))
+    assert(BloomIndex.collectAuto(spark, missing, Seq("k")) == (1 << 17))
+    val empty = s"$base/t8_empty"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(empty))
+    spark.range(0, 10).select(col("id").as("k")).filter(col("k") < 0)
+      .coalesce(1).write.parquet(empty) // schema-only parquet, zero rows
+    assert(BloomIndex.collectAuto(spark, empty, Seq("k")) == (1 << 17))
+    assert(BloomIndex.readPruned(spark, empty, "k", Seq(1L)).count() == 0)
+  }
+
+  test("probe arithmetic is wrap-safe: identical pruning under ANSI mode") {
+    val dir = mkDir("t9")
+    BloomIndex.collect(spark, dir, Seq("k"))
+    val off = BloomIndex.survivors(spark, dir, "k", Seq(5L, 3999L)).get
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      val on = BloomIndex.survivors(spark, dir, "k", Seq(5L, 3999L)).get
+      assert(on == off, "ANSI probe diverged from the non-ANSI probe")
+      val got = BloomIndex.readPruned(spark, dir, "k", Seq(5L, 3999L))
+        .orderBy("k").collect().map(_.getLong(0)).toSeq
+      assert(got == Seq(5L, 3999L))
+      assert(BloomIndex.readPruned(spark, dir, "k", Seq(-123456L)).count() == 0)
+    } finally spark.conf.set("spark.sql.ansi.enabled", "false")
+  }
+
   test("BloomAgg bit positions match the SQL probe arithmetic") {
     // build a one-value filter in Scala, then check the SQL-side probe
     // finds it and rejects a near-miss — pins the shared double-hash spec

@@ -99,6 +99,43 @@ class MergeSchemaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.filter(col("extra").isNotNull).count() == 2)
   }
 
+  test("a later insert supplying the evolved column at a DIVERGENT type is" +
+      " cast to the DECLARED type — physical files agree with the fold") {
+    val root = mkTable()
+    TxnMergeOnRead.insert(spark, root, df2(Seq((3L, "c", 30L))),
+      mergeSchema = true) // declares extra BIGINT
+    import spark.implicits._
+    TxnMergeOnRead.insert(spark, root,
+      Seq((4, "d", 40)).toDF("id", "s", "extra"), // INT id + INT extra
+      mergeSchema = true)
+    val r = TxnMergeOnRead.read(spark, root)
+    assert(r.schema("extra").dataType == org.apache.spark.sql.types.LongType)
+    assert(r.schema("id").dataType == org.apache.spark.sql.types.LongType)
+    assert(r.filter(col("extra") === 40L).count() == 1)
+  }
+
+  test("first declaration's type wins even when it is the NARROWER one") {
+    val root = mkTable()
+    import spark.implicits._
+    TxnMergeOnRead.insert(spark, root,
+      Seq((3L, "c", 30)).toDF("id", "s", "extra"), mergeSchema = true) // INT
+    TxnMergeOnRead.insert(spark, root, df2(Seq((4L, "d", 40L))),
+      mergeSchema = true) // BIGINT supplied where INT is declared → cast down
+    val r = TxnMergeOnRead.read(spark, root)
+    assert(r.schema("extra").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(r.filter(col("extra") === 40).count() == 1)
+  }
+
+  test("a plain insert casts EXISTING columns to their declared types") {
+    val root = mkTable()
+    import spark.implicits._
+    TxnMergeOnRead.insert(spark, root, Seq((5, "e")).toDF("id", "s")) // INT id
+    val r = TxnMergeOnRead.read(spark, root)
+    assert(r.schema("id").dataType == org.apache.spark.sql.types.LongType)
+    assert(r.filter(col("id") === 5L).count() == 1)
+  }
+
   test("an evolved column is a first-class citizen of later DML") {
     val root = mkTable()
     TxnMergeOnRead.insert(spark, root, df2(Seq((3L, "c", 30L))),

@@ -114,4 +114,25 @@ class StreamAppendSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!got.exists(_._1 < 0), "sentinels must never surface in the result")
     assert(spark.streams.active.isEmpty)
   }
+
+  test("left-outer replay survives a TINY corpus whose data part is no" +
+      " larger than a sentinel part — file identity, not size, pins order") {
+    val tiny = s"${sys.props("user.dir")}/target/streamspec/tinyev"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tiny))
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    Seq(
+      (1L, ts(0), 10L, "click"),
+      (2L, ts(5), 10L, "purchase"),
+      (3L, ts(1), 20L, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .coalesce(1).write.parquet(s"$tiny/events.parquet")
+    val got = StreamOps.streamStreamLeftJoin(spark, tiny, s"$tiny/scratch")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    assert(got == Set((1L, Some(2L)), (3L, None)),
+      s"tiny-corpus replay dropped or mangled rows: $got")
+    assert(spark.streams.active.isEmpty)
+  }
 }
