@@ -90,6 +90,115 @@ object Multimodal {
           i => substring(col("payload"), (i * everyN + 1).cast("int"), lit(1))),
           1, maxFrames)).as(Seq("frame_no", "frame")))
 
+  // ---- Real image decode kernel (ImageIO) ------------------------------
+
+  /** Deterministic synthetic RGB image: image `id` has dims
+    * `w = 8 + id % 9`, `h = 8 + id % 7` and pixel (x,y) channels
+    * {{{
+    *   r = (31*id + 7*x + 13*y) % 256
+    *   g = (17*id + 5*x + 11*y) % 256
+    *   b = (23*id + 3*x + 19*y) % 256
+    * }}}
+    * — a closed form ANY engine can recompute. PNG encoding is lossless,
+    * so statistics computed from the DECODED pixels must equal the
+    * generator arithmetic exactly: the decode kernel gets a real
+    * hash-checkable oracle instead of a rows-only waiver. */
+  def synthImage(id: Long, format: String = "png"): Array[Byte] = {
+    val w = (8 + id % 9).toInt
+    val h = (8 + id % 7).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((31 * id + 7 * x + 13 * y) % 256).toInt
+        val g = ((17 * id + 5 * x + 11 * y) % 256).toInt
+        val b = ((23 * id + 3 * x + 19 * y) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, format, baos),
+      s"no ImageIO writer for format '$format'")
+    baos.toByteArray
+  }
+
+  private val imageSchema = StructType(Seq(
+    StructField("media_id", LongType), StructField("kind", StringType),
+    StructField("payload", BinaryType)))
+
+  /** Media table of REAL encoded image files (PNG by default; "jpg" for
+    * the lossy path): payload is a decodable image, generated
+    * per-partition — no driver-side materialization, embarrassingly
+    * parallel, same shape a 100 TB ingest of raw media blobs has. */
+  def imageTable(docs: DataFrame, format: String = "png"): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(imageSchema)
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        org.apache.spark.sql.Row(id, "image", synthImage(id, format))
+      }
+    }(enc)
+  }
+
+  private val decodeSchema = StructType(Seq(
+    StructField("media_id", LongType), StructField("status", StringType),
+    StructField("width", IntegerType), StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("r_sum", LongType), StructField("g_sum", LongType),
+    StructField("b_sum", LongType), StructField("wsum", LongType)))
+
+  /** REAL decode: `ImageIO.read` over the binary payload in a compiled
+    * mapPartitions pass — per-row decode, constant memory, no shuffle, no
+    * driver collection. Exposes decoded dims + channel count, per-channel
+    * pixel sums, and a position-weighted checksum
+    * `wsum = Σ (1 + x + y*w)·(r+g+b)` that catches pixel-ORDER errors a
+    * plain sum would miss. Undecodable payloads follow the PERMISSIVE
+    * rescue-column discipline (q258 / `Sources` JSON rescue): the row
+    * survives with `status='corrupt'` and NULL stats — one bad blob can
+    * never fail a 100 TB decode job. */
+  def decodeImageStats(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(decodeSchema)
+    media.select(col("media_id"), col("payload")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val decoded =
+          try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload)))
+          catch { case scala.util.control.NonFatal(_) => None }
+        decoded match {
+          case None =>
+            org.apache.spark.sql.Row(
+              id, "corrupt", null, null, null, null, null, null, null)
+          case Some(img) =>
+            val w = img.getWidth
+            val h = img.getHeight
+            var rs = 0L; var gs = 0L; var bs = 0L; var ws = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                val rr = (p >> 16) & 0xFF
+                val gg = (p >> 8) & 0xFF
+                val bb = p & 0xFF
+                rs += rr; gs += gg; bs += bb
+                ws += (1L + x + y.toLong * w) * (rr + gg + bb)
+                x += 1
+              }
+              y += 1
+            }
+            org.apache.spark.sql.Row(id, "ok", w, h,
+              img.getColorModel.getNumComponents, rs, gs, bs, ws)
+        }
+      }
+    }(enc)
+  }
+
   /** Partition-parallel featurize: binary → fixed-width float vector +
     * deterministic "frame sample" (first 8 bytes — a codec would seek). */
   def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {

@@ -109,6 +109,78 @@ object Advanced {
         .orderBy("kind")
     },
 
+    // REAL image decode ([[Multimodal.imageTable]] writes actual PNG files,
+    // [[Multimodal.decodeImageStats]] decodes them with ImageIO in a
+    // compiled mapPartitions pass). The oracle needs no codec: the images
+    // are generated from a closed-form pixel function of (id, x, y), and
+    // PNG is lossless, so DuckDB recomputes the decoded dims, per-channel
+    // sums, and the position-weighted checksum from the arithmetic alone —
+    // a full hash check of the decode kernel, not a rows-only waiver.
+    Qd("q263_image_decode",
+      """WITH m AS (
+        |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        |  FROM documents WHERE doc_id < 400),
+        |px AS (
+        |  SELECT doc_id, w, h, i % w AS x, i // w AS y
+        |  FROM (SELECT doc_id, w, h, unnest(generate_series(0, w*h - 1)) AS i FROM m)),
+        |s AS (
+        |  SELECT doc_id, w, h,
+        |    SUM((31*doc_id + 7*x + 13*y) % 256) AS r_sum,
+        |    SUM((17*doc_id + 5*x + 11*y) % 256) AS g_sum,
+        |    SUM((23*doc_id + 3*x + 19*y) % 256) AS b_sum,
+        |    SUM((1 + x + y*w) * ((31*doc_id + 7*x + 13*y) % 256
+        |       + (17*doc_id + 5*x + 11*y) % 256
+        |       + (23*doc_id + 3*x + 19*y) % 256)) AS wsum
+        |  FROM px GROUP BY 1, 2, 3)
+        |SELECT doc_id AS media_id, 'ok' AS status,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(3 AS INT) AS channels,
+        |  CAST(r_sum AS BIGINT) AS r_sum, CAST(g_sum AS BIGINT) AS g_sum,
+        |  CAST(b_sum AS BIGINT) AS b_sum, CAST(wsum AS BIGINT) AS wsum
+        |FROM s ORDER BY media_id""") { (s, dir) =>
+      val media = Multimodal.imageTable(
+        t(s, dir, "documents").filter(col("doc_id") < 400))
+      Multimodal.decodeImageStats(media)
+        .select(col("media_id"), col("status"), col("width"), col("height"),
+          col("channels"), col("r_sum"), col("g_sum"), col("b_sum"),
+          col("wsum"))
+        .orderBy("media_id")
+    },
+
+    // Corrupt-image tolerance (PERMISSIVE rescue discipline, q258-style):
+    // payloads of every 50th media row are replaced with undecodable junk;
+    // the decode NEVER fails the job — corrupt rows survive with
+    // status='corrupt' and NULL stats, healthy rows are untouched.
+    Qd("q264_image_decode_rescue",
+      """WITH m AS (
+        |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        |  FROM documents WHERE doc_id < 400),
+        |px AS (
+        |  SELECT doc_id, w, h, i % w AS x, i // w AS y
+        |  FROM (SELECT doc_id, w, h, unnest(generate_series(0, w*h - 1)) AS i FROM m)
+        |  WHERE doc_id % 50 <> 0),
+        |s AS (
+        |  SELECT doc_id,
+        |    SUM((31*doc_id + 7*x + 13*y) % 256) AS r_sum
+        |  FROM px GROUP BY 1)
+        |SELECT m.doc_id AS media_id,
+        |  CASE WHEN m.doc_id % 50 = 0 THEN 'corrupt' ELSE 'ok' END AS status,
+        |  CAST(CASE WHEN m.doc_id % 50 = 0 THEN NULL ELSE m.w END AS INT) AS width,
+        |  CAST(CASE WHEN m.doc_id % 50 = 0 THEN NULL ELSE m.h END AS INT) AS height,
+        |  CAST(s.r_sum AS BIGINT) AS r_sum
+        |FROM m LEFT JOIN s ON s.doc_id = m.doc_id
+        |ORDER BY media_id""") { (s, dir) =>
+      val junk = lit("not-an-image-0123456789abcdef".getBytes("UTF-8"))
+      val media = Multimodal.imageTable(
+          t(s, dir, "documents").filter(col("doc_id") < 400))
+        .withColumn("payload",
+          when(col("media_id") % 50 === 0, junk).otherwise(col("payload")))
+      Multimodal.decodeImageStats(media)
+        .select(col("media_id"), col("status"), col("width"), col("height"),
+          col("r_sum"))
+        .orderBy("media_id")
+    },
+
     // PointLookupOptimizer (OR-chain → IN) — injected rule; rewrite asserted
     // in ExtensionSpec, result checked here.
     Qd("q89_point_lookup",

@@ -120,14 +120,33 @@ object Functions2 {
         .orderBy("p_partkey")
     },
 
-    // soundex + crc32 + bround (half-even) have no DuckDB equivalent —
-    // exact values asserted in FunctionPack2Spec; driver records rows>0.
-    Qd.rowsOnly("q76_soundex_crc32") { (s, dir) =>
-      t(s, dir, "part").select(col("p_partkey"),
-        soundex(substring_index(col("p_name"), " ", 1)).as("sdx"),
-        crc32(col("p_name").cast("binary")).as("crc"),
-        bround(col("p_retailprice") + 0.5, 0).as("br"))
-        .orderBy("p_partkey")
+    // soundex + crc32 + sha1 + bround (half-even) have no DuckDB
+    // equivalent, so the oracle is a KNOWN-ANSWER VECTOR table: DuckDB
+    // serves the published expected values as literals while Spark
+    // COMPUTES the functions over the same inputs — a full hash-checkable
+    // compare (the census soundex examples, standard CRC-32/SHA-1, and
+    // half-even rounding at the exact .5 boundary). Exact values over the
+    // part table remain asserted in FunctionPack2Spec.
+    Qd("q76_soundex_crc32",
+      """SELECT * FROM (VALUES
+        |  ('Robert',     'R163', CAST(2125754577 AS BIGINT), CAST(6.0 AS DOUBLE), 'b7f73c5b66dca06b94aa7a7134c24e0159e1dd0a'),
+        |  ('Rupert',     'R163', CAST(2935251174 AS BIGINT), CAST(6.0 AS DOUBLE), '2968f1f9f9049808f5098ddc33968d3a133a988d'),
+        |  ('Tymczak',    'T522', CAST(3507137138 AS BIGINT), CAST(8.0 AS DOUBLE), '03aa30387e9b7eec242c70dedf3b398897a49aeb'),
+        |  ('Ashcraft',   'A261', CAST(2337072898 AS BIGINT), CAST(8.0 AS DOUBLE), '291b89fe8657d98e8b17ff73d755d69f9f4569a3'),
+        |  ('Pfister',    'P236', CAST(2026213310 AS BIGINT), CAST(8.0 AS DOUBLE), 'f55c9719db075dde825aa40c60b5159c3336f948'),
+        |  ('Honeyman',   'H555', CAST(22810102   AS BIGINT), CAST(8.0 AS DOUBLE), 'd12ad60fb9ab3930905ea2aa4c45dbb953ff74a0'),
+        |  ('Washington', 'W252', CAST(3712178158 AS BIGINT), CAST(10.0 AS DOUBLE), 'a27a6644654593ac9e5d122b1155ff23752c8073'),
+        |  ('Lee',        'L000', CAST(2744362883 AS BIGINT), CAST(4.0 AS DOUBLE), '4beb46d36a8d0d77bfa696083bfeab4b6ee156d4')
+        |) AS v(inp, sdx, crc, br, sh) ORDER BY inp""") { (s, dir) =>
+      import s.implicits._
+      Seq("Robert", "Rupert", "Tymczak", "Ashcraft", "Pfister", "Honeyman",
+          "Washington", "Lee").toDF("inp")
+        .select(col("inp"),
+          soundex(col("inp")).as("sdx"),
+          crc32(col("inp").cast("binary")).as("crc"),
+          bround(length(col("inp")) + 0.5, 0).as("br"),
+          sha1(col("inp").cast("binary")).as("sh"))
+        .orderBy("inp")
     },
 
     // Bitwise shift family (`FunctionRegistry.java` shiftleft/shiftright/

@@ -80,13 +80,22 @@ object Relational {
         .orderBy("event_type")
     },
 
-    // TABLESAMPLE(x PERCENT) — seeded Bernoulli sample; fraction is
-    // nondeterministic across engines → rows-only (count bounds asserted in
-    // PipelineSpec).
-    Qd.rowsOnly("q88_tablesample_percent") { (s, dir) =>
-      import org.apache.spark.sql.functions.col
+    // TABLESAMPLE(x PERCENT) — the engine's percent sample is a
+    // DETERMINISTIC keyed-hash Bernoulli draw (the q172/q177 discipline:
+    // membership is a pure function of (seed, key) — append-stable,
+    // rerun-stable, engine-reproducible), so DuckDB replays the identical
+    // draw and the compare is a full hash check instead of rows-only.
+    // Spark's `.sample` RNG would differ per engine/partitioning — the
+    // exact nondeterminism a 100 TB reproducible pipeline can't accept.
+    Qd("q88_tablesample_percent",
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |WHERE CAST(('0x'||substr(md5('ts42:' || CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)),1,15)) AS BIGINT) % 1000 < 100
+        |ORDER BY l_orderkey, l_linenumber""") { (s, dir) =>
+      import org.apache.spark.sql.functions.expr
       graft.Engine.table(s, dir, "lineitem")
-        .sample(withReplacement = false, 0.1, seed = 42)
+        .filter(expr("CAST(conv(substring(md5(concat('ts42:', " +
+          "CAST(l_orderkey AS STRING), ':', CAST(l_linenumber AS STRING))), " +
+          "1, 15), 16, 10) AS BIGINT) % 1000 < 100"))
         .select("l_orderkey", "l_linenumber")
         .orderBy("l_orderkey", "l_linenumber")
     },
