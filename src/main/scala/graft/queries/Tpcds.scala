@@ -1,0 +1,278 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+
+/** TPC-DS perf-suite sample: 8 shape-diverse queries from the reference's
+  * plan-golden corpus (`ql/src/test/queries/clientpositive/perf/query*.q`)
+  * re-expressed over [[TpcdsLite]] and run as the SAME SQL text on Spark
+  * and the DuckDB oracle (constants adapted to the lite instance's value
+  * domains; every ORDER BY made total so LIMIT and the row-hash compare
+  * are deterministic).
+  *
+  * Shapes covered: star join + date filter (query3 — the DPP shape),
+  * 8-way scalar-subquery cross join with shared dimension scans (query88 —
+  * the ReusedExchange shape), windowed revenue ratio over an aggregate
+  * (query12), multi-dimension star avg (query27), ticket-grain HAVING
+  * (query34), cumulative-window FULL OUTER (query51), triple-channel
+  * sales→returns→catalog chain with stddev (query17), and the multi-CTE
+  * 17-join self-join (query64).
+  *
+  * Scale: these are the canonical 100 TB star plans — the fact table is
+  * partitioned on the date key (DPP prunes the scan through the date_dim
+  * filter), all dimensions broadcast, aggregates are partial+final. Plan
+  * assertions live in `TpcdsPlanSpec`.
+  */
+object Tpcds {
+
+  private def q(name: String, body: String): Qd =
+    Qd(name, TpcdsLite.forDuck(body.stripMargin)) { (s, _) =>
+      TpcdsLite.register(s)
+      s.sql(TpcdsLite.forSpark(body.stripMargin))
+    }
+
+  // reference: perf/query3.q — brand revenue star join, date-filtered.
+  private val q3 =
+    """WITH #TABLES#
+      |SELECT dt.d_year, item.i_brand_id AS brand_id, item.i_brand AS brand,
+      |  CAST(SUM(ss_ext_sales_price) AS DOUBLE) AS sum_agg
+      |FROM date_dim dt, store_sales, item
+      |WHERE dt.d_date_sk = store_sales.ss_sold_date_sk
+      |  AND store_sales.ss_item_sk = item.i_item_sk
+      |  AND item.i_manufact_id = 7
+      |  AND dt.d_moy = 12
+      |GROUP BY dt.d_year, item.i_brand, item.i_brand_id
+      |ORDER BY d_year, sum_agg DESC, brand_id
+      |LIMIT 100"""
+
+  // reference: perf/query88.q — 8 half-hour traffic counts as scalar
+  // subqueries cross-joined into one row; store/hd dimension scans are
+  // identical across all 8 (the exchange-reuse shape).
+  private def q88Sub(alias: String, timePred: String): String =
+    s"""(SELECT COUNT(*) AS $alias
+       | FROM store_sales, household_demographics, time_dim, store
+       | WHERE ss_sold_time_sk = t_time_sk AND ss_hdemo_sk = hd_demo_sk
+       |   AND ss_store_sk = s_store_sk AND $timePred
+       |   AND ((hd_dep_count = 3 AND hd_vehicle_count <= 5)
+       |     OR (hd_dep_count = 0 AND hd_vehicle_count <= 2)
+       |     OR (hd_dep_count = 1 AND hd_vehicle_count <= 3))
+       |   AND s_store_name = 'STORE3')"""
+
+  private val q88 =
+    s"""WITH #TABLES#
+       |SELECT s1.h8_30_to_9, s2.h9_to_9_30, s3.h9_30_to_10, s4.h10_to_10_30,
+       |  s5.h10_30_to_11, s6.h11_to_11_30, s7.h11_30_to_12, s8.h12_to_12_30
+       |FROM
+       | ${q88Sub("h8_30_to_9", "t_hour = 8 AND t_minute >= 30")} s1,
+       | ${q88Sub("h9_to_9_30", "t_hour = 9 AND t_minute < 30")} s2,
+       | ${q88Sub("h9_30_to_10", "t_hour = 9 AND t_minute >= 30")} s3,
+       | ${q88Sub("h10_to_10_30", "t_hour = 10 AND t_minute < 30")} s4,
+       | ${q88Sub("h10_30_to_11", "t_hour = 10 AND t_minute >= 30")} s5,
+       | ${q88Sub("h11_to_11_30", "t_hour = 11 AND t_minute < 30")} s6,
+       | ${q88Sub("h11_30_to_12", "t_hour = 11 AND t_minute >= 30")} s7,
+       | ${q88Sub("h12_to_12_30", "t_hour = 12 AND t_minute < 30")} s8"""
+
+  // reference: perf/query12.q — per-item revenue with a class-partitioned
+  // windowed ratio over the aggregate.
+  private val q12 =
+    """WITH #TABLES#
+      |SELECT i_item_id, i_item_desc, i_category, i_class,
+      |  CAST(i_current_price AS DOUBLE) AS i_current_price,
+      |  CAST(SUM(ws_ext_sales_price) AS DOUBLE) AS itemrevenue,
+      |  ROUND(CAST(SUM(ws_ext_sales_price) AS DOUBLE) * 100 /
+      |    CAST(SUM(SUM(ws_ext_sales_price)) OVER (PARTITION BY i_class) AS DOUBLE),
+      |    4) AS revenueratio
+      |FROM web_sales, item, date_dim
+      |WHERE ws_item_sk = i_item_sk
+      |  AND i_category IN ('CAT1', 'CAT2', 'CAT3')
+      |  AND ws_sold_date_sk = d_date_sk
+      |  AND d_date BETWEEN DATE '1998-02-01' AND DATE '1998-03-02'
+      |GROUP BY i_item_id, i_item_desc, i_category, i_class, i_current_price
+      |ORDER BY i_category, i_class, i_item_id, i_item_desc, revenueratio
+      |LIMIT 100"""
+
+  // reference: perf/query27.q — four demographic-sliced store averages.
+  private val q27 =
+    """WITH #TABLES#
+      |SELECT i_item_id, s_state,
+      |  ROUND(AVG(ss_quantity), 4) AS agg1,
+      |  ROUND(CAST(SUM(ss_list_price) AS DOUBLE) / COUNT(ss_list_price), 4) AS agg2,
+      |  ROUND(CAST(SUM(ss_coupon_amt) AS DOUBLE) / COUNT(ss_coupon_amt), 4) AS agg3,
+      |  ROUND(CAST(SUM(ss_sales_price) AS DOUBLE) / COUNT(ss_sales_price), 4) AS agg4
+      |FROM store_sales, customer_demographics, date_dim, store, item
+      |WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+      |  AND ss_store_sk = s_store_sk AND ss_cdemo_sk = cd_demo_sk
+      |  AND cd_gender = 'F' AND cd_marital_status = 'MS2'
+      |  AND cd_education_status = 'ES3' AND d_year = 1998
+      |  AND s_state IN ('S0', 'S1', 'S2')
+      |GROUP BY i_item_id, s_state
+      |ORDER BY i_item_id, s_state
+      |LIMIT 100"""
+
+  // reference: perf/query34.q — per-ticket line counts with a band filter,
+  // joined back to customer.
+  private val q34 =
+    """WITH #TABLES#
+      |SELECT c_last_name, c_first_name, c_salutation, c_preferred_cust_flag,
+      |  ss_ticket_number, cnt
+      |FROM (SELECT ss_ticket_number, ss_customer_sk, COUNT(*) AS cnt
+      |      FROM store_sales, date_dim, store, household_demographics
+      |      WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+      |        AND ss_hdemo_sk = hd_demo_sk
+      |        AND (d_dom BETWEEN 1 AND 3 OR d_dom BETWEEN 25 AND 28)
+      |        AND (hd_buy_potential = 'BP1' OR hd_buy_potential = 'BP2')
+      |        AND hd_vehicle_count > 0
+      |        AND (CASE WHEN hd_vehicle_count > 0
+      |              THEN CAST(hd_dep_count AS DOUBLE) / hd_vehicle_count
+      |              ELSE NULL END) > 1.2
+      |        AND d_year IN (1998, 1999, 2000)
+      |        AND s_county IN ('COUNTY0', 'COUNTY1', 'COUNTY2')
+      |      GROUP BY ss_ticket_number, ss_customer_sk) dn, customer
+      |WHERE ss_customer_sk = c_customer_sk AND cnt BETWEEN 2 AND 20
+      |ORDER BY c_last_name, c_first_name, c_salutation,
+      |  c_preferred_cust_flag DESC, ss_ticket_number, cnt"""
+
+  // reference: perf/query51.q — web vs store cumulative revenue per item
+  // per day, FULL OUTER joined, kept where the web running total leads.
+  private val q51 =
+    """WITH #TABLES#,
+      |web_v1 AS (
+      |  SELECT ws_item_sk AS item_sk, d_date,
+      |    SUM(SUM(ws_sales_price)) OVER (PARTITION BY ws_item_sk ORDER BY d_date
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cume_sales
+      |  FROM web_sales, date_dim
+      |  WHERE ws_sold_date_sk = d_date_sk AND d_month_seq BETWEEN 1176 AND 1187
+      |    AND ws_item_sk IS NOT NULL AND ws_item_sk <= 30
+      |  GROUP BY ws_item_sk, d_date),
+      |store_v1 AS (
+      |  SELECT ss_item_sk AS item_sk, d_date,
+      |    SUM(SUM(ss_sales_price)) OVER (PARTITION BY ss_item_sk ORDER BY d_date
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cume_sales
+      |  FROM store_sales, date_dim
+      |  WHERE ss_sold_date_sk = d_date_sk AND d_month_seq BETWEEN 1176 AND 1187
+      |    AND ss_item_sk IS NOT NULL AND ss_item_sk <= 30
+      |  GROUP BY ss_item_sk, d_date)
+      |SELECT item_sk, d_date,
+      |  CAST(web_sales AS DOUBLE) AS web_sales,
+      |  CAST(store_sales AS DOUBLE) AS store_sales,
+      |  CAST(web_cumulative AS DOUBLE) AS web_cumulative,
+      |  CAST(store_cumulative AS DOUBLE) AS store_cumulative
+      |FROM (SELECT item_sk, d_date, web_sales, store_sales,
+      |    MAX(web_sales) OVER (PARTITION BY item_sk ORDER BY d_date
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS web_cumulative,
+      |    MAX(store_sales) OVER (PARTITION BY item_sk ORDER BY d_date
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS store_cumulative
+      |  FROM (SELECT
+      |      CASE WHEN web.item_sk IS NOT NULL THEN web.item_sk ELSE store.item_sk END AS item_sk,
+      |      CASE WHEN web.d_date IS NOT NULL THEN web.d_date ELSE store.d_date END AS d_date,
+      |      web.cume_sales AS web_sales, store.cume_sales AS store_sales
+      |    FROM web_v1 web FULL OUTER JOIN store_v1 store
+      |      ON web.item_sk = store.item_sk AND web.d_date = store.d_date) x) y
+      |WHERE web_cumulative > store_cumulative
+      |ORDER BY item_sk, d_date
+      |LIMIT 100"""
+
+  // reference: perf/query17.q — sales in a quarter, returned in the next
+  // quarters, re-bought by catalog: three quantity distributions.
+  private val q17 =
+    """WITH #TABLES#
+      |SELECT i_item_id, i_item_desc, s_state,
+      |  COUNT(ss_quantity) AS store_sales_quantitycount,
+      |  ROUND(AVG(ss_quantity), 4) AS store_sales_quantityave,
+      |  ROUND(STDDEV_SAMP(ss_quantity), 4) AS store_sales_quantitystdev,
+      |  ROUND(STDDEV_SAMP(ss_quantity) / AVG(ss_quantity), 4) AS store_sales_quantitycov,
+      |  COUNT(sr_return_quantity) AS store_returns_quantitycount,
+      |  ROUND(AVG(sr_return_quantity), 4) AS store_returns_quantityave,
+      |  ROUND(STDDEV_SAMP(sr_return_quantity), 4) AS store_returns_quantitystdev,
+      |  ROUND(STDDEV_SAMP(sr_return_quantity) / AVG(sr_return_quantity), 4) AS store_returns_quantitycov,
+      |  COUNT(cs_quantity) AS catalog_sales_quantitycount,
+      |  ROUND(AVG(cs_quantity), 4) AS catalog_sales_quantityave,
+      |  ROUND(STDDEV_SAMP(cs_quantity), 4) AS catalog_sales_quantitystdev,
+      |  ROUND(STDDEV_SAMP(cs_quantity) / AVG(cs_quantity), 4) AS catalog_sales_quantitycov
+      |FROM store_sales, store_returns, catalog_sales,
+      |  date_dim d1, date_dim d2, date_dim d3, store, item
+      |WHERE d1.d_quarter_name = '1998Q1' AND d1.d_date_sk = ss_sold_date_sk
+      |  AND i_item_sk = ss_item_sk AND s_store_sk = ss_store_sk
+      |  AND ss_customer_sk = sr_customer_sk AND ss_item_sk = sr_item_sk
+      |  AND ss_ticket_number = sr_ticket_number
+      |  AND sr_returned_date_sk = d2.d_date_sk
+      |  AND d2.d_quarter_name IN ('1998Q1', '1998Q2', '1998Q3')
+      |  AND sr_customer_sk = cs_bill_customer_sk AND sr_item_sk = cs_item_sk
+      |  AND cs_sold_date_sk = d3.d_date_sk
+      |  AND d3.d_quarter_name IN ('1998Q1', '1998Q2', '1998Q3')
+      |GROUP BY i_item_id, i_item_desc, s_state
+      |ORDER BY i_item_id, i_item_desc, s_state
+      |LIMIT 100"""
+
+  // reference: perf/query64.q — the multi-CTE 17-join: store sales that
+  // were returned AND whose item cleared the catalog profitability screen,
+  // aggregated per (item, store, buyer/current address), self-joined
+  // across consecutive years. Trimmed to the columns the lite schema
+  // carries; the join graph is the reference's.
+  private val q64 =
+    """WITH #TABLES#,
+      |cs_ui AS (
+      |  SELECT cs_item_sk,
+      |    SUM(cs_ext_list_price) AS sale,
+      |    SUM(cr_refunded_cash + cr_reversed_charge + cr_store_credit) AS refund
+      |  FROM catalog_sales, catalog_returns
+      |  WHERE cs_item_sk = cr_item_sk AND cs_order_number = cr_order_number
+      |  GROUP BY cs_item_sk
+      |  HAVING SUM(cs_ext_list_price) >
+      |    2 * SUM(cr_refunded_cash + cr_reversed_charge + cr_store_credit)),
+      |cross_sales AS (
+      |  SELECT i_product_name AS product_name, i_item_sk AS item_sk,
+      |    s_store_name AS store_name, s_zip AS store_zip,
+      |    ad1.ca_city AS b_city, ad1.ca_zip AS b_zip,
+      |    ad2.ca_city AS c_city, ad2.ca_zip AS c_zip,
+      |    d1.d_year AS syear, COUNT(*) AS cnt,
+      |    CAST(SUM(ss_wholesale_cost) AS DOUBLE) AS s1,
+      |    CAST(SUM(ss_list_price) AS DOUBLE) AS s2,
+      |    CAST(SUM(ss_coupon_amt) AS DOUBLE) AS s3
+      |  FROM store_sales
+      |  JOIN store_returns ON ss_item_sk = sr_item_sk
+      |    AND ss_ticket_number = sr_ticket_number
+      |  JOIN customer ON ss_customer_sk = c_customer_sk
+      |  JOIN date_dim d1 ON ss_sold_date_sk = d1.d_date_sk
+      |  JOIN date_dim d2 ON c_first_sales_date_sk = d2.d_date_sk
+      |  JOIN date_dim d3 ON c_first_shipto_date_sk = d3.d_date_sk
+      |  JOIN store ON ss_store_sk = s_store_sk
+      |  JOIN customer_demographics cd1 ON ss_cdemo_sk = cd1.cd_demo_sk
+      |  JOIN customer_demographics cd2 ON c_current_cdemo_sk = cd2.cd_demo_sk
+      |  JOIN promotion ON ss_promo_sk = p_promo_sk
+      |  JOIN household_demographics hd1 ON ss_hdemo_sk = hd1.hd_demo_sk
+      |  JOIN household_demographics hd2 ON c_current_hdemo_sk = hd2.hd_demo_sk
+      |  JOIN customer_address ad1 ON ss_addr_sk = ad1.ca_address_sk
+      |  JOIN customer_address ad2 ON c_current_addr_sk = ad2.ca_address_sk
+      |  JOIN income_band ib1 ON hd1.hd_income_band_sk = ib1.ib_income_band_sk
+      |  JOIN income_band ib2 ON hd2.hd_income_band_sk = ib2.ib_income_band_sk
+      |  JOIN item ON ss_item_sk = i_item_sk
+      |  JOIN cs_ui ON ss_item_sk = cs_ui.cs_item_sk
+      |  WHERE cd1.cd_marital_status <> cd2.cd_marital_status
+      |    AND i_current_price BETWEEN 10 AND 60
+      |  GROUP BY i_product_name, i_item_sk, s_store_name, s_zip,
+      |    ad1.ca_city, ad1.ca_zip, ad2.ca_city, ad2.ca_zip, d1.d_year)
+      |SELECT cs1.product_name, cs1.store_name, cs1.store_zip,
+      |  cs1.b_city, cs1.b_zip, cs1.c_city, cs1.c_zip,
+      |  cs1.syear AS syear1, cs1.cnt AS cnt1,
+      |  cs1.s1 AS s1_1, cs1.s2 AS s2_1, cs1.s3 AS s3_1,
+      |  cs2.s1 AS s1_2, cs2.s2 AS s2_2, cs2.s3 AS s3_2,
+      |  cs2.syear AS syear2, cs2.cnt AS cnt2
+      |FROM cross_sales cs1, cross_sales cs2
+      |WHERE cs1.item_sk = cs2.item_sk
+      |  AND cs1.syear = 1998 AND cs2.syear = 1999
+      |  AND cs2.cnt <= cs1.cnt
+      |  AND cs1.store_name = cs2.store_name AND cs1.store_zip = cs2.store_zip
+      |ORDER BY cs1.product_name, cs1.store_name, cs1.store_zip,
+      |  cs1.b_city, cs1.b_zip, cs1.c_city, cs1.c_zip,
+      |  syear1, cnt1, s1_1, s2_1, s3_1, s1_2, s2_2, s3_2, syear2, cnt2"""
+
+  val all: Seq[Qd] = Seq(
+    q("q265_tpcds_q3", q3),
+    q("q266_tpcds_q88", q88),
+    q("q267_tpcds_q12", q12),
+    q("q268_tpcds_q27", q27),
+    q("q269_tpcds_q34", q34),
+    q("q270_tpcds_q51", q51),
+    q("q271_tpcds_q17", q17),
+    q("q272_tpcds_q64", q64))
+}

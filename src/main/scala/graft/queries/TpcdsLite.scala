@@ -1,0 +1,235 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+
+/** TPC-DS-lite: a deterministic, closed-form micro-instance of the TPC-DS
+  * schema backing the reference's perf suite
+  * (`ql/src/test/queries/clientpositive/perf/query*.q` — 60 plan-golden
+  * queries over store_sales/date_dim/item/...). Every table is generated
+  * from pure modular arithmetic over a row index, so BOTH engines can
+  * materialize bit-identical data: Spark writes it once to scratch parquet
+  * (store_sales partitioned by `ss_sold_date_sk`, the classic TPC-DS
+  * layout that makes dynamic partition pruning apply), DuckDB regenerates
+  * it per query from a `WITH` prologue. The perf queries then run as the
+  * SAME SQL text on both engines — a full hash compare of multi-join
+  * star-schema plans, not a plan-only golden file.
+  *
+  * Dialect notes: the only divergences between Spark SQL and DuckDB needed
+  * here are the `range()` table function's column name (`id` vs `range`),
+  * integer division (`DIV` vs `//`), and the canonical string type name
+  * (`STRING` vs `VARCHAR`) — handled by token substitution so there is
+  * ONE template per table.
+  *
+  * Money columns are DECIMAL(9,2)/(11,2): per-row values derive from a
+  * single double division/multiplication (deterministic IEEE ops — same
+  * literal inputs, same result in both engines) and decimal SUMs are
+  * exact and order-independent, which removes the float-summation-order
+  * hazard from every aggregate; query bodies cast final aggregates to
+  * DOUBLE (the shared-text analog of the DuckDB-decimal-vs-pandas rule).
+  */
+object TpcdsLite {
+
+  /** (table, rows, shared-template SQL). Tokens: `#I#` = range() column,
+    * `#IDIV#` = integer division operator, `#STR#` = string type name. */
+  private val gens: Seq[(String, String)] = Seq(
+    "date_dim" ->
+      """SELECT CAST(2450815 + i AS INT) AS d_date_sk,
+        |  CAST(1998 + i #IDIV# 360 AS INT) AS d_year,
+        |  CAST((i #IDIV# 30) % 12 + 1 AS INT) AS d_moy,
+        |  CAST(i % 30 + 1 AS INT) AS d_dom,
+        |  CAST(1176 + i #IDIV# 30 AS INT) AS d_month_seq,
+        |  DATE '1998-01-01' + CAST(i AS INT) AS d_date,
+        |  CAST(1998 + i #IDIV# 360 AS #STR#) || 'Q' ||
+        |    CAST(((i #IDIV# 30) % 12) #IDIV# 3 + 1 AS #STR#) AS d_quarter_name
+        |FROM (SELECT #I# AS i FROM range(0, 1080)) t""",
+    "item" ->
+      """SELECT CAST(i + 1 AS INT) AS i_item_sk,
+        |  'I' || CAST(i + 1 AS #STR#) AS i_item_id,
+        |  'DESC' || CAST(i % 120 AS #STR#) AS i_item_desc,
+        |  CAST(i % 25 + 1 AS INT) AS i_brand_id,
+        |  'BRAND' || CAST(i % 25 + 1 AS #STR#) AS i_brand,
+        |  'CLASS' || CAST(i % 15 AS #STR#) AS i_class,
+        |  'CAT' || CAST(i % 10 AS #STR#) AS i_category,
+        |  CAST(i % 40 + 1 AS INT) AS i_manufact_id,
+        |  CAST(((i * 17) % 9000 + 100) / 100.0 AS DECIMAL(9,2)) AS i_current_price,
+        |  'PROD' || CAST(i + 1 AS #STR#) AS i_product_name
+        |FROM (SELECT #I# AS i FROM range(0, 300)) t""",
+    "store" ->
+      """SELECT CAST(i + 1 AS INT) AS s_store_sk,
+        |  'STORE' || CAST(i + 1 AS #STR#) AS s_store_name,
+        |  'S' || CAST(i % 5 AS #STR#) AS s_state,
+        |  'COUNTY' || CAST(i % 4 AS #STR#) AS s_county,
+        |  CAST(10000 + i AS #STR#) AS s_zip
+        |FROM (SELECT #I# AS i FROM range(0, 10)) t""",
+    "time_dim" ->
+      """SELECT CAST(i AS INT) AS t_time_sk,
+        |  CAST(i #IDIV# 3600 AS INT) AS t_hour,
+        |  CAST((i % 3600) #IDIV# 60 AS INT) AS t_minute
+        |FROM (SELECT #I# AS i FROM range(0, 86400)) t""",
+    "household_demographics" ->
+      """SELECT CAST(i + 1 AS INT) AS hd_demo_sk,
+        |  CAST(i % 10 AS INT) AS hd_dep_count,
+        |  CAST(i % 6 AS INT) AS hd_vehicle_count,
+        |  'BP' || CAST(i % 4 AS #STR#) AS hd_buy_potential,
+        |  CAST(i % 20 + 1 AS INT) AS hd_income_band_sk
+        |FROM (SELECT #I# AS i FROM range(0, 720)) t""",
+    "customer_demographics" ->
+      """SELECT CAST(i + 1 AS INT) AS cd_demo_sk,
+        |  CASE WHEN i % 2 = 0 THEN 'M' ELSE 'F' END AS cd_gender,
+        |  'MS' || CAST(i % 5 AS #STR#) AS cd_marital_status,
+        |  'ES' || CAST(i % 7 AS #STR#) AS cd_education_status
+        |FROM (SELECT #I# AS i FROM range(0, 1920)) t""",
+    "customer" ->
+      """SELECT CAST(i + 1 AS INT) AS c_customer_sk,
+        |  'FN' || CAST(i % 200 AS #STR#) AS c_first_name,
+        |  'LN' || CAST(i % 100 AS #STR#) AS c_last_name,
+        |  'SAL' || CAST(i % 6 AS #STR#) AS c_salutation,
+        |  CASE WHEN i % 2 = 0 THEN 'Y' ELSE 'N' END AS c_preferred_cust_flag,
+        |  CAST(i % 1920 + 1 AS INT) AS c_current_cdemo_sk,
+        |  CAST(i % 720 + 1 AS INT) AS c_current_hdemo_sk,
+        |  CAST(i % 2500 + 1 AS INT) AS c_current_addr_sk,
+        |  CAST(2450815 + (i * 7) % 1080 AS INT) AS c_first_sales_date_sk,
+        |  CAST(2450815 + (i * 7 + 30) % 1080 AS INT) AS c_first_shipto_date_sk
+        |FROM (SELECT #I# AS i FROM range(0, 5000)) t""",
+    "customer_address" ->
+      """SELECT CAST(i + 1 AS INT) AS ca_address_sk,
+        |  CAST(i % 999 + 1 AS #STR#) AS ca_street_number,
+        |  'STREET' || CAST(i % 50 AS #STR#) AS ca_street_name,
+        |  'CITY' || CAST(i % 60 AS #STR#) AS ca_city,
+        |  CAST(10000 + i % 900 AS #STR#) AS ca_zip,
+        |  'S' || CAST(i % 5 AS #STR#) AS ca_state
+        |FROM (SELECT #I# AS i FROM range(0, 2500)) t""",
+    "income_band" ->
+      """SELECT CAST(i + 1 AS INT) AS ib_income_band_sk,
+        |  CAST(i * 10000 AS INT) AS ib_lower_bound,
+        |  CAST(i * 10000 + 9999 AS INT) AS ib_upper_bound
+        |FROM (SELECT #I# AS i FROM range(0, 20)) t""",
+    "promotion" ->
+      """SELECT CAST(i + 1 AS INT) AS p_promo_sk,
+        |  CASE WHEN i % 2 = 0 THEN 'N' ELSE 'Y' END AS p_channel_email,
+        |  CASE WHEN i % 3 = 0 THEN 'N' ELSE 'Y' END AS p_channel_event
+        |FROM (SELECT #I# AS i FROM range(0, 30)) t""",
+    // FACT: 120k sales. Dimension FKs are md5-hashed per column (`#H(...)H#`
+    // = hex→int, the q172 keyed-hash discipline): linear-congruential
+    // derivations leave residues mod the non-coprime dimension sizes
+    // (1080/1920/720/30/10) CORRELATED, which can empty a conjunctive
+    // filter entirely — a hash decorrelates every filter column. Ticket
+    // and customer stay deliberately linear and aligned: the 3 rows
+    // sharing a ticket ((i*97) % 40000 collides at stride 40000) also
+    // share a customer ((i*41) % 5000 is stride-40000-invariant), so
+    // tickets are per-customer as in real TPC-DS.
+    "store_sales" ->
+      """SELECT CAST(2450815 + #H(substr(md5(CAST(i AS #STR#) || ':ssd'), 1, 15))H# % 1080 AS INT) AS ss_sold_date_sk,
+        |  CAST(#H(substr(md5(CAST(i AS #STR#) || ':sst'), 1, 15))H# % 86400 AS INT) AS ss_sold_time_sk,
+        |  CAST(#H(substr(md5(CAST(i AS #STR#) || ':itm'), 1, 15))H# % 300 + 1 AS INT) AS ss_item_sk,
+        |  CAST((i * 41) % 5000 + 1 AS INT) AS ss_customer_sk,
+        |  CAST(#H(substr(md5(CAST(i AS #STR#) || ':cd'), 1, 15))H# % 1920 + 1 AS INT) AS ss_cdemo_sk,
+        |  CAST(#H(substr(md5(CAST(i AS #STR#) || ':hd'), 1, 15))H# % 720 + 1 AS INT) AS ss_hdemo_sk,
+        |  CAST(#H(substr(md5(CAST(i AS #STR#) || ':ad'), 1, 15))H# % 2500 + 1 AS INT) AS ss_addr_sk,
+        |  CAST(#H(substr(md5(CAST(i AS #STR#) || ':st'), 1, 15))H# % 10 + 1 AS INT) AS ss_store_sk,
+        |  CAST(#H(substr(md5(CAST(i AS #STR#) || ':pr'), 1, 15))H# % 30 + 1 AS INT) AS ss_promo_sk,
+        |  CAST((i * 97) % 40000 AS INT) AS ss_ticket_number,
+        |  CAST(i % 99 + 1 AS INT) AS ss_quantity,
+        |  CAST(((i * 7) % 9000 + 100) / 100.0 AS DECIMAL(9,2)) AS ss_wholesale_cost,
+        |  CAST(((i * 11) % 12000 + 200) / 100.0 AS DECIMAL(9,2)) AS ss_list_price,
+        |  CAST(((i * 17) % 10000 + 50) / 100.0 AS DECIMAL(9,2)) AS ss_sales_price,
+        |  CAST((i % 99 + 1) * (((i * 17) % 10000 + 50) / 100.0) AS DECIMAL(11,2)) AS ss_ext_sales_price,
+        |  CAST(((i * 3) % 2000) / 100.0 AS DECIMAL(9,2)) AS ss_coupon_amt,
+        |  CAST((((i * 13) % 20000) - 10000) / 100.0 AS DECIMAL(9,2)) AS ss_net_profit
+        |FROM (SELECT #I# AS i FROM range(0, 120000)) t""",
+    // Every 10th sale is returned: row j re-derives the keys of store_sales
+    // row i = 10*j (same hash seed text for the item, same linear forms for
+    // customer/ticket), so (customer, item, ticket) triples join exactly.
+    "store_returns" ->
+      """SELECT CAST(#H(substr(md5(CAST(i * 10 AS #STR#) || ':itm'), 1, 15))H# % 300 + 1 AS INT) AS sr_item_sk,
+        |  CAST((i * 410) % 5000 + 1 AS INT) AS sr_customer_sk,
+        |  CAST((i * 970) % 40000 AS INT) AS sr_ticket_number,
+        |  CAST(2450815 + #H(substr(md5(CAST(i AS #STR#) || ':srd'), 1, 15))H# % 1080 AS INT) AS sr_returned_date_sk,
+        |  CAST(i % 50 + 1 AS INT) AS sr_return_quantity
+        |FROM (SELECT #I# AS i FROM range(0, 12000)) t""",
+    // Catalog sales re-derive (customer, item) from the same base index
+    // family (row k mirrors store row 10*k), so return-then-catalog-buy
+    // shapes (reference query17/query29) have non-empty joins by design.
+    "catalog_sales" ->
+      """SELECT CAST(2450815 + #H(substr(md5(CAST(i AS #STR#) || ':csd'), 1, 15))H# % 1080 AS INT) AS cs_sold_date_sk,
+        |  CAST(#H(substr(md5(CAST(i * 10 AS #STR#) || ':itm'), 1, 15))H# % 300 + 1 AS INT) AS cs_item_sk,
+        |  CAST((i * 410) % 5000 + 1 AS INT) AS cs_bill_customer_sk,
+        |  CAST((i * 89) % 20000 AS INT) AS cs_order_number,
+        |  CAST(i % 80 + 1 AS INT) AS cs_quantity,
+        |  CAST(((i * 19) % 15000 + 500) / 100.0 AS DECIMAL(9,2)) AS cs_ext_list_price
+        |FROM (SELECT #I# AS i FROM range(0, 60000)) t""",
+    // Returns mirror catalog row k = 10*m on (item, order); refund
+    // magnitudes are sized well BELOW the list-price sums so the query64
+    // profitability screen (sale > 2*refund) keeps a healthy majority.
+    "catalog_returns" ->
+      """SELECT CAST(#H(substr(md5(CAST(i * 100 AS #STR#) || ':itm'), 1, 15))H# % 300 + 1 AS INT) AS cr_item_sk,
+        |  CAST((i * 890) % 20000 AS INT) AS cr_order_number,
+        |  CAST(((i * 7) % 3000) / 100.0 AS DECIMAL(9,2)) AS cr_refunded_cash,
+        |  CAST(((i * 5) % 1500) / 100.0 AS DECIMAL(9,2)) AS cr_reversed_charge,
+        |  CAST(((i * 3) % 1000) / 100.0 AS DECIMAL(9,2)) AS cr_store_credit
+        |FROM (SELECT #I# AS i FROM range(0, 6000)) t""",
+    "web_sales" ->
+      """SELECT CAST(2450815 + #H(substr(md5(CAST(i AS #STR#) || ':wsd'), 1, 15))H# % 1080 AS INT) AS ws_sold_date_sk,
+        |  CAST(#H(substr(md5(CAST(i AS #STR#) || ':wit'), 1, 15))H# % 300 + 1 AS INT) AS ws_item_sk,
+        |  CAST(((i * 13) % 9000 + 100) / 100.0 AS DECIMAL(9,2)) AS ws_sales_price,
+        |  CAST((i % 99 + 1) * (((i * 13) % 9000 + 100) / 100.0) AS DECIMAL(11,2)) AS ws_ext_sales_price
+        |FROM (SELECT #I# AS i FROM range(0, 60000)) t""")
+    .map { case (n, t) => n -> t.stripMargin }
+
+  private def sparkSql(t: String): String =
+    t.replace("#I#", "id").replace("#IDIV#", " DIV ").replace("#STR#", "STRING")
+      .replace("#H(", "CAST(conv(").replace(")H#", ", 16, 10) AS BIGINT)")
+
+  private def duckSql(t: String): String =
+    t.replace("#I#", "range").replace("#IDIV#", " // ").replace("#STR#", "VARCHAR")
+      .replace("#H(", "CAST(('0x' || ").replace(")H#", ") AS BIGINT)")
+
+  /** Oracle prologue: every lite table as a DuckDB CTE (unreferenced CTEs
+    * are pruned by DuckDB, so one uniform prologue serves all queries),
+    * closed by a dummy so query bodies can write `WITH #TABLES#, own AS
+    * (...)` or `WITH #TABLES# SELECT`. */
+  lazy val duckPrologue: String =
+    gens.map { case (n, t) => s"$n AS (\n${duckSql(t)})" }.mkString(",\n") +
+      ",\n_lite AS (SELECT 1 AS one)"
+
+  private val sparkPrologue = "_lite AS (SELECT 1 AS one)"
+
+  /** Expand a shared query body for each engine. */
+  def forSpark(body: String): String = body.replace("#TABLES#", sparkPrologue)
+  def forDuck(body: String): String = body.replace("#TABLES#", duckPrologue)
+
+  // versioned by the generator text: template edits invalidate the cache
+  private def scratch: String =
+    s"${sys.props("user.dir")}/target/tpcds_lite_${gens.hashCode.toHexString}"
+
+  private val registered =
+    java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
+
+  /** Materialize (once per scratch dir) and register all lite tables as
+    * temp views reading the parquet — real file scans, so plans carry
+    * pushed filters, pruned schemas, and DPP over the partitioned fact. */
+  def register(spark: SparkSession): Unit = synchronized {
+    val dir = scratch
+    val marker = new java.io.File(s"$dir/_LITE_READY")
+    if (!marker.exists()) {
+      gens.foreach { case (name, t) =>
+        val df = spark.sql(sparkSql(t))
+        if (name == "store_sales")
+          // repartition by the partition column first: otherwise every one
+          // of the 32 write tasks emits a file per date it holds (~34k
+          // files); this way each date's rows land in one task → ~1 file
+          // per partition dir
+          df.repartition(org.apache.spark.sql.functions.col("ss_sold_date_sk"))
+            .write.mode("overwrite").partitionBy("ss_sold_date_sk")
+            .parquet(s"$dir/$name")
+        else df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$name")
+      }
+      marker.createNewFile()
+    }
+    val key = s"${System.identityHashCode(spark)}:$dir"
+    if (registered.add(key))
+      gens.foreach { case (name, _) =>
+        spark.read.parquet(s"$dir/$name").createOrReplaceTempView(name)
+      }
+  }
+}

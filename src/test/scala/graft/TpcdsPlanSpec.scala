@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Physical-plan assertions for the TPC-DS perf sample (q265–q272): the
+  * canonical 100 TB star-schema properties — DPP prunes the partitioned
+  * fact through the date_dim filter, dimensions broadcast, shared
+  * dimension scans reuse one exchange, and nothing falls back to a
+  * cartesian/broadcast-nested-loop join (the single-row scalar-subquery
+  * cross join of query88 is the one sanctioned exception).
+  */
+class TpcdsPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = Engine.session(cores = 4, appName = "graft-dsplan")
+  val dir = "/root/testdata/sf0.001" // unused by the lite tables; Qd contract
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    val start = s.indexOf("== Final Plan ==")
+    val end = s.indexOf("== Initial Plan ==")
+    if (start >= 0 && end > start) s.substring(start, end) else s
+  }
+
+  test("q265 (query3): DPP prunes the date-partitioned fact; dims broadcast") {
+    val s = finalPlan("q265_tpcds_q3")
+    assert(s.contains("dynamicpruning") || s.contains("DynamicPruning"),
+      s"expected dynamic partition pruning on ss_sold_date_sk:\n$s")
+    assert(s.contains("BroadcastHashJoin"), "dimensions should broadcast")
+    assert(!s.contains("CartesianProduct"), "no cartesian in a star join")
+  }
+
+  test("q266 (query88): the 8 channel subqueries REUSE shared dimension" +
+      " broadcasts instead of rescanning") {
+    val s = finalPlan("q266_tpcds_q88")
+    assert(s.contains("ReusedExchange"),
+      "identical store/household_demographics broadcasts should plan once")
+    assert(s.contains("BroadcastHashJoin"), "dimensions should broadcast")
+  }
+
+  test("q267/q268/q270/q271/q272: no cartesian products, dims broadcast") {
+    for (q <- Seq("q267_tpcds_q12", "q268_tpcds_q27", "q270_tpcds_q51",
+        "q271_tpcds_q17", "q272_tpcds_q64")) {
+      val s = finalPlan(q)
+      assert(!s.contains("CartesianProduct"), s"$q planned a cartesian")
+      assert(!s.contains("BroadcastNestedLoopJoin"), s"$q planned a BNLJ")
+      assert(s.contains("BroadcastHashJoin"), s"$q should broadcast dims")
+    }
+  }
+
+  test("q265 filters reach the parquet scans (pushdown on fact and dims)") {
+    // the FULL plan string: broadcast-side scans live in their own AQE
+    // query-stage sections outside the first Final Plan segment
+    val df = SparkEntry.queries("q265_tpcds_q3")(spark, dir)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("EqualTo(i_manufact_id,7)"),
+      "item filter did not reach the item scan")
+    assert(s.contains("EqualTo(d_moy,12)"),
+      "date filter did not reach the date_dim scan")
+  }
+
+  test("q270 (query51): the executed FULL OUTER join preserves both" +
+      " channels' unmatched (item, day) rows") {
+    val s = finalPlan("q270_tpcds_q51")
+    assert(s.contains("FullOuter"), s"expected a FullOuter join:\n$s")
+  }
+}
