@@ -824,6 +824,21 @@ object TxnMergeOnRead {
       .foreach(p => BloomIndex.collectAuto(spark, p, cols, bitsPerKey))
   }
 
+  /** Delete one kind of index sidecar dir (`_file_stats` /
+    * `_bloom_index`) across the head snapshot's insert-bearing dirs —
+    * DROP INDEX support. Metadata-only: pruned reads degrade to full
+    * scans of the affected dirs, never to wrong answers. */
+  def dropSidecars(spark: SparkSession, root: String,
+      sidecarDir: String): Unit = {
+    val f = fs(spark, root)
+    val (base, deltas) = liveStateV(f, root, readView(f, root))
+    (s"$root/$base" +: deltas.values.toSeq.map(e => s"$root/${e.dir}/insert"))
+      .foreach { p =>
+        val sp = new Path(s"$p/$sidecarDir")
+        if (f.exists(sp)) f.delete(sp, true)
+      }
+  }
+
   /** (files kept, files total) for a point probe — [[scanProfile]]'s
     * Bloom twin. */
   def scanProfilePoint(spark: SparkSession, root: String, column: String,

@@ -31,6 +31,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   RESTORE <table> TO VERSION [AS OF] <n>            point-in-time rollback
   *   VACUUM <table> RETAIN <n> VERSIONS [PRUNE LOG]    retention GC
   *   CHECKPOINT <table>                                explicit metadata fold
+  *
+  *   CREATE INDEX <i> ON [TABLE] <t> (cols) AS 'COMPACT'|'BLOOM'
+  *     [WITH DEFERRED REBUILD]                         sidecar index DDL
+  *   ALTER INDEX <i> ON <t> REBUILD                    (re)build sidecars
+  *   DROP INDEX <i> ON <t>                             retire an index
+  *   SHOW INDEXES ON <t>                               registry as rows
   * }}}
   * INSERT maps a column list onto the target schema and fills unnamed
   * columns with typed NULLs (the schema-evolution reader's fill rule, so
@@ -95,7 +101,109 @@ object TxnSql {
   def handlesDdl(sqlText: String): Boolean = {
     val up = sqlText.trim.toUpperCase
     up.startsWith("CREATE TRANSACTIONAL TABLE") ||
-      up.startsWith("DROP TRANSACTIONAL TABLE")
+      up.startsWith("DROP TRANSACTIONAL TABLE") ||
+      up.startsWith("CREATE INDEX") || up.startsWith("DROP INDEX") ||
+      up.startsWith("ALTER INDEX")
+  }
+
+  /** Registered secondary indexes: table (lowercase) → insertion-ordered
+    * (index name → (kind, cols)). The reference's CREATE INDEX surface
+    * (`ql/.../index/compact/CompactIndexHandler.java:69` — a COMPACT
+    * index materializes per-block metadata a point lookup consults before
+    * touching data; bloom variants ride ORC) re-expressed Spark-first:
+    * COMPACT → the [[DataSkipping]] min/max sidecars, BLOOM → the
+    * [[BloomIndex]] per-file filters, both composed onto the ACID
+    * snapshot by [[TxnMergeOnRead.readPruned]]/`readPrunedPoint`. The
+    * registry is session-scoped like [[tables]] (the metastore analog);
+    * the sidecars themselves live with the data. */
+  private val indexes = new java.util.concurrent.ConcurrentHashMap[
+    String, scala.collection.immutable.ListMap[String, (String, Seq[String])]]()
+
+  private def buildIndex(spark: SparkSession, root: String, kind: String,
+      cols: Seq[String]): Unit = kind match {
+    case "COMPACT" => TxnMergeOnRead.analyze(spark, root)
+    case "BLOOM" => TxnMergeOnRead.analyzeBloom(spark, root, cols)
+  }
+
+  /** SHOW INDEXES result frame for one table. */
+  private def showIndexes(spark: SparkSession, tname: String): DataFrame = {
+    import spark.implicits._
+    Option(indexes.get(tname.toLowerCase)).getOrElse(
+        scala.collection.immutable.ListMap.empty[String, (String, Seq[String])])
+      .toSeq.map { case (n, (k, cs)) =>
+        (n, tname.toLowerCase, k, cs.mkString(",")) }
+      .toDF("idx_name", "tbl_name", "idx_kind", "idx_cols")
+      .orderBy("idx_name")
+  }
+
+  private def execIndexDdl(spark: SparkSession, s: String,
+      up: String): DataFrame = {
+    if (up.startsWith("CREATE INDEX")) {
+      // CREATE INDEX <i> ON [TABLE] <t> (cols) AS 'COMPACT'|'BLOOM'
+      //   [WITH DEFERRED REBUILD]     (the reference's handler clause:
+      //   deferred = declare now, build on ALTER INDEX ... REBUILD)
+      val m = ("(?is)^CREATE\\s+INDEX\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+ON\\s+" +
+        "(?:TABLE\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s*\\(([^)]*)\\)\\s+AS\\s+" +
+        "'([A-Za-z]+)'(.*)$").r.findFirstMatchIn(s).getOrElse(fail(s,
+        "CREATE INDEX <i> ON <t> (cols) AS 'COMPACT'|'BLOOM' " +
+          "[WITH DEFERRED REBUILD] expected"))
+      val (iname, tname) = (m.group(1), m.group(2))
+      val kind = m.group(4).toUpperCase
+      require(kind == "COMPACT" || kind == "BLOOM",
+        s"index kind must be 'COMPACT' or 'BLOOM' (got '${m.group(4)}'): $s")
+      val cols = m.group(3).split(",")
+        .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty).toSeq
+      require(cols.nonEmpty, s"CREATE INDEX needs at least one column: $s")
+      val root = resolve(tname, s)
+      indexes.compute(tname.toLowerCase, (_, old) => {
+        val base = Option(old).getOrElse(
+          scala.collection.immutable.ListMap.empty[String, (String, Seq[String])])
+        require(!base.contains(iname.toLowerCase),
+          s"index $iname already exists on $tname")
+        base + (iname.toLowerCase -> (kind, cols))
+      })
+      val deferred =
+        "(?i)WITH\\s+DEFERRED\\s+REBUILD".r.findFirstIn(m.group(5)).isDefined
+      if (!deferred) buildIndex(spark, root, kind, cols)
+      showIndexes(spark, tname)
+    } else if (up.startsWith("DROP INDEX")) {
+      // DROP INDEX <i> ON <t> — unregister; physically retire the sidecar
+      // kind only when no remaining index of that kind needs it
+      val m = ("(?is)^DROP\\s+INDEX\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+ON\\s+" +
+        "([A-Za-z_][A-Za-z0-9_]*)\\s*$").r.findFirstMatchIn(s)
+        .getOrElse(fail(s, "DROP INDEX <i> ON <t> expected"))
+      val (iname, tname) = (m.group(1).toLowerCase, m.group(2))
+      val root = resolve(tname, s)
+      val dropped = new java.util.concurrent.atomic.AtomicReference[String]()
+      indexes.compute(tname.toLowerCase, (_, old) => {
+        val base = Option(old).getOrElse(
+          scala.collection.immutable.ListMap.empty[String, (String, Seq[String])])
+        require(base.contains(iname), s"no index $iname on $tname")
+        dropped.set(base(iname)._1)
+        base - iname
+      })
+      val kind = dropped.get
+      val stillNeeded = Option(indexes.get(tname.toLowerCase))
+        .exists(_.values.exists(_._1 == kind))
+      if (!stillNeeded)
+        TxnMergeOnRead.dropSidecars(spark, root,
+          if (kind == "BLOOM") BloomIndex.INDEX_DIR else DataSkipping.STATS_DIR)
+      showIndexes(spark, tname)
+    } else {
+      // ALTER INDEX <i> ON <t> REBUILD — (re)build over the CURRENT live
+      // dirs: covers deferred creation and post-ingest refresh alike
+      val m = ("(?is)^ALTER\\s+INDEX\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+ON\\s+" +
+        "([A-Za-z_][A-Za-z0-9_]*)\\s+REBUILD\\s*$").r.findFirstMatchIn(s)
+        .getOrElse(fail(s, "ALTER INDEX <i> ON <t> REBUILD expected"))
+      val (iname, tname) = (m.group(1).toLowerCase, m.group(2))
+      val root = resolve(tname, s)
+      val reg = Option(indexes.get(tname.toLowerCase)).getOrElse(
+        scala.collection.immutable.ListMap.empty[String, (String, Seq[String])])
+      require(reg.contains(iname), s"no index $iname on $tname")
+      val (kind, cols) = reg(iname)
+      buildIndex(spark, root, kind, cols)
+      showIndexes(spark, tname)
+    }
   }
 
   /** Execute one lifecycle statement; returns the new table's snapshot
@@ -145,8 +253,12 @@ object TxnSql {
         fail(s, "DROP TRANSACTIONAL TABLE needs a name"))
       val root = resolve(name, s)
       tables.remove(name.toLowerCase)
+      indexes.remove(name.toLowerCase)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
       spark.emptyDataFrame
+    } else if (up.startsWith("CREATE INDEX") || up.startsWith("DROP INDEX") ||
+        up.startsWith("ALTER INDEX")) {
+      execIndexDdl(spark, s, up)
     } else throw new IllegalArgumentException(s"not a txn DDL statement: $s")
   }
 
@@ -182,6 +294,9 @@ object TxnSql {
     } else if (up.startsWith("RESTORE") || up.startsWith("VACUUM") ||
         up.startsWith("CHECKPOINT") || up.startsWith("OPTIMIZE")) {
       identAfter(s, s.indexOf(' '))
+    } else if (up.startsWith("SHOW INDEXES")) {
+      "(?is)\\bON\\s+([A-Za-z_][A-Za-z0-9_]*)".r.findFirstMatchIn(s)
+        .map(_.group(1))
     } else None
   }
 
@@ -189,7 +304,8 @@ object TxnSql {
     * (DESCRIBE HISTORY) — front-ends route accordingly. */
   def returnsRows(sqlText: String): Boolean = {
     val up = sqlText.trim.toUpperCase
-    up.startsWith("DESCRIBE HISTORY") || up.startsWith("DESCRIBE DETAIL")
+    up.startsWith("DESCRIBE HISTORY") || up.startsWith("DESCRIBE DETAIL") ||
+      up.startsWith("SHOW INDEXES")
   }
 
   /** Execute one DML/utility statement; returns the snapshot-computation
@@ -218,6 +334,13 @@ object TxnSql {
   def query(spark: SparkSession, sqlText: String): DataFrame = {
     val s = sqlText.trim.stripSuffix(";").trim
     require(returnsRows(s), s"not a row-returning txn statement: $s")
+    if (s.toUpperCase.startsWith("SHOW INDEXES")) {
+      // SHOW INDEXES ON <t>
+      val m = "(?is)^SHOW\\s+INDEXES\\s+ON\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
+        .findFirstMatchIn(s).getOrElse(fail(s, "SHOW INDEXES ON <t> expected"))
+      resolve(m.group(1), s) // validate registration
+      return showIndexes(spark, m.group(1))
+    }
     val root = resolve(
       headTable(s).getOrElse(fail(s, "DESCRIBE needs a table")), s)
     if (s.toUpperCase.startsWith("DESCRIBE DETAIL"))

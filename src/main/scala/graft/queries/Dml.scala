@@ -1240,6 +1240,66 @@ object Dml {
           round(sum(col("price")), 2).cast("double").as("sval"))
     },
 
+    // Textual secondary-index DDL ([[graft.operators.TxnSql]] — the
+    // reference's CREATE INDEX surface, `CompactIndexHandler.java:69`):
+    // a pure-SQL session builds and mutates the table, z-orders it, then
+    // declares a BLOOM index (point lookups) and a DEFERRED COMPACT index
+    // (min/max skipping) built by ALTER INDEX ... REBUILD. The final
+    // SELECT runs the pruned point path with require()d scan profiles
+    // proving BOTH indexes prune; DROP INDEX retires the bloom sidecars
+    // (the probe then degrades to a full — still correct — scan) and
+    // SHOW INDEXES tracks the registry across the whole lifecycle.
+    Qd("q273_txn_create_index",
+      """WITH t AS (SELECT CAST(o_orderkey AS BIGINT) AS ok,
+        |           CAST(o_custkey AS BIGINT) AS ck,
+        |           round(o_totalprice, 2) AS price FROM orders),
+        |live AS (SELECT ok, ck, price FROM t WHERE ok % 17 <> 0)
+        |SELECT ok, ck, CAST(price AS DOUBLE) AS price FROM live
+        |WHERE ok IN (1, 7, 33, 34, 65)
+        |ORDER BY ok""") { (s, dir) =>
+      import graft.operators.DataSkipping.Band
+      val (sf, loc) = ctx(s, dir)
+      val root = s"$loc/g273_txn"
+      val tbl = s"g273_$sf"
+      val proj = "SELECT CAST(o_orderkey AS BIGINT) AS ok, " +
+        "CAST(o_custkey AS BIGINT) AS ck, " +
+        "round(o_totalprice, 2) AS price FROM orders"
+      Engine.sql(s, dir, s"CREATE TRANSACTIONAL TABLE $tbl LOCATION " +
+        s"'$root' AS $proj WHERE o_orderkey % 3 = 0")                   // v1
+      Engine.sql(s, dir,
+        s"INSERT INTO $tbl $proj WHERE o_orderkey % 3 = 1")             // v2
+      Engine.sql(s, dir,
+        s"INSERT INTO $tbl $proj WHERE o_orderkey % 3 = 2")             // v3
+      Engine.sql(s, dir, s"DELETE FROM $tbl WHERE ok % 17 = 0")         // v4
+      Engine.sql(s, dir, s"OPTIMIZE $tbl ZORDER BY (ck, price) FILES 12")      // v5
+      Engine.sql(s, dir, s"CREATE INDEX ok_bloom ON $tbl (ok) AS 'BLOOM'")
+      Engine.sql(s, dir, s"CREATE INDEX ck_stats ON $tbl (ck) " +
+        "AS 'COMPACT' WITH DEFERRED REBUILD")
+      Engine.sql(s, dir, s"ALTER INDEX ck_stats ON $tbl REBUILD")
+      require(Engine.sql(s, dir, s"SHOW INDEXES ON $tbl").count() == 2,
+        "expected 2 registered indexes")
+      // 34 = 2*17 was DELETED: its key may survive the bloom filters but
+      // the delete anti-join must erase the row
+      val keys = Seq(1L, 7L, 33L, 34L, 65L)
+      val pp = TxnMergeOnRead.scanProfilePoint(s, root, "ok", keys)
+      require(pp._1 < pp._2, s"bloom index must prune files, scanned $pp")
+      val pb = TxnMergeOnRead.scanProfile(s, root, Seq(Band("ck", 1L, 60L)))
+      require(pb._1 < pb._2,
+        s"compact index over the z-ordered base must prune files, scanned $pb")
+      // survivors are selected EAGERLY at frame construction, so build the
+      // result before exercising the DROP lifecycle
+      val res = TxnMergeOnRead.readPrunedPoint(s, root, "ok", keys)
+        .select(col("ok"), col("ck"), col("price").cast("double").as("price"))
+        .orderBy("ok")
+      Engine.sql(s, dir, s"DROP INDEX ok_bloom ON $tbl")
+      require(Engine.sql(s, dir, s"SHOW INDEXES ON $tbl").count() == 1,
+        "DROP INDEX must unregister")
+      val post = TxnMergeOnRead.scanProfilePoint(s, root, "ok", keys)
+      require(post._1 == post._2,
+        s"a dropped index must stop pruning (degrade to full scan): $post")
+      res
+    },
+
     // SCD Type-2 dimension maintenance via ONE MERGE per wave — the
     // canonical lakehouse pattern (Kimball type-2 history on a
     // merge-capable table): each update wave stages its CHANGED keys

@@ -355,4 +355,39 @@ class TxnSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException](
       TxnSql.execDdl(spark, "DROP TRANSACTIONAL TABLE tsql_ddl"))
   }
+
+  test("index DDL lifecycle: CREATE builds (unless deferred), REBUILD" +
+      " builds, SHOW lists, DROP unregisters and stops pruning") {
+    val root = mk("idx")
+    // deferred: declared but NOT built — the probe must not prune yet
+    TxnSql.execDdl(spark,
+      "CREATE INDEX kb ON tsql_idx (k) AS 'BLOOM' WITH DEFERRED REBUILD")
+    val pre = TxnMergeOnRead.scanProfilePoint(spark, root, "k", Seq(5L))
+    assert(pre._1 == pre._2, s"deferred index must not prune before REBUILD: $pre")
+    TxnSql.execDdl(spark, "ALTER INDEX kb ON tsql_idx REBUILD")
+    // one 100-row file: bloom can't prune a present key's only file, but a
+    // wildly absent key must prune it
+    val absent = TxnMergeOnRead.scanProfilePoint(spark, root, "k",
+      Seq(987654321L))
+    assert(absent._1 < absent._2, s"built bloom index must prune: $absent")
+    TxnSql.execDdl(spark, "CREATE INDEX vs ON tsql_idx (v) AS 'COMPACT'")
+    val shown = TxnSql.query(spark, "SHOW INDEXES ON tsql_idx").collect()
+    assert(shown.map(r => (r.getString(0), r.getString(2))).toSet ==
+      Set(("kb", "BLOOM"), ("vs", "COMPACT")))
+    // rejections: duplicate name, unknown index, unknown kind
+    intercept[IllegalArgumentException](TxnSql.execDdl(spark,
+      "CREATE INDEX kb ON tsql_idx (k) AS 'BLOOM'"))
+    intercept[IllegalArgumentException](TxnSql.execDdl(spark,
+      "DROP INDEX nope ON tsql_idx"))
+    intercept[IllegalArgumentException](TxnSql.execDdl(spark,
+      "ALTER INDEX nope ON tsql_idx REBUILD"))
+    intercept[IllegalArgumentException](TxnSql.execDdl(spark,
+      "CREATE INDEX z ON tsql_idx (k) AS 'BTREE'"))
+    // drop retires the sidecars → probe degrades to the full scan
+    TxnSql.execDdl(spark, "DROP INDEX kb ON tsql_idx")
+    val post = TxnMergeOnRead.scanProfilePoint(spark, root, "k",
+      Seq(987654321L))
+    assert(post._1 == post._2, s"dropped index must stop pruning: $post")
+    assert(TxnSql.query(spark, "SHOW INDEXES ON tsql_idx").count() == 1)
+  }
 }
