@@ -284,6 +284,108 @@ object AnnSearch {
     rankTopK(scored, k)
   }
 
+  /** Deterministic Lloyd k-means over the int64-quantized vectors — the
+    * real centroid TRAINING pass replacing the `id % stride` stand-in,
+    * while keeping bit-reproducibility (the property the DuckDB oracle
+    * needs): seeded init = the stride rows relabeled 0..nlist-1 in id
+    * order, assignment = the SAME argmax-int64-dot (ties → lower cent_id)
+    * every index probe uses, update = per-coordinate integer mean with
+    * toward-zero truncation (computed via exact double division — exact
+    * while |coordinate sum| < 2^52/count, which holds by construction at
+    * |q| < 1e8 per coordinate up to ~10M-row clusters), empty clusters
+    * keep their previous centroid. Every step is closed-form integer
+    * arithmetic, so any engine replays it exactly.
+    *
+    * Scale shape: classic distributed k-means — each iteration is one
+    * broadcast-argmax assignment pass (compiled mapPartitions, no
+    * shuffle) emitting O(partitions × nlist) partial (sum, count) rows
+    * that reduce to the driver's O(nlist × dim) update. Corpus never
+    * shuffles; iterations are a small constant (FAISS-style train-once). */
+  def trainCentroids(corpus: DataFrame, centroidStride: Int,
+      iters: Int): Array[(Long, Array[Long])] = {
+    require(iters >= 0, s"iters >= 0 (got $iters)")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qc = quantized(corpus)
+    var cents: Array[(Long, Array[Long])] =
+      collectCentroids(qc, centroidStride).zipWithIndex
+        .map { case ((_, e), i) => (i.toLong, e) }
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      // partial (sum-vector, count) per centroid per partition → tiny
+      // reduce; the corpus-bound work is the assignment argmax only
+      val partials = assign(qc, bc, 1)
+        .select(col("cent_id"), col("qe")).as[(Long, Seq[Long])]
+        .mapPartitions { it =>
+          val acc = scala.collection.mutable.HashMap
+            .empty[Long, (Array[Long], Long)]
+          it.foreach { case (cid, e) =>
+            val (s, n) = acc.getOrElseUpdate(cid,
+              (new Array[Long](e.length), 0L))
+            var i = 0
+            while (i < e.length) { s(i) += e(i); i += 1 }
+            acc(cid) = (s, n + 1)
+          }
+          acc.iterator.map { case (cid, (s, n)) => (cid, s.toSeq, n) }
+        }
+        .groupByKey(_._1)
+        .reduceGroups { (a, b) =>
+          (a._1, a._2.zip(b._2).map { case (x, y) => x + y }, a._3 + b._3)
+        }
+        .map(_._2)
+        .collect()
+        .map { case (cid, s, n) => cid -> (s.toArray, n) }
+        .toMap
+      cents = cents.map { case (cid, old) =>
+        partials.get(cid) match {
+          case Some((s, n)) =>
+            cid -> s.map(x => (x.toDouble / n).toLong) // trunc toward zero
+          case None => cid -> old // empty cluster: keep previous centroid
+        }
+      }
+      bc.destroy()
+    }
+    cents
+  }
+
+  /** [[ivfTopK]] with TRAINED centroids ([[trainCentroids]]): the same
+    * two-stage broadcast-argmax search plan over a k-means codebook
+    * instead of the stride stand-in — tighter clusters, higher recall at
+    * the same nprobe, still bit-reproducible end to end. */
+  def ivfTopKTrained(queries: DataFrame, corpus: DataFrame, k: Int,
+      centroidStride: Int, nprobe: Int, iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val qc = quantized(corpus)
+    val bc = spark.sparkContext.broadcast(
+      trainCentroids(corpus, centroidStride, iters))
+    val corpusAssigned = assign(qc, bc, 1)
+      .select(col("id").as("cid"), col("qe").as("ce"), col("n2").as("cn"),
+        col("cent_id"))
+    val queryProbes = assign(quantized(queries), bc, nprobe)
+      .select(col("id").as("qid"), col("qe"), col("n2").as("qn"), col("cent_id"))
+    scoreAndRank(corpusAssigned, queryProbes, k)
+  }
+
+  /** [[ivfIndexInit]] with TRAINED centroids: k-means over the first
+    * batch, frozen into the `_centroids` sidecar — later ingests and
+    * probes are untouched (they read the sidecar), completing the FAISS
+    * contract: train once (now a real training), add forever. */
+  def ivfIndexInitTrained(firstBatch: DataFrame, centroidStride: Int,
+      iters: Int, path: String): Unit = {
+    val spark = firstBatch.sparkSession
+    import spark.implicits._
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(path), true)
+    val cents = trainCentroids(firstBatch, centroidStride, iters)
+    cents.toSeq.map { case (i, e) => (i, e.toSeq) }
+      .toDF("cent_id", "ce")
+      .coalesce(1).write.parquet(s"$path/_centroids")
+    val bc = spark.sparkContext.broadcast(cents)
+    assign(quantized(firstBatch), bc, 1)
+      .write.mode("append").partitionBy("cent_id").parquet(s"$path/lists")
+  }
+
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       centroidStride: Int, nprobe: Int): DataFrame = {
     val spark = corpus.sparkSession

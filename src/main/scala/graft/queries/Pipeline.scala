@@ -65,6 +65,71 @@ object Pipeline {
       |      - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
       |          / greatest(length(text), 1) * 0.2, 6)""".stripMargin
 
+  /** DuckDB CTEs replaying [[graft.operators.AnnSearch.trainCentroids]]
+    * bit-exactly over the `cc` quantized-corpus CTE: `cents0` = stride
+    * init relabeled 0..n-1 in id order, then `iters` Lloyd rounds of
+    * argmax-int64-dot assignment (ties → lower cent_id) and
+    * truncated-integer-mean update with empty-cluster carryover. The
+    * final centroid set is CTE `cents<iters>`. */
+  private def kmeansCtes(stride: Int, iters: Int, src: String = "cc"): String = {
+    val sb = new StringBuilder(
+      s"""cents0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id, qe AS ce
+         |  FROM $src WHERE vec_id % $stride = 0)""".stripMargin)
+    for (r <- 1 to iters) {
+      val prev = s"cents${r - 1}"
+      sb.append(s""",
+        |a$r AS (SELECT cid, cent_id FROM (
+        |  SELECT $src.vec_id AS cid, $prev.cent_id,
+        |    row_number() OVER (PARTITION BY $src.vec_id ORDER BY
+        |      CAST(list_sum(list_transform(range(1, len($src.qe)+1), i -> $src.qe[i]*$prev.ce[i])) AS BIGINT) DESC,
+        |      $prev.cent_id) AS rn
+        |  FROM $src, $prev) WHERE rn = 1),
+        |m$r AS (
+        |  SELECT cent_id, list(v ORDER BY i) AS ce FROM (
+        |    SELECT j.cent_id, t.i,
+        |      CAST(trunc(CAST(SUM(j.q[t.i]) AS DOUBLE)/COUNT(*)) AS BIGINT) AS v
+        |    FROM (SELECT a.cent_id, $src.qe AS q FROM a$r a JOIN $src ON $src.vec_id = a.cid) j,
+        |         UNNEST(range(1, len(j.q)+1)) AS t(i)
+        |    GROUP BY j.cent_id, t.i) GROUP BY cent_id),
+        |cents$r AS (SELECT cent_id, ce FROM m$r
+        |  UNION ALL
+        |  SELECT p.cent_id, p.ce FROM $prev p
+        |  WHERE p.cent_id NOT IN (SELECT cent_id FROM m$r))""".stripMargin)
+    }
+    sb.toString
+  }
+
+  /** Shared IVF search tail of the k-means oracles: assignment, probes,
+    * within-list exact cosine top-10 against the `cents` CTE. */
+  private def ivfTailSql(cents: String): String =
+    s"""ca AS (SELECT cid, cent_id FROM (
+       |  SELECT cc.vec_id AS cid, $cents.cent_id,
+       |    row_number() OVER (PARTITION BY cc.vec_id ORDER BY
+       |      CAST(list_sum(list_transform(range(1, len(cc.qe)+1), i -> cc.qe[i]*$cents.ce[i])) AS BIGINT) DESC,
+       |      $cents.cent_id) AS rn
+       |  FROM cc, $cents) WHERE rn = 1),
+       |qa AS (SELECT qid, cent_id FROM (
+       |  SELECT qq.vec_id AS qid, $cents.cent_id,
+       |    row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+       |      CAST(list_sum(list_transform(range(1, len(qq.qe)+1), i -> qq.qe[i]*$cents.ce[i])) AS BIGINT) DESC,
+       |      $cents.cent_id) AS rn
+       |  FROM qq, $cents) WHERE rn <= 2),
+       |qn AS (SELECT vec_id AS qid, qe,
+       |  CAST(list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]*qe[i])) AS BIGINT) AS n2 FROM qq),
+       |cn AS (SELECT vec_id AS cid, qe AS ce,
+       |  CAST(list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]*qe[i])) AS BIGINT) AS n2 FROM cc),
+       |sc AS (
+       |  SELECT qa.qid, ca.cid,
+       |    CAST(CAST(list_sum(list_transform(range(1, len(qn.qe)+1), i -> qn.qe[i]*cn.ce[i])) AS BIGINT) AS DOUBLE)
+       |      / sqrt(CAST(qn.n2 AS DOUBLE) * CAST(cn.n2 AS DOUBLE)) AS cos
+       |  FROM qa JOIN ca ON qa.cent_id = ca.cent_id
+       |  JOIN qn ON qn.qid = qa.qid JOIN cn ON cn.cid = ca.cid
+       |  WHERE qa.qid <> ca.cid),
+       |rk AS (SELECT qid, cid, cos,
+       |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM sc)
+       |SELECT qid, cid, rk, ROUND(cos, 6) AS cos
+       |FROM rk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+
   // DuckDB int64-quantized embedding CTE shared by the cosine oracles.
   private def qCte(name: String, pred: String) =
     s"""$name AS (
@@ -207,6 +272,49 @@ object Pipeline {
       val e = emb(s, dir)
       AnnSearch.ivfTopK(e.filter(col("id") < 50), e, 10, 40, 2)
         .select(col("qid"), col("cid"), col("rk").cast("bigint").as("rk"), col("cos"))
+        .orderBy("qid", "rk")
+    },
+
+    // IVF with TRAINED centroids ([[AnnSearch.trainCentroids]] — 2
+    // deterministic Lloyd iterations over the int64-quantized vectors,
+    // replacing the stride stand-in): every training step is closed-form
+    // integer arithmetic, so the oracle replays the ENTIRE k-means
+    // (seeded init, argmax assignment, truncated-mean update,
+    // empty-cluster carryover) and then the same two-stage search —
+    // hash-green through training AND search. Recall ≥ the stride
+    // baseline is asserted in PipelineSpec.
+    Qd("q274_ann_ivf_kmeans",
+      s"""WITH ${qCte("qq", "WHERE vec_id < 50")},
+        |${qCte("cc", "")},
+        |${kmeansCtes(40, 2)},
+        |${ivfTailSql("cents2")}""") { (s, dir) =>
+      val e = emb(s, dir)
+      AnnSearch.ivfTopKTrained(e.filter(col("id") < 50), e, 10, 40, 2, 2)
+        .select(col("qid"), col("cid"), col("rk").cast("bigint").as("rk"),
+          col("cos"))
+        .orderBy("qid", "rk")
+    },
+
+    // Incremental IVF with TRAINED centroids — the q260 contract completed
+    // with real training ([[AnnSearch.ivfIndexInitTrained]]): k-means runs
+    // over the FIRST batch only, freezes into the sidecar, and every later
+    // ingest assigns against the frozen codebook — so the oracle replays
+    // k-means on batch 0 (`b0`) then the one-shot search over the union.
+    Qd("q275_incremental_ivf_kmeans",
+      s"""WITH ${qCte("qq", "WHERE vec_id < 50")},
+        |${qCte("cc", "")},
+        |b0 AS (SELECT * FROM cc WHERE vec_id % 3 = 0),
+        |${kmeansCtes(40, 2, "b0")},
+        |${ivfTailSql("cents2")}""") { (s, dir) =>
+      val e = emb(s, dir)
+      val sf = new java.io.File(dir).getName.replace(".", "_")
+      val idx = s"/root/repo/target/ddl/$sf/g275_ivf"
+      AnnSearch.ivfIndexInitTrained(e.filter(col("id") % 3 === 0), 40, 2, idx)
+      AnnSearch.ivfIndexIngest(e.filter(col("id") % 3 === 1), idx)
+      AnnSearch.ivfIndexIngest(e.filter(col("id") % 3 === 2), idx)
+      AnnSearch.ivfTopKIncremental(e.filter(col("id") < 50), idx, 10, 2)
+        .select(col("qid"), col("cid"), col("rk").cast("bigint").as("rk"),
+          col("cos"))
         .orderBy("qid", "rk")
     },
 
