@@ -148,6 +148,42 @@ object StreamingQ {
         s"/root/repo/target/streamdata/$sf").orderBy("c_eid", "p_eid")
     },
 
+    // Stream–stream FULL OUTER join ([[StreamOps.streamStreamFullOuterJoin]]
+    // — the left-outer sentinel discipline applied symmetrically: unmatched
+    // purchases ALSO emit null-padded once the watermark proves no
+    // in-window click can still arrive). Converges to the exact batch
+    // FULL OUTER join — unconverted clicks AND orphan purchases included.
+    Qd("q276_stream_stream_full_outer",
+      """SELECT c.event_id AS c_eid, p.event_id AS p_eid
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |FULL OUTER JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+        |ORDER BY c_eid NULLS FIRST, p_eid NULLS FIRST""") { (s, dir) =>
+      val sf = new java.io.File(dir).getName
+      StreamOps.streamStreamFullOuterJoin(s, dir,
+        s"/root/repo/target/streamdata/$sf")
+        .orderBy(col("c_eid").asc_nulls_first, col("p_eid").asc_nulls_first)
+    },
+
+    // Watermark-bounded dedup with JITTERED retries
+    // ([[StreamOps.dedupWithinWatermarkCounts]] —
+    // `dropDuplicatesWithinWatermark`): the replay delivers every event
+    // twice, the second copy time-shifted +1 s, which `dropDuplicates
+    // (id, ts)` would NOT catch; the within-watermark form dedups on the
+    // id alone with state still bounded by the horizon, so the per-type
+    // aggregate equals the batch aggregate over the original events.
+    Qd("q277_stream_dedup_within_watermark",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       ROUND(sum(value), 4) AS sv
+        |FROM events GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
+      val sf = new java.io.File(dir).getName
+      StreamOps.dedupWithinWatermarkCounts(s, dir,
+        s"/root/repo/target/streamdata/$sf")
+        .select(col("event_type"), col("n"), col("sv"))
+        .orderBy("event_type")
+    },
+
     // Continuously-maintained near-dup index
     // ([[StreamOps.streamingNearDupIndex]] — streaming ingest with
     // exactly-once batch commits under DELIBERATE double-delivery, the

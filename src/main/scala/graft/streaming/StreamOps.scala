@@ -474,7 +474,23 @@ object StreamOps {
     * delay per side (watermark eviction), not by stream length — the
     * reason the time bounds are IN the join condition. */
   def streamStreamLeftJoin(spark: SparkSession, dir: String,
-      scratch: String): DataFrame = {
+      scratch: String): DataFrame =
+    streamStreamOuter(spark, dir, scratch, "left_outer", "graft_stream_ssloj")
+
+  /** Stream–stream FULL OUTER join — [[streamStreamLeftJoin]]'s replay and
+    * sentinel discipline applied symmetrically: unmatched PURCHASES also
+    * emit null-padded once the watermark proves no in-window click can
+    * still arrive (a purchase at `p_ts` matches clicks in
+    * `[p_ts − 10 min, p_ts]`, so it is evictable once the watermark
+    * passes `p_ts` — below the final watermark for every real purchase,
+    * above it for the sentinels, which therefore never surface from
+    * either side). Converges to the exact batch FULL OUTER join. */
+  def streamStreamFullOuterJoin(spark: SparkSession, dir: String,
+      scratch: String): DataFrame =
+    streamStreamOuter(spark, dir, scratch, "full_outer", "graft_stream_ssfoj")
+
+  private def streamStreamOuter(spark: SparkSession, dir: String,
+      scratch: String, joinType: String, sinkName: String): DataFrame = {
     val ev = graft.Engine.table(spark, dir, "events")
       .select("event_id", "ts", "user_id", "event_type")
     val replay = s"$scratch/ssloj_replay"
@@ -522,9 +538,55 @@ object StreamOps {
           col("ts").as(s"${pre}_ts"))
     val joined = side("click", "c", -1L).join(side("purchase", "p", -2L),
       expr("c_uid = p_uid AND p_ts >= c_ts AND p_ts <= c_ts + interval 10 minutes"),
-      "left_outer")
+      joinType)
       .select(col("c_eid"), col("p_eid"))
-    runToMemory(spark, joined, "graft_stream_ssloj", OutputMode.Append(),
+    runToMemory(spark, joined, sinkName, OutputMode.Append(),
+      Trigger.AvailableNow())
+  }
+
+  /** Streaming dedup via `dropDuplicatesWithinWatermark` — the operator
+    * for at-least-once feeds whose retries arrive with JITTERED event
+    * times: plain `dropDuplicates(id, ts)` misses a retry whose timestamp
+    * moved, while the within-watermark form dedups on the id alone and
+    * still bounds its state by the watermark horizon (the property that
+    * keeps an unbounded 100 TB/day feed runnable). The replay delivers
+    * every event twice — the second copy 1 s later (ingest-retry jitter)
+    * — pinned data-first by mtime; the per-type aggregate must equal the
+    * batch aggregate over the ORIGINAL events exactly (count and sum are
+    * insensitive to which copy survives: same id, type, value). */
+  def dedupWithinWatermarkCounts(spark: SparkSession, dir: String,
+      scratch: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val replay = s"$scratch/ddww_replay"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(replay))
+    ev.coalesce(1).write.mode("overwrite").parquet(replay)
+    val dirF = new java.io.File(replay)
+    def partFiles = dirF.listFiles()
+      .filter(_.getName.endsWith(".parquet")).toSet
+    val dataFiles = partFiles
+    // the duplicate delivery: same events, ts shifted +1s (retry jitter)
+    val unit = graft.Engine.eventsTsMicrosExpr(spark, dir) match {
+      case "ts DIV 1000" => 1000000000L // raw nanos
+      case _ => 1000000L               // raw micros
+    }
+    ev.withColumn("ts", col("ts") + lit(unit))
+      .coalesce(1).write.mode("append").parquet(replay)
+    val dupFiles = partFiles -- dataFiles
+    require(dataFiles.size == 1 && dupFiles.size == 1,
+      s"expected 1 data + 1 duplicate replay file, got $partFiles")
+    require(dupFiles.head.setLastModified(
+      dataFiles.head.lastModified() + 60000L), "could not pin mtime")
+    val agg = spark.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(replay)
+      .withColumn("ts",
+        expr(s"timestamp_micros(${graft.Engine.eventsTsMicrosExpr(spark, dir)})"))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sv"))
+    runToMemory(spark, agg, "graft_stream_ddww", OutputMode.Complete(),
       Trigger.AvailableNow())
   }
 }

@@ -115,6 +115,47 @@ class StreamAppendSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.streams.active.isEmpty)
   }
 
+  test("stream-stream FULL OUTER emits BOTH sides' unmatched rows and" +
+      " converges to the exact batch full-outer join; sentinels withheld") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val scratch = s"${sys.props("user.dir")}/target/streamspec/ssfoj"
+    def key(r: org.apache.spark.sql.Row) =
+      (if (r.isNullAt(0)) -1L else r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))
+    val got = StreamOps.streamStreamFullOuterJoin(spark, dir, scratch)
+      .collect().map(key).toSet
+    val ev = graft.Engine.table(spark, dir, "events")
+    val batch = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_eid"), col("user_id").as("c_uid"),
+        col("ts").as("c_ts"))
+      .join(ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_eid"), col("user_id").as("p_uid"),
+            col("ts").as("p_ts")),
+        expr("c_uid = p_uid AND p_ts >= c_ts AND p_ts <= c_ts + interval 10 minutes"),
+        "full_outer")
+      .select("c_eid", "p_eid").collect().map(key).toSet
+    assert(got === batch, "full-outer stream must converge to the batch join")
+    assert(got.exists(_._2 == -1L), "corpus must contain unmatched clicks")
+    assert(got.exists(_._1 == -1L), "corpus must contain unmatched purchases")
+    assert(spark.streams.active.isEmpty)
+  }
+
+  test("dropDuplicatesWithinWatermark catches JITTERED retries that exact" +
+      " (id, ts) dedup would double-count") {
+    import org.apache.spark.sql.functions.col
+    val scratch = s"${sys.props("user.dir")}/target/streamspec/ddww"
+    val got = StreamOps.dedupWithinWatermarkCounts(spark, dir, scratch)
+      .select("event_type", "n").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = graft.Engine.table(spark, dir, "events")
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want,
+      "per-type counts must equal the batch counts over the ORIGINAL " +
+        s"events (every jittered retry deduped): got $got want $want")
+    assert(spark.streams.active.isEmpty)
+  }
+
   test("left-outer replay survives a TINY corpus whose data part is no" +
       " larger than a sentinel part — file identity, not size, pins order") {
     val tiny = s"${sys.props("user.dir")}/target/streamspec/tinyev"
