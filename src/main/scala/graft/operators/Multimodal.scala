@@ -199,6 +199,81 @@ object Multimodal {
     }(enc)
   }
 
+  // ---- Real audio decode kernel (javax.sound WAV) ----------------------
+
+  /** Deterministic synthetic WAV: audio `id` is 8-bit unsigned mono PCM at
+    * 8 kHz with `n = 64 + id % 65` samples, sample t = `(37*id + 11*t) %
+    * 256` — closed-form, and PCM in a WAV container is LOSSLESS, so stats
+    * computed from the DECODED samples equal the generator arithmetic
+    * (the audio twin of [[synthImage]]). */
+  def synthWav(id: Long): Array[Byte] = {
+    val n = (64 + id % 65).toInt
+    val data = new Array[Byte](n)
+    var t = 0
+    while (t < n) { data(t) = ((37 * id + 11 * t) % 256).toByte; t += 1 }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** Media table of REAL WAV files — same per-partition generation shape
+    * as [[imageTable]]. */
+  def audioTable(docs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(imageSchema)
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        org.apache.spark.sql.Row(id, "audio", synthWav(id))
+      }
+    }(enc)
+  }
+
+  private val audioSchema = StructType(Seq(
+    StructField("media_id", LongType), StructField("status", StringType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("s_sum", LongType), StructField("wsum", LongType)))
+
+  /** REAL audio decode: `AudioSystem.getAudioInputStream` over the binary
+    * payload in a compiled mapPartitions pass — format metadata (rate,
+    * channels), sample count, sample sum, and the position-weighted
+    * checksum `wsum = Σ (t+1)·s[t]`. Same rescue discipline as
+    * [[decodeImageStats]]: an undecodable payload survives with
+    * `status='corrupt'` and NULL stats. */
+  def decodeAudioStats(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(audioSchema)
+    media.select(col("media_id"), col("payload")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          val fmt = ais.getFormat
+          val bytes = ais.readAllBytes()
+          var ss = 0L; var ws = 0L
+          var t = 0
+          while (t < bytes.length) {
+            val v = bytes(t) & 0xFF
+            ss += v; ws += (t + 1L) * v
+            t += 1
+          }
+          org.apache.spark.sql.Row(id, "ok", fmt.getSampleRate.toInt,
+            fmt.getChannels, bytes.length.toLong, ss, ws)
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            org.apache.spark.sql.Row(
+              id, "corrupt", null, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
   /** Partition-parallel featurize: binary → fixed-width float vector +
     * deterministic "frame sample" (first 8 bytes — a codec would seek). */
   def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {

@@ -181,6 +181,35 @@ object Advanced {
         .orderBy("media_id")
     },
 
+    // REAL audio decode ([[Multimodal.audioTable]] writes actual WAV files
+    // — 8-bit unsigned mono PCM from a closed-form sample function — and
+    // [[Multimodal.decodeAudioStats]] decodes them with javax.sound).
+    // PCM-in-WAV is lossless, so the oracle recomputes sample count, sum,
+    // and the position-weighted checksum from arithmetic alone; the image
+    // (q263) + audio (q280) pair covers both real decode modalities the
+    // JDK ships codecs for.
+    Qd("q280_audio_decode",
+      """WITH m AS (SELECT doc_id, 64 + doc_id % 65 AS n
+        |  FROM documents WHERE doc_id < 400),
+        |sm AS (
+        |  SELECT doc_id, n,
+        |    SUM((37*doc_id + 11*t) % 256) AS s_sum,
+        |    SUM((t + 1) * ((37*doc_id + 11*t) % 256)) AS wsum
+        |  FROM (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS t FROM m)
+        |  GROUP BY doc_id, n)
+        |SELECT doc_id AS media_id, 'ok' AS status,
+        |  CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(s_sum AS BIGINT) AS s_sum, CAST(wsum AS BIGINT) AS wsum
+        |FROM sm ORDER BY media_id""") { (s, dir) =>
+      val media = Multimodal.audioTable(
+        t(s, dir, "documents").filter(col("doc_id") < 400))
+      Multimodal.decodeAudioStats(media)
+        .select(col("media_id"), col("status"), col("sample_rate"),
+          col("channels"), col("n_samples"), col("s_sum"), col("wsum"))
+        .orderBy("media_id")
+    },
+
     // PointLookupOptimizer (OR-chain → IN) — injected rule; rewrite asserted
     // in ExtensionSpec, result checked here.
     Qd("q89_point_lookup",

@@ -266,6 +266,70 @@ object Tpcds {
       |  cs1.b_city, cs1.b_zip, cs1.c_city, cs1.c_zip,
       |  syear1, cnt1, s1_1, s2_1, s3_1, s1_2, s2_2, s3_2, syear2, cnt2"""
 
+  // reference: perf/query28.q — six quantity-band statistics (avg, count,
+  // count distinct over a decimal) as independent scalar subqueries
+  // cross-joined into one row; range constants adapted to the lite value
+  // domains (list_price 2–122, coupon 0–20, wholesale 1–91).
+  private def q28Band(n: Int, qLo: Int, qHi: Int, lp: Int, ca: Int,
+      wc: Int): String =
+    s"""(SELECT ROUND(CAST(SUM(ss_list_price) AS DOUBLE) / COUNT(ss_list_price), 4) AS b${n}_lp,
+       |  COUNT(ss_list_price) AS b${n}_cnt,
+       |  COUNT(DISTINCT ss_list_price) AS b${n}_cntd
+       | FROM store_sales
+       | WHERE ss_quantity BETWEEN $qLo AND $qHi
+       |   AND (ss_list_price BETWEEN $lp AND $lp + 10
+       |     OR ss_coupon_amt BETWEEN $ca AND $ca + 5
+       |     OR ss_wholesale_cost BETWEEN $wc AND $wc + 20))"""
+
+  private val q28 =
+    s"""WITH #TABLES#
+       |SELECT b1.b1_lp, b1.b1_cnt, b1.b1_cntd, b2.b2_lp, b2.b2_cnt, b2.b2_cntd,
+       |  b3.b3_lp, b3.b3_cnt, b3.b3_cntd, b4.b4_lp, b4.b4_cnt, b4.b4_cntd,
+       |  b5.b5_lp, b5.b5_cnt, b5.b5_cntd, b6.b6_lp, b6.b6_cnt, b6.b6_cntd
+       |FROM
+       | ${q28Band(1, 1, 5, 11, 4, 14)} b1,
+       | ${q28Band(2, 6, 10, 91, 14, 32)} b2,
+       | ${q28Band(3, 11, 15, 66, 9, 4)} b3,
+       | ${q28Band(4, 16, 20, 110, 3, 70)} b4,
+       | ${q28Band(5, 21, 25, 35, 14, 38)} b5,
+       | ${q28Band(6, 26, 30, 28, 2, 42)} b6"""
+
+  // reference: perf/query70.q — state/county profit ROLLUP with
+  // within-parent RANK partitioned by the grouping level, states
+  // pre-filtered by a windowed-rank subquery.
+  private val q70 =
+    """WITH #TABLES#,
+      |top_states AS (
+      |  SELECT s_state FROM (
+      |    SELECT s_state,
+      |      RANK() OVER (PARTITION BY s_state
+      |        ORDER BY SUM(ss_net_profit) DESC) AS ranking
+      |    FROM store_sales, store, date_dim
+      |    WHERE d_month_seq BETWEEN 1176 AND 1187
+      |      AND d_date_sk = ss_sold_date_sk AND s_store_sk = ss_store_sk
+      |    GROUP BY s_state) tmp1
+      |  WHERE ranking <= 5),
+      |agg AS (
+      |  SELECT CAST(SUM(ss_net_profit) AS DOUBLE) AS total_sum,
+      |    s_state, s_county,
+      |    CAST(GROUPING_ID(s_state, s_county) AS INT) AS lochierarchy,
+      |    RANK() OVER (PARTITION BY GROUPING_ID(s_state, s_county),
+      |        CASE WHEN GROUPING_ID(s_state, s_county) = 1 THEN s_state END
+      |      ORDER BY SUM(ss_net_profit)) AS rank_within_parent
+      |  FROM store_sales ss
+      |  JOIN date_dim d1 ON d1.d_date_sk = ss.ss_sold_date_sk
+      |  JOIN store s ON s.s_store_sk = ss.ss_store_sk
+      |  WHERE d1.d_month_seq BETWEEN 1176 AND 1187
+      |    AND s.s_state IN (SELECT s_state FROM top_states)
+      |  GROUP BY ROLLUP(s_state, s_county))
+      |SELECT total_sum, s_state, s_county, lochierarchy, rank_within_parent
+      |FROM agg
+      |ORDER BY lochierarchy DESC,
+      |  CASE WHEN lochierarchy = 0 THEN s_state END NULLS FIRST,
+      |  rank_within_parent,
+      |  s_state NULLS FIRST, s_county NULLS FIRST, total_sum
+      |LIMIT 100"""
+
   val all: Seq[Qd] = Seq(
     q("q265_tpcds_q3", q3),
     q("q266_tpcds_q88", q88),
@@ -274,5 +338,7 @@ object Tpcds {
     q("q269_tpcds_q34", q34),
     q("q270_tpcds_q51", q51),
     q("q271_tpcds_q17", q17),
-    q("q272_tpcds_q64", q64))
+    q("q272_tpcds_q64", q64),
+    q("q278_tpcds_q28", q28),
+    q("q279_tpcds_q70", q70))
 }

@@ -78,6 +78,33 @@ class MultimodalDecodeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("WAV roundtrip is sample-exact; undecodable audio follows the" +
+      " rescue discipline") {
+    // lossless PCM: decoded bytes == generator bytes
+    for (id <- Seq(0L, 7L, 64L)) {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(Multimodal.synthWav(id)))
+      val bytes = ais.readAllBytes()
+      assert(bytes.length == (64 + id % 65).toInt)
+      bytes.zipWithIndex.foreach { case (b, t) =>
+        assert((b & 0xFF) == ((37 * id + 11 * t) % 256).toInt,
+          s"sample mismatch at id=$id t=$t")
+      }
+    }
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Multimodal.synthWav(3L)),
+      (2L, "not-audio".getBytes("UTF-8")),
+      (3L, Multimodal.synthWav(3L).take(10))) // truncated header
+      .toDF("media_id", "payload")
+    val got = Multimodal.decodeAudioStats(rows).orderBy("media_id").collect()
+    assert(got.map(_.getString(1)).toSeq == Seq("ok", "corrupt", "corrupt"))
+    assert(got(0).getInt(2) == 8000 && got(0).getInt(3) == 1)
+    got.drop(1).foreach { r =>
+      (2 to 6).foreach(i => assert(r.isNullAt(i)))
+    }
+  }
+
   test("decode stats equal the generator arithmetic through the full" +
       " distributed pass (multi-partition, no driver collection)") {
     val media = Multimodal.imageTable(idsDf(0L until 64L).repartition(8))
