@@ -54,6 +54,11 @@ object Bench {
   private def warm(spark: SparkSession, sfDir: String): Unit =
     try {
       Engine.registerAll(spark, sfDir)
+      // one-time TPC-DS-lite materialization (and per-session view
+      // re-registration after a recycle) happens here, OUTSIDE the timed
+      // regions — otherwise the alphabetically-first q265 bills the whole
+      // scratch-parquet build to its own timing
+      scala.util.Try(queries.TpcdsLite.register(spark))
       // warm up against the benchmarked dir (SparkEntry.entry hardcodes the
       // sf0.001 smoke path, which need not exist here)
       SparkEntry.queries("q01_agg_pricing_summary")(spark, sfDir)

@@ -126,7 +126,7 @@ object Tpcds {
       |              ELSE NULL END) > 1.2
       |        AND d_year IN (1998, 1999, 2000)
       |        AND s_county IN ('COUNTY0', 'COUNTY1', 'COUNTY2')
-      |      GROUP BY ss_ticket_number, ss_customer_sk) dn, customer
+      |      GROUP BY ss_ticket_number, ss_customer_sk) dn, tpcds_customer
       |WHERE ss_customer_sk = c_customer_sk AND cnt BETWEEN 2 AND 20
       |ORDER BY c_last_name, c_first_name, c_salutation,
       |  c_preferred_cust_flag DESC, ss_ticket_number, cnt"""
@@ -231,7 +231,7 @@ object Tpcds {
       |  FROM store_sales
       |  JOIN store_returns ON ss_item_sk = sr_item_sk
       |    AND ss_ticket_number = sr_ticket_number
-      |  JOIN customer ON ss_customer_sk = c_customer_sk
+      |  JOIN tpcds_customer ON ss_customer_sk = c_customer_sk
       |  JOIN date_dim d1 ON ss_sold_date_sk = d1.d_date_sk
       |  JOIN date_dim d2 ON c_first_sales_date_sk = d2.d_date_sk
       |  JOIN date_dim d3 ON c_first_shipto_date_sk = d3.d_date_sk

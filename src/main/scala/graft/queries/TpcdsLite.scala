@@ -79,7 +79,7 @@ object TpcdsLite {
         |  'MS' || CAST(i % 5 AS #STR#) AS cd_marital_status,
         |  'ES' || CAST(i % 7 AS #STR#) AS cd_education_status
         |FROM (SELECT #I# AS i FROM range(0, 1920)) t""",
-    "customer" ->
+    "tpcds_customer" ->
       """SELECT CAST(i + 1 AS INT) AS c_customer_sk,
         |  'FN' || CAST(i % 200 AS #STR#) AS c_first_name,
         |  'LN' || CAST(i % 100 AS #STR#) AS c_last_name,
@@ -198,6 +198,19 @@ object TpcdsLite {
   def forSpark(body: String): String = body.replace("#TABLES#", sparkPrologue)
   def forDuck(body: String): String = body.replace("#TABLES#", duckPrologue)
 
+  /** Spark-dialect generator SQL for one table with the fact row count
+    * scaled ×`factor` — the scale-experiment hook (`tools/TpcdsScale`):
+    * same closed-form columns, more rows, so join selectivities and the
+    * date-partition layout are preserved under scale-up. */
+  private[graft] def sparkGenSql(table: String, factor: Int): String = {
+    val t = gens.find(_._1 == table)
+      .getOrElse(sys.error(s"unknown lite table $table"))._2
+    sparkSql(t.replace("range(0, 120000)", s"range(0, ${120000L * factor})")
+      .replace("range(0, 60000)", s"range(0, ${60000L * factor})")
+      .replace("range(0, 12000)", s"range(0, ${12000L * factor})")
+      .replace("range(0, 6000)", s"range(0, ${6000L * factor})"))
+  }
+
   // versioned by the generator text: template edits invalidate the cache
   private def scratch: String =
     s"${sys.props("user.dir")}/target/tpcds_lite_${gens.hashCode.toHexString}"
@@ -209,6 +222,14 @@ object TpcdsLite {
     * temp views reading the parquet — real file scans, so plans carry
     * pushed filters, pruned schemas, and DPP over the partitioned fact. */
   def register(spark: SparkSession): Unit = synchronized {
+    // a lite view must NEVER shadow a warehouse table: temp-view
+    // registration is session-global and Engine.registerAll caches, so a
+    // collision silently redirects every later warehouse query in the
+    // session (the bug that renamed `customer` → `tpcds_customer`)
+    val clash = gens.map(_._1).toSet
+      .intersect(graft.Engine.TableNames.map(_.toLowerCase).toSet)
+    require(clash.isEmpty,
+      s"TPC-DS-lite table(s) $clash collide with warehouse tables")
     val dir = scratch
     val marker = new java.io.File(s"$dir/_LITE_READY")
     if (!marker.exists()) {
