@@ -247,6 +247,11 @@ object TxnSql {
       if (gens.isEmpty) TxnMergeOnRead.create(spark, root, df)
       else TxnMergeOnRead.createGenerated(spark, root, df, gens)
       register(name, root)
+      // a (re)created table starts with NO indexes: create() wiped the
+      // data dirs (and any sidecars), so a stale registry entry would both
+      // lie to SHOW INDEXES and make a repeated CREATE INDEX session
+      // non-idempotent
+      indexes.remove(name.toLowerCase)
       TxnMergeOnRead.read(spark, root)
     } else if (up.startsWith("DROP TRANSACTIONAL TABLE")) {
       val name = identAfter(s, "DROP TRANSACTIONAL TABLE".length).getOrElse(
