@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.SparkSession
 
-/** TPC-DS perf-suite sample: 8 shape-diverse queries from the reference's
+/** TPC-DS perf-suite sample: 14 shape-diverse queries from the reference's
   * plan-golden corpus (`ql/src/test/queries/clientpositive/perf/query*.q`)
   * re-expressed over [[TpcdsLite]] and run as the SAME SQL text on Spark
   * and the DuckDB oracle (constants adapted to the lite instance's value
@@ -14,8 +14,14 @@ import org.apache.spark.sql.SparkSession
   * the ReusedExchange shape), windowed revenue ratio over an aggregate
   * (query12), multi-dimension star avg (query27), ticket-grain HAVING
   * (query34), cumulative-window FULL OUTER (query51), triple-channel
-  * sales→returns→catalog chain with stddev (query17), and the multi-CTE
-  * 17-join self-join (query64).
+  * sales→returns→catalog chain with stddev (query17), the multi-CTE
+  * 17-join self-join (query64), quantity-band scalar subqueries
+  * (query28), ROLLUP with within-parent RANK over GROUPING_ID (query70),
+  * the excess-discount scalar-average screen (query32), the
+  * bought-vs-current city mismatch with customer_address in two roles
+  * (query46), split-warehouse never-returned orders — semi + anti on the
+  * same fact (query94), and the week-pegged three-channel revenue
+  * balance (query58).
   *
   * Scale: these are the canonical 100 TB star plans — the fact table is
   * partitioned on the date key (DPP prunes the scan through the date_dim
@@ -330,6 +336,126 @@ object Tpcds {
       |  s_state NULLS FIRST, s_county NULLS FIRST, total_sum
       |LIMIT 100"""
 
+  // reference: perf/query32.q — excess-discount screen: line discounts
+  // above 1.3× the same item's window average (scalar-aggregate screen
+  // joined back, the decorrelated shape the reference plans).
+  private val q32 =
+    """WITH #TABLES#
+      |SELECT CAST(SUM(cs1.cs_ext_discount_amt) AS DOUBLE) AS excess_discount_amount
+      |FROM (SELECT cs.cs_item_sk AS cs_item_sk,
+      |        cs.cs_ext_discount_amt AS cs_ext_discount_amt
+      |      FROM catalog_sales cs
+      |      JOIN date_dim d ON d.d_date_sk = cs.cs_sold_date_sk
+      |      WHERE d.d_date BETWEEN DATE '1998-01-27' AND DATE '1998-04-27') cs1
+      |JOIN item i ON i.i_item_sk = cs1.cs_item_sk
+      |JOIN (SELECT cs2.cs_item_sk AS cs_item_sk,
+      |        1.3 * AVG(cs_ext_discount_amt) AS avg_cs_ext_discount_amt
+      |      FROM (SELECT cs.cs_item_sk AS cs_item_sk,
+      |              cs.cs_ext_discount_amt AS cs_ext_discount_amt
+      |            FROM catalog_sales cs
+      |            JOIN date_dim d ON d.d_date_sk = cs.cs_sold_date_sk
+      |            WHERE d.d_date BETWEEN DATE '1998-01-27' AND DATE '1998-04-27') cs2
+      |      GROUP BY cs2.cs_item_sk) tmp1
+      |ON i.i_item_sk = tmp1.cs_item_sk
+      |WHERE i.i_manufact_id = 7
+      |  AND cs1.cs_ext_discount_amt > tmp1.avg_cs_ext_discount_amt"""
+
+  // reference: perf/query46.q — weekend-shopper ticket totals where the
+  // purchase city differs from the customer's CURRENT city (two roles of
+  // customer_address in one query).
+  private val q46 =
+    """WITH #TABLES#
+      |SELECT c_last_name, c_first_name, ca_city, bought_city,
+      |  ss_ticket_number, CAST(amt AS DOUBLE) AS amt,
+      |  CAST(profit AS DOUBLE) AS profit
+      |FROM (SELECT ss_ticket_number, ss_customer_sk, ca_city AS bought_city,
+      |        SUM(ss_coupon_amt) AS amt, SUM(ss_net_profit) AS profit
+      |      FROM store_sales, date_dim, store, household_demographics,
+      |        customer_address
+      |      WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+      |        AND ss_hdemo_sk = hd_demo_sk AND ss_addr_sk = ca_address_sk
+      |        AND (hd_dep_count = 4 OR hd_vehicle_count = 2)
+      |        AND d_dow IN (6, 0)
+      |        AND d_year IN (1998, 1999, 2000)
+      |        AND s_city IN ('CITY0', 'CITY1', 'CITY2', 'CITY3', 'CITY4')
+      |      GROUP BY ss_ticket_number, ss_customer_sk, ss_addr_sk, ca_city) dn,
+      |  tpcds_customer, customer_address current_addr
+      |WHERE ss_customer_sk = c_customer_sk
+      |  AND c_current_addr_sk = current_addr.ca_address_sk
+      |  AND current_addr.ca_city <> bought_city
+      |ORDER BY c_last_name, c_first_name, ca_city, bought_city,
+      |  ss_ticket_number, amt, profit
+      |LIMIT 100"""
+
+  // reference: perf/query94.q — ship-window order stats for orders that
+  // SHIPPED FROM MORE THAN ONE WAREHOUSE (self-join semi) and were NEVER
+  // RETURNED (left-outer anti): semi + anti on the same fact, distinct
+  // order counting.
+  private val q94 =
+    """WITH #TABLES#
+      |SELECT COUNT(DISTINCT ws_order_number) AS order_count,
+      |  CAST(SUM(ws_ext_ship_cost) AS DOUBLE) AS total_shipping_cost,
+      |  CAST(SUM(ws_net_profit) AS DOUBLE) AS total_net_profit
+      |FROM web_sales ws1
+      |JOIN customer_address ca ON ws1.ws_ship_addr_sk = ca.ca_address_sk
+      |JOIN web_site s ON ws1.ws_web_site_sk = s.web_site_sk
+      |JOIN date_dim d ON ws1.ws_ship_date_sk = d.d_date_sk
+      |LEFT OUTER JOIN web_returns wr1
+      |  ON ws1.ws_order_number = wr1.wr_order_number
+      |WHERE d.d_date BETWEEN DATE '1998-05-01' AND DATE '1998-07-01'
+      |  AND ca.ca_state = 'S1'
+      |  AND s.web_company_name = 'WC1'
+      |  AND wr1.wr_order_number IS NULL
+      |  AND ws1.ws_order_number IN (
+      |    SELECT ws2.ws_order_number
+      |    FROM web_sales ws2, web_sales ws3
+      |    WHERE ws2.ws_order_number = ws3.ws_order_number
+      |      AND ws2.ws_warehouse_sk <> ws3.ws_warehouse_sk)"""
+
+  // reference: perf/query58.q — items whose revenue in ONE WEEK (pegged
+  // through the d_week_seq self-join) is balanced across all three
+  // channels (band widened to 0.5-2.0x: the lite instance has ~1-4 lines
+  // per item-channel-week, where the reference's ±10% at scale-200 would
+  // keep nothing).
+  private def q58Chan(alias: String, fact: String, dateCol: String,
+      itemCol: String, rev: String): String =
+    s"""(SELECT i_item_id AS item_id, SUM($rev) AS ${alias}_item_rev
+       | FROM $fact
+       |     JOIN item ON $fact.$itemCol = item.i_item_sk
+       |     JOIN date_dim ON $fact.$dateCol = date_dim.d_date_sk
+       |     JOIN (SELECT d1.d_date
+       |           FROM date_dim d1 JOIN date_dim d2 ON d1.d_week_seq = d2.d_week_seq
+       |           WHERE d2.d_date = DATE '1998-08-04') sub
+       |       ON date_dim.d_date = sub.d_date
+       | GROUP BY i_item_id) ${alias}_items"""
+
+  private val q58 =
+    s"""WITH #TABLES#
+       |SELECT ss_items.item_id AS item_id,
+       |  CAST(ss_item_rev AS DOUBLE) AS ss_item_rev,
+       |  ROUND(CAST(ss_item_rev AS DOUBLE) / CAST(ss_item_rev + cs_item_rev + ws_item_rev AS DOUBLE) / 3 * 100, 4) AS ss_dev,
+       |  CAST(cs_item_rev AS DOUBLE) AS cs_item_rev,
+       |  ROUND(CAST(cs_item_rev AS DOUBLE) / CAST(ss_item_rev + cs_item_rev + ws_item_rev AS DOUBLE) / 3 * 100, 4) AS cs_dev,
+       |  CAST(ws_item_rev AS DOUBLE) AS ws_item_rev,
+       |  ROUND(CAST(ws_item_rev AS DOUBLE) / CAST(ss_item_rev + cs_item_rev + ws_item_rev AS DOUBLE) / 3 * 100, 4) AS ws_dev,
+       |  ROUND(CAST(ss_item_rev + cs_item_rev + ws_item_rev AS DOUBLE) / 3, 4) AS average
+       |FROM
+       | ${q58Chan("ss", "store_sales", "ss_sold_date_sk", "ss_item_sk", "ss_ext_sales_price")}
+       |JOIN
+       | ${q58Chan("cs", "catalog_sales", "cs_sold_date_sk", "cs_item_sk", "cs_ext_sales_price")}
+       |ON ss_items.item_id = cs_items.item_id
+       |JOIN
+       | ${q58Chan("ws", "web_sales", "ws_sold_date_sk", "ws_item_sk", "ws_ext_sales_price")}
+       |ON ss_items.item_id = ws_items.item_id
+       |WHERE ss_item_rev BETWEEN 0.5 * cs_item_rev AND 2.0 * cs_item_rev
+       |  AND ss_item_rev BETWEEN 0.5 * ws_item_rev AND 2.0 * ws_item_rev
+       |  AND cs_item_rev BETWEEN 0.5 * ss_item_rev AND 2.0 * ss_item_rev
+       |  AND cs_item_rev BETWEEN 0.5 * ws_item_rev AND 2.0 * ws_item_rev
+       |  AND ws_item_rev BETWEEN 0.5 * ss_item_rev AND 2.0 * ss_item_rev
+       |  AND ws_item_rev BETWEEN 0.5 * cs_item_rev AND 2.0 * cs_item_rev
+       |ORDER BY ss_items.item_id, ss_item_rev
+       |LIMIT 100"""
+
   val all: Seq[Qd] = Seq(
     q("q265_tpcds_q3", q3),
     q("q266_tpcds_q88", q88),
@@ -340,5 +466,9 @@ object Tpcds {
     q("q271_tpcds_q17", q17),
     q("q272_tpcds_q64", q64),
     q("q278_tpcds_q28", q28),
-    q("q279_tpcds_q70", q70))
+    q("q279_tpcds_q70", q70),
+    q("q281_tpcds_q32", q32),
+    q("q282_tpcds_q46", q46),
+    q("q283_tpcds_q94", q94),
+    q("q284_tpcds_q58", q58))
 }

@@ -38,6 +38,8 @@ object TpcdsLite {
         |  CAST((i #IDIV# 30) % 12 + 1 AS INT) AS d_moy,
         |  CAST(i % 30 + 1 AS INT) AS d_dom,
         |  CAST(1176 + i #IDIV# 30 AS INT) AS d_month_seq,
+        |  CAST(5270 + i #IDIV# 7 AS INT) AS d_week_seq,
+        |  CAST(i % 7 AS INT) AS d_dow,
         |  DATE '1998-01-01' + CAST(i AS INT) AS d_date,
         |  CAST(1998 + i #IDIV# 360 AS #STR#) || 'Q' ||
         |    CAST(((i #IDIV# 30) % 12) #IDIV# 3 + 1 AS #STR#) AS d_quarter_name
@@ -59,6 +61,7 @@ object TpcdsLite {
         |  'STORE' || CAST(i + 1 AS #STR#) AS s_store_name,
         |  'S' || CAST(i % 5 AS #STR#) AS s_state,
         |  'COUNTY' || CAST(i % 4 AS #STR#) AS s_county,
+        |  'CITY' || CAST(i % 60 AS #STR#) AS s_city,
         |  CAST(10000 + i AS #STR#) AS s_zip
         |FROM (SELECT #I# AS i FROM range(0, 10)) t""",
     "time_dim" ->
@@ -156,7 +159,9 @@ object TpcdsLite {
         |  CAST((i * 410) % 5000 + 1 AS INT) AS cs_bill_customer_sk,
         |  CAST((i * 89) % 20000 AS INT) AS cs_order_number,
         |  CAST(i % 80 + 1 AS INT) AS cs_quantity,
-        |  CAST(((i * 19) % 15000 + 500) / 100.0 AS DECIMAL(9,2)) AS cs_ext_list_price
+        |  CAST(((i * 19) % 15000 + 500) / 100.0 AS DECIMAL(9,2)) AS cs_ext_list_price,
+        |  CAST(((i * 23) % 5000) / 100.0 AS DECIMAL(9,2)) AS cs_ext_discount_amt,
+        |  CAST((i % 80 + 1) * (((i * 29) % 12000 + 100) / 100.0) AS DECIMAL(11,2)) AS cs_ext_sales_price
         |FROM (SELECT #I# AS i FROM range(0, 60000)) t""",
     // Returns mirror catalog row k = 10*m on (item, order); refund
     // magnitudes are sized well BELOW the list-price sums so the query64
@@ -168,12 +173,33 @@ object TpcdsLite {
         |  CAST(((i * 5) % 1500) / 100.0 AS DECIMAL(9,2)) AS cr_reversed_charge,
         |  CAST(((i * 3) % 1000) / 100.0 AS DECIMAL(9,2)) AS cr_store_credit
         |FROM (SELECT #I# AS i FROM range(0, 6000)) t""",
+    // Web order lines: ~3 lines per order ((i*89) % 20000 collides at
+    // stride 20000); ORDER-level attributes (ship addr/date, site) derive
+    // from the order number so an order ships as one unit, while the
+    // warehouse is LINE-level — split-warehouse orders exist by design
+    // (the reference query94/query95 EXISTS shape needs them).
     "web_sales" ->
       """SELECT CAST(2450815 + #H(substr(md5(CAST(i AS #STR#) || ':wsd'), 1, 15))H# % 1080 AS INT) AS ws_sold_date_sk,
         |  CAST(#H(substr(md5(CAST(i AS #STR#) || ':wit'), 1, 15))H# % 300 + 1 AS INT) AS ws_item_sk,
+        |  CAST(#H(substr(md5(CAST(i AS #STR#) || ':wba'), 1, 15))H# % 2500 + 1 AS INT) AS ws_bill_addr_sk,
+        |  CAST(onum AS INT) AS ws_order_number,
+        |  CAST(#H(substr(md5(CAST(i AS #STR#) || ':wwh'), 1, 15))H# % 5 + 1 AS INT) AS ws_warehouse_sk,
+        |  CAST(#H(substr(md5(CAST(onum AS #STR#) || ':wsa'), 1, 15))H# % 2500 + 1 AS INT) AS ws_ship_addr_sk,
+        |  CAST(2450815 + #H(substr(md5(CAST(onum AS #STR#) || ':wsp'), 1, 15))H# % 1080 AS INT) AS ws_ship_date_sk,
+        |  CAST(#H(substr(md5(CAST(onum AS #STR#) || ':wst'), 1, 15))H# % 8 + 1 AS INT) AS ws_web_site_sk,
         |  CAST(((i * 13) % 9000 + 100) / 100.0 AS DECIMAL(9,2)) AS ws_sales_price,
-        |  CAST((i % 99 + 1) * (((i * 13) % 9000 + 100) / 100.0) AS DECIMAL(11,2)) AS ws_ext_sales_price
-        |FROM (SELECT #I# AS i FROM range(0, 60000)) t""")
+        |  CAST((i % 99 + 1) * (((i * 13) % 9000 + 100) / 100.0) AS DECIMAL(11,2)) AS ws_ext_sales_price,
+        |  CAST(((i * 7) % 4000) / 100.0 AS DECIMAL(9,2)) AS ws_ext_ship_cost,
+        |  CAST((((i * 17) % 22000) - 11000) / 100.0 AS DECIMAL(9,2)) AS ws_net_profit
+        |FROM (SELECT #I# AS i, (#I# * 89) % 20000 AS onum FROM range(0, 60000)) t""",
+    "web_site" ->
+      """SELECT CAST(i + 1 AS INT) AS web_site_sk,
+        |  'WC' || CAST(i % 4 AS #STR#) AS web_company_name
+        |FROM (SELECT #I# AS i FROM range(0, 8)) t""",
+    // every ~10th web order has a return
+    "web_returns" ->
+      """SELECT CAST((i * 890) % 20000 AS INT) AS wr_order_number
+        |FROM (SELECT #I# AS i FROM range(0, 2000)) t""")
     .map { case (n, t) => n -> t.stripMargin }
 
   private def sparkSql(t: String): String =

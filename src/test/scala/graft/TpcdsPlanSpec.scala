@@ -45,7 +45,9 @@ class TpcdsPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("q267/q268/q270/q271/q272: no cartesian products, dims broadcast") {
     for (q <- Seq("q267_tpcds_q12", "q268_tpcds_q27", "q270_tpcds_q51",
-        "q271_tpcds_q17", "q272_tpcds_q64")) {
+        "q271_tpcds_q17", "q272_tpcds_q64", "q279_tpcds_q70",
+        "q281_tpcds_q32", "q282_tpcds_q46", "q283_tpcds_q94",
+        "q284_tpcds_q58")) {
       val s = finalPlan(q)
       assert(!s.contains("CartesianProduct"), s"$q planned a cartesian")
       assert(!s.contains("BroadcastNestedLoopJoin"), s"$q planned a BNLJ")
