@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.SparkSession
 
-/** TPC-DS perf-suite sample: 14 shape-diverse queries from the reference's
+/** TPC-DS perf-suite sample: 18 shape-diverse queries from the reference's
   * plan-golden corpus (`ql/src/test/queries/clientpositive/perf/query*.q`)
   * re-expressed over [[TpcdsLite]] and run as the SAME SQL text on Spark
   * and the DuckDB oracle (constants adapted to the lite instance's value
@@ -21,7 +21,11 @@ import org.apache.spark.sql.SparkSession
   * bought-vs-current city mismatch with customer_address in two roles
   * (query46), split-warehouse never-returned orders — semi + anti on the
   * same fact (query94), and the week-pegged three-channel revenue
-  * balance (query58).
+  * balance (query58), the distinct-projection anti chain counting
+  * store-only shoppers (query87), the store/catalog buyer-item overlap
+  * FULL OUTER with conditional membership counts (query97), monthly
+  * sales vs the rolling partition average (query89), and the per-store
+  * day-of-week conditional-aggregate pivot (query43).
   *
   * Scale: these are the canonical 100 TB star plans — the fact table is
   * partitioned on the date key (DPP prunes the scan through the date_dim
@@ -456,6 +460,102 @@ object Tpcds {
        |ORDER BY ss_items.item_id, ss_item_rev
        |LIMIT 100"""
 
+  // reference: perf/query87.q — customers-by-day who bought in store but
+  // in NEITHER other channel: distinct-projection anti chain (two LEFT
+  // OUTER + IS NULL over (name, date) triples), counted.
+  private def q87Chan(n: Int, fact: String, dateCol: String,
+      custCol: String): String =
+    s"""(SELECT DISTINCT c_last_name AS l$n, c_first_name AS f$n, d_date AS d$n
+       | FROM $fact
+       | JOIN date_dim ON $fact.$dateCol = date_dim.d_date_sk
+       | JOIN tpcds_customer ON $fact.$custCol = tpcds_customer.c_customer_sk
+       | WHERE d_month_seq BETWEEN 1176 AND 1187)"""
+
+  private val q87 =
+    s"""WITH #TABLES#
+       |SELECT COUNT(*) AS store_only_shoppers
+       |FROM ${q87Chan(1, "store_sales", "ss_sold_date_sk", "ss_customer_sk")} t1
+       |LEFT OUTER JOIN ${q87Chan(2, "catalog_sales", "cs_sold_date_sk", "cs_bill_customer_sk")} t2
+       |  ON t1.l1 = t2.l2 AND t1.f1 = t2.f2 AND t1.d1 = t2.d2
+       |LEFT OUTER JOIN ${q87Chan(3, "web_sales", "ws_sold_date_sk", "ws_bill_customer_sk")} t3
+       |  ON t1.l1 = t3.l3 AND t1.f1 = t3.f3 AND t1.d1 = t3.d3
+       |WHERE l2 IS NULL AND l3 IS NULL"""
+
+  // reference: perf/query97.q — store/catalog buyer-item overlap: FULL
+  // OUTER over the two channels' distinct (customer, item) sets with
+  // three conditional membership counts.
+  private val q97 =
+    """WITH #TABLES#
+      |SELECT
+      |  SUM(CASE WHEN ssci.customer_sk IS NOT NULL AND csci.customer_sk IS NULL
+      |      THEN 1 ELSE 0 END) AS store_only,
+      |  SUM(CASE WHEN ssci.customer_sk IS NULL AND csci.customer_sk IS NOT NULL
+      |      THEN 1 ELSE 0 END) AS catalog_only,
+      |  SUM(CASE WHEN ssci.customer_sk IS NOT NULL AND csci.customer_sk IS NOT NULL
+      |      THEN 1 ELSE 0 END) AS store_and_catalog
+      |FROM (SELECT ss_customer_sk AS customer_sk, ss_item_sk AS item_sk
+      |      FROM store_sales
+      |      JOIN date_dim ON store_sales.ss_sold_date_sk = date_dim.d_date_sk
+      |      WHERE d_month_seq BETWEEN 1176 AND 1187
+      |      GROUP BY ss_customer_sk, ss_item_sk) ssci
+      |FULL OUTER JOIN
+      |     (SELECT cs_bill_customer_sk AS customer_sk, cs_item_sk AS item_sk
+      |      FROM catalog_sales
+      |      JOIN date_dim ON catalog_sales.cs_sold_date_sk = date_dim.d_date_sk
+      |      WHERE d_month_seq BETWEEN 1176 AND 1187
+      |      GROUP BY cs_bill_customer_sk, cs_item_sk) csci
+      |ON ssci.customer_sk = csci.customer_sk AND ssci.item_sk = csci.item_sk"""
+
+  // reference: perf/query89.q — monthly brand-store sales vs the rolling
+  // yearly average over the same (brand, store) partition; keep rows
+  // deviating more than 10%.
+  private val q89 =
+    """WITH #TABLES#
+      |SELECT i_category, i_class, i_brand, s_store_name, s_company_name,
+      |  d_moy, CAST(sum_sales AS DOUBLE) AS sum_sales,
+      |  ROUND(avg_monthly_sales, 4) AS avg_monthly_sales
+      |FROM (
+      |  SELECT i_category, i_class, i_brand, s_store_name, s_company_name,
+      |    d_moy, SUM(ss_sales_price) AS sum_sales,
+      |    AVG(CAST(SUM(ss_sales_price) AS DOUBLE)) OVER
+      |      (PARTITION BY i_category, i_brand, s_store_name, s_company_name)
+      |      AS avg_monthly_sales
+      |  FROM item, store_sales, date_dim, store
+      |  WHERE ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+      |    AND ss_store_sk = s_store_sk
+      |    AND d_year IN (1998)
+      |    AND ((i_category IN ('CAT1', 'CAT2', 'CAT3')
+      |          AND i_class IN ('CLASS2', 'CLASS3', 'CLASS4'))
+      |      OR (i_category IN ('CAT5', 'CAT6', 'CAT7')
+      |          AND i_class IN ('CLASS5', 'CLASS6', 'CLASS7')))
+      |  GROUP BY i_category, i_class, i_brand, s_store_name, s_company_name,
+      |    d_moy) tmp1
+      |WHERE CASE WHEN avg_monthly_sales <> 0
+      |  THEN ABS(CAST(sum_sales AS DOUBLE) - avg_monthly_sales) / avg_monthly_sales
+      |  ELSE NULL END > 0.1
+      |ORDER BY i_category, i_class, i_brand, s_store_name, s_company_name,
+      |  d_moy, sum_sales
+      |LIMIT 100"""
+
+  // reference: perf/query43.q — per-store day-of-week sales pivot for one
+  // year (conditional-aggregate pivot over d_dow).
+  private val q43 =
+    """WITH #TABLES#
+      |SELECT s_store_name, s_store_sk,
+      |  CAST(SUM(CASE WHEN d_dow = 0 THEN ss_sales_price END) AS DOUBLE) AS sun_sales,
+      |  CAST(SUM(CASE WHEN d_dow = 1 THEN ss_sales_price END) AS DOUBLE) AS mon_sales,
+      |  CAST(SUM(CASE WHEN d_dow = 2 THEN ss_sales_price END) AS DOUBLE) AS tue_sales,
+      |  CAST(SUM(CASE WHEN d_dow = 3 THEN ss_sales_price END) AS DOUBLE) AS wed_sales,
+      |  CAST(SUM(CASE WHEN d_dow = 4 THEN ss_sales_price END) AS DOUBLE) AS thu_sales,
+      |  CAST(SUM(CASE WHEN d_dow = 5 THEN ss_sales_price END) AS DOUBLE) AS fri_sales,
+      |  CAST(SUM(CASE WHEN d_dow = 6 THEN ss_sales_price END) AS DOUBLE) AS sat_sales
+      |FROM date_dim, store_sales, store
+      |WHERE d_date_sk = ss_sold_date_sk AND s_store_sk = ss_store_sk
+      |  AND s_state = 'S1' AND d_year = 1998
+      |GROUP BY s_store_name, s_store_sk
+      |ORDER BY s_store_name, s_store_sk
+      |LIMIT 100"""
+
   val all: Seq[Qd] = Seq(
     q("q265_tpcds_q3", q3),
     q("q266_tpcds_q88", q88),
@@ -470,5 +570,9 @@ object Tpcds {
     q("q281_tpcds_q32", q32),
     q("q282_tpcds_q46", q46),
     q("q283_tpcds_q94", q94),
-    q("q284_tpcds_q58", q58))
+    q("q284_tpcds_q58", q58),
+    q("q285_tpcds_q87", q87),
+    q("q286_tpcds_q97", q97),
+    q("q287_tpcds_q89", q89),
+    q("q288_tpcds_q43", q43))
 }

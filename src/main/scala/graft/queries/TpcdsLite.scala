@@ -62,6 +62,7 @@ object TpcdsLite {
         |  'S' || CAST(i % 5 AS #STR#) AS s_state,
         |  'COUNTY' || CAST(i % 4 AS #STR#) AS s_county,
         |  'CITY' || CAST(i % 60 AS #STR#) AS s_city,
+        |  'COMP' || CAST(i % 3 AS #STR#) AS s_company_name,
         |  CAST(10000 + i AS #STR#) AS s_zip
         |FROM (SELECT #I# AS i FROM range(0, 10)) t""",
     "time_dim" ->
@@ -182,6 +183,7 @@ object TpcdsLite {
       """SELECT CAST(2450815 + #H(substr(md5(CAST(i AS #STR#) || ':wsd'), 1, 15))H# % 1080 AS INT) AS ws_sold_date_sk,
         |  CAST(#H(substr(md5(CAST(i AS #STR#) || ':wit'), 1, 15))H# % 300 + 1 AS INT) AS ws_item_sk,
         |  CAST(#H(substr(md5(CAST(i AS #STR#) || ':wba'), 1, 15))H# % 2500 + 1 AS INT) AS ws_bill_addr_sk,
+        |  CAST(#H(substr(md5(CAST(i AS #STR#) || ':wbc'), 1, 15))H# % 5000 + 1 AS INT) AS ws_bill_customer_sk,
         |  CAST(onum AS INT) AS ws_order_number,
         |  CAST(#H(substr(md5(CAST(i AS #STR#) || ':wwh'), 1, 15))H# % 5 + 1 AS INT) AS ws_warehouse_sk,
         |  CAST(#H(substr(md5(CAST(onum AS #STR#) || ':wsa'), 1, 15))H# % 2500 + 1 AS INT) AS ws_ship_addr_sk,

@@ -47,7 +47,8 @@ class TpcdsPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     for (q <- Seq("q267_tpcds_q12", "q268_tpcds_q27", "q270_tpcds_q51",
         "q271_tpcds_q17", "q272_tpcds_q64", "q279_tpcds_q70",
         "q281_tpcds_q32", "q282_tpcds_q46", "q283_tpcds_q94",
-        "q284_tpcds_q58")) {
+        "q284_tpcds_q58", "q285_tpcds_q87", "q286_tpcds_q97",
+        "q287_tpcds_q89", "q288_tpcds_q43")) {
       val s = finalPlan(q)
       assert(!s.contains("CartesianProduct"), s"$q planned a cartesian")
       assert(!s.contains("BroadcastNestedLoopJoin"), s"$q planned a BNLJ")
