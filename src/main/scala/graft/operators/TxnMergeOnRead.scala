@@ -824,6 +824,26 @@ object TxnMergeOnRead {
       .foreach(p => BloomIndex.collectAuto(spark, p, cols, bitsPerKey))
   }
 
+  /** (base dir name, insert-delta dir names) of the head snapshot —
+    * observability for specs probing per-dir index sidecars directly. */
+  def liveBase(spark: SparkSession, root: String): (String, Seq[String]) = {
+    val f = fs(spark, root)
+    val (base, deltas) = liveStateV(f, root, readView(f, root))
+    (base, deltas.values.toSeq.map(e => s"${e.dir}/insert"))
+  }
+
+  /** Build per-file EWAH posting sidecars ([[BitmapIndex]]) for `cols`
+    * over every live insert-bearing dir — the BITMAP index kind's build
+    * pass; rerun after compaction, like [[analyze]]/[[analyzeBloom]]. */
+  def analyzeBitmap(spark: SparkSession, root: String,
+      cols: Seq[String]): Unit = {
+    val f = fs(spark, root)
+    val (base, deltas) = liveStateV(f, root, readView(f, root))
+    (s"$root/$base" +: deltas.values.toSeq.map(e => s"$root/${e.dir}/insert"))
+      .filter(p => f.exists(new Path(p)))
+      .foreach(p => BitmapIndex.collect(spark, p, cols))
+  }
+
   /** Delete one kind of index sidecar dir (`_file_stats` /
     * `_bloom_index`) across the head snapshot's insert-bearing dirs —
     * DROP INDEX support. Metadata-only: pruned reads degrade to full
@@ -852,7 +872,8 @@ object TxnMergeOnRead {
         val n = s.getPath.getName
         s.isFile && !n.startsWith("_") && !n.startsWith(".")
       }
-      val kept = BloomIndex.survivors(spark, p, column, values)
+      val kept = BitmapIndex.survivors(spark, p, column, values)
+        .orElse(BloomIndex.survivors(spark, p, column, values))
         .map(_.size).getOrElse(total)
       (kept.toLong, total.toLong)
     }.foldLeft((0L, 0L)) { case ((k, t), (a, b)) => (k + a, t + b) }
@@ -900,8 +921,12 @@ object TxnMergeOnRead {
   def readPrunedPoint(spark: SparkSession, root: String, column: String,
       values: Seq[Any]): DataFrame = {
     require(values.nonEmpty, "readPrunedPoint needs at least one value")
+    // exact BITMAP postings outrank the probabilistic BLOOM filters when
+    // a dir carries both sidecars; either alone is authoritative for its
+    // own dir, a dir with neither scans in full
     readPrunedBy(spark, root,
-      p => BloomIndex.survivors(spark, p, column, values),
+      p => BitmapIndex.survivors(spark, p, column, values)
+        .orElse(BloomIndex.survivors(spark, p, column, values)),
       col(column).isin(values: _*))
   }
 
@@ -1183,10 +1208,35 @@ object TxnMergeOnRead {
         v = nview.lastVersion + 1
         val winning = addedColsV(f, root, nview)
           .map { case (n, t) => n.toLowerCase -> t }.toMap
-        val diverged = newCols.exists { case (n, t) =>
+        val divergedCols = newCols.filter { case (n, t) =>
           winning.get(n.toLowerCase).exists(w => !w.equalsIgnoreCase(t)) }
-        if (diverged)
+        if (divergedCols.nonEmpty) {
+          // the winning declaration may be NARROWER than ours (INT where
+          // we staged BIGINT): a plain cast would silently wrap/truncate
+          // values that don't fit — validate by round-trip (cast to the
+          // winning type and back must be value-preserving; NULL-safe so
+          // genuinely-null inputs pass) and fail the insert loudly instead
+          // of committing corrupted values (Delta fails or widens, never
+          // narrows silently)
+          val lossy = divergedCols.map { case (n, t) =>
+            val w = winning(n.toLowerCase)
+            !(col(n).cast(t).cast(w).cast(t) <=> col(n).cast(t))
+          }.reduce(_ || _)
+          if (!genApplied.filter(lossy).isEmpty) {
+            f.delete(new Path(s"$root/$dir"), true) // abandoned stage
+            throw new IllegalArgumentException(
+              s"insert into $root aborted: a concurrent writer declared " +
+              divergedCols.map { case (n, t) =>
+                s"$n as ${winning(n.toLowerCase)} (we staged $t)" }
+                .mkString(", ") +
+              " and at least one staged value does not fit the winning " +
+              "type; re-ingest with the declared type")
+          }
+          // the superseded stage dir is referenced by nothing — delete it
+          // before re-staging or every retry leaks an orphan dir
+          f.delete(new Path(s"$root/$dir"), true)
           dir = stage(spark, root, None, Some(withRid(castStage(winning), tag)))
+        }
       }
     }
   }

@@ -32,7 +32,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   VACUUM <table> RETAIN <n> VERSIONS [PRUNE LOG]    retention GC
   *   CHECKPOINT <table>                                explicit metadata fold
   *
-  *   CREATE INDEX <i> ON [TABLE] <t> (cols) AS 'COMPACT'|'BLOOM'
+  *   CREATE INDEX <i> ON [TABLE] <t> (cols) AS 'COMPACT'|'BLOOM'|'BITMAP'
   *     [WITH DEFERRED REBUILD]                         sidecar index DDL
   *   ALTER INDEX <i> ON <t> REBUILD                    (re)build sidecars
   *   DROP INDEX <i> ON <t>                             retire an index
@@ -110,19 +110,34 @@ object TxnSql {
     * (index name → (kind, cols)). The reference's CREATE INDEX surface
     * (`ql/.../index/compact/CompactIndexHandler.java:69` — a COMPACT
     * index materializes per-block metadata a point lookup consults before
-    * touching data; bloom variants ride ORC) re-expressed Spark-first:
-    * COMPACT → the [[DataSkipping]] min/max sidecars, BLOOM → the
-    * [[BloomIndex]] per-file filters, both composed onto the ACID
+    * touching data; bloom variants ride ORC; EWAH bitmaps via
+    * `ql/.../index/bitmap/BitmapIndexHandler.java:64`) re-expressed
+    * Spark-first: COMPACT → the [[DataSkipping]] min/max sidecars,
+    * BLOOM → the [[BloomIndex]] per-file filters, BITMAP → the
+    * [[BitmapIndex]] EWAH posting sidecars (exact low-cardinality
+    * pruning), all composed onto the ACID
     * snapshot by [[TxnMergeOnRead.readPruned]]/`readPrunedPoint`. The
     * registry is session-scoped like [[tables]] (the metastore analog);
     * the sidecars themselves live with the data. */
   private val indexes = new java.util.concurrent.ConcurrentHashMap[
     String, scala.collection.immutable.ListMap[String, (String, Seq[String])]]()
 
-  private def buildIndex(spark: SparkSession, root: String, kind: String,
-      cols: Seq[String]): Unit = kind match {
+  /** Columns every registered index of `kind` on `tname` covers — BLOOM
+    * and BITMAP sidecars are SHARED per dir and written with overwrite,
+    * so a (re)build must cover the UNION of all same-kind indexes'
+    * columns or building one index silently erases another's filters
+    * (results stay correct, pruning silently degrades). */
+  private def kindCols(tname: String, kind: String): Seq[String] =
+    Option(indexes.get(tname.toLowerCase)).toSeq
+      .flatMap(_.values.filter(_._1 == kind).flatMap(_._2)).distinct
+
+  private def buildIndex(spark: SparkSession, tname: String, root: String,
+      kind: String): Unit = kind match {
     case "COMPACT" => TxnMergeOnRead.analyze(spark, root)
-    case "BLOOM" => TxnMergeOnRead.analyzeBloom(spark, root, cols)
+    case "BLOOM" =>
+      TxnMergeOnRead.analyzeBloom(spark, root, kindCols(tname, kind))
+    case "BITMAP" =>
+      TxnMergeOnRead.analyzeBitmap(spark, root, kindCols(tname, kind))
   }
 
   /** SHOW INDEXES result frame for one table. */
@@ -139,22 +154,31 @@ object TxnSql {
   private def execIndexDdl(spark: SparkSession, s: String,
       up: String): DataFrame = {
     if (up.startsWith("CREATE INDEX")) {
-      // CREATE INDEX <i> ON [TABLE] <t> (cols) AS 'COMPACT'|'BLOOM'
+      // CREATE INDEX <i> ON [TABLE] <t> (cols) AS 'COMPACT'|'BLOOM'|'BITMAP'
       //   [WITH DEFERRED REBUILD]     (the reference's handler clause:
       //   deferred = declare now, build on ALTER INDEX ... REBUILD)
       val m = ("(?is)^CREATE\\s+INDEX\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+ON\\s+" +
         "(?:TABLE\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s*\\(([^)]*)\\)\\s+AS\\s+" +
         "'([A-Za-z]+)'(.*)$").r.findFirstMatchIn(s).getOrElse(fail(s,
-        "CREATE INDEX <i> ON <t> (cols) AS 'COMPACT'|'BLOOM' " +
+        "CREATE INDEX <i> ON <t> (cols) AS 'COMPACT'|'BLOOM'|'BITMAP' " +
           "[WITH DEFERRED REBUILD] expected"))
       val (iname, tname) = (m.group(1), m.group(2))
       val kind = m.group(4).toUpperCase
-      require(kind == "COMPACT" || kind == "BLOOM",
-        s"index kind must be 'COMPACT' or 'BLOOM' (got '${m.group(4)}'): $s")
+      require(Set("COMPACT", "BLOOM", "BITMAP")(kind),
+        s"index kind must be 'COMPACT', 'BLOOM' or 'BITMAP' " +
+          s"(got '${m.group(4)}'): $s")
       val cols = m.group(3).split(",")
         .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty).toSeq
       require(cols.nonEmpty, s"CREATE INDEX needs at least one column: $s")
       val root = resolve(tname, s)
+      // validate the column list against the live schema BEFORE mutating
+      // the registry: a failed build must not leave a phantom entry that
+      // SHOW INDEXES reports and a corrected re-CREATE trips over
+      val have = TxnMergeOnRead.read(spark, root).columns.map(_.toLowerCase).toSet
+      val missing = cols.filterNot(c => have(c.toLowerCase))
+      require(missing.isEmpty,
+        s"CREATE INDEX $iname: column(s) ${missing.mkString(", ")} " +
+          s"do not exist on $tname")
       indexes.compute(tname.toLowerCase, (_, old) => {
         val base = Option(old).getOrElse(
           scala.collection.immutable.ListMap.empty[String, (String, Seq[String])])
@@ -164,7 +188,15 @@ object TxnSql {
       })
       val deferred =
         "(?i)WITH\\s+DEFERRED\\s+REBUILD".r.findFirstIn(m.group(5)).isDefined
-      if (!deferred) buildIndex(spark, root, kind, cols)
+      if (!deferred)
+        try buildIndex(spark, tname, root, kind)
+        catch { case e: Throwable =>
+          // unwind the registration — a non-deferred CREATE either fully
+          // exists (entry + sidecars) or not at all
+          indexes.computeIfPresent(tname.toLowerCase,
+            (_, old) => old - iname.toLowerCase)
+          throw e
+        }
       showIndexes(spark, tname)
     } else if (up.startsWith("DROP INDEX")) {
       // DROP INDEX <i> ON <t> — unregister; physically retire the sidecar
@@ -186,8 +218,11 @@ object TxnSql {
       val stillNeeded = Option(indexes.get(tname.toLowerCase))
         .exists(_.values.exists(_._1 == kind))
       if (!stillNeeded)
-        TxnMergeOnRead.dropSidecars(spark, root,
-          if (kind == "BLOOM") BloomIndex.INDEX_DIR else DataSkipping.STATS_DIR)
+        TxnMergeOnRead.dropSidecars(spark, root, kind match {
+          case "BLOOM" => BloomIndex.INDEX_DIR
+          case "BITMAP" => BitmapIndex.INDEX_DIR
+          case _ => DataSkipping.STATS_DIR
+        })
       showIndexes(spark, tname)
     } else {
       // ALTER INDEX <i> ON <t> REBUILD — (re)build over the CURRENT live
@@ -200,8 +235,8 @@ object TxnSql {
       val reg = Option(indexes.get(tname.toLowerCase)).getOrElse(
         scala.collection.immutable.ListMap.empty[String, (String, Seq[String])])
       require(reg.contains(iname), s"no index $iname on $tname")
-      val (kind, cols) = reg(iname)
-      buildIndex(spark, root, kind, cols)
+      val kind = reg(iname)._1
+      buildIndex(spark, tname, root, kind)
       showIndexes(spark, tname)
     }
   }

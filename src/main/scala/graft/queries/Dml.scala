@@ -1300,6 +1300,64 @@ object Dml {
       res
     },
 
+    // BITMAP index lifecycle ([[graft.operators.BitmapIndex]] — the
+    // reference's third index handler, `BitmapIndexHandler.java:64`,
+    // EWAH posting lists keyed by the indexed value): a txn table
+    // range-clustered on a LOW-CARDINALITY column (3 order statuses) is
+    // built in two waves, indexed with CREATE INDEX ... AS 'BITMAP', and
+    // probed on the rarest status — the scan profile must prove EXACT
+    // file pruning (only the files whose postings contain 'P' are
+    // opened; bitmap pruning has no false-positive files), the posting
+    // cardinalities must equal the true row count, and DROP INDEX must
+    // degrade the probe back to a full — still correct — scan.
+    Qd("q289_txn_bitmap_index",
+      """WITH t AS (SELECT CAST(o_orderkey AS BIGINT) AS ok,
+        |           o_orderstatus AS st,
+        |           round(o_totalprice, 2) AS price FROM orders)
+        |SELECT st, CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(round(sum(price), 2) AS DOUBLE) AS sval
+        |FROM t WHERE st = 'P'
+        |GROUP BY st ORDER BY st""") { (s, dir) =>
+      val (sf, loc) = ctx(s, dir)
+      val root = s"$loc/g289_txn"
+      val tbl = s"g289_$sf"
+      def wave(pred: org.apache.spark.sql.Column) =
+        Engine.table(s, dir, "orders").filter(pred).select(
+            col("o_orderkey").cast("bigint").as("ok"),
+            col("o_orderstatus").as("st"),
+            round(col("o_totalprice"), 2).as("price"))
+          // range-cluster on the status: value-pure files, the layout a
+          // bitmap index prunes exactly (the analog of the reference
+          // rebuilding the index over bucketed/sorted data)
+          .repartitionByRange(4, col("st"), col("ok"))
+      TxnMergeOnRead.create(s, root, wave(col("o_orderkey") % 3 =!= 0)) // v1
+      graft.operators.TxnSql.register(tbl, root)
+      Engine.sql(s, dir,
+        s"INSERT INTO $tbl SELECT ok, st, price FROM (SELECT " +
+          "CAST(o_orderkey AS BIGINT) AS ok, o_orderstatus AS st, " +
+          "round(o_totalprice, 2) AS price FROM orders " +
+          "WHERE o_orderkey % 3 = 0) w")                               // v2
+      Engine.sql(s, dir, s"CREATE INDEX st_bitmap ON $tbl (st) AS 'BITMAP'")
+      val shown = Engine.sql(s, dir, s"SHOW INDEXES ON $tbl").collect()
+      require(shown.length == 1 && shown.head.getString(2) == "BITMAP",
+        s"SHOW INDEXES must list the bitmap index: ${shown.mkString}")
+      val pp = TxnMergeOnRead.scanProfilePoint(s, root, "st", Seq("P"))
+      require(pp._1 < pp._2, s"bitmap index must prune files, scanned $pp")
+      val res = TxnMergeOnRead.readPrunedPoint(s, root, "st", Seq("P"))
+        .groupBy("st")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("price")), 2).cast("double").as("sval"))
+        .orderBy("st")
+      val truth = res.collect() // eager: DROP below retires the sidecars
+      Engine.sql(s, dir, s"DROP INDEX st_bitmap ON $tbl")
+      val post = TxnMergeOnRead.scanProfilePoint(s, root, "st", Seq("P"))
+      require(post._1 == post._2,
+        s"a dropped bitmap index must stop pruning: $post")
+      require(truth.nonEmpty && truth.head.getLong(1) > 0,
+        "probe must find rows")
+      res
+    },
+
     // SCD Type-2 dimension maintenance via ONE MERGE per wave — the
     // canonical lakehouse pattern (Kimball type-2 history on a
     // merge-capable table): each update wave stages its CHANGED keys

@@ -487,12 +487,12 @@ object Tpcds {
   private val q97 =
     """WITH #TABLES#
       |SELECT
-      |  SUM(CASE WHEN ssci.customer_sk IS NOT NULL AND csci.customer_sk IS NULL
-      |      THEN 1 ELSE 0 END) AS store_only,
-      |  SUM(CASE WHEN ssci.customer_sk IS NULL AND csci.customer_sk IS NOT NULL
-      |      THEN 1 ELSE 0 END) AS catalog_only,
-      |  SUM(CASE WHEN ssci.customer_sk IS NOT NULL AND csci.customer_sk IS NOT NULL
-      |      THEN 1 ELSE 0 END) AS store_and_catalog
+      |  CAST(SUM(CASE WHEN ssci.customer_sk IS NOT NULL AND csci.customer_sk IS NULL
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS store_only,
+      |  CAST(SUM(CASE WHEN ssci.customer_sk IS NULL AND csci.customer_sk IS NOT NULL
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS catalog_only,
+      |  CAST(SUM(CASE WHEN ssci.customer_sk IS NOT NULL AND csci.customer_sk IS NOT NULL
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS store_and_catalog
       |FROM (SELECT ss_customer_sk AS customer_sk, ss_item_sk AS item_sk
       |      FROM store_sales
       |      JOIN date_dim ON store_sales.ss_sold_date_sk = date_dim.d_date_sk

@@ -261,6 +261,14 @@ object TpcdsLite {
     val dir = scratch
     val marker = new java.io.File(s"$dir/_LITE_READY")
     if (!marker.exists()) {
+      // Cross-process safety (bench + sbt test share this scratch): build
+      // into a process-private temp dir, then PUBLISH with one atomic
+      // rename — a concurrent reader either sees no dir (and builds its
+      // own candidate) or the complete one, never a half-written table.
+      // The loser's rename fails (target exists), it discards its
+      // candidate and reads the winner's.
+      val tmp = new java.io.File(
+        s"$dir.tmp-${java.lang.ProcessHandle.current().pid()}")
       gens.foreach { case (name, t) =>
         val df = spark.sql(sparkSql(t))
         if (name == "store_sales")
@@ -270,10 +278,19 @@ object TpcdsLite {
           // per partition dir
           df.repartition(org.apache.spark.sql.functions.col("ss_sold_date_sk"))
             .write.mode("overwrite").partitionBy("ss_sold_date_sk")
-            .parquet(s"$dir/$name")
-        else df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$name")
+            .parquet(s"$tmp/$name")
+        else df.coalesce(1).write.mode("overwrite").parquet(s"$tmp/$name")
       }
-      marker.createNewFile()
+      new java.io.File(tmp, "_LITE_READY").createNewFile()
+      if (!tmp.renameTo(new java.io.File(dir))) {
+        // another process published first — ours is redundant
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(tmp)
+        require(marker.exists(),
+          s"lite scratch $dir exists without a ready marker — remove it")
+      }
     }
     val key = s"${System.identityHashCode(spark)}:$dir"
     if (registered.add(key))
