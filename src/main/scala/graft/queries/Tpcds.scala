@@ -24,8 +24,16 @@ import org.apache.spark.sql.SparkSession
   * balance (query58), the distinct-projection anti chain counting
   * store-only shoppers (query87), the store/catalog buyer-item overlap
   * FULL OUTER with conditional membership counts (query97), monthly
-  * sales vs the rolling partition average (query89), and the per-store
-  * day-of-week conditional-aggregate pivot (query43).
+  * sales vs the rolling partition average (query89), the per-store
+  * day-of-week conditional-aggregate pivot (query43), the warehouse
+  * inventory-balance ratio band (query21), the item-hierarchy
+  * quantity-on-hand ROLLUP (query22), the inventory cov iceberg with
+  * adjacent-month self-join (query39), the suite's largest join tree —
+  * catalog sales × same-week inventory with three date_dim roles
+  * (query72), the 8-level ROLLUP with per-category top-100 RANK
+  * (query67), the split-warehouse-with-return double-EXISTS chain
+  * (query95), and the county quarter-over-quarter channel-growth
+  * comparison (query31).
   *
   * Scale: these are the canonical 100 TB star plans — the fact table is
   * partitioned on the date key (DPP prunes the scan through the date_dim
@@ -556,6 +564,203 @@ object Tpcds {
       |ORDER BY s_store_name, s_store_sk
       |LIMIT 100"""
 
+  // reference: perf/query21.q — warehouse inventory balance around a
+  // pivot date: before/after quantity sums per (warehouse, item), kept
+  // when the after/before ratio stays within [2/3, 3/2].
+  private val q21 =
+    """WITH #TABLES#
+      |SELECT * FROM (
+      |  SELECT w_warehouse_name, i_item_id,
+      |    CAST(SUM(CASE WHEN d_date < DATE '1998-03-01'
+      |         THEN inv_quantity_on_hand ELSE 0 END) AS BIGINT) AS inv_before,
+      |    CAST(SUM(CASE WHEN d_date >= DATE '1998-03-01'
+      |         THEN inv_quantity_on_hand ELSE 0 END) AS BIGINT) AS inv_after
+      |  FROM inventory, warehouse, item, date_dim
+      |  WHERE i_current_price BETWEEN 10.00 AND 35.00
+      |    AND item.i_item_sk = inventory.inv_item_sk
+      |    AND inventory.inv_warehouse_sk = warehouse.w_warehouse_sk
+      |    AND inventory.inv_date_sk = date_dim.d_date_sk
+      |    AND d_date BETWEEN DATE '1998-01-30' AND DATE '1998-03-31'
+      |  GROUP BY w_warehouse_name, i_item_id) x
+      |WHERE (CASE WHEN inv_before > 0
+      |       THEN CAST(inv_after AS DOUBLE) / inv_before ELSE NULL END)
+      |  BETWEEN 2.0/3.0 AND 3.0/2.0
+      |ORDER BY w_warehouse_name, i_item_id
+      |LIMIT 100"""
+
+  // reference: perf/query22.q — average quantity-on-hand ROLLUP over the
+  // full item hierarchy for a 12-month window.
+  private val q22 =
+    """WITH #TABLES#
+      |SELECT i_product_name, i_brand, i_class, i_category,
+      |  ROUND(AVG(inv_quantity_on_hand), 4) AS qoh
+      |FROM inventory, date_dim, item, warehouse
+      |WHERE inv_date_sk = d_date_sk AND inv_item_sk = i_item_sk
+      |  AND inv_warehouse_sk = w_warehouse_sk
+      |  AND d_month_seq BETWEEN 1176 AND 1187
+      |GROUP BY ROLLUP(i_product_name, i_brand, i_class, i_category)
+      |ORDER BY qoh, i_product_name NULLS FIRST, i_brand NULLS FIRST,
+      |  i_class NULLS FIRST, i_category NULLS FIRST
+      |LIMIT 100"""
+
+  // reference: perf/query39.q — the inventory iceberg: per (warehouse,
+  // item, month) quantity cov = stddev/mean, groups above 1 self-joined
+  // across adjacent months (the spiky lite quantity distribution exists
+  // for exactly this filter).
+  private val q39 =
+    """WITH #TABLES#,
+      |inv AS (
+      |  SELECT w_warehouse_sk, i_item_sk, d_moy,
+      |    ROUND(AVG(CAST(inv_quantity_on_hand AS DOUBLE)), 4) AS mean,
+      |    ROUND(CASE WHEN AVG(inv_quantity_on_hand) = 0 THEN NULL
+      |      ELSE STDDEV_SAMP(inv_quantity_on_hand) / AVG(inv_quantity_on_hand)
+      |      END, 4) AS cov
+      |  FROM inventory, item, warehouse, date_dim
+      |  WHERE inv_item_sk = i_item_sk AND inv_warehouse_sk = w_warehouse_sk
+      |    AND inv_date_sk = d_date_sk AND d_year = 1998
+      |  GROUP BY w_warehouse_sk, i_item_sk, d_moy
+      |  HAVING CASE WHEN AVG(inv_quantity_on_hand) = 0 THEN 0
+      |         ELSE STDDEV_SAMP(inv_quantity_on_hand) / AVG(inv_quantity_on_hand)
+      |         END > 1)
+      |SELECT inv1.w_warehouse_sk AS w1, inv1.i_item_sk AS i1,
+      |  inv1.d_moy AS moy1, inv1.mean AS mean1, inv1.cov AS cov1,
+      |  inv2.d_moy AS moy2, inv2.mean AS mean2, inv2.cov AS cov2
+      |FROM inv inv1, inv inv2
+      |WHERE inv1.i_item_sk = inv2.i_item_sk
+      |  AND inv1.w_warehouse_sk = inv2.w_warehouse_sk
+      |  AND inv1.d_moy = 3 AND inv2.d_moy = 4
+      |ORDER BY w1, i1
+      |LIMIT 100"""
+
+  // reference: perf/query72.q — the suite's largest join tree: catalog
+  // sales against same-week inventory across every warehouse, double
+  // demographic screens, three date_dim roles (sold/snapshot/ship) with
+  // the ship-lag predicate, LEFT OUTER promotion and returns.
+  private val q72 =
+    """WITH #TABLES#
+      |SELECT i_item_desc, w_warehouse_name, d1.d_week_seq AS week_seq,
+      |  CAST(COUNT(CASE WHEN p_promo_sk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS no_promo,
+      |  CAST(COUNT(CASE WHEN p_promo_sk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS promo,
+      |  CAST(COUNT(*) AS BIGINT) AS total_cnt
+      |FROM catalog_sales
+      |JOIN inventory ON (catalog_sales.cs_item_sk = inventory.inv_item_sk)
+      |JOIN warehouse ON (warehouse.w_warehouse_sk = inventory.inv_warehouse_sk)
+      |JOIN item ON (item.i_item_sk = catalog_sales.cs_item_sk)
+      |JOIN customer_demographics
+      |  ON (catalog_sales.cs_bill_cdemo_sk = customer_demographics.cd_demo_sk)
+      |JOIN household_demographics
+      |  ON (catalog_sales.cs_bill_hdemo_sk = household_demographics.hd_demo_sk)
+      |JOIN date_dim d1 ON (catalog_sales.cs_sold_date_sk = d1.d_date_sk)
+      |JOIN date_dim d2 ON (inventory.inv_date_sk = d2.d_date_sk)
+      |JOIN date_dim d3 ON (catalog_sales.cs_ship_date_sk = d3.d_date_sk)
+      |LEFT OUTER JOIN promotion ON (catalog_sales.cs_promo_sk = promotion.p_promo_sk)
+      |LEFT OUTER JOIN catalog_returns
+      |  ON (catalog_returns.cr_item_sk = catalog_sales.cs_item_sk
+      |    AND catalog_returns.cr_order_number = catalog_sales.cs_order_number)
+      |WHERE d1.d_week_seq = d2.d_week_seq
+      |  AND inv_quantity_on_hand < cs_quantity
+      |  AND d3.d_date > d1.d_date + 5
+      |  AND hd_buy_potential = 'BP1'
+      |  AND d1.d_year = 1998
+      |  AND cd_marital_status = 'MS2'
+      |GROUP BY i_item_desc, w_warehouse_name, d1.d_week_seq
+      |ORDER BY total_cnt DESC, i_item_desc, w_warehouse_name, week_seq
+      |LIMIT 100"""
+
+  // reference: perf/query67.q — 8-level ROLLUP over the full item/time/
+  // store hierarchy, top-100 RANK within each category partition.
+  private val q67 =
+    """WITH #TABLES#,
+      |dw1 AS (
+      |  SELECT i_category, i_class, i_brand, i_product_name,
+      |    d_year, d_qoy, d_moy, s_store_id,
+      |    CAST(SUM(COALESCE(ss_sales_price * ss_quantity, 0)) AS DOUBLE) AS sumsales
+      |  FROM store_sales, date_dim, store, item
+      |  WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+      |    AND ss_store_sk = s_store_sk
+      |    AND d_month_seq BETWEEN 1176 AND 1187
+      |  GROUP BY ROLLUP(i_category, i_class, i_brand, i_product_name,
+      |    d_year, d_qoy, d_moy, s_store_id)),
+      |dw2 AS (
+      |  SELECT dw1.*, RANK() OVER (PARTITION BY i_category
+      |    ORDER BY sumsales DESC) AS rk FROM dw1)
+      |SELECT i_category, i_class, i_brand, i_product_name,
+      |  d_year, d_qoy, d_moy, s_store_id, sumsales, rk
+      |FROM dw2
+      |WHERE rk <= 100
+      |ORDER BY i_category NULLS FIRST, i_class NULLS FIRST,
+      |  i_brand NULLS FIRST, i_product_name NULLS FIRST,
+      |  d_year NULLS FIRST, d_qoy NULLS FIRST, d_moy NULLS FIRST,
+      |  s_store_id NULLS FIRST, sumsales, rk
+      |LIMIT 100"""
+
+  // reference: perf/query95.q — orders shipped from MORE THAN ONE
+  // warehouse (self-join on order number, warehouse inequality) that
+  // also have a return: the double-EXISTS chain over one fact, with the
+  // multi-warehouse set reused by both membership tests.
+  private val q95 =
+    """WITH #TABLES#,
+      |ws_wh AS (SELECT ws1.ws_order_number AS ws_order_number
+      |  FROM web_sales ws1, web_sales ws2
+      |  WHERE ws1.ws_order_number = ws2.ws_order_number
+      |    AND ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
+      |SELECT CAST(COUNT(DISTINCT ws1.ws_order_number) AS BIGINT) AS order_count,
+      |  CAST(SUM(ws1.ws_ext_ship_cost) AS DOUBLE) AS total_shipping_cost,
+      |  CAST(SUM(ws1.ws_net_profit) AS DOUBLE) AS total_net_profit
+      |FROM web_sales ws1
+      |JOIN customer_address ca ON (ws1.ws_ship_addr_sk = ca.ca_address_sk)
+      |JOIN web_site s ON (ws1.ws_web_site_sk = s.web_site_sk)
+      |JOIN date_dim d ON (ws1.ws_ship_date_sk = d.d_date_sk)
+      |WHERE d.d_date BETWEEN DATE '1998-02-01' AND DATE '1998-03-31'
+      |  AND ca.ca_state = 'S2'
+      |  AND s.web_company_name = 'WC1'
+      |  AND ws1.ws_order_number IN (SELECT ws_order_number FROM ws_wh)
+      |  AND ws1.ws_order_number IN (SELECT wr_order_number FROM web_returns wr
+      |    JOIN ws_wh ON wr.wr_order_number = ws_wh.ws_order_number)"""
+
+  // reference: perf/query31.q — county quarter-over-quarter growth: web
+  // growth must beat store growth across BOTH q1→q2 and q2→q3 (six
+  // instances of two shared channel aggregates joined on county).
+  private val q31 =
+    """WITH #TABLES#,
+      |ss AS (SELECT ca_county, d_qoy, d_year,
+      |    CAST(SUM(ss_ext_sales_price) AS DOUBLE) AS store_sales
+      |  FROM store_sales, date_dim, customer_address
+      |  WHERE ss_sold_date_sk = d_date_sk AND ss_addr_sk = ca_address_sk
+      |  GROUP BY ca_county, d_qoy, d_year),
+      |ws AS (SELECT ca_county, d_qoy, d_year,
+      |    CAST(SUM(ws_ext_sales_price) AS DOUBLE) AS web_sales
+      |  FROM web_sales, date_dim, customer_address
+      |  WHERE ws_sold_date_sk = d_date_sk AND ws_bill_addr_sk = ca_address_sk
+      |  GROUP BY ca_county, d_qoy, d_year)
+      |SELECT ss1.ca_county, ss1.d_year,
+      |  ROUND(ws2.web_sales / ws1.web_sales, 4) AS web_q1_q2_increase,
+      |  ROUND(ss2.store_sales / ss1.store_sales, 4) AS store_q1_q2_increase,
+      |  ROUND(ws3.web_sales / ws2.web_sales, 4) AS web_q2_q3_increase,
+      |  ROUND(ss3.store_sales / ss2.store_sales, 4) AS store_q2_q3_increase
+      |FROM ss ss1, ss ss2, ss ss3, ws ws1, ws ws2, ws ws3
+      |WHERE ss1.d_qoy = 1 AND ss1.d_year = 1998
+      |  AND ss1.ca_county = ss2.ca_county
+      |  AND ss2.d_qoy = 2 AND ss2.d_year = 1998
+      |  AND ss2.ca_county = ss3.ca_county
+      |  AND ss3.d_qoy = 3 AND ss3.d_year = 1998
+      |  AND ss1.ca_county = ws1.ca_county
+      |  AND ws1.d_qoy = 1 AND ws1.d_year = 1998
+      |  AND ws1.ca_county = ws2.ca_county
+      |  AND ws2.d_qoy = 2 AND ws2.d_year = 1998
+      |  AND ws1.ca_county = ws3.ca_county
+      |  AND ws3.d_qoy = 3 AND ws3.d_year = 1998
+      |  AND CASE WHEN ws1.web_sales > 0
+      |      THEN ws2.web_sales / ws1.web_sales ELSE NULL END >
+      |      CASE WHEN ss1.store_sales > 0
+      |      THEN ss2.store_sales / ss1.store_sales ELSE NULL END
+      |  AND CASE WHEN ws2.web_sales > 0
+      |      THEN ws3.web_sales / ws2.web_sales ELSE NULL END >
+      |      CASE WHEN ss2.store_sales > 0
+      |      THEN ss3.store_sales / ss2.store_sales ELSE NULL END
+      |ORDER BY ss1.ca_county
+      |LIMIT 100"""
+
   val all: Seq[Qd] = Seq(
     q("q265_tpcds_q3", q3),
     q("q266_tpcds_q88", q88),
@@ -574,5 +779,12 @@ object Tpcds {
     q("q285_tpcds_q87", q87),
     q("q286_tpcds_q97", q97),
     q("q287_tpcds_q89", q89),
-    q("q288_tpcds_q43", q43))
+    q("q288_tpcds_q43", q43),
+    q("q290_tpcds_q21", q21),
+    q("q291_tpcds_q22", q22),
+    q("q292_tpcds_q39", q39),
+    q("q293_tpcds_q72", q72),
+    q("q294_tpcds_q67", q67),
+    q("q295_tpcds_q95", q95),
+    q("q296_tpcds_q31", q31))
 }

@@ -40,6 +40,7 @@ object TpcdsLite {
         |  CAST(1176 + i #IDIV# 30 AS INT) AS d_month_seq,
         |  CAST(5270 + i #IDIV# 7 AS INT) AS d_week_seq,
         |  CAST(i % 7 AS INT) AS d_dow,
+        |  CAST(((i #IDIV# 30) % 12) #IDIV# 3 + 1 AS INT) AS d_qoy,
         |  DATE '1998-01-01' + CAST(i AS INT) AS d_date,
         |  CAST(1998 + i #IDIV# 360 AS #STR#) || 'Q' ||
         |    CAST(((i #IDIV# 30) % 12) #IDIV# 3 + 1 AS #STR#) AS d_quarter_name
@@ -58,6 +59,7 @@ object TpcdsLite {
         |FROM (SELECT #I# AS i FROM range(0, 300)) t""",
     "store" ->
       """SELECT CAST(i + 1 AS INT) AS s_store_sk,
+        |  'ST' || CAST(i + 1 AS #STR#) AS s_store_id,
         |  'STORE' || CAST(i + 1 AS #STR#) AS s_store_name,
         |  'S' || CAST(i % 5 AS #STR#) AS s_state,
         |  'COUNTY' || CAST(i % 4 AS #STR#) AS s_county,
@@ -100,6 +102,7 @@ object TpcdsLite {
         |  CAST(i % 999 + 1 AS #STR#) AS ca_street_number,
         |  'STREET' || CAST(i % 50 AS #STR#) AS ca_street_name,
         |  'CITY' || CAST(i % 60 AS #STR#) AS ca_city,
+        |  'COUNTY' || CAST(i % 8 AS #STR#) AS ca_county,
         |  CAST(10000 + i % 900 AS #STR#) AS ca_zip,
         |  'S' || CAST(i % 5 AS #STR#) AS ca_state
         |FROM (SELECT #I# AS i FROM range(0, 2500)) t""",
@@ -156,8 +159,13 @@ object TpcdsLite {
     // shapes (reference query17/query29) have non-empty joins by design.
     "catalog_sales" ->
       """SELECT CAST(2450815 + #H(substr(md5(CAST(i AS #STR#) || ':csd'), 1, 15))H# % 1080 AS INT) AS cs_sold_date_sk,
+        |  CAST(2450815 + #H(substr(md5(CAST(i AS #STR#) || ':csd'), 1, 15))H# % 1080
+        |       + #H(substr(md5(CAST(i AS #STR#) || ':csq'), 1, 15))H# % 30 AS INT) AS cs_ship_date_sk,
         |  CAST(#H(substr(md5(CAST(i * 10 AS #STR#) || ':itm'), 1, 15))H# % 300 + 1 AS INT) AS cs_item_sk,
         |  CAST((i * 410) % 5000 + 1 AS INT) AS cs_bill_customer_sk,
+        |  CAST(#H(substr(md5(CAST(i AS #STR#) || ':ccd'), 1, 15))H# % 1920 + 1 AS INT) AS cs_bill_cdemo_sk,
+        |  CAST(#H(substr(md5(CAST(i AS #STR#) || ':chd'), 1, 15))H# % 720 + 1 AS INT) AS cs_bill_hdemo_sk,
+        |  CAST(#H(substr(md5(CAST(i AS #STR#) || ':cpr'), 1, 15))H# % 40 + 1 AS INT) AS cs_promo_sk,
         |  CAST((i * 89) % 20000 AS INT) AS cs_order_number,
         |  CAST(i % 80 + 1 AS INT) AS cs_quantity,
         |  CAST(((i * 19) % 15000 + 500) / 100.0 AS DECIMAL(9,2)) AS cs_ext_list_price,
@@ -194,6 +202,27 @@ object TpcdsLite {
         |  CAST(((i * 7) % 4000) / 100.0 AS DECIMAL(9,2)) AS ws_ext_ship_cost,
         |  CAST((((i * 17) % 22000) - 11000) / 100.0 AS DECIMAL(9,2)) AS ws_net_profit
         |FROM (SELECT #I# AS i, (#I# * 89) % 20000 AS onum FROM range(0, 60000)) t""",
+    "warehouse" ->
+      """SELECT CAST(i + 1 AS INT) AS w_warehouse_sk,
+        |  'WH' || CAST(i + 1 AS #STR#) AS w_warehouse_name,
+        |  'S' || CAST(i % 5 AS #STR#) AS w_state
+        |FROM (SELECT #I# AS i FROM range(0, 5)) t""",
+    // Weekly snapshot fact (TPC-DS inventory): one row per (week, item,
+    // warehouse) over the full 154-week calendar — 231k rows. The
+    // quantity is deliberately SPIKY (1-in-9 rows jump to the 0..999
+    // range, the rest sit in 0..39): the query39 iceberg needs per-group
+    // cov = stddev/mean > 1, the query72 screen needs quantities below
+    // typical order sizes, and the query82 band (100..500) needs a thin
+    // selective slice — one distribution serves all three.
+    "inventory" ->
+      """SELECT CAST(2450815 + (i #IDIV# 1500) * 7 AS INT) AS inv_date_sk,
+        |  CAST((i % 1500) % 300 + 1 AS INT) AS inv_item_sk,
+        |  CAST((i % 1500) #IDIV# 300 + 1 AS INT) AS inv_warehouse_sk,
+        |  CAST(CASE WHEN #H(substr(md5(CAST(i AS #STR#) || ':inq'), 1, 15))H# % 9 = 0
+        |       THEN #H(substr(md5(CAST(i AS #STR#) || ':inv'), 1, 15))H# % 1000
+        |       ELSE #H(substr(md5(CAST(i AS #STR#) || ':inv'), 1, 15))H# % 40
+        |       END AS INT) AS inv_quantity_on_hand
+        |FROM (SELECT #I# AS i FROM range(0, 231000)) t""",
     "web_site" ->
       """SELECT CAST(i + 1 AS INT) AS web_site_sk,
         |  'WC' || CAST(i % 4 AS #STR#) AS web_company_name

@@ -48,7 +48,9 @@ class TpcdsPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         "q271_tpcds_q17", "q272_tpcds_q64", "q279_tpcds_q70",
         "q281_tpcds_q32", "q282_tpcds_q46", "q283_tpcds_q94",
         "q284_tpcds_q58", "q285_tpcds_q87", "q286_tpcds_q97",
-        "q287_tpcds_q89", "q288_tpcds_q43")) {
+        "q287_tpcds_q89", "q288_tpcds_q43", "q290_tpcds_q21",
+        "q291_tpcds_q22", "q292_tpcds_q39", "q293_tpcds_q72",
+        "q294_tpcds_q67", "q295_tpcds_q95", "q296_tpcds_q31")) {
       val s = finalPlan(q)
       assert(!s.contains("CartesianProduct"), s"$q planned a cartesian")
       assert(!s.contains("BroadcastNestedLoopJoin"), s"$q planned a BNLJ")
