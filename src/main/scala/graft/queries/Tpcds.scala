@@ -32,8 +32,12 @@ import org.apache.spark.sql.SparkSession
   * catalog sales × same-week inventory with three date_dim roles
   * (query72), the 8-level ROLLUP with per-category top-100 RANK
   * (query67), the split-warehouse-with-return double-EXISTS chain
-  * (query95), and the county quarter-over-quarter channel-growth
-  * comparison (query31).
+  * (query95), the county quarter-over-quarter channel-growth
+  * comparison (query31), the inventory-band × sold-in-store item screen
+  * (query82), the refund-netted before/after warehouse pivot (query40),
+  * the return-lag day-band pivot over the (ticket, item, customer)
+  * triple (query50), and the warehouse 36-column monthly pivot with
+  * per-square-foot ratios over two UNION ALL'd channels (query66).
   *
   * Scale: these are the canonical 100 TB star plans — the fact table is
   * partitioned on the date key (DPP prunes the scan through the date_dim
@@ -761,6 +765,133 @@ object Tpcds {
       |ORDER BY ss1.ca_county
       |LIMIT 100"""
 
+  // reference: perf/query82.q — items in a price/manufacturer slice whose
+  // on-hand inventory sat in the 100..500 band during a 60-day window AND
+  // that actually sold in store (the inventory×sales semi screen).
+  private val q82 =
+    """WITH #TABLES#
+      |SELECT i_item_id, i_item_desc,
+      |  CAST(i_current_price AS DOUBLE) AS i_current_price
+      |FROM item, inventory, date_dim, store_sales
+      |WHERE i_current_price BETWEEN 30 AND 60
+      |  AND inv_item_sk = i_item_sk
+      |  AND d_date_sk = inv_date_sk
+      |  AND d_date BETWEEN DATE '1998-05-30' AND DATE '1998-07-30'
+      |  AND i_manufact_id IN (7, 12, 27, 33)
+      |  AND inv_quantity_on_hand BETWEEN 100 AND 500
+      |  AND ss_item_sk = i_item_sk
+      |GROUP BY i_item_id, i_item_desc, i_current_price
+      |ORDER BY i_item_id
+      |LIMIT 100"""
+
+  // reference: perf/query40.q — catalog sales net of refunds around a
+  // pivot date, per (warehouse state, item): LEFT OUTER returns, the
+  // before/after conditional pivot.
+  private val q40 =
+    """WITH #TABLES#
+      |SELECT w_state, i_item_id,
+      |  CAST(SUM(CASE WHEN d_date < DATE '1998-04-08'
+      |    THEN cs_sales_price - COALESCE(cr_refunded_cash, 0)
+      |    ELSE 0 END) AS DOUBLE) AS sales_before,
+      |  CAST(SUM(CASE WHEN d_date >= DATE '1998-04-08'
+      |    THEN cs_sales_price - COALESCE(cr_refunded_cash, 0)
+      |    ELSE 0 END) AS DOUBLE) AS sales_after
+      |FROM catalog_sales
+      |LEFT OUTER JOIN catalog_returns
+      |  ON (catalog_sales.cs_order_number = catalog_returns.cr_order_number
+      |    AND catalog_sales.cs_item_sk = catalog_returns.cr_item_sk),
+      |  warehouse, item, date_dim
+      |WHERE i_current_price BETWEEN 20.00 AND 30.00
+      |  AND item.i_item_sk = catalog_sales.cs_item_sk
+      |  AND catalog_sales.cs_warehouse_sk = warehouse.w_warehouse_sk
+      |  AND catalog_sales.cs_sold_date_sk = date_dim.d_date_sk
+      |  AND d_date BETWEEN DATE '1998-03-09' AND DATE '1998-05-08'
+      |GROUP BY w_state, i_item_id
+      |ORDER BY w_state, i_item_id
+      |LIMIT 100"""
+
+  // reference: perf/query50.q — return-lag buckets per store: sales
+  // joined to their returns on the (ticket, item, customer) triple, the
+  // lag counted into 30-day bands, one row per full store address.
+  private val q50 =
+    """WITH #TABLES#
+      |SELECT s_store_name, s_company_id, s_street_number, s_street_name,
+      |  s_street_type, s_suite_number, s_city, s_county, s_state, s_zip,
+      |  CAST(SUM(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk <= 30)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+      |  CAST(SUM(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk > 30)
+      |    AND (sr_returned_date_sk - ss_sold_date_sk <= 60)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS d31_60,
+      |  CAST(SUM(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk > 60)
+      |    AND (sr_returned_date_sk - ss_sold_date_sk <= 90)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS d61_90,
+      |  CAST(SUM(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk > 90)
+      |    AND (sr_returned_date_sk - ss_sold_date_sk <= 120)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS d91_120,
+      |  CAST(SUM(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk > 120)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS d_over_120
+      |FROM store_sales, store_returns, store, date_dim d1, date_dim d2
+      |WHERE d2.d_year = 1998 AND d2.d_moy = 9
+      |  AND ss_ticket_number = sr_ticket_number
+      |  AND ss_item_sk = sr_item_sk
+      |  AND ss_sold_date_sk = d1.d_date_sk
+      |  AND sr_returned_date_sk = d2.d_date_sk
+      |  AND ss_customer_sk = sr_customer_sk
+      |  AND ss_store_sk = store.s_store_sk
+      |GROUP BY s_store_name, s_company_id, s_street_number, s_street_name,
+      |  s_street_type, s_suite_number, s_city, s_county, s_state, s_zip
+      |ORDER BY s_store_name, s_company_id, s_street_number, s_street_name,
+      |  s_street_type, s_suite_number, s_city, s_county, s_state, s_zip
+      |LIMIT 100"""
+
+  // reference: perf/query66.q — the warehouse 36-column monthly pivot:
+  // per-channel 12-month CASE sums (sales + net) UNION ALL'd, then
+  // re-aggregated per warehouse with the per-square-foot ratios.
+  private def q66Pivot(expr: String, alias: String): String =
+    (1 to 12).map(m =>
+      s"SUM(CASE WHEN d_moy = $m THEN $expr ELSE 0 END) AS ${alias}$m")
+      .mkString(",\n      |    ")
+
+  private def q66Outer(f: Int => String): String =
+    (1 to 12).map(f).mkString(",\n      |  ")
+
+  private val q66 =
+    s"""WITH #TABLES#,
+       |chan AS (
+       |  SELECT w_warehouse_name, w_warehouse_sq_ft, w_city, w_county,
+       |    w_state, w_country, 'WEB,CATALOG' AS ship_carriers,
+       |    d_year AS yr,
+       |    ${q66Pivot("ws_ext_sales_price", "s")},
+       |    ${q66Pivot("ws_net_profit", "n")}
+       |  FROM web_sales, warehouse, date_dim
+       |  WHERE ws_warehouse_sk = w_warehouse_sk
+       |    AND ws_sold_date_sk = d_date_sk AND d_year = 1998
+       |  GROUP BY w_warehouse_name, w_warehouse_sq_ft, w_city, w_county,
+       |    w_state, w_country, d_year
+       |  UNION ALL
+       |  SELECT w_warehouse_name, w_warehouse_sq_ft, w_city, w_county,
+       |    w_state, w_country, 'WEB,CATALOG' AS ship_carriers,
+       |    d_year AS yr,
+       |    ${q66Pivot("cs_ext_sales_price", "s")},
+       |    ${q66Pivot("cs_ext_discount_amt", "n")}
+       |  FROM catalog_sales, warehouse, date_dim
+       |  WHERE cs_warehouse_sk = w_warehouse_sk
+       |    AND cs_sold_date_sk = d_date_sk AND d_year = 1998
+       |  GROUP BY w_warehouse_name, w_warehouse_sq_ft, w_city, w_county,
+       |    w_state, w_country, d_year)
+       |SELECT w_warehouse_name, w_warehouse_sq_ft, w_city, w_county,
+       |  w_state, w_country, ship_carriers, yr,
+       |  ${q66Outer(m => s"CAST(SUM(s$m) AS DOUBLE) AS sales$m")},
+       |  ${q66Outer(m =>
+              s"ROUND(SUM(CAST(s$m AS DOUBLE) / w_warehouse_sq_ft), 4)" +
+                s" AS sqft$m")},
+       |  ${q66Outer(m => s"CAST(SUM(n$m) AS DOUBLE) AS net$m")}
+       |FROM chan
+       |GROUP BY w_warehouse_name, w_warehouse_sq_ft, w_city, w_county,
+       |  w_state, w_country, ship_carriers, yr
+       |ORDER BY w_warehouse_name
+       |LIMIT 100"""
+
   val all: Seq[Qd] = Seq(
     q("q265_tpcds_q3", q3),
     q("q266_tpcds_q88", q88),
@@ -786,5 +917,9 @@ object Tpcds {
     q("q293_tpcds_q72", q72),
     q("q294_tpcds_q67", q67),
     q("q295_tpcds_q95", q95),
-    q("q296_tpcds_q31", q31))
+    q("q296_tpcds_q31", q31),
+    q("q297_tpcds_q82", q82),
+    q("q298_tpcds_q40", q40),
+    q("q299_tpcds_q50", q50),
+    q("q300_tpcds_q66", q66))
 }

@@ -60,6 +60,11 @@ object TpcdsLite {
     "store" ->
       """SELECT CAST(i + 1 AS INT) AS s_store_sk,
         |  'ST' || CAST(i + 1 AS #STR#) AS s_store_id,
+        |  CAST(i % 3 + 1 AS INT) AS s_company_id,
+        |  CAST(i * 37 % 900 + 1 AS #STR#) AS s_street_number,
+        |  'STREET' || CAST(i % 50 AS #STR#) AS s_street_name,
+        |  CASE WHEN i % 2 = 0 THEN 'Ave' ELSE 'Blvd' END AS s_street_type,
+        |  'SUITE' || CAST(i % 9 AS #STR#) AS s_suite_number,
         |  'STORE' || CAST(i + 1 AS #STR#) AS s_store_name,
         |  'S' || CAST(i % 5 AS #STR#) AS s_state,
         |  'COUNTY' || CAST(i % 4 AS #STR#) AS s_county,
@@ -166,6 +171,8 @@ object TpcdsLite {
         |  CAST(#H(substr(md5(CAST(i AS #STR#) || ':ccd'), 1, 15))H# % 1920 + 1 AS INT) AS cs_bill_cdemo_sk,
         |  CAST(#H(substr(md5(CAST(i AS #STR#) || ':chd'), 1, 15))H# % 720 + 1 AS INT) AS cs_bill_hdemo_sk,
         |  CAST(#H(substr(md5(CAST(i AS #STR#) || ':cpr'), 1, 15))H# % 40 + 1 AS INT) AS cs_promo_sk,
+        |  CAST(#H(substr(md5(CAST(i AS #STR#) || ':cwh'), 1, 15))H# % 5 + 1 AS INT) AS cs_warehouse_sk,
+        |  CAST(((i * 29) % 12000 + 100) / 100.0 AS DECIMAL(9,2)) AS cs_sales_price,
         |  CAST((i * 89) % 20000 AS INT) AS cs_order_number,
         |  CAST(i % 80 + 1 AS INT) AS cs_quantity,
         |  CAST(((i * 19) % 15000 + 500) / 100.0 AS DECIMAL(9,2)) AS cs_ext_list_price,
@@ -205,7 +212,11 @@ object TpcdsLite {
     "warehouse" ->
       """SELECT CAST(i + 1 AS INT) AS w_warehouse_sk,
         |  'WH' || CAST(i + 1 AS #STR#) AS w_warehouse_name,
-        |  'S' || CAST(i % 5 AS #STR#) AS w_state
+        |  CAST((i + 1) * 25000 AS INT) AS w_warehouse_sq_ft,
+        |  'CITY' || CAST(i % 60 AS #STR#) AS w_city,
+        |  'COUNTY' || CAST(i % 4 AS #STR#) AS w_county,
+        |  'S' || CAST(i % 5 AS #STR#) AS w_state,
+        |  'COUNTRY0' AS w_country
         |FROM (SELECT #I# AS i FROM range(0, 5)) t""",
     // Weekly snapshot fact (TPC-DS inventory): one row per (week, item,
     // warehouse) over the full 154-week calendar — 231k rows. The

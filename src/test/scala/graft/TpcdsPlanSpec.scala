@@ -50,7 +50,9 @@ class TpcdsPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         "q284_tpcds_q58", "q285_tpcds_q87", "q286_tpcds_q97",
         "q287_tpcds_q89", "q288_tpcds_q43", "q290_tpcds_q21",
         "q291_tpcds_q22", "q292_tpcds_q39", "q293_tpcds_q72",
-        "q294_tpcds_q67", "q295_tpcds_q95", "q296_tpcds_q31")) {
+        "q294_tpcds_q67", "q295_tpcds_q95", "q296_tpcds_q31",
+        "q297_tpcds_q82", "q298_tpcds_q40", "q299_tpcds_q50",
+        "q300_tpcds_q66")) {
       val s = finalPlan(q)
       assert(!s.contains("CartesianProduct"), s"$q planned a cartesian")
       assert(!s.contains("BroadcastNestedLoopJoin"), s"$q planned a BNLJ")
