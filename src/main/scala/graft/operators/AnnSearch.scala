@@ -198,16 +198,27 @@ object AnnSearch {
       .filter(col("rk") <= k)
       .select(col("qid"), col("cid"), col("rk"), round(col("cos"), 6).as("cos"))
 
-  /** splitmix64 finalizer — one Rademacher ±1 plane entry per
-    * (seed, table, bit, coordinate). The hyperplane "index" is a pure
-    * function of these four values: nothing is materialized, collected, or
-    * broadcast, and every executor derives identical planes. */
+  /** md5 keyed-hash Rademacher ±1 plane entry per (seed, table, bit,
+    * coordinate) — the q172 discipline: parity of the first 15 hex chars
+    * of `md5("<seed>:<t>:<b>:<i>:pln")`, bit-reproducible by ANY engine
+    * with an md5 (`CAST(('0x' || substr(md5(k),1,15)) AS BIGINT) % 2` in
+    * the DuckDB oracle), replacing a splitmix64 finalizer no SQL engine
+    * exposes. The hyperplane "index" stays a pure function of the four
+    * values: nothing is materialized, collected, or broadcast, and every
+    * executor derives identical planes. */
   private def planeSign(seed: Long, t: Int, b: Int, i: Int): Boolean = {
-    var z = seed + 0x9e3779b97f4a7c15L * ((t.toLong << 40) ^ (b.toLong << 20) ^ i.toLong)
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    ((z ^ (z >>> 31)) & 1L) == 1L
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$seed:$t:$b:$i:pln".getBytes("UTF-8"))
+    val hex = d.map(x => f"${x & 0xff}%02x").mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16) % 2 == 1
   }
+
+  /** Materialized plane signs for one (seed, nTables, nBits, dim) — the
+    * md5 derivation runs once per partition per table shape, not per
+    * row×coordinate. */
+  private def planeMatrix(seed: Long, nTables: Int, nBits: Int,
+      dim: Int): Array[Array[Array[Boolean]]] =
+    Array.tabulate(nTables, nBits, dim)((t, b, i) => planeSign(seed, t, b, i))
 
   /** Random-hyperplane LSH bucketed ANN — the LSH-bucketed companion to
     * [[ivfTopK]] (SURVEY §7 step 9). `nTables` signature tables × `nBits`
@@ -236,16 +247,19 @@ object AnnSearch {
       val spark = df.sparkSession
       import spark.implicits._
       quantized(df).as[(Long, Seq[Long], Long)].mapPartitions { it =>
+        var planes: Array[Array[Array[Boolean]]] = null
         it.flatMap { case (id, e, _) =>
           val v = e.toArray
+          if (planes == null) planes = planeMatrix(seed, nTables, nBits, v.length)
           (0 until nTables).iterator.map { t =>
             var sig = 0
             var b = 0
             while (b < nBits) {
+              val row = planes(t)(b)
               var acc = 0L
               var i = 0
               while (i < v.length) {
-                acc += (if (planeSign(seed, t, b, i)) v(i) else -v(i))
+                acc += (if (row(i)) v(i) else -v(i))
                 i += 1
               }
               if (acc >= 0) sig |= (1 << b)

@@ -73,8 +73,25 @@ object Advanced {
     },
 
     // Multimodal: binary payload + metadata struct + partition-parallel
-    // featurize (decode stubbed — see Multimodal.decodeStub).
-    Qd.rowsOnly("q74_multimodal_features") { (s, dir) =>
+    // featurize (decode stubbed — see Multimodal.decodeStub). The stub's
+    // byte histogram IS closed-form over an ASCII corpus: bin 6 counts
+    // bytes 0x60..0x6F = the regexp class [`-o], and the float division
+    // replays exactly as CAST(... AS FLOAT)/CAST(... AS FLOAT) (IEEE
+    // float32 on both engines), so the oracle hash-checks the full
+    // featurize pass instead of a rows-only waiver.
+    Qd("q74_multimodal_features",
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    (['image','audio','video'])[CAST(doc_id % 3 AS INT)+1] AS kind,
+        |    strlen(text) AS nb,
+        |    strlen(text) - strlen(regexp_replace(text, '[`-o]', '', 'g')) AS k6
+        |  FROM documents)
+        |SELECT media_id, kind, CAST(nb AS BIGINT) AS n_bytes,
+        |  CASE WHEN nb = 0 THEN CAST(0.0 AS DOUBLE)
+        |       ELSE ROUND(CAST(CAST(k6 AS FLOAT) / CAST(nb AS FLOAT) AS DOUBLE), 6)
+        |  END AS bin6,
+        |  CAST(LEAST(8, nb) AS INT) AS sample_len
+        |FROM m ORDER BY media_id""") { (s, dir) =>
       val media = Multimodal.mediaTable(t(s, dir, "documents"))
       Multimodal.extractFeatures(s, media)
         .select(col("media_id"), col("kind"), col("n_bytes"),

@@ -320,10 +320,47 @@ object Pipeline {
 
     // LSH-bucketed ANN (the bucketed companion scale path to IVF): corpus
     // explodes into (table, signature) keys and equi-joins the query side —
-    // no corpus broadcast, no cartesian. Signature planes are
-    // splitmix64-derived (not SQL-expressible) → rows-only; recall vs brute
-    // force is asserted in PipelineSpec.
-    Qd.rowsOnly("q128_ann_lsh") { (s, dir) =>
+    // no corpus broadcast, no cartesian. Signature planes derive from the
+    // md5 keyed hash (the q172 discipline), so the oracle replays the FULL
+    // pipeline — planes, per-table sign bits, bucket join, dedup, exact
+    // rescore, rank — and hash-checks it; recall vs brute force is
+    // additionally asserted in PipelineSpec.
+    Qd("q128_ann_lsh",
+      s"""WITH ${qCte("qq", "WHERE vec_id < 50")},
+        |${qCte("cc", "")},
+        |planes AS (
+        |  SELECT t.range AS t, b.range AS b, i.range AS i,
+        |    CASE WHEN CAST(('0x' || substr(md5('42:' || t.range || ':' ||
+        |        b.range || ':' || i.range || ':pln'), 1, 15)) AS BIGINT) % 2 = 1
+        |      THEN 1 ELSE -1 END AS sgn
+        |  FROM range(0, 10) t, range(0, 6) b, range(0, 64) i),
+        |cterm AS (
+        |  SELECT v.vec_id, p.t, p.b, SUM(v.qe[p.i + 1] * p.sgn) AS acc
+        |  FROM cc v, planes p GROUP BY v.vec_id, p.t, p.b),
+        |csig AS (SELECT vec_id AS cid, t,
+        |  SUM(CASE WHEN acc >= 0 THEN 1 << b ELSE 0 END) AS sig
+        |  FROM cterm GROUP BY vec_id, t),
+        |qterm AS (
+        |  SELECT v.vec_id, p.t, p.b, SUM(v.qe[p.i + 1] * p.sgn) AS acc
+        |  FROM qq v, planes p GROUP BY v.vec_id, p.t, p.b),
+        |qsig AS (SELECT vec_id AS qid, t,
+        |  SUM(CASE WHEN acc >= 0 THEN 1 << b ELSE 0 END) AS sig
+        |  FROM qterm GROUP BY vec_id, t),
+        |cand AS (SELECT DISTINCT qsig.qid, csig.cid
+        |  FROM csig JOIN qsig ON csig.t = qsig.t AND csig.sig = qsig.sig
+        |  WHERE qsig.qid <> csig.cid),
+        |qn AS (SELECT vec_id AS qid, qe,
+        |  CAST(list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]*qe[i])) AS BIGINT) AS n2 FROM qq),
+        |cn AS (SELECT vec_id AS cid, qe AS ce,
+        |  CAST(list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]*qe[i])) AS BIGINT) AS n2 FROM cc),
+        |sc AS (SELECT cand.qid, cand.cid,
+        |  CAST(CAST(list_sum(list_transform(range(1, len(qn.qe)+1), i -> qn.qe[i]*cn.ce[i])) AS BIGINT) AS DOUBLE)
+        |    / sqrt(CAST(qn.n2 AS DOUBLE) * CAST(cn.n2 AS DOUBLE)) AS cos
+        |  FROM cand JOIN qn ON qn.qid = cand.qid JOIN cn ON cn.cid = cand.cid),
+        |rkt AS (SELECT qid, cid, cos,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM sc)
+        |SELECT qid, cid, rk, ROUND(cos, 6) AS cos
+        |FROM rkt WHERE rk <= 10 ORDER BY qid, rk""") { (s, dir) =>
       val e = emb(s, dir)
       AnnSearch.lshTopK(e.filter(col("id") < 50), e, 10)
         .select(col("qid"), col("cid"), col("rk").cast("bigint").as("rk"), col("cos"))
