@@ -48,10 +48,22 @@ object StreamOps {
     * multiple micro-batches (watermark advances BETWEEN batches — required
     * for Append-mode emission). */
   def runToMemory(spark: SparkSession, sdf: DataFrame, name: String,
-      mode: OutputMode, trigger: Trigger = Trigger.Once()): DataFrame = {
-    val q = sdf.writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(trigger).start()
-    q.awaitTermination()
+      mode: OutputMode, trigger: Trigger = Trigger.Once(),
+      shufflePartitions: Option[Int] = None): DataFrame = {
+    // A streaming query pins its state-store layout to the session's
+    // shuffle-partition count AT START: on a small finite replay the wall
+    // clock is dominated by per-partition state-store lifecycle (stores ×
+    // partitions × micro-batches), not data, so stateful multi-batch
+    // queries pass a small override here (results are partition-count
+    // invariant; an unbounded production feed would keep the full count).
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    shufflePartitions.foreach(n => spark.conf.set(key, n.toString))
+    try {
+      val q = sdf.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(trigger).start()
+      q.awaitTermination()
+    } finally if (shufflePartitions.isDefined) spark.conf.set(key, saved)
     spark.table(name)
   }
 
@@ -541,7 +553,7 @@ object StreamOps {
       joinType)
       .select(col("c_eid"), col("p_eid"))
     runToMemory(spark, joined, sinkName, OutputMode.Append(),
-      Trigger.AvailableNow())
+      Trigger.AvailableNow(), shufflePartitions = Some(4))
   }
 
   /** Streaming dedup via `dropDuplicatesWithinWatermark` — the operator
@@ -587,6 +599,6 @@ object StreamOps {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sv"))
     runToMemory(spark, agg, "graft_stream_ddww", OutputMode.Complete(),
-      Trigger.AvailableNow())
+      Trigger.AvailableNow(), shufflePartitions = Some(4))
   }
 }
