@@ -628,16 +628,19 @@ object AnnSearch {
     val sigs = vecs
       .as[(Long, String, Seq[Long], Long)]
       .mapPartitions { it =>
+        var planes: Array[Array[Array[Boolean]]] = null
         it.flatMap { case (id, blk, e, n2) =>
           val v = e.toArray
+          if (planes == null) planes = planeMatrix(seed, nTables, nBits, v.length)
           (0 until nTables).iterator.map { t =>
             var sig = 0
             var b = 0
             while (b < nBits) {
+              val row = planes(t)(b)
               var acc = 0L
               var i = 0
               while (i < v.length) {
-                acc += (if (planeSign(seed, t, b, i)) v(i) else -v(i))
+                acc += (if (row(i)) v(i) else -v(i))
                 i += 1
               }
               if (acc >= 0) sig |= (1 << b)

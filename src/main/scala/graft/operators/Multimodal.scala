@@ -8,12 +8,19 @@ import org.apache.spark.sql.types._
   * as opaque `binary` columns with a typed metadata struct, plus a
   * partition-parallel feature-extraction pass.
   *
-  * The decode step is a clearly-marked STUB (no image/audio codecs in this
-  * environment): `decodeStub` computes a deterministic byte histogram in
-  * place of a real decoder. Everything around it — binary schema, metadata
-  * struct, mapPartitions batching, fixed-width feature vectors, frame
-  * sampling — is the real distributed shape: per-partition iteration with no
-  * driver collection, constant memory per row, codegen-friendly downstream.
+  * The decode story is in TWO tiers. REAL codecs run where the JDK ships
+  * them: [[imageTable]]/[[decodeImageStats]] decode actual PNG/JPEG bytes
+  * with ImageIO (q263/q264) and [[audioTable]]/[[decodeAudioStats]] parse WAV
+  * with javax.sound (q280), all as compiled `mapPartitions` kernels whose
+  * outputs are hash-checked against closed-form oracles (lossless codecs
+  * over generated signals). Only the GENERIC `decodeStub` below — the
+  * slot a video/proprietary codec would fill — remains a deterministic
+  * byte histogram, and even that is oracle-hash-checked (q74: the
+  * histogram is closed-form over an ASCII corpus). Everything around the
+  * decode — binary schema, metadata struct, mapPartitions batching,
+  * fixed-width feature vectors, frame sampling — is the real distributed
+  * shape: per-partition iteration with no driver collection, constant
+  * memory per row, codegen-friendly downstream.
   */
 object Multimodal {
 

@@ -29,6 +29,11 @@ import org.apache.spark.sql.functions._
   *  - SCORING is tokenize → per-(doc, token) count (one shuffle on doc
   *    id) → broadcast-join token log-probs → per-(doc, class) sum →
   *    per-doc argmax window (hash-partitioned by doc id, no global sort).
+  *    Row amplification through scoring is bounded by |distinct tokens
+  *    per doc| × |classes|: the (doc, token) count rows multiply only by
+  *    the class count at the broadcast join (a few classes, not vocab),
+  *    then collapse back to |docs| × |classes| before the argmax — no
+  *    stage ever materializes |docs| × |vocab|.
   *
   * Determinism: no RNG anywhere (the train/held-out split is the caller's
   * keyed predicate), smoothing is exact rational `(n+1)/(N+V)`, and every

@@ -2,14 +2,16 @@ package graft.queries
 
 import org.apache.spark.sql.SparkSession
 
-/** TPC-DS perf-suite sample: 18 shape-diverse queries from the reference's
-  * plan-golden corpus (`ql/src/test/queries/clientpositive/perf/query*.q`)
-  * re-expressed over [[TpcdsLite]] and run as the SAME SQL text on Spark
-  * and the DuckDB oracle (constants adapted to the lite instance's value
-  * domains; every ORDER BY made total so LIMIT and the row-hash compare
-  * are deterministic).
+/** The reference's ENTIRE TPC-DS perf suite — all 60 plan-golden files
+  * under `ql/src/test/queries/clientpositive/perf/query*.q` — re-expressed
+  * over [[TpcdsLite]] as RESULT-checked queries: the same SQL text runs on
+  * Spark and the DuckDB oracle (constants adapted to the lite instance's
+  * value domains; every ORDER BY made total so LIMIT and the row-hash
+  * compare are deterministic; DECIMAL-division/INT-cast spots where the
+  * engines' result types legitimately diverge are pinned to DOUBLE /
+  * FLOOR in the shared text, noted per query).
   *
-  * Shapes covered: star join + date filter (query3 — the DPP shape),
+  * Shape highlights: star join + date filter (query3 — the DPP shape),
   * 8-way scalar-subquery cross join with shared dimension scans (query88 —
   * the ReusedExchange shape), windowed revenue ratio over an aggregate
   * (query12), multi-dimension star avg (query27), ticket-grain HAVING
@@ -892,6 +894,809 @@ object Tpcds {
        |ORDER BY w_warehouse_name
        |LIMIT 100"""
 
+  // reference: perf/query7.q — demographic/promotion-sliced store item
+  // averages (the OR'd promotion-channel screen).
+  private val q7 =
+    """WITH #TABLES#
+      |SELECT i_item_id,
+      |  ROUND(AVG(ss_quantity), 4) AS agg1,
+      |  ROUND(AVG(CAST(ss_list_price AS DOUBLE)), 4) AS agg2,
+      |  ROUND(AVG(CAST(ss_coupon_amt AS DOUBLE)), 4) AS agg3,
+      |  ROUND(AVG(CAST(ss_sales_price AS DOUBLE)), 4) AS agg4
+      |FROM store_sales, customer_demographics, date_dim, item, promotion
+      |WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+      |  AND ss_cdemo_sk = cd_demo_sk AND ss_promo_sk = p_promo_sk
+      |  AND cd_gender = 'F' AND cd_marital_status = 'MS4'
+      |  AND cd_education_status = 'ES2'
+      |  AND (p_channel_email = 'N' OR p_channel_event = 'N')
+      |  AND d_year = 1998
+      |GROUP BY i_item_id
+      |ORDER BY i_item_id
+      |LIMIT 100"""
+
+  // reference: perf/query15.q — catalog zip revenue with the three-way
+  // OR membership screen (zip prefix list, state list, price floor).
+  private val q15 =
+    """WITH #TABLES#
+      |SELECT ca_zip, CAST(SUM(cs_sales_price) AS DOUBLE) AS total_price
+      |FROM catalog_sales, tpcds_customer, customer_address, date_dim
+      |WHERE cs_bill_customer_sk = c_customer_sk
+      |  AND c_current_addr_sk = ca_address_sk
+      |  AND (substr(ca_zip, 1, 4) IN ('1008', '1017', '1022', '1031', '1044')
+      |    OR ca_state IN ('S3', 'S4')
+      |    OR cs_sales_price > 120)
+      |  AND cs_sold_date_sk = d_date_sk
+      |  AND d_qoy = 2 AND d_year = 1998
+      |GROUP BY ca_zip
+      |ORDER BY ca_zip
+      |LIMIT 100"""
+
+  // reference: perf/query26.q — query7's catalog twin over the new
+  // bill-demographic and promo FKs.
+  private val q26 =
+    """WITH #TABLES#
+      |SELECT i_item_id,
+      |  ROUND(AVG(cs_quantity), 4) AS agg1,
+      |  ROUND(AVG(CAST(cs_list_price AS DOUBLE)), 4) AS agg2,
+      |  ROUND(AVG(CAST(cs_coupon_amt AS DOUBLE)), 4) AS agg3,
+      |  ROUND(AVG(CAST(cs_sales_price AS DOUBLE)), 4) AS agg4
+      |FROM catalog_sales, customer_demographics, date_dim, item, promotion
+      |WHERE cs_sold_date_sk = d_date_sk AND cs_item_sk = i_item_sk
+      |  AND cs_bill_cdemo_sk = cd_demo_sk AND cs_promo_sk = p_promo_sk
+      |  AND cd_gender = 'F' AND cd_marital_status = 'MS4'
+      |  AND cd_education_status = 'ES2'
+      |  AND (p_channel_email = 'N' OR p_channel_event = 'N')
+      |  AND d_year = 1998
+      |GROUP BY i_item_id
+      |ORDER BY i_item_id
+      |LIMIT 100"""
+
+  // reference: perf/query42.q — category revenue star for one month
+  // (the manager screen adapted to the lite manufact id).
+  private val q42 =
+    """WITH #TABLES#
+      |SELECT dt.d_year, item.i_category,
+      |  CAST(SUM(ss_ext_sales_price) AS DOUBLE) AS s
+      |FROM date_dim dt, store_sales, item
+      |WHERE dt.d_date_sk = store_sales.ss_sold_date_sk
+      |  AND store_sales.ss_item_sk = item.i_item_sk
+      |  AND item.i_manufact_id = 1
+      |  AND dt.d_moy = 12 AND dt.d_year = 1998
+      |GROUP BY dt.d_year, item.i_category
+      |ORDER BY s DESC, dt.d_year, item.i_category
+      |LIMIT 100"""
+
+  // reference: perf/query45.q — web zip/county revenue for customers
+  // buying the items of an IN-subquery id list.
+  private val q45 =
+    """WITH #TABLES#
+      |SELECT ca_zip, ca_county, CAST(SUM(ws_sales_price) AS DOUBLE) AS total_price
+      |FROM web_sales
+      |JOIN tpcds_customer ON ws_bill_customer_sk = c_customer_sk
+      |JOIN customer_address ON c_current_addr_sk = ca_address_sk
+      |JOIN date_dim ON ws_sold_date_sk = d_date_sk
+      |JOIN item ON ws_item_sk = i_item_sk
+      |WHERE item.i_item_id IN (SELECT i_item_id FROM item i2
+      |  WHERE i2.i_item_sk IN (2, 3, 5, 7, 11, 13, 17, 19, 23, 29))
+      |  AND d_qoy = 2 AND d_year = 1998
+      |GROUP BY ca_zip, ca_county
+      |ORDER BY ca_zip, ca_county
+      |LIMIT 100"""
+
+  // reference: perf/query48.q — the double-OR'd band screen: three
+  // demographic×price bands OR'd against three geography×profit bands,
+  // both anchored on the same join keys (the CNF/DNF pushdown stress).
+  private val q48 =
+    """WITH #TABLES#
+      |SELECT CAST(SUM(ss_quantity) AS BIGINT) AS total_quantity
+      |FROM store_sales, store, customer_demographics, customer_address,
+      |  date_dim
+      |WHERE s_store_sk = ss_store_sk
+      |  AND ss_sold_date_sk = d_date_sk AND d_year = 1998
+      |  AND ((cd_demo_sk = ss_cdemo_sk
+      |      AND cd_marital_status = 'MS1' AND cd_education_status = 'ES4'
+      |      AND ss_sales_price BETWEEN 60.00 AND 80.00)
+      |    OR (cd_demo_sk = ss_cdemo_sk
+      |      AND cd_marital_status = 'MS1' AND cd_education_status = 'ES4'
+      |      AND ss_sales_price BETWEEN 20.00 AND 40.00)
+      |    OR (cd_demo_sk = ss_cdemo_sk
+      |      AND cd_marital_status = 'MS1' AND cd_education_status = 'ES4'
+      |      AND ss_sales_price BETWEEN 80.00 AND 100.00))
+      |  AND ((ss_addr_sk = ca_address_sk AND ca_country = 'COUNTRY0'
+      |      AND ca_state IN ('S0', 'S1') AND ss_net_profit BETWEEN 0 AND 20)
+      |    OR (ss_addr_sk = ca_address_sk AND ca_country = 'COUNTRY0'
+      |      AND ca_state IN ('S2') AND ss_net_profit BETWEEN 10 AND 30)
+      |    OR (ss_addr_sk = ca_address_sk AND ca_country = 'COUNTRY0'
+      |      AND ca_state IN ('S3', 'S4') AND ss_net_profit BETWEEN 5 AND 50))"""
+
+  // reference: perf/query73.q — ticket-grain item-count band (1..5) per
+  // buying-potential household, joined back to the customer (query34's
+  // low-band sibling with the dep/vehicle ratio screen).
+  private val q73 =
+    """WITH #TABLES#,
+      |dj AS (
+      |  SELECT ss_ticket_number, ss_customer_sk, COUNT(*) AS cnt
+      |  FROM store_sales, date_dim, store, household_demographics
+      |  WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+      |    AND ss_hdemo_sk = hd_demo_sk
+      |    AND d_dom BETWEEN 1 AND 2
+      |    AND (hd_buy_potential = 'BP1' OR hd_buy_potential = 'BP2')
+      |    AND hd_vehicle_count > 0
+      |    AND CASE WHEN hd_vehicle_count > 0
+      |        THEN CAST(hd_dep_count AS DOUBLE) / hd_vehicle_count
+      |        ELSE NULL END > 1
+      |    AND d_year IN (1998, 1999, 2000)
+      |    AND s_county IN ('COUNTY0', 'COUNTY1', 'COUNTY2')
+      |  GROUP BY ss_ticket_number, ss_customer_sk)
+      |SELECT c_last_name, c_first_name, c_salutation, c_preferred_cust_flag,
+      |  ss_ticket_number, CAST(cnt AS BIGINT) AS cnt
+      |FROM dj, tpcds_customer
+      |WHERE ss_customer_sk = c_customer_sk AND cnt BETWEEN 1 AND 5
+      |ORDER BY cnt DESC, c_last_name, c_first_name, ss_ticket_number
+      |LIMIT 100"""
+
+  // reference: perf/query96.q — the half-hour traffic count (query88's
+  // single-cell form) as its own scalar query.
+  private val q96 =
+    """WITH #TABLES#
+      |SELECT CAST(COUNT(*) AS BIGINT) AS c
+      |FROM store_sales, household_demographics, time_dim, store
+      |WHERE ss_sold_time_sk = t_time_sk AND ss_hdemo_sk = hd_demo_sk
+      |  AND ss_store_sk = s_store_sk
+      |  AND t_hour = 8 AND t_minute >= 30
+      |  AND hd_dep_count = 5
+      |  AND s_store_name = 'STORE3'
+      |ORDER BY c
+      |LIMIT 100"""
+
+  // reference: perf/query25.q — the store-sale → store-return →
+  // catalog-repurchase profit chain: three date_dim roles window the
+  // three facts, profit/loss/profit summed per (item, store).
+  private val q25 =
+    """WITH #TABLES#
+      |SELECT i_item_id, i_item_desc, s_store_id, s_store_name,
+      |  CAST(SUM(ss_net_profit) AS DOUBLE) AS store_sales_profit,
+      |  CAST(SUM(sr_net_loss) AS DOUBLE) AS store_returns_loss,
+      |  CAST(SUM(cs_net_profit) AS DOUBLE) AS catalog_sales_profit
+      |FROM store_sales, store_returns, catalog_sales,
+      |  date_dim d1, date_dim d2, date_dim d3, store, item
+      |WHERE d1.d_moy = 4 AND d1.d_year = 1998
+      |  AND d1.d_date_sk = ss_sold_date_sk
+      |  AND i_item_sk = ss_item_sk AND s_store_sk = ss_store_sk
+      |  AND ss_customer_sk = sr_customer_sk AND ss_item_sk = sr_item_sk
+      |  AND ss_ticket_number = sr_ticket_number
+      |  AND sr_returned_date_sk = d2.d_date_sk
+      |  AND d2.d_moy BETWEEN 4 AND 10 AND d2.d_year = 1998
+      |  AND sr_customer_sk = cs_bill_customer_sk AND sr_item_sk = cs_item_sk
+      |  AND cs_sold_date_sk = d3.d_date_sk
+      |  AND d3.d_moy BETWEEN 4 AND 10 AND d3.d_year = 1998
+      |GROUP BY i_item_id, i_item_desc, s_store_id, s_store_name
+      |ORDER BY i_item_id, i_item_desc, s_store_id, s_store_name
+      |LIMIT 100"""
+
+  // reference: perf/query29.q — query25's quantity twin with the 3-year
+  // catalog window.
+  private val q29 =
+    """WITH #TABLES#
+      |SELECT i_item_id, i_item_desc, s_store_id, s_store_name,
+      |  CAST(SUM(ss_quantity) AS BIGINT) AS store_sales_quantity,
+      |  CAST(SUM(sr_return_quantity) AS BIGINT) AS store_returns_quantity,
+      |  CAST(SUM(cs_quantity) AS BIGINT) AS catalog_sales_quantity
+      |FROM store_sales, store_returns, catalog_sales,
+      |  date_dim d1, date_dim d2, date_dim d3, store, item
+      |WHERE d1.d_moy = 2 AND d1.d_year = 1998
+      |  AND d1.d_date_sk = ss_sold_date_sk
+      |  AND i_item_sk = ss_item_sk AND s_store_sk = ss_store_sk
+      |  AND ss_customer_sk = sr_customer_sk AND ss_item_sk = sr_item_sk
+      |  AND ss_ticket_number = sr_ticket_number
+      |  AND sr_returned_date_sk = d2.d_date_sk
+      |  AND d2.d_moy BETWEEN 2 AND 5 AND d2.d_year = 1998
+      |  AND sr_customer_sk = cs_bill_customer_sk AND sr_item_sk = cs_item_sk
+      |  AND cs_sold_date_sk = d3.d_date_sk
+      |  AND d3.d_year IN (1998, 1999, 2000)
+      |GROUP BY i_item_id, i_item_desc, s_store_id, s_store_name
+      |ORDER BY i_item_id, i_item_desc, s_store_id, s_store_name
+      |LIMIT 100"""
+
+  // reference: perf/query52.q — brand revenue star for one month, ordered
+  // by revenue within the year.
+  private val q52 =
+    """WITH #TABLES#
+      |SELECT dt.d_year, item.i_brand_id AS brand_id, item.i_brand AS brand,
+      |  CAST(SUM(ss_ext_sales_price) AS DOUBLE) AS ext_price
+      |FROM date_dim dt, store_sales, item
+      |WHERE dt.d_date_sk = store_sales.ss_sold_date_sk
+      |  AND store_sales.ss_item_sk = item.i_item_sk
+      |  AND item.i_manufact_id = 1
+      |  AND dt.d_moy = 12 AND dt.d_year = 1998
+      |GROUP BY dt.d_year, item.i_brand, item.i_brand_id
+      |ORDER BY dt.d_year, ext_price DESC, brand_id
+      |LIMIT 100"""
+
+  // reference: perf/query55.q — the brand star ordered by revenue alone
+  // (query52 without the year key).
+  private val q55 =
+    """WITH #TABLES#
+      |SELECT i_brand_id AS brand_id, i_brand AS brand,
+      |  CAST(SUM(ss_ext_sales_price) AS DOUBLE) AS ext_price
+      |FROM date_dim, store_sales, item
+      |WHERE d_date_sk = ss_sold_date_sk AND ss_item_sk = i_item_sk
+      |  AND i_manufact_id = 36 AND d_moy = 12 AND d_year = 1998
+      |GROUP BY i_brand, i_brand_id
+      |ORDER BY ext_price DESC, brand_id
+      |LIMIT 100"""
+
+  // reference: perf/query68.q — bought-city ticket aggregate where the
+  // customer's CURRENT city differs (customer_address in two roles, the
+  // query46 family with the extended-price/tax/list triple).
+  private val q68 =
+    """WITH #TABLES#,
+      |dn AS (
+      |  SELECT ss_ticket_number, ss_customer_sk, ca_city AS bought_city,
+      |    SUM(ss_ext_sales_price) AS extended_price,
+      |    SUM(ss_ext_list_price) AS list_price,
+      |    SUM(ss_ext_tax) AS extended_tax
+      |  FROM store_sales, date_dim, store, household_demographics,
+      |    customer_address
+      |  WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+      |    AND ss_hdemo_sk = hd_demo_sk AND ss_addr_sk = ca_address_sk
+      |    AND d_dom BETWEEN 1 AND 2
+      |    AND (hd_dep_count = 4 OR hd_vehicle_count = 2)
+      |    AND d_year IN (1998, 1999, 2000)
+      |    AND s_city IN ('CITY1', 'CITY2')
+      |  GROUP BY ss_ticket_number, ss_customer_sk, ss_addr_sk, ca_city)
+      |SELECT c_last_name, c_first_name, current_addr.ca_city AS ca_city,
+      |  bought_city, ss_ticket_number,
+      |  CAST(extended_price AS DOUBLE) AS extended_price,
+      |  CAST(extended_tax AS DOUBLE) AS extended_tax,
+      |  CAST(list_price AS DOUBLE) AS list_price
+      |FROM dn, tpcds_customer, customer_address current_addr
+      |WHERE ss_customer_sk = c_customer_sk
+      |  AND c_current_addr_sk = current_addr.ca_address_sk
+      |  AND current_addr.ca_city <> bought_city
+      |ORDER BY c_last_name, ss_ticket_number, c_first_name, ca_city,
+      |  bought_city, extended_price, extended_tax, list_price
+      |LIMIT 100"""
+
+  // reference: perf/query79.q — per-ticket coupon/profit for large
+  // stores on Mondays, joined back to the customer.
+  private val q79 =
+    """WITH #TABLES#,
+      |ms AS (
+      |  SELECT ss_ticket_number, ss_customer_sk, store.s_city,
+      |    SUM(ss_coupon_amt) AS amt, SUM(ss_net_profit) AS profit
+      |  FROM store_sales, date_dim, store, household_demographics
+      |  WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+      |    AND ss_hdemo_sk = hd_demo_sk
+      |    AND (hd_dep_count = 8 OR hd_vehicle_count > 0)
+      |    AND d_dow = 1
+      |    AND d_year IN (1998, 1999, 2000)
+      |    AND s_number_employees BETWEEN 200 AND 295
+      |  GROUP BY ss_ticket_number, ss_customer_sk, ss_addr_sk, store.s_city)
+      |SELECT c_last_name, c_first_name, substr(s_city, 1, 30) AS sub,
+      |  ss_ticket_number, CAST(amt AS DOUBLE) AS amt,
+      |  CAST(profit AS DOUBLE) AS profit
+      |FROM ms, tpcds_customer
+      |WHERE ss_customer_sk = c_customer_sk
+      |ORDER BY c_last_name, c_first_name, sub, profit, ss_ticket_number, amt
+      |LIMIT 100"""
+
+  // reference: perf/query84.q — the customer-by-income-band lookup: five
+  // dimension hops (address → demographics → household → income band)
+  // semi-screened by having a store return under the same demographic.
+  private val q84 =
+    """WITH #TABLES#
+      |SELECT c_customer_id AS customer_id,
+      |  c_last_name || ', ' || c_first_name AS customername
+      |FROM tpcds_customer, customer_address, customer_demographics,
+      |  household_demographics, income_band, store_returns
+      |WHERE ca_city = 'CITY7'
+      |  AND c_current_addr_sk = ca_address_sk
+      |  AND ib_lower_bound >= 32287
+      |  AND ib_upper_bound <= 32287 + 50000
+      |  AND ib_income_band_sk = hd_income_band_sk
+      |  AND cd_demo_sk = c_current_cdemo_sk
+      |  AND hd_demo_sk = c_current_hdemo_sk
+      |  AND sr_cdemo_sk = cd_demo_sk
+      |ORDER BY customer_id
+      |LIMIT 100"""
+
+  // reference: perf/query98.q — query12's store twin: class-partitioned
+  // revenue ratio, no LIMIT in the reference (the full slice returns).
+  private val q98 =
+    """WITH #TABLES#
+      |SELECT i_item_desc, i_category, i_class,
+      |  CAST(i_current_price AS DOUBLE) AS i_current_price, i_item_id,
+      |  CAST(SUM(ss_ext_sales_price) AS DOUBLE) AS itemrevenue,
+      |  ROUND(CAST(SUM(ss_ext_sales_price) AS DOUBLE) * 100 /
+      |    CAST(SUM(SUM(ss_ext_sales_price)) OVER (PARTITION BY i_class) AS DOUBLE),
+      |    4) AS revenueratio
+      |FROM store_sales, item, date_dim
+      |WHERE ss_item_sk = i_item_sk
+      |  AND i_category IN ('CAT4', 'CAT5', 'CAT6')
+      |  AND ss_sold_date_sk = d_date_sk
+      |  AND d_date BETWEEN DATE '1998-01-12' AND DATE '1998-02-11'
+      |GROUP BY i_item_id, i_item_desc, i_category, i_class, i_current_price
+      |ORDER BY i_category, i_class, i_item_id, i_item_desc, revenueratio"""
+
+  // reference: perf/query92.q — the same store/catalog buyer-item overlap
+  // shape as query97.q (the reference ships it twice with different month
+  // windows); this one runs the 1182..1193 window.
+  private val q92 =
+    """WITH #TABLES#
+      |SELECT
+      |  CAST(SUM(CASE WHEN ssci.customer_sk IS NOT NULL AND csci.customer_sk IS NULL
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS store_only,
+      |  CAST(SUM(CASE WHEN ssci.customer_sk IS NULL AND csci.customer_sk IS NOT NULL
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS catalog_only,
+      |  CAST(SUM(CASE WHEN ssci.customer_sk IS NOT NULL AND csci.customer_sk IS NOT NULL
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS store_and_catalog
+      |FROM (SELECT ss_customer_sk AS customer_sk, ss_item_sk AS item_sk
+      |      FROM store_sales
+      |      JOIN date_dim ON store_sales.ss_sold_date_sk = date_dim.d_date_sk
+      |      WHERE d_month_seq BETWEEN 1182 AND 1193
+      |      GROUP BY ss_customer_sk, ss_item_sk) ssci
+      |FULL OUTER JOIN
+      |     (SELECT cs_bill_customer_sk AS customer_sk, cs_item_sk AS item_sk
+      |      FROM catalog_sales
+      |      JOIN date_dim ON catalog_sales.cs_sold_date_sk = date_dim.d_date_sk
+      |      WHERE d_month_seq BETWEEN 1182 AND 1193
+      |      GROUP BY cs_bill_customer_sk, cs_item_sk) csci
+      |ON ssci.customer_sk = csci.customer_sk AND ssci.item_sk = csci.item_sk"""
+
+  // reference: perf/query13.q — the triple-OR demographic band × triple-OR
+  // geography band scalar averages (query48 with household_demographics in
+  // the demographic arms and avg outputs).
+  private val q13 =
+    """WITH #TABLES#
+      |SELECT ROUND(AVG(ss_quantity), 4) AS avg_qty,
+      |  ROUND(AVG(CAST(ss_ext_sales_price AS DOUBLE)), 4) AS avg_esp,
+      |  ROUND(AVG(CAST(ss_ext_wholesale_cost AS DOUBLE)), 4) AS avg_ewc,
+      |  CAST(SUM(ss_ext_wholesale_cost) AS DOUBLE) AS sum_ewc
+      |FROM store_sales, store, customer_demographics,
+      |  household_demographics, customer_address, date_dim
+      |WHERE s_store_sk = ss_store_sk
+      |  AND ss_sold_date_sk = d_date_sk AND d_year = 1998
+      |  AND ((ss_hdemo_sk = hd_demo_sk AND cd_demo_sk = ss_cdemo_sk
+      |      AND cd_marital_status = 'MS1' AND cd_education_status = 'ES4'
+      |      AND ss_sales_price BETWEEN 60.00 AND 80.00 AND hd_dep_count = 3)
+      |    OR (ss_hdemo_sk = hd_demo_sk AND cd_demo_sk = ss_cdemo_sk
+      |      AND cd_marital_status = 'MS2' AND cd_education_status = 'ES1'
+      |      AND ss_sales_price BETWEEN 20.00 AND 40.00 AND hd_dep_count = 1)
+      |    OR (ss_hdemo_sk = hd_demo_sk AND cd_demo_sk = ss_cdemo_sk
+      |      AND cd_marital_status = 'MS4' AND cd_education_status = 'ES6'
+      |      AND ss_sales_price BETWEEN 80.00 AND 100.00 AND hd_dep_count = 1))
+      |  AND ((ss_addr_sk = ca_address_sk AND ca_country = 'COUNTRY0'
+      |      AND ca_state IN ('S0', 'S1') AND ss_net_profit BETWEEN 10 AND 20)
+      |    OR (ss_addr_sk = ca_address_sk AND ca_country = 'COUNTRY0'
+      |      AND ca_state IN ('S2') AND ss_net_profit BETWEEN 15 AND 30)
+      |    OR (ss_addr_sk = ca_address_sk AND ca_country = 'COUNTRY0'
+      |      AND ca_state IN ('S3', 'S4') AND ss_net_profit BETWEEN 5 AND 25))"""
+
+  // reference: perf/query19.q — brand/manufacturer revenue where the
+  // customer's zip prefix differs from the store's (the cross-dimension
+  // inequality screen).
+  private val q19 =
+    """WITH #TABLES#
+      |SELECT i_brand_id AS brand_id, i_brand AS brand, i_manufact_id,
+      |  i_manufact, CAST(SUM(ss_ext_sales_price) AS DOUBLE) AS ext_price
+      |FROM date_dim, store_sales, item, tpcds_customer, customer_address,
+      |  store
+      |WHERE d_date_sk = ss_sold_date_sk AND ss_item_sk = i_item_sk
+      |  AND i_manufact_id BETWEEN 7 AND 12
+      |  AND d_moy = 11 AND d_year = 1998
+      |  AND ss_customer_sk = c_customer_sk
+      |  AND c_current_addr_sk = ca_address_sk
+      |  AND substr(ca_zip, 1, 5) <> substr(s_zip, 1, 5)
+      |  AND ss_store_sk = s_store_sk
+      |GROUP BY i_brand, i_brand_id, i_manufact_id, i_manufact
+      |ORDER BY ext_price DESC, i_brand, i_brand_id, i_manufact_id, i_manufact
+      |LIMIT 100"""
+
+  // reference: perf/query20.q — query12/query98's catalog sibling.
+  private val q20 =
+    """WITH #TABLES#
+      |SELECT i_item_desc, i_category, i_class,
+      |  CAST(i_current_price AS DOUBLE) AS i_current_price, i_item_id,
+      |  CAST(SUM(cs_ext_sales_price) AS DOUBLE) AS itemrevenue,
+      |  ROUND(CAST(SUM(cs_ext_sales_price) AS DOUBLE) * 100 /
+      |    CAST(SUM(SUM(cs_ext_sales_price)) OVER (PARTITION BY i_class) AS DOUBLE),
+      |    4) AS revenueratio
+      |FROM catalog_sales, item, date_dim
+      |WHERE cs_item_sk = i_item_sk
+      |  AND i_category IN ('CAT7', 'CAT8', 'CAT9')
+      |  AND cs_sold_date_sk = d_date_sk
+      |  AND d_date BETWEEN DATE '1998-01-12' AND DATE '1998-02-11'
+      |GROUP BY i_item_id, i_item_desc, i_category, i_class, i_current_price
+      |ORDER BY i_category, i_class, i_item_id, i_item_desc, revenueratio
+      |LIMIT 100"""
+
+  // reference: perf/query54.q — customer revenue segmentation: buyers of
+  // one item slice in a month (either remote channel), their store
+  // revenue in the following quarter where they live in a store county,
+  // bucketed into $50 segments. CAST(FLOOR(...)) replaces the
+  // reference's bare CAST(... AS INT): DuckDB rounds that cast where
+  // Spark truncates, so the shared text pins the truncation.
+  private val q54 =
+    """WITH #TABLES#,
+      |my_customers AS (
+      |  SELECT c_customer_sk, c_current_addr_sk
+      |  FROM (SELECT cs_sold_date_sk AS sold_date_sk,
+      |          cs_bill_customer_sk AS customer_sk, cs_item_sk AS item_sk
+      |        FROM catalog_sales
+      |        UNION ALL
+      |        SELECT ws_sold_date_sk, ws_bill_customer_sk, ws_item_sk
+      |        FROM web_sales) cs_or_ws_sales, item, date_dim, tpcds_customer
+      |  WHERE sold_date_sk = d_date_sk AND item_sk = i_item_sk
+      |    AND i_category = 'CAT1' AND i_class = 'CLASS6'
+      |    AND c_customer_sk = cs_or_ws_sales.customer_sk
+      |    AND d_moy = 3 AND d_year = 1998
+      |  GROUP BY c_customer_sk, c_current_addr_sk),
+      |my_revenue AS (
+      |  SELECT c_customer_sk, SUM(ss_ext_sales_price) AS revenue
+      |  FROM my_customers, store_sales, customer_address, store, date_dim
+      |  WHERE c_current_addr_sk = ca_address_sk
+      |    AND ca_county = s_county AND ca_state = s_state
+      |    AND ss_sold_date_sk = d_date_sk
+      |    AND c_customer_sk = ss_customer_sk
+      |    AND d_month_seq BETWEEN 1179 AND 1181
+      |  GROUP BY c_customer_sk),
+      |segments AS (
+      |  SELECT CAST(FLOOR(revenue / 50) AS INT) AS segment FROM my_revenue)
+      |SELECT segment, CAST(COUNT(*) AS BIGINT) AS num_customers,
+      |  segment * 50 AS segment_base
+      |FROM segments
+      |GROUP BY segment
+      |ORDER BY segment, num_customers
+      |LIMIT 100"""
+
+  // reference: perf/query65.q — items stuck below 10% of their store's
+  // average item revenue (the shared-subquery min-avg screen; the
+  // revenue CTE is referenced twice — the ReusedExchange shape on an
+  // aggregate, not a scan).
+  private val q65 =
+    """WITH #TABLES#,
+      |sc AS (
+      |  SELECT ss_store_sk, ss_item_sk, SUM(ss_sales_price) AS revenue
+      |  FROM store_sales, date_dim
+      |  WHERE ss_sold_date_sk = d_date_sk
+      |    AND d_month_seq BETWEEN 1176 AND 1187
+      |  GROUP BY ss_store_sk, ss_item_sk),
+      |sb AS (
+      |  SELECT ss_store_sk, AVG(CAST(revenue AS DOUBLE)) AS ave
+      |  FROM sc GROUP BY ss_store_sk)
+      |SELECT s_store_name, i_item_desc,
+      |  CAST(sc.revenue AS DOUBLE) AS revenue,
+      |  CAST(i_current_price AS DOUBLE) AS i_current_price,
+      |  CAST(i_wholesale_cost AS DOUBLE) AS i_wholesale_cost, i_brand
+      |FROM store, item, sb, sc
+      |WHERE sb.ss_store_sk = sc.ss_store_sk
+      |  AND CAST(sc.revenue AS DOUBLE) <= 0.72 * sb.ave
+      |  AND s_store_sk = sc.ss_store_sk
+      |  AND i_item_sk = sc.ss_item_sk
+      |ORDER BY s_store_name, i_item_desc, revenue
+      |LIMIT 100"""
+
+  // reference: perf/query71.q — brand revenue by minute across all three
+  // channels UNION ALL'd, restricted to meal-time hours.
+  private val q71 =
+    """WITH #TABLES#
+      |SELECT i_brand_id AS brand_id, i_brand AS brand, t_hour, t_minute,
+      |  CAST(SUM(ext_price) AS DOUBLE) AS ext_price
+      |FROM item
+      |JOIN (SELECT ws_ext_sales_price AS ext_price,
+      |        ws_item_sk AS sold_item_sk, ws_sold_time_sk AS time_sk
+      |      FROM web_sales, date_dim
+      |      WHERE d_date_sk = ws_sold_date_sk AND d_moy = 12 AND d_year = 1998
+      |      UNION ALL
+      |      SELECT cs_ext_sales_price, cs_item_sk, cs_sold_time_sk
+      |      FROM catalog_sales, date_dim
+      |      WHERE d_date_sk = cs_sold_date_sk AND d_moy = 12 AND d_year = 1998
+      |      UNION ALL
+      |      SELECT ss_ext_sales_price, ss_item_sk, ss_sold_time_sk
+      |      FROM store_sales, date_dim
+      |      WHERE d_date_sk = ss_sold_date_sk AND d_moy = 12 AND d_year = 1998
+      |  ) tmp ON tmp.sold_item_sk = item.i_item_sk
+      |JOIN time_dim ON tmp.time_sk = time_dim.t_time_sk
+      |WHERE i_manufact_id = 1
+      |  AND (t_meal_time = 'breakfast' OR t_meal_time = 'dinner')
+      |GROUP BY i_brand, i_brand_id, t_hour, t_minute
+      |ORDER BY ext_price DESC, i_brand_id, t_hour, t_minute
+      |LIMIT 100"""
+
+  // reference: perf/query75.q — year-over-year net sales (quantity minus
+  // returns) per item nibble across ALL THREE channels with their
+  // returns LEFT JOINed, declining lines only. The ratio screen runs in
+  // DOUBLE (int/int division is exact in both engines) instead of the
+  // reference's DECIMAL(17,2) division, whose result scale differs
+  // between engines.
+  private def q75Chan(fact: String, item: String, date: String, qty: String,
+      amt: String, ret: String, retJoin: String, rq: String,
+      ra: String): String =
+    s"""SELECT d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,
+       |  $qty - COALESCE($rq, 0) AS sales_cnt,
+       |  $amt - COALESCE($ra, 0.0) AS sales_amt
+       |FROM $fact
+       |JOIN item ON i_item_sk = $item
+       |JOIN date_dim ON d_date_sk = $date
+       |LEFT JOIN $ret ON ($retJoin)
+       |WHERE i_category = 'CAT2'"""
+
+  private val q75 =
+    s"""WITH #TABLES#,
+       |all_sales AS (
+       |  SELECT d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,
+       |    CAST(SUM(sales_cnt) AS BIGINT) AS sales_cnt,
+       |    SUM(sales_amt) AS sales_amt
+       |  FROM (${q75Chan("catalog_sales", "cs_item_sk", "cs_sold_date_sk",
+              "cs_quantity", "cs_ext_sales_price", "catalog_returns",
+              "cs_order_number = cr_order_number AND cs_item_sk = cr_item_sk",
+              "cr_return_quantity", "cr_return_amount")}
+       |    UNION ALL
+       |    ${q75Chan("store_sales", "ss_item_sk", "ss_sold_date_sk",
+              "ss_quantity", "ss_ext_sales_price", "store_returns",
+              "ss_ticket_number = sr_ticket_number AND ss_item_sk = sr_item_sk",
+              "sr_return_quantity", "sr_return_amt")}
+       |    UNION ALL
+       |    ${q75Chan("web_sales", "ws_item_sk", "ws_sold_date_sk",
+              "ws_quantity", "ws_ext_sales_price", "web_returns",
+              "ws_order_number = wr_order_number AND ws_item_sk = wr_item_sk",
+              "wr_return_quantity", "wr_return_amt")}) sales_detail
+       |  GROUP BY d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id)
+       |SELECT prev_yr.d_year AS prev_year, curr_yr.d_year AS year_,
+       |  curr_yr.i_brand_id, curr_yr.i_class_id, curr_yr.i_category_id,
+       |  curr_yr.i_manufact_id,
+       |  prev_yr.sales_cnt AS prev_yr_cnt, curr_yr.sales_cnt AS curr_yr_cnt,
+       |  curr_yr.sales_cnt - prev_yr.sales_cnt AS sales_cnt_diff,
+       |  CAST(curr_yr.sales_amt - prev_yr.sales_amt AS DOUBLE) AS sales_amt_diff
+       |FROM all_sales curr_yr, all_sales prev_yr
+       |WHERE curr_yr.i_brand_id = prev_yr.i_brand_id
+       |  AND curr_yr.i_class_id = prev_yr.i_class_id
+       |  AND curr_yr.i_category_id = prev_yr.i_category_id
+       |  AND curr_yr.i_manufact_id = prev_yr.i_manufact_id
+       |  AND curr_yr.d_year = 1999 AND prev_yr.d_year = 1998
+       |  AND CAST(curr_yr.sales_cnt AS DOUBLE) /
+       |      CAST(prev_yr.sales_cnt AS DOUBLE) < 0.9
+       |ORDER BY sales_cnt_diff, curr_yr.i_brand_id, curr_yr.i_class_id,
+       |  curr_yr.i_category_id, curr_yr.i_manufact_id
+       |LIMIT 100"""
+
+  // reference: perf/query76.q — sales recorded with a NULL dimension key,
+  // per channel (the data-quality audit union; the lite facts carry
+  // deliberate NULL tails in exactly these three FKs).
+  private val q76 =
+    """WITH #TABLES#
+      |SELECT channel, col_name, d_year, d_qoy, i_category,
+      |  CAST(COUNT(*) AS BIGINT) AS sales_cnt,
+      |  CAST(SUM(ext_sales_price) AS DOUBLE) AS sales_amt
+      |FROM (
+      |  SELECT 'store' AS channel, 'ss_addr_sk' AS col_name, d_year, d_qoy,
+      |    i_category, ss_ext_sales_price AS ext_sales_price
+      |  FROM store_sales, item, date_dim
+      |  WHERE ss_addr_sk IS NULL
+      |    AND ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+      |  UNION ALL
+      |  SELECT 'web', 'ws_web_page_sk', d_year, d_qoy, i_category,
+      |    ws_ext_sales_price
+      |  FROM web_sales, item, date_dim
+      |  WHERE ws_web_page_sk IS NULL
+      |    AND ws_sold_date_sk = d_date_sk AND ws_item_sk = i_item_sk
+      |  UNION ALL
+      |  SELECT 'catalog', 'cs_warehouse_sk', d_year, d_qoy, i_category,
+      |    cs_ext_sales_price
+      |  FROM catalog_sales, item, date_dim
+      |  WHERE cs_warehouse_sk IS NULL
+      |    AND cs_sold_date_sk = d_date_sk AND cs_item_sk = i_item_sk) foo
+      |GROUP BY channel, col_name, d_year, d_qoy, i_category
+      |ORDER BY channel, col_name, d_year, d_qoy, i_category
+      |LIMIT 100"""
+
+  // reference: perf/query80.q — three channel (sales, returns, profit)
+  // triples keyed by store / catalog page / web site, ROLLUP over the
+  // channel-id union.
+  private def q80Chan(alias: String, fact: String, ret: String,
+      retJoin: String, date: String, chanKey: String, keyDim: String,
+      keyJoin: String, sales: String, retAmt: String, profit: String,
+      retLoss: String, promo: String): String =
+    s"""$alias AS (
+       |  SELECT $chanKey AS chan_id,
+       |    SUM($sales) AS sales,
+       |    SUM(COALESCE($retAmt, 0)) AS returns_amt,
+       |    SUM($profit - COALESCE($retLoss, 0)) AS profit
+       |  FROM $fact LEFT OUTER JOIN $ret ON ($retJoin),
+       |    date_dim, $keyDim, item, promotion
+       |  WHERE $date = d_date_sk
+       |    AND d_date BETWEEN DATE '1998-08-04' AND DATE '1998-09-04'
+       |    AND $keyJoin
+       |    AND i_current_price > 50
+       |    AND $promo = p_promo_sk AND p_channel_tv = 'N'
+       |  GROUP BY $chanKey)"""
+
+  private val q80 =
+    s"""WITH #TABLES#,
+       |${q80Chan("ssr", "store_sales", "store_returns",
+          "ss_item_sk = sr_item_sk AND ss_ticket_number = sr_ticket_number",
+          "ss_sold_date_sk", "'store' || s_store_id", "store",
+          "ss_store_sk = s_store_sk AND ss_item_sk = i_item_sk",
+          "ss_ext_sales_price", "sr_return_amt", "ss_net_profit",
+          "sr_net_loss", "ss_promo_sk")},
+       |${q80Chan("csr", "catalog_sales", "catalog_returns",
+          "cs_item_sk = cr_item_sk AND cs_order_number = cr_order_number",
+          "cs_sold_date_sk", "'catalog_page' || cp_catalog_page_id",
+          "catalog_page",
+          "cs_catalog_page_sk = cp_catalog_page_sk AND cs_item_sk = i_item_sk",
+          "cs_ext_sales_price", "cr_return_amount", "cs_net_profit",
+          "cr_net_loss", "cs_promo_sk")},
+       |${q80Chan("wsr", "web_sales", "web_returns",
+          "ws_item_sk = wr_item_sk AND ws_order_number = wr_order_number",
+          "ws_sold_date_sk", "'web_site' || web_site_id", "web_site",
+          "ws_web_site_sk = web_site_sk AND ws_item_sk = i_item_sk",
+          "ws_ext_sales_price", "wr_return_amt", "ws_net_profit",
+          "wr_net_loss", "ws_promo_sk")}
+       |SELECT channel, id, CAST(SUM(sales) AS DOUBLE) AS sales,
+       |  CAST(SUM(returns_amt) AS DOUBLE) AS returns_amt,
+       |  CAST(SUM(profit) AS DOUBLE) AS profit
+       |FROM (SELECT 'store channel' AS channel, chan_id AS id, sales,
+       |        returns_amt, profit FROM ssr
+       |      UNION ALL
+       |      SELECT 'catalog channel', chan_id, sales, returns_amt, profit
+       |      FROM csr
+       |      UNION ALL
+       |      SELECT 'web channel', chan_id, sales, returns_amt, profit
+       |      FROM wsr) x
+       |GROUP BY ROLLUP (channel, id)
+       |ORDER BY channel NULLS FIRST, id NULLS FIRST
+       |LIMIT 100"""
+
+  // reference: perf/query85.q — web returns by reason under the paired
+  // refunded/returning-demographic equality screen and the geography
+  // band OR (customer_demographics joined twice).
+  private val q85 =
+    """WITH #TABLES#
+      |SELECT substr(r_reason_desc, 1, 20) AS r,
+      |  ROUND(AVG(ws_quantity), 4) AS wq,
+      |  ROUND(AVG(CAST(wr_refunded_cash AS DOUBLE)), 4) AS ref,
+      |  ROUND(AVG(CAST(wr_fee AS DOUBLE)), 4) AS fee
+      |FROM web_sales, web_returns, web_page, customer_demographics cd1,
+      |  customer_demographics cd2, customer_address, date_dim, reason
+      |WHERE ws_web_page_sk = wp_web_page_sk
+      |  AND ws_item_sk = wr_item_sk AND ws_order_number = wr_order_number
+      |  AND ws_sold_date_sk = d_date_sk AND d_year = 1998
+      |  AND cd1.cd_demo_sk = wr_refunded_cdemo_sk
+      |  AND cd2.cd_demo_sk = wr_returning_cdemo_sk
+      |  AND ca_address_sk = wr_refunded_addr_sk
+      |  AND r_reason_sk = wr_reason_sk
+      |  AND ((cd1.cd_marital_status = 'MS1'
+      |      AND cd1.cd_marital_status = cd2.cd_marital_status
+      |      AND cd1.cd_education_status = 'ES4'
+      |      AND cd1.cd_education_status = cd2.cd_education_status
+      |      AND ws_sales_price BETWEEN 30.00 AND 50.00)
+      |    OR (cd1.cd_marital_status = 'MS2'
+      |      AND cd1.cd_marital_status = cd2.cd_marital_status
+      |      AND cd1.cd_education_status = 'ES1'
+      |      AND cd1.cd_education_status = cd2.cd_education_status
+      |      AND ws_sales_price BETWEEN 10.00 AND 30.00)
+      |    OR (cd1.cd_marital_status = 'MS4'
+      |      AND cd1.cd_marital_status = cd2.cd_marital_status
+      |      AND cd1.cd_education_status = 'ES6'
+      |      AND cd1.cd_education_status = cd2.cd_education_status
+      |      AND ws_sales_price BETWEEN 50.00 AND 70.00))
+      |  AND ((ca_country = 'COUNTRY0' AND ca_state IN ('S0', 'S1')
+      |      AND ws_net_profit BETWEEN 10 AND 90)
+      |    OR (ca_country = 'COUNTRY0' AND ca_state IN ('S2')
+      |      AND ws_net_profit BETWEEN 5 AND 100)
+      |    OR (ca_country = 'COUNTRY0' AND ca_state IN ('S3', 'S4')
+      |      AND ws_net_profit BETWEEN 0 AND 110))
+      |GROUP BY r_reason_desc
+      |ORDER BY r, wq, ref, fee
+      |LIMIT 100"""
+
+  // reference: perf/query90.q — the am/pm web-traffic ratio: two scalar
+  // counts over (time band × dep count × page size) cross-joined into one
+  // division. DOUBLE division replaces the reference's DECIMAL(15,4)
+  // division (engine-dependent result scale).
+  private val q90 =
+    """WITH #TABLES#,
+      |at_ AS (SELECT COUNT(*) AS amc
+      |  FROM web_sales, household_demographics, time_dim, web_page
+      |  WHERE ws_sold_time_sk = t_time_sk
+      |    AND ws_ship_hdemo_sk = hd_demo_sk
+      |    AND ws_web_page_sk = wp_web_page_sk
+      |    AND t_hour BETWEEN 6 AND 7
+      |    AND hd_dep_count = 8
+      |    AND wp_char_count BETWEEN 5000 AND 5200),
+      |pt AS (SELECT COUNT(*) AS pmc
+      |  FROM web_sales, household_demographics, time_dim, web_page
+      |  WHERE ws_sold_time_sk = t_time_sk
+      |    AND ws_ship_hdemo_sk = hd_demo_sk
+      |    AND ws_web_page_sk = wp_web_page_sk
+      |    AND t_hour BETWEEN 14 AND 15
+      |    AND hd_dep_count = 8
+      |    AND wp_char_count BETWEEN 5000 AND 5200)
+      |SELECT ROUND(CAST(amc AS DOUBLE) / CAST(pmc AS DOUBLE), 4)
+      |  AS am_pm_ratio
+      |FROM at_, pt
+      |ORDER BY am_pm_ratio
+      |LIMIT 100"""
+
+  // reference: perf/query91.q — call-center catalog-return losses for one
+  // month under demographic and buy-potential screens (five dimension
+  // hops off the returning customer).
+  private val q91 =
+    """WITH #TABLES#
+      |SELECT cc_call_center_id AS call_center, cc_name AS call_center_name,
+      |  cc_manager AS manager,
+      |  CAST(SUM(cr_net_loss) AS DOUBLE) AS returns_loss
+      |FROM call_center, catalog_returns, date_dim, tpcds_customer,
+      |  customer_address, customer_demographics, household_demographics
+      |WHERE cr_call_center_sk = cc_call_center_sk
+      |  AND cr_returned_date_sk = d_date_sk
+      |  AND cr_returning_customer_sk = c_customer_sk
+      |  AND cd_demo_sk = c_current_cdemo_sk
+      |  AND hd_demo_sk = c_current_hdemo_sk
+      |  AND ca_address_sk = c_current_addr_sk
+      |  AND d_year = 1998 AND d_moy = 11
+      |  AND ((cd_marital_status = 'MS0' AND cd_education_status = 'ES0')
+      |    OR (cd_marital_status = 'MS0' AND cd_education_status = 'ES6'))
+      |  AND hd_buy_potential LIKE 'BP0%'
+      |  AND ca_gmt_offset = -5
+      |GROUP BY cc_call_center_id, cc_name, cc_manager, cd_marital_status,
+      |  cd_education_status
+      |ORDER BY returns_loss DESC, call_center, call_center_name, manager
+      |LIMIT 100"""
+
+  // reference: perf/query93.q — per-customer sales adjusted by returned
+  // quantity for one return reason (the LEFT OUTER whose WHERE makes the
+  // reason join effectively inner — kept verbatim).
+  private val q93 =
+    """WITH #TABLES#,
+      |t AS (
+      |  SELECT ss_customer_sk,
+      |    CASE WHEN sr_return_quantity IS NOT NULL
+      |         THEN (ss_quantity - sr_return_quantity) * ss_sales_price
+      |         ELSE ss_quantity * ss_sales_price END AS act_sales
+      |  FROM store_sales
+      |  LEFT OUTER JOIN store_returns
+      |    ON (sr_item_sk = ss_item_sk AND sr_ticket_number = ss_ticket_number),
+      |    reason
+      |  WHERE sr_reason_sk = r_reason_sk
+      |    AND r_reason_desc = 'REASON5')
+      |SELECT ss_customer_sk, CAST(SUM(act_sales) AS DOUBLE) AS sumsales
+      |FROM t
+      |GROUP BY ss_customer_sk
+      |ORDER BY sumsales, ss_customer_sk
+      |LIMIT 100"""
+
+  // reference: perf/query18.q — catalog demographics ROLLUP over the
+  // customer geography hierarchy with seven averages, customer_
+  // demographics in two roles (bill-time cd1 filtered, current cd2
+  // joined through the customer).
+  private val q18 =
+    """WITH #TABLES#
+      |SELECT i_item_id, ca_country, ca_state, ca_county,
+      |  ROUND(AVG(CAST(cs_quantity AS DOUBLE)), 4) AS agg1,
+      |  ROUND(AVG(CAST(cs_list_price AS DOUBLE)), 4) AS agg2,
+      |  ROUND(AVG(CAST(cs_coupon_amt AS DOUBLE)), 4) AS agg3,
+      |  ROUND(AVG(CAST(cs_sales_price AS DOUBLE)), 4) AS agg4,
+      |  ROUND(AVG(CAST(cs_net_profit AS DOUBLE)), 4) AS agg5,
+      |  ROUND(AVG(CAST(c_birth_year AS DOUBLE)), 4) AS agg6,
+      |  ROUND(AVG(CAST(cd1.cd_dep_count AS DOUBLE)), 4) AS agg7
+      |FROM catalog_sales, date_dim, customer_demographics cd1, item,
+      |  tpcds_customer, customer_address, customer_demographics cd2
+      |WHERE cs_sold_date_sk = d_date_sk AND cs_item_sk = i_item_sk
+      |  AND cs_bill_cdemo_sk = cd1.cd_demo_sk
+      |  AND cs_bill_customer_sk = c_customer_sk
+      |  AND cd1.cd_gender = 'M' AND cd1.cd_education_status = 'ES5'
+      |  AND c_current_cdemo_sk = cd2.cd_demo_sk
+      |  AND c_current_addr_sk = ca_address_sk
+      |  AND c_birth_month IN (9, 5, 12, 4, 1, 10)
+      |  AND d_year = 1998
+      |  AND ca_state IN ('S0', 'S1', 'S2', 'S3')
+      |GROUP BY ROLLUP (i_item_id, ca_country, ca_state, ca_county)
+      |ORDER BY ca_country NULLS FIRST, ca_state NULLS FIRST,
+      |  ca_county NULLS FIRST, i_item_id NULLS FIRST
+      |LIMIT 100"""
+
   val all: Seq[Qd] = Seq(
     q("q265_tpcds_q3", q3),
     q("q266_tpcds_q88", q88),
@@ -921,5 +1726,36 @@ object Tpcds {
     q("q297_tpcds_q82", q82),
     q("q298_tpcds_q40", q40),
     q("q299_tpcds_q50", q50),
-    q("q300_tpcds_q66", q66))
+    q("q300_tpcds_q66", q66),
+    q("q301_tpcds_q7", q7),
+    q("q302_tpcds_q15", q15),
+    q("q303_tpcds_q26", q26),
+    q("q304_tpcds_q42", q42),
+    q("q305_tpcds_q45", q45),
+    q("q306_tpcds_q48", q48),
+    q("q307_tpcds_q73", q73),
+    q("q308_tpcds_q96", q96),
+    q("q309_tpcds_q25", q25),
+    q("q310_tpcds_q29", q29),
+    q("q311_tpcds_q52", q52),
+    q("q312_tpcds_q55", q55),
+    q("q313_tpcds_q68", q68),
+    q("q314_tpcds_q79", q79),
+    q("q315_tpcds_q84", q84),
+    q("q316_tpcds_q98", q98),
+    q("q317_tpcds_q92", q92),
+    q("q318_tpcds_q13", q13),
+    q("q319_tpcds_q19", q19),
+    q("q320_tpcds_q20", q20),
+    q("q321_tpcds_q54", q54),
+    q("q322_tpcds_q65", q65),
+    q("q323_tpcds_q71", q71),
+    q("q324_tpcds_q75", q75),
+    q("q325_tpcds_q76", q76),
+    q("q326_tpcds_q80", q80),
+    q("q327_tpcds_q85", q85),
+    q("q328_tpcds_q90", q90),
+    q("q329_tpcds_q91", q91),
+    q("q330_tpcds_q93", q93),
+    q("q331_tpcds_q18", q18))
 }

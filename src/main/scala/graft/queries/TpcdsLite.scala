@@ -54,6 +54,10 @@ object TpcdsLite {
         |  'CLASS' || CAST(i % 15 AS #STR#) AS i_class,
         |  'CAT' || CAST(i % 10 AS #STR#) AS i_category,
         |  CAST(i % 40 + 1 AS INT) AS i_manufact_id,
+        |  'MFG' || CAST(i % 40 + 1 AS #STR#) AS i_manufact,
+        |  CAST(i % 15 + 1 AS INT) AS i_class_id,
+        |  CAST(i % 10 + 1 AS INT) AS i_category_id,
+        |  CAST(((i * 23) % 6000 + 50) / 100.0 AS DECIMAL(9,2)) AS i_wholesale_cost,
         |  CAST(((i * 17) % 9000 + 100) / 100.0 AS DECIMAL(9,2)) AS i_current_price,
         |  'PROD' || CAST(i + 1 AS #STR#) AS i_product_name
         |FROM (SELECT #I# AS i FROM range(0, 300)) t""",
@@ -70,12 +74,15 @@ object TpcdsLite {
         |  'COUNTY' || CAST(i % 4 AS #STR#) AS s_county,
         |  'CITY' || CAST(i % 60 AS #STR#) AS s_city,
         |  'COMP' || CAST(i % 3 AS #STR#) AS s_company_name,
-        |  CAST(10000 + i AS #STR#) AS s_zip
+        |  CAST(10000 + i AS #STR#) AS s_zip,
+        |  CAST(180 + i * 13 AS INT) AS s_number_employees
         |FROM (SELECT #I# AS i FROM range(0, 10)) t""",
     "time_dim" ->
       """SELECT CAST(i AS INT) AS t_time_sk,
         |  CAST(i #IDIV# 3600 AS INT) AS t_hour,
-        |  CAST((i % 3600) #IDIV# 60 AS INT) AS t_minute
+        |  CAST((i % 3600) #IDIV# 60 AS INT) AS t_minute,
+        |  CASE WHEN i #IDIV# 3600 BETWEEN 6 AND 8 THEN 'breakfast'
+        |       WHEN i #IDIV# 3600 BETWEEN 18 AND 20 THEN 'dinner' END AS t_meal_time
         |FROM (SELECT #I# AS i FROM range(0, 86400)) t""",
     "household_demographics" ->
       """SELECT CAST(i + 1 AS INT) AS hd_demo_sk,
@@ -88,10 +95,12 @@ object TpcdsLite {
       """SELECT CAST(i + 1 AS INT) AS cd_demo_sk,
         |  CASE WHEN i % 2 = 0 THEN 'M' ELSE 'F' END AS cd_gender,
         |  'MS' || CAST(i % 5 AS #STR#) AS cd_marital_status,
-        |  'ES' || CAST(i % 7 AS #STR#) AS cd_education_status
+        |  'ES' || CAST(i % 7 AS #STR#) AS cd_education_status,
+        |  CAST(i % 7 AS INT) AS cd_dep_count
         |FROM (SELECT #I# AS i FROM range(0, 1920)) t""",
     "tpcds_customer" ->
       """SELECT CAST(i + 1 AS INT) AS c_customer_sk,
+        |  'C' || CAST(100000 + i AS #STR#) AS c_customer_id,
         |  'FN' || CAST(i % 200 AS #STR#) AS c_first_name,
         |  'LN' || CAST(i % 100 AS #STR#) AS c_last_name,
         |  'SAL' || CAST(i % 6 AS #STR#) AS c_salutation,
@@ -99,6 +108,8 @@ object TpcdsLite {
         |  CAST(i % 1920 + 1 AS INT) AS c_current_cdemo_sk,
         |  CAST(i % 720 + 1 AS INT) AS c_current_hdemo_sk,
         |  CAST(i % 2500 + 1 AS INT) AS c_current_addr_sk,
+        |  CAST(i % 12 + 1 AS INT) AS c_birth_month,
+        |  CAST(1924 + i % 70 AS INT) AS c_birth_year,
         |  CAST(2450815 + (i * 7) % 1080 AS INT) AS c_first_sales_date_sk,
         |  CAST(2450815 + (i * 7 + 30) % 1080 AS INT) AS c_first_shipto_date_sk
         |FROM (SELECT #I# AS i FROM range(0, 5000)) t""",
@@ -109,7 +120,9 @@ object TpcdsLite {
         |  'CITY' || CAST(i % 60 AS #STR#) AS ca_city,
         |  'COUNTY' || CAST(i % 8 AS #STR#) AS ca_county,
         |  CAST(10000 + i % 900 AS #STR#) AS ca_zip,
-        |  'S' || CAST(i % 5 AS #STR#) AS ca_state
+        |  'S' || CAST(i % 5 AS #STR#) AS ca_state,
+        |  'COUNTRY0' AS ca_country,
+        |  CAST(-5 - i % 3 AS INT) AS ca_gmt_offset
         |FROM (SELECT #I# AS i FROM range(0, 2500)) t""",
     "income_band" ->
       """SELECT CAST(i + 1 AS INT) AS ib_income_band_sk,
@@ -119,7 +132,8 @@ object TpcdsLite {
     "promotion" ->
       """SELECT CAST(i + 1 AS INT) AS p_promo_sk,
         |  CASE WHEN i % 2 = 0 THEN 'N' ELSE 'Y' END AS p_channel_email,
-        |  CASE WHEN i % 3 = 0 THEN 'N' ELSE 'Y' END AS p_channel_event
+        |  CASE WHEN i % 3 = 0 THEN 'N' ELSE 'Y' END AS p_channel_event,
+        |  CASE WHEN i % 2 = 1 THEN 'N' ELSE 'Y' END AS p_channel_tv
         |FROM (SELECT #I# AS i FROM range(0, 30)) t""",
     // FACT: 120k sales. Dimension FKs are md5-hashed per column (`#H(...)H#`
     // = hex→int, the q172 keyed-hash discipline): linear-congruential
@@ -137,7 +151,8 @@ object TpcdsLite {
         |  CAST((i * 41) % 5000 + 1 AS INT) AS ss_customer_sk,
         |  CAST(#H(substr(md5(CAST(i AS #STR#) || ':cd'), 1, 15))H# % 1920 + 1 AS INT) AS ss_cdemo_sk,
         |  CAST(#H(substr(md5(CAST(i AS #STR#) || ':hd'), 1, 15))H# % 720 + 1 AS INT) AS ss_hdemo_sk,
-        |  CAST(#H(substr(md5(CAST(i AS #STR#) || ':ad'), 1, 15))H# % 2500 + 1 AS INT) AS ss_addr_sk,
+        |  CASE WHEN #H(substr(md5(CAST(i AS #STR#) || ':adn'), 1, 15))H# % 37 = 0 THEN CAST(NULL AS INT)
+        |       ELSE CAST(#H(substr(md5(CAST(i AS #STR#) || ':ad'), 1, 15))H# % 2500 + 1 AS INT) END AS ss_addr_sk,
         |  CAST(#H(substr(md5(CAST(i AS #STR#) || ':st'), 1, 15))H# % 10 + 1 AS INT) AS ss_store_sk,
         |  CAST(#H(substr(md5(CAST(i AS #STR#) || ':pr'), 1, 15))H# % 30 + 1 AS INT) AS ss_promo_sk,
         |  CAST((i * 97) % 40000 AS INT) AS ss_ticket_number,
@@ -146,6 +161,9 @@ object TpcdsLite {
         |  CAST(((i * 11) % 12000 + 200) / 100.0 AS DECIMAL(9,2)) AS ss_list_price,
         |  CAST(((i * 17) % 10000 + 50) / 100.0 AS DECIMAL(9,2)) AS ss_sales_price,
         |  CAST((i % 99 + 1) * (((i * 17) % 10000 + 50) / 100.0) AS DECIMAL(11,2)) AS ss_ext_sales_price,
+        |  CAST((i % 99 + 1) * (((i * 11) % 12000 + 200) / 100.0) AS DECIMAL(11,2)) AS ss_ext_list_price,
+        |  CAST((i % 99 + 1) * (((i * 7) % 9000 + 100) / 100.0) AS DECIMAL(11,2)) AS ss_ext_wholesale_cost,
+        |  CAST((i % 99 + 1) * (((i * 17) % 10000 + 50) / 100.0) * 0.08 AS DECIMAL(11,2)) AS ss_ext_tax,
         |  CAST(((i * 3) % 2000) / 100.0 AS DECIMAL(9,2)) AS ss_coupon_amt,
         |  CAST((((i * 13) % 20000) - 10000) / 100.0 AS DECIMAL(9,2)) AS ss_net_profit
         |FROM (SELECT #I# AS i FROM range(0, 120000)) t""",
@@ -157,7 +175,11 @@ object TpcdsLite {
         |  CAST((i * 410) % 5000 + 1 AS INT) AS sr_customer_sk,
         |  CAST((i * 970) % 40000 AS INT) AS sr_ticket_number,
         |  CAST(2450815 + #H(substr(md5(CAST(i AS #STR#) || ':srd'), 1, 15))H# % 1080 AS INT) AS sr_returned_date_sk,
-        |  CAST(i % 50 + 1 AS INT) AS sr_return_quantity
+        |  CAST(i % 50 + 1 AS INT) AS sr_return_quantity,
+        |  CAST(((i * 23) % 8000 + 100) / 100.0 AS DECIMAL(9,2)) AS sr_net_loss,
+        |  CAST(#H(substr(md5(CAST(i AS #STR#) || ':scd'), 1, 15))H# % 1920 + 1 AS INT) AS sr_cdemo_sk,
+        |  CAST(((i * 19) % 9000 + 50) / 100.0 AS DECIMAL(9,2)) AS sr_return_amt,
+        |  CAST(#H(substr(md5(CAST(i AS #STR#) || ':srr'), 1, 15))H# % 12 + 1 AS INT) AS sr_reason_sk
         |FROM (SELECT #I# AS i FROM range(0, 12000)) t""",
     // Catalog sales re-derive (customer, item) from the same base index
     // family (row k mirrors store row 10*k), so return-then-catalog-buy
@@ -171,11 +193,18 @@ object TpcdsLite {
         |  CAST(#H(substr(md5(CAST(i AS #STR#) || ':ccd'), 1, 15))H# % 1920 + 1 AS INT) AS cs_bill_cdemo_sk,
         |  CAST(#H(substr(md5(CAST(i AS #STR#) || ':chd'), 1, 15))H# % 720 + 1 AS INT) AS cs_bill_hdemo_sk,
         |  CAST(#H(substr(md5(CAST(i AS #STR#) || ':cpr'), 1, 15))H# % 40 + 1 AS INT) AS cs_promo_sk,
-        |  CAST(#H(substr(md5(CAST(i AS #STR#) || ':cwh'), 1, 15))H# % 5 + 1 AS INT) AS cs_warehouse_sk,
+        |  CASE WHEN #H(substr(md5(CAST(i AS #STR#) || ':cwn'), 1, 15))H# % 41 = 0 THEN CAST(NULL AS INT)
+        |       ELSE CAST(#H(substr(md5(CAST(i AS #STR#) || ':cwh'), 1, 15))H# % 5 + 1 AS INT) END AS cs_warehouse_sk,
+        |  CAST(#H(substr(md5(CAST(i AS #STR#) || ':cst'), 1, 15))H# % 86400 AS INT) AS cs_sold_time_sk,
+        |  CAST(#H(substr(md5(CAST(i AS #STR#) || ':ccc'), 1, 15))H# % 4 + 1 AS INT) AS cs_call_center_sk,
+        |  CAST(#H(substr(md5(CAST(i AS #STR#) || ':ccp'), 1, 15))H# % 25 + 1 AS INT) AS cs_catalog_page_sk,
         |  CAST(((i * 29) % 12000 + 100) / 100.0 AS DECIMAL(9,2)) AS cs_sales_price,
         |  CAST((i * 89) % 20000 AS INT) AS cs_order_number,
         |  CAST(i % 80 + 1 AS INT) AS cs_quantity,
         |  CAST(((i * 19) % 15000 + 500) / 100.0 AS DECIMAL(9,2)) AS cs_ext_list_price,
+        |  CAST(((i * 31) % 14000 + 300) / 100.0 AS DECIMAL(9,2)) AS cs_list_price,
+        |  CAST(((i * 13) % 2500) / 100.0 AS DECIMAL(9,2)) AS cs_coupon_amt,
+        |  CAST((((i * 37) % 24000) - 12000) / 100.0 AS DECIMAL(9,2)) AS cs_net_profit,
         |  CAST(((i * 23) % 5000) / 100.0 AS DECIMAL(9,2)) AS cs_ext_discount_amt,
         |  CAST((i % 80 + 1) * (((i * 29) % 12000 + 100) / 100.0) AS DECIMAL(11,2)) AS cs_ext_sales_price
         |FROM (SELECT #I# AS i FROM range(0, 60000)) t""",
@@ -187,7 +216,13 @@ object TpcdsLite {
         |  CAST((i * 890) % 20000 AS INT) AS cr_order_number,
         |  CAST(((i * 7) % 3000) / 100.0 AS DECIMAL(9,2)) AS cr_refunded_cash,
         |  CAST(((i * 5) % 1500) / 100.0 AS DECIMAL(9,2)) AS cr_reversed_charge,
-        |  CAST(((i * 3) % 1000) / 100.0 AS DECIMAL(9,2)) AS cr_store_credit
+        |  CAST(((i * 3) % 1000) / 100.0 AS DECIMAL(9,2)) AS cr_store_credit,
+        |  CAST(i % 20 + 1 AS INT) AS cr_return_quantity,
+        |  CAST(((i * 11) % 7000 + 100) / 100.0 AS DECIMAL(9,2)) AS cr_return_amount,
+        |  CAST(((i * 13) % 5000 + 50) / 100.0 AS DECIMAL(9,2)) AS cr_net_loss,
+        |  CAST(#H(substr(md5(CAST(i AS #STR#) || ':crc'), 1, 15))H# % 4 + 1 AS INT) AS cr_call_center_sk,
+        |  CAST(2450815 + #H(substr(md5(CAST(i AS #STR#) || ':crd'), 1, 15))H# % 1080 AS INT) AS cr_returned_date_sk,
+        |  CAST((i * 410) % 5000 + 1 AS INT) AS cr_returning_customer_sk
         |FROM (SELECT #I# AS i FROM range(0, 6000)) t""",
     // Web order lines: ~3 lines per order ((i*89) % 20000 collides at
     // stride 20000); ORDER-level attributes (ship addr/date, site) derive
@@ -200,6 +235,12 @@ object TpcdsLite {
         |  CAST(#H(substr(md5(CAST(i AS #STR#) || ':wba'), 1, 15))H# % 2500 + 1 AS INT) AS ws_bill_addr_sk,
         |  CAST(#H(substr(md5(CAST(i AS #STR#) || ':wbc'), 1, 15))H# % 5000 + 1 AS INT) AS ws_bill_customer_sk,
         |  CAST(onum AS INT) AS ws_order_number,
+        |  CAST(i % 99 + 1 AS INT) AS ws_quantity,
+        |  CAST(#H(substr(md5(CAST(i AS #STR#) || ':wst2'), 1, 15))H# % 86400 AS INT) AS ws_sold_time_sk,
+        |  CAST(#H(substr(md5(CAST(i AS #STR#) || ':whd'), 1, 15))H# % 720 + 1 AS INT) AS ws_ship_hdemo_sk,
+        |  CAST(#H(substr(md5(CAST(i AS #STR#) || ':wpr'), 1, 15))H# % 40 + 1 AS INT) AS ws_promo_sk,
+        |  CASE WHEN #H(substr(md5(CAST(i AS #STR#) || ':wpn'), 1, 15))H# % 37 = 0 THEN CAST(NULL AS INT)
+        |       ELSE CAST(#H(substr(md5(CAST(i AS #STR#) || ':wpg'), 1, 15))H# % 20 + 1 AS INT) END AS ws_web_page_sk,
         |  CAST(#H(substr(md5(CAST(i AS #STR#) || ':wwh'), 1, 15))H# % 5 + 1 AS INT) AS ws_warehouse_sk,
         |  CAST(#H(substr(md5(CAST(onum AS #STR#) || ':wsa'), 1, 15))H# % 2500 + 1 AS INT) AS ws_ship_addr_sk,
         |  CAST(2450815 + #H(substr(md5(CAST(onum AS #STR#) || ':wsp'), 1, 15))H# % 1080 AS INT) AS ws_ship_date_sk,
@@ -236,12 +277,47 @@ object TpcdsLite {
         |FROM (SELECT #I# AS i FROM range(0, 231000)) t""",
     "web_site" ->
       """SELECT CAST(i + 1 AS INT) AS web_site_sk,
+        |  'WS' || CAST(i + 1 AS #STR#) AS web_site_id,
         |  'WC' || CAST(i % 4 AS #STR#) AS web_company_name
         |FROM (SELECT #I# AS i FROM range(0, 8)) t""",
-    // every ~10th web order has a return
+    // every ~10th web order has a return; row i mirrors web_sales LINE
+    // k = 10*i (same item-hash seed), so (order, item) pairs join exactly.
+    // Returning/refunded demographics COINCIDE for a third of returns
+    // (the same-person case query85's cd1=cd2 equality screen needs).
     "web_returns" ->
-      """SELECT CAST((i * 890) % 20000 AS INT) AS wr_order_number
-        |FROM (SELECT #I# AS i FROM range(0, 2000)) t""")
+      """SELECT CAST((i * 890) % 20000 AS INT) AS wr_order_number,
+        |  CAST(#H(substr(md5(CAST(i * 10 AS #STR#) || ':wit'), 1, 15))H# % 300 + 1 AS INT) AS wr_item_sk,
+        |  CAST(i % 15 + 1 AS INT) AS wr_return_quantity,
+        |  CAST(((i * 17) % 8000 + 100) / 100.0 AS DECIMAL(9,2)) AS wr_return_amt,
+        |  CAST(((i * 7) % 4000 + 50) / 100.0 AS DECIMAL(9,2)) AS wr_net_loss,
+        |  CAST(((i * 11) % 6000 + 100) / 100.0 AS DECIMAL(9,2)) AS wr_refunded_cash,
+        |  CAST(((i * 5) % 2000) / 100.0 AS DECIMAL(9,2)) AS wr_fee,
+        |  CAST(#H(substr(md5(CAST(i AS #STR#) || ':wrc'), 1, 15))H# % 1920 + 1 AS INT) AS wr_refunded_cdemo_sk,
+        |  CASE WHEN i % 3 = 0
+        |       THEN CAST(#H(substr(md5(CAST(i AS #STR#) || ':wrc'), 1, 15))H# % 1920 + 1 AS INT)
+        |       ELSE CAST(#H(substr(md5(CAST(i AS #STR#) || ':wrd'), 1, 15))H# % 1920 + 1 AS INT)
+        |       END AS wr_returning_cdemo_sk,
+        |  CAST(#H(substr(md5(CAST(i AS #STR#) || ':wra'), 1, 15))H# % 2500 + 1 AS INT) AS wr_refunded_addr_sk,
+        |  CAST(#H(substr(md5(CAST(i AS #STR#) || ':wrr'), 1, 15))H# % 12 + 1 AS INT) AS wr_reason_sk
+        |FROM (SELECT #I# AS i FROM range(0, 2000)) t""",
+    "web_page" ->
+      """SELECT CAST(i + 1 AS INT) AS wp_web_page_sk,
+        |  CAST(4800 + i * 40 AS INT) AS wp_char_count
+        |FROM (SELECT #I# AS i FROM range(0, 20)) t""",
+    "call_center" ->
+      """SELECT CAST(i + 1 AS INT) AS cc_call_center_sk,
+        |  'CC' || CAST(i + 1 AS #STR#) AS cc_call_center_id,
+        |  'CENTER' || CAST(i + 1 AS #STR#) AS cc_name,
+        |  'MGR' || CAST(i % 3 AS #STR#) AS cc_manager
+        |FROM (SELECT #I# AS i FROM range(0, 4)) t""",
+    "reason" ->
+      """SELECT CAST(i + 1 AS INT) AS r_reason_sk,
+        |  'REASON' || CAST(i + 1 AS #STR#) AS r_reason_desc
+        |FROM (SELECT #I# AS i FROM range(0, 12)) t""",
+    "catalog_page" ->
+      """SELECT CAST(i + 1 AS INT) AS cp_catalog_page_sk,
+        |  'CP' || CAST(i + 1 AS #STR#) AS cp_catalog_page_id
+        |FROM (SELECT #I# AS i FROM range(0, 25)) t""")
     .map { case (n, t) => n -> t.stripMargin }
 
   private def sparkSql(t: String): String =

@@ -52,12 +52,33 @@ class TpcdsPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         "q291_tpcds_q22", "q292_tpcds_q39", "q293_tpcds_q72",
         "q294_tpcds_q67", "q295_tpcds_q95", "q296_tpcds_q31",
         "q297_tpcds_q82", "q298_tpcds_q40", "q299_tpcds_q50",
-        "q300_tpcds_q66")) {
+        "q300_tpcds_q66", "q301_tpcds_q7", "q302_tpcds_q15",
+        "q303_tpcds_q26", "q304_tpcds_q42", "q305_tpcds_q45",
+        "q306_tpcds_q48", "q307_tpcds_q73", "q308_tpcds_q96",
+        "q309_tpcds_q25", "q310_tpcds_q29", "q311_tpcds_q52",
+        "q312_tpcds_q55", "q313_tpcds_q68", "q314_tpcds_q79",
+        "q315_tpcds_q84", "q316_tpcds_q98", "q317_tpcds_q92",
+        "q318_tpcds_q13", "q319_tpcds_q19", "q320_tpcds_q20",
+        "q321_tpcds_q54", "q322_tpcds_q65", "q323_tpcds_q71",
+        "q324_tpcds_q75", "q325_tpcds_q76", "q326_tpcds_q80",
+        "q327_tpcds_q85", "q329_tpcds_q91", "q330_tpcds_q93",
+        "q331_tpcds_q18")) {
       val s = finalPlan(q)
       assert(!s.contains("CartesianProduct"), s"$q planned a cartesian")
       assert(!s.contains("BroadcastNestedLoopJoin"), s"$q planned a BNLJ")
       assert(s.contains("BroadcastHashJoin"), s"$q should broadcast dims")
     }
+  }
+
+  test("q328 (query90): the am/pm ratio's only non-hash join is the" +
+      " sanctioned 1-row scalar cross") {
+    val s = finalPlan("q328_tpcds_q90")
+    assert(s.contains("BroadcastHashJoin"), "dimension joins should broadcast")
+    // the single cross joins two 1-row scalar aggregates — the query88
+    // shape; anything beyond one is a planning bug
+    val crosses = "BroadcastNestedLoopJoin|CartesianProduct".r
+      .findAllIn(s).size
+    assert(crosses <= 1, s"expected at most the 1-row scalar cross:\n$s")
   }
 
   test("q265 filters reach the parquet scans (pushdown on fact and dims)") {
