@@ -651,6 +651,13 @@ object TxnMergeOnRead {
     * and starve the other writer's jobs). No-op in production. */
   private[graft] var pauseAfterSnapshot: () => Unit = () => ()
 
+  /** Test seam: invoked after [[insert]] stages its data dir and before
+    * its first commit attempt, so a spec can deterministically land a
+    * RACING mergeSchema insert in between — the only window where the
+    * diverged-type retry (winning-type re-stage + lossy-narrowing abort)
+    * is reachable. No-op in production. */
+  private[graft] var pauseAfterInsertStage: () => Unit = () => ()
+
   /** Serialize local-FS commits per root within this JVM (see scaladoc). */
   private val rootLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
@@ -1191,6 +1198,7 @@ object TxnMergeOnRead {
     // until the race resolves); uniqueness is all the id contract needs
     val tag = UUID.randomUUID().getLeastSignificantBits & Long.MaxValue
     var dir = stage(spark, root, None, Some(withRid(castStage(Map.empty), tag)))
+    pauseAfterInsertStage()
     val marker = if (newCols.isEmpty) ""
       else "c:" + newCols.map { case (n, t) => s"$n=$t" }.mkString(";")
     var v = view0.lastVersion + 1

@@ -127,6 +127,63 @@ class MergeSchemaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.filter(col("extra") === 40).count() == 1)
   }
 
+  test("a diverged-type commit race with FITTING values re-stages at the" +
+      " winning type and deletes the superseded stage dir") {
+    val root = mkTable()
+    import spark.implicits._
+    // B stages `extra` as BIGINT with an int-fitting value, then A races
+    // in an INT declaration before B's first commit attempt
+    TxnMergeOnRead.pauseAfterInsertStage = () => {
+      TxnMergeOnRead.pauseAfterInsertStage = () => () // only B pauses
+      TxnMergeOnRead.insert(spark, root,
+        Seq((3L, "a3", 30)).toDF("id", "s", "extra"), mergeSchema = true)
+    }
+    try TxnMergeOnRead.insert(spark, root,
+      Seq((4L, "a4", 40L)).toDF("id", "s", "extra"), mergeSchema = true)
+    finally TxnMergeOnRead.pauseAfterInsertStage = () => ()
+    val r = TxnMergeOnRead.read(spark, root)
+    assert(r.schema("extra").dataType ==
+      org.apache.spark.sql.types.IntegerType) // A's declaration won
+    assert(r.filter(col("extra") === 40).count() == 1) // B's value survived
+    // B's superseded BIGINT stage dir must not linger unreferenced: every
+    // data dir under the root is reachable from the log
+    val referenced = TxnMergeOnRead.history(spark, root)
+      .select("dir").collect().map(_.getString(0)).toSet
+    val onDisk = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && !f.getName.startsWith("_"))
+      .map(_.getName).toSet
+    assert((onDisk -- referenced).isEmpty,
+      s"orphan stage dirs leaked: ${onDisk -- referenced}")
+  }
+
+  test("a diverged-type commit race with a NON-FITTING value aborts the" +
+      " insert loudly instead of silently wrapping") {
+    val root = mkTable()
+    import spark.implicits._
+    TxnMergeOnRead.pauseAfterInsertStage = () => {
+      TxnMergeOnRead.pauseAfterInsertStage = () => ()
+      TxnMergeOnRead.insert(spark, root,
+        Seq((3L, "a3", 30)).toDF("id", "s", "extra"), mergeSchema = true)
+    }
+    val tooBig = Int.MaxValue.toLong + 7L
+    val e = intercept[IllegalArgumentException] {
+      try TxnMergeOnRead.insert(spark, root,
+        Seq((4L, "a4", tooBig)).toDF("id", "s", "extra"), mergeSchema = true)
+      finally TxnMergeOnRead.pauseAfterInsertStage = () => ()
+    }
+    assert(e.getMessage.contains("does not fit the winning type"))
+    // the aborted writer's rows are NOT visible, and its stage dir is gone
+    val r = TxnMergeOnRead.read(spark, root)
+    assert(r.filter(col("id") === 4L).count() == 0)
+    val referenced = TxnMergeOnRead.history(spark, root)
+      .select("dir").collect().map(_.getString(0)).toSet
+    val onDisk = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && !f.getName.startsWith("_"))
+      .map(_.getName).toSet
+    assert((onDisk -- referenced).isEmpty,
+      s"aborted insert leaked stage dirs: ${onDisk -- referenced}")
+  }
+
   test("a plain insert casts EXISTING columns to their declared types") {
     val root = mkTable()
     import spark.implicits._
