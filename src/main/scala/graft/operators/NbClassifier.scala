@@ -89,7 +89,15 @@ object NbClassifier {
   /** Score docs against every class and keep the argmax:
     * `(idCol, pred, margin)` where `margin` is the winning score minus the
     * runner-up's (0 when only one class exists — nothing to beat). Ties
-    * break on class name. */
+    * break on class name.
+    *
+    * Row-amplification bound: both crossJoins below multiply by the
+    * BROADCAST class list only — the per-token one amplifies the
+    * (doc, distinct-token) counts to at most `|that| × |classes|` narrow
+    * rows (a handful of classes in practice, never `|vocab|`), collapsing
+    * back to `|docs| × |classes|` at the score aggregate; the empty-doc
+    * one amplifies only the tokenless remainder. No stage is ever
+    * `|docs| × |vocab|`, and the corpus is never shuffled by the model. */
   def predict(model: NbModel, docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val dt = tokens(docs, Seq(idCol), textCol)
