@@ -506,6 +506,74 @@ object Sources {
         .select(col("event_id"), col("j.u").as("u"), col("j.t").as("t"),
           col("j._rescued").as("rescued"))
         .orderBy("event_id")
+    },
+
+    // Thrift TBinaryProtocol serde ([[graft.sources.ThriftBinarySerde]] —
+    // the reference's ThriftDeserializer/DynamicSerDe surface, the last
+    // previously-descoped serde): each order encodes as a REAL strict
+    // TBinaryProtocol struct (6 projected fields + an UNPROJECTED field
+    // id 99 the reader must skip structurally; every 3rd payload emits
+    // its fields in REVERSE order — id-based matching must not care;
+    // every 53rd payload is truncated mid-value → PERMISSIVE rescue:
+    // the row survives as status='corrupt' with NULL fields). The
+    // parse is a compiled per-partition kernel; the oracle recomputes
+    // every decoded value closed-form from the orders columns — a full
+    // hash check of the wire decode, not a round-trip tautology.
+    Qd("q332_thrift_serde",
+      """WITH t AS (SELECT o_orderkey AS i, o_orderstatus AS st,
+        |  CAST(o_totalprice AS DOUBLE) AS price FROM orders),
+        |p AS (SELECT
+        |  CASE WHEN i % 53 = 0 THEN 'corrupt' ELSE 'ok' END AS status,
+        |  CASE WHEN i % 53 = 0 THEN NULL ELSE st END AS st,
+        |  CASE WHEN i % 53 = 0 THEN NULL ELSE i % 97 END AS qty,
+        |  CASE WHEN i % 53 = 0 THEN NULL ELSE price END AS price,
+        |  CASE WHEN i % 53 = 0 THEN NULL
+        |       ELSE CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END END AS flag,
+        |  CASE WHEN i % 53 = 0 THEN NULL ELSE i % 5 + i % 7 END AS tags
+        |  FROM t)
+        |SELECT status, st, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(SUM(qty) AS BIGINT) AS sum_qty,
+        |  CAST(ROUND(SUM(price), 2) AS DOUBLE) AS sum_price,
+        |  CAST(SUM(flag) AS BIGINT) AS n_flag,
+        |  CAST(SUM(tags) AS BIGINT) AS sum_tags
+        |FROM p GROUP BY status, st
+        |ORDER BY status, st NULLS FIRST""") { (s, dir) =>
+      import graft.sources.ThriftBinarySerde
+      import graft.sources.ThriftBinarySerde._
+      val enc = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.BINARY)
+      val blobs = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("bigint").as("i"),
+          col("o_orderstatus").as("st"),
+          col("o_totalprice").cast("double").as("price"))
+        .map { r =>
+          val (i, st, price) =
+            (r.getLong(0), r.getString(1), r.getDouble(2))
+          val fields: Seq[(Short, Byte, Any)] = Seq(
+            (1.toShort, I64, i),
+            (2.toShort, STRING, st),
+            (3.toShort, I32, (i % 97).toInt),
+            (4.toShort, DOUBLE, price),
+            (5.toShort, BOOL, i % 2 == 0),
+            (6.toShort, LIST, Seq(i % 5, i % 7)),
+            (99.toShort, I16, (i % 31).toShort)) // unprojected: must skip
+          val ordered = if (i % 3 == 0) fields.reverse else fields
+          val b = ThriftBinarySerde.encode(ordered)
+          (i, if (i % 53 == 0) b.dropRight(3) else b)
+        }(enc)
+        .toDF("i", "payload")
+      ThriftBinarySerde.parse(blobs, "payload", Seq(
+          Field(1, I64, "id"), Field(2, STRING, "st"),
+          Field(3, I32, "qty"), Field(4, DOUBLE, "price"),
+          Field(5, BOOL, "flag"), Field(6, LIST, "tags")))
+        .groupBy("status", "st")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("qty").cast("bigint")).as("sum_qty"),
+          round(sum("price"), 2).cast("double").as("sum_price"),
+          sum(col("flag").cast("long")).as("n_flag"), // NULL-propagating
+          sum(aggregate(col("tags"), lit(0L), (a, x) => a + x)).as("sum_tags"))
+        .orderBy(col("status"), col("st").asc_nulls_first)
     }
   )
 }
