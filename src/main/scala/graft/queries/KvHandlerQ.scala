@@ -1,0 +1,257 @@
+package graft.queries
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Engine
+import graft.sources.KvStorageHandler
+import graft.sources.KvStorageHandler.parseMapping
+
+/** KV storage-handler queries — the reference's HBase/Accumulo handler
+  * semantics (`hbase-handler/.../HBaseStorageHandler.java`,
+  * `accumulo-handler/.../AccumuloStorageHandler.java`) driven end-to-end:
+  * column-mapping specs, scan-range predicate decomposition with manifest
+  * pruning (require()d scan profiles), LSM Put/Delete versioning, family-map
+  * columns, and major compaction, all over [[graft.sources.KvStorageHandler]]'s
+  * region-sharded store. Timestamps are write-generation ordinals, so every
+  * visible state is closed-form and the DuckDB oracle replays it from the
+  * source tables directly.
+  */
+object KvHandlerQ {
+
+  private def ctx(s: SparkSession, dir: String): (String, String) = {
+    Engine.registerAll(s, dir)
+    val sf = new java.io.File(dir).getName.replace(".", "_")
+    (sf, s"/root/repo/target/ddl/$sf")
+  }
+
+  /** KV roots are LSM state: a re-run must start from generation 1, not
+    * append to the previous run's log (the `ver`/`:timestamp` outputs are
+    * generation ordinals). */
+  private def wipe(s: SparkSession, root: String): Unit = {
+    val p = new Path(root)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) f.delete(p, true)
+  }
+
+  private def key12(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    lpad(c.cast("string"), 12, "0")
+
+  val all: Seq[Qd] = Seq(
+
+    // Range scan with predicate decomposition: customers keyed by a
+    // zero-padded custkey, one full Put generation, a partial Put that
+    // rewrites only the f:bal cell for every 5th customer (latest version
+    // wins; the `:timestamp` column surfaces the winning generation), a
+    // row-Delete tombstone for every 7th, then a key-range + residual scan.
+    // The key range is decomposed out of the predicate (HBaseScanRange
+    // analog) and must prune region files; zero-padding makes the string
+    // range coincide with the numeric BETWEEN the oracle runs.
+    Qd("q333_kv_handler_scan",
+      """SELECT CAST(c_custkey AS BIGINT) AS ck,
+        |  CAST(CASE WHEN c_custkey % 5 = 0 THEN 2 ELSE 1 END AS BIGINT) AS ver,
+        |  c_name AS nm,
+        |  CAST(CASE WHEN c_custkey % 5 = 0
+        |            THEN round(round(c_acctbal, 2) + 100, 2)
+        |            ELSE round(c_acctbal, 2) END AS DOUBLE) AS bal,
+        |  c_mktsegment AS seg
+        |FROM customer
+        |WHERE c_custkey % 7 <> 0 AND c_custkey BETWEEN 100 AND 899
+        |  AND c_mktsegment <> 'MACHINERY'
+        |ORDER BY ck""") { (s, dir) =>
+      val (sf, loc) = ctx(s, dir)
+      val root = s"$loc/g333_kv"
+      wipe(s, root)
+      val cust = Engine.table(s, dir, "customer")
+      val full = parseMapping(
+        StructType(Seq(StructField("k", StringType), StructField("ver", LongType),
+          StructField("nm", StringType), StructField("bal", DoubleType),
+          StructField("seg", StringType))),
+        ":key,:timestamp,f:name,f:bal#b,f:seg")
+      // gen 1: every customer
+      KvStorageHandler.put(s, root, cust.select(
+        key12(col("c_custkey")).as("k"), lit(0L).as("ver"),
+        col("c_name").as("nm"), round(col("c_acctbal"), 2).as("bal"),
+        col("c_mktsegment").as("seg")), full)
+      // gen 2: balance-only upsert for every 5th customer (a per-cell Put —
+      // a different Hive table can map the same KV table onto fewer columns)
+      val balOnly = parseMapping(
+        StructType(Seq(StructField("k", StringType), StructField("bal", DoubleType))),
+        ":key,f:bal#b")
+      KvStorageHandler.put(s, root,
+        cust.filter(col("c_custkey") % 5 === 0).select(
+          key12(col("c_custkey")).as("k"),
+          round(round(col("c_acctbal"), 2) + 100, 2).as("bal")), balOnly)
+      // gen 3: row tombstones for every 7th customer
+      KvStorageHandler.deleteRows(s, root,
+        cust.filter(col("c_custkey") % 7 === 0)
+          .select(key12(col("c_custkey")).as("k")), "k")
+      val pred = col("k") >= lit(key12str(100)) && col("k") <= lit(key12str(899)) &&
+        col("seg") =!= "MACHINERY"
+      val (kf, residual) = KvStorageHandler.decomposeKeyPredicate(pred, "k")
+      require(!kf.isFullScan, "key range must decompose out of the predicate")
+      require(residual.isDefined, "the segment conjunct must stay residual")
+      val p = KvStorageHandler.scanProfile(s, root, kf)
+      require(p._1 < p._2, s"key range must prune region files, scanned $p")
+      KvStorageHandler.scan(s, root, full, pred)
+        .select(col("k").cast("bigint").as("ck"), col("ver"), col("nm"),
+          col("bal"), col("seg"))
+        .orderBy("ck")
+    },
+
+    // Point-get list (multi-get): an IN over the key column decomposes to
+    // points that prune to just the region files covering those keys; a
+    // DeleteColumn tombstone erases one cell (the row survives, the column
+    // reads NULL — HBase cell-granular deletes, not row ones).
+    Qd("q334_kv_point_lookup",
+      """SELECT CAST(o_orderkey AS BIGINT) AS ok,
+        |  CAST(o_custkey AS BIGINT) AS ck,
+        |  CAST(CASE WHEN o_orderkey % 3 = 0
+        |            THEN round(round(o_totalprice, 2) * 1.1, 2)
+        |            ELSE round(o_totalprice, 2) END AS DOUBLE) AS price,
+        |  CASE WHEN o_orderkey % 11 = 0 THEN NULL
+        |       ELSE o_orderpriority END AS pri
+        |FROM orders
+        |WHERE o_orderkey IN (1, 4, 7, 32, 33, 38, 65, 66, 70)
+        |ORDER BY ok""") { (s, dir) =>
+      val (sf, loc) = ctx(s, dir)
+      val root = s"$loc/g334_kv"
+      wipe(s, root)
+      val orders = Engine.table(s, dir, "orders")
+      val m = parseMapping(
+        StructType(Seq(StructField("k", StringType), StructField("ck", LongType),
+          StructField("price", DoubleType), StructField("pri", StringType))),
+        ":key,f:ck#b,f:price#b,f:pri")
+      KvStorageHandler.put(s, root, orders.select(
+        key12(col("o_orderkey")).as("k"),
+        col("o_custkey").cast("long").as("ck"),
+        round(col("o_totalprice"), 2).as("price"),
+        col("o_orderpriority").as("pri")), m)
+      val priceOnly = parseMapping(
+        StructType(Seq(StructField("k", StringType), StructField("price", DoubleType))),
+        ":key,f:price#b")
+      KvStorageHandler.put(s, root,
+        orders.filter(col("o_orderkey") % 3 === 0).select(
+          key12(col("o_orderkey")).as("k"),
+          round(round(col("o_totalprice"), 2) * 1.1, 2).as("price")), priceOnly)
+      KvStorageHandler.deleteCells(s, root,
+        orders.filter(col("o_orderkey") % 11 === 0)
+          .select(key12(col("o_orderkey")).as("k")), "k", "f", "pri")
+      val keys = Seq(1, 4, 7, 32, 33, 38, 65, 66, 70).map(key12str)
+      val pred = col("k").isin(keys: _*) && col("ck") > 0
+      val (kf, _) = KvStorageHandler.decomposeKeyPredicate(pred, "k")
+      require(kf.points.exists(_.size == keys.size),
+        s"IN over the key must decompose to a ${keys.size}-point multi-get")
+      val p = KvStorageHandler.scanProfile(s, root, kf)
+      require(p._1 < p._2, s"point list must prune region files, scanned $p")
+      KvStorageHandler.scan(s, root, m, pred)
+        .select(col("k").cast("bigint").as("ok"), col("ck"), col("price"), col("pri"))
+        .orderBy("ok")
+    },
+
+    // Family-map columns: parts write a whole `a:*` attribute family (brand,
+    // mfgr, and a prefixed pf.cont entry only for large sizes) plus a binary
+    // long family `z:*#b`; the READ maps the same KV table through a second
+    // Hive-side schema that adds an `a:pf.*` qualifier-prefix slice
+    // (LazyHBaseCellMap's prefix form) — two tables over one store, the
+    // standard HBase-handler deployment shape. The aggregate consumes map
+    // lookups and cardinality, so every family-map path is value-checked.
+    Qd("q335_kv_family_map",
+      """SELECT p_brand AS brand,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(p_size) AS BIGINT) AS sz,
+        |  CAST(sum(CAST(round(p_retailprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents,
+        |  CAST(sum(CASE WHEN p_size > 20 THEN 1 ELSE 0 END) AS BIGINT) AS with_cont
+        |FROM part GROUP BY brand ORDER BY brand""") { (s, dir) =>
+      val (sf, loc) = ctx(s, dir)
+      val root = s"$loc/g335_kv"
+      wipe(s, root)
+      val part = Engine.table(s, dir, "part")
+      val writeM = parseMapping(
+        StructType(Seq(StructField("k", StringType),
+          StructField("attrs", MapType(StringType, StringType)),
+          StructField("nums", MapType(StringType, LongType)))),
+        ":key,a:*,z:*#b")
+      KvStorageHandler.put(s, root, part.select(
+        key12(col("p_partkey")).as("k"),
+        map_concat(
+          map(lit("brand"), col("p_brand"), lit("mfgr"), col("p_mfgr")),
+          when(col("p_size") > 20, map(lit("pf.cont"), col("p_container")))
+            .otherwise(map())).as("attrs"),
+        map(lit("size"), col("p_size").cast("long"),
+          lit("retail"), round(col("p_retailprice") * 100, 0).cast("long")).as("nums")),
+        writeM)
+      val readM = parseMapping(
+        StructType(Seq(StructField("k", StringType),
+          StructField("attrs", MapType(StringType, StringType)),
+          StructField("cont", MapType(StringType, StringType)),
+          StructField("nums", MapType(StringType, LongType)))),
+        ":key,a:*,a:pf.*,z:*#b")
+      KvStorageHandler.read(s, root, readM)
+        .groupBy(col("attrs")("brand").as("brand"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("nums")("size")).as("sz"),
+          sum(col("nums")("retail")).as("cents"),
+          sum(size(col("cont")).cast("long")).as("with_cont"))
+        .orderBy("brand")
+    },
+
+    // Major compaction invariance: four generations of churn (split initial
+    // load, a price rewrite, row tombstones), compact to a single base
+    // generation, and require (a) the visible row view is IDENTICAL before
+    // and after, and (b) a point probe scans strictly fewer region files
+    // afterwards — the LSM contract the reference's region servers provide.
+    Qd("q336_kv_compact",
+      """WITH t AS (SELECT o_orderstatus AS stat,
+        |    CASE WHEN o_orderkey % 3 = 0
+        |         THEN round(round(o_totalprice, 2) * 1.1, 2)
+        |         ELSE round(o_totalprice, 2) END AS price
+        |  FROM orders WHERE o_orderkey % 13 <> 0)
+        |SELECT stat, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(round(sum(price), 2) AS DOUBLE) AS sval
+        |FROM t GROUP BY stat ORDER BY stat""") { (s, dir) =>
+      val (sf, loc) = ctx(s, dir)
+      val root = s"$loc/g336_kv"
+      wipe(s, root)
+      val orders = Engine.table(s, dir, "orders")
+      val m = parseMapping(
+        StructType(Seq(StructField("k", StringType), StructField("price", DoubleType),
+          StructField("stat", StringType))),
+        ":key,f:price#b,f:stat")
+      def load(p: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame =
+        orders.filter(p(col("o_orderkey"))).select(
+          key12(col("o_orderkey")).as("k"),
+          round(col("o_totalprice"), 2).as("price"),
+          col("o_orderstatus").as("stat"))
+      KvStorageHandler.put(s, root, load(_ % 2 === 0), m) // gen 1
+      KvStorageHandler.put(s, root, load(_ % 2 === 1), m) // gen 2
+      val priceOnly = parseMapping(
+        StructType(Seq(StructField("k", StringType), StructField("price", DoubleType))),
+        ":key,f:price#b")
+      KvStorageHandler.put(s, root,
+        orders.filter(col("o_orderkey") % 3 === 0).select(
+          key12(col("o_orderkey")).as("k"),
+          round(round(col("o_totalprice"), 2) * 1.1, 2).as("price")), priceOnly)
+      KvStorageHandler.deleteRows(s, root,
+        orders.filter(col("o_orderkey") % 13 === 0)
+          .select(key12(col("o_orderkey")).as("k")), "k")
+      val probe = KvStorageHandler.KeyFilter.points(Seq(key12str(32)))
+      val before = KvStorageHandler.read(s, root, m)
+      val pBefore = KvStorageHandler.scanProfile(s, root, probe)
+      KvStorageHandler.compact(s, root)
+      val after = KvStorageHandler.read(s, root, m)
+      require(before.exceptAll(after).isEmpty && after.exceptAll(before).isEmpty,
+        "compaction must be result-invariant")
+      val pAfter = KvStorageHandler.scanProfile(s, root, probe)
+      require(pAfter._1 < pBefore._1,
+        s"compaction must shrink the probe's file set ($pBefore -> $pAfter)")
+      after.groupBy("stat")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("price")), 2).cast("double").as("sval"))
+        .orderBy("stat")
+    })
+
+  private def key12str(n: Int): String = f"$n%012d"
+}

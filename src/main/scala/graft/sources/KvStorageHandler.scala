@@ -1,0 +1,527 @@
+package graft.sources
+
+import java.net.{URLDecoder, URLEncoder}
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.{ColumnBridge => CB}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{KvDecodeFixed, KvEncodeFixed}
+
+/** Spark-native re-expression of the reference's HBase / Accumulo storage
+  * handlers — the KV-table *semantics*, without the external service.
+  *
+  * What the reference provides (`hbase-handler/.../HBaseStorageHandler.java`,
+  * `accumulo-handler/.../AccumuloStorageHandler.java`) is a mapping from a
+  * Hive table onto a sorted, region-sharded key-value store:
+  *
+  *  - **Column mapping** (`ColumnMappings.java:111`,
+  *    `AccumuloHiveConstants.ROWID`): a spec string `":key,f:q,f:q2#b,m:*"`
+  *    pairs each Hive column with the row key, a `family:qualifier` cell, or
+  *    a whole column family as a `MAP` column (`LazyHBaseCellMap.java:93`,
+  *    including the qualifier-*prefix* form `f:pre.*`). `#b` selects
+  *    fixed-width binary storage per column, `#s`/default selects UTF-8
+  *    string storage (`ColumnMappings.java:146-233`); `:timestamp` exposes
+  *    the cell version as a BIGINT column.
+  *  - **Scan-range predicate decomposition**
+  *    (`HBaseStorageHandler.decomposePredicate:545`, `HBaseScanRange.java:32`):
+  *    key comparisons are pulled out of the WHERE clause and become a
+  *    start/stop-row scan (or a point-get list); everything else runs as a
+  *    residual filter over the scanned rows.
+  *  - **LSM write semantics**: writes are Puts — latest cell version wins;
+  *    Deletes are tombstone markers that mask older cells (cell / family /
+  *    row granularity); a major compaction merges files and drops masked
+  *    data without changing any visible result.
+  *
+  * The connector-to-a-live-service part is out of scope (no HBase/Accumulo
+  * here, and a socket client would not be a Spark re-expression anyway).
+  * Everything *semantic* is implemented over a local region-sharded store:
+  *
+  *  - Cells live in parquet "region files" `(k, f, q, v binary, ts, del)`,
+  *    range-partitioned and sorted by row key per write generation — the
+  *    analog of region-server HFiles. A manifest sidecar records each file's
+  *    [kmin, kmax], which is exactly the bound an HFile trailer carries.
+  *  - `decomposeKeyPredicate` walks the Catalyst expression of an arbitrary
+  *    filter `Column` and splits it into a key filter (points or range) plus
+  *    a residual, like `IndexPredicateAnalyzer`. The key filter prunes
+  *    region files through the manifest; the FULL original predicate is
+  *    still applied to the scanned rows, so correctness never depends on the
+  *    decomposition being exhaustive — only pruning does (the reference has
+  *    the same property: the scan range narrows IO, filters re-check).
+  *  - Merged reads resolve cell versions relationally: winner-per-cell via
+  *    `max_by` over put timestamps, tombstones mask cells with
+  *    `put.ts <= marker.ts` at cell/family/row granularity (HBase Delete
+  *    semantics), all as keyed aggregations — no driver-side state, so the
+  *    merge scales with partitions, not with table size.
+  *
+  * 100 TB shape: point-gets and key ranges touch only the region files whose
+  * bounds intersect (scanProfile proves it); write amplification is bounded
+  * by generations and reset by `compact`, which is itself a single shuffled
+  * rewrite. Timestamps are write-generation ordinals, not wall-clock — the
+  * deterministic analog of HBase's cell timestamp that keeps every result
+  * oracle-replayable (documented deviation).
+  */
+object KvStorageHandler {
+
+  private val MANIFEST_DIR = "_kv_manifest"
+
+  // del codes, mirroring HBase KeyValue.Type
+  private val PUT = 0
+  private val DEL_CELL = 1 // DeleteColumn: masks (k, f, q) cells with ts <= marker
+  private val DEL_FAMILY = 2 // DeleteFamily: masks (k, f) cells
+  private val DEL_ROW = 3 // Delete (whole row)
+
+  // ---------------------------------------------------------------- mapping
+
+  /** One Hive column bound to a `family:qualifier` cell. */
+  final case class ScalarCell(col: String, family: String, qualifier: String,
+      binary: Boolean, t: DataType)
+
+  /** One Hive MAP column bound to a whole family (`f:*`) or a qualifier
+    * prefix slice of it (`f:pre.*`). Map keys are the (prefix-stripped)
+    * qualifiers; values decode per the storage specifier. */
+  final case class FamilyMap(col: String, family: String, qualPrefix: String,
+      binary: Boolean, valueType: DataType)
+
+  final case class KvMapping(keyCol: String, timestampCol: Option[String],
+      scalars: Seq[ScalarCell], maps: Seq[FamilyMap]) {
+    def columns: Seq[String] =
+      Seq(keyCol) ++ timestampCol ++ scalars.map(_.col) ++ maps.map(_.col)
+  }
+
+  /** Parse an `hbase.columns.mapping`-style spec against the Hive-side
+    * schema. Mirrors `ColumnMappings.parseColumnsMapping`: entry count must
+    * equal the column count, exactly one `:key`, at most one `:timestamp`
+    * (BIGINT), `f:*` entries require MAP columns, `#b` requires a
+    * fixed-width-codable type. Row keys are strings here (the reference's
+    * raw-byte row keys sort bytewise; a string key is the order-preserving
+    * surface of that). */
+  def parseMapping(schema: StructType, spec: String): KvMapping = {
+    val entries = spec.split(",").map(_.trim)
+    require(entries.length == schema.length,
+      s"mapping has ${entries.length} entries but schema has ${schema.length} " +
+        "columns (the reference raises the same count mismatch, ColumnMappings.java:111)")
+    var key: Option[String] = None
+    var tsCol: Option[String] = None
+    val scalars = Seq.newBuilder[ScalarCell]
+    val maps = Seq.newBuilder[FamilyMap]
+    entries.zip(schema.fields).foreach { case (e0, field) =>
+      val (e, storage) = e0.split("#").toList match {
+        case one :: Nil => (one, "s")
+        case one :: st :: Nil if st == "b" || st == "s" => (one, st)
+        case _ => throw new IllegalArgumentException(
+          s"bad storage specifier in '$e0' (want #b or #s)")
+      }
+      val binary = storage == "b"
+      if (e == ":key") {
+        require(key.isEmpty, "duplicate :key entry")
+        require(field.dataType == StringType,
+          s":key column must be STRING, got ${field.dataType.sql}")
+        key = Some(field.name)
+      } else if (e == ":timestamp") {
+        require(tsCol.isEmpty, "duplicate :timestamp entry")
+        require(field.dataType == LongType,
+          s":timestamp column must be BIGINT, got ${field.dataType.sql} " +
+            "(ColumnMappings.java:139)")
+        tsCol = Some(field.name)
+      } else {
+        val parts = e.split(":", 2)
+        require(parts.length == 2 && parts(0).nonEmpty,
+          s"cell mapping '$e' must be family:qualifier")
+        val (fam, qual) = (parts(0), parts(1))
+        if (qual == "*" || qual.endsWith(".*")) {
+          val prefix = if (qual == "*") "" else qual.dropRight(1) // keep the dot
+          field.dataType match {
+            case MapType(StringType, vt, _) =>
+              if (binary) Codable.require(vt)
+              maps += FamilyMap(field.name, fam, prefix, binary, vt)
+            case other => throw new IllegalArgumentException(
+              s"family mapping '$e' needs MAP<STRING,_>, got ${other.sql}")
+          }
+        } else {
+          if (binary) Codable.require(field.dataType)
+          scalars += ScalarCell(field.name, fam, qual, binary, field.dataType)
+        }
+      }
+    }
+    val sc = scalars.result(); val mp = maps.result()
+    require(sc.nonEmpty || mp.nonEmpty,
+      "mapping must bind at least one cell beyond :key")
+    KvMapping(key.getOrElse(throw new IllegalArgumentException(
+      "mapping must contain :key (AccumuloHiveConstants.ROWID)")),
+      tsCol, sc, mp)
+  }
+
+  private object Codable {
+    def require(t: DataType): Unit = t match {
+      case BooleanType | ShortType | IntegerType | LongType | FloatType | DoubleType => ()
+      case other => throw new IllegalArgumentException(
+        s"#b (binary storage) supports boolean/short/int/long/float/double, got ${other.sql}")
+    }
+  }
+
+  // ------------------------------------------------------------ encode side
+
+  private def encodeValue(c: Column, t: DataType, binary: Boolean): Column =
+    if (binary) CB.column(KvEncodeFixed(CB.expression(c.cast(t))))
+    else encode(c.cast(t).cast(StringType), "UTF-8")
+
+  private def decodeValue(c: Column, t: DataType, binary: Boolean): Column =
+    if (binary) CB.column(KvDecodeFixed(CB.expression(c), t))
+    else decode(c, "UTF-8").cast(t)
+
+  /** Explode a Hive-side DataFrame into cells per the mapping. Null scalar
+    * values produce NO cell (HBase stores nothing for null; LazyHBaseCellMap
+    * likewise skips empty values on read). */
+  private def toCells(df: DataFrame, m: KvMapping, gen: Long): DataFrame = {
+    val k = col(m.keyCol).cast(StringType).as("k")
+    val scalarCells = m.scalars.map { sc =>
+      df.select(k, lit(sc.family).as("f"), lit(sc.qualifier).as("q"),
+          encodeValue(col(sc.col), sc.t, sc.binary).as("v"),
+          lit(gen).as("ts"), lit(PUT).as("del"))
+        .filter(col("v").isNotNull)
+    }
+    val mapCells = m.maps.map { fm =>
+      df.select(k, explode(coalesce(col(fm.col), map())).as(Seq("mq", "mv")))
+        .select(col("k"), lit(fm.family).as("f"),
+          concat(lit(fm.qualPrefix), col("mq")).as("q"),
+          encodeValue(col("mv"), fm.valueType, fm.binary).as("v"),
+          lit(gen).as("ts"), lit(PUT).as("del"))
+        .filter(col("v").isNotNull)
+    }
+    (scalarCells ++ mapCells).reduce(_.union(_))
+  }
+
+  // ---------------------------------------------------------------- layout
+
+  private def fs(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestPath(root: String, gen: Long): Path =
+    new Path(s"$root/$MANIFEST_DIR/" + f"$gen%05d" + ".tsv")
+
+  private def enc(s: String): String = URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String = URLDecoder.decode(s, "UTF-8")
+
+  private final case class RegionFile(gen: Long, path: String, kmin: String, kmax: String)
+  private final case class Generation(gen: Long, base: Boolean, files: Seq[RegionFile])
+
+  /** Atomic-create one manifest file per write generation (the txn-log
+    * discipline: create-if-absent is the commit point, so two racing writers
+    * cannot both claim a generation ordinal). */
+  private def writeManifest(f: FileSystem, root: String, g: Generation): Unit = {
+    val p = manifestPath(root, g.gen)
+    f.mkdirs(p.getParent)
+    val body = (s"gen\t${g.gen}\tbase\t${g.base}" +:
+      g.files.map(r => s"${r.path}\t${enc(r.kmin)}\t${enc(r.kmax)}")).mkString("\n")
+    val out = f.create(p, false) // overwrite=false: atomic claim
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  private def readManifests(f: FileSystem, root: String): Seq[Generation] = {
+    val dir = new Path(s"$root/$MANIFEST_DIR")
+    if (!f.exists(dir)) return Nil
+    f.listStatus(dir).toSeq.filter(_.getPath.getName.endsWith(".tsv"))
+      .sortBy(_.getPath.getName).map { st =>
+        val in = f.open(st.getPath)
+        val body = try {
+          val buf = new Array[Byte](st.getLen.toInt)
+          in.readFully(buf); new String(buf, StandardCharsets.UTF_8)
+        } finally in.close()
+        val lines = body.split("\n").toSeq
+        val hdr = lines.head.split("\t")
+        val gen = hdr(1).toLong
+        val base = hdr(3).toBoolean
+        val files = lines.tail.filter(_.nonEmpty).map { l =>
+          val c = l.split("\t")
+          RegionFile(gen, c(0), dec(c(1)), dec(c(2)))
+        }
+        Generation(gen, base, files)
+      }
+  }
+
+  /** Generations visible to a read: the newest base (compaction output) and
+    * everything after it — the LSM view. */
+  private def liveGenerations(f: FileSystem, root: String): Seq[Generation] = {
+    val all = readManifests(f, root)
+    val lastBase = all.filter(_.base).map(_.gen).sorted.lastOption.getOrElse(Long.MinValue)
+    all.filter(_.gen >= lastBase)
+  }
+
+  private def nextGen(f: FileSystem, root: String): Long =
+    readManifests(f, root).map(_.gen).sorted.lastOption.getOrElse(0L) + 1L
+
+  /** Write one generation of region files: range-partitioned and sorted by
+    * row key (the HFile invariant), then record per-file [kmin, kmax] in the
+    * manifest. The bounds read-back is one footer-cheap scan of just-written
+    * files; a production commit hook would capture them at write time like
+    * an HFile trailer does. */
+  private def writeGeneration(spark: SparkSession, root: String, gen: Long,
+      cells: DataFrame, base: Boolean, regions: Int): Unit = {
+    val dir = s"$root/gen-" + f"$gen%05d"
+    cells.repartitionByRange(regions, col("k"))
+      .sortWithinPartitions("k", "f", "q")
+      .write.mode("errorifexists").parquet(dir)
+    val bounds = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(min("k").as("kmin"), max("k").as("kmax"))
+      .collect() // O(#region files), not O(rows)
+      .map(r => RegionFile(gen,
+        s"gen-" + f"$gen%05d" + "/" + new Path(r.getString(0)).getName,
+        r.getString(1), r.getString(2)))
+    writeManifest(fs(spark, root), root, Generation(gen, base, bounds.toSeq.sortBy(_.path)))
+  }
+
+  // ----------------------------------------------------------------- writes
+
+  /** Put a batch: upsert cells for every row of `df` per the mapping. Within
+    * one batch at most one value per (key, cell) may appear — enforced by a
+    * deterministic max-value resolution at read time, mirroring HBase's
+    * same-timestamp tie-break. */
+  def put(spark: SparkSession, root: String, df: DataFrame, m: KvMapping,
+      regions: Int = 8): Unit = {
+    val gen = nextGen(fs(spark, root), root)
+    writeGeneration(spark, root, gen, toCells(df, m, gen), base = false, regions)
+  }
+
+  /** Delete whole rows (HBase Delete / Accumulo row deletion): a row
+    * tombstone masks every cell of the key with ts <= the marker's. */
+  def deleteRows(spark: SparkSession, root: String, keys: DataFrame,
+      keyCol: String, regions: Int = 8): Unit = {
+    val gen = nextGen(fs(spark, root), root)
+    val cells = keys.select(col(keyCol).cast(StringType).as("k"),
+      lit("").as("f"), lit("").as("q"), lit(null).cast(BinaryType).as("v"),
+      lit(gen).as("ts"), lit(DEL_ROW).as("del"))
+    writeGeneration(spark, root, gen, cells, base = false, regions)
+  }
+
+  /** Delete one cell for each key (HBase DeleteColumn). */
+  def deleteCells(spark: SparkSession, root: String, keys: DataFrame,
+      keyCol: String, family: String, qualifier: String, regions: Int = 8): Unit = {
+    val gen = nextGen(fs(spark, root), root)
+    val cells = keys.select(col(keyCol).cast(StringType).as("k"),
+      lit(family).as("f"), lit(qualifier).as("q"),
+      lit(null).cast(BinaryType).as("v"),
+      lit(gen).as("ts"), lit(DEL_CELL).as("del"))
+    writeGeneration(spark, root, gen, cells, base = false, regions)
+  }
+
+  /** Delete a whole column family for each key (HBase DeleteFamily). */
+  def deleteFamily(spark: SparkSession, root: String, keys: DataFrame,
+      keyCol: String, family: String, regions: Int = 8): Unit = {
+    val gen = nextGen(fs(spark, root), root)
+    val cells = keys.select(col(keyCol).cast(StringType).as("k"),
+      lit(family).as("f"), lit("").as("q"), lit(null).cast(BinaryType).as("v"),
+      lit(gen).as("ts"), lit(DEL_FAMILY).as("del"))
+    writeGeneration(spark, root, gen, cells, base = false, regions)
+  }
+
+  /** Major compaction: merge every live generation, keep only visible cells
+    * (winners not masked by tombstones), rewrite as a single base generation.
+    * Result-invariant by construction — the spec asserts it. */
+  def compact(spark: SparkSession, root: String, regions: Int = 8): Unit = {
+    val winners = visibleCells(spark, root, None) // keeps original put ts
+    val gen = nextGen(fs(spark, root), root)
+    writeGeneration(spark, root, gen,
+      winners.select("k", "f", "q", "v", "ts").withColumn("del", lit(PUT)),
+      base = true, regions)
+  }
+
+  // --------------------------------------------------- predicate decompose
+
+  /** Key filter extracted from a predicate — the `HBaseScanRange` analog.
+    * `lower`/`upper` are (bound, inclusive); `points` short-circuits to a
+    * multi-get. */
+  final case class KeyFilter(points: Option[Seq[String]],
+      lower: Option[(String, Boolean)], upper: Option[(String, Boolean)]) {
+    def isFullScan: Boolean = points.isEmpty && lower.isEmpty && upper.isEmpty
+
+    private def geLower(s: String): Boolean = lower.forall {
+      case (b, incl) => if (incl) s >= b else s > b
+    }
+    private def leUpper(s: String): Boolean = upper.forall {
+      case (b, incl) => if (incl) s <= b else s < b
+    }
+    def admitsKey(s: String): Boolean =
+      points.forall(_.contains(s)) && geLower(s) && leUpper(s)
+
+    /** Can a file with key bounds [kmin, kmax] contain an admitted key? */
+    def admitsFile(kmin: String, kmax: String): Boolean = points match {
+      case Some(ps) => ps.exists(p => p >= kmin && p <= kmax && admitsKey(p))
+      case None =>
+        val aboveLower = lower.forall { case (b, incl) => if (incl) kmax >= b else kmax > b }
+        val belowUpper = upper.forall { case (b, incl) => if (incl) kmin <= b else kmin < b }
+        aboveLower && belowUpper
+    }
+
+    def intersect(o: KeyFilter): KeyFilter = {
+      val ps = (points, o.points) match {
+        case (Some(a), Some(b)) => Some(a.intersect(b))
+        case (a, b) => a.orElse(b)
+      }
+      def tightLower(a: Option[(String, Boolean)], b: Option[(String, Boolean)]) =
+        (a.toSeq ++ b.toSeq).sortBy { case (s, incl) => (s, incl) }.lastOption
+      def tightUpper(a: Option[(String, Boolean)], b: Option[(String, Boolean)]) =
+        (a.toSeq ++ b.toSeq).sortBy { case (s, incl) => (s, !incl) }.headOption
+      KeyFilter(ps, tightLower(lower, o.lower), tightUpper(upper, o.upper))
+    }
+  }
+
+  object KeyFilter {
+    val full: KeyFilter = KeyFilter(None, None, None)
+    def points(ps: Seq[String]): KeyFilter = KeyFilter(Some(ps), None, None)
+  }
+
+  /** Split `pred` into (key filter, residual) like
+    * `HBaseStorageHandler.decomposePredicate` + `IndexPredicateAnalyzer`:
+    * conjuncts that compare the key column to literals become the scan
+    * range / point list; every other conjunct (including any OR — the
+    * reference sends disjunctions to the residual too) stays residual.
+    * The caller re-applies the FULL predicate after pruning, so the
+    * decomposition only has to be sound for pruning, never exhaustive.
+    *
+    * Walks the Spark 4 `ColumnNode` AST (the Column API builds unresolved
+    * function nodes like `>=`/`and`/`in`, not Catalyst comparison
+    * expressions — resolution happens at analysis time, which a storage
+    * handler runs before). */
+  def decomposeKeyPredicate(pred: Column, keyCol: String): (KeyFilter, Option[Column]) = {
+    import org.apache.spark.sql.internal.{ColumnNode, Literal => NLit, UnresolvedAttribute => NAttr, UnresolvedFunction => NFunc}
+    def isKey(n: ColumnNode): Boolean = n match {
+      case a: NAttr => a.nameParts.mkString(".").equalsIgnoreCase(keyCol)
+      case _ => false
+    }
+    def litStr(n: ColumnNode): Option[String] = n match {
+      case l: NLit => l.value match {
+        case s: String => Some(s)
+        case u: UTF8String => Some(u.toString)
+        case _ => None
+      }
+      case _ => None
+    }
+    def lower(s: String, incl: Boolean) = (KeyFilter(None, Some((s, incl)), None), Nil)
+    def upper(s: String, incl: Boolean) = (KeyFilter(None, None, Some((s, incl))), Nil)
+    def walk(n: ColumnNode): (KeyFilter, Seq[ColumnNode]) = n match {
+      case f: NFunc => (f.functionName.toLowerCase, f.arguments.toList) match {
+        case ("and", l :: r :: Nil) =>
+          val (fl, rl) = walk(l); val (fr, rr) = walk(r)
+          (fl.intersect(fr), rl ++ rr)
+        case ("=" | "==" | "equal_to", a :: b :: Nil) if isKey(a) && litStr(b).isDefined =>
+          (KeyFilter.points(Seq(litStr(b).get)), Nil)
+        case ("=" | "==" | "equal_to", a :: b :: Nil) if isKey(b) && litStr(a).isDefined =>
+          (KeyFilter.points(Seq(litStr(a).get)), Nil)
+        case ("in", key :: vs) if isKey(key) && vs.nonEmpty && vs.forall(litStr(_).isDefined) =>
+          (KeyFilter.points(vs.flatMap(litStr)), Nil)
+        case (">=", a :: b :: Nil) if isKey(a) && litStr(b).isDefined => lower(litStr(b).get, true)
+        case (">", a :: b :: Nil) if isKey(a) && litStr(b).isDefined => lower(litStr(b).get, false)
+        case ("<=", a :: b :: Nil) if isKey(a) && litStr(b).isDefined => upper(litStr(b).get, true)
+        case ("<", a :: b :: Nil) if isKey(a) && litStr(b).isDefined => upper(litStr(b).get, false)
+        // mirrored literal-first bounds: lit <= key is a LOWER bound on key
+        case (">=", a :: b :: Nil) if isKey(b) && litStr(a).isDefined => upper(litStr(a).get, true)
+        case (">", a :: b :: Nil) if isKey(b) && litStr(a).isDefined => upper(litStr(a).get, false)
+        case ("<=", a :: b :: Nil) if isKey(b) && litStr(a).isDefined => lower(litStr(a).get, true)
+        case ("<", a :: b :: Nil) if isKey(b) && litStr(a).isDefined => lower(litStr(a).get, false)
+        case _ => (KeyFilter.full, Seq(n))
+      }
+      case other => (KeyFilter.full, Seq(other))
+    }
+    val (kf, residual) = walk(pred.node)
+    (kf, residual.reduceOption((a, b) => NFunc("and", Seq(a, b))).map(new Column(_)))
+  }
+
+  // ------------------------------------------------------------------ reads
+
+  private def readCells(spark: SparkSession, root: String,
+      kf: Option[KeyFilter]): DataFrame = {
+    val gens = liveGenerations(fs(spark, root), root)
+    val files = gens.flatMap(_.files)
+    val kept = kf match {
+      case Some(f) if !f.isFullScan => files.filter(r => f.admitsFile(r.kmin, r.kmax))
+      case _ => files
+    }
+    if (kept.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("k", StringType), StructField("f", StringType),
+          StructField("q", StringType), StructField("v", BinaryType),
+          StructField("ts", LongType), StructField("del", IntegerType))))
+    else spark.read.parquet(kept.map(r => s"$root/${r.path}"): _*)
+  }
+
+  /** (files scanned, files total) for a key filter — the pruning evidence. */
+  def scanProfile(spark: SparkSession, root: String, kf: KeyFilter): (Int, Int) = {
+    val files = liveGenerations(fs(spark, root), root).flatMap(_.files)
+    val kept = if (kf.isFullScan) files else files.filter(r => kf.admitsFile(r.kmin, r.kmax))
+    (kept.size, files.size)
+  }
+
+  /** Visible cells after version resolution and tombstone masking; keeps the
+    * winning put's ts. Pruning by key filter is sound because every cell and
+    * every tombstone of a key lives inside files whose [kmin, kmax] covers
+    * that key. */
+  private def visibleCells(spark: SparkSession, root: String,
+      kf: Option[KeyFilter]): DataFrame = {
+    val cells = readCells(spark, root, kf)
+    val puts = cells.filter(col("del") === PUT)
+    // winner per (k, f, q): highest ts; same-ts ties resolve to max value
+    // (deterministic stand-in for HBase's memstore sequence-id tie-break)
+    val win = puts.groupBy("k", "f", "q")
+      .agg(max_by(col("v"), struct(col("ts"), col("v"))).as("v"),
+        max("ts").as("ts"))
+    val dCell = cells.filter(col("del") === DEL_CELL)
+      .groupBy("k", "f", "q").agg(max("ts").as("dc"))
+    val dFam = cells.filter(col("del") === DEL_FAMILY)
+      .groupBy("k", "f").agg(max("ts").as("df"))
+    val dRow = cells.filter(col("del") === DEL_ROW)
+      .groupBy("k").agg(max("ts").as("dr"))
+    win.join(dCell, Seq("k", "f", "q"), "left")
+      .join(dFam, Seq("k", "f"), "left")
+      .join(dRow, Seq("k"), "left")
+      .filter(col("ts") > coalesce(greatest(col("dc"), col("df"), col("dr")),
+        lit(Long.MinValue)))
+      .select("k", "f", "q", "v", "ts")
+  }
+
+  /** Pivot visible cells to the Hive-side row view: one row per key that has
+    * at least one visible cell (the HBase notion of row existence); absent
+    * cells decode to NULL; `:timestamp` = max visible cell version. */
+  private def rowView(spark: SparkSession, root: String, m: KvMapping,
+      kf: Option[KeyFilter]): DataFrame = {
+    val cells = visibleCells(spark, root, kf)
+    val aggs =
+      m.scalars.map { sc =>
+        max(when(col("f") === sc.family && col("q") === sc.qualifier, col("v")))
+          .as("__c_" + sc.col)
+      } ++
+      m.maps.map { fm =>
+        map_from_entries(array_sort(collect_list(
+          when(col("f") === fm.family &&
+            (if (fm.qualPrefix.isEmpty) lit(true) else col("q").startsWith(fm.qualPrefix)),
+            struct(col("q").substr(lit(fm.qualPrefix.length + 1), lit(Int.MaxValue)).as("mk"),
+              col("v").as("mv")))))).as("__m_" + fm.col)
+      } ++
+      m.timestampCol.map(tc => max(col("ts")).as("__t_" + tc)).toSeq
+    val grouped = cells.groupBy(col("k").as(m.keyCol)).agg(aggs.head, aggs.tail: _*)
+    val outCols = Seq(col(m.keyCol)) ++
+      m.timestampCol.map(tc => col("__t_" + tc).as(tc)).toSeq ++
+      m.scalars.map(sc => decodeValue(col("__c_" + sc.col), sc.t, sc.binary).as(sc.col)) ++
+      m.maps.map(fm => transform_values(col("__m_" + fm.col),
+        (_, v) => decodeValue(v, fm.valueType, fm.binary)).as(fm.col))
+    grouped.select(outCols: _*)
+  }
+
+  /** Full-table read (no predicate). */
+  def read(spark: SparkSession, root: String, m: KvMapping): DataFrame =
+    rowView(spark, root, m, None)
+
+  /** Predicate-pushdown scan: decompose `pred` on the key column, prune
+    * region files through the manifest, then apply the FULL predicate over
+    * the merged row view — scan ranges narrow IO, filters re-check, exactly
+    * the reference contract. */
+  def scan(spark: SparkSession, root: String, m: KvMapping, pred: Column): DataFrame = {
+    val (kf, _) = decomposeKeyPredicate(pred, m.keyCol)
+    rowView(spark, root, m, Some(kf)).filter(pred)
+  }
+}

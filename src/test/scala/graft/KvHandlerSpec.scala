@@ -1,0 +1,312 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.{ColumnBridge => CB}
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{KvDecodeFixed, KvEncodeFixed}
+import graft.sources.KvStorageHandler
+import graft.sources.KvStorageHandler._
+
+/** KV storage-handler semantics (the reference's HBase/Accumulo handler
+  * surface): column-mapping parse rules against `ColumnMappings.java`,
+  * fixed-width binary codec round-trips (HBase `Bytes.toBytes` widths),
+  * predicate decomposition (`HBaseStorageHandler.decomposePredicate` /
+  * `HBaseScanRange`), LSM Put/Delete visibility at cell/family/row
+  * granularity, family-map columns with qualifier prefixes
+  * (`LazyHBaseCellMap`), manifest-driven region pruning, and major-compaction
+  * invariance. */
+class KvHandlerSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = Engine.session(cores = 4, appName = "graft-kv")
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmp(name: String): String = {
+    val d = s"/root/repo/target/kvspec/$name"
+    val p = new org.apache.hadoop.fs.Path(d)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) f.delete(p, true)
+    d
+  }
+
+  // ------------------------------------------------------------ byte codecs
+
+  test("fixed-width binary codec round-trips every supported type, negatives included") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, -42L, 7, -7, 3.25, -0.125f, true, (-2: Short)))
+      .toDF("a", "b", "c", "d", "e", "f", "g", "h")
+    def rt(c: String, t: DataType) = CB.column(KvDecodeFixed(
+      CB.expression(CB.column(KvEncodeFixed(CB.expression(col(c))))), t))
+    val r = df.select(rt("a", LongType), rt("b", LongType), rt("c", IntegerType),
+      rt("d", IntegerType), rt("e", DoubleType), rt("f", FloatType),
+      rt("g", BooleanType), rt("h", ShortType)).head()
+    assert(r.getLong(0) == 1L && r.getLong(1) == -42L)
+    assert(r.getInt(2) == 7 && r.getInt(3) == -7)
+    assert(r.getDouble(4) == 3.25 && r.getFloat(5) == -0.125f)
+    assert(r.getBoolean(6) && r.getShort(7) == (-2: Short))
+  }
+
+  test("binary codec widths match HBase Bytes.toBytes; width mismatch raises") {
+    val s = spark
+    import s.implicits._
+    val widths = Seq(1L).toDF("v").select(
+      length(CB.column(KvEncodeFixed(CB.expression(col("v"))))).as("l8"),
+      length(CB.column(KvEncodeFixed(CB.expression(col("v").cast("int"))))).as("l4"),
+      length(CB.column(KvEncodeFixed(CB.expression(col("v").cast("short"))))).as("l2"),
+      length(CB.column(KvEncodeFixed(CB.expression(col("v").cast("boolean"))))).as("l1"))
+      .head()
+    assert(widths.getInt(0) == 8 && widths.getInt(1) == 4 &&
+      widths.getInt(2) == 2 && widths.getInt(3) == 1)
+    val ex = intercept[Exception] {
+      Seq(Array[Byte](1, 2, 3)).toDF("v")
+        .select(CB.column(KvDecodeFixed(CB.expression(col("v")), LongType))).collect()
+    }
+    assert(ex.getMessage.contains("expected 8 bytes") ||
+      Option(ex.getCause).exists(_.getMessage.contains("expected 8 bytes")))
+  }
+
+  // ---------------------------------------------------------- mapping parse
+
+  private val schema3 = StructType(Seq(StructField("k", StringType),
+    StructField("a", LongType), StructField("m", MapType(StringType, StringType))))
+
+  test("mapping parse: key/cell/family-map/prefix/storage specifiers") {
+    val m = parseMapping(schema3, ":key,f:a#b,f:pre.*")
+    assert(m.keyCol == "k")
+    assert(m.scalars == Seq(ScalarCell("a", "f", "a", binary = true, LongType)))
+    assert(m.maps == Seq(FamilyMap("m", "f", "pre.", binary = false, StringType)))
+    val m2 = parseMapping(schema3, ":key,f:a,f:*")
+    assert(!m2.scalars.head.binary && m2.maps.head.qualPrefix == "")
+  }
+
+  test("mapping parse rejects what ColumnMappings rejects") {
+    // entry-count mismatch
+    assertThrows[IllegalArgumentException](parseMapping(schema3, ":key,f:a"))
+    // duplicate :key
+    assertThrows[IllegalArgumentException](parseMapping(schema3, ":key,:key,f:*"))
+    // family map over a non-map column
+    assertThrows[IllegalArgumentException](parseMapping(schema3, ":key,f:*,m:*"))
+    // #b on a string scalar
+    val s2 = StructType(Seq(StructField("k", StringType), StructField("s", StringType),
+      StructField("m", MapType(StringType, StringType))))
+    assertThrows[IllegalArgumentException](parseMapping(s2, ":key,f:s#b,f:*"))
+    // :timestamp must be BIGINT
+    assertThrows[IllegalArgumentException](parseMapping(
+      StructType(Seq(StructField("k", StringType), StructField("t", StringType),
+        StructField("a", LongType))), ":key,:timestamp,f:a"))
+    // no :key at all
+    assertThrows[IllegalArgumentException](parseMapping(
+      StructType(schema3.fields.take(2)), "f:x,f:a"))
+  }
+
+  // ------------------------------------------------------- decompose
+
+  test("decomposePredicate: range, points, mirrored literals, residual, OR stays residual") {
+    // range + residual
+    val (kf1, r1) = decomposeKeyPredicate(
+      col("k") >= "b" && col("k") < "m" && col("x") === 1, "k")
+    assert(kf1.lower.contains(("b", true)) && kf1.upper.contains(("m", false)))
+    assert(kf1.points.isEmpty && r1.isDefined)
+    // IN -> points; intersected with a range
+    val (kf2, _) = decomposeKeyPredicate(
+      col("k").isin("a", "c", "x") && col("k") <= "d", "k")
+    assert(kf2.points.contains(Seq("a", "c", "x")))
+    assert(!kf2.admitsKey("x") && kf2.admitsKey("c"))
+    // mirrored literal-first bound: lit <= key is a lower bound
+    val (kf3, r3) = decomposeKeyPredicate(lit("g") <= col("k"), "k")
+    assert(kf3.lower.contains(("g", true)) && r3.isEmpty)
+    // OR goes residual whole (IndexPredicateAnalyzer sends disjunctions back)
+    val (kf4, r4) = decomposeKeyPredicate(col("k") === "a" || col("x") === 1, "k")
+    assert(kf4.isFullScan && r4.isDefined)
+    // non-key predicate: full scan, all residual
+    val (kf5, _) = decomposeKeyPredicate(col("x") =!= 2, "k")
+    assert(kf5.isFullScan)
+  }
+
+  test("KeyFilter file admission matches interval intersection") {
+    val range = KeyFilter(None, Some(("c", true)), Some(("f", false)))
+    assert(range.admitsFile("a", "d")) // overlaps [c, f)
+    assert(!range.admitsFile("a", "b")) // below
+    assert(!range.admitsFile("f", "z")) // at the exclusive stop
+    val pts = KeyFilter.points(Seq("e"))
+    assert(pts.admitsFile("d", "f") && !pts.admitsFile("a", "c"))
+  }
+
+  // ----------------------------------------------- LSM visibility semantics
+
+  private def mkTable(name: String): (String, KvMapping) = {
+    val s = spark
+    import s.implicits._
+    val root = tmp(name)
+    val m = parseMapping(
+      StructType(Seq(StructField("k", StringType), StructField("ver", LongType),
+        StructField("a", LongType), StructField("b", StringType))),
+      ":key,:timestamp,f:a#b,g:b")
+    val g1 = Seq(("k1", 0L, 1L, "one"), ("k2", 0L, 2L, "two"), ("k3", 0L, 3L, "three"))
+      .toDF("k", "ver", "a", "b")
+    put(spark, root, g1, m, regions = 2)
+    (root, m)
+  }
+
+  test("put/overwrite: latest generation wins per cell; :timestamp is the winning version") {
+    val s = spark
+    import s.implicits._
+    val (root, m) = mkTable("lsm1")
+    val partial = parseMapping(
+      StructType(Seq(StructField("k", StringType), StructField("a", LongType))),
+      ":key,f:a#b")
+    put(spark, root, Seq(("k2", 20L)).toDF("k", "a"), partial, regions = 2)
+    val got = read(spark, root, m).orderBy("k").collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq ==
+      Seq(("k1", 1L, 1L, "one"), ("k2", 2L, 20L, "two"), ("k3", 1L, 3L, "three")))
+  }
+
+  test("null scalar writes no cell; the column reads back NULL; all-null row does not exist") {
+    val s = spark
+    import s.implicits._
+    val root = tmp("lsm-null")
+    val m = parseMapping(
+      StructType(Seq(StructField("k", StringType), StructField("a", LongType),
+        StructField("b", StringType))), ":key,f:a#b,g:b")
+    put(spark, root,
+      Seq(("k1", Some(1L), Option("x")), ("k2", None, Option("y")),
+        ("k3", Option.empty[Long], Option.empty[String]))
+        .toDF("k", "a", "b"), m, regions = 1)
+    val got = read(spark, root, m).orderBy("k").collect()
+    // k3 wrote zero cells -> no row (HBase row existence = has a cell)
+    assert(got.length == 2)
+    assert(got(1).getString(0) == "k2" && got(1).isNullAt(1) && got(1).getString(2) == "y")
+  }
+
+  test("delete granularity: cell masks one column, family masks its columns, row masks all") {
+    val s = spark
+    import s.implicits._
+    val (root, m) = mkTable("lsm2")
+    deleteCells(spark, root, Seq("k1").toDF("k"), "k", "f", "a", regions = 1)
+    deleteFamily(spark, root, Seq("k2").toDF("k"), "k", "g", regions = 1)
+    deleteRows(spark, root, Seq("k3").toDF("k"), "k", regions = 1)
+    val got = read(spark, root, m).orderBy("k").collect()
+    assert(got.length == 2)
+    assert(got(0).getString(0) == "k1" && got(0).isNullAt(2) && got(0).getString(3) == "one")
+    assert(got(1).getString(0) == "k2" && got(1).getLong(2) == 2L && got(1).isNullAt(3))
+  }
+
+  test("a put NEWER than the tombstone resurrects the cell (ts > marker.ts survives)") {
+    val s = spark
+    import s.implicits._
+    val (root, m) = mkTable("lsm3")
+    deleteRows(spark, root, Seq("k1").toDF("k"), "k", regions = 1)
+    val partial = parseMapping(
+      StructType(Seq(StructField("k", StringType), StructField("a", LongType))),
+      ":key,f:a#b")
+    put(spark, root, Seq(("k1", 11L)).toDF("k", "a"), partial, regions = 1)
+    val got = read(spark, root, m).filter(col("k") === "k1").collect()
+    // resurrected with only the re-put cell; the masked g:b stays dead
+    assert(got.length == 1 && got(0).getLong(2) == 11L && got(0).isNullAt(3))
+  }
+
+  // ----------------------------------------------- family maps + prefixes
+
+  test("family-map column: full family, prefix slice, binary long values") {
+    val s = spark
+    import s.implicits._
+    val root = tmp("fam")
+    val wm = parseMapping(
+      StructType(Seq(StructField("k", StringType),
+        StructField("m", MapType(StringType, StringType)),
+        StructField("z", MapType(StringType, LongType)))),
+      ":key,a:*,n:*#b")
+    put(spark, root, Seq(
+      ("k1", Map("x" -> "1", "pre.y" -> "2"), Map("c" -> 10L)),
+      ("k2", Map("pre.z" -> "3"), Map.empty[String, Long]))
+      .toDF("k", "m", "z"), wm, regions = 1)
+    val rm = parseMapping(
+      StructType(Seq(StructField("k", StringType),
+        StructField("m", MapType(StringType, StringType)),
+        StructField("p", MapType(StringType, StringType)),
+        StructField("z", MapType(StringType, LongType)))),
+      ":key,a:*,a:pre.*,n:*#b")
+    val got = read(spark, root, rm).orderBy("k").collect()
+    assert(got(0).getMap[String, String](1).toSeq.sorted ==
+      Seq("pre.y" -> "2", "x" -> "1"))
+    assert(got(0).getMap[String, String](2).toSeq == Seq("y" -> "2")) // prefix stripped
+    assert(got(0).getMap[String, Long](3).toSeq == Seq("c" -> 10L))
+    assert(got(1).getMap[String, String](2).toSeq == Seq("z" -> "3"))
+    assert(got(1).getMap[String, Long](3).isEmpty)
+  }
+
+  // ------------------------------------------------- pruning + compaction
+
+  test("manifest pruning: point probe and range scan both skip region files; full scan does not") {
+    val s = spark
+    import s.implicits._
+    val root = tmp("prune")
+    val m = parseMapping(
+      StructType(Seq(StructField("k", StringType), StructField("a", LongType))),
+      ":key,f:a#b")
+    val df = (1 to 400).map(i => (f"$i%06d", i.toLong)).toDF("k", "a")
+    put(spark, root, df, m, regions = 8)
+    val (kfPt, _) = decomposeKeyPredicate(col("k") === f"${7}%06d", "k")
+    val pPt = scanProfile(spark, root, kfPt)
+    assert(pPt._1 == 1 && pPt._2 == 8)
+    val (kfR, _) = decomposeKeyPredicate(
+      col("k") >= f"${100}%06d" && col("k") <= f"${160}%06d", "k")
+    val pR = scanProfile(spark, root, kfR)
+    assert(pR._1 < pR._2)
+    assert(scanProfile(spark, root, KeyFilter.full) == ((8, 8)))
+    // pruned scan returns exactly the admitted rows
+    assert(scan(spark, root, m, col("k") >= f"${100}%06d" && col("k") <= f"${160}%06d")
+      .count() == 61)
+  }
+
+  test("major compaction is result-invariant and drops masked data physically") {
+    val s = spark
+    import s.implicits._
+    val root = tmp("compact")
+    val m = parseMapping(
+      StructType(Seq(StructField("k", StringType), StructField("a", LongType),
+        StructField("b", StringType))), ":key,f:a#b,g:b")
+    put(spark, root, (1 to 100).map(i => (f"$i%04d", i.toLong, s"v$i"))
+      .toDF("k", "a", "b"), m, regions = 4)
+    val partial = parseMapping(
+      StructType(Seq(StructField("k", StringType), StructField("a", LongType))),
+      ":key,f:a#b")
+    put(spark, root, (1 to 100 by 3).map(i => (f"$i%04d", i * 100L))
+      .toDF("k", "a"), partial, regions = 4)
+    deleteRows(spark, root, (1 to 100 by 7).map(i => f"$i%04d").toDF("k"), "k", regions = 2)
+    val before = read(spark, root, m).orderBy("k").collect().toSeq
+    compact(spark, root, regions = 4)
+    val after = read(spark, root, m).orderBy("k").collect().toSeq
+    assert(before == after)
+    // single live generation: a full scan now touches only the base files
+    assert(scanProfile(spark, root, KeyFilter.full)._2 == 4)
+    // masked data is physically gone: raw cell rows == visible cells
+    val raw = spark.read.parquet(
+      new java.io.File(root).listFiles().filter(_.getName.startsWith("gen-"))
+        .filter(f => new java.io.File(f, "_SUCCESS").exists())
+        .map(_.getPath): _*)
+    // only the base generation remains live; its rows are all puts
+    val liveGen = raw.agg(max("ts")).head().getLong(0)
+    val baseRows = raw.filter(col("ts") === liveGen || col("del") === 0)
+    assert(raw.filter(col("ts") >= liveGen).filter(col("del") =!= 0).count() == 0)
+  }
+
+  test("put into a claimed generation ordinal cannot double-commit (atomic manifest create)") {
+    val s = spark
+    import s.implicits._
+    val root = tmp("race")
+    val m = parseMapping(
+      StructType(Seq(StructField("k", StringType), StructField("a", LongType))),
+      ":key,f:a#b")
+    put(spark, root, Seq(("k1", 1L)).toDF("k", "a"), m, regions = 1)
+    // simulate the loser of a manifest race: creating gen 1's manifest again
+    val p = new org.apache.hadoop.fs.Path(s"$root/_kv_manifest/00001.tsv")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assertThrows[java.io.IOException](f.create(p, false).close())
+  }
+}
