@@ -177,8 +177,8 @@ object KvHandlerQ {
       KvStorageHandler.put(s, root, part.select(
         key12(col("p_partkey")).as("k"),
         map_concat(
-          map(lit("brand"), col("p_brand"), lit("mfgr"), col("p_mfgr")),
-          when(col("p_size") > 20, map(lit("pf.cont"), col("p_container")))
+          map(lit("brand"), col("p_brand"), lit("type"), col("p_type")),
+          when(col("p_size") > 20, map(lit("pf.cont"), col("p_name")))
             .otherwise(map())).as("attrs"),
         map(lit("size"), col("p_size").cast("long"),
           lit("retail"), round(col("p_retailprice") * 100, 0).cast("long")).as("nums")),
@@ -206,11 +206,11 @@ object KvHandlerQ {
     Qd("q336_kv_compact",
       """WITH t AS (SELECT o_orderstatus AS stat,
         |    CASE WHEN o_orderkey % 3 = 0
-        |         THEN round(round(o_totalprice, 2) * 1.1, 2)
+        |         THEN round(o_totalprice, 2) + 100
         |         ELSE round(o_totalprice, 2) END AS price
         |  FROM orders WHERE o_orderkey % 13 <> 0)
         |SELECT stat, CAST(count(*) AS BIGINT) AS cnt,
-        |  CAST(round(sum(price), 2) AS DOUBLE) AS sval
+        |  CAST(sum(CAST(round(price * 100, 0) AS BIGINT)) AS BIGINT) AS cents
         |FROM t GROUP BY stat ORDER BY stat""") { (s, dir) =>
       val (sf, loc) = ctx(s, dir)
       val root = s"$loc/g336_kv"
@@ -233,7 +233,7 @@ object KvHandlerQ {
       KvStorageHandler.put(s, root,
         orders.filter(col("o_orderkey") % 3 === 0).select(
           key12(col("o_orderkey")).as("k"),
-          round(round(col("o_totalprice"), 2) * 1.1, 2).as("price")), priceOnly)
+          (round(col("o_totalprice"), 2) + 100).as("price")), priceOnly)
       KvStorageHandler.deleteRows(s, root,
         orders.filter(col("o_orderkey") % 13 === 0)
           .select(key12(col("o_orderkey")).as("k")), "k")
@@ -247,9 +247,11 @@ object KvHandlerQ {
       val pAfter = KvStorageHandler.scanProfile(s, root, probe)
       require(pAfter._1 < pBefore._1,
         s"compaction must shrink the probe's file set ($pBefore -> $pAfter)")
+      // cents as BIGINT: double-sum at ~1e9 magnitude is accumulation-order
+      // sensitive across engines; fixed-point is order-free
       after.groupBy("stat")
         .agg(count(lit(1)).as("cnt"),
-          round(sum(col("price")), 2).cast("double").as("sval"))
+          sum(round(col("price") * 100, 0).cast("long")).as("cents"))
         .orderBy("stat")
     })
 

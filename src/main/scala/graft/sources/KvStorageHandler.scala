@@ -338,23 +338,24 @@ object KvStorageHandler {
     * multi-get. */
   final case class KeyFilter(points: Option[Seq[String]],
       lower: Option[(String, Boolean)], upper: Option[(String, Boolean)]) {
+    import KeyFilter.cmp
     def isFullScan: Boolean = points.isEmpty && lower.isEmpty && upper.isEmpty
 
     private def geLower(s: String): Boolean = lower.forall {
-      case (b, incl) => if (incl) s >= b else s > b
+      case (b, incl) => if (incl) cmp(s, b) >= 0 else cmp(s, b) > 0
     }
     private def leUpper(s: String): Boolean = upper.forall {
-      case (b, incl) => if (incl) s <= b else s < b
+      case (b, incl) => if (incl) cmp(s, b) <= 0 else cmp(s, b) < 0
     }
     def admitsKey(s: String): Boolean =
       points.forall(_.contains(s)) && geLower(s) && leUpper(s)
 
     /** Can a file with key bounds [kmin, kmax] contain an admitted key? */
     def admitsFile(kmin: String, kmax: String): Boolean = points match {
-      case Some(ps) => ps.exists(p => p >= kmin && p <= kmax && admitsKey(p))
+      case Some(ps) => ps.exists(p => cmp(p, kmin) >= 0 && cmp(p, kmax) <= 0 && admitsKey(p))
       case None =>
-        val aboveLower = lower.forall { case (b, incl) => if (incl) kmax >= b else kmax > b }
-        val belowUpper = upper.forall { case (b, incl) => if (incl) kmin <= b else kmin < b }
+        val aboveLower = lower.forall { case (b, incl) => if (incl) cmp(kmax, b) >= 0 else cmp(kmax, b) > 0 }
+        val belowUpper = upper.forall { case (b, incl) => if (incl) cmp(kmin, b) <= 0 else cmp(kmin, b) < 0 }
         aboveLower && belowUpper
     }
 
@@ -363,17 +364,31 @@ object KvStorageHandler {
         case (Some(a), Some(b)) => Some(a.intersect(b))
         case (a, b) => a.orElse(b)
       }
-      def tightLower(a: Option[(String, Boolean)], b: Option[(String, Boolean)]) =
-        (a.toSeq ++ b.toSeq).sortBy { case (s, incl) => (s, incl) }.lastOption
-      def tightUpper(a: Option[(String, Boolean)], b: Option[(String, Boolean)]) =
-        (a.toSeq ++ b.toSeq).sortBy { case (s, incl) => (s, !incl) }.headOption
-      KeyFilter(ps, tightLower(lower, o.lower), tightUpper(upper, o.upper))
+      // Tightest lower = byte-wise max (exclusive beats inclusive at equal
+      // bound); tightest upper = byte-wise min (exclusive beats inclusive).
+      def tighter(a: (String, Boolean), b: (String, Boolean), wantMax: Boolean) = {
+        val c = cmp(a._1, b._1)
+        if (c != 0) { if ((c > 0) == wantMax) a else b }
+        else if (!a._2) a else b // at equal bound the exclusive one is tighter
+      }
+      def tight(a: Option[(String, Boolean)], b: Option[(String, Boolean)], wantMax: Boolean) =
+        (a, b) match {
+          case (Some(x), Some(y)) => Some(tighter(x, y, wantMax))
+          case (x, y) => x.orElse(y)
+        }
+      KeyFilter(ps, tight(lower, o.lower, wantMax = true), tight(upper, o.upper, wantMax = false))
     }
   }
 
   object KeyFilter {
     val full: KeyFilter = KeyFilter(None, None, None)
     def points(ps: Seq[String]): KeyFilter = KeyFilter(Some(ps), None, None)
+    /** Byte-wise UTF-8 key comparison — HBase compares raw bytes, and the
+      * per-file kmin/kmax bounds come from Spark's UTF8String (byte-wise)
+      * min/max; Java String ordering (UTF-16 code units) diverges for
+      * supplementary characters, which would silently prune live files. */
+    private[sources] def cmp(a: String, b: String): Int =
+      UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
   }
 
   /** Split `pred` into (key filter, residual) like
@@ -384,28 +399,43 @@ object KvStorageHandler {
     * The caller re-applies the FULL predicate after pruning, so the
     * decomposition only has to be sound for pruning, never exhaustive.
     *
-    * Walks the Spark 4 `ColumnNode` AST (the Column API builds unresolved
-    * function nodes like `>=`/`and`/`in`, not Catalyst comparison
-    * expressions — resolution happens at analysis time, which a storage
-    * handler runs before). */
+    * Walks the PUBLIC Catalyst tree obtained via `ColumnBridge.expression`
+    * (the Column API's private ColumnNode AST converts to unresolved
+    * Catalyst nodes — `UnresolvedAttribute`/`Literal`, with comparisons as
+    * either concrete `BinaryComparison`s or `UnresolvedFunction`s depending
+    * on how the Column was built; both shapes are matched). */
   def decomposeKeyPredicate(pred: Column, keyCol: String): (KeyFilter, Option[Column]) = {
-    import org.apache.spark.sql.internal.{ColumnNode, Literal => NLit, UnresolvedAttribute => NAttr, UnresolvedFunction => NFunc}
-    def isKey(n: ColumnNode): Boolean = n match {
-      case a: NAttr => a.nameParts.mkString(".").equalsIgnoreCase(keyCol)
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+    import org.apache.spark.sql.catalyst.expressions._
+    def isKey(e: Expression): Boolean = e match {
+      case a: UnresolvedAttribute => a.nameParts.mkString(".").equalsIgnoreCase(keyCol)
+      case a: Attribute => a.name.equalsIgnoreCase(keyCol)
       case _ => false
     }
-    def litStr(n: ColumnNode): Option[String] = n match {
-      case l: NLit => l.value match {
-        case s: String => Some(s)
-        case u: UTF8String => Some(u.toString)
-        case _ => None
-      }
+    def litStr(e: Expression): Option[String] = e match {
+      case Literal(s: String, StringType) => Some(s)
+      case Literal(u: UTF8String, StringType) => Some(u.toString)
       case _ => None
     }
     def lower(s: String, incl: Boolean) = (KeyFilter(None, Some((s, incl)), None), Nil)
     def upper(s: String, incl: Boolean) = (KeyFilter(None, None, Some((s, incl))), Nil)
-    def walk(n: ColumnNode): (KeyFilter, Seq[ColumnNode]) = n match {
-      case f: NFunc => (f.functionName.toLowerCase, f.arguments.toList) match {
+    // Normalize the two surface shapes into (op, args); non-matching ops
+    // fall through to the residual.
+    def opOf(e: Expression): Option[(String, Seq[Expression])] = e match {
+      case And(l, r) => Some(("and", Seq(l, r)))
+      case EqualTo(a, b) => Some(("=", Seq(a, b)))
+      case GreaterThanOrEqual(a, b) => Some((">=", Seq(a, b)))
+      case GreaterThan(a, b) => Some((">", Seq(a, b)))
+      case LessThanOrEqual(a, b) => Some(("<=", Seq(a, b)))
+      case LessThan(a, b) => Some(("<", Seq(a, b)))
+      case In(k, vs) => Some(("in", k +: vs))
+      case InSet(k, vs) => Some(("in", k +: vs.toSeq.map(Literal(_))))
+      case f: UnresolvedFunction if f.nameParts.length == 1 =>
+        Some((f.nameParts.head.toLowerCase, f.arguments))
+      case _ => None
+    }
+    def walk(e: Expression): (KeyFilter, Seq[Expression]) = opOf(e) match {
+      case Some((op, args)) => (op, args.toList) match {
         case ("and", l :: r :: Nil) =>
           val (fl, rl) = walk(l); val (fr, rr) = walk(r)
           (fl.intersect(fr), rl ++ rr)
@@ -424,12 +454,12 @@ object KvStorageHandler {
         case (">", a :: b :: Nil) if isKey(b) && litStr(a).isDefined => upper(litStr(a).get, false)
         case ("<=", a :: b :: Nil) if isKey(b) && litStr(a).isDefined => lower(litStr(a).get, true)
         case ("<", a :: b :: Nil) if isKey(b) && litStr(a).isDefined => lower(litStr(a).get, false)
-        case _ => (KeyFilter.full, Seq(n))
+        case _ => (KeyFilter.full, Seq(e))
       }
-      case other => (KeyFilter.full, Seq(other))
+      case None => (KeyFilter.full, Seq(e))
     }
-    val (kf, residual) = walk(pred.node)
-    (kf, residual.reduceOption((a, b) => NFunc("and", Seq(a, b))).map(new Column(_)))
+    val (kf, residual) = walk(CB.converted(pred))
+    (kf, residual.reduceOption(And).map(CB.column))
   }
 
   // ------------------------------------------------------------------ reads

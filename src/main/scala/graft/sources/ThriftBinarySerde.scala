@@ -117,15 +117,24 @@ object ThriftBinarySerde {
     def str(): String = { val n = i32(); need(n)
       val s = new String(bytes, p, n, "UTF-8"); p += n; s }
 
-    /** Structurally skip one value of wire type `t`. */
+    /** Structurally skip one value of wire type `t`. Every advance is
+      * bounds-checked and list counts are capped by remaining bytes /
+      * min element width, so a malformed count fails fast instead of
+      * spinning ~2^31 no-op iterations before the truncation surfaces. */
     def skip(t: Byte): Unit = t match {
-      case BOOL | BYTE => p += 1
-      case I16 => p += 2
-      case I32 => p += 4
-      case DOUBLE | I64 => p += 8
-      case STRING => val n = i32(); need(n); p += n
+      case BOOL | BYTE => need(1); p += 1
+      case I16 => need(2); p += 2
+      case I32 => need(4); p += 4
+      case DOUBLE | I64 => need(8); p += 8
+      case STRING => val n = i32(); require(n >= 0, s"bad string length $n"); need(n); p += n
       case LIST =>
         val et = i8(); val n = i32()
+        val minW = et match {
+          case BOOL | BYTE => 1; case I16 => 2; case I32 | STRING => 4
+          case DOUBLE | I64 => 8; case _ => 1
+        }
+        require(n >= 0 && n.toLong * minW <= (bytes.length - p).toLong,
+          s"bad list length $n")
         var i = 0; while (i < n) { skip(et); i += 1 }
       case STRUCT =>
         var ft = i8()
@@ -144,7 +153,12 @@ object ThriftBinarySerde {
       case STRING => str()
       case LIST =>
         val et = i8(); val n = i32()
-        require(n >= 0 && n <= bytes.length, s"bad list length $n")
+        val minW = et match {
+          case BOOL | BYTE => 1; case I16 => 2; case I32 | STRING => 4
+          case DOUBLE | I64 => 8; case _ => 1
+        }
+        require(n >= 0 && n.toLong * minW <= (bytes.length - p).toLong,
+          s"bad list length $n")
         if (et == I64) {
           val a = new Array[Long](n)
           var i = 0; while (i < n) { a(i) = i64(); i += 1 }

@@ -12,6 +12,15 @@ object ColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Eagerly convert a Column's ColumnNode AST to a PUBLIC Catalyst tree
+    * (UnresolvedAttribute / UnresolvedFunction / Literal nodes) — unlike
+    * `expression`, which returns a lazy ColumnNodeExpression wrapper whose
+    * children are invisible until analysis. Lets code outside this package
+    * pattern-match predicates structurally (e.g. storage-handler predicate
+    * decomposition) without touching private[sql] ColumnNode types. */
+  def converted(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Bridge to private[sql] Dataset.ofRows — build a DataFrame from a custom
     * LogicalPlan (our injected strategy plans it). */
   def ofRows(spark: SparkSession,

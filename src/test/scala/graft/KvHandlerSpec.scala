@@ -285,15 +285,17 @@ class KvHandlerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(before == after)
     // single live generation: a full scan now touches only the base files
     assert(scanProfile(spark, root, KeyFilter.full)._2 == 4)
-    // masked data is physically gone: raw cell rows == visible cells
-    val raw = spark.read.parquet(
-      new java.io.File(root).listFiles().filter(_.getName.startsWith("gen-"))
-        .filter(f => new java.io.File(f, "_SUCCESS").exists())
-        .map(_.getPath): _*)
-    // only the base generation remains live; its rows are all puts
-    val liveGen = raw.agg(max("ts")).head().getLong(0)
-    val baseRows = raw.filter(col("ts") === liveGen || col("del") === 0)
-    assert(raw.filter(col("ts") >= liveGen).filter(col("del") =!= 0).count() == 0)
+    // masked data is physically gone from the base: the newest generation
+    // (compaction output) holds only winner puts — no tombstones, no
+    // superseded versions, exactly one cell per visible (k, f, q)
+    val baseDir = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("gen-")).map(_.getName).sorted.last
+    val base = spark.read.parquet(s"$root/$baseDir")
+    assert(base.filter(col("del") =!= 0).count() == 0)
+    assert(base.groupBy("k", "f", "q").count().filter(col("count") > 1).count() == 0)
+    // deleted rows (1,8,...,92 then resurrect-free) are not in the base at all
+    val deletedKeys = (1 to 100 by 7).map(i => f"$i%04d").toSet
+    assert(base.filter(col("k").isin(deletedKeys.toSeq: _*)).count() == 0)
   }
 
   test("put into a claimed generation ordinal cannot double-commit (atomic manifest create)") {
