@@ -94,6 +94,15 @@ object HplSql {
   /** resignal_stmt (Hplsql.g4:691): re-raise the condition being handled. */
   private case object ResignalStmt extends Stmt
   private case class SignalStmt(name: String) extends Stmt
+  /** copy_stmt (`Hplsql.g4:621-622`): `COPY (select)|table TO [HDFS] target
+    * [DELIMITER expr] [SQLINSERT ident] [BATCHSIZE expr]`. `source` is
+    * either a table name (reference wraps it as SELECT * FROM t,
+    * `Copy.java:72-76`) or a select text; `sqlInsert` switches the file
+    * format to INSERT-statement lines (`Copy.java:227-252`). The `AT conn`
+    * remote-JDBC form is descoped (rejected at parse). */
+  private case class CopyStmt(table: Option[String], select: Option[String],
+      target: String, delimiter: Option[String],
+      sqlInsert: Option[String]) extends Stmt
   private case class ExecImmediate(sqlExpr: String, into: Seq[String])
       extends Stmt
 
@@ -539,6 +548,46 @@ object HplSql {
         }
         expect(";")
         CallStmt(name, args.result())
+      case "COPY" =>
+        next()
+        require(!peek.exists(w => !w.quoted && w.up == "FROM"),
+          "COPY FROM LOCAL / COPY FROM FTP is descoped (file transfer, not " +
+            "query semantics); only COPY (select)|table TO <target> is supported")
+        val (tableSrc, selectSrc) =
+          if (peek.exists(w => !w.quoted && w.text == "(")) {
+            // parenthesized select: slice raw text between the outer parens
+            expect("(")
+            val from = toks(p).start
+            var depth = 1
+            while (depth > 0) {
+              val w = next()
+              if (!w.quoted && w.text == "(") depth += 1
+              else if (!w.quoted && w.text == ")") depth -= 1
+            }
+            (None, Some(src.substring(from, toks(p - 1).start).trim))
+          } else (Some(dottedName(next())), None)
+        expect("TO")
+        if (peek.exists(w => !w.quoted && w.up == "HDFS")) next() // all our writes are FS writes
+        val optWords = Set("DELIMITER", "BATCHSIZE", "SQLINSERT", "AT", ";")
+        var (target, term) = rawUntil(optWords)
+        var delim: Option[String] = None
+        var sqlIns: Option[String] = None
+        while (term != ";") {
+          term match {
+            case "DELIMITER" =>
+              val (txt, t2) = rawUntil(optWords); delim = Some(txt); term = t2
+            case "BATCHSIZE" => // JDBC batching knob — a no-op for a file write
+              val (_, t2) = rawUntil(optWords); term = t2
+            case "SQLINSERT" =>
+              sqlIns = Some(dottedName(next()))
+              term = { val t = next(); require(optWords.contains(t.up),
+                s"unexpected '${t.text}' after SQLINSERT target"); t.up }
+            case "AT" => throw new IllegalArgumentException(
+              "COPY ... AT <connection> (remote JDBC target) is descoped")
+            case other => throw new IllegalArgumentException(s"bad COPY option $other")
+          }
+        }
+        CopyStmt(tableSrc, selectSrc, target, delim, sqlIns)
       case _ =>
         SqlStmt(rawUntil(Set(";"))._1)
     }
@@ -1237,6 +1286,40 @@ object HplSql {
         throw handling.getOrElse(throw new IllegalArgumentException(
           "RESIGNAL outside of a handler"))
       case SqlStmt(text) => runEngineSql(substitute(text))
+      case CopyStmt(tbl, sel, targetText, delimOpt, sqlIns) =>
+        import org.apache.spark.sql.functions._
+        val df = tbl match {
+          case Some(t) => engineDf(s"SELECT * FROM ${substitute(t)}")
+          case None => engineDf(substitute(sel.get))
+        }
+        // target / delimiter are expressions (a quoted literal, a :var, or
+        // a concatenation); a bare path token falls back to its raw text
+        def evalText(raw: String): String =
+          try Option(evalScalar(raw)).map(_.toString).getOrElse(raw)
+          catch { case _: Exception => substitute(raw) }
+        val target = evalText(targetText)
+        val delim = delimOpt.map(evalText).getOrElse("\t")
+        val cols = df.columns
+        val line = sqlIns match {
+          case Some(tname) =>
+            // INSERT-statement lines: every value single-quoted with ''
+            // doubling, NULL for nulls (Copy.java:227-252, Utils.quoteString)
+            val vals = cols.map { c =>
+              when(df.col(c).isNull, lit("NULL")).otherwise(concat(lit("'"),
+                regexp_replace(df.col(c).cast("string"), "'", "''"), lit("'")))
+            }
+            concat(lit(s"INSERT INTO $tname VALUES ("),
+              concat_ws(",", vals: _*), lit(");"))
+          case None =>
+            // plain mode: delimiter-joined stringified values, null cells
+            // render empty (Copy.java:241-249 writes nothing for NULL)
+            concat_ws(delim, cols.map(c =>
+              coalesce(df.col(c).cast("string"), lit(""))): _*)
+        }
+        // distributed text sink — the Spark-native analog of the reference's
+        // single-stream file write (a directory of parts IS the HDFS file
+        // abstraction; a 100 TB result can't funnel through one stream)
+        df.select(line.as("value")).write.mode("overwrite").text(target)
       case ExecImmediate(sqlExpr, into) =>
         // the expression yields the SQL text (Stmt.java exec: evaluate then
         // run); the built string then gets the same variable substitution a

@@ -112,13 +112,20 @@ object Aggregates {
 
     // histogram_numeric (GenericUDAFHistogramNumeric — Spark's implementation
     // follows the same NumericHistogram algorithm) + approximate aggregates
-    // (Spark bonus over Hive 2.1). Engine-specific results → rows-only check.
-    Qd.rowsOnly("q22_histogram_approx") { (s, dir) =>
-      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
-        .agg(to_json(expr("histogram_numeric(l_quantity, 5)")).as("hist_qty"),
-          approx_count_distinct(col("l_partkey")).as("approx_nd_part"),
-          expr("percentile_approx(l_extendedprice, 0.5, 1000)").as("approx_p50"))
-        .orderBy("l_returnflag")
+    // (Spark bonus over Hive 2.1). The results are engine-specific, so the
+    // oracle is a KNOWN-ANSWER VECTOR (the q76 discipline): the input is a
+    // deterministic single-partition generated sequence — immune to testdata
+    // regeneration, and with exactly one ordered input partition every
+    // sketch (NumericHistogram, KLL quantile, HLL++) builds and merges
+    // deterministically — and DuckDB serves the expected outputs as
+    // literals while Spark COMPUTES them. Algorithm equivalence with the
+    // reference NumericHistogram stays asserted in NumericHistogramSpec.
+    Qd("q22_histogram_approx", Q22_ORACLE) { (s, dir) =>
+      q22Input(s).groupBy(col("g"))
+        .agg(to_json(expr("histogram_numeric(x, 5)")).as("hist"),
+          approx_count_distinct(col("k")).as("approx_nd"),
+          expr("percentile_approx(x, 0.5, 1000)").as("approx_p50"))
+        .orderBy("g")
     },
 
     // GROUPING SETS + grouping_id (plan/GroupByDesc.java:65,89-94) via the
@@ -300,4 +307,25 @@ object Aggregates {
         .orderBy("user_id")
     }
   )
+
+  /** q22's deterministic sketch input: 20 000 rows in ONE ordered partition
+    * (`range(..., numPartitions = 1)` — no shuffle, no partial-merge order
+    * ambiguity). `x` is a Knuth-multiplicative scramble mod a prime so the
+    * histogram sees a well-spread value stream; `k` has exactly 997
+    * distinct values per group domain. */
+  private[queries] def q22Input(s: SparkSession): org.apache.spark.sql.DataFrame =
+    s.range(1, 20001, 1, 1).select(
+      (col("id") % 3).cast("int").as("g"),
+      pmod(col("id") * 2654435761L, lit(10007L)).cast("double").as("x"),
+      (col("id") % 997).as("k"))
+
+  /** Known-answer oracle for q22 — the expected sketch outputs as literals
+    * (computed once from the deterministic input above; see the q22 comment
+    * for why literals are the right oracle for engine-specific sketches). */
+  private def Q22_ORACLE: String =
+    """SELECT * FROM (VALUES
+      |  (CAST(0 AS INT), '[{"x":1095.7702331961575,"y":1458.0},{"x":3225.7072463768172,"y":1380.0},{"x":5242.814078041323,"y":1307.0},{"x":7175.811662726558,"y":1269.0},{"x":9067.808306709283,"y":1252.0}]', CAST(1026 AS BIGINT), CAST(4994.0 AS DOUBLE)),
+      |  (CAST(1 AS INT), '[{"x":982.742748091602,"y":1310.0},{"x":2947.3932670237164,"y":1307.0},{"x":4916.356382978716,"y":1316.0},{"x":6917.815088757394,"y":1352.0},{"x":8969.520984081033,"y":1382.0}]', CAST(1026 AS BIGINT), CAST(5003.0 AS DOUBLE)),
+      |  (CAST(2 AS INT), '[{"x":898.948247078464,"y":1198.0},{"x":2745.29556259905,"y":1262.0},{"x":4692.757689422355,"y":1333.0},{"x":6748.2674253200585,"y":1406.0},{"x":8904.06607629426,"y":1468.0}]', CAST(1026 AS BIGINT), CAST(5001.0 AS DOUBLE))
+      |) AS v(g, hist, approx_nd, approx_p50) ORDER BY g""".stripMargin
 }

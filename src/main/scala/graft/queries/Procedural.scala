@@ -347,6 +347,54 @@ object Procedural {
           |  IF bal >= 0 THEN SET acc = acc + bal; END IF;
           |END LOOP;
           |SELECT CAST(acc AS BIGINT) AS acc_cents, CAST(misses AS INT) AS misses;""".stripMargin)
+    },
+
+    // COPY (select)|table TO <target> (copy_stmt, `Hplsql.g4:621-622`,
+    // `Copy.java:178` copyToFile): delimiter-text export of a query result,
+    // plus the SQLINSERT line format (quoted values, NULL for nulls). The
+    // checked result is the PLAIN export read back and parsed; the table
+    // form and the SQLINSERT form are require()-pinned in the script's
+    // aftermath (line shape, row counts, quote doubling).
+    Qd("q337_hplsql_copy_to",
+      """SELECT CAST(n_nationkey AS BIGINT) AS nk, n_name AS nm,
+        |  CAST(n_regionkey AS BIGINT) AS rk
+        |FROM nation WHERE n_nationkey % 2 = 0 ORDER BY nk""") { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val sf = new java.io.File(dir).getName.replace(".", "_")
+      val root = s"/root/repo/target/ddl/$sf/g337_copy"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(new org.apache.hadoop.fs.Path(root)))
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      HplSql.run(s, dir,
+        s"""DECLARE tgt STRING := '$root/plain';
+           |COPY (SELECT n_nationkey, n_name, n_regionkey FROM nation
+           |      WHERE n_nationkey % 2 = 0) TO tgt DELIMITER '|';
+           |COPY nation TO '$root/whole_table';
+           |COPY (SELECT n_nationkey, n_name || '''' FROM nation)
+           |  TO '$root/ins' SQLINSERT nation_bak;
+           |SELECT 1 AS ok;""".stripMargin)
+      // table form: default tab delimiter, one line per nation row
+      val whole = s.read.text(s"$root/whole_table")
+      require(whole.count() == graft.Engine.table(s, dir, "nation").count(),
+        "COPY <table> TO must export every row")
+      require(whole.filter(size(split(col("value"), "\t", -1)) =!=
+        graft.Engine.table(s, dir, "nation").columns.length).count() == 0,
+        "tab-delimited line must have one field per column")
+      // SQLINSERT form: INSERT-statement lines, quotes doubled ('' from the
+      // appended quote), one line per row
+      val ins = s.read.text(s"$root/ins")
+      require(ins.filter(!col("value").rlike(
+        "^INSERT INTO nation_bak VALUES \\('[0-9]+','.*'''\\);$")).count() == 0,
+        "SQLINSERT lines must be INSERT statements with ''-doubled quotes")
+      require(ins.count() == graft.Engine.table(s, dir, "nation").count(),
+        "SQLINSERT must emit one statement per row")
+      // the checked result: the plain export, parsed back
+      s.read.option("sep", "|").option("quote", "")
+        .schema("nk STRING, nm STRING, rk STRING").csv(s"$root/plain")
+        .select(col("nk").cast("bigint").as("nk"), col("nm"),
+          col("rk").cast("bigint").as("rk"))
+        .orderBy("nk")
     }
   )
 }

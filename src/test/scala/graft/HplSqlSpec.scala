@@ -801,4 +801,67 @@ class HplSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r2.getString(0) == "[a'b)c]",
       "a ')' hidden behind a doubled quote must not close the call")
   }
+
+  // ---------------------------------------------------------------- COPY TO
+
+  private def copyRoot(tag: String): String = {
+    val d = s"/root/repo/target/hplsql-copy-spec/$tag"
+    val p = new org.apache.hadoop.fs.Path(d)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    d
+  }
+
+  private def lines(dir: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    spark.read.text(dir).collect().map(_.getString(0)).toSeq
+  }
+
+  test("COPY (select) TO writes delimiter-joined values; NULL cells render empty") {
+    val root = copyRoot("plain")
+    run1(
+      s"""COPY (SELECT 1 AS a, CAST(NULL AS STRING) AS b, 'x|y' AS c) TO '$root/f' DELIMITER '|';
+         |SELECT 1 AS ok;""".stripMargin)
+    assert(lines(s"$root/f") == Seq("1||x|y"),
+      "null renders empty, values joined by the delimiter (no quoting — Copy.java:241)")
+  }
+
+  test("COPY default delimiter is TAB; table form copies every column") {
+    val root = copyRoot("table")
+    run1(
+      s"""COPY region TO '$root/t';
+         |SELECT 1 AS ok;""".stripMargin)
+    val got = lines(s"$root/t")
+    assert(got.size == spark.sql("SELECT count(*) FROM region").head().getLong(0))
+    assert(got.forall(_.count(_ == '\t') == spark.table("region").columns.length - 1))
+  }
+
+  test("COPY SQLINSERT emits INSERT lines with ''-doubled quotes and NULL for nulls") {
+    val root = copyRoot("ins")
+    run1(
+      s"""COPY (SELECT 2 AS a, 'it''s' AS b, CAST(NULL AS INT) AS c)
+         |  TO '$root/i' SQLINSERT tgt;
+         |SELECT 1 AS ok;""".stripMargin)
+    assert(lines(s"$root/i") == Seq("INSERT INTO tgt VALUES ('2','it''s',NULL);"),
+      "every value quoted via Utils.quoteString semantics; nulls as bare NULL")
+  }
+
+  test("COPY target and delimiter may be variables/expressions") {
+    val root = copyRoot("expr")
+    run1(
+      s"""DECLARE d STRING := ';';
+         |DECLARE base STRING := '$root';
+         |COPY (SELECT 7 AS a, 8 AS b) TO base || '/e' DELIMITER d;
+         |SELECT 1 AS ok;""".stripMargin)
+    assert(lines(s"$root/e") == Seq("7;8"))
+  }
+
+  test("COPY FROM LOCAL/FTP and COPY ... AT <conn> are rejected with clear errors") {
+    val e1 = intercept[IllegalArgumentException](run1(
+      "COPY FROM LOCAL '/tmp/x' TO '/tmp/y';\nSELECT 1 AS ok;"))
+    assert(e1.getMessage.contains("descoped"))
+    val e2 = intercept[IllegalArgumentException](run1(
+      "COPY (SELECT 1 AS a) TO '/tmp/y' AT conn1;\nSELECT 1 AS ok;"))
+    assert(e2.getMessage.contains("descoped"))
+  }
 }

@@ -126,6 +126,22 @@ class KvHandlerSpec extends AnyFunSuite with BeforeAndAfterAll {
     // non-key predicate: full scan, all residual
     val (kf5, _) = decomposeKeyPredicate(col("x") =!= 2, "k")
     assert(kf5.isFullScan)
+    // BETWEEN desugars to >= AND <= and decomposes to the closed range
+    val (kf6, r6) = decomposeKeyPredicate(col("k").between("c", "f"), "k")
+    assert(kf6.lower.contains(("c", true)) && kf6.upper.contains(("f", true)))
+    assert(r6.isEmpty)
+    // OR of key points stays residual WHOLE — the reference sends every
+    // disjunction back (IndexPredicateAnalyzer), relying on the re-check
+    val (kf7, r7) = decomposeKeyPredicate(col("k") === "a" || col("k") === "b", "k")
+    assert(kf7.isFullScan && r7.isDefined)
+    // a :timestamp-mapped (version) conjunct is residual; the key bound
+    // still decomposes beside it
+    val (kf8, r8) = decomposeKeyPredicate(col("k") >= "b" && col("ver") > 1L, "k")
+    assert(kf8.lower.contains(("b", true)) && r8.isDefined)
+    // intersect tightening: two lower bounds keep the byte-wise max; at an
+    // equal bound the exclusive one wins
+    val (kf9, _) = decomposeKeyPredicate(col("k") >= "b" && col("k") > "b", "k")
+    assert(kf9.lower.contains(("b", false)))
   }
 
   test("KeyFilter file admission matches interval intersection") {
