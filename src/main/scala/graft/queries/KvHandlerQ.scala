@@ -253,6 +253,43 @@ object KvHandlerQ {
         .agg(count(lit(1)).as("cnt"),
           sum(round(col("price") * 100, 0).cast("long")).as("cents"))
         .orderBy("stat")
+    },
+
+    // The `#b` fixed-width binary codec at the BYTE level (HBase
+    // Bytes.toBytes semantics, `ColumnMappings.java:146-233`): the oracle
+    // recomputes the big-endian hex closed-form — including two's
+    // complement for negatives — so the wire layout itself is
+    // hash-checked, the ThriftBinarySerde discipline. Float/double lanes
+    // (IEEE-754 bit patterns have no DuckDB closed form) are pinned by
+    // encode→decode round-trip identity plus the HBase byte width.
+    Qd("q338_kv_binary_bytes",
+      """SELECT CAST(p_partkey AS BIGINT) AS pk,
+        |  upper(lpad(to_hex(p_partkey), 16, '0')) AS h_long,
+        |  upper(lpad(to_hex(p_size), 8, '0')) AS h_int,
+        |  upper(lpad(to_hex(4294967296 - p_size), 8, '0')) AS h_neg,
+        |  upper(lpad(to_hex(p_size % 65536), 4, '0')) AS h_short,
+        |  CASE WHEN p_size > 20 THEN '01' ELSE '00' END AS h_bool,
+        |  CAST(8 AS INT) AS w_dbl,
+        |  CAST(round(p_retailprice, 2) AS DOUBLE) AS rt_dbl,
+        |  CAST(p_partkey * 2 AS BIGINT) AS rt_long
+        |FROM part WHERE p_partkey <= 200 ORDER BY pk""") { (s, dir) =>
+      import graft.functions.{KvDecodeFixed, KvEncodeFixed}
+      import org.apache.spark.sql.graftshim.{ColumnBridge => CB}
+      import org.apache.spark.sql.Column
+      def enc(c: Column): Column = CB.column(KvEncodeFixed(CB.expression(c)))
+      def dec(c: Column, t: org.apache.spark.sql.types.DataType): Column =
+        CB.column(KvDecodeFixed(CB.expression(c), t))
+      Engine.table(s, dir, "part").filter(col("p_partkey") <= 200)
+        .select(col("p_partkey").cast("bigint").as("pk"),
+          hex(enc(col("p_partkey").cast("long"))).as("h_long"),
+          hex(enc(col("p_size").cast("int"))).as("h_int"),
+          hex(enc((-col("p_size")).cast("int"))).as("h_neg"),
+          hex(enc(col("p_size").cast("short"))).as("h_short"),
+          hex(enc(col("p_size") > 20)).as("h_bool"),
+          length(enc(round(col("p_retailprice"), 2).cast("double"))).cast("int").as("w_dbl"),
+          dec(enc(round(col("p_retailprice"), 2).cast("double")), DoubleType).as("rt_dbl"),
+          dec(enc((col("p_partkey") * 2).cast("long")), LongType).as("rt_long"))
+        .orderBy("pk")
     })
 
   private def key12str(n: Int): String = f"$n%012d"
