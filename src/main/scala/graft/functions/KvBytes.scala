@@ -49,7 +49,8 @@ case class KvEncodeFixed(child: Expression) extends UnaryExpression {
   }
 
   override def nullSafeEval(v: Any): Any = child.dataType match {
-    case BooleanType => Array[Byte](if (v.asInstanceOf[Boolean]) 1 else 0)
+    // HBase Bytes.toBytes(boolean) encodes true as (byte) -1 (0xFF), not 1
+    case BooleanType => Array[Byte](if (v.asInstanceOf[Boolean]) -1 else 0)
     case ShortType => putBe(new Array[Byte](2), v.asInstanceOf[Short].toLong, 2)
     case IntegerType => putBe(new Array[Byte](4), v.asInstanceOf[Int].toLong, 4)
     case LongType => putBe(new Array[Byte](8), v.asInstanceOf[Long], 8)
@@ -67,7 +68,7 @@ case class KvEncodeFixed(child: Expression) extends UnaryExpression {
       val i = ctx.freshName("i")
       val w = KvBytes.widthOf(child.dataType)
       val toBits = child.dataType match {
-        case BooleanType => s"long $bits = $x ? 1L : 0L;"
+        case BooleanType => s"long $bits = $x ? 0xffL : 0L;" // Bytes.toBytes(true) == 0xFF
         case FloatType => s"long $bits = (long) java.lang.Float.floatToIntBits($x);"
         case DoubleType => s"long $bits = java.lang.Double.doubleToLongBits($x);"
         case _ => s"long $bits = (long) $x;"

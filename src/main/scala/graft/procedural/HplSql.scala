@@ -569,15 +569,38 @@ object HplSql {
         expect("TO")
         if (peek.exists(w => !w.quoted && w.up == "HDFS")) next() // all our writes are FS writes
         val optWords = Set("DELIMITER", "BATCHSIZE", "SQLINSERT", "AT", ";")
-        var (target, term) = rawUntil(optWords)
+        // An option keyword terminates the target only when it stands alone
+        // (preceded by whitespace): a bare path like /logs/at/2026 tokenizes
+        // its segments adjacent to the slashes, and those must NOT be read
+        // as COPY options. ';' always terminates.
+        def rawUntilOpt(): (String, String) = {
+          val from = toks(p).start
+          var depth = 0
+          while (p < toks.length) {
+            val t = toks(p)
+            val spaced = p == 0 || toks(p - 1).end < t.start
+            if (!t.quoted && t.text == "(") depth += 1
+            else if (!t.quoted && t.text == ")") depth -= 1
+            else if (depth == 0 && !t.quoted &&
+                (t.text == ";" || (optWords.contains(t.up) && spaced))) {
+              val text = src.substring(from, t.start).trim
+              p += 1
+              return (text, t.up)
+            }
+            p += 1
+          }
+          throw new IllegalArgumentException(
+            s"unterminated COPY: expected one of $optWords after offset $from")
+        }
+        var (target, term) = rawUntilOpt()
         var delim: Option[String] = None
         var sqlIns: Option[String] = None
         while (term != ";") {
           term match {
             case "DELIMITER" =>
-              val (txt, t2) = rawUntil(optWords); delim = Some(txt); term = t2
+              val (txt, t2) = rawUntilOpt(); delim = Some(txt); term = t2
             case "BATCHSIZE" => // JDBC batching knob — a no-op for a file write
-              val (_, t2) = rawUntil(optWords); term = t2
+              val (_, t2) = rawUntilOpt(); term = t2
             case "SQLINSERT" =>
               sqlIns = Some(dottedName(next()))
               term = { val t = next(); require(optWords.contains(t.up),
@@ -1292,13 +1315,28 @@ object HplSql {
           case Some(t) => engineDf(s"SELECT * FROM ${substitute(t)}")
           case None => engineDf(substitute(sel.get))
         }
-        // target / delimiter are expressions (a quoted literal, a :var, or
-        // a concatenation); a bare path token falls back to its raw text
-        def evalText(raw: String): String =
-          try Option(evalScalar(raw)).map(_.toString).getOrElse(raw)
-          catch { case _: Exception => substitute(raw) }
-        val target = evalText(targetText)
-        val delim = delimOpt.map(evalText).getOrElse("\t")
+        // target / delimiter are expressions (a quoted literal, a variable,
+        // a concatenation). A BARE token (path or identifier, nothing but
+        // word/path characters) that fails to evaluate falls back to its own
+        // text — HPL/SQL's undefined-ident-evaluates-to-itself rule, which
+        // is how the reference accepts unquoted file_name targets. Anything
+        // with operators/quotes/spaces must evaluate: a typo'd variable in
+        // an expression is an error, not a literal directory name.
+        def evalText(raw: String, what: String): String = {
+          val barePath = raw.matches("[A-Za-z0-9_./:\\-]+")
+          val v =
+            try Right(evalScalar(raw))
+            catch { case e: Exception => Left(e) }
+          v match {
+            case Right(null) => throw new IllegalArgumentException(
+              s"COPY $what '$raw' evaluated to NULL")
+            case Right(x) => x.toString
+            case Left(_) if barePath => substitute(raw)
+            case Left(e) => throw e
+          }
+        }
+        val target = evalText(targetText, "target")
+        val delim = delimOpt.map(evalText(_, "delimiter")).getOrElse("\t")
         val cols = df.columns
         val line = sqlIns match {
           case Some(tname) =>

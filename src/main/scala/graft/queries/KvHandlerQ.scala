@@ -268,7 +268,7 @@ object KvHandlerQ {
         |  upper(lpad(to_hex(p_size), 8, '0')) AS h_int,
         |  upper(lpad(to_hex(4294967296 - p_size), 8, '0')) AS h_neg,
         |  upper(lpad(to_hex(p_size % 65536), 4, '0')) AS h_short,
-        |  CASE WHEN p_size > 20 THEN '01' ELSE '00' END AS h_bool,
+        |  CASE WHEN p_size > 20 THEN 'FF' ELSE '00' END AS h_bool,
         |  CAST(8 AS INT) AS w_dbl,
         |  CAST(round(p_retailprice, 2) AS DOUBLE) AS rt_dbl,
         |  CAST(p_partkey * 2 AS BIGINT) AS rt_long

@@ -117,6 +117,18 @@ object ThriftBinarySerde {
     def str(): String = { val n = i32(); need(n)
       val s = new String(bytes, p, n, "UTF-8"); p += n; s }
 
+    /** Reject a list count that cannot fit in the remaining bytes at the
+      * element type's minimum wire width — shared by skip and value so both
+      * paths enforce the same bound on malformed payloads. */
+    private def checkListCount(et: Byte, n: Int): Unit = {
+      val minW = et match {
+        case BOOL | BYTE => 1; case I16 => 2; case I32 | STRING => 4
+        case DOUBLE | I64 => 8; case _ => 1
+      }
+      require(n >= 0 && n.toLong * minW <= (bytes.length - p).toLong,
+        s"bad list length $n")
+    }
+
     /** Structurally skip one value of wire type `t`. Every advance is
       * bounds-checked and list counts are capped by remaining bytes /
       * min element width, so a malformed count fails fast instead of
@@ -129,12 +141,7 @@ object ThriftBinarySerde {
       case STRING => val n = i32(); require(n >= 0, s"bad string length $n"); need(n); p += n
       case LIST =>
         val et = i8(); val n = i32()
-        val minW = et match {
-          case BOOL | BYTE => 1; case I16 => 2; case I32 | STRING => 4
-          case DOUBLE | I64 => 8; case _ => 1
-        }
-        require(n >= 0 && n.toLong * minW <= (bytes.length - p).toLong,
-          s"bad list length $n")
+        checkListCount(et, n)
         var i = 0; while (i < n) { skip(et); i += 1 }
       case STRUCT =>
         var ft = i8()
@@ -153,12 +160,7 @@ object ThriftBinarySerde {
       case STRING => str()
       case LIST =>
         val et = i8(); val n = i32()
-        val minW = et match {
-          case BOOL | BYTE => 1; case I16 => 2; case I32 | STRING => 4
-          case DOUBLE | I64 => 8; case _ => 1
-        }
-        require(n >= 0 && n.toLong * minW <= (bytes.length - p).toLong,
-          s"bad list length $n")
+        checkListCount(et, n)
         if (et == I64) {
           val a = new Array[Long](n)
           var i = 0; while (i < n) { a(i) = i64(); i += 1 }

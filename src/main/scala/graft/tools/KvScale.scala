@@ -53,7 +53,9 @@ object KvScale {
         val t0 = System.nanoTime()
         val pred = (kf.points, kf.lower, kf.upper) match {
           case (Some(ps), _, _) => col("k").isin(ps: _*)
-          case (_, Some((lo, _)), Some((hi, _))) => col("k") >= lo && col("k") <= hi
+          case (_, Some((lo, loIncl)), Some((hi, hiIncl))) =>
+            (if (loIncl) col("k") >= lo else col("k") > lo) &&
+              (if (hiIncl) col("k") <= hi else col("k") < hi)
           case _ => lit(true)
         }
         val n = KvStorageHandler.scan(s, root, m, pred).count()
@@ -72,7 +74,10 @@ object KvScale {
       val lo = f"$mid%012d"; val hi = f"${mid + 100000}%012d"
       best2(s"$tag range-100k", root, KeyFilter(None, Some((lo, true)), Some((hi, false))))
       best2(s"$tag full-scan", root, KeyFilter.full)
+      // the ×64 store is ~GBs — drop each size before building the next
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
     }
+    fs.delete(new org.apache.hadoop.fs.Path(root0), true)
     s.stop()
   }
 }

@@ -856,6 +856,23 @@ class HplSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lines(s"$root/e") == Seq("7;8"))
   }
 
+  test("COPY bare-path target may contain option-keyword segments (/at/, /delimiter/)") {
+    val root = copyRoot("barepath")
+    run1(
+      s"""COPY (SELECT 3 AS a) TO $root/at/delimiter/f;
+         |SELECT 1 AS ok;""".stripMargin)
+    assert(lines(s"$root/at/delimiter/f") == Seq("3"),
+      "glued path segments must not parse as COPY options")
+  }
+
+  test("COPY with a typo'd variable in a target EXPRESSION errors instead of writing to a literal dir") {
+    val e = intercept[Exception](run1(
+      """DECLARE base STRING := '/tmp/x';
+        |COPY (SELECT 1 AS a) TO bse || '/e';
+        |SELECT 1 AS ok;""".stripMargin))
+    assert(!new java.io.File("bse || '/e'").exists())
+  }
+
   test("COPY FROM LOCAL/FTP and COPY ... AT <conn> are rejected with clear errors") {
     val e1 = intercept[IllegalArgumentException](run1(
       "COPY FROM LOCAL '/tmp/x' TO '/tmp/y';\nSELECT 1 AS ok;"))
