@@ -290,6 +290,111 @@ object KvHandlerQ {
           dec(enc(round(col("p_retailprice"), 2).cast("double")), DoubleType).as("rt_dbl"),
           dec(enc((col("p_partkey") * 2).cast("long")), LongType).as("rt_long"))
         .orderBy("pk")
+    },
+
+    // Accumulo column visibility (`accumulo.visibility.label` /
+    // `accumulo.authorizations`, AccumuloSerDeParameters.java:54-57): cells
+    // carry their write batch's label; a scan sees only cells its auth set
+    // satisfies. Auth filtering applies AFTER version resolution (Accumulo's
+    // VisibilityFilter sits above the VersioningIterator), so a restricted
+    // NEWER version hides the cell from an unauthorized reader — it does
+    // not fall back to the older public version. Both reader views in one
+    // result, tagged; the oracle replays the closed form.
+    Qd("q339_kv_visibility",
+      """WITH c AS (SELECT c_custkey AS ck, c_name AS nm,
+        |    round(c_acctbal, 2) AS bal0
+        |  FROM customer WHERE c_custkey <= 600 AND c_custkey % 9 <> 0)
+        |SELECT 'full' AS reader, CAST(ck AS BIGINT) AS ck, nm,
+        |  CAST(CASE WHEN ck % 4 = 0 THEN bal0 + 100 ELSE bal0 END AS DOUBLE) AS bal
+        |FROM c
+        |UNION ALL
+        |SELECT 'public', CAST(ck AS BIGINT), nm,
+        |  CAST(CASE WHEN ck % 4 = 0 THEN NULL ELSE bal0 END AS DOUBLE)
+        |FROM c
+        |ORDER BY reader, ck""") { (s, dir) =>
+      val (sf, loc) = ctx(s, dir)
+      val root = s"$loc/g339_kv"
+      wipe(s, root)
+      val cust = Engine.table(s, dir, "customer").filter(col("c_custkey") <= 600)
+      val m = parseMapping(
+        StructType(Seq(StructField("k", StringType), StructField("nm", StringType),
+          StructField("bal", DoubleType))), ":key,f:name,f:bal#b")
+      KvStorageHandler.put(s, root, cust.select(
+        key12(col("c_custkey")).as("k"), col("c_name").as("nm"),
+        round(col("c_acctbal"), 2).as("bal")), m, visibility = "public")
+      val balOnly = parseMapping(
+        StructType(Seq(StructField("k", StringType), StructField("bal", DoubleType))),
+        ":key,f:bal#b")
+      KvStorageHandler.put(s, root,
+        cust.filter(col("c_custkey") % 4 === 0).select(
+          key12(col("c_custkey")).as("k"),
+          (round(col("c_acctbal"), 2) + 100).as("bal")), balOnly,
+        visibility = "pii&finance")
+      KvStorageHandler.deleteRows(s, root,
+        cust.filter(col("c_custkey") % 9 === 0)
+          .select(key12(col("c_custkey")).as("k")), "k")
+      def view(tag: String, auths: Set[String]): DataFrame =
+        KvStorageHandler.read(s, root, m, Some(auths))
+          .select(lit(tag).as("reader"), col("k").cast("bigint").as("ck"),
+            col("nm"), col("bal"))
+      view("full", Set("public", "pii", "finance"))
+        .unionAll(view("public", Set("public")))
+        .orderBy("reader", "ck")
+    },
+
+    // Composite struct row key (`HBaseCompositeKey.java:56`,
+    // `CompositeHBaseKeyFactory`): the key is struct(orderkey, linenumber)
+    // joined by the ^A separator; equality on the LEADING field decomposes
+    // to a key-prefix range (require()d to prune region files), full
+    // equality to a point. Parts stored zero-padded so string order matches
+    // numeric order — the same contract raw HBase byte keys put on users.
+    Qd("q340_kv_composite_key",
+      """WITH li AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+        |    max(CAST(round(l_quantity, 0) AS BIGINT)) AS qty,
+        |    max(CAST(round(l_extendedprice, 2) AS DOUBLE)) AS price
+        |  FROM lineitem WHERE l_orderkey <= 2000
+        |  GROUP BY 1, 2)
+        |SELECT * FROM (
+        |  SELECT 'prefix' AS probe, CAST(ok AS BIGINT) AS ok,
+        |    CAST(ln AS BIGINT) AS ln, qty, price FROM li WHERE ok = 1
+        |  UNION ALL
+        |  SELECT 'point', CAST(ok AS BIGINT), CAST(ln AS BIGINT), qty, price
+        |  FROM li WHERE ok = 1 AND ln = 3
+        |) ORDER BY probe, ln""") { (s, dir) =>
+      val (sf, loc) = ctx(s, dir)
+      val root = s"$loc/g340_kv"
+      wipe(s, root)
+      val li = Engine.table(s, dir, "lineitem").filter(col("l_orderkey") <= 2000)
+      val keyT = StructType(Seq(StructField("ok", LongType), StructField("ln", LongType)))
+      val m = parseMapping(
+        StructType(Seq(StructField("rk", keyT), StructField("qty", LongType),
+          StructField("price", DoubleType))), ":key,f:qty#b,f:price#b")
+      // the synthetic corpus can repeat (orderkey, linenumber); KV keys are
+      // unique, so pre-aggregate per key — the oracle replays the same max
+      KvStorageHandler.put(s, root, li
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(max(round(col("l_quantity"), 0).cast("long")).as("qty"),
+          max(round(col("l_extendedprice"), 2)).as("price"))
+        .select(
+          struct(key12(col("l_orderkey")).as("ok"),
+            lpad(col("l_linenumber").cast("string"), 2, "0").as("ln")).as("rk"),
+          col("qty"), col("price")), m, regions = 8)
+      val prefixPred = col("rk")("ok") === key12str(1) && col("qty") >= 0L
+      val kfP = KvStorageHandler.decomposeCompositePredicate(prefixPred, "rk", keyT)
+      require(kfP.lower.isDefined && kfP.upper.isDefined,
+        "leading-field equality must decompose to a key-prefix range")
+      val prof = KvStorageHandler.scanProfile(s, root, kfP)
+      require(prof._1 < prof._2, s"prefix range must prune region files, scanned $prof")
+      val pointPred = col("rk")("ok") === key12str(1) && col("rk")("ln") === "03"
+      val kfPt = KvStorageHandler.decomposeCompositePredicate(pointPred, "rk", keyT)
+      require(kfPt.points.exists(_.size == 1),
+        "all-field equality must decompose to a point")
+      def rows(tag: String, pred: org.apache.spark.sql.Column): DataFrame =
+        KvStorageHandler.scan(s, root, m, pred)
+          .select(lit(tag).as("probe"), col("rk.ok").as("ok"),
+            col("rk.ln").as("ln"), col("qty"), col("price"))
+      rows("prefix", prefixPred).unionAll(rows("point", pointPred))
+        .orderBy("probe", "ln")
     })
 
   private def key12str(n: Int): String = f"$n%012d"

@@ -88,10 +88,15 @@ object KvStorageHandler {
       binary: Boolean, valueType: DataType)
 
   final case class KvMapping(keyCol: String, timestampCol: Option[String],
-      scalars: Seq[ScalarCell], maps: Seq[FamilyMap]) {
+      scalars: Seq[ScalarCell], maps: Seq[FamilyMap],
+      keyFields: Option[StructType] = None) {
     def columns: Seq[String] =
       Seq(keyCol) ++ timestampCol ++ scalars.map(_.col) ++ maps.map(_.col)
   }
+
+  /** Composite-key part separator (`HBaseCompositeKey` extends LazyStruct,
+    * whose level-1 separator is ^A). Key parts must not contain it. */
+  val KEY_SEP: Char = '\u0001'
 
   /** Parse an `hbase.columns.mapping`-style spec against the Hive-side
     * schema. Mirrors `ColumnMappings.parseColumnsMapping`: entry count must
@@ -106,6 +111,7 @@ object KvStorageHandler {
       s"mapping has ${entries.length} entries but schema has ${schema.length} " +
         "columns (the reference raises the same count mismatch, ColumnMappings.java:111)")
     var key: Option[String] = None
+    var keyStruct: Option[StructType] = None
     var tsCol: Option[String] = None
     val scalars = Seq.newBuilder[ScalarCell]
     val maps = Seq.newBuilder[FamilyMap]
@@ -119,8 +125,21 @@ object KvStorageHandler {
       val binary = storage == "b"
       if (e == ":key") {
         require(key.isEmpty, "duplicate :key entry")
-        require(field.dataType == StringType,
-          s":key column must be STRING, got ${field.dataType.sql}")
+        field.dataType match {
+          case StringType => ()
+          case st: StructType =>
+            // composite row key (HBaseCompositeKey.java:56 — a LazyStruct
+            // over the key bytes, parts joined by the ^A separator)
+            require(st.fields.nonEmpty, ":key struct must have fields")
+            st.fields.foreach(f => require(f.dataType match {
+              case StringType | IntegerType | LongType | ShortType => true
+              case _ => false
+            }, s"composite :key part ${f.name} must be string/integral, " +
+              s"got ${f.dataType.sql}"))
+            keyStruct = Some(st)
+          case other => throw new IllegalArgumentException(
+            s":key column must be STRING or STRUCT, got ${other.sql}")
+        }
         key = Some(field.name)
       } else if (e == ":timestamp") {
         require(tsCol.isEmpty, "duplicate :timestamp entry")
@@ -153,7 +172,7 @@ object KvStorageHandler {
       "mapping must bind at least one cell beyond :key")
     KvMapping(key.getOrElse(throw new IllegalArgumentException(
       "mapping must contain :key (AccumuloHiveConstants.ROWID)")),
-      tsCol, sc, mp)
+      tsCol, sc, mp, keyStruct)
   }
 
   private object Codable {
@@ -174,15 +193,33 @@ object KvStorageHandler {
     if (binary) CB.column(KvDecodeFixed(CB.expression(c), t))
     else decode(c, "UTF-8").cast(t)
 
+  /** Row-key expression for a mapping: the string key itself, or composite
+    * struct parts joined by KEY_SEP (null in any part nulls the whole key —
+    * such rows are rejected at write, HBase raises on null keys too). */
+  private def keyExpr(m: KvMapping): Column = m.keyFields match {
+    case Some(st) =>
+      val parts = st.fields.toSeq.map(f =>
+        col(m.keyCol).getField(f.name).cast(StringType))
+      concat(parts.flatMap(p => Seq(p, lit(KEY_SEP.toString))).dropRight(1): _*)
+    case None => col(m.keyCol).cast(StringType)
+  }
+
   /** Explode a Hive-side DataFrame into cells per the mapping. Null scalar
     * values produce NO cell (HBase stores nothing for null; LazyHBaseCellMap
-    * likewise skips empty values on read). */
-  private def toCells(df: DataFrame, m: KvMapping, gen: Long): DataFrame = {
-    val k = col(m.keyCol).cast(StringType).as("k")
+    * likewise skips empty values on read). `vis` is the write batch's
+    * visibility label (`accumulo.visibility.label` — a table-level label,
+    * AccumuloSerDeParameters.java:54; empty = unlabeled, visible to all). */
+  private def toCells(df: DataFrame, m: KvMapping, gen: Long,
+      vis: String): DataFrame = {
+    // null keys fail INSIDE the write job (no extra pass): HBase raises on
+    // null row keys; a composite key with any null part is null as a whole
+    val k = when(keyExpr(m).isNull, raise_error(lit(
+        "null row key (or null composite key part) — HBase rejects null keys")))
+      .otherwise(keyExpr(m)).as("k")
     val scalarCells = m.scalars.map { sc =>
       df.select(k, lit(sc.family).as("f"), lit(sc.qualifier).as("q"),
           encodeValue(col(sc.col), sc.t, sc.binary).as("v"),
-          lit(gen).as("ts"), lit(PUT).as("del"))
+          lit(gen).as("ts"), lit(PUT).as("del"), lit(vis).as("vis"))
         .filter(col("v").isNotNull)
     }
     val mapCells = m.maps.map { fm =>
@@ -190,7 +227,7 @@ object KvStorageHandler {
         .select(col("k"), lit(fm.family).as("f"),
           concat(lit(fm.qualPrefix), col("mq")).as("q"),
           encodeValue(col("mv"), fm.valueType, fm.binary).as("v"),
-          lit(gen).as("ts"), lit(PUT).as("del"))
+          lit(gen).as("ts"), lit(PUT).as("del"), lit(vis).as("vis"))
         .filter(col("v").isNotNull)
     }
     (scalarCells ++ mapCells).reduce(_.union(_))
@@ -283,9 +320,11 @@ object KvStorageHandler {
     * deterministic max-value resolution at read time, mirroring HBase's
     * same-timestamp tie-break. */
   def put(spark: SparkSession, root: String, df: DataFrame, m: KvMapping,
-      regions: Int = 8): Unit = {
+      regions: Int = 8, visibility: String = ""): Unit = {
+    if (visibility.nonEmpty) VisibilityExpr.parse(visibility) // fail fast on bad labels
     val gen = nextGen(fs(spark, root), root)
-    writeGeneration(spark, root, gen, toCells(df, m, gen), base = false, regions)
+    writeGeneration(spark, root, gen, toCells(df, m, gen, visibility),
+      base = false, regions)
   }
 
   /** Delete whole rows (HBase Delete / Accumulo row deletion): a row
@@ -295,7 +334,7 @@ object KvStorageHandler {
     val gen = nextGen(fs(spark, root), root)
     val cells = keys.select(col(keyCol).cast(StringType).as("k"),
       lit("").as("f"), lit("").as("q"), lit(null).cast(BinaryType).as("v"),
-      lit(gen).as("ts"), lit(DEL_ROW).as("del"))
+      lit(gen).as("ts"), lit(DEL_ROW).as("del"), lit("").as("vis"))
     writeGeneration(spark, root, gen, cells, base = false, regions)
   }
 
@@ -306,7 +345,7 @@ object KvStorageHandler {
     val cells = keys.select(col(keyCol).cast(StringType).as("k"),
       lit(family).as("f"), lit(qualifier).as("q"),
       lit(null).cast(BinaryType).as("v"),
-      lit(gen).as("ts"), lit(DEL_CELL).as("del"))
+      lit(gen).as("ts"), lit(DEL_CELL).as("del"), lit("").as("vis"))
     writeGeneration(spark, root, gen, cells, base = false, regions)
   }
 
@@ -316,7 +355,7 @@ object KvStorageHandler {
     val gen = nextGen(fs(spark, root), root)
     val cells = keys.select(col(keyCol).cast(StringType).as("k"),
       lit(family).as("f"), lit("").as("q"), lit(null).cast(BinaryType).as("v"),
-      lit(gen).as("ts"), lit(DEL_FAMILY).as("del"))
+      lit(gen).as("ts"), lit(DEL_FAMILY).as("del"), lit("").as("vis"))
     writeGeneration(spark, root, gen, cells, base = false, regions)
   }
 
@@ -324,10 +363,10 @@ object KvStorageHandler {
     * (winners not masked by tombstones), rewrite as a single base generation.
     * Result-invariant by construction — the spec asserts it. */
   def compact(spark: SparkSession, root: String, regions: Int = 8): Unit = {
-    val winners = visibleCells(spark, root, None) // keeps original put ts
+    val winners = visibleCells(spark, root, None, None) // keeps original put ts + vis
     val gen = nextGen(fs(spark, root), root)
     writeGeneration(spark, root, gen,
-      winners.select("k", "f", "q", "v", "ts").withColumn("del", lit(PUT)),
+      winners.select("k", "f", "q", "v", "ts", "vis").withColumn("del", lit(PUT)),
       base = true, regions)
   }
 
@@ -476,8 +515,14 @@ object KvStorageHandler {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("k", StringType), StructField("f", StringType),
           StructField("q", StringType), StructField("v", BinaryType),
-          StructField("ts", LongType), StructField("del", IntegerType))))
-    else spark.read.parquet(kept.map(r => s"$root/${r.path}"): _*)
+          StructField("ts", LongType), StructField("del", IntegerType),
+          StructField("vis", StringType))))
+    else {
+      val df = spark.read.parquet(kept.map(r => s"$root/${r.path}"): _*)
+      // stores written before visibility support lack the column
+      if (df.columns.contains("vis")) df
+      else df.withColumn("vis", lit(""))
+    }
   }
 
   /** (files scanned, files total) for a key filter — the pruning evidence. */
@@ -487,39 +532,60 @@ object KvStorageHandler {
     (kept.size, files.size)
   }
 
-  /** Visible cells after version resolution and tombstone masking; keeps the
-    * winning put's ts. Pruning by key filter is sound because every cell and
+  /** Visible cells after version resolution, tombstone masking, and (when
+    * `auths` is given) the authorization filter; keeps the winning put's ts
+    * and label. Pruning by key filter is sound because every cell and
     * every tombstone of a key lives inside files whose [kmin, kmax] covers
-    * that key. */
+    * that key.
+    *
+    * Authorization order matches Accumulo's scan iterator stack (the
+    * VisibilityFilter sits ABOVE the VersioningIterator): versions resolve
+    * first, THEN unauthorized winners are dropped — a newer cell your auths
+    * cannot see HIDES the older visible version, it does not fall back to
+    * it. Label evaluation is driver-side over the DISTINCT labels (bounded
+    * by the number of write batches — `accumulo.visibility.label` is a
+    * table-level property, AccumuloSerDeParameters.java:54) and applied as
+    * an `isin` filter, so the scan itself never parses expressions per row. */
   private def visibleCells(spark: SparkSession, root: String,
-      kf: Option[KeyFilter]): DataFrame = {
+      kf: Option[KeyFilter], auths: Option[Set[String]]): DataFrame = {
     val cells = readCells(spark, root, kf)
     val puts = cells.filter(col("del") === PUT)
     // winner per (k, f, q): highest ts; same-ts ties resolve to max value
     // (deterministic stand-in for HBase's memstore sequence-id tie-break)
     val win = puts.groupBy("k", "f", "q")
-      .agg(max_by(col("v"), struct(col("ts"), col("v"))).as("v"),
+      .agg(max_by(struct(col("v"), col("vis")), struct(col("ts"), col("v"))).as("w"),
         max("ts").as("ts"))
+      .select(col("k"), col("f"), col("q"), col("w.v").as("v"), col("ts"),
+        col("w.vis").as("vis"))
     val dCell = cells.filter(col("del") === DEL_CELL)
       .groupBy("k", "f", "q").agg(max("ts").as("dc"))
     val dFam = cells.filter(col("del") === DEL_FAMILY)
       .groupBy("k", "f").agg(max("ts").as("df"))
     val dRow = cells.filter(col("del") === DEL_ROW)
       .groupBy("k").agg(max("ts").as("dr"))
-    win.join(dCell, Seq("k", "f", "q"), "left")
+    val masked = win.join(dCell, Seq("k", "f", "q"), "left")
       .join(dFam, Seq("k", "f"), "left")
       .join(dRow, Seq("k"), "left")
       .filter(col("ts") > coalesce(greatest(col("dc"), col("df"), col("dr")),
         lit(Long.MinValue)))
-      .select("k", "f", "q", "v", "ts")
+      .select("k", "f", "q", "v", "ts", "vis")
+    auths match {
+      case None => masked
+      case Some(as) =>
+        val labels = masked.select("vis").distinct().collect().map(_.getString(0))
+        val ok = labels.filter(l => VisibilityExpr.visible(l, as)).toSeq
+        masked.filter(col("vis").isin(ok: _*))
+    }
   }
 
   /** Pivot visible cells to the Hive-side row view: one row per key that has
     * at least one visible cell (the HBase notion of row existence); absent
-    * cells decode to NULL; `:timestamp` = max visible cell version. */
+    * cells decode to NULL; `:timestamp` = max visible cell version. A
+    * composite key reconstructs to its struct column by splitting on
+    * KEY_SEP and casting parts back to the declared field types. */
   private def rowView(spark: SparkSession, root: String, m: KvMapping,
-      kf: Option[KeyFilter]): DataFrame = {
-    val cells = visibleCells(spark, root, kf)
+      kf: Option[KeyFilter], auths: Option[Set[String]]): DataFrame = {
+    val cells = visibleCells(spark, root, kf, auths)
     val aggs =
       m.scalars.map { sc =>
         max(when(col("f") === sc.family && col("q") === sc.qualifier, col("v")))
@@ -533,8 +599,16 @@ object KvStorageHandler {
               col("v").as("mv")))))).as("__m_" + fm.col)
       } ++
       m.timestampCol.map(tc => max(col("ts")).as("__t_" + tc)).toSeq
-    val grouped = cells.groupBy(col("k").as(m.keyCol)).agg(aggs.head, aggs.tail: _*)
-    val outCols = Seq(col(m.keyCol)) ++
+    val grouped = cells.groupBy(col("k")).agg(aggs.head, aggs.tail: _*)
+    val keyOut = m.keyFields match {
+      case Some(st) =>
+        val parts = split(col("k"), KEY_SEP.toString)
+        struct(st.fields.toSeq.zipWithIndex.map { case (f, i) =>
+          parts.getItem(i).cast(f.dataType).as(f.name)
+        }: _*).as(m.keyCol)
+      case None => col("k").as(m.keyCol)
+    }
+    val outCols = Seq(keyOut) ++
       m.timestampCol.map(tc => col("__t_" + tc).as(tc)).toSeq ++
       m.scalars.map(sc => decodeValue(col("__c_" + sc.col), sc.t, sc.binary).as(sc.col)) ++
       m.maps.map(fm => transform_values(col("__m_" + fm.col),
@@ -542,16 +616,142 @@ object KvStorageHandler {
     grouped.select(outCols: _*)
   }
 
-  /** Full-table read (no predicate). */
-  def read(spark: SparkSession, root: String, m: KvMapping): DataFrame =
-    rowView(spark, root, m, None)
+  /** Full-table read. `auths` = the scanner's authorization set
+    * (`accumulo.authorizations`); None reads every cell — the connector
+    * user's full-auth default. */
+  def read(spark: SparkSession, root: String, m: KvMapping,
+      auths: Option[Set[String]] = None): DataFrame =
+    rowView(spark, root, m, None, auths)
 
   /** Predicate-pushdown scan: decompose `pred` on the key column, prune
     * region files through the manifest, then apply the FULL predicate over
     * the merged row view — scan ranges narrow IO, filters re-check, exactly
     * the reference contract. */
-  def scan(spark: SparkSession, root: String, m: KvMapping, pred: Column): DataFrame = {
-    val (kf, _) = decomposeKeyPredicate(pred, m.keyCol)
-    rowView(spark, root, m, Some(kf)).filter(pred)
+  def scan(spark: SparkSession, root: String, m: KvMapping, pred: Column,
+      auths: Option[Set[String]] = None): DataFrame = {
+    val kf = m.keyFields match {
+      case Some(st) => decomposeCompositePredicate(pred, m.keyCol, st)
+      case None => decomposeKeyPredicate(pred, m.keyCol)._1
+    }
+    rowView(spark, root, m, Some(kf), auths).filter(pred)
+  }
+
+  /** Composite-key decomposition (`CompositeHBaseKeyFactory` +
+    * `AbstractHBaseKeyPredicateDecomposer`): equality conjuncts on a
+    * LEADING run of key struct fields become a key prefix — a point when
+    * every field is bound, otherwise the range [prefix·SEP, prefix·(SEP+1))
+    * that covers exactly the keys sharing that field prefix. Everything
+    * else stays residual (the caller re-applies the full predicate). */
+  def decomposeCompositePredicate(pred: Column, keyCol: String,
+      keySchema: StructType): KeyFilter = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedExtractValue, UnresolvedFunction}
+    import org.apache.spark.sql.catalyst.expressions._
+    def fieldOf(e: Expression): Option[String] = e match {
+      // col("key")("part") / col("key.part")
+      case UnresolvedExtractValue(a: UnresolvedAttribute, Literal(f, StringType))
+          if a.nameParts.mkString(".").equalsIgnoreCase(keyCol) =>
+        Some(f.toString.toLowerCase)
+      case a: UnresolvedAttribute if a.nameParts.length == 2 &&
+          a.nameParts.head.equalsIgnoreCase(keyCol) =>
+        Some(a.nameParts(1).toLowerCase)
+      case _ => None
+    }
+    def litStr(e: Expression): Option[String] = e match {
+      case Literal(v, _) if v != null => Some(v.toString)
+      case _ => None
+    }
+    var eq = Map.empty[String, String]
+    def walk(e: Expression): Unit = e match {
+      case And(l, r) => walk(l); walk(r)
+      case EqualTo(a, b) =>
+        (fieldOf(a), litStr(b), fieldOf(b), litStr(a)) match {
+          case (Some(f), Some(v), _, _) => eq += (f -> v)
+          case (_, _, Some(f), Some(v)) => eq += (f -> v)
+          case _ => ()
+        }
+      case f: UnresolvedFunction if f.nameParts.length == 1 =>
+        (f.nameParts.head.toLowerCase, f.arguments.toList) match {
+          case ("and", l :: r :: Nil) => walk(l); walk(r)
+          case ("=" | "==" | "equal_to", a :: b :: Nil) =>
+            (fieldOf(a), litStr(b), fieldOf(b), litStr(a)) match {
+              case (Some(fd), Some(v), _, _) => eq += (fd -> v)
+              case (_, _, Some(fd), Some(v)) => eq += (fd -> v)
+              case _ => ()
+            }
+          case _ => ()
+        }
+      case _ => ()
+    }
+    walk(CB.converted(pred))
+    val fieldsLower = keySchema.fields.toSeq.map(_.name.toLowerCase)
+    val prefix = fieldsLower.takeWhile(eq.contains).map(eq)
+    if (prefix.isEmpty) KeyFilter.full
+    else if (prefix.length == keySchema.fields.length)
+      KeyFilter.points(Seq(prefix.mkString(KEY_SEP.toString)))
+    else {
+      val p = prefix.mkString(KEY_SEP.toString)
+      KeyFilter(None, Some((p + KEY_SEP, true)), Some((p + (KEY_SEP + 1).toChar, false)))
+    }
+  }
+
+  /** Accumulo column-visibility expressions (`ColumnVisibility`): labels
+    * combined with `&` (and) and `|` (or), parenthesized; `&` binds
+    * tighter. An empty expression is visible to every scanner. */
+  object VisibilityExpr {
+    sealed trait Node
+    private case class Label(name: String) extends Node
+    private case class AndN(ns: Seq[Node]) extends Node
+    private case class OrN(ns: Seq[Node]) extends Node
+
+    def parse(s: String): Node = {
+      val (n, rest) = parseOr(s.replaceAll("\\s+", ""), 0)
+      require(rest == s.replaceAll("\\s+", "").length,
+        s"bad visibility expression '$s' (trailing input at $rest)")
+      n
+    }
+
+    private def parseOr(s: String, at: Int): (Node, Int) = {
+      var (n, p) = parseAnd(s, at)
+      val ns = Seq.newBuilder[Node]; ns += n
+      while (p < s.length && s.charAt(p) == '|') {
+        val (m, p2) = parseAnd(s, p + 1); ns += m; p = p2
+      }
+      val all = ns.result()
+      (if (all.length == 1) all.head else OrN(all), p)
+    }
+    private def parseAnd(s: String, at: Int): (Node, Int) = {
+      var (n, p) = parseFactor(s, at)
+      val ns = Seq.newBuilder[Node]; ns += n
+      while (p < s.length && s.charAt(p) == '&') {
+        val (m, p2) = parseFactor(s, p + 1); ns += m; p = p2
+      }
+      val all = ns.result()
+      (if (all.length == 1) all.head else AndN(all), p)
+    }
+    private def parseFactor(s: String, at: Int): (Node, Int) = {
+      require(at < s.length, s"bad visibility expression '$s' (ends early)")
+      if (s.charAt(at) == '(') {
+        val (n, p) = parseOr(s, at + 1)
+        require(p < s.length && s.charAt(p) == ')',
+          s"bad visibility expression '$s' (unclosed paren)")
+        (n, p + 1)
+      } else {
+        var p = at
+        while (p < s.length && (s.charAt(p).isLetterOrDigit ||
+          "._:-".contains(s.charAt(p)))) p += 1
+        require(p > at, s"bad visibility expression '$s' (empty label at $at)")
+        (Label(s.substring(at, p)), p)
+      }
+    }
+
+    private def eval(n: Node, auths: Set[String]): Boolean = n match {
+      case Label(l) => auths.contains(l)
+      case AndN(ns) => ns.forall(eval(_, auths))
+      case OrN(ns) => ns.exists(eval(_, auths))
+    }
+
+    /** Is a cell labeled `expr` visible to a scanner holding `auths`? */
+    def visible(expr: String, auths: Set[String]): Boolean =
+      expr.isEmpty || eval(parse(expr), auths)
   }
 }

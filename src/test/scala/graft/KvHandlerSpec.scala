@@ -327,4 +327,126 @@ class KvHandlerSpec extends AnyFunSuite with BeforeAndAfterAll {
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     assertThrows[java.io.IOException](f.create(p, false).close())
   }
+
+  // ------------------------------------------------- visibility labels
+
+  test("visibility expression grammar: labels, & over |, parens, rejects") {
+    import KvStorageHandler.VisibilityExpr.visible
+    assert(visible("", Set.empty)) // unlabeled: everyone
+    assert(visible("public", Set("public")))
+    assert(!visible("public", Set("pii")))
+    assert(visible("pii&finance", Set("pii", "finance")))
+    assert(!visible("pii&finance", Set("pii")))
+    assert(visible("pii|finance", Set("finance")))
+    assert(visible("a&(b|c)", Set("a", "c")))
+    assert(!visible("a&(b|c)", Set("b", "c")))
+    assert(visible("(a|b)&(c|d)", Set("b", "c")))
+    intercept[IllegalArgumentException](visible("a&", Set("a")))
+    intercept[IllegalArgumentException](visible("(a", Set("a")))
+    assert(!visible("a b", Set("a")) && visible("a b", Set("ab"))) // spaces strip
+    intercept[IllegalArgumentException](visible("&a", Set("a")))
+  }
+
+  test("visibility: auth filter applies AFTER versioning — an invisible newer version hides the cell") {
+    val s = spark
+    import s.implicits._
+    val root = tmp("vis")
+    val m = parseMapping(
+      StructType(Seq(StructField("k", StringType), StructField("a", LongType),
+        StructField("b", StringType))), ":key,f:a#b,f:b")
+    put(spark, root, Seq(("k1", 1L, "pub1"), ("k2", 2L, "pub2")).toDF("k", "a", "b"),
+      m, regions = 1, visibility = "public")
+    // rewrite k1's a-cell under a restricted label (newer version)
+    val aOnly = parseMapping(
+      StructType(Seq(StructField("k", StringType), StructField("a", LongType))),
+      ":key,f:a#b")
+    put(spark, root, Seq(("k1", 100L)).toDF("k", "a"), aOnly,
+      regions = 1, visibility = "pii&finance")
+    // full-auth reader sees the newest version
+    val all = read(spark, root, m, Some(Set("public", "pii", "finance")))
+      .orderBy("k").collect()
+    assert(all.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("k1", 100L), ("k2", 2L)))
+    // public-only reader: k1's newest a-version is invisible and HIDES the
+    // older public one (VisibilityFilter sits above the VersioningIterator)
+    val pub = read(spark, root, m, Some(Set("public"))).orderBy("k").collect()
+    assert(pub.map(r => (r.getString(0),
+      if (r.isNullAt(1)) null else r.getLong(1), r.getString(2))).toSeq ==
+      Seq(("k1", null, "pub1"), ("k2", 2L, "pub2")))
+    // no auths at all: labeled cells all invisible; unlabeled-only view
+    val none = read(spark, root, m, Some(Set.empty[String]))
+    assert(none.count() == 0)
+    // None = connector-user default (sees everything)
+    assert(read(spark, root, m).count() == 2)
+    // bad label expression rejected at write
+    intercept[IllegalArgumentException](
+      put(spark, root, Seq(("k3", 3L)).toDF("k", "a"), aOnly, visibility = "a&"))
+  }
+
+  test("visibility survives compaction (winners keep their labels)") {
+    val s = spark
+    import s.implicits._
+    val root = tmp("viscompact")
+    val m = parseMapping(
+      StructType(Seq(StructField("k", StringType), StructField("a", LongType))),
+      ":key,f:a#b")
+    put(spark, root, (1 to 20).map(i => (f"k$i%03d", i.toLong)).toDF("k", "a"),
+      m, regions = 2, visibility = "public")
+    put(spark, root, (1 to 20 by 2).map(i => (f"k$i%03d", i * 10L)).toDF("k", "a"),
+      m, regions = 2, visibility = "pii")
+    val before = read(spark, root, m, Some(Set("public"))).orderBy("k").collect().toSeq
+    compact(spark, root, regions = 2)
+    val after = read(spark, root, m, Some(Set("public"))).orderBy("k").collect().toSeq
+    assert(before == after, "auth-filtered view must be compaction-invariant")
+    assert(read(spark, root, m, Some(Set("public", "pii"))).count() == 20)
+  }
+
+  // ------------------------------------------------- composite row keys
+
+  test("composite struct key: round-trip, typed parts, prefix decomposition prunes") {
+    val s = spark
+    import s.implicits._
+    val root = tmp("composite")
+    val keyT = StructType(Seq(StructField("region", StringType),
+      StructField("id", LongType)))
+    val m = parseMapping(
+      StructType(Seq(StructField("rk", keyT), StructField("a", LongType))),
+      ":key,f:a#b")
+    val rows = for (r <- Seq("east", "west"); i <- 1L to 50L) yield (r, i)
+    put(spark, root,
+      rows.toDF("region", "id")
+        .select(struct(col("region"), lpad(col("id").cast("string"), 4, "0")
+          .cast("string").as("id")).as("rk"), col("id").as("a")),
+      m, regions = 4)
+    // id parts stored zero-padded so string key order == numeric order; the
+    // declared LONG field type casts them back on read (the reference has
+    // the same caveat: raw-byte row keys sort bytewise, order-preserving
+    // encodings are the user's job)
+    val got = read(spark, root, m)
+    assert(got.count() == 100)
+    // struct column reconstructs with declared types
+    val one = got.filter(col("rk.region") === "east" && col("rk.id") === 7L)
+      .select("a").collect()
+    assert(one.map(_.getLong(0)).toSeq == Seq(7L))
+    // full equality on all parts -> a point
+    val kfPoint = decomposeCompositePredicate(
+      col("rk")("region") === "east" && col("rk")("id") === "0007", "rk", keyT)
+    assert(kfPoint.points.exists(_ == Seq("east0007")))
+    // leading-field equality -> prefix range that prunes region files
+    val kfPrefix = decomposeCompositePredicate(
+      col("rk")("region") === "east" && col("a") > 10L, "rk", keyT)
+    assert(kfPrefix.points.isEmpty && kfPrefix.lower.isDefined && kfPrefix.upper.isDefined)
+    val p = scanProfile(spark, root, kfPrefix)
+    assert(p._1 < p._2, s"prefix range must prune, scanned $p")
+    // trailing-field-only equality decomposes nothing
+    val kfTrail = decomposeCompositePredicate(col("rk")("id") === "0007", "rk", keyT)
+    assert(kfTrail.isFullScan)
+    // dotted form col("rk.region") works too
+    val kfDot = decomposeCompositePredicate(col("rk.region") === "west", "rk", keyT)
+    assert(kfDot.lower.isDefined)
+    // null key part rejected at write
+    intercept[Exception](put(spark, root,
+      Seq((null.asInstanceOf[String], "x")).toDF("region", "id")
+        .select(struct(col("region"), col("id")).as("rk"), lit(1L).as("a")), m))
+  }
 }
