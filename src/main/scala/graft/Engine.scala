@@ -150,6 +150,8 @@ object Engine {
       }
     } else if (operators.TxnSql.handlesDdl(query)) {
       operators.TxnSql.execDdl(spark, query)
+    } else if (sources.KvSql.handlesDdl(query) || sources.KvSql.handles(query)) {
+      sources.KvSql.exec(spark, query)
     } else if (operators.MatView.handles(query)) {
       operators.MatView.exec(spark, query)
     } else {

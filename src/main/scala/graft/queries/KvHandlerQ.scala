@@ -395,6 +395,50 @@ object KvHandlerQ {
             col("rk.ln").as("ln"), col("qty"), col("price"))
       rows("prefix", prefixPred).unionAll(rows("point", pointPred))
         .orderBy("probe", "ln")
+    },
+
+    // The textual surface (CREATE KV TABLE … MAPPING / INSERT INTO /
+    // ALTER … COMPACT / plain SELECT through the registered view / DROP) —
+    // the `STORED BY 'HBaseStorageHandler' WITH SERDEPROPERTIES
+    // ('hbase.columns.mapping'=…)` spelling re-expressed with the routing
+    // keyword in the statement text (the TxnSql discipline). The second
+    // INSERT upserts (a Put batch — Hive on HBase documents that even
+    // INSERT OVERWRITE cannot truncate, it upserts); UPDATE must raise
+    // Hive 2.1's storage-handler ACID refusal.
+    Qd("q341_kv_sql",
+      """WITH c AS (SELECT c_mktsegment AS seg,
+        |    CASE WHEN c_custkey % 6 = 0
+        |         THEN round(c_acctbal, 2) + 50 ELSE round(c_acctbal, 2)
+        |    END AS bal
+        |  FROM customer WHERE c_custkey <= 800)
+        |SELECT seg, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CAST(round(bal * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+        |FROM c GROUP BY seg ORDER BY seg""") { (s, dir) =>
+      val (sf, loc) = ctx(s, dir)
+      val root = s"$loc/g341_kv"
+      wipe(s, root)
+      scala.util.Try(Engine.sql(s, dir, "DROP KV TABLE kvt341")) // re-entrant
+      Engine.sql(s, dir,
+        s"""CREATE KV TABLE kvt341 (k STRING, seg STRING, bal DOUBLE)
+           |LOCATION '$root' MAPPING ':key,f:seg,f:bal#b' REGIONS 4""".stripMargin)
+      Engine.sql(s, dir,
+        """INSERT INTO kvt341
+          |SELECT lpad(CAST(c_custkey AS STRING), 12, '0'), c_mktsegment,
+          |  round(c_acctbal, 2)
+          |FROM customer WHERE c_custkey <= 800""".stripMargin)
+      Engine.sql(s, dir,
+        """INSERT OVERWRITE TABLE kvt341
+          |SELECT lpad(CAST(c_custkey AS STRING), 12, '0'), c_mktsegment,
+          |  round(c_acctbal, 2) + 50
+          |FROM customer WHERE c_custkey <= 800 AND c_custkey % 6 = 0""".stripMargin)
+      require(scala.util.Try(Engine.sql(s, dir,
+        "UPDATE kvt341 SET bal = 0 WHERE k = '1'")).isFailure,
+        "UPDATE on a KV table must raise Hive's storage-handler refusal")
+      Engine.sql(s, dir, "ALTER KV TABLE kvt341 COMPACT")
+      Engine.sql(s, dir,
+        """SELECT seg, CAST(count(*) AS BIGINT) AS cnt,
+          |  CAST(sum(CAST(round(bal * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+          |FROM kvt341 GROUP BY seg ORDER BY seg""".stripMargin)
     })
 
   private def key12str(n: Int): String = f"$n%012d"
