@@ -20,7 +20,7 @@ import graft.sources.KvStorageHandler.{parseMapping, KvMapping}
   * {{{
   *   CREATE KV TABLE t (k STRING, a BIGINT, m MAP<STRING,STRING>)
   *     LOCATION '<root>' MAPPING ':key,f:a#b,f:*'
-  *     [VISIBILITY '<label>'] [REGIONS <n>]
+  *     [VISIBILITY '<label>'] [AUTHORIZATIONS 'a,b'] [REGIONS <n>]
   *   INSERT INTO t <select>            -- a Put batch (upsert per cell)
   *   INSERT OVERWRITE TABLE t <select> -- ALSO a Put batch: Hive on HBase
   *                                     -- documents that OVERWRITE cannot
@@ -41,7 +41,8 @@ import graft.sources.KvStorageHandler.{parseMapping, KvMapping}
 object KvSql {
 
   private final case class KvTable(root: String, schema: StructType,
-      m: KvMapping, visibility: String, regions: Int)
+      m: KvMapping, visibility: String, regions: Int,
+      auths: Option[Set[String]])
 
   /** Session registry — the metastore analog, like TxnSql.tables. */
   private val tables = new ConcurrentHashMap[String, KvTable]()
@@ -75,7 +76,18 @@ object KvSql {
 
   private def refresh(spark: SparkSession, name: String): DataFrame = {
     val t = tables.get(name.toLowerCase)
-    val view = KvStorageHandler.read(spark, t.root, t.m)
+    // a mutation refreshes EVERY registered table over the same store —
+    // multiple Hive tables can map one KV table (different column subsets
+    // or authorization bounds), and all of their views must see the write
+    import scala.jdk.CollectionConverters._
+    tables.asScala.foreach { case (n, other) =>
+      if (other.root == t.root && n != name.toLowerCase)
+        KvStorageHandler.read(spark, other.root, other.m, other.auths)
+          .createOrReplaceTempView(n)
+    }
+    // the table's declared scan authorizations (accumulo.authorizations)
+    // bound every read through the registered view
+    val view = KvStorageHandler.read(spark, t.root, t.m, t.auths)
     view.createOrReplaceTempView(name)
     view
   }
@@ -162,12 +174,16 @@ object KvSql {
     val spec = strOpt("MAPPING").getOrElse(fail(s, "CREATE KV TABLE needs MAPPING " +
       "(the hbase.columns.mapping analog)"))
     val visibility = strOpt("VISIBILITY").getOrElse("")
+    // AUTHORIZATIONS 'a,b' — the accumulo.authorizations scan-side bound
+    // (AccumuloSerDeParameters.java:57); absent = full-auth connector user
+    val auths = strOpt("AUTHORIZATIONS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val regions = "(?i)\\bREGIONS\\s+(\\d+)".r.findFirstMatchIn(tail)
       .map(_.group(1).toInt).getOrElse(8)
     val m = parseMapping(schema, spec)
     if (visibility.nonEmpty) KvStorageHandler.VisibilityExpr.parse(visibility)
     val prev = tables.putIfAbsent(name.toLowerCase,
-      KvTable(root, schema, m, visibility, regions))
+      KvTable(root, schema, m, visibility, regions, auths))
     require(prev == null, s"KV table $name already exists")
     refresh(spark, name)
   }

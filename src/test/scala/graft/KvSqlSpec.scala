@@ -88,4 +88,24 @@ class KvSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
         "MAPPING ':key,f:a#b' VISIBILITY 'a&'"))
     sql("DROP KV TABLE kvsql_t3")
   }
+
+  test("AUTHORIZATIONS table property bounds every SELECT through the view") {
+    val r = root("auth")
+    scala.util.Try(sql("DROP KV TABLE kvsql_t5"))
+    scala.util.Try(sql("DROP KV TABLE kvsql_t5w"))
+    // a full-auth writer table and a restricted reader table over the SAME
+    // store — the accumulo.authorizations split (scan-side bound)
+    sql(s"CREATE KV TABLE kvsql_t5w (k STRING, a BIGINT) LOCATION '$r' " +
+      "MAPPING ':key,f:a#b' VISIBILITY 'pii'")
+    sql("INSERT INTO kvsql_t5w SELECT 'k1', 1")
+    sql(s"CREATE KV TABLE kvsql_t5 (k STRING, a BIGINT) LOCATION '$r' " +
+      "MAPPING ':key,f:a#b' AUTHORIZATIONS 'public'")
+    sql("INSERT INTO kvsql_t5 SELECT 'k2', 2") // unlabeled write
+    assert(sql("SELECT count(*) FROM kvsql_t5").head().getLong(0) == 1,
+      "the 'public'-auth view must not see the pii-labeled cell")
+    assert(sql("SELECT count(*) FROM kvsql_t5w").head().getLong(0) == 2,
+      "the full-auth view sees both")
+    sql("DROP KV TABLE kvsql_t5")
+    scala.util.Try(sql("DROP KV TABLE kvsql_t5w"))
+  }
 }
