@@ -63,13 +63,11 @@ object KvSql {
     val toks = sqlText.trim.split("\\s+").toSeq
     val up = toks.map(_.toUpperCase)
     up match {
-      case Seq("INSERT", "INTO", _*) =>
-        Some(toks(if (up.lift(2).contains("TABLE")) 3 else 2))
-      case Seq("INSERT", "OVERWRITE", _*) =>
-        Some(toks(if (up.lift(2).contains("TABLE")) 3 else 2))
-      case Seq("UPDATE", _*) => Some(toks(1))
-      case Seq("DELETE", "FROM", _*) => Some(toks(2))
-      case Seq("MERGE", "INTO", _*) => Some(toks(2))
+      case Seq("INSERT", "INTO", _*) | Seq("INSERT", "OVERWRITE", _*) =>
+        toks.lift(if (up.lift(2).contains("TABLE")) 3 else 2)
+      case Seq("UPDATE", _*) => toks.lift(1)
+      case Seq("DELETE", "FROM", _*) => toks.lift(2)
+      case Seq("MERGE", "INTO", _*) => toks.lift(2)
       case _ => None
     }
   }
@@ -103,9 +101,17 @@ object KvSql {
       val t = Option(tables.remove(name.toLowerCase)).getOrElse(
         fail(s, s"unknown KV table $name"))
       spark.catalog.dropTempView(name)
-      val p = new Path(t.root)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true) // managed drop (preDropTable)
+      // managed drop (preDropTable) — but only when NO other registered
+      // table maps the same store (multiple Hive tables over one KV table
+      // is the supported aliasing pattern; deleting under a sibling would
+      // destroy its data and dangle its view)
+      import scala.jdk.CollectionConverters._
+      val shared = tables.asScala.values.exists(_.root == t.root)
+      if (!shared) {
+        val p = new Path(t.root)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
       spark.emptyDataFrame
     } else if (up.startsWith("ALTER KV TABLE")) {
       val toks = s.split("\\s+")
@@ -120,9 +126,14 @@ object KvSql {
       val name = targetOf(s).getOrElse(fail(s, "no INSERT target"))
       val t = Option(tables.get(name.toLowerCase)).getOrElse(
         fail(s, s"unknown KV table $name"))
-      // body = everything after the target (and optional column list is NOT
-      // supported — Hive inserts into storage-handler tables positionally)
-      val bodyIdx = s.indexOf(name) + name.length
+      // body = everything after the target TOKEN, located by the statement
+      // head (a plain indexOf would find the name inside INSERT/INTO for
+      // short or lowercase names); optional column list is NOT supported —
+      // Hive inserts into storage-handler tables positionally
+      val head = ("(?i)^INSERT\\s+(INTO|OVERWRITE)\\s+(TABLE\\s+)?" +
+        java.util.regex.Pattern.quote(name)).r
+      val bodyIdx = head.findFirstMatchIn(s).map(_.end).getOrElse(
+        fail(s, s"cannot locate INSERT target $name"))
       val select = s.substring(bodyIdx).trim
       require(select.toUpperCase.startsWith("SELECT") ||
         select.toUpperCase.startsWith("VALUES") || select.startsWith("("),

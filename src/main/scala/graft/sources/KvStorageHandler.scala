@@ -200,7 +200,13 @@ object KvStorageHandler {
     case Some(st) =>
       val parts = st.fields.toSeq.map(f =>
         col(m.keyCol).getField(f.name).cast(StringType))
-      concat(parts.flatMap(p => Seq(p, lit(KEY_SEP.toString))).dropRight(1): _*)
+      // a part containing the separator would shift every later field on
+      // read (split-based reconstruction) — reject inside the write job
+      val sepInPart = parts.map(_.contains(KEY_SEP.toString)).reduce(_ || _)
+      when(sepInPart, raise_error(lit(
+          "composite key part contains the \\u0001 separator")))
+        .otherwise(
+          concat(parts.flatMap(p => Seq(p, lit(KEY_SEP.toString))).dropRight(1): _*))
     case None => col(m.keyCol).cast(StringType)
   }
 
@@ -327,12 +333,29 @@ object KvStorageHandler {
       base = false, regions)
   }
 
+  /** Tombstone key expression: a STRING key column passes through; a
+    * composite STRUCT column joins its parts with KEY_SEP exactly like the
+    * write path, so deletes against composite-key stores mask real keys
+    * (a struct cast straight to string would render "{a, b}" and mask
+    * nothing — a silent no-op delete). */
+  private def tombstoneKey(keys: DataFrame, keyCol: String): Column =
+    keys.schema(keyCol).dataType match {
+      case st: StructType =>
+        val parts = st.fields.toSeq.map(f =>
+          col(keyCol).getField(f.name).cast(StringType))
+        when(parts.map(_.isNull).reduce(_ || _), raise_error(lit(
+            "null composite key part in delete")))
+          .otherwise(
+            concat(parts.flatMap(p => Seq(p, lit(KEY_SEP.toString))).dropRight(1): _*))
+      case _ => col(keyCol).cast(StringType)
+    }
+
   /** Delete whole rows (HBase Delete / Accumulo row deletion): a row
     * tombstone masks every cell of the key with ts <= the marker's. */
   def deleteRows(spark: SparkSession, root: String, keys: DataFrame,
       keyCol: String, regions: Int = 8): Unit = {
     val gen = nextGen(fs(spark, root), root)
-    val cells = keys.select(col(keyCol).cast(StringType).as("k"),
+    val cells = keys.select(tombstoneKey(keys, keyCol).as("k"),
       lit("").as("f"), lit("").as("q"), lit(null).cast(BinaryType).as("v"),
       lit(gen).as("ts"), lit(DEL_ROW).as("del"), lit("").as("vis"))
     writeGeneration(spark, root, gen, cells, base = false, regions)
@@ -342,7 +365,7 @@ object KvStorageHandler {
   def deleteCells(spark: SparkSession, root: String, keys: DataFrame,
       keyCol: String, family: String, qualifier: String, regions: Int = 8): Unit = {
     val gen = nextGen(fs(spark, root), root)
-    val cells = keys.select(col(keyCol).cast(StringType).as("k"),
+    val cells = keys.select(tombstoneKey(keys, keyCol).as("k"),
       lit(family).as("f"), lit(qualifier).as("q"),
       lit(null).cast(BinaryType).as("v"),
       lit(gen).as("ts"), lit(DEL_CELL).as("del"), lit("").as("vis"))
@@ -353,7 +376,7 @@ object KvStorageHandler {
   def deleteFamily(spark: SparkSession, root: String, keys: DataFrame,
       keyCol: String, family: String, regions: Int = 8): Unit = {
     val gen = nextGen(fs(spark, root), root)
-    val cells = keys.select(col(keyCol).cast(StringType).as("k"),
+    val cells = keys.select(tombstoneKey(keys, keyCol).as("k"),
       lit(family).as("f"), lit("").as("q"), lit(null).cast(BinaryType).as("v"),
       lit(gen).as("ts"), lit(DEL_FAMILY).as("del"), lit("").as("vis"))
     writeGeneration(spark, root, gen, cells, base = false, regions)
@@ -518,9 +541,14 @@ object KvStorageHandler {
           StructField("ts", LongType), StructField("del", IntegerType),
           StructField("vis", StringType))))
     else {
-      val df = spark.read.parquet(kept.map(r => s"$root/${r.path}"): _*)
-      // stores written before visibility support lack the column
-      if (df.columns.contains("vis")) df
+      // mergeSchema: a store may mix generations written before and after
+      // visibility support; without it the sampled-file schema could DROP
+      // the vis column of labeled files (silently erasing restrictions)
+      val df = spark.read.option("mergeSchema", "true")
+        .parquet(kept.map(r => s"$root/${r.path}"): _*)
+      // pre-visibility generations surface vis as NULL -> unlabeled
+      if (df.columns.contains("vis"))
+        df.withColumn("vis", coalesce(col("vis"), lit("")))
       else df.withColumn("vis", lit(""))
     }
   }
@@ -572,7 +600,10 @@ object KvStorageHandler {
     auths match {
       case None => masked
       case Some(as) =>
-        val labels = masked.select("vis").distinct().collect().map(_.getString(0))
+        // distinct labels from the RAW put cells — a narrow scan-side
+        // distinct (no joins), superset of the winners' labels, bounded by
+        // the number of write batches (labels are per-batch table config)
+        val labels = puts.select("vis").distinct().collect().map(_.getString(0))
         val ok = labels.filter(l => VisibilityExpr.visible(l, as)).toSeq
         masked.filter(col("vis").isin(ok: _*))
     }
@@ -656,8 +687,14 @@ object KvStorageHandler {
         Some(a.nameParts(1).toLowerCase)
       case _ => None
     }
+    // ONLY string literals participate: parts are stored as raw strings, so
+    // a typed literal (e.g. === 1L against a zero-padded part) must NOT
+    // prune — it falls through to the residual re-check over a full scan,
+    // which stays correct where a raw-string prefix range would silently
+    // drop every matching file
     def litStr(e: Expression): Option[String] = e match {
-      case Literal(v, _) if v != null => Some(v.toString)
+      case Literal(v: String, StringType) => Some(v)
+      case Literal(u: UTF8String, StringType) => Some(u.toString)
       case _ => None
     }
     var eq = Map.empty[String, String]

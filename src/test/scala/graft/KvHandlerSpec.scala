@@ -431,7 +431,7 @@ class KvHandlerSpec extends AnyFunSuite with BeforeAndAfterAll {
     // full equality on all parts -> a point
     val kfPoint = decomposeCompositePredicate(
       col("rk")("region") === "east" && col("rk")("id") === "0007", "rk", keyT)
-    assert(kfPoint.points.exists(_ == Seq("east0007")))
+    assert(kfPoint.points.exists(_ == Seq("east\u00010007")))
     // leading-field equality -> prefix range that prunes region files
     val kfPrefix = decomposeCompositePredicate(
       col("rk")("region") === "east" && col("a") > 10L, "rk", keyT)
@@ -448,5 +448,62 @@ class KvHandlerSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[Exception](put(spark, root,
       Seq((null.asInstanceOf[String], "x")).toDF("region", "id")
         .select(struct(col("region"), col("id")).as("rk"), lit(1L).as("a")), m))
+    // a separator inside a part would shift later fields on read — rejected
+    intercept[Exception](put(spark, root,
+      Seq(("ea\u0001st", "x")).toDF("region", "id")
+        .select(struct(col("region"), col("id")).as("rk"), lit(1L).as("a")), m))
+    // a TYPED literal must not prune (parts are raw strings: the prefix
+    // range for 7L would miss the zero-padded "0007" files) — it falls to
+    // the full-scan + residual path, which stays correct
+    val kfTyped = decomposeCompositePredicate(col("rk")("id") === 7L, "rk", keyT)
+    assert(kfTyped.isFullScan)
+    val kfTypedLead = decomposeCompositePredicate(
+      col("rk")("region") === "east" && col("rk")("id") === 7L, "rk", keyT)
+    assert(kfTypedLead.points.isEmpty && kfTypedLead.lower.isDefined,
+      "the string leading field still decomposes; the typed trailing one is residual")
+    // composite deletes: tombstones must encode keys the same way puts do
+    deleteRows(spark, root,
+      Seq(("east", "0007")).toDF("region", "id")
+        .select(struct(col("region"), col("id")).as("rk")), "rk")
+    assert(read(spark, root, m)
+      .filter(col("rk.region") === "east" && col("rk.id") === 7L).count() == 0,
+      "a composite-key row delete must mask the row")
+    assert(read(spark, root, m).count() == 99)
+  }
+
+  test("mixed pre/post-visibility generations: labels survive, old cells read unlabeled") {
+    val s = spark
+    import s.implicits._
+    val root = tmp("mixedvis")
+    val m = parseMapping(
+      StructType(Seq(StructField("k", StringType), StructField("a", LongType))),
+      ":key,f:a#b")
+    put(spark, root, Seq(("k1", 1L), ("k2", 2L)).toDF("k", "a"), m, regions = 1)
+    // simulate a pre-visibility generation: physically strip the vis column
+    // from gen 1's region files (same file names, manifest untouched)
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gen1 = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("gen-")).minBy(_.getName)
+    gen1.listFiles().filter(_.getName.endsWith(".parquet")).foreach { pf =>
+      val stripped = spark.read.parquet(pf.getPath).drop("vis")
+      val tmpDir = pf.getPath + ".strip"
+      stripped.coalesce(1).write.parquet(tmpDir)
+      val part = new java.io.File(tmpDir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      fsys.delete(new org.apache.hadoop.fs.Path(pf.getPath), false)
+      fsys.rename(new org.apache.hadoop.fs.Path(part.getPath),
+        new org.apache.hadoop.fs.Path(pf.getPath))
+      fsys.delete(new org.apache.hadoop.fs.Path(tmpDir), true)
+    }
+    // newer labeled generation alongside the stripped one
+    put(spark, root, Seq(("k3", 3L)).toDF("k", "a"), m, regions = 1,
+      visibility = "pii")
+    // full-auth: all three; the labeled cell keeps its label (NOT silently
+    // unlabeled by a sampled-schema read)
+    assert(read(spark, root, m).count() == 3)
+    val noPii = read(spark, root, m, Some(Set("public"))).orderBy("k").collect()
+    assert(noPii.map(_.getString(0)).toSeq == Seq("k1", "k2"),
+      "pre-visibility cells read as unlabeled; the pii cell stays restricted")
   }
 }

@@ -105,7 +105,22 @@ class KvSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the 'public'-auth view must not see the pii-labeled cell")
     assert(sql("SELECT count(*) FROM kvsql_t5w").head().getLong(0) == 2,
       "the full-auth view sees both")
+    // dropping ONE of two tables over the same store must not delete the
+    // sibling's data
     sql("DROP KV TABLE kvsql_t5")
-    scala.util.Try(sql("DROP KV TABLE kvsql_t5w"))
+    assert(sql("SELECT count(*) FROM kvsql_t5w").head().getLong(0) == 2,
+      "the sibling table over the same store survives the drop")
+    sql("DROP KV TABLE kvsql_t5w") // last one out deletes
+    assert(!new java.io.File(r).exists())
+  }
+
+  test("lowercase insert with a short table name routes and binds correctly") {
+    val r = root("lower")
+    scala.util.Try(sql("DROP KV TABLE t"))
+    sql(s"create kv table t (k STRING, a BIGINT) location '$r' mapping ':key,f:a#b'")
+    sql("insert into t select 'k1', 7")
+    assert(sql("select a from t where k = 'k1'").head().getLong(0) == 7L,
+      "indexOf-style target location would have broken the lowercase body slice")
+    sql("DROP KV TABLE t")
   }
 }
