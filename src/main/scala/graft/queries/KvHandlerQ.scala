@@ -439,6 +439,81 @@ object KvHandlerQ {
         """SELECT seg, CAST(count(*) AS BIGINT) AS cnt,
           |  CAST(sum(CAST(round(bal * 100, 0) AS BIGINT)) AS BIGINT) AS cents
           |FROM kvt341 GROUP BY seg ORDER BY seg""".stripMargin)
+    },
+
+    // Timestamp-predicate pushdown (`HiveHBaseTableInputFormat.setupTimeRange
+    // :310-335`): conjuncts on the `:timestamp` column become a cell-level
+    // [start, end) time range applied BEFORE version resolution — `ver <= 2`
+    // reads the winning version AS OF generation 2 (the pre-rewrite balance
+    // surfaces; the row does not disappear), and `ver >= 2` sees only cells
+    // written since (scalars whose last write predates the range read NULL;
+    // rows with no in-range cell vanish). Tombstones mask regardless of the
+    // range (HBase's delete tracker admits markers withinOrAfterTimeRange —
+    // deletes hide older data even from time-range scans), and a put NEWER
+    // than the marker resurrects. Both probes in one tagged result; the
+    // oracle replays the generation closed-form. The as-of probe also
+    // carries a key range, so key pruning and the time range compose.
+    Qd("q342_kv_timerange",
+      """WITH c AS (SELECT c_custkey AS ck, c_name AS nm,
+        |    round(c_acctbal, 2) AS bal0
+        |  FROM customer WHERE c_custkey <= 700)
+        |SELECT 'asof2' AS probe, CAST(ck AS BIGINT) AS ck, nm,
+        |  CAST(CASE WHEN ck % 4 = 0 THEN bal0 + 100 ELSE bal0 END AS DOUBLE) AS bal,
+        |  CAST(CASE WHEN ck % 4 = 0 THEN 2 ELSE 1 END AS BIGINT) AS ver
+        |FROM c WHERE ck % 9 <> 0 AND ck BETWEEN 100 AND 599
+        |UNION ALL
+        |SELECT 'since2', CAST(ck AS BIGINT), CAST(NULL AS VARCHAR),
+        |  CAST(CASE WHEN ck % 6 = 0 THEN bal0 + 200 ELSE bal0 + 100 END AS DOUBLE),
+        |  CAST(CASE WHEN ck % 6 = 0 THEN 4 ELSE 2 END AS BIGINT)
+        |FROM c WHERE ck % 6 = 0 OR (ck % 4 = 0 AND ck % 9 <> 0)
+        |ORDER BY probe, ck""") { (s, dir) =>
+      val (sf, loc) = ctx(s, dir)
+      val root = s"$loc/g342_kv"
+      wipe(s, root)
+      val cust = Engine.table(s, dir, "customer").filter(col("c_custkey") <= 700)
+      val m = parseMapping(
+        StructType(Seq(StructField("k", StringType), StructField("ver", LongType),
+          StructField("nm", StringType), StructField("bal", DoubleType))),
+        ":key,:timestamp,f:name,f:bal#b")
+      // gen 1: full put
+      KvStorageHandler.put(s, root, cust.select(
+        key12(col("c_custkey")).as("k"), lit(0L).as("ver"),
+        col("c_name").as("nm"), round(col("c_acctbal"), 2).as("bal")), m)
+      val balOnly = parseMapping(
+        StructType(Seq(StructField("k", StringType), StructField("bal", DoubleType))),
+        ":key,f:bal#b")
+      // gen 2: balance rewrite for every 4th
+      KvStorageHandler.put(s, root,
+        cust.filter(col("c_custkey") % 4 === 0).select(
+          key12(col("c_custkey")).as("k"),
+          (round(col("c_acctbal"), 2) + 100).as("bal")), balOnly)
+      // gen 3: row tombstones for every 9th
+      KvStorageHandler.deleteRows(s, root,
+        cust.filter(col("c_custkey") % 9 === 0)
+          .select(key12(col("c_custkey")).as("k")), "k")
+      // gen 4: balance rewrite for every 6th (resurrects deleted %18 rows)
+      KvStorageHandler.put(s, root,
+        cust.filter(col("c_custkey") % 6 === 0).select(
+          key12(col("c_custkey")).as("k"),
+          (round(col("c_acctbal"), 2) + 200).as("bal")), balOnly)
+      val asofPred = col("ver") <= 2L &&
+        col("k") >= key12str(100) && col("k") <= key12str(599)
+      require(KvStorageHandler.decomposeTsRange(asofPred, "ver") ==
+        KvStorageHandler.TsRange(Long.MinValue, 3L),
+        "ts <= 2 must decompose to the [min, 3) cell time range")
+      val (kfA, _) = KvStorageHandler.decomposeKeyPredicate(asofPred, "k")
+      val p = KvStorageHandler.scanProfile(s, root, kfA)
+      require(p._1 < p._2, s"the key range must still prune region files, scanned $p")
+      val sincePred = col("ver") >= 2L
+      require(KvStorageHandler.decomposeTsRange(sincePred, "ver") ==
+        KvStorageHandler.TsRange(2L, Long.MaxValue),
+        "ts >= 2 must decompose to the [2, max) cell time range")
+      def view(tag: String, pred: org.apache.spark.sql.Column): DataFrame =
+        KvStorageHandler.scan(s, root, m, pred)
+          .select(lit(tag).as("probe"), col("k").cast("bigint").as("ck"),
+            col("nm"), col("bal"), col("ver"))
+      view("asof2", asofPred).unionAll(view("since2", sincePred))
+        .orderBy("probe", "ck")
     })
 
   private def key12str(n: Int): String = f"$n%012d"

@@ -453,6 +453,84 @@ object KvStorageHandler {
       UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
   }
 
+  /** Cell-version scan bound — the `Scan.setTimeRange(start, end)` analog
+    * (end EXCLUSIVE, the HBase TimeRange contract). Restricts which PUT
+    * cells a scan sees BEFORE version resolution, so `ts <= T` predicates
+    * read the winning version *as of T*, not "rows whose latest version is
+    * <= T" — exactly what the reference's pushed timestamp conditions do
+    * (`HiveHBaseTableInputFormat.setupTimeRange:310-335`). */
+  final case class TsRange(start: Long, end: Long) {
+    def isFull: Boolean = start == Long.MinValue && end == Long.MaxValue
+    def intersect(o: TsRange): TsRange =
+      TsRange(math.max(start, o.start), math.min(end, o.end))
+  }
+  object TsRange {
+    val full: TsRange = TsRange(Long.MinValue, Long.MaxValue)
+    private[sources] def incl(t: Long): Long = // end bound that includes t
+      if (t == Long.MaxValue) Long.MaxValue else t + 1L
+  }
+
+  /** Extract a cell time range from conjuncts on the `:timestamp` column,
+    * mirroring `setupTimeRange` op by op (= → [t, t+1); < → end=t;
+    * <= → end=t+1; > → start=t+1; >= → start=t). Conjunct bounds intersect
+    * to the tightest range (the reference's loop overwrites in order — for
+    * the well-formed `ts >= a AND ts < b` shape the two agree; intersection
+    * is the sound generalization). Anything else — ORs, non-literal
+    * comparands, other columns — contributes nothing (stays residual; the
+    * caller re-applies the full predicate over the scanned rows). */
+  def decomposeTsRange(pred: Column, tsCol: String): TsRange = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+    import org.apache.spark.sql.catalyst.expressions._
+    def isTs(e: Expression): Boolean = e match {
+      case a: UnresolvedAttribute => a.nameParts.mkString(".").equalsIgnoreCase(tsCol)
+      case a: Attribute => a.name.equalsIgnoreCase(tsCol)
+      case _ => false
+    }
+    def litLong(e: Expression): Option[Long] = e match {
+      case Literal(v: Long, LongType) => Some(v)
+      case Literal(v: Int, IntegerType) => Some(v.toLong)
+      case Literal(v: Short, ShortType) => Some(v.toLong)
+      case _ => None
+    }
+    import TsRange.incl
+    // `op` as written column-first; the mirrored literal-first form flips
+    def bound(op: String, t: Long): TsRange = op match {
+      case "=" => TsRange(t, incl(t))
+      case "<" => TsRange(Long.MinValue, t)
+      case "<=" => TsRange(Long.MinValue, incl(t))
+      case ">" => TsRange(incl(t), Long.MaxValue)
+      case ">=" => TsRange(t, Long.MaxValue)
+      case _ => TsRange.full
+    }
+    def flip(op: String): String = op match {
+      case "<" => ">" case "<=" => ">=" case ">" => "<" case ">=" => "<="
+      case other => other
+    }
+    def opOf(e: Expression): Option[(String, Seq[Expression])] = e match {
+      case And(l, r) => Some(("and", Seq(l, r)))
+      case EqualTo(a, b) => Some(("=", Seq(a, b)))
+      case GreaterThanOrEqual(a, b) => Some((">=", Seq(a, b)))
+      case GreaterThan(a, b) => Some((">", Seq(a, b)))
+      case LessThanOrEqual(a, b) => Some(("<=", Seq(a, b)))
+      case LessThan(a, b) => Some(("<", Seq(a, b)))
+      case f: UnresolvedFunction if f.nameParts.length == 1 =>
+        Some((f.nameParts.head.toLowerCase match {
+          case "==" | "equal_to" => "="
+          case o => o
+        }, f.arguments))
+      case _ => None
+    }
+    def walk(e: Expression): TsRange = opOf(e) match {
+      case Some(("and", Seq(l, r))) => walk(l).intersect(walk(r))
+      case Some((op, Seq(a, b))) if isTs(a) && litLong(b).isDefined =>
+        bound(op, litLong(b).get)
+      case Some((op, Seq(a, b))) if isTs(b) && litLong(a).isDefined =>
+        bound(flip(op), litLong(a).get)
+      case _ => TsRange.full
+    }
+    walk(CB.converted(pred))
+  }
+
   /** Split `pred` into (key filter, residual) like
     * `HBaseStorageHandler.decomposePredicate` + `IndexPredicateAnalyzer`:
     * conjuncts that compare the key column to literals become the scan
@@ -575,9 +653,23 @@ object KvStorageHandler {
     * table-level property, AccumuloSerDeParameters.java:54) and applied as
     * an `isin` filter, so the scan itself never parses expressions per row. */
   private def visibleCells(spark: SparkSession, root: String,
-      kf: Option[KeyFilter], auths: Option[Set[String]]): DataFrame = {
+      kf: Option[KeyFilter], auths: Option[Set[String]],
+      tsr: Option[TsRange] = None): DataFrame = {
     val cells = readCells(spark, root, kf)
-    val puts = cells.filter(col("del") === PUT)
+    // The time range restricts PUT cells only. Tombstones stay unrestricted:
+    // HBase's ScanQueryMatcher tracks delete markers with
+    // `tr.withinOrAfterTimeRange(ts)` — i.e. any marker at or after the
+    // range start, including markers NEWER than the range end, still masks
+    // (the infamous "a delete hides older data even from time-range scans
+    // until major compaction"). A marker before the range start can only
+    // mask puts that are themselves out of range, so applying every
+    // tombstone is result-identical and simpler.
+    val puts0 = cells.filter(col("del") === PUT)
+    val puts = tsr match {
+      case Some(r) if !r.isFull =>
+        puts0.filter(col("ts") >= r.start && col("ts") < r.end)
+      case _ => puts0
+    }
     // winner per (k, f, q): highest ts; same-ts ties resolve to max value
     // (deterministic stand-in for HBase's memstore sequence-id tie-break)
     val win = puts.groupBy("k", "f", "q")
@@ -615,8 +707,9 @@ object KvStorageHandler {
     * composite key reconstructs to its struct column by splitting on
     * KEY_SEP and casting parts back to the declared field types. */
   private def rowView(spark: SparkSession, root: String, m: KvMapping,
-      kf: Option[KeyFilter], auths: Option[Set[String]]): DataFrame = {
-    val cells = visibleCells(spark, root, kf, auths)
+      kf: Option[KeyFilter], auths: Option[Set[String]],
+      tsr: Option[TsRange] = None): DataFrame = {
+    val cells = visibleCells(spark, root, kf, auths, tsr)
     val aggs =
       m.scalars.map { sc =>
         max(when(col("f") === sc.family && col("q") === sc.qualifier, col("v")))
@@ -664,7 +757,14 @@ object KvStorageHandler {
       case Some(st) => decomposeCompositePredicate(pred, m.keyCol, st)
       case None => decomposeKeyPredicate(pred, m.keyCol)._1
     }
-    rowView(spark, root, m, Some(kf), auths).filter(pred)
+    // `:timestamp` conjuncts push into the cell time range (setupTimeRange):
+    // version resolution then runs over the restricted cells, so the scan
+    // reads as-of. Re-applying the full predicate afterwards stays sound —
+    // the surfaced ts is the max put ts INSIDE the range, which satisfies
+    // every pushed conjunct by construction, and unpushed ts shapes (ORs,
+    // !=) evaluate over the row view exactly like the reference's residual.
+    val tsr = m.timestampCol.map(tc => decomposeTsRange(pred, tc)).filter(!_.isFull)
+    rowView(spark, root, m, Some(kf), auths, tsr).filter(pred)
   }
 
   /** Composite-key decomposition (`CompositeHBaseKeyFactory` +

@@ -226,6 +226,68 @@ class KvHandlerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.length == 1 && got(0).getLong(2) == 11L && got(0).isNullAt(3))
   }
 
+  // ------------------------------------------------- time-range scans
+
+  test("decomposeTsRange mirrors setupTimeRange: =, <, <=, >, >=, mirrored, conjunct intersection") {
+    def d(c: org.apache.spark.sql.Column) = decomposeTsRange(c, "ver")
+    assert(d(col("ver") === 2L) == TsRange(2L, 3L))
+    assert(d(col("ver") < 5L) == TsRange(Long.MinValue, 5L))
+    assert(d(col("ver") <= 2) == TsRange(Long.MinValue, 3L)) // int literal widens
+    assert(d(col("ver") > 1L) == TsRange(2L, Long.MaxValue))
+    assert(d(col("ver") >= 2L) == TsRange(2L, Long.MaxValue))
+    assert(d(lit(2L) <= col("ver")) == TsRange(2L, Long.MaxValue)) // mirrored lower
+    assert(d(col("ver") >= 2L && col("ver") < 4L) == TsRange(2L, 4L))
+    // key conjuncts contribute nothing; ts conjuncts under OR stay residual
+    assert(d(col("k") >= "a" && col("ver") >= 2L) == TsRange(2L, Long.MaxValue))
+    assert(d(col("ver") === 2L || col("ver") === 3L) == TsRange.full)
+    assert(d(col("other") === 2L) == TsRange.full)
+    assert(d(col("ver") === col("other")) == TsRange.full) // non-literal comparand
+  }
+
+  test("ts <= T scans as-of T: the pre-rewrite version surfaces, not row disappearance") {
+    val s = spark
+    import s.implicits._
+    val (root, m) = mkTable("tsr1") // gen 1: k1=1/one k2=2/two k3=3/three
+    val partial = parseMapping(
+      StructType(Seq(StructField("k", StringType), StructField("a", LongType))),
+      ":key,f:a#b")
+    put(spark, root, Seq(("k2", 20L)).toDF("k", "a"), partial, regions = 1) // gen 2
+    put(spark, root, Seq(("k2", 200L), ("k3", 300L)).toDF("k", "a"), partial, regions = 1) // gen 3
+    // latest view: k2 -> 200 (ver 3); as-of gen 2: k2 -> 20 (ver 2); as-of gen 1: k2 -> 1?? no: 2
+    val asof2 = scan(spark, root, m, col("ver") <= 2L).orderBy("k").collect()
+    assert(asof2.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("k1", 1L, 1L), ("k2", 2L, 20L), ("k3", 1L, 3L)))
+    val asof1 = scan(spark, root, m, col("ver") === 1L).orderBy("k").collect()
+    assert(asof1.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq ==
+      Seq(("k1", 1L, 1L, "one"), ("k2", 1L, 2L, "two"), ("k3", 1L, 3L, "three")))
+  }
+
+  test("ts >= T hides out-of-range cells (NULL scalars) and drops rows with no in-range cell") {
+    val s = spark
+    import s.implicits._
+    val (root, m) = mkTable("tsr2")
+    val partial = parseMapping(
+      StructType(Seq(StructField("k", StringType), StructField("a", LongType))),
+      ":key,f:a#b")
+    put(spark, root, Seq(("k2", 20L)).toDF("k", "a"), partial, regions = 1) // gen 2
+    val since2 = scan(spark, root, m, col("ver") >= 2L).collect()
+    // only k2 has a cell at gen >= 2; its g:b cell (gen 1) is out of range -> NULL
+    assert(since2.length == 1)
+    assert(since2(0).getString(0) == "k2" && since2(0).getLong(1) == 2L &&
+      since2(0).getLong(2) == 20L && since2(0).isNullAt(3))
+  }
+
+  test("a tombstone NEWER than the range end still masks (HBase delete-tracker semantics)") {
+    val s = spark
+    import s.implicits._
+    val (root, m) = mkTable("tsr3")
+    deleteRows(spark, root, Seq("k1").toDF("k"), "k", regions = 1) // gen 2 tombstone
+    // as-of gen 1 (range [min, 2)): k1's delete at gen 2 is after the range
+    // end but still masks — HBase tracks markers withinOrAfterTimeRange
+    val asof1 = scan(spark, root, m, col("ver") <= 1L).orderBy("k").collect()
+    assert(asof1.map(_.getString(0)).toSeq == Seq("k2", "k3"))
+  }
+
   // ----------------------------------------------- family maps + prefixes
 
   test("family-map column: full family, prefix slice, binary long values") {
