@@ -142,6 +142,15 @@ object Engine {
     * views — a statement naming no txn table passes through verbatim. */
   def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
     registerAll(spark, dir)
+    if (security.SqlStdAuth.handles(query)) {
+      return if (security.SqlStdAuth.returnsRows(query))
+        security.SqlStdAuth.query(spark, query)
+      else {
+        security.SqlStdAuth.exec(query)
+        spark.sql("SELECT 'OK' AS result")
+      }
+    }
+    authorize(spark, query)
     if (operators.TxnSql.handles(query)) {
       if (operators.TxnSql.returnsRows(query)) operators.TxnSql.query(spark, query)
       else {
@@ -160,5 +169,44 @@ object Engine {
       // state when the aggregate derives from one, otherwise untouched
       operators.MatView.tryRewrite(spark, df).getOrElse(df)
     }
+  }
+
+  /** Statement→required-privilege mapping per the reference's
+    * `Operation2Privilege.java:304` (QUERY op): inputs need SELECT, INSERT
+    * outputs INSERT, INSERT OVERWRITE outputs INSERT+DELETE, DELETE needs
+    * DELETE, UPDATE needs UPDATE, TRUNCATE needs DELETE (`:272`), MERGE —
+    * one statement that may do all three — needs INSERT+UPDATE+DELETE.
+    * Input relations come from the parsed (unresolved) plan; statements in
+    * an extension grammar Spark cannot parse check only their regex-extracted
+    * target — their sources are temp-view reads the same SELECT check
+    * already governs when issued through this front end. No-op unless
+    * [[security.SqlStdAuth.enable]] ran. */
+  private def authorize(spark: SparkSession, query: String): Unit = {
+    if (!security.SqlStdAuth.isEnabled) return
+    val s = query.trim
+    val up = s.toUpperCase
+    def inputs: Seq[String] = scala.util.Try {
+      spark.sessionState.sqlParser.parsePlan(s).collect {
+        case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+          r.multipartIdentifier.last.toLowerCase
+      }
+    }.getOrElse(Nil).distinct
+    val Target = "(?is)^(?:INSERT\\s+(?:INTO|OVERWRITE)\\s+(?:TABLE\\s+)?|UPDATE\\s+|DELETE\\s+FROM\\s+|MERGE\\s+INTO\\s+|TRUNCATE\\s+(?:TABLE\\s+)?)([A-Za-z_][A-Za-z0-9_]*).*".r
+    val target = s match { case Target(t) => Some(t.toLowerCase); case _ => None }
+    val needs: Seq[(String, String)] =
+      if (up.startsWith("INSERT OVERWRITE"))
+        target.toSeq.flatMap(t => Seq("INSERT" -> t, "DELETE" -> t)) ++
+          inputs.filterNot(target.contains).map("SELECT" -> _)
+      else if (up.startsWith("INSERT"))
+        target.toSeq.map("INSERT" -> _) ++
+          inputs.filterNot(target.contains).map("SELECT" -> _)
+      else if (up.startsWith("UPDATE")) target.toSeq.map("UPDATE" -> _)
+      else if (up.startsWith("DELETE")) target.toSeq.map("DELETE" -> _)
+      else if (up.startsWith("TRUNCATE")) target.toSeq.map("DELETE" -> _)
+      else if (up.startsWith("MERGE"))
+        target.toSeq.flatMap(t => Seq("INSERT" -> t, "UPDATE" -> t, "DELETE" -> t)) ++
+          inputs.filterNot(target.contains).map("SELECT" -> _)
+      else inputs.map("SELECT" -> _)
+    security.SqlStdAuth.require("QUERY", needs)
   }
 }

@@ -14,7 +14,8 @@ object SparkEntry {
     Aggregates.all ++ Relational.all ++ Windows.all ++ Functions.all ++
       Functions2.all ++ Functions3.all ++ Pipeline.all ++ Generators.all ++ Sources.all ++
       Ddl.all ++ Dml.all ++ StreamingQ.all ++ Advanced.all ++ Headline.all ++
-      Procedural.all ++ Corpus.all ++ Shaping.all ++ Tpcds.all ++ KvHandlerQ.all
+      Procedural.all ++ Corpus.all ++ Shaping.all ++ Tpcds.all ++ KvHandlerQ.all ++
+      AuthQ.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
