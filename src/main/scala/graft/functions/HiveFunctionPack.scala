@@ -106,5 +106,38 @@ object HiveFunctionPack {
     spark.udf.register("ewah_bitmap",
       org.apache.spark.sql.functions.udaf(new EwahBitmapAgg,
         org.apache.spark.sql.Encoders.LONG)) // boxed: NULL positions reach reduce() and are ignored
+
+    // ---- §2.8 gap closure: the last reference registry names ------------
+    import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Cast, CreateNamedStruct, EqualTo, Literal, UpdateFields, DropField}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
+    import org.apache.spark.sql.types.IntegerType
+    reg.createOrReplaceTempFunction("parse_url_tuple",
+      exprs => ParseUrlTuple(exprs), "hive")
+    reg.createOrReplaceTempFunction("reflect2",
+      exprs => Reflect2(exprs), "hive")
+    // create_union(tag, v0, v1, ...) — uniontype as tagged struct (§1:
+    // Spark has no union type; only the tag-selected alternative is
+    // non-null). CaseWhen-without-else nulls the inactive fields while
+    // leaving their types to the analyzer.
+    reg.createOrReplaceTempFunction("create_union", exprs => {
+      val tag = Cast(exprs.head, IntegerType)
+      CreateNamedStruct(Literal("tag") +: tag +:
+        exprs.tail.zipWithIndex.flatMap { case (e, i) =>
+          Seq(Literal(s"field$i"),
+            CaseWhen(Seq((EqualTo(tag, Literal(i)), e)), None))
+        })
+    }, "hive")
+    // extract_union(u) → the alternatives struct; extract_union(u, i) → the
+    // i-th alternative (GenericUDFExtractUnion's two arities).
+    reg.createOrReplaceTempFunction("extract_union", {
+      case Seq(u) => UpdateFields(u, Seq(DropField("tag")))
+      case Seq(u, Literal(i: Int, IntegerType)) =>
+        UnresolvedExtractValue(u, Literal(s"field$i"))
+      case _ => throw new IllegalArgumentException(
+        "extract_union(union[, tag_literal])")
+    }, "hive")
+    spark.udf.register("ngrams", org.apache.spark.sql.functions.udaf(new NGramsAgg))
+    spark.udf.register("context_ngrams",
+      org.apache.spark.sql.functions.udaf(new ContextNGramsAgg))
   }
 }

@@ -224,6 +224,83 @@ object Functions3 {
         s"""SELECT p_partkey, p_brand FROM part
            |WHERE in_file(p_brand, '${f.toString}')
            |ORDER BY p_partkey""".stripMargin)
+    },
+
+    // The last §2.8 registry names, SQL-callable (FuncAudit closes the
+    // reference FunctionRegistry diff to compute_stats/get_splits, both
+    // documented descopes): parse_url_tuple as a REAL generator under
+    // LATERAL VIEW (GenericUDTFParseUrlTuple semantics — java.net.URL
+    // accessors, QUERY:<key> regex, one row per input), reflect2 instance
+    // dispatch incl. primitive-arg overloads, and the uniontype pair
+    // create_union/extract_union. Oracle recomputes every value closed-form
+    // from the same URL/string construction.
+    Qd("q344_fn_registry_gap",
+      """SELECT CAST(c_custkey AS BIGINT) AS ck,
+        |  'h' || CAST(c_custkey AS VARCHAR) || '.example.com' AS host,
+        |  '/p/' || c_mktsegment AS path,
+        |  CAST(c_custkey AS VARCHAR) AS qv,
+        |  CAST(c_custkey % 3 AS INT) AS utag,
+        |  CASE WHEN c_custkey % 3 = 0 THEN c_name END AS u0,
+        |  CAST(CASE WHEN c_custkey % 3 = 1 THEN c_custkey * 2 END AS BIGINT) AS u1,
+        |  CASE WHEN c_custkey % 3 = 0 THEN c_name END AS e0,
+        |  CAST(length(c_name) AS BIGINT) AS nlen,
+        |  substr(c_name, 10) AS nsuf,
+        |  lower(c_mktsegment) AS segl
+        |FROM customer WHERE c_custkey <= 300 ORDER BY ck""") { (s, dir) =>
+      Engine.sql(s, dir,
+        """SELECT CAST(c_custkey AS BIGINT) AS ck,
+          |  t.host, t.path, t.qv,
+          |  u.tag AS utag, u.field0 AS u0, CAST(u.field1 AS BIGINT) AS u1,
+          |  extract_union(u, 0) AS e0,
+          |  CAST(reflect2(c_name, 'length') AS BIGINT) AS nlen,
+          |  reflect2(c_name, 'substring', 9) AS nsuf,
+          |  reflect2(c_mktsegment, 'toLowerCase') AS segl
+          |FROM (SELECT c_custkey, c_name, c_mktsegment,
+          |        concat('http://h', c_custkey, '.example.com/p/',
+          |               c_mktsegment, '?q=', c_custkey, '&z=2') AS url,
+          |        create_union(CAST(c_custkey % 3 AS INT), c_name,
+          |                     c_custkey * 2) AS u
+          |      FROM customer WHERE c_custkey <= 300)
+          |LATERAL VIEW parse_url_tuple(url, 'HOST', 'PATH', 'QUERY:q')
+          |  t AS host, path, qv
+          |ORDER BY ck""".stripMargin)
+    },
+
+    // ngrams / context_ngrams UDAFs by their SQL names
+    // (GenericUDAFnGrams / GenericUDAFContextNGrams): exact top-k over
+    // constructed 3-word sentences, so the oracle enumerates both bigram
+    // families and the context fillers closed-form. Frequencies are exact
+    // (the reference's precision_factor is a lossy memory heuristic a
+    // shuffle aggregate does not need — accuracy strictly >=).
+    Qd("q345_fn_ngrams_sql",
+      """WITH t AS (SELECT 's' || o_orderstatus AS w1,
+        |    'm' || CAST(o_orderkey % 3 AS VARCHAR) AS w2,
+        |    'p' || replace(o_orderpriority, ' ', '_') AS w3
+        |  FROM orders WHERE o_orderkey <= 4000),
+        |b AS (SELECT w1 || ' ' || w2 AS gram FROM t
+        |      UNION ALL SELECT w2 || ' ' || w3 FROM t),
+        |top AS (SELECT 'ngrams' AS fam, gram,
+        |    CAST(count(*) AS DOUBLE) AS estfrequency
+        |  FROM b GROUP BY gram ORDER BY estfrequency DESC, gram LIMIT 8),
+        |ctx AS (SELECT 'ctx' AS fam, w2 AS gram,
+        |    CAST(count(*) AS DOUBLE) AS estfrequency
+        |  FROM t WHERE w1 = 'sO' GROUP BY w2
+        |  ORDER BY estfrequency DESC, gram LIMIT 5)
+        |SELECT * FROM top UNION ALL SELECT * FROM ctx
+        |ORDER BY fam, estfrequency DESC, gram""") { (s, dir) =>
+      Engine.sql(s, dir,
+        """WITH t AS (SELECT concat('s', o_orderstatus, ' m',
+          |    CAST(o_orderkey % 3 AS STRING), ' p',
+          |    replace(o_orderpriority, ' ', '_')) AS text
+          |  FROM orders WHERE o_orderkey <= 4000),
+          |g AS (SELECT inline(ngrams(split(text, ' '), 2, 8)) FROM t),
+          |c AS (SELECT inline(context_ngrams(split(text, ' '),
+          |        array('sO', CAST(NULL AS STRING)), 5)) FROM t)
+          |SELECT 'ngrams' AS fam, array_join(ngram, ' ') AS gram, estfrequency
+          |FROM g
+          |UNION ALL
+          |SELECT 'ctx', array_join(ngram, ' '), estfrequency FROM c
+          |ORDER BY fam, estfrequency DESC, gram""".stripMargin)
     }
   )
 }
