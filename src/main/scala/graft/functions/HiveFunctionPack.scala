@@ -136,6 +136,14 @@ object HiveFunctionPack {
       case _ => throw new IllegalArgumentException(
         "extract_union(union[, tag_literal])")
     }, "hive")
+    // compute_stats(col, numBitVectors) — the ANALYZE-backing UDAF
+    // (GenericUDAFComputeStats). Placeholder here; type-dispatched into a
+    // struct of native aggregates by the ComputeStatsRewrite analysis rule.
+    reg.createOrReplaceTempFunction("compute_stats", {
+      case Seq(c, n) => ComputeStats.Placeholder(c, n)
+      case _ => throw new IllegalArgumentException(
+        "compute_stats: exactly two arguments are expected.")
+    }, "hive")
     spark.udf.register("ngrams", org.apache.spark.sql.functions.udaf(new NGramsAgg))
     spark.udf.register("context_ngrams",
       org.apache.spark.sql.functions.udaf(new ContextNGramsAgg))

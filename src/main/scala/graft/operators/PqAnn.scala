@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Product-quantization ANN with asymmetric-distance (ADC) search — the
+  * memory-bandwidth scale path past int8 scalar quantization
+  * ([[Int8Quantize]]) and IVF ([[AnnSearch.ivfTopK]]): the corpus is stored
+  * as `m` one-byte-ish codes per vector (here `m` ints for clarity) instead
+  * of `dim` floats, and scoring a candidate is `m` table lookups instead of
+  * a `dim`-wide dot product (Jégou, Douze, Schmid — "Product Quantization
+  * for Nearest Neighbor Search", TPAMI 2011).
+  *
+  * Pipeline (all int64-quantized arithmetic, the q45/q128 discipline, so the
+  * DuckDB oracle replays every stage bit-exactly):
+  *   1. codebook — subspace `mi` splits the vector into `dim/m` dims;
+  *      centroid `j` of subspace `mi` is the subvector of the corpus row
+  *      with `id == j*stride` (deterministic stand-in, same contract as
+  *      [[AnnSearch.ivfTopK]]'s stride centroids; the k-means-trained
+  *      variant is orthogonal and proven by q274's replayed Lloyd).
+  *      O(m·ncent·ds) values, collected once (the KMeansModel.clusterCenters
+  *      contract).
+  *   2. encode — one narrow compiled pass: per row, per subspace, the
+  *      argmin-L2 centroid (ties → smaller j) plus the reconstructed-vector
+  *      norm² (sum of the chosen centroids' norms²). No shuffle.
+  *   3. ADC scan — the query batch is broadcast (bounded, identical to
+  *      [[AnnSearch.bruteTopK]]'s `broadcast(q)`); each task builds the
+  *      per-query lookup table `lut(mi)(j) = dot(q_mi, c_mi_j)` once, then
+  *      streams its corpus split scoring `approx = Σ_mi lut(mi)(code(mi))`
+  *      normalized by `sqrt(qn²·rn²)` — shuffle-free, and the score matrix
+  *      never materializes ([[AnnSearch.partitionTopK]] bounded heaps keep
+  *      `shortlist` rows per query per partition).
+  *   4. exact rescore — the shortlist (O(|queries|·shortlist) rows) joins
+  *      back to the true vectors; final rank is exact cosine (approximation
+  *      decides WHO is rescored, never the reported score) with the usual
+  *      (cos desc, cid) total order and 6-dp rounding.
+  *
+  * The reference engine has no ANN surface — this is part of the
+  * training-data pipeline pack (SURVEY.md §7 step 9).
+  */
+object PqAnn {
+
+  /** codebook(mi)(j) = int64 subvector; plus per-centroid norm². */
+  private final case class Codebook(
+      cents: Array[Array[Array[Long]]], norms2: Array[Array[Long]], ds: Int) {
+    def m: Int = cents.length
+    def ncent: Int = cents.head.length
+  }
+
+  private def collectCodebook(
+      qc: DataFrame, m: Int, ncent: Int, stride: Int): Codebook = {
+    val spark = qc.sparkSession
+    import spark.implicits._
+    val rows = qc
+      .filter(col("id") % stride === 0 && col("id") < ncent.toLong * stride)
+      .select(col("id"), col("qe")).as[(Long, Seq[Long])]
+      .collect().sortBy(_._1)
+    require(rows.length == ncent,
+      s"PQ codebook wants $ncent rows with id % $stride == 0 below ${ncent.toLong * stride}, " +
+        s"got ${rows.length} — an undersized codebook would silently skew every code")
+    val dim = rows.head._2.length
+    require(dim % m == 0, s"dim=$dim is not divisible into m=$m subspaces")
+    val ds = dim / m
+    val cents = Array.tabulate(m, ncent) { (mi, j) =>
+      rows(j)._2.slice(mi * ds, mi * ds + ds).toArray
+    }
+    val norms2 = Array.tabulate(m, ncent) { (mi, j) =>
+      val c = cents(mi)(j)
+      var acc = 0L; var i = 0
+      while (i < c.length) { acc += c(i) * c(i); i += 1 }
+      acc
+    }
+    Codebook(cents, norms2, ds)
+  }
+
+  /** (cid, codes, rn2): PQ codes + reconstructed norm², one compiled pass. */
+  private def encode(qc: DataFrame, bc: Broadcast[Codebook]): DataFrame = {
+    val spark = qc.sparkSession
+    import spark.implicits._
+    qc.select(col("id"), col("qe")).as[(Long, Seq[Long])]
+      .mapPartitions { it =>
+        val cb = bc.value
+        it.map { case (id, e) =>
+          val v = e.toArray
+          val codes = new Array[Int](cb.m)
+          var rn2 = 0L
+          var mi = 0
+          while (mi < cb.m) {
+            val off = mi * cb.ds
+            var best = 0; var bestD = Long.MaxValue
+            var j = 0
+            while (j < cb.ncent) {
+              val c = cb.cents(mi)(j)
+              var d = 0L; var i = 0
+              while (i < cb.ds) {
+                val diff = v(off + i) - c(i); d += diff * diff; i += 1
+              }
+              if (d < bestD) { bestD = d; best = j }
+              j += 1
+            }
+            codes(mi) = best
+            rn2 += cb.norms2(mi)(best)
+            mi += 1
+          }
+          (id, codes, rn2)
+        }
+      }
+      .toDF("cid", "codes", "rn2")
+  }
+
+  /** PQ-ADC top-k with exact rescore. `queries`/`corpus`: (id, embedding). */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      m: Int = 8, ncent: Int = 16, stride: Int = 7,
+      shortlist: Int = 32): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cc = AnnSearch.quantized(corpus)
+    val cb = spark.sparkContext.broadcast(collectCodebook(cc, m, ncent, stride))
+    val qq = AnnSearch.quantized(queries)
+    // the probe batch: broadcast-bounded, the bruteTopK broadcast(q) contract
+    val qArr = qq.select(col("id"), col("qe"), col("n2"))
+      .as[(Long, Seq[Long], Long)].collect().map { case (id, e, n2) => (id, e.toArray, n2) }
+    val bq = spark.sparkContext.broadcast(qArr)
+
+    val approxScored = encode(cc, cb).as[(Long, Seq[Int], Long)]
+      .mapPartitions { it =>
+        val book = cb.value
+        val qs = bq.value
+        // per-query ADC lookup tables, built once per task: |q|·m·ncent dots
+        val luts = qs.map { case (_, qv, _) =>
+          Array.tabulate(book.m, book.ncent) { (mi, j) =>
+            val c = book.cents(mi)(j)
+            val off = mi * book.ds
+            var acc = 0L; var i = 0
+            while (i < book.ds) { acc += qv(off + i) * c(i); i += 1 }
+            acc
+          }
+        }
+        it.flatMap { case (cid, codesSeq, rn2) =>
+          val codes = codesSeq.toArray
+          qs.iterator.zipWithIndex.collect {
+            case ((qid, _, qn2), qi) if qid != cid =>
+              val lut = luts(qi)
+              var adc = 0L; var mi = 0
+              while (mi < book.m) { adc += lut(mi)(codes(mi)); mi += 1 }
+              val denom = math.sqrt(qn2.toDouble * rn2.toDouble)
+              val score = if (denom == 0.0d) -1.0d else adc.toDouble / denom
+              (qid, cid, score)
+          }
+        }
+      }
+      .toDF("qid", "cid", "cos")
+    val short = AnnSearch.partitionTopK(approxScored, shortlist)
+      .groupBy("qid", "cid").agg(max("cos").as("adc")) // merge partition heaps
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("adc").desc, col("cid"))))
+      .filter(col("rn") <= shortlist)
+      .select("qid", "cid")
+
+    // exact rescore of the shortlist only
+    val scored = short
+      .join(cc.select(col("id").as("cid"), col("qe").as("ce"), col("n2").as("cn")), "cid")
+      .join(broadcast(qq.select(col("id").as("qid"), col("qe"), col("n2").as("qn"))), "qid")
+      .withColumn("cos", coalesce(
+        AnnSearch.dotI64(col("qe"), col("ce")).cast("double") /
+          sqrt(col("qn").cast("double") * col("cn").cast("double")), lit(-1.0)))
+    AnnSearch.rankTopK(scored, k)
+  }
+}

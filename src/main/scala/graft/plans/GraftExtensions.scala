@@ -21,6 +21,7 @@ object GraftStrategies extends SparkStrategy {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectResolutionRule(_ => graft.functions.ComputeStatsRewrite)
     e.injectOptimizerRule(_ => PointLookupRule)
     e.injectOptimizerRule(_ => StatsOnlyAnsweringRule)
     e.injectPlannerStrategy(_ => GraftStrategies)

@@ -301,6 +301,65 @@ object Functions3 {
           |UNION ALL
           |SELECT 'ctx', array_join(ngram, ' '), estfrequency FROM c
           |ORDER BY fam, estfrequency DESC, gram""".stripMargin)
+    },
+
+    // compute_stats — the ANALYZE-backing UDAF (GenericUDAFComputeStats),
+    // closing the registry audit to 220/221. Every type dispatch is
+    // exercised (Long/Double/String/Boolean/timestamp-as-Long/Decimal/Date/
+    // Binary, plus the nbv=0 disabled-estimator case) and the oracle
+    // recomputes each extracted struct field closed-form. The string column
+    // carries NULLs so countnulls and Hive's nulls-in-denominator avglength
+    // (sumlength/(count+countnulls)) are both visible.
+    Qd("q346_compute_stats",
+      """WITH t AS (SELECT *, CASE WHEN l_linenumber > 2 THEN l_returnflag END AS sn
+        |  FROM lineitem WHERE l_orderkey <= 2000)
+        |SELECT 'Long' AS lt, min(l_orderkey) AS lmin, max(l_orderkey) AS lmax,
+        |  CAST(0 AS BIGINT) AS lnulls,
+        |  count(DISTINCT l_orderkey) AS lndv, '' AS lbv,
+        |  min(l_quantity) AS dmin, max(l_quantity) AS dmax,
+        |  count(DISTINCT l_quantity) AS dndv,
+        |  'String' AS st, coalesce(max(length(sn)), 0) AS smaxlen,
+        |  round(coalesce(CAST(sum(length(sn)) AS DOUBLE) / count(*), 0), 6) AS savglen,
+        |  count(*) - count(sn) AS snulls, count(DISTINCT sn) AS sndv,
+        |  count(CASE WHEN l_quantity > 25 THEN 1 END) AS btrue,
+        |  count(CASE WHEN NOT (l_quantity > 25) THEN 1 END) AS bfalse,
+        |  CAST(0 AS BIGINT) AS bnulls,
+        |  CAST(epoch(min(l_shipdate)) AS BIGINT) AS tmin,
+        |  CAST(epoch(max(l_shipdate)) AS BIGINT) AS tmax,
+        |  CAST(0 AS BIGINT) AS zndv,
+        |  CAST(1 AS BIGINT) AS bymaxlen, CAST(1 AS DOUBLE) AS byavglen,
+        |  CAST(min(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS dcmin,
+        |  CAST(max(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS dcmax,
+        |  CAST(min(l_shipdate) AS DATE) AS damin,
+        |  CAST(max(l_shipdate) AS DATE) AS damax
+        |FROM t""") { (s, dir) =>
+      Engine.sql(s, dir,
+        """WITH agg AS (SELECT
+          |    compute_stats(l_orderkey, 16) AS ls,
+          |    compute_stats(l_quantity, 16) AS ds,
+          |    compute_stats(CASE WHEN l_linenumber > 2 THEN l_returnflag END, 16) AS ss,
+          |    compute_stats(l_quantity > 25, 16) AS bs,
+          |    compute_stats(l_shipdate, 16) AS ts,
+          |    compute_stats(l_orderkey, 0) AS zs,
+          |    compute_stats(CAST(l_returnflag AS BINARY), 16) AS bys,
+          |    compute_stats(CAST(l_quantity AS DECIMAL(12,2)), 16) AS dcs,
+          |    compute_stats(CAST(l_shipdate AS DATE), 16) AS das
+          |  FROM lineitem WHERE l_orderkey <= 2000)
+          |SELECT ls.columntype AS lt, ls.min AS lmin, ls.max AS lmax,
+          |  ls.countnulls AS lnulls, ls.numdistinctvalues AS lndv,
+          |  ls.ndvbitvector AS lbv,
+          |  ds.min AS dmin, ds.max AS dmax, ds.numdistinctvalues AS dndv,
+          |  ss.columntype AS st, ss.maxlength AS smaxlen,
+          |  round(ss.avglength, 6) AS savglen,
+          |  ss.countnulls AS snulls, ss.numdistinctvalues AS sndv,
+          |  bs.counttrues AS btrue, bs.countfalses AS bfalse,
+          |  bs.countnulls AS bnulls,
+          |  ts.min AS tmin, ts.max AS tmax,
+          |  zs.numdistinctvalues AS zndv,
+          |  bys.maxlength AS bymaxlen, bys.avglength AS byavglen,
+          |  CAST(dcs.min AS DOUBLE) AS dcmin, CAST(dcs.max AS DOUBLE) AS dcmax,
+          |  das.min AS damin, das.max AS damax
+          |FROM agg""".stripMargin)
     }
   )
 }

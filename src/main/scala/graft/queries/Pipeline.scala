@@ -318,6 +318,81 @@ object Pipeline {
         .orderBy("qid", "rk")
     },
 
+    // Product-quantization ANN with ADC search ([[PqAnn.pqTopK]]) — the
+    // memory-bandwidth scale path: corpus stored as m=8 subspace codes
+    // (16 centroids each, stride-7 codebook rows), scored by per-query
+    // lookup tables, then the 32-candidate shortlist exact-rescored. All
+    // arithmetic is int64-quantized, so the oracle replays codebook →
+    // encode (argmin L2, ties → smaller j) → ADC → shortlist → exact
+    // rescore bit-identically. Recall vs brute force asserted in
+    // PipelineSpec.
+    Qd("q347_ann_pq_adc",
+      s"""WITH ${qCte("qq", "WHERE vec_id < 50")},
+        |${qCte("cc", "")},
+        |ms AS (SELECT unnest(range(0, 16)) AS mi),
+        |cb AS (SELECT CAST(vec_id // 7 AS INT) AS j, ms.mi AS mi,
+        |    list_transform(range(1, 5), i -> qe[ms.mi*4 + i]) AS cent
+        |  FROM cc, ms WHERE vec_id % 7 = 0 AND vec_id < 112),
+        |cbn AS (SELECT mi, j,
+        |    list_sum(list_transform(range(1, 5), i -> cent[i]*cent[i])) AS cn2
+        |  FROM cb),
+        |csub AS (SELECT vec_id, ms.mi AS mi,
+        |    list_transform(range(1, 5), i -> qe[ms.mi*4 + i]) AS sub
+        |  FROM cc, ms),
+        |dist AS (SELECT s.vec_id, s.mi, b.j,
+        |    list_sum(list_transform(range(1, 5),
+        |      i -> (s.sub[i]-b.cent[i])*(s.sub[i]-b.cent[i]))) AS d2
+        |  FROM csub s JOIN cb b ON b.mi = s.mi),
+        |code AS (SELECT vec_id, mi, j FROM (
+        |    SELECT vec_id, mi, j,
+        |      row_number() OVER (PARTITION BY vec_id, mi ORDER BY d2, j) AS rn
+        |    FROM dist) WHERE rn = 1),
+        |rn2 AS (SELECT c.vec_id, SUM(n.cn2) AS rn2
+        |  FROM code c JOIN cbn n ON n.mi = c.mi AND n.j = c.j
+        |  GROUP BY c.vec_id),
+        |qsub AS (SELECT vec_id, ms.mi AS mi,
+        |    list_transform(range(1, 5), i -> qe[ms.mi*4 + i]) AS sub
+        |  FROM qq, ms),
+        |qn AS (SELECT vec_id,
+        |    list_sum(list_transform(range(1, 65), i -> qe[i]*qe[i])) AS qn2
+        |  FROM qq),
+        |lut AS (SELECT q.vec_id AS qid, q.mi, b.j,
+        |    list_sum(list_transform(range(1, 5), i -> q.sub[i]*b.cent[i])) AS dt
+        |  FROM qsub q JOIN cb b ON b.mi = q.mi),
+        |adc AS (SELECT l.qid, c.vec_id AS cid, SUM(l.dt) AS adcdot
+        |  FROM code c JOIN lut l ON l.mi = c.mi AND l.j = c.j
+        |  WHERE l.qid <> c.vec_id GROUP BY l.qid, c.vec_id),
+        |appr AS (SELECT a.qid, a.cid,
+        |    CASE WHEN CAST(q.qn2 AS DOUBLE)*CAST(r.rn2 AS DOUBLE) = 0 THEN -1.0
+        |      ELSE CAST(a.adcdot AS DOUBLE)
+        |        / sqrt(CAST(q.qn2 AS DOUBLE)*CAST(r.rn2 AS DOUBLE)) END AS adc
+        |  FROM adc a JOIN qn q ON q.vec_id = a.qid
+        |  JOIN rn2 r ON r.vec_id = a.cid),
+        |short AS (SELECT qid, cid FROM (
+        |    SELECT qid, cid,
+        |      row_number() OVER (PARTITION BY qid ORDER BY adc DESC, cid) AS rn
+        |    FROM appr) WHERE rn <= 64),
+        |cn AS (SELECT vec_id AS cid, qe AS ce,
+        |    list_sum(list_transform(range(1, 65), i -> qe[i]*qe[i])) AS cn2
+        |  FROM cc),
+        |sc AS (SELECT s.qid, s.cid,
+        |    CAST(list_sum(list_transform(range(1, 65), i -> q.qe[i]*c.ce[i])) AS DOUBLE)
+        |      / sqrt(CAST(qn.qn2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE)) AS cos
+        |  FROM short s JOIN qq q ON q.vec_id = s.qid
+        |  JOIN cn c ON c.cid = s.cid JOIN qn ON qn.vec_id = s.qid),
+        |rk AS (SELECT qid, cid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+        |  FROM sc)
+        |SELECT qid, cid, rk, ROUND(cos, 6) AS cos
+        |FROM rk WHERE rk <= 10 ORDER BY qid, rk""") { (s, dir) =>
+      val e = emb(s, dir)
+      graft.operators.PqAnn.pqTopK(e.filter(col("id") < 50), e, 10,
+          m = 16, ncent = 16, stride = 7, shortlist = 64)
+        .select(col("qid"), col("cid"), col("rk").cast("bigint").as("rk"),
+          col("cos"))
+        .orderBy("qid", "rk")
+    },
+
     // LSH-bucketed ANN (the bucketed companion scale path to IVF): corpus
     // explodes into (table, signature) keys and equi-joins the query side —
     // no corpus broadcast, no cartesian. Signature planes derive from the

@@ -87,4 +87,60 @@ class HiveGapFnSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(c.map(r => (r.getSeq[String](0).mkString(" "), r.getDouble(1))).toSeq ==
       Seq(("quick", 2.0), ("slow", 1.0)))
   }
+
+  test("compute_stats: type-dispatched struct shapes (GenericUDAFComputeStats field lists)") {
+    val s = spark
+    import s.implicits._
+    Seq((1L, 1.5, "ab", true), (2L, 2.5, "abcd", false), (3L, 2.5, null, true))
+      .toDF("l", "d", "str", "b").createOrReplaceTempView("cs_t")
+    val df = spark.sql(
+      """SELECT compute_stats(l, 16) AS ls, compute_stats(d, 16) AS ds,
+        |  compute_stats(str, 16) AS ss, compute_stats(b, 16) AS bs,
+        |  compute_stats(CAST(str AS BINARY), 16) AS ys
+        |FROM cs_t""".stripMargin)
+    val f = df.schema.fields.map(x => x.name -> x.dataType).toMap
+    import org.apache.spark.sql.types._
+    def names(t: DataType) = t.asInstanceOf[StructType].fieldNames.toSeq
+    assert(names(f("ls")) == Seq("columntype", "min", "max", "countnulls",
+      "numdistinctvalues", "ndvbitvector"))
+    assert(names(f("ss")) == Seq("columntype", "maxlength", "avglength",
+      "countnulls", "numdistinctvalues", "ndvbitvector"))
+    assert(names(f("bs")) == Seq("columntype", "counttrues", "countfalses", "countnulls"))
+    assert(names(f("ys")) == Seq("columntype", "maxlength", "avglength", "countnulls"))
+    val r = df.collect()(0)
+    val ls = r.getStruct(0)
+    assert(ls.getString(0) == "Long" && ls.getLong(1) == 1L && ls.getLong(2) == 3L &&
+      ls.getLong(3) == 0L && ls.getLong(4) == 3L && ls.getString(5) == "")
+    val ds = r.getStruct(1)
+    assert(ds.getString(0) == "Double" && ds.getDouble(1) == 1.5 &&
+      ds.getDouble(2) == 2.5 && ds.getLong(4) == 2L)
+    val ss = r.getStruct(2)
+    // avglength = sumlength/(count+countnulls) = (2+4)/3 — nulls in denominator
+    assert(ss.getString(0) == "String" && ss.getLong(1) == 4L &&
+      ss.getDouble(2) == 2.0 && ss.getLong(3) == 1L && ss.getLong(4) == 2L)
+    val bs = r.getStruct(3)
+    assert(bs.getString(0) == "Boolean" && bs.getLong(1) == 2L &&
+      bs.getLong(2) == 1L && bs.getLong(3) == 0L)
+  }
+
+  test("compute_stats: nbv=0 disables the estimator (ndv=0, Hive parity); GROUP BY works") {
+    val s = spark
+    import s.implicits._
+    Seq(("a", 1), ("a", 2), ("b", 2)).toDF("k", "v").createOrReplaceTempView("cs_g")
+    val z = spark.sql("SELECT compute_stats(v, 0) AS st FROM cs_g").collect()(0).getStruct(0)
+    assert(z.getLong(4) == 0L) // numdistinctvalues suppressed, as Hive does
+    val g = spark.sql(
+      """SELECT k, compute_stats(v, 16) AS st FROM cs_g GROUP BY k ORDER BY k""")
+      .collect().map(r => (r.getString(0), r.getStruct(1).getLong(1),
+        r.getStruct(1).getLong(2), r.getStruct(1).getLong(4)))
+    assert(g.toSeq == Seq(("a", 1L, 2L, 2L), ("b", 2L, 2L, 1L)))
+  }
+
+  test("compute_stats: non-primitive input and bad arity are rejected") {
+    val s = spark
+    import s.implicits._
+    Seq((Seq(1, 2), 1)).toDF("arr", "v").createOrReplaceTempView("cs_bad")
+    intercept[Exception](spark.sql("SELECT compute_stats(arr, 16) FROM cs_bad").collect())
+    intercept[Exception](spark.sql("SELECT compute_stats(v) FROM cs_bad").collect())
+  }
 }

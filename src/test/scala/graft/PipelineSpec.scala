@@ -68,6 +68,30 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
+  test("PQ-ADC ANN: recall@10 vs brute force, exact rescored scores, shortlist honored") {
+    val queries = emb.filter(col("id") < 30)
+    val brute = AnnSearch.bruteTopK(queries, emb, 10)
+      .select("qid", "cid", "cos").as[(Long, Long, Double)].collect()
+    val bruteSet = brute.map(r => (r._1, r._2)).toSet
+    val pq = PqAnn.pqTopK(queries, emb, 10, m = 16, ncent = 16, stride = 7,
+        shortlist = 64)
+      .select("qid", "cid", "cos").as[(Long, Long, Double)].collect()
+    val recall = (bruteSet & pq.map(r => (r._1, r._2)).toSet).size.toDouble / bruteSet.size
+    assert(recall >= 0.5, s"PQ recall=$recall")
+    // rescore is EXACT: any pair PQ and brute share must carry the same cos
+    val bruteCos = brute.map(r => (r._1, r._2) -> r._3).toMap
+    pq.foreach { case (q, c, cos) =>
+      bruteCos.get((q, c)).foreach(b => assert(b == cos,
+        s"PQ reported approx score for ($q,$c): $cos != exact $b"))
+    }
+    // a wide-open shortlist converges to brute force exactly
+    val full = PqAnn.pqTopK(queries, emb, 10, m = 16, ncent = 16, stride = 7,
+        shortlist = 100000)
+      .select("qid", "cid", "cos").as[(Long, Long, Double)].collect()
+    assert(full.map(r => (r._1, r._2)).toSet == bruteSet,
+      "shortlist=∞ PQ must equal brute force (rescore is exact)")
+  }
+
   test("k-means IVF: trained centroids' recall@10 >= the stride baseline," +
       " and training moves the codebook") {
     val queries = emb.filter(col("id") < 30)
