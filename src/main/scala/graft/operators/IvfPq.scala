@@ -1,0 +1,217 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ (IVFADC): the inverted-file coarse quantizer of
+  * [[AnnSearch.ivfTopK]] composed with the product-quantization codes of
+  * [[PqAnn]] — the standard billion-scale ANN architecture (Jégou, Douze,
+  * Schmid — TPAMI 2011, §IV "IVFADC"; what FAISS ships as `IndexIVFPQ`).
+  * IVF alone still reads full vectors inside each probed list; PQ alone
+  * still scans every code. Composed, a probe touches `nprobe/nlist` of the
+  * corpus AND each touched row costs `m` table lookups over codes that are
+  * ~`dim·4/m` times smaller than the vectors — the two savings multiply,
+  * which is why this is the shape that survives 100 TB.
+  *
+  * Pipeline (all int64-quantized arithmetic, the q45/q347 discipline, so
+  * the DuckDB oracle replays every stage bit-exactly):
+  *   1. coarse codebook — stride-derived centroids, the
+  *      [[AnnSearch.ivfTopK]] contract (O(nlist) collected once); corpus
+  *      rows assign to their argmax-dot centroid (ties → lower cent_id).
+  *   2. residual PQ codebook — centroid `j` of subspace `mi` is the
+  *      RESIDUAL (vector − its coarse centroid) of the corpus row with
+  *      `id == j*pqStride`, sliced to subspace `mi`. Residuals, not raw
+  *      vectors: after coarse assignment the residual energy is what is
+  *      left to encode (IVFADC's defining choice).
+  *   3. encode — one compiled pass per corpus row: coarse argmax, residual,
+  *      per-subspace argmin-L2 code (ties → smaller j), and the
+  *      reconstructed-vector norm² `|c_a + ĉ(r)|²` (exact int64, computed
+  *      from the actual reconstruction). No shuffle.
+  *   4. ADC scan — queries broadcast (bounded, the [[AnnSearch.bruteTopK]]
+  *      contract) carrying their top-`nprobe` coarse lists and the exact
+  *      `dot(q, c_a)` per probed list; each task builds per-query residual
+  *      lookup tables `lut(mi)(j) = dot(q_mi, r̂_mi_j)` once, then streams
+  *      its corpus split scoring ONLY rows whose list some query probed:
+  *      `approx = dot(q, c_a) + Σ_mi lut(mi)(code(mi)) = dot(q, x̂)`,
+  *      normalized by `sqrt(qn²·rn²)`. Shuffle-free; the score matrix never
+  *      materializes ([[AnnSearch.partitionTopK]] bounded heaps).
+  *   5. exact rescore — the shortlist joins back to the true vectors; the
+  *      reported score is exact cosine (approximation decides WHO is
+  *      rescored, never the score), (cos desc, cid) total order, 6-dp
+  *      rounding.
+  *
+  * With every list probed and an unbounded shortlist this degenerates to
+  * [[AnnSearch.bruteTopK]] exactly (spec-asserted) — the approximation is
+  * ONLY the candidate pruning, so recall tunes with `nprobe` and
+  * `shortlist` while reported scores stay exact.
+  *
+  * The reference engine has no ANN surface — this is part of the
+  * training-data pipeline pack (SURVEY.md §7 step 9).
+  */
+object IvfPq {
+
+  /** Coarse centroids + residual PQ codebook, both broadcast-sized. */
+  private final case class Book(
+      coarse: Array[(Long, Array[Long])], // (cent_id, vector), sorted
+      cents: Array[Array[Array[Long]]],   // cents(mi)(j) = residual subvector
+      ds: Int) {
+    def m: Int = cents.length
+    def ncent: Int = cents.head.length
+    /** argmax-dot coarse assignment, ties → lower cent_id (the
+      * [[AnnSearch]] `assign` order). Returns the coarse INDEX. */
+    def assignCoarse(v: Array[Long]): Int = {
+      var best = 0; var bestD = Long.MinValue
+      var a = 0
+      while (a < coarse.length) {
+        val c = coarse(a)._2
+        val n = math.min(v.length, c.length)
+        var acc = 0L; var i = 0
+        while (i < n) { acc += v(i) * c(i); i += 1 }
+        if (acc > bestD) { bestD = acc; best = a }
+        a += 1
+      }
+      best
+    }
+  }
+
+  private def dot(a: Array[Long], b: Array[Long], aOff: Int, n: Int): Long = {
+    var acc = 0L; var i = 0
+    while (i < n) { acc += a(aOff + i) * b(i); i += 1 }
+    acc
+  }
+
+  private def collectBook(qc: DataFrame, centroidStride: Int, m: Int,
+      ncent: Int, pqStride: Int): Book = {
+    val spark = qc.sparkSession
+    import spark.implicits._
+    val coarse = qc.filter(col("id") % centroidStride === 0)
+      .select(col("id"), col("qe")).as[(Long, Seq[Long])]
+      .collect().map { case (i, e) => (i, e.toArray) }.sortBy(_._1)
+    require(coarse.nonEmpty,
+      s"centroidStride=$centroidStride selects no corpus row — an empty " +
+        "coarse codebook would silently return zero results")
+    val pqRows = qc
+      .filter(col("id") % pqStride === 0 && col("id") < ncent.toLong * pqStride)
+      .select(col("id"), col("qe")).as[(Long, Seq[Long])]
+      .collect().sortBy(_._1)
+    require(pqRows.length == ncent,
+      s"PQ codebook wants $ncent rows with id % $pqStride == 0 below " +
+        s"${ncent.toLong * pqStride}, got ${pqRows.length}")
+    val dim = pqRows.head._2.length
+    require(dim % m == 0, s"dim=$dim is not divisible into m=$m subspaces")
+    val ds = dim / m
+    val pre = Book(coarse, Array.fill(1)(Array.fill(1)(Array.empty[Long])), ds)
+    // residual of each codebook row under ITS coarse assignment
+    val resid = pqRows.map { case (_, e) =>
+      val v = e.toArray
+      val c = coarse(pre.assignCoarse(v))._2
+      Array.tabulate(dim)(i => v(i) - c(i))
+    }
+    val cents = Array.tabulate(m, ncent)((mi, j) =>
+      resid(j).slice(mi * ds, mi * ds + ds))
+    Book(coarse, cents, ds)
+  }
+
+  /** IVFADC top-k with exact rescore. `queries`/`corpus`: (id, embedding). */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      centroidStride: Int, nprobe: Int,
+      m: Int = 16, ncent: Int = 16, pqStride: Int = 7,
+      shortlist: Int = 64): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cc = AnnSearch.quantized(corpus)
+    val book = spark.sparkContext.broadcast(
+      collectBook(cc, centroidStride, m, ncent, pqStride))
+
+    // 3. encode: (cid, coarse cent_id, codes, reconstructed norm²)
+    val encoded = cc.as[(Long, Seq[Long], Long)].mapPartitions { it =>
+      val bk = book.value
+      it.map { case (id, e, _) =>
+        val v = e.toArray
+        val a = bk.assignCoarse(v)
+        val cvec = bk.coarse(a)._2
+        val codes = new Array[Int](bk.m)
+        var rn2 = 0L
+        var mi = 0
+        while (mi < bk.m) {
+          val off = mi * bk.ds
+          var best = 0; var bestD = Long.MaxValue
+          var j = 0
+          while (j < bk.ncent) {
+            val c = bk.cents(mi)(j)
+            var d = 0L; var i = 0
+            while (i < bk.ds) {
+              val diff = (v(off + i) - cvec(off + i)) - c(i); d += diff * diff
+              i += 1
+            }
+            if (d < bestD) { bestD = d; best = j }
+            j += 1
+          }
+          codes(mi) = best
+          // reconstruction x̂ = coarse + chosen residual centroid, exact
+          val c = bk.cents(mi)(best)
+          var i = 0
+          while (i < bk.ds) {
+            val x = cvec(off + i) + c(i); rn2 += x * x; i += 1
+          }
+          mi += 1
+        }
+        (id, bk.coarse(a)._1, codes, rn2)
+      }
+    }.toDF("cid", "cent_id", "codes", "rn2")
+
+    // 4. probe set: per query, top-nprobe coarse lists by (dot desc,
+    // cent_id asc) WITH the exact dot(q, c) each probe needs for ADC.
+    val qArr = AnnSearch.quantized(queries)
+      .select(col("id"), col("qe"), col("n2")).as[(Long, Seq[Long], Long)]
+      .collect().map { case (id, e, n2) =>
+        val v = e.toArray
+        val probes = book.value.coarse
+          .map { case (centId, c) => (centId, dot(v, c, 0, math.min(v.length, c.length))) }
+          .sortBy { case (centId, d) => (-d, centId) }
+          .take(nprobe)
+        (id, v, n2, probes.map(_._1).toSet, probes.toMap)
+      }
+    val bq = spark.sparkContext.broadcast(qArr)
+
+    val approx = encoded.as[(Long, Long, Seq[Int], Long)].mapPartitions { it =>
+      val bk = book.value
+      val qs = bq.value
+      val luts = qs.map { case (_, qv, _, _, _) =>
+        Array.tabulate(bk.m, bk.ncent)((mi, j) =>
+          dot(qv, bk.cents(mi)(j), mi * bk.ds, bk.ds))
+      }
+      it.flatMap { case (cid, centId, codesSeq, rn2) =>
+        val codes = codesSeq.toArray
+        qs.iterator.zipWithIndex.collect {
+          case ((qid, _, qn2, probed, qdotc), qi)
+              if qid != cid && probed.contains(centId) =>
+            val lut = luts(qi)
+            var adc = qdotc(centId); var mi = 0
+            while (mi < bk.m) { adc += lut(mi)(codes(mi)); mi += 1 }
+            val denom = math.sqrt(qn2.toDouble * rn2.toDouble)
+            val score = if (denom == 0.0d) -1.0d else adc.toDouble / denom
+            (qid, cid, score)
+        }
+      }
+    }.toDF("qid", "cid", "cos")
+
+    val short = AnnSearch.partitionTopK(approx, shortlist)
+      .groupBy("qid", "cid").agg(max("cos").as("adc")) // merge partition heaps
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("adc").desc, col("cid"))))
+      .filter(col("rn") <= shortlist)
+      .select("qid", "cid")
+
+    // 5. exact rescore of the shortlist only
+    val qq = AnnSearch.quantized(queries)
+    val scored = short
+      .join(cc.select(col("id").as("cid"), col("qe").as("ce"), col("n2").as("cn")), "cid")
+      .join(broadcast(qq.select(col("id").as("qid"), col("qe"), col("n2").as("qn"))), "qid")
+      .withColumn("cos", coalesce(
+        AnnSearch.dotI64(col("qe"), col("ce")).cast("double") /
+          sqrt(col("qn").cast("double") * col("cn").cast("double")), lit(-1.0)))
+    AnnSearch.rankTopK(scored, k)
+  }
+}

@@ -92,6 +92,31 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "shortlist=∞ PQ must equal brute force (rescore is exact)")
   }
 
+  test("IVF-PQ: recall@10 vs brute force, exact rescored scores, full-probe degeneracy") {
+    val queries = emb.filter(col("id") < 30)
+    val brute = AnnSearch.bruteTopK(queries, emb, 10)
+      .select("qid", "cid", "cos").as[(Long, Long, Double)].collect()
+    val bruteSet = brute.map(r => (r._1, r._2)).toSet
+    val ivfpq = IvfPq.ivfPqTopK(queries, emb, 10, centroidStride = 40,
+        nprobe = 4, m = 16, ncent = 16, pqStride = 7, shortlist = 64)
+      .select("qid", "cid", "cos").as[(Long, Long, Double)].collect()
+    val recall = (bruteSet & ivfpq.map(r => (r._1, r._2)).toSet).size.toDouble / bruteSet.size
+    assert(recall >= 0.4, s"IVF-PQ recall=$recall") // 4/13 lists probed caps recall
+    // rescore is EXACT: any pair IVF-PQ and brute share carries the same cos
+    val bruteCos = brute.map(r => (r._1, r._2) -> r._3).toMap
+    ivfpq.foreach { case (q, c, cos) =>
+      bruteCos.get((q, c)).foreach(b => assert(b == cos,
+        s"IVF-PQ reported approx score for ($q,$c): $cos != exact $b"))
+    }
+    // every list probed + unbounded shortlist degenerates to brute force:
+    // the approximation is ONLY candidate pruning, never the answer
+    val full = IvfPq.ivfPqTopK(queries, emb, 10, centroidStride = 40,
+        nprobe = 1000, m = 16, ncent = 16, pqStride = 7, shortlist = 100000)
+      .select("qid", "cid").as[(Long, Long)].collect()
+    assert(full.map(r => (r._1, r._2)).toSet == bruteSet,
+      "nprobe=∞/shortlist=∞ IVF-PQ must equal brute force")
+  }
+
   test("k-means IVF: trained centroids' recall@10 >= the stride baseline," +
       " and training moves the codebook") {
     val queries = emb.filter(col("id") < 30)
