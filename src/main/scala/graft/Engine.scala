@@ -71,7 +71,8 @@ object Engine {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ plans.GraftStrategies
       spark.experimental.extraOptimizations = spark.experimental.extraOptimizations :+
-        plans.PointLookupRule :+ plans.StatsOnlyAnsweringRule
+        plans.PointLookupRule :+ plans.StatsOnlyAnsweringRule :+
+        plans.RelyConstraintRule
     }
     spark
   }
@@ -161,6 +162,8 @@ object Engine {
       operators.TxnSql.execDdl(spark, query)
     } else if (sources.KvSql.handlesDdl(query) || sources.KvSql.handles(query)) {
       sources.KvSql.exec(spark, query)
+    } else if (operators.TableConstraints.handlesDdl(query)) {
+      operators.TableConstraints.execDdl(spark, query)
     } else if (operators.MatView.handles(query)) {
       operators.MatView.exec(spark, query)
     } else {

@@ -15,7 +15,7 @@ object SparkEntry {
       Functions2.all ++ Functions3.all ++ Pipeline.all ++ Generators.all ++ Sources.all ++
       Ddl.all ++ Dml.all ++ StreamingQ.all ++ Advanced.all ++ Headline.all ++
       Procedural.all ++ Corpus.all ++ Shaping.all ++ Tpcds.all ++ KvHandlerQ.all ++
-      AuthQ.all
+      AuthQ.all ++ ConstraintsQ.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectResolutionRule(_ => graft.functions.ComputeStatsRewrite)
     e.injectOptimizerRule(_ => PointLookupRule)
     e.injectOptimizerRule(_ => StatsOnlyAnsweringRule)
+    e.injectOptimizerRule(_ => RelyConstraintRule)
     e.injectPlannerStrategy(_ => GraftStrategies)
   }
 }
