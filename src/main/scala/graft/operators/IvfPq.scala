@@ -51,7 +51,7 @@ import org.apache.spark.sql.functions._
 object IvfPq {
 
   /** Coarse centroids + residual PQ codebook, both broadcast-sized. */
-  private final case class Book(
+  private[operators] final case class Book(
       coarse: Array[(Long, Array[Long])], // (cent_id, vector), sorted
       cents: Array[Array[Array[Long]]],   // cents(mi)(j) = residual subvector
       ds: Int) {
@@ -118,13 +118,59 @@ object IvfPq {
       m: Int = 16, ncent: Int = 16, pqStride: Int = 7,
       shortlist: Int = 64): DataFrame = {
     val spark = corpus.sparkSession
-    import spark.implicits._
     val cc = AnnSearch.quantized(corpus)
     val book = spark.sparkContext.broadcast(
       collectBook(cc, centroidStride, m, ncent, pqStride))
+    probeEncoded(queries, corpus, encodeAll(cc, book), book, k, nprobe, shortlist)
+  }
 
-    // 3. encode: (cid, coarse cent_id, codes, reconstructed norm²)
-    val encoded = cc.as[(Long, Seq[Long], Long)].mapPartitions { it =>
+  /** A built IVF-PQ index: codes on disk partitioned by coarse list, plus
+    * the broadcast-sized codebook — the `faiss.write_index` analog. */
+  final class IvfPqIndex private[IvfPq] (
+      val path: String,
+      private[IvfPq] val book: org.apache.spark.broadcast.Broadcast[Book])
+
+  /** Train + encode ONCE and persist — the FAISS index-build step, split
+    * from [[probeIndex]] because that is the production cost model: the
+    * encode pass (corpus × nlist coarse argmax + corpus × m×ncent residual
+    * argmin) is paid at ingest, while each query batch pays only its
+    * probes. Codes are written `partitionBy(cent_id)`, so a probe's static
+    * `cent_id IN (...)` prunes to the probed lists at the FILE level —
+    * the scan never touches unprobed inverted lists, which is what keeps
+    * probe wall flat while the corpus grows (AnnScale measures it). */
+  def buildIndex(corpus: DataFrame, path: String, centroidStride: Int,
+      m: Int = 16, ncent: Int = 16, pqStride: Int = 7): IvfPqIndex = {
+    val spark = corpus.sparkSession
+    val cc = AnnSearch.quantized(corpus)
+    val book = spark.sparkContext.broadcast(
+      collectBook(cc, centroidStride, m, ncent, pqStride))
+    // cluster each inverted list into ONE file: without the repartition
+    // every encode task writes its own sliver of every list —
+    // nlist × tasks tiny files, and the probe pays the open/footer cost of
+    // all of them (the small-files problem, here at index-build time)
+    encodeAll(cc, book).repartition(col("cent_id")).write.mode("overwrite")
+      .partitionBy("cent_id").parquet(path)
+    new IvfPqIndex(path, book)
+  }
+
+  /** Probe a built index: partition-pruned ADC scan of the probed lists +
+    * exact rescore against `corpus` (the stored vectors). Results are
+    * identical to [[ivfPqTopK]] with the same parameters (spec-pinned). */
+  def probeIndex(queries: DataFrame, corpus: DataFrame, index: IvfPqIndex,
+      k: Int, nprobe: Int, shortlist: Int = 64): DataFrame = {
+    val spark = corpus.sparkSession
+    val encoded = spark.read.parquet(index.path)
+      .select("cid", "cent_id", "codes", "rn2") // partition col re-ordered
+    probeEncoded(queries, corpus, encoded, index.book, k, nprobe, shortlist)
+  }
+
+  /** Encode: (cid, coarse cent_id, codes, reconstructed norm²). One
+    * compiled pass, no shuffle. */
+  private def encodeAll(cc: DataFrame,
+      book: org.apache.spark.broadcast.Broadcast[Book]): DataFrame = {
+    val spark = cc.sparkSession
+    import spark.implicits._
+    cc.as[(Long, Seq[Long], Long)].mapPartitions { it =>
       val bk = book.value
       it.map { case (id, e, _) =>
         val v = e.toArray
@@ -159,8 +205,19 @@ object IvfPq {
         (id, bk.coarse(a)._1, codes, rn2)
       }
     }.toDF("cid", "cent_id", "codes", "rn2")
+  }
 
-    // 4. probe set: per query, top-nprobe coarse lists by (dot desc,
+  /** Shared probe tail: probe-set selection, ADC scan of the probed lists
+    * (pre-filtered with a static IN — a partition-pruned file skip when
+    * `encoded` comes off a `partitionBy(cent_id)` index), shortlist, exact
+    * rescore. */
+  private def probeEncoded(queries: DataFrame, corpus: DataFrame,
+      encoded0: DataFrame,
+      book: org.apache.spark.broadcast.Broadcast[Book],
+      k: Int, nprobe: Int, shortlist: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // probe set: per query, top-nprobe coarse lists by (dot desc,
     // cent_id asc) WITH the exact dot(q, c) each probe needs for ADC.
     val qArr = AnnSearch.quantized(queries)
       .select(col("id"), col("qe"), col("n2")).as[(Long, Seq[Long], Long)]
@@ -173,6 +230,10 @@ object IvfPq {
         (id, v, n2, probes.map(_._1).toSet, probes.toMap)
       }
     val bq = spark.sparkContext.broadcast(qArr)
+    // lists nobody probes never leave the scan (semantically a no-op — the
+    // per-row probed.contains check below re-verifies per query)
+    val allProbed = qArr.iterator.flatMap(_._4).toSet.toSeq
+    val encoded = encoded0.filter(col("cent_id").isin(allProbed: _*))
 
     val approx = encoded.as[(Long, Long, Seq[Int], Long)].mapPartitions { it =>
       val bk = book.value
@@ -196,18 +257,31 @@ object IvfPq {
       }
     }.toDF("qid", "cid", "cos")
 
-    val short = AnnSearch.partitionTopK(approx, shortlist)
+    // the shortlist is bounded (|queries| × shortlist) — materialize it once
+    // so the exact-rescore fetch can push the id set into the corpus scan
+    // instead of deserializing the WHOLE corpus to serve a few thousand
+    // lookups (the vector-store point-fetch a production rescore does)
+    val shortRows = AnnSearch.partitionTopK(approx, shortlist)
       .groupBy("qid", "cid").agg(max("cos").as("adc")) // merge partition heaps
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("qid")
           .orderBy(col("adc").desc, col("cid"))))
       .filter(col("rn") <= shortlist)
-      .select("qid", "cid")
+      .select("qid", "cid").as[(Long, Long)].collect()
+    val short = spark.createDataFrame(shortRows.toSeq.map(p => (p._1, p._2)))
+      .toDF("qid", "cid")
+    val ids = shortRows.map(_._2).distinct
+    // 65536 literals is where an InSet stops being obviously cheap; a wider
+    // shortlist (the brute-equivalence spec's ∞) falls back to the full join
+    val fetch =
+      if (ids.length <= 65536 && ids.nonEmpty)
+        AnnSearch.quantized(corpus.filter(col("id").isin(ids.toSeq: _*)))
+      else AnnSearch.quantized(corpus)
 
     // 5. exact rescore of the shortlist only
     val qq = AnnSearch.quantized(queries)
     val scored = short
-      .join(cc.select(col("id").as("cid"), col("qe").as("ce"), col("n2").as("cn")), "cid")
+      .join(fetch.select(col("id").as("cid"), col("qe").as("ce"), col("n2").as("cn")), "cid")
       .join(broadcast(qq.select(col("id").as("qid"), col("qe"), col("n2").as("qn"))), "qid")
       .withColumn("cos", coalesce(
         AnnSearch.dotI64(col("qe"), col("ce")).cast("double") /

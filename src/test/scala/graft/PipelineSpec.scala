@@ -117,6 +117,32 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "nprobe=∞/shortlist=∞ IVF-PQ must equal brute force")
   }
 
+  test("IVF-PQ index lifecycle: buildIndex + probeIndex == ivfPqTopK, " +
+      "one file per inverted list") {
+    val queries = emb.filter(col("id") < 30)
+    val path = "/root/repo/target/pipelinespec/ivfpq_idx"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val idx = IvfPq.buildIndex(emb, path, centroidStride = 40,
+      m = 16, ncent = 16, pqStride = 7)
+    val probed = IvfPq.probeIndex(queries, emb, idx, 10, nprobe = 4,
+        shortlist = 64)
+      .select("qid", "cid", "cos").as[(Long, Long, Double)].collect().toSet
+    val direct = IvfPq.ivfPqTopK(queries, emb, 10, centroidStride = 40,
+        nprobe = 4, m = 16, ncent = 16, pqStride = 7, shortlist = 64)
+      .select("qid", "cid", "cos").as[(Long, Long, Double)].collect().toSet
+    assert(probed == direct,
+      "the persisted index must answer exactly like the one-shot path")
+    // one data file per cent_id dir — the small-files discipline the build
+    // repartition exists for (a probe pays per-file open cost)
+    val dirs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cent_id="))
+    assert(dirs.nonEmpty)
+    dirs.foreach { d =>
+      val n = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(n == 1, s"${d.getName} has $n parquet files (want 1 per list)")
+    }
+  }
+
   test("k-means IVF: trained centroids' recall@10 >= the stride baseline," +
       " and training moves the codebook") {
     val queries = emb.filter(col("id") < 30)
