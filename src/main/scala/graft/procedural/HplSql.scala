@@ -103,6 +103,18 @@ object HplSql {
   private case class CopyStmt(table: Option[String], select: Option[String],
       target: String, delimiter: Option[String],
       sqlInsert: Option[String]) extends Stmt
+  /** copy_from_local_stmt (`Hplsql.g4:617-619`): `COPY FROM LOCAL <src>
+    * [, <src>…] TO <target> [DELETE|IGNORE|OVERWRITE]*` —
+    * `Copy.java:runFromLocal/createLocalFileList`: each source is a file or
+    * a directory walked recursively; with MULTIPLE expanded files each lands
+    * at target/[relpath/]name, a SINGLE file lands at the target path
+    * itself (or inside it when the target is an existing directory, the
+    * copyFromLocalFile contract). OVERWRITE replaces existing destinations
+    * (otherwise an existing destination is an error), DELETE removes each
+    * source after its copy, IGNORE downgrades per-file failures to a count.
+    * Only the FTP transport stays descoped (no network in scope). */
+  private case class CopyFromLocalStmt(sources: Seq[String], target: String,
+      delete: Boolean, ignore: Boolean, overwrite: Boolean) extends Stmt
   private case class ExecImmediate(sqlExpr: String, into: Seq[String])
       extends Stmt
 
@@ -550,9 +562,67 @@ object HplSql {
         CallStmt(name, args.result())
       case "COPY" =>
         next()
-        require(!peek.exists(w => !w.quoted && w.up == "FROM"),
-          "COPY FROM LOCAL / COPY FROM FTP is descoped (file transfer, not " +
-            "query semantics); only COPY (select)|table TO <target> is supported")
+        if (peek.exists(w => !w.quoted && w.up == "FROM")) {
+          next() // FROM
+          val what = next()
+          if (what.up == "FTP") throw new IllegalArgumentException(
+            "COPY FROM FTP is descoped (network file transfer; no egress in scope)")
+          require(!what.quoted && what.up == "LOCAL",
+            s"expected LOCAL or FTP after COPY FROM, got '${what.text}'")
+          // sources: raw text until the standalone TO, split on top-level commas
+          def rawUntilWord(words: Set[String]): (String, String) = {
+            val from = toks(p).start
+            var depth = 0
+            while (p < toks.length) {
+              val t = toks(p)
+              val spaced = p == 0 || toks(p - 1).end < t.start
+              if (!t.quoted && t.text == "(") depth += 1
+              else if (!t.quoted && t.text == ")") depth -= 1
+              else if (depth == 0 && !t.quoted &&
+                  (t.text == ";" || (words.contains(t.up) && spaced))) {
+                val text = src.substring(from, t.start).trim
+                p += 1
+                return (text, t.up)
+              }
+              p += 1
+            }
+            throw new IllegalArgumentException(
+              s"unterminated COPY FROM LOCAL: expected one of $words")
+          }
+          val (srcText, afterSrc) = rawUntilWord(Set("TO"))
+          require(afterSrc == "TO", "COPY FROM LOCAL needs TO <target>")
+          val sources = {
+            val out = Seq.newBuilder[String]
+            var depth = 0; var start = 0; var i = 0
+            while (i < srcText.length) {
+              val c = srcText.charAt(i)
+              if (c == '(') depth += 1
+              else if (c == ')') depth -= 1
+              else if (c == ',' && depth == 0) {
+                out += srcText.substring(start, i); start = i + 1
+              }
+              i += 1
+            }
+            out += srcText.substring(start)
+            out.result().map(_.trim).filter(_.nonEmpty)
+          }
+          require(sources.nonEmpty, "COPY FROM LOCAL needs at least one source")
+          val fileOpts = Set("DELETE", "IGNORE", "OVERWRITE", ";")
+          var (target, term) = rawUntilWord(fileOpts)
+          var (del, ign, ovw) = (false, false, false)
+          while (term != ";") {
+            term match {
+              case "DELETE" => del = true
+              case "IGNORE" => ign = true
+              case "OVERWRITE" => ovw = true
+              case other => throw new IllegalArgumentException(
+                s"bad COPY FROM LOCAL option $other")
+            }
+            term = { val t = next(); require(!t.quoted &&
+              fileOpts.contains(t.up), s"unexpected '${t.text}'"); t.up }
+          }
+          return CopyFromLocalStmt(sources, target, del, ign, ovw)
+        }
         val (tableSrc, selectSrc) =
           if (peek.exists(w => !w.quoted && w.text == "(")) {
             // parenthesized select: slice raw text between the outer parens
@@ -882,6 +952,27 @@ object HplSql {
     /** Every engine round-trip goes through here: script-defined function
       * calls are resolved in the (already variable-substituted) SQL text
       * before it reaches the engine. */
+    /** COPY target / delimiter / source text: an expression (quoted literal,
+      * variable, concatenation). A BARE token (path or identifier, nothing
+      * but word/path characters) that fails to evaluate falls back to its
+      * own text — HPL/SQL's undefined-ident-evaluates-to-itself rule, which
+      * is how the reference accepts unquoted file_name operands. Anything
+      * with operators/quotes/spaces must evaluate: a typo'd variable in an
+      * expression is an error, not a literal directory name. */
+    private def evalPathText(raw: String, what: String): String = {
+      val barePath = raw.matches("[A-Za-z0-9_./:\\-]+")
+      val v =
+        try Right(evalScalar(raw))
+        catch { case e: Exception => Left(e) }
+      v match {
+        case Right(null) => throw new IllegalArgumentException(
+          s"COPY $what '$raw' evaluated to NULL")
+        case Right(x) => x.toString
+        case Left(_) if barePath => substitute(raw)
+        case Left(e) => throw e
+      }
+    }
+
     private def engineDf(substituted: String): DataFrame =
       spark.sql(rewriteFuncs(substituted, 0))
 
@@ -1315,28 +1406,8 @@ object HplSql {
           case Some(t) => engineDf(s"SELECT * FROM ${substitute(t)}")
           case None => engineDf(substitute(sel.get))
         }
-        // target / delimiter are expressions (a quoted literal, a variable,
-        // a concatenation). A BARE token (path or identifier, nothing but
-        // word/path characters) that fails to evaluate falls back to its own
-        // text — HPL/SQL's undefined-ident-evaluates-to-itself rule, which
-        // is how the reference accepts unquoted file_name targets. Anything
-        // with operators/quotes/spaces must evaluate: a typo'd variable in
-        // an expression is an error, not a literal directory name.
-        def evalText(raw: String, what: String): String = {
-          val barePath = raw.matches("[A-Za-z0-9_./:\\-]+")
-          val v =
-            try Right(evalScalar(raw))
-            catch { case e: Exception => Left(e) }
-          v match {
-            case Right(null) => throw new IllegalArgumentException(
-              s"COPY $what '$raw' evaluated to NULL")
-            case Right(x) => x.toString
-            case Left(_) if barePath => substitute(raw)
-            case Left(e) => throw e
-          }
-        }
-        val target = evalText(targetText, "target")
-        val delim = delimOpt.map(evalText(_, "delimiter")).getOrElse("\t")
+        val target = evalPathText(targetText, "target")
+        val delim = delimOpt.map(evalPathText(_, "delimiter")).getOrElse("\t")
         val cols = df.columns
         val line = sqlIns match {
           case Some(tname) =>
@@ -1358,6 +1429,50 @@ object HplSql {
         // single-stream file write (a directory of parts IS the HDFS file
         // abstraction; a 100 TB result can't funnel through one stream)
         df.select(line.as("value")).write.mode("overwrite").text(target)
+      case CopyFromLocalStmt(srcTexts, targetText, del, ign, ovw) =>
+        import java.io.File
+        val target = evalPathText(targetText, "target")
+        // expand sources: Copy.java:createLocalFileList — a file lists as
+        // (abs, rel=None); a directory recurses, files in SUBdirs carry the
+        // subdir chain as their relative path, files at the top carry none.
+        // Children sorted for a deterministic copy order (the reference
+        // iterates a HashMap — order there is unspecified).
+        val files = Seq.newBuilder[(File, Option[String])]
+        def walk(dir: File, rel: Option[String]): Unit =
+          dir.listFiles().sortBy(_.getName).foreach { c =>
+            if (c.isDirectory) walk(c, Some(rel.fold(c.getName)(_ + "/" + c.getName)))
+            else files += ((c, rel))
+          }
+        srcTexts.foreach { s0 =>
+          val f = new File(evalPathText(s0, "source"))
+          if (f.isDirectory) walk(f, None)
+          else if (f.exists()) files += ((f, None)) // missing sources skip silently
+        }
+        val expanded = files.result()
+        val multi = expanded.length > 1
+        var failed = 0
+        expanded.foreach { case (srcF, rel) =>
+          try {
+            val destF = {
+              val base = new File(target)
+              if (multi) new File(base, rel.fold(srcF.getName)(_ + "/" + srcF.getName))
+              // single file into an existing directory → dir/name (the
+              // copyFromLocalFile contract); otherwise the target path itself
+              else if (base.isDirectory) new File(base, srcF.getName)
+              else base
+            }
+            if (destF.exists() && !ovw) throw new IllegalArgumentException(
+              s"COPY FROM LOCAL destination exists (no OVERWRITE): $destF")
+            Option(destF.getParentFile).foreach(_.mkdirs())
+            java.nio.file.Files.copy(srcF.toPath, destF.toPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            if (del) srcF.delete()
+          } catch {
+            case e: Exception if ign => failed += 1 // IGNORE: count, continue
+          }
+        }
+        if (failed > 0) org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"[hplsql] COPY FROM LOCAL ignored $failed failed file(s)")
       case ExecImmediate(sqlExpr, into) =>
         // the expression yields the SQL text (Stmt.java exec: evaluate then
         // run); the built string then gets the same variable substitution a

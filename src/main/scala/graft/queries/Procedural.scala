@@ -395,6 +395,60 @@ object Procedural {
         .select(col("nk").cast("bigint").as("nk"), col("nm"),
           col("rk").cast("bigint").as("rk"))
         .orderBy("nk")
+    },
+
+    // COPY FROM LOCAL (Hplsql.g4:617-619, Copy.java:runFromLocal): the
+    // file-transfer statement, previously descoped — now only the FTP
+    // transport remains out of scope. Legs: directory walk (multi-file
+    // naming → target/name), explicit multi-source list, OVERWRITE
+    // idempotence, no-OVERWRITE duplicate rejection, and DELETE removing
+    // sources. The checked result parses both landed copies back; DuckDB
+    // recomputes the exported content from the base table.
+    Qd("q352_hplsql_copy_from_local",
+      """SELECT src, CAST(n_nationkey AS BIGINT) AS nk, n_name AS nm
+        |FROM (
+        |  SELECT 'dir' AS src, n_nationkey, n_name FROM nation WHERE n_regionkey < 2
+        |  UNION ALL
+        |  SELECT 'list', n_nationkey, n_name FROM nation WHERE n_regionkey < 2)
+        |ORDER BY src, nk""") { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val sf = new java.io.File(dir).getName.replace(".", "_")
+      val root = s"/root/repo/target/ddl/$sf/g352_cfl"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      HplSql.run(s, dir,
+        s"""COPY (SELECT n_nationkey, n_name FROM nation WHERE n_regionkey < 2)
+           |  TO '$root/export' DELIMITER ',';
+           |COPY FROM LOCAL $root/export TO $root/land_dir;
+           |SELECT 1 AS ok;""".stripMargin)
+      // writer-assigned part names: feed them back as an explicit source list
+      val parts = new java.io.File(s"$root/export").listFiles()
+        .filter(_.getName.startsWith("part-")).map(_.getAbsolutePath).sorted
+      require(parts.nonEmpty, "export produced no part files")
+      HplSql.run(s, dir,
+        s"COPY FROM LOCAL ${parts.mkString(", ")} TO $root/land_list; " +
+          "SELECT 1 AS ok;")
+      // OVERWRITE re-copy is idempotent; a duplicate without OVERWRITE fails
+      HplSql.run(s, dir,
+        s"COPY FROM LOCAL $root/export TO $root/land_dir OVERWRITE; SELECT 1 AS ok;")
+      require(scala.util.Try(HplSql.run(s, dir,
+        s"COPY FROM LOCAL $root/export TO $root/land_dir; SELECT 1 AS ok;")).isFailure,
+        "copying onto an existing destination without OVERWRITE must fail")
+      // DELETE removes each source file after its copy
+      HplSql.run(s, dir,
+        s"""COPY FROM LOCAL $root/export TO $root/scratch;
+           |COPY FROM LOCAL $root/scratch TO $root/land_del DELETE;
+           |SELECT 1 AS ok;""".stripMargin)
+      require(!new java.io.File(s"$root/scratch").listFiles()
+        .exists(_.getName.startsWith("part-")),
+        "DELETE must remove the source files after copying")
+      def readBack(path: String, tag: String) =
+        s.read.option("sep", ",").option("quote", "")
+          .schema("nk STRING, nm STRING").csv(path)
+          .select(lit(tag).as("src"), col("nk").cast("bigint").as("nk"),
+            col("nm").as("nm"))
+      readBack(s"$root/land_dir", "dir")
+        .unionAll(readBack(s"$root/land_list", "list"))
+        .orderBy("src", "nk")
     }
   )
 }

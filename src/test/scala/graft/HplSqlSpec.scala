@@ -873,12 +873,39 @@ class HplSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!new java.io.File("bse || '/e'").exists())
   }
 
-  test("COPY FROM LOCAL/FTP and COPY ... AT <conn> are rejected with clear errors") {
+  test("COPY FROM FTP and COPY ... AT <conn> are rejected with clear errors") {
     val e1 = intercept[IllegalArgumentException](run1(
-      "COPY FROM LOCAL '/tmp/x' TO '/tmp/y';\nSELECT 1 AS ok;"))
+      "COPY FROM FTP ftp.example.com USER 'u' PWD 'p';\nSELECT 1 AS ok;"))
     assert(e1.getMessage.contains("descoped"))
     val e2 = intercept[IllegalArgumentException](run1(
       "COPY (SELECT 1 AS a) TO '/tmp/y' AT conn1;\nSELECT 1 AS ok;"))
     assert(e2.getMessage.contains("descoped"))
+  }
+
+  test("COPY FROM LOCAL: single-file exact-target vs multi-file naming, " +
+      "IGNORE downgrades an exists-collision, subdir relative paths kept") {
+    val base = new java.io.File("/root/repo/target/hplsqlspec/cfl")
+    org.apache.commons.io.FileUtils.deleteQuietly(base)
+    val srcDir = new java.io.File(base, "src"); srcDir.mkdirs()
+    val sub = new java.io.File(srcDir, "sub"); sub.mkdirs()
+    java.nio.file.Files.writeString(new java.io.File(srcDir, "a.txt").toPath, "A")
+    java.nio.file.Files.writeString(new java.io.File(sub, "b.txt").toPath, "B")
+    // single source FILE → the target path IS the destination file
+    run1(s"COPY FROM LOCAL $base/src/a.txt TO $base/one.txt;\nSELECT 1 AS ok;")
+    assert(java.nio.file.Files.readString(
+      new java.io.File(base, "one.txt").toPath) == "A")
+    // directory walk → multi naming: top file at target/name, subdir file
+    // at target/sub/name (createLocalFileList relative-path chain)
+    run1(s"COPY FROM LOCAL $base/src TO $base/land;\nSELECT 1 AS ok;")
+    assert(java.nio.file.Files.readString(
+      new java.io.File(base, "land/a.txt").toPath) == "A")
+    assert(java.nio.file.Files.readString(
+      new java.io.File(base, "land/sub/b.txt").toPath) == "B")
+    // a duplicate copy fails without OVERWRITE, is swallowed with IGNORE
+    intercept[Exception](run1(
+      s"COPY FROM LOCAL $base/src TO $base/land;\nSELECT 1 AS ok;"))
+    run1(s"COPY FROM LOCAL $base/src TO $base/land IGNORE;\nSELECT 1 AS ok;")
+    assert(java.nio.file.Files.readString(
+      new java.io.File(base, "land/a.txt").toPath) == "A")
   }
 }
