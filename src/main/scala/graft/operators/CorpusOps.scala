@@ -145,6 +145,41 @@ object CorpusOps {
         round(col("n_boiler").cast("double") / col("n_g"), 6))
   }
 
+  /** Line-level exact dedup that REWRITES documents (FineWeb/Dolma
+    * paragraph dedup): drop every line whose corpus-wide document frequency
+    * exceeds `maxDf` (navigation chrome, subscribe boxes, license blurbs —
+    * the text that repeats across a crawl), reassemble the survivors in
+    * original order. [[boilerplateNgrams]] *scores* documents; this
+    * produces the cleaned text.
+    *
+    * Scale shape: lines explode once per formulation; df is an exact
+    * `count(distinct doc_id)` HASH aggregate on the 60-bit line hash
+    * (two-stage partial agg — within-doc repeats count once), then a
+    * shuffle join back on the uniform hash key re-attaches df to each
+    * positioned line (hot boilerplate keys split under AQE skew handling).
+    * Deliberately NOT the window-count formulation boilerplateNgrams uses:
+    * a line shared by EVERY document (the exact target of this op) makes
+    * that window's partition the whole corpus — a spilled giant sort —
+    * while here it is one skew-split join key. Reassembly is a per-doc
+    * `collect_list(struct(pos, line))` bounded by document size. */
+  def dedupLines(docs: DataFrame, maxDf: Long,
+      textCol: String = "text"): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("h", h60c(col("line")))
+    val dfByH = lines.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    lines.join(dfByH, "h")
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("df") <= maxDf,
+            struct(col("pos"), col("line"))))),
+          x => x.getField("line")), "\n").as("clean_text"),
+        sum(when(col("df") <= maxDf, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("df") > maxDf, 1L).otherwise(0L)).as("n_dropped"))
+  }
+
   /** Deterministic weighted domain mixing: keep each doc with probability
     * `weights(keyCol)` (else `defaultWeight`) via the keyed-hash threshold —
     * the Bernoulli thinning step of a mixture schedule (down-weighting

@@ -510,6 +510,35 @@ object Corpus {
       import graft.operators.GroupSample
       GroupSample.bottomK(docs(s, dir), Seq("lang"), "doc_id",
         seed = "gs10", k = 20).orderBy("lang", "doc_id")
+    },
+
+    // Line-level dedup that REWRITES documents (FineWeb/Dolma paragraph
+    // dedup, [[CorpusOps.dedupLines]]): drop lines shared by more than
+    // maxDf documents, reassemble survivors in original order. The
+    // synthetic corpus is single-line, so BOTH engines derive the line
+    // structure closed-form first (every 2-word group becomes a line) —
+    // the op itself is generic over real multi-line text.
+    Qd("q353_dedup_lines",
+      """WITH lined AS (
+        |  SELECT doc_id,
+        |    regexp_replace(text, '(\S+ \S+) ', '\1' || chr(10), 'g') AS t
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(1, len(string_split(t, chr(10))))) - 1 AS pos,
+        |    unnest(string_split(t, chr(10))) AS line
+        |  FROM lined),
+        |df AS (SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY 1),
+        |j AS (SELECT l.doc_id, l.pos, l.line, d.df FROM lines l JOIN df d USING (line))
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN df <= 25 THEN line END, chr(10) ORDER BY pos),
+        |    '') AS clean_text,
+        |  sum(CASE WHEN df <= 25 THEN 1 ELSE 0 END) AS n_kept,
+        |  sum(CASE WHEN df > 25 THEN 1 ELSE 0 END) AS n_dropped
+        |FROM j GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
+      val lined = docs(s, dir).select(col("doc_id"),
+        regexp_replace(col("text"), "(\\S+ \\S+) ", "$1\n").as("text"))
+      CorpusOps.dedupLines(lined, maxDf = 25).orderBy("doc_id")
     }
   )
 

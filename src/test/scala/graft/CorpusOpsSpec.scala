@@ -116,6 +116,27 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       1L -> (2L, 1L, 0.5), 2L -> (2L, 1L, 0.5), 3L -> (2L, 1L, 0.5)))
   }
 
+  test("dedupLines: hand-computed drop + in-order reassembly + empty-doc result") {
+    val s = spark
+    import s.implicits._
+    // "shared" appears in all 3 docs (df=3), "pair" in two (df=2),
+    // uniques in one; within-doc repeat of "shared" must count df ONCE
+    val docs = Seq(
+      (1L, "u1\nshared\nu2\nshared"),
+      (2L, "shared\npair\nu3"),
+      (3L, "pair\nshared")).toDF("doc_id", "text")
+    val out = CorpusOps.dedupLines(docs, maxDf = 2)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    assert(out(0) == ((1L, "u1\nu2", 2L, 2L)),
+      "df=3 line dropped at both positions, survivors keep order")
+    assert(out(1) == ((2L, "pair\nu3", 2L, 1L)))
+    assert(out(2) == ((3L, "pair", 1L, 1L)))
+    // tighter threshold: doc 3 loses everything → empty string, not null
+    val all = CorpusOps.dedupLines(docs, maxDf = 1)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    assert(all(2) == ((3L, "", 0L, 2L)))
+  }
+
   test("stratifiedSample: k per stratum, deterministic, subset of stratum") {
     val docs = docsDf((0L until 300L).map(i => (i, "t", s"src${i % 5}")))
     val out = CorpusOps.stratifiedSample(docs, "source", k = 4, seed = "x").collect()
