@@ -4,6 +4,43 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Harness lint (the r13 q353 lesson): the driver's row-hash
+    * canonicalization breaks on string values containing embedded newlines
+    * — a value-identical result still hashes red. No checked output value
+    * may contain a newline; any query whose written result has one FAILS
+    * here (output deleted so the round records a loud failure, not a
+    * silent hash mismatch). Checks every column whose type embeds strings
+    * (top-level, array, struct) by casting to string; binary columns are
+    * exempt (their bytes are compared byte-wise, not line-canonicalized). */
+  private def lintNoNewlines(spark: SparkSession, path: String,
+      name: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    def hasString(dt: DataType): Boolean = dt match {
+      case StringType => true
+      case ArrayType(et, _) => hasString(et)
+      case MapType(k, v, _) => hasString(k) || hasString(v)
+      case StructType(fs) => fs.exists(f => hasString(f.dataType))
+      case _ => false
+    }
+    val written = spark.read.parquet(path)
+    val cols = written.schema.fields
+      .filter(f => hasString(f.dataType)).map(_.name)
+    if (cols.nonEmpty) {
+      val bad = written.filter(cols.map(c =>
+        col(c).cast("string").rlike("[\\n\\r]")).reduce(_ || _))
+      if (!bad.isEmpty) {
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        throw new IllegalStateException(
+          s"$name: result strings contain embedded newlines — the driver " +
+            "hash canonicalization breaks on them (r13 q353); emit " +
+            "md5(text) or a substituted text instead")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: Verify <sfDir> <outDir> [queryName...]")
     val (sfDir, outDir) = (args(0), args(1))
@@ -29,6 +66,7 @@ object Verify {
           spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
           fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
+          lintNoNewlines(spark, s"$outDir/$name", name)
         }
       })
       try {

@@ -517,7 +517,15 @@ object Corpus {
     // maxDf documents, reassemble survivors in original order. The
     // synthetic corpus is single-line, so BOTH engines derive the line
     // structure closed-form first (every 2-word group becomes a line) —
-    // the op itself is generic over real multi-line text.
+    // the op itself is generic over real multi-line text. The CHECKED
+    // column is md5(clean_text), not clean_text: the rewritten text
+    // carries real embedded newlines (it must — that is the op), and
+    // r13 proved the driver's row-hash canonicalization breaks on
+    // newline-bearing values (q353 was value-identical to the oracle on
+    // all 500 rows yet hash-red). md5 agrees between Spark and DuckDB on
+    // UTF-8 bytes and removes the hazard entirely; Verify now lints every
+    // result for newline-bearing strings so this class of artifact cannot
+    // recur.
     Qd("q353_dedup_lines",
       """WITH lined AS (
         |  SELECT doc_id,
@@ -531,14 +539,17 @@ object Corpus {
         |df AS (SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY 1),
         |j AS (SELECT l.doc_id, l.pos, l.line, d.df FROM lines l JOIN df d USING (line))
         |SELECT doc_id,
-        |  coalesce(string_agg(CASE WHEN df <= 25 THEN line END, chr(10) ORDER BY pos),
-        |    '') AS clean_text,
+        |  md5(coalesce(string_agg(CASE WHEN df <= 25 THEN line END, chr(10) ORDER BY pos),
+        |    '')) AS clean_md5,
         |  sum(CASE WHEN df <= 25 THEN 1 ELSE 0 END) AS n_kept,
         |  sum(CASE WHEN df > 25 THEN 1 ELSE 0 END) AS n_dropped
         |FROM j GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
       val lined = docs(s, dir).select(col("doc_id"),
         regexp_replace(col("text"), "(\\S+ \\S+) ", "$1\n").as("text"))
-      CorpusOps.dedupLines(lined, maxDf = 25).orderBy("doc_id")
+      CorpusOps.dedupLines(lined, maxDf = 25)
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+          col("n_kept"), col("n_dropped"))
+        .orderBy("doc_id")
     }
   )
 
