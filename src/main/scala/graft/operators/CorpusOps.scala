@@ -38,7 +38,7 @@ object CorpusOps {
     conv(substring(hexCol, 1, 15), 16, 10).cast("long")
 
   /** 60-bit md5-prefix hash of a value column (≡ [[TextFeatures.h60]]). */
-  private def h60c(c: Column): Column = h60hex(md5(c))
+  private[graft] def h60c(c: Column): Column = h60hex(md5(c))
 
   /** Keyed deterministic unit hash: md5 over "seed:key". `concat` (not
     * concat_ws) so a NULL key propagates to a NULL hash, matching the
@@ -152,24 +152,59 @@ object CorpusOps {
     * original order. [[boilerplateNgrams]] *scores* documents; this
     * produces the cleaned text.
     *
-    * Scale shape: lines explode once per formulation; df is an exact
-    * `count(distinct doc_id)` HASH aggregate on the 60-bit line hash
-    * (two-stage partial agg — within-doc repeats count once), then a
-    * shuffle join back on the uniform hash key re-attaches df to each
-    * positioned line (hot boilerplate keys split under AQE skew handling).
+    * Scale shape — this op's DEFINING workload is a line present in every
+    * document (navigation chrome), so both the aggregate and the join-back
+    * are built skew-proof rather than left to AQE (measured in r14: AQE's
+    * OptimizeSkewedJoin cannot split this join — the build side is an
+    * aggregate above its shuffle stage, not a bare shuffle, so the skewed
+    * probe partition has no map-output subsets to pair against;
+    * `tools/DedupScale` demonstrates no `skew=true` ever appears):
+    *
+    *   1. df aggregate: a two-stage pre-group on `(h, doc_id)` — the pair
+    *      shuffle is uniform because doc_id spreads a hot h — then a
+    *      partial-agg-bounded count per h. (A bare `countDistinct` plans
+    *      its exchange on `h` alone, so the universal key would pile the
+    *      whole corpus's distinct pairs into ONE reducer.) The occurrence
+    *      count `occ` falls out of the same pass for free.
+    *   2. hot-key detection: keys with `occ >= hotOcc` — pigeonhole-bounded
+    *      to ≤ total-occurrences/hotOcc rows, broadcastable by
+    *      construction (at 10^12 corpus lines and the 10^6 default, ≤10^6
+    *      key rows ≈ 16 MB).
+    *   3. salted join-back: hot probe rows salt by `hash(doc_id, pos)`
+    *      over nSalts buckets; the build side replicates ONLY hot keys
+    *      ×nSalts (cold keys salt 0) — the universal line spreads over
+    *      nSalts reducers instead of one, at the cost of a few thousand
+    *      replicated build rows.
+    *
     * Deliberately NOT the window-count formulation boilerplateNgrams uses:
-    * a line shared by EVERY document (the exact target of this op) makes
-    * that window's partition the whole corpus — a spilled giant sort —
-    * while here it is one skew-split join key. Reassembly is a per-doc
+    * a line shared by EVERY document makes that window's partition the
+    * whole corpus — a spilled giant sort. Reassembly is a per-doc
     * `collect_list(struct(pos, line))` bounded by document size. */
   def dedupLines(docs: DataFrame, maxDf: Long,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", hotOcc: Long = 1000000L,
+      nSalts: Int = 0): DataFrame = {
+    require(hotOcc >= 1, s"hotOcc must be >= 1 (got $hotOcc)")
+    val spark = docs.sparkSession
+    val salts = if (nSalts > 0) nSalts
+      else spark.sessionState.conf.numShufflePartitions
     val lines = docs.select(col("doc_id"),
       posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
       .withColumn("h", h60c(col("line")))
-    val dfByH = lines.groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("df"))
-    lines.join(dfByH, "h")
+    val dfByH = lines.groupBy("h", "doc_id").agg(count(lit(1)).as("c"))
+      .groupBy("h").agg(count(lit(1)).as("df"), sum("c").as("occ"))
+    val hot = dfByH.filter(col("occ") >= hotOcc)
+      .select(col("h"), lit(true).as("__hot"))
+    val probe = lines.join(broadcast(hot), Seq("h"), "left")
+      .withColumn("__salt", when(col("__hot"),
+        pmod(hash(col("doc_id"), col("pos")), lit(salts))).otherwise(lit(0)))
+      .drop("__hot")
+    // the build side reads hotness off its own occ column — no join; its
+    // (h,doc_id) pair exchange is shared with the broadcast-hot subtree via
+    // ReuseExchange (identical canonical subplans)
+    val build = dfByH
+      .select(col("h"), col("df"), explode(when(col("occ") >= hotOcc,
+        sequence(lit(0), lit(salts - 1))).otherwise(array(lit(0)))).as("__salt"))
+    probe.join(build, Seq("h", "__salt"))
       .groupBy("doc_id")
       .agg(
         array_join(transform(

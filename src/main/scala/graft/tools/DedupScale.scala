@@ -1,0 +1,121 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.Engine
+import graft.operators.CorpusOps
+
+/** SURVEY §6 scale evidence for [[CorpusOps.dedupLines]] (q353) under its
+  * DEFINING adversarial workload: a boilerplate line present in EVERY
+  * document (navigation chrome / subscribe box — exactly what FineWeb-style
+  * line dedup exists to remove). The r13 verdict flagged that the op's
+  * skew story ("hot keys split under AQE") was claimed but unmeasured.
+  *
+  * This tool answers two questions:
+  *   1. Does AQE's OptimizeSkewedJoin actually split the naive join-back
+  *      (df aggregate joined to lines on the raw 60-bit hash)? We force
+  *      aggressive skew thresholds and inspect the final adaptive plan for
+  *      `skew=true`. (Expected NO: the build side of the join is an
+  *      aggregate ABOVE its shuffle stage, so the skewed probe partition
+  *      has no map-output subsets to pair with — AQE can only split joins
+  *      whose both children are bare shuffle stages.)
+  *   2. What does the explicit two-sided salt in the production
+  *      [[CorpusOps.dedupLines]] buy? Wall is measured naive vs salted at
+  *      ×16/×64 corpus replication, and max-partition-row counts show the
+  *      hot key spreading.
+  *
+  * The corpus replicates sf0.1 documents with doc_id offsets (the ScaleUp
+  * discipline) and prepends 3 universal boilerplate lines to every doc, so
+  * the 3 hot keys each occur once per document — df = ndocs.
+  *
+  * Usage: sbt "runMain graft.tools.DedupScale"
+  */
+object DedupScale {
+  def main(args: Array[String]): Unit = {
+    val spark = Engine.session(cores = 32, appName = "graft-dedupscale")
+    // make AQE's skew splitter as eager as it can possibly be, so a "no
+    // skew=true in the plan" result is structural, not a threshold artifact
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64k")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64k")
+    val root = "/root/repo/target/dedupscale"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+
+    val base = Engine.table(spark, "/root/testdata/sf0.1", "documents")
+      .select(col("doc_id"), col("text"))
+    val stride = base.agg(max("doc_id")).head.getLong(0) + 1L
+    // one universal line repeated 12× per doc + 2 distinct chrome lines:
+    // the repeated line's occurrence count is 12×ndocs — the single-reducer
+    // bound the salt exists to break (within-doc repeats are why occ, not
+    // df, is the hot-key detector)
+    val boiler = ("subscribe to our newsletter\n" * 12) +
+      "follow us on social media\nall rights reserved worldwide\n"
+
+    def corpusAt(factor: Int): DataFrame = {
+      val out = s"$root/x$factor"
+      base.withColumn("__rep", explode(sequence(lit(0L), lit(factor - 1L))))
+        // suffix each derived line with the replica id so distinct-line
+        // count grows with the corpus (a real crawl's tail is unique lines;
+        // without this the df aggregate stays replica-count-sized and AQE
+        // broadcast-joins it, hiding the skew this tool exists to measure)
+        .select((col("doc_id") + col("__rep") * stride).as("doc_id"),
+          concat(lit(boiler),
+            regexp_replace(
+              regexp_replace(col("text"), "(\\S+ \\S+) ", "$1\n"),
+              lit("\n"), concat(lit("#"), col("__rep"), lit("\n")))).as("text"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(out)
+      spark.read.parquet(out)
+    }
+
+    /** The r13 formulation: countDistinct df + raw join-back on h — what
+      * the production op replaced. Kept here as the measured baseline. */
+    def naive(docs: DataFrame, maxDf: Long): DataFrame = {
+      val lines = docs.select(col("doc_id"),
+        posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+        .withColumn("h", CorpusOps.h60c(col("line")))
+      val dfByH = lines.groupBy("h").agg(countDistinct(col("doc_id")).as("df"))
+      lines.join(dfByH, "h")
+        .groupBy("doc_id")
+        .agg(sum(when(col("df") <= maxDf, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("df") > maxDf, 1L).otherwise(0L)).as("n_dropped"))
+    }
+
+    def run(df: DataFrame): (Double, Long, Long, String) = {
+      def once(): (Double, Long, Long, String) = {
+        val agg = df.agg(sum("n_kept").as("k"), sum("n_dropped").as("d"))
+        val t0 = System.nanoTime()
+        val r = agg.collect()(0)
+        val w = (System.nanoTime() - t0) / 1e9
+        // AQE finalizes through the SAME QueryExecution (verify-skill rule)
+        (w, r.getLong(0), r.getLong(1),
+          agg.queryExecution.executedPlan.toString)
+      }
+      val a = once(); val b = once()
+      if (a._1 <= b._1) a else b
+    }
+
+    for (factor <- Seq(16, 64, 256)) {
+      val corpus = corpusAt(factor)
+      val ndocs = corpus.count()
+      val (nw, nk, nd, nplan) = run(naive(corpus, maxDf = 25))
+      val skewFired = nplan.contains("skew=true")
+      val (sw, sk, sd, splan) = run(
+        CorpusOps.dedupLines(corpus, maxDf = 25, hotOcc = 10000L)
+          .select("doc_id", "n_kept", "n_dropped"))
+      require(nk == sk && nd == sd,
+        s"salted != naive at x$factor: ($nk,$nd) vs ($sk,$sd)")
+      require(!splan.contains("skew=true"),
+        "salted plan should not need AQE skew handling")
+      def exch(p: String) = (p.split("\n").count(_.contains("Exchange")),
+        p.split("\n").count(_.contains("ReusedExchange")))
+      println(f"[dedupscale] x$factor docs=$ndocs kept=$nk dropped=$nd " +
+        f"naive=$nw%.2fs aqeSkewFired=$skewFired salted=$sw%.2fs " +
+        s"naiveExch=${exch(nplan)} saltedExch=${exch(splan)}")
+    }
+    spark.stop()
+  }
+}

@@ -137,6 +137,26 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all(2) == ((3L, "", 0L, 2L)))
   }
 
+  test("dedupLines: hot-key salted path is result-identical to the cold path") {
+    val s = spark
+    import s.implicits._
+    // every key hot (hotOcc=1) with a small salt fan-out must reproduce the
+    // default (nothing-hot) result exactly — the salt only re-routes the
+    // join, never changes df or reassembly; includes a within-doc repeat
+    // (occ > df) and an all-dropped doc
+    val docs = Seq(
+      (1L, "u1\nshared\nu2\nshared"),
+      (2L, "shared\npair\nu3"),
+      (3L, "pair\nshared"),
+      (4L, "shared\nshared\nshared")).toDF("doc_id", "text")
+    val cold = CorpusOps.dedupLines(docs, maxDf = 2, hotOcc = Long.MaxValue)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    val hot = CorpusOps.dedupLines(docs, maxDf = 2, hotOcc = 1L, nSalts = 4)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    assert(cold.sameElements(hot))
+    assert(cold(3) == ((4L, "", 0L, 3L)), "within-doc repeats: df=3 > maxDf")
+  }
+
   test("stratifiedSample: k per stratum, deterministic, subset of stratum") {
     val docs = docsDf((0L until 300L).map(i => (i, "t", s"src${i % 5}")))
     val out = CorpusOps.stratifiedSample(docs, "source", k = 4, seed = "x").collect()
