@@ -124,33 +124,88 @@ object IvfPq {
     probeEncoded(queries, corpus, encodeAll(cc, book), book, k, nprobe, shortlist)
   }
 
-  /** A built IVF-PQ index: codes on disk partitioned by coarse list, plus
-    * the broadcast-sized codebook — the `faiss.write_index` analog. */
+  /** A built IVF-PQ index: codes on disk partitioned by coarse list under
+    * `path/lists`, the frozen codebook persisted under `path/_book`, plus
+    * the broadcast copy — the `faiss.write_index` analog. */
   final class IvfPqIndex private[IvfPq] (
       val path: String,
       private[IvfPq] val book: org.apache.spark.broadcast.Broadcast[Book])
 
-  /** Train + encode ONCE and persist — the FAISS index-build step, split
-    * from [[probeIndex]] because that is the production cost model: the
-    * encode pass (corpus × nlist coarse argmax + corpus × m×ncent residual
-    * argmin) is paid at ingest, while each query batch pays only its
-    * probes. Codes are written `partitionBy(cent_id)`, so a probe's static
-    * `cent_id IN (...)` prunes to the probed lists at the FILE level —
-    * the scan never touches unprobed inverted lists, which is what keeps
-    * probe wall flat while the corpus grows (AnnScale measures it). */
+  /** TRAIN step of the FAISS lifecycle (`index.train(sample)`): derive the
+    * coarse + residual codebooks from `sample` and FREEZE them into the
+    * `_book` sidecar (coarse rows + per-subspace residual centroids, two
+    * tiny parquet files). Every later [[addBatch]] encodes against this
+    * frozen book — which is exactly what makes incremental ingest
+    * order-independent and bit-equal to a one-shot build: codes are a pure
+    * per-row function of (vector, book). Destroys anything at `path`. */
+  def trainIndex(sample: DataFrame, path: String, centroidStride: Int,
+      m: Int = 16, ncent: Int = 16, pqStride: Int = 7): Unit = {
+    val spark = sample.sparkSession
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val book = collectBook(AnnSearch.quantized(sample),
+      centroidStride, m, ncent, pqStride)
+    book.coarse.toSeq.map { case (id, e) => (id, e.toSeq) }
+      .toDF("cent_id", "ce").coalesce(1)
+      .write.parquet(s"$path/_book/coarse")
+    (for (mi <- 0 until book.m; j <- 0 until book.ncent)
+      yield (mi, j, book.cents(mi)(j).toSeq))
+      .toDF("mi", "j", "cent").coalesce(1)
+      .write.parquet(s"$path/_book/pq")
+  }
+
+  /** Load the frozen `_book` sidecar back into the broadcast-sized form.
+    * O(nlist·dim + m·ncent·ds) — codebook-sized by construction. */
+  private def loadBook(spark: org.apache.spark.sql.SparkSession,
+      path: String): Book = {
+    import spark.implicits._
+    val coarse = spark.read.parquet(s"$path/_book/coarse")
+      .as[(Long, Seq[Long])].collect()
+      .map { case (i, e) => (i, e.toArray) }.sortBy(_._1)
+    val pq = spark.read.parquet(s"$path/_book/pq")
+      .as[(Int, Int, Seq[Long])].collect()
+    val m = pq.map(_._1).max + 1
+    val ncent = pq.map(_._2).max + 1
+    val cents = Array.ofDim[Array[Long]](m, ncent)
+    pq.foreach { case (mi, j, c) => cents(mi)(j) = c.toArray }
+    Book(coarse, cents, cents(0)(0).length)
+  }
+
+  /** ADD step (`index.add(batch)`): encode the batch against the frozen
+    * book and APPEND its codes to the inverted-list partitions. Each batch
+    * writes one file per touched list (the build discipline AnnScale
+    * surfaced: without the repartition every encode task writes a sliver
+    * of every list — nlist × tasks small files); a list ingested in B
+    * batches holds B files, still file-pruned as one partition at probe
+    * time. Pure append — batches commute, and ingest order cannot change
+    * any probe result because ranking is a deterministic total order over
+    * per-row scores. */
+  def addBatch(batch: DataFrame, path: String): Unit = {
+    val spark = batch.sparkSession
+    val book = spark.sparkContext.broadcast(loadBook(spark, path))
+    encodeAll(AnnSearch.quantized(batch), book)
+      .repartition(col("cent_id")).write.mode("append")
+      .partitionBy("cent_id").parquet(s"$path/lists")
+  }
+
+  /** Open a persisted index for probing (the `faiss.read_index` analog). */
+  def openIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): IvfPqIndex =
+    new IvfPqIndex(path, spark.sparkContext.broadcast(loadBook(spark, path)))
+
+  /** One-shot build = train on the full corpus + add it as one batch — the
+    * production cost model: the encode pass (corpus × nlist coarse argmax
+    * + corpus × m×ncent residual argmin) is paid at ingest, while each
+    * query batch pays only its probes. Same on-disk layout as incremental
+    * ingest ([[trainIndex]]/[[addBatch]]), so [[probeIndex]] serves both
+    * and equality is structural (and still spec-pinned). */
   def buildIndex(corpus: DataFrame, path: String, centroidStride: Int,
       m: Int = 16, ncent: Int = 16, pqStride: Int = 7): IvfPqIndex = {
-    val spark = corpus.sparkSession
-    val cc = AnnSearch.quantized(corpus)
-    val book = spark.sparkContext.broadcast(
-      collectBook(cc, centroidStride, m, ncent, pqStride))
-    // cluster each inverted list into ONE file: without the repartition
-    // every encode task writes its own sliver of every list —
-    // nlist × tasks tiny files, and the probe pays the open/footer cost of
-    // all of them (the small-files problem, here at index-build time)
-    encodeAll(cc, book).repartition(col("cent_id")).write.mode("overwrite")
-      .partitionBy("cent_id").parquet(path)
-    new IvfPqIndex(path, book)
+    trainIndex(corpus, path, centroidStride, m, ncent, pqStride)
+    addBatch(corpus, path)
+    openIndex(corpus.sparkSession, path)
   }
 
   /** Probe a built index: partition-pruned ADC scan of the probed lists +
@@ -159,7 +214,7 @@ object IvfPq {
   def probeIndex(queries: DataFrame, corpus: DataFrame, index: IvfPqIndex,
       k: Int, nprobe: Int, shortlist: Int = 64): DataFrame = {
     val spark = corpus.sparkSession
-    val encoded = spark.read.parquet(index.path)
+    val encoded = spark.read.parquet(s"${index.path}/lists")
       .select("cid", "cent_id", "codes", "rn2") // partition col re-ordered
     probeEncoded(queries, corpus, encoded, index.book, k, nprobe, shortlist)
   }

@@ -401,86 +401,38 @@ object Pipeline {
     // replays coarse assign → residual codebook → encode (incl. the exact
     // reconstructed norm²) → probes → ADC → shortlist → exact rescore
     // bit-identically. Recall + brute-force degeneracy in PipelineSpec.
-    Qd("q348_ann_ivfpq",
-      s"""WITH ${qCte("qq", "WHERE vec_id < 50")},
-        |${qCte("cc", "")},
-        |cents AS (SELECT vec_id AS cent_id, qe AS ce FROM cc WHERE vec_id % 40 = 0),
-        |ca AS (SELECT cid, cent_id FROM (
-        |  SELECT cc.vec_id AS cid, cents.cent_id,
-        |    row_number() OVER (PARTITION BY cc.vec_id ORDER BY
-        |      CAST(list_sum(list_transform(range(1, 65), i -> cc.qe[i]*cents.ce[i])) AS BIGINT) DESC,
-        |      cents.cent_id) AS rn
-        |  FROM cc, cents) WHERE rn = 1),
-        |cav AS (SELECT ca.cid, ca.cent_id, cents.ce FROM ca JOIN cents USING (cent_id)),
-        |ms AS (SELECT unnest(range(0, 16)) AS mi),
-        |pql AS (SELECT CAST(c.vec_id // 7 AS INT) AS j, ms.mi AS mi,
-        |    list_transform(range(1, 5), i -> c.qe[ms.mi*4 + i] - v.ce[ms.mi*4 + i]) AS cent
-        |  FROM cc c JOIN cav v ON v.cid = c.vec_id, ms
-        |  WHERE c.vec_id % 7 = 0 AND c.vec_id < 112),
-        |csub AS (SELECT c.vec_id AS cid, v.cent_id, ms.mi AS mi,
-        |    list_transform(range(1, 5), i -> c.qe[ms.mi*4 + i] - v.ce[ms.mi*4 + i]) AS sub,
-        |    list_transform(range(1, 5), i -> v.ce[ms.mi*4 + i]) AS csl
-        |  FROM cc c JOIN cav v ON v.cid = c.vec_id, ms),
-        |dist AS (SELECT s.cid, s.mi, b.j,
-        |    list_sum(list_transform(range(1, 5),
-        |      i -> (s.sub[i]-b.cent[i])*(s.sub[i]-b.cent[i]))) AS d2
-        |  FROM csub s JOIN pql b ON b.mi = s.mi),
-        |code AS (SELECT cid, mi, j FROM (
-        |    SELECT cid, mi, j,
-        |      row_number() OVER (PARTITION BY cid, mi ORDER BY d2, j) AS rn
-        |    FROM dist) WHERE rn = 1),
-        |rn2 AS (SELECT c.cid, SUM(list_sum(list_transform(range(1, 5),
-        |      i -> (s.csl[i]+b.cent[i])*(s.csl[i]+b.cent[i])))) AS rn2
-        |  FROM code c JOIN csub s ON s.cid = c.cid AND s.mi = c.mi
-        |  JOIN pql b ON b.mi = c.mi AND b.j = c.j
-        |  GROUP BY c.cid),
-        |qn AS (SELECT vec_id,
-        |    list_sum(list_transform(range(1, 65), i -> qe[i]*qe[i])) AS qn2
-        |  FROM qq),
-        |qa AS (SELECT qid, cent_id, dt FROM (
-        |    SELECT qid, cent_id, dt,
-        |      row_number() OVER (PARTITION BY qid ORDER BY dt DESC, cent_id) AS rn
-        |    FROM (SELECT qq.vec_id AS qid, cents.cent_id,
-        |        CAST(list_sum(list_transform(range(1, 65), i -> qq.qe[i]*cents.ce[i])) AS BIGINT) AS dt
-        |      FROM qq, cents)) WHERE rn <= 4),
-        |qsub AS (SELECT vec_id, ms.mi AS mi,
-        |    list_transform(range(1, 5), i -> qe[ms.mi*4 + i]) AS sub
-        |  FROM qq, ms),
-        |lut AS (SELECT q.vec_id AS qid, q.mi, b.j,
-        |    list_sum(list_transform(range(1, 5), i -> q.sub[i]*b.cent[i])) AS dt
-        |  FROM qsub q JOIN pql b ON b.mi = q.mi),
-        |prs AS (SELECT a.qid, c.cid, a.dt AS qdotc
-        |  FROM qa a JOIN ca c ON c.cent_id = a.cent_id WHERE a.qid <> c.cid),
-        |adc AS (SELECT p.qid, p.cid, p.qdotc + SUM(l.dt) AS adcdot
-        |  FROM prs p JOIN code c ON c.cid = p.cid
-        |  JOIN lut l ON l.qid = p.qid AND l.mi = c.mi AND l.j = c.j
-        |  GROUP BY p.qid, p.cid, p.qdotc),
-        |appr AS (SELECT a.qid, a.cid,
-        |    CASE WHEN CAST(q.qn2 AS DOUBLE)*CAST(r.rn2 AS DOUBLE) = 0 THEN -1.0
-        |      ELSE CAST(a.adcdot AS DOUBLE)
-        |        / sqrt(CAST(q.qn2 AS DOUBLE)*CAST(r.rn2 AS DOUBLE)) END AS adc
-        |  FROM adc a JOIN qn q ON q.vec_id = a.qid JOIN rn2 r ON r.cid = a.cid),
-        |short AS (SELECT qid, cid FROM (
-        |    SELECT qid, cid,
-        |      row_number() OVER (PARTITION BY qid ORDER BY adc DESC, cid) AS rn
-        |    FROM appr) WHERE rn <= 64),
-        |cn AS (SELECT vec_id AS cid, qe AS ce,
-        |    list_sum(list_transform(range(1, 65), i -> qe[i]*qe[i])) AS cn2
-        |  FROM cc),
-        |sc AS (SELECT s.qid, s.cid,
-        |    CAST(list_sum(list_transform(range(1, 65), i -> q.qe[i]*c.ce[i])) AS DOUBLE)
-        |      / sqrt(CAST(qn.qn2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE)) AS cos
-        |  FROM short s JOIN qq q ON q.vec_id = s.qid
-        |  JOIN cn c ON c.cid = s.cid JOIN qn ON qn.vec_id = s.qid),
-        |rk AS (SELECT qid, cid, cos,
-        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
-        |  FROM sc)
-        |SELECT qid, cid, rk, ROUND(cos, 6) AS cos
-        |FROM rk WHERE rk <= 10 ORDER BY qid, rk""") { (s, dir) =>
+    Qd("q348_ann_ivfpq", ivfPqOracleSql) { (s, dir) =>
       val e = emb(s, dir)
       graft.operators.IvfPq.ivfPqTopK(e.filter(col("id") < 50), e, 10,
           centroidStride = 40, nprobe = 4, m = 16, ncent = 16, pqStride = 7,
           shortlist = 64)
+        .select(col("qid"), col("cid"), col("rk").cast("bigint").as("rk"),
+          col("cos"))
+        .orderBy("qid", "rk")
+    },
+
+    // Incremental IVF-PQ ingest ([[IvfPq.trainIndex]]/[[IvfPq.addBatch]]/
+    // [[IvfPq.openIndex]]) — the FAISS train-once/add-forever lifecycle at
+    // the production index shape, completing the incremental trilogy
+    // (q260 stride-IVF, q275 k-means-IVF, now IVF-PQ): the codebooks are
+    // trained ONCE and frozen into the `_book` sidecar, each batch encodes
+    // against the frozen book and APPENDS inverted-list partition files,
+    // and the probe is the same partition-pruned ADC + exact rescore. The
+    // query replays the whole lifecycle (train on the corpus, ingest in 3
+    // id%3 batches, probe from disk); because codes are a pure per-row
+    // function of (vector, frozen book), the result is bit-equal to the
+    // one-shot q348 — SAME oracle SQL. Order independence and one-shot
+    // equality are additionally spec-pinned in PipelineSpec.
+    Qd("q354_ann_ivfpq_ingest", ivfPqOracleSql) { (s, dir) =>
+      import graft.operators.IvfPq
+      val e = emb(s, dir)
+      val sf = new java.io.File(dir).getName.replace(".", "_")
+      val idx = s"/root/repo/target/ddl/$sf/g354_ivfpq"
+      IvfPq.trainIndex(e, idx, centroidStride = 40, m = 16, ncent = 16,
+        pqStride = 7)
+      (0 to 2).foreach(i => IvfPq.addBatch(e.filter(col("id") % 3 === i), idx))
+      IvfPq.probeIndex(e.filter(col("id") < 50), e, IvfPq.openIndex(s, idx),
+          10, nprobe = 4, shortlist = 64)
         .select(col("qid"), col("cid"), col("rk").cast("bigint").as("rk"),
           col("cos"))
         .orderBy("qid", "rk")
@@ -989,4 +941,85 @@ object Pipeline {
       }.reduce(_ unionByName _).orderBy("d1", "d2")
     }
   )
+
+  /** Shared DuckDB replay of the IVF-PQ pipeline (q348 one-shot, q354
+    * incremental ingest — identical results by the frozen-book contract):
+    * coarse assign → residual codebook → encode (incl. exact reconstructed
+    * norm²) → probes → ADC → shortlist → exact rescore, all int64. */
+  private def ivfPqOracleSql: String =
+      s"""WITH ${qCte("qq", "WHERE vec_id < 50")},
+        |${qCte("cc", "")},
+        |cents AS (SELECT vec_id AS cent_id, qe AS ce FROM cc WHERE vec_id % 40 = 0),
+        |ca AS (SELECT cid, cent_id FROM (
+        |  SELECT cc.vec_id AS cid, cents.cent_id,
+        |    row_number() OVER (PARTITION BY cc.vec_id ORDER BY
+        |      CAST(list_sum(list_transform(range(1, 65), i -> cc.qe[i]*cents.ce[i])) AS BIGINT) DESC,
+        |      cents.cent_id) AS rn
+        |  FROM cc, cents) WHERE rn = 1),
+        |cav AS (SELECT ca.cid, ca.cent_id, cents.ce FROM ca JOIN cents USING (cent_id)),
+        |ms AS (SELECT unnest(range(0, 16)) AS mi),
+        |pql AS (SELECT CAST(c.vec_id // 7 AS INT) AS j, ms.mi AS mi,
+        |    list_transform(range(1, 5), i -> c.qe[ms.mi*4 + i] - v.ce[ms.mi*4 + i]) AS cent
+        |  FROM cc c JOIN cav v ON v.cid = c.vec_id, ms
+        |  WHERE c.vec_id % 7 = 0 AND c.vec_id < 112),
+        |csub AS (SELECT c.vec_id AS cid, v.cent_id, ms.mi AS mi,
+        |    list_transform(range(1, 5), i -> c.qe[ms.mi*4 + i] - v.ce[ms.mi*4 + i]) AS sub,
+        |    list_transform(range(1, 5), i -> v.ce[ms.mi*4 + i]) AS csl
+        |  FROM cc c JOIN cav v ON v.cid = c.vec_id, ms),
+        |dist AS (SELECT s.cid, s.mi, b.j,
+        |    list_sum(list_transform(range(1, 5),
+        |      i -> (s.sub[i]-b.cent[i])*(s.sub[i]-b.cent[i]))) AS d2
+        |  FROM csub s JOIN pql b ON b.mi = s.mi),
+        |code AS (SELECT cid, mi, j FROM (
+        |    SELECT cid, mi, j,
+        |      row_number() OVER (PARTITION BY cid, mi ORDER BY d2, j) AS rn
+        |    FROM dist) WHERE rn = 1),
+        |rn2 AS (SELECT c.cid, SUM(list_sum(list_transform(range(1, 5),
+        |      i -> (s.csl[i]+b.cent[i])*(s.csl[i]+b.cent[i])))) AS rn2
+        |  FROM code c JOIN csub s ON s.cid = c.cid AND s.mi = c.mi
+        |  JOIN pql b ON b.mi = c.mi AND b.j = c.j
+        |  GROUP BY c.cid),
+        |qn AS (SELECT vec_id,
+        |    list_sum(list_transform(range(1, 65), i -> qe[i]*qe[i])) AS qn2
+        |  FROM qq),
+        |qa AS (SELECT qid, cent_id, dt FROM (
+        |    SELECT qid, cent_id, dt,
+        |      row_number() OVER (PARTITION BY qid ORDER BY dt DESC, cent_id) AS rn
+        |    FROM (SELECT qq.vec_id AS qid, cents.cent_id,
+        |        CAST(list_sum(list_transform(range(1, 65), i -> qq.qe[i]*cents.ce[i])) AS BIGINT) AS dt
+        |      FROM qq, cents)) WHERE rn <= 4),
+        |qsub AS (SELECT vec_id, ms.mi AS mi,
+        |    list_transform(range(1, 5), i -> qe[ms.mi*4 + i]) AS sub
+        |  FROM qq, ms),
+        |lut AS (SELECT q.vec_id AS qid, q.mi, b.j,
+        |    list_sum(list_transform(range(1, 5), i -> q.sub[i]*b.cent[i])) AS dt
+        |  FROM qsub q JOIN pql b ON b.mi = q.mi),
+        |prs AS (SELECT a.qid, c.cid, a.dt AS qdotc
+        |  FROM qa a JOIN ca c ON c.cent_id = a.cent_id WHERE a.qid <> c.cid),
+        |adc AS (SELECT p.qid, p.cid, p.qdotc + SUM(l.dt) AS adcdot
+        |  FROM prs p JOIN code c ON c.cid = p.cid
+        |  JOIN lut l ON l.qid = p.qid AND l.mi = c.mi AND l.j = c.j
+        |  GROUP BY p.qid, p.cid, p.qdotc),
+        |appr AS (SELECT a.qid, a.cid,
+        |    CASE WHEN CAST(q.qn2 AS DOUBLE)*CAST(r.rn2 AS DOUBLE) = 0 THEN -1.0
+        |      ELSE CAST(a.adcdot AS DOUBLE)
+        |        / sqrt(CAST(q.qn2 AS DOUBLE)*CAST(r.rn2 AS DOUBLE)) END AS adc
+        |  FROM adc a JOIN qn q ON q.vec_id = a.qid JOIN rn2 r ON r.cid = a.cid),
+        |short AS (SELECT qid, cid FROM (
+        |    SELECT qid, cid,
+        |      row_number() OVER (PARTITION BY qid ORDER BY adc DESC, cid) AS rn
+        |    FROM appr) WHERE rn <= 64),
+        |cn AS (SELECT vec_id AS cid, qe AS ce,
+        |    list_sum(list_transform(range(1, 65), i -> qe[i]*qe[i])) AS cn2
+        |  FROM cc),
+        |sc AS (SELECT s.qid, s.cid,
+        |    CAST(list_sum(list_transform(range(1, 65), i -> q.qe[i]*c.ce[i])) AS DOUBLE)
+        |      / sqrt(CAST(qn.qn2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE)) AS cos
+        |  FROM short s JOIN qq q ON q.vec_id = s.qid
+        |  JOIN cn c ON c.cid = s.cid JOIN qn ON qn.vec_id = s.qid),
+        |rk AS (SELECT qid, cid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+        |  FROM sc)
+        |SELECT qid, cid, rk, ROUND(cos, 6) AS cos
+        |FROM rk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
 }

@@ -83,6 +83,31 @@ object AnnScale {
         f"brute=$bw%.2fs build=$build%.2fs probe=$pw%.2fs recall=$recall%.3f")
     }
 
+    // incremental-ingest row (q354 lifecycle): train once on the ×64
+    // corpus, then add it in 8 batches — per-batch wall should be ~1/8 of
+    // the one-shot encode (each batch pays its own coarse argmax + residual
+    // argmin only), and the probe from the batch-built index must cost the
+    // same as from the one-shot index (same partition pruning; 8 files per
+    // list instead of 1).
+    {
+      val corpus = spark.read.parquet(s"$root/x64")
+      val t0 = System.nanoTime()
+      IvfPq.trainIndex(corpus, s"$root/idxinc", centroidStride = 400,
+        m = 16, ncent = 16, pqStride = 7)
+      val train = (System.nanoTime() - t0) / 1e9
+      val batchWalls = (0 until 8).map { b =>
+        val t = System.nanoTime()
+        IvfPq.addBatch(corpus.filter(col("id") % 8 === b), s"$root/idxinc")
+        (System.nanoTime() - t) / 1e9
+      }
+      val idx = IvfPq.openIndex(spark, s"$root/idxinc")
+      val (pw, _) = best2(
+        IvfPq.probeIndex(queries, corpus, idx, 10, nprobe = 8, shortlist = 64))
+      println(f"[annscale] x64-ingest train=$train%.2fs " +
+        f"batchAvg=${batchWalls.sum / 8}%.2fs batchMax=${batchWalls.max}%.2fs " +
+        f"probe=$pw%.2fs")
+    }
+
     // dimensionality row: production embeddings are ~1024-dim, where the
     // brute/ADC crossover flips — brute cost scales with dim while the ADC
     // row cost stays m lookups (only the tiny per-query LUT scales). Tile

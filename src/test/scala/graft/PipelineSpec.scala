@@ -134,13 +134,40 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the persisted index must answer exactly like the one-shot path")
     // one data file per cent_id dir — the small-files discipline the build
     // repartition exists for (a probe pays per-file open cost)
-    val dirs = new java.io.File(path).listFiles()
+    val dirs = new java.io.File(s"$path/lists").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("cent_id="))
     assert(dirs.nonEmpty)
     dirs.foreach { d =>
       val n = d.listFiles().count(_.getName.endsWith(".parquet"))
       assert(n == 1, s"${d.getName} has $n parquet files (want 1 per list)")
     }
+  }
+
+  test("IVF-PQ incremental ingest: train + addBatch* == one-shot buildIndex, " +
+      "order-independent, openIndex round-trips the frozen book") {
+    val queries = emb.filter(col("id") < 30)
+    val root = "/root/repo/target/pipelinespec/ivfpq_inc"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    def results(idx: IvfPq.IvfPqIndex) =
+      IvfPq.probeIndex(queries, emb, idx, 10, nprobe = 4, shortlist = 64)
+        .select("qid", "cid", "rk", "cos")
+        .as[(Long, Long, Int, Double)].collect().toSet
+    val oneShot = results(IvfPq.buildIndex(emb, s"$root/one",
+      centroidStride = 40, m = 16, ncent = 16, pqStride = 7))
+    // incremental: train on the full corpus (the q348 book), ingest thirds
+    val b = (0 to 2).map(i => emb.filter(col("id") % 3 === i))
+    IvfPq.trainIndex(emb, s"$root/inc", centroidStride = 40,
+      m = 16, ncent = 16, pqStride = 7)
+    Seq(0, 1, 2).foreach(i => IvfPq.addBatch(b(i), s"$root/inc"))
+    // openIndex from disk alone — the book survives the round-trip
+    val inc = results(IvfPq.openIndex(spark, s"$root/inc"))
+    assert(inc == oneShot, "incremental ingest must be bit-equal to one-shot")
+    // ingest order cannot matter: batches commute under append
+    IvfPq.trainIndex(emb, s"$root/rev", centroidStride = 40,
+      m = 16, ncent = 16, pqStride = 7)
+    Seq(2, 0, 1).foreach(i => IvfPq.addBatch(b(i), s"$root/rev"))
+    assert(results(IvfPq.openIndex(spark, s"$root/rev")) == oneShot,
+      "reversed ingest order must produce identical probe results")
   }
 
   test("k-means IVF: trained centroids' recall@10 >= the stride baseline," +
