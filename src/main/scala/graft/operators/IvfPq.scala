@@ -80,8 +80,25 @@ object IvfPq {
     acc
   }
 
+  /** Residual vectors (v − coarse(v)) under a fixed coarse book — the
+    * training input for the residual PQ codebook (IVFADC encodes residuals,
+    * so the codebook must be trained on residuals; Jégou et al. §IV.A). */
+  private def residualVecs(cc: DataFrame,
+      bk: org.apache.spark.broadcast.Broadcast[Book]): DataFrame = {
+    val spark = cc.sparkSession
+    import spark.implicits._
+    cc.as[(Long, Seq[Long], Long)].mapPartitions { it =>
+      val b = bk.value
+      it.map { case (id, e, _) =>
+        val v = e.toArray
+        val c = b.coarse(b.assignCoarse(v))._2
+        (id, Array.tabulate(v.length)(i => v(i) - c(i)).toSeq)
+      }
+    }.toDF("id", "qe")
+  }
+
   private def collectBook(qc: DataFrame, centroidStride: Int, m: Int,
-      ncent: Int, pqStride: Int): Book = {
+      ncent: Int, pqStride: Int, pqIters: Int = 0): Book = {
     val spark = qc.sparkSession
     import spark.implicits._
     val coarse = qc.filter(col("id") % centroidStride === 0)
@@ -109,18 +126,28 @@ object IvfPq {
     }
     val cents = Array.tabulate(m, ncent)((mi, j) =>
       resid(j).slice(mi * ds, mi * ds + ds))
-    Book(coarse, cents, ds)
+    val base = Book(coarse, cents, ds)
+    if (pqIters == 0) base
+    else {
+      // refine the stride residual codebook with per-subspace Lloyd over
+      // the ACTUAL residual distribution (coarse book stays fixed — q274
+      // already proved coarse k-means; this trains the other half)
+      val spark = qc.sparkSession
+      val bk = spark.sparkContext.broadcast(base)
+      val trained = PqAnn.lloydSubspaces(residualVecs(qc, bk), cents, ds, pqIters)
+      Book(coarse, trained, ds)
+    }
   }
 
   /** IVFADC top-k with exact rescore. `queries`/`corpus`: (id, embedding). */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       centroidStride: Int, nprobe: Int,
       m: Int = 16, ncent: Int = 16, pqStride: Int = 7,
-      shortlist: Int = 64): DataFrame = {
+      shortlist: Int = 64, pqIters: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
     val cc = AnnSearch.quantized(corpus)
     val book = spark.sparkContext.broadcast(
-      collectBook(cc, centroidStride, m, ncent, pqStride))
+      collectBook(cc, centroidStride, m, ncent, pqStride, pqIters))
     probeEncoded(queries, corpus, encodeAll(cc, book), book, k, nprobe, shortlist)
   }
 
@@ -139,14 +166,15 @@ object IvfPq {
     * order-independent and bit-equal to a one-shot build: codes are a pure
     * per-row function of (vector, book). Destroys anything at `path`. */
   def trainIndex(sample: DataFrame, path: String, centroidStride: Int,
-      m: Int = 16, ncent: Int = 16, pqStride: Int = 7): Unit = {
+      m: Int = 16, ncent: Int = 16, pqStride: Int = 7,
+      pqIters: Int = 0): Unit = {
     val spark = sample.sparkSession
     import spark.implicits._
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(path), true)
     val book = collectBook(AnnSearch.quantized(sample),
-      centroidStride, m, ncent, pqStride)
+      centroidStride, m, ncent, pqStride, pqIters)
     book.coarse.toSeq.map { case (id, e) => (id, e.toSeq) }
       .toDF("cent_id", "ce").coalesce(1)
       .write.parquet(s"$path/_book/coarse")
@@ -202,8 +230,9 @@ object IvfPq {
     * ingest ([[trainIndex]]/[[addBatch]]), so [[probeIndex]] serves both
     * and equality is structural (and still spec-pinned). */
   def buildIndex(corpus: DataFrame, path: String, centroidStride: Int,
-      m: Int = 16, ncent: Int = 16, pqStride: Int = 7): IvfPqIndex = {
-    trainIndex(corpus, path, centroidStride, m, ncent, pqStride)
+      m: Int = 16, ncent: Int = 16, pqStride: Int = 7,
+      pqIters: Int = 0): IvfPqIndex = {
+    trainIndex(corpus, path, centroidStride, m, ncent, pqStride, pqIters)
     addBatch(corpus, path)
     openIndex(corpus.sparkSession, path)
   }

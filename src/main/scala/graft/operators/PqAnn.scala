@@ -74,6 +74,88 @@ object PqAnn {
     Codebook(cents, norms2, ds)
   }
 
+  /** Deterministic per-subspace Lloyd k-means refining the stride codebook
+    * — the PQ analog of [[AnnSearch.trainCentroids]] (FAISS trains its PQ
+    * codebooks with exactly this subspace-wise k-means; Jégou et al. §II.C).
+    * Init = the stride rows' subvectors; assignment = the SAME argmin-L2
+    * (ties → smaller j) the encoder uses; update = per-coordinate integer
+    * mean with toward-zero truncation; empty cells keep their previous
+    * centroid. Every step is closed-form int64 arithmetic, so the DuckDB
+    * oracle replays the training bit-exactly (q355).
+    *
+    * Scale shape: each iteration is ONE compiled mapPartitions pass over
+    * the corpus emitting O(partitions × m × ncent) partial (sum, count)
+    * rows that reduce to the driver's O(m·ncent·ds) update — the corpus
+    * never shuffles, iterations are a small train-once constant. The input
+    * `vecs` is any (id, qe) int64 frame — raw subvectors for flat PQ,
+    * residuals for IVF-PQ. */
+  private[graft] def lloydSubspaces(
+      vecs: DataFrame, init: Array[Array[Array[Long]]], ds: Int,
+      iters: Int): Array[Array[Array[Long]]] = {
+    require(iters >= 0, s"iters >= 0 (got $iters)")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    var cents = init
+    val m = init.length
+    val ncent = init.head.length
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val partials = vecs.select(col("qe")).as[Seq[Long]]
+        .mapPartitions { it =>
+          val book = bc.value
+          val sums = Array.fill(m, ncent)(new Array[Long](ds))
+          val cnts = Array.fill(m, ncent)(0L)
+          it.foreach { e =>
+            val v = e.toArray
+            var mi = 0
+            while (mi < m) {
+              val off = mi * ds
+              var best = 0; var bestD = Long.MaxValue
+              var j = 0
+              while (j < ncent) {
+                val c = book(mi)(j)
+                var d = 0L; var i = 0
+                while (i < ds) { val x = v(off + i) - c(i); d += x * x; i += 1 }
+                if (d < bestD) { bestD = d; best = j }
+                j += 1
+              }
+              val s = sums(mi)(best)
+              var i = 0
+              while (i < ds) { s(i) += v(off + i); i += 1 }
+              cnts(mi)(best) += 1
+              mi += 1
+            }
+          }
+          (for { mi <- (0 until m).iterator; j <- 0 until ncent
+                 if cnts(mi)(j) > 0 }
+            yield (mi, j, sums(mi)(j).toSeq, cnts(mi)(j))).iterator
+        }
+        .groupByKey(r => (r._1, r._2))
+        .reduceGroups { (a, b) =>
+          (a._1, a._2, a._3.zip(b._3).map { case (x, y) => x + y }, a._4 + b._4)
+        }
+        .map(_._2).collect()
+        .map { case (mi, j, s, n) => (mi, j) -> (s.toArray, n) }.toMap
+      cents = Array.tabulate(m, ncent) { (mi, j) =>
+        partials.get((mi, j)) match {
+          case Some((s, n)) => s.map(x => (x.toDouble / n).toLong) // trunc
+          case None => cents(mi)(j) // empty cell keeps previous centroid
+        }
+      }
+      bc.destroy()
+    }
+    cents
+  }
+
+  private def withNorms(cents: Array[Array[Array[Long]]], ds: Int): Codebook = {
+    val norms2 = cents.map(_.map { c =>
+      var acc = 0L; var i = 0
+      while (i < c.length) { acc += c(i) * c(i); i += 1 }
+      acc
+    })
+    Codebook(cents, norms2, ds)
+  }
+
   /** (cid, codes, rn2): PQ codes + reconstructed norm², one compiled pass. */
   private def encode(qc: DataFrame, bc: Broadcast[Codebook]): DataFrame = {
     val spark = qc.sparkSession
@@ -109,14 +191,20 @@ object PqAnn {
       .toDF("cid", "codes", "rn2")
   }
 
-  /** PQ-ADC top-k with exact rescore. `queries`/`corpus`: (id, embedding). */
+  /** PQ-ADC top-k with exact rescore. `queries`/`corpus`: (id, embedding).
+    * `iters = 0` keeps the stride codebook (the q347 contract); `iters > 0`
+    * refines it with [[lloydSubspaces]] — tighter cells, higher recall at
+    * the same m/ncent/shortlist (spec-asserted ≥ the stride baseline). */
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       m: Int = 8, ncent: Int = 16, stride: Int = 7,
-      shortlist: Int = 32): DataFrame = {
+      shortlist: Int = 32, iters: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val cc = AnnSearch.quantized(corpus)
-    val cb = spark.sparkContext.broadcast(collectCodebook(cc, m, ncent, stride))
+    val cb0 = collectCodebook(cc, m, ncent, stride)
+    val cb = spark.sparkContext.broadcast(
+      if (iters == 0) cb0
+      else withNorms(lloydSubspaces(cc, cb0.cents, cb0.ds, iters), cb0.ds))
     val qq = AnnSearch.quantized(queries)
     // the probe batch: broadcast-bounded, the bruteTopK broadcast(q) contract
     val qArr = qq.select(col("id"), col("qe"), col("n2"))

@@ -438,6 +438,177 @@ object Pipeline {
         .orderBy("qid", "rk")
     },
 
+    // TRAINED PQ codebook ([[PqAnn.lloydSubspaces]]) — q347's flat PQ-ADC
+    // with the stride codebook refined by 2 rounds of per-subspace Lloyd
+    // k-means (the way FAISS actually trains its PQ books): assignment =
+    // the encoder's own argmin-L2 (ties → smaller j), update = truncated
+    // integer mean, empty cells carry over — every step closed-form int64,
+    // so the oracle replays TRAINING + encode + ADC + shortlist + exact
+    // rescore bit-identically. Recall ≥ the stride baseline asserted in
+    // PipelineSpec.
+    Qd("q355_ann_pq_trained",
+      s"""WITH ${qCte("qq", "WHERE vec_id < 50")},
+        |${qCte("cc", "")},
+        |ms AS (SELECT unnest(range(0, 16)) AS mi),
+        |csub AS (SELECT vec_id AS vid, ms.mi AS mi,
+        |    list_transform(range(1, 5), i -> qe[ms.mi*4 + i]) AS sub
+        |  FROM cc, ms),
+        |pq0 AS (SELECT ms.mi AS mi, CAST(vec_id // 7 AS INT) AS j,
+        |    list_transform(range(1, 5), i -> qe[ms.mi*4 + i]) AS cent
+        |  FROM cc, ms WHERE vec_id % 7 = 0 AND vec_id < 112),
+        |${pqLloydCtes(2)},
+        |cb AS (SELECT mi, j, cent FROM pq2),
+        |cbn AS (SELECT mi, j,
+        |    list_sum(list_transform(range(1, 5), i -> cent[i]*cent[i])) AS cn2
+        |  FROM cb),
+        |dist AS (SELECT s.vid, s.mi, b.j,
+        |    list_sum(list_transform(range(1, 5),
+        |      i -> (s.sub[i]-b.cent[i])*(s.sub[i]-b.cent[i]))) AS d2
+        |  FROM csub s JOIN cb b ON b.mi = s.mi),
+        |code AS (SELECT vid, mi, j FROM (
+        |    SELECT vid, mi, j,
+        |      row_number() OVER (PARTITION BY vid, mi ORDER BY d2, j) AS rn
+        |    FROM dist) WHERE rn = 1),
+        |rn2 AS (SELECT c.vid, SUM(n.cn2) AS rn2
+        |  FROM code c JOIN cbn n ON n.mi = c.mi AND n.j = c.j
+        |  GROUP BY c.vid),
+        |qsub AS (SELECT vec_id, ms.mi AS mi,
+        |    list_transform(range(1, 5), i -> qe[ms.mi*4 + i]) AS sub
+        |  FROM qq, ms),
+        |qn AS (SELECT vec_id,
+        |    list_sum(list_transform(range(1, 65), i -> qe[i]*qe[i])) AS qn2
+        |  FROM qq),
+        |lut AS (SELECT q.vec_id AS qid, q.mi, b.j,
+        |    list_sum(list_transform(range(1, 5), i -> q.sub[i]*b.cent[i])) AS dt
+        |  FROM qsub q JOIN cb b ON b.mi = q.mi),
+        |adc AS (SELECT l.qid, c.vid AS cid, SUM(l.dt) AS adcdot
+        |  FROM code c JOIN lut l ON l.mi = c.mi AND l.j = c.j
+        |  WHERE l.qid <> c.vid GROUP BY l.qid, c.vid),
+        |appr AS (SELECT a.qid, a.cid,
+        |    CASE WHEN CAST(q.qn2 AS DOUBLE)*CAST(r.rn2 AS DOUBLE) = 0 THEN -1.0
+        |      ELSE CAST(a.adcdot AS DOUBLE)
+        |        / sqrt(CAST(q.qn2 AS DOUBLE)*CAST(r.rn2 AS DOUBLE)) END AS adc
+        |  FROM adc a JOIN qn q ON q.vec_id = a.qid
+        |  JOIN rn2 r ON r.vid = a.cid),
+        |short AS (SELECT qid, cid FROM (
+        |    SELECT qid, cid,
+        |      row_number() OVER (PARTITION BY qid ORDER BY adc DESC, cid) AS rn
+        |    FROM appr) WHERE rn <= 64),
+        |cn AS (SELECT vec_id AS cid, qe AS ce,
+        |    list_sum(list_transform(range(1, 65), i -> qe[i]*qe[i])) AS cn2
+        |  FROM cc),
+        |sc AS (SELECT s.qid, s.cid,
+        |    CAST(list_sum(list_transform(range(1, 65), i -> q.qe[i]*c.ce[i])) AS DOUBLE)
+        |      / sqrt(CAST(qn.qn2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE)) AS cos
+        |  FROM short s JOIN qq q ON q.vec_id = s.qid
+        |  JOIN cn c ON c.cid = s.cid JOIN qn ON qn.vec_id = s.qid),
+        |rk AS (SELECT qid, cid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+        |  FROM sc)
+        |SELECT qid, cid, rk, ROUND(cos, 6) AS cos
+        |FROM rk WHERE rk <= 10 ORDER BY qid, rk""") { (s, dir) =>
+      val e = emb(s, dir)
+      graft.operators.PqAnn.pqTopK(e.filter(col("id") < 50), e, 10,
+          m = 16, ncent = 16, stride = 7, shortlist = 64, iters = 2)
+        .select(col("qid"), col("cid"), col("rk").cast("bigint").as("rk"),
+          col("cos"))
+        .orderBy("qid", "rk")
+    },
+
+    // TRAINED residual codebook for IVF-PQ — q348 with the stride residual
+    // book refined by 2 Lloyd rounds over the ACTUAL residual distribution
+    // (coarse book fixed; q274 already proved coarse k-means — this trains
+    // the other half, completing the FAISS IndexIVFPQ training story). The
+    // oracle replays coarse assign → residual derivation → residual-space
+    // k-means → encode → probes → ADC → shortlist → exact rescore, all
+    // int64. Recall ≥ the stride-residual baseline asserted in PipelineSpec.
+    Qd("q356_ann_ivfpq_trained",
+      s"""WITH ${qCte("qq", "WHERE vec_id < 50")},
+        |${qCte("cc", "")},
+        |cents AS (SELECT vec_id AS cent_id, qe AS ce FROM cc WHERE vec_id % 40 = 0),
+        |ca AS (SELECT cid, cent_id FROM (
+        |  SELECT cc.vec_id AS cid, cents.cent_id,
+        |    row_number() OVER (PARTITION BY cc.vec_id ORDER BY
+        |      CAST(list_sum(list_transform(range(1, 65), i -> cc.qe[i]*cents.ce[i])) AS BIGINT) DESC,
+        |      cents.cent_id) AS rn
+        |  FROM cc, cents) WHERE rn = 1),
+        |cav AS (SELECT ca.cid, ca.cent_id, cents.ce FROM ca JOIN cents USING (cent_id)),
+        |ms AS (SELECT unnest(range(0, 16)) AS mi),
+        |pq0 AS (SELECT CAST(c.vec_id // 7 AS INT) AS j, ms.mi AS mi,
+        |    list_transform(range(1, 5), i -> c.qe[ms.mi*4 + i] - v.ce[ms.mi*4 + i]) AS cent
+        |  FROM cc c JOIN cav v ON v.cid = c.vec_id, ms
+        |  WHERE c.vec_id % 7 = 0 AND c.vec_id < 112),
+        |csub AS (SELECT c.vec_id AS vid, v.cent_id, ms.mi AS mi,
+        |    list_transform(range(1, 5), i -> c.qe[ms.mi*4 + i] - v.ce[ms.mi*4 + i]) AS sub,
+        |    list_transform(range(1, 5), i -> v.ce[ms.mi*4 + i]) AS csl
+        |  FROM cc c JOIN cav v ON v.cid = c.vec_id, ms),
+        |${pqLloydCtes(2)},
+        |cb AS (SELECT mi, j, cent FROM pq2),
+        |dist AS (SELECT s.vid, s.mi, b.j,
+        |    list_sum(list_transform(range(1, 5),
+        |      i -> (s.sub[i]-b.cent[i])*(s.sub[i]-b.cent[i]))) AS d2
+        |  FROM csub s JOIN cb b ON b.mi = s.mi),
+        |code AS (SELECT vid, mi, j FROM (
+        |    SELECT vid, mi, j,
+        |      row_number() OVER (PARTITION BY vid, mi ORDER BY d2, j) AS rn
+        |    FROM dist) WHERE rn = 1),
+        |rn2 AS (SELECT c.vid, SUM(list_sum(list_transform(range(1, 5),
+        |      i -> (s.csl[i]+b.cent[i])*(s.csl[i]+b.cent[i])))) AS rn2
+        |  FROM code c JOIN csub s ON s.vid = c.vid AND s.mi = c.mi
+        |  JOIN cb b ON b.mi = c.mi AND b.j = c.j
+        |  GROUP BY c.vid),
+        |qn AS (SELECT vec_id,
+        |    list_sum(list_transform(range(1, 65), i -> qe[i]*qe[i])) AS qn2
+        |  FROM qq),
+        |qa AS (SELECT qid, cent_id, dt FROM (
+        |    SELECT qid, cent_id, dt,
+        |      row_number() OVER (PARTITION BY qid ORDER BY dt DESC, cent_id) AS rn
+        |    FROM (SELECT qq.vec_id AS qid, cents.cent_id,
+        |        CAST(list_sum(list_transform(range(1, 65), i -> qq.qe[i]*cents.ce[i])) AS BIGINT) AS dt
+        |      FROM qq, cents)) WHERE rn <= 4),
+        |qsub AS (SELECT vec_id, ms.mi AS mi,
+        |    list_transform(range(1, 5), i -> qe[ms.mi*4 + i]) AS sub
+        |  FROM qq, ms),
+        |lut AS (SELECT q.vec_id AS qid, q.mi, b.j,
+        |    list_sum(list_transform(range(1, 5), i -> q.sub[i]*b.cent[i])) AS dt
+        |  FROM qsub q JOIN cb b ON b.mi = q.mi),
+        |prs AS (SELECT a.qid, c.cid, a.dt AS qdotc
+        |  FROM qa a JOIN ca c ON c.cent_id = a.cent_id WHERE a.qid <> c.cid),
+        |adc AS (SELECT p.qid, p.cid, p.qdotc + SUM(l.dt) AS adcdot
+        |  FROM prs p JOIN code c ON c.vid = p.cid
+        |  JOIN lut l ON l.qid = p.qid AND l.mi = c.mi AND l.j = c.j
+        |  GROUP BY p.qid, p.cid, p.qdotc),
+        |appr AS (SELECT a.qid, a.cid,
+        |    CASE WHEN CAST(q.qn2 AS DOUBLE)*CAST(r.rn2 AS DOUBLE) = 0 THEN -1.0
+        |      ELSE CAST(a.adcdot AS DOUBLE)
+        |        / sqrt(CAST(q.qn2 AS DOUBLE)*CAST(r.rn2 AS DOUBLE)) END AS adc
+        |  FROM adc a JOIN qn q ON q.vec_id = a.qid JOIN rn2 r ON r.vid = a.cid),
+        |short AS (SELECT qid, cid FROM (
+        |    SELECT qid, cid,
+        |      row_number() OVER (PARTITION BY qid ORDER BY adc DESC, cid) AS rn
+        |    FROM appr) WHERE rn <= 64),
+        |cn AS (SELECT vec_id AS cid, qe AS ce,
+        |    list_sum(list_transform(range(1, 65), i -> qe[i]*qe[i])) AS cn2
+        |  FROM cc),
+        |sc AS (SELECT s.qid, s.cid,
+        |    CAST(list_sum(list_transform(range(1, 65), i -> q.qe[i]*c.ce[i])) AS DOUBLE)
+        |      / sqrt(CAST(qn.qn2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE)) AS cos
+        |  FROM short s JOIN qq q ON q.vec_id = s.qid
+        |  JOIN cn c ON c.cid = s.cid JOIN qn ON qn.vec_id = s.qid),
+        |rk AS (SELECT qid, cid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+        |  FROM sc)
+        |SELECT qid, cid, rk, ROUND(cos, 6) AS cos
+        |FROM rk WHERE rk <= 10 ORDER BY qid, rk""") { (s, dir) =>
+      val e = emb(s, dir)
+      graft.operators.IvfPq.ivfPqTopK(e.filter(col("id") < 50), e, 10,
+          centroidStride = 40, nprobe = 4, m = 16, ncent = 16, pqStride = 7,
+          shortlist = 64, pqIters = 2)
+        .select(col("qid"), col("cid"), col("rk").cast("bigint").as("rk"),
+          col("cos"))
+        .orderBy("qid", "rk")
+    },
+
     // LSH-bucketed ANN (the bucketed companion scale path to IVF): corpus
     // explodes into (table, signature) keys and equi-joins the query side —
     // no corpus broadcast, no cartesian. Signature planes derive from the
@@ -1022,4 +1193,35 @@ object Pipeline {
         |  FROM sc)
         |SELECT qid, cid, rk, ROUND(cos, 6) AS cos
         |FROM rk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+
+  /** DuckDB CTEs replaying [[graft.operators.PqAnn.lloydSubspaces]]
+    * bit-exactly: per-subspace Lloyd rounds over a (vid, mi, sub) frame —
+    * assignment = argmin-L2 (ties -> smaller j), update = per-coordinate
+    * truncated integer mean, empty cells keep the previous centroid. The
+    * final codebook is CTE `pq<iters>`; `init` must expose (mi, j, cent). */
+  private def pqLloydCtes(iters: Int, init: String = "pq0",
+      sub: String = "csub", ds: Int = 4): String = {
+    val sb = new StringBuilder
+    for (r <- 1 to iters) {
+      val prev = if (r == 1) init else s"pq${r - 1}"
+      if (r > 1) sb.append(",\n")
+      sb.append(s"""pa$r AS (SELECT vid, mi, j FROM (
+        |  SELECT s.vid, s.mi, b.j,
+        |    row_number() OVER (PARTITION BY s.vid, s.mi ORDER BY
+        |      list_sum(list_transform(range(1, ${ds + 1}),
+        |        i -> (s.sub[i]-b.cent[i])*(s.sub[i]-b.cent[i]))), b.j) AS rn
+        |  FROM $sub s JOIN $prev b ON b.mi = s.mi) WHERE rn = 1),
+        |pm$r AS (SELECT mi, j, list(v ORDER BY i) AS cent FROM (
+        |    SELECT a.mi, a.j, t.i,
+        |      CAST(trunc(CAST(SUM(s.sub[t.i]) AS DOUBLE)/COUNT(*)) AS BIGINT) AS v
+        |    FROM pa$r a JOIN $sub s ON s.vid = a.vid AND s.mi = a.mi,
+        |         UNNEST(range(1, ${ds + 1})) AS t(i)
+        |    GROUP BY a.mi, a.j, t.i) GROUP BY mi, j),
+        |pq$r AS (SELECT mi, j, cent FROM pm$r
+        |  UNION ALL SELECT p.mi, p.j, p.cent FROM $prev p
+        |  WHERE NOT EXISTS (SELECT 1 FROM pm$r x
+        |    WHERE x.mi = p.mi AND x.j = p.j))""".stripMargin)
+    }
+    sb.toString
+  }
 }

@@ -16,6 +16,19 @@ object PqProbe {
         .select("qid", "cid").as[(Long, Long)].collect().toSet
       println(s"m=$m shortlist=$sl recall=${(brute & pq).size.toDouble / brute.size}")
     }
+    // stride vs Lloyd-trained codebooks (q355/q356): same m/ncent/shortlist,
+    // the codebook is the only variable
+    for (it <- Seq(0, 2)) {
+      val pq = PqAnn.pqTopK(queries, emb, 10, m = 16, ncent = 16, stride = 7,
+          shortlist = 64, iters = it)
+        .select("qid", "cid").as[(Long, Long)].collect().toSet
+      val ivf = IvfPq.ivfPqTopK(queries, emb, 10, centroidStride = 40,
+          nprobe = 4, m = 16, ncent = 16, pqStride = 7, shortlist = 64,
+          pqIters = it)
+        .select("qid", "cid").as[(Long, Long)].collect().toSet
+      println(s"iters=$it pqRecall=${(brute & pq).size.toDouble / brute.size} " +
+        s"ivfPqRecall=${(brute & ivf).size.toDouble / brute.size}")
+    }
     spark.stop()
   }
 }

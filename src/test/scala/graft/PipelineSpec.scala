@@ -170,6 +170,40 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "reversed ingest order must produce identical probe results")
   }
 
+  test("trained PQ codebooks: recall@10 >= stride baseline (flat PQ and " +
+      "IVF-PQ residuals), and Lloyd actually moves the book") {
+    val queries = emb.filter(col("id") < 30)
+    val brute = AnnSearch.bruteTopK(queries, emb, 10)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame) = {
+      val got = df.select("qid", "cid").as[(Long, Long)].collect().toSet
+      (brute & got).size.toDouble / brute.size
+    }
+    val pqStride = recallOf(PqAnn.pqTopK(queries, emb, 10,
+      m = 16, ncent = 16, stride = 7, shortlist = 64))
+    val pqTrained = recallOf(PqAnn.pqTopK(queries, emb, 10,
+      m = 16, ncent = 16, stride = 7, shortlist = 64, iters = 2))
+    assert(pqTrained >= pqStride,
+      s"trained PQ recall $pqTrained fell below stride baseline $pqStride")
+    val ivfStride = recallOf(IvfPq.ivfPqTopK(queries, emb, 10,
+      centroidStride = 40, nprobe = 4, m = 16, ncent = 16, pqStride = 7,
+      shortlist = 64))
+    val ivfTrained = recallOf(IvfPq.ivfPqTopK(queries, emb, 10,
+      centroidStride = 40, nprobe = 4, m = 16, ncent = 16, pqStride = 7,
+      shortlist = 64, pqIters = 2))
+    assert(ivfTrained >= ivfStride,
+      s"trained IVF-PQ recall $ivfTrained fell below stride baseline $ivfStride")
+    // Lloyd iterations must actually move the codebook off the init rows
+    val qc = emb.select(col("id"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * 1000000.0).cast("long")).as("qe"))
+    val init = Array.tabulate(16, 16)((mi, j) =>
+      Array.fill(4)(0L)) // degenerate init: all-zero cells
+    val moved = PqAnn.lloydSubspaces(qc, init, 4, 1)
+    assert(moved.flatten.exists(!_.forall(_ == 0L)),
+      "one Lloyd round over real vectors must move an all-zero codebook")
+  }
+
   test("k-means IVF: trained centroids' recall@10 >= the stride baseline," +
       " and training moves the codebook") {
     val queries = emb.filter(col("id") < 30)
