@@ -514,6 +514,65 @@ object KvHandlerQ {
             col("nm"), col("bal"), col("ver"))
       view("asof2", asofPred).unionAll(view("since2", sincePred))
         .orderBy("probe", "ck")
+    },
+
+    // OR-of-ranges pushdown ([[KvStorageHandler.decomposeKeyDisjuncts]]) —
+    // EXCEEDS the reference (IndexPredicateAnalyzer sends any disjunction
+    // whole to the residual and scans every region): a disjunction of key
+    // ranges (time-sliced rowkeys) decomposes to a UNION of scan ranges,
+    // each pruned through the manifest independently — the requires pin
+    // that the union scans no more files than the two covering sets and
+    // strictly fewer than the store, so the gap between the slices is
+    // never read; the full predicate still re-checks every surfaced row.
+    Qd("q357_kv_or_ranges",
+      """SELECT CAST(c_custkey AS BIGINT) AS ck, c_name AS nm,
+        |  CAST(CASE WHEN c_custkey % 5 = 0
+        |            THEN round(round(c_acctbal, 2) + 100, 2)
+        |            ELSE round(c_acctbal, 2) END AS DOUBLE) AS bal
+        |FROM customer
+        |WHERE c_custkey % 7 <> 0
+        |  AND (c_custkey BETWEEN 100 AND 249 OR c_custkey BETWEEN 900 AND 1099)
+        |ORDER BY ck""") { (s, dir) =>
+      val (sf, loc) = ctx(s, dir)
+      val root = s"$loc/g357_kv"
+      wipe(s, root)
+      val cust = Engine.table(s, dir, "customer")
+      val m = parseMapping(
+        StructType(Seq(StructField("k", StringType), StructField("nm", StringType),
+          StructField("bal", DoubleType))),
+        ":key,f:name,f:bal#b")
+      KvStorageHandler.put(s, root, cust.select(
+        key12(col("c_custkey")).as("k"),
+        col("c_name").as("nm"), round(col("c_acctbal"), 2).as("bal")), m)
+      val balOnly = parseMapping(
+        StructType(Seq(StructField("k", StringType), StructField("bal", DoubleType))),
+        ":key,f:bal#b")
+      KvStorageHandler.put(s, root,
+        cust.filter(col("c_custkey") % 5 === 0).select(
+          key12(col("c_custkey")).as("k"),
+          round(round(col("c_acctbal"), 2) + 100, 2).as("bal")), balOnly)
+      KvStorageHandler.deleteRows(s, root,
+        cust.filter(col("c_custkey") % 7 === 0)
+          .select(key12(col("c_custkey")).as("k")), "k")
+      val ra = col("k") >= key12str(100) && col("k") <= key12str(249)
+      val rb = col("k") >= key12str(900) && col("k") <= key12str(1099)
+      val pred = ra || rb
+      val (kfs, residual) = KvStorageHandler.decomposeKeyDisjuncts(pred, "k")
+      require(kfs.size == 2 && kfs.forall(!_.isFullScan),
+        "the OR must decompose to two scan ranges")
+      require(residual.isEmpty, "both branches are captured exactly")
+      val pu = KvStorageHandler.scanProfileUnion(s, root, kfs)
+      val pa = KvStorageHandler.scanProfile(s, root,
+        KvStorageHandler.decomposeKeyPredicate(ra, "k")._1)
+      val pb = KvStorageHandler.scanProfile(s, root,
+        KvStorageHandler.decomposeKeyPredicate(rb, "k")._1)
+      require(pu._1 <= pa._1 + pb._1,
+        s"union scanned ${pu._1} > covering sets ${pa._1}+${pb._1}")
+      require(pu._1 < pu._2,
+        s"the gap between the ranges must prune region files, scanned $pu")
+      KvStorageHandler.scan(s, root, m, pred)
+        .select(col("k").cast("bigint").as("ck"), col("nm"), col("bal"))
+        .orderBy("ck")
     })
 
   private def key12str(n: Int): String = f"$n%012d"

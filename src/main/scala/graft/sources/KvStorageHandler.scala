@@ -538,6 +538,9 @@ object KvStorageHandler {
     * reference sends disjunctions to the residual too) stays residual.
     * The caller re-applies the FULL predicate after pruning, so the
     * decomposition only has to be sound for pruning, never exhaustive.
+    * For OR-aware pruning use [[decomposeKeyDisjuncts]] — this single-
+    * filter surface keeps the reference's exact contract (any disjunction
+    * ⇒ full scan + whole-predicate residual).
     *
     * Walks the PUBLIC Catalyst tree obtained via `ColumnBridge.expression`
     * (the Column API's private ColumnNode AST converts to unresolved
@@ -545,6 +548,32 @@ object KvStorageHandler {
     * either concrete `BinaryComparison`s or `UnresolvedFunction`s depending
     * on how the Column was built; both shapes are matched). */
   def decomposeKeyPredicate(pred: Column, keyCol: String): (KeyFilter, Option[Column]) = {
+    val (kfs, residual) = decomposeKeyDisjuncts(pred, keyCol)
+    if (kfs.size == 1) (kfs.head, residual)
+    else (KeyFilter.full, Some(pred))
+  }
+
+  /** Disjunction of disjuncts-of-key-filters — no more than this many
+    * branches survive an OR/AND expansion before the decomposition gives up
+    * and falls back to a (sound) full scan. Time-sliced rowkey predicates
+    * are a handful of ranges; thousands would mean admitsFile work per
+    * region file starts to matter. */
+  private val MaxDisjuncts = 32
+
+  /** OR-aware key-predicate decomposition — EXCEEDS the reference (its
+    * `IndexPredicateAnalyzer` sends any disjunction whole to the residual,
+    * scanning every region): the result is a UNION of [[KeyFilter]]s, one
+    * per reachable disjunct, and a file is read iff SOME disjunct admits it
+    * — so `k BETWEEN a AND b OR k BETWEEN c AND d` (time-sliced rowkeys)
+    * scans only the two covering file sets, never the gap between them.
+    * Soundness: every row satisfying a disjunct is admitted by that
+    * disjunct's filter (conjunct extraction only widens), so union
+    * admission covers the whole predicate; the caller still re-applies the
+    * FULL predicate after pruning. AND distributes pairwise over the
+    * branch sets ((A∪B)∩(C∪D) = ∪ pairwise intersects); branch counts are
+    * capped at [[MaxDisjuncts]], overflowing to the full-scan filter. The
+    * residual is `None` only when EVERY branch was captured exactly. */
+  def decomposeKeyDisjuncts(pred: Column, keyCol: String): (Seq[KeyFilter], Option[Column]) = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
     import org.apache.spark.sql.catalyst.expressions._
     def isKey(e: Expression): Boolean = e match {
@@ -557,12 +586,15 @@ object KvStorageHandler {
       case Literal(u: UTF8String, StringType) => Some(u.toString)
       case _ => None
     }
-    def lower(s: String, incl: Boolean) = (KeyFilter(None, Some((s, incl)), None), Nil)
-    def upper(s: String, incl: Boolean) = (KeyFilter(None, None, Some((s, incl))), Nil)
+    def lower(s: String, incl: Boolean) =
+      (Seq(KeyFilter(None, Some((s, incl)), None)), Nil)
+    def upper(s: String, incl: Boolean) =
+      (Seq(KeyFilter(None, None, Some((s, incl)))), Nil)
     // Normalize the two surface shapes into (op, args); non-matching ops
     // fall through to the residual.
     def opOf(e: Expression): Option[(String, Seq[Expression])] = e match {
       case And(l, r) => Some(("and", Seq(l, r)))
+      case Or(l, r) => Some(("or", Seq(l, r)))
       case EqualTo(a, b) => Some(("=", Seq(a, b)))
       case GreaterThanOrEqual(a, b) => Some((">=", Seq(a, b)))
       case GreaterThan(a, b) => Some((">", Seq(a, b)))
@@ -574,17 +606,28 @@ object KvStorageHandler {
         Some((f.nameParts.head.toLowerCase, f.arguments))
       case _ => None
     }
-    def walk(e: Expression): (KeyFilter, Seq[Expression]) = opOf(e) match {
+    // (union-of-disjunct filters, residual conjuncts). Overflowing either
+    // combinator collapses to the full-scan filter + whole-node residual —
+    // always sound, never exhaustive.
+    def walk(e: Expression): (Seq[KeyFilter], Seq[Expression]) = opOf(e) match {
       case Some((op, args)) => (op, args.toList) match {
         case ("and", l :: r :: Nil) =>
           val (fl, rl) = walk(l); val (fr, rr) = walk(r)
-          (fl.intersect(fr), rl ++ rr)
+          if (fl.size * fr.size > MaxDisjuncts) (Seq(KeyFilter.full), Seq(e))
+          else (for (a <- fl; b <- fr) yield a.intersect(b), rl ++ rr)
+        case ("or", l :: r :: Nil) =>
+          val (fl, rl) = walk(l); val (fr, rr) = walk(r)
+          if (fl.size + fr.size > MaxDisjuncts) (Seq(KeyFilter.full), Seq(e))
+          // a residual on EITHER branch forces the whole OR residual: the
+          // conjunction-shaped residual list cannot express "this conjunct
+          // applies only inside its disjunct"
+          else (fl ++ fr, if (rl.isEmpty && rr.isEmpty) Nil else Seq(e))
         case ("=" | "==" | "equal_to", a :: b :: Nil) if isKey(a) && litStr(b).isDefined =>
-          (KeyFilter.points(Seq(litStr(b).get)), Nil)
+          (Seq(KeyFilter.points(Seq(litStr(b).get))), Nil)
         case ("=" | "==" | "equal_to", a :: b :: Nil) if isKey(b) && litStr(a).isDefined =>
-          (KeyFilter.points(Seq(litStr(a).get)), Nil)
+          (Seq(KeyFilter.points(Seq(litStr(a).get))), Nil)
         case ("in", key :: vs) if isKey(key) && vs.nonEmpty && vs.forall(litStr(_).isDefined) =>
-          (KeyFilter.points(vs.flatMap(litStr)), Nil)
+          (Seq(KeyFilter.points(vs.flatMap(litStr))), Nil)
         case (">=", a :: b :: Nil) if isKey(a) && litStr(b).isDefined => lower(litStr(b).get, true)
         case (">", a :: b :: Nil) if isKey(a) && litStr(b).isDefined => lower(litStr(b).get, false)
         case ("<=", a :: b :: Nil) if isKey(a) && litStr(b).isDefined => upper(litStr(b).get, true)
@@ -594,22 +637,24 @@ object KvStorageHandler {
         case (">", a :: b :: Nil) if isKey(b) && litStr(a).isDefined => upper(litStr(a).get, false)
         case ("<=", a :: b :: Nil) if isKey(b) && litStr(a).isDefined => lower(litStr(a).get, true)
         case ("<", a :: b :: Nil) if isKey(b) && litStr(a).isDefined => lower(litStr(a).get, false)
-        case _ => (KeyFilter.full, Seq(e))
+        case _ => (Seq(KeyFilter.full), Seq(e))
       }
-      case None => (KeyFilter.full, Seq(e))
+      case None => (Seq(KeyFilter.full), Seq(e))
     }
-    val (kf, residual) = walk(CB.converted(pred))
-    (kf, residual.reduceOption(And).map(CB.column))
+    val (kfs, residual) = walk(CB.converted(pred))
+    (kfs, residual.reduceOption(And).map(CB.column))
   }
 
   // ------------------------------------------------------------------ reads
 
   private def readCells(spark: SparkSession, root: String,
-      kf: Option[KeyFilter]): DataFrame = {
+      kf: Option[Seq[KeyFilter]]): DataFrame = {
     val gens = liveGenerations(fs(spark, root), root)
     val files = gens.flatMap(_.files)
+    // union admission: a file is read iff SOME disjunct admits it
     val kept = kf match {
-      case Some(f) if !f.isFullScan => files.filter(r => f.admitsFile(r.kmin, r.kmax))
+      case Some(fsq) if !fsq.exists(_.isFullScan) =>
+        files.filter(r => fsq.exists(_.admitsFile(r.kmin, r.kmax)))
       case _ => files
     }
     if (kept.isEmpty)
@@ -632,9 +677,16 @@ object KvStorageHandler {
   }
 
   /** (files scanned, files total) for a key filter — the pruning evidence. */
-  def scanProfile(spark: SparkSession, root: String, kf: KeyFilter): (Int, Int) = {
+  def scanProfile(spark: SparkSession, root: String, kf: KeyFilter): (Int, Int) =
+    scanProfileUnion(spark, root, Seq(kf))
+
+  /** [[scanProfile]] over a union of disjunct filters
+    * ([[decomposeKeyDisjuncts]]): scanned = files SOME disjunct admits. */
+  def scanProfileUnion(spark: SparkSession, root: String,
+      kfs: Seq[KeyFilter]): (Int, Int) = {
     val files = liveGenerations(fs(spark, root), root).flatMap(_.files)
-    val kept = if (kf.isFullScan) files else files.filter(r => kf.admitsFile(r.kmin, r.kmax))
+    val kept = if (kfs.exists(_.isFullScan)) files
+      else files.filter(r => kfs.exists(_.admitsFile(r.kmin, r.kmax)))
     (kept.size, files.size)
   }
 
@@ -653,7 +705,7 @@ object KvStorageHandler {
     * table-level property, AccumuloSerDeParameters.java:54) and applied as
     * an `isin` filter, so the scan itself never parses expressions per row. */
   private def visibleCells(spark: SparkSession, root: String,
-      kf: Option[KeyFilter], auths: Option[Set[String]],
+      kf: Option[Seq[KeyFilter]], auths: Option[Set[String]],
       tsr: Option[TsRange] = None): DataFrame = {
     val cells = readCells(spark, root, kf)
     // The time range restricts PUT cells only. Tombstones stay unrestricted:
@@ -707,7 +759,7 @@ object KvStorageHandler {
     * composite key reconstructs to its struct column by splitting on
     * KEY_SEP and casting parts back to the declared field types. */
   private def rowView(spark: SparkSession, root: String, m: KvMapping,
-      kf: Option[KeyFilter], auths: Option[Set[String]],
+      kf: Option[Seq[KeyFilter]], auths: Option[Set[String]],
       tsr: Option[TsRange] = None): DataFrame = {
     val cells = visibleCells(spark, root, kf, auths, tsr)
     val aggs =
@@ -753,9 +805,9 @@ object KvStorageHandler {
     * the reference contract. */
   def scan(spark: SparkSession, root: String, m: KvMapping, pred: Column,
       auths: Option[Set[String]] = None): DataFrame = {
-    val kf = m.keyFields match {
-      case Some(st) => decomposeCompositePredicate(pred, m.keyCol, st)
-      case None => decomposeKeyPredicate(pred, m.keyCol)._1
+    val kfs = m.keyFields match {
+      case Some(st) => Seq(decomposeCompositePredicate(pred, m.keyCol, st))
+      case None => decomposeKeyDisjuncts(pred, m.keyCol)._1
     }
     // `:timestamp` conjuncts push into the cell time range (setupTimeRange):
     // version resolution then runs over the restricted cells, so the scan
@@ -764,7 +816,7 @@ object KvStorageHandler {
     // every pushed conjunct by construction, and unpushed ts shapes (ORs,
     // !=) evaluate over the row view exactly like the reference's residual.
     val tsr = m.timestampCol.map(tc => decomposeTsRange(pred, tc)).filter(!_.isFull)
-    rowView(spark, root, m, Some(kf), auths, tsr).filter(pred)
+    rowView(spark, root, m, Some(kfs), auths, tsr).filter(pred)
   }
 
   /** Composite-key decomposition (`CompositeHBaseKeyFactory` +

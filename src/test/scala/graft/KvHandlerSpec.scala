@@ -144,6 +144,50 @@ class KvHandlerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kf9.lower.contains(("b", false)))
   }
 
+  test("OR-of-ranges: union decomposition prunes per disjunct, gap files skipped") {
+    // decompose shape: two clean ranges, no residual (both branches captured)
+    val (kfs, r) = decomposeKeyDisjuncts(
+      col("k").between("b", "d") || col("k").between("p", "r"), "k")
+    assert(kfs.size == 2 && r.isEmpty)
+    assert(kfs.exists(f => f.lower.contains(("b", true)) && f.upper.contains(("d", true))))
+    assert(kfs.exists(f => f.lower.contains(("p", true)) && f.upper.contains(("r", true))))
+    // OR with an uncaptured branch: that branch's filter is full (sound),
+    // and the whole OR stays residual for the re-check
+    val (kfs2, r2) = decomposeKeyDisjuncts(col("k") === "a" || col("x") === 1, "k")
+    assert(kfs2.exists(_.isFullScan) && r2.isDefined)
+    // AND distributes pairwise over the union; the conjunct stays residual
+    val (kfs3, r3) = decomposeKeyDisjuncts(
+      (col("k") < "c" || col("k").isin("x", "y")) && col("v") > 5, "k")
+    assert(kfs3.size == 2 && r3.isDefined)
+    // the single-filter surface keeps the reference's exact contract
+    val (kfOld, rOld) = decomposeKeyPredicate(
+      col("k").between("b", "d") || col("k").between("p", "r"), "k")
+    assert(kfOld.isFullScan && rOld.isDefined)
+
+    // store level: a 2-range OR scans ≤ the sum of the two covering file
+    // sets and strictly less than the store (the gap is never read)
+    val s = spark
+    import s.implicits._
+    val root = tmp("orprune")
+    val m = parseMapping(
+      StructType(Seq(StructField("k", StringType), StructField("a", LongType))),
+      ":key,f:a#b")
+    put(spark, root, (1 to 400).map(i => (f"$i%06d", i.toLong)).toDF("k", "a"),
+      m, regions = 8)
+    val ra = col("k").between(f"${20}%06d", f"${70}%06d")
+    val rb = col("k").between(f"${300}%06d", f"${350}%06d")
+    val (u, ur) = decomposeKeyDisjuncts(ra || rb, "k")
+    assert(u.size == 2 && ur.isEmpty)
+    val pu = scanProfileUnion(spark, root, u)
+    val pa = scanProfile(spark, root, decomposeKeyPredicate(ra, "k")._1)
+    val pb = scanProfile(spark, root, decomposeKeyPredicate(rb, "k")._1)
+    assert(pu._1 <= pa._1 + pb._1,
+      s"union scanned ${pu._1} > covering sets ${pa._1}+${pb._1}")
+    assert(pu._1 < pu._2, s"gap files must be skipped, scanned $pu")
+    // the pruned scan returns exactly the union's rows
+    assert(scan(spark, root, m, ra || rb).count() == 51 + 51)
+  }
+
   test("KeyFilter file admission matches interval intersection") {
     val range = KeyFilter(None, Some(("c", true)), Some(("f", false)))
     assert(range.admitsFile("a", "d")) // overlaps [c, f)
