@@ -118,29 +118,91 @@ object CorpusOps {
         .otherwise("train").as("split"))
   }
 
+  /** Salted document-frequency join-back shared by [[dedupLines]] and
+    * [[boilerplateNgrams]] — the skew-proof shape for "attach each key's
+    * corpus-wide count to every occurrence" when the defining workload is a
+    * key present in EVERY document (boilerplate):
+    *
+    *   - hot keys = `byKey` rows whose occurrence count ≥ hotOcc —
+    *     pigeonhole-bounded to ≤ total-occurrences/hotOcc rows,
+    *     broadcastable by construction; detection is one broadcast tag
+    *     join on the probe side and a plain column test on the build side.
+    *   - hot probe rows salt by `hash(saltBy…)` over `salts` buckets; the
+    *     build side replicates ONLY hot keys ×salts (cold keys salt 0), so
+    *     the universal key spreads over `salts` reducers instead of one.
+    *
+    * Measured (tools/DedupScale): AQE's OptimizeSkewedJoin structurally
+    * cannot split this join (the build side is an aggregate above its
+    * shuffle stage), and the salt wins 1.94× at ×256 and grows with scale.
+    * `byKey` must have one row per h with columns (h, df, occ). */
+  private def saltedDfJoin(probe: DataFrame, byKey: DataFrame, hotOcc: Long,
+      nSalts: Int, saltBy: Seq[Column]): DataFrame = {
+    require(hotOcc >= 1, s"hotOcc must be >= 1 (got $hotOcc)")
+    val salts = if (nSalts > 0) nSalts
+      else probe.sparkSession.sessionState.conf.numShufflePartitions
+    val hot = byKey.filter(col("occ") >= hotOcc)
+      .select(col("h"), lit(true).as("__hot"))
+    val probeS = probe.join(broadcast(hot), Seq("h"), "left")
+      .withColumn("__salt", when(col("__hot"),
+        pmod(hash(saltBy: _*), lit(salts))).otherwise(lit(0)))
+      .drop("__hot")
+    // the build side reads hotness off its own occ column — no join; its
+    // aggregate exchange is shared with the broadcast-hot subtree via
+    // ReuseExchange (identical canonical subplans)
+    val buildS = byKey
+      .select(col("h"), col("df"), explode(when(col("occ") >= hotOcc,
+        sequence(lit(0), lit(salts - 1))).otherwise(array(lit(0)))).as("__salt"))
+    probeS.join(buildS, Seq("h", "__salt")).drop("__salt")
+  }
+
   /** Corpus-frequency boilerplate analysis: document frequency of every
     * word-3-gram shingle across the corpus, joined back per doc to yield
     * (n_g distinct shingles, n_boiler shingles with df > maxDf, ratio).
     * The RefinedWeb/C4-style signal: docs dominated by corpus-frequent
     * n-grams are templates/boilerplate.
     *
-    * Inverted-index shape, computed in ONE shingle pass: a count window
-    * partitioned by the 60-bit shingle hash attaches each shingle's
-    * document frequency in place (one shuffle on uniform md5 keys — no
-    * skew), then a groupBy doc_id aggregates (second shuffle). A self-join
-    * formulation (df aggregate joined back) would shingle and hash the
-    * corpus TWICE — the partial aggregate below its Exchange defeats
-    * ReuseExchange — which at corpus scale doubles the dominant CPU cost. */
-  def boilerplateNgrams(docs: DataFrame, maxDf: Long): DataFrame = {
+    * Scale shape (r14): the r7 window formulation (`count over
+    * partitionBy(h)`) made a universal shingle's window partition the
+    * WHOLE corpus — WindowExec BUFFERS each partition, so a navigation
+    * shingle in every doc means one task holding ndocs rows; at real
+    * cluster partition counts that is a straggler, past memory it is a
+    * death. The r14 shape exploits what the op actually needs:
+    *
+    *   - `n_g` is a plain per-doc count — df-independent.
+    *   - `n_boiler` only needs the keys with df > maxDf, and THAT set is
+    *     small by definition (≤ total-pairs/maxDf — boilerplate is the
+    *     rare head, the long tail never crosses maxDf). So: df via
+    *     `groupBy(h).count` (per-doc-distinct rows make plain count ==
+    *     count-distinct; map-side partial agg bounds the hot key to one
+    *     row per partition), filter to the boiler keys, BROADCAST them,
+    *     and both outputs come from ONE narrow lookup + ONE groupBy(doc).
+    *     No window, no skewed join, no giant buffered partition.
+    *
+    * With `broadcastBoiler=false` (a corpus/maxDf combination whose boiler
+    * key set outgrows a broadcast) the lookup becomes the [[saltedDfJoin]]
+    * shuffle join — skew-proof for the same reason [[dedupLines]] is.
+    * Results are identical (spec-pinned). */
+  def boilerplateNgrams(docs: DataFrame, maxDf: Long,
+      broadcastBoiler: Boolean = true, hotOcc: Long = 1000000L,
+      nSalts: Int = 0): DataFrame = {
     val sh = Dedup.shingleSets(docs)
       .select(col("doc_id"), explode(col("g")).as("s"))
       .select(col("doc_id"), h60c(col("s")).as("h"))
-    // per-doc sets are distinct → the partition row count IS the document
-    // frequency
-    sh.withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_g"),
-        sum(when(col("df") > maxDf, 1L).otherwise(0L)).as("n_boiler"))
+    // per-doc sets are distinct → the row count per h IS the document
+    // frequency (and the occurrence count — one per doc)
+    val dfByH = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val flagged =
+      if (broadcastBoiler) {
+        val boiler = dfByH.filter(col("df") > maxDf).select(col("h"))
+        sh.join(broadcast(boiler).withColumn("__b", lit(1L)), Seq("h"), "left")
+          .withColumn("__boiler", coalesce(col("__b"), lit(0L)))
+      } else {
+        saltedDfJoin(sh, dfByH.withColumn("occ", col("df")), hotOcc, nSalts,
+            Seq(col("doc_id")))
+          .withColumn("__boiler", when(col("df") > maxDf, 1L).otherwise(0L))
+      }
+    flagged.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_g"), sum(col("__boiler")).as("n_boiler"))
       .withColumn("boiler_ratio",
         round(col("n_boiler").cast("double") / col("n_g"), 6))
   }
@@ -183,28 +245,12 @@ object CorpusOps {
   def dedupLines(docs: DataFrame, maxDf: Long,
       textCol: String = "text", hotOcc: Long = 1000000L,
       nSalts: Int = 0): DataFrame = {
-    require(hotOcc >= 1, s"hotOcc must be >= 1 (got $hotOcc)")
-    val spark = docs.sparkSession
-    val salts = if (nSalts > 0) nSalts
-      else spark.sessionState.conf.numShufflePartitions
     val lines = docs.select(col("doc_id"),
       posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
       .withColumn("h", h60c(col("line")))
     val dfByH = lines.groupBy("h", "doc_id").agg(count(lit(1)).as("c"))
       .groupBy("h").agg(count(lit(1)).as("df"), sum("c").as("occ"))
-    val hot = dfByH.filter(col("occ") >= hotOcc)
-      .select(col("h"), lit(true).as("__hot"))
-    val probe = lines.join(broadcast(hot), Seq("h"), "left")
-      .withColumn("__salt", when(col("__hot"),
-        pmod(hash(col("doc_id"), col("pos")), lit(salts))).otherwise(lit(0)))
-      .drop("__hot")
-    // the build side reads hotness off its own occ column — no join; its
-    // (h,doc_id) pair exchange is shared with the broadcast-hot subtree via
-    // ReuseExchange (identical canonical subplans)
-    val build = dfByH
-      .select(col("h"), col("df"), explode(when(col("occ") >= hotOcc,
-        sequence(lit(0), lit(salts - 1))).otherwise(array(lit(0)))).as("__salt"))
-    probe.join(build, Seq("h", "__salt"))
+    saltedDfJoin(lines, dfByH, hotOcc, nSalts, Seq(col("doc_id"), col("pos")))
       .groupBy("doc_id")
       .agg(
         array_join(transform(

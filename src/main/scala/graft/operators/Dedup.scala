@@ -32,7 +32,7 @@ object Dedup {
 
   /** doc_id + materialized distinct-shingle set column `g` (one compiled map
     * pass; hard optimizer boundary — see [[TextFeatures]]). */
-  private[operators] def shingleSets(docs: DataFrame): DataFrame = {
+  private[graft] def shingleSets(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]

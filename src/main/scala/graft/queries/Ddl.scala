@@ -109,6 +109,12 @@ object Ddl {
       val (ta, tb) = (s"g95a_$sf", s"g95b_$sf")
       Seq(ta, tb).foreach { tbl =>
         s.sql(s"DROP TABLE IF EXISTS $tbl")
+        // start from an EMPTY location: DROP leaves the LOCATION dir (and a
+        // prior run's files) behind, and a CREATE over a non-empty dir lets
+        // the catalog cache a file listing that the INSERT OVERWRITE then
+        // deletes — the transient "directory was not found" WARN the r13
+        // bench logged (non-fatal, but a listing race waiting to escalate)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$loc/$tbl"))
         s.sql(s"CREATE TABLE $tbl (k BIGINT, nm STRING) USING parquet " +
           s"LOCATION '$loc/$tbl'")
       }
@@ -119,6 +125,8 @@ object Ddl {
            |INSERT OVERWRITE TABLE $tb
            |  SELECT CAST(n_nationkey AS BIGINT), n_name WHERE n_regionkey = 1
            |""".stripMargin)
+      // drop any stale cached listing before the read-back
+      Seq(ta, tb).foreach(tbl => s.sql(s"REFRESH TABLE $tbl"))
       s.sql(s"SELECT 'r0' AS tag, k, nm FROM $ta UNION ALL " +
         s"SELECT 'r1', k, nm FROM $tb ORDER BY tag, k")
     },

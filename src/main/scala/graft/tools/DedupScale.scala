@@ -98,6 +98,20 @@ object DedupScale {
       if (a._1 <= b._1) a else b
     }
 
+    /** The r7 boilerplateNgrams formulation: df via a count window
+      * partitioned by the shingle hash — the universal shingle's partition
+      * is the whole corpus. Kept here as the measured baseline. */
+    def naiveWindow(docs: DataFrame, maxDf: Long): DataFrame = {
+      val sh = graft.operators.Dedup.shingleSets(docs)
+        .select(col("doc_id"), explode(col("g")).as("s"))
+        .select(col("doc_id"), CorpusOps.h60c(col("s")).as("h"))
+      sh.withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("h")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(when(col("df") > maxDf, 1L).otherwise(0L)).as("n_dropped"))
+    }
+
     for (factor <- Seq(16, 64, 256)) {
       val corpus = corpusAt(factor)
       val ndocs = corpus.count()
@@ -115,6 +129,22 @@ object DedupScale {
       println(f"[dedupscale] x$factor docs=$ndocs kept=$nk dropped=$nd " +
         f"naive=$nw%.2fs aqeSkewFired=$skewFired salted=$sw%.2fs " +
         s"naiveExch=${exch(nplan)} saltedExch=${exch(splan)}")
+      // boilerplateNgrams on the same adversary: r7 window-by-hash vs the
+      // r14 broadcast-boiler-keys lookup vs the salted-join fallback (the
+      // boiler block's shingles are universal keys)
+      val (ww, wg, wb, _) = run(naiveWindow(corpus, maxDf = 25))
+      def bp(bc: Boolean) = run(
+        CorpusOps.boilerplateNgrams(corpus, maxDf = 25, broadcastBoiler = bc,
+            hotOcc = 10000L)
+          .select(col("doc_id"), col("n_g").as("n_kept"),
+            col("n_boiler").as("n_dropped")))
+      val (bcw, bg, bb, _) = bp(bc = true)
+      val (slw, sg, sb, _) = bp(bc = false)
+      require(wg == bg && wb == bb && sg == bg && sb == bb,
+        s"boilerplate variants disagree at x$factor: window=($wg,$wb) " +
+          s"broadcast=($bg,$bb) salted=($sg,$sb)")
+      println(f"[dedupscale] x$factor boilerplate window=$ww%.2fs " +
+        f"broadcast=$bcw%.2fs saltedJoin=$slw%.2fs")
     }
     spark.stop()
   }

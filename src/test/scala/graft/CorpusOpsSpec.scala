@@ -114,6 +114,12 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
     assert(out == Map(
       1L -> (2L, 1L, 0.5), 2L -> (2L, 1L, 0.5), 3L -> (2L, 1L, 0.5)))
+    // the salted-shuffle fallback (boiler key set too big to broadcast)
+    // must agree exactly, hot path forced with hotOcc=1
+    val fb = CorpusOps.boilerplateNgrams(docs, maxDf = 2,
+        broadcastBoiler = false, hotOcc = 1L, nSalts = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(fb == out)
   }
 
   test("dedupLines: hand-computed drop + in-order reassembly + empty-doc result") {
