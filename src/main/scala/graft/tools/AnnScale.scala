@@ -128,6 +128,26 @@ object AnnScale {
     println(f"[annscale] x64@1024dim rows=128000 brute=$bw%.2fs " +
       f"build=$build%.2fs probe=$pw%.2fs " +
       f"recall=${(brute & got).size.toDouble / brute.size}%.3f")
+
+    // recall-vs-nprobe tuning curve at the production width and the
+    // PRODUCTION shortlist (64): the knob a deployment actually turns. On
+    // the UN-duplicated corpus — the ×64 replica corpus needs the shortlist
+    // scaled ×64 to absorb duplicate neighbors, which overflows the
+    // shortlist-id pushdown (>65536 ids → full-corpus rescore fetch) and
+    // drowns the curve in a constant; recall here is the honest
+    // single-copy figure.
+    for ((dim, c1, q1) <- Seq((64, base, queries), (1024, wide(base), queriesW))) {
+      val brute1 = AnnSearch.bruteTopK(q1, c1, 10)
+        .select("qid", "cid").as[(Long, Long)].collect().toSet
+      val idx1 = IvfPq.buildIndex(c1, s"$root/idx1w$dim",
+        centroidStride = 40, m = 16, ncent = 16, pqStride = 7)
+      for (np <- Seq(1, 2, 4, 8, 16, 32)) {
+        val (w, got) = best2(IvfPq.probeIndex(q1, c1, idx1, 10,
+          nprobe = np, shortlist = 64))
+        println(f"[annscale] x1@${dim}dim nprobe=$np%-2d probe=$w%.2fs " +
+          f"recall=${(brute1 & got).size.toDouble / brute1.size}%.3f")
+      }
+    }
     spark.stop()
   }
 }
