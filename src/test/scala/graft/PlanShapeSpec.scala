@@ -115,12 +115,19 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "decontamination must stay an equi-join on the 60-bit shingle hash")
   }
 
-  test("q173 boilerplate df attaches via a window — one shingle pass, no join") {
+  test("q173 boilerplate: broadcast boiler-key lookup — no window, no shuffle join") {
     val s = finalPlan("q173_boilerplate_ngrams")
-    assert(s.contains("Window"), "df must attach via a count window over h")
-    assert(!s.contains("Join"),
-      "a df join-back would shingle+hash the corpus twice (partial agg below " +
-        "its Exchange defeats ReuseExchange)")
+    // r14 shape: the df>maxDf key set (small by definition) broadcasts and
+    // attaches as a narrow lookup; the r7 count-window over h would BUFFER
+    // a universal shingle's whole partition (= the corpus) in one task
+    assert(!s.contains("Window"),
+      "a count window over h buffers ndocs rows for a universal shingle")
+    assert(s.contains("BroadcastHashJoin"),
+      "the boiler-key set must broadcast (narrow lookup, no shuffle join)")
+    assert(!s.contains("SortMergeJoin"),
+      "no shuffle join on the shingle hash — the universal key would pile " +
+        "one reducer (use the salted fallback only when the boiler set " +
+        "outgrows a broadcast)")
   }
 
   test("q172 split assignment plans with no shuffle at all") {
