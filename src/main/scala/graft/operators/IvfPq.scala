@@ -223,6 +223,40 @@ object IvfPq {
       path: String): IvfPqIndex =
     new IvfPqIndex(path, spark.sparkContext.broadcast(loadBook(spark, path)))
 
+  /** REMOVE step (`index.remove_ids` — FAISS `IndexIVF.remove_ids`): LSM
+    * tombstones under `_deletes`, applied as an anti-join before the ADC
+    * scan so removed rows never shortlist — the same mask-then-compact
+    * discipline as the KV handler and the merge-on-read DML. FAISS
+    * compacts its inverted lists in place on remove; here the rewrite is
+    * deferred to [[compactIndex]] so a delete is O(ids), not O(index).
+    * Contract: ids are unique per index lifetime — re-adding a removed id
+    * without compacting first stays masked (document-id reuse is a corpus
+    * bug, not an index feature). */
+  def removeIds(ids: DataFrame, path: String): Unit =
+    ids.select(col(ids.columns.head).cast("long").as("cid"))
+      .coalesce(1).write.mode("append").parquet(s"$path/_deletes")
+
+  /** Compaction: physically drop tombstoned codes from every inverted list
+    * and clear the tombstones — one distributed anti-join + partitioned
+    * rewrite (no driver materialization), after which probes pay zero mask
+    * cost again. Probe results are identical before and after
+    * (spec-pinned). */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_deletes"))) return
+    val kept = spark.read.parquet(s"$path/lists")
+      .select("cid", "cent_id", "codes", "rn2")
+      .join(spark.read.parquet(s"$path/_deletes"), Seq("cid"), "left_anti")
+    kept.repartition(col("cent_id")).write.mode("overwrite")
+      .partitionBy("cent_id").parquet(s"$path/lists_compact")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/lists"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$path/lists_compact"),
+      new org.apache.hadoop.fs.Path(s"$path/lists"))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_deletes"), true)
+  }
+
   /** One-shot build = train on the full corpus + add it as one batch — the
     * production cost model: the encode pass (corpus × nlist coarse argmax
     * + corpus × m×ncent residual argmin) is paid at ingest, while each
@@ -243,8 +277,18 @@ object IvfPq {
   def probeIndex(queries: DataFrame, corpus: DataFrame, index: IvfPqIndex,
       k: Int, nprobe: Int, shortlist: Int = 64): DataFrame = {
     val spark = corpus.sparkSession
-    val encoded = spark.read.parquet(s"${index.path}/lists")
+    val encoded0 = spark.read.parquet(s"${index.path}/lists")
       .select("cid", "cent_id", "codes", "rn2") // partition col re-ordered
+    // tombstone mask ([[removeIds]]): removed rows never reach the ADC
+    // scan, so they cannot shortlist or surface; the delete set is
+    // O(removals) and AQE broadcasts it under the anti-join
+    val fs = new org.apache.hadoop.fs.Path(index.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val encoded =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"${index.path}/_deletes")))
+        encoded0.join(spark.read.parquet(s"${index.path}/_deletes"),
+          Seq("cid"), "left_anti")
+      else encoded0
     probeEncoded(queries, corpus, encoded, index.book, k, nprobe, shortlist)
   }
 

@@ -191,21 +191,71 @@ object PqAnn {
       .toDF("cid", "codes", "rn2")
   }
 
+  /** Deterministic signed permutation — OPQ-lite. Full OPQ (Ge et al.
+    * CVPR 2013; FAISS `OPQMatrix`) trains a rotation R minimizing PQ
+    * distortion via SVD; float SVD is not bit-replayable across engines,
+    * so this implements the exactly-replayable subset: a SIGNED
+    * PERMUTATION (an orthogonal matrix with one ±1 per row), derived from
+    * the keyed md5 hash like every other randomness in this repo. It
+    * redistributes correlated adjacent dimensions across PQ subspaces —
+    * the main practical effect OPQ's rotation has on real embeddings —
+    * while preserving every int64 dot product and norm EXACTLY:
+    * dot(Px, Py) = dot(x, y), so the exact rescore reports the same
+    * cosines and the shortlist=∞ brute-degeneracy spec holds under
+    * rotation unchanged. Output position j takes input coordinate
+    * perm(j) with sign sgn(j); perm = indices ordered by
+    * md5("seed:i:perm") (ties by i), sgn(i) = parity of the 60-bit
+    * prefix of md5("seed:i:sgn"). */
+  private[graft] def signedPerm(seed: String, dim: Int): (Array[Int], Array[Long]) = {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val perm = (0 until dim).sortBy(i => (md5hex(s"$seed:$i:perm"), i)).toArray
+    val sgn = perm.map { i =>
+      val h = java.lang.Long.parseLong(md5hex(s"$seed:$i:sgn").take(15), 16)
+      if (h % 2 == 0) 1L else -1L
+    }
+    (perm, sgn)
+  }
+
+  /** Apply the signed permutation to a quantized (id, qe, n2) frame — a
+    * compiled narrow pass; norms are preserved exactly so n2 rides along. */
+  private def rotate(qc: DataFrame, perm: Array[Int], sgn: Array[Long]): DataFrame = {
+    val spark = qc.sparkSession
+    import spark.implicits._
+    qc.as[(Long, Seq[Long], Long)].mapPartitions { it =>
+      it.map { case (id, e, n2) =>
+        val v = e.toArray
+        (id, Array.tabulate(v.length)(j => sgn(j) * v(perm(j))).toSeq, n2)
+      }
+    }.toDF("id", "qe", "n2")
+  }
+
   /** PQ-ADC top-k with exact rescore. `queries`/`corpus`: (id, embedding).
     * `iters = 0` keeps the stride codebook (the q347 contract); `iters > 0`
     * refines it with [[lloydSubspaces]] — tighter cells, higher recall at
     * the same m/ncent/shortlist (spec-asserted ≥ the stride baseline). */
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       m: Int = 8, ncent: Int = 16, stride: Int = 7,
-      shortlist: Int = 32, iters: Int = 0): DataFrame = {
+      shortlist: Int = 32, iters: Int = 0,
+      rotateSeed: Option[String] = None): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cc = AnnSearch.quantized(corpus)
+    val cc0 = AnnSearch.quantized(corpus)
+    // OPQ-lite: both sides rotate through the SAME signed permutation, so
+    // every downstream dot/norm (codebook, ADC, exact rescore) is exactly
+    // the unrotated value — only the subspace slicing changes
+    val rot = rotateSeed.map { seed =>
+      val dim = cc0.select(col("qe")).as[Seq[Long]].head.length
+      signedPerm(seed, dim)
+    }
+    val cc = rot.map { case (p, g) => rotate(cc0, p, g) }.getOrElse(cc0)
     val cb0 = collectCodebook(cc, m, ncent, stride)
     val cb = spark.sparkContext.broadcast(
       if (iters == 0) cb0
       else withNorms(lloydSubspaces(cc, cb0.cents, cb0.ds, iters), cb0.ds))
-    val qq = AnnSearch.quantized(queries)
+    val qq0 = AnnSearch.quantized(queries)
+    val qq = rot.map { case (p, g) => rotate(qq0, p, g) }.getOrElse(qq0)
     // the probe batch: broadcast-bounded, the bruteTopK broadcast(q) contract
     val qArr = qq.select(col("id"), col("qe"), col("n2"))
       .as[(Long, Seq[Long], Long)].collect().map { case (id, e, n2) => (id, e.toArray, n2) }

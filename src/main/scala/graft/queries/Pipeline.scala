@@ -515,6 +515,119 @@ object Pipeline {
         .orderBy("qid", "rk")
     },
 
+    // IVF-PQ deletions ([[IvfPq.removeIds]]/[[IvfPq.compactIndex]] — the
+    // FAISS IndexIVF.remove_ids step, completing index CRUD): tombstones
+    // mask removed rows before the ADC scan (they never shortlist), and
+    // compaction physically rewrites the inverted lists and clears the
+    // tombstones with identical probe results (spec-pinned). The query
+    // replays train → 3 ingests → remove (every 11th id, INCLUDING
+    // codebook rows — the frozen book survives removals, as FAISS's does)
+    // → probe; the oracle is the q348 replay with removed ids excluded
+    // from the candidate set only.
+    Qd("q359_ann_ivfpq_delete",
+      ivfPqOracleSql(" AND c.cid % 11 <> 0")) { (s, dir) =>
+      import graft.operators.IvfPq
+      val e = emb(s, dir)
+      val sf = new java.io.File(dir).getName.replace(".", "_")
+      val idx = s"/root/repo/target/ddl/$sf/g359_ivfpq"
+      IvfPq.trainIndex(e, idx, centroidStride = 40, m = 16, ncent = 16,
+        pqStride = 7)
+      (0 to 2).foreach(i => IvfPq.addBatch(e.filter(col("id") % 3 === i), idx))
+      IvfPq.removeIds(e.filter(col("id") % 11 === 0).select("id"), idx)
+      IvfPq.probeIndex(e.filter(col("id") < 50), e, IvfPq.openIndex(s, idx),
+          10, nprobe = 4, shortlist = 64)
+        .select(col("qid"), col("cid"), col("rk").cast("bigint").as("rk"),
+          col("cos"))
+        .orderBy("qid", "rk")
+    },
+
+    // OPQ-lite pre-rotation ([[PqAnn.signedPerm]]): q347's PQ-ADC behind a
+    // deterministic SIGNED PERMUTATION of the coordinates — the exactly-
+    // replayable subset of FAISS's OPQMatrix rotation (full OPQ trains R
+    // by SVD, which no two engines reproduce bit-wise; a signed permutation
+    // is orthogonal, preserves every int64 dot product and norm EXACTLY,
+    // and still redistributes adjacent-dimension structure across the PQ
+    // subspaces). Permutation and signs derive from the keyed md5 (q172
+    // discipline), so the oracle replays rotation → codebook → encode →
+    // ADC → shortlist → exact rescore bit-identically; the reported
+    // cosines are the UNROTATED exact values by orthogonality.
+    Qd("q358_ann_pq_opq",
+      s"""WITH ${qCte("qq0", "WHERE vec_id < 50")},
+        |${qCte("cc0", "")},
+        |prm AS (SELECT t.i AS i,
+        |    row_number() OVER (ORDER BY md5('r358:' || t.i || ':perm'), t.i) - 1 AS pos,
+        |    CASE WHEN CAST(('0x' || substr(md5('r358:' || t.i || ':sgn'), 1, 15)) AS BIGINT) % 2 = 0
+        |      THEN 1 ELSE -1 END AS sgn
+        |  FROM range(0, 64) t(i)),
+        |cc AS (SELECT vec_id, list(qe[i + 1] * sgn ORDER BY pos) AS qe
+        |  FROM cc0, prm GROUP BY vec_id),
+        |qq AS (SELECT vec_id, list(qe[i + 1] * sgn ORDER BY pos) AS qe
+        |  FROM qq0, prm GROUP BY vec_id),
+        |ms AS (SELECT unnest(range(0, 16)) AS mi),
+        |cb AS (SELECT CAST(vec_id // 7 AS INT) AS j, ms.mi AS mi,
+        |    list_transform(range(1, 5), i -> qe[ms.mi*4 + i]) AS cent
+        |  FROM cc, ms WHERE vec_id % 7 = 0 AND vec_id < 112),
+        |cbn AS (SELECT mi, j,
+        |    list_sum(list_transform(range(1, 5), i -> cent[i]*cent[i])) AS cn2
+        |  FROM cb),
+        |csub AS (SELECT vec_id, ms.mi AS mi,
+        |    list_transform(range(1, 5), i -> qe[ms.mi*4 + i]) AS sub
+        |  FROM cc, ms),
+        |dist AS (SELECT s.vec_id, s.mi, b.j,
+        |    list_sum(list_transform(range(1, 5),
+        |      i -> (s.sub[i]-b.cent[i])*(s.sub[i]-b.cent[i]))) AS d2
+        |  FROM csub s JOIN cb b ON b.mi = s.mi),
+        |code AS (SELECT vec_id, mi, j FROM (
+        |    SELECT vec_id, mi, j,
+        |      row_number() OVER (PARTITION BY vec_id, mi ORDER BY d2, j) AS rn
+        |    FROM dist) WHERE rn = 1),
+        |rn2 AS (SELECT c.vec_id, SUM(n.cn2) AS rn2
+        |  FROM code c JOIN cbn n ON n.mi = c.mi AND n.j = c.j
+        |  GROUP BY c.vec_id),
+        |qsub AS (SELECT vec_id, ms.mi AS mi,
+        |    list_transform(range(1, 5), i -> qe[ms.mi*4 + i]) AS sub
+        |  FROM qq, ms),
+        |qn AS (SELECT vec_id,
+        |    list_sum(list_transform(range(1, 65), i -> qe[i]*qe[i])) AS qn2
+        |  FROM qq),
+        |lut AS (SELECT q.vec_id AS qid, q.mi, b.j,
+        |    list_sum(list_transform(range(1, 5), i -> q.sub[i]*b.cent[i])) AS dt
+        |  FROM qsub q JOIN cb b ON b.mi = q.mi),
+        |adc AS (SELECT l.qid, c.vec_id AS cid, SUM(l.dt) AS adcdot
+        |  FROM code c JOIN lut l ON l.mi = c.mi AND l.j = c.j
+        |  WHERE l.qid <> c.vec_id GROUP BY l.qid, c.vec_id),
+        |appr AS (SELECT a.qid, a.cid,
+        |    CASE WHEN CAST(q.qn2 AS DOUBLE)*CAST(r.rn2 AS DOUBLE) = 0 THEN -1.0
+        |      ELSE CAST(a.adcdot AS DOUBLE)
+        |        / sqrt(CAST(q.qn2 AS DOUBLE)*CAST(r.rn2 AS DOUBLE)) END AS adc
+        |  FROM adc a JOIN qn q ON q.vec_id = a.qid
+        |  JOIN rn2 r ON r.vec_id = a.cid),
+        |short AS (SELECT qid, cid FROM (
+        |    SELECT qid, cid,
+        |      row_number() OVER (PARTITION BY qid ORDER BY adc DESC, cid) AS rn
+        |    FROM appr) WHERE rn <= 64),
+        |cn AS (SELECT vec_id AS cid, qe AS ce,
+        |    list_sum(list_transform(range(1, 65), i -> qe[i]*qe[i])) AS cn2
+        |  FROM cc),
+        |sc AS (SELECT s.qid, s.cid,
+        |    CAST(list_sum(list_transform(range(1, 65), i -> q.qe[i]*c.ce[i])) AS DOUBLE)
+        |      / sqrt(CAST(qn.qn2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE)) AS cos
+        |  FROM short s JOIN qq q ON q.vec_id = s.qid
+        |  JOIN cn c ON c.cid = s.cid JOIN qn ON qn.vec_id = s.qid),
+        |rk AS (SELECT qid, cid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+        |  FROM sc)
+        |SELECT qid, cid, rk, ROUND(cos, 6) AS cos
+        |FROM rk WHERE rk <= 10 ORDER BY qid, rk""") { (s, dir) =>
+      val e = emb(s, dir)
+      graft.operators.PqAnn.pqTopK(e.filter(col("id") < 50), e, 10,
+          m = 16, ncent = 16, stride = 7, shortlist = 64,
+          rotateSeed = Some("r358"))
+        .select(col("qid"), col("cid"), col("rk").cast("bigint").as("rk"),
+          col("cos"))
+        .orderBy("qid", "rk")
+    },
+
     // TRAINED residual codebook for IVF-PQ — q348 with the stride residual
     // book refined by 2 Lloyd rounds over the ACTUAL residual distribution
     // (coarse book fixed; q274 already proved coarse k-means — this trains
@@ -1117,7 +1230,11 @@ object Pipeline {
     * incremental ingest — identical results by the frozen-book contract):
     * coarse assign → residual codebook → encode (incl. exact reconstructed
     * norm²) → probes → ADC → shortlist → exact rescore, all int64. */
-  private def ivfPqOracleSql: String =
+  private def ivfPqOracleSql: String = ivfPqOracleSql("")
+
+  /** `candFilter` — extra SQL appended to the candidate predicate (q359's
+    * tombstone mask); empty for the q348/q354 one-shot/ingest replays. */
+  private def ivfPqOracleSql(candFilter: String): String =
       s"""WITH ${qCte("qq", "WHERE vec_id < 50")},
         |${qCte("cc", "")},
         |cents AS (SELECT vec_id AS cent_id, qe AS ce FROM cc WHERE vec_id % 40 = 0),
@@ -1166,7 +1283,8 @@ object Pipeline {
         |    list_sum(list_transform(range(1, 5), i -> q.sub[i]*b.cent[i])) AS dt
         |  FROM qsub q JOIN pql b ON b.mi = q.mi),
         |prs AS (SELECT a.qid, c.cid, a.dt AS qdotc
-        |  FROM qa a JOIN ca c ON c.cent_id = a.cent_id WHERE a.qid <> c.cid),
+        |  FROM qa a JOIN ca c ON c.cent_id = a.cent_id
+        |  WHERE a.qid <> c.cid$candFilter),
         |adc AS (SELECT p.qid, p.cid, p.qdotc + SUM(l.dt) AS adcdot
         |  FROM prs p JOIN code c ON c.cid = p.cid
         |  JOIN lut l ON l.qid = p.qid AND l.mi = c.mi AND l.j = c.j

@@ -204,6 +204,65 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "one Lloyd round over real vectors must move an all-zero codebook")
   }
 
+  test("IVF-PQ remove_ids: tombstones mask before the ADC scan; compaction " +
+      "drops codes physically with identical probe results") {
+    val queries = emb.filter(col("id") < 30)
+    val root = "/root/repo/target/pipelinespec/ivfpq_del"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    IvfPq.buildIndex(emb, root, centroidStride = 40,
+      m = 16, ncent = 16, pqStride = 7)
+    def probe() = IvfPq.probeIndex(queries, emb,
+        IvfPq.openIndex(spark, root), 10, nprobe = 4, shortlist = 64)
+      .select("qid", "cid", "rk", "cos")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val before = probe()
+    IvfPq.removeIds(emb.filter(col("id") % 7 === 0).select("id"), root)
+    val masked = probe()
+    assert(masked.forall(_._2 % 7 != 0), "removed ids must never surface")
+    assert(masked != before, "removals must change the top-k on this corpus")
+    // compaction: same results, tombstones gone, codes physically absent
+    IvfPq.compactIndex(spark, root)
+    assert(!new java.io.File(s"$root/_deletes").exists())
+    assert(probe() == masked,
+      "compaction must not change any probe result")
+    assert(spark.read.parquet(s"$root/lists")
+      .filter(col("cid") % 7 === 0).isEmpty,
+      "compaction must drop tombstoned codes from the lists")
+    // a second compact with no tombstones is a no-op
+    IvfPq.compactIndex(spark, root)
+    assert(probe() == masked)
+  }
+
+  test("OPQ-lite: signed permutation is orthogonal — brute degeneracy holds " +
+      "under rotation, shared pairs carry identical exact cosines") {
+    val queries = emb.filter(col("id") < 30)
+    // the permutation is a real non-identity bijection with ±1 signs
+    val (perm, sgn) = PqAnn.signedPerm("r358", 64)
+    assert(perm.sorted.sameElements(0 until 64), "must be a bijection")
+    assert(!perm.sameElements(0 until 64), "md5 order must move coordinates")
+    assert(sgn.forall(s => s == 1L || s == -1L) && sgn.contains(-1L))
+    // orthogonality: with every candidate rescored (shortlist=∞), rotated
+    // PQ equals brute force bit-exactly — rotation changes the codes, never
+    // the exact math
+    val brute = AnnSearch.bruteTopK(queries, emb, 10)
+      .select("qid", "cid", "cos").as[(Long, Long, Double)].collect().toSet
+    val rotFull = PqAnn.pqTopK(queries, emb, 10, m = 16, ncent = 16,
+        stride = 7, shortlist = 100000, rotateSeed = Some("r358"))
+      .select("qid", "cid", "cos").as[(Long, Long, Double)].collect().toSet
+    assert(rotFull == brute,
+      "shortlist=∞ rotated PQ must equal brute force (signed perm is orthogonal)")
+    // at the production shortlist, any pair the rotated and unrotated runs
+    // share reports the SAME exact cosine (the rescore is rotation-blind)
+    val bruteCos = brute.map(r => (r._1, r._2) -> r._3).toMap
+    PqAnn.pqTopK(queries, emb, 10, m = 16, ncent = 16, stride = 7,
+        shortlist = 64, rotateSeed = Some("r358"))
+      .select("qid", "cid", "cos").as[(Long, Long, Double)].collect()
+      .foreach { case (q, c, cos) =>
+        bruteCos.get((q, c)).foreach(b => assert(b == cos,
+          s"rotated rescore drifted for ($q,$c): $cos != $b"))
+      }
+  }
+
   test("k-means IVF: trained centroids' recall@10 >= the stride baseline," +
       " and training moves the codebook") {
     val queries = emb.filter(col("id") < 30)
