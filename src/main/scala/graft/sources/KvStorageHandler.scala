@@ -614,14 +614,19 @@ object KvStorageHandler {
         case ("and", l :: r :: Nil) =>
           val (fl, rl) = walk(l); val (fr, rr) = walk(r)
           if (fl.size * fr.size > MaxDisjuncts) (Seq(KeyFilter.full), Seq(e))
-          else (for (a <- fl; b <- fr) yield a.intersect(b), rl ++ rr)
+          // distinct: a non-key OR yields (full, full) branches, and
+          // without dedup the cross product would turn ONE real bound into
+          // duplicate disjuncts — collapsing the single-filter surface to
+          // a full scan for `k >= a AND (x=1 OR y=2)` shapes (a pruning
+          // regression the r14 self-review caught)
+          else ((for (a <- fl; b <- fr) yield a.intersect(b)).distinct, rl ++ rr)
         case ("or", l :: r :: Nil) =>
           val (fl, rl) = walk(l); val (fr, rr) = walk(r)
           if (fl.size + fr.size > MaxDisjuncts) (Seq(KeyFilter.full), Seq(e))
           // a residual on EITHER branch forces the whole OR residual: the
           // conjunction-shaped residual list cannot express "this conjunct
           // applies only inside its disjunct"
-          else (fl ++ fr, if (rl.isEmpty && rr.isEmpty) Nil else Seq(e))
+          else ((fl ++ fr).distinct, if (rl.isEmpty && rr.isEmpty) Nil else Seq(e))
         case ("=" | "==" | "equal_to", a :: b :: Nil) if isKey(a) && litStr(b).isDefined =>
           (Seq(KeyFilter.points(Seq(litStr(b).get))), Nil)
         case ("=" | "==" | "equal_to", a :: b :: Nil) if isKey(b) && litStr(a).isDefined =>

@@ -163,6 +163,17 @@ class KvHandlerSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (kfOld, rOld) = decomposeKeyPredicate(
       col("k").between("b", "d") || col("k").between("p", "r"), "k")
     assert(kfOld.isFullScan && rOld.isDefined)
+    // a NON-KEY disjunction beside a key bound must not cost the bound:
+    // both OR branches decompose to the full filter, which dedups away in
+    // the AND cross product — the r13 single-filter behavior is preserved
+    // (the bound prunes, the OR re-checks as residual)
+    val (kfMix, rMix) = decomposeKeyPredicate(
+      col("k") >= "g" && (col("x") === 1 || col("y") === 2), "k")
+    assert(kfMix.lower.contains(("g", true)) && rMix.isDefined,
+      s"key bound must survive a non-key OR conjunct, got $kfMix")
+    val (kfsMix, _) = decomposeKeyDisjuncts(
+      col("k") >= "g" && (col("x") === 1 || col("y") === 2), "k")
+    assert(kfsMix.size == 1, "duplicate disjuncts must dedup")
 
     // store level: a 2-range OR scans ≤ the sum of the two covering file
     // sets and strictly less than the store (the gap is never read)
