@@ -108,6 +108,34 @@ object AnnScale {
         f"probe=$pw%.2fs")
     }
 
+    // delete/compact row (q359 lifecycle): removeIds is O(ids) — a
+    // tombstone append, not an index rewrite; the masked probe pays one
+    // broadcast anti-join over the scanned lists; compaction is a single
+    // partitioned rewrite after which the mask cost disappears.
+    {
+      val corpus = spark.read.parquet(s"$root/x64")
+      val idx = IvfPq.openIndex(spark, s"$root/idxinc")
+      val (cleanW, cleanRows) = best2(
+        IvfPq.probeIndex(queries, corpus, idx, 10, nprobe = 8, shortlist = 64))
+      var t0 = System.nanoTime()
+      IvfPq.removeIds(corpus.filter(col("id") % 9 === 0).select("id"),
+        s"$root/idxinc")
+      val remove = (System.nanoTime() - t0) / 1e9
+      val (maskedW, maskedRows) = best2(
+        IvfPq.probeIndex(queries, corpus, idx, 10, nprobe = 8, shortlist = 64))
+      require(maskedRows.forall(_._2 % 9 != 0), "removed ids surfaced")
+      t0 = System.nanoTime()
+      IvfPq.compactIndex(spark, s"$root/idxinc")
+      val compact = (System.nanoTime() - t0) / 1e9
+      val (postW, postRows) = best2(
+        IvfPq.probeIndex(queries, corpus, idx, 10, nprobe = 8, shortlist = 64))
+      require(postRows == maskedRows, "compaction changed probe results")
+      println(f"[annscale] x64-delete remove=$remove%.2fs " +
+        f"probeClean=$cleanW%.2fs probeMasked=$maskedW%.2fs " +
+        f"compact=$compact%.2fs probePostCompact=$postW%.2fs " +
+        f"(clean ${cleanRows.size} rows, masked ${maskedRows.size})")
+    }
+
     // dimensionality row: production embeddings are ~1024-dim, where the
     // brute/ADC crossover flips — brute cost scales with dim while the ADC
     // row cost stays m lookups (only the tiny per-query LUT scales). Tile
