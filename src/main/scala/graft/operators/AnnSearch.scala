@@ -381,7 +381,7 @@ object AnnSearch {
   }
 
   /** [[ivfIndexInit]] with TRAINED centroids: k-means over the first
-    * batch, frozen into the `_centroids` sidecar — later ingests and
+    * batch, frozen into the `centroids` sidecar — later ingests and
     * probes are untouched (they read the sidecar), completing the FAISS
     * contract: train once (now a real training), add forever. */
   def ivfIndexInitTrained(firstBatch: DataFrame, centroidStride: Int,
@@ -394,7 +394,7 @@ object AnnSearch {
     val cents = trainCentroids(firstBatch, centroidStride, iters)
     cents.toSeq.map { case (i, e) => (i, e.toSeq) }
       .toDF("cent_id", "ce")
-      .coalesce(1).write.parquet(s"$path/_centroids")
+      .coalesce(1).write.parquet(s"$path/centroids")
     val bc = spark.sparkContext.broadcast(cents)
     assign(quantized(firstBatch), bc, 1)
       .write.mode("append").partitionBy("cent_id").parquet(s"$path/lists")
@@ -443,7 +443,7 @@ object AnnSearch {
     * from the index by stride, which assumes a ONE-SHOT build: appending
     * batches would shift the derived centroid set and silently strand
     * earlier rows under assignments no probe would reach. Here the
-    * centroid set is FROZEN at [[ivfIndexInit]] into a `_centroids`
+    * centroid set is FROZEN at [[ivfIndexInit]] into a `centroids`
     * sidecar; every later [[ivfIndexIngest]] assigns against the frozen
     * set (broadcast argmax, no shuffle) and APPENDS its inverted-list
     * partitions, so ingest is order-independent and the final index
@@ -463,7 +463,7 @@ object AnnSearch {
     val cents = collectCentroids(qc, centroidStride)
     cents.toSeq.map { case (i, e) => (i, e.toSeq) }
       .toDF("cent_id", "ce")
-      .coalesce(1).write.parquet(s"$path/_centroids")
+      .coalesce(1).write.parquet(s"$path/centroids")
     val bc = spark.sparkContext.broadcast(cents)
     assign(qc, bc, 1)
       .write.mode("append").partitionBy("cent_id").parquet(s"$path/lists")
@@ -473,7 +473,7 @@ object AnnSearch {
   private def frozenCentroids(spark: org.apache.spark.sql.SparkSession,
       path: String): Array[(Long, Array[Long])] = {
     import spark.implicits._
-    spark.read.parquet(s"$path/_centroids")
+    spark.read.parquet(s"$path/centroids")
       .as[(Long, Seq[Long])].collect()
       .map { case (i, e) => (i, e.toArray) }.sortBy(_._1)
   }

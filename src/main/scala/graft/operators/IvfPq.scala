@@ -134,8 +134,10 @@ object IvfPq {
       // already proved coarse k-means; this trains the other half)
       val spark = qc.sparkSession
       val bk = spark.sparkContext.broadcast(base)
-      val trained = PqAnn.lloydSubspaces(residualVecs(qc, bk), cents, ds, pqIters)
-      Book(coarse, trained, ds)
+      try {
+        val trained = PqAnn.lloydSubspaces(residualVecs(qc, bk), cents, ds, pqIters)
+        Book(coarse, trained, ds)
+      } finally bk.destroy() // interim book: lloydSubspaces has consumed it
     }
   }
 
@@ -213,9 +215,13 @@ object IvfPq {
   def addBatch(batch: DataFrame, path: String): Unit = {
     val spark = batch.sparkSession
     val book = spark.sparkContext.broadcast(loadBook(spark, path))
-    encodeAll(AnnSearch.quantized(batch), book)
+    try encodeAll(AnnSearch.quantized(batch), book)
       .repartition(col("cent_id")).write.mode("append")
       .partitionBy("cent_id").parquet(s"$path/lists")
+    // the write is the terminal action — the per-batch book broadcast is
+    // dead after it; without this a long ingest session leaks one book
+    // per addBatch call
+    finally book.destroy()
   }
 
   /** Open a persisted index for probing (the `faiss.read_index` analog). */
@@ -224,7 +230,7 @@ object IvfPq {
     new IvfPqIndex(path, spark.sparkContext.broadcast(loadBook(spark, path)))
 
   /** REMOVE step (`index.remove_ids` — FAISS `IndexIVF.remove_ids`): LSM
-    * tombstones under `_deletes`, applied as an anti-join before the ADC
+    * tombstones under `tombstones`, applied as an anti-join before the ADC
     * scan so removed rows never shortlist — the same mask-then-compact
     * discipline as the KV handler and the merge-on-read DML. FAISS
     * compacts its inverted lists in place on remove; here the rewrite is
@@ -232,9 +238,14 @@ object IvfPq {
     * Contract: ids are unique per index lifetime — re-adding a removed id
     * without compacting first stays masked (document-id reuse is a corpus
     * bug, not an index feature). */
-  def removeIds(ids: DataFrame, path: String): Unit =
+  def removeIds(ids: DataFrame, path: String): Unit = {
+    require(ids.columns.length == 1,
+      s"removeIds wants a single id column, got (${ids.columns.mkString(", ")})" +
+        " — select the id explicitly; silently taking the first column of a" +
+        " wide frame would tombstone the wrong values")
     ids.select(col(ids.columns.head).cast("long").as("cid"))
-      .coalesce(1).write.mode("append").parquet(s"$path/_deletes")
+      .coalesce(1).write.mode("append").parquet(s"$path/tombstones")
+  }
 
   /** Compaction: physically drop tombstoned codes from every inverted list
     * and clear the tombstones — one distributed anti-join + partitioned
@@ -245,16 +256,38 @@ object IvfPq {
       path: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_deletes"))) return
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/tombstones"))) return
     val kept = spark.read.parquet(s"$path/lists")
       .select("cid", "cent_id", "codes", "rn2")
-      .join(spark.read.parquet(s"$path/_deletes"), Seq("cid"), "left_anti")
-    kept.repartition(col("cent_id")).write.mode("overwrite")
-      .partitionBy("cent_id").parquet(s"$path/lists_compact")
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/lists"), true)
-    fs.rename(new org.apache.hadoop.fs.Path(s"$path/lists_compact"),
-      new org.apache.hadoop.fs.Path(s"$path/lists"))
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_deletes"), true)
+      .join(spark.read.parquet(s"$path/tombstones"), Seq("cid"), "left_anti")
+    val compact = new org.apache.hadoop.fs.Path(s"$path/lists_compact")
+    if (kept.isEmpty)
+      // tombstones covered every row: partitionBy over zero rows writes NO
+      // data file and the next open would die on parquet schema inference —
+      // write the empty frame unpartitioned instead (cent_id stays a real
+      // column, so the footer carries the full schema and probes return
+      // zero rows cleanly)
+      kept.write.mode("overwrite").parquet(compact.toString)
+    else
+      kept.repartition(col("cent_id")).write.mode("overwrite")
+        .partitionBy("cent_id").parquet(compact.toString)
+    // crash-safe swap: the live lists are MOVED ASIDE, never deleted before
+    // the new generation is in place — a failure at any step leaves either
+    // the old or the new index fully intact (the KV handler's generation
+    // discipline; deleting live data first risked total index loss)
+    val lists = new org.apache.hadoop.fs.Path(s"$path/lists")
+    val old = new org.apache.hadoop.fs.Path(s"$path/lists_old")
+    fs.delete(old, true) // stale leftover from a previous failed compaction
+    require(fs.rename(lists, old),
+      s"compactIndex: rename $lists -> $old failed; index left untouched")
+    if (!fs.rename(compact, lists)) {
+      // restore the original generation before failing
+      fs.rename(old, lists)
+      throw new IllegalStateException(
+        s"compactIndex: rename $compact -> $lists failed; original restored")
+    }
+    fs.delete(old, true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
   }
 
   /** One-shot build = train on the full corpus + add it as one batch — the
@@ -285,8 +318,8 @@ object IvfPq {
     val fs = new org.apache.hadoop.fs.Path(index.path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val encoded =
-      if (fs.exists(new org.apache.hadoop.fs.Path(s"${index.path}/_deletes")))
-        encoded0.join(spark.read.parquet(s"${index.path}/_deletes"),
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"${index.path}/tombstones")))
+        encoded0.join(spark.read.parquet(s"${index.path}/tombstones"),
           Seq("cid"), "left_anti")
       else encoded0
     probeEncoded(queries, corpus, encoded, index.book, k, nprobe, shortlist)

@@ -541,8 +541,8 @@ object Corpus {
         |SELECT doc_id,
         |  md5(coalesce(string_agg(CASE WHEN df <= 25 THEN line END, chr(10) ORDER BY pos),
         |    '')) AS clean_md5,
-        |  sum(CASE WHEN df <= 25 THEN 1 ELSE 0 END) AS n_kept,
-        |  sum(CASE WHEN df > 25 THEN 1 ELSE 0 END) AS n_dropped
+        |  CAST(sum(CASE WHEN df <= 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN df > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
         |FROM j GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
       val lined = docs(s, dir).select(col("doc_id"),
         regexp_replace(col("text"), "(\\S+ \\S+) ", "$1\n").as("text"))

@@ -114,7 +114,13 @@ object Ddl {
         // the catalog cache a file listing that the INSERT OVERWRITE then
         // deletes — the transient "directory was not found" WARN the r13
         // bench logged (non-fatal, but a listing race waiting to escalate)
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$loc/$tbl"))
+        val dir = new java.io.File(s"$loc/$tbl")
+        org.apache.commons.io.FileUtils.deleteQuietly(dir)
+        // an explicit LOCATION makes the table EXTERNAL, and Spark never
+        // creates an external table's directory — without the mkdirs the
+        // INSERT's relation resolution lists a missing dir (the
+        // `HadoopFSUtils … was not found` WARN the r14 bench tail kept)
+        dir.mkdirs()
         s.sql(s"CREATE TABLE $tbl (k BIGINT, nm STRING) USING parquet " +
           s"LOCATION '$loc/$tbl'")
       }

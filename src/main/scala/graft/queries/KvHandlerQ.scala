@@ -568,6 +568,11 @@ object KvHandlerQ {
         KvStorageHandler.decomposeKeyPredicate(rb, "k")._1)
       require(pu._1 <= pa._1 + pb._1,
         s"union scanned ${pu._1} > covering sets ${pa._1}+${pb._1}")
+      // bracket from below too: the union can never admit FEWER files than
+      // its widest branch — together the two bounds pin that the r14
+      // disjunct-dedup change neither widens nor corrupts the admitted set
+      require(pu._1 >= math.max(pa._1, pb._1),
+        s"union scanned ${pu._1} < widest branch ${math.max(pa._1, pb._1)}")
       require(pu._1 < pu._2,
         s"the gap between the ranges must prune region files, scanned $pu")
       KvStorageHandler.scan(s, root, m, pred)

@@ -65,6 +65,40 @@ object Shaping {
        |         ELSE CAST(r.ntok AS BIGINT) END
        |  FROM p JOIN r ON r.shard = p.shard AND r.rn = p.rn + 1)""".stripMargin
 
+  /** q185 oracle: replay the whole `nMerges`-iteration BPE training loop
+    * as chained CTE GENERATIONS — the q183 recursive-replay discipline
+    * married to q186's double-space merge encoding. Per generation i:
+    * split the current segmentation strings back into tokens, count
+    * adjacent pairs weighted by word frequency, take the argmax under the
+    * engine's exact tie-break (cnt DESC, a, b), and apply the winning
+    * merge with ONE replace() (the ' a  b ' → ' ab ' encoding IS the
+    * left-to-right non-overlapping pass, proven by q186). MATERIALIZED is
+    * load-bearing: g_i is referenced twice (pair scan + next generation),
+    * so inlining would re-evaluate the whole prefix chain per step. */
+  private def bpeTrainCtes(nMerges: Int): String = {
+    val steps = (1 to nMerges).map { i =>
+      s"""p$i AS (SELECT string_split(trim(s, ' '), '  ') AS ts, f FROM g${i - 1}),
+         |e$i AS (SELECT ts[j] AS a, ts[j+1] AS b, f FROM p$i, unnest(range(1, len(ts))) AS t(j)),
+         |m$i AS MATERIALIZED (SELECT a, b, CAST(sum(f) AS BIGINT) AS cnt
+         |  FROM e$i GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 1),
+         |g$i AS MATERIALIZED (SELECT f,
+         |  replace(s, ' ' || (SELECT a FROM m$i) || '  ' || (SELECT b FROM m$i) || ' ',
+         |          ' ' || (SELECT a || b FROM m$i) || ' ') AS s FROM g${i - 1})"""
+        .stripMargin
+    }.mkString(",\n")
+    val un = (1 to nMerges).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS rk, a, b, cnt FROM m$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH wf AS (SELECT w, CAST(count(*) AS BIGINT) AS f
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY w),
+       |g0 AS MATERIALIZED (SELECT f,
+       |  ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS s FROM wf),
+       |$steps
+       |SELECT rk, a AS "left", b AS "right", a || b AS merged, cnt AS score
+       |FROM ($un) ORDER BY rk""".stripMargin
+  }
+
   private val packSeed = "pack7"
   private val chunkPackSeed = "cp7"
   private val tokPackSeed = "tp7"
@@ -163,11 +197,12 @@ object Shaping {
     },
 
     // Learned BPE merge sequence (12 merges). The training loop is
-    // inherently iterative (each merge re-segments the dict before the next
-    // count) — not SQL-expressible, so rows-only; ShapingSpec replays the
-    // whole loop sequentially driver-side and requires an identical merge
-    // table, and q184 oracles iteration zero of the same counting rule.
-    Qd.rowsOnly("q185_bpe_train") { (s, dir) =>
+    // iterative (each merge re-segments the dict before the next count),
+    // but each iteration IS SQL — so the oracle (r15, closing the suite's
+    // last rows-only gap) replays all 12 generations as chained CTEs via
+    // [[bpeTrainCtes]]. ShapingSpec additionally replays the loop
+    // sequentially driver-side, and q184 oracles iteration zero.
+    Qd("q185_bpe_train", bpeTrainCtes(12)) { (s, dir) =>
       BpeTrain.trainMerges(docs(s, dir), 12).orderBy("rk")
     },
 

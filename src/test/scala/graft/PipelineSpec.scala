@@ -222,7 +222,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(masked != before, "removals must change the top-k on this corpus")
     // compaction: same results, tombstones gone, codes physically absent
     IvfPq.compactIndex(spark, root)
-    assert(!new java.io.File(s"$root/_deletes").exists())
+    assert(!new java.io.File(s"$root/tombstones").exists())
     assert(probe() == masked,
       "compaction must not change any probe result")
     assert(spark.read.parquet(s"$root/lists")

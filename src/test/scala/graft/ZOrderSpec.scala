@@ -23,9 +23,15 @@ class ZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val base = "/root/repo/target/zorderspec"
 
-  // two independent pseudo-random dimensions over [0, 100000)
+  // two independent pseudo-random dimensions over [0, 100000).
+  // numSlices is PINNED: range() otherwise inherits defaultParallelism
+  // from whichever shared session got built first (local[8] in isolation
+  // vs local[32] in the full suite), and a different upstream slicing
+  // changes RangePartitioner's deterministic per-partition sample seeds —
+  // the r14 full-suite flake (file-count/geometry drift) came from that,
+  // not from the z-order math.
   private def data(): DataFrame =
-    spark.range(0, 100000).select(col("id").as("k"),
+    spark.range(0, 100000, 1, 16).select(col("id").as("k"),
       (col("id") * 2654435761L % 100000L).as("x"),
       (hash(col("id")).cast("long").bitwiseAND(0x7fffffffL) % 100000L).as("y"))
 
@@ -75,14 +81,17 @@ class ZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
     TxnMergeOnRead.create(spark, root, data())
     TxnMergeOnRead.update(spark, root, Seq("x" -> "x + 1"), "k % 1000 = 0")
     val before = TxnMergeOnRead.read(spark, root).orderBy("k").collect().toSeq
+    def baseDirs(): Set[String] = new File(root).listFiles()
+      .filter(f => f.getName.startsWith("base_") && f.isDirectory)
+      .map(_.getAbsolutePath).toSet
+    val pre = baseDirs()
     assert(TxnMergeOnRead.compact(spark, root,
       clusterBy = Seq("x", "y"), clusterFiles = 32))
     assert(TxnMergeOnRead.read(spark, root).orderBy("k").collect()
       .toSeq === before, "clustered compaction must not change content")
-    // the new base's layout has the z property on both dimensions
-    val baseDir = new File(root).listFiles()
-      .filter(f => f.getName.startsWith("base_") && f.isDirectory)
-      .maxBy(_.lastModified).getAbsolutePath
+    // the new base's layout has the z property on both dimensions.
+    // Identify it by set difference, not mtime (mtime ties under load).
+    val baseDir = (baseDirs() -- pre).head
     val fx = hitFraction(fileRanges(baseDir, "x"), 40000L, 42000L)
     val fy = hitFraction(fileRanges(baseDir, "y"), 40000L, 42000L)
     assert(fx <= 0.40 && fy <= 0.40,
@@ -93,7 +102,7 @@ class ZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("negative domains and heavy skew preserve content exactly") {
-    val df = spark.range(0, 5000).select(col("id").as("k"),
+    val df = spark.range(0, 5000, 1, 8).select(col("id").as("k"),
       (col("id") * 37 % 1000 - 500).as("x"), // negative range
       when(col("id") % 100 === 0, col("id") * 1000000L)
         .otherwise(lit(1L)).as("y"))         // 99% of mass in one bucket
@@ -105,7 +114,7 @@ class ZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("NULLs, constant columns, and skew do not break the build") {
-    val df = spark.range(0, 1000).select(col("id").as("k"),
+    val df = spark.range(0, 1000, 1, 4).select(col("id").as("k"),
       when(col("id") % 10 === 0, lit(null)).otherwise(col("id")).as("x"),
       lit(7L).as("c"))
     val out = s"$base/nulls"
@@ -116,7 +125,7 @@ class ZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("DATE columns cluster as a real dimension (regression: date→double" +
       " casts NULL, which silently collapsed the dimension)") {
-    val df = spark.range(0, 3000).select(col("id").as("k"),
+    val df = spark.range(0, 3000, 1, 8).select(col("id").as("k"),
       date_add(lit(java.sql.Date.valueOf("2024-01-01")),
         (col("id") % 30).cast("int")).as("d"),
       (col("id") * 13 % 997).as("u"))
@@ -131,7 +140,11 @@ class ZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
       java.sql.Date.valueOf("2024-01-14"))
     val overlapping = files.count(r =>
       !r.getDate(1).after(band._2) && !r.getDate(2).before(band._1))
-    assert(files.length == 16)
+    // range-partitioned writes guarantee AT MOST numFiles non-empty files,
+    // never an exact count (an empty range slot writes nothing) — assert
+    // the contract, not one run's geometry
+    assert(files.length >= 8 && files.length <= 16,
+      s"expected 8..16 z-ordered files, got ${files.length}")
     assert(overlapping < files.length,
       s"date band overlaps all $overlapping/${files.length} files — " +
         "the date dimension did not participate in the z-order")

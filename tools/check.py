@@ -7,8 +7,9 @@ Registers each parquet table from sfDir as a DuckDB view, runs each oracle
 SQL from <verifyOutDir>/oracle_sql.json, reads our Spark result parquet,
 sorts columns by name (like the driver) plus rows, and diffs values.
 """
-import sys, json, glob, os
+import sys, json, glob, os, datetime
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -23,6 +24,46 @@ def _norm_val(v):
     return v
 
 
+def canon(v):
+    """Driver-faithful stringification: the official compare canonicalizes
+    each cell to a string BEFORE hashing, so int64 16 and float64 16.0 are
+    DIFFERENT ("16" vs "16.0"). r14's q353 red came from check.py passing
+    (pandas 16 == 16.0) what the driver failed — never compare numerics
+    loosely here."""
+    if v is None or v is pd.NaT:
+        return "NULL"
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        return "NULL" if f != f else repr(f)
+    if isinstance(v, (np.bool_, bool)):
+        return str(bool(v))
+    if isinstance(v, (np.integer, int)):
+        return str(int(v))
+    if isinstance(v, (pd.Timestamp, datetime.datetime)):
+        if (v.hour, v.minute, v.second, getattr(v, "microsecond", 0)) == (0, 0, 0, 0):
+            return v.strftime("%Y-%m-%d")
+        return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return "0x" + v.hex()
+    return str(_norm_val(v))
+
+
+def selftest():
+    """check.py must FAIL an int-vs-float fixture (VERDICT r14 task 2)."""
+    a = pd.Series([16, 17], dtype="int64").map(canon)
+    b = pd.Series([16.0, 17.0], dtype="float64").map(canon)
+    assert list(a) == ["16", "17"], list(a)
+    assert list(b) == ["16.0", "17.0"], list(b)
+    assert not (a == b).any(), "int-vs-float must NOT compare equal"
+    c = pd.Series([16.5, float("nan")]).map(canon)
+    assert list(c) == ["16.5", "NULL"], list(c)
+    print("SELFTEST PASS: int64 vs float64 fixture correctly differs "
+          "(16 != 16.0 after driver-style canonicalization)")
+    sys.exit(0)
+
+
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
@@ -32,6 +73,8 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--selftest":
+        selftest()
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
@@ -70,11 +113,10 @@ def main():
         os_ = oracle.sort_values(by=list(oracle.columns), kind="mergesort").reset_index(drop=True)
         diffs = []
         for c in mine.columns:
-            a, b = ms[c], os_[c]
-            try:
-                eq = (a == b) | (a.isna() & b.isna())
-            except Exception:
-                eq = a.astype(str) == b.astype(str)
+            # driver-style: canonical strings, NOT pandas numeric equality
+            # (int64 16 vs float64 16.0 must FAIL, as the driver fails it)
+            a, b = ms[c].map(canon), os_[c].map(canon)
+            eq = a == b
             if not eq.all():
                 i = int((~eq).idxmax())
                 diffs.append(f"{c}[row {i}]: {a[i]!r} vs {b[i]!r} ({int((~eq).sum())} diffs)")
