@@ -628,6 +628,66 @@ object Pipeline {
         .orderBy("qid", "rk")
     },
 
+    // Trained per-dimension scalar quantizer ([[ScalarQuantizer.sqTopK]] —
+    // FAISS IndexScalarQuantizer QT_8bit): per-dim [lo, hi] trained over
+    // the corpus, floor-encoded to one byte/dim (8× smaller at rest than
+    // the int64 frame), searched by asymmetric distance against the
+    // 255×-scaled integral reconstruction, then exactly rescored. Fills
+    // the codec gap between q178's per-vector symmetric int8 and q347's
+    // subspace PQ. All int64, so the oracle replays train → encode → ADC
+    // → shortlist → exact rescore; brute degeneracy + recall floor in
+    // ScalarQuantizerSpec.
+    Qd("q360_ann_sq8",
+      s"""WITH ${qCte("qq", "WHERE vec_id < 50")},
+        |${qCte("cc", "")},
+        |d AS (SELECT unnest(range(1, 65)) AS i),
+        |st AS (SELECT d.i AS i, min(qe[d.i]) AS lo, max(qe[d.i]) AS hi
+        |  FROM cc, d GROUP BY d.i),
+        |recon AS (SELECT c.vec_id AS cid, s.i,
+        |    s.lo*255 + (CASE WHEN s.hi = s.lo THEN 0
+        |      ELSE ((c.qe[s.i] - s.lo) * 255) // (s.hi - s.lo) END)
+        |      * (s.hi - s.lo) AS rn
+        |  FROM cc c, st s),
+        |rn2 AS (SELECT cid, CAST(sum(rn*rn) AS BIGINT) AS rn2
+        |  FROM recon GROUP BY cid),
+        |qn AS (SELECT vec_id,
+        |    CAST(list_sum(list_transform(range(1, 65), i -> qe[i]*qe[i])) AS BIGINT) AS qn2
+        |  FROM qq),
+        |adc AS (SELECT q.vec_id AS qid, r.cid,
+        |    CAST(sum(q.qe[r.i] * r.rn) AS BIGINT) AS dotnum
+        |  FROM recon r, qq q WHERE q.vec_id <> r.cid
+        |  GROUP BY q.vec_id, r.cid),
+        |appr AS (SELECT a.qid, a.cid,
+        |    CASE WHEN CAST(q.qn2 AS DOUBLE)*CAST(r.rn2 AS DOUBLE) = 0 THEN -1.0
+        |      ELSE CAST(a.dotnum AS DOUBLE)
+        |        / sqrt(CAST(q.qn2 AS DOUBLE)*CAST(r.rn2 AS DOUBLE)) END AS adc
+        |  FROM adc a JOIN qn q ON q.vec_id = a.qid
+        |  JOIN rn2 r ON r.cid = a.cid),
+        |short AS (SELECT qid, cid FROM (
+        |    SELECT qid, cid,
+        |      row_number() OVER (PARTITION BY qid ORDER BY adc DESC, cid) AS rn
+        |    FROM appr) WHERE rn <= 64),
+        |cn AS (SELECT vec_id AS cid, qe AS ce,
+        |    list_sum(list_transform(range(1, 65), i -> qe[i]*qe[i])) AS cn2
+        |  FROM cc),
+        |sc AS (SELECT s.qid, s.cid,
+        |    CAST(list_sum(list_transform(range(1, 65), i -> q.qe[i]*c.ce[i])) AS DOUBLE)
+        |      / sqrt(CAST(qn.qn2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE)) AS cos
+        |  FROM short s JOIN qq q ON q.vec_id = s.qid
+        |  JOIN cn c ON c.cid = s.cid JOIN qn ON qn.vec_id = s.qid),
+        |rk AS (SELECT qid, cid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+        |  FROM sc)
+        |SELECT qid, cid, rk, ROUND(cos, 6) AS cos
+        |FROM rk WHERE rk <= 10 ORDER BY qid, rk""") { (s, dir) =>
+      val e = emb(s, dir)
+      graft.operators.ScalarQuantizer.sqTopK(e.filter(col("id") < 50), e, 10,
+          shortlist = 64)
+        .select(col("qid"), col("cid"), col("rk").cast("bigint").as("rk"),
+          col("cos"))
+        .orderBy("qid", "rk")
+    },
+
     // TRAINED residual codebook for IVF-PQ — q348 with the stride residual
     // book refined by 2 Lloyd rounds over the ACTUAL residual distribution
     // (coarse book fixed; q274 already proved coarse k-means — this trains
