@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph-probed ANN: a deterministic k-NN neighborhood graph walked by
+  * fixed-schedule beam search — the exactly-replayable core of the
+  * HNSW/NSW/DiskANN family (Malkov & Yashunin, TPAMI 2020; Subramanya et
+  * al., NeurIPS 2019). True HNSW assigns layers by random draw, which no
+  * two engines reproduce; what survives determinization is the part that
+  * does the work at query time: a navigable neighbor graph + greedy beam
+  * expansion. Both are closed-form here, so the DuckDB oracle replays
+  * build AND walk bit-exactly (the q274/q355 trained-structure
+  * discipline):
+  *
+  *   - build: node v's out-neighbors = its top-`m` corpus rows by the
+  *     exact int64-quantized cosine, ties → lower id ([[AnnSearch]]'s
+  *     total order). One bounded-heap pass ([[AnnSearch.bruteTopK]]
+  *     machinery) — at production scale this is the classic blocked
+  *     knn-join build, paid once at ingest like every index here.
+  *   - walk: entry beam = the `ef` lowest-id nodes (deterministic spread,
+  *     no random seeds); each of `hops` rounds expands the current beam's
+  *     out-edges, unions the beam (a visited node can stay), scores every
+  *     candidate with the EXACT cosine, and keeps the top-`ef` per query
+  *     ((cos desc, cid) order). After the fixed schedule, the final beam's
+  *     top-`k` is the answer. The graph decides WHO gets scored — the
+  *     reported score is always exact, the approximation is ONLY candidate
+  *     pruning (the [[IvfPq]] contract; with `ef >= |corpus|` and one hop
+  *     the walk degenerates to brute force, spec-asserted).
+  *
+  * Scale shape: the per-hop frontier is |queries| × ef rows and each hop
+  * touches ≤ |queries| × ef × (m+1) candidates — the walk's cost is
+  * schedule-bounded, INDEPENDENT of corpus size (that is the entire point
+  * of graph ANN: at 100 TB a probe reads `hops × ef × m` adjacency rows,
+  * not nprobe/nlist of the corpus). The beam is collected per hop (the
+  * bounded-collect contract: |queries| × ef ids, like [[IvfPq]]'s
+  * shortlist) so the candidate fetch pushes an id set into the scans and
+  * the loop never builds an H-deep lazy plan. The adjacency frame is an
+  * equi-join on src — partitioned by node id at rest in production.
+  *
+  * The reference engine has no ANN surface — this completes the index
+  * family (flat / IVF / PQ / IVF-PQ / SQ8 / graph) of the training-data
+  * pipeline pack (SURVEY.md §7 step 9).
+  */
+object GraphAnn {
+
+  /** Directed k-NN graph: (src, dst), dst = src's top-`m` by exact
+    * quantized cosine, self excluded — deterministic, so build order
+    * cannot change any walk. */
+  def knnGraph(corpus: DataFrame, m: Int): DataFrame =
+    AnnSearch.bruteTopK(corpus, corpus, m)
+      .select(col("qid").as("src"), col("cid").as("dst"))
+
+  /** Beam-search top-k over `graph`. `queries`/`corpus`: (id, embedding);
+    * `graph`: (src, dst) as built by [[knnGraph]]. `ef >= k` required. */
+  def beamTopK(queries: DataFrame, corpus: DataFrame, graph: DataFrame,
+      k: Int, ef: Int, hops: Int): DataFrame = {
+    require(ef >= k, s"beam width ef=$ef must cover k=$k")
+    require(hops >= 1, s"at least one hop (got $hops)")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cc = AnnSearch.quantized(corpus)
+    // probe batch: broadcast-bounded (the bruteTopK broadcast(q) contract)
+    val qArr = AnnSearch.quantized(queries)
+      .select(col("id"), col("qe"), col("n2")).as[(Long, Seq[Long], Long)]
+      .collect().map { case (id, e, n2) => (id, e.toArray, n2) }
+    val qids = qArr.map(_._1)
+
+    // entry set: the ef lowest node ids — deterministic, replayable
+    val entry = cc.select(col("id")).orderBy("id").limit(ef)
+      .as[Long].collect().sorted
+
+    /** Fetch a bounded id set: InSet pushdown below the 65536 cap, join
+      * fallback above (the [[IvfPq]] shortlist-fetch discipline). */
+    def fetch(df: DataFrame, idCol: String, ids: Array[Long]): DataFrame =
+      if (ids.length <= 65536) df.filter(col(idCol).isin(ids.toSeq: _*))
+      else df.join(broadcast(ids.toSeq.toDF(idCol)), idCol)
+
+    /** Exact (cos desc, cid) top-`ef` per query over per-query candidate
+      * id sets (sorted arrays): ONE distributed pass — candidate vectors
+      * are fetched by id-set pushdown and scored on executors against the
+      * broadcast queries; only the scored beam (|queries| × ef ids+cos,
+      * the bounded-collect contract) reaches the driver. */
+    def selectBeam(cands: Map[Long, Array[Long]]): Array[(Long, Long, Double)] = {
+      val candIds = cands.valuesIterator.flatten.toArray.distinct
+      val bc = spark.sparkContext.broadcast(cands)
+      try {
+        val scored = fetch(cc, "id", candIds)
+          .select(col("id"), col("qe"), col("n2")).as[(Long, Seq[Long], Long)]
+          .mapPartitions { it =>
+            val qs = qArr // serialized with the closure: bounded probe batch
+            val cm = bc.value
+            it.flatMap { case (cid, e, cn2) =>
+              val cv = e.toArray
+              qs.iterator.collect {
+                case (qid, qv, qn2) if qid != cid &&
+                    java.util.Arrays.binarySearch(cm(qid), cid) >= 0 =>
+                  var acc = 0L; var i = 0
+                  val n = math.min(qv.length, cv.length)
+                  while (i < n) { acc += qv(i) * cv(i); i += 1 }
+                  val denom = math.sqrt(qn2.toDouble * cn2.toDouble)
+                  (qid, cid,
+                    if (denom == 0.0d) -1.0d else acc.toDouble / denom)
+              }
+            }
+          }.toDF("qid", "cid", "cos")
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("qid")
+              .orderBy(col("cos").desc, col("cid"))))
+          .filter(col("rn") <= ef).select("qid", "cid", "cos")
+        scored.as[(Long, Long, Double)].collect()
+      } finally bc.destroy()
+    }
+
+    var beam = selectBeam(qids.map(_ -> entry).toMap)
+    var hop = 0
+    while (hop < hops) {
+      // expand: out-edges of every beam node, one id-set-pruned scan of the
+      // adjacency frame (≤ |queries|·ef src ids per hop); beam nodes stay
+      // candidates, so the walk never loses ground
+      val beamIds = beam.map(_._2).distinct
+      val edges = fetch(graph, "src", beamIds)
+        .select(col("src"), col("dst")).as[(Long, Long)].collect()
+      val bySrc = edges.groupBy(_._1)
+      val cands: Map[Long, Array[Long]] = qArr.map { case (qid, _, _) =>
+        val cur = beam.iterator.filter(_._1 == qid).map(_._2).toArray
+        qid -> (cur ++ cur.flatMap(c =>
+          bySrc.getOrElse(c, Array.empty[(Long, Long)]).map(_._2)))
+          .distinct.sorted
+      }.toMap
+      beam = selectBeam(cands)
+      hop += 1
+    }
+
+    // final answer: the beam's top-k per query, already exactly scored —
+    // re-rank through the shared total order for the usual (rk, 6-dp) shape
+    val scored = beam.toSeq.toDF("qid", "cid", "cos")
+    AnnSearch.rankTopK(scored, k)
+  }
+
+  /** Build + walk in one call (the one-shot index shape). */
+  def graphTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      m: Int = 8, ef: Int = 16, hops: Int = 4): DataFrame =
+    beamTopK(queries, corpus, knnGraph(corpus, m), k, ef, hops)
+}

@@ -688,6 +688,26 @@ object Pipeline {
         .orderBy("qid", "rk")
     },
 
+    // Graph-probed ANN ([[GraphAnn.graphTopK]] — the deterministic core of
+    // the HNSW/NSW/DiskANN family): a k-NN neighbor graph (top-m by exact
+    // quantized cosine, ties → lower id) walked by fixed-schedule beam
+    // search from the ef lowest-id entry nodes. True HNSW's random layer
+    // draw isn't replayable; the navigable-graph walk that does the query-
+    // time work is — so the oracle rebuilds the graph and replays all
+    // `hops` beam rounds as chained CTEs (the q185 generation discipline).
+    // Probe cost is schedule-bounded (hops × ef × m adjacency rows),
+    // INDEPENDENT of corpus size — the graph-ANN scale claim, measured in
+    // GraphAnnSpec along with recall and brute degeneracy.
+    Qd("q361_ann_graph_beam", graphBeamOracleSql(m = 8, ef = 16, hops = 4)) {
+      (s, dir) =>
+      val e = emb(s, dir)
+      graft.operators.GraphAnn.graphTopK(e.filter(col("id") < 50), e, 10,
+          m = 8, ef = 16, hops = 4)
+        .select(col("qid"), col("cid"), col("rk").cast("bigint").as("rk"),
+          col("cos"))
+        .orderBy("qid", "rk")
+    },
+
     // TRAINED residual codebook for IVF-PQ — q348 with the stride residual
     // book refined by 2 Lloyd rounds over the ACTUAL residual distribution
     // (coarse book fixed; q274 already proved coarse k-means — this trains
@@ -1290,6 +1310,52 @@ object Pipeline {
     * incremental ingest — identical results by the frozen-book contract):
     * coarse assign → residual codebook → encode (incl. exact reconstructed
     * norm²) → probes → ADC → shortlist → exact rescore, all int64. */
+  /** q361 oracle: rebuild the k-NN graph, then replay every beam round as
+    * one chained CTE pair (candidates → top-ef re-select) — the q185
+    * generation discipline applied to a graph walk. `ps` precomputes all
+    * query×corpus exact cosines once (|q|·|corpus| rows), so each hop is a
+    * pure join against it; scoring excludes qid = cid exactly as the
+    * engine's selectBeam guard does. */
+  private def graphBeamOracleSql(m: Int, ef: Int, hops: Int): String = {
+    val hopCtes = (1 to hops).map { i =>
+      s"""c$i AS (SELECT DISTINCT qid, cid FROM (
+         |    SELECT qid, cid FROM b${i - 1}
+         |    UNION ALL SELECT b.qid, g.dst FROM b${i - 1} b JOIN g ON g.src = b.cid)),
+         |b$i AS (SELECT qid, cid, cos FROM (
+         |    SELECT p.qid, p.cid, p.cos,
+         |      row_number() OVER (PARTITION BY p.qid ORDER BY p.cos DESC, p.cid) AS rn
+         |    FROM c$i JOIN ps p USING (qid, cid)) WHERE rn <= $ef)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${qCte("qq", "WHERE vec_id < 50")},
+       |${qCte("cc", "")},
+       |cn AS (SELECT vec_id, qe,
+       |  CAST(list_sum(list_transform(range(1, 65), i -> qe[i]*qe[i])) AS BIGINT) AS n2 FROM cc),
+       |qn AS (SELECT vec_id, qe,
+       |  CAST(list_sum(list_transform(range(1, 65), i -> qe[i]*qe[i])) AS BIGINT) AS n2 FROM qq),
+       |gp AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+       |    CAST(CAST(list_sum(list_transform(range(1, 65), i -> a.qe[i]*b.qe[i])) AS BIGINT) AS DOUBLE)
+       |      / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) AS cos
+       |  FROM cn a, cn b WHERE a.vec_id <> b.vec_id),
+       |g AS (SELECT src, dst FROM (SELECT src, dst,
+       |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM gp)
+       |  WHERE rn <= $m),
+       |ps AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |    CAST(CAST(list_sum(list_transform(range(1, 65), i -> q.qe[i]*c.qe[i])) AS BIGINT) AS DOUBLE)
+       |      / sqrt(CAST(q.n2 AS DOUBLE) * CAST(c.n2 AS DOUBLE)) AS cos
+       |  FROM qn q, cn c WHERE q.vec_id <> c.vec_id),
+       |ent AS (SELECT vec_id FROM cc ORDER BY vec_id LIMIT $ef),
+       |b0 AS (SELECT qid, cid, cos FROM (
+       |    SELECT p.qid, p.cid, p.cos,
+       |      row_number() OVER (PARTITION BY p.qid ORDER BY p.cos DESC, p.cid) AS rn
+       |    FROM ps p JOIN ent e ON e.vec_id = p.cid) WHERE rn <= $ef),
+       |$hopCtes,
+       |rk AS (SELECT qid, cid, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+       |  FROM b$hops)
+       |SELECT qid, cid, rk, ROUND(cos, 6) AS cos
+       |FROM rk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+  }
+
   private def ivfPqOracleSql: String = ivfPqOracleSql("")
 
   /** `candFilter` — extra SQL appended to the candidate predicate (q359's

@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.{AnnSearch, GraphAnn}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Graph-probed ANN contracts ([[GraphAnn]]): graph determinism and
+  * degree bound, exact scores on the walked beam, recall floor at the
+  * production schedule, brute degeneracy when the entry beam covers the
+  * corpus, and the schedule-bounded probe-cost claim. Runs on sf0.001. */
+class GraphAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = Engine.session(cores = 4, appName = "graft-test")
+  val dir = "/root/testdata/sf0.001"
+  import spark.implicits._
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def emb = Engine.table(spark, dir, "embeddings")
+    .select(col("vec_id").as("id"), col("embedding"), col("label"))
+
+  test("knn graph: out-degree == m, no self loops, deterministic rebuild") {
+    val g1 = GraphAnn.knnGraph(emb, 8).as[(Long, Long)].collect().toSet
+    assert(g1.forall { case (s, d) => s != d }, "self loop in knn graph")
+    val deg = g1.groupBy(_._1).map(_._2.size).toSet
+    assert(deg == Set(8), s"expected uniform out-degree 8, got $deg")
+    val g2 = GraphAnn.knnGraph(emb, 8).as[(Long, Long)].collect().toSet
+    assert(g1 == g2, "graph build must be deterministic")
+  }
+
+  test("beam walk: exact scores, recall floor, brute degeneracy when the " +
+      "entry beam covers the corpus") {
+    val queries = emb.filter(col("id") < 30)
+    val brute = AnnSearch.bruteTopK(queries, emb, 10)
+      .select("qid", "cid", "cos").as[(Long, Long, Double)].collect()
+    val bruteSet = brute.map(r => (r._1, r._2)).toSet
+    val gr = GraphAnn.graphTopK(queries, emb, 10, m = 8, ef = 16, hops = 4)
+      .select("qid", "cid", "cos").as[(Long, Long, Double)].collect()
+    // every reported score is the exact cosine (graph decides WHO is
+    // scored, never the score)
+    val bruteCos = brute.map(r => (r._1, r._2) -> r._3).toMap
+    gr.foreach { case (q, c, cos) =>
+      bruteCos.get((q, c)).foreach(b => assert(b == cos,
+        s"beam reported approx score for ($q,$c): $cos != exact $b"))
+    }
+    // measured recall floor at the production schedule (m=8/ef=16/hops=4
+    // explores <= ef·(m+1)·hops candidates of a 500-node corpus)
+    val recall = (bruteSet & gr.map(r => (r._1, r._2)).toSet).size.toDouble / bruteSet.size
+    assert(recall >= 0.5, s"graph-beam recall=$recall")
+    // ef >= |corpus| makes the ENTRY beam the whole corpus: the walk
+    // degenerates to brute force exactly, regardless of graph shape
+    val full = GraphAnn.graphTopK(queries, emb, 10, m = 8, ef = 100000,
+        hops = 1)
+      .select("qid", "cid", "cos").as[(Long, Long, Double)].collect()
+    assert(full.map(r => (r._1, r._2)).toSet == bruteSet,
+      "ef=inf beam must equal brute force (scores are exact)")
+  }
+
+  test("probe cost is schedule-bounded: more hops never shrinks the beam, " +
+      "and the final beam stays <= queries x ef") {
+    val queries = emb.filter(col("id") < 10)
+    val g = GraphAnn.knnGraph(emb, 8)
+    val narrow = GraphAnn.beamTopK(queries, emb, g, 10, ef = 12, hops = 2)
+      .collect()
+    assert(narrow.length <= 10 * 10)
+    // monotone improvement: the best cosine found per query never gets
+    // worse with more hops (the beam keeps its incumbents)
+    def best(hops: Int): Map[Long, Double] =
+      GraphAnn.beamTopK(queries, emb, g, 1, ef = 12, hops = hops)
+        .select("qid", "cos").as[(Long, Double)].collect().toMap
+    val b1 = best(1)
+    val b4 = best(4)
+    b1.foreach { case (q, c1) =>
+      assert(b4(q) >= c1, s"query $q: best cos regressed $c1 -> ${b4(q)}")
+    }
+  }
+}
