@@ -268,8 +268,13 @@ object SqlStdAuth {
       val rl = role.toLowerCase
       if (!isAdmin(user) && !hasAdminOption(user, rl))
         fail(s"Current user : $user is not allowed to revoke role $role")
-      if (roleGrants.remove((principal.toLowerCase, rl)) == null)
+      // the map's value type is primitive Boolean, so a missing key
+      // unboxes null → false and a `remove(...) == null` test can never
+      // fire — presence must be tested explicitly (Hive's
+      // SQLStdHiveAccessController errors on revoking a never-made grant)
+      if (!roleGrants.containsKey((principal.toLowerCase, rl)))
         fail(s"Principal $principal does not have role $role")
+      roleGrants.remove((principal.toLowerCase, rl))
     case GrantPriv(privSpec, table, ptype, principal, grantOpt) =>
       val user = currentUser
       val t = table.toLowerCase

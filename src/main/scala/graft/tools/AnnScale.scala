@@ -31,9 +31,12 @@ object AnnScale {
     val spark = Engine.session(cores = 32, appName = "graft-annscale")
     import spark.implicits._
     val root = "/root/repo/target/annscale"
+    // `m-curve` runs ONLY the recall-vs-m section (iterating on the tuning
+    // story without rebuilding the ×512 corpora); default runs everything
+    val mCurveOnly = args.headOption.contains("m-curve")
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    if (!mCurveOnly) fs.delete(new org.apache.hadoop.fs.Path(root), true)
 
     val base = Engine.table(spark, "/root/testdata/sf0.1", "embeddings")
       .select(col("vec_id").as("id"), col("embedding"))
@@ -60,7 +63,7 @@ object AnnScale {
       if (a._1 <= b._1) a else b
     }
 
-    for (factor <- Seq(1, 64, 512)) {
+    for (factor <- Seq(1, 64, 512) if !mCurveOnly) {
       val corpus = corpusAt(factor)
       val n = corpus.count()
       val coarseStride = math.max(1, (50 * math.sqrt(factor)).toInt)
@@ -89,7 +92,7 @@ object AnnScale {
     // argmin only), and the probe from the batch-built index must cost the
     // same as from the one-shot index (same partition pruning; 8 files per
     // list instead of 1).
-    {
+    if (!mCurveOnly) {
       val corpus = spark.read.parquet(s"$root/x64")
       val t0 = System.nanoTime()
       IvfPq.trainIndex(corpus, s"$root/idxinc", centroidStride = 400,
@@ -112,7 +115,7 @@ object AnnScale {
     // tombstone append, not an index rewrite; the masked probe pays one
     // broadcast anti-join over the scanned lists; compaction is a single
     // partitioned rewrite after which the mask cost disappears.
-    {
+    if (!mCurveOnly) {
       val corpus = spark.read.parquet(s"$root/x64")
       val idx = IvfPq.openIndex(spark, s"$root/idxinc")
       val (cleanW, cleanRows) = best2(
@@ -142,20 +145,22 @@ object AnnScale {
     // the 64-dim vectors ×16 on the ×64 corpus to measure that directly.
     def wide(df: DataFrame): DataFrame =
       df.withColumn("embedding", flatten(array_repeat(col("embedding"), 16)))
-    val corpusW = wide(spark.read.parquet(s"$root/x64"))
     val queriesW = wide(queries)
-    val (bw, brute) = best2(AnnSearch.bruteTopK(queriesW, corpusW, 10))
-    val t0 = System.nanoTime()
-    val idx = IvfPq.buildIndex(corpusW, s"$root/idxw",
-      centroidStride = 400, m = 16, ncent = 16, pqStride = 7)
-    val build = (System.nanoTime() - t0) / 1e9
-    val (pw, _) = best2(
-      IvfPq.probeIndex(queriesW, corpusW, idx, 10, nprobe = 8, shortlist = 64))
-    val got = IvfPq.probeIndex(queriesW, corpusW, idx, 10, nprobe = 8,
-      shortlist = 64 * 64).select("qid", "cid").as[(Long, Long)].collect().toSet
-    println(f"[annscale] x64@1024dim rows=128000 brute=$bw%.2fs " +
-      f"build=$build%.2fs probe=$pw%.2fs " +
-      f"recall=${(brute & got).size.toDouble / brute.size}%.3f")
+    if (!mCurveOnly) {
+      val corpusW = wide(spark.read.parquet(s"$root/x64"))
+      val (bw, brute) = best2(AnnSearch.bruteTopK(queriesW, corpusW, 10))
+      val t0 = System.nanoTime()
+      val idx = IvfPq.buildIndex(corpusW, s"$root/idxw",
+        centroidStride = 400, m = 16, ncent = 16, pqStride = 7)
+      val build = (System.nanoTime() - t0) / 1e9
+      val (pw, _) = best2(
+        IvfPq.probeIndex(queriesW, corpusW, idx, 10, nprobe = 8, shortlist = 64))
+      val got = IvfPq.probeIndex(queriesW, corpusW, idx, 10, nprobe = 8,
+        shortlist = 64 * 64).select("qid", "cid").as[(Long, Long)].collect().toSet
+      println(f"[annscale] x64@1024dim rows=128000 brute=$bw%.2fs " +
+        f"build=$build%.2fs probe=$pw%.2fs " +
+        f"recall=${(brute & got).size.toDouble / brute.size}%.3f")
+    }
 
     // recall-vs-nprobe tuning curve at the production width and the
     // PRODUCTION shortlist (64): the knob a deployment actually turns. On
@@ -164,7 +169,8 @@ object AnnScale {
     // shortlist-id pushdown (>65536 ids → full-corpus rescore fetch) and
     // drowns the curve in a constant; recall here is the honest
     // single-copy figure.
-    for ((dim, c1, q1) <- Seq((64, base, queries), (1024, wide(base), queriesW))) {
+    for ((dim, c1, q1) <- Seq((64, base, queries), (1024, wide(base), queriesW))
+         if !mCurveOnly) {
       val brute1 = AnnSearch.bruteTopK(q1, c1, 10)
         .select("qid", "cid").as[(Long, Long)].collect().toSet
       val idx1 = IvfPq.buildIndex(c1, s"$root/idx1w$dim",
@@ -174,6 +180,30 @@ object AnnScale {
           nprobe = np, shortlist = 64))
         println(f"[annscale] x1@${dim}dim nprobe=$np%-2d probe=$w%.2fs " +
           f"recall=${(brute1 & got).size.toDouble / brute1.size}%.3f")
+      }
+    }
+
+    // recall-vs-m tuning curve at the production width (r15, completing
+    // the tuning story next to recall-vs-nprobe): m is the COMPRESSION
+    // knob — a 1024-dim float vector stores as m code entries, so bytes
+    // per vector scale with m while each subspace quantizes 1024/m dims
+    // into ncent levels; recall rises with m (finer codes) and the ADC
+    // row cost is exactly m lookups. Un-duplicated corpus, nprobe=8,
+    // production shortlist=64 — the honest single-copy figures.
+    {
+      val c1 = wide(base)
+      val q1 = queriesW
+      val brute1 = AnnSearch.bruteTopK(q1, c1, 10)
+        .select("qid", "cid").as[(Long, Long)].collect().toSet
+      for (m <- Seq(8, 16, 32, 64, 128)) {
+        val t0 = System.nanoTime()
+        val idxm = IvfPq.buildIndex(c1, s"$root/idxm$m",
+          centroidStride = 40, m = m, ncent = 16, pqStride = 7)
+        val build = (System.nanoTime() - t0) / 1e9
+        val (w, got) = best2(IvfPq.probeIndex(q1, c1, idxm, 10,
+          nprobe = 8, shortlist = 64))
+        println(f"[annscale] x1@1024dim m=$m%-3d build=$build%.2fs " +
+          f"probe=$w%.2fs recall=${(brute1 & got).size.toDouble / brute1.size}%.3f")
       }
     }
     spark.stop()

@@ -52,6 +52,20 @@ class SqlStdAuthSpec extends AnyFunSuite with BeforeAndAfterAll {
     sql("GRANT ROLE inner_r TO USER dave") // carol holds ADMIN OPTION now
   }
 
+  test("REVOKE ROLE of a never-granted membership fails loudly (r15: the " +
+      "primitive-Boolean map unboxed a missing key to false, so the check " +
+      "could never fire)") {
+    SqlStdAuth.enable(adminUser = "alice")
+    sql("CREATE ROLE ghosts")
+    assert(deniedMsg(sql("REVOKE ROLE ghosts FROM USER bob"))
+      .contains("does not have role"))
+    // and the real revoke path still works end-to-end
+    sql("GRANT ROLE ghosts TO USER bob")
+    sql("REVOKE ROLE ghosts FROM USER bob")
+    assert(deniedMsg(sql("REVOKE ROLE ghosts FROM USER bob"))
+      .contains("does not have role"))
+  }
+
   test("owner holds every privilege with grant option; grant requires grant option") {
     SqlStdAuth.enable(adminUser = "alice")
     SqlStdAuth.registerTable("customer", owner = "owen")
