@@ -137,7 +137,7 @@ object AnnSearch {
     * once and probes become partition-pruned scans. */
   /** O(nlist) rows — the one intentional driver materialization (same
     * contract as KMeansModel.clusterCenters). */
-  private def collectCentroids(qc: DataFrame, centroidStride: Int): Array[(Long, Array[Long])] = {
+  private[operators] def collectCentroids(qc: DataFrame, centroidStride: Int): Array[(Long, Array[Long])] = {
     val spark = qc.sparkSession
     import spark.implicits._
     val cents = qc.filter(col("id") % centroidStride === 0)
@@ -153,7 +153,7 @@ object AnnSearch {
   /** top-`keep` centroid ids by (int64 dot desc, cent_id asc) — exact,
     * compiled argmax over the broadcast centroid table: no crossJoin row
     * amplification, no shuffle. */
-  private def assign(df: DataFrame,
+  private[operators] def assign(df: DataFrame,
       bc: org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Long])]],
       keep: Int): DataFrame = {
     val spark = df.sparkSession

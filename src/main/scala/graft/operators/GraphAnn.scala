@@ -46,10 +46,59 @@ object GraphAnn {
 
   /** Directed k-NN graph: (src, dst), dst = src's top-`m` by exact
     * quantized cosine, self excluded — deterministic, so build order
-    * cannot change any walk. */
+    * cannot change any walk. Exact all-pairs: the gold-standard graph,
+    * O(N²) — fine for a sample, not the 100 TB build path (that is
+    * [[blockedKnnGraph]]). */
   def knnGraph(corpus: DataFrame, m: Int): DataFrame =
     AnnSearch.bruteTopK(corpus, corpus, m)
       .select(col("qid").as("src"), col("cid").as("dst"))
+
+  /** The SCALABLE graph build — cluster-blocked approximate k-NN, the
+    * DiskANN/NN-descent-style answer to the build being the expensive
+    * part of graph ANN: assign every row to its top-`keep` coarse
+    * centroids (stride centroids, the [[AnnSearch.ivfTopK]] contract —
+    * broadcast argmax, no shuffle), self-join WITHIN shared clusters
+    * only, and keep each node's top-`m` by exact cosine. Pair work drops
+    * from N² to ~N²·keep²/nlist; `keep` ≥ 2 overlaps the blocks so
+    * boundary nodes still edge into their true neighborhood and the walk
+    * graph stays navigable (keep = 1 would shatter the graph at cluster
+    * borders). Deterministic end-to-end (stride centroids, argmax ties →
+    * lower cent_id, (cos desc, dst) edge rank), so the DuckDB oracle
+    * replays the whole build.
+    *
+    * Shuffle shape: ONE equi-join on cent_id (both sides N·keep rows),
+    * scored rows reduce through [[AnnSearch.partitionTopK]] bounded heaps
+    * before the per-src rank — the per-node candidate set (≈ keep ×
+    * cluster size) never materializes past the heaps. */
+  def blockedKnnGraph(corpus: DataFrame, m: Int, centroidStride: Int,
+      keep: Int = 2): DataFrame = {
+    require(keep >= 1, s"keep >= 1 (got $keep)")
+    val spark = corpus.sparkSession
+    val cc = AnnSearch.quantized(corpus)
+    val bc = spark.sparkContext.broadcast(
+      AnnSearch.collectCentroids(cc, centroidStride))
+    val a = AnnSearch.assign(cc, bc, keep)
+    val x = a.select(col("id").as("qid"), col("qe"),
+      col("n2").as("qn"), col("cent_id"))
+    val y = a.select(col("id").as("cid"), col("qe").as("ce"),
+      col("n2").as("cn"), col("cent_id"))
+    val scored = x.join(y, Seq("cent_id"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cos", coalesce(
+        AnnSearch.dotI64(col("qe"), col("ce")).cast("double") /
+          sqrt(col("qn").cast("double") * col("cn").cast("double")),
+        lit(-1.0)))
+      // a pair sharing BOTH overlapped clusters scores twice with the same
+      // cos — collapse before ranking
+      .groupBy("qid", "cid").agg(max("cos").as("cos"))
+    AnnSearch.partitionTopK(scored, m)
+      .groupBy("qid", "cid").agg(max("cos").as("cos"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("cos").desc, col("cid"))))
+      .filter(col("rn") <= m)
+      .select(col("qid").as("src"), col("cid").as("dst"))
+  }
 
   /** Beam-search top-k over `graph`. `queries`/`corpus`: (id, embedding);
     * `graph`: (src, dst) as built by [[knnGraph]]. `ef >= k` required. */

@@ -708,6 +708,43 @@ object Pipeline {
         .orderBy("qid", "rk")
     },
 
+    // The SCALABLE graph build ([[GraphAnn.blockedKnnGraph]] — DiskANN/
+    // NN-descent-style): the q361 walk over a graph built by cluster-
+    // blocked approximate k-NN instead of exact all-pairs — assign each
+    // row to its top-2 stride centroids (overlap keeps the graph navigable
+    // across block borders), self-join within shared clusters only, top-m
+    // per node. Pair work drops N² → ~N²·keep²/nlist, which is what makes
+    // a graph index BUILDABLE at 100 TB. Deterministic end-to-end, so the
+    // oracle replays assignment → blocked pairs → edge rank → the same
+    // beam-walk CTEs as q361.
+    Qd("q362_ann_graph_blocked",
+      graphBeamOracleSql(ef = 16, hops = 4,
+        s"""ct AS (SELECT vec_id AS cent_id, qe AS ce FROM cc WHERE vec_id % 40 = 0),
+          |asg AS (SELECT id, cent_id FROM (
+          |    SELECT c.vec_id AS id, t.cent_id,
+          |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+          |        CAST(list_sum(list_transform(range(1, 65), i -> c.qe[i]*t.ce[i])) AS BIGINT) DESC,
+          |        t.cent_id) AS rn
+          |    FROM cn c, ct t) WHERE rn <= 2),
+          |pr AS (SELECT DISTINCT x.id AS src, y.id AS dst
+          |  FROM asg x JOIN asg y USING (cent_id) WHERE x.id <> y.id),
+          |gp AS (SELECT p.src, p.dst,
+          |    CAST(CAST(list_sum(list_transform(range(1, 65), i -> a.qe[i]*b.qe[i])) AS BIGINT) AS DOUBLE)
+          |      / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) AS cos
+          |  FROM pr p JOIN cn a ON a.vec_id = p.src JOIN cn b ON b.vec_id = p.dst),
+          |g AS (SELECT src, dst FROM (SELECT src, dst,
+          |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM gp)
+          |  WHERE rn <= 8)""".stripMargin)) { (s, dir) =>
+      import graft.operators.GraphAnn
+      val e = emb(s, dir)
+      GraphAnn.beamTopK(e.filter(col("id") < 50), e,
+          GraphAnn.blockedKnnGraph(e, m = 8, centroidStride = 40, keep = 2),
+          10, ef = 16, hops = 4)
+        .select(col("qid"), col("cid"), col("rk").cast("bigint").as("rk"),
+          col("cos"))
+        .orderBy("qid", "rk")
+    },
+
     // TRAINED residual codebook for IVF-PQ — q348 with the stride residual
     // book refined by 2 Lloyd rounds over the ACTUAL residual distribution
     // (coarse book fixed; q274 already proved coarse k-means — this trains
@@ -1316,7 +1353,20 @@ object Pipeline {
     * query×corpus exact cosines once (|q|·|corpus| rows), so each hop is a
     * pure join against it; scoring excludes qid = cid exactly as the
     * engine's selectBeam guard does. */
-  private def graphBeamOracleSql(m: Int, ef: Int, hops: Int): String = {
+  private def graphBeamOracleSql(m: Int, ef: Int, hops: Int): String =
+    graphBeamOracleSql(ef, hops,
+      s"""gp AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+         |    CAST(CAST(list_sum(list_transform(range(1, 65), i -> a.qe[i]*b.qe[i])) AS BIGINT) AS DOUBLE)
+         |      / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) AS cos
+         |  FROM cn a, cn b WHERE a.vec_id <> b.vec_id),
+         |g AS (SELECT src, dst FROM (SELECT src, dst,
+         |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM gp)
+         |  WHERE rn <= $m)""".stripMargin)
+
+  /** Core of the q361/q362 oracles, parameterized by the graph-build CTE
+    * fragment (must define `g(src, dst)`; may use `cn`). */
+  private def graphBeamOracleSql(ef: Int, hops: Int,
+      graphCtes: String): String = {
     val hopCtes = (1 to hops).map { i =>
       s"""c$i AS (SELECT DISTINCT qid, cid FROM (
          |    SELECT qid, cid FROM b${i - 1}
@@ -1332,13 +1382,7 @@ object Pipeline {
        |  CAST(list_sum(list_transform(range(1, 65), i -> qe[i]*qe[i])) AS BIGINT) AS n2 FROM cc),
        |qn AS (SELECT vec_id, qe,
        |  CAST(list_sum(list_transform(range(1, 65), i -> qe[i]*qe[i])) AS BIGINT) AS n2 FROM qq),
-       |gp AS (SELECT a.vec_id AS src, b.vec_id AS dst,
-       |    CAST(CAST(list_sum(list_transform(range(1, 65), i -> a.qe[i]*b.qe[i])) AS BIGINT) AS DOUBLE)
-       |      / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) AS cos
-       |  FROM cn a, cn b WHERE a.vec_id <> b.vec_id),
-       |g AS (SELECT src, dst FROM (SELECT src, dst,
-       |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM gp)
-       |  WHERE rn <= $m),
+       |$graphCtes,
        |ps AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
        |    CAST(CAST(list_sum(list_transform(range(1, 65), i -> q.qe[i]*c.qe[i])) AS BIGINT) AS DOUBLE)
        |      / sqrt(CAST(q.n2 AS DOUBLE) * CAST(c.n2 AS DOUBLE)) AS cos

@@ -58,6 +58,30 @@ class GraphAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
       "ef=inf beam must equal brute force (scores are exact)")
   }
 
+  test("blocked build: deterministic, degree-bounded, and the walk over " +
+      "the blocked graph holds a recall floor near the exact-graph walk") {
+    val queries = emb.filter(col("id") < 30)
+    val g1 = GraphAnn.blockedKnnGraph(emb, m = 8, centroidStride = 40)
+      .as[(Long, Long)].collect().toSet
+    val g2 = GraphAnn.blockedKnnGraph(emb, m = 8, centroidStride = 40)
+      .as[(Long, Long)].collect().toSet
+    assert(g1 == g2, "blocked build must be deterministic")
+    assert(g1.forall { case (s, d) => s != d }, "self loop in blocked graph")
+    val deg = g1.groupBy(_._1).map(_._2.size)
+    assert(deg.max <= 8, s"out-degree above m: ${deg.max}")
+    // the walk over the blocked graph: same schedule as the exact graph,
+    // recall floor measured (the blocks only thin the EDGES; the beam
+    // still scores exact cosines)
+    val brute = AnnSearch.bruteTopK(queries, emb, 10)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val blocked = GraphAnn.beamTopK(queries, emb,
+        GraphAnn.blockedKnnGraph(emb, m = 8, centroidStride = 40),
+        10, ef = 16, hops = 4)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val recall = (brute & blocked).size.toDouble / brute.size
+    assert(recall >= 0.4, s"blocked-graph recall=$recall")
+  }
+
   test("probe cost is schedule-bounded: more hops never shrinks the beam, " +
       "and the final beam stays <= queries x ef") {
     val queries = emb.filter(col("id") < 10)
