@@ -92,6 +92,11 @@ object Bench {
       .filter(q => only.isEmpty || only(q._1)).map { case (name, fn) =>
       if (recycleEvery > 0 && sinceRecycle >= recycleEvery) {
         System.err.println(s"[bench] recycling session before $name")
+        // drain streaming state-store providers BEFORE stop(): their
+        // maintenance thread otherwise races the shutdown and spills a
+        // benign-but-noisy 'Error doing maintenance' stack into the tail
+        scala.util.Try(
+          org.apache.spark.sql.execution.streaming.state.StateStore.stop())
         spark.stop()
         spark = Engine.session(cores = cpus, appName = "graft-bench")
         warm(spark, sfDir)
