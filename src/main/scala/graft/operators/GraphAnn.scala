@@ -199,4 +199,54 @@ object GraphAnn {
   def graphTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       m: Int = 8, ef: Int = 16, hops: Int = 4): DataFrame =
     beamTopK(queries, corpus, knnGraph(corpus, m), k, ef, hops)
+
+  /** Exact-cosine re-rank of an edge multiset: keep each src's top-`m` by
+    * (cos desc, dst) — the uniform trim rule shared by build and insert.
+    * Two id equi-joins fetch the endpoint vectors; edge count is linear
+    * (N·m + inserts), never pairwise. */
+  private def trimEdges(edges: DataFrame, corpus: DataFrame,
+      m: Int): DataFrame = {
+    val cc = AnnSearch.quantized(corpus)
+    edges.select("src", "dst").distinct()
+      .join(cc.select(col("id").as("src"), col("qe").as("se"),
+        col("n2").as("sn")), "src")
+      .join(cc.select(col("id").as("dst"), col("qe").as("de"),
+        col("n2").as("dn")), "dst")
+      .withColumn("cos", coalesce(
+        AnnSearch.dotI64(col("se"), col("de")).cast("double") /
+          sqrt(col("sn").cast("double") * col("dn").cast("double")),
+        lit(-1.0)))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")
+          .orderBy(col("cos").desc, col("dst"))))
+      .filter(col("rn") <= m)
+      .select("src", "dst")
+  }
+
+  /** HNSW-STYLE INCREMENTAL INSERTION — the graph index's `add` step,
+    * completing its lifecycle the way [[IvfPq.addBatch]] does for IVF-PQ:
+    * each new node finds its out-edges by BEAM-SEARCHING ITSELF over the
+    * existing graph (exactly how HNSW inserts — the search structure is
+    * its own build tool), then back-edges old→new keep the graph navigable
+    * toward the new nodes, and every touched node re-trims to its top-`m`
+    * by exact cosine (the uniform [[trimEdges]] rule — old nodes keep the
+    * best of their old edges ∪ new back-edges, HNSW's neighbor pruning).
+    *
+    * Batch nodes insert against the PRE-batch graph, so inserts within a
+    * batch commute (the [[IvfPq.addBatch]] order-independence contract)
+    * and the whole step is deterministic — the q363 oracle replays walk →
+    * edge selection → back-edges → re-trim bit-exactly.
+    *
+    * `corpus` must contain BOTH the old nodes and the batch (the walk
+    * fetches old candidates, the trim fetches both endpoints); cost is
+    * the batch's own walks (schedule-bounded per node) + one linear edge
+    * re-rank — never a rebuild. */
+  def insertBatch(graph: DataFrame, corpus: DataFrame, batch: DataFrame,
+      m: Int, ef: Int, hops: Int): DataFrame = {
+    val newE = beamTopK(batch, corpus, graph, m, ef, hops)
+      .select(col("qid").as("src"), col("cid").as("dst"))
+    val backE = newE.select(col("dst").as("src"), col("src").as("dst"))
+    trimEdges(graph.select("src", "dst").unionByName(newE).unionByName(backE),
+      corpus, m)
+  }
 }

@@ -745,6 +745,63 @@ object Pipeline {
         .orderBy("qid", "rk")
     },
 
+    // HNSW-style incremental insertion ([[GraphAnn.insertBatch]] — the
+    // graph index's `add` step, completing its lifecycle like q354 does
+    // for IVF-PQ): every 10th node is held out of the build, then inserted
+    // by beam-searching ITSELF over the existing graph (the actual HNSW
+    // insert algorithm — the search structure is its own build tool);
+    // back-edges old→new keep the graph navigable toward the inserts, and
+    // the uniform top-m re-trim is HNSW's neighbor pruning. Batch nodes
+    // insert against the pre-batch graph, so inserts commute. The oracle
+    // chains TWO beam walks (insert walk `i*`, probe walk `p*`) plus the
+    // edge-selection/back-edge/re-trim algebra between them.
+    Qd("q363_ann_graph_insert", {
+      val gIns =
+        s"""old AS (SELECT * FROM cn WHERE vec_id % 10 <> 9),
+          |bn AS (SELECT * FROM cn WHERE vec_id % 10 = 9),
+          |gp0 AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+          |    CAST(CAST(list_sum(list_transform(range(1, 65), i -> a.qe[i]*b.qe[i])) AS BIGINT) AS DOUBLE)
+          |      / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) AS cos
+          |  FROM old a, old b WHERE a.vec_id <> b.vec_id),
+          |g0 AS (SELECT src, dst FROM (SELECT src, dst,
+          |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM gp0)
+          |  WHERE rn <= 8),
+          |psi AS (SELECT b.vec_id AS qid, c.vec_id AS cid,
+          |    CAST(CAST(list_sum(list_transform(range(1, 65), i -> b.qe[i]*c.qe[i])) AS BIGINT) AS DOUBLE)
+          |      / sqrt(CAST(b.n2 AS DOUBLE) * CAST(c.n2 AS DOUBLE)) AS cos
+          |  FROM bn b, cn c WHERE b.vec_id <> c.vec_id),
+          |ent0 AS (SELECT vec_id FROM cc ORDER BY vec_id LIMIT 16),
+          |${beamWalkCtes("i", "g0", "psi", "ent0", 16, 4)},
+          |newe AS (SELECT qid AS src, cid AS dst FROM (
+          |    SELECT qid, cid,
+          |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+          |    FROM ib4) WHERE rn <= 8),
+          |alle AS (SELECT DISTINCT src, dst FROM (
+          |    SELECT src, dst FROM g0
+          |    UNION ALL SELECT src, dst FROM newe
+          |    UNION ALL SELECT dst AS src, src AS dst FROM newe)),
+          |ge AS (SELECT e.src, e.dst,
+          |    CAST(CAST(list_sum(list_transform(range(1, 65), i -> a.qe[i]*b.qe[i])) AS BIGINT) AS DOUBLE)
+          |      / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) AS cos
+          |  FROM alle e JOIN cn a ON a.vec_id = e.src JOIN cn b ON b.vec_id = e.dst),
+          |g AS (SELECT src, dst FROM (SELECT src, dst,
+          |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM ge)
+          |  WHERE rn <= 8)""".stripMargin
+      graphBeamOracleSql(ef = 16, hops = 4, gIns)
+    }) { (s, dir) =>
+      import graft.operators.GraphAnn
+      val e = emb(s, dir)
+      val old = e.filter(col("id") % 10 =!= 9)
+      val batch = e.filter(col("id") % 10 === 9)
+      val g1 = GraphAnn.insertBatch(GraphAnn.knnGraph(old, 8), e, batch,
+        m = 8, ef = 16, hops = 4)
+      GraphAnn.beamTopK(e.filter(col("id") < 50), e, g1, 10, ef = 16,
+          hops = 4)
+        .select(col("qid"), col("cid"), col("rk").cast("bigint").as("rk"),
+          col("cos"))
+        .orderBy("qid", "rk")
+    },
+
     // TRAINED residual codebook for IVF-PQ — q348 with the stride residual
     // book refined by 2 Lloyd rounds over the ACTUAL residual distribution
     // (coarse book fixed; q274 already proved coarse k-means — this trains
@@ -1363,19 +1420,34 @@ object Pipeline {
          |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM gp)
          |  WHERE rn <= $m)""".stripMargin)
 
+  /** One beam walk as chained CTEs `{p}b0..{p}b$hops`: entry beam from
+    * `ent(vec_id)`, per-round expansion over `g(src, dst)`, scores joined
+    * from `ps(qid, cid, cos)` (which must exclude qid = cid, mirroring the
+    * engine's selectBeam guard). Prefix `p` lets one statement chain two
+    * independent walks (q363: insert walk + probe walk). */
+  private def beamWalkCtes(p: String, g: String, ps: String, ent: String,
+      ef: Int, hops: Int): String = {
+    val b0 =
+      s"""${p}b0 AS (SELECT qid, cid, cos FROM (
+         |    SELECT x.qid, x.cid, x.cos,
+         |      row_number() OVER (PARTITION BY x.qid ORDER BY x.cos DESC, x.cid) AS rn
+         |    FROM $ps x JOIN $ent e ON e.vec_id = x.cid) WHERE rn <= $ef)""".stripMargin
+    val hopCtes = (1 to hops).map { i =>
+      s"""${p}c$i AS (SELECT DISTINCT qid, cid FROM (
+         |    SELECT qid, cid FROM ${p}b${i - 1}
+         |    UNION ALL SELECT b.qid, $g.dst FROM ${p}b${i - 1} b JOIN $g ON $g.src = b.cid)),
+         |${p}b$i AS (SELECT qid, cid, cos FROM (
+         |    SELECT x.qid, x.cid, x.cos,
+         |      row_number() OVER (PARTITION BY x.qid ORDER BY x.cos DESC, x.cid) AS rn
+         |    FROM ${p}c$i JOIN $ps x USING (qid, cid)) WHERE rn <= $ef)""".stripMargin
+    }
+    (b0 +: hopCtes).mkString(",\n")
+  }
+
   /** Core of the q361/q362 oracles, parameterized by the graph-build CTE
     * fragment (must define `g(src, dst)`; may use `cn`). */
   private def graphBeamOracleSql(ef: Int, hops: Int,
-      graphCtes: String): String = {
-    val hopCtes = (1 to hops).map { i =>
-      s"""c$i AS (SELECT DISTINCT qid, cid FROM (
-         |    SELECT qid, cid FROM b${i - 1}
-         |    UNION ALL SELECT b.qid, g.dst FROM b${i - 1} b JOIN g ON g.src = b.cid)),
-         |b$i AS (SELECT qid, cid, cos FROM (
-         |    SELECT p.qid, p.cid, p.cos,
-         |      row_number() OVER (PARTITION BY p.qid ORDER BY p.cos DESC, p.cid) AS rn
-         |    FROM c$i JOIN ps p USING (qid, cid)) WHERE rn <= $ef)""".stripMargin
-    }.mkString(",\n")
+      graphCtes: String): String =
     s"""WITH ${qCte("qq", "WHERE vec_id < 50")},
        |${qCte("cc", "")},
        |cn AS (SELECT vec_id, qe,
@@ -1388,17 +1460,12 @@ object Pipeline {
        |      / sqrt(CAST(q.n2 AS DOUBLE) * CAST(c.n2 AS DOUBLE)) AS cos
        |  FROM qn q, cn c WHERE q.vec_id <> c.vec_id),
        |ent AS (SELECT vec_id FROM cc ORDER BY vec_id LIMIT $ef),
-       |b0 AS (SELECT qid, cid, cos FROM (
-       |    SELECT p.qid, p.cid, p.cos,
-       |      row_number() OVER (PARTITION BY p.qid ORDER BY p.cos DESC, p.cid) AS rn
-       |    FROM ps p JOIN ent e ON e.vec_id = p.cid) WHERE rn <= $ef),
-       |$hopCtes,
+       |${beamWalkCtes("", "g", "ps", "ent", ef, hops)},
        |rk AS (SELECT qid, cid, cos,
        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
        |  FROM b$hops)
        |SELECT qid, cid, rk, ROUND(cos, 6) AS cos
        |FROM rk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
-  }
 
   private def ivfPqOracleSql: String = ivfPqOracleSql("")
 

@@ -82,6 +82,35 @@ class GraphAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.4, s"blocked-graph recall=$recall")
   }
 
+  test("HNSW-style insert: inserted nodes become reachable, degree bound " +
+      "holds after re-trim, and insertion never rebuilds the old graph") {
+    val queries = emb.filter(col("id") < 30)
+    val old = emb.filter(col("id") % 10 =!= 9)
+    val batch = emb.filter(col("id") % 10 === 9)
+    val g0 = GraphAnn.knnGraph(old, 8)
+    val g1 = GraphAnn.insertBatch(g0, emb, batch, m = 8, ef = 16, hops = 4)
+      .as[(Long, Long)].collect()
+    // every node (old + inserted) respects the trimmed degree bound
+    assert(g1.groupBy(_._1).forall(_._2.length <= 8))
+    // batch nodes have out-edges (they walked in) AND in-edges (back-edges
+    // survived the trim somewhere), so the graph is navigable toward them
+    val batchIds = batch.select("id").as[Long].collect().toSet
+    assert(batchIds.subsetOf(g1.map(_._1).toSet), "batch node without out-edges")
+    assert((batchIds & g1.map(_._2).toSet).nonEmpty, "no in-edge reaches any insert")
+    // probing the post-insert graph surfaces inserted nodes where brute
+    // force ranks them: compare ONLY the brute hits that are batch ids
+    val brute = AnnSearch.bruteTopK(queries, emb, 10)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val bruteBatch = brute.filter(p => batchIds.contains(p._2))
+    val probed = GraphAnn.beamTopK(queries, emb,
+        GraphAnn.insertBatch(g0, emb, batch, m = 8, ef = 16, hops = 4),
+        10, ef = 16, hops = 4)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val hitBatch = (bruteBatch & probed).size.toDouble / math.max(bruteBatch.size, 1)
+    assert(bruteBatch.nonEmpty, "fixture too weak: no true neighbor was held out")
+    assert(hitBatch >= 0.5, s"inserted-node recall=$hitBatch over ${bruteBatch.size}")
+  }
+
   test("probe cost is schedule-bounded: more hops never shrinks the beam, " +
       "and the final beam stays <= queries x ef") {
     val queries = emb.filter(col("id") < 10)
