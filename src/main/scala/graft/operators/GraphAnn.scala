@@ -249,4 +249,48 @@ object GraphAnn {
     trimEdges(graph.select("src", "dst").unionByName(newE).unionByName(backE),
       corpus, m)
   }
+
+  /** GRAPH-INDEX DELETE with repair — the lifecycle's last step (IVF-PQ
+    * got its delete in r14; this is the graph analog). A plain edge drop
+    * would shatter navigability: a node whose whole neighborhood was
+    * removed goes unreachable and its queries dead-end. The HNSW repair
+    * rule (also FreshDiskANN's delete): BRIDGE THROUGH the removed node —
+    * every surviving src that edged into a removed node r inherits r's
+    * surviving out-neighbors as candidate edges (src → r → x becomes
+    * src → x), then every src re-trims to its top-`m` by exact cosine
+    * (the same uniform [[trimEdges]] rule build and insert use, so delete
+    * composes with both).
+    *
+    * Deterministic end-to-end — the q364 oracle replays kept ∪ bridge →
+    * re-trim → beam walk bit-exactly.
+    *
+    * Scale shape: `removed` is a batch — broadcast anti/semi joins mask
+    * it without shuffling the edge set; the bridge is ONE equi-join on
+    * the removed id whose output is bounded by in-degree(r) × m per
+    * removed node (edges are linear in N, never pairwise); the re-trim
+    * touches only kept ∪ bridge rows. `survivors` must be the corpus
+    * WITHOUT the removed rows (the trim scores both endpoints). */
+  def removeNodes(graph: DataFrame, survivors: DataFrame,
+      removed: DataFrame, m: Int): DataFrame = {
+    // the [[IvfPq.removeIds]] guard: a multi-column frame would silently
+    // tombstone whatever happened to be first
+    require(removed.columns.length == 1,
+      s"removed must be a single id column (got ${removed.columns.mkString(", ")})")
+    val rid = broadcast(removed.select(col(removed.columns.head).as("rid")))
+    val g = graph.select("src", "dst")
+    val kept = g.join(rid, col("src") === col("rid"), "left_anti")
+      .join(rid, col("dst") === col("rid"), "left_anti")
+    // surviving src → removed mid
+    val intoR = g.join(rid, col("dst") === col("rid"), "left_semi")
+      .join(rid, col("src") === col("rid"), "left_anti")
+      .select(col("src"), col("dst").as("mid"))
+    // removed mid → surviving dst
+    val outR = g.select(col("src").as("mid"), col("dst"))
+      .join(rid, col("mid") === col("rid"), "left_semi")
+      .join(rid, col("dst") === col("rid"), "left_anti")
+    val bridge = intoR.join(outR, "mid")
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst")
+    trimEdges(kept.unionByName(bridge), survivors, m)
+  }
 }

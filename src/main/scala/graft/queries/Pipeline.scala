@@ -802,6 +802,70 @@ object Pipeline {
         .orderBy("qid", "rk")
     },
 
+    // Graph-index DELETE with HNSW/FreshDiskANN repair
+    // ([[GraphAnn.removeNodes]] — the lifecycle's last step, mirroring
+    // q359 for IVF-PQ): every 10th node (residue 3) is removed from a
+    // built graph; surviving sources that edged into a removed node
+    // BRIDGE THROUGH it (src → r → x becomes a candidate src → x, the
+    // HNSW delete-repair rule — a plain edge drop would dead-end their
+    // walks), then the uniform top-m re-trim over SURVIVOR cosines. The
+    // oracle replays build → kept ∪ bridge → re-trim → a survivor-scored
+    // beam walk bit-exactly.
+    Qd("q364_ann_graph_delete", {
+      val gDel =
+        s"""gp0 AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+          |    CAST(CAST(list_sum(list_transform(range(1, 65), i -> a.qe[i]*b.qe[i])) AS BIGINT) AS DOUBLE)
+          |      / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) AS cos
+          |  FROM cn a, cn b WHERE a.vec_id <> b.vec_id),
+          |g0 AS (SELECT src, dst FROM (SELECT src, dst,
+          |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM gp0)
+          |  WHERE rn <= 8),
+          |kept AS (SELECT src, dst FROM g0 WHERE src % 10 <> 3 AND dst % 10 <> 3),
+          |bridge AS (SELECT a.src, b.dst FROM g0 a JOIN g0 b ON b.src = a.dst
+          |  WHERE a.dst % 10 = 3 AND a.src % 10 <> 3 AND b.dst % 10 <> 3
+          |    AND a.src <> b.dst),
+          |alle AS (SELECT DISTINCT src, dst FROM (
+          |    SELECT src, dst FROM kept UNION ALL SELECT src, dst FROM bridge)),
+          |sv AS (SELECT * FROM cn WHERE vec_id % 10 <> 3),
+          |ge AS (SELECT e.src, e.dst,
+          |    CAST(CAST(list_sum(list_transform(range(1, 65), i -> a.qe[i]*b.qe[i])) AS BIGINT) AS DOUBLE)
+          |      / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) AS cos
+          |  FROM alle e JOIN sv a ON a.vec_id = e.src JOIN sv b ON b.vec_id = e.dst),
+          |g AS (SELECT src, dst FROM (SELECT src, dst,
+          |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM ge)
+          |  WHERE rn <= 8)""".stripMargin
+      s"""WITH ${qCte("qq", "WHERE vec_id < 50 AND vec_id % 10 <> 3")},
+        |${qCte("cc", "")},
+        |cn AS (SELECT vec_id, qe,
+        |  CAST(list_sum(list_transform(range(1, 65), i -> qe[i]*qe[i])) AS BIGINT) AS n2 FROM cc),
+        |qn AS (SELECT vec_id, qe,
+        |  CAST(list_sum(list_transform(range(1, 65), i -> qe[i]*qe[i])) AS BIGINT) AS n2 FROM qq),
+        |$gDel,
+        |ps AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    CAST(CAST(list_sum(list_transform(range(1, 65), i -> q.qe[i]*c.qe[i])) AS BIGINT) AS DOUBLE)
+        |      / sqrt(CAST(q.n2 AS DOUBLE) * CAST(c.n2 AS DOUBLE)) AS cos
+        |  FROM qn q, sv c WHERE q.vec_id <> c.vec_id),
+        |ent AS (SELECT vec_id FROM sv ORDER BY vec_id LIMIT 16),
+        |${beamWalkCtes("", "g", "ps", "ent", 16, 4)},
+        |rk AS (SELECT qid, cid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+        |  FROM b4)
+        |SELECT qid, cid, rk, ROUND(cos, 6) AS cos
+        |FROM rk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+    }) { (s, dir) =>
+      import graft.operators.GraphAnn
+      val e = emb(s, dir)
+      val removed = e.filter(col("id") % 10 === 3).select("id")
+      val sv = e.filter(col("id") % 10 =!= 3)
+      val g1 = GraphAnn.removeNodes(GraphAnn.knnGraph(e, 8), sv, removed,
+        m = 8)
+      GraphAnn.beamTopK(sv.filter(col("id") < 50), sv, g1, 10, ef = 16,
+          hops = 4)
+        .select(col("qid"), col("cid"), col("rk").cast("bigint").as("rk"),
+          col("cos"))
+        .orderBy("qid", "rk")
+    },
+
     // TRAINED residual codebook for IVF-PQ — q348 with the stride residual
     // book refined by 2 Lloyd rounds over the ACTUAL residual distribution
     // (coarse book fixed; q274 already proved coarse k-means — this trains

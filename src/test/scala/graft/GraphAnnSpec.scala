@@ -111,6 +111,48 @@ class GraphAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hitBatch >= 0.5, s"inserted-node recall=$hitBatch over ${bruteBatch.size}")
   }
 
+  test("delete with bridge repair: no edge touches a removed node, bridged " +
+      "sources keep walking, and the repaired walk never surfaces a removed id") {
+    val removed = emb.filter(col("id") % 10 === 3).select("id")
+    val removedIds = removed.as[Long].collect().toSet
+    val sv = emb.filter(col("id") % 10 =!= 3)
+    val g0 = GraphAnn.knnGraph(emb, 8).as[(Long, Long)].collect()
+    val g1 = GraphAnn.removeNodes(GraphAnn.knnGraph(emb, 8), sv, removed, 8)
+      .as[(Long, Long)].collect()
+    // no surviving edge touches a removed node, degree bound holds
+    assert(g1.forall { case (s, d) =>
+      !removedIds.contains(s) && !removedIds.contains(d) }, "edge touches removed")
+    assert(g1.groupBy(_._1).forall(_._2.length <= 8))
+    // determinism
+    val g2 = GraphAnn.removeNodes(GraphAnn.knnGraph(emb, 8), sv, removed, 8)
+      .as[(Long, Long)].collect()
+    assert(g1.sorted.toSeq == g2.sorted.toSeq, "delete must be deterministic")
+    // repair: every surviving source that edged into a removed node still
+    // has out-edges (bridge ∪ kept re-trimmed, never orphaned)
+    val touched = g0.collect { case (s, d)
+      if removedIds.contains(d) && !removedIds.contains(s) => s }.toSet
+    assert(touched.nonEmpty, "fixture too weak: nothing edged into the removed set")
+    val srcs = g1.map(_._1).toSet
+    assert(touched.subsetOf(srcs), s"orphaned sources: ${(touched -- srcs).take(5)}")
+    // the repaired walk never surfaces a removed id, and holds the recall
+    // floor against survivor-brute at the production schedule
+    val queries = sv.filter(col("id") < 30)
+    val probed = GraphAnn.beamTopK(queries, sv,
+        GraphAnn.removeNodes(GraphAnn.knnGraph(emb, 8), sv, removed, 8),
+        10, ef = 16, hops = 4)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    assert(probed.forall(p => !removedIds.contains(p._2)), "removed id surfaced")
+    val brute = AnnSearch.bruteTopK(queries, sv, 10)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val recall = (brute & probed).size.toDouble / brute.size
+    assert(recall >= 0.5, s"post-delete recall=$recall")
+    // guard: a multi-column removed frame is rejected, not silently masked
+    intercept[IllegalArgumentException] {
+      GraphAnn.removeNodes(GraphAnn.knnGraph(emb, 8), sv,
+        emb.select("id", "label"), 8)
+    }
+  }
+
   test("probe cost is schedule-bounded: more hops never shrinks the beam, " +
       "and the final beam stays <= queries x ef") {
     val queries = emb.filter(col("id") < 10)
