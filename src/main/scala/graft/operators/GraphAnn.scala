@@ -195,6 +195,84 @@ object GraphAnn {
     } finally { g.unpersist(blocking = false); cc.unpersist(blocking = false) }
   }
 
+  /** The DISTRIBUTED beam walk — [[beamTopK]] semantics with the beam kept
+    * as a DataFrame end-to-end, for query batches too large to pace from
+    * the driver. [[beamTopK]]'s state is |Q|×ef driver rows plus a
+    * broadcast candidate map per hop — the right shape for a probe batch
+    * (tens to thousands of queries), the wrong one for a 100 TB join-like
+    * workload probing millions of rows. Here each hop is declarative:
+    * expand = beam ⋈ graph on (cid = src), score = two id equi-joins (the
+    * [[trimEdges]] fetch shape) through the shared int64-exact cosine,
+    * re-select = one windowed top-ef per qid. Catalyst plans all hops as
+    * one job; nothing but the final top-k is ever collected.
+    *
+    * Bit-identical to [[beamTopK]] by construction (same entry set, same
+    * candidate algebra, same (cos desc, cid) total order) — spec-asserted
+    * row-for-row, and q365 checks it against the SAME oracle replay as
+    * q361. Cost per hop: ≤ |Q|·ef·(m+1) scored rows — schedule-bounded
+    * per query, linear in |Q|, independent of corpus size. */
+  def beamTopKBatch(queries: DataFrame, corpus: DataFrame, graph: DataFrame,
+      k: Int, ef: Int, hops: Int): DataFrame = {
+    require(ef >= k, s"beam width ef=$ef must cover k=$k")
+    require(hops >= 1, s"at least one hop (got $hops)")
+    val cc = AnnSearch.quantized(corpus)
+      .select(col("id").as("cid"), col("qe").as("ce"), col("n2").as("cn"))
+      .persist()
+    val qq = AnnSearch.quantized(queries)
+      .select(col("id").as("qid"), col("qe").as("qv"), col("n2").as("qn"))
+      .persist()
+    val g = graph.select(col("src"), col("dst")).persist()
+
+    /** Exact (cos desc, cid) top-ef per qid over a (qid, cid) candidate
+      * frame — the [[beamTopK]] selectBeam contract as one declarative
+      * stage; scoring excludes qid = cid exactly as its guard does. */
+    def selectBeam(cands: DataFrame): DataFrame =
+      cands.join(cc, "cid").join(qq, "qid")
+        .filter(col("qid") =!= col("cid"))
+        .withColumn("cos", coalesce(
+          AnnSearch.dotI64(col("qv"), col("ce")).cast("double") /
+            sqrt(col("qn").cast("double") * col("cn").cast("double")),
+          lit(-1.0)))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("qid")
+            .orderBy(col("cos").desc, col("cid"))))
+        .filter(col("rn") <= ef)
+        .select("qid", "cid", "cos")
+
+    try {
+      // entry set: the ef lowest node ids, shared by every query (the
+      // beamTopK/oracle rule) — ef rows, broadcast into the |Q|·ef seed
+      val entry = broadcast(cc.select(col("cid")).orderBy("cid").limit(ef))
+      // Each hop's plan references the previous beam TWICE (carry-over ∪
+      // expansion), so a lazy chain duplicates the whole prefix 2^hops
+      // times and recomputes the graph build per copy (measured 45 s on
+      // the sf0.01 fixture, 3 s with the cut). persist() substitutes an
+      // InMemoryRelation, cutting the logical lineage; the per-hop count()
+      // materializes it so the predecessor can be dropped eagerly.
+      var beam = selectBeam(qq.select(col("qid")).crossJoin(entry)).persist()
+      beam.count()
+      for (_ <- 1 to hops) {
+        val expanded = beam.select(col("qid"), col("cid").as("src"))
+          .join(g, "src").select(col("qid"), col("dst").as("cid"))
+        // beam nodes stay candidates — the walk never loses ground
+        val cands = beam.select("qid", "cid").unionByName(expanded).distinct()
+        val next = selectBeam(cands).persist()
+        next.count()
+        beam.unpersist(blocking = false)
+        beam = next
+      }
+      // the final top-k is |Q|·k rows — checkpoint it (eager, bounded) so
+      // every intermediate cache can be released before returning
+      val out = AnnSearch.rankTopK(beam, k).localCheckpoint(true)
+      beam.unpersist(blocking = false)
+      out
+    } finally {
+      g.unpersist(blocking = false)
+      cc.unpersist(blocking = false)
+      qq.unpersist(blocking = false)
+    }
+  }
+
   /** Build + walk in one call (the one-shot index shape). */
   def graphTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       m: Int = 8, ef: Int = 16, hops: Int = 4): DataFrame =

@@ -866,6 +866,24 @@ object Pipeline {
         .orderBy("qid", "rk")
     },
 
+    // The DISTRIBUTED beam walk ([[GraphAnn.beamTopKBatch]] — the 100 TB
+    // probe path): q361's walk re-expressed with the beam as a DataFrame
+    // end-to-end (per hop: beam ⋈ graph expand, two id equi-joins to
+    // score, windowed top-ef), for query batches too large to pace from
+    // the driver. Same entry set, candidate algebra, and (cos desc, cid)
+    // total order — so the SAME oracle replay as q361 checks it, and the
+    // spec pins it row-for-row against the driver-paced walk.
+    Qd("q365_ann_graph_beam_batch",
+      graphBeamOracleSql(m = 8, ef = 16, hops = 4)) { (s, dir) =>
+      import graft.operators.GraphAnn
+      val e = emb(s, dir)
+      GraphAnn.beamTopKBatch(e.filter(col("id") < 50), e,
+          GraphAnn.knnGraph(e, 8), 10, ef = 16, hops = 4)
+        .select(col("qid"), col("cid"), col("rk").cast("bigint").as("rk"),
+          col("cos"))
+        .orderBy("qid", "rk")
+    },
+
     // TRAINED residual codebook for IVF-PQ — q348 with the stride residual
     // book refined by 2 Lloyd rounds over the ACTUAL residual distribution
     // (coarse book fixed; q274 already proved coarse k-means — this trains

@@ -153,6 +153,29 @@ class GraphAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("distributed beam walk returns exactly the driver-paced walk's rows " +
+      "on the exact, blocked, and post-delete graphs") {
+    val queries = emb.filter(col("id") < 30)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "cid", "rk", "cos").as[(Long, Long, Int, Double)]
+        .collect().sortBy(r => (r._1, r._3)).toSeq
+    val gExact = GraphAnn.knnGraph(emb, 8)
+    assert(rows(GraphAnn.beamTopKBatch(queries, emb, gExact, 10, 16, 4)) ==
+      rows(GraphAnn.beamTopK(queries, emb, gExact, 10, 16, 4)),
+      "batch walk diverged from driver walk on the exact graph")
+    val gBlocked = GraphAnn.blockedKnnGraph(emb, m = 8, centroidStride = 40)
+    assert(rows(GraphAnn.beamTopKBatch(queries, emb, gBlocked, 10, 16, 4)) ==
+      rows(GraphAnn.beamTopK(queries, emb, gBlocked, 10, 16, 4)),
+      "batch walk diverged from driver walk on the blocked graph")
+    val removed = emb.filter(col("id") % 10 === 3).select("id")
+    val sv = emb.filter(col("id") % 10 =!= 3)
+    val gDel = GraphAnn.removeNodes(gExact, sv, removed, 8)
+    val qsv = sv.filter(col("id") < 30)
+    assert(rows(GraphAnn.beamTopKBatch(qsv, sv, gDel, 10, 16, 4)) ==
+      rows(GraphAnn.beamTopK(qsv, sv, gDel, 10, 16, 4)),
+      "batch walk diverged from driver walk on the post-delete graph")
+  }
+
   test("probe cost is schedule-bounded: more hops never shrinks the beam, " +
       "and the final beam stays <= queries x ef") {
     val queries = emb.filter(col("id") < 10)
