@@ -214,7 +214,6 @@ object GraphAnn {
   def beamTopKBatch(queries: DataFrame, corpus: DataFrame, graph: DataFrame,
       k: Int, ef: Int, hops: Int): DataFrame = {
     require(ef >= k, s"beam width ef=$ef must cover k=$k")
-    require(hops >= 1, s"at least one hop (got $hops)")
     val cc = AnnSearch.quantized(corpus)
       .select(col("id").as("cid"), col("qe").as("ce"), col("n2").as("cn"))
       .persist()
@@ -222,6 +221,39 @@ object GraphAnn {
       .select(col("id").as("qid"), col("qe").as("qv"), col("n2").as("qn"))
       .persist()
     val g = graph.select(col("src"), col("dst")).persist()
+    try {
+      // entry set: the ef lowest node ids, shared by every query (the
+      // beamTopK/oracle rule) — ef rows, broadcast into the |Q|·ef seed
+      val entry = broadcast(cc.select(col("cid")).orderBy("cid").limit(ef))
+      val beam = walkSeeded(qq, cc, g,
+        qq.select(col("qid")).crossJoin(entry), ef, hops)
+      // the final top-k is |Q|·k rows — checkpoint it (eager, bounded) so
+      // every intermediate cache can be released before returning
+      val out = AnnSearch.rankTopK(beam, k).localCheckpoint(true)
+      beam.unpersist(blocking = false)
+      out
+    } finally {
+      g.unpersist(blocking = false)
+      cc.unpersist(blocking = false)
+      qq.unpersist(blocking = false)
+    }
+  }
+
+  /** The distributed walk's core: beam-search `g` from a per-query seed
+    * frame `(qid, cid)`. Returns the final beam (qid, cid, cos), LEFT
+    * PERSISTED — the caller unpersists once consumed. `qq`/`cc` are the
+    * quantized query/corpus frames in (qid, qv, qn)/(cid, ce, cn) shape,
+    * already persisted by the caller.
+    *
+    * Each hop's plan references the previous beam TWICE (carry-over ∪
+    * expansion), so a lazy chain would duplicate the whole prefix 2^hops
+    * times and recompute the graph build per copy (measured 45 s on the
+    * sf0.01 fixture, 3 s with the cut). persist() substitutes an
+    * InMemoryRelation, cutting the logical lineage; the per-hop count()
+    * materializes it so the predecessor can be dropped eagerly. */
+  private def walkSeeded(qq: DataFrame, cc: DataFrame, g: DataFrame,
+      seed: DataFrame, ef: Int, hops: Int): DataFrame = {
+    require(hops >= 1, s"at least one hop (got $hops)")
 
     /** Exact (cos desc, cid) top-ef per qid over a (qid, cid) candidate
       * frame — the [[beamTopK]] selectBeam contract as one declarative
@@ -239,30 +271,53 @@ object GraphAnn {
         .filter(col("rn") <= ef)
         .select("qid", "cid", "cos")
 
+    var beam = selectBeam(seed).persist()
+    beam.count()
+    for (_ <- 1 to hops) {
+      val expanded = beam.select(col("qid"), col("cid").as("src"))
+        .join(g, "src").select(col("qid"), col("dst").as("cid"))
+      // beam nodes stay candidates — the walk never loses ground
+      val cands = beam.select("qid", "cid").unionByName(expanded).distinct()
+      val next = selectBeam(cands).persist()
+      next.count()
+      beam.unpersist(blocking = false)
+      beam = next
+    }
+    beam
+  }
+
+  /** Nodes on HNSW level ≥ `l`: keyed md5 draw ≡ 0 (mod 8^l) — the
+    * deterministic, engine-replayable stand-in for HNSW's geometric level
+    * draw (p = 1/8 per level, the q172 keyed-md5 discipline via
+    * [[GroupSample.drawHash]]). A pure function of the id: every engine
+    * and every run derives the same layer split. */
+  def levelNodes(corpus: DataFrame, l: Int): DataFrame = {
+    require(l >= 1 && l <= 19, s"level out of the 60-bit draw's range: $l")
+    var mod = 1L; var i = 0
+    while (i < l) { mod *= 8L; i += 1 }
+    corpus.filter(
+      GroupSample.drawHash("lvl1", col(corpus.columns.head)) % mod === 0)
+  }
+
+  /** [[beamTopKBatch]] with a caller-supplied per-query seed frame
+    * `(qid, cid)` instead of the global lowest-ef entry set — the
+    * composable piece behind [[hnswTopK]]'s layer descent (each layer's
+    * ranked beam seeds the next layer's walk). Returns the ranked
+    * (qid, cid, rk, cos) top-k; pass k = ef to get the whole final beam
+    * for chaining. */
+  def beamTopKSeeded(queries: DataFrame, corpus: DataFrame,
+      graph: DataFrame, seed: DataFrame, k: Int, ef: Int,
+      hops: Int): DataFrame = {
+    require(ef >= k, s"beam width ef=$ef must cover k=$k")
+    val cc = AnnSearch.quantized(corpus)
+      .select(col("id").as("cid"), col("qe").as("ce"), col("n2").as("cn"))
+      .persist()
+    val qq = AnnSearch.quantized(queries)
+      .select(col("id").as("qid"), col("qe").as("qv"), col("n2").as("qn"))
+      .persist()
+    val g = graph.select(col("src"), col("dst")).persist()
     try {
-      // entry set: the ef lowest node ids, shared by every query (the
-      // beamTopK/oracle rule) — ef rows, broadcast into the |Q|·ef seed
-      val entry = broadcast(cc.select(col("cid")).orderBy("cid").limit(ef))
-      // Each hop's plan references the previous beam TWICE (carry-over ∪
-      // expansion), so a lazy chain duplicates the whole prefix 2^hops
-      // times and recomputes the graph build per copy (measured 45 s on
-      // the sf0.01 fixture, 3 s with the cut). persist() substitutes an
-      // InMemoryRelation, cutting the logical lineage; the per-hop count()
-      // materializes it so the predecessor can be dropped eagerly.
-      var beam = selectBeam(qq.select(col("qid")).crossJoin(entry)).persist()
-      beam.count()
-      for (_ <- 1 to hops) {
-        val expanded = beam.select(col("qid"), col("cid").as("src"))
-          .join(g, "src").select(col("qid"), col("dst").as("cid"))
-        // beam nodes stay candidates — the walk never loses ground
-        val cands = beam.select("qid", "cid").unionByName(expanded).distinct()
-        val next = selectBeam(cands).persist()
-        next.count()
-        beam.unpersist(blocking = false)
-        beam = next
-      }
-      // the final top-k is |Q|·k rows — checkpoint it (eager, bounded) so
-      // every intermediate cache can be released before returning
+      val beam = walkSeeded(qq, cc, g, seed.select("qid", "cid"), ef, hops)
       val out = AnnSearch.rankTopK(beam, k).localCheckpoint(true)
       beam.unpersist(blocking = false)
       out
@@ -271,6 +326,42 @@ object GraphAnn {
       cc.unpersist(blocking = false)
       qq.unpersist(blocking = false)
     }
+  }
+
+  /** TWO-LAYER HNSW — the actual hierarchy, completing the q361–q365
+    * family (which is flat NSW: one graph, one fixed global entry set).
+    * HNSW's insight is that the entry point should already be NEAR the
+    * query before the expensive bottom-layer walk starts: a sparse upper
+    * layer ([[levelNodes]], every 8th node by keyed draw) is walked first
+    * with a narrow beam, and each query's upper-layer winners seed its
+    * bottom-layer walk. The bottom walk then needs HALF the hops of the
+    * flat q361 schedule for comparable recall (spec-measured), because it
+    * starts in the right neighborhood instead of at a fixed corner of the
+    * id space. A flat walk's length grows with the graph's RADIUS
+    * (~N^(1/d) — GraphScale measured recall collapsing 0.37 → 0.05 at
+    * ×16 corpus under the fixed schedule); the hierarchy is what caps it
+    * at ~log N total hops, every one schedule-bounded (≤ |Q|·ef·(m+1)
+    * scored rows — both walks run distributed through [[walkSeeded]]).
+    * For corpora past ~8·ef1·m1 upper nodes, stack more layers by
+    * chaining [[levelNodes]]/[[beamTopKSeeded]] descents (GraphScale's
+    * multi-layer composition).
+    *
+    * Fully deterministic: level draw, both [[knnGraph]] builds, and the
+    * shared (cos desc, cid) walk order — the q366 oracle replays level
+    * split → both builds → chained seeded walks bit-exactly. */
+  def hnswTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      m: Int = 8, m1: Int = 4, ef1: Int = 4, hops1: Int = 2,
+      ef: Int = 16, hops: Int = 2): DataFrame = {
+    val lvl1 = levelNodes(corpus, 1)
+    // upper-layer entry: the ef1 lowest LAYER-1 ids (global, tiny)
+    val ent1 = broadcast(
+      AnnSearch.quantized(lvl1).select(col("id").as("cid"))
+        .orderBy("cid").limit(ef1))
+    val qid = queries.select(col(queries.columns.head).as("qid"))
+    val b1 = beamTopKSeeded(queries, corpus, knnGraph(lvl1, m1),
+      qid.crossJoin(ent1), ef1, ef1, hops1)
+    beamTopKSeeded(queries, corpus, knnGraph(corpus, m),
+      b1.select("qid", "cid"), k, ef, hops)
   }
 
   /** Build + walk in one call (the one-shot index shape). */

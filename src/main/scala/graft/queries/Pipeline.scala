@@ -884,6 +884,63 @@ object Pipeline {
         .orderBy("qid", "rk")
     },
 
+    // TWO-LAYER HNSW ([[GraphAnn.hnswTopK]] — the actual hierarchy): a
+    // sparse upper layer (keyed md5 draw ≡ 0 mod 8, HNSW's geometric
+    // level draw made engine-replayable) is walked first with a narrow
+    // beam (ef=8, 2 hops) from a global entry, then each query's upper-
+    // layer winners seed its bottom-layer walk (ef=16, 2 hops — HALF the
+    // flat q361 schedule; the hierarchy is what caps walk length at
+    // ~log N when a flat walk's length grows with graph radius). The
+    // oracle chains the level split → both graph builds → upper walk →
+    // per-query-seeded bottom walk.
+    Qd("q366_ann_graph_hnsw", {
+      val gHier =
+        s"""lv AS (SELECT vec_id FROM cc
+          |  WHERE CAST(('0x' || substr(md5('lvl1:' || vec_id), 1, 15)) AS BIGINT) % 8 = 0),
+          |ln AS (SELECT cn.* FROM cn JOIN lv USING (vec_id)),
+          |gp1 AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+          |    CAST(CAST(list_sum(list_transform(range(1, 65), i -> a.qe[i]*b.qe[i])) AS BIGINT) AS DOUBLE)
+          |      / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) AS cos
+          |  FROM ln a, ln b WHERE a.vec_id <> b.vec_id),
+          |g1 AS (SELECT src, dst FROM (SELECT src, dst,
+          |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM gp1)
+          |  WHERE rn <= 4),
+          |gp0 AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+          |    CAST(CAST(list_sum(list_transform(range(1, 65), i -> a.qe[i]*b.qe[i])) AS BIGINT) AS DOUBLE)
+          |      / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) AS cos
+          |  FROM cn a, cn b WHERE a.vec_id <> b.vec_id),
+          |g0 AS (SELECT src, dst FROM (SELECT src, dst,
+          |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM gp0)
+          |  WHERE rn <= 8)""".stripMargin
+      s"""WITH ${qCte("qq", "WHERE vec_id < 50")},
+        |${qCte("cc", "")},
+        |cn AS (SELECT vec_id, qe,
+        |  CAST(list_sum(list_transform(range(1, 65), i -> qe[i]*qe[i])) AS BIGINT) AS n2 FROM cc),
+        |qn AS (SELECT vec_id, qe,
+        |  CAST(list_sum(list_transform(range(1, 65), i -> qe[i]*qe[i])) AS BIGINT) AS n2 FROM qq),
+        |$gHier,
+        |ps AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    CAST(CAST(list_sum(list_transform(range(1, 65), i -> q.qe[i]*c.qe[i])) AS BIGINT) AS DOUBLE)
+        |      / sqrt(CAST(q.n2 AS DOUBLE) * CAST(c.n2 AS DOUBLE)) AS cos
+        |  FROM qn q, cn c WHERE q.vec_id <> c.vec_id),
+        |ent1 AS (SELECT vec_id FROM lv ORDER BY vec_id LIMIT 8),
+        |${beamWalkCtes("u", "g1", "ps", "ent1", 8, 2)},
+        |${beamWalkCtesSeeded("", "g0", "ps", "ub2", 16, 2)},
+        |rk AS (SELECT qid, cid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+        |  FROM b2)
+        |SELECT qid, cid, rk, ROUND(cos, 6) AS cos
+        |FROM rk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+    }) { (s, dir) =>
+      import graft.operators.GraphAnn
+      val e = emb(s, dir)
+      GraphAnn.hnswTopK(e.filter(col("id") < 50), e, 10,
+          m = 8, m1 = 4, ef1 = 8, hops1 = 2, ef = 16, hops = 2)
+        .select(col("qid"), col("cid"), col("rk").cast("bigint").as("rk"),
+          col("cos"))
+        .orderBy("qid", "rk")
+    },
+
     // TRAINED residual codebook for IVF-PQ — q348 with the stride residual
     // book refined by 2 Lloyd rounds over the ACTUAL residual distribution
     // (coarse book fixed; q274 already proved coarse k-means — this trains
@@ -1508,12 +1565,27 @@ object Pipeline {
     * engine's selectBeam guard). Prefix `p` lets one statement chain two
     * independent walks (q363: insert walk + probe walk). */
   private def beamWalkCtes(p: String, g: String, ps: String, ent: String,
-      ef: Int, hops: Int): String = {
+      ef: Int, hops: Int): String =
+    beamWalkFrom(p, g, ps,
+      s"FROM $ps x JOIN $ent e ON e.vec_id = x.cid", ef, hops)
+
+  /** [[beamWalkCtes]] with a PER-QUERY seed table `(qid, cid)` instead of
+    * a global entry set — the q366 hierarchy's layer descent (each
+    * layer's final beam seeds the next layer's walk, mirroring
+    * `GraphAnn.beamTopKSeeded`). */
+  private def beamWalkCtesSeeded(p: String, g: String, ps: String,
+      seed: String, ef: Int, hops: Int): String =
+    beamWalkFrom(p, g, ps,
+      s"FROM $seed s JOIN $ps x ON x.qid = s.qid AND x.cid = s.cid",
+      ef, hops)
+
+  private def beamWalkFrom(p: String, g: String, ps: String,
+      b0From: String, ef: Int, hops: Int): String = {
     val b0 =
       s"""${p}b0 AS (SELECT qid, cid, cos FROM (
          |    SELECT x.qid, x.cid, x.cos,
          |      row_number() OVER (PARTITION BY x.qid ORDER BY x.cos DESC, x.cid) AS rn
-         |    FROM $ps x JOIN $ent e ON e.vec_id = x.cid) WHERE rn <= $ef)""".stripMargin
+         |    $b0From) WHERE rn <= $ef)""".stripMargin
     val hopCtes = (1 to hops).map { i =>
       s"""${p}c$i AS (SELECT DISTINCT qid, cid FROM (
          |    SELECT qid, cid FROM ${p}b${i - 1}

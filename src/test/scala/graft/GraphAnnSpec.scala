@@ -176,6 +176,40 @@ class GraphAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
       "batch walk diverged from driver walk on the post-delete graph")
   }
 
+  test("two-layer HNSW: deterministic level split, exact scores, and the " +
+      "hierarchical walk holds the flat-schedule recall floor at half the " +
+      "bottom-layer hops") {
+    val queries = emb.filter(col("id") < 30)
+    // the level draw is a pure function of the id: deterministic and sparse
+    val l1 = GraphAnn.levelNodes(emb, 1).select("id").as[Long].collect().toSet
+    val l1b = GraphAnn.levelNodes(emb, 1).select("id").as[Long].collect().toSet
+    assert(l1 == l1b, "level draw must be deterministic")
+    val n = emb.count()
+    assert(l1.nonEmpty && l1.size < n / 4,
+      s"layer 1 should be a sparse subset: ${l1.size} of $n")
+    val hier = GraphAnn.hnswTopK(queries, emb, 10,
+        m = 8, m1 = 4, ef1 = 8, hops1 = 2, ef = 16, hops = 2)
+      .select("qid", "cid", "cos").as[(Long, Long, Double)].collect()
+    val hier2 = GraphAnn.hnswTopK(queries, emb, 10,
+        m = 8, m1 = 4, ef1 = 8, hops1 = 2, ef = 16, hops = 2)
+      .select("qid", "cid", "cos").as[(Long, Long, Double)].collect()
+    assert(hier.sortBy(r => (r._1, r._2)).toSeq ==
+      hier2.sortBy(r => (r._1, r._2)).toSeq, "hnsw walk must be deterministic")
+    // every reported score is the exact cosine; recall holds the q361
+    // floor with the bottom walk at HALF the flat schedule's hops
+    val brute = AnnSearch.bruteTopK(queries, emb, 10)
+      .select("qid", "cid", "cos").as[(Long, Long, Double)].collect()
+    val bruteCos = brute.map(r => (r._1, r._2) -> r._3).toMap
+    hier.foreach { case (q, c, cos) =>
+      bruteCos.get((q, c)).foreach(b => assert(b == cos,
+        s"hnsw reported approx score for ($q,$c): $cos != exact $b"))
+    }
+    val bruteSet = brute.map(r => (r._1, r._2)).toSet
+    val recall = (bruteSet & hier.map(r => (r._1, r._2)).toSet).size.toDouble /
+      bruteSet.size
+    assert(recall >= 0.5, s"hnsw recall=$recall")
+  }
+
   test("probe cost is schedule-bounded: more hops never shrinks the beam, " +
       "and the final beam stays <= queries x ef") {
     val queries = emb.filter(col("id") < 10)
