@@ -415,8 +415,22 @@ object GraphAnn {
     val newE = beamTopK(batch, corpus, graph, m, ef, hops)
       .select(col("qid").as("src"), col("cid").as("dst"))
     val backE = newE.select(col("dst").as("src"), col("src").as("dst"))
-    trimEdges(graph.select("src", "dst").unionByName(newE).unionByName(backE),
-      corpus, m)
+    // Re-trim ONLY touched sources (batch nodes + back-edge targets): an
+    // untouched src gained no candidate, its edges are already its top-m,
+    // and the trim is per-src independent — identical output, but the
+    // expensive part (two embedding equi-joins + the per-src window) runs
+    // on O(batch·m) rows instead of the whole O(N·m) edge set. GraphScale
+    // measured the full re-trim growing the insert bill 33 s → 87 s from
+    // ×16 to ×64 corpus for the SAME 2000-node batch; the q363 oracle
+    // replays the full-trim algebra, so the driver compare is the
+    // equivalence proof.
+    val g0 = graph.select("src", "dst")
+    val touched = newE.select("src").unionByName(backE.select("src"))
+      .distinct()
+    val untouched = g0.join(touched, Seq("src"), "left_anti")
+    val toTrim = g0.join(touched, Seq("src"), "left_semi")
+      .unionByName(newE).unionByName(backE)
+    untouched.unionByName(trimEdges(toTrim, corpus, m))
   }
 
   /** GRAPH-INDEX DELETE with repair — the lifecycle's last step (IVF-PQ
@@ -460,6 +474,17 @@ object GraphAnn {
     val bridge = intoR.join(outR, "mid")
       .filter(col("src") =!= col("dst"))
       .select("src", "dst")
-    trimEdges(kept.unionByName(bridge), survivors, m)
+    // Re-trim ONLY bridged sources: a src with no bridge candidates can
+    // only have LOST edges (kept ⊆ its previous top-m), so its trim is a
+    // no-op — identical output, and the embedding joins + window run on
+    // O(|bridge|) rows instead of the whole surviving edge set (GraphScale
+    // measured the full re-trim growing the delete bill 26 s → 104 s from
+    // ×16 to ×64 for the SAME 2000-node batch). The q364 oracle replays
+    // the full-trim algebra — the driver compare is the equivalence proof.
+    val touched = bridge.select("src").distinct()
+    val keptUntouched = kept.join(touched, Seq("src"), "left_anti")
+    val toTrim = kept.join(touched, Seq("src"), "left_semi")
+      .unionByName(bridge)
+    keptUntouched.unionByName(trimEdges(toTrim, survivors, m))
   }
 }
