@@ -44,6 +44,21 @@ import org.apache.spark.sql.functions._
   */
 object GraphAnn {
 
+  /** Persist `df` unless its plan already resolves to a cache entry, and
+    * report whether WE own the persist. The walks' loop-invariant frames
+    * are persisted on entry and unpersisted in a finally — but when the
+    * caller passes an already-cached graph, the (src, dst) projection is
+    * a no-op that ALIASES the caller's cache entry (CacheManager matches
+    * by sameResult), and the finally would EVICT the caller's cache: a
+    * probe over a persisted index silently un-persisted it, and the next
+    * consumer recomputed the whole build lineage (GraphScale measured a
+    * 3 s delete ballooning to 120 s at the ×64 corpus this way). */
+  private def persistUnlessCached(
+      df: DataFrame): (DataFrame, Boolean) =
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      (df.persist(), true)
+    else (df, false)
+
   /** Directed k-NN graph: (src, dst), dst = src's top-`m` by exact
     * quantized cosine, self excluded — deterministic, so build order
     * cannot change any walk. Exact all-pairs: the gold-standard graph,
@@ -111,10 +126,12 @@ object GraphAnn {
     // PERSIST both loop-invariant frames: every hop re-reads them, and a
     // lazily-passed graph (e.g. [[knnGraph]]'s O(N²) build) would otherwise
     // be RECOMPUTED once per hop — measured 13 s → 3.5 s on the q361 bench
-    // body. Unpersisted in the finally below; the returned frame is built
-    // from the collected beam, so it survives the unpersist.
-    val cc = AnnSearch.quantized(corpus).persist()
-    val g = graph.select(col("src"), col("dst")).persist()
+    // body. Unpersisted in the finally below ONLY if we created the cache
+    // entry ([[persistUnlessCached]]); the returned frame is built from
+    // the collected beam, so it survives the unpersist.
+    val (cc, ownCc) = persistUnlessCached(AnnSearch.quantized(corpus))
+    val (g, ownG) =
+      persistUnlessCached(graph.select(col("src"), col("dst")))
     try {
       // probe batch: broadcast-bounded (the bruteTopK broadcast(q) contract)
       val qArr = AnnSearch.quantized(queries)
@@ -133,13 +150,32 @@ object GraphAnn {
         else df.join(broadcast(ids.toSeq.toDF(idCol)), idCol)
 
       /** Exact (cos desc, cid) top-`ef` per query over per-query candidate
-        * id sets (sorted arrays): ONE distributed pass — candidate vectors
-        * are fetched by id-set pushdown and scored on executors against the
-        * broadcast queries; only the scored beam (|queries| × ef ids+cos,
-        * the bounded-collect contract) reaches the driver. */
+        * id sets: ONE distributed pass — candidate vectors are fetched by
+        * id-set pushdown and scored on executors; only the scored beam
+        * (|queries| × ef ids+cos, the bounded-collect contract) reaches
+        * the driver. The broadcast is INVERTED to cid → interested query
+        * indexes, so per-row work is O(that row's candidate pairs), not
+        * O(|queries|): the straight per-row scan over all queries cost
+        * |rows|×|Q| membership probes and dominated large-batch walks —
+        * GraphScale measured an 85 s ×64-corpus insert (2000-node batch,
+        * ~576 M probes per hop) that the inversion removes. */
       def selectBeam(cands: Map[Long, Array[Long]]): Array[(Long, Long, Double)] = {
-        val candIds = cands.valuesIterator.flatten.toArray.distinct
-        val bc = spark.sparkContext.broadcast(cands)
+        val byCid: Map[Long, Array[Int]] = {
+          val qIdx = qids.zipWithIndex.toMap
+          val b = scala.collection.mutable.HashMap
+            .empty[Long, scala.collection.mutable.ArrayBuilder.ofInt]
+          cands.foreach { case (qid, ids) =>
+            val qi = qIdx(qid)
+            ids.foreach { cid =>
+              if (cid != qid)
+                b.getOrElseUpdate(cid,
+                  new scala.collection.mutable.ArrayBuilder.ofInt) += qi
+            }
+          }
+          b.iterator.map { case (cid, ab) => cid -> ab.result() }.toMap
+        }
+        val candIds = byCid.keysIterator.toArray
+        val bc = spark.sparkContext.broadcast(byCid)
         try {
           val scored = fetch(cc, "id", candIds)
             .select(col("id"), col("qe"), col("n2")).as[(Long, Seq[Long], Long)]
@@ -148,15 +184,14 @@ object GraphAnn {
               val cm = bc.value
               it.flatMap { case (cid, e, cn2) =>
                 val cv = e.toArray
-                qs.iterator.collect {
-                  case (qid, qv, qn2) if qid != cid &&
-                      java.util.Arrays.binarySearch(cm(qid), cid) >= 0 =>
-                    var acc = 0L; var i = 0
-                    val n = math.min(qv.length, cv.length)
-                    while (i < n) { acc += qv(i) * cv(i); i += 1 }
-                    val denom = math.sqrt(qn2.toDouble * cn2.toDouble)
-                    (qid, cid,
-                      if (denom == 0.0d) -1.0d else acc.toDouble / denom)
+                cm.getOrElse(cid, Array.emptyIntArray).iterator.map { qi =>
+                  val (qid, qv, qn2) = qs(qi)
+                  var acc = 0L; var i = 0
+                  val n = math.min(qv.length, cv.length)
+                  while (i < n) { acc += qv(i) * cv(i); i += 1 }
+                  val denom = math.sqrt(qn2.toDouble * cn2.toDouble)
+                  (qid, cid,
+                    if (denom == 0.0d) -1.0d else acc.toDouble / denom)
                 }
               }
             }.toDF("qid", "cid", "cos")
@@ -192,7 +227,10 @@ object GraphAnn {
       // re-rank through the shared total order for the usual (rk, 6-dp) shape
       val scored = beam.toSeq.toDF("qid", "cid", "cos")
       AnnSearch.rankTopK(scored, k)
-    } finally { g.unpersist(blocking = false); cc.unpersist(blocking = false) }
+    } finally {
+      if (ownG) g.unpersist(blocking = false)
+      if (ownCc) cc.unpersist(blocking = false)
+    }
   }
 
   /** The DISTRIBUTED beam walk — [[beamTopK]] semantics with the beam kept
@@ -214,13 +252,12 @@ object GraphAnn {
   def beamTopKBatch(queries: DataFrame, corpus: DataFrame, graph: DataFrame,
       k: Int, ef: Int, hops: Int): DataFrame = {
     require(ef >= k, s"beam width ef=$ef must cover k=$k")
-    val cc = AnnSearch.quantized(corpus)
-      .select(col("id").as("cid"), col("qe").as("ce"), col("n2").as("cn"))
-      .persist()
-    val qq = AnnSearch.quantized(queries)
-      .select(col("id").as("qid"), col("qe").as("qv"), col("n2").as("qn"))
-      .persist()
-    val g = graph.select(col("src"), col("dst")).persist()
+    val (cc, ownCc) = persistUnlessCached(AnnSearch.quantized(corpus)
+      .select(col("id").as("cid"), col("qe").as("ce"), col("n2").as("cn")))
+    val (qq, ownQq) = persistUnlessCached(AnnSearch.quantized(queries)
+      .select(col("id").as("qid"), col("qe").as("qv"), col("n2").as("qn")))
+    val (g, ownG) =
+      persistUnlessCached(graph.select(col("src"), col("dst")))
     try {
       // entry set: the ef lowest node ids, shared by every query (the
       // beamTopK/oracle rule) — ef rows, broadcast into the |Q|·ef seed
@@ -233,9 +270,9 @@ object GraphAnn {
       beam.unpersist(blocking = false)
       out
     } finally {
-      g.unpersist(blocking = false)
-      cc.unpersist(blocking = false)
-      qq.unpersist(blocking = false)
+      if (ownG) g.unpersist(blocking = false)
+      if (ownCc) cc.unpersist(blocking = false)
+      if (ownQq) qq.unpersist(blocking = false)
     }
   }
 
@@ -309,22 +346,21 @@ object GraphAnn {
       graph: DataFrame, seed: DataFrame, k: Int, ef: Int,
       hops: Int): DataFrame = {
     require(ef >= k, s"beam width ef=$ef must cover k=$k")
-    val cc = AnnSearch.quantized(corpus)
-      .select(col("id").as("cid"), col("qe").as("ce"), col("n2").as("cn"))
-      .persist()
-    val qq = AnnSearch.quantized(queries)
-      .select(col("id").as("qid"), col("qe").as("qv"), col("n2").as("qn"))
-      .persist()
-    val g = graph.select(col("src"), col("dst")).persist()
+    val (cc, ownCc) = persistUnlessCached(AnnSearch.quantized(corpus)
+      .select(col("id").as("cid"), col("qe").as("ce"), col("n2").as("cn")))
+    val (qq, ownQq) = persistUnlessCached(AnnSearch.quantized(queries)
+      .select(col("id").as("qid"), col("qe").as("qv"), col("n2").as("qn")))
+    val (g, ownG) =
+      persistUnlessCached(graph.select(col("src"), col("dst")))
     try {
       val beam = walkSeeded(qq, cc, g, seed.select("qid", "cid"), ef, hops)
       val out = AnnSearch.rankTopK(beam, k).localCheckpoint(true)
       beam.unpersist(blocking = false)
       out
     } finally {
-      g.unpersist(blocking = false)
-      cc.unpersist(blocking = false)
-      qq.unpersist(blocking = false)
+      if (ownG) g.unpersist(blocking = false)
+      if (ownCc) cc.unpersist(blocking = false)
+      if (ownQq) qq.unpersist(blocking = false)
     }
   }
 
