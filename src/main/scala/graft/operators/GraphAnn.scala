@@ -455,11 +455,11 @@ object GraphAnn {
     // untouched src gained no candidate, its edges are already its top-m,
     // and the trim is per-src independent — identical output, but the
     // expensive part (two embedding equi-joins + the per-src window) runs
-    // on O(batch·m) rows instead of the whole O(N·m) edge set. GraphScale
-    // measured the full re-trim growing the insert bill 33 s → 87 s from
-    // ×16 to ×64 corpus for the SAME 2000-node batch; the q363 oracle
-    // replays the full-trim algebra, so the driver compare is the
-    // equivalence proof.
+    // on O(batch·m) rows instead of the whole O(N·m) edge set, which is
+    // what keeps the insert bill flat as the corpus grows (GraphScale:
+    // 13.5 s at ×16 vs 12.9 s at ×64 for the same 2000-node batch). The
+    // q363 oracle replays the FULL-trim algebra, so the driver compare is
+    // the equivalence proof.
     val g0 = graph.select("src", "dst")
     val touched = newE.select("src").unionByName(backE.select("src"))
       .distinct()
@@ -513,10 +513,11 @@ object GraphAnn {
     // Re-trim ONLY bridged sources: a src with no bridge candidates can
     // only have LOST edges (kept ⊆ its previous top-m), so its trim is a
     // no-op — identical output, and the embedding joins + window run on
-    // O(|bridge|) rows instead of the whole surviving edge set (GraphScale
-    // measured the full re-trim growing the delete bill 26 s → 104 s from
-    // ×16 to ×64 for the SAME 2000-node batch). The q364 oracle replays
-    // the full-trim algebra — the driver compare is the equivalence proof.
+    // O(|bridge|) rows instead of the whole surviving edge set, keeping
+    // the delete bill ~flat as the corpus grows (GraphScale: 6.5 s at ×16
+    // vs 8.5 s at ×64 for the same 2000-node batch). The q364 oracle
+    // replays the FULL-trim algebra — the driver compare is the
+    // equivalence proof.
     val touched = bridge.select("src").distinct()
     val keptUntouched = kept.join(touched, Seq("src"), "left_anti")
     val toTrim = kept.join(touched, Seq("src"), "left_semi")
