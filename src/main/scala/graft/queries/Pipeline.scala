@@ -941,6 +941,88 @@ object Pipeline {
         .orderBy("qid", "rk")
     },
 
+    // MULTI-BATCH GRAPH INGEST (train-once/add-forever for the graph
+    // index — the q249/q354 incremental-ingest discipline): the graph is
+    // built ONCE on the first quarter of the corpus, then three
+    // successive [[GraphAnn.insertBatch]] calls add a quarter each (every
+    // batch walks itself in against the graph-so-far over the
+    // corpus-so-far), and the final probe walks the fully-grown graph.
+    // The oracle chains THREE full insert replays (walk → edge selection
+    // → back-edges → re-trim, each against the previous generation's
+    // graph CTE) after the batch-0 build — generations MATERIALIZED to
+    // pin linear evaluation, the q185 discipline.
+    Qd("q367_ann_graph_ingest", {
+      def cosOf(a: String, b: String) =
+        s"CAST(CAST(list_sum(list_transform(range(1, 65), i -> $a.qe[i]*$b.qe[i])) AS BIGINT) AS DOUBLE)" +
+          s" / sqrt(CAST($a.n2 AS DOUBLE) * CAST($b.n2 AS DOUBLE))"
+      val build0 =
+        s"""c0 AS (SELECT * FROM cn WHERE vec_id % 4 = 0),
+          |gp0 AS (SELECT a.vec_id AS src, b.vec_id AS dst, ${cosOf("a", "b")} AS cos
+          |  FROM c0 a, c0 b WHERE a.vec_id <> b.vec_id),
+          |g0 AS MATERIALIZED (SELECT src, dst FROM (SELECT src, dst,
+          |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM gp0)
+          |  WHERE rn <= 8)""".stripMargin
+      val insBlocks = (1 to 3).map { b =>
+        s"""cs$b AS (SELECT * FROM cn WHERE vec_id % 4 <= $b),
+          |bn$b AS (SELECT * FROM cn WHERE vec_id % 4 = $b),
+          |psi$b AS MATERIALIZED (SELECT q.vec_id AS qid, c.vec_id AS cid,
+          |    ${cosOf("q", "c")} AS cos
+          |  FROM bn$b q, cs$b c WHERE q.vec_id <> c.vec_id),
+          |ent$b AS (SELECT vec_id FROM cs$b ORDER BY vec_id LIMIT 16),
+          |${beamWalkCtes(s"w$b", s"g${b - 1}", s"psi$b", s"ent$b", 16, 4)},
+          |ne$b AS (SELECT qid AS src, cid AS dst FROM (
+          |    SELECT qid, cid,
+          |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+          |    FROM w${b}b4) WHERE rn <= 8),
+          |ae$b AS (SELECT DISTINCT src, dst FROM (
+          |    SELECT src, dst FROM g${b - 1}
+          |    UNION ALL SELECT src, dst FROM ne$b
+          |    UNION ALL SELECT dst AS src, src AS dst FROM ne$b)),
+          |ge$b AS (SELECT e.src, e.dst, ${cosOf("a", "b")} AS cos
+          |  FROM ae$b e JOIN cs$b a ON a.vec_id = e.src JOIN cs$b b ON b.vec_id = e.dst),
+          |g$b AS MATERIALIZED (SELECT src, dst FROM (SELECT src, dst,
+          |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM ge$b)
+          |  WHERE rn <= 8)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${qCte("qq", "WHERE vec_id < 50")},
+        |${qCte("cc", "")},
+        |cn AS (SELECT vec_id, qe,
+        |  CAST(list_sum(list_transform(range(1, 65), i -> qe[i]*qe[i])) AS BIGINT) AS n2 FROM cc),
+        |qn AS (SELECT vec_id, qe,
+        |  CAST(list_sum(list_transform(range(1, 65), i -> qe[i]*qe[i])) AS BIGINT) AS n2 FROM qq),
+        |$build0,
+        |$insBlocks,
+        |ps AS (SELECT q.vec_id AS qid, c.vec_id AS cid, ${cosOf("q", "c")} AS cos
+        |  FROM qn q, cn c WHERE q.vec_id <> c.vec_id),
+        |ent AS (SELECT vec_id FROM cc ORDER BY vec_id LIMIT 16),
+        |${beamWalkCtes("", "g3", "ps", "ent", 16, 4)},
+        |rk AS (SELECT qid, cid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+        |  FROM b4)
+        |SELECT qid, cid, rk, ROUND(cos, 6) AS cos
+        |FROM rk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+    }) { (s, dir) =>
+      import graft.operators.GraphAnn
+      val e = emb(s, dir)
+      var cs = e.filter(col("id") % 4 === 0)
+      var g = GraphAnn.knnGraph(cs, 8)
+      for (b <- 1 to 3) {
+        val batch = e.filter(col("id") % 4 === b)
+        cs = cs.unionByName(batch)
+        // checkpoint each generation: the next insert references the graph
+        // through both the walk and the trim, and three chained inserts
+        // would otherwise nest the whole prefix exponentially (the q365
+        // lineage lesson); the edge set is O(N·m) rows — bounded
+        g = GraphAnn.insertBatch(g, cs, batch, m = 8, ef = 16, hops = 4)
+          .localCheckpoint(true)
+      }
+      GraphAnn.beamTopK(e.filter(col("id") < 50), e, g, 10, ef = 16,
+          hops = 4)
+        .select(col("qid"), col("cid"), col("rk").cast("bigint").as("rk"),
+          col("cos"))
+        .orderBy("qid", "rk")
+    },
+
     // TRAINED residual codebook for IVF-PQ — q348 with the stride residual
     // book refined by 2 Lloyd rounds over the ACTUAL residual distribution
     // (coarse book fixed; q274 already proved coarse k-means — this trains

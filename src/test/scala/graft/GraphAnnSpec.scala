@@ -210,6 +210,30 @@ class GraphAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.5, s"hnsw recall=$recall")
   }
 
+  test("multi-batch ingest: three chained inserts keep the degree bound, " +
+      "leave every node with out-edges, and the grown graph holds the " +
+      "recall floor") {
+    val queries = emb.filter(col("id") < 30)
+    var cs = emb.filter(col("id") % 4 === 0)
+    var g = GraphAnn.knnGraph(cs, 8)
+    for (b <- 1 to 3) {
+      val batch = emb.filter(col("id") % 4 === b)
+      cs = cs.unionByName(batch)
+      g = GraphAnn.insertBatch(g, cs, batch, m = 8, ef = 16, hops = 4)
+        .localCheckpoint(true)
+    }
+    val edges = g.as[(Long, Long)].collect()
+    assert(edges.groupBy(_._1).forall(_._2.length <= 8), "degree above m")
+    assert(edges.map(_._1).toSet.size == emb.count(),
+      "a node lost its out-edges during chained ingest")
+    val brute = AnnSearch.bruteTopK(queries, emb, 10)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val probed = GraphAnn.beamTopK(queries, emb, g, 10, ef = 16, hops = 4)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val recall = (brute & probed).size.toDouble / brute.size
+    assert(recall >= 0.5, s"post-ingest recall=$recall")
+  }
+
   test("probe cost is schedule-bounded: more hops never shrinks the beam, " +
       "and the final beam stays <= queries x ef") {
     val queries = emb.filter(col("id") < 10)
