@@ -195,3 +195,62 @@ case class DotI8(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Native codegen Hamming distance between two sign-bit code vectors stored
+  * as `binary` (the 1-bit embedding codec — [[graft.operators.BinaryAnn]]):
+  * XOR byte-by-byte, popcount, sum. This is the binary-index hot loop
+  * (faiss `IndexBinaryFlat`'s `hamming()` kernel re-expressed for Tungsten):
+  * per candidate it touches dim/8 bytes — at 64 dims ONE long's worth —
+  * vs 8 bytes/dim for [[DotI64]], which is why a binary shortlist scan is
+  * memory-bandwidth-cheap enough to run ahead of exact rescoring at corpus
+  * scale. `Integer.bitCount` on the zero-extended byte JIT-compiles to
+  * POPCNT. Null binary → null; length mismatch raises (same contract as the
+  * dot kernels — silent truncation would skew every distance). */
+case class HammingBits(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hamming_bits requires binary inputs, got ${left.dataType.sql}, ${right.dataType.sql}")
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    if (x.length != y.length)
+      throw new IllegalArgumentException(
+        s"hamming_bits: code length mismatch (${x.length} vs ${y.length}) — " +
+          "a silent min-length truncation would skew every distance")
+    var acc = 0L
+    var i = 0
+    while (i < x.length) {
+      acc += java.lang.Integer.bitCount((x(i) ^ y(i)) & 0xff)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |if ($x.length != $y.length) {
+         |  throw new IllegalArgumentException("hamming_bits: code length mismatch (" +
+         |    $x.length + " vs " + $y.length + ")");
+         |}
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $x.length; $i++) {
+         |  $acc += java.lang.Integer.bitCount(($x[$i] ^ $y[$i]) & 0xff);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.functions.HammingBits
+import org.apache.spark.sql.graftshim.{ColumnBridge => CB}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** 1-bit binary embedding codec + Hamming-shortlist search — the
+  * faiss `IndexBinaryFlat` (+ exact refine) analog, the last codec tier of
+  * the index family below [[Int8Quantize]] (8 bit) and
+  * [[ScalarQuantizer]] (trained 8 bit):
+  *
+  *   bit_i = (x_i > 0)          — sign binarization, 1 bit/dim
+  *   dist(q, c) = popcount(q ⊕ c)   — Hamming over the packed codes
+  *
+  * A 64-dim float32 embedding is 256 bytes; its binary code is 8 — a 32×
+  * cut, and the Hamming scan reads ONE long's worth of data per candidate
+  * through the codegen'd [[graft.functions.HammingBits]] kernel. That is
+  * the scale story: at 100 TB the binary sketch of the whole corpus is
+  * ~3 TB, cheap enough to scan (or LSH-bucket) as a first stage, and the
+  * exact int64-cosine rescore then touches only |queries| × shortlist
+  * full-width rows. Sign-of-coordinate IS a valid SimHash family (each
+  * coordinate axis is a "random" hyperplane), so Hamming distance is a
+  * monotone estimator of angular distance — the same math as
+  * [[Dedup]]'s text SimHash, applied to dense vectors.
+  *
+  * Determinism: binarization compares the exact float→double value with
+  * 0 (no rounding anywhere), Hamming is integer, and every rank breaks
+  * ties on candidate id — so the DuckDB oracle replays sign split →
+  * Hamming shortlist → exact rescore bit-for-bit (q368). The packed
+  * REPRESENTATION is engine-local (the oracle counts sign mismatches
+  * per dimension; this code popcounts packed bytes) — equality of the
+  * resulting distances on every pair is exactly the packing proof.
+  *
+  * The reference engine has no vector surface at all — this extends the
+  * training-data pipeline pack (SURVEY.md §7 step 9).
+  */
+object BinaryAnn {
+
+  def hammingBits(a: Column, b: Column): Column =
+    CB.column(HammingBits(CB.expression(a), CB.expression(b)))
+
+  /** Pack one embedding's sign bits little-endian: bit (i & 7) of byte
+    * (i >> 3) is set iff x_i > 0. Trailing pad bits of the last byte stay
+    * 0 on BOTH sides of any XOR, so they never contribute to a distance. */
+  private[operators] def packRow(e: Seq[Float]): Array[Byte] = {
+    val out = new Array[Byte]((e.length + 7) >> 3)
+    var i = 0
+    while (i < e.length) {
+      if (e(i) > 0f) out(i >> 3) = (out(i >> 3) | (1 << (i & 7))).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** (id, code, nbits): packed sign code + its popcount, one compiled map
+    * pass over (id, embedding) — the write-time encode, like
+    * [[Int8Quantize.encode]]. */
+  def encode(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id"), col("embedding")).as[(Long, Seq[Float])]
+      .mapPartitions(_.map { case (id, e) =>
+        val code = packRow(e)
+        var nbits = 0L
+        var i = 0
+        while (i < code.length) {
+          nbits += java.lang.Integer.bitCount(code(i) & 0xff); i += 1
+        }
+        (id, code, nbits)
+      })
+      .toDF("id", "code", "nbits")
+  }
+
+  /** Per-vector codec report (the oracle-checkable packing surface):
+    * stored bytes and the positive-dimension count, which MUST equal the
+    * packed code's popcount — DuckDB derives it from the raw embedding,
+    * this engine from the packed bytes, so agreement proves the packing
+    * dropped or duplicated no dimension. */
+  def stats(df: DataFrame): DataFrame =
+    encode(df).select(col("id").as("vec_id"),
+      length(col("code")).cast("bigint").as("n_bytes"),
+      col("nbits").as("n_pos"))
+
+  /** Two-stage binary ANN: Hamming top-`shortlist` over the packed codes
+    * (ties → lower cid), then exact int64-cosine rescore of the shortlist
+    * and the usual (cos desc, cid) top-`k`. Output (qid, cid, rk, hamming,
+    * cos) — the shortlist distance rides along so the cheap stage is
+    * checked end-to-end, not just through its survivors.
+    *
+    * Scale shape: queries broadcast twice (codes — bytes, then quantized
+    * vectors — for the rescore); the corpus streams ONCE per stage (binary
+    * scan, then an id-pruned fetch of shortlist rows only); candidates
+    * reduce through [[AnnSearch.partitionTopK]] bounded heaps both times.
+    * No corpus shuffle anywhere. */
+  def hammingTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must cover k=$k")
+    val qb = encode(queries).select(col("id").as("qid"), col("code").as("qc"))
+    val cb = encode(corpus).select(col("id").as("cid"), col("code").as("cc"))
+    // heap stage runs on NEGATED distance so the shared (score desc, cid)
+    // bounded-heap order yields (hamming asc, cid asc)
+    val ham = cb.join(broadcast(qb), col("qid") =!= col("cid"))
+      .withColumn("cos", -hammingBits(col("qc"), col("cc")).cast("double"))
+      .select("qid", "cid", "cos")
+    val short = AnnSearch.partitionTopK(ham, shortlist)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))))
+      .filter(col("rn") <= shortlist)
+      .select(col("qid"), col("cid"), (-col("cos")).cast("bigint").as("hamming"))
+    // exact rescore: fetch only shortlist rows full-width, broadcast the
+    // query vectors, share the [[AnnSearch]] total order
+    val q = AnnSearch.quantized(queries)
+      .select(col("id").as("qid"), col("qe"), col("n2").as("qn"))
+    val c = AnnSearch.quantized(corpus)
+      .select(col("id").as("cid"), col("qe").as("ce"), col("n2").as("cn"))
+    val scored = short.join(c, "cid").join(broadcast(q), "qid")
+      .withColumn("cos", coalesce(
+        AnnSearch.dotI64(col("qe"), col("ce")).cast("double") /
+          sqrt(col("qn").cast("double") * col("cn").cast("double")),
+        lit(-1.0)))
+    AnnSearch.partitionTopK(scored.select("qid", "cid", "cos"), k)
+      .join(short, Seq("qid", "cid"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("cid"), col("rk"), col("hamming"),
+        round(col("cos"), 6).as("cos"))
+  }
+}

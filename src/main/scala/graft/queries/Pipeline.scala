@@ -688,6 +688,137 @@ object Pipeline {
         .orderBy("qid", "rk")
     },
 
+    // 1-bit binary codec + Hamming-shortlist search ([[BinaryAnn]] — faiss
+    // IndexBinaryFlat + refine): sign-binarize to 1 bit/dim (32× smaller
+    // at rest than float32), shortlist by popcount(xor) through the
+    // codegen'd HammingBits kernel, exactly rescore the shortlist. The
+    // oracle derives the Hamming distance from the RAW embeddings (count
+    // of sign mismatches per dimension) while the engine popcounts packed
+    // bytes — distance equality on every pair is the packing proof. The
+    // `hamming` column rides along in the output so the cheap stage is
+    // value-checked end-to-end, not only through its survivors.
+    Qd("q368_ann_binary_hamming",
+      s"""WITH sb AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE) > 0) AS s
+        |  FROM embeddings),
+        |qs AS (SELECT * FROM sb WHERE vec_id < 50),
+        |ham AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> CASE WHEN q.s[i] <> c.s[i] THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+        |  FROM qs q, sb c WHERE q.vec_id <> c.vec_id),
+        |short AS (SELECT qid, cid, hamming FROM (
+        |    SELECT qid, cid, hamming,
+        |      row_number() OVER (PARTITION BY qid ORDER BY hamming, cid) AS rn
+        |    FROM ham) WHERE rn <= 32),
+        |${qCte("qq", "WHERE vec_id < 50")},
+        |${qCte("cc", "")},
+        |qn AS (SELECT vec_id,
+        |    CAST(list_sum(list_transform(range(1, 65), i -> qe[i]*qe[i])) AS BIGINT) AS qn2
+        |  FROM qq),
+        |cn AS (SELECT vec_id AS cid, qe AS ce,
+        |    CAST(list_sum(list_transform(range(1, 65), i -> qe[i]*qe[i])) AS BIGINT) AS cn2
+        |  FROM cc),
+        |sc AS (SELECT s.qid, s.cid, s.hamming,
+        |    CASE WHEN CAST(qn.qn2 AS DOUBLE)*CAST(c.cn2 AS DOUBLE) = 0 THEN -1.0
+        |      ELSE CAST(list_sum(list_transform(range(1, 65), i -> q.qe[i]*c.ce[i])) AS DOUBLE)
+        |        / sqrt(CAST(qn.qn2 AS DOUBLE)*CAST(c.cn2 AS DOUBLE)) END AS cos
+        |  FROM short s JOIN qq q ON q.vec_id = s.qid
+        |  JOIN cn c ON c.cid = s.cid JOIN qn ON qn.vec_id = s.qid),
+        |rk AS (SELECT qid, cid, hamming, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+        |  FROM sc)
+        |SELECT qid, cid, rk, hamming, ROUND(cos, 6) AS cos
+        |FROM rk WHERE rk <= 10 ORDER BY qid, rk""") { (s, dir) =>
+      val e = emb(s, dir)
+      graft.operators.BinaryAnn.hammingTopK(e.filter(col("id") < 50), e, 10,
+          shortlist = 32)
+        .select(col("qid"), col("cid"), col("rk").cast("bigint").as("rk"),
+          col("hamming"), col("cos"))
+        .orderBy("qid", "rk")
+    },
+
+    // MMR diversity re-rank ([[Mmr.mmrTopK]] — Carbonell & Goldstein 1998):
+    // greedy λ·rel − μ·max-sim-to-selected over the exact-cosine top-16
+    // shortlist, k=5 picks. Every rel/sim double is the shared int64-exact
+    // cosine, so the oracle replays candidates → pairwise sims → all five
+    // greedy rounds as chained argmax CTEs (ties → lower cid at every
+    // argmax). λ/μ are both written as explicit literals on BOTH sides
+    // (1−0.7 ≠ 0.3 in doubles — the operator takes μ separately for
+    // exactly this reason) and the oracle CASTs them to DOUBLE so DuckDB
+    // cannot route the arithmetic through DECIMAL.
+    Qd("q369_mmr_rerank", {
+      val qq = qCte("qq", "WHERE vec_id < 50")
+      val cc = qCte("cc", "")
+      def round(i: Int): String = {
+        val prev = if (i == 2) "sel1" else s"sel${i - 1}"
+        s"""r$i AS (SELECT c.qid, c.cid, c.rel,
+          |    CAST(0.7 AS DOUBLE)*c.rel - CAST(0.3 AS DOUBLE)*max(p.pcos) AS score
+          |  FROM cand c
+          |  LEFT JOIN $prev e ON e.qid = c.qid AND e.cid = c.cid
+          |  JOIN pc p ON p.qid = c.qid AND p.dc = c.cid
+          |  JOIN $prev s ON s.qid = p.qid AND s.cid = p.sc
+          |  WHERE e.cid IS NULL
+          |  GROUP BY c.qid, c.cid, c.rel),
+          |s$i AS (SELECT qid, cid, rel, score FROM (
+          |    SELECT r.*, row_number() OVER (
+          |      PARTITION BY qid ORDER BY score DESC, cid) AS rn FROM r$i r)
+          |  WHERE rn = 1),
+          |sel$i AS (SELECT qid, cid FROM $prev
+          |  UNION ALL SELECT qid, cid FROM s$i)""".stripMargin
+      }
+      s"""WITH $qq,
+        |$cc,
+        |qn AS (SELECT vec_id,
+        |    CAST(list_sum(list_transform(range(1, 65), i -> qe[i]*qe[i])) AS BIGINT) AS qn2
+        |  FROM qq),
+        |cn AS (SELECT vec_id AS cid, qe AS ce,
+        |    CAST(list_sum(list_transform(range(1, 65), i -> qe[i]*qe[i])) AS BIGINT) AS cn2
+        |  FROM cc),
+        |rel AS (SELECT q.vec_id AS qid, c.cid,
+        |    CASE WHEN CAST(qn.qn2 AS DOUBLE)*CAST(c.cn2 AS DOUBLE) = 0 THEN -1.0
+        |      ELSE CAST(list_sum(list_transform(range(1, 65), i -> q.qe[i]*c.ce[i])) AS DOUBLE)
+        |        / sqrt(CAST(qn.qn2 AS DOUBLE)*CAST(c.cn2 AS DOUBLE)) END AS rel
+        |  FROM qq q
+        |  JOIN qn ON qn.vec_id = q.vec_id
+        |  CROSS JOIN cn c
+        |  WHERE c.cid <> q.vec_id),
+        |cand AS (SELECT qid, cid, rel FROM (
+        |    SELECT qid, cid, rel,
+        |      row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS rn
+        |    FROM rel) WHERE rn <= 16),
+        |pc AS (SELECT a.qid, a.cid AS dc, b.cid AS sc,
+        |    CASE WHEN CAST(x.cn2 AS DOUBLE)*CAST(y.cn2 AS DOUBLE) = 0 THEN -1.0
+        |      ELSE CAST(list_sum(list_transform(range(1, 65), i -> x.ce[i]*y.ce[i])) AS DOUBLE)
+        |        / sqrt(CAST(x.cn2 AS DOUBLE)*CAST(y.cn2 AS DOUBLE)) END AS pcos
+        |  FROM cand a JOIN cand b ON a.qid = b.qid AND a.cid <> b.cid
+        |  JOIN cn x ON x.cid = a.cid JOIN cn y ON y.cid = b.cid),
+        |s1 AS (SELECT qid, cid, rel, score FROM (
+        |    SELECT qid, cid, rel, CAST(0.7 AS DOUBLE)*rel AS score,
+        |      row_number() OVER (
+        |        PARTITION BY qid ORDER BY CAST(0.7 AS DOUBLE)*rel DESC, cid) AS rn
+        |    FROM cand) WHERE rn = 1),
+        |sel1 AS (SELECT qid, cid FROM s1),
+        |${round(2)},
+        |${round(3)},
+        |${round(4)},
+        |${round(5)}
+        |SELECT qid, cid, pick, ROUND(rel, 6) AS rel, ROUND(score, 6) AS score
+        |FROM (
+        |  SELECT qid, cid, CAST(1 AS BIGINT) AS pick, rel, score FROM s1
+        |  UNION ALL SELECT qid, cid, 2, rel, score FROM s2
+        |  UNION ALL SELECT qid, cid, 3, rel, score FROM s3
+        |  UNION ALL SELECT qid, cid, 4, rel, score FROM s4
+        |  UNION ALL SELECT qid, cid, 5, rel, score FROM s5)
+        |ORDER BY qid, pick""".stripMargin
+    }) { (s, dir) =>
+      val e = emb(s, dir)
+      graft.operators.Mmr.mmrTopK(e.filter(col("id") < 50), e, k = 5,
+          nCand = 16, lam = 0.7, mu = 0.3)
+        .orderBy("qid", "pick")
+    },
+
     // Graph-probed ANN ([[GraphAnn.graphTopK]] — the deterministic core of
     // the HNSW/NSW/DiskANN family): a k-NN neighbor graph (top-m by exact
     // quantized cosine, ties → lower id) walked by fixed-schedule beam
