@@ -96,9 +96,19 @@ object BinaryAnn {
     * No corpus shuffle anywhere. */
   def hammingTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       shortlist: Int): DataFrame = {
+    val cb = encode(corpus).select(col("id").as("cid"), col("code").as("cc"))
+    val c = AnnSearch.quantized(corpus)
+      .select(col("id").as("cid"), col("qe").as("ce"), col("n2").as("cn"))
+    search(queries, cb, c, k, shortlist)
+  }
+
+  /** Shared search core over a (cid, cc) code frame + (cid, ce, cn)
+    * full-vector frame (one-shot: both derived from the raw corpus;
+    * indexed: both column-pruned reads of the same parquet). */
+  private def search(queries: DataFrame, cb: DataFrame, c: DataFrame,
+      k: Int, shortlist: Int): DataFrame = {
     require(shortlist >= k, s"shortlist=$shortlist must cover k=$k")
     val qb = encode(queries).select(col("id").as("qid"), col("code").as("qc"))
-    val cb = encode(corpus).select(col("id").as("cid"), col("code").as("cc"))
     // heap stage runs on NEGATED distance so the shared (score desc, cid)
     // bounded-heap order yields (hamming asc, cid asc)
     val ham = cb.join(broadcast(qb), col("qid") =!= col("cid"))
@@ -113,8 +123,79 @@ object BinaryAnn {
     // query vectors, share the [[AnnSearch]] total order
     val q = AnnSearch.quantized(queries)
       .select(col("id").as("qid"), col("qe"), col("n2").as("qn"))
-    val c = AnnSearch.quantized(corpus)
-      .select(col("id").as("cid"), col("qe").as("ce"), col("n2").as("cn"))
+    val scored = short.join(c, "cid").join(broadcast(q), "qid")
+      .withColumn("cos", coalesce(
+        AnnSearch.dotI64(col("qe"), col("ce")).cast("double") /
+          sqrt(col("qn").cast("double") * col("cn").cast("double")),
+        lit(-1.0)))
+    AnnSearch.partitionTopK(scored.select("qid", "cid", "cos"), k)
+      .join(short, Seq("qid", "cid"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("cid"), col("rk"), col("hamming"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  /** Persist the codec at rest: ONE encode pass writes (id, code, qe, n2)
+    * parquet. This is where the 1-bit claim becomes a plan property:
+    * parquet is columnar, so [[probeIndex]]'s Hamming stage reads ONLY the
+    * (id, code) columns — dim/8 bytes of code per candidate instead of the
+    * raw floats — and the full-width qe column is decoded for shortlist
+    * rows alone. The one-shot [[hammingTopK]] cannot beat a brute scan
+    * (it must read and quantize the whole float corpus per call, twice);
+    * the indexed probe is the production path, same as [[IvfPq]]'s
+    * build/probe split. */
+  def buildIndex(corpus: DataFrame, path: String): DataFrame = {
+    val codes = encode(corpus).select(col("id"), col("code"))
+    AnnSearch.quantized(corpus).join(codes, "id")
+      .select("id", "code", "qe", "n2")
+      .write.mode("overwrite").parquet(path)
+    corpus.sparkSession.read.parquet(path)
+  }
+
+  /** Search a [[buildIndex]] store: Hamming over the pruned (id, code)
+    * read, exact rescore over an id-pushed fetch of shortlist rows only
+    * (InSet below the 65536 cap, broadcast-join fallback above — the
+    * [[IvfPq]] shortlist-fetch discipline). Identical results to the
+    * one-shot [[hammingTopK]] by construction (spec-asserted): the index
+    * changes WHERE bytes are read, never a score. */
+  /** The indexed probe's Hamming stage, separated so its plan shape is
+    * testable: the scan under it must read ONLY the (id, code) columns of
+    * the index parquet (BinaryAnnSpec asserts the ReadSchema). */
+  private[graft] def hammingShort(queries: DataFrame, idx: DataFrame,
+      shortlist: Int): DataFrame = {
+    val cb = idx.select(col("id").as("cid"), col("code").as("cc"))
+    val qb = encode(queries).select(col("id").as("qid"), col("code").as("qc"))
+    val ham = cb.join(broadcast(qb), col("qid") =!= col("cid"))
+      .withColumn("cos", -hammingBits(col("qc"), col("cc")).cast("double"))
+      .select("qid", "cid", "cos")
+    AnnSearch.partitionTopK(ham, shortlist)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))))
+      .filter(col("rn") <= shortlist)
+      .select(col("qid"), col("cid"), (-col("cos")).cast("bigint").as("hamming"))
+  }
+
+  def probeIndex(queries: DataFrame, indexPath: String, k: Int,
+      shortlist: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val idx = spark.read.parquet(indexPath)
+    val short = hammingShort(queries, idx, shortlist)
+      .localCheckpoint(true) // shortlist is |Q|×shortlist rows — cut the
+                             // lineage so the fetch below can't recompute
+                             // the Hamming scan per branch
+    // bounded-collect contract: |Q|×shortlist ids, like IvfPq's shortlist
+    val ids = short.select("cid").distinct().as[Long].collect()
+    val fetched =
+      if (ids.length <= 65536)
+        idx.filter(col("id").isin(ids.toSeq: _*))
+      else idx.join(broadcast(ids.toSeq.toDF("id")), "id")
+    val c = fetched.select(col("id").as("cid"), col("qe").as("ce"),
+      col("n2").as("cn"))
+    val q = AnnSearch.quantized(queries)
+      .select(col("id").as("qid"), col("qe"), col("n2").as("qn"))
     val scored = short.join(c, "cid").join(broadcast(q), "qid")
       .withColumn("cos", coalesce(
         AnnSearch.dotI64(col("qe"), col("ce")).cast("double") /

@@ -131,6 +131,47 @@ object Pipeline {
        |FROM rk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
 
   // DuckDB int64-quantized embedding CTE shared by the cosine oracles.
+  /** Shared q368/q370 oracle: sign split → Hamming shortlist → exact
+    * rescore. The engine popcounts packed bytes; this replay counts sign
+    * mismatches per dimension on the raw embeddings — agreement on every
+    * pair is the packing proof, and the indexed probe (q370) must produce
+    * the identical result because the index only changes where bytes are
+    * read. */
+  private lazy val binaryHammingOracleSql: String =
+    s"""WITH sb AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE) > 0) AS s
+      |  FROM embeddings),
+      |qs AS (SELECT * FROM sb WHERE vec_id < 50),
+      |ham AS (
+      |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+      |    CAST(list_sum(list_transform(range(1, 65),
+      |      i -> CASE WHEN q.s[i] <> c.s[i] THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+      |  FROM qs q, sb c WHERE q.vec_id <> c.vec_id),
+      |short AS (SELECT qid, cid, hamming FROM (
+      |    SELECT qid, cid, hamming,
+      |      row_number() OVER (PARTITION BY qid ORDER BY hamming, cid) AS rn
+      |    FROM ham) WHERE rn <= 32),
+      |${qCte("qq", "WHERE vec_id < 50")},
+      |${qCte("cc", "")},
+      |qn AS (SELECT vec_id,
+      |    CAST(list_sum(list_transform(range(1, 65), i -> qe[i]*qe[i])) AS BIGINT) AS qn2
+      |  FROM qq),
+      |cn AS (SELECT vec_id AS cid, qe AS ce,
+      |    CAST(list_sum(list_transform(range(1, 65), i -> qe[i]*qe[i])) AS BIGINT) AS cn2
+      |  FROM cc),
+      |sc AS (SELECT s.qid, s.cid, s.hamming,
+      |    CASE WHEN CAST(qn.qn2 AS DOUBLE)*CAST(c.cn2 AS DOUBLE) = 0 THEN -1.0
+      |      ELSE CAST(list_sum(list_transform(range(1, 65), i -> q.qe[i]*c.ce[i])) AS DOUBLE)
+      |        / sqrt(CAST(qn.qn2 AS DOUBLE)*CAST(c.cn2 AS DOUBLE)) END AS cos
+      |  FROM short s JOIN qq q ON q.vec_id = s.qid
+      |  JOIN cn c ON c.cid = s.cid JOIN qn ON qn.vec_id = s.qid),
+      |rk AS (SELECT qid, cid, hamming, cos,
+      |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+      |  FROM sc)
+      |SELECT qid, cid, rk, hamming, ROUND(cos, 6) AS cos
+      |FROM rk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+
   private def qCte(name: String, pred: String) =
     s"""$name AS (
        |  SELECT vec_id, label,
@@ -697,43 +738,29 @@ object Pipeline {
     // bytes — distance equality on every pair is the packing proof. The
     // `hamming` column rides along in the output so the cheap stage is
     // value-checked end-to-end, not only through its survivors.
-    Qd("q368_ann_binary_hamming",
-      s"""WITH sb AS (
-        |  SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE) > 0) AS s
-        |  FROM embeddings),
-        |qs AS (SELECT * FROM sb WHERE vec_id < 50),
-        |ham AS (
-        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
-        |    CAST(list_sum(list_transform(range(1, 65),
-        |      i -> CASE WHEN q.s[i] <> c.s[i] THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
-        |  FROM qs q, sb c WHERE q.vec_id <> c.vec_id),
-        |short AS (SELECT qid, cid, hamming FROM (
-        |    SELECT qid, cid, hamming,
-        |      row_number() OVER (PARTITION BY qid ORDER BY hamming, cid) AS rn
-        |    FROM ham) WHERE rn <= 32),
-        |${qCte("qq", "WHERE vec_id < 50")},
-        |${qCte("cc", "")},
-        |qn AS (SELECT vec_id,
-        |    CAST(list_sum(list_transform(range(1, 65), i -> qe[i]*qe[i])) AS BIGINT) AS qn2
-        |  FROM qq),
-        |cn AS (SELECT vec_id AS cid, qe AS ce,
-        |    CAST(list_sum(list_transform(range(1, 65), i -> qe[i]*qe[i])) AS BIGINT) AS cn2
-        |  FROM cc),
-        |sc AS (SELECT s.qid, s.cid, s.hamming,
-        |    CASE WHEN CAST(qn.qn2 AS DOUBLE)*CAST(c.cn2 AS DOUBLE) = 0 THEN -1.0
-        |      ELSE CAST(list_sum(list_transform(range(1, 65), i -> q.qe[i]*c.ce[i])) AS DOUBLE)
-        |        / sqrt(CAST(qn.qn2 AS DOUBLE)*CAST(c.cn2 AS DOUBLE)) END AS cos
-        |  FROM short s JOIN qq q ON q.vec_id = s.qid
-        |  JOIN cn c ON c.cid = s.cid JOIN qn ON qn.vec_id = s.qid),
-        |rk AS (SELECT qid, cid, hamming, cos,
-        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
-        |  FROM sc)
-        |SELECT qid, cid, rk, hamming, ROUND(cos, 6) AS cos
-        |FROM rk WHERE rk <= 10 ORDER BY qid, rk""") { (s, dir) =>
+    Qd("q368_ann_binary_hamming", binaryHammingOracleSql) { (s, dir) =>
       val e = emb(s, dir)
       graft.operators.BinaryAnn.hammingTopK(e.filter(col("id") < 50), e, 10,
           shortlist = 32)
+        .select(col("qid"), col("cid"), col("rk").cast("bigint").as("rk"),
+          col("hamming"), col("cos"))
+        .orderBy("qid", "rk")
+    },
+
+    // The codec AT REST ([[BinaryAnn.buildIndex]]/[[probeIndex]] — the
+    // production split of q368): one encode pass persists (id, code, qe,
+    // n2) parquet; the probe's Hamming stage then reads ONLY the (id,
+    // code) columns (dim/8 bytes per candidate — parquet column pruning
+    // is what makes the 1-bit claim a plan property, not a format claim)
+    // and full vectors are fetched for shortlist ids alone. Same oracle
+    // as q368: the index changes WHERE bytes are read, never a score.
+    Qd("q370_ann_binary_index", binaryHammingOracleSql) { (s, dir) =>
+      val e = emb(s, dir)
+      val sf = new java.io.File(dir).getName.replace(".", "_")
+      val idx = s"/root/repo/target/ddl/$sf/g370_binary"
+      graft.operators.BinaryAnn.buildIndex(e, idx)
+      graft.operators.BinaryAnn.probeIndex(e.filter(col("id") < 50), idx,
+          10, shortlist = 32)
         .select(col("qid"), col("cid"), col("rk").cast("bigint").as("rk"),
           col("hamming"), col("cos"))
         .orderBy("qid", "rk")

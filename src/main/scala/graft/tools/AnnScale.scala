@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.Engine
-import graft.operators.{AnnSearch, IvfPq}
+import graft.operators.{AnnSearch, BinaryAnn, IvfPq}
 
 /** SURVEY §6 scale evidence for the ANN family (q44/q347/q348): the
   * IVF-PQ cost model split the way production pays it — index BUILD
@@ -32,11 +32,14 @@ object AnnScale {
     import spark.implicits._
     val root = "/root/repo/target/annscale"
     // `m-curve` runs ONLY the recall-vs-m section (iterating on the tuning
-    // story without rebuilding the ×512 corpora); default runs everything
+    // story without rebuilding the ×512 corpora); `binary` runs ONLY the
+    // 1-bit codec section (q368); default runs everything
     val mCurveOnly = args.headOption.contains("m-curve")
+    val binaryOnly = args.headOption.contains("binary")
+    val full = !mCurveOnly && !binaryOnly
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!mCurveOnly) fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    if (full) fs.delete(new org.apache.hadoop.fs.Path(root), true)
 
     val base = Engine.table(spark, "/root/testdata/sf0.1", "embeddings")
       .select(col("vec_id").as("id"), col("embedding"))
@@ -63,7 +66,7 @@ object AnnScale {
       if (a._1 <= b._1) a else b
     }
 
-    for (factor <- Seq(1, 64, 512) if !mCurveOnly) {
+    for (factor <- Seq(1, 64, 512) if full) {
       val corpus = corpusAt(factor)
       val n = corpus.count()
       val coarseStride = math.max(1, (50 * math.sqrt(factor)).toInt)
@@ -92,7 +95,7 @@ object AnnScale {
     // argmin only), and the probe from the batch-built index must cost the
     // same as from the one-shot index (same partition pruning; 8 files per
     // list instead of 1).
-    if (!mCurveOnly) {
+    if (full) {
       val corpus = spark.read.parquet(s"$root/x64")
       val t0 = System.nanoTime()
       IvfPq.trainIndex(corpus, s"$root/idxinc", centroidStride = 400,
@@ -115,7 +118,7 @@ object AnnScale {
     // tombstone append, not an index rewrite; the masked probe pays one
     // broadcast anti-join over the scanned lists; compaction is a single
     // partitioned rewrite after which the mask cost disappears.
-    if (!mCurveOnly) {
+    if (full) {
       val corpus = spark.read.parquet(s"$root/x64")
       val idx = IvfPq.openIndex(spark, s"$root/idxinc")
       val (cleanW, cleanRows) = best2(
@@ -146,7 +149,7 @@ object AnnScale {
     def wide(df: DataFrame): DataFrame =
       df.withColumn("embedding", flatten(array_repeat(col("embedding"), 16)))
     val queriesW = wide(queries)
-    if (!mCurveOnly) {
+    if (full) {
       val corpusW = wide(spark.read.parquet(s"$root/x64"))
       val (bw, brute) = best2(AnnSearch.bruteTopK(queriesW, corpusW, 10))
       val t0 = System.nanoTime()
@@ -162,6 +165,48 @@ object AnnScale {
         f"recall=${(brute & got).size.toDouble / brute.size}%.3f")
     }
 
+    // binary-codec rows (q368): the 1-bit sketch's value is memory traffic
+    // — dim/8 bytes per candidate vs 8·dim for the int64 brute scan, so
+    // the Hamming stage's advantage should GROW with dimensionality (at
+    // 64 dims the sketch reads 8 bytes/candidate, at 1024 dims 128 bytes
+    // vs 8 KiB). Search wall at the production shortlist (64); recall at
+    // shortlist=64×64 on the duplicated corpus (the same absorb-the-
+    // replicas discipline as the IVF rows) plus the honest single-copy
+    // recall on the ×1 corpus.
+    if (!mCurveOnly) {
+      val x64path = s"$root/x64"
+      val c64 = if (fs.exists(new org.apache.hadoop.fs.Path(x64path)))
+        spark.read.parquet(x64path) else corpusAt(64)
+      for ((dim, c1, q1) <- Seq((64, c64, queries), (1024, wide(c64), queriesW))) {
+        val (bw, brute) = best2(AnnSearch.bruteTopK(q1, c1, 10))
+        val t0 = System.nanoTime()
+        BinaryAnn.buildIndex(c1, s"$root/bidx$dim")
+        val build = (System.nanoTime() - t0) / 1e9
+        val (hw, _) = best2(
+          BinaryAnn.probeIndex(q1, s"$root/bidx$dim", 10, shortlist = 64))
+        val got = BinaryAnn.probeIndex(q1, s"$root/bidx$dim", 10,
+            shortlist = 64 * 64)
+          .select("qid", "cid").as[(Long, Long)].collect().toSet
+        println(f"[annscale] x64@${dim}dim-binary brute=$bw%.2fs " +
+          f"build=$build%.2fs probe=$hw%.2fs " +
+          f"recall=${(brute & got).size.toDouble / brute.size}%.3f")
+      }
+      // recall-vs-shortlist curve on the un-duplicated corpus (the honest
+      // single-copy figures — the shortlist is the binary codec's only
+      // recall knob, the faiss refine contract)
+      for ((dim, c1, q1) <- Seq((64, base, queries), (1024, wide(base), queriesW))) {
+        val brute1 = AnnSearch.bruteTopK(q1, c1, 10)
+          .select("qid", "cid").as[(Long, Long)].collect().toSet
+        BinaryAnn.buildIndex(c1, s"$root/bidx1$dim")
+        for (sl <- Seq(32, 64, 128)) {
+          val (w, got) = best2(
+            BinaryAnn.probeIndex(q1, s"$root/bidx1$dim", 10, shortlist = sl))
+          println(f"[annscale] x1@${dim}dim-binary shortlist=$sl%-3d " +
+            f"probe=$w%.2fs recall=${(brute1 & got).size.toDouble / brute1.size}%.3f")
+        }
+      }
+    }
+
     // recall-vs-nprobe tuning curve at the production width and the
     // PRODUCTION shortlist (64): the knob a deployment actually turns. On
     // the UN-duplicated corpus — the ×64 replica corpus needs the shortlist
@@ -170,7 +215,7 @@ object AnnScale {
     // drowns the curve in a constant; recall here is the honest
     // single-copy figure.
     for ((dim, c1, q1) <- Seq((64, base, queries), (1024, wide(base), queriesW))
-         if !mCurveOnly) {
+         if full) {
       val brute1 = AnnSearch.bruteTopK(q1, c1, 10)
         .select("qid", "cid").as[(Long, Long)].collect().toSet
       val idx1 = IvfPq.buildIndex(c1, s"$root/idx1w$dim",

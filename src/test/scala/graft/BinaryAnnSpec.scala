@@ -108,4 +108,29 @@ class BinaryAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("qid", "cid").as[(Long, Long)].collect().toSet
     assert(again == prod, "hamming shortlist must be partition-invariant")
   }
+
+  test("indexed probe returns exactly the one-shot result, and its " +
+      "Hamming scan prunes to the (id, code) columns") {
+    val queries = emb.filter(col("id") < 30)
+    val oneShot = BinaryAnn.hammingTopK(queries, emb, 10, shortlist = 32)
+      .collect().map(_.toSeq).toSet
+    val path = "target/binaryannspec/idx"
+    BinaryAnn.buildIndex(emb, path)
+    val probe = BinaryAnn.probeIndex(queries, path, 10, shortlist = 32)
+    assert(probe.collect().map(_.toSeq).toSet == oneShot,
+      "index must change where bytes are read, never a result")
+    // the at-rest claim is a PLAN property: the Hamming-stage parquet scan
+    // must read only (id, code) — the full-width qe/n2 columns are decoded
+    // for shortlist ids alone, in the separate fetch stage
+    val short = BinaryAnn.hammingShort(queries,
+      spark.read.parquet(path), 32)
+    short.collect()
+    val scans = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(short.queryExecution.executedPlan.toString)
+      .map(_.group(1)).toList
+    val idxScans = scans.filter(_.contains("code"))
+    assert(idxScans.nonEmpty && idxScans.forall(s =>
+      !s.contains("qe") && !s.contains("n2")),
+      s"Hamming stage must scan only (id, code):\n$scans")
+  }
 }
