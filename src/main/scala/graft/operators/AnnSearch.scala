@@ -39,7 +39,7 @@ object AnnSearch {
   /** round(x*1e6) with SQL ROUND semantics (BigDecimal HALF_UP on the
     * double product) — matches Spark `round` and DuckDB `round` exactly;
     * products fit int64 (|x| < 100). */
-  private def quantizeRow(e: Seq[Float]): Array[Long] = {
+  private[operators] def quantizeRow(e: Seq[Float]): Array[Long] = {
     val out = new Array[Long](e.length)
     var i = 0
     while (i < e.length) {

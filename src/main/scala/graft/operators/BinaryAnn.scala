@@ -96,31 +96,42 @@ object BinaryAnn {
     * No corpus shuffle anywhere. */
   def hammingTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       shortlist: Int): DataFrame = {
-    val cb = encode(corpus).select(col("id").as("cid"), col("code").as("cc"))
+    require(shortlist >= k, s"shortlist=$shortlist must cover k=$k")
+    val cb = encode(corpus).select(col("id"), col("code"))
     val c = AnnSearch.quantized(corpus)
       .select(col("id").as("cid"), col("qe").as("ce"), col("n2").as("cn"))
-    search(queries, cb, c, k, shortlist)
+    rescoreTopK(queries, hammingShort(queries, cb, shortlist), c, k)
   }
 
-  /** Shared search core over a (cid, cc) code frame + (cid, ce, cn)
-    * full-vector frame (one-shot: both derived from the raw corpus;
-    * indexed: both column-pruned reads of the same parquet). */
-  private def search(queries: DataFrame, cb: DataFrame, c: DataFrame,
-      k: Int, shortlist: Int): DataFrame = {
-    require(shortlist >= k, s"shortlist=$shortlist must cover k=$k")
+  /** The Hamming shortlist stage, shared by the one-shot and indexed
+    * paths (one implementation is what makes their result parity "by
+    * construction" rather than by hand-synchronized copies): top-
+    * `shortlist` per query under (hamming asc, cid asc), over an
+    * (id, code) frame. Separated so its plan shape is testable: for the
+    * indexed path the scan under it must read ONLY the (id, code)
+    * columns of the index parquet (BinaryAnnSpec asserts the
+    * ReadSchema). */
+  private[graft] def hammingShort(queries: DataFrame, codes: DataFrame,
+      shortlist: Int): DataFrame = {
+    val cb = codes.select(col("id").as("cid"), col("code").as("cc"))
     val qb = encode(queries).select(col("id").as("qid"), col("code").as("qc"))
     // heap stage runs on NEGATED distance so the shared (score desc, cid)
     // bounded-heap order yields (hamming asc, cid asc)
     val ham = cb.join(broadcast(qb), col("qid") =!= col("cid"))
       .withColumn("cos", -hammingBits(col("qc"), col("cc")).cast("double"))
       .select("qid", "cid", "cos")
-    val short = AnnSearch.partitionTopK(ham, shortlist)
+    AnnSearch.partitionTopK(ham, shortlist)
       .withColumn("rn", row_number().over(
         Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))))
       .filter(col("rn") <= shortlist)
       .select(col("qid"), col("cid"), (-col("cos")).cast("bigint").as("hamming"))
-    // exact rescore: fetch only shortlist rows full-width, broadcast the
-    // query vectors, share the [[AnnSearch]] total order
+  }
+
+  /** Shared exact-rescore tail: score the (qid, cid, hamming) shortlist
+    * against the (cid, ce, cn) full-vector frame with the family's
+    * int64-exact cosine and rank top-`k` under (cos desc, cid). */
+  private def rescoreTopK(queries: DataFrame, short: DataFrame,
+      c: DataFrame, k: Int): DataFrame = {
     val q = AnnSearch.quantized(queries)
       .select(col("id").as("qid"), col("qe"), col("n2").as("qn"))
     val scored = short.join(c, "cid").join(broadcast(q), "qid")
@@ -137,48 +148,43 @@ object BinaryAnn {
         round(col("cos"), 6).as("cos"))
   }
 
-  /** Persist the codec at rest: ONE encode pass writes (id, code, qe, n2)
-    * parquet. This is where the 1-bit claim becomes a plan property:
-    * parquet is columnar, so [[probeIndex]]'s Hamming stage reads ONLY the
-    * (id, code) columns — dim/8 bytes of code per candidate instead of the
-    * raw floats — and the full-width qe column is decoded for shortlist
-    * rows alone. The one-shot [[hammingTopK]] cannot beat a brute scan
-    * (it must read and quantize the whole float corpus per call, twice);
-    * the indexed probe is the production path, same as [[IvfPq]]'s
-    * build/probe split. */
+  /** Persist the codec at rest: one compiled pass derives BOTH the packed
+    * code and the quantized vector per row and writes (id, code, qe, n2)
+    * parquet — no second corpus scan, no join. This is where the 1-bit
+    * claim becomes a plan property: parquet is columnar, so
+    * [[probeIndex]]'s Hamming stage reads ONLY the (id, code) columns —
+    * dim/8 bytes of code per candidate instead of the raw floats — and
+    * the full-width qe column is decoded for shortlist rows alone. The
+    * one-shot [[hammingTopK]] cannot beat a brute scan (it must read and
+    * quantize the whole float corpus per call, twice); the indexed probe
+    * is the production path, same as [[IvfPq]]'s build/probe split. */
   def buildIndex(corpus: DataFrame, path: String): DataFrame = {
-    val codes = encode(corpus).select(col("id"), col("code"))
-    AnnSearch.quantized(corpus).join(codes, "id")
-      .select("id", "code", "qe", "n2")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus.select(col("id"), col("embedding")).as[(Long, Seq[Float])]
+      .mapPartitions(_.map { case (id, e) =>
+        val code = packRow(e)
+        val qe = AnnSearch.quantizeRow(e)
+        var n2 = 0L
+        var i = 0
+        while (i < qe.length) { n2 += qe(i) * qe(i); i += 1 }
+        (id, code, qe, n2)
+      })
+      .toDF("id", "code", "qe", "n2")
       .write.mode("overwrite").parquet(path)
-    corpus.sparkSession.read.parquet(path)
+    spark.read.parquet(path)
   }
 
   /** Search a [[buildIndex]] store: Hamming over the pruned (id, code)
     * read, exact rescore over an id-pushed fetch of shortlist rows only
     * (InSet below the 65536 cap, broadcast-join fallback above — the
     * [[IvfPq]] shortlist-fetch discipline). Identical results to the
-    * one-shot [[hammingTopK]] by construction (spec-asserted): the index
-    * changes WHERE bytes are read, never a score. */
-  /** The indexed probe's Hamming stage, separated so its plan shape is
-    * testable: the scan under it must read ONLY the (id, code) columns of
-    * the index parquet (BinaryAnnSpec asserts the ReadSchema). */
-  private[graft] def hammingShort(queries: DataFrame, idx: DataFrame,
-      shortlist: Int): DataFrame = {
-    val cb = idx.select(col("id").as("cid"), col("code").as("cc"))
-    val qb = encode(queries).select(col("id").as("qid"), col("code").as("qc"))
-    val ham = cb.join(broadcast(qb), col("qid") =!= col("cid"))
-      .withColumn("cos", -hammingBits(col("qc"), col("cc")).cast("double"))
-      .select("qid", "cid", "cos")
-    AnnSearch.partitionTopK(ham, shortlist)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))))
-      .filter(col("rn") <= shortlist)
-      .select(col("qid"), col("cid"), (-col("cos")).cast("bigint").as("hamming"))
-  }
-
+    * one-shot [[hammingTopK]] by construction (shared stages,
+    * spec-asserted): the index changes WHERE bytes are read, never a
+    * score. */
   def probeIndex(queries: DataFrame, indexPath: String, k: Int,
       shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must cover k=$k")
     val spark = queries.sparkSession
     import spark.implicits._
     val idx = spark.read.parquet(indexPath)
@@ -194,19 +200,6 @@ object BinaryAnn {
       else idx.join(broadcast(ids.toSeq.toDF("id")), "id")
     val c = fetched.select(col("id").as("cid"), col("qe").as("ce"),
       col("n2").as("cn"))
-    val q = AnnSearch.quantized(queries)
-      .select(col("id").as("qid"), col("qe"), col("n2").as("qn"))
-    val scored = short.join(c, "cid").join(broadcast(q), "qid")
-      .withColumn("cos", coalesce(
-        AnnSearch.dotI64(col("qe"), col("ce")).cast("double") /
-          sqrt(col("qn").cast("double") * col("cn").cast("double")),
-        lit(-1.0)))
-    AnnSearch.partitionTopK(scored.select("qid", "cid", "cos"), k)
-      .join(short, Seq("qid", "cid"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))))
-      .filter(col("rk") <= k)
-      .select(col("qid"), col("cid"), col("rk"), col("hamming"),
-        round(col("cos"), 6).as("cos"))
+    rescoreTopK(queries, short, c, k)
   }
 }

@@ -106,8 +106,10 @@ object GraphAnn {
       // a pair sharing BOTH overlapped clusters scores twice with the same
       // cos — collapse before ranking
       .groupBy("qid", "cid").agg(max("cos").as("cos"))
+    // rows out of the pre-rank groupBy are already (qid, cid)-unique, so
+    // partitionTopK's survivors feed the window directly — re-aggregating
+    // them would be a no-op costing one more corpus-wide exchange
     AnnSearch.partitionTopK(scored, m)
-      .groupBy("qid", "cid").agg(max("cos").as("cos"))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("qid")
           .orderBy(col("cos").desc, col("cid"))))
@@ -186,8 +188,14 @@ object GraphAnn {
                 val cv = e.toArray
                 cm.getOrElse(cid, Array.emptyIntArray).iterator.map { qi =>
                   val (qid, qv, qn2) = qs(qi)
+                  // the DotI64 contract: silent min-length truncation would
+                  // turn a malformed embedding into a plausible-but-wrong
+                  // score (and diverge from beamTopKBatch, which raises)
+                  if (qv.length != cv.length)
+                    throw new IllegalArgumentException(
+                      s"beam walk: dimension mismatch (${qv.length} vs ${cv.length})")
                   var acc = 0L; var i = 0
-                  val n = math.min(qv.length, cv.length)
+                  val n = qv.length
                   while (i < n) { acc += qv(i) * cv(i); i += 1 }
                   val denom = math.sqrt(qn2.toDouble * cn2.toDouble)
                   (qid, cid,
@@ -213,8 +221,13 @@ object GraphAnn {
         val edges = fetch(g, "src", beamIds)
           .select(col("src"), col("dst")).as[(Long, Long)].collect()
         val bySrc = edges.groupBy(_._1)
+        // group the beam ONCE (O(|Q|·ef)) — a per-query filter scan over
+        // the whole beam array is O(|Q|²·ef) driver work per hop, the same
+        // quadratic class the selectBeam inversion above removed
+        val byQid = beam.groupBy(_._1)
         val cands: Map[Long, Array[Long]] = qArr.map { case (qid, _, _) =>
-          val cur = beam.iterator.filter(_._1 == qid).map(_._2).toArray
+          val cur = byQid.getOrElse(qid, Array.empty[(Long, Long, Double)])
+            .map(_._2)
           qid -> (cur ++ cur.flatMap(c =>
             bySrc.getOrElse(c, Array.empty[(Long, Long)]).map(_._2)))
             .distinct.sorted
@@ -389,9 +402,11 @@ object GraphAnn {
       m: Int = 8, m1: Int = 4, ef1: Int = 4, hops1: Int = 2,
       ef: Int = 16, hops: Int = 2): DataFrame = {
     val lvl1 = levelNodes(corpus, 1)
-    // upper-layer entry: the ef1 lowest LAYER-1 ids (global, tiny)
+    // upper-layer entry: the ef1 lowest LAYER-1 ids (global, tiny) — a
+    // narrow id scan; quantizing the layer just to read ids would run the
+    // per-element BigDecimal pass over every upper-layer embedding
     val ent1 = broadcast(
-      AnnSearch.quantized(lvl1).select(col("id").as("cid"))
+      lvl1.select(col(lvl1.columns.head).as("cid"))
         .orderBy("cid").limit(ef1))
     val qid = queries.select(col(queries.columns.head).as("qid"))
     val b1 = beamTopKSeeded(queries, corpus, knnGraph(lvl1, m1),
@@ -448,7 +463,19 @@ object GraphAnn {
     * re-rank — never a rebuild. */
   def insertBatch(graph: DataFrame, corpus: DataFrame, batch: DataFrame,
       m: Int, ef: Int, hops: Int): DataFrame = {
-    val newE = beamTopK(batch, corpus, graph, m, ef, hops)
+    // Walk entries come from the PRE-BATCH GRAPH's nodes, not the merged
+    // corpus: batch nodes have no out-edges yet, so if the batch's ids
+    // sorted below the existing nodes' (id reuse, non-monotonic keys) a
+    // corpus-wide lowest-ef entry rule could seed every walk entirely on
+    // edge-less batch nodes — each batch node would then edge only into
+    // its own batch, inserting a disconnected island and silently
+    // collapsing recall for all later probes. Seeding from graph sources
+    // makes the walk start on navigable ground regardless of id order.
+    val entries = broadcast(graph.select(col("src").as("cid")).distinct()
+      .orderBy("cid").limit(ef))
+    val seed = batch.select(col(batch.columns.head).as("qid"))
+      .crossJoin(entries)
+    val newE = beamTopKSeeded(batch, corpus, graph, seed, m, ef, hops)
       .select(col("qid").as("src"), col("cid").as("dst"))
     val backE = newE.select(col("dst").as("src"), col("src").as("dst"))
     // Re-trim ONLY touched sources (batch nodes + back-edge targets): an

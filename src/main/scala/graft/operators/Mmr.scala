@@ -36,9 +36,14 @@ object Mmr {
 
   private def cosI64(a: Array[Long], an2: Long, b: Array[Long],
       bn2: Long): Double = {
+    // the DotI64 contract: silent min-length truncation would turn a
+    // malformed embedding into a plausible-but-wrong diversity penalty
+    if (a.length != b.length)
+      throw new IllegalArgumentException(
+        s"mmr: dimension mismatch (${a.length} vs ${b.length})")
     var acc = 0L
     var i = 0
-    val n = math.min(a.length, b.length)
+    val n = a.length
     while (i < n) { acc += a(i) * b(i); i += 1 }
     val denom = math.sqrt(an2.toDouble * bn2.toDouble)
     if (denom == 0.0d) -1.0d else acc.toDouble / denom

@@ -928,7 +928,8 @@ object Pipeline {
           |    CAST(CAST(list_sum(list_transform(range(1, 65), i -> b.qe[i]*c.qe[i])) AS BIGINT) AS DOUBLE)
           |      / sqrt(CAST(b.n2 AS DOUBLE) * CAST(c.n2 AS DOUBLE)) AS cos
           |  FROM bn b, cn c WHERE b.vec_id <> c.vec_id),
-          |ent0 AS (SELECT vec_id FROM cc ORDER BY vec_id LIMIT 16),
+          |ent0 AS (SELECT DISTINCT src AS vec_id FROM g0
+          |  ORDER BY vec_id LIMIT 16),
           |${beamWalkCtes("i", "g0", "psi", "ent0", 16, 4)},
           |newe AS (SELECT qid AS src, cid AS dst FROM (
           |    SELECT qid, cid,
@@ -1126,7 +1127,8 @@ object Pipeline {
           |psi$b AS MATERIALIZED (SELECT q.vec_id AS qid, c.vec_id AS cid,
           |    ${cosOf("q", "c")} AS cos
           |  FROM bn$b q, cs$b c WHERE q.vec_id <> c.vec_id),
-          |ent$b AS (SELECT vec_id FROM cs$b ORDER BY vec_id LIMIT 16),
+          |ent$b AS (SELECT DISTINCT src AS vec_id FROM g${b - 1}
+          |  ORDER BY vec_id LIMIT 16),
           |${beamWalkCtes(s"w$b", s"g${b - 1}", s"psi$b", s"ent$b", 16, 4)},
           |ne$b AS (SELECT qid AS src, cid AS dst FROM (
           |    SELECT qid, cid,
