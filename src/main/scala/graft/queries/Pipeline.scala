@@ -754,6 +754,26 @@ object Pipeline {
     // is what makes the 1-bit claim a plan property, not a format claim)
     // and full vectors are fetched for shortlist ids alone. Same oracle
     // as q368: the index changes WHERE bytes are read, never a score.
+    // Train-free incremental ingest ([[BinaryAnn.addBatch]] — the binary
+    // index's whole `add` step is a parquet append: the codec has no
+    // trained state, so batches commute and a batch-built index probes
+    // identically to a one-shot build. The q354/q367 ingest discipline
+    // with the train step GONE — that is the 1-bit codec's operational
+    // claim, and why this query shares the q368 oracle verbatim.
+    Qd("q371_ann_binary_ingest", binaryHammingOracleSql) { (s, dir) =>
+      val e = emb(s, dir)
+      val sf = new java.io.File(dir).getName.replace(".", "_")
+      val idx = s"/root/repo/target/ddl/$sf/g371_binary_inc"
+      graft.operators.BinaryAnn.buildIndex(e.filter(col("id") % 3 === 0), idx)
+      (1 to 2).foreach(b =>
+        graft.operators.BinaryAnn.addBatch(e.filter(col("id") % 3 === b), idx))
+      graft.operators.BinaryAnn.probeIndex(e.filter(col("id") < 50), idx,
+          10, shortlist = 32)
+        .select(col("qid"), col("cid"), col("rk").cast("bigint").as("rk"),
+          col("hamming"), col("cos"))
+        .orderBy("qid", "rk")
+    },
+
     Qd("q370_ann_binary_index", binaryHammingOracleSql) { (s, dir) =>
       val e = emb(s, dir)
       val sf = new java.io.File(dir).getName.replace(".", "_")

@@ -133,4 +133,23 @@ class BinaryAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
       !s.contains("qe") && !s.contains("n2")),
       s"Hamming stage must scan only (id, code):\n$scans")
   }
+
+  test("train-free ingest: a batch-built index probes identically to a " +
+      "one-shot build, in any batch order") {
+    val queries = emb.filter(col("id") < 30)
+    val oneShotPath = "target/binaryannspec/one"
+    BinaryAnn.buildIndex(emb, oneShotPath)
+    val expect = BinaryAnn.probeIndex(queries, oneShotPath, 10, 32)
+      .collect().map(_.toSeq).toSet
+    val incPath = "target/binaryannspec/inc"
+    // no train step: the first batch IS a buildIndex; later batches append.
+    // Ingest in a scrambled order to prove batches commute.
+    BinaryAnn.buildIndex(emb.filter(col("id") % 3 === 2), incPath)
+    BinaryAnn.addBatch(emb.filter(col("id") % 3 === 0), incPath)
+    BinaryAnn.addBatch(emb.filter(col("id") % 3 === 1), incPath)
+    val got = BinaryAnn.probeIndex(queries, incPath, 10, 32)
+      .collect().map(_.toSeq).toSet
+    assert(got == expect,
+      "batch-built binary index must probe identically to one-shot")
+  }
 }
