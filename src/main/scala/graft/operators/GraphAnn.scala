@@ -118,9 +118,13 @@ object GraphAnn {
   }
 
   /** Beam-search top-k over `graph`. `queries`/`corpus`: (id, embedding);
-    * `graph`: (src, dst) as built by [[knnGraph]]. `ef >= k` required. */
+    * `graph`: (src, dst) as built by [[knnGraph]]. `ef >= k` required.
+    * `entryIds` overrides the default corpus-lowest-ef entry set (shared
+    * by every query) — [[insertBatch]] passes the pre-batch graph's
+    * sources so walks start on navigable ground. */
   def beamTopK(queries: DataFrame, corpus: DataFrame, graph: DataFrame,
-      k: Int, ef: Int, hops: Int): DataFrame = {
+      k: Int, ef: Int, hops: Int,
+      entryIds: Option[Array[Long]] = None): DataFrame = {
     require(ef >= k, s"beam width ef=$ef must cover k=$k")
     require(hops >= 1, s"at least one hop (got $hops)")
     val spark = corpus.sparkSession
@@ -141,9 +145,11 @@ object GraphAnn {
         .collect().map { case (id, e, n2) => (id, e.toArray, n2) }
       val qids = qArr.map(_._1)
 
-      // entry set: the ef lowest node ids — deterministic, replayable
-      val entry = cc.select(col("id")).orderBy("id").limit(ef)
-        .as[Long].collect().sorted
+      // entry set: the ef lowest node ids — deterministic, replayable —
+      // unless the caller supplied its own (bounded-by-ef) entry set
+      val entry = entryIds.getOrElse(
+        cc.select(col("id")).orderBy("id").limit(ef).as[Long].collect())
+        .sorted
 
       /** Fetch a bounded id set: InSet pushdown below the 65536 cap, join
         * fallback above (the [[IvfPq]] shortlist-fetch discipline). */
@@ -471,11 +477,17 @@ object GraphAnn {
     // its own batch, inserting a disconnected island and silently
     // collapsing recall for all later probes. Seeding from graph sources
     // makes the walk start on navigable ground regardless of id order.
-    val entries = broadcast(graph.select(col("src").as("cid")).distinct()
-      .orderBy("cid").limit(ef))
-    val seed = batch.select(col(batch.columns.head).as("qid"))
-      .crossJoin(entries)
-    val newE = beamTopKSeeded(batch, corpus, graph, seed, m, ef, hops)
+    // The walk itself stays DRIVER-PACED ([[beamTopK]] with the entry
+    // override): a batch is bounded by contract, and the distributed
+    // walk's per-hop persist+count jobs doubled the measured insert wall
+    // (q363 10→19 s) for no result change — the entry RULE was the fix,
+    // not the walk executor.
+    val spark = graph.sparkSession
+    import spark.implicits._
+    val entryIds = graph.select(col("src")).distinct()
+      .orderBy("src").limit(ef).as[Long].collect()
+    val newE = beamTopK(batch, corpus, graph, m, ef, hops,
+        entryIds = Some(entryIds))
       .select(col("qid").as("src"), col("cid").as("dst"))
     val backE = newE.select(col("dst").as("src"), col("src").as("dst"))
     // Re-trim ONLY touched sources (batch nodes + back-edge targets): an
