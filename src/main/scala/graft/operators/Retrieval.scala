@@ -268,4 +268,86 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"), col("rk").as("bm25_rk"))
     rerankByAnchor(cand, emb, queryVec, k)
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) —
+    * the standard score-free hybrid fusion (Elasticsearch/Vespa/OpenSearch
+    * all ship exactly this): each ranked list contributes 1/(k0+rank) per
+    * (query, doc) and the fused order is by the summed contribution. Rank
+    * fusion beats score mixing when the rankers' score scales are
+    * incomparable (BM25 int64 micro-units vs cosine in [-1,1]) — only the
+    * ORDER of each list matters, which is also what makes the op
+    * index-agnostic: any ranker emitting (query_id, doc_id, rk) plugs in
+    * (BM25, brute cosine, IVF/PQ/graph/binary probes) unchanged.
+    *
+    * Determinism: each contribution is quantized to int64 micro-units
+    * (`round(1e6/(k0+rk))` — the pack-wide convention), so the fused score
+    * is an exact order-free integer SUM; ties break by doc_id. With k0=60
+    * and ranks ≤ 1e4 the contributions are distinct per rank and never hit
+    * a .5 rounding boundary (1e6/(60+rk) terminates in .5 only if
+    * (60+rk) divides 2e6 into an odd integer — no rank does).
+    *
+    * Scale shape (100 TB): the inputs are already per-query bounded top-N
+    * lists — O(|queries|·N·|lists|) rows total — so the fusion agg and the
+    * per-query rank window are trivially small regardless of corpus size;
+    * the corpus was only touched inside the upstream rankers. Output
+    * carries each list's rank as `rk_<i>` (NULL when the doc missed that
+    * list) so both input stages stay value-checked end to end. */
+  def rrfFuse(lists: Seq[DataFrame], k: Int, k0: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    require(k0 >= 1, s"k0 must be >= 1 (got $k0)")
+    val tagged = lists.zipWithIndex.map { case (df, i) =>
+      df.select(col("query_id"), col("doc_id"),
+        col("rk").cast("bigint").as("rk"), lit(i).as("li"))
+    }.reduce(_ unionByName _)
+    val rkCols = lists.indices.map(i =>
+      max(when(col("li") === i, col("rk"))).cast("bigint").as(s"rk_$i"))
+    tagged
+      .withColumn("c",
+        round(lit(1000000.0) / (lit(k0) + col("rk"))).cast("bigint"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("c").as("rrf_micro"), rkCols: _*)
+      .withColumn("rk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("rrf_micro").desc, col("doc_id"))))
+      .filter(col("rk") <= k)
+      .withColumn("rk", col("rk").cast("bigint"))
+  }
+
+  /** Dense ranked list per query: exact cosine top-k of each query's
+    * anchor vector against the whole embedding corpus, re-keyed from the
+    * anchor's vec_id to the caller's query_id. The anchor set (|queries|
+    * rows) broadcasts into one corpus scan with partition-local heaps
+    * ([[AnnSearch.bruteTopK]] — the corpus never shuffles); at larger
+    * scale swap in any indexed probe, [[rrfFuse]] only needs the ranks.
+    * The anchor row itself is excluded (bruteTopK's qid≠cid contract). */
+  def anchorTopK(emb: DataFrame, queryVec: Map[Int, Long], k: Int): DataFrame = {
+    require(queryVec.nonEmpty, "anchorTopK needs at least one anchor")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qv = queryVec.toSeq.toDF("query_id", "qvec_id")
+    val anchors = emb.filter(
+      col("id").isin(queryVec.values.toSeq.map(Long.box): _*))
+    AnnSearch.bruteTopK(anchors, emb, k)
+      .join(broadcast(qv), col("qid") === col("qvec_id"))
+      .select(col("query_id"), col("cid").as("doc_id"), col("rk"), col("cos"))
+  }
+
+  /** RRF hybrid retrieval over the persisted BM25 index: lexical top-n
+    * ([[bm25TopKIndexed]], partition-pruned probe) fused with the dense
+    * cosine top-n ([[anchorTopK]]) by [[rrfFuse]]; per-list ranks surface
+    * as bm25_rk / cos_rk (NULL where the doc missed that list). */
+  def rrfHybridIndexed(spark: SparkSession, indexPath: String,
+      emb: DataFrame, queries: Seq[(Int, Seq[String])],
+      queryVec: Map[Int, Long], n: Int, k: Int, k0: Int = 60): DataFrame = {
+    require(k >= 1 && n >= k, s"need n >= k >= 1 (got $n, $k)")
+    require(queries.forall(q => queryVec.contains(q._1)),
+      "every query needs an anchor vector id in queryVec")
+    val bm = bm25TopKIndexed(spark, indexPath, queries, n)
+      .select(col("query_id"), col("doc_id"), col("rk"))
+    val cs = anchorTopK(emb, queryVec, n)
+      .select(col("query_id"), col("doc_id"), col("rk"))
+    rrfFuse(Seq(bm, cs), k, k0)
+      .withColumnRenamed("rk_0", "bm25_rk")
+      .withColumnRenamed("rk_1", "cos_rk")
+  }
 }

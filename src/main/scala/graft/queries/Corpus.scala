@@ -238,6 +238,65 @@ object Corpus {
         .orderBy("query_id", "rerank")
     },
 
+    // RRF hybrid retrieval (reciprocal-rank fusion, Cormack 2009 — the
+    // Elasticsearch/Vespa/OpenSearch hybrid default, and the fusion q192's
+    // rerank shape can't express: rerank REPLACES the lexical order, RRF
+    // COMBINES both orders, so a doc strong in either list survives): BM25
+    // top-20 over the persisted index + dense exact-cosine top-20 per
+    // anchor, fused by summed int64 micro-unit 1/(60+rank) contributions,
+    // keep 10. Per-list ranks ride along (NULL = missed that list) so both
+    // input stages are value-checked end to end. The oracle replays the
+    // shared bm25 CTE chain, the anchor-cosine scan (zero-norm guard →
+    // -1.0, the AnnSearch contract), and the same quantized fusion.
+    Qd("q372_rrf_fusion",
+      s"""WITH $bm25Ctes,
+        |bm AS (SELECT query_id, doc_id, rk FROM (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY wq DESC, doc_id) AS rk
+        |  FROM sc) WHERE rk <= 20),
+        |v AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS qe
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, qe,
+        |  CAST(list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]*qe[i])) AS BIGINT) AS n2 FROM v),
+        |qv(query_id, qvec_id) AS (VALUES (1, 7), (2, 14), (3, 21)),
+        |dc AS (SELECT qv.query_id, b.vec_id AS doc_id,
+        |  CASE WHEN CAST(a.n2 AS DOUBLE)*CAST(b.n2 AS DOUBLE) = 0 THEN -1.0
+        |    ELSE CAST(CAST(list_sum(list_transform(range(1, len(a.qe)+1), i -> a.qe[i]*b.qe[i])) AS BIGINT) AS DOUBLE)
+        |      / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) END AS cos
+        |  FROM qv JOIN n a ON a.vec_id = qv.qvec_id
+        |  JOIN n b ON b.vec_id <> qv.qvec_id),
+        |cse AS (SELECT query_id, doc_id, rk FROM (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rk
+        |  FROM dc) WHERE rk <= 20),
+        |u AS (SELECT query_id, doc_id,
+        |    CAST(round(1000000.0/(60+rk)) AS BIGINT) AS c,
+        |    rk AS bm25_rk, CAST(NULL AS BIGINT) AS cos_rk FROM bm
+        |  UNION ALL SELECT query_id, doc_id,
+        |    CAST(round(1000000.0/(60+rk)) AS BIGINT),
+        |    CAST(NULL AS BIGINT), rk FROM cse),
+        |f AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro,
+        |    CAST(max(bm25_rk) AS BIGINT) AS bm25_rk,
+        |    CAST(max(cos_rk) AS BIGINT) AS cos_rk
+        |  FROM u GROUP BY query_id, doc_id),
+        |rkd AS (SELECT query_id, doc_id, bm25_rk, cos_rk, rrf_micro,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id) AS rk
+        |  FROM f)
+        |SELECT query_id, doc_id, bm25_rk, cos_rk, rrf_micro,
+        |  CAST(rk AS BIGINT) AS rk
+        |FROM rkd WHERE rk <= 10 ORDER BY query_id, rk""") { (s, dir) =>
+      val emb = graft.Engine.table(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding"))
+      val idx = bm25IndexPath(dir)
+      Retrieval.bm25WriteIndex(docs(s, dir), idx)
+      Retrieval.rrfHybridIndexed(s, idx, emb, bm25Queries,
+          queryVec = Map(1 -> 7L, 2 -> 14L, 3 -> 21L), n = 20, k = 10)
+        .select(col("query_id"), col("doc_id"), col("bm25_rk"), col("cos_rk"),
+          col("rrf_micro"), col("rk"))
+        .orderBy("query_id", "rk")
+    },
+
     // CCNet-style bigram-LM perplexity filter: add-one-smoothed bigram
     // model trained on the deterministic reference slice (doc_id % 10 < 3),
     // every doc scored by exact int64 micro-unit log-prob sums (idf-style

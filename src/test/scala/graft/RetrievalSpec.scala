@@ -172,4 +172,64 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("comp") =!= col("mn")).count()
     assert(bad == 0L)
   }
+
+  private def rankedList(rows: Seq[(Int, Long, Long)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("query_id", "doc_id", "rk")
+  }
+
+  test("rrf: hand-computed fusion — both-list doc wins, per-list ranks ride along") {
+    // k0=60: c(rk1)=round(1e6/61)=16393, c(rk2)=round(1e6/62)=16129
+    val a = rankedList(Seq((1, 10L, 1L), (1, 20L, 2L)))
+    val b = rankedList(Seq((1, 20L, 1L), (1, 30L, 2L)))
+    val out = Retrieval.rrfFuse(Seq(a, b), k = 3)
+      .select("doc_id", "rrf_micro", "rk_0", "rk_1", "rk")
+      .orderBy("rk").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(20L, 10L, 30L))
+    assert(out.map(_.getLong(1)).toSeq == Seq(16393L + 16129L, 16393L, 16129L))
+    // doc 20: rank 2 lexical, rank 1 dense; 10 missed the dense list
+    assert(out(0).getLong(2) == 2L && out(0).getLong(3) == 1L)
+    assert(out(1).getLong(2) == 1L && out(1).isNullAt(3))
+    assert(out(2).isNullAt(2) && out(2).getLong(3) == 2L)
+  }
+
+  test("rrf: equal fused scores break by doc_id; k truncates per query") {
+    // each doc appears in exactly one list at rank 1 → identical scores
+    val a = rankedList(Seq((1, 50L, 1L), (2, 7L, 1L)))
+    val b = rankedList(Seq((1, 40L, 1L), (2, 9L, 1L)))
+    val out = Retrieval.rrfFuse(Seq(a, b), k = 1)
+      .select("query_id", "doc_id", "rk").orderBy("query_id").collect()
+    assert(out.length == 2)
+    assert(out.map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      Seq((1, 40L), (2, 7L)))
+  }
+
+  test("rrf: three rankers fuse (index-agnostic — any (query_id,doc_id,rk) plugs in)") {
+    val a = rankedList(Seq((1, 10L, 1L)))
+    val b = rankedList(Seq((1, 10L, 2L)))
+    val c = rankedList(Seq((1, 10L, 3L), (1, 11L, 1L)))
+    val out = Retrieval.rrfFuse(Seq(a, b, c), k = 2)
+      .select("doc_id", "rrf_micro", "rk_2", "rk").orderBy("rk").collect()
+    // 10: 16393+16129+round(1e6/63)=15873 = 48395; 11: 16393
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((10L, 48395L), (11L, 16393L)))
+    assert(out(0).getLong(2) == 3L && out(1).getLong(2) == 1L)
+    intercept[IllegalArgumentException](Retrieval.rrfFuse(Seq.empty, k = 1))
+    intercept[IllegalArgumentException](Retrieval.rrfFuse(Seq(a), k = 0))
+    intercept[IllegalArgumentException](Retrieval.rrfFuse(Seq(a), k = 1, k0 = 0))
+  }
+
+  test("rrf: anchorTopK re-keys anchor vec_id to query_id and excludes the anchor row") {
+    val s = spark
+    import s.implicits._
+    val emb = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(1f, 0f)), (3L, Seq(0f, 1f)))
+      .toDF("id", "embedding")
+    val out = Retrieval.anchorTopK(emb, Map(9 -> 1L), k = 3)
+      .orderBy("rk").collect()
+    assert(out.map(_.getInt(0)).toSeq.forall(_ == 9))
+    assert(out.map(_.getLong(1)).toSeq == Seq(2L, 3L)) // no self row (id 1)
+    assert(math.abs(out(0).getDouble(3) - 1.0) < 1e-6)
+  }
 }
