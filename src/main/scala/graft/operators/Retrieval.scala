@@ -332,6 +332,99 @@ object Retrieval {
       .select(col("query_id"), col("cid").as("doc_id"), col("rk"), col("cos"))
   }
 
+  /** Positional postings (doc_id, pos, term): pos is 0-based over the raw
+    * single-space split, assigned BEFORE empties are dropped — positions
+    * stay stable against empty tokens and replay as the oracle's parallel
+    * `generate_series`/`string_split` unnest minus 1 (the q353 pattern). */
+  private def positionalPostings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+
+  private def phraseTermsDf(spark: SparkSession,
+      phrases: Seq[(Int, Seq[String])]): DataFrame = {
+    require(phrases.nonEmpty, "need at least one phrase")
+    require(phrases.forall(_._2.nonEmpty), "phrases must be non-empty")
+    import spark.implicits._
+    phrases.flatMap { case (pid, ts) =>
+      ts.zipWithIndex.map { case (t, i) => (pid, t, i.toLong, ts.length.toLong) }
+    }.toDF("phrase_id", "term", "off", "plen")
+  }
+
+  /** Exact positional PHRASE SEARCH — the retrieval feature bag-of-words
+    * BM25 cannot express ("spark join" as adjacent tokens, not as two
+    * independent terms). One join does all the work: postings ⋈ broadcast
+    * (phrase_id, term, offset) with anchor = pos − offset; an occurrence
+    * at anchor a means every offset i has its term at a+i, i.e. the group
+    * (phrase_id, doc_id, anchor) covers all `plen` DISTINCT offsets.
+    * Repeated phrase terms ("big big") fall out naturally — a posting
+    * matches every offset carrying its term, and the distinct-offset count
+    * still only reaches plen when the full window lines up; overlapping
+    * occurrences each count (standard positional semantics).
+    *
+    * Scale shape (100 TB): the phrase table is literal-sized and
+    * BROADCAST; the postings scan is the only corpus-sized input and it
+    * reduces through one partial-aggregated groupBy on (phrase, doc,
+    * anchor) — no self-join of the postings list (the naive n-way
+    * positional join shuffles the posting lists n−1 times; this shuffles
+    * once regardless of phrase length). With the persisted index
+    * ([[phraseWriteIndex]]) the scan is partition-pruned to the phrase
+    * terms' buckets, so probe cost follows the probed posting lists, not
+    * the corpus. */
+  def phraseTopK(docs: DataFrame, phrases: Seq[(Int, Seq[String])],
+      k: Int): DataFrame =
+    phraseRank(positionalPostings(docs),
+      phraseTermsDf(docs.sparkSession, phrases), k)
+
+  private def phraseRank(pos: DataFrame, pt: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val occ = pos.join(broadcast(pt), Seq("term"))
+      .withColumn("anchor", col("pos") - col("off"))
+      .filter(col("anchor") >= 0)
+      .groupBy("phrase_id", "doc_id", "anchor", "plen")
+      .agg(countDistinct("off").as("nf"))
+      .filter(col("nf") === col("plen"))
+    occ.groupBy("phrase_id", "doc_id")
+      .agg(count(lit(1)).as("n_occ"))
+      .withColumn("rk", row_number().over(Window.partitionBy("phrase_id")
+        .orderBy(col("n_occ").desc, col("doc_id"))))
+      .filter(col("rk") <= k)
+      .select(col("phrase_id"), col("doc_id"), col("n_occ"),
+        col("rk").cast("bigint").as("rk"))
+  }
+
+  /** Persist the positional index: (doc_id, pos, term) hash-partitioned by
+    * term bucket — the [[bm25WriteIndex]] pruning discipline applied to
+    * positions (plus the 1-row stats file making the index
+    * self-contained). */
+  def phraseWriteIndex(docs: DataFrame, path: String,
+      nBuckets: Int = 64): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1 (got $nBuckets)")
+    positionalPostings(docs)
+      .withColumn("tb", pmod(hash(col("term")), lit(nBuckets)))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$path/positions")
+    docs.sparkSession.range(1)
+      .select(lit(nBuckets).as("n_buckets"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Probe the positional index: identical results to [[phraseTopK]], but
+    * the positions scan partition-prunes to the phrase terms' buckets
+    * (static IN on `tb`, the [[bm25TopKIndexed]] contract) — probe cost
+    * scales with the probed posting lists, never the corpus. */
+  def phraseTopKIndexed(spark: SparkSession, indexPath: String,
+      phrases: Seq[(Int, Seq[String])], k: Int): DataFrame = {
+    import spark.implicits._
+    val nBuckets = spark.read.parquet(s"$indexPath/stats")
+      .head().getAs[Int]("n_buckets")
+    val pt = phraseTermsDf(spark, phrases)
+    val buckets = pt.select(pmod(hash(col("term")), lit(nBuckets)).as("tb"))
+      .distinct().as[Int].collect().toSeq
+    val pos = spark.read.parquet(s"$indexPath/positions")
+      .filter(col("tb").isin(buckets.map(Int.box): _*))
+    phraseRank(pos, pt, k)
+  }
+
   /** RRF hybrid retrieval over the persisted BM25 index: lexical top-n
     * ([[bm25TopKIndexed]], partition-pruned probe) fused with the dense
     * cosine top-n ([[anchorTopK]]) by [[rrfFuse]]; per-list ranks surface

@@ -297,6 +297,46 @@ object Corpus {
         .orderBy("query_id", "rk")
     },
 
+    // Exact positional phrase search over a persisted positional index —
+    // the retrieval feature bag-of-words BM25 can't express. Three fixed
+    // phrases: a common adjacent pair, a REPEATED-term pair (the
+    // distinct-offset counting edge case: "big big" must need two
+    // positions, overlapping occurrences each count), and a rare 3-term
+    // phrase. The engine probe partition-prunes the positional index to
+    // the phrase terms' buckets; the oracle replays the anchor algebra
+    // (occurrence at a ⇔ all plen DISTINCT offsets covered at a+i) from
+    // the raw text with the shared parallel-unnest position convention.
+    Qd("q373_phrase_search",
+      """WITH tokp AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(1, len(string_split(text, ' ')))) - 1 AS pos,
+        |    unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tp AS (SELECT doc_id, pos, term FROM tokp WHERE term <> ''),
+        |ph(phrase_id, term, off, plen) AS (VALUES
+        |  (1, 'spark', 0, 2), (1, 'join', 1, 2),
+        |  (2, 'big', 0, 2), (2, 'big', 1, 2),
+        |  (3, 'the', 0, 3), (3, 'line', 1, 3), (3, 'sort', 2, 3)),
+        |occ AS (SELECT ph.phrase_id, tp.doc_id, tp.pos - ph.off AS anchor, ph.plen
+        |  FROM tp JOIN ph ON tp.term = ph.term
+        |  WHERE tp.pos - ph.off >= 0
+        |  GROUP BY 1, 2, 3, 4
+        |  HAVING count(DISTINCT ph.off) = ph.plen),
+        |agg AS (SELECT phrase_id, doc_id, CAST(count(*) AS BIGINT) AS n_occ
+        |  FROM occ GROUP BY 1, 2),
+        |rkd AS (SELECT phrase_id, doc_id, n_occ,
+        |  row_number() OVER (PARTITION BY phrase_id ORDER BY n_occ DESC, doc_id) AS rk
+        |  FROM agg)
+        |SELECT phrase_id, doc_id, n_occ, CAST(rk AS BIGINT) AS rk
+        |FROM rkd WHERE rk <= 10 ORDER BY phrase_id, rk""") { (s, dir) =>
+      val idx = phraseIndexPath(dir)
+      Retrieval.phraseWriteIndex(docs(s, dir), idx)
+      Retrieval.phraseTopKIndexed(s, idx, Seq(
+          1 -> Seq("spark", "join"), 2 -> Seq("big", "big"),
+          3 -> Seq("the", "line", "sort")), k = 10)
+        .orderBy("phrase_id", "rk")
+    },
+
     // CCNet-style bigram-LM perplexity filter: add-one-smoothed bigram
     // model trained on the deterministic reference slice (doc_id % 10 < 3),
     // every doc scored by exact int64 micro-unit log-prob sums (idf-style
@@ -617,4 +657,7 @@ object Corpus {
     * share an index. */
   private def bm25IndexPath(dir: String): String =
     s"${sys.props("user.dir")}/target/bm25index/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+
+  private def phraseIndexPath(dir: String): String =
+    s"${sys.props("user.dir")}/target/phraseindex/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
 }

@@ -220,6 +220,45 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException](Retrieval.rrfFuse(Seq(a), k = 1, k0 = 0))
   }
 
+  test("phrase: hand-computed occurrences — overlap counts, partial match doesn't") {
+    val docs = docsDf(Seq(
+      (1L, "a b a b a"),   // "a b" at 0,2; "a b a" at 0,2 (overlapping)
+      (2L, "a c b"),       // adjacency broken — no match
+      (3L, "b a b")))      // "a b" at 1
+    val out = Retrieval.phraseTopK(docs,
+        Seq(1 -> Seq("a", "b"), 2 -> Seq("a", "b", "a")), k = 10)
+      .orderBy("phrase_id", "rk").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1, 1L, 2L), (1, 3L, 1L), (2, 1L, 2L)))
+  }
+
+  test("phrase: repeated terms need distinct positions; double spaces break adjacency") {
+    val docs = docsDf(Seq(
+      (1L, "big big big"), // "big big" anchors 0 and 1
+      (2L, "big x big"),   // never adjacent
+      (3L, "a  b")))       // split yields a@0, ""@1, b@2 — NOT adjacent
+    val out = Retrieval.phraseTopK(docs,
+        Seq(1 -> Seq("big", "big"), 2 -> Seq("a", "b")), k = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1, 1L, 2L)))
+  }
+
+  test("phrase: indexed probe is row-equal to the index-free scan and partition-prunes") {
+    val docs = docsDf(Seq(
+      (1L, "x y z x y"), (2L, "y x y"), (3L, "z z x y z")))
+    val idx = s"${sys.props("java.io.tmpdir")}/graft-phraseidx-spec"
+    Retrieval.phraseWriteIndex(docs, idx, nBuckets = 8)
+    val phrases = Seq(1 -> Seq("x", "y"), 2 -> Seq("y", "z"))
+    val free = Retrieval.phraseTopK(docs, phrases, k = 10)
+      .orderBy("phrase_id", "rk").collect().toSeq
+    val probe = Retrieval.phraseTopKIndexed(spark, idx, phrases, k = 10)
+    val indexed = probe.orderBy("phrase_id", "rk").collect().toSeq
+    assert(indexed == free && free.nonEmpty)
+    probe.collect()
+    val scans = probe.queryExecution.executedPlan.toString
+    assert(scans.contains("PartitionFilters") && scans.contains("tb"))
+  }
+
   test("rrf: anchorTopK re-keys anchor vec_id to query_id and excludes the anchor row") {
     val s = spark
     import s.implicits._
