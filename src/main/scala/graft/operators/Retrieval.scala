@@ -393,6 +393,77 @@ object Retrieval {
         col("rk").cast("bigint").as("rk"))
   }
 
+  /** UNORDERED PROXIMITY SEARCH (the INDRI/Terrier `#uwN` window
+    * operator): an anchor is a position p of the phrase's FIRST term; it
+    * matches when every OTHER distinct term occurs within [p−w, p+w].
+    * Ranks docs by matching-anchor count — "these words appear together",
+    * the query phrase search is too strict for and BM25 too loose for.
+    *
+    * Scale shape: the range predicate |q−p| ≤ w never becomes a range
+    * join — other-term positions bucket by floor(q/w) and each anchor
+    * explodes to its 3 candidate buckets, so the corpus-sized work is ONE
+    * equi-join on (phrase, doc, bucket) over the probed posting lists
+    * (index-prunable via [[proximityTopKIndexed]]), with the window
+    * filter applied post-join. Anchor explosion is a bounded 3×. */
+  def proximityTopK(docs: DataFrame, phrases: Seq[(Int, Seq[String])],
+      w: Int, k: Int): DataFrame =
+    proximityRank(positionalPostings(docs), phrases, w, k)
+
+  /** [[proximityTopK]] over the persisted positional index
+    * ([[phraseWriteIndex]]) — the scan partition-prunes to the phrase
+    * terms' buckets, the [[phraseTopKIndexed]] contract. */
+  def proximityTopKIndexed(spark: SparkSession, indexPath: String,
+      phrases: Seq[(Int, Seq[String])], w: Int, k: Int): DataFrame = {
+    import spark.implicits._
+    val nBuckets = spark.read.parquet(s"$indexPath/stats")
+      .head().getAs[Int]("n_buckets")
+    val terms = phrases.flatMap(_._2).distinct
+    val buckets = terms.toDF("term")
+      .select(pmod(hash(col("term")), lit(nBuckets)).as("tb"))
+      .distinct().as[Int].collect().toSeq
+    val pos = spark.read.parquet(s"$indexPath/positions")
+      .filter(col("tb").isin(buckets.map(Int.box): _*))
+    proximityRank(pos, phrases, w, k)
+  }
+
+  private def proximityRank(pos: DataFrame,
+      phrases: Seq[(Int, Seq[String])], w: Int, k: Int): DataFrame = {
+    require(w >= 1, s"window must be >= 1 (got $w)")
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    require(phrases.nonEmpty, "need at least one phrase")
+    require(phrases.forall(_._2.length >= 2),
+      "proximity needs an anchor term plus at least one other term")
+    require(phrases.forall(p => p._2.distinct == p._2),
+      "proximity phrases must have distinct terms (unordered-window semantics)")
+    val spark = pos.sparkSession
+    import spark.implicits._
+    val aDf = phrases.map { case (pid, ts) =>
+      (pid, ts.head, (ts.length - 1).toLong) }
+      .toDF("phrase_id", "term", "n_other")
+    val oDf = phrases.flatMap { case (pid, ts) => ts.tail.map(t => (pid, t)) }
+      .toDF("phrase_id", "term")
+    val anchors = pos.join(broadcast(aDf), Seq("term"))
+      .select(col("phrase_id"), col("doc_id"), col("pos").as("p"),
+        col("n_other"))
+      .withColumn("ab", floor(col("p") / w))
+      .withColumn("nb", explode(array(col("ab") - 1, col("ab"), col("ab") + 1)))
+    val others = pos.join(broadcast(oDf), Seq("term"))
+      .select(col("phrase_id"), col("doc_id"), col("term"),
+        col("pos").as("q"), floor(col("pos") / w).as("nb"))
+    val matched = anchors.join(others, Seq("phrase_id", "doc_id", "nb"))
+      .filter(abs(col("q") - col("p")) <= w)
+      .groupBy("phrase_id", "doc_id", "p", "n_other")
+      .agg(countDistinct("term").as("nt"))
+      .filter(col("nt") === col("n_other"))
+    matched.groupBy("phrase_id", "doc_id")
+      .agg(count(lit(1)).as("n_occ"))
+      .withColumn("rk", row_number().over(Window.partitionBy("phrase_id")
+        .orderBy(col("n_occ").desc, col("doc_id"))))
+      .filter(col("rk") <= k)
+      .select(col("phrase_id"), col("doc_id"), col("n_occ"),
+        col("rk").cast("bigint").as("rk"))
+  }
+
   /** Persist the positional index: (doc_id, pos, term) hash-partitioned by
     * term bucket — the [[bm25WriteIndex]] pruning discipline applied to
     * positions (plus the 1-row stats file making the index

@@ -337,6 +337,52 @@ object Corpus {
         .orderBy("phrase_id", "rk")
     },
 
+    // Unordered proximity search (INDRI/Terrier #uwN): anchor = a
+    // position of the phrase's first term, matching when every other
+    // distinct term occurs within ±3 tokens — "these words appear
+    // together", between phrase search (too strict) and BM25 (too
+    // loose). The engine never runs a range join: other-term positions
+    // bucket by floor(pos/w), anchors explode to their 3 candidate
+    // buckets, and the corpus-sized work is one equi-join on (phrase,
+    // doc, bucket) over the index-pruned posting lists. The oracle
+    // replays the window predicate directly as abs(q−p) <= w — the
+    // bucket algebra is an equi-prefilter, not a semantics change, and
+    // the driver compare is the equivalence proof.
+    Qd("q374_proximity_search",
+      """WITH tokp AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(1, len(string_split(text, ' ')))) - 1 AS pos,
+        |    unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tp AS (SELECT doc_id, pos, term FROM tokp WHERE term <> ''),
+        |pa(phrase_id, term, n_other) AS (VALUES
+        |  (1, 'spark', 1), (2, 'customer', 2)),
+        |po(phrase_id, term) AS (VALUES
+        |  (1, 'join'), (2, 'order'), (2, 'fast')),
+        |anch AS (SELECT pa.phrase_id, tp.doc_id, tp.pos AS p, pa.n_other
+        |  FROM tp JOIN pa ON tp.term = pa.term),
+        |oth AS (SELECT po.phrase_id, tp.doc_id, tp.term, tp.pos AS q
+        |  FROM tp JOIN po ON tp.term = po.term),
+        |m AS (SELECT a.phrase_id, a.doc_id, a.p
+        |  FROM anch a JOIN oth o ON o.phrase_id = a.phrase_id
+        |    AND o.doc_id = a.doc_id AND abs(o.q - a.p) <= 3
+        |  GROUP BY a.phrase_id, a.doc_id, a.p, a.n_other
+        |  HAVING count(DISTINCT o.term) = a.n_other),
+        |agg AS (SELECT phrase_id, doc_id, CAST(count(*) AS BIGINT) AS n_occ
+        |  FROM m GROUP BY 1, 2),
+        |rkd AS (SELECT phrase_id, doc_id, n_occ,
+        |  row_number() OVER (PARTITION BY phrase_id ORDER BY n_occ DESC, doc_id) AS rk
+        |  FROM agg)
+        |SELECT phrase_id, doc_id, n_occ, CAST(rk AS BIGINT) AS rk
+        |FROM rkd WHERE rk <= 10 ORDER BY phrase_id, rk""") { (s, dir) =>
+      val idx = phraseIndexPath(dir)
+      Retrieval.phraseWriteIndex(docs(s, dir), idx)
+      Retrieval.proximityTopKIndexed(s, idx, Seq(
+          1 -> Seq("spark", "join"),
+          2 -> Seq("customer", "order", "fast")), w = 3, k = 10)
+        .orderBy("phrase_id", "rk")
+    },
+
     // CCNet-style bigram-LM perplexity filter: add-one-smoothed bigram
     // model trained on the deterministic reference slice (doc_id % 10 < 3),
     // every doc scored by exact int64 micro-unit log-prob sums (idf-style

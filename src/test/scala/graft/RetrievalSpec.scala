@@ -259,6 +259,32 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scans.contains("PartitionFilters") && scans.contains("tb"))
   }
 
+  test("proximity: window edge is inclusive and crosses bucket boundaries") {
+    val docs = docsDf(Seq(
+      (1L, "spark x x join"),     // p=0, q=3: |3|<=3, buckets 0 vs 1
+      (2L, "spark x x x join"),   // q=4: out of window
+      (3L, "join x spark")))      // other BEFORE anchor (p=2, q=0)
+    val out = Retrieval.proximityTopK(docs,
+        Seq(1 -> Seq("spark", "join")), w = 3, k = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(out == Seq((1L, 1L), (3L, 1L)))
+  }
+
+  test("proximity: ALL other terms must fall in the window; guards reject bad phrases") {
+    val docs = docsDf(Seq(
+      (1L, "a b c"),         // both b and c within 2 of a@0
+      (2L, "a b x x x c"),   // c@5 outside w=2
+      (3L, "a a b c")))      // two anchors, both match (b@2,c@3 within 2 of a@1; a@0: b@2 ok c@3 no)
+    val out = Retrieval.proximityTopK(docs,
+        Seq(1 -> Seq("a", "b", "c")), w = 2, k = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(out == Seq((1L, 1L), (3L, 1L)))
+    intercept[IllegalArgumentException](
+      Retrieval.proximityTopK(docs, Seq(1 -> Seq("big", "big")), w = 2, k = 1))
+    intercept[IllegalArgumentException](
+      Retrieval.proximityTopK(docs, Seq(1 -> Seq("solo")), w = 2, k = 1))
+  }
+
   test("rrf: anchorTopK re-keys anchor vec_id to query_id and excludes the anchor row") {
     val s = spark
     import s.implicits._
