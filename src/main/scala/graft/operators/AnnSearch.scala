@@ -120,6 +120,57 @@ object AnnSearch {
     rankTopK(scored, k)
   }
 
+  /** HARD-TRIPLET MINING for embedding-model training data — the
+    * contrastive-pair step every retrieval/embedding fine-tune runs over
+    * its corpus (triplet/InfoNCE losses train on exactly these): for each
+    * anchor, the HARD POSITIVE (same label, LOWEST cosine — the pair the
+    * model most needs pulled together) and the top-k HARD NEGATIVES
+    * (different label, HIGHEST cosine — the pairs it most needs pushed
+    * apart), with the per-row margin (pos − neg, both at the 6-dp output
+    * grain) that a curriculum can threshold on. Anchors without any
+    * same-label partner drop out (inner join — no positive, no triplet).
+    *
+    * Scale shape: anchors BROADCAST into one corpus scan (the
+    * [[bruteTopK]] contract — the corpus never shuffles); the hard
+    * positive reduces through a partial-aggregated lexicographic
+    * `min(struct(cos, cid))` — a hash agg, never a corpus-wide window;
+    * negatives reduce through [[partitionTopK]]'s bounded heaps before
+    * the final |anchors|-sized rank window. Ordering ties break by cid on
+    * both sides, and every cosine is the shared int64-exact kernel, so
+    * the whole mine replays in the oracle. */
+  def tripletMine(anchors: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val q = quantized(anchors.select(col("id"), col("embedding")))
+      .join(anchors.select(col("id"), col("label")), Seq("id"))
+      .select(col("id").as("qid"), col("qe"), col("n2").as("qn"),
+        col("label").as("ql"))
+    val c = quantized(corpus.select(col("id"), col("embedding")))
+      .join(corpus.select(col("id"), col("label")), Seq("id"))
+      .select(col("id").as("cid"), col("qe").as("ce"), col("n2").as("cn"),
+        col("label").as("cl"))
+    val pairs = c.join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("cos", cosExpr)
+    val pos = pairs.filter(col("ql") === col("cl"))
+      .groupBy("qid")
+      .agg(min(struct(col("cos"), col("cid"))).as("m"))
+      .select(col("qid"), col("m.cid").as("pos_id"),
+        round(col("m.cos"), 6).as("pos_cos"))
+    val neg = partitionTopK(
+        pairs.filter(col("ql") =!= col("cl"))
+          .select(col("qid"), col("cid"), col("cos")), k)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("cos").desc, col("cid"))))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("cid").as("neg_id"),
+        round(col("cos"), 6).as("neg_cos"), col("rk").cast("bigint").as("rk"))
+    neg.join(pos, Seq("qid"))
+      .withColumn("margin",
+        round(col("pos_cos") - col("neg_cos"), 6))
+      .select(col("qid"), col("rk"), col("pos_id"), col("pos_cos"),
+        col("neg_id"), col("neg_cos"), col("margin"))
+  }
+
   /** IVF two-stage ANN. Centroids = corpus rows where id % stride == 0
     * (deterministic stand-in for a k-means pass — centroid *choice* is
     * orthogonal to the search plan).

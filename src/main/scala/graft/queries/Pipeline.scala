@@ -866,6 +866,48 @@ object Pipeline {
         .orderBy("qid", "pick")
     },
 
+    // Hard-triplet mining ([[AnnSearch.tripletMine]] — the contrastive-
+    // pair step of every embedding fine-tune): per anchor, the hard
+    // POSITIVE (same label, LOWEST cosine — the pair the model most needs
+    // pulled together) and top-5 hard NEGATIVES (different label, HIGHEST
+    // cosine), with the 6-dp margin a curriculum thresholds on. The
+    // oracle replays the broadcast pair scan, the lexicographic
+    // (cos asc, cid) argmin, and the (cos desc, cid) top-k — every cosine
+    // the shared int64-exact kernel.
+    Qd("q375_triplet_mining", {
+      val qq = qCte("qq", "WHERE vec_id < 50")
+      val cc = qCte("cc", "")
+      s"""WITH $qq,
+        |$cc,
+        |qn AS (SELECT vec_id, label, qe,
+        |    CAST(list_sum(list_transform(range(1, 65), i -> qe[i]*qe[i])) AS BIGINT) AS n2
+        |  FROM qq),
+        |cn AS (SELECT vec_id AS cid, label AS cl, qe AS ce,
+        |    CAST(list_sum(list_transform(range(1, 65), i -> qe[i]*qe[i])) AS BIGINT) AS cn2
+        |  FROM cc),
+        |p AS (SELECT q.vec_id AS qid, c.cid, q.label AS ql, c.cl,
+        |    CASE WHEN CAST(q.n2 AS DOUBLE)*CAST(c.cn2 AS DOUBLE) = 0 THEN -1.0
+        |      ELSE CAST(CAST(list_sum(list_transform(range(1, 65), i -> q.qe[i]*c.ce[i])) AS BIGINT) AS DOUBLE)
+        |        / sqrt(CAST(q.n2 AS DOUBLE)*CAST(c.cn2 AS DOUBLE)) END AS cos
+        |  FROM qn q JOIN cn c ON c.cid <> q.vec_id),
+        |pos AS (SELECT qid, cid AS pos_id, ROUND(cos, 6) AS pos_cos FROM (
+        |    SELECT qid, cid, cos,
+        |      row_number() OVER (PARTITION BY qid ORDER BY cos ASC, cid) AS rn
+        |    FROM p WHERE ql = cl) WHERE rn = 1),
+        |neg AS (SELECT qid, cid AS neg_id, ROUND(cos, 6) AS neg_cos, rk FROM (
+        |    SELECT qid, cid, cos,
+        |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+        |    FROM p WHERE ql <> cl) WHERE rk <= 5)
+        |SELECT n.qid, CAST(n.rk AS BIGINT) AS rk, s.pos_id, s.pos_cos,
+        |  n.neg_id, n.neg_cos, ROUND(s.pos_cos - n.neg_cos, 6) AS margin
+        |FROM neg n JOIN pos s ON s.qid = n.qid
+        |ORDER BY n.qid, rk""".stripMargin
+    }) { (s, dir) =>
+      val e = emb(s, dir)
+      AnnSearch.tripletMine(e.filter(col("id") < 50), e, k = 5)
+        .orderBy("qid", "rk")
+    },
+
     // Graph-probed ANN ([[GraphAnn.graphTopK]] — the deterministic core of
     // the HNSW/NSW/DiskANN family): a k-NN neighbor graph (top-m by exact
     // quantized cosine, ties → lower id) walked by fixed-schedule beam

@@ -468,6 +468,29 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(_.getInt(2) <= 8))
   }
 
+  test("triplet mining: hard positive is the LOWEST same-label cos, negatives rank by cos desc, label-orphan anchors drop") {
+    val s = spark
+    import s.implicits._
+    val e = Seq(
+      (1L, Seq(1f, 0f), 0),  // anchor, label 0
+      (2L, Seq(0f, 1f), 9),  // anchor, label 9 — no other label-9 row → drops
+      (3L, Seq(1f, 1f), 0),  // pos cos ≈ 0.7071
+      (4L, Seq(0f, 1f), 0),  // pos cos 0 → the HARD positive
+      (5L, Seq(1f, 0f), 1),  // neg cos 1.0 → hardest negative
+      (6L, Seq(0f, 1f), 1))  // neg cos 0
+      .toDF("id", "embedding", "label")
+    val out = graft.operators.AnnSearch
+      .tripletMine(e.filter($"id" <= 2), e, k = 2)
+      .orderBy("qid", "rk").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 1L)) // anchor 2 dropped
+    assert(out.map(_.getLong(2)).toSeq == Seq(4L, 4L)) // hard positive
+    assert(out.map(_.getDouble(3)).forall(_ == 0.0))
+    // cos-0 tie among negatives (ids 2 and 6) breaks by lower cid → 2
+    assert(out.map(r => (r.getLong(4), r.getDouble(5))).toSeq ==
+      Seq((5L, 1.0), (2L, 0.0)))
+    assert(out.map(_.getDouble(6)).toSeq == Seq(-1.0, 0.0)) // margin = pos − neg
+  }
+
   test("quality canonicals (q193): exactly one keep per component, and it has the max quality") {
     val out = SparkEntry.queries("q193_quality_canonicals")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
