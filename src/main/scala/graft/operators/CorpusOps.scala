@@ -383,4 +383,82 @@ object CorpusOps {
       }
       .toDF("unit_id", "shard", "bin", "n_tok")
   }
+
+  /** T5-STYLE SPAN CORRUPTION — the (input, target) pair generator of
+    * span-denoising pretraining (T5/UL2), re-expressed with the pack's
+    * keyed-hash determinism so the SAME corrupted pairs come out of every
+    * engine and every run: a token at position p STARTS a masked span when
+    * `md5("<seed>:s:<doc>:<p>") % 1000 < startPermille`, the span covers
+    * `1 + md5("<seed>:l:<doc>:<p>") % maxSpan` tokens, overlapping spans
+    * MERGE (distinct covered positions → contiguity islands), and the
+    * k-th island (by position) becomes the `<extra_id_k>` sentinel: the
+    * input keeps unmasked tokens with one sentinel where each island was;
+    * the target lists each sentinel followed by its masked tokens.
+    *
+    * Expected mask rate ≈ startPermille/1000 × (maxSpan+1)/2 before
+    * overlap merging (the T5 defaults ~15% at startPermille=100,
+    * maxSpan=2 ≈ mean 1.5... tune per corpus).
+    *
+    * Scale shape: every draw is a pure function of (seed, doc, pos) — no
+    * shuffle decides anything; the only shuffles are the per-doc
+    * reassembly aggs (`array_sort(collect_list(struct))`, bounded by
+    * document length — the [[dedupLines]] contract) and the doc-bounded
+    * island window. Positions follow the raw single-space split
+    * convention (empties dropped after assignment). */
+  def spanCorrupt(docs: DataFrame, seed: String, startPermille: Int = 100,
+      maxSpan: Int = 3, textCol: String = "text"): DataFrame = {
+    require(startPermille >= 1 && startPermille <= 999,
+      s"startPermille must be in [1, 999] (got $startPermille)")
+    require(maxSpan >= 1, s"maxSpan must be >= 1 (got $maxSpan)")
+    val tok = docs.select(col("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+    val key = concat(col("doc_id").cast("string"), lit(":"),
+      col("pos").cast("string"))
+    val starts = tok
+      .filter(h60hex(keyed(s"$seed:s", key)) % 1000 < startPermille)
+      .withColumn("len",
+        lit(1) + pmod(h60hex(keyed(s"$seed:l", key)), lit(maxSpan)))
+    val cov = starts.select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + col("len") - 1)).as("pos"))
+      .distinct()
+    // masked tokens = covered positions that actually hold a token (spans
+    // running past the doc end cover nothing there)
+    val mtok = tok.join(cov, Seq("doc_id", "pos"), "left_semi")
+    val isl = mtok.withColumn("isl",
+      col("pos") - row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")))
+    val islands = isl.groupBy("doc_id", "isl")
+      .agg(min("pos").as("mpos"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("term")))),
+          x => x.getField("term")), " ").as("toks"),
+        count(lit(1)).as("ntok"))
+      .withColumn("sent", row_number().over(
+        Window.partitionBy("doc_id").orderBy("mpos")) - 1)
+    val unmasked = tok.join(cov, Seq("doc_id", "pos"), "left_anti")
+    val inputToks = unmasked.select(col("doc_id"), col("pos"), col("term"))
+      .unionByName(islands.select(col("doc_id"), col("mpos").as("pos"),
+        concat(lit("<extra_id_"), col("sent"), lit(">")).as("term")))
+    val input = inputToks.groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("term")))),
+        x => x.getField("term")), " ").as("input_text"))
+    val target = islands.groupBy("doc_id")
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("mpos"),
+            concat(lit("<extra_id_"), col("sent"), lit("> "), col("toks"))
+              .as("t")))),
+          x => x.getField("t")), " ").as("target_text"),
+        count(lit(1)).as("n_spans"),
+        sum("ntok").as("n_masked"))
+    docs.select(col("doc_id"))
+      .join(input, Seq("doc_id"), "left")
+      .join(target, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("input_text"), lit("")).as("input_text"),
+        coalesce(col("target_text"), lit("")).as("target_text"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_masked"), lit(0L)).as("n_masked"))
+  }
 }

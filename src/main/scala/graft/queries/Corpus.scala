@@ -383,6 +383,61 @@ object Corpus {
         .orderBy("phrase_id", "rk")
     },
 
+    // T5-style span corruption (the span-denoising (input, target) pair
+    // generator): keyed-hash span starts and lengths, overlap merge into
+    // contiguity islands, <extra_id_k> sentinels in position order. Every
+    // draw is a pure function of (seed, doc, pos) — append/rerun-stable,
+    // and the oracle replays starts → cover → islands → both reassemblies
+    // verbatim (the md5 draw is the q171/q172 discipline; reassembly is
+    // the q353 ordered string_agg).
+    Qd("q376_span_corruption",
+      """WITH tokp AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(1, len(string_split(text, ' ')))) - 1 AS pos,
+        |    unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tp AS (SELECT doc_id, pos, term FROM tokp WHERE term <> ''),
+        |st AS (SELECT doc_id, pos,
+        |    1 + CAST(('0x'||substr(md5('r15sc:l:' || CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)),1,15)) AS BIGINT) % 3 AS len
+        |  FROM tp
+        |  WHERE CAST(('0x'||substr(md5('r15sc:s:' || CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)),1,15)) AS BIGINT) % 1000 < 100),
+        |cov AS (SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + len - 1)) AS pos FROM st),
+        |mtok AS (SELECT tp.doc_id, tp.pos, tp.term FROM tp JOIN cov USING (doc_id, pos)),
+        |isl AS (SELECT doc_id, pos, term,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM mtok),
+        |islands AS (SELECT doc_id, isl, min(pos) AS mpos,
+        |    string_agg(term, ' ' ORDER BY pos) AS toks, CAST(count(*) AS BIGINT) AS ntok
+        |  FROM isl GROUP BY doc_id, isl),
+        |sis AS (SELECT doc_id, mpos, toks, ntok,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY mpos) - 1 AS sent
+        |  FROM islands),
+        |unm AS (SELECT tp.doc_id, tp.pos, tp.term FROM tp
+        |  LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.pos = tp.pos
+        |  WHERE cov.pos IS NULL),
+        |itok AS (SELECT doc_id, pos, term FROM unm
+        |  UNION ALL SELECT doc_id, mpos AS pos,
+        |    '<extra_id_' || CAST(sent AS VARCHAR) || '>' AS term FROM sis),
+        |inp AS (SELECT doc_id, string_agg(term, ' ' ORDER BY pos) AS input_text
+        |  FROM itok GROUP BY doc_id),
+        |tgt AS (SELECT doc_id,
+        |    string_agg('<extra_id_' || CAST(sent AS VARCHAR) || '> ' || toks,
+        |      ' ' ORDER BY mpos) AS target_text,
+        |    CAST(count(*) AS BIGINT) AS n_spans,
+        |    CAST(sum(ntok) AS BIGINT) AS n_masked
+        |  FROM sis GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(inp.input_text, '') AS input_text,
+        |  coalesce(tgt.target_text, '') AS target_text,
+        |  coalesce(tgt.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+        |  coalesce(tgt.n_masked, CAST(0 AS BIGINT)) AS n_masked
+        |FROM documents d
+        |LEFT JOIN inp ON inp.doc_id = d.doc_id
+        |LEFT JOIN tgt ON tgt.doc_id = d.doc_id
+        |ORDER BY d.doc_id""") { (s, dir) =>
+      CorpusOps.spanCorrupt(docs(s, dir), seed = "r15sc",
+          startPermille = 100, maxSpan = 3)
+        .orderBy("doc_id")
+    },
+
     // CCNet-style bigram-LM perplexity filter: add-one-smoothed bigram
     // model trained on the deterministic reference slice (doc_id % 10 < 3),
     // every doc scored by exact int64 micro-unit log-prob sums (idf-style

@@ -179,4 +179,50 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(CorpusOps.stratifiedSample(tiny, "source", k = 5, seed = "x")
       .count() == 2)
   }
+
+  test("span corruption: splicing targets back into the input reconstructs every doc") {
+    val docs = docsDf((0L until 60L).map(i =>
+      (i, (0 until 20).map(j => s"w${(i * 7 + j) % 13}").mkString(" "), "s")))
+    val out = CorpusOps.spanCorrupt(docs, seed = "t1", startPermille = 200,
+        maxSpan = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.length == 60)
+    val orig = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    var masked = 0L
+    out.foreach { case (id, input, target, nSpans, nMasked) =>
+      // parse target into sentinel → tokens
+      val spans = "<extra_id_(\\d+)> ([^<]*)".r.findAllMatchIn(target)
+        .map(m => m.group(1).toInt -> m.group(2).trim).toMap
+      assert(spans.size == nSpans, s"doc $id sentinel count")
+      assert(spans.keys.toSeq.sorted == (0 until nSpans.toInt), s"doc $id dense sentinels")
+      assert(nMasked == spans.values.map(_.split(" ").length).sum, s"doc $id n_masked")
+      val rebuilt = input.split(" ").flatMap { t =>
+        if (t.startsWith("<extra_id_"))
+          spans(t.stripPrefix("<extra_id_").stripSuffix(">").toInt).split(" ")
+        else Array(t)
+      }.mkString(" ")
+      assert(rebuilt == orig(id), s"doc $id reconstruction")
+      masked += nMasked
+    }
+    // startPermille=200, maxSpan=3 → expected mask rate ≈ 0.2·2 = 40% pre-merge
+    assert(masked > 200 && masked < 800, s"mask volume sane: $masked of 1200")
+    // determinism: a second run is byte-identical
+    val again = CorpusOps.spanCorrupt(docs, "t1", 200, 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(again.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+  }
+
+  test("span corruption: empty and unmasked docs survive with empty target") {
+    val docs = docsDf(Seq((1L, "", "s"), (2L, "solo", "s")))
+    val out = CorpusOps.spanCorrupt(docs, seed = "t2", startPermille = 1)
+      .orderBy("doc_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getString(1) == "" && out(0).getString(2) == ""
+      && out(0).getLong(3) == 0L && out(0).getLong(4) == 0L)
+    // doc 2 is a single token — whatever the draw, the invariants hold
+    val in2 = out(1).getString(1)
+    assert(in2 == "solo" || in2 == "<extra_id_0>")
+  }
 }
