@@ -281,6 +281,37 @@ object CorpusOps {
     docs.filter(h60hex(keyed(seed, col("doc_id"))) % 1000000 < thCol)
   }
 
+  /** TEMPERATURE-SCALED MIXING at α = 0.5 (the XLM-R/mT5 multilingual
+    * sampling rule, p_s ∝ n_s^α) realized as pure Bernoulli thinning:
+    * keep rate keep_s = sqrt(n_min / n_s), so the smallest stratum is the
+    * binding one at 1.0 and every larger stratum thins toward the
+    * tempered share — the standard low-resource up-weighting without
+    * replication. α is FIXED at 1/2 because sqrt is a single correctly-
+    * rounded IEEE op on the exact count ratio (engine and oracle agree
+    * bit-for-bit before the ppm rounding); a general pow(x, α) is not
+    * cross-engine-reproducible and would break the [[weightedMix]]
+    * integer-threshold discipline this reuses.
+    *
+    * Scale shape: one count agg bounded by |strata| (collected — the
+    * weights ARE driver state by design, like every mixture schedule),
+    * then the zero-shuffle keyed-hash filter; `keep_ppm` rides along so
+    * the schedule itself is value-checked, not just its survivors. */
+  def temperatureMixSqrt(docs: DataFrame, keyCol: String,
+      seed: String): DataFrame = {
+    val counts = docs.groupBy(keyCol).agg(count(lit(1)).as("n"))
+      .collect().map(r => Option(r.get(0)).map(_.toString).orNull -> r.getLong(1))
+    require(counts.nonEmpty, "temperatureMixSqrt: empty corpus")
+    require(counts.forall(_._1 != null),
+      s"temperatureMixSqrt: NULL $keyCol stratum — assign strata first")
+    val nMin = counts.map(_._2).min
+    val ppm = counts.map { case (k, n) =>
+      k -> math.round(math.sqrt(nMin.toDouble / n.toDouble) * 1000000.0) }
+    val thCol = ppm.foldLeft(lit(0L): Column) { case (acc, (k, p)) =>
+      when(col(keyCol) === k, lit(p)).otherwise(acc) }
+    docs.withColumn("keep_ppm", thCol)
+      .filter(h60hex(keyed(seed, col("doc_id"))) % 1000000 < col("keep_ppm"))
+  }
+
   /** C4/Dolma-style PII redaction: structured identifiers (emails, IPv4
     * addresses, 13–16-digit card-like numbers) are counted and replaced
     * with type tags in one pass of codegen'd `regexp_*` expressions — no

@@ -438,6 +438,30 @@ object Corpus {
         .orderBy("doc_id")
     },
 
+    // Temperature mixing at α=0.5 (XLM-R/mT5): keep rate = sqrt(n_min/n_s)
+    // per language — the smallest language binds at 1.0, larger ones thin
+    // toward the tempered share. The rates are DERIVED FROM THE DATA (one
+    // |strata|-bounded count agg), unlike q177's fixed weights; sqrt of
+    // the exact count ratio is one correctly-rounded IEEE op, so engine
+    // and oracle agree bit-for-bit before the shared ppm rounding.
+    // keep_ppm rides along so the schedule itself is value-checked.
+    Qd("q377_temperature_mix",
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        |mn AS (SELECT min(n) AS nmin FROM c),
+        |th AS (SELECT lang,
+        |    CAST(round(sqrt(CAST(nmin AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS keep_ppm
+        |  FROM c, mn)
+        |SELECT d.doc_id, d.lang, th.keep_ppm
+        |FROM documents d JOIN th USING (lang)
+        |WHERE CAST(('0x'||substr(md5('tmix15:' || CAST(d.doc_id AS VARCHAR)),1,15)) AS BIGINT)
+        |      % 1000000 < th.keep_ppm
+        |ORDER BY d.doc_id""") { (s, dir) =>
+      CorpusOps.temperatureMixSqrt(docs(s, dir), "lang", seed = "tmix15")
+        .select(col("doc_id"), col("lang"), col("keep_ppm"))
+        .orderBy("doc_id")
+    },
+
     // CCNet-style bigram-LM perplexity filter: add-one-smoothed bigram
     // model trained on the deterministic reference slice (doc_id % 10 < 3),
     // every doc scored by exact int64 micro-unit log-prob sums (idf-style

@@ -214,6 +214,26 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
   }
 
+  test("temperature mix: smallest stratum binds at 1.0, rates are sqrt(n_min/n)") {
+    val docs = docsDf(
+      (0L until 400L).map(i => (i, "t", "big")) ++
+      (400L until 500L).map(i => (i, "t", "small")))
+    val out = CorpusOps.temperatureMixSqrt(docs, "source", seed = "tt")
+    val rows = out.select("doc_id", "source", "keep_ppm").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // every small-stratum doc survives with ppm 1_000_000
+    assert(rows.filter(_._2 == "small").map(_._1).sorted.toSeq ==
+      (400L until 500L))
+    assert(rows.filter(_._2 == "small").forall(_._3 == 1000000L))
+    // big stratum: ppm = round(sqrt(100/400)*1e6) = 500000, roughly half kept
+    assert(rows.filter(_._2 == "big").forall(_._3 == 500000L))
+    val nBig = rows.count(_._2 == "big")
+    assert(nBig > 120 && nBig < 280, s"thinned big stratum: $nBig of 400")
+    // deterministic
+    assert(CorpusOps.temperatureMixSqrt(docs, "source", "tt").count() ==
+      rows.length)
+  }
+
   test("span corruption: empty and unmasked docs survive with empty target") {
     val docs = docsDf(Seq((1L, "", "s"), (2L, "solo", "s")))
     val out = CorpusOps.spanCorrupt(docs, seed = "t2", startPermille = 1)
