@@ -464,6 +464,66 @@ object Retrieval {
         col("rk").cast("bigint").as("rk"))
   }
 
+  /** KWIC SNIPPET EXTRACTION — search-result highlighting as a relational
+    * op: every occurrence of ANY query term is a candidate anchor, scored
+    * by how many DISTINCT query terms fall within ±w of it (the anchor
+    * itself included — symmetric window coverage, unlike
+    * [[proximityTopK]]'s first-term-anchored ALL-terms predicate); each
+    * doc's best anchor (max coverage, then lowest position) yields its
+    * snippet — the [p−w, p+w] token window reassembled in order — and
+    * docs rank per query by (coverage desc, doc_id), keep k.
+    *
+    * Scale shape: the term hits are index-prunable posting lists; scoring
+    * is the [[proximityTopK]] bucketed equi-join (never a range join);
+    * the best anchor reduces through a partial-aggregated lexicographic
+    * `min(struct(−nt, p))` hash agg (no per-doc window over anchors); the
+    * snippet fetch explodes only the k survivors' 2w+1 positions into one
+    * (doc, pos) equi-join back to the postings. */
+  def snippetTopK(docs: DataFrame, phrases: Seq[(Int, Seq[String])],
+      w: Int, k: Int): DataFrame = {
+    require(w >= 1, s"window must be >= 1 (got $w)")
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    require(phrases.nonEmpty, "need at least one phrase")
+    require(phrases.forall(_._2.nonEmpty), "phrases must be non-empty")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tok = positionalPostings(docs)
+    val pt = phrases.flatMap { case (pid, ts) => ts.distinct.map(t => (pid, t)) }
+      .toDF("phrase_id", "term")
+    val hits = tok.join(broadcast(pt), Seq("term"))
+      .select(col("phrase_id"), col("doc_id"), col("term"), col("pos"))
+    val anchors = hits.select(col("phrase_id"), col("doc_id"),
+        col("pos").as("p"))
+      .withColumn("ab", floor(col("p") / w))
+      .withColumn("nb", explode(array(col("ab") - 1, col("ab"), col("ab") + 1)))
+    val cands = hits.select(col("phrase_id"), col("doc_id"), col("term"),
+      col("pos").as("q"), floor(col("pos") / w).as("nb"))
+    val scored = anchors.join(cands, Seq("phrase_id", "doc_id", "nb"))
+      .filter(abs(col("q") - col("p")) <= w)
+      .groupBy("phrase_id", "doc_id", "p")
+      .agg(countDistinct("term").as("nt"))
+    val best = scored
+      .groupBy("phrase_id", "doc_id")
+      .agg(min(struct((-col("nt")).as("negnt"), col("p"))).as("m"))
+      .select(col("phrase_id"), col("doc_id"),
+        (-col("m.negnt")).as("n_terms"), col("m.p").as("p"))
+    val ranked = best.withColumn("rk", row_number().over(
+        Window.partitionBy("phrase_id")
+          .orderBy(col("n_terms").desc, col("doc_id"))))
+      .filter(col("rk") <= k)
+    val win = ranked.select(col("phrase_id"), col("doc_id"), col("p"),
+      explode(sequence(greatest(col("p") - w, lit(0)), col("p") + w)).as("pos"))
+    val snip = win.join(tok, Seq("doc_id", "pos"))
+      .groupBy("phrase_id", "doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("term")))),
+        x => x.getField("term")), " ").as("snippet"))
+    ranked.join(snip, Seq("phrase_id", "doc_id"))
+      .select(col("phrase_id"), col("doc_id"),
+        col("p").cast("bigint").as("best_pos"), col("n_terms"),
+        col("snippet"), col("rk").cast("bigint").as("rk"))
+  }
+
   /** Persist the positional index: (doc_id, pos, term) hash-partitioned by
     * term bucket — the [[bm25WriteIndex]] pruning discipline applied to
     * positions (plus the 1-row stats file making the index

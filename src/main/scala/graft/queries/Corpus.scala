@@ -462,6 +462,54 @@ object Corpus {
         .orderBy("doc_id")
     },
 
+    // KWIC snippet extraction: every query-term occurrence is a candidate
+    // anchor scored by distinct query terms within ±3 (itself included);
+    // each doc's best anchor (max coverage, lowest position) yields the
+    // reassembled ±3-token window; docs rank by coverage. The oracle
+    // replays the symmetric self-join window count, the lexicographic
+    // argmin, and the ordered snippet string_agg.
+    Qd("q378_kwic_snippets",
+      """WITH tokp AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(1, len(string_split(text, ' ')))) - 1 AS pos,
+        |    unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tp AS (SELECT doc_id, pos, term FROM tokp WHERE term <> ''),
+        |pt(phrase_id, term) AS (VALUES
+        |  (1, 'spark'), (1, 'join'), (2, 'customer'), (2, 'order'), (2, 'fast')),
+        |h AS (SELECT pt.phrase_id, tp.doc_id, tp.term, tp.pos
+        |  FROM tp JOIN pt ON tp.term = pt.term),
+        |sc AS (SELECT a.phrase_id, a.doc_id, a.pos AS p,
+        |    count(DISTINCT o.term) AS nt
+        |  FROM h a JOIN h o ON o.phrase_id = a.phrase_id
+        |    AND o.doc_id = a.doc_id AND abs(o.pos - a.pos) <= 3
+        |  GROUP BY 1, 2, 3),
+        |best AS (SELECT phrase_id, doc_id, p, nt FROM (
+        |    SELECT phrase_id, doc_id, p, nt,
+        |      row_number() OVER (PARTITION BY phrase_id, doc_id
+        |        ORDER BY nt DESC, p) AS rn
+        |    FROM sc) WHERE rn = 1),
+        |rkd AS (SELECT phrase_id, doc_id, p, nt,
+        |    row_number() OVER (PARTITION BY phrase_id ORDER BY nt DESC, doc_id) AS rk
+        |  FROM best),
+        |top AS (SELECT * FROM rkd WHERE rk <= 5),
+        |win AS (SELECT phrase_id, doc_id,
+        |    unnest(generate_series(greatest(p - 3, 0), p + 3)) AS pos
+        |  FROM top),
+        |sn AS (SELECT w.phrase_id, w.doc_id,
+        |    string_agg(tp.term, ' ' ORDER BY tp.pos) AS snippet
+        |  FROM win w JOIN tp USING (doc_id, pos)
+        |  GROUP BY 1, 2)
+        |SELECT t.phrase_id, t.doc_id, CAST(t.p AS BIGINT) AS best_pos,
+        |  CAST(t.nt AS BIGINT) AS n_terms, sn.snippet, CAST(t.rk AS BIGINT) AS rk
+        |FROM top t JOIN sn ON sn.phrase_id = t.phrase_id AND sn.doc_id = t.doc_id
+        |ORDER BY t.phrase_id, t.rk""") { (s, dir) =>
+      Retrieval.snippetTopK(docs(s, dir), Seq(
+          1 -> Seq("spark", "join"),
+          2 -> Seq("customer", "order", "fast")), w = 3, k = 5)
+        .orderBy("phrase_id", "rk")
+    },
+
     // CCNet-style bigram-LM perplexity filter: add-one-smoothed bigram
     // model trained on the deterministic reference slice (doc_id % 10 < 3),
     // every doc scored by exact int64 micro-unit log-prob sums (idf-style

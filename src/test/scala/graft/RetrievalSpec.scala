@@ -285,6 +285,22 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
       Retrieval.proximityTopK(docs, Seq(1 -> Seq("solo")), w = 2, k = 1))
   }
 
+  test("snippet: best anchor maximizes distinct-term coverage; window clips at doc start") {
+    val docs = docsDf(Seq(
+      (1L, "x spark y join z"),      // anchor spark@1: {spark,join} within 3
+      (2L, "spark a b c d e join"),  // terms 6 apart: best coverage is 1
+      (3L, "join w")))               // join@0: window clips to [0,3]
+    val out = Retrieval.snippetTopK(docs,
+        Seq(1 -> Seq("spark", "join")), w = 3, k = 3)
+      .orderBy("rk").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    // doc 1 first (coverage 2), snippet = ±3 window around spark@1
+    assert(out(0) == (1L, 1L, 2L, "x spark y join z"))
+    // docs 2 and 3 at coverage 1; doc 2 best anchor = spark@0 (lowest pos)
+    assert(out(1) == (2L, 0L, 1L, "spark a b c"))
+    assert(out(2) == (3L, 0L, 1L, "join w"))
+  }
+
   test("rrf: anchorTopK re-keys anchor vec_id to query_id and excludes the anchor row") {
     val s = spark
     import s.implicits._
