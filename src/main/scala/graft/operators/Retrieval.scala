@@ -481,16 +481,42 @@ object Retrieval {
     * (doc, pos) equi-join back to the postings. */
   def snippetTopK(docs: DataFrame, phrases: Seq[(Int, Seq[String])],
       w: Int, k: Int): DataFrame = {
+    val tok = positionalPostings(docs)
+    snippetRank(tok, tok, phrases, w, k)
+  }
+
+  /** [[snippetTopK]] over the persisted positional index: anchor scoring
+    * reads only the query terms' pruned buckets; the window fetch reads
+    * the positional table itself (it must — snippets carry NON-query
+    * tokens) but as a columnar (doc_id, pos, term) scan probed by the k
+    * survivors' exploded positions, never a corpus re-tokenize.
+    * PhraseScale measured the one-shot snippet wall growing 9.3× at ×64
+    * corpus; this path re-uses the index both ways. */
+  def snippetTopKIndexed(spark: SparkSession, indexPath: String,
+      phrases: Seq[(Int, Seq[String])], w: Int, k: Int): DataFrame = {
+    import spark.implicits._
+    val nBuckets = spark.read.parquet(s"$indexPath/stats")
+      .head().getAs[Int]("n_buckets")
+    val all = spark.read.parquet(s"$indexPath/positions")
+    val terms = phrases.flatMap(_._2).distinct
+    val buckets = terms.toDF("term")
+      .select(pmod(hash(col("term")), lit(nBuckets)).as("tb"))
+      .distinct().as[Int].collect().toSeq
+    snippetRank(all.filter(col("tb").isin(buckets.map(Int.box): _*)),
+      all, phrases, w, k)
+  }
+
+  private def snippetRank(hitTok: DataFrame, fetchTok: DataFrame,
+      phrases: Seq[(Int, Seq[String])], w: Int, k: Int): DataFrame = {
     require(w >= 1, s"window must be >= 1 (got $w)")
     require(k >= 1, s"k must be >= 1 (got $k)")
     require(phrases.nonEmpty, "need at least one phrase")
     require(phrases.forall(_._2.nonEmpty), "phrases must be non-empty")
-    val spark = docs.sparkSession
+    val spark = hitTok.sparkSession
     import spark.implicits._
-    val tok = positionalPostings(docs)
     val pt = phrases.flatMap { case (pid, ts) => ts.distinct.map(t => (pid, t)) }
       .toDF("phrase_id", "term")
-    val hits = tok.join(broadcast(pt), Seq("term"))
+    val hits = hitTok.join(broadcast(pt), Seq("term"))
       .select(col("phrase_id"), col("doc_id"), col("term"), col("pos"))
     val anchors = hits.select(col("phrase_id"), col("doc_id"),
         col("pos").as("p"))
@@ -513,7 +539,12 @@ object Retrieval {
       .filter(col("rk") <= k)
     val win = ranked.select(col("phrase_id"), col("doc_id"), col("p"),
       explode(sequence(greatest(col("p") - w, lit(0)), col("p") + w)).as("pos"))
-    val snip = win.join(tok, Seq("doc_id", "pos"))
+    // win is provably ≤ |phrases|·k·(2w+1) rows — force the broadcast so
+    // the corpus-sized positional scan never shuffles for the fetch
+    // (Catalyst can't size a window-derived frame on its own)
+    val snip = broadcast(win).join(
+        fetchTok.select(col("doc_id"), col("pos"), col("term")),
+        Seq("doc_id", "pos"))
       .groupBy("phrase_id", "doc_id")
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("pos"), col("term")))),

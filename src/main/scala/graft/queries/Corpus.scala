@@ -504,7 +504,9 @@ object Corpus {
         |  CAST(t.nt AS BIGINT) AS n_terms, sn.snippet, CAST(t.rk AS BIGINT) AS rk
         |FROM top t JOIN sn ON sn.phrase_id = t.phrase_id AND sn.doc_id = t.doc_id
         |ORDER BY t.phrase_id, t.rk""") { (s, dir) =>
-      Retrieval.snippetTopK(docs(s, dir), Seq(
+      val idx = phraseIndexPath(dir)
+      Retrieval.phraseWriteIndex(docs(s, dir), idx)
+      Retrieval.snippetTopKIndexed(s, idx, Seq(
           1 -> Seq("spark", "join"),
           2 -> Seq("customer", "order", "fast")), w = 3, k = 5)
         .orderBy("phrase_id", "rk")

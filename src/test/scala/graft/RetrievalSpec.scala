@@ -299,6 +299,14 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     // docs 2 and 3 at coverage 1; doc 2 best anchor = spark@0 (lowest pos)
     assert(out(1) == (2L, 0L, 1L, "spark a b c"))
     assert(out(2) == (3L, 0L, 1L, "join w"))
+    // indexed path is row-equal (scoring pruned, fetch from the index)
+    val idx = s"${sys.props("java.io.tmpdir")}/graft-snipidx-spec"
+    Retrieval.phraseWriteIndex(docs, idx, nBuckets = 8)
+    val indexed = Retrieval.snippetTopKIndexed(spark, idx,
+        Seq(1 -> Seq("spark", "join")), w = 3, k = 3)
+      .orderBy("rk").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(indexed.toSeq == out.toSeq)
   }
 
   test("rrf: anchorTopK re-keys anchor vec_id to query_id and excludes the anchor row") {
