@@ -66,6 +66,24 @@ object AnnSearch {
       .toDF("id", "qe", "n2")
   }
 
+  /** [[quantized]] carrying an int `label` column through the ONE compiled
+    * pass (the [[quantizedBlocked]] pattern) — no second corpus scan, no
+    * corpus-to-corpus join to re-attach the label. */
+  private def quantizedLabeled(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id"), col("label").cast("int"), col("embedding"))
+      .as[(Long, Int, Seq[Float])]
+      .mapPartitions(_.map { case (id, lbl, e) =>
+        val q = quantizeRow(e)
+        var n2 = 0L
+        var i = 0
+        while (i < q.length) { n2 += q(i) * q(i); i += 1 }
+        (id, lbl, q, n2)
+      })
+      .toDF("id", "label", "qe", "n2")
+  }
+
   /** Per-partition bounded top-k reduction: keeps at most k (cid, cos) rows
     * per qid per partition under the total order (cos desc, cid asc), so the
     * final global rank shuffles ≤ partitions×|queries|×k rows instead of
@@ -140,12 +158,10 @@ object AnnSearch {
     * the whole mine replays in the oracle. */
   def tripletMine(anchors: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1 (got $k)")
-    val q = quantized(anchors.select(col("id"), col("embedding")))
-      .join(anchors.select(col("id"), col("label")), Seq("id"))
+    val q = quantizedLabeled(anchors)
       .select(col("id").as("qid"), col("qe"), col("n2").as("qn"),
         col("label").as("ql"))
-    val c = quantized(corpus.select(col("id"), col("embedding")))
-      .join(corpus.select(col("id"), col("label")), Seq("id"))
+    val c = quantizedLabeled(corpus)
       .select(col("id").as("cid"), col("qe").as("ce"), col("n2").as("cn"),
         col("label").as("cl"))
     val pairs = c.join(broadcast(q), col("qid") =!= col("cid"))
@@ -155,15 +171,14 @@ object AnnSearch {
       .agg(min(struct(col("cos"), col("cid"))).as("m"))
       .select(col("qid"), col("m.cid").as("pos_id"),
         round(col("m.cos"), 6).as("pos_cos"))
-    val neg = partitionTopK(
+    // negatives reduce through the SHARED rankTopK total order (heap
+    // reduction + (cos desc, cid) window + 6-dp rounding) — one copy of
+    // that contract for the whole ANN family
+    val neg = rankTopK(
         pairs.filter(col("ql") =!= col("cl"))
           .select(col("qid"), col("cid"), col("cos")), k)
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("qid")
-          .orderBy(col("cos").desc, col("cid"))))
-      .filter(col("rk") <= k)
       .select(col("qid"), col("cid").as("neg_id"),
-        round(col("cos"), 6).as("neg_cos"), col("rk").cast("bigint").as("rk"))
+        col("cos").as("neg_cos"), col("rk").cast("bigint").as("rk"))
     neg.join(pos, Seq("qid"))
       .withColumn("margin",
         round(col("pos_cos") - col("neg_cos"), 6))

@@ -127,6 +127,13 @@ object GraphAnn {
       entryIds: Option[Array[Long]] = None): DataFrame = {
     require(ef >= k, s"beam width ef=$ef must cover k=$k")
     require(hops >= 1, s"at least one hop (got $hops)")
+    // an empty override would seed every walk with zero candidates and
+    // return an empty result with no error (insertBatch on an empty graph
+    // would silently insert NOTHING); a larger-than-ef set would widen
+    // the first beam past the documented bound
+    entryIds.foreach(e => require(e.nonEmpty && e.length <= ef,
+      s"entryIds must be 1..$ef ids (got ${e.length} — empty means the " +
+        "graph has no sources; build before inserting)"))
     val spark = corpus.sparkSession
     import spark.implicits._
     // PERSIST both loop-invariant frames: every hop re-reads them, and a

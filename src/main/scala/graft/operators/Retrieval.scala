@@ -281,10 +281,14 @@ object Retrieval {
     *
     * Determinism: each contribution is quantized to int64 micro-units
     * (`round(1e6/(k0+rk))` — the pack-wide convention), so the fused score
-    * is an exact order-free integer SUM; ties break by doc_id. With k0=60
-    * and ranks ≤ 1e4 the contributions are distinct per rank and never hit
-    * a .5 rounding boundary (1e6/(60+rk) terminates in .5 only if
-    * (60+rk) divides 2e6 into an odd integer — no rank does).
+    * is an exact order-free integer SUM; ties break by doc_id. Exact .5
+    * rounding boundaries DO exist (1e6/(60+rk) ends in .5 whenever 60+rk
+    * divides 2e6 into an odd integer — rk = 68, 580, 3140 within rank
+    * 1e4): parity holds because Spark's HALF_UP and DuckDB's
+    * half-away-from-zero agree on POSITIVE halves, the same property
+    * every round(·, 6) in the pack already relies on. Anyone changing k0
+    * or porting the oracle to a banker's-rounding engine must re-check
+    * those boundary ranks.
     *
     * Scale shape (100 TB): the inputs are already per-query bounded top-N
     * lists — O(|queries|·N·|lists|) rows total — so the fusion agg and the
@@ -327,6 +331,14 @@ object Retrieval {
     val qv = queryVec.toSeq.toDF("query_id", "qvec_id")
     val anchors = emb.filter(
       col("id").isin(queryVec.values.toSeq.map(Long.box): _*))
+    // a missing anchor id would silently drop its query's whole dense
+    // list (rrfHybridIndexed would degrade to lexical-only fusion with
+    // plausible-looking output) — fail loudly instead, like every other
+    // guard in this file. One narrow id-scan, |anchors| ≤ |queries|.
+    val found = anchors.select(col("id")).distinct().count()
+    require(found == queryVec.values.toSet.size,
+      s"anchorTopK: only $found of ${queryVec.values.toSet.size} anchor " +
+        "vec_ids exist in the embedding corpus")
     AnnSearch.bruteTopK(anchors, emb, k)
       .join(broadcast(qv), col("qid") === col("qvec_id"))
       .select(col("query_id"), col("cid").as("doc_id"), col("rk"), col("cos"))
@@ -412,19 +424,29 @@ object Retrieval {
   /** [[proximityTopK]] over the persisted positional index
     * ([[phraseWriteIndex]]) — the scan partition-prunes to the phrase
     * terms' buckets, the [[phraseTopKIndexed]] contract. */
-  def proximityTopKIndexed(spark: SparkSession, indexPath: String,
-      phrases: Seq[(Int, Seq[String])], w: Int, k: Int): DataFrame = {
+  /** Positions scan pruned to `terms`' buckets — THE one copy of the
+    * positional-index probe contract (stats → Spark-hash bucket ids →
+    * static IN on the `tb` partition column); every indexed probe goes
+    * through here so a layout change cannot silently miss one caller.
+    * Returns (pruned, all): the pruned scan plus the unpruned positional
+    * table for callers that also fetch non-query tokens. */
+  private def prunedPositions(spark: SparkSession, indexPath: String,
+      terms: Seq[String]): (DataFrame, DataFrame) = {
     import spark.implicits._
     val nBuckets = spark.read.parquet(s"$indexPath/stats")
       .head().getAs[Int]("n_buckets")
-    val terms = phrases.flatMap(_._2).distinct
-    val buckets = terms.toDF("term")
+    val buckets = terms.distinct.toDF("term")
       .select(pmod(hash(col("term")), lit(nBuckets)).as("tb"))
       .distinct().as[Int].collect().toSeq
-    val pos = spark.read.parquet(s"$indexPath/positions")
-      .filter(col("tb").isin(buckets.map(Int.box): _*))
-    proximityRank(pos, phrases, w, k)
+    val all = spark.read.parquet(s"$indexPath/positions")
+    (all.filter(col("tb").isin(buckets.map(Int.box): _*)), all)
   }
+
+  def proximityTopKIndexed(spark: SparkSession, indexPath: String,
+      phrases: Seq[(Int, Seq[String])], w: Int, k: Int): DataFrame =
+    proximityRank(
+      prunedPositions(spark, indexPath, phrases.flatMap(_._2))._1,
+      phrases, w, k)
 
   private def proximityRank(pos: DataFrame,
       phrases: Seq[(Int, Seq[String])], w: Int, k: Int): DataFrame = {
@@ -494,16 +516,8 @@ object Retrieval {
     * corpus; this path re-uses the index both ways. */
   def snippetTopKIndexed(spark: SparkSession, indexPath: String,
       phrases: Seq[(Int, Seq[String])], w: Int, k: Int): DataFrame = {
-    import spark.implicits._
-    val nBuckets = spark.read.parquet(s"$indexPath/stats")
-      .head().getAs[Int]("n_buckets")
-    val all = spark.read.parquet(s"$indexPath/positions")
-    val terms = phrases.flatMap(_._2).distinct
-    val buckets = terms.toDF("term")
-      .select(pmod(hash(col("term")), lit(nBuckets)).as("tb"))
-      .distinct().as[Int].collect().toSeq
-    snippetRank(all.filter(col("tb").isin(buckets.map(Int.box): _*)),
-      all, phrases, w, k)
+    val (pruned, all) = prunedPositions(spark, indexPath, phrases.flatMap(_._2))
+    snippetRank(pruned, all, phrases, w, k)
   }
 
   private def snippetRank(hitTok: DataFrame, fetchTok: DataFrame,
@@ -575,17 +589,10 @@ object Retrieval {
     * (static IN on `tb`, the [[bm25TopKIndexed]] contract) — probe cost
     * scales with the probed posting lists, never the corpus. */
   def phraseTopKIndexed(spark: SparkSession, indexPath: String,
-      phrases: Seq[(Int, Seq[String])], k: Int): DataFrame = {
-    import spark.implicits._
-    val nBuckets = spark.read.parquet(s"$indexPath/stats")
-      .head().getAs[Int]("n_buckets")
-    val pt = phraseTermsDf(spark, phrases)
-    val buckets = pt.select(pmod(hash(col("term")), lit(nBuckets)).as("tb"))
-      .distinct().as[Int].collect().toSeq
-    val pos = spark.read.parquet(s"$indexPath/positions")
-      .filter(col("tb").isin(buckets.map(Int.box): _*))
-    phraseRank(pos, pt, k)
-  }
+      phrases: Seq[(Int, Seq[String])], k: Int): DataFrame =
+    phraseRank(
+      prunedPositions(spark, indexPath, phrases.flatMap(_._2))._1,
+      phraseTermsDf(spark, phrases), k)
 
   /** RRF hybrid retrieval over the persisted BM25 index: lexical top-n
     * ([[bm25TopKIndexed]], partition-pruned probe) fused with the dense
