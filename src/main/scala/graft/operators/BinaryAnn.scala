@@ -188,7 +188,13 @@ object BinaryAnn {
     * batch-built index is file-identical in content to a one-shot build
     * (spec-asserted probe parity). This is the codec's operational
     * advantage at 100 TB — ingest cost is exactly the batch's own encode
-    * pass, forever. */
+    * pass, forever.
+    *
+    * INGEST CONTRACT: batch ids must be NEW — the append path has no
+    * dedup (deduping would require reading the store, forfeiting the
+    * train-free O(batch) cost). A re-ingested id would yield duplicate
+    * index rows; [[probeIndex]] detects that on the shortlist fetch and
+    * fails loudly instead of silently corrupting top-k. */
   def addBatch(batch: DataFrame, path: String): Unit =
     encodeFull(batch).write.mode("append").parquet(path)
 
@@ -215,6 +221,17 @@ object BinaryAnn {
       if (ids.length <= 65536)
         idx.filter(col("id").isin(ids.toSeq: _*))
       else idx.join(broadcast(ids.toSeq.toDF("id")), "id")
+    // the [[addBatch]] unique-id ingest contract, enforced where a breach
+    // would corrupt results: a re-ingested id yields duplicate index rows,
+    // the rescore join then fans out, and row_number hands out distinct rks
+    // for the same (qid, cid) — silently wrong top-k. The guard is one
+    // bounded count over the id-pruned fetch (≤ |Q|×shortlist rows, id
+    // column only), never a corpus scan.
+    val nFetched = fetched.count()
+    require(nFetched == ids.length,
+      s"probeIndex: index at $indexPath returned $nFetched rows for " +
+        s"${ids.length} distinct shortlist ids — duplicate ids ingested " +
+        "(addBatch requires batch ids be new)")
     val c = fetched.select(col("id").as("cid"), col("qe").as("ce"),
       col("n2").as("cn"))
     rescoreTopK(queries, short, c, k)

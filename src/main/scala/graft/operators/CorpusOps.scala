@@ -298,17 +298,31 @@ object CorpusOps {
     * the schedule itself is value-checked, not just its survivors. */
   def temperatureMixSqrt(docs: DataFrame, keyCol: String,
       seed: String): DataFrame = {
-    val counts = docs.groupBy(keyCol).agg(count(lit(1)).as("n"))
-      .collect().map(r => Option(r.get(0)).map(_.toString).orNull -> r.getLong(1))
-    require(counts.nonEmpty, "temperatureMixSqrt: empty corpus")
-    require(counts.forall(_._1 != null),
+    val spark = docs.sparkSession
+    val counted = docs.groupBy(keyCol).agg(count(lit(1)).as("n"))
+    val rows = counted.collect()
+    require(rows.nonEmpty, "temperatureMixSqrt: empty corpus")
+    require(rows.forall(!_.isNullAt(0)),
       s"temperatureMixSqrt: NULL $keyCol stratum — assign strata first")
-    val nMin = counts.map(_._2).min
-    val ppm = counts.map { case (k, n) =>
-      k -> math.round(math.sqrt(nMin.toDouble / n.toDouble) * 1000000.0) }
-    val thCol = ppm.foldLeft(lit(0L): Column) { case (acc, (k, p)) =>
-      when(col(keyCol) === k, lit(p)).otherwise(acc) }
-    docs.withColumn("keep_ppm", thCol)
+    val nMin = rows.map(_.getLong(1)).min
+    // The (stratum, keep_ppm) schedule rides back as a TINY broadcast frame
+    // joined on the NATIVELY-TYPED stratum value: a when()-chain comparing
+    // col(keyCol) === key.toString would silently send any stratum whose
+    // value doesn't round-trip through a cast-from-string (timestamps,
+    // decimals) to the 0-ppm default — dropping the stratum with no error —
+    // and its expression tree grows O(|strata|) deep (a real planning cost
+    // at thousands of strata). The join is depth-O(1), type-exact, and an
+    // INNER join by construction covers every doc row (each stratum value
+    // present in `docs` is present in its own count row).
+    val rateRows = rows.map { r => org.apache.spark.sql.Row(r.get(0),
+      math.round(math.sqrt(nMin.toDouble / r.getLong(1).toDouble) * 1000000.0)) }
+    val rateSchema = org.apache.spark.sql.types.StructType(Seq(
+      counted.schema.head.copy(name = keyCol),
+      org.apache.spark.sql.types.StructField("keep_ppm",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val rates = spark.createDataFrame(
+      java.util.Arrays.asList(rateRows: _*), rateSchema)
+    docs.join(broadcast(rates), Seq(keyCol))
       .filter(h60hex(keyed(seed, col("doc_id"))) % 1000000 < col("keep_ppm"))
   }
 

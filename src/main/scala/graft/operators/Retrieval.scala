@@ -306,11 +306,23 @@ object Retrieval {
     }.reduce(_ unionByName _)
     val rkCols = lists.indices.map(i =>
       max(when(col("li") === i, col("rk"))).cast("bigint").as(s"rk_$i"))
+    // Contract: each input list is (query_id, doc_id)-UNIQUE (it is a
+    // ranked list). A duplicate would sum two 1/(k0+rk) contributions for
+    // one membership and let max() pick an arbitrary rank — plausible
+    // output, silently inflated. Checked in the same agg (rows per fused
+    // group must equal distinct contributing lists) and failed loudly via
+    // assert_true, the family's discipline; the extra counters run over
+    // the bounded top-N input, never the corpus.
+    val guards = Seq(count(lit(1)).as("_n"), countDistinct("li").as("_nli"))
     tagged
       .withColumn("c",
         round(lit(1000000.0) / (lit(k0) + col("rk"))).cast("bigint"))
       .groupBy("query_id", "doc_id")
-      .agg(sum("c").as("rrf_micro"), rkCols: _*)
+      .agg(sum("c").as("rrf_micro"), (rkCols ++ guards): _*)
+      .filter(assert_true(col("_n") === col("_nli"),
+        lit("rrfFuse: duplicate (query_id, doc_id) within one ranked list — " +
+          "inputs must be per-query-unique ranked lists")).isNull)
+      .drop("_n", "_nli")
       .withColumn("rk", row_number().over(Window.partitionBy("query_id")
         .orderBy(col("rrf_micro").desc, col("doc_id"))))
       .filter(col("rk") <= k)
@@ -329,16 +341,28 @@ object Retrieval {
     val spark = emb.sparkSession
     import spark.implicits._
     val qv = queryVec.toSeq.toDF("query_id", "qvec_id")
-    val anchors = emb.filter(
-      col("id").isin(queryVec.values.toSeq.map(Long.box): _*))
     // a missing anchor id would silently drop its query's whole dense
     // list (rrfHybridIndexed would degrade to lexical-only fusion with
     // plausible-looking output) — fail loudly instead, like every other
-    // guard in this file. One narrow id-scan, |anchors| ≤ |queries|.
-    val found = anchors.select(col("id")).distinct().count()
-    require(found == queryVec.values.toSet.size,
-      s"anchorTopK: only $found of ${queryVec.values.toSet.size} anchor " +
+    // guard in this file. The anchor rows are the broadcast side of the
+    // brute scan anyway (bounded, ≤ |queries|), so ONE id-scan collects
+    // them and the presence check costs no extra corpus pass — the
+    // previous eager distinct().count() guard was a second full scan of
+    // the embedding frame on every call.
+    val proj = emb.filter(
+        col("id").isin(queryVec.values.toSeq.map(Long.box): _*))
+      .select(col("id"), col("embedding"))
+    val aRows = proj.collect()
+    val foundIds = aRows.map(_.getLong(0)).toSet
+    val want = queryVec.values.toSet
+    require(foundIds.size == want.size,
+      s"anchorTopK: only ${foundIds.size} of ${want.size} anchor " +
         "vec_ids exist in the embedding corpus")
+    require(aRows.length == foundIds.size,
+      s"anchorTopK: duplicate anchor vec_id rows in the embedding corpus " +
+        s"(${aRows.length} rows for ${foundIds.size} ids)")
+    val anchors = spark.createDataFrame(
+      java.util.Arrays.asList(aRows: _*), proj.schema)
     AnnSearch.bruteTopK(anchors, emb, k)
       .join(broadcast(qv), col("qid") === col("qvec_id"))
       .select(col("query_id"), col("cid").as("doc_id"), col("rk"), col("cos"))

@@ -271,10 +271,10 @@ object Corpus {
         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rk
         |  FROM dc) WHERE rk <= 20),
         |u AS (SELECT query_id, doc_id,
-        |    CAST(round(1000000.0/(60+rk)) AS BIGINT) AS c,
+        |    CAST(round(CAST(1000000.0 AS DOUBLE)/(60+rk)) AS BIGINT) AS c,
         |    rk AS bm25_rk, CAST(NULL AS BIGINT) AS cos_rk FROM bm
         |  UNION ALL SELECT query_id, doc_id,
-        |    CAST(round(1000000.0/(60+rk)) AS BIGINT),
+        |    CAST(round(CAST(1000000.0 AS DOUBLE)/(60+rk)) AS BIGINT),
         |    CAST(NULL AS BIGINT), rk FROM cse),
         |f AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro,
         |    CAST(max(bm25_rk) AS BIGINT) AS bm25_rk,
