@@ -117,16 +117,60 @@ object GraphAnn {
       .select(col("qid").as("src"), col("cid").as("dst"))
   }
 
-  /** Beam-search top-k over `graph`. `queries`/`corpus`: (id, embedding);
-    * `graph`: (src, dst) as built by [[knnGraph]]. `ef >= k` required.
-    * `entryIds` overrides the default corpus-lowest-ef entry set (shared
-    * by every query) — [[insertBatch]] passes the pre-batch graph's
-    * sources so walks start on navigable ground. */
+  /** Bounded id-set fetch hook: `(frame, idColumn, ids) => matching rows`.
+    * The default is the InSet/broadcast-join discipline below; the at-rest
+    * index path ([[probeIndex]]) substitutes a fetch that additionally
+    * prunes the store's `bucket` partitions, resolves edge generations,
+    * and masks tombstoned nodes — the WALK algebra never changes, only
+    * where its bytes come from (the [[BinaryAnn.probeIndex]] contract). */
+  private[operators] type IdFetch = (DataFrame, String, Array[Long]) => DataFrame
+
+  /** InSet pushdown below the 65536 cap, join fallback above (the
+    * [[IvfPq]] shortlist-fetch discipline). */
+  private[operators] val defaultFetch: IdFetch = (df, idCol, ids) => {
+    if (ids.length <= 65536) df.filter(col(idCol).isin(ids.toSeq: _*))
+    else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      df.join(broadcast(ids.toSeq.toDF(idCol)), idCol)
+    }
+  }
+
+  /** `corpus` in the pre-quantized at-rest shape (id, qe, n2[, bucket])
+    * instead of raw (id, embedding)? Decides both whether to run the
+    * quantize pass and whether to persist: a parquet-backed store must NOT
+    * be persisted — an InMemoryRelation under the per-hop id fetches would
+    * materialize the WHOLE store on first use, defeating the partition
+    * pruning that is the index's entire point. */
+  private def preQuantized(df: DataFrame): Boolean =
+    df.columns.contains("qe") && df.columns.contains("n2")
+
+  private def quantizedView(df: DataFrame): DataFrame =
+    if (preQuantized(df)) {
+      val keep = Seq("id", "qe", "n2") ++
+        (if (df.columns.contains("bucket")) Seq("bucket") else Nil)
+      df.select(keep.map(col): _*)
+    } else AnnSearch.quantized(df)
+
+  /** Beam-search top-k over `graph`. `queries`: (id, embedding);
+    * `corpus`: (id, embedding), or the pre-quantized (id, qe, n2[,
+    * bucket]) at-rest shape; `graph`: (src, dst) as built by [[knnGraph]]
+    * (extra columns — gen, bucket — are the at-rest layout, resolved by
+    * `fetchFn`). `ef >= k` required. `entryIds` overrides the default
+    * corpus-lowest-ef entry set (shared by every query) — [[insertBatch]]
+    * passes the pre-batch graph's sources so walks start on navigable
+    * ground. `entrySeeds` goes further: a PER-QUERY seed map (the
+    * [[hnswTopK]] layer-descent shape, driver-paced) — each query's walk
+    * starts from its own upper-layer winners. */
   def beamTopK(queries: DataFrame, corpus: DataFrame, graph: DataFrame,
       k: Int, ef: Int, hops: Int,
-      entryIds: Option[Array[Long]] = None): DataFrame = {
+      entryIds: Option[Array[Long]] = None,
+      entrySeeds: Option[Map[Long, Array[Long]]] = None,
+      fetchFn: IdFetch = defaultFetch): DataFrame = {
     require(ef >= k, s"beam width ef=$ef must cover k=$k")
     require(hops >= 1, s"at least one hop (got $hops)")
+    require(entryIds.isEmpty || entrySeeds.isEmpty,
+      "pass entryIds (global) or entrySeeds (per-query), not both")
     // an empty override would seed every walk with zero candidates and
     // return an empty result with no error (insertBatch on an empty graph
     // would silently insert NOTHING); a larger-than-ef set would widen
@@ -141,28 +185,37 @@ object GraphAnn {
     // be RECOMPUTED once per hop — measured 13 s → 3.5 s on the q361 bench
     // body. Unpersisted in the finally below ONLY if we created the cache
     // entry ([[persistUnlessCached]]); the returned frame is built from
-    // the collected beam, so it survives the unpersist.
-    val (cc, ownCc) = persistUnlessCached(AnnSearch.quantized(corpus))
+    // the collected beam, so it survives the unpersist. At-rest frames
+    // (pre-quantized store / gen-carrying adjacency) are NOT persisted —
+    // see [[preQuantized]].
+    val (cc, ownCc) =
+      if (preQuantized(corpus)) (quantizedView(corpus), false)
+      else persistUnlessCached(AnnSearch.quantized(corpus))
     val (g, ownG) =
-      persistUnlessCached(graph.select(col("src"), col("dst")))
+      if (graph.columns.contains("gen")) (graph, false)
+      else persistUnlessCached(graph.select(col("src"), col("dst")))
     try {
       // probe batch: broadcast-bounded (the bruteTopK broadcast(q) contract)
       val qArr = AnnSearch.quantized(queries)
         .select(col("id"), col("qe"), col("n2")).as[(Long, Seq[Long], Long)]
         .collect().map { case (id, e, n2) => (id, e.toArray, n2) }
       val qids = qArr.map(_._1)
+      entrySeeds.foreach { m =>
+        qids.foreach { q =>
+          val s = m.getOrElse(q, Array.emptyLongArray)
+          require(s.nonEmpty && s.length <= ef,
+            s"entrySeeds for query $q must be 1..$ef ids (got ${s.length})")
+        }
+      }
 
       // entry set: the ef lowest node ids — deterministic, replayable —
       // unless the caller supplied its own (bounded-by-ef) entry set
-      val entry = entryIds.getOrElse(
+      lazy val entry = entryIds.getOrElse(
         cc.select(col("id")).orderBy("id").limit(ef).as[Long].collect())
         .sorted
 
-      /** Fetch a bounded id set: InSet pushdown below the 65536 cap, join
-        * fallback above (the [[IvfPq]] shortlist-fetch discipline). */
       def fetch(df: DataFrame, idCol: String, ids: Array[Long]): DataFrame =
-        if (ids.length <= 65536) df.filter(col(idCol).isin(ids.toSeq: _*))
-        else df.join(broadcast(ids.toSeq.toDF(idCol)), idCol)
+        fetchFn(df, idCol, ids)
 
       /** Exact (cos desc, cid) top-`ef` per query over per-query candidate
         * id sets: ONE distributed pass — candidate vectors are fetched by
@@ -224,7 +277,10 @@ object GraphAnn {
         } finally bc.destroy()
       }
 
-      var beam = selectBeam(qids.map(_ -> entry).toMap)
+      var beam = selectBeam(entrySeeds match {
+        case Some(m) => qids.map(q => q -> m(q).distinct.sorted).toMap
+        case None => qids.map(_ -> entry).toMap
+      })
       var hop = 0
       while (hop < hops) {
         // expand: out-edges of every beam node, one id-set-pruned scan of the
@@ -413,7 +469,9 @@ object GraphAnn {
     * split → both builds → chained seeded walks bit-exactly. */
   def hnswTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       m: Int = 8, m1: Int = 4, ef1: Int = 4, hops1: Int = 2,
-      ef: Int = 16, hops: Int = 2): DataFrame = {
+      ef: Int = 16, hops: Int = 2,
+      g1Opt: Option[DataFrame] = None,
+      g0Opt: Option[DataFrame] = None): DataFrame = {
     val lvl1 = levelNodes(corpus, 1)
     // upper-layer entry: the ef1 lowest LAYER-1 ids (global, tiny) — a
     // narrow id scan; quantizing the layer just to read ids would run the
@@ -422,9 +480,13 @@ object GraphAnn {
       lvl1.select(col(lvl1.columns.head).as("cid"))
         .orderBy("cid").limit(ef1))
     val qid = queries.select(col(queries.columns.head).as("qid"))
-    val b1 = beamTopKSeeded(queries, corpus, knnGraph(lvl1, m1),
+    // callers holding prebuilt (or fixture-cached) layer graphs pass them
+    // in — the per-call rebuild is the one-shot convenience, not the
+    // contract (the at-rest form is [[writeIndex]]/[[probeIndex]])
+    val b1 = beamTopKSeeded(queries, corpus,
+      g1Opt.getOrElse(knnGraph(lvl1, m1)),
       qid.crossJoin(ent1), ef1, ef1, hops1)
-    beamTopKSeeded(queries, corpus, knnGraph(corpus, m),
+    beamTopKSeeded(queries, corpus, g0Opt.getOrElse(knnGraph(corpus, m)),
       b1.select("qid", "cid"), k, ef, hops)
   }
 
@@ -439,7 +501,7 @@ object GraphAnn {
     * (N·m + inserts), never pairwise. */
   private def trimEdges(edges: DataFrame, corpus: DataFrame,
       m: Int): DataFrame = {
-    val cc = AnnSearch.quantized(corpus)
+    val cc = quantizedView(corpus)
     edges.select("src", "dst").distinct()
       .join(cc.select(col("id").as("src"), col("qe").as("se"),
         col("n2").as("sn")), "src")
@@ -569,5 +631,377 @@ object GraphAnn {
     val toTrim = kept.join(touched, Seq("src"), "left_semi")
       .unionByName(bridge)
     keptUntouched.unionByName(trimEdges(toTrim, survivors, m))
+  }
+
+  // =====================================================================
+  // THE AT-REST FORM — the graph index as files, not a DataFrame
+  // (VERDICT r15 task 2/3: "what q370 did for the binary codec — the
+  // claim as a plan property"). Layout under one root:
+  //
+  //   <path>/vectors/bucket=B/…   (id, qe, n2)    bucket = pmod(id, nB)
+  //   <path>/adj0/bucket=B/…      (src, dst, gen) bucket = pmod(src, nB)
+  //   <path>/adj1/bucket=B/…      layer-1 adjacency, same shape
+  //   <path>/entries/…            lowest live layer-1 ids (≤ ENTRY_CAP)
+  //   <path>/tombstones/…         deleted node ids (append-only)
+  //   <path>/_meta                m, m1, nBuckets, gen (text, tmp+rename)
+  //
+  // Probe cost is a PLAN PROPERTY: every walk fetch filters on the bucket
+  // partition column first (PartitionFilters — spec-asserted), so a hop
+  // reads only the buckets its ≤ |Q|·ef ids live in, never the store.
+  // Mutations never rewrite the store: an insert/delete batch APPENDS the
+  // re-trimmed edge sets of the touched sources at generation gen+1 and
+  // the reader resolves max-gen-per-src over its (bounded, pruned) fetch —
+  // the [[IvfPq.addBatch]]/tombstone discipline applied to adjacency.
+  // Levels need no storage at all: the HNSW layer draw ([[levelNodes]])
+  // is a pure keyed-hash function of the id, so layer membership is
+  // derivable forever, and only the layer GRAPHS are materialized.
+  //
+  // Single-writer contract (the [[TxnMergeOnRead]] counterpart is
+  // deliberately out of scope here, as for [[IvfPq]]): concurrent
+  // addBatch/removeBatch calls race the generation counter. Ingested ids
+  // must be NEW ([[BinaryAnn.addBatch]]'s unique-id contract) — a re-used
+  // id would alias its vector row and corrupt trims silently.
+  // =====================================================================
+
+  /** Lowest live layer-1 ids kept in the entry sidecar. The cap bounds
+    * the sidecar read at probe time; semantics are ALWAYS "the lowest
+    * min(cap, live) layer-1 ids" — [[removeBatch]] rebuilds the sidecar
+    * from the store whenever a deletion touches it, so the oracle rule
+    * (lowest ef1 LIVE layer-1 ids) holds at every generation. */
+  private val ENTRY_CAP = 256
+
+  private case class IndexMeta(m: Int, m1: Int, nBuckets: Int, gen: Long)
+
+  private def hfs(spark: org.apache.spark.sql.SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writeMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String, mt: IndexMeta): Unit = {
+    val f = hfs(spark, path)
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$path/.meta_tmp_${java.util.UUID.randomUUID.toString.take(12)}")
+    val out = f.create(tmp, true)
+    try out.write(
+      s"m=${mt.m}\nm1=${mt.m1}\nnBuckets=${mt.nBuckets}\ngen=${mt.gen}\n"
+        .getBytes("UTF-8"))
+    finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(s"$path/_meta")
+    f.delete(dst, false)
+    require(f.rename(tmp, dst), s"could not publish $path/_meta")
+  }
+
+  private def readMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): IndexMeta = {
+    val f = hfs(spark, path)
+    val p = new org.apache.hadoop.fs.Path(s"$path/_meta")
+    require(f.exists(p), s"no graph index at $path (missing _meta)")
+    val in = f.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val kv = txt.linesIterator.filter(_.contains("="))
+      .map { l => val Array(k, v) = l.split("=", 2); k -> v }.toMap
+    IndexMeta(kv("m").toInt, kv("m1").toInt, kv("nBuckets").toInt,
+      kv("gen").toLong)
+  }
+
+  private def bucketed(df: DataFrame, idCol: String, n: Int): DataFrame =
+    df.withColumn("bucket", pmod(col(idCol), lit(n.toLong)))
+
+  private def writeAdj(edges: DataFrame, dir: String, gen: Long, n: Int,
+      append: Boolean): Unit =
+    bucketed(edges.select(col("src"), col("dst"))
+        .withColumn("gen", lit(gen)), "src", n)
+      .write.partitionBy("bucket")
+      .mode(if (append) "append" else "overwrite").parquet(dir)
+
+  private def writeEntries(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: Array[Long]): Unit = {
+    import spark.implicits._
+    // tmp + swap so a reader never sees a half-written sidecar
+    val tmp = s"$path/.entries_tmp"
+    ids.toSeq.toDF("id").coalesce(1).write.mode("overwrite").parquet(tmp)
+    val f = hfs(spark, path)
+    val dst = new org.apache.hadoop.fs.Path(s"$path/entries")
+    f.delete(dst, true)
+    require(f.rename(new org.apache.hadoop.fs.Path(tmp), dst),
+      s"could not publish $path/entries")
+  }
+
+  private def readEntries(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Long] = {
+    import spark.implicits._
+    spark.read.parquet(s"$path/entries").select("id").as[Long]
+      .collect().sorted
+  }
+
+  private def readTombs(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Long] = {
+    val f = hfs(spark, path)
+    if (!f.exists(new org.apache.hadoop.fs.Path(s"$path/tombstones")))
+      Array.emptyLongArray
+    else {
+      import spark.implicits._
+      // bounded-collect contract: tombstones grow with DELETED ids only
+      // (the IvfPq.removeIds posture); a compaction folding them into a
+      // rewritten store is the long-run answer, as for every LSM design
+      spark.read.parquet(s"$path/tombstones").select("id").as[Long]
+        .collect().distinct.sorted
+    }
+  }
+
+  /** The at-rest fetch: bucket partition pruning first (bucket =
+    * pmod(id, nBuckets) is derivable from the requested id set), then the
+    * InSet/join id filter; adjacency frames (recognized by their `gen`
+    * column) additionally resolve max-gen-per-src over the bounded fetch
+    * and mask tombstoned destinations. Exposed private[graft] so the spec
+    * can assert the PartitionFilters plan property directly. */
+  private[graft] def indexFetch(nBuckets: Int,
+      tombs: Array[Long]): IdFetch = (df, idCol, ids) => {
+    val bks = ids.map(i => ((i % nBuckets) + nBuckets) % nBuckets)
+      .distinct.toSeq
+    val pruned = df.filter(col("bucket").isin(bks: _*))
+    val base =
+      if (ids.length <= 65536) pruned.filter(col(idCol).isin(ids.toSeq: _*))
+      else {
+        val spark = df.sparkSession
+        import spark.implicits._
+        pruned.join(broadcast(ids.toSeq.toDF(idCol)), idCol)
+      }
+    if (df.columns.contains("gen")) {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(idCol)
+      val live = base.withColumn("_mg", max("gen").over(w))
+        .filter(col("gen") === col("_mg"))
+      val masked =
+        if (tombs.isEmpty) live
+        else if (tombs.length <= 65536)
+          live.filter(!col("dst").isin(tombs.toSeq: _*))
+        else {
+          val spark = df.sparkSession
+          import spark.implicits._
+          live.join(broadcast(tombs.toSeq.toDF("dst")), Seq("dst"),
+            "left_anti")
+        }
+      masked.select("src", "dst")
+    } else base
+  }
+
+  /** Build and persist the index: one quantize pass writes the bucketed
+    * vector store, both layer graphs land bucketed-by-src at generation 1,
+    * and the entry sidecar records the lowest layer-1 ids. `centroidStride`
+    * switches the layer-0 build to [[blockedKnnGraph]] — the 100 TB build
+    * path; None = exact [[knnGraph]] (the fixture-gold standard). */
+  def writeIndex(corpus: DataFrame, path: String, m: Int = 8, m1: Int = 4,
+      nBuckets: Int = 16, centroidStride: Option[Int] = None): Unit = {
+    require(m >= 1 && m1 >= 1 && nBuckets >= 1, "bad index parameters")
+    val spark = corpus.sparkSession
+    hfs(spark, path).delete(new org.apache.hadoop.fs.Path(path), true)
+    bucketed(AnnSearch.quantized(corpus), "id", nBuckets)
+      .write.partitionBy("bucket").parquet(s"$path/vectors")
+    val g0 = centroidStride
+      .map(st => blockedKnnGraph(corpus, m, st))
+      .getOrElse(knnGraph(corpus, m))
+    writeAdj(g0, s"$path/adj0", 1L, nBuckets, append = false)
+    val lvl1 = levelNodes(corpus, 1)
+    writeAdj(knnGraph(lvl1, m1), s"$path/adj1", 1L, nBuckets,
+      append = false)
+    import spark.implicits._
+    val ents = lvl1.select(col(lvl1.columns.head).as("id"))
+      .orderBy("id").limit(ENTRY_CAP).as[Long].collect()
+    require(ents.nonEmpty,
+      "writeIndex: no layer-1 nodes — corpus too small for a hierarchy " +
+        "(the flat beamTopK path covers toy corpora)")
+    writeEntries(spark, path, ents)
+    writeMeta(spark, path, IndexMeta(m, m1, nBuckets, 1L))
+  }
+
+  /** Probe the persisted index — the HNSW descent with every byte coming
+    * from pruned reads: the upper walk starts at the entry sidecar's ef1
+    * lowest live layer-1 ids and walks adj1; each query's upper winners
+    * seed its adj0 walk. Both walks are driver-paced ([[beamTopK]] —
+    * probe batches are bounded by contract) and every fetch goes through
+    * [[indexFetch]]: bucket partition pruning + max-gen resolution +
+    * tombstone masking. Nothing is rebuilt, nothing unpruned is read. */
+  def probeIndex(queries: DataFrame, path: String, k: Int,
+      ef1: Int = 8, hops1: Int = 2, ef: Int = 16,
+      hops: Int = 2): DataFrame = {
+    require(ef1 >= 1 && ef >= k, s"need ef1 >= 1 and ef=$ef >= k=$k")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val mt = readMeta(spark, path)
+    val tombs = readTombs(spark, path)
+    val fetch = indexFetch(mt.nBuckets, tombs)
+    val vec = spark.read.parquet(s"$path/vectors")
+    val adj1 = spark.read.parquet(s"$path/adj1")
+    val adj0 = spark.read.parquet(s"$path/adj0")
+    val ents = readEntries(spark, path).filterNot(tombs.contains).take(ef1)
+    require(ents.nonEmpty,
+      s"probeIndex: entry sidecar exhausted at $path — rebuild the index")
+    val up = beamTopK(queries, vec, adj1, k = ef1, ef = ef1, hops = hops1,
+      entryIds = Some(ents), fetchFn = fetch)
+    val seeds = up.select(col("qid"), col("cid")).as[(Long, Long)]
+      .collect().groupBy(_._1).map { case (q, a) => q -> a.map(_._2) }
+    beamTopK(queries, vec, adj0, k, ef, hops,
+      entrySeeds = Some(seeds), fetchFn = fetch)
+  }
+
+  /** HNSW-style LEVEL-AWARE incremental insertion against the persisted
+    * index (VERDICT r15 task 3). One upper walk serves two purposes: every
+    * batch node descends layer 1 from the entry sidecar to find its
+    * layer-0 seeds (HNSW's descent — the search structure is its own
+    * build tool), and the walk's top-m1 per LAYER-1 batch node are that
+    * node's layer-1 out-edges. Each layer then applies the uniform
+    * [[insertBatch]] algebra — back-edges + touched-source re-trim — and
+    * APPENDS the re-trimmed sources at gen+1; untouched sources' rows are
+    * never rewritten (max-gen-per-src resolution at read). All walks run
+    * against the PRE-batch generations, so inserts within a batch commute
+    * (the [[IvfPq.addBatch]] order-independence contract) and the whole
+    * step replays in the oracle. Cost: the batch's own schedule-bounded
+    * walks + two O(batch·m) trims + appends — never a rebuild, flat in
+    * corpus size (GraphScale's insert discipline). */
+  def addBatch(path: String, batch: DataFrame, ef1: Int = 8,
+      hops1: Int = 2, ef: Int = 16, hops: Int = 2): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val mt = readMeta(spark, path)
+    require(mt.m1 <= ef1 && mt.m <= ef,
+      s"walk widths must cover edge degrees (m=${mt.m} ef=$ef, " +
+        s"m1=${mt.m1} ef1=$ef1)")
+    val newGen = mt.gen + 1
+    val tombs = readTombs(spark, path)
+    val fetch = indexFetch(mt.nBuckets, tombs)
+    // vectors first: the trims below fetch BOTH endpoints (incl. batch
+    // ids) from the store; the walks only ever fetch pre-batch candidates
+    bucketed(AnnSearch.quantized(batch), "id", mt.nBuckets)
+      .write.partitionBy("bucket").mode("append").parquet(s"$path/vectors")
+    val vec = spark.read.parquet(s"$path/vectors")
+    val adj1 = spark.read.parquet(s"$path/adj1")
+    val adj0 = spark.read.parquet(s"$path/adj0")
+    val ents = readEntries(spark, path).filterNot(tombs.contains).take(ef1)
+    require(ents.nonEmpty,
+      s"addBatch: entry sidecar exhausted at $path — rebuild the index")
+
+    // ONE upper walk: descent seeds for every batch node; its rk <= m1
+    // prefix is the layer-1 edge selection for layer-1 batch nodes
+    val up = beamTopK(batch, vec, adj1, k = ef1, ef = ef1, hops = hops1,
+      entryIds = Some(ents), fetchFn = fetch).localCheckpoint(true)
+    val b1Ids = levelNodes(batch, 1)
+      .select(col(batch.columns.head).cast("long")).as[Long].collect().toSet
+    val seeds = up.select(col("qid"), col("cid")).as[(Long, Long)]
+      .collect().groupBy(_._1).map { case (q, a) => q -> a.map(_._2) }
+    val w0 = beamTopK(batch, vec, adj0, k = mt.m, ef = ef, hops = hops,
+      entrySeeds = Some(seeds), fetchFn = fetch)
+
+    /** The uniform insert algebra on one layer: new edges → back-edges →
+      * touched-source re-trim over a PRUNED fetch of their live rows.
+      * Returns the gen+1 rows, MATERIALIZED before any append below can
+      * change the file listing under its lineage. */
+    def layerRows(adj: DataFrame, newE: DataFrame, mDeg: Int): DataFrame = {
+      val backE = newE.select(col("dst").as("src"), col("src").as("dst"))
+      val touchedIds = newE.select("src").unionByName(backE.select("src"))
+        .distinct().as[Long].collect()
+      val old = fetch(adj, "src", touchedIds)
+      val toTrim = old.unionByName(newE).unionByName(backE)
+      trimEdges(toTrim, vec, mDeg).localCheckpoint(true)
+    }
+
+    val newE0 = w0.select(col("qid").as("src"), col("cid").as("dst"))
+    val rows0 = layerRows(adj0, newE0, mt.m)
+    val rows1Opt = if (b1Ids.isEmpty) None else {
+      val newE1 = up.filter(col("rk") <= mt.m1 &&
+          col("qid").isin(b1Ids.toSeq: _*))
+        .select(col("qid").as("src"), col("cid").as("dst"))
+      Some(layerRows(adj1, newE1, mt.m1))
+    }
+    writeAdj(rows0, s"$path/adj0", newGen, mt.nBuckets, append = true)
+    rows1Opt.foreach(r =>
+      writeAdj(r, s"$path/adj1", newGen, mt.nBuckets, append = true))
+    if (b1Ids.nonEmpty)
+      writeEntries(spark, path,
+        (readEntries(spark, path) ++ b1Ids).distinct.sorted.take(ENTRY_CAP))
+    writeMeta(spark, path, mt.copy(gen = newGen))
+  }
+
+  /** Graph-index DELETE against the persisted form — [[removeNodes]]'
+    * bridge-repair algebra per layer, expressed as appends: removed ids
+    * land in the tombstone sidecar (readers mask dead DESTINATIONS at
+    * fetch, which realizes the "kept" edge drop for untouched sources
+    * without rewriting them), and every BRIDGED source's re-trimmed edge
+    * set appends at gen+1. In-edge discovery is the one full adjacency
+    * scan in the lifecycle (candidate sources with any-gen edges into the
+    * removed set, then a pruned live re-fetch drops stale-generation
+    * false positives) — the documented cost of delete repair without a
+    * reverse-adjacency sidecar, exactly FreshDiskANN's trade. `removed`:
+    * a single id column, batch-bounded (the [[IvfPq.removeIds]] guard). */
+  def removeBatch(path: String, removed: DataFrame): Unit = {
+    require(removed.columns.length == 1,
+      s"removed must be a single id column (got ${removed.columns.mkString(", ")})")
+    val spark = removed.sparkSession
+    import spark.implicits._
+    val mt = readMeta(spark, path)
+    val newGen = mt.gen + 1
+    val oldTombs = readTombs(spark, path)
+    val fetch = indexFetch(mt.nBuckets, oldTombs)
+    val rIds = removed.select(col(removed.columns.head).cast("long"))
+      .as[Long].collect().distinct
+    require(rIds.nonEmpty, "removeBatch: empty removed set")
+    val vec = spark.read.parquet(s"$path/vectors")
+
+    /** Bridge-repair one layer; returns the gen+1 rows for its bridged
+      * sources, materialized (same lineage rule as addBatch). */
+    def repair(adj: DataFrame, rSet: Array[Long],
+        mDeg: Int): Option[DataFrame] = {
+      if (rSet.isEmpty) return None
+      val rCol = rSet.toSeq
+      // candidate in-edge sources: any-gen scan (no src pruning exists for
+      // a dst predicate), then the pruned LIVE re-fetch below drops
+      // stale-generation false positives
+      val candSrc = adj.filter(col("dst").isin(rCol: _*) &&
+          !col("src").isin(rCol: _*))
+        .select("src").distinct().as[Long].collect()
+      if (candSrc.isEmpty) return None
+      val candLive = fetch(adj, "src", candSrc)
+      val intoR = candLive.filter(col("dst").isin(rCol: _*))
+        .select(col("src"), col("dst").as("mid"))
+      val outR = fetch(adj, "src", rSet)
+        .filter(!col("dst").isin(rCol: _*))
+        .select(col("src").as("mid"), col("dst"))
+      val bridge = intoR.join(outR, "mid")
+        .filter(col("src") =!= col("dst")).select("src", "dst")
+      val touchedIds = bridge.select("src").distinct().as[Long].collect()
+      if (touchedIds.isEmpty) return None
+      val keptTouched = candLive
+        .filter(col("src").isin(touchedIds.toSeq: _*) &&
+          !col("dst").isin(rCol: _*))
+      val toTrim = keptTouched.unionByName(bridge)
+      Some(trimEdges(toTrim, vec, mDeg).localCheckpoint(true))
+    }
+
+    val adj0 = spark.read.parquet(s"$path/adj0")
+    val adj1 = spark.read.parquet(s"$path/adj1")
+    val r1 = levelNodes(rIds.toSeq.toDF("id"), 1).as[Long].collect()
+    val rows0 = repair(adj0, rIds, mt.m)
+    val rows1 = repair(adj1, r1, mt.m1)
+    rows0.foreach(r =>
+      writeAdj(r, s"$path/adj0", newGen, mt.nBuckets, append = true))
+    rows1.foreach(r =>
+      writeAdj(r, s"$path/adj1", newGen, mt.nBuckets, append = true))
+    rIds.toSeq.toDF("id").coalesce(1).write.mode("append")
+      .parquet(s"$path/tombstones")
+    // the sidecar invariant is "lowest min(cap, live) layer-1 ids": a
+    // deletion touching it forces a rebuild from the store (rare, and an
+    // id-column-only scan), so the probe entry rule stays exactly the
+    // oracle's "lowest ef1 LIVE layer-1 ids" at every generation
+    val ents = readEntries(spark, path)
+    if (ents.exists(rIds.contains)) {
+      val allTombs = (oldTombs ++ rIds).distinct
+      val live = levelNodes(vec.select(col("id")), 1)
+        .filter(!col("id").isin(allTombs.toSeq: _*))
+        .orderBy("id").limit(ENTRY_CAP).as[Long].collect()
+      require(live.nonEmpty,
+        s"removeBatch: no live layer-1 nodes remain at $path")
+      writeEntries(spark, path, live)
+    }
+    writeMeta(spark, path, mt.copy(gen = newGen))
   }
 }
