@@ -168,6 +168,27 @@ object GraphAnn {
       entrySeeds: Option[Map[Long, Array[Long]]] = None,
       fetchFn: IdFetch = defaultFetch): DataFrame = {
     require(ef >= k, s"beam width ef=$ef must cover k=$k")
+    val beam = beamWalkArr(queries, corpus, graph, ef, hops, entryIds,
+      entrySeeds, fetchFn)
+    // final answer: the beam's top-k per query, already exactly scored —
+    // re-rank through the shared total order for the usual (rk, 6-dp) shape
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    AnnSearch.rankTopK(beam.toSeq.toDF("qid", "cid", "cos"), k)
+  }
+
+  /** The driver-paced walk itself, returning the final beam as an ARRAY
+    * (top-ef per query under (cos desc, cid)) — the composable piece the
+    * at-rest lifecycle consumes directly: [[addBatch]]/[[probeIndex]]
+    * chain walks and derive edge sets driver-side from beams that are
+    * driver state anyway, instead of paying a DataFrame round-trip
+    * (toDF + rank window + collect) per walk. [[beamTopK]] is the public
+    * ranked-DataFrame wrapper. */
+  private def beamWalkArr(queries: DataFrame, corpus: DataFrame,
+      graph: DataFrame, ef: Int, hops: Int,
+      entryIds: Option[Array[Long]],
+      entrySeeds: Option[Map[Long, Array[Long]]],
+      fetchFn: IdFetch): Array[(Long, Long, Double)] = {
     require(hops >= 1, s"at least one hop (got $hops)")
     require(entryIds.isEmpty || entrySeeds.isEmpty,
       "pass entryIds (global) or entrySeeds (per-query), not both")
@@ -219,9 +240,13 @@ object GraphAnn {
 
       /** Exact (cos desc, cid) top-`ef` per query over per-query candidate
         * id sets: ONE distributed pass — candidate vectors are fetched by
-        * id-set pushdown and scored on executors; only the scored beam
-        * (|queries| × ef ids+cos, the bounded-collect contract) reaches
-        * the driver. The broadcast is INVERTED to cid → interested query
+        * id-set pushdown and scored on executors; the scored pairs
+        * (≤ |queries| × ef × (m+1) rows, schedule-bounded like the beam
+        * itself) are collected and the per-query top-ef re-select runs on
+        * the driver — a window would add one exchange + stage per ROUND
+        * for a rank over rows the driver-paced walk collects anyway
+        * (measured ~35% of the q380 lifecycle wall across its 18 rounds).
+        * The broadcast is INVERTED to cid → interested query
         * indexes, so per-row work is O(that row's candidate pairs), not
         * O(|queries|): the straight per-row scan over all queries cost
         * |rows|×|Q| membership probes and dominated large-batch walks —
@@ -268,12 +293,12 @@ object GraphAnn {
                     if (denom == 0.0d) -1.0d else acc.toDouble / denom)
                 }
               }
-            }.toDF("qid", "cid", "cos")
-            .withColumn("rn", row_number().over(
-              org.apache.spark.sql.expressions.Window.partitionBy("qid")
-                .orderBy(col("cos").desc, col("cid"))))
-            .filter(col("rn") <= ef).select("qid", "cid", "cos")
-          scored.as[(Long, Long, Double)].collect()
+            }.collect()
+          // per-query top-ef under the shared (cos desc, cid) total order,
+          // driver-side over the schedule-bounded scored set
+          scored.groupBy(_._1).iterator.flatMap { case (_, rows) =>
+            rows.sortBy { case (_, cid, cos) => (-cos, cid) }.take(ef)
+          }.toArray
         } finally bc.destroy()
       }
 
@@ -285,10 +310,20 @@ object GraphAnn {
       while (hop < hops) {
         // expand: out-edges of every beam node, one id-set-pruned scan of the
         // adjacency frame (≤ |queries|·ef src ids per hop); beam nodes stay
-        // candidates, so the walk never loses ground
+        // candidates, so the walk never loses ground. A gen-carrying fetch
+        // (the at-rest layout) resolves max-gen-per-src DRIVER-SIDE over
+        // the collected bounded rows — a distributed window here costs one
+        // exchange per round for rows the walk collects anyway
         val beamIds = beam.map(_._2).distinct
-        val edges = fetch(g, "src", beamIds)
-          .select(col("src"), col("dst")).as[(Long, Long)].collect()
+        val fr = fetch(g, "src", beamIds)
+        val edges: Array[(Long, Long)] =
+          if (fr.columns.contains("gen")) {
+            val raw = fr.select(col("src"), col("dst"), col("gen"))
+              .as[(Long, Long, Long)].collect()
+            val mx = raw.groupBy(_._1)
+              .map { case (s0, rows) => s0 -> rows.iterator.map(_._3).max }
+            raw.collect { case (s0, d0, gn) if gn == mx(s0) => (s0, d0) }
+          } else fr.select(col("src"), col("dst")).as[(Long, Long)].collect()
         val bySrc = edges.groupBy(_._1)
         // group the beam ONCE (O(|Q|·ef)) — a per-query filter scan over
         // the whole beam array is O(|Q|²·ef) driver work per hop, the same
@@ -305,10 +340,7 @@ object GraphAnn {
         hop += 1
       }
 
-      // final answer: the beam's top-k per query, already exactly scored —
-      // re-rank through the shared total order for the usual (rk, 6-dp) shape
-      val scored = beam.toSeq.toDF("qid", "cid", "cos")
-      AnnSearch.rankTopK(scored, k)
+      beam
     } finally {
       if (ownG) g.unpersist(blocking = false)
       if (ownCc) cc.unpersist(blocking = false)
@@ -502,11 +534,18 @@ object GraphAnn {
   private def trimEdges(edges: DataFrame, corpus: DataFrame,
       m: Int): DataFrame = {
     val cc = quantizedView(corpus)
-    edges.select("src", "dst").distinct()
-      .join(cc.select(col("id").as("src"), col("qe").as("se"),
-        col("n2").as("sn")), "src")
-      .join(cc.select(col("id").as("dst"), col("qe").as("de"),
-        col("n2").as("dn")), "dst")
+    // the edge set is bounded by contract (touched sources × m) — declare
+    // BOTH endpoint joins broadcast on the bounded side so the vector
+    // side STREAMS through each fetch instead of shuffling (at 100 TB the
+    // store never moves; at fixture scale it cuts two exchanges per trim).
+    // The intermediate carries the src vectors — still touched-set-sized,
+    // within the same bounded-broadcast contract as the walks' probe batch.
+    val withSrc = cc.select(col("id").as("src"), col("qe").as("se"),
+        col("n2").as("sn"))
+      .join(broadcast(edges.select("src", "dst").distinct()), "src")
+    cc.select(col("id").as("dst"), col("qe").as("de"),
+        col("n2").as("dn"))
+      .join(broadcast(withSrc), "dst")
       .withColumn("cos", coalesce(
         AnnSearch.dotI64(col("se"), col("de")).cast("double") /
           sqrt(col("sn").cast("double") * col("dn").cast("double")),
@@ -712,6 +751,12 @@ object GraphAnn {
       append: Boolean): Unit =
     bucketed(edges.select(col("src"), col("dst"))
         .withColumn("gen", lit(gen)), "src", n)
+      // co-locate each bucket's rows before the partitioned write: ONE
+      // file per bucket per generation instead of (shuffle partitions ×
+      // buckets) shards — the probe's listing cost follows generations,
+      // not writer parallelism (and at scale this is the co-located
+      // bucket-write shape anyway)
+      .repartition(n, col("bucket"))
       .write.partitionBy("bucket")
       .mode(if (append) "append" else "overwrite").parquet(dir)
 
@@ -769,22 +814,79 @@ object GraphAnn {
         pruned.join(broadcast(ids.toSeq.toDF(idCol)), idCol)
       }
     if (df.columns.contains("gen")) {
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(idCol)
-      val live = base.withColumn("_mg", max("gen").over(w))
-        .filter(col("gen") === col("_mg"))
+      // tombstoned DESTINATIONS are masked here; the returned rows still
+      // CARRY `gen` — the consumer resolves max-gen-per-src, either
+      // driver-side over its collected bounded fetch (the walk loop — a
+      // per-round window exchange measured as a real share of the q380
+      // lifecycle wall) or through [[resolveLive]] (the trim paths)
       val masked =
-        if (tombs.isEmpty) live
+        if (tombs.isEmpty) base
         else if (tombs.length <= 65536)
-          live.filter(!col("dst").isin(tombs.toSeq: _*))
+          base.filter(!col("dst").isin(tombs.toSeq: _*))
         else {
           val spark = df.sparkSession
           import spark.implicits._
-          live.join(broadcast(tombs.toSeq.toDF("dst")), Seq("dst"),
+          base.join(broadcast(tombs.toSeq.toDF("dst")), Seq("dst"),
             "left_anti")
         }
-      masked.select("src", "dst")
+      masked.select("src", "dst", "gen")
     } else base
   }
+
+  /** Driver-side uniform trim for the at-rest mutation paths: fetch the
+    * edge set's endpoint vectors ONCE (bucket-pruned, collected — they
+    * are bounded by the same contract as the walks' probe batch), score
+    * every edge with the exact int64 cosine, keep each source's top-`m`
+    * under (cos desc, dst) — [[trimEdges]]' algebra with zero joins,
+    * windows, or checkpoints (each cost a scheduling round-trip per trim;
+    * the result rows are a LOCAL relation, so the append below has no
+    * file lineage to guard). The fetched-row count doubles as the
+    * unique-id ingest guard (the [[BinaryAnn.probeIndex]] discipline):
+    * a re-used id would alias a vector and corrupt trims silently. */
+  private def trimLocal(spark: org.apache.spark.sql.SparkSession,
+      vec: DataFrame, fetch: IdFetch, toTrim: Seq[(Long, Long)],
+      mDeg: Int): DataFrame = {
+    import spark.implicits._
+    val dedup = toTrim.distinct
+    val endIds = dedup.iterator
+      .flatMap { case (s0, d0) => Iterator(s0, d0) }.toArray.distinct
+    val fetched = fetch(vec, "id", endIds)
+      .select(col("id"), col("qe"), col("n2"))
+      .as[(Long, Seq[Long], Long)].collect()
+    require(fetched.length == endIds.length,
+      s"graph index store returned ${fetched.length} rows for " +
+        s"${endIds.length} distinct endpoint ids — duplicate or missing " +
+        "ids (ingest contract: batch ids must be new)")
+    val vv = fetched.iterator
+      .map { case (id, qe, n2) => id -> ((qe.toArray, n2)) }.toMap
+    val rows = dedup.groupBy(_._1).iterator.flatMap { case (s0, es) =>
+      val (sv, sn) = vv(s0)
+      es.iterator.map { case (_, d0) =>
+        val (dv, dn) = vv(d0)
+        if (sv.length != dv.length)
+          throw new IllegalArgumentException(
+            s"trim: dimension mismatch (${sv.length} vs ${dv.length})")
+        var acc = 0L; var i = 0
+        while (i < sv.length) { acc += sv(i) * dv(i); i += 1 }
+        val denom = math.sqrt(sn.toDouble * dn.toDouble)
+        (d0, if (denom == 0.0d) -1.0d else acc.toDouble / denom)
+      }.toArray.sortBy { case (d0, cos) => (-cos, d0) }
+        .take(mDeg).map { case (d0, _) => (s0, d0) }
+    }.toSeq
+    rows.toDF("src", "dst")
+  }
+
+  /** Resolve a gen-carrying edge fetch to its live view: max generation
+    * per source wins (an insert/delete re-trim REPLACES the source's edge
+    * set). No-op on flat (src, dst) frames. */
+  private[graft] def resolveLive(df: DataFrame): DataFrame =
+    if (!df.columns.contains("gen")) df
+    else {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("src")
+      df.withColumn("_mg", max("gen").over(w))
+        .filter(col("gen") === col("_mg"))
+        .select("src", "dst")
+    }
 
   /** Build and persist the index: one quantize pass writes the bucketed
     * vector store, both layer graphs land bucketed-by-src at generation 1,
@@ -792,19 +894,25 @@ object GraphAnn {
     * switches the layer-0 build to [[blockedKnnGraph]] — the 100 TB build
     * path; None = exact [[knnGraph]] (the fixture-gold standard). */
   def writeIndex(corpus: DataFrame, path: String, m: Int = 8, m1: Int = 4,
-      nBuckets: Int = 16, centroidStride: Option[Int] = None): Unit = {
+      nBuckets: Int = 16, centroidStride: Option[Int] = None,
+      g0Opt: Option[DataFrame] = None,
+      g1Opt: Option[DataFrame] = None): Unit = {
     require(m >= 1 && m1 >= 1 && nBuckets >= 1, "bad index parameters")
     val spark = corpus.sparkSession
     hfs(spark, path).delete(new org.apache.hadoop.fs.Path(path), true)
     bucketed(AnnSearch.quantized(corpus), "id", nBuckets)
+      .repartition(nBuckets, col("bucket"))
       .write.partitionBy("bucket").parquet(s"$path/vectors")
-    val g0 = centroidStride
+    // callers holding prebuilt layer graphs (a fixture cache, a prior
+    // export) pass them in; the contract is degree-m over `corpus` /
+    // degree-m1 over its layer-1 draw — identical to what would be built
+    val g0 = g0Opt.getOrElse(centroidStride
       .map(st => blockedKnnGraph(corpus, m, st))
-      .getOrElse(knnGraph(corpus, m))
+      .getOrElse(knnGraph(corpus, m)))
     writeAdj(g0, s"$path/adj0", 1L, nBuckets, append = false)
     val lvl1 = levelNodes(corpus, 1)
-    writeAdj(knnGraph(lvl1, m1), s"$path/adj1", 1L, nBuckets,
-      append = false)
+    writeAdj(g1Opt.getOrElse(knnGraph(lvl1, m1)), s"$path/adj1", 1L,
+      nBuckets, append = false)
     import spark.implicits._
     val ents = lvl1.select(col(lvl1.columns.head).as("id"))
       .orderBy("id").limit(ENTRY_CAP).as[Long].collect()
@@ -837,12 +945,12 @@ object GraphAnn {
     val ents = readEntries(spark, path).filterNot(tombs.contains).take(ef1)
     require(ents.nonEmpty,
       s"probeIndex: entry sidecar exhausted at $path — rebuild the index")
-    val up = beamTopK(queries, vec, adj1, k = ef1, ef = ef1, hops = hops1,
-      entryIds = Some(ents), fetchFn = fetch)
-    val seeds = up.select(col("qid"), col("cid")).as[(Long, Long)]
-      .collect().groupBy(_._1).map { case (q, a) => q -> a.map(_._2) }
-    beamTopK(queries, vec, adj0, k, ef, hops,
-      entrySeeds = Some(seeds), fetchFn = fetch)
+    val upBeam = beamWalkArr(queries, vec, adj1, ef1, hops1,
+      Some(ents), None, fetch)
+    val seeds = upBeam.groupBy(_._1).map { case (q, a) => q -> a.map(_._2) }
+    val finalBeam = beamWalkArr(queries, vec, adj0, ef, hops,
+      None, Some(seeds), fetch)
+    AnnSearch.rankTopK(finalBeam.toSeq.toDF("qid", "cid", "cos"), k)
   }
 
   /** HNSW-style LEVEL-AWARE incremental insertion against the persisted
@@ -859,6 +967,16 @@ object GraphAnn {
     * step replays in the oracle. Cost: the batch's own schedule-bounded
     * walks + two O(batch·m) trims + appends — never a rebuild, flat in
     * corpus size (GraphScale's insert discipline). */
+  // env-guarded phase timer for tools/GraphIndexProbe tuning runs only
+  private def phased[A](label: String)(f: => A): A =
+    if (!sys.env.contains("GRAFT_GRAPH_PHASES")) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[phase] $label%-18s ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+
   def addBatch(path: String, batch: DataFrame, ef1: Int = 8,
       hops1: Int = 2, ef: Int = 16, hops: Int = 2): Unit = {
     val spark = batch.sparkSession
@@ -872,8 +990,10 @@ object GraphAnn {
     val fetch = indexFetch(mt.nBuckets, tombs)
     // vectors first: the trims below fetch BOTH endpoints (incl. batch
     // ids) from the store; the walks only ever fetch pre-batch candidates
-    bucketed(AnnSearch.quantized(batch), "id", mt.nBuckets)
-      .write.partitionBy("bucket").mode("append").parquet(s"$path/vectors")
+    phased("vec append")(
+      bucketed(AnnSearch.quantized(batch), "id", mt.nBuckets)
+        .repartition(mt.nBuckets, col("bucket"))
+        .write.partitionBy("bucket").mode("append").parquet(s"$path/vectors"))
     val vec = spark.read.parquet(s"$path/vectors")
     val adj1 = spark.read.parquet(s"$path/adj1")
     val adj0 = spark.read.parquet(s"$path/adj0")
@@ -881,44 +1001,53 @@ object GraphAnn {
     require(ents.nonEmpty,
       s"addBatch: entry sidecar exhausted at $path — rebuild the index")
 
-    // ONE upper walk: descent seeds for every batch node; its rk <= m1
-    // prefix is the layer-1 edge selection for layer-1 batch nodes
-    val up = beamTopK(batch, vec, adj1, k = ef1, ef = ef1, hops = hops1,
-      entryIds = Some(ents), fetchFn = fetch).localCheckpoint(true)
+    // ONE upper walk: descent seeds for every batch node; its per-query
+    // top-m1 prefix is the layer-1 edge selection for layer-1 batch nodes
+    val upBeam = phased("upper walk")(beamWalkArr(batch, vec, adj1, ef1,
+      hops1, Some(ents), None, fetch))
     val b1Ids = levelNodes(batch, 1)
       .select(col(batch.columns.head).cast("long")).as[Long].collect().toSet
-    val seeds = up.select(col("qid"), col("cid")).as[(Long, Long)]
-      .collect().groupBy(_._1).map { case (q, a) => q -> a.map(_._2) }
-    val w0 = beamTopK(batch, vec, adj0, k = mt.m, ef = ef, hops = hops,
-      entrySeeds = Some(seeds), fetchFn = fetch)
+    val seeds = upBeam.groupBy(_._1).map { case (q, a) => q -> a.map(_._2) }
+    val w0Beam = phased("lower walk")(beamWalkArr(batch, vec, adj0, ef,
+      hops, None, Some(seeds), fetch))
+
+    /** Per-query top-`deg` edge selection from a walk beam — driver-side
+      * over beams that are driver state already (the beamWalkArr rule). */
+    def topEdges(beam: Array[(Long, Long, Double)], deg: Int,
+        qKeep: Long => Boolean): Seq[(Long, Long)] =
+      beam.groupBy(_._1).iterator.collect { case (q, rows) if qKeep(q) =>
+        rows.sortBy { case (_, cid, cos) => (-cos, cid) }.take(deg)
+          .map { case (_, cid, _) => (q, cid) }.toSeq
+      }.flatten.toSeq
 
     /** The uniform insert algebra on one layer: new edges → back-edges →
-      * touched-source re-trim over a PRUNED fetch of their live rows.
-      * Returns the gen+1 rows, MATERIALIZED before any append below can
-      * change the file listing under its lineage. */
-    def layerRows(adj: DataFrame, newE: DataFrame, mDeg: Int): DataFrame = {
-      val backE = newE.select(col("dst").as("src"), col("src").as("dst"))
-      val touchedIds = newE.select("src").unionByName(backE.select("src"))
-        .distinct().as[Long].collect()
-      val old = fetch(adj, "src", touchedIds)
-      val toTrim = old.unionByName(newE).unionByName(backE)
-      trimEdges(toTrim, vec, mDeg).localCheckpoint(true)
+      * touched-source re-trim. The touched sources' live rows are a
+      * bounded pruned fetch (collected — the bounded-collect contract),
+      * so the whole candidate edge set is driver state and [[trimLocal]]
+      * reads only endpoint vectors. */
+    def layerRows(adj: DataFrame, newE: Seq[(Long, Long)],
+        mDeg: Int): DataFrame = {
+      val backE = newE.map { case (s0, d0) => (d0, s0) }
+      val touchedIds = (newE.iterator.map(_._1) ++ backE.iterator.map(_._1))
+        .toArray.distinct
+      val old = resolveLive(fetch(adj, "src", touchedIds))
+        .as[(Long, Long)].collect()
+      trimLocal(spark, vec, fetch, (old ++ newE ++ backE).distinct.toSeq,
+        mDeg)
     }
 
-    val newE0 = w0.select(col("qid").as("src"), col("cid").as("dst"))
-    val rows0 = layerRows(adj0, newE0, mt.m)
-    val rows1Opt = if (b1Ids.isEmpty) None else {
-      val newE1 = up.filter(col("rk") <= mt.m1 &&
-          col("qid").isin(b1Ids.toSeq: _*))
-        .select(col("qid").as("src"), col("cid").as("dst"))
-      Some(layerRows(adj1, newE1, mt.m1))
-    }
-    writeAdj(rows0, s"$path/adj0", newGen, mt.nBuckets, append = true)
-    rows1Opt.foreach(r =>
-      writeAdj(r, s"$path/adj1", newGen, mt.nBuckets, append = true))
+    val rows0 = phased("trim L0")(
+      layerRows(adj0, topEdges(w0Beam, mt.m, _ => true), mt.m))
+    val rows1Opt = if (b1Ids.isEmpty) None else
+      Some(phased("trim L1")(
+        layerRows(adj1, topEdges(upBeam, mt.m1, b1Ids.contains), mt.m1)))
+    phased("adj0 append")(
+      writeAdj(rows0, s"$path/adj0", newGen, mt.nBuckets, append = true))
+    rows1Opt.foreach(r => phased("adj1 append")(
+      writeAdj(r, s"$path/adj1", newGen, mt.nBuckets, append = true)))
     if (b1Ids.nonEmpty)
-      writeEntries(spark, path,
-        (readEntries(spark, path) ++ b1Ids).distinct.sorted.take(ENTRY_CAP))
+      phased("entries")(writeEntries(spark, path,
+        (readEntries(spark, path) ++ b1Ids).distinct.sorted.take(ENTRY_CAP)))
     writeMeta(spark, path, mt.copy(gen = newGen))
   }
 
@@ -948,33 +1077,38 @@ object GraphAnn {
     val vec = spark.read.parquet(s"$path/vectors")
 
     /** Bridge-repair one layer; returns the gen+1 rows for its bridged
-      * sources, materialized (same lineage rule as addBatch). */
+      * sources, materialized (same lineage rule as addBatch). The live
+      * fetches are bounded (|candidates| × m, |removed| × m) and
+      * COLLECTED, so the bridge join and the kept/touched masks are
+      * driver work and the trim reads only endpoint vectors. */
     def repair(adj: DataFrame, rSet: Array[Long],
         mDeg: Int): Option[DataFrame] = {
       if (rSet.isEmpty) return None
-      val rCol = rSet.toSeq
+      val rs = rSet.toSet
       // candidate in-edge sources: any-gen scan (no src pruning exists for
       // a dst predicate), then the pruned LIVE re-fetch below drops
       // stale-generation false positives
-      val candSrc = adj.filter(col("dst").isin(rCol: _*) &&
-          !col("src").isin(rCol: _*))
+      val candSrc = adj.filter(col("dst").isin(rSet.toSeq: _*) &&
+          !col("src").isin(rSet.toSeq: _*))
         .select("src").distinct().as[Long].collect()
       if (candSrc.isEmpty) return None
-      val candLive = fetch(adj, "src", candSrc)
-      val intoR = candLive.filter(col("dst").isin(rCol: _*))
-        .select(col("src"), col("dst").as("mid"))
-      val outR = fetch(adj, "src", rSet)
-        .filter(!col("dst").isin(rCol: _*))
-        .select(col("src").as("mid"), col("dst"))
-      val bridge = intoR.join(outR, "mid")
-        .filter(col("src") =!= col("dst")).select("src", "dst")
-      val touchedIds = bridge.select("src").distinct().as[Long].collect()
-      if (touchedIds.isEmpty) return None
-      val keptTouched = candLive
-        .filter(col("src").isin(touchedIds.toSeq: _*) &&
-          !col("dst").isin(rCol: _*))
-      val toTrim = keptTouched.unionByName(bridge)
-      Some(trimEdges(toTrim, vec, mDeg).localCheckpoint(true))
+      val candLive = resolveLive(fetch(adj, "src", candSrc))
+        .as[(Long, Long)].collect()
+      val outByMid = resolveLive(fetch(adj, "src", rSet))
+        .as[(Long, Long)].collect()
+        .filter { case (_, d0) => !rs(d0) }.groupBy(_._1)
+      val bridge = candLive
+        .filter { case (_, d0) => rs(d0) }
+        .flatMap { case (s0, mid) =>
+          outByMid.getOrElse(mid, Array.empty[(Long, Long)])
+            .collect { case (_, d0) if d0 != s0 => (s0, d0) }
+        }.distinct
+      val touched = bridge.iterator.map(_._1).toSet
+      if (touched.isEmpty) return None
+      val keptTouched = candLive.filter { case (s0, d0) =>
+        touched(s0) && !rs(d0) }
+      Some(trimLocal(spark, vec, fetch,
+        (keptTouched ++ bridge).distinct.toSeq, mDeg))
     }
 
     val adj0 = spark.read.parquet(s"$path/adj0")

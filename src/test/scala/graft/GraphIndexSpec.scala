@@ -86,8 +86,8 @@ class GraphIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("ng") > 1)
     assert(multiGen.count() > 0, "ingest appended no superseding rows")
     val probeSrc = multiGen.select("src").as[Long].head()
-    val live = GraphAnn.indexFetch(8, Array.emptyLongArray)(
-      adj0, "src", Array(probeSrc))
+    val live = GraphAnn.resolveLive(GraphAnn.indexFetch(
+      8, Array.emptyLongArray)(adj0, "src", Array(probeSrc)))
     val liveGen = adj0.filter(col("src") === probeSrc)
       .agg(max("gen")).as[Long].head()
     val liveCnt = live.count()
