@@ -824,6 +824,88 @@ object Corpus {
         .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
           col("n_kept"), col("n_dropped"))
         .orderBy("doc_id")
+    },
+
+    // FULL-TEXT INDEXES AS PURE SQL ([[graft.operators.IndexZooSql]], the
+    // q382 lifecycle for the lexical family): CREATE FULLTEXT INDEX
+    // builds the persisted BM25 and positional stores, the TOPK probes
+    // route to them because an index covers (table, column), DROP retires
+    // both, and the SAME statements then degrade to the one-shot
+    // full-scan paths — which return IDENTICAL rows (an index changes
+    // where bytes are read, never a score), so the oracle replays each
+    // family once and tags both phases with it.
+    Qd("q383_fulltext_index_sql",
+      s"""WITH $bm25Ctes,
+        |bmr AS (SELECT query_id, doc_id, wq,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY wq DESC, doc_id) AS rk FROM sc),
+        |bm5 AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+        |    CAST(rk AS BIGINT) AS rk,
+        |    ROUND(CAST(wq AS DOUBLE)/1000000.0, 4) AS score
+        |  FROM bmr WHERE rk <= 5),
+        |tokp AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(1, len(string_split(text, ' ')))) - 1 AS pos,
+        |    unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tp AS (SELECT doc_id, pos, term FROM tokp WHERE term <> ''),
+        |phl(phrase_id, term, off, plen) AS (VALUES
+        |  (1, 'spark', 0, 2), (1, 'join', 1, 2),
+        |  (2, 'big', 0, 2), (2, 'big', 1, 2),
+        |  (3, 'the', 0, 3), (3, 'line', 1, 3), (3, 'sort', 2, 3)),
+        |occ AS (SELECT phl.phrase_id, tp.doc_id, tp.pos - phl.off AS anchor, phl.plen
+        |  FROM tp JOIN phl ON tp.term = phl.term
+        |  WHERE tp.pos - phl.off >= 0
+        |  GROUP BY 1, 2, 3, 4
+        |  HAVING count(DISTINCT phl.off) = phl.plen),
+        |pagg AS (SELECT phrase_id, doc_id, CAST(count(*) AS BIGINT) AS n_occ
+        |  FROM occ GROUP BY 1, 2),
+        |prk AS (SELECT phrase_id, doc_id, n_occ,
+        |  row_number() OVER (PARTITION BY phrase_id ORDER BY n_occ DESC, doc_id) AS rk
+        |  FROM pagg),
+        |ph5 AS (SELECT CAST(phrase_id AS BIGINT) AS query_id, doc_id,
+        |    CAST(rk AS BIGINT) AS rk, CAST(n_occ AS DOUBLE) AS score
+        |  FROM prk WHERE rk <= 5)
+        |SELECT kind, phase, query_id, doc_id, rk, score FROM (
+        |  SELECT 'bm25' AS kind, 'indexed' AS phase, * FROM bm5
+        |  UNION ALL SELECT 'bm25', 'scan', * FROM bm5
+        |  UNION ALL SELECT 'phrase', 'indexed', * FROM ph5
+        |  UNION ALL SELECT 'phrase', 'scan', * FROM ph5)
+        |ORDER BY kind, phase, query_id, rk""") { (s, dir) =>
+      import graft.operators.IndexZooSql
+      IndexZooSql.reset()
+      val sf = new java.io.File(dir).getName.replace(".", "_")
+      docs(s, dir).createOrReplaceTempView("g383_docs")
+      // buckets=16: the partition-pruned probe shape at a fraction of the
+      // default's file count — the bench body pays two index BUILDS
+      IndexZooSql.sql(s, "CREATE FULLTEXT INDEX g383_bm ON g383_docs " +
+        "(text) AS 'BM25' OPTIONS (buckets=16, " +
+        s"path='/root/repo/target/ddl/$sf/g383_bm')")
+      IndexZooSql.sql(s, "CREATE FULLTEXT INDEX g383_ps ON g383_docs " +
+        "(text) AS 'POSITIONAL' OPTIONS (buckets=16, " +
+        s"path='/root/repo/target/ddl/$sf/g383_ps')")
+      val ftProbe = "FULLTEXT TOPK ON g383_docs (text) QUERIES " +
+        "((1,'dup'), (2,'spark join'), (3,'customer order fast')) LIMIT 5"
+      val phProbe = "PHRASE TOPK ON g383_docs (text) PHRASES " +
+        "((1,'spark join'), (2,'big big'), (3,'the line sort')) LIMIT 5"
+      // materialize the indexed probes BEFORE the DROP retires their
+      // files — a lazy plan read after DROP would fail on missing parquet
+      val fIdx = IndexZooSql.sql(s, ftProbe).localCheckpoint(true)
+      val pIdx = IndexZooSql.sql(s, phProbe).localCheckpoint(true)
+      IndexZooSql.sql(s, "DROP FULLTEXT INDEX g383_bm")
+      IndexZooSql.sql(s, "DROP FULLTEXT INDEX g383_ps")
+      val fScan = IndexZooSql.sql(s, ftProbe)
+      val pScan = IndexZooSql.sql(s, phProbe)
+      def bmN(df: org.apache.spark.sql.DataFrame, phase: String) =
+        df.select(lit("bm25").as("kind"), lit(phase).as("phase"),
+          col("query_id").cast("bigint").as("query_id"), col("doc_id"),
+          col("rk"), col("score").cast("double").as("score"))
+      def phN(df: org.apache.spark.sql.DataFrame, phase: String) =
+        df.select(lit("phrase").as("kind"), lit(phase).as("phase"),
+          col("phrase_id").cast("bigint").as("query_id"), col("doc_id"),
+          col("rk"), col("n_occ").cast("double").as("score"))
+      bmN(fIdx, "indexed").unionByName(bmN(fScan, "scan"))
+        .unionByName(phN(pIdx, "indexed")).unionByName(phN(pScan, "scan"))
+        .orderBy("kind", "phase", "query_id", "rk")
     }
   )
 

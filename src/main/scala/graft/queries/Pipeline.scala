@@ -2078,6 +2078,75 @@ object Pipeline {
         .select(col("qid"), col("cid"), col("rk").cast("bigint").as("rk"),
           col("cos"))
         .orderBy("qid", "rk")
+    },
+
+    // THE INDEX ZOO AS PURE SQL ([[graft.operators.IndexZooSql]] — the
+    // engine's SQL story reaching the vector index family the way q273's
+    // CREATE INDEX DDL reaches skipping/bloom/bitmap): CREATE VECTOR
+    // INDEX builds the persisted graph hierarchy, VECTOR TOPK routes to
+    // its descent probe because the index COVERS (table, column), DROP
+    // retires it, and the SAME probe statement then degrades to the
+    // exact brute full scan — slower, never wrong. The oracle replays
+    // the descent for the indexed phase and the exact rank for the scan
+    // phase; a fixed 200-row corpus keeps the in-DDL exact build flat
+    // across SFs.
+    Qd("q382_vector_index_sql", {
+      val gHier =
+        s"""lv AS (SELECT vec_id FROM cc WHERE ${lvlDrawSql("vec_id")}),
+          |ln AS (SELECT cn.* FROM cn JOIN lv USING (vec_id)),
+          |gp1 AS (SELECT a.vec_id AS src, b.vec_id AS dst, ${cosSql("a", "b")} AS cos
+          |  FROM ln a, ln b WHERE a.vec_id <> b.vec_id),
+          |g1 AS (SELECT src, dst FROM (SELECT src, dst,
+          |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM gp1)
+          |  WHERE rn <= 4),
+          |gp0 AS (SELECT a.vec_id AS src, b.vec_id AS dst, ${cosSql("a", "b")} AS cos
+          |  FROM cn a, cn b WHERE a.vec_id <> b.vec_id),
+          |g0 AS (SELECT src, dst FROM (SELECT src, dst,
+          |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM gp0)
+          |  WHERE rn <= 8)""".stripMargin
+      s"""WITH ${qCte("qq", "WHERE vec_id < 50")},
+        |${qCte("cc", "WHERE vec_id < 200")},
+        |cn AS (SELECT vec_id, qe,
+        |  CAST(list_sum(list_transform(range(1, 65), i -> qe[i]*qe[i])) AS BIGINT) AS n2 FROM cc),
+        |qn AS (SELECT vec_id, qe,
+        |  CAST(list_sum(list_transform(range(1, 65), i -> qe[i]*qe[i])) AS BIGINT) AS n2 FROM qq),
+        |$gHier,
+        |ps AS (SELECT q.vec_id AS qid, c.vec_id AS cid, ${cosSql("q", "c")} AS cos
+        |  FROM qn q, cn c WHERE q.vec_id <> c.vec_id),
+        |ent AS (SELECT vec_id FROM lv ORDER BY vec_id LIMIT 8),
+        |${beamWalkCtes("u", "g1", "ps", "ent", 8, 2)},
+        |${beamWalkCtesSeeded("", "g0", "ps", "ub2", 16, 2)},
+        |rk1 AS (SELECT qid, cid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+        |  FROM b2),
+        |rk2 AS (SELECT qid, cid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+        |  FROM ps)
+        |SELECT phase, qid, cid, CAST(rk AS BIGINT) AS rk, cos FROM (
+        |  SELECT 'indexed' AS phase, qid, cid, rk, ROUND(cos, 6) AS cos
+        |  FROM rk1 WHERE rk <= 10
+        |  UNION ALL
+        |  SELECT 'scan', qid, cid, rk, ROUND(cos, 6) FROM rk2 WHERE rk <= 10)
+        |ORDER BY phase, qid, rk""".stripMargin
+    }) { (s, dir) =>
+      import graft.operators.IndexZooSql
+      IndexZooSql.reset()
+      val e = emb(s, dir)
+      val sf = new java.io.File(dir).getName.replace(".", "_")
+      e.filter(col("id") < 200).createOrReplaceTempView("g382_corpus")
+      e.filter(col("id") < 50).createOrReplaceTempView("g382_queries")
+      IndexZooSql.sql(s, "CREATE VECTOR INDEX g382_vi ON g382_corpus " +
+        "(embedding) AS 'GRAPH' OPTIONS (m=8, m1=4, buckets=16, " +
+        s"path='/root/repo/target/ddl/$sf/g382_vi')")
+      val probe = "VECTOR TOPK ON g382_corpus (embedding) QUERIES " +
+        "g382_queries LIMIT 10 OPTIONS (ef1=8, hops1=2, ef=16, hops=2)"
+      val indexed = IndexZooSql.sql(s, probe)
+      IndexZooSql.sql(s, "DROP VECTOR INDEX g382_vi")
+      val scanned = IndexZooSql.sql(s, probe)
+      indexed.withColumn("phase", lit("indexed"))
+        .unionByName(scanned.withColumn("phase", lit("scan")))
+        .select("phase", "qid", "cid", "rk", "cos")
+        .orderBy("phase", "qid", "rk")
     }
   )
 
