@@ -77,7 +77,45 @@ object Mmr {
       .select(col("qid"), col("cid"), col("cos").as("rel"))
     // stage 2: fetch candidate vectors (|queries| × nCand rows), greedy
     // select per query group — bounded O(nCand·k) work per group
-    cand.join(c, "cid")
+    greedySelect(cand.join(c, "cid"), k, lam, mu)
+  }
+
+  /** MMR over CALLER-SUPPLIED candidates — the hybrid-retrieval tail
+    * (VERDICT r15 task 8's RAG composition): `cands` is a bounded ranked
+    * list (query_id, doc_id, rel_micro) whose relevance came from an
+    * upstream fusion (e.g. [[Retrieval.rrfFuse]]'s rrf_micro) in the
+    * pack's integer micro-units; it scales into the λ·rel − μ·sim
+    * objective by ONE exact-input IEEE division (rel_micro / 1e6 — the
+    * bm25 score convention), and similarities are the exact int64 cosine
+    * over `emb` (id, embedding). Candidates without an embedding row drop
+    * out on the inner join (the q192 hybrid-retrieval discipline — both
+    * engines replay the same drop). Output (query_id, doc_id, pick, rel,
+    * score), the [[mmrTopK]] shape re-keyed to the retrieval family's
+    * column names. */
+  def mmrRerank(cands: DataFrame, emb: DataFrame, k: Int,
+      lam: Double = 0.7, mu: Double = 0.3): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val c = AnnSearch.quantized(emb).select(col("id").as("cid"),
+      col("qe").as("ce"), col("n2").as("cn"))
+    val cd = cands.select(col("query_id").cast("long").as("qid"),
+      col("doc_id").cast("long").as("cid"),
+      (col("rel_micro").cast("double") / lit(1000000.0)).as("rel"))
+    // the candidate list is bounded (top-N per query) — broadcast it so
+    // the embedding fetch streams without shuffling
+    greedySelect(c.join(broadcast(cd), "cid"), k, lam, mu)
+      .select(col("qid").as("query_id"), col("cid").as("doc_id"),
+        col("pick"), col("rel"), col("score"))
+  }
+
+  /** The greedy argmax rounds, shared by [[mmrTopK]] and [[mmrRerank]]:
+    * `withVecs` = (qid, cid, rel, ce, cn) candidate rows with their
+    * quantized vectors; per query group the selection is O(n·k) with the
+    * family tie-break (equal scores → lower cid). */
+  private def greedySelect(withVecs: DataFrame, k: Int, lam: Double,
+      mu: Double): DataFrame = {
+    val spark = withVecs.sparkSession
+    import spark.implicits._
+    withVecs
       .select(col("qid"), col("cid"), col("rel"), col("ce"), col("cn"))
       .as[(Long, Long, Double, Seq[Long], Long)]
       .groupByKey(_._1)

@@ -906,6 +906,141 @@ object Corpus {
       bmN(fIdx, "indexed").unionByName(bmN(fScan, "scan"))
         .unionByName(phN(pIdx, "indexed")).unionByName(phN(pScan, "scan"))
         .orderBy("kind", "phase", "query_id", "rk")
+    },
+
+    // THE RAG CAPSTONE (VERDICT r15 task 8 — the retrieval analog of
+    // q176's corpus capstone): every stage a PERSISTED index or a fusion
+    // over bounded lists, composed end-to-end. (1) lexical lists from the
+    // persisted BM25 index (term-bucket-pruned probe); (2) dense lists
+    // from the persisted two-layer GRAPH index (bucket-pruned descent),
+    // re-keyed from anchor vec_ids to query ids; (3) RRF fusion of the
+    // two rankings in exact integer micro-units; (4) MMR diversity
+    // re-rank of the fused top-16 (λ·rel − μ·max-sim greedy, five picks)
+    // with fused relevance and int64-exact pairwise cosines. The oracle
+    // replays ALL FOUR stages: BM25 scoring, the hierarchy descent, the
+    // RRF sum, and every greedy argmax round; fused candidates without an
+    // embedding row drop on the inner join (q192's discipline) on both
+    // engines.
+    Qd("q384_rag_capstone", {
+      val gHier =
+        s"""lv AS (SELECT vec_id FROM cc WHERE ${Pipeline.lvlDrawSql("vec_id")}),
+          |ln AS (SELECT cn.* FROM cn JOIN lv USING (vec_id)),
+          |gp1 AS (SELECT a.vec_id AS src, b.vec_id AS dst, ${Pipeline.cosSql("a", "b")} AS cos
+          |  FROM ln a, ln b WHERE a.vec_id <> b.vec_id),
+          |g1 AS MATERIALIZED (SELECT src, dst FROM (SELECT src, dst,
+          |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM gp1)
+          |  WHERE rn <= 4),
+          |gp0 AS (SELECT a.vec_id AS src, b.vec_id AS dst, ${Pipeline.cosSql("a", "b")} AS cos
+          |  FROM cn a, cn b WHERE a.vec_id <> b.vec_id),
+          |g0 AS MATERIALIZED (SELECT src, dst FROM (SELECT src, dst,
+          |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM gp0)
+          |  WHERE rn <= 8)""".stripMargin
+      def mmrRound(i: Int): String = {
+        val prev = if (i == 2) "sel1" else s"sel${i - 1}"
+        s"""r$i AS (SELECT c.qid, c.cid, c.rel,
+          |    CAST(0.7 AS DOUBLE)*c.rel - CAST(0.3 AS DOUBLE)*max(p.pcos) AS score
+          |  FROM cand c
+          |  LEFT JOIN $prev e ON e.qid = c.qid AND e.cid = c.cid
+          |  JOIN pc p ON p.qid = c.qid AND p.dc = c.cid
+          |  JOIN $prev s ON s.qid = p.qid AND s.cid = p.sc
+          |  WHERE e.cid IS NULL
+          |  GROUP BY c.qid, c.cid, c.rel),
+          |s$i AS (SELECT qid, cid, rel, score FROM (
+          |    SELECT r.*, row_number() OVER (
+          |      PARTITION BY qid ORDER BY score DESC, cid) AS rn FROM r$i r)
+          |  WHERE rn = 1),
+          |sel$i AS (SELECT qid, cid FROM $prev
+          |  UNION ALL SELECT qid, cid FROM s$i)""".stripMargin
+      }
+      s"""WITH $bm25Ctes,
+        |bml AS MATERIALIZED (SELECT query_id, doc_id, rk FROM (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY wq DESC, doc_id) AS rk
+        |  FROM sc) WHERE rk <= 20),
+        |${Pipeline.qCte("qq", "WHERE vec_id IN (7, 14, 21)")},
+        |${Pipeline.qCte("cc", "")},
+        |cn AS MATERIALIZED (SELECT vec_id, qe,
+        |  CAST(list_sum(list_transform(range(1, 65), i -> qe[i]*qe[i])) AS BIGINT) AS n2 FROM cc),
+        |qn AS MATERIALIZED (SELECT vec_id, qe,
+        |  CAST(list_sum(list_transform(range(1, 65), i -> qe[i]*qe[i])) AS BIGINT) AS n2 FROM qq),
+        |$gHier,
+        |ps AS MATERIALIZED (SELECT q.vec_id AS qid, c.vec_id AS cid, ${Pipeline.cosSql("q", "c")} AS cos
+        |  FROM qn q, cn c WHERE q.vec_id <> c.vec_id),
+        |ent AS (SELECT vec_id FROM lv ORDER BY vec_id LIMIT 8),
+        |${Pipeline.beamWalkCtes("u", "g1", "ps", "ent", 8, 2)},
+        |${Pipeline.beamWalkCtesSeeded("", "g0", "ps", "ub2", 16, 2)},
+        |drk AS (SELECT qid, cid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+        |  FROM b2),
+        |qv(query_id, qvec_id) AS (VALUES (1, 7), (2, 14), (3, 21)),
+        |dsl AS MATERIALIZED (SELECT qv.query_id, d.cid AS doc_id, d.rk
+        |  FROM drk d JOIN qv ON d.qid = qv.qvec_id WHERE d.rk <= 16),
+        |u2 AS (SELECT query_id, doc_id,
+        |    CAST(round(CAST(1000000.0 AS DOUBLE)/(60+rk)) AS BIGINT) AS c FROM bml
+        |  UNION ALL SELECT query_id, doc_id,
+        |    CAST(round(CAST(1000000.0 AS DOUBLE)/(60+rk)) AS BIGINT) FROM dsl),
+        |f AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro
+        |  FROM u2 GROUP BY 1, 2),
+        |fr AS (SELECT query_id, doc_id, rrf_micro FROM (
+        |  SELECT f.*, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id) AS rk
+        |  FROM f) WHERE rk <= 16),
+        |cand AS MATERIALIZED (SELECT fr.query_id AS qid, fr.doc_id AS cid,
+        |    CAST(rrf_micro AS DOUBLE)/1000000.0 AS rel
+        |  FROM fr JOIN cn ON cn.vec_id = fr.doc_id),
+        |pc AS MATERIALIZED (SELECT a.qid, a.cid AS dc, b.cid AS sc,
+        |    CASE WHEN CAST(x.n2 AS DOUBLE)*CAST(y.n2 AS DOUBLE) = 0 THEN -1.0
+        |      ELSE CAST(CAST(list_sum(list_transform(range(1, 65), i -> x.qe[i]*y.qe[i])) AS BIGINT) AS DOUBLE)
+        |        / sqrt(CAST(x.n2 AS DOUBLE)*CAST(y.n2 AS DOUBLE)) END AS pcos
+        |  FROM cand a JOIN cand b ON a.qid = b.qid AND a.cid <> b.cid
+        |  JOIN cn x ON x.vec_id = a.cid JOIN cn y ON y.vec_id = b.cid),
+        |s1 AS (SELECT qid, cid, rel, score FROM (
+        |    SELECT qid, cid, rel, CAST(0.7 AS DOUBLE)*rel AS score,
+        |      row_number() OVER (
+        |        PARTITION BY qid ORDER BY CAST(0.7 AS DOUBLE)*rel DESC, cid) AS rn
+        |    FROM cand) WHERE rn = 1),
+        |sel1 AS (SELECT qid, cid FROM s1),
+        |${mmrRound(2)},
+        |${mmrRound(3)},
+        |${mmrRound(4)},
+        |${mmrRound(5)}
+        |SELECT query_id, doc_id, pick, ROUND(rel, 6) AS rel,
+        |  ROUND(score, 6) AS score
+        |FROM (
+        |  SELECT qid AS query_id, cid AS doc_id, CAST(1 AS BIGINT) AS pick,
+        |    rel, score FROM s1
+        |  UNION ALL SELECT qid, cid, 2, rel, score FROM s2
+        |  UNION ALL SELECT qid, cid, 3, rel, score FROM s3
+        |  UNION ALL SELECT qid, cid, 4, rel, score FROM s4
+        |  UNION ALL SELECT qid, cid, 5, rel, score FROM s5)
+        |ORDER BY query_id, pick""".stripMargin
+    }) { (s, dir) =>
+      import graft.operators.{GraphAnn, Mmr, Retrieval}
+      import s.implicits._
+      val sf = new java.io.File(dir).getName.replace(".", "_")
+      val bmIdx = s"/root/repo/target/ddl/$sf/g384_bm"
+      Retrieval.bm25WriteIndex(docs(s, dir), bmIdx, nBuckets = 16)
+      val lex = Retrieval.bm25TopKIndexed(s, bmIdx, bm25Queries, k = 20)
+        .select(col("query_id"), col("doc_id"), col("rk"))
+      val e = graft.Engine.table(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding"))
+      val gIdx = s"/root/repo/target/ddl/$sf/g384_graph"
+      GraphAnn.writeIndex(e, gIdx, m = 8, m1 = 4, nBuckets = 16,
+        g0Opt = Some(Pipeline.cachedGraph(s, dir, "full_m8")(
+          GraphAnn.knnGraph(e, 8))),
+        g1Opt = Some(Pipeline.cachedGraph(s, dir, "lvl1_m4")(
+          GraphAnn.knnGraph(GraphAnn.levelNodes(e, 1), 4))))
+      val qv = Seq((1, 7L), (2, 14L), (3, 21L)).toDF("query_id", "qvec_id")
+      val dense = GraphAnn.probeIndex(
+          e.filter(col("id").isin(7L, 14L, 21L)), gIdx, 16,
+          ef1 = 8, hops1 = 2, ef = 16, hops = 2)
+        .join(broadcast(qv), col("qid") === col("qvec_id"))
+        .select(col("query_id"), col("cid").as("doc_id"), col("rk"))
+      val fused = Retrieval.rrfFuse(Seq(lex, dense), k = 16)
+      Mmr.mmrRerank(fused.select(col("query_id"), col("doc_id"),
+          col("rrf_micro").as("rel_micro")), e, k = 5,
+          lam = 0.7, mu = 0.3)
+        .orderBy("query_id", "pick")
     }
   )
 

@@ -172,7 +172,7 @@ object Pipeline {
       |SELECT qid, cid, rk, hamming, ROUND(cos, 6) AS cos
       |FROM rk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
 
-  private def qCte(name: String, pred: String) =
+  private[queries] def qCte(name: String, pred: String) =
     s"""$name AS (
        |  SELECT vec_id, label,
        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS qe
@@ -2179,7 +2179,7 @@ object Pipeline {
     * oracle replay — a fingerprint miss rebuilds, so correctness never
     * depends on the cache. knnGraph is deterministic (spec-pinned), so a
     * hit is bit-identical to a rebuild; publish is tmp + atomic rename. */
-  private def cachedGraph(s: SparkSession, dir: String, tag: String)(
+  private[queries] def cachedGraph(s: SparkSession, dir: String, tag: String)(
       build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val src = new java.io.File(s"$dir/embeddings.parquet")
     val fp = java.security.MessageDigest.getInstance("MD5")
@@ -2205,12 +2205,12 @@ object Pipeline {
 
   /** The HNSW layer draw as SQL — `GroupSample.drawHash("lvl1", id) % 8 =
     * 0`, the q366 keyed-md5 level rule, parameterized by the id column. */
-  private def lvlDrawSql(idCol: String): String =
+  private[queries] def lvlDrawSql(idCol: String): String =
     s"CAST(('0x' || substr(md5('lvl1:' || $idCol), 1, 15)) AS BIGINT) % 8 = 0"
 
   /** The pack's exact int64-quantized cosine between two `(qe, n2)` rows —
     * the fragment every graph oracle interpolates (q367's cosOf, shared). */
-  private def cosSql(a: String, b: String): String =
+  private[queries] def cosSql(a: String, b: String): String =
     s"CAST(CAST(list_sum(list_transform(range(1, 65), i -> $a.qe[i]*$b.qe[i])) AS BIGINT) AS DOUBLE)" +
       s" / sqrt(CAST($a.n2 AS DOUBLE) * CAST($b.n2 AS DOUBLE))"
 
@@ -2234,7 +2234,7 @@ object Pipeline {
     * from `ps(qid, cid, cos)` (which must exclude qid = cid, mirroring the
     * engine's selectBeam guard). Prefix `p` lets one statement chain two
     * independent walks (q363: insert walk + probe walk). */
-  private def beamWalkCtes(p: String, g: String, ps: String, ent: String,
+  private[queries] def beamWalkCtes(p: String, g: String, ps: String, ent: String,
       ef: Int, hops: Int): String =
     beamWalkFrom(p, g, ps,
       s"FROM $ps x JOIN $ent e ON e.vec_id = x.cid", ef, hops)
@@ -2243,7 +2243,7 @@ object Pipeline {
     * a global entry set — the q366 hierarchy's layer descent (each
     * layer's final beam seeds the next layer's walk, mirroring
     * `GraphAnn.beamTopKSeeded`). */
-  private def beamWalkCtesSeeded(p: String, g: String, ps: String,
+  private[queries] def beamWalkCtesSeeded(p: String, g: String, ps: String,
       seed: String, ef: Int, hops: Int): String =
     beamWalkFrom(p, g, ps,
       s"FROM $seed s JOIN $ps x ON x.qid = s.qid AND x.cid = s.cid",
