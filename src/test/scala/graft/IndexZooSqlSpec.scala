@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.{AnnSearch, IndexZooSql, Retrieval}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** The index-zoo DDL dispatcher's contracts ([[IndexZooSql]]): statement
+  * routing and parse failures, covering rules (one vector index per
+  * column, fulltext kinds coexist), indexed-vs-degraded probe results,
+  * and managed DROP. Runs on sf0.001. */
+class IndexZooSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = Engine.session(cores = 4, appName = "graft-test")
+  val dir = "/root/testdata/sf0.001"
+  import spark.implicits._
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def emb = Engine.table(spark, dir, "embeddings")
+    .select(col("vec_id").as("id"), col("embedding"))
+  private def docs = Engine.table(spark, dir, "documents")
+    .select(col("doc_id"), col("text"))
+
+  private val root = "/tmp/indexzoo_spec"
+
+  test("vector lifecycle: create routes probes to the graph index, drop " +
+      "degrades the SAME statement to the exact brute scan") {
+    IndexZooSql.reset()
+    emb.createOrReplaceTempView("izs_corpus")
+    emb.filter(col("id") < 10).createOrReplaceTempView("izs_queries")
+    IndexZooSql.sql(spark, "CREATE VECTOR INDEX izs_vi ON izs_corpus " +
+      s"(embedding) AS 'GRAPH' OPTIONS (m=8, m1=4, buckets=8, path='$root/vi')")
+    val probe = "VECTOR TOPK ON izs_corpus (embedding) QUERIES izs_queries " +
+      "LIMIT 5 OPTIONS (ef1=8, hops1=2, ef=16, hops=2)"
+    val indexed = IndexZooSql.sql(spark, probe)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(indexed.nonEmpty)
+    IndexZooSql.sql(spark, "DROP VECTOR INDEX izs_vi")
+    assert(!new java.io.File(s"$root/vi").exists(), "DROP must retire files")
+    val scanned = IndexZooSql.sql(spark, probe)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val brute = AnnSearch.bruteTopK(
+        emb.filter(col("id") < 10), emb, 5)
+      .select(col("qid"), col("cid"), col("rk").cast("bigint"), col("cos"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(scanned == brute, "degraded probe must be the exact brute scan")
+  }
+
+  test("covering rules: a second vector index on the column is rejected; " +
+      "BM25 and POSITIONAL coexist and route their own probes") {
+    IndexZooSql.reset()
+    emb.createOrReplaceTempView("izs_corpus2")
+    docs.createOrReplaceTempView("izs_docs")
+    IndexZooSql.sql(spark, "CREATE VECTOR INDEX izs_a ON izs_corpus2 " +
+      s"(embedding) AS 'BINARY' OPTIONS (path='$root/a')")
+    intercept[IllegalArgumentException](IndexZooSql.sql(spark,
+      "CREATE VECTOR INDEX izs_b ON izs_corpus2 (embedding) AS 'GRAPH' " +
+        s"OPTIONS (path='$root/b')"))
+    IndexZooSql.sql(spark, "CREATE FULLTEXT INDEX izs_bm ON izs_docs " +
+      s"(text) AS 'BM25' OPTIONS (buckets=8, path='$root/bm')")
+    IndexZooSql.sql(spark, "CREATE FULLTEXT INDEX izs_ps ON izs_docs " +
+      s"(text) AS 'POSITIONAL' OPTIONS (buckets=8, path='$root/ps')")
+    val shown = IndexZooSql.sql(spark, "SHOW VECTOR INDEXES")
+      .select("idx_name").as[String].collect().toSet
+    assert(shown == Set("izs_a", "izs_bm", "izs_ps"))
+    val ft = IndexZooSql.sql(spark,
+      "FULLTEXT TOPK ON izs_docs (text) QUERIES ((1,'dup')) LIMIT 3")
+    val ftRef = Retrieval.bm25TopK(docs, Seq(1 -> Seq("dup")), 3)
+    assert(ft.collect().map(_.toSeq).toSet ==
+      ftRef.collect().map(_.toSeq).toSet,
+      "indexed BM25 must equal the one-shot scorer")
+    IndexZooSql.sql(spark, "DROP VECTOR INDEX izs_a")
+    IndexZooSql.sql(spark, "DROP FULLTEXT INDEX izs_bm")
+    IndexZooSql.sql(spark, "DROP FULLTEXT INDEX izs_ps")
+  }
+
+  test("parse failures are loud: bad kind, SQ8, bad options, missing index") {
+    IndexZooSql.reset()
+    emb.createOrReplaceTempView("izs_corpus3")
+    intercept[IllegalArgumentException](IndexZooSql.sql(spark,
+      "CREATE VECTOR INDEX z ON izs_corpus3 (embedding) AS 'LSH'"))
+    intercept[IllegalArgumentException](IndexZooSql.sql(spark,
+      "CREATE VECTOR INDEX z ON izs_corpus3 (embedding) AS 'SQ8'"))
+    intercept[IllegalArgumentException](IndexZooSql.sql(spark,
+      "CREATE VECTOR INDEX z ON izs_corpus3 (embedding) AS 'GRAPH' " +
+        "OPTIONS (m)"))
+    intercept[IllegalArgumentException](IndexZooSql.sql(spark,
+      "DROP VECTOR INDEX never_created"))
+    intercept[IllegalArgumentException](IndexZooSql.sql(spark,
+      "CREATE VECTOR INDEX z ON izs_corpus3 (no_such_col) AS 'BINARY'"))
+  }
+}
