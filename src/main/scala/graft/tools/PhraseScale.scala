@@ -63,9 +63,40 @@ object PhraseScale {
       val n = Retrieval.phraseTopK(docs, phrases, k = 10).count()
       require(n > 0, "one-shot returned no rows")
     }
+    // proximity one-shot: the ratio partner for the ±w window claim
+    val proxOne = best2("proximity one-shot (index-free)") {
+      val n = Retrieval.proximityTopK(docs, prox, w = 3, k = 10).count()
+      require(n > 0, "one-shot proximity returned no rows")
+    }
+    // rrfHybridIndexed: persisted-BM25 lexical lists fused with dense
+    // anchor lists — the probe side is term-bucket-pruned, the dense side
+    // one bounded corpus scan; the claim is the fused probe wall tracks
+    // the bounded lists, not the corpus (r15 VERDICT task 6)
+    val bmIdx = s"/tmp/graft_bm25idx_${new java.io.File(dir).getName}"
+    val bmBuild = best2("bm25 index build")(
+      Retrieval.bm25WriteIndex(docs, bmIdx))
+    val emb = Engine.table(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val anchors = {
+      import s.implicits._
+      // three anchor ids guaranteed present at any replication factor
+      val ids = emb.select(col("id")).orderBy("id").limit(3)
+        .as[Long].collect()
+      Map(1 -> ids(0), 2 -> ids(1), 3 -> ids(2))
+    }
+    val hybridQs = Seq(1 -> Seq("dup"), 2 -> Seq("spark", "join"),
+      3 -> Seq("customer", "order", "fast"))
+    val hybrid = best2("rrfHybridIndexed n=20 k=10") {
+      val n = Retrieval.rrfHybridIndexed(s, bmIdx, emb, hybridQs,
+        anchors, n = 20, k = 10).count()
+      require(n > 0, "hybrid fusion returned no rows")
+    }
     println(f"[phrasescale] dir=$dir build=$build%.2fs probe=$probe%.2fs " +
-      f"prox=$proxP%.2fs snip=$snip%.2fs snipIdx=$snipIdx%.2fs " +
-      f"oneShot=$oneShot%.2fs probe/oneShot=${probe / oneShot}%.2f")
+      f"prox=$proxP%.2fs proxOne=$proxOne%.2fs snip=$snip%.2fs " +
+      f"snipIdx=$snipIdx%.2fs oneShot=$oneShot%.2fs " +
+      f"bmBuild=$bmBuild%.2fs hybrid=$hybrid%.2fs " +
+      f"probe/oneShot=${probe / oneShot}%.2f " +
+      f"prox/proxOne=${proxP / proxOne}%.2f")
     s.stop()
   }
 }
