@@ -679,10 +679,18 @@ object GraphAnn {
   //
   //   <path>/vectors/bucket=B/…   (id, qe, n2)    bucket = pmod(id, nB)
   //   <path>/adj0/bucket=B/…      (src, dst, gen) bucket = pmod(src, nB)
-  //   <path>/adj1/bucket=B/…      layer-1 adjacency, same shape
-  //   <path>/entries/…            lowest live layer-1 ids (≤ ENTRY_CAP)
+  //   <path>/adj<l>/bucket=B/…    level-l adjacency (l = 1..layers),
+  //                               same shape — the hierarchy STACKS:
+  //                               levels are added while a level holds
+  //                               > LEVEL_CAP nodes, because a flat walk
+  //                               of a big single upper layer re-creates
+  //                               the radius problem one level up
+  //                               (GraphScale measured the fixed 2-layer
+  //                               probe collapsing to recall 0.13 at ×64
+  //                               while the stacked descent holds 0.76)
+  //   <path>/entries/…            lowest live TOP-level ids (≤ ENTRY_CAP)
   //   <path>/tombstones/…         deleted node ids (append-only)
-  //   <path>/_meta                m, m1, nBuckets, gen (text, tmp+rename)
+  //   <path>/_meta                m, m1, nBuckets, layers, gen
   //
   // Probe cost is a PLAN PROPERTY: every walk fetch filters on the bucket
   // partition column first (PartitionFilters — spec-asserted), so a hop
@@ -709,7 +717,12 @@ object GraphAnn {
     * (lowest ef1 LIVE layer-1 ids) holds at every generation. */
   private val ENTRY_CAP = 256
 
-  private case class IndexMeta(m: Int, m1: Int, nBuckets: Int, gen: Long)
+  /** Stack another level while the current top holds more nodes than
+    * this (≈ 8·ef1·m1, the [[hnswTopK]] scaladoc's stacking rule). */
+  private val LEVEL_CAP = 256
+
+  private case class IndexMeta(m: Int, m1: Int, nBuckets: Int,
+    layers: Int, gen: Long)
 
   private def hfs(spark: org.apache.spark.sql.SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
@@ -722,8 +735,8 @@ object GraphAnn {
       s"$path/.meta_tmp_${java.util.UUID.randomUUID.toString.take(12)}")
     val out = f.create(tmp, true)
     try out.write(
-      s"m=${mt.m}\nm1=${mt.m1}\nnBuckets=${mt.nBuckets}\ngen=${mt.gen}\n"
-        .getBytes("UTF-8"))
+      (s"m=${mt.m}\nm1=${mt.m1}\nnBuckets=${mt.nBuckets}\n" +
+        s"layers=${mt.layers}\ngen=${mt.gen}\n").getBytes("UTF-8"))
     finally out.close()
     val dst = new org.apache.hadoop.fs.Path(s"$path/_meta")
     f.delete(dst, false)
@@ -741,7 +754,7 @@ object GraphAnn {
     val kv = txt.linesIterator.filter(_.contains("="))
       .map { l => val Array(k, v) = l.split("=", 2); k -> v }.toMap
     IndexMeta(kv("m").toInt, kv("m1").toInt, kv("nBuckets").toInt,
-      kv("gen").toLong)
+      kv("layers").toInt, kv("gen").toLong)
   }
 
   private def bucketed(df: DataFrame, idCol: String, n: Int): DataFrame =
@@ -889,16 +902,24 @@ object GraphAnn {
     }
 
   /** Build and persist the index: one quantize pass writes the bucketed
-    * vector store, both layer graphs land bucketed-by-src at generation 1,
-    * and the entry sidecar records the lowest layer-1 ids. `centroidStride`
-    * switches the layer-0 build to [[blockedKnnGraph]] — the 100 TB build
-    * path; None = exact [[knnGraph]] (the fixture-gold standard). */
+    * vector store, every layer graph lands bucketed-by-src at generation
+    * 1, and the entry sidecar records the lowest TOP-level ids.
+    * `centroidStride` switches the layer-0 build to [[blockedKnnGraph]] —
+    * the 100 TB build path; None = exact [[knnGraph]] (the fixture-gold
+    * standard). Upper levels stack while a level holds > LEVEL_CAP nodes
+    * (up to `maxLayers` — fixture queries pin 1 so their oracles replay a
+    * fixed two-layer descent at any data size); level ≥ 2 graphs build
+    * blocked when `centroidStride` is set (√n-sized strides), exact
+    * otherwise. */
   def writeIndex(corpus: DataFrame, path: String, m: Int = 8, m1: Int = 4,
       nBuckets: Int = 16, centroidStride: Option[Int] = None,
       g0Opt: Option[DataFrame] = None,
-      g1Opt: Option[DataFrame] = None): Unit = {
-    require(m >= 1 && m1 >= 1 && nBuckets >= 1, "bad index parameters")
+      g1Opt: Option[DataFrame] = None,
+      maxLayers: Int = 19): Unit = {
+    require(m >= 1 && m1 >= 1 && nBuckets >= 1 && maxLayers >= 1,
+      "bad index parameters")
     val spark = corpus.sparkSession
+    import spark.implicits._
     hfs(spark, path).delete(new org.apache.hadoop.fs.Path(path), true)
     bucketed(AnnSearch.quantized(corpus), "id", nBuckets)
       .repartition(nBuckets, col("bucket"))
@@ -910,26 +931,45 @@ object GraphAnn {
       .map(st => blockedKnnGraph(corpus, m, st))
       .getOrElse(knnGraph(corpus, m)))
     writeAdj(g0, s"$path/adj0", 1L, nBuckets, append = false)
-    val lvl1 = levelNodes(corpus, 1)
-    writeAdj(g1Opt.getOrElse(knnGraph(lvl1, m1)), s"$path/adj1", 1L,
-      nBuckets, append = false)
-    import spark.implicits._
-    val ents = lvl1.select(col(lvl1.columns.head).as("id"))
+    var topNodes: DataFrame = null
+    var l = 1
+    var done = false
+    while (!done) {
+      val nodes = levelNodes(corpus, l)
+      val nl = nodes.count()
+      if (l == 1) require(nl > 0,
+        "writeIndex: no layer-1 nodes — corpus too small for a hierarchy " +
+          "(the flat beamTopK path covers toy corpora)")
+      val gl =
+        if (l == 1) g1Opt.getOrElse(knnGraph(nodes, m1))
+        else if (centroidStride.isDefined)
+          blockedKnnGraph(nodes, m1,
+            math.max(1, math.sqrt(nl.toDouble).toInt))
+        else knnGraph(nodes, m1)
+      writeAdj(gl, s"$path/adj$l", 1L, nBuckets, append = false)
+      topNodes = nodes
+      // stack another level only while this one is too big to flat-walk
+      // AND the next level up would still hold a navigable graph
+      if (nl > LEVEL_CAP && l < maxLayers &&
+          levelNodes(corpus, l + 1).count() >= 2) l += 1
+      else done = true
+    }
+    val ents = topNodes.select(col(topNodes.columns.head).as("id"))
       .orderBy("id").limit(ENTRY_CAP).as[Long].collect()
-    require(ents.nonEmpty,
-      "writeIndex: no layer-1 nodes — corpus too small for a hierarchy " +
-        "(the flat beamTopK path covers toy corpora)")
     writeEntries(spark, path, ents)
-    writeMeta(spark, path, IndexMeta(m, m1, nBuckets, 1L))
+    writeMeta(spark, path, IndexMeta(m, m1, nBuckets, l, 1L))
   }
 
   /** Probe the persisted index — the HNSW descent with every byte coming
-    * from pruned reads: the upper walk starts at the entry sidecar's ef1
-    * lowest live layer-1 ids and walks adj1; each query's upper winners
-    * seed its adj0 walk. Both walks are driver-paced ([[beamTopK]] —
-    * probe batches are bounded by contract) and every fetch goes through
-    * [[indexFetch]]: bucket partition pruning + max-gen resolution +
-    * tombstone masking. Nothing is rebuilt, nothing unpruned is read. */
+    * from pruned reads: the top-level walk starts at the entry sidecar's
+    * ef1 lowest live ids, each level's per-query winners seed the next
+    * level down (narrow ef1/hops1 walks — one per stored level), and the
+    * final layer-0 walk runs at ef/hops. All walks are driver-paced
+    * ([[beamTopK]] — probe batches are bounded by contract) and every
+    * fetch goes through [[indexFetch]]: bucket partition pruning +
+    * max-gen resolution + tombstone masking. Nothing is rebuilt, nothing
+    * unpruned is read; total cost is (layers·ef1·(m1+1)·hops1 +
+    * ef·(m+1)·hops) scored rows per query — ~log N with stacked levels. */
   def probeIndex(queries: DataFrame, path: String, k: Int,
       ef1: Int = 8, hops1: Int = 2, ef: Int = 16,
       hops: Int = 2): DataFrame = {
@@ -940,16 +980,19 @@ object GraphAnn {
     val tombs = readTombs(spark, path)
     val fetch = indexFetch(mt.nBuckets, tombs)
     val vec = spark.read.parquet(s"$path/vectors")
-    val adj1 = spark.read.parquet(s"$path/adj1")
     val adj0 = spark.read.parquet(s"$path/adj0")
     val ents = readEntries(spark, path).filterNot(tombs.contains).take(ef1)
     require(ents.nonEmpty,
       s"probeIndex: entry sidecar exhausted at $path — rebuild the index")
-    val upBeam = beamWalkArr(queries, vec, adj1, ef1, hops1,
-      Some(ents), None, fetch)
-    val seeds = upBeam.groupBy(_._1).map { case (q, a) => q -> a.map(_._2) }
+    var seeds: Option[Map[Long, Array[Long]]] = None
+    for (l <- mt.layers to 1 by -1) {
+      val beam = beamWalkArr(queries, vec,
+        spark.read.parquet(s"$path/adj$l"), ef1, hops1,
+        if (seeds.isEmpty) Some(ents) else None, seeds, fetch)
+      seeds = Some(beam.groupBy(_._1).map { case (q, a) => q -> a.map(_._2) })
+    }
     val finalBeam = beamWalkArr(queries, vec, adj0, ef, hops,
-      None, Some(seeds), fetch)
+      None, seeds, fetch)
     AnnSearch.rankTopK(finalBeam.toSeq.toDF("qid", "cid", "cos"), k)
   }
 
@@ -995,21 +1038,12 @@ object GraphAnn {
         .repartition(mt.nBuckets, col("bucket"))
         .write.partitionBy("bucket").mode("append").parquet(s"$path/vectors"))
     val vec = spark.read.parquet(s"$path/vectors")
-    val adj1 = spark.read.parquet(s"$path/adj1")
     val adj0 = spark.read.parquet(s"$path/adj0")
+    val adjL = (1 to mt.layers).map(l =>
+      l -> spark.read.parquet(s"$path/adj$l")).toMap
     val ents = readEntries(spark, path).filterNot(tombs.contains).take(ef1)
     require(ents.nonEmpty,
       s"addBatch: entry sidecar exhausted at $path — rebuild the index")
-
-    // ONE upper walk: descent seeds for every batch node; its per-query
-    // top-m1 prefix is the layer-1 edge selection for layer-1 batch nodes
-    val upBeam = phased("upper walk")(beamWalkArr(batch, vec, adj1, ef1,
-      hops1, Some(ents), None, fetch))
-    val b1Ids = levelNodes(batch, 1)
-      .select(col(batch.columns.head).cast("long")).as[Long].collect().toSet
-    val seeds = upBeam.groupBy(_._1).map { case (q, a) => q -> a.map(_._2) }
-    val w0Beam = phased("lower walk")(beamWalkArr(batch, vec, adj0, ef,
-      hops, None, Some(seeds), fetch))
 
     /** Per-query top-`deg` edge selection from a walk beam — driver-side
       * over beams that are driver state already (the beamWalkArr rule). */
@@ -1036,18 +1070,38 @@ object GraphAnn {
         mDeg)
     }
 
+    // batch node ids per level (the keyed draw; level sets are nested)
+    val bIdsAt = (1 to mt.layers).map(l => l -> levelNodes(batch, l)
+      .select(col(batch.columns.head).cast("long")).as[Long]
+      .collect().toSet).toMap
+    // ONE walk per stored level, descending: each level's beam both seeds
+    // the next level down (HNSW's insert descent) and supplies the
+    // top-m1 edge selection for batch nodes drawn AT that level
+    var seeds: Option[Map[Long, Array[Long]]] = None
+    val newEAt = (mt.layers to 1 by -1).map { l =>
+      val beam = phased(s"walk L$l")(beamWalkArr(batch, vec, adjL(l), ef1,
+        hops1, if (seeds.isEmpty) Some(ents) else None, seeds, fetch))
+      seeds = Some(beam.groupBy(_._1).map { case (q, a) => q -> a.map(_._2) })
+      l -> topEdges(beam, mt.m1, bIdsAt(l).contains)
+    }.toMap
+    val w0Beam = phased("lower walk")(beamWalkArr(batch, vec, adj0, ef,
+      hops, None, seeds, fetch))
+
     val rows0 = phased("trim L0")(
       layerRows(adj0, topEdges(w0Beam, mt.m, _ => true), mt.m))
-    val rows1Opt = if (b1Ids.isEmpty) None else
-      Some(phased("trim L1")(
-        layerRows(adj1, topEdges(upBeam, mt.m1, b1Ids.contains), mt.m1)))
+    val rowsAt = (1 to mt.layers).flatMap { l =>
+      if (bIdsAt(l).isEmpty) None
+      else Some(l -> phased(s"trim L$l")(
+        layerRows(adjL(l), newEAt(l), mt.m1)))
+    }
     phased("adj0 append")(
       writeAdj(rows0, s"$path/adj0", newGen, mt.nBuckets, append = true))
-    rows1Opt.foreach(r => phased("adj1 append")(
-      writeAdj(r, s"$path/adj1", newGen, mt.nBuckets, append = true)))
-    if (b1Ids.nonEmpty)
+    rowsAt.foreach { case (l, r) => phased(s"adj$l append")(
+      writeAdj(r, s"$path/adj$l", newGen, mt.nBuckets, append = true)) }
+    if (bIdsAt(mt.layers).nonEmpty)
       phased("entries")(writeEntries(spark, path,
-        (readEntries(spark, path) ++ b1Ids).distinct.sorted.take(ENTRY_CAP)))
+        (readEntries(spark, path) ++ bIdsAt(mt.layers)).distinct.sorted
+          .take(ENTRY_CAP)))
     writeMeta(spark, path, mt.copy(gen = newGen))
   }
 
@@ -1112,28 +1166,27 @@ object GraphAnn {
     }
 
     val adj0 = spark.read.parquet(s"$path/adj0")
-    val adj1 = spark.read.parquet(s"$path/adj1")
-    val r1 = levelNodes(rIds.toSeq.toDF("id"), 1).as[Long].collect()
-    val rows0 = repair(adj0, rIds, mt.m)
-    val rows1 = repair(adj1, r1, mt.m1)
-    rows0.foreach(r =>
+    repair(adj0, rIds, mt.m).foreach(r =>
       writeAdj(r, s"$path/adj0", newGen, mt.nBuckets, append = true))
-    rows1.foreach(r =>
-      writeAdj(r, s"$path/adj1", newGen, mt.nBuckets, append = true))
+    for (l <- 1 to mt.layers) {
+      val rl = levelNodes(rIds.toSeq.toDF("id"), l).as[Long].collect()
+      repair(spark.read.parquet(s"$path/adj$l"), rl, mt.m1).foreach(r =>
+        writeAdj(r, s"$path/adj$l", newGen, mt.nBuckets, append = true))
+    }
     rIds.toSeq.toDF("id").coalesce(1).write.mode("append")
       .parquet(s"$path/tombstones")
-    // the sidecar invariant is "lowest min(cap, live) layer-1 ids": a
+    // the sidecar invariant is "lowest min(cap, live) TOP-level ids": a
     // deletion touching it forces a rebuild from the store (rare, and an
     // id-column-only scan), so the probe entry rule stays exactly the
-    // oracle's "lowest ef1 LIVE layer-1 ids" at every generation
+    // oracle's "lowest ef1 LIVE top-level ids" at every generation
     val ents = readEntries(spark, path)
     if (ents.exists(rIds.contains)) {
       val allTombs = (oldTombs ++ rIds).distinct
-      val live = levelNodes(vec.select(col("id")), 1)
+      val live = levelNodes(vec.select(col("id")), mt.layers)
         .filter(!col("id").isin(allTombs.toSeq: _*))
         .orderBy("id").limit(ENTRY_CAP).as[Long].collect()
       require(live.nonEmpty,
-        s"removeBatch: no live layer-1 nodes remain at $path")
+        s"removeBatch: no live top-level nodes remain at $path")
       writeEntries(spark, path, live)
     }
     writeMeta(spark, path, mt.copy(gen = newGen))

@@ -1029,7 +1029,8 @@ object Corpus {
         g0Opt = Some(Pipeline.cachedGraph(s, dir, "full_m8")(
           GraphAnn.knnGraph(e, 8))),
         g1Opt = Some(Pipeline.cachedGraph(s, dir, "lvl1_m4")(
-          GraphAnn.knnGraph(GraphAnn.levelNodes(e, 1), 4))))
+          GraphAnn.knnGraph(GraphAnn.levelNodes(e, 1), 4))),
+        maxLayers = 1)
       val qv = Seq((1, 7L), (2, 14L), (3, 21L)).toDF("query_id", "qvec_id")
       val dense = GraphAnn.probeIndex(
           e.filter(col("id").isin(7L, 14L, 21L)), gIdx, 16,

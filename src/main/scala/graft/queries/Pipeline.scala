@@ -1896,7 +1896,8 @@ object Pipeline {
       GraphAnn.writeIndex(e, idx, m = 8, m1 = 4, nBuckets = 16,
         g0Opt = Some(cachedGraph(s, dir, "full_m8")(GraphAnn.knnGraph(e, 8))),
         g1Opt = Some(cachedGraph(s, dir, "lvl1_m4")(
-          GraphAnn.knnGraph(GraphAnn.levelNodes(e, 1), 4))))
+          GraphAnn.knnGraph(GraphAnn.levelNodes(e, 1), 4))),
+        maxLayers = 1)
       GraphAnn.probeIndex(e.filter(col("id") < 50), idx, 10,
           ef1 = 8, hops1 = 2, ef = 16, hops = 2)
         .select(col("qid"), col("cid"), col("rk").cast("bigint").as("rk"),
@@ -1993,7 +1994,8 @@ object Pipeline {
         g0Opt = Some(cachedGraph(s, dir, "half_m8")(
           GraphAnn.knnGraph(half, 8))),
         g1Opt = Some(cachedGraph(s, dir, "halflvl1_m4")(
-          GraphAnn.knnGraph(GraphAnn.levelNodes(half, 1), 4))))
+          GraphAnn.knnGraph(GraphAnn.levelNodes(half, 1), 4))),
+        maxLayers = 1)
       GraphAnn.addBatch(idx, e.filter(col("id") % 4 === 2),
         ef1 = 8, hops1 = 2, ef = 16, hops = 2)
       GraphAnn.addBatch(idx, e.filter(col("id") % 4 === 3),
@@ -2070,7 +2072,8 @@ object Pipeline {
       GraphAnn.writeIndex(e, idx, m = 8, m1 = 4, nBuckets = 16,
         g0Opt = Some(cachedGraph(s, dir, "full_m8")(GraphAnn.knnGraph(e, 8))),
         g1Opt = Some(cachedGraph(s, dir, "lvl1_m4")(
-          GraphAnn.knnGraph(GraphAnn.levelNodes(e, 1), 4))))
+          GraphAnn.knnGraph(GraphAnn.levelNodes(e, 1), 4))),
+        maxLayers = 1)
       GraphAnn.removeBatch(idx, e.filter(col("id") % 10 === 3).select("id"))
       GraphAnn.probeIndex(
           e.filter(col("id") < 50 && col("id") % 10 =!= 3), idx, 10,

@@ -183,6 +183,41 @@ object GraphScale {
       g0.unpersist(blocking = false); g1.unpersist(blocking = false)
       g2.unpersist(blocking = false)
     }
+
+    // THE AT-REST LIFECYCLE (r16, q379–q381): the persisted index —
+    // blocked builds land as bucketed parquet, a FIXED 2000-node batch
+    // ingests LEVEL-AWARE against the store (one descent walk per node +
+    // per-layer endpoint-pruned trims, all APPENDS at gen+1), and the
+    // persisted descent probe reads only pruned buckets. Claims: ingest
+    // wall ~FLAT ×16→×64 (batch-bounded walks + O(batch·m) trims), and
+    // the persisted probe holds the hierarchy's recall.
+    for (factor <- Seq(16, 64)) {
+      val corpus = spark.read.parquet(s"$root/x$factor")
+      val old = corpus.filter(col("id") % factor =!= 9)
+      val batch = corpus.filter(col("id") % factor === 9)
+      val centStride = math.max(1, (50 * math.sqrt(factor)).toInt)
+      val hops = 4 + math.round(2.0 * math.log(factor) / math.log(16)).toInt
+      val idx = s"$root/idx_x$factor"
+      val lvl1 = GraphAnn.levelNodes(old, 1)
+      val nl1 = lvl1.count()
+      val t0 = System.nanoTime()
+      GraphAnn.writeIndex(old, idx, m = 8, m1 = 8, nBuckets = 64,
+        g0Opt = Some(GraphAnn.blockedKnnGraph(old, 8, centStride, 2)),
+        g1Opt = Some(GraphAnn.blockedKnnGraph(lvl1, 8,
+          math.max(1, math.sqrt(nl1.toDouble).toInt), 2)))
+      val build = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      GraphAnn.addBatch(idx, batch, ef1 = 8, hops1 = 3, ef = 16,
+        hops = hops)
+      val ins = (System.nanoTime() - t1) / 1e9
+      val (bw, brute) = best2(AnnSearch.bruteTopK(queries, corpus, 10))
+      val (pw, got) = best2(GraphAnn.probeIndex(queries, idx, 10,
+        ef1 = 8, hops1 = 3, ef = 16, hops = hops))
+      val recall = (brute & got).size.toDouble / brute.size
+      println(f"[graphscale] x$factor-atrest upperNodes=$nl1 " +
+        f"build=$build%.2fs ingest2000=$ins%.2fs brute=$bw%.2fs " +
+        f"probe=$pw%.2fs recall=$recall%.3f")
+    }
     spark.stop()
   }
 }
