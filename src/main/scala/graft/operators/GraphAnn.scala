@@ -318,11 +318,17 @@ object GraphAnn {
         val fr = fetch(g, "src", beamIds)
         val edges: Array[(Long, Long)] =
           if (fr.columns.contains("gen")) {
-            val raw = fr.select(col("src"), col("dst"), col("gen"))
-              .as[(Long, Long, Long)].collect()
+            // max-gen per src over the UNMASKED rows, THEN drop tombstone-
+            // flagged destinations (the [[indexFetch]] ordering contract)
+            val raw = (if (fr.columns.contains("tomb"))
+                fr.select(col("src"), col("dst"), col("gen"), col("tomb"))
+              else fr.select(col("src"), col("dst"), col("gen"),
+                lit(false).as("tomb")))
+              .as[(Long, Long, Long, Boolean)].collect()
             val mx = raw.groupBy(_._1)
               .map { case (s0, rows) => s0 -> rows.iterator.map(_._3).max }
-            raw.collect { case (s0, d0, gn) if gn == mx(s0) => (s0, d0) }
+            raw.collect { case (s0, d0, gn, tb) if gn == mx(s0) && !tb =>
+              (s0, d0) }
           } else fr.select(col("src"), col("dst")).as[(Long, Long)].collect()
         val bySrc = edges.groupBy(_._1)
         // group the beam ONCE (O(|Q|·ef)) — a per-query filter scan over
@@ -679,6 +685,11 @@ object GraphAnn {
   //
   //   <path>/vectors/bucket=B/…   (id, qe, n2)    bucket = pmod(id, nB)
   //   <path>/adj0/bucket=B/…      (src, dst, gen) bucket = pmod(src, nB)
+  //   <path>/radj<l>/bucket=B/…   reverse adjacency (same rows as adj<l>,
+  //                               bucket = pmod(DST, nB)) — delete
+  //                               repair's in-edge discovery fetches it
+  //                               partition-pruned by removed id; any-gen
+  //                               discovery state, live truth stays adj
   //   <path>/adj<l>/bucket=B/…    level-l adjacency (l = 1..layers),
   //                               same shape — the hierarchy STACKS:
   //                               levels are added while a level holds
@@ -760,18 +771,37 @@ object GraphAnn {
   private def bucketed(df: DataFrame, idCol: String, n: Int): DataFrame =
     df.withColumn("bucket", pmod(col(idCol), lit(n.toLong)))
 
-  private def writeAdj(edges: DataFrame, dir: String, gen: Long, n: Int,
-      append: Boolean): Unit =
-    bucketed(edges.select(col("src"), col("dst"))
-        .withColumn("gen", lit(gen)), "src", n)
-      // co-locate each bucket's rows before the partitioned write: ONE
-      // file per bucket per generation instead of (shuffle partitions ×
-      // buckets) shards — the probe's listing cost follows generations,
-      // not writer parallelism (and at scale this is the co-located
-      // bucket-write shape anyway)
+  /** Write one layer's adjacency at `<path>/adj<l>` (bucketed by src)
+    * AND its reverse sidecar `<path>/radj<l>` (same rows, bucketed by
+    * DST). The reverse form exists for one consumer — [[removeBatch]]'s
+    * in-edge discovery, which is a dst predicate that src-bucketing
+    * cannot prune; with `radj` it becomes a bucket-partition-pruned fetch
+    * (O(batch·in-degree) rows read) instead of a full adjacency scan per
+    * layer. `radj` is append-only DISCOVERY state: it may carry
+    * stale-generation rows (a superseded source's old edges), which the
+    * pruned LIVE re-fetch against `adj` already drops — so it needs no
+    * generation resolution of its own, only the same gen-append
+    * discipline the writers already follow (every edge written to adj
+    * lands in radj in the same call). */
+  private def writeAdj(edges: DataFrame, path: String, layer: Int,
+      gen: Long, n: Int, append: Boolean): Unit = {
+    val mode = if (append) "append" else "overwrite"
+    val stamped = edges.select(col("src"), col("dst"))
+      .withColumn("gen", lit(gen))
+    // co-locate each bucket's rows before the partitioned write: ONE
+    // file per bucket per generation instead of (shuffle partitions ×
+    // buckets) shards — the probe's listing cost follows generations,
+    // not writer parallelism (and at scale this is the co-located
+    // bucket-write shape anyway)
+    bucketed(stamped, "src", n)
       .repartition(n, col("bucket"))
       .write.partitionBy("bucket")
-      .mode(if (append) "append" else "overwrite").parquet(dir)
+      .mode(mode).parquet(s"$path/adj$layer")
+    bucketed(stamped, "dst", n)
+      .repartition(n, col("bucket"))
+      .write.partitionBy("bucket")
+      .mode(mode).parquet(s"$path/radj$layer")
+  }
 
   private def writeEntries(spark: org.apache.spark.sql.SparkSession,
       path: String, ids: Array[Long]): Unit = {
@@ -811,8 +841,18 @@ object GraphAnn {
   /** The at-rest fetch: bucket partition pruning first (bucket =
     * pmod(id, nBuckets) is derivable from the requested id set), then the
     * InSet/join id filter; adjacency frames (recognized by their `gen`
-    * column) additionally resolve max-gen-per-src over the bounded fetch
-    * and mask tombstoned destinations. Exposed private[graft] so the spec
+    * column) additionally FLAG tombstoned destinations in a `tomb`
+    * column. The consumer resolves max-gen-per-src over the UNMASKED
+    * rows FIRST and only then drops flagged destinations — either
+    * driver-side over its collected bounded fetch (the walk loop — a
+    * per-round window exchange measured as a real share of the q380
+    * lifecycle wall) or through [[resolveLive]] (the trim paths).
+    * Masking before resolution was a live bug: a source whose entire
+    * latest-generation edge set is tombstoned (and that got no bridge
+    * re-trim because the removed mids had no surviving out-edges) would
+    * vanish from the max-gen computation and RESURRECT its superseded
+    * earlier generation's trimmed-away edges; the oracle's live view
+    * leaves that source edge-less. Exposed private[graft] so the spec
     * can assert the PartitionFilters plan property directly. */
   private[graft] def indexFetch(nBuckets: Int,
       tombs: Array[Long]): IdFetch = (df, idCol, ids) => {
@@ -827,22 +867,18 @@ object GraphAnn {
         pruned.join(broadcast(ids.toSeq.toDF(idCol)), idCol)
       }
     if (df.columns.contains("gen")) {
-      // tombstoned DESTINATIONS are masked here; the returned rows still
-      // CARRY `gen` — the consumer resolves max-gen-per-src, either
-      // driver-side over its collected bounded fetch (the walk loop — a
-      // per-round window exchange measured as a real share of the q380
-      // lifecycle wall) or through [[resolveLive]] (the trim paths)
-      val masked =
-        if (tombs.isEmpty) base
+      val flagged =
+        if (tombs.isEmpty) base.withColumn("tomb", lit(false))
         else if (tombs.length <= 65536)
-          base.filter(!col("dst").isin(tombs.toSeq: _*))
+          base.withColumn("tomb", col("dst").isin(tombs.toSeq: _*))
         else {
           val spark = df.sparkSession
           import spark.implicits._
-          base.join(broadcast(tombs.toSeq.toDF("dst")), Seq("dst"),
-            "left_anti")
+          base.join(broadcast(tombs.toSeq.toDF("dst")
+              .withColumn("_t", lit(true))), Seq("dst"), "left")
+            .withColumn("tomb", coalesce(col("_t"), lit(false)))
         }
-      masked.select("src", "dst", "gen")
+      flagged.select("src", "dst", "gen", "tomb")
     } else base
   }
 
@@ -891,13 +927,17 @@ object GraphAnn {
 
   /** Resolve a gen-carrying edge fetch to its live view: max generation
     * per source wins (an insert/delete re-trim REPLACES the source's edge
-    * set). No-op on flat (src, dst) frames. */
+    * set), and tombstone-flagged destinations drop ONLY AFTER that
+    * resolution (the [[indexFetch]] ordering contract — masking first
+    * resurrects superseded generations). No-op on flat (src, dst)
+    * frames. */
   private[graft] def resolveLive(df: DataFrame): DataFrame =
     if (!df.columns.contains("gen")) df
     else {
       val w = org.apache.spark.sql.expressions.Window.partitionBy("src")
-      df.withColumn("_mg", max("gen").over(w))
+      val res = df.withColumn("_mg", max("gen").over(w))
         .filter(col("gen") === col("_mg"))
+      (if (df.columns.contains("tomb")) res.filter(!col("tomb")) else res)
         .select("src", "dst")
     }
 
@@ -930,7 +970,7 @@ object GraphAnn {
     val g0 = g0Opt.getOrElse(centroidStride
       .map(st => blockedKnnGraph(corpus, m, st))
       .getOrElse(knnGraph(corpus, m)))
-    writeAdj(g0, s"$path/adj0", 1L, nBuckets, append = false)
+    writeAdj(g0, path, 0, 1L, nBuckets, append = false)
     var topNodes: DataFrame = null
     var l = 1
     var done = false
@@ -946,7 +986,7 @@ object GraphAnn {
           blockedKnnGraph(nodes, m1,
             math.max(1, math.sqrt(nl.toDouble).toInt))
         else knnGraph(nodes, m1)
-      writeAdj(gl, s"$path/adj$l", 1L, nBuckets, append = false)
+      writeAdj(gl, path, l, 1L, nBuckets, append = false)
       topNodes = nodes
       // stack another level only while this one is too big to flat-walk
       // AND the next level up would still hold a navigable graph
@@ -1095,9 +1135,9 @@ object GraphAnn {
         layerRows(adjL(l), newEAt(l), mt.m1)))
     }
     phased("adj0 append")(
-      writeAdj(rows0, s"$path/adj0", newGen, mt.nBuckets, append = true))
+      writeAdj(rows0, path, 0, newGen, mt.nBuckets, append = true))
     rowsAt.foreach { case (l, r) => phased(s"adj$l append")(
-      writeAdj(r, s"$path/adj$l", newGen, mt.nBuckets, append = true)) }
+      writeAdj(r, path, l, newGen, mt.nBuckets, append = true)) }
     if (bIdsAt(mt.layers).nonEmpty)
       phased("entries")(writeEntries(spark, path,
         (readEntries(spark, path) ++ bIdsAt(mt.layers)).distinct.sorted
@@ -1110,11 +1150,12 @@ object GraphAnn {
     * land in the tombstone sidecar (readers mask dead DESTINATIONS at
     * fetch, which realizes the "kept" edge drop for untouched sources
     * without rewriting them), and every BRIDGED source's re-trimmed edge
-    * set appends at gen+1. In-edge discovery is the one full adjacency
-    * scan in the lifecycle (candidate sources with any-gen edges into the
-    * removed set, then a pruned live re-fetch drops stale-generation
-    * false positives) — the documented cost of delete repair without a
-    * reverse-adjacency sidecar, exactly FreshDiskANN's trade. `removed`:
+    * set appends at gen+1. In-edge discovery reads the dst-bucketed
+    * `radj` sidecar — a bucket-partition-pruned fetch by removed id
+    * (candidate sources with any-gen edges into the removed set,
+    * O(batch·in-degree) rows; the pruned live re-fetch against `adj`
+    * then drops stale-generation false positives) — closing the one
+    * full-scan FreshDiskANN trade the r16 form documented. `removed`:
     * a single id column, batch-bounded (the [[IvfPq.removeIds]] guard). */
   def removeBatch(path: String, removed: DataFrame): Unit = {
     require(removed.columns.length == 1,
@@ -1135,15 +1176,17 @@ object GraphAnn {
       * fetches are bounded (|candidates| × m, |removed| × m) and
       * COLLECTED, so the bridge join and the kept/touched masks are
       * driver work and the trim reads only endpoint vectors. */
-    def repair(adj: DataFrame, rSet: Array[Long],
+    def repair(adj: DataFrame, radj: DataFrame, rSet: Array[Long],
         mDeg: Int): Option[DataFrame] = {
       if (rSet.isEmpty) return None
       val rs = rSet.toSet
-      // candidate in-edge sources: any-gen scan (no src pruning exists for
-      // a dst predicate), then the pruned LIVE re-fetch below drops
-      // stale-generation false positives
-      val candSrc = adj.filter(col("dst").isin(rSet.toSeq: _*) &&
-          !col("src").isin(rSet.toSeq: _*))
+      // candidate in-edge sources: a bucket-pruned any-gen fetch of the
+      // dst-bucketed reverse sidecar (tombs empty on purpose — discovery
+      // wants EVERY edge ever written into the removed set; the pruned
+      // LIVE re-fetch below drops stale-generation false positives)
+      val candSrc = indexFetch(mt.nBuckets, Array.emptyLongArray)(
+          radj, "dst", rSet)
+        .filter(!col("src").isin(rSet.toSeq: _*))
         .select("src").distinct().as[Long].collect()
       if (candSrc.isEmpty) return None
       val candLive = resolveLive(fetch(adj, "src", candSrc))
@@ -1166,12 +1209,13 @@ object GraphAnn {
     }
 
     val adj0 = spark.read.parquet(s"$path/adj0")
-    repair(adj0, rIds, mt.m).foreach(r =>
-      writeAdj(r, s"$path/adj0", newGen, mt.nBuckets, append = true))
+    repair(adj0, spark.read.parquet(s"$path/radj0"), rIds, mt.m)
+      .foreach(r => writeAdj(r, path, 0, newGen, mt.nBuckets, append = true))
     for (l <- 1 to mt.layers) {
       val rl = levelNodes(rIds.toSeq.toDF("id"), l).as[Long].collect()
-      repair(spark.read.parquet(s"$path/adj$l"), rl, mt.m1).foreach(r =>
-        writeAdj(r, s"$path/adj$l", newGen, mt.nBuckets, append = true))
+      repair(spark.read.parquet(s"$path/adj$l"),
+          spark.read.parquet(s"$path/radj$l"), rl, mt.m1).foreach(r =>
+        writeAdj(r, path, l, newGen, mt.nBuckets, append = true))
     }
     rIds.toSeq.toDF("id").coalesce(1).write.mode("append")
       .parquet(s"$path/tombstones")

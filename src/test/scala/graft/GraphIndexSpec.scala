@@ -151,6 +151,47 @@ class GraphIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("id").as[Long].collect().toSet
     assert(!entsBefore.exists(removedSet.contains),
       "entry sidecar still lists a removed id")
+    // the reverse sidecar mirrors the adjacency row-for-row (every write
+    // lands in both) and the in-edge discovery fetch is PARTITION-PRUNED
+    // on the dst bucket — the plan property that makes delete repair
+    // O(batch·in-degree) instead of a full index scan per layer
+    val radj0 = spark.read.parquet(s"$path/radj0")
+    assert(adj0.select("src", "dst", "gen").as[(Long, Long, Long)]
+        .collect().sorted.toSeq ==
+      radj0.select("src", "dst", "gen").as[(Long, Long, Long)]
+        .collect().sorted.toSeq,
+      "radj diverged from adj")
+    val inEdge = GraphAnn.indexFetch(8, Array.emptyLongArray)(
+      radj0, "dst", Array(3L, 13L))
+    val iplan = inEdge.queryExecution.executedPlan.toString
+    assert(iplan.contains("PartitionFilters") && iplan.contains("bucket"),
+      s"in-edge discovery fetch is not bucket-pruned:\n$iplan")
+  }
+
+  test("a fully-tombstoned latest generation must NOT resurrect its " +
+      "superseded edges (mask AFTER max-gen resolution)") {
+    // src 1: gen 1 edges {2, 3} were REPLACED by gen 2's {9}; 9 is then
+    // tombstoned with no bridge re-trim (the corner where the removed mid
+    // has no surviving out-edges). The live view leaves src 1 edge-less —
+    // masking dst=9 before resolution would drop gen 2 from the max-gen
+    // computation and resurrect the trimmed-away {2, 3}.
+    val adj = Seq((1L, 2L, 1L), (1L, 3L, 1L), (1L, 9L, 2L), (4L, 1L, 1L))
+      .toDF("src", "dst", "gen")
+      .withColumn("bucket", pmod(col("src"), lit(8L)))
+    val live = GraphAnn.resolveLive(
+      GraphAnn.indexFetch(8, Array(9L))(adj, "src", Array(1L, 4L)))
+      .as[(Long, Long)].collect().toSet
+    assert(!live.contains((1L, 2L)) && !live.contains((1L, 3L)),
+      s"superseded gen-1 edges resurrected: $live")
+    assert(live == Set((4L, 1L)),
+      s"untombstoned live edges must survive untouched: $live")
+    // the >65536-tombstone join path obeys the same ordering
+    val bigTombs = (9L to 70000L).toArray
+    val liveBig = GraphAnn.resolveLive(
+      GraphAnn.indexFetch(8, bigTombs)(adj, "src", Array(1L, 4L)))
+      .as[(Long, Long)].collect().toSet
+    assert(liveBig == Set((4L, 1L)),
+      s"join-path tombstone masking diverged: $liveBig")
   }
 
   test("per-query entry seeds: driver-paced walk equals the distributed " +
