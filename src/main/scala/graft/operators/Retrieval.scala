@@ -25,9 +25,11 @@ import org.apache.spark.sql.functions._
   * [[bm25TopKIndexed]] —
   *  - [[bm25WriteIndex]] is the amortized ONE-TIME build: postings
   *    `(term, doc_id, tf, dl)` and term stats `(term, df)` written
-  *    hash-partitioned by term bucket (`tb`), plus a 1-row scalar file
-  *    (N, avgdl, nBuckets). Two partial-aggregated shuffles over the token
-  *    stream, once, ever.
+  *    hash-partitioned by term bucket (`tb`), plus a scalar delta file
+  *    (n_docs, dl_sum, nBuckets). Two partial-aggregated shuffles over the
+  *    token stream, once — and [[bm25AddBatch]] grows the index per batch
+  *    (postings append, df/N/avgdl delta-fold at probe) so a growing
+  *    corpus never rebuilds.
   *  - [[bm25TopKIndexed]] touches ONLY the probed terms' buckets: the
   *    bucket ids of the query terms (bounded by |query terms|) are pushed
   *    as a static IN on the partition column, so the postings scan is
@@ -138,27 +140,65 @@ object Retrieval {
     *  - `$path/postings`: (term, doc_id, tf, dl) partitioned by term bucket
     *    `tb = pmod(hash(term), nBuckets)` — one directory per bucket, so a
     *    probe partition-prunes to its terms' buckets;
-    *  - `$path/terms`: (term, df) partitioned the same way (df is
-    *    term-static, so it is precomputed here instead of re-aggregated per
-    *    probe);
-    *  - `$path/stats`: ONE row (n_docs, avgdl, n_buckets) — the index is
-    *    self-contained, no side-channel metadata (the
-    *    [[AnnSearch.ivfWriteIndex]] convention). */
+    *  - `$path/terms`: (term, df) partitioned the same way — one row per
+    *    term PER INGEST BATCH (the probe sums df over its pruned buckets,
+    *    so [[bm25AddBatch]] appends instead of merging);
+    *  - `$path/stats`: one row per build/batch (n_docs, dl_sum, n_buckets)
+    *    — the probe folds N = Σ n_docs and avgdl = Σ dl_sum / Σ n_docs,
+    *    keeping the index self-contained with no side-channel metadata
+    *    (the [[AnnSearch.ivfWriteIndex]] convention). */
   def bm25WriteIndex(docs: DataFrame, path: String, nBuckets: Int = 64): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1 (got $nBuckets)")
+    bm25WriteBatch(docs, path, nBuckets, append = false)
+  }
+
+  /** INCREMENTAL BM25 INGEST — append a new document batch to a persisted
+    * index without rebuilding it (the train-once/add-forever discipline
+    * every ANN index in the zoo already follows; BM25 was the last
+    * write-once index). Every piece of index state is either per-document
+    * (postings rows — disjoint across batches, a pure bucket-partitioned
+    * append) or DELTA-FOLDABLE at probe time over commutative integer
+    * sums (`terms` appends this batch's (term, df) rows and the probe
+    * sums df per term over its pruned buckets; `stats` appends this
+    * batch's (n_docs, dl_sum) row and the probe folds N = Σ n_docs,
+    * avgdl = Σ dl_sum / Σ n_docs — ONE IEEE division over exact integer
+    * totals, bit-identical to the one-shot build's). Batches therefore
+    * COMMUTE: any batch order, and any batch-vs-one-shot split, probes
+    * identically (RetrievalSpec pins it).
+    *
+    * Contract (the [[BinaryAnn.addBatch]]/[[IvfPq.addBatch]] unique-id
+    * rule): batch doc_ids must be NEW — a re-ingested doc_id would sum a
+    * second posting row into its (query, doc) score silently. Single
+    * writer; concurrent ingests race the appends. */
+  def bm25AddBatch(batch: DataFrame, path: String): Unit = {
+    val spark = batch.sparkSession
+    val nb = spark.read.parquet(s"$path/stats")
+      .agg(min("n_buckets"), max("n_buckets")).head()
+    require(nb.getInt(0) == nb.getInt(1),
+      s"corrupt stats at $path: inconsistent n_buckets")
+    bm25WriteBatch(batch, path, nb.getInt(0), append = true)
+  }
+
+  private def bm25WriteBatch(docs: DataFrame, path: String, nBuckets: Int,
+      append: Boolean): Unit = {
+    val mode = if (append) "append" else "overwrite"
     val tok = postings(docs)
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     tf.join(dl, Seq("doc_id"))
       .withColumn("tb", pmod(hash(col("term")), lit(nBuckets)))
-      .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings")
+      .write.mode(mode).partitionBy("tb").parquet(s"$path/postings")
     tf.groupBy("term").agg(count(lit(1)).as("df"))
       .withColumn("tb", pmod(hash(col("term")), lit(nBuckets)))
-      .write.mode("overwrite").partitionBy("tb").parquet(s"$path/terms")
+      .write.mode(mode).partitionBy("tb").parquet(s"$path/terms")
+    // per-batch scalar deltas; the probe folds them (Σ, Σ, then one
+    // division) so an N-batch index and the one-shot build read the same
+    // (n_docs, avgdl). An empty frame still writes its (0, 0) row — the
+    // fold is unaffected and the build stays replayable.
     dl.agg(count(lit(1)).as("n_docs"),
-        (sum("dl").cast("double") / count(lit(1))).as("avgdl"),
+        coalesce(sum("dl"), lit(0L)).cast("long").as("dl_sum"),
         lit(nBuckets).as("n_buckets"))
-      .write.mode("overwrite").parquet(s"$path/stats")
+      .write.mode(mode).parquet(s"$path/stats")
   }
 
   /** Probe a materialized BM25 index: identical scores to [[bm25TopK]]
@@ -173,10 +213,18 @@ object Retrieval {
     require(k >= 1, s"k must be >= 1 (got $k)")
     require(queries.nonEmpty, "need at least one query")
     import spark.implicits._
-    val stats = spark.read.parquet(s"$indexPath/stats").head()
+    // fold the per-batch scalar deltas ([[bm25AddBatch]]): exact integer
+    // sums, then the ONE IEEE division — bit-identical to a one-shot build
+    val stats = spark.read.parquet(s"$indexPath/stats")
+      .agg(sum("n_docs").cast("long").as("n_docs"),
+        sum("dl_sum").cast("long").as("dl_sum"),
+        min("n_buckets").as("nb0"), max("n_buckets").as("nb1")).head()
     val nDocs = stats.getAs[Long]("n_docs")
-    val avgdl = stats.getAs[Double]("avgdl")
-    val nBuckets = stats.getAs[Int]("n_buckets")
+    require(nDocs > 0, s"empty BM25 index at $indexPath")
+    val avgdl = stats.getAs[Long]("dl_sum").toDouble / nDocs
+    val nBuckets = stats.getAs[Int]("nb0")
+    require(nBuckets == stats.getAs[Int]("nb1"),
+      s"corrupt stats at $indexPath: inconsistent n_buckets")
 
     val qt = queryTerms(spark, queries)
     // the probed buckets — evaluated through Spark's own hash() so the ids
@@ -189,7 +237,11 @@ object Retrieval {
     val terms = spark.read.parquet(s"$indexPath/terms")
       .filter(col("tb").isin(buckets.map(Int.box): _*))
 
+    // df delta-fold: a multi-batch index holds one (term, df) row PER
+    // BATCH the term appeared in; summing over the pruned buckets
+    // reconstructs the one-shot df exactly (integer sum, order-free)
     val idf = terms.join(broadcast(qt.select("term").distinct()), Seq("term"))
+      .groupBy("term").agg(sum("df").as("df"))
       .withColumn("idfq", idfMicroExpr(nDocs))
       .select(col("term"), col("idfq"))
     val scored = post.join(broadcast(qt), Seq("term"))
@@ -606,6 +658,22 @@ object Retrieval {
     docs.sparkSession.range(1)
       .select(lit(nBuckets).as("n_buckets"))
       .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** INCREMENTAL POSITIONAL INGEST — the [[bm25AddBatch]] counterpart for
+    * the phrase/proximity/snippet index. Positional state is purely
+    * per-document (doc_id, pos, term), so a new batch is ONE
+    * bucket-partitioned append; no stats fold is needed (n_buckets is
+    * build-constant). Batches commute and any batch split probes
+    * identically to the one-shot build (RetrievalSpec pins it). Same
+    * unique-doc_id single-writer contract as [[bm25AddBatch]]. */
+  def phraseAddBatch(batch: DataFrame, path: String): Unit = {
+    val spark = batch.sparkSession
+    val nBuckets = spark.read.parquet(s"$path/stats")
+      .head().getAs[Int]("n_buckets")
+    positionalPostings(batch)
+      .withColumn("tb", pmod(hash(col("term")), lit(nBuckets)))
+      .write.mode("append").partitionBy("tb").parquet(s"$path/positions")
   }
 
   /** Probe the positional index: identical results to [[phraseTopK]], but

@@ -1042,6 +1042,71 @@ object Corpus {
           col("rrf_micro").as("rel_micro")), e, k = 5,
           lam = 0.7, mu = 0.3)
         .orderBy("query_id", "pick")
+    },
+
+    // INCREMENTAL BM25 INGEST (VERDICT r16 task 1 — the last write-once
+    // index gains the zoo-wide train-once/add-forever discipline): build
+    // the persisted index from a third of the corpus, grow it with two
+    // [[Retrieval.bm25AddBatch]] batches (postings/df rows append per term
+    // bucket; the N/avgdl scalars append as per-batch (n_docs, dl_sum)
+    // deltas the probe folds with exact integer sums + ONE division), then
+    // probe. Batches commute, so the oracle is q188's one-shot full-corpus
+    // scoring chain UNCHANGED — the multi-batch == one-shot equivalence IS
+    // the checked claim (RetrievalSpec additionally pins batch-order
+    // independence).
+    Qd("q385_bm25_index_ingest",
+      s"""WITH $bm25Ctes,
+        |rk AS (SELECT query_id, doc_id, wq,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY wq DESC, doc_id) AS rk FROM sc)
+        |SELECT query_id, doc_id, rk, ROUND(CAST(wq AS DOUBLE)/1000000.0, 4) AS score
+        |FROM rk WHERE rk <= 10 ORDER BY query_id, rk""") { (s, dir) =>
+      val d = docs(s, dir)
+      val idx = bm25IndexPath(dir) + "_ingest"
+      Retrieval.bm25WriteIndex(d.filter(col("doc_id") % 3 === 0), idx)
+      Retrieval.bm25AddBatch(d.filter(col("doc_id") % 3 === 1), idx)
+      Retrieval.bm25AddBatch(d.filter(col("doc_id") % 3 === 2), idx)
+      Retrieval.bm25TopKIndexed(s, idx, bm25Queries, k = 10)
+        .orderBy("query_id", "rk")
+    },
+
+    // INCREMENTAL POSITIONAL INGEST — the phrase-index counterpart:
+    // positional state is purely per-document, so each
+    // [[Retrieval.phraseAddBatch]] is one bucket-partitioned append and
+    // the grown index probes exactly like q373's one-shot build (same
+    // phrases, same oracle — including the repeated-term distinct-offset
+    // edge case crossing batch boundaries).
+    Qd("q386_phrase_index_ingest",
+      """WITH tokp AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(1, len(string_split(text, ' ')))) - 1 AS pos,
+        |    unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tp AS (SELECT doc_id, pos, term FROM tokp WHERE term <> ''),
+        |ph(phrase_id, term, off, plen) AS (VALUES
+        |  (1, 'spark', 0, 2), (1, 'join', 1, 2),
+        |  (2, 'big', 0, 2), (2, 'big', 1, 2),
+        |  (3, 'the', 0, 3), (3, 'line', 1, 3), (3, 'sort', 2, 3)),
+        |occ AS (SELECT ph.phrase_id, tp.doc_id, tp.pos - ph.off AS anchor, ph.plen
+        |  FROM tp JOIN ph ON tp.term = ph.term
+        |  WHERE tp.pos - ph.off >= 0
+        |  GROUP BY 1, 2, 3, 4
+        |  HAVING count(DISTINCT ph.off) = ph.plen),
+        |agg AS (SELECT phrase_id, doc_id, CAST(count(*) AS BIGINT) AS n_occ
+        |  FROM occ GROUP BY 1, 2),
+        |rkd AS (SELECT phrase_id, doc_id, n_occ,
+        |  row_number() OVER (PARTITION BY phrase_id ORDER BY n_occ DESC, doc_id) AS rk
+        |  FROM agg)
+        |SELECT phrase_id, doc_id, n_occ, CAST(rk AS BIGINT) AS rk
+        |FROM rkd WHERE rk <= 10 ORDER BY phrase_id, rk""") { (s, dir) =>
+      val d = docs(s, dir)
+      val idx = phraseIndexPath(dir) + "_ingest"
+      Retrieval.phraseWriteIndex(d.filter(col("doc_id") % 3 === 0), idx)
+      Retrieval.phraseAddBatch(d.filter(col("doc_id") % 3 === 1), idx)
+      Retrieval.phraseAddBatch(d.filter(col("doc_id") % 3 === 2), idx)
+      Retrieval.phraseTopKIndexed(s, idx, Seq(
+          1 -> Seq("spark", "join"), 2 -> Seq("big", "big"),
+          3 -> Seq("the", "line", "sort")), k = 10)
+        .orderBy("phrase_id", "rk")
     }
   )
 

@@ -86,6 +86,41 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"postings/terms scans must prune on the tb bucket column, got: $pfs")
   }
 
+  test("incremental fulltext ingest: any batch split/order probes " +
+      "identically to the one-shot build (BM25 and positional)") {
+    val dir = "/root/testdata/sf0.001"
+    val d = Engine.table(spark, dir, "documents")
+    def part(i: Int) = d.filter(col("doc_id") % 3 === i)
+    val qs = Seq(1 -> Seq("dup"), 2 -> Seq("spark", "join"))
+    val one = "/root/repo/target/bm25index/ingest_one"
+    Retrieval.bm25WriteIndex(d, one)
+    val ref = Retrieval.bm25TopKIndexed(spark, one, qs, k = 10)
+      .collect().map(_.toSeq).toSet
+    assert(ref.nonEmpty)
+    for (order <- Seq(Seq(0, 1, 2), Seq(2, 0, 1))) {
+      val p = s"/root/repo/target/bm25index/ingest_${order.mkString}"
+      Retrieval.bm25WriteIndex(part(order.head), p)
+      order.tail.foreach(i => Retrieval.bm25AddBatch(part(i), p))
+      val got = Retrieval.bm25TopKIndexed(spark, p, qs, k = 10)
+        .collect().map(_.toSeq).toSet
+      assert(got == ref, s"bm25 batch order $order diverged from one-shot")
+    }
+    val phr = Seq(1 -> Seq("spark", "join"), 2 -> Seq("big", "big"))
+    val pOne = "/root/repo/target/phraseindex/ingest_one"
+    Retrieval.phraseWriteIndex(d, pOne, nBuckets = 8)
+    val pRef = Retrieval.phraseTopKIndexed(spark, pOne, phr, k = 10)
+      .collect().map(_.toSeq).toSet
+    assert(pRef.nonEmpty)
+    for (order <- Seq(Seq(0, 1, 2), Seq(1, 2, 0))) {
+      val p = s"/root/repo/target/phraseindex/ingest_${order.mkString}"
+      Retrieval.phraseWriteIndex(part(order.head), p, nBuckets = 8)
+      order.tail.foreach(i => Retrieval.phraseAddBatch(part(i), p))
+      val got = Retrieval.phraseTopKIndexed(spark, p, phr, k = 10)
+        .collect().map(_.toSeq).toSet
+      assert(got == pRef, s"phrase batch order $order diverged from one-shot")
+    }
+  }
+
   test("rerank: zero-norm candidate scores -1.0 and ranks last (not NULL)") {
     val s = spark
     import s.implicits._
