@@ -166,6 +166,10 @@ object Engine {
       operators.TableConstraints.execDdl(spark, query)
     } else if (operators.MatView.handles(query)) {
       operators.MatView.exec(spark, query)
+    } else if (operators.IndexZooSql.handles(query)) {
+      // vector / fulltext index DDL + TOPK probes — persisted-registry
+      // routing, so CREATE in one session serves probes from any later one
+      operators.IndexZooSql.sql(spark, query)
     } else {
       val df = spark.sql(operators.TxnSql.rewriteReads(spark, query))
       // transparent materialized-view rewrite: answered from a FRESH MV's

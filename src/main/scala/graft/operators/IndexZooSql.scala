@@ -38,21 +38,90 @@ import org.apache.spark.sql.functions._
   * re-encodes per probe (q360, [[ScalarQuantizer.sqTopK]]) — declaring it
   * an at-rest index here would misrepresent what is persisted.
   *
-  * Registry is session-scoped (the metastore analog, like
-  * [[TxnSql.tables]]); the index files live at the managed path and a
-  * DROP retires them. Statements this object does not handle fall
-  * through to `spark.sql` in [[sql]].
+  * THE REGISTRY IS PERSISTED (VERDICT r16 task 4 — the metastore analog
+  * made literal): every CREATE writes a `_registry/<name>` sidecar file
+  * under [[managedRoot]] (the [[GraphAnn]] `_meta` k=v discipline,
+  * tmp + atomic rename), every statement resolves against the directory
+  * listing, and DROP retires the file with the index — so an index
+  * created in one session probes from a fresh one with no re-CREATE, and
+  * the old JVM-global in-memory map (two sessions silently sharing
+  * definitions that then died with the process) is gone. Each entry also
+  * records a FINGERPRINT of the base table's input files at CREATE time;
+  * a probe whose table resolves to DIFFERENT files fails loudly instead
+  * of routing to a stale index (re-pointing a temp view at new data was
+  * previously silent). A probe whose table does not resolve at all is
+  * legitimate — every persisted index is self-contained — and skips the
+  * check. Single-writer DDL contract, as [[TxnSql]]. Statements this
+  * object does not handle fall through to `spark.sql` in [[sql]];
+  * [[graft.Engine.sql]] dispatches index statements here transparently.
   */
 object IndexZooSql {
 
   private case class Entry(name: String, family: String, kind: String,
-    table: String, col: String, path: String, opts: Map[String, String])
+    table: String, col: String, path: String, fingerprint: String)
 
-  private val reg =
-    new java.util.concurrent.ConcurrentHashMap[String, Entry]()
-
-  /** Managed root for indexes whose CREATE carries no `path` option. */
+  /** Managed root for indexes whose CREATE carries no `path` option; the
+    * persisted registry lives at `$managedRoot/_registry`. */
   @volatile var managedRoot: String = "/root/repo/target/ddl/indexzoo"
+
+  private def registryDir = s"$managedRoot/_registry"
+
+  private def hfs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Fingerprint of the table's current input files (sorted md5) — "-"
+    * when the relation exposes none (an in-memory view): content checks
+    * are then impossible and skipped. Parquet part files are
+    * uniquely named per write, so re-pointed views and regenerated data
+    * both miss. */
+  private def tableFingerprint(spark: SparkSession, table: String): String = {
+    val files = spark.table(table).inputFiles
+    if (files.isEmpty) "-"
+    else java.security.MessageDigest.getInstance("MD5")
+      .digest(files.sorted.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  private def writeEntry(spark: SparkSession, e: Entry): Unit = {
+    val f = hfs(spark, registryDir)
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$registryDir/.${e.name}_tmp_${java.util.UUID.randomUUID.toString.take(8)}")
+    val out = f.create(tmp, true)
+    try out.write(
+      (s"name=${e.name}\nfamily=${e.family}\nkind=${e.kind}\n" +
+        s"table=${e.table}\ncol=${e.col}\npath=${e.path}\n" +
+        s"fingerprint=${e.fingerprint}\n").getBytes("UTF-8"))
+    finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(s"$registryDir/${e.name}")
+    f.delete(dst, false)
+    require(f.rename(tmp, dst), s"could not publish $registryDir/${e.name}")
+  }
+
+  private def readEntry(spark: SparkSession,
+      p: org.apache.hadoop.fs.Path): Entry = {
+    val in = hfs(spark, registryDir).open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val kv = txt.linesIterator.filter(_.contains("="))
+      .map { l => val Array(k, v) = l.split("=", 2); k -> v }.toMap
+    Entry(kv("name"), kv("family"), kv("kind"), kv("table"), kv("col"),
+      kv("path"), kv.getOrElse("fingerprint", "-"))
+  }
+
+  private def entries(spark: SparkSession): Seq[Entry] = {
+    val f = hfs(spark, registryDir)
+    val d = new org.apache.hadoop.fs.Path(registryDir)
+    if (!f.exists(d)) Nil
+    else f.listStatus(d).toSeq.filter(s => !s.getPath.getName.startsWith("."))
+      .map(s => readEntry(spark, s.getPath))
+  }
+
+  private def lookup(spark: SparkSession, name: String): Option[Entry] = {
+    val f = hfs(spark, registryDir)
+    val p = new org.apache.hadoop.fs.Path(s"$registryDir/$name")
+    if (f.exists(p)) Some(readEntry(spark, p)) else None
+  }
 
   def handles(sqlText: String): Boolean = {
     val up = sqlText.trim.toUpperCase
@@ -100,23 +169,36 @@ object IndexZooSql {
 
   private def show(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    import scala.jdk.CollectionConverters._
-    reg.values.asScala.toSeq
+    entries(spark)
       .map(e => (e.name, e.family, e.kind, e.table, e.col, e.path))
       .sortBy(_._1)
       .toDF("idx_name", "family", "idx_kind", "tbl_name", "col_name", "path")
   }
 
-  /** The registered index covering (table, col) among `kinds`, if any.
-    * VECTOR probes accept any vector kind (so CREATE enforces one vector
-    * index per column — probe routing stays deterministic); the two
-    * FULLTEXT kinds serve DIFFERENT probe statements (BM25 scoring vs
-    * positional phrases) and may coexist on one column. */
-  private def covering(family: String, table: String, col: String,
-      kinds: Set[String]): Option[Entry] = {
-    import scala.jdk.CollectionConverters._
-    reg.values.asScala.find(e => e.family == family && kinds(e.kind) &&
+  /** The registered index covering (table, col) among `kinds`, if any —
+    * resolved from the persisted registry, so yesterday's CREATE routes
+    * today's probe. VECTOR probes accept any vector kind (so CREATE
+    * enforces one vector index per column — probe routing stays
+    * deterministic); the two FULLTEXT kinds serve DIFFERENT probe
+    * statements (BM25 scoring vs positional phrases) and may coexist on
+    * one column. A resolved entry whose base table is live under a
+    * DIFFERENT file set than at CREATE fails loudly (stale-index guard);
+    * an unresolvable table skips the check — the probe serves entirely
+    * from the index. */
+  private def covering(spark: SparkSession, family: String, table: String,
+      col: String, kinds: Set[String]): Option[Entry] = {
+    val hit = entries(spark).find(e => e.family == family && kinds(e.kind) &&
       e.table == table.toLowerCase && e.col == col.toLowerCase)
+    hit.foreach { e =>
+      if (e.fingerprint != "-" && spark.catalog.tableExists(e.table)) {
+        val now = tableFingerprint(spark, e.table)
+        require(now == "-" || now == e.fingerprint,
+          s"index ${e.name} was built over different data than $table now " +
+            "reads (input-file fingerprint mismatch) — DROP and re-CREATE " +
+            "the index, or restore the original table")
+      }
+    }
+    hit
   }
 
   private def execCreate(spark: SparkSession, s: String): DataFrame = {
@@ -137,10 +219,12 @@ object IndexZooSql {
     require(validKinds(kind),
       s"$family index kind must be one of ${validKinds.mkString("|")} " +
         s"(got '$kind'; SQ8 is a per-probe codec — see q360): $s")
-    require(!reg.containsKey(name), s"index $name already exists")
+    require(lookup(spark, name).isEmpty, s"index $name already exists")
     val clashKinds = if (family == "VECTOR") validKinds else Set(kind)
-    covering(family, table, cname, clashKinds).foreach(e => fail(s,
-      s"index ${e.name} (${e.kind}) already covers $table($cname)"))
+    entries(spark).find(e => e.family == family && clashKinds(e.kind) &&
+        e.table == table.toLowerCase && e.col == cname.toLowerCase)
+      .foreach(e => fail(s,
+        s"index ${e.name} (${e.kind}) already covers $table($cname)"))
     val df = spark.table(table)
     require(df.columns.map(_.toLowerCase).contains(cname.toLowerCase),
       s"column $cname does not exist on $table")
@@ -169,8 +253,8 @@ object IndexZooSql {
             nBuckets = intOpt(opts, "buckets", 64))
         }
     }
-    reg.put(name, Entry(name, family, kind, table.toLowerCase,
-      cname.toLowerCase, path, opts))
+    writeEntry(spark, Entry(name, family, kind, table.toLowerCase,
+      cname.toLowerCase, path, tableFingerprint(spark, table)))
     show(spark)
   }
 
@@ -179,11 +263,12 @@ object IndexZooSql {
       "([A-Za-z_][A-Za-z0-9_]*)\\s*$").r.findFirstMatchIn(s)
       .getOrElse(fail(s, "DROP VECTOR|FULLTEXT INDEX <i> expected"))
     val name = m.group(2).toLowerCase
-    val e = Option(reg.get(name)).getOrElse(
+    val e = lookup(spark, name).getOrElse(
       fail(s, s"no ${m.group(1).toLowerCase} index $name"))
     require(e.family == m.group(1).toUpperCase,
       s"index $name is a ${e.family} index")
-    reg.remove(name)
+    hfs(spark, registryDir)
+      .delete(new org.apache.hadoop.fs.Path(s"$registryDir/$name"), false)
     deleteDir(spark, e.path) // managed semantics, as TxnSql's DROP TABLE
     show(spark)
   }
@@ -211,7 +296,7 @@ object IndexZooSql {
     val opts = parseOpts(m.group(5), s)
     val qdf = spark.table(qname)
       .select(col("id"), spark.table(qname)(c).as("embedding"))
-    val out = covering("VECTOR", table, c,
+    val out = covering(spark, "VECTOR", table, c,
         Set("GRAPH", "BINARY", "IVF_PQ")) match {
       case Some(e) => e.kind match {
         case "GRAPH" => GraphAnn.probeIndex(qdf, e.path, k,
@@ -220,10 +305,9 @@ object IndexZooSql {
         case "BINARY" => BinaryAnn.probeIndex(qdf, e.path, k,
           shortlist = intOpt(opts, "shortlist", math.max(k, 64)))
         case "IVF_PQ" =>
-          val corpus = spark.table(e.table).select(col("id"),
-            spark.table(e.table)(e.col).as("embedding"))
-          IvfPq.probeIndex(qdf, corpus,
-            IvfPq.openIndex(spark, e.path), k,
+          // self-contained probe: the rescore reads the index's own
+          // id-bucketed vector store — the base table need not be live
+          IvfPq.probeIndex(qdf, IvfPq.openIndex(spark, e.path), k,
             nprobe = intOpt(opts, "nprobe", 4),
             shortlist = intOpt(opts, "shortlist", 64))
       }
@@ -247,7 +331,7 @@ object IndexZooSql {
     val (table, c) = (m.group(1), m.group(2))
     val queries = parseQueryLits(m.group(3), s)
     val k = m.group(4).toInt
-    covering("FULLTEXT", table, c, Set("BM25")) match {
+    covering(spark, "FULLTEXT", table, c, Set("BM25")) match {
       case Some(e) => Retrieval.bm25TopKIndexed(spark, e.path, queries, k)
       case None =>
         // DEGRADED: one-shot scoring over the raw table — identical rows
@@ -268,7 +352,7 @@ object IndexZooSql {
     val (table, c) = (m.group(1), m.group(2))
     val phrases = parseQueryLits(m.group(3), s)
     val k = m.group(4).toInt
-    covering("FULLTEXT", table, c, Set("POSITIONAL")) match {
+    covering(spark, "FULLTEXT", table, c, Set("POSITIONAL")) match {
       case Some(e) => Retrieval.phraseTopKIndexed(spark, e.path, phrases, k)
       case None =>
         val docs = spark.table(table).select(col("doc_id"),
@@ -277,6 +361,9 @@ object IndexZooSql {
     }
   }
 
-  /** Test/lifecycle hook: clear the session registry (files untouched). */
-  private[graft] def reset(): Unit = reg.clear()
+  /** Test/lifecycle hook: clear the persisted registry (index files at
+    * explicit paths untouched). */
+  private[graft] def reset(spark: SparkSession): Unit =
+    hfs(spark, registryDir)
+      .delete(new org.apache.hadoop.fs.Path(registryDir), true)
 }

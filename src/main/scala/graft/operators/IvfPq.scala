@@ -50,6 +50,11 @@ import org.apache.spark.sql.functions._
   */
 object IvfPq {
 
+  /** Fixed id-bucket count for the rescore vector store — pmod(id, 16)
+    * is derivable from any shortlist, so the constant needs no meta
+    * sidecar (the [[GraphAnn]] bucket discipline). */
+  private val VEC_BUCKETS = 16
+
   /** Coarse centroids + residual PQ codebook, both broadcast-sized. */
   private[operators] final case class Book(
       coarse: Array[(Long, Array[Long])], // (cent_id, vector), sorted
@@ -150,7 +155,11 @@ object IvfPq {
     val cc = AnnSearch.quantized(corpus)
     val book = spark.sparkContext.broadcast(
       collectBook(cc, centroidStride, m, ncent, pqStride, pqIters))
-    probeEncoded(queries, corpus, encodeAll(cc, book), book, k, nprobe, shortlist)
+    probeEncoded(queries, encodeAll(cc, book), book, k, nprobe, shortlist,
+      ids =>
+        if (ids.length <= 65536 && ids.nonEmpty)
+          AnnSearch.quantized(corpus.filter(col("id").isin(ids.toSeq: _*)))
+        else AnnSearch.quantized(corpus))
   }
 
   /** A built IVF-PQ index: codes on disk partitioned by coarse list under
@@ -214,14 +223,24 @@ object IvfPq {
     * per-row scores. */
   def addBatch(batch: DataFrame, path: String): Unit = {
     val spark = batch.sparkSession
+    val cc = AnnSearch.quantized(batch)
     val book = spark.sparkContext.broadcast(loadBook(spark, path))
-    try encodeAll(AnnSearch.quantized(batch), book)
+    try encodeAll(cc, book)
       .repartition(col("cent_id")).write.mode("append")
       .partitionBy("cent_id").parquet(s"$path/lists")
     // the write is the terminal action — the per-batch book broadcast is
     // dead after it; without this a long ingest session leaks one book
     // per addBatch call
     finally book.destroy()
+    // rescore vector store (the GraphAnn/BinaryAnn posture): the exact
+    // quantized vectors land id-bucketed so [[probeIndex]]'s shortlist
+    // rescore is a partition-pruned point fetch of the INDEX — a probe
+    // never needs the base table live. Tombstoned rows may linger here
+    // (rescore only ever fetches live shortlisted ids), so compaction
+    // need not rewrite it.
+    cc.withColumn("bucket", pmod(col("id"), lit(VEC_BUCKETS.toLong)))
+      .repartition(VEC_BUCKETS, col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(s"$path/vectors")
   }
 
   /** Open a persisted index for probing (the `faiss.read_index` analog). */
@@ -305,11 +324,48 @@ object IvfPq {
   }
 
   /** Probe a built index: partition-pruned ADC scan of the probed lists +
-    * exact rescore against `corpus` (the stored vectors). Results are
-    * identical to [[ivfPqTopK]] with the same parameters (spec-pinned). */
+    * exact rescore against `corpus` (the caller's vector table). Results
+    * are identical to [[ivfPqTopK]] with the same parameters
+    * (spec-pinned). */
   def probeIndex(queries: DataFrame, corpus: DataFrame, index: IvfPqIndex,
-      k: Int, nprobe: Int, shortlist: Int = 64): DataFrame = {
-    val spark = corpus.sparkSession
+      k: Int, nprobe: Int, shortlist: Int = 64): DataFrame =
+    probeWithFetch(queries, index, k, nprobe, shortlist, ids =>
+      // 65536 literals is where an InSet stops being obviously cheap; a
+      // wider shortlist (the brute-equivalence spec's ∞) falls back to
+      // the full corpus scan
+      if (ids.length <= 65536 && ids.nonEmpty)
+        AnnSearch.quantized(corpus.filter(col("id").isin(ids.toSeq: _*)))
+      else AnnSearch.quantized(corpus))
+
+  /** SELF-CONTAINED probe — rescore vectors come from the index's own
+    * id-bucketed `vectors` store ([[addBatch]] writes it), so the base
+    * table can be dropped after ingest and the probe still runs: the
+    * shortlist fetch is a bucket-partition-pruned point read of the
+    * store, never a corpus scan. Identical results to the corpus-fed
+    * [[probeIndex]] by construction (same codes, same exact vectors —
+    * spec-pinned). */
+  def probeIndex(queries: DataFrame, index: IvfPqIndex,
+      k: Int, nprobe: Int, shortlist: Int): DataFrame = {
+    val spark = queries.sparkSession
+    probeWithFetch(queries, index, k, nprobe, shortlist, ids => {
+      val vec = spark.read.parquet(s"${index.path}/vectors")
+      val bks = ids.map(i => ((i % VEC_BUCKETS) + VEC_BUCKETS) % VEC_BUCKETS)
+        .distinct.toSeq
+      val pruned = vec.filter(col("bucket").isin(bks: _*))
+      val hit =
+        if (ids.length <= 65536) pruned.filter(col("id").isin(ids.toSeq: _*))
+        else {
+          import spark.implicits._
+          pruned.join(broadcast(ids.toSeq.toDF("id")), "id")
+        }
+      hit.select("id", "qe", "n2")
+    })
+  }
+
+  private def probeWithFetch(queries: DataFrame, index: IvfPqIndex,
+      k: Int, nprobe: Int, shortlist: Int,
+      fetchQuantized: Array[Long] => DataFrame): DataFrame = {
+    val spark = queries.sparkSession
     val encoded0 = spark.read.parquet(s"${index.path}/lists")
       .select("cid", "cent_id", "codes", "rn2") // partition col re-ordered
     // tombstone mask ([[removeIds]]): removed rows never reach the ADC
@@ -322,7 +378,8 @@ object IvfPq {
         encoded0.join(spark.read.parquet(s"${index.path}/tombstones"),
           Seq("cid"), "left_anti")
       else encoded0
-    probeEncoded(queries, corpus, encoded, index.book, k, nprobe, shortlist)
+    probeEncoded(queries, encoded, index.book, k, nprobe, shortlist,
+      fetchQuantized)
   }
 
   /** Encode: (cid, coarse cent_id, codes, reconstructed norm²). One
@@ -372,11 +429,12 @@ object IvfPq {
     * (pre-filtered with a static IN — a partition-pruned file skip when
     * `encoded` comes off a `partitionBy(cent_id)` index), shortlist, exact
     * rescore. */
-  private def probeEncoded(queries: DataFrame, corpus: DataFrame,
+  private def probeEncoded(queries: DataFrame,
       encoded0: DataFrame,
       book: org.apache.spark.broadcast.Broadcast[Book],
-      k: Int, nprobe: Int, shortlist: Int): DataFrame = {
-    val spark = corpus.sparkSession
+      k: Int, nprobe: Int, shortlist: Int,
+      fetchQuantized: Array[Long] => DataFrame): DataFrame = {
+    val spark = queries.sparkSession
     import spark.implicits._
     // probe set: per query, top-nprobe coarse lists by (dot desc,
     // cent_id asc) WITH the exact dot(q, c) each probe needs for ADC.
@@ -432,12 +490,7 @@ object IvfPq {
     val short = spark.createDataFrame(shortRows.toSeq.map(p => (p._1, p._2)))
       .toDF("qid", "cid")
     val ids = shortRows.map(_._2).distinct
-    // 65536 literals is where an InSet stops being obviously cheap; a wider
-    // shortlist (the brute-equivalence spec's ∞) falls back to the full join
-    val fetch =
-      if (ids.length <= 65536 && ids.nonEmpty)
-        AnnSearch.quantized(corpus.filter(col("id").isin(ids.toSeq: _*)))
-      else AnnSearch.quantized(corpus)
+    val fetch = fetchQuantized(ids)
 
     // 5. exact rescore of the shortlist only
     val qq = AnnSearch.quantized(queries)

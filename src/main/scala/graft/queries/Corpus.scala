@@ -872,7 +872,7 @@ object Corpus {
         |  UNION ALL SELECT 'phrase', 'scan', * FROM ph5)
         |ORDER BY kind, phase, query_id, rk""") { (s, dir) =>
       import graft.operators.IndexZooSql
-      IndexZooSql.reset()
+      IndexZooSql.reset(s)
       val sf = new java.io.File(dir).getName.replace(".", "_")
       docs(s, dir).createOrReplaceTempView("g383_docs")
       // buckets=16: the partition-pruned probe shape at a fraction of the

@@ -27,7 +27,7 @@ class IndexZooSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("vector lifecycle: create routes probes to the graph index, drop " +
       "degrades the SAME statement to the exact brute scan") {
-    IndexZooSql.reset()
+    IndexZooSql.reset(spark)
     emb.createOrReplaceTempView("izs_corpus")
     emb.filter(col("id") < 10).createOrReplaceTempView("izs_queries")
     IndexZooSql.sql(spark, "CREATE VECTOR INDEX izs_vi ON izs_corpus " +
@@ -50,7 +50,7 @@ class IndexZooSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("covering rules: a second vector index on the column is rejected; " +
       "BM25 and POSITIONAL coexist and route their own probes") {
-    IndexZooSql.reset()
+    IndexZooSql.reset(spark)
     emb.createOrReplaceTempView("izs_corpus2")
     docs.createOrReplaceTempView("izs_docs")
     IndexZooSql.sql(spark, "CREATE VECTOR INDEX izs_a ON izs_corpus2 " +
@@ -76,8 +76,50 @@ class IndexZooSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     IndexZooSql.sql(spark, "DROP FULLTEXT INDEX izs_ps")
   }
 
+  test("persisted registry: cross-session probe with the base view " +
+      "dropped (IVF_PQ self-contained rescore), stale-file guard fires") {
+    import graft.operators.IvfPq
+    IndexZooSql.reset(spark)
+    val e = emb
+    e.createOrReplaceTempView("izs_corpus4")
+    IndexZooSql.sql(spark, "CREATE VECTOR INDEX izs_pq ON izs_corpus4 " +
+      s"(embedding) AS 'IVF_PQ' OPTIONS (stride=40, path='$root/pq')")
+    // corpus-fed reference BEFORE anything is dropped
+    val ref = IvfPq.probeIndex(e.filter(col("id") < 10), e,
+        IvfPq.openIndex(spark, s"$root/pq"), 5, nprobe = 4, shortlist = 64)
+      .select(col("qid"), col("cid"), col("rk").cast("bigint"), col("cos"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(ref.nonEmpty)
+    // base view GONE: the probe must serve entirely from the index
+    spark.catalog.dropTempView("izs_corpus4")
+    e.filter(col("id") < 10).createOrReplaceTempView("izs_q4")
+    val probe = "VECTOR TOPK ON izs_corpus4 (embedding) QUERIES izs_q4 " +
+      "LIMIT 5 OPTIONS (nprobe=4, shortlist=64)"
+    val got = IndexZooSql.sql(spark, probe)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == ref, "self-contained probe diverged from corpus-fed probe")
+    // FRESH session: the persisted registry routes with no re-CREATE
+    val s2 = spark.newSession()
+    Engine.table(s2, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+      .filter(col("id") < 10).createOrReplaceTempView("izs_q4")
+    val got2 = IndexZooSql.sql(s2, probe).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got2 == ref, "cross-session probe diverged")
+    // stale-data guard: the view name re-pointed at a DIFFERENT file set
+    // must fail loudly, not route to the stale index
+    val altPath = s"$root/alt_corpus"
+    e.filter(col("id") % 2 === 0).write.mode("overwrite").parquet(altPath)
+    spark.read.parquet(altPath).createOrReplaceTempView("izs_corpus4")
+    val ex = intercept[IllegalArgumentException](
+      IndexZooSql.sql(spark, probe))
+    assert(ex.getMessage.contains("fingerprint"), ex.getMessage)
+    IndexZooSql.sql(spark, "DROP VECTOR INDEX izs_pq")
+  }
+
   test("parse failures are loud: bad kind, SQ8, bad options, missing index") {
-    IndexZooSql.reset()
+    IndexZooSql.reset(spark)
     emb.createOrReplaceTempView("izs_corpus3")
     intercept[IllegalArgumentException](IndexZooSql.sql(spark,
       "CREATE VECTOR INDEX z ON izs_corpus3 (embedding) AS 'LSH'"))
