@@ -218,15 +218,18 @@ object BinaryAnn {
     // bounded-collect contract: |Q|×shortlist ids, like IvfPq's shortlist
     val ids = short.select("cid").distinct().as[Long].collect()
     val fetched =
-      if (ids.length <= 65536)
+      (if (ids.length <= 65536)
         idx.filter(col("id").isin(ids.toSeq: _*))
-      else idx.join(broadcast(ids.toSeq.toDF("id")), "id")
+      else idx.join(broadcast(ids.toSeq.toDF("id")), "id"))
+        .localCheckpoint(true) // bounded (≤ |Q|×shortlist rows); eager, so
+                               // the guard count and the rescore share ONE
+                               // execution of the id-pruned store read
+                               // instead of paying it twice
     // the [[addBatch]] unique-id ingest contract, enforced where a breach
     // would corrupt results: a re-ingested id yields duplicate index rows,
     // the rescore join then fans out, and row_number hands out distinct rks
     // for the same (qid, cid) — silently wrong top-k. The guard is one
-    // bounded count over the id-pruned fetch (≤ |Q|×shortlist rows, id
-    // column only), never a corpus scan.
+    // bounded count over the checkpointed fetch, never a corpus scan.
     val nFetched = fetched.count()
     require(nFetched == ids.length,
       s"probeIndex: index at $indexPath returned $nFetched rows for " +

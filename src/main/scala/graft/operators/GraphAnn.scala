@@ -540,18 +540,23 @@ object GraphAnn {
   private def trimEdges(edges: DataFrame, corpus: DataFrame,
       m: Int): DataFrame = {
     val cc = quantizedView(corpus)
-    // the edge set is bounded by contract (touched sources × m) — declare
-    // BOTH endpoint joins broadcast on the bounded side so the vector
-    // side STREAMS through each fetch instead of shuffling (at 100 TB the
-    // store never moves; at fixture scale it cuts two exchanges per trim).
-    // The intermediate carries the src vectors — still touched-set-sized,
-    // within the same bounded-broadcast contract as the walks' probe batch.
-    val withSrc = cc.select(col("id").as("src"), col("qe").as("se"),
+    // the edge set is bounded by contract (touched sources × m). Broadcast
+    // IDS ONLY — never vector-carrying frames: an |edges|×dim broadcast
+    // scales past Spark's 8 GB cap on a large batch where a shuffle would
+    // have degraded gracefully. Both endpoint fetches push an id broadcast
+    // into the store scan (the store never shuffles — the 100 TB
+    // contract); the edge set then joins the two FETCHED sides, which are
+    // touched-set-sized bounded frames (the edge join carries the
+    // broadcast hint, the final endpoint join is left to AQE).
+    val e = edges.select("src", "dst").distinct()
+    val srcV = cc.select(col("id").as("src"), col("qe").as("se"),
         col("n2").as("sn"))
-      .join(broadcast(edges.select("src", "dst").distinct()), "src")
-    cc.select(col("id").as("dst"), col("qe").as("de"),
+      .join(broadcast(e.select("src").distinct()), "src")
+    val dstV = cc.select(col("id").as("dst"), col("qe").as("de"),
         col("n2").as("dn"))
-      .join(broadcast(withSrc), "dst")
+      .join(broadcast(e.select("dst").distinct()), "dst")
+    broadcast(e).join(srcV, "src")
+      .join(dstV, "dst")
       .withColumn("cos", coalesce(
         AnnSearch.dotI64(col("se"), col("de")).cast("double") /
           sqrt(col("sn").cast("double") * col("dn").cast("double")),

@@ -2211,8 +2211,18 @@ object Pipeline {
   private[queries] def cachedGraph(s: SparkSession, dir: String, tag: String)(
       build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val src = new java.io.File(s"$dir/embeddings.parquet")
+    // content-sensitive for BOTH layouts: a single parquet file keys on
+    // its own (length, mtime); a parquet DIRECTORY keys on every part
+    // file's (name, length, mtime) — a bare directory length() is a
+    // constant (4096) and its mtime alone could survive a regeneration
+    val sig =
+      if (src.isDirectory)
+        src.listFiles().sortBy(_.getName)
+          .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+          .mkString("|")
+      else s"${src.length}:${src.lastModified}"
     val fp = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"${src.length}:${src.lastModified}".getBytes("UTF-8"))
+      .digest(sig.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
     val sf = new java.io.File(dir).getName.replace(".", "_")
     val path = s"/root/repo/target/graphfix/${sf}_${tag}_$fp"
