@@ -540,23 +540,20 @@ object GraphAnn {
   private def trimEdges(edges: DataFrame, corpus: DataFrame,
       m: Int): DataFrame = {
     val cc = quantizedView(corpus)
-    // the edge set is bounded by contract (touched sources × m). Broadcast
-    // IDS ONLY — never vector-carrying frames: an |edges|×dim broadcast
-    // scales past Spark's 8 GB cap on a large batch where a shuffle would
-    // have degraded gracefully. Both endpoint fetches push an id broadcast
-    // into the store scan (the store never shuffles — the 100 TB
-    // contract); the edge set then joins the two FETCHED sides, which are
-    // touched-set-sized bounded frames (the edge join carries the
-    // broadcast hint, the final endpoint join is left to AQE).
-    val e = edges.select("src", "dst").distinct()
-    val srcV = cc.select(col("id").as("src"), col("qe").as("se"),
+    // the edge set is bounded by contract (touched sources × m) — the
+    // FIRST join broadcasts it (ids only) so the src-vector fetch streams
+    // the store. The SECOND join is deliberately UNHINTED: its bounded
+    // side carries a vector per edge (|edges|×dim), which a forced
+    // broadcast would push past Spark's 8 GB cap on a large batch — AQE
+    // still broadcasts it at fixture/batch sizes (runtime-sized decision,
+    // same plan in practice) and degrades to a shuffle instead of an
+    // OOM/cap failure where it is genuinely huge.
+    val withSrc = cc.select(col("id").as("src"), col("qe").as("se"),
         col("n2").as("sn"))
-      .join(broadcast(e.select("src").distinct()), "src")
-    val dstV = cc.select(col("id").as("dst"), col("qe").as("de"),
+      .join(broadcast(edges.select("src", "dst").distinct()), "src")
+    cc.select(col("id").as("dst"), col("qe").as("de"),
         col("n2").as("dn"))
-      .join(broadcast(e.select("dst").distinct()), "dst")
-    broadcast(e).join(srcV, "src")
-      .join(dstV, "dst")
+      .join(withSrc, "dst")
       .withColumn("cos", coalesce(
         AnnSearch.dotI64(col("se"), col("de")).cast("double") /
           sqrt(col("sn").cast("double") * col("dn").cast("double")),
