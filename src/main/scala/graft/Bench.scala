@@ -86,7 +86,23 @@ object Bench {
     // the driver never sets it, so its runs cover every query
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
-    val prev = lastTimes()
+    // Documented reference FLOORS for measured-bimodal lifecycles
+    // (BENCH_NOTES r17): q199's wall is ~2.8-3.0s when its reference run
+    // happened to land in-suite warm but 3.6-4.4s standalone/cold —
+    // TxnReadProbe pinned the cause to ~12 fixed-overhead job round-trips
+    // on 15k rows, not a plan change — so whichever mode the last full run
+    // caught becomes the reference and the OTHER mode flags >1.3x every
+    // round (r15: 1.78x, r16: 1.37x, all re-measured at/below band). The
+    // gate reference is max(last-run wall, floor): the rotating mode can
+    // no longer cry wolf, while a real regression (anything past
+    // 1.3 x 4.2s = 5.5s) still flags.
+    val refFloor = Map("q199_dml_time_travel" -> 4.2)
+    val prev = {
+      val raw = lastTimes()
+      (raw.keySet ++ refFloor.keySet).iterator.map(k =>
+        k -> math.max(raw.getOrElse(k, 0.0), refFloor.getOrElse(k, 0.0)))
+        .toMap
+    }
     var sinceRecycle = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.isEmpty || only(q._1)).map { case (name, fn) =>
