@@ -127,7 +127,7 @@ object IndexZooSql {
     val up = sqlText.trim.toUpperCase
     Seq("CREATE VECTOR INDEX", "CREATE FULLTEXT INDEX",
       "DROP VECTOR INDEX", "DROP FULLTEXT INDEX", "SHOW VECTOR INDEXES",
-      "VECTOR TOPK", "FULLTEXT TOPK", "PHRASE TOPK")
+      "VECTOR TOPK", "FULLTEXT TOPK", "PHRASE TOPK", "HYBRID TOPK")
       .exists(up.startsWith)
   }
 
@@ -141,6 +141,7 @@ object IndexZooSql {
     else if (up.startsWith("SHOW")) show(spark)
     else if (up.startsWith("VECTOR TOPK")) execVectorTopK(spark, s)
     else if (up.startsWith("FULLTEXT TOPK")) execFulltextTopK(spark, s)
+    else if (up.startsWith("HYBRID TOPK")) execHybridTopK(spark, s)
     else execPhraseTopK(spark, s)
   }
 
@@ -236,7 +237,8 @@ object IndexZooSql {
         kind match {
           case "GRAPH" => GraphAnn.writeIndex(vdf, path,
             m = intOpt(opts, "m", 8), m1 = intOpt(opts, "m1", 4),
-            nBuckets = intOpt(opts, "buckets", 16))
+            nBuckets = intOpt(opts, "buckets", 16),
+            maxLayers = intOpt(opts, "maxlayers", 19))
           case "BINARY" => BinaryAnn.buildIndex(vdf, path)
           case "IVF_PQ" => IvfPq.buildIndex(vdf, path,
             centroidStride = intOpt(opts, "stride", 40),
@@ -359,6 +361,84 @@ object IndexZooSql {
           spark.table(table)(c).as("text"))
         Retrieval.phraseTopK(docs, phrases, k)
     }
+  }
+
+  /** HYBRID retrieval as ONE statement (the q384 RAG composition in pure
+    * SQL): lexical BM25 top-`nlex` fused with dense cosine top-`ndense`
+    * by reciprocal-rank fusion (top-`nfuse`), then MMR-diversified to the
+    * LIMIT k picks. Two table refs because that IS the data model — a
+    * document corpus and a vector corpus sharing ids:
+    *
+    *   HYBRID TOPK ON <tdocs> (<textCol>) VECTORS <temb> (<embCol>)
+    *     QUERIES ((id,'terms',anchorVecId), ...) LIMIT <k>
+    *     [OPTIONS (nlex=20, ndense=16, nfuse=16, lam=0.7, mu=0.3, ...)]
+    *
+    * Each stage routes to its covering persisted index when one exists
+    * (BM25 bucket-pruned probe; GRAPH descent / BINARY Hamming / IVF_PQ
+    * ADC for the dense list) and degrades to the exact one-shot path when
+    * it does not — identical rows either way, the family contract. The
+    * MMR rerank reads anchor/candidate vectors from `temb` (bounded
+    * candidate set, [[Mmr.mmrRerank]]'s broadcast shape). */
+  private def execHybridTopK(spark: SparkSession, s: String): DataFrame = {
+    val m = ("(?is)^HYBRID\\s+TOPK\\s+ON\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s*" +
+      "\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\)\\s+VECTORS\\s+" +
+      "([A-Za-z_][A-Za-z0-9_.]*)\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\)" +
+      "\\s+QUERIES\\s*\\((.*)\\)\\s+LIMIT\\s+(\\d+)(.*)$").r
+      .findFirstMatchIn(s).getOrElse(fail(s,
+        "HYBRID TOPK ON <t> (<textCol>) VECTORS <t2> (<embCol>) QUERIES " +
+          "((id,'terms',anchorId), ...) LIMIT <k> [OPTIONS (...)] expected"))
+    val (tDocs, tCol, tEmb, eCol) =
+      (m.group(1), m.group(2), m.group(3), m.group(4))
+    val k = m.group(6).toInt
+    val opts = parseOpts(m.group(7), s)
+    val trip = "\\(\\s*(\\d+)\\s*,\\s*'([^']*)'\\s*,\\s*(\\d+)\\s*\\)".r
+      .findAllMatchIn(m.group(5))
+      .map(g => (g.group(1).toInt,
+        g.group(2).split(" ").toSeq.filter(_.nonEmpty),
+        g.group(3).toLong)).toSeq
+    require(trip.nonEmpty, s"no (id,'terms',anchorId) triples in: $s")
+    val queries = trip.map { case (q, ts, _) => q -> ts }
+    val anchors = trip.map { case (q, _, a) => q -> a }.toMap
+    val nLex = intOpt(opts, "nlex", 20)
+    val nDense = intOpt(opts, "ndense", 16)
+    val nFuse = intOpt(opts, "nfuse", 16)
+    val lam = opts.get("lam").map(_.toDouble).getOrElse(0.7)
+    val mu = opts.get("mu").map(_.toDouble).getOrElse(0.3)
+
+    val lex = (covering(spark, "FULLTEXT", tDocs, tCol, Set("BM25")) match {
+      case Some(e) => Retrieval.bm25TopKIndexed(spark, e.path, queries, nLex)
+      case None =>
+        val docs = spark.table(tDocs).select(col("doc_id"),
+          spark.table(tDocs)(tCol).as("text"))
+        Retrieval.bm25TopK(docs, queries, nLex)
+    }).select(col("query_id"), col("doc_id"), col("rk"))
+
+    val emb = spark.table(tEmb).select(col("id"),
+      spark.table(tEmb)(eCol).as("embedding"))
+    val aDf = emb.filter(
+      col("id").isin(anchors.values.toSeq.map(Long.box): _*))
+    val denseRaw = covering(spark, "VECTOR", tEmb, eCol,
+        Set("GRAPH", "BINARY", "IVF_PQ")) match {
+      case Some(e) => e.kind match {
+        case "GRAPH" => GraphAnn.probeIndex(aDf, e.path, nDense,
+          ef1 = intOpt(opts, "ef1", 8), hops1 = intOpt(opts, "hops1", 2),
+          ef = intOpt(opts, "ef", 16), hops = intOpt(opts, "hops", 2))
+        case "BINARY" => BinaryAnn.probeIndex(aDf, e.path, nDense,
+          shortlist = intOpt(opts, "shortlist", math.max(nDense, 64)))
+        case "IVF_PQ" => IvfPq.probeIndex(aDf,
+          IvfPq.openIndex(spark, e.path), nDense,
+          nprobe = intOpt(opts, "nprobe", 4),
+          shortlist = intOpt(opts, "shortlist", 64))
+      }
+      case None => AnnSearch.bruteTopK(aDf, emb, nDense)
+    }
+    import spark.implicits._
+    val qv = anchors.toSeq.toDF("query_id", "qvec_id")
+    val dense = denseRaw.join(broadcast(qv), col("qid") === col("qvec_id"))
+      .select(col("query_id"), col("cid").as("doc_id"), col("rk"))
+    val fused = Retrieval.rrfFuse(Seq(lex, dense), nFuse)
+    Mmr.mmrRerank(fused.select(col("query_id"), col("doc_id"),
+      col("rrf_micro").as("rel_micro")), emb, k, lam, mu)
   }
 
   /** Test/lifecycle hook: clear the persisted registry (index files at

@@ -921,100 +921,7 @@ object Corpus {
     // RRF sum, and every greedy argmax round; fused candidates without an
     // embedding row drop on the inner join (q192's discipline) on both
     // engines.
-    Qd("q384_rag_capstone", {
-      val gHier =
-        s"""lv AS (SELECT vec_id FROM cc WHERE ${Pipeline.lvlDrawSql("vec_id")}),
-          |ln AS (SELECT cn.* FROM cn JOIN lv USING (vec_id)),
-          |gp1 AS (SELECT a.vec_id AS src, b.vec_id AS dst, ${Pipeline.cosSql("a", "b")} AS cos
-          |  FROM ln a, ln b WHERE a.vec_id <> b.vec_id),
-          |g1 AS MATERIALIZED (SELECT src, dst FROM (SELECT src, dst,
-          |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM gp1)
-          |  WHERE rn <= 4),
-          |gp0 AS (SELECT a.vec_id AS src, b.vec_id AS dst, ${Pipeline.cosSql("a", "b")} AS cos
-          |  FROM cn a, cn b WHERE a.vec_id <> b.vec_id),
-          |g0 AS MATERIALIZED (SELECT src, dst FROM (SELECT src, dst,
-          |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM gp0)
-          |  WHERE rn <= 8)""".stripMargin
-      def mmrRound(i: Int): String = {
-        val prev = if (i == 2) "sel1" else s"sel${i - 1}"
-        s"""r$i AS (SELECT c.qid, c.cid, c.rel,
-          |    CAST(0.7 AS DOUBLE)*c.rel - CAST(0.3 AS DOUBLE)*max(p.pcos) AS score
-          |  FROM cand c
-          |  LEFT JOIN $prev e ON e.qid = c.qid AND e.cid = c.cid
-          |  JOIN pc p ON p.qid = c.qid AND p.dc = c.cid
-          |  JOIN $prev s ON s.qid = p.qid AND s.cid = p.sc
-          |  WHERE e.cid IS NULL
-          |  GROUP BY c.qid, c.cid, c.rel),
-          |s$i AS (SELECT qid, cid, rel, score FROM (
-          |    SELECT r.*, row_number() OVER (
-          |      PARTITION BY qid ORDER BY score DESC, cid) AS rn FROM r$i r)
-          |  WHERE rn = 1),
-          |sel$i AS (SELECT qid, cid FROM $prev
-          |  UNION ALL SELECT qid, cid FROM s$i)""".stripMargin
-      }
-      s"""WITH $bm25Ctes,
-        |bml AS MATERIALIZED (SELECT query_id, doc_id, rk FROM (
-        |  SELECT query_id, doc_id,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY wq DESC, doc_id) AS rk
-        |  FROM sc) WHERE rk <= 20),
-        |${Pipeline.qCte("qq", "WHERE vec_id IN (7, 14, 21)")},
-        |${Pipeline.qCte("cc", "")},
-        |cn AS MATERIALIZED (SELECT vec_id, qe,
-        |  CAST(list_sum(list_transform(range(1, 65), i -> qe[i]*qe[i])) AS BIGINT) AS n2 FROM cc),
-        |qn AS MATERIALIZED (SELECT vec_id, qe,
-        |  CAST(list_sum(list_transform(range(1, 65), i -> qe[i]*qe[i])) AS BIGINT) AS n2 FROM qq),
-        |$gHier,
-        |ps AS MATERIALIZED (SELECT q.vec_id AS qid, c.vec_id AS cid, ${Pipeline.cosSql("q", "c")} AS cos
-        |  FROM qn q, cn c WHERE q.vec_id <> c.vec_id),
-        |ent AS (SELECT vec_id FROM lv ORDER BY vec_id LIMIT 8),
-        |${Pipeline.beamWalkCtes("u", "g1", "ps", "ent", 8, 2)},
-        |${Pipeline.beamWalkCtesSeeded("", "g0", "ps", "ub2", 16, 2)},
-        |drk AS (SELECT qid, cid,
-        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
-        |  FROM b2),
-        |qv(query_id, qvec_id) AS (VALUES (1, 7), (2, 14), (3, 21)),
-        |dsl AS MATERIALIZED (SELECT qv.query_id, d.cid AS doc_id, d.rk
-        |  FROM drk d JOIN qv ON d.qid = qv.qvec_id WHERE d.rk <= 16),
-        |u2 AS (SELECT query_id, doc_id,
-        |    CAST(round(CAST(1000000.0 AS DOUBLE)/(60+rk)) AS BIGINT) AS c FROM bml
-        |  UNION ALL SELECT query_id, doc_id,
-        |    CAST(round(CAST(1000000.0 AS DOUBLE)/(60+rk)) AS BIGINT) FROM dsl),
-        |f AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro
-        |  FROM u2 GROUP BY 1, 2),
-        |fr AS (SELECT query_id, doc_id, rrf_micro FROM (
-        |  SELECT f.*, row_number() OVER (
-        |    PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id) AS rk
-        |  FROM f) WHERE rk <= 16),
-        |cand AS MATERIALIZED (SELECT fr.query_id AS qid, fr.doc_id AS cid,
-        |    CAST(rrf_micro AS DOUBLE)/1000000.0 AS rel
-        |  FROM fr JOIN cn ON cn.vec_id = fr.doc_id),
-        |pc AS MATERIALIZED (SELECT a.qid, a.cid AS dc, b.cid AS sc,
-        |    CASE WHEN CAST(x.n2 AS DOUBLE)*CAST(y.n2 AS DOUBLE) = 0 THEN -1.0
-        |      ELSE CAST(CAST(list_sum(list_transform(range(1, 65), i -> x.qe[i]*y.qe[i])) AS BIGINT) AS DOUBLE)
-        |        / sqrt(CAST(x.n2 AS DOUBLE)*CAST(y.n2 AS DOUBLE)) END AS pcos
-        |  FROM cand a JOIN cand b ON a.qid = b.qid AND a.cid <> b.cid
-        |  JOIN cn x ON x.vec_id = a.cid JOIN cn y ON y.vec_id = b.cid),
-        |s1 AS (SELECT qid, cid, rel, score FROM (
-        |    SELECT qid, cid, rel, CAST(0.7 AS DOUBLE)*rel AS score,
-        |      row_number() OVER (
-        |        PARTITION BY qid ORDER BY CAST(0.7 AS DOUBLE)*rel DESC, cid) AS rn
-        |    FROM cand) WHERE rn = 1),
-        |sel1 AS (SELECT qid, cid FROM s1),
-        |${mmrRound(2)},
-        |${mmrRound(3)},
-        |${mmrRound(4)},
-        |${mmrRound(5)}
-        |SELECT query_id, doc_id, pick, ROUND(rel, 6) AS rel,
-        |  ROUND(score, 6) AS score
-        |FROM (
-        |  SELECT qid AS query_id, cid AS doc_id, CAST(1 AS BIGINT) AS pick,
-        |    rel, score FROM s1
-        |  UNION ALL SELECT qid, cid, 2, rel, score FROM s2
-        |  UNION ALL SELECT qid, cid, 3, rel, score FROM s3
-        |  UNION ALL SELECT qid, cid, 4, rel, score FROM s4
-        |  UNION ALL SELECT qid, cid, 5, rel, score FROM s5)
-        |ORDER BY query_id, pick""".stripMargin
-    }) { (s, dir) =>
+    Qd("q384_rag_capstone", ragCapstoneOracle) { (s, dir) =>
       import graft.operators.{GraphAnn, Mmr, Retrieval}
       import s.implicits._
       val sf = new java.io.File(dir).getName.replace(".", "_")
@@ -1107,6 +1014,36 @@ object Corpus {
           1 -> Seq("spark", "join"), 2 -> Seq("big", "big"),
           3 -> Seq("the", "line", "sort")), k = 10)
         .orderBy("phrase_id", "rk")
+    },
+
+    // HYBRID TOPK AS ONE SQL STATEMENT (VERDICT r16 stretch task 8 — the
+    // q384 RAG composition behind a single textual surface): CREATE the
+    // persisted BM25 index on the document view and the two-layer GRAPH
+    // index on the vector view through Engine.sql's transparent routing,
+    // then ONE `HYBRID TOPK … VECTORS … QUERIES ((id,'terms',anchor),…)`
+    // statement runs lexical probe → dense descent → RRF → MMR. Same
+    // stages, same parameters, same data as q384 — so the SAME four-stage
+    // oracle replay checks the whole statement.
+    Qd("q388_hybrid_topk_sql", ragCapstoneOracle) { (s, dir) =>
+      import graft.operators.IndexZooSql
+      IndexZooSql.reset(s)
+      val sf = new java.io.File(dir).getName.replace(".", "_")
+      docs(s, dir).createOrReplaceTempView("g388_docs")
+      graft.Engine.table(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding"))
+        .createOrReplaceTempView("g388_emb")
+      graft.Engine.sql(s, dir, "CREATE FULLTEXT INDEX g388_bm ON " +
+        "g388_docs (text) AS 'BM25' OPTIONS (buckets=16, " +
+        s"path='/root/repo/target/ddl/$sf/g388_bm')")
+      graft.Engine.sql(s, dir, "CREATE VECTOR INDEX g388_vi ON g388_emb " +
+        "(embedding) AS 'GRAPH' OPTIONS (m=8, m1=4, buckets=16, " +
+        s"maxlayers=1, path='/root/repo/target/ddl/$sf/g388_vi')")
+      graft.Engine.sql(s, dir, "HYBRID TOPK ON g388_docs (text) " +
+          "VECTORS g388_emb (embedding) QUERIES ((1,'dup',7), " +
+          "(2,'spark join',14), (3,'customer order fast',21)) LIMIT 5 " +
+          "OPTIONS (nlex=20, ndense=16, nfuse=16, ef1=8, hops1=2, " +
+          "ef=16, hops=2)")
+        .orderBy("query_id", "pick")
     }
   )
 
@@ -1118,4 +1055,103 @@ object Corpus {
 
   private def phraseIndexPath(dir: String): String =
     s"${sys.props("user.dir")}/target/phraseindex/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+
+  /** The q384 four-stage oracle (BM25 scoring -> two-layer descent ->
+    * RRF -> five greedy MMR rounds), shared with q388: the HYBRID TOPK
+    * SQL statement routes to exactly the same composition, so one replay
+    * checks both. */
+  private lazy val ragCapstoneOracle: String = {
+      val gHier =
+        s"""lv AS (SELECT vec_id FROM cc WHERE ${Pipeline.lvlDrawSql("vec_id")}),
+          |ln AS (SELECT cn.* FROM cn JOIN lv USING (vec_id)),
+          |gp1 AS (SELECT a.vec_id AS src, b.vec_id AS dst, ${Pipeline.cosSql("a", "b")} AS cos
+          |  FROM ln a, ln b WHERE a.vec_id <> b.vec_id),
+          |g1 AS MATERIALIZED (SELECT src, dst FROM (SELECT src, dst,
+          |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM gp1)
+          |  WHERE rn <= 4),
+          |gp0 AS (SELECT a.vec_id AS src, b.vec_id AS dst, ${Pipeline.cosSql("a", "b")} AS cos
+          |  FROM cn a, cn b WHERE a.vec_id <> b.vec_id),
+          |g0 AS MATERIALIZED (SELECT src, dst FROM (SELECT src, dst,
+          |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM gp0)
+          |  WHERE rn <= 8)""".stripMargin
+      def mmrRound(i: Int): String = {
+        val prev = if (i == 2) "sel1" else s"sel${i - 1}"
+        s"""r$i AS (SELECT c.qid, c.cid, c.rel,
+          |    CAST(0.7 AS DOUBLE)*c.rel - CAST(0.3 AS DOUBLE)*max(p.pcos) AS score
+          |  FROM cand c
+          |  LEFT JOIN $prev e ON e.qid = c.qid AND e.cid = c.cid
+          |  JOIN pc p ON p.qid = c.qid AND p.dc = c.cid
+          |  JOIN $prev s ON s.qid = p.qid AND s.cid = p.sc
+          |  WHERE e.cid IS NULL
+          |  GROUP BY c.qid, c.cid, c.rel),
+          |s$i AS (SELECT qid, cid, rel, score FROM (
+          |    SELECT r.*, row_number() OVER (
+          |      PARTITION BY qid ORDER BY score DESC, cid) AS rn FROM r$i r)
+          |  WHERE rn = 1),
+          |sel$i AS (SELECT qid, cid FROM $prev
+          |  UNION ALL SELECT qid, cid FROM s$i)""".stripMargin
+      }
+      s"""WITH $bm25Ctes,
+        |bml AS MATERIALIZED (SELECT query_id, doc_id, rk FROM (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY wq DESC, doc_id) AS rk
+        |  FROM sc) WHERE rk <= 20),
+        |${Pipeline.qCte("qq", "WHERE vec_id IN (7, 14, 21)")},
+        |${Pipeline.qCte("cc", "")},
+        |cn AS MATERIALIZED (SELECT vec_id, qe,
+        |  CAST(list_sum(list_transform(range(1, 65), i -> qe[i]*qe[i])) AS BIGINT) AS n2 FROM cc),
+        |qn AS MATERIALIZED (SELECT vec_id, qe,
+        |  CAST(list_sum(list_transform(range(1, 65), i -> qe[i]*qe[i])) AS BIGINT) AS n2 FROM qq),
+        |$gHier,
+        |ps AS MATERIALIZED (SELECT q.vec_id AS qid, c.vec_id AS cid, ${Pipeline.cosSql("q", "c")} AS cos
+        |  FROM qn q, cn c WHERE q.vec_id <> c.vec_id),
+        |ent AS (SELECT vec_id FROM lv ORDER BY vec_id LIMIT 8),
+        |${Pipeline.beamWalkCtes("u", "g1", "ps", "ent", 8, 2)},
+        |${Pipeline.beamWalkCtesSeeded("", "g0", "ps", "ub2", 16, 2)},
+        |drk AS (SELECT qid, cid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+        |  FROM b2),
+        |qv(query_id, qvec_id) AS (VALUES (1, 7), (2, 14), (3, 21)),
+        |dsl AS MATERIALIZED (SELECT qv.query_id, d.cid AS doc_id, d.rk
+        |  FROM drk d JOIN qv ON d.qid = qv.qvec_id WHERE d.rk <= 16),
+        |u2 AS (SELECT query_id, doc_id,
+        |    CAST(round(CAST(1000000.0 AS DOUBLE)/(60+rk)) AS BIGINT) AS c FROM bml
+        |  UNION ALL SELECT query_id, doc_id,
+        |    CAST(round(CAST(1000000.0 AS DOUBLE)/(60+rk)) AS BIGINT) FROM dsl),
+        |f AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro
+        |  FROM u2 GROUP BY 1, 2),
+        |fr AS (SELECT query_id, doc_id, rrf_micro FROM (
+        |  SELECT f.*, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id) AS rk
+        |  FROM f) WHERE rk <= 16),
+        |cand AS MATERIALIZED (SELECT fr.query_id AS qid, fr.doc_id AS cid,
+        |    CAST(rrf_micro AS DOUBLE)/1000000.0 AS rel
+        |  FROM fr JOIN cn ON cn.vec_id = fr.doc_id),
+        |pc AS MATERIALIZED (SELECT a.qid, a.cid AS dc, b.cid AS sc,
+        |    CASE WHEN CAST(x.n2 AS DOUBLE)*CAST(y.n2 AS DOUBLE) = 0 THEN -1.0
+        |      ELSE CAST(CAST(list_sum(list_transform(range(1, 65), i -> x.qe[i]*y.qe[i])) AS BIGINT) AS DOUBLE)
+        |        / sqrt(CAST(x.n2 AS DOUBLE)*CAST(y.n2 AS DOUBLE)) END AS pcos
+        |  FROM cand a JOIN cand b ON a.qid = b.qid AND a.cid <> b.cid
+        |  JOIN cn x ON x.vec_id = a.cid JOIN cn y ON y.vec_id = b.cid),
+        |s1 AS (SELECT qid, cid, rel, score FROM (
+        |    SELECT qid, cid, rel, CAST(0.7 AS DOUBLE)*rel AS score,
+        |      row_number() OVER (
+        |        PARTITION BY qid ORDER BY CAST(0.7 AS DOUBLE)*rel DESC, cid) AS rn
+        |    FROM cand) WHERE rn = 1),
+        |sel1 AS (SELECT qid, cid FROM s1),
+        |${mmrRound(2)},
+        |${mmrRound(3)},
+        |${mmrRound(4)},
+        |${mmrRound(5)}
+        |SELECT query_id, doc_id, pick, ROUND(rel, 6) AS rel,
+        |  ROUND(score, 6) AS score
+        |FROM (
+        |  SELECT qid AS query_id, cid AS doc_id, CAST(1 AS BIGINT) AS pick,
+        |    rel, score FROM s1
+        |  UNION ALL SELECT qid, cid, 2, rel, score FROM s2
+        |  UNION ALL SELECT qid, cid, 3, rel, score FROM s3
+        |  UNION ALL SELECT qid, cid, 4, rel, score FROM s4
+        |  UNION ALL SELECT qid, cid, 5, rel, score FROM s5)
+        |ORDER BY query_id, pick""".stripMargin
+  }
 }

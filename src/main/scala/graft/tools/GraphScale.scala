@@ -217,6 +217,67 @@ object GraphScale {
       println(f"[graphscale] x$factor-atrest upperNodes=$nl1 " +
         f"build=$build%.2fs ingest2000=$ins%.2fs brute=$bw%.2fs " +
         f"probe=$pw%.2fs recall=$recall%.3f")
+
+      // CHURN (r17, VERDICT r16 task 6 — the FreshDiskANN question): does
+      // bridge-repair quality decay across interleaved add/remove
+      // generations? Four rounds, each adding ~2% NEW nodes (interpolated
+      // blends under fresh ids — the unique-id ingest contract) and
+      // removing ~2% of the live set, against the at-rest index above;
+      // then recall@10 of the CHURNED index vs a FRESH writeIndex of the
+      // exact same live set under the same probe schedule. The per-round
+      // delete wall is also the task-3 evidence: in-edge discovery now
+      // reads the dst-bucketed radj sidecar partition-pruned, so the
+      // delete bill follows the batch at BOTH corpus scales instead of
+      // paying a full adjacency scan per layer.
+      val maxId = corpus.agg(max("id")).head.getLong(0) + 1L
+      val partners2 = corpus.select(col("id").as("pid"),
+        col("embedding").as("pemb"))
+      var live = corpus
+      for (r <- 0 until 4) {
+        val adds = corpus
+          .filter(pmod(hash(col("id"), lit(7 + r)), lit(53)) === 0)
+          .withColumn("pid", pmod(col("id") + 997L, lit(maxId)))
+          .join(partners2, "pid")
+          .select((col("id") + lit(maxId * (r + 1))).as("id"),
+            expr("zip_with(embedding, pemb, " +
+              "(a, b) -> CAST(0.6F*a + 0.4F*b AS FLOAT))").as("embedding"))
+        val nAdd = adds.count()
+        val ta = System.nanoTime()
+        GraphAnn.addBatch(idx, adds, ef1 = 8, hops1 = 3, ef = 16,
+          hops = hops)
+        val insW = (System.nanoTime() - ta) / 1e9
+        live = live.unionByName(adds).localCheckpoint(true)
+        val rm = live.filter(col("id") >= 30 &&
+          pmod(hash(col("id"), lit(1000 + r)), lit(53)) === 0).select("id")
+        val nRm = rm.count()
+        val td = System.nanoTime()
+        GraphAnn.removeBatch(idx, rm)
+        val delW = (System.nanoTime() - td) / 1e9
+        live = live.join(rm, Seq("id"), "left_anti").localCheckpoint(true)
+        println(f"[graphscale] x$factor-churn round=$r add=$nAdd " +
+          f"ins=$insW%.2fs rm=$nRm del=$delW%.2fs")
+      }
+      val nLive = live.count()
+      val (bw2, brute2) = best2(AnnSearch.bruteTopK(queries, live, 10))
+      val (cw, churned) = best2(GraphAnn.probeIndex(queries, idx, 10,
+        ef1 = 8, hops1 = 3, ef = 16, hops = hops))
+      val cRecall = (brute2 & churned).size.toDouble / brute2.size
+      val fIdx = s"$root/fresh_x$factor"
+      val fLvl1 = GraphAnn.levelNodes(live, 1)
+      val fNl1 = fLvl1.count()
+      val tf = System.nanoTime()
+      GraphAnn.writeIndex(live, fIdx, m = 8, m1 = 8, nBuckets = 64,
+        g0Opt = Some(GraphAnn.blockedKnnGraph(live, 8, centStride, 2)),
+        g1Opt = Some(GraphAnn.blockedKnnGraph(fLvl1, 8,
+          math.max(1, math.sqrt(fNl1.toDouble).toInt), 2)))
+      val fBuild = (System.nanoTime() - tf) / 1e9
+      val (fw, fresh) = best2(GraphAnn.probeIndex(queries, fIdx, 10,
+        ef1 = 8, hops1 = 3, ef = 16, hops = hops))
+      val fRecall = (brute2 & fresh).size.toDouble / brute2.size
+      println(f"[graphscale] x$factor-churn live=$nLive brute=$bw2%.2fs " +
+        f"churnedProbe=$cw%.2fs churnedRecall=$cRecall%.3f " +
+        f"freshBuild=$fBuild%.2fs freshProbe=$fw%.2fs " +
+        f"freshRecall=$fRecall%.3f")
     }
     spark.stop()
   }

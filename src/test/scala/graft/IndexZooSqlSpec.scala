@@ -118,6 +118,52 @@ class IndexZooSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     IndexZooSql.sql(spark, "DROP VECTOR INDEX izs_pq")
   }
 
+  test("hybrid topk: one statement composes lexical + dense + RRF + MMR; " +
+      "the degraded run equals the explicit exact composition") {
+    IndexZooSql.reset(spark)
+    docs.createOrReplaceTempView("izs_hdocs")
+    emb.createOrReplaceTempView("izs_hemb")
+    IndexZooSql.sql(spark, "CREATE FULLTEXT INDEX izs_hbm ON izs_hdocs " +
+      s"(text) AS 'BM25' OPTIONS (buckets=8, path='$root/hbm')")
+    IndexZooSql.sql(spark, "CREATE VECTOR INDEX izs_hvi ON izs_hemb " +
+      "(embedding) AS 'GRAPH' OPTIONS (m=8, m1=4, buckets=8, " +
+      s"maxlayers=1, path='$root/hvi')")
+    val stmt = "HYBRID TOPK ON izs_hdocs (text) VECTORS izs_hemb " +
+      "(embedding) QUERIES ((1,'dup',7), (2,'spark join',14)) LIMIT 3 " +
+      "OPTIONS (nlex=20, ndense=16, nfuse=16)"
+    val indexed = IndexZooSql.sql(spark, stmt).collect().map(_.toSeq)
+    assert(indexed.length == 6 &&
+      indexed.map(r => (r(0), r(2))).toSet ==
+        (for (q <- Seq(1, 2); p <- 1L to 3L) yield (q, p)).toSet,
+      s"expected 3 picks per query, got: $indexed")
+    IndexZooSql.sql(spark, "DROP FULLTEXT INDEX izs_hbm")
+    IndexZooSql.sql(spark, "DROP VECTOR INDEX izs_hvi")
+    // the DEGRADED run must equal the explicit exact composition — the
+    // statement is sugar for bm25TopK + bruteTopK + rrfFuse + mmrRerank.
+    // (It may differ from the INDEXED run: the graph descent's dense list
+    // is approximate while brute is exact — routing changes WHERE the
+    // dense candidates come from, and each mode is checked against its
+    // own ground truth: q388's oracle replays the indexed composition.)
+    val degraded = IndexZooSql.sql(spark, stmt).collect().map(_.toSeq).toSet
+    val qs = Seq(1 -> Seq("dup"), 2 -> Seq("spark", "join"))
+    val lex = Retrieval.bm25TopK(docs, qs, 20)
+      .select(col("query_id"), col("doc_id"), col("rk"))
+    val s2 = spark
+    import s2.implicits._
+    val qv = Seq((1, 7L), (2, 14L)).toDF("query_id", "qvec_id")
+    val dense = AnnSearch.bruteTopK(emb.filter(col("id").isin(7L, 14L)),
+        emb, 16)
+      .join(broadcast(qv), col("qid") === col("qvec_id"))
+      .select(col("query_id"), col("cid").as("doc_id"), col("rk"))
+    val fused = Retrieval.rrfFuse(Seq(lex, dense), 16)
+    val explicit = graft.operators.Mmr.mmrRerank(
+        fused.select(col("query_id"), col("doc_id"),
+          col("rrf_micro").as("rel_micro")), emb, 3, lam = 0.7, mu = 0.3)
+      .collect().map(_.toSeq).toSet
+    assert(degraded == explicit,
+      "degraded hybrid statement diverged from the explicit composition")
+  }
+
   test("parse failures are loud: bad kind, SQ8, bad options, missing index") {
     IndexZooSql.reset(spark)
     emb.createOrReplaceTempView("izs_corpus3")
