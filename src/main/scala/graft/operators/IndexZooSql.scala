@@ -22,6 +22,8 @@ import org.apache.spark.sql.functions._
   *   VECTOR TOPK ON <t> (<col>) QUERIES <qview> LIMIT <k> [OPTIONS (...)]
   *   FULLTEXT TOPK ON <t> (<col>) QUERIES ((1,'spark join'), ...) LIMIT <k>
   *   PHRASE TOPK ON <t> (<col>) PHRASES ((1,'spark join'), ...) LIMIT <k>
+  *   HYBRID TOPK ON <t> (<textCol>) VECTORS <t2> (<embCol>)
+  *     QUERIES ((1,'spark join',7), ...) LIMIT <k>   -- BM25+vector RRF+MMR
   * }}}
   *
   * The PROBE statements address the TABLE, not the index — exactly how

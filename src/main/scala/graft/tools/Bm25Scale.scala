@@ -46,6 +46,37 @@ object Bm25Scale {
     }
     println(f"[bm25scale] dir=$dir build=$build%.2fs probe=$probe%.2fs " +
       f"oneShot=$oneShot%.2fs probe/oneShot=${probe / oneShot}%.2f")
+
+    // INCREMENTAL INGEST (r17): the claim bm25AddBatch makes at 100 TB —
+    // growing the index costs the BATCH's own two aggregation passes, not
+    // a corpus rebuild. Build on 3/4 of the corpus, time ONE 1/4 batch
+    // append, and compare against the full rebuild wall above; then check
+    // the grown index probes identically to the one-shot build (the
+    // delta-fold equivalence, asserted here at scale too, and the probe
+    // wall is unchanged — generation row count per term bucket grows by
+    // the batch count, not the corpus).
+    val idxInc = s"${idx}_inc"
+    // each timed append runs against a fresh 3/4 prime (untimed), so the
+    // measurement isolates the BATCH cost
+    val addRuns = (1 to 2).map { _ =>
+      Retrieval.bm25WriteIndex(docs.filter(col("doc_id") % 4 =!= 0), idxInc)
+      System.gc(); Thread.sleep(150)
+      val t0 = System.nanoTime()
+      Retrieval.bm25AddBatch(docs.filter(col("doc_id") % 4 === 0), idxInc)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val addW = addRuns.min
+    println(f"[bm25scale] addBatch 1/4 corpus best=$addW%.2fs " +
+      f"(runs: ${addRuns.map(t => f"$t%.2f").mkString(",")})")
+    val ref = Retrieval.bm25TopKIndexed(s, idx, queries, k = 10)
+      .collect().map(_.toSeq).toSet
+    val grownProbe = best2("probe grown index k=10") {
+      val got = Retrieval.bm25TopKIndexed(s, idxInc, queries, k = 10)
+        .collect().map(_.toSeq).toSet
+      require(got == ref, "grown index probe diverged from one-shot build")
+    }
+    println(f"[bm25scale] ingest: fullRebuild=$build%.2fs " +
+      f"addBatch=$addW%.2fs grownProbe=$grownProbe%.2fs (rows equal)")
     s.stop()
   }
 }

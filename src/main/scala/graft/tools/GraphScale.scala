@@ -278,6 +278,21 @@ object GraphScale {
         f"churnedProbe=$cw%.2fs churnedRecall=$cRecall%.3f " +
         f"freshBuild=$fBuild%.2fs freshProbe=$fw%.2fs " +
         f"freshRecall=$fRecall%.3f")
+      // COMPACTION: folds the generation chain (physical only — probe
+      // results identical by contract, spec-pinned), so the probe wall
+      // returns to the fresh-build shape while recall stays the churned
+      // value; the recall gap to fresh is bridge-repair quality, the
+      // wall gap is generation-file accumulation — two different decays,
+      // two different fixes (rebuild vs compact).
+      val tc = System.nanoTime()
+      GraphAnn.compactIndex(spark, idx)
+      val compactW = (System.nanoTime() - tc) / 1e9
+      val (cw2, compacted) = best2(GraphAnn.probeIndex(queries, idx, 10,
+        ef1 = 8, hops1 = 3, ef = 16, hops = hops))
+      val c2Recall = (brute2 & compacted).size.toDouble / brute2.size
+      println(f"[graphscale] x$factor-compact wall=$compactW%.2fs " +
+        f"probe=$cw2%.2fs recall=$c2Recall%.3f " +
+        f"(churned ${cw}%.2fs/${cRecall}%.3f, fresh ${fw}%.2fs)")
     }
     spark.stop()
   }

@@ -194,6 +194,43 @@ class GraphIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"join-path tombstone masking diverged: $liveBig")
   }
 
+  test("compaction: probe-identical before and after, generations fold " +
+      "to one, tombstones clear, radj stays a mirror") {
+    val path = tmp("compact")
+    val base = emb.filter(col("id") % 4 <= 1)
+    GraphAnn.writeIndex(base, path, m = 8, m1 = 4, nBuckets = 8)
+    GraphAnn.addBatch(path, emb.filter(col("id") % 4 === 2),
+      ef1 = 8, hops1 = 2, ef = 16, hops = 2)
+    GraphAnn.removeBatch(path, emb.filter(col("id") % 10 === 3).select("id"))
+    GraphAnn.addBatch(path, emb.filter(col("id") % 4 === 3 &&
+      col("id") % 10 =!= 3), ef1 = 8, hops1 = 2, ef = 16, hops = 2)
+    val q = emb.filter(col("id") < 30 && col("id") % 10 =!= 3)
+    val before = rows(GraphAnn.probeIndex(q, path, 10, ef1 = 8, hops1 = 2,
+      ef = 16, hops = 2).withColumn("rk", col("rk").cast("long")))
+    GraphAnn.compactIndex(spark, path)
+    val after = rows(GraphAnn.probeIndex(q, path, 10, ef1 = 8, hops1 = 2,
+      ef = 16, hops = 2).withColumn("rk", col("rk").cast("long")))
+    assert(before.nonEmpty && before.sameElements(after),
+      "compaction changed probe results — it must be purely physical")
+    val adj0 = spark.read.parquet(s"$path/adj0")
+    assert(adj0.select("gen").distinct().as[Long].collect().toSeq == Seq(1L),
+      "generations did not fold to one")
+    assert(!new java.io.File(s"$path/tombstones").exists(),
+      "tombstones not cleared")
+    val radj0 = spark.read.parquet(s"$path/radj0")
+    assert(adj0.select("src", "dst", "gen").as[(Long, Long, Long)]
+        .collect().sorted.toSeq ==
+      radj0.select("src", "dst", "gen").as[(Long, Long, Long)]
+        .collect().sorted.toSeq,
+      "radj diverged from adj after compaction")
+    // no compacted row touches a removed id, in either direction
+    val removed = emb.filter(col("id") % 10 === 3).select(col("id"))
+      .as[Long].collect().toSet
+    assert(!adj0.select("src", "dst").as[(Long, Long)].collect()
+      .exists { case (s0, d0) => removed(s0) || removed(d0) },
+      "a tombstoned id survived compaction")
+  }
+
   test("per-query entry seeds: driver-paced walk equals the distributed " +
       "seeded walk row for row") {
     val g = GraphAnn.knnGraph(emb, 8)
