@@ -691,7 +691,11 @@ object GraphAnn {
   //                               bucket = pmod(DST, nB)) — delete
   //                               repair's in-edge discovery fetches it
   //                               partition-pruned by removed id; any-gen
-  //                               discovery state, live truth stays adj
+  //                               discovery state, live truth stays adj.
+  //                               LAZY: absent until the first
+  //                               removeBatch materializes it (a
+  //                               write-mostly index never pays for it);
+  //                               appends maintain it once it exists
   //   <path>/adj<l>/bucket=B/…    level-l adjacency (l = 1..layers),
   //                               same shape — the hierarchy STACKS:
   //                               levels are added while a level holds
@@ -773,18 +777,22 @@ object GraphAnn {
   private def bucketed(df: DataFrame, idCol: String, n: Int): DataFrame =
     df.withColumn("bucket", pmod(col(idCol), lit(n.toLong)))
 
-  /** Write one layer's adjacency at `<path>/adj<l>` (bucketed by src)
-    * AND its reverse sidecar `<path>/radj<l>` (same rows, bucketed by
-    * DST). The reverse form exists for one consumer — [[removeBatch]]'s
-    * in-edge discovery, which is a dst predicate that src-bucketing
-    * cannot prune; with `radj` it becomes a bucket-partition-pruned fetch
-    * (O(batch·in-degree) rows read) instead of a full adjacency scan per
-    * layer. `radj` is append-only DISCOVERY state: it may carry
+  /** Write one layer's adjacency at `<path>/adj<l>` (bucketed by src),
+    * maintaining the reverse sidecar `<path>/radj<l>` (same rows,
+    * bucketed by DST) WHEN IT EXISTS. The reverse form serves one
+    * consumer — [[removeBatch]]'s in-edge discovery, a dst predicate
+    * src-bucketing cannot prune — and is LAZY: a fresh build writes
+    * nothing (a write-mostly index never pays for it — the eager form
+    * measured the q382/q384 build-heavy lifecycles 1.5–1.8× slower for
+    * a sidecar their queries never read), the FIRST removeBatch
+    * materializes it from the adjacency ([[ensureRadj]], one O(layer)
+    * copy paid once per index), and every later append maintains it
+    * here. `radj` is append-only DISCOVERY state: it may carry
     * stale-generation rows (a superseded source's old edges), which the
     * pruned LIVE re-fetch against `adj` already drops — so it needs no
-    * generation resolution of its own, only the same gen-append
-    * discipline the writers already follow (every edge written to adj
-    * lands in radj in the same call). */
+    * generation resolution of its own, only the mirror discipline
+    * (every edge appended to adj lands in radj in the same call once
+    * radj exists). */
   private def writeAdj(edges: DataFrame, path: String, layer: Int,
       gen: Long, n: Int, append: Boolean): Unit = {
     val mode = if (append) "append" else "overwrite"
@@ -799,10 +807,36 @@ object GraphAnn {
       .repartition(n, col("bucket"))
       .write.partitionBy("bucket")
       .mode(mode).parquet(s"$path/adj$layer")
-    bucketed(stamped, "dst", n)
-      .repartition(n, col("bucket"))
-      .write.partitionBy("bucket")
-      .mode(mode).parquet(s"$path/radj$layer")
+    val spark = edges.sparkSession
+    val radjDir = s"$path/radj$layer"
+    if (append &&
+        hfs(spark, path).exists(new org.apache.hadoop.fs.Path(radjDir)))
+      bucketed(stamped, "dst", n)
+        .repartition(n, col("bucket"))
+        .write.partitionBy("bucket")
+        .mode("append").parquet(radjDir)
+  }
+
+  /** Materialize (or open) layer `l`'s reverse-adjacency sidecar: one
+    * dst-bucketed copy of the full adjacency on first use, pruned point
+    * fetches forever after. Idempotent; publish is tmp + atomic rename
+    * so a racing reader never sees a half-built sidecar. */
+  private def ensureRadj(spark: org.apache.spark.sql.SparkSession,
+      path: String, layer: Int, n: Int): DataFrame = {
+    val f = hfs(spark, path)
+    val dir = s"$path/radj$layer"
+    if (!f.exists(new org.apache.hadoop.fs.Path(dir))) {
+      val tmp = s"$path/.radj${layer}_tmp"
+      f.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      bucketed(spark.read.parquet(s"$path/adj$layer")
+          .select(col("src"), col("dst"), col("gen")), "dst", n)
+        .repartition(n, col("bucket"))
+        .write.partitionBy("bucket").parquet(tmp)
+      require(f.rename(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(dir)),
+        s"could not publish $dir")
+    }
+    spark.read.parquet(dir)
   }
 
   private def writeEntries(spark: org.apache.spark.sql.SparkSession,
@@ -1200,9 +1234,20 @@ object GraphAnn {
           .drop("tid", "_t")
       val live = resolveLive(flagged)
         .join(broadcast(tombDf), col("src") === col("tid"), "left_anti")
+      // a lazily-materialized radj must survive compaction as a mirror of
+      // the compacted adjacency; absent sidecars stay absent (lazy)
+      val hadRadj = f.exists(
+        new org.apache.hadoop.fs.Path(s"$path/radj$l"))
       writeAdj(live, s"$path/.compact", l, 1L, mt.nBuckets, append = false)
+      if (hadRadj) {
+        bucketed(spark.read.parquet(s"$path/.compact/adj$l")
+            .select(col("src"), col("dst"), col("gen")), "dst", mt.nBuckets)
+          .repartition(mt.nBuckets, col("bucket"))
+          .write.partitionBy("bucket").parquet(s"$path/.compact/radj$l")
+        swap(s"$path/.compact/radj$l", s"$path/radj$l")
+      } else
+        f.delete(new org.apache.hadoop.fs.Path(s"$path/radj$l"), true)
       swap(s"$path/.compact/adj$l", s"$path/adj$l")
-      swap(s"$path/.compact/radj$l", s"$path/radj$l")
     }
     val liveVec = spark.read.parquet(s"$path/vectors")
       .join(broadcast(tombDf), col("id") === col("tid"), "left_anti")
@@ -1272,13 +1317,16 @@ object GraphAnn {
     }
 
     val adj0 = spark.read.parquet(s"$path/adj0")
-    repair(adj0, spark.read.parquet(s"$path/radj0"), rIds, mt.m)
+    repair(adj0, ensureRadj(spark, path, 0, mt.nBuckets), rIds, mt.m)
       .foreach(r => writeAdj(r, path, 0, newGen, mt.nBuckets, append = true))
     for (l <- 1 to mt.layers) {
       val rl = levelNodes(rIds.toSeq.toDF("id"), l).as[Long].collect()
-      repair(spark.read.parquet(s"$path/adj$l"),
-          spark.read.parquet(s"$path/radj$l"), rl, mt.m1).foreach(r =>
-        writeAdj(r, path, l, newGen, mt.nBuckets, append = true))
+      // guard BEFORE ensureRadj: a level the batch never drew into should
+      // not pay the one-time sidecar materialization
+      if (rl.nonEmpty)
+        repair(spark.read.parquet(s"$path/adj$l"),
+            ensureRadj(spark, path, l, mt.nBuckets), rl, mt.m1).foreach(r =>
+          writeAdj(r, path, l, newGen, mt.nBuckets, append = true))
     }
     rIds.toSeq.toDF("id").coalesce(1).write.mode("append")
       .parquet(s"$path/tombstones")

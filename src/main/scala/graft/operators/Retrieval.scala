@@ -201,6 +201,47 @@ object Retrieval {
       .write.mode(mode).parquet(s"$path/stats")
   }
 
+  /** COMPACTION for the BM25 index — the LSM step completing the
+    * ingest story ([[bm25AddBatch]] appends per batch; this folds): the
+    * per-batch (term, df) rows merge to one row per term, the per-batch
+    * (n_docs, dl_sum) deltas fold to one, and each postings bucket's
+    * batch files rewrite as one file — so a long-ingested index reads
+    * like a one-shot build again. Purely physical: the probe already
+    * delta-folds at query time, so results are IDENTICAL before and
+    * after (spec-pinned; q385 probes across a compact). tmp + atomic
+    * rename per store, the [[GraphAnn.compactIndex]] discipline. */
+  def bm25CompactIndex(spark: SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def swap(tmp: String, dst: String): Unit = {
+      val d = new org.apache.hadoop.fs.Path(dst)
+      fs.delete(d, true)
+      require(fs.rename(new org.apache.hadoop.fs.Path(tmp), d),
+        s"bm25CompactIndex: could not publish $dst")
+    }
+    val st = spark.read.parquet(s"$path/stats")
+      .agg(sum("n_docs").cast("long").as("n_docs"),
+        sum("dl_sum").cast("long").as("dl_sum"),
+        min("n_buckets").as("nb0"), max("n_buckets").as("nb1")).head()
+    require(st.getInt(2) == st.getInt(3),
+      s"corrupt stats at $path: inconsistent n_buckets")
+    val nb = st.getInt(2)
+    spark.read.parquet(s"$path/postings")
+      .repartition(nb, col("tb"))
+      .write.partitionBy("tb").parquet(s"$path/.postings_c")
+    swap(s"$path/.postings_c", s"$path/postings")
+    spark.read.parquet(s"$path/terms")
+      .groupBy("tb", "term").agg(sum("df").as("df"))
+      .repartition(nb, col("tb"))
+      .write.partitionBy("tb").parquet(s"$path/.terms_c")
+    swap(s"$path/.terms_c", s"$path/terms")
+    spark.range(1)
+      .select(lit(st.getLong(0)).as("n_docs"), lit(st.getLong(1)).as("dl_sum"),
+        lit(nb).as("n_buckets"))
+      .coalesce(1).write.parquet(s"$path/.stats_c")
+    swap(s"$path/.stats_c", s"$path/stats")
+  }
+
   /** Probe a materialized BM25 index: identical scores to [[bm25TopK]]
     * (same quantized expressions, same precomputed integer stats), but the
     * corpus is never rescanned — the probed terms' bucket ids (bounded by
@@ -674,6 +715,24 @@ object Retrieval {
     positionalPostings(batch)
       .withColumn("tb", pmod(hash(col("term")), lit(nBuckets)))
       .write.mode("append").partitionBy("tb").parquet(s"$path/positions")
+  }
+
+  /** [[bm25CompactIndex]]'s positional counterpart — positional state is
+    * purely per-document, so compaction is one partitioned rewrite
+    * folding each bucket's batch files into one (results identical;
+    * q386 probes across it). */
+  def phraseCompactIndex(spark: SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nBuckets = spark.read.parquet(s"$path/stats")
+      .head().getAs[Int]("n_buckets")
+    spark.read.parquet(s"$path/positions")
+      .repartition(nBuckets, col("tb"))
+      .write.partitionBy("tb").parquet(s"$path/.positions_c")
+    val d = new org.apache.hadoop.fs.Path(s"$path/positions")
+    fs.delete(d, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/.positions_c"), d),
+      s"phraseCompactIndex: could not publish $path/positions")
   }
 
   /** Probe the positional index: identical results to [[phraseTopK]], but

@@ -972,6 +972,9 @@ object Corpus {
       Retrieval.bm25WriteIndex(d.filter(col("doc_id") % 3 === 0), idx)
       Retrieval.bm25AddBatch(d.filter(col("doc_id") % 3 === 1), idx)
       Retrieval.bm25AddBatch(d.filter(col("doc_id") % 3 === 2), idx)
+      // LSM compaction folds the batch files/deltas; the probe result is
+      // unchanged by contract, so the same oracle checks it (r17)
+      Retrieval.bm25CompactIndex(s, idx)
       Retrieval.bm25TopKIndexed(s, idx, bm25Queries, k = 10)
         .orderBy("query_id", "rk")
     },
@@ -1010,6 +1013,7 @@ object Corpus {
       Retrieval.phraseWriteIndex(d.filter(col("doc_id") % 3 === 0), idx)
       Retrieval.phraseAddBatch(d.filter(col("doc_id") % 3 === 1), idx)
       Retrieval.phraseAddBatch(d.filter(col("doc_id") % 3 === 2), idx)
+      Retrieval.phraseCompactIndex(s, idx)
       Retrieval.phraseTopKIndexed(s, idx, Seq(
           1 -> Seq("spark", "join"), 2 -> Seq("big", "big"),
           3 -> Seq("the", "line", "sort")), k = 10)

@@ -119,6 +119,22 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect().map(_.toSeq).toSet
       assert(got == pRef, s"phrase batch order $order diverged from one-shot")
     }
+    // compaction is purely physical: probe-identical, per-batch rows fold
+    val cp = "/root/repo/target/bm25index/ingest_012"
+    Retrieval.bm25CompactIndex(spark, cp)
+    assert(Retrieval.bm25TopKIndexed(spark, cp, qs, k = 10)
+      .collect().map(_.toSeq).toSet == ref,
+      "bm25 compaction changed probe results")
+    val terms = spark.read.parquet(s"$cp/terms")
+    assert(terms.groupBy("term").count().filter(col("count") > 1).isEmpty,
+      "compaction left multiple df rows for one term")
+    assert(spark.read.parquet(s"$cp/stats").count() == 1,
+      "compaction left multiple stats deltas")
+    val pp = "/root/repo/target/phraseindex/ingest_012"
+    Retrieval.phraseCompactIndex(spark, pp)
+    assert(Retrieval.phraseTopKIndexed(spark, pp, phr, k = 10)
+      .collect().map(_.toSeq).toSet == pRef,
+      "phrase compaction changed probe results")
   }
 
   test("rerank: zero-norm candidate scores -1.0 and ranks last (not NULL)") {
