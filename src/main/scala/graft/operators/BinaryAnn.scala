@@ -164,53 +164,154 @@ object BinaryAnn {
       .toDF("id", "code", "qe", "n2")
   }
 
+  private def fsOf(spark: org.apache.spark.sql.SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Next write generation = 1 + the highest generation any ADD or REMOVE
+    * has used — derived from pure FS listings (`agen=K` store dirs,
+    * `tgen=K` tombstone dirs), so neither ingest nor delete ever READS
+    * index data to sequence itself. Single writer, like every index in
+    * the family. */
+  private def nextGen(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int = {
+    val fs = fsOf(spark, path)
+    def maxGen(dir: String, prefix: String): Int = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      if (!fs.exists(p)) -1
+      else fs.listStatus(p).map(_.getPath.getName).filter(_.startsWith(prefix))
+        .map(_.stripPrefix(prefix).toInt).foldLeft(-1)(math.max)
+    }
+    math.max(maxGen(path, "agen="),
+      maxGen(s"$path/_tombstones", "tgen=")) + 1
+  }
+
   /** Persist the codec at rest: one compiled pass derives BOTH the packed
     * code and the quantized vector per row and writes (id, code, qe, n2)
-    * parquet — no second corpus scan, no join. This is where the 1-bit
-    * claim becomes a plan property: parquet is columnar, so
-    * [[probeIndex]]'s Hamming stage reads ONLY the (id, code) columns —
-    * dim/8 bytes of code per candidate instead of the raw floats — and
-    * the full-width qe column is decoded for shortlist rows alone. The
-    * one-shot [[hammingTopK]] cannot beat a brute scan (it must read and
-    * quantize the whole float corpus per call, twice); the indexed probe
-    * is the production path, same as [[IvfPq]]'s build/probe split. */
+    * parquet under the generation-0 store dir (`agen=0/`) — no second
+    * corpus scan, no join. This is where the 1-bit claim becomes a plan
+    * property: parquet is columnar, so [[probeIndex]]'s Hamming stage
+    * reads ONLY the (id, code) columns — dim/8 bytes of code per
+    * candidate instead of the raw floats — and the full-width qe column
+    * is decoded for shortlist rows alone. The generation lives in the
+    * DIRECTORY name (a partition column), so liveness resolution against
+    * tombstones costs zero extra bytes per row. The one-shot
+    * [[hammingTopK]] cannot beat a brute scan (it must read and quantize
+    * the whole float corpus per call, twice); the indexed probe is the
+    * production path, same as [[IvfPq]]'s build/probe split. */
   def buildIndex(corpus: DataFrame, path: String): DataFrame = {
-    encodeFull(corpus).write.mode("overwrite").parquet(path)
-    corpus.sparkSession.read.parquet(path)
+    val spark = corpus.sparkSession
+    // a rebuild replaces the whole index: clear store, tombstones, and any
+    // pre-generation flat layout left by an older build at the same path
+    fsOf(spark, path).delete(new org.apache.hadoop.fs.Path(path), true)
+    encodeFull(corpus).write.parquet(s"$path/agen=0")
+    spark.read.parquet(path)
   }
 
   /** Train-free incremental ingest — the binary index's whole `add` step
-    * is a parquet APPEND of the batch's (id, code, qe, n2) rows. Unlike
-    * [[IvfPq.addBatch]] (which must encode against frozen codebooks) or
-    * [[GraphAnn.insertBatch]] (which must walk and re-trim), the 1-bit
-    * codec has NO trained state: each row's code depends only on its own
-    * embedding, so batches commute, nothing is re-read, and a
-    * batch-built index is file-identical in content to a one-shot build
-    * (spec-asserted probe parity). This is the codec's operational
+    * is a parquet APPEND of the batch's (id, code, qe, n2) rows under a
+    * fresh `agen=G/` store dir. Unlike [[IvfPq.addBatch]] (which must
+    * encode against frozen codebooks) or [[GraphAnn.insertBatch]] (which
+    * must walk and re-trim), the 1-bit codec has NO trained state: each
+    * row's code depends only on its own embedding, so batches commute,
+    * nothing is re-read, and a batch-built index probes identically to a
+    * one-shot build (spec-asserted). This is the codec's operational
     * advantage at 100 TB — ingest cost is exactly the batch's own encode
     * pass, forever.
     *
-    * INGEST CONTRACT: batch ids must be NEW — the append path has no
-    * dedup (deduping would require reading the store, forfeiting the
-    * train-free O(batch) cost). A re-ingested id would yield duplicate
-    * index rows; [[probeIndex]] detects that on the shortlist fetch and
-    * fails loudly instead of silently corrupting top-k. */
-  def addBatch(batch: DataFrame, path: String): Unit =
-    encodeFull(batch).write.mode("append").parquet(path)
+    * INGEST CONTRACT: batch ids must be NEW or tombstoned-dead — the
+    * append path has no dedup (deduping would require reading the store,
+    * forfeiting the train-free O(batch) cost). A re-ingested LIVE id
+    * would yield two live index rows; [[probeIndex]] detects that on the
+    * shortlist fetch and fails loudly instead of silently corrupting
+    * top-k. A REMOVED id may be re-added freely: the new row's higher
+    * generation outlives the tombstone (the [[GraphAnn]] generation
+    * discipline), which is what makes an UPDATE = removeBatch + addBatch
+    * of the same id — the CDC consumption pattern (q389). */
+  def addBatch(batch: DataFrame, path: String): Unit = {
+    val g = nextGen(batch.sparkSession, path)
+    encodeFull(batch).write.parquet(s"$path/agen=$g")
+  }
+
+  /** O(batch) delete — append the removed ids as a tombstone generation
+    * under the hidden `_tombstones/tgen=G/` sidecar (underscore-prefixed,
+    * so the store's parquet discovery never sees it). A tombstone at
+    * generation G kills exactly the rows of that id added at agen < G:
+    * later re-adds survive, so remove/re-add sequences resolve by
+    * generation comparison alone — no read, no rewrite, no scan of the
+    * store, ever. Ids need not be live (removing an absent id is a
+    * no-op mask row). [[compactIndex]] folds tombstones away. */
+  def removeBatch(ids: DataFrame, path: String): Unit = {
+    require(ids.columns.toSeq == Seq("id"),
+      s"removeBatch wants a bare (id) frame, got ${ids.columns.mkString(",")}")
+    val g = nextGen(ids.sparkSession, path)
+    // tombstones are bounded by delete volume since the last compaction —
+    // one small file per batch, the IvfPq.removeIds discipline
+    ids.distinct().coalesce(1).write.parquet(s"$path/_tombstones/tgen=$g")
+  }
+
+  /** The live view of a store: every (id, code, qe, n2, agen) row not
+    * killed by a tombstone of the same id at a later generation. The
+    * tombstone set is small (bounded by deletes since the last
+    * compaction), so the mask is one broadcast anti-join over the
+    * streamed store — the scan's column pruning is untouched (agen is
+    * partition metadata, zero bytes per row). */
+  def openIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val idx = spark.read.parquet(path)
+    val tp = s"$path/_tombstones"
+    if (!fsOf(spark, path).exists(new org.apache.hadoop.fs.Path(tp))) idx
+    else {
+      val t = spark.read.parquet(tp)
+        .select(col("id").as("_tid"), col("tgen"))
+      idx.join(broadcast(t),
+        idx("id") === col("_tid") && col("tgen") > idx("agen"), "left_anti")
+    }
+  }
+
+  /** Compaction — physically drop tombstone-killed rows and fold the
+    * store back to a single generation, after which probes pay zero mask
+    * cost again. Purely physical: probe results are identical before and
+    * after (spec-pinned). Crash-safe: the new store is fully written
+    * beside the old, then swapped by rename — a failure at any step
+    * leaves the old or the new index fully intact (the [[IvfPq
+    * .compactIndex]] / KV-handler generation discipline). */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val fs = fsOf(spark, path)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_tombstones")))
+      return
+    val tmp = s"${path}_compact"
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    openIndex(spark, path).select("id", "code", "qe", "n2")
+      .write.parquet(s"$tmp/agen=0")
+    val live = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(s"${path}_old")
+    fs.delete(old, true) // stale leftover from a previous failed compaction
+    require(fs.rename(live, old),
+      s"compactIndex: rename $live -> $old failed; index left untouched")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), live)) {
+      fs.rename(old, live) // restore the original generation before failing
+      throw new IllegalStateException(
+        s"compactIndex: rename $tmp -> $live failed; original restored")
+    }
+    fs.delete(old, true)
+  }
 
   /** Search a [[buildIndex]] store: Hamming over the pruned (id, code)
     * read, exact rescore over an id-pushed fetch of shortlist rows only
     * (InSet below the 65536 cap, broadcast-join fallback above — the
-    * [[IvfPq]] shortlist-fetch discipline). Identical results to the
-    * one-shot [[hammingTopK]] by construction (shared stages,
-    * spec-asserted): the index changes WHERE bytes are read, never a
-    * score. */
+    * [[IvfPq]] shortlist-fetch discipline). Tombstoned rows are masked
+    * BEFORE the shortlist heap (a dead row must not occupy a shortlist
+    * slot). Identical results to the one-shot [[hammingTopK]] over the
+    * live rows by construction (shared stages, spec-asserted): the index
+    * changes WHERE bytes are read, never a score. */
   def probeIndex(queries: DataFrame, indexPath: String, k: Int,
       shortlist: Int): DataFrame = {
     require(shortlist >= k, s"shortlist=$shortlist must cover k=$k")
     val spark = queries.sparkSession
     import spark.implicits._
-    val idx = spark.read.parquet(indexPath)
+    val idx = openIndex(spark, indexPath)
     val short = hammingShort(queries, idx, shortlist)
       .localCheckpoint(true) // shortlist is |Q|×shortlist rows — cut the
                              // lineage so the fetch below can't recompute

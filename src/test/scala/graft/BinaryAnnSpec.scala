@@ -152,4 +152,58 @@ class BinaryAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expect,
       "batch-built binary index must probe identically to one-shot")
   }
+
+  test("removeBatch masks deleted rows out of the shortlist, re-add of a " +
+      "removed id outlives its tombstone, and the churned index probes " +
+      "exactly like a fresh build of the live set") {
+    val queries = emb.filter(col("id") < 30)
+    val path = "target/binaryannspec/churn"
+    // live set after churn: evens minus {40..58 evens}, plus odds<20 where
+    // the re-added rows carry a NEGATED embedding (every sign bit flips —
+    // an update in place, the CDC delete+insert pattern)
+    BinaryAnn.buildIndex(emb.filter(col("id") % 2 === 0), path)
+    BinaryAnn.addBatch(emb.filter(col("id") % 2 === 1 && col("id") < 20), path)
+    // delete a slice of evens AND the odd rows we are about to update
+    BinaryAnn.removeBatch(
+      emb.filter((col("id") % 2 === 0 && col("id").between(40, 58)) ||
+          (col("id") % 2 === 1 && col("id") < 20))
+        .select(col("id")), path)
+    // re-add the odds with flipped embeddings: higher gen outlives tombstone
+    val flipped = emb.filter(col("id") % 2 === 1 && col("id") < 20)
+      .withColumn("embedding", expr("transform(embedding, x -> -x)"))
+    BinaryAnn.addBatch(flipped, path)
+    val got = BinaryAnn.probeIndex(queries, path, 10, 32)
+      .collect().map(_.toSeq).toSet
+    // the oracle: a fresh one-generation build of exactly the live rows
+    val live = emb.filter(col("id") % 2 === 0 &&
+        !col("id").between(40, 58)).unionByName(flipped)
+    val freshPath = "target/binaryannspec/churn_fresh"
+    BinaryAnn.buildIndex(live, freshPath)
+    val expect = BinaryAnn.probeIndex(queries, freshPath, 10, 32)
+      .collect().map(_.toSeq).toSet
+    assert(got == expect,
+      "churned index (add/remove/re-add) must probe like a fresh live build")
+    // compaction folds tombstones physically; probe result is unchanged
+    BinaryAnn.compactIndex(spark, path)
+    assert(!new java.io.File(s"$path/_tombstones").exists(),
+      "compaction must clear the tombstone sidecar")
+    val post = BinaryAnn.probeIndex(queries, path, 10, 32)
+      .collect().map(_.toSeq).toSet
+    assert(post == expect, "compaction must never change a probe result")
+    // the compacted store is a single generation again
+    val gens = new java.io.File(path).listFiles()
+      .map(_.getName).filter(_.startsWith("agen=")).toSeq
+    assert(gens == Seq("agen=0"), s"compacted store gens: $gens")
+  }
+
+  test("a re-added id that was never removed fails the live-duplicate " +
+      "guard loudly") {
+    val path = "target/binaryannspec/dup"
+    BinaryAnn.buildIndex(emb.filter(col("id") < 50), path)
+    BinaryAnn.addBatch(emb.filter(col("id") === 7), path) // 7 is still live
+    val ex = intercept[IllegalArgumentException] {
+      BinaryAnn.probeIndex(emb.filter(col("id") < 5), path, 5, 8).collect()
+    }
+    assert(ex.getMessage.contains("duplicate"), ex.getMessage)
+  }
 }
