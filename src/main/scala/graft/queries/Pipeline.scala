@@ -137,12 +137,16 @@ object Pipeline {
     * pair is the packing proof, and the indexed probe (q370) must produce
     * the identical result because the index only changes where bytes are
     * read. */
-  private lazy val binaryHammingOracleSql: String =
-    s"""WITH sb AS (
+  private def binaryHammingOracleOver(corpusSrc: String): String =
+    s"""WITH src AS ($corpusSrc),
+      |sb AS (
       |  SELECT vec_id,
       |    list_transform(embedding, x -> CAST(x AS DOUBLE) > 0) AS s
-      |  FROM embeddings),
-      |qs AS (SELECT * FROM sb WHERE vec_id < 50),
+      |  FROM src),
+      |qs AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE) > 0) AS s
+      |  FROM embeddings WHERE vec_id < 50),
       |ham AS (
       |  SELECT q.vec_id AS qid, c.vec_id AS cid,
       |    CAST(list_sum(list_transform(range(1, 65),
@@ -152,8 +156,12 @@ object Pipeline {
       |    SELECT qid, cid, hamming,
       |      row_number() OVER (PARTITION BY qid ORDER BY hamming, cid) AS rn
       |    FROM ham) WHERE rn <= 32),
-      |${qCte("qq", "WHERE vec_id < 50")},
-      |${qCte("cc", "")},
+      |qq AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS qe
+      |  FROM embeddings WHERE vec_id < 50),
+      |cc AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS qe
+      |  FROM src),
       |qn AS (SELECT vec_id,
       |    CAST(list_sum(list_transform(range(1, 65), i -> qe[i]*qe[i])) AS BIGINT) AS qn2
       |  FROM qq),
@@ -171,6 +179,21 @@ object Pipeline {
       |  FROM sc)
       |SELECT qid, cid, rk, hamming, ROUND(cos, 6) AS cos
       |FROM rk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+
+  private lazy val binaryHammingOracleSql: String =
+    binaryHammingOracleOver("SELECT vec_id, embedding FROM embeddings")
+
+  /** The q389 oracle corpus: the txn table's LIVE rows after the DML
+    * churn — evens minus the ≡4 (mod 10) deletes, the ≡6 (mod 10) rows
+    * sign-flipped by the UPDATE, plus the ≡1 (mod 10) odd inserts. The
+    * probe chain over it is the shared binary replay unchanged: the CDC
+    * feed maintains the INDEX, never the scoring. */
+  private lazy val cdcBinaryOracleSql: String = binaryHammingOracleOver(
+    """SELECT vec_id,
+      |    CASE WHEN vec_id % 10 = 6 THEN list_transform(embedding, x -> -x)
+      |         ELSE embedding END AS embedding
+      |  FROM embeddings
+      |  WHERE (vec_id % 2 = 0 AND vec_id % 10 <> 4) OR vec_id % 10 = 1""".stripMargin)
 
   private[queries] def qCte(name: String, pred: String) =
     s"""$name AS (
@@ -2175,6 +2198,52 @@ object Pipeline {
         .createOrReplaceTempView("g387_queries")
       graft.Engine.sql(s2, dir, "VECTOR TOPK ON g387_corpus (embedding) " +
           "QUERIES g387_queries LIMIT 10 OPTIONS (nprobe=4, shortlist=64)")
+        .orderBy("qid", "rk")
+    },
+
+    // CDC-MAINTAINED VECTOR INDEX (r17 — the ACID log feeding the index
+    // zoo, FreshDiskANN's insert/delete stream sourced from a TABLE): the
+    // embedding corpus lives in a [[TxnMergeOnRead]] table; INSERT /
+    // DELETE / UPDATE DML churn it under snapshot isolation; ONE
+    // [[TxnMergeOnRead.changesBetween]] read of the log (the q198/q222
+    // CDC discipline — rid-netted, so an UPDATE surfaces as delete+insert
+    // of the same id) then maintains the persisted binary index:
+    // change='delete' → [[graft.operators.BinaryAnn.removeBatch]] (one
+    // tombstone generation, no store read), change='insert' →
+    // [[BinaryAnn.addBatch]] (one encode pass, appended at a HIGHER
+    // generation, so the re-added row of an updated id outlives the
+    // tombstone that killed its old row). The probe then equals a fresh
+    // index of the post-DML live set — which is exactly what the oracle
+    // replays (live-set CTE → shared sign/Hamming/rescore chain). At
+    // 100 TB this is the production freshness loop: the index consumer
+    // reads the LOG, not the table (O(changes) per sync, never a corpus
+    // scan), and deletes never rewrite the store. */
+    Qd("q389_cdc_index_maintenance", cdcBinaryOracleSql) { (s, dir) =>
+      import graft.operators.{BinaryAnn, TxnMergeOnRead}
+      val sf = new java.io.File(dir).getName.replace(".", "_")
+      val root = s"/root/repo/target/ddl/$sf/g389_txn"
+      val idx = s"/root/repo/target/ddl/$sf/g389_bidx"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val e = emb(s, dir).select(col("id"), col("embedding"))
+      TxnMergeOnRead.create(s, root, e.filter(col("id") % 2 === 0))
+      val v0 = TxnMergeOnRead.currentVersion(s, root)
+      BinaryAnn.buildIndex(TxnMergeOnRead.read(s, root), idx)
+      TxnMergeOnRead.insert(s, root, e.filter(col("id") % 10 === 1))
+      TxnMergeOnRead.delete(s, root, "id % 10 = 4")
+      TxnMergeOnRead.update(s, root,
+        Seq("embedding" -> "transform(embedding, x -> -x)"), "id % 10 = 6")
+      val v1 = TxnMergeOnRead.currentVersion(s, root)
+      // one CDC read feeds both halves; bounded (the churn's own rows)
+      val ch = TxnMergeOnRead.changesBetween(s, root, v0, v1)
+        .select("change", "id", "embedding").localCheckpoint(true)
+      BinaryAnn.removeBatch(
+        ch.filter(col("change") === "delete").select("id"), idx)
+      BinaryAnn.addBatch(
+        ch.filter(col("change") === "insert").select("id", "embedding"), idx)
+      BinaryAnn.probeIndex(emb(s, dir).filter(col("id") < 50), idx,
+          10, shortlist = 32)
+        .select(col("qid"), col("cid"), col("rk").cast("bigint").as("rk"),
+          col("hamming"), col("cos"))
         .orderBy("qid", "rk")
     }
   )
