@@ -1048,6 +1048,29 @@ object Corpus {
           "OPTIONS (nlex=20, ndense=16, nfuse=16, ef1=8, hops1=2, " +
           "ef=16, hops=2)")
         .orderBy("query_id", "pick")
+    },
+
+    // STREAMING FULLTEXT INGEST ([[graft.streaming.StreamOps
+    // .streamingBm25Index]] — the q253 streaming-index capstone applied
+    // to BM25, closing the r17 incremental-ingest loop end-to-end):
+    // document micro-batches commit into the txn log exactly-once (burned
+    // batch keys absorb the deliberate double-delivery), the consumer
+    // folds each batch's CDC range into the persisted BM25 index
+    // (bootstrap, then bm25AddBatch appends), and the final probe must be
+    // bit-identical to a one-shot full-corpus build — so the oracle is
+    // q188/q385's one-shot scoring chain UNCHANGED. The stream never
+    // rebuilds: per batch, work is that batch's own tokenize+append.
+    Qd("q390_streaming_bm25_index",
+      s"""WITH $bm25Ctes,
+        |rk AS (SELECT query_id, doc_id, wq,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY wq DESC, doc_id) AS rk FROM sc)
+        |SELECT query_id, doc_id, rk, ROUND(CAST(wq AS DOUBLE)/1000000.0, 4) AS score
+        |FROM rk WHERE rk <= 10 ORDER BY query_id, rk""") { (s, dir) =>
+      val sf = new java.io.File(dir).getName.replace(".", "_")
+      graft.streaming.StreamOps.streamingBm25Index(s, dir,
+          s"/root/repo/target/ddl/$sf/g390_txn",
+          s"/root/repo/target/ddl/$sf/g390_idx", bm25Queries, k = 10)
+        .orderBy("query_id", "rk")
     }
   )
 
