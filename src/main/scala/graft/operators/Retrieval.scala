@@ -185,11 +185,21 @@ object Retrieval {
     val tok = postings(docs)
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-    tf.join(dl, Seq("doc_id"))
-      .withColumn("tb", pmod(hash(col("term")), lit(nBuckets)))
+    // APPEND batches bucket-align their writers (the [[bm25CompactIndex]]
+    // write shape): one task per term bucket → one file per bucket per
+    // batch, instead of every shuffle task spraying a file into every
+    // bucket dir — ~32× fewer files per ingest step, which is what keeps
+    // a long multi-batch ingest (q385/q390) from drowning in tiny files.
+    // One-shot builds keep the shuffle-free write: their postings set is
+    // the whole corpus, so the extra exchange costs more than the file
+    // consolidation buys (and a build is one batch — no accumulation).
+    def aligned(df: DataFrame): DataFrame =
+      if (append) df.repartition(nBuckets, col("tb")) else df
+    aligned(tf.join(dl, Seq("doc_id"))
+        .withColumn("tb", pmod(hash(col("term")), lit(nBuckets))))
       .write.mode(mode).partitionBy("tb").parquet(s"$path/postings")
-    tf.groupBy("term").agg(count(lit(1)).as("df"))
-      .withColumn("tb", pmod(hash(col("term")), lit(nBuckets)))
+    aligned(tf.groupBy("term").agg(count(lit(1)).as("df"))
+        .withColumn("tb", pmod(hash(col("term")), lit(nBuckets))))
       .write.mode(mode).partitionBy("tb").parquet(s"$path/terms")
     // per-batch scalar deltas; the probe folds them (Σ, Σ, then one
     // division) so an N-batch index and the one-shot build read the same

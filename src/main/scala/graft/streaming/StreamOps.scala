@@ -491,9 +491,13 @@ object StreamOps {
         TxnMergeOnRead.insertBatch(spark, root, key, batch)
         val v = TxnMergeOnRead.currentVersion(spark, root)
         if (v > vDone) {
+          // bounded (one micro-batch); checkpointed because the index
+          // write fans the frame into THREE stores (postings/terms/stats)
+          // and each would otherwise re-run the CDC log read
           val fresh = TxnMergeOnRead.changesBetween(spark, root, vDone, v)
             .filter(col("change") === "insert")
             .select(col("doc_id"), col("text"))
+            .localCheckpoint(true)
           if (!new java.io.File(s"$idxDir/stats").exists())
             Retrieval.bm25WriteIndex(fresh, idxDir, nBuckets = 16)
           else Retrieval.bm25AddBatch(fresh, idxDir)
