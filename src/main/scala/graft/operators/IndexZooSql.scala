@@ -129,6 +129,7 @@ object IndexZooSql {
     val up = sqlText.trim.toUpperCase
     Seq("CREATE VECTOR INDEX", "CREATE FULLTEXT INDEX",
       "DROP VECTOR INDEX", "DROP FULLTEXT INDEX", "SHOW VECTOR INDEXES",
+      "ALTER VECTOR INDEX", "ALTER FULLTEXT INDEX",
       "VECTOR TOPK", "FULLTEXT TOPK", "PHRASE TOPK", "HYBRID TOPK")
       .exists(up.startsWith)
   }
@@ -139,6 +140,7 @@ object IndexZooSql {
     val up = s.toUpperCase
     if (!handles(s)) spark.sql(s)
     else if (up.startsWith("CREATE")) execCreate(spark, s)
+    else if (up.startsWith("ALTER")) execAlter(spark, s)
     else if (up.startsWith("DROP")) execDrop(spark, s)
     else if (up.startsWith("SHOW")) show(spark)
     else if (up.startsWith("VECTOR TOPK")) execVectorTopK(spark, s)
@@ -259,6 +261,82 @@ object IndexZooSql {
     }
     writeEntry(spark, Entry(name, family, kind, table.toLowerCase,
       cname.toLowerCase, path, tableFingerprint(spark, table)))
+    show(spark)
+  }
+
+  /** Index-maintenance DML as text — the lifecycle the programmatic CRUD
+    * family already has (q354/q371/q380/q389), behind one statement each:
+    *
+    *   ALTER VECTOR   INDEX i ADD FROM <view> [OPTIONS (...)]  — addBatch
+    *   ALTER VECTOR   INDEX i REMOVE FROM <view>               — tombstones
+    *   ALTER VECTOR   INDEX i COMPACT                          — fold
+    *   ALTER FULLTEXT INDEX i ADD FROM <view>                  — bm25/pos
+    *   ALTER FULLTEXT INDEX i COMPACT
+    *
+    * ADD reads (id, <indexed col>) / (doc_id, <indexed col>) from the
+    * view; REMOVE reads its `id` column. REMOVE is VECTOR-only: the
+    * fulltext postings are per-document and write-once per batch — a
+    * fulltext corpus shrink is a DROP + re-CREATE (or upstream delete
+    * before ingest), and saying so loudly beats silently wrong scores.
+    * ALTER deliberately does NOT touch the CREATE-time base-table
+    * fingerprint: maintenance grows the index AWAY from the base snapshot
+    * by design (the CDC posture — the index tracks a log, q389), while
+    * the fingerprint keeps guarding against the base VIEW being re-pointed
+    * at different data. */
+  private def execAlter(spark: SparkSession, s: String): DataFrame = {
+    val m = ("(?is)^ALTER\\s+(VECTOR|FULLTEXT)\\s+INDEX\\s+" +
+      "([A-Za-z_][A-Za-z0-9_]*)\\s+" +
+      "(ADD\\s+FROM\\s+([A-Za-z_][A-Za-z0-9_.]*)|" +
+      "REMOVE\\s+FROM\\s+([A-Za-z_][A-Za-z0-9_.]*)|COMPACT)\\s*(.*)$").r
+      .findFirstMatchIn(s).getOrElse(fail(s,
+        "ALTER VECTOR|FULLTEXT INDEX <i> ADD FROM <v> | REMOVE FROM <v> " +
+          "| COMPACT [OPTIONS (...)] expected"))
+    val family = m.group(1).toUpperCase
+    val name = m.group(2).toLowerCase
+    val action = m.group(3).trim.split("\\s+")(0).toUpperCase
+    val view = Option(m.group(4)).orElse(Option(m.group(5)))
+    val opts = parseOpts(m.group(6), s)
+    val e = lookup(spark, name).getOrElse(
+      fail(s, s"no ${family.toLowerCase} index $name"))
+    require(e.family == family, s"index $name is a ${e.family} index")
+    action match {
+      case "ADD" =>
+        val df = spark.table(view.get)
+        if (family == "VECTOR") {
+          val vdf = df.select(col("id"), df(e.col).as("embedding"))
+          e.kind match {
+            case "GRAPH" => GraphAnn.addBatch(e.path, vdf,
+              ef1 = intOpt(opts, "ef1", 8), hops1 = intOpt(opts, "hops1", 2),
+              ef = intOpt(opts, "ef", 16), hops = intOpt(opts, "hops", 2))
+            case "BINARY" => BinaryAnn.addBatch(vdf, e.path)
+            case "IVF_PQ" => IvfPq.addBatch(vdf, e.path)
+          }
+        } else {
+          val tdf = df.select(df("doc_id"), df(e.col).as("text"))
+          e.kind match {
+            case "BM25" => Retrieval.bm25AddBatch(tdf, e.path)
+            case "POSITIONAL" => Retrieval.phraseAddBatch(tdf, e.path)
+          }
+        }
+      case "REMOVE" =>
+        require(family == "VECTOR",
+          "REMOVE FROM supports VECTOR indexes only — fulltext postings " +
+            "are per-document write-once; DROP and re-CREATE instead: " + s)
+        val ids = spark.table(view.get).select(col("id"))
+        e.kind match {
+          case "GRAPH" => GraphAnn.removeBatch(e.path, ids)
+          case "BINARY" => BinaryAnn.removeBatch(ids, e.path)
+          case "IVF_PQ" => IvfPq.removeIds(ids, e.path)
+        }
+      case "COMPACT" =>
+        e.kind match {
+          case "GRAPH" => GraphAnn.compactIndex(spark, e.path)
+          case "BINARY" => BinaryAnn.compactIndex(spark, e.path)
+          case "IVF_PQ" => IvfPq.compactIndex(spark, e.path)
+          case "BM25" => Retrieval.bm25CompactIndex(spark, e.path)
+          case "POSITIONAL" => Retrieval.phraseCompactIndex(spark, e.path)
+        }
+    }
     show(spark)
   }
 

@@ -137,7 +137,8 @@ object Pipeline {
     * pair is the packing proof, and the indexed probe (q370) must produce
     * the identical result because the index only changes where bytes are
     * read. */
-  private def binaryHammingOracleOver(corpusSrc: String): String =
+  private def binaryHammingOracleOver(corpusSrc: String,
+      withHamming: Boolean = true): String =
     s"""WITH src AS ($corpusSrc),
       |sb AS (
       |  SELECT vec_id,
@@ -177,7 +178,7 @@ object Pipeline {
       |rk AS (SELECT qid, cid, hamming, cos,
       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
       |  FROM sc)
-      |SELECT qid, cid, rk, hamming, ROUND(cos, 6) AS cos
+      |SELECT qid, cid, rk, ${if (withHamming) "hamming, " else ""}ROUND(cos, 6) AS cos
       |FROM rk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
 
   private lazy val binaryHammingOracleSql: String =
@@ -188,12 +189,15 @@ object Pipeline {
     * sign-flipped by the UPDATE, plus the ≡1 (mod 10) odd inserts. The
     * probe chain over it is the shared binary replay unchanged: the CDC
     * feed maintains the INDEX, never the scoring. */
-  private lazy val cdcBinaryOracleSql: String = binaryHammingOracleOver(
+  private val cdcLiveCorpusSql: String =
     """SELECT vec_id,
       |    CASE WHEN vec_id % 10 = 6 THEN list_transform(embedding, x -> -x)
       |         ELSE embedding END AS embedding
       |  FROM embeddings
-      |  WHERE (vec_id % 2 = 0 AND vec_id % 10 <> 4) OR vec_id % 10 = 1""".stripMargin)
+      |  WHERE (vec_id % 2 = 0 AND vec_id % 10 <> 4) OR vec_id % 10 = 1""".stripMargin
+
+  private lazy val cdcBinaryOracleSql: String =
+    binaryHammingOracleOver(cdcLiveCorpusSql)
 
   private[queries] def qCte(name: String, pred: String) =
     s"""$name AS (
@@ -2244,6 +2248,43 @@ object Pipeline {
           10, shortlist = 32)
         .select(col("qid"), col("cid"), col("rk").cast("bigint").as("rk"),
           col("hamming"), col("cos"))
+        .orderBy("qid", "rk")
+    },
+
+    // INDEX-MAINTENANCE DML AS TEXT (r17 — q389's churn, re-run as five
+    // SQL statements through [[graft.Engine.sql]]'s transparent routing):
+    // CREATE a BINARY vector index over the bootstrap view, ALTER … ADD
+    // the insert batch, ALTER … REMOVE the delete ids (one tombstone
+    // generation), ALTER … ADD the updated rows (re-add outliving the
+    // tombstone), ALTER … COMPACT (fold to one generation — results
+    // unchanged by contract), then VECTOR TOPK. Same live set as q389, so
+    // the oracle is the same live-set replay (minus the hamming column —
+    // the TOPK surface returns (qid, cid, rk, cos)).
+    Qd("q391_index_dml_sql",
+        binaryHammingOracleOver(cdcLiveCorpusSql, withHamming = false)) {
+        (s, dir) =>
+      import graft.operators.IndexZooSql
+      IndexZooSql.reset(s)
+      val sf = new java.io.File(dir).getName.replace(".", "_")
+      val e = emb(s, dir).select(col("id"), col("embedding"))
+      e.filter(col("id") % 2 === 0).createOrReplaceTempView("g391_base")
+      e.filter(col("id") % 10 === 1).createOrReplaceTempView("g391_add")
+      e.filter(col("id") % 10 === 4 || col("id") % 10 === 6)
+        .select("id").createOrReplaceTempView("g391_rm")
+      e.filter(col("id") % 10 === 6)
+        .withColumn("embedding", expr("transform(embedding, x -> -x)"))
+        .createOrReplaceTempView("g391_upd")
+      e.filter(col("id") < 50).createOrReplaceTempView("g391_q")
+      graft.Engine.sql(s, dir, "CREATE VECTOR INDEX g391_vi ON g391_base " +
+        "(embedding) AS 'BINARY' OPTIONS " +
+        s"(path='/root/repo/target/ddl/$sf/g391_vi')")
+      graft.Engine.sql(s, dir, "ALTER VECTOR INDEX g391_vi ADD FROM g391_add")
+      graft.Engine.sql(s, dir,
+        "ALTER VECTOR INDEX g391_vi REMOVE FROM g391_rm")
+      graft.Engine.sql(s, dir, "ALTER VECTOR INDEX g391_vi ADD FROM g391_upd")
+      graft.Engine.sql(s, dir, "ALTER VECTOR INDEX g391_vi COMPACT")
+      graft.Engine.sql(s, dir, "VECTOR TOPK ON g391_base (embedding) " +
+          "QUERIES g391_q LIMIT 10 OPTIONS (shortlist=32)")
         .orderBy("qid", "rk")
     }
   )

@@ -179,4 +179,50 @@ class IndexZooSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException](IndexZooSql.sql(spark,
       "CREATE VECTOR INDEX z ON izs_corpus3 (no_such_col) AS 'BINARY'"))
   }
+
+  test("ALTER index DML: ADD/REMOVE/COMPACT maintain a BINARY index to " +
+      "exactly the probe of a fresh live-set build; fulltext REMOVE and " +
+      "unknown names fail loudly") {
+    IndexZooSql.reset(spark)
+    emb.filter(col("id") % 2 === 0).createOrReplaceTempView("izs_alter_base")
+    emb.filter(col("id") % 2 === 1).createOrReplaceTempView("izs_alter_add")
+    emb.filter(col("id") % 10 === 3).select("id")
+      .createOrReplaceTempView("izs_alter_rm")
+    emb.filter(col("id") < 10).createOrReplaceTempView("izs_alter_q")
+    IndexZooSql.sql(spark, "CREATE VECTOR INDEX izs_avi ON izs_alter_base " +
+      s"(embedding) AS 'BINARY' OPTIONS (path='$root/avi')")
+    IndexZooSql.sql(spark, "ALTER VECTOR INDEX izs_avi ADD FROM izs_alter_add")
+    IndexZooSql.sql(spark,
+      "ALTER VECTOR INDEX izs_avi REMOVE FROM izs_alter_rm")
+    val probe = "VECTOR TOPK ON izs_alter_base (embedding) QUERIES " +
+      "izs_alter_q LIMIT 5 OPTIONS (shortlist=16)"
+    val churned = IndexZooSql.sql(spark, probe)
+      .collect().map(_.toSeq).toSet
+    IndexZooSql.sql(spark, "ALTER VECTOR INDEX izs_avi COMPACT")
+    assert(!new java.io.File(s"$root/avi/_tombstones").exists(),
+      "COMPACT must fold the tombstone sidecar away")
+    assert(IndexZooSql.sql(spark, probe).collect().map(_.toSeq).toSet
+      == churned, "COMPACT must never change a probe result")
+    // oracle: a fresh one-shot build over the live rows probes identically
+    IndexZooSql.sql(spark, "DROP VECTOR INDEX izs_avi")
+    emb.filter(col("id") % 10 =!= 3).createOrReplaceTempView("izs_alter_live")
+    IndexZooSql.sql(spark, "CREATE VECTOR INDEX izs_avi2 ON izs_alter_live " +
+      s"(embedding) AS 'BINARY' OPTIONS (path='$root/avi2')")
+    val fresh = IndexZooSql.sql(spark, "VECTOR TOPK ON izs_alter_live " +
+        "(embedding) QUERIES izs_alter_q LIMIT 5 OPTIONS (shortlist=16)")
+      .collect().map(_.toSeq).toSet
+    assert(churned == fresh,
+      "ALTER-maintained index must probe like a fresh live-set build")
+    IndexZooSql.sql(spark, "DROP VECTOR INDEX izs_avi2")
+    // loud failures: REMOVE on a fulltext index, ALTER of a missing index
+    docs.createOrReplaceTempView("izs_alter_docs")
+    IndexZooSql.sql(spark, "CREATE FULLTEXT INDEX izs_aft ON izs_alter_docs " +
+      s"(text) AS 'BM25' OPTIONS (buckets=8, path='$root/aft')")
+    val ex = intercept[IllegalArgumentException](IndexZooSql.sql(spark,
+      "ALTER FULLTEXT INDEX izs_aft REMOVE FROM izs_alter_rm"))
+    assert(ex.getMessage.contains("VECTOR indexes only"), ex.getMessage)
+    intercept[IllegalArgumentException](IndexZooSql.sql(spark,
+      "ALTER VECTOR INDEX izs_missing COMPACT"))
+    IndexZooSql.sql(spark, "DROP FULLTEXT INDEX izs_aft")
+  }
 }
