@@ -36,7 +36,8 @@ object AnnScale {
     // 1-bit codec section (q368); default runs everything
     val mCurveOnly = args.headOption.contains("m-curve")
     val binaryOnly = args.headOption.contains("binary")
-    val full = !mCurveOnly && !binaryOnly
+    val churnOnly = args.headOption.contains("churn")
+    val full = !mCurveOnly && !binaryOnly && !churnOnly
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (full) fs.delete(new org.apache.hadoop.fs.Path(root), true)
@@ -205,6 +206,67 @@ object AnnScale {
             f"probe=$w%.2fs recall=${(brute1 & got).size.toDouble / brute1.size}%.3f")
         }
       }
+    }
+
+    // binary-churn rows (q389/q391 — the CDC maintenance cost model at
+    // scale): on the ×64 corpus, ingest (addBatch) and delete
+    // (removeBatch) must cost O(batch) — the batch's own encode pass and
+    // one tombstone file — NEVER a store read or rewrite; the masked
+    // probe pays one broadcast anti-join until compaction folds it; and
+    // sustained update churn (8 rounds of remove+re-add, accumulating 17
+    // store/tombstone generations) must leave probe results EQUAL to the
+    // pre-churn index (same ids, same vectors — pure generation noise)
+    // while compaction restores the single-generation read shape.
+    if (full || churnOnly) {
+      val x64path = s"$root/x64"
+      val c1 = if (fs.exists(new org.apache.hadoop.fs.Path(x64path)))
+        spark.read.parquet(x64path) else corpusAt(64)
+      val p = s"$root/bchurn"
+      var t0 = System.nanoTime()
+      BinaryAnn.buildIndex(c1, p)
+      val build = (System.nanoTime() - t0) / 1e9
+      val (cleanW, cleanRows) = best2(
+        BinaryAnn.probeIndex(queries, p, 10, shortlist = 64))
+      // 1% ingest batch: fresh ids beyond the corpus
+      val mx = c1.agg(max("id")).head.getLong(0) + 1L
+      t0 = System.nanoTime()
+      BinaryAnn.addBatch(base.filter(col("id") % 100 === 0)
+        .select((col("id") + mx).as("id"), col("embedding")), p)
+      val add = (System.nanoTime() - t0) / 1e9
+      // 1% delete
+      t0 = System.nanoTime()
+      BinaryAnn.removeBatch(c1.filter(col("id") % 97 === 0).select("id"), p)
+      val remove = (System.nanoTime() - t0) / 1e9
+      val (maskedW, maskedRows) = best2(
+        BinaryAnn.probeIndex(queries, p, 10, shortlist = 64))
+      require(maskedRows.forall(_._2 % 97 != 0), "removed ids surfaced")
+      // update churn: 8 rounds of remove + re-add of the SAME (id, vector)
+      // slice — the q389 CDC update pattern, sustained
+      t0 = System.nanoTime()
+      for (r <- 1 to 8) {
+        // keep the churn slice disjoint from the 1% delete above: a
+        // remove+re-add of an ALREADY-DELETED id would resurrect it
+        val slice = c1.filter(col("id") % 89 === r.toLong &&
+          col("id") % 97 =!= 0)
+        BinaryAnn.removeBatch(slice.select("id"), p)
+        BinaryAnn.addBatch(slice, p)
+      }
+      val churn = (System.nanoTime() - t0) / 1e9
+      val (churnW, churnRows) = best2(
+        BinaryAnn.probeIndex(queries, p, 10, shortlist = 64))
+      require(churnRows == maskedRows,
+        "same-content churn must not change probe results")
+      t0 = System.nanoTime()
+      BinaryAnn.compactIndex(spark, p)
+      val compact = (System.nanoTime() - t0) / 1e9
+      val (postW, postRows) = best2(
+        BinaryAnn.probeIndex(queries, p, 10, shortlist = 64))
+      require(postRows == maskedRows, "compaction changed probe results")
+      println(f"[annscale] x64-binary-churn build=$build%.2fs add1pct=$add%.2fs " +
+        f"remove1pct=$remove%.2fs churn8x=$churn%.2fs compact=$compact%.2fs " +
+        f"probeClean=$cleanW%.2fs probeMasked=$maskedW%.2fs " +
+        f"probeChurned=$churnW%.2fs probePostCompact=$postW%.2fs " +
+        f"(clean ${cleanRows.size} rows)")
     }
 
     // recall-vs-nprobe tuning curve at the production width and the
