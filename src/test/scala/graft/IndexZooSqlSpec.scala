@@ -225,4 +225,59 @@ class IndexZooSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       "ALTER VECTOR INDEX izs_missing COMPACT"))
     IndexZooSql.sql(spark, "DROP FULLTEXT INDEX izs_aft")
   }
+
+  test("ALTER routes reach every kind: GRAPH and IVF_PQ ADD/REMOVE/" +
+      "COMPACT, FULLTEXT ADD matches a one-shot build") {
+    IndexZooSql.reset(spark)
+    emb.filter(col("id") % 2 === 0).createOrReplaceTempView("izs_k_base")
+    emb.filter(col("id") % 2 === 1).createOrReplaceTempView("izs_k_add")
+    emb.filter(col("id") % 10 === 2).select("id")
+      .createOrReplaceTempView("izs_k_rm")
+    emb.filter(col("id") < 10).createOrReplaceTempView("izs_k_q")
+    for ((kind, opts) <- Seq(
+        "GRAPH" -> "m=8, m1=4, buckets=8, maxlayers=1, ",
+        // pqstride=4: the codebook samples ids % stride == 0, and the
+        // evens-only base view must still yield 16 of them
+        "IVF_PQ" -> "stride=40, m=16, ncent=16, pqstride=4, ")) {
+      IndexZooSql.sql(spark, s"CREATE VECTOR INDEX izs_ki ON izs_k_base " +
+        s"(embedding) AS '$kind' OPTIONS (${opts}path='$root/ki')")
+      IndexZooSql.sql(spark, "ALTER VECTOR INDEX izs_ki ADD FROM izs_k_add")
+      IndexZooSql.sql(spark, "ALTER VECTOR INDEX izs_ki REMOVE FROM izs_k_rm")
+      val got = IndexZooSql.sql(spark, "VECTOR TOPK ON izs_k_base " +
+          "(embedding) QUERIES izs_k_q LIMIT 5 OPTIONS (shortlist=16)")
+        .collect().map(_.toSeq).toSet
+      assert(got.nonEmpty, s"$kind probe came back empty")
+      assert(got.forall(r => r(1).asInstanceOf[Long] % 10 != 2),
+        s"$kind: removed ids surfaced")
+      // the ALTER-added odd ids must be reachable (the add was real)
+      assert(got.exists(r => r(1).asInstanceOf[Long] % 2 == 1),
+        s"$kind: no added id in any top-5 (add batch not indexed?)")
+      IndexZooSql.sql(spark, "ALTER VECTOR INDEX izs_ki COMPACT")
+      val post = IndexZooSql.sql(spark, "VECTOR TOPK ON izs_k_base " +
+          "(embedding) QUERIES izs_k_q LIMIT 5 OPTIONS (shortlist=16)")
+        .collect().map(_.toSeq).toSet
+      assert(post == got, s"$kind: COMPACT changed probe results")
+      IndexZooSql.sql(spark, "DROP VECTOR INDEX izs_ki")
+    }
+    // FULLTEXT ADD: a two-batch ALTER-grown BM25 index == one-shot build
+    docs.filter(col("doc_id") % 2 === 0).createOrReplaceTempView("izs_k_d0")
+    docs.filter(col("doc_id") % 2 === 1).createOrReplaceTempView("izs_k_d1")
+    docs.createOrReplaceTempView("izs_k_dall")
+    IndexZooSql.sql(spark, "CREATE FULLTEXT INDEX izs_kf ON izs_k_d0 " +
+      s"(text) AS 'BM25' OPTIONS (buckets=8, path='$root/kf')")
+    IndexZooSql.sql(spark, "ALTER FULLTEXT INDEX izs_kf ADD FROM izs_k_d1")
+    IndexZooSql.sql(spark, "ALTER FULLTEXT INDEX izs_kf COMPACT")
+    val grown = Retrieval.bm25TopKIndexed(spark, s"$root/kf",
+        Seq(1 -> Seq("spark", "join")), 5)
+      .collect().map(_.toSeq).toSet
+    val oneShot = {
+      Retrieval.bm25WriteIndex(docs, s"$root/kf1", nBuckets = 8)
+      Retrieval.bm25TopKIndexed(spark, s"$root/kf1",
+          Seq(1 -> Seq("spark", "join")), 5)
+        .collect().map(_.toSeq).toSet
+    }
+    assert(grown == oneShot,
+      "ALTER-grown BM25 index must probe like a one-shot build")
+    IndexZooSql.sql(spark, "DROP FULLTEXT INDEX izs_kf")
+  }
 }
