@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -37,6 +37,10 @@ object DataSkipping {
     * file discovery on the parent (same convention hiding `_SUCCESS`). */
   val STATS_DIR = "_file_stats"
 
+  /** Spec observability: whether the LAST [[collect]] call served from the
+    * footer fast path (true) or the aggregate fallback (false). */
+  private[graft] var lastCollectUsedFooters: Boolean = false
+
   /** A closed-interval predicate `column BETWEEN lo AND hi` (point lookup =
     * `lo == hi`). Bands on several columns AND together. */
   final case class Band(column: String, lo: Any, hi: Any) {
@@ -54,8 +58,24 @@ object DataSkipping {
   }
 
   /** Compute and write the stats sidecar for one flat parquet directory.
-    * One narrow aggregate job over the dir (min/max read straight off the
-    * scan, grouped by file); output is one tiny parquet file. Idempotent
+    *
+    * Fast path: min/max decoded from the PARQUET FOOTERS driver-side — a
+    * metadata read, no Spark job over the data. The footer statistics of
+    * the supported physical types are exact (parquet-mr drops, rather than
+    * approximates, stats it cannot keep exactly — and its optional binary
+    * truncation only ever WIDENS bounds, which pruning tolerates), and
+    * their orderings match Spark's (int/long/double/boolean natural order;
+    * UTF8 binary stats use unsigned byte order, exactly UTF8String's). At
+    * 100 TB this is the difference between an O(metadata) stats refresh
+    * per commit and a second full read of everything just written — the
+    * Delta/Iceberg write-time-stats posture (guide §6). Measured at sf0.1
+    * (JobProfile): the aggregate job cost 1.1 s of q217's create alone.
+    *
+    * Fallback (exact original behavior): ONE narrow aggregate job over the
+    * dir grouped by file — taken whenever any file's footer lacks exact
+    * stats for any orderable column, or a column's type is outside the
+    * proven set. Pruning consumers never notice which path wrote the
+    * sidecar; both write the same schema and values. Idempotent
     * (overwrite) — safe to re-run after a rewrite or for a backfill. */
   def collect(spark: SparkSession, dataPath: String): Unit = {
     val p = new Path(dataPath)
@@ -63,14 +83,168 @@ object DataSkipping {
     if (!f.exists(p)) return
     val df = spark.read.parquet(dataPath)
     val cols = df.schema.fields.filter(fd => orderable(fd.dataType)).toSeq
-    val aggs = count(lit(1)).as("cnt") +: cols.flatMap(c => Seq(
-      min(col(s"`${c.name}`")).as(s"min_${c.name}"),
-      max(col(s"`${c.name}`")).as(s"max_${c.name}")))
-    df.groupBy(element_at(split(input_file_name(), "/"), -1).as("file"))
-      .agg(aggs.head, aggs.tail: _*)
+    lastCollectUsedFooters = collectFromFooters(spark, f, dataPath, cols)
+    if (!lastCollectUsedFooters) {
+      val aggs = count(lit(1)).as("cnt") +: cols.flatMap(c => Seq(
+        min(col(s"`${c.name}`")).as(s"min_${c.name}"),
+        max(col(s"`${c.name}`")).as(s"max_${c.name}")))
+      df.groupBy(element_at(split(input_file_name(), "/"), -1).as("file"))
+        .agg(aggs.head, aggs.tail: _*)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dataPath/$STATS_DIR")
+    }
+  }
+
+  /** Footer-stats fast path. True = sidecar written; false = caller must
+    * run the aggregate fallback (never partial: any doubt about any file's
+    * stats abandons the whole dir, because a WRONG bound would prune live
+    * rows while a missing sidecar only costs a scan). */
+  private def collectFromFooters(spark: SparkSession,
+      f: org.apache.hadoop.fs.FileSystem, dataPath: String,
+      cols: Seq[StructField]): Boolean = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    // types whose footer-stat ordering provably matches Spark comparison
+    def supported(dt: DataType): Boolean = dt match {
+      case IntegerType | LongType | DoubleType | FloatType | BooleanType |
+           StringType | DateType | TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    if (!cols.forall(c => supported(c.dataType))) return false
+    val dataFiles = f.listStatus(new Path(dataPath)).toSeq.filter { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rowsOut = new scala.collection.mutable.ArrayBuffer[Row]()
+    dataFiles.foreach { st =>
+      val footer = try {
+        val in = HadoopInputFile.fromStatus(st, conf)
+        val r = ParquetFileReader.open(in)
+        try r.getFooter finally r.close()
+      } catch { case _: Exception => return false }
+      val blocks = footer.getBlocks
+      import scala.jdk.CollectionConverters._
+      val rowCount = blocks.asScala.map(_.getRowCount).sum
+      // a zero-row file yields no group in the aggregate path — match it
+      if (rowCount > 0) {
+        val vals: Seq[Any] = cols.flatMap { c =>
+          // fold this column's chunk stats across row groups
+          var mn: Any = null
+          var mx: Any = null
+          blocks.asScala.foreach { b =>
+            val chunk = b.getColumns.asScala
+              .find(_.getPath.toDotString == c.name)
+              .getOrElse(return false) // column missing from this file
+            val s = chunk.getStatistics
+            if (s == null) return false
+            // "no min/max" is only trustworthy as all-NULL when the null
+            // count equals the chunk's value count — parquet-mr ALSO omits
+            // min/max (keeping null_count) when a value exceeded its stats
+            // size cap, and treating that as all-NULL would wrongly prune
+            if (!s.hasNonNullValue &&
+                !(s.isNumNullsSet && s.getNumNulls == chunk.getValueCount))
+              return false
+            if (s.hasNonNullValue) {
+              val prim = chunk.getPrimitiveType.getPrimitiveTypeName
+              val (lo: Any, hi: Any) = (c.dataType, prim) match {
+                case (IntegerType, INT32) =>
+                  (s.genericGetMin.asInstanceOf[Integer],
+                    s.genericGetMax.asInstanceOf[Integer])
+                case (LongType, INT64) =>
+                  (s.genericGetMin.asInstanceOf[java.lang.Long],
+                    s.genericGetMax.asInstanceOf[java.lang.Long])
+                case (DoubleType, DOUBLE) =>
+                  // parquet widens zero bounds to ±0.0 (PARQUET-1222);
+                  // Spark comparison treats -0.0 = 0.0, so normalizing to
+                  // the aggregate path's 0.0 changes no pruning decision
+                  (normZero(s.genericGetMin.asInstanceOf[java.lang.Double]),
+                    normZero(s.genericGetMax.asInstanceOf[java.lang.Double]))
+                case (FloatType, FLOAT) =>
+                  (normZeroF(s.genericGetMin.asInstanceOf[java.lang.Float]),
+                    normZeroF(s.genericGetMax.asInstanceOf[java.lang.Float]))
+                case (BooleanType, BOOLEAN) =>
+                  (s.genericGetMin.asInstanceOf[java.lang.Boolean],
+                    s.genericGetMax.asInstanceOf[java.lang.Boolean])
+                case (StringType, BINARY) =>
+                  (s.genericGetMin.asInstanceOf[Binary].toStringUsingUTF8,
+                    s.genericGetMax.asInstanceOf[Binary].toStringUsingUTF8)
+                case (DateType, INT32) =>
+                  (java.time.LocalDate.ofEpochDay(
+                      s.genericGetMin.asInstanceOf[Integer].longValue),
+                    java.time.LocalDate.ofEpochDay(
+                      s.genericGetMax.asInstanceOf[Integer].longValue))
+                case (TimestampType, INT64) =>
+                  val lt = chunk.getPrimitiveType.getLogicalTypeAnnotation
+                  lt match {
+                    case t: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+                      if t.getUnit == org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MICROS =>
+                      (microsToInstant(s.genericGetMin.asInstanceOf[java.lang.Long]),
+                        microsToInstant(s.genericGetMax.asInstanceOf[java.lang.Long]))
+                    case _ => return false // INT96/millis/nanos: fallback
+                  }
+                case (TimestampNTZType, INT64) =>
+                  val lt = chunk.getPrimitiveType.getLogicalTypeAnnotation
+                  lt match {
+                    case t: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+                      if t.getUnit == org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MICROS =>
+                      (microsToLocalDateTime(s.genericGetMin.asInstanceOf[java.lang.Long]),
+                        microsToLocalDateTime(s.genericGetMax.asInstanceOf[java.lang.Long]))
+                    case _ => return false
+                  }
+                case _ => return false // physical/declared type mismatch
+              }
+              mn = if (mn == null) lo else minOf(c.dataType, mn, lo)
+              mx = if (mx == null) hi else maxOf(c.dataType, mx, hi)
+            }
+            // hasNonNullValue false with numNulls set = all-NULL chunk:
+            // contributes nothing, NULL bounds stay — same as min()/max()
+          }
+          Seq(mn, mx)
+        }
+        rowsOut += Row.fromSeq(st.getPath.getName +: rowCount +: vals)
+      }
+    }
+    val schema = StructType(
+      StructField("file", StringType) +: StructField("cnt", LongType) +:
+        cols.flatMap(c => Seq(StructField(s"min_${c.name}", c.dataType),
+          StructField(s"max_${c.name}", c.dataType))))
+    spark.createDataFrame(
+        java.util.Arrays.asList(rowsOut.toSeq: _*), schema)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dataPath/$STATS_DIR")
+    true
   }
+
+  private def normZero(d: java.lang.Double): java.lang.Double =
+    if (d == 0.0d) java.lang.Double.valueOf(0.0d) else d
+  private def normZeroF(f: java.lang.Float): java.lang.Float =
+    if (f == 0.0f) java.lang.Float.valueOf(0.0f) else f
+
+  private def microsToInstant(us: Long): java.time.Instant =
+    java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+      Math.floorMod(us, 1000000L) * 1000L)
+
+  private def microsToLocalDateTime(us: Long): java.time.LocalDateTime =
+    java.time.LocalDateTime.ofInstant(microsToInstant(us),
+      java.time.ZoneOffset.UTC)
+
+  /** Order two decoded footer values by the SAME ordering Spark's min/max
+    * would use for the type (all supported types order naturally;
+    * strings compare as unsigned UTF-8 bytes — UTF8String's order, which
+    * parquet's UTF8 stats comparator also uses). */
+  private def cmpOf(dt: DataType, a: Any, b: Any): Int = dt match {
+    case StringType =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(a.asInstanceOf[String])
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b.asInstanceOf[String]))
+    case _ => a.asInstanceOf[Comparable[Any]].compareTo(b)
+  }
+  private def minOf(dt: DataType, a: Any, b: Any): Any =
+    if (cmpOf(dt, a, b) <= 0) a else b
+  private def maxOf(dt: DataType, a: Any, b: Any): Any =
+    if (cmpOf(dt, a, b) >= 0) a else b
 
   /** Files of `dataPath` that can satisfy `bands`, as absolute paths.
     * `None` = no usable stats (no sidecar, or no band column present in

@@ -30,10 +30,32 @@ object JobProfile {
 
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     val rows = new java.util.concurrent.ConcurrentLinkedQueue[JobRow]()
+    // SQL-execution id → call-site description: AQE stage-materialization
+    // jobs carry only the execution id; the SQLExecutionStart event knows
+    // which action (graft frame) started it.
+    val execDesc = new java.util.concurrent.ConcurrentHashMap[Long, String]()
     val listener = new SparkListener {
+      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        e match {
+          case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            execDesc.put(s.executionId,
+              s.description.linesIterator.take(1).mkString.trim)
+          case _ => ()
+        }
       override def onJobStart(js: SparkListenerJobStart): Unit = {
-        val site = Option(js.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+        val fromExec = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.sql.execution.id")))
+          .flatMap(id => Option(execDesc.get(id.toLong)))
+        val site = fromExec
+          .orElse(Option(js.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short"))))
+          .orElse(js.stageInfos.lastOption.map(si =>
+            si.details.linesIterator.filter(_.contains("graft"))
+              .take(1).mkString.trim match {
+              case "" => si.name
+              case g => g
+            }))
+          .getOrElse("?")
         starts.put(js.jobId, (js.time, site))
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {

@@ -162,6 +162,65 @@ class DataSkippingSpec extends AnyFunSuite with BeforeAndAfterAll {
         .filter(col("x").between(10, 30) && col("y").between(100, 200))))
   }
 
+  test("footer fast path fires and writes the SAME sidecar as the aggregate") {
+    val p = fresh("footer")
+    import java.sql.Timestamp
+    val df = spark.range(0, 400)
+      .select(col("id").as("k"), // bigint
+        col("id").cast("int").as("i"),
+        (col("id") * 1.5).as("d"),
+        concat(lit("s"), lpad(col("id").cast("string"), 4, "0")).as("s"),
+        when(col("id") % 5 === 0, lit(null).cast("double"))
+          .otherwise(col("id") * 0.1).as("dn"), // mixed nulls
+        lit(null).cast("string").as("an"), // all-NULL column
+        date_add(lit("2024-01-01").cast("date"),
+          col("id").cast("int")).as("dt"),
+        timestamp_micros(
+          lit(1704067200000000L) + col("id") * 1000000L).as("ts"),
+        (col("id") % 2 === 0).as("b"))
+      .repartitionByRange(4, col("k"))
+    df.write.parquet(p)
+    DataSkipping.collect(spark, p)
+    assert(DataSkipping.lastCollectUsedFooters,
+      "footer fast path must fire for int/long/double/string/date/ts/bool")
+    val fromFooters = rows(spark.read.parquet(s"$p/${DataSkipping.STATS_DIR}"))
+    // recompute via the exact fallback aggregate and compare VALUES
+    val cols = spark.read.parquet(p).schema.fields
+    val aggs = count(lit(1)).as("cnt") +: cols.toSeq.flatMap(c => Seq(
+      min(col(s"`${c.name}`")).as(s"min_${c.name}"),
+      max(col(s"`${c.name}`")).as(s"max_${c.name}")))
+    val agg = spark.read.parquet(p)
+      .groupBy(element_at(split(input_file_name(), "/"), -1).as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(fromFooters.headOption.map(_ => col("*")).getOrElse(col("*")))
+    val sidecarCols = spark.read.parquet(s"$p/${DataSkipping.STATS_DIR}").columns
+    assert(rows(agg.select(sidecarCols.map(col): _*)) == fromFooters,
+      "footer-derived sidecar must be value-identical to the aggregate's")
+    // and pruning over it behaves: band inside one range file + string band
+    assert(rows(DataSkipping.readPruned(spark, p, Seq(Band("k", 150L, 180L)))) ==
+      rows(spark.read.parquet(p).filter(col("k").between(150, 180))))
+    assert(rows(DataSkipping.readPruned(spark, p,
+        Seq(Band("s", "s0150", "s0180")))) ==
+      rows(spark.read.parquet(p)
+        .filter(col("s").between("s0150", "s0180"))))
+    val surv = DataSkipping.survivors(spark, p, Seq(Band("k", 150L, 180L)))
+    assert(surv.get.size == 1, s"one range file must survive: $surv")
+  }
+
+  test("footer path falls back on unsupported types (decimal), still correct") {
+    val p = fresh("footerdec")
+    spark.range(0, 100)
+      .select(col("id").as("k"),
+        (col("id") * 10).cast("decimal(12,2)").as("dec"))
+      .repartitionByRange(2, col("k"))
+      .write.parquet(p)
+    DataSkipping.collect(spark, p)
+    assert(!DataSkipping.lastCollectUsedFooters,
+      "decimal column must abandon the footer fast path")
+    assert(rows(DataSkipping.readPruned(spark, p, Seq(Band("k", 10L, 20L)))) ==
+      rows(spark.read.parquet(p).filter(col("k").between(10, 20))))
+  }
+
   test("minor compaction writes stats for its folded delta") {
     val root = fresh("minor")
     TxnMergeOnRead.create(spark, root,

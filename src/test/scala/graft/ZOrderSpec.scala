@@ -94,7 +94,15 @@ class ZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
     val baseDir = (baseDirs() -- pre).head
     val fx = hitFraction(fileRanges(baseDir, "x"), 40000L, 42000L)
     val fy = hitFraction(fileRanges(baseDir, "y"), 40000L, 42000L)
-    assert(fx <= 0.40 && fy <= 0.40,
+    // Threshold has slack for sampling variance: RangePartitioner seeds
+    // its per-partition reservoir from the RDD ID (byteswap32(idx ^
+    // (rdd.id << 16))), which depends on how many RDDs the shared session
+    // created before this test — so the exact file geometry drifts a few
+    // files across suite orderings (r14's flake; reproduced r17 at
+    // 0.40625 vs the old 0.40 gate). The CONTRACT is the structural gap:
+    // both dimensions skip most files where a single-column sort leaves
+    // the non-leading dimension at 1.0 (asserted by the sibling test).
+    assert(fx <= 0.45 && fy <= 0.45,
       f"clustered base should skip on both dims, hit x=$fx%.2f y=$fy%.2f")
     // and deltas stack on it as usual
     TxnMergeOnRead.delete(spark, root, "k < 10")
